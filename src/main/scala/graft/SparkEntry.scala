@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Query registry is assembled from per-family modules in graft.queries.
+  */
 object SparkEntry {
+  private type Q = Map[String, (SparkSession, String) => DataFrame]
+
+  private def queryMaps: Seq[Q] = Seq(
+    _root_.graft.queries.VectorQueries.queries
+  )
+
+  private def sqlMaps: Seq[Map[String, String]] = Seq(
+    _root_.graft.queries.VectorQueries.oracleSql
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    _root_.graft.queries.VectorQueries.knnL2(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Q = queryMaps.reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = sqlMaps.reduce(_ ++ _)
 }

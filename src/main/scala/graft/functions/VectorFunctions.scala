@@ -1,0 +1,328 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Vector distance/similarity kernels as native Catalyst expressions.
+  *
+  * The reference delegates these to its vector-store backend: L2/euclidean is
+  * the configured metric (reference `s3vectors-app/pythonvectordbceph.py:114`,
+  * `milvus-app/pythonvectordbceph_milvus.py:101`); L2 normalization of image
+  * vectors at `s3vectors-app/pythonvectordbceph.py:47`; float32 storage cast
+  * at `s3vectors-app/pythonvectordbceph.py:191`. We own the metric natively.
+  *
+  * Design notes (100 TB posture):
+  *   - Arithmetic is always performed in `double` regardless of the stored
+  *     element type (vectors rest as float32, matching the reference's
+  *     `np.float32` storage + numpy's float64 compute promotion). This also
+  *     makes results bit-identical to DuckDB's `list_*` functions over
+  *     `DOUBLE[]`, which the correctness oracle relies on.
+  *   - All binary kernels implement `doGenCode`, so they stay inside
+  *     whole-stage codegen — a KNN scan over billions of rows is a single
+  *     tight fused loop per partition, no virtual calls, no boxing.
+  *   - Null elements inside a vector are not expected (schema declares
+  *     non-null elements after ingest validation) and are read as 0.
+  */
+object VectorKernels {
+  /** Java source snippet reading element `i` of ArrayData `arr` as double. */
+  private[functions] def elemAsDouble(e: Expression, arr: String, i: String): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case other => throw new IllegalStateException(s"unsupported vector element type $other")
+    }
+
+  private[functions] def elemAsDouble(e: Expression, arr: ArrayData, i: Int): Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => arr.getDouble(i)
+      case _          => arr.getFloat(i).toDouble
+    }
+}
+
+/** Common typing/validation for binary vector → double kernels. */
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, " +
+          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+}
+
+/** Euclidean (L2) distance: sqrt(Σ (a_i − b_i)²). Reference metric
+  * `euclidean` at `s3vectors-app/pythonvectordbceph.py:114`. */
+case class L2Distance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "l2_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val d = VectorKernels.elemAsDouble(left, x, i) - VectorKernels.elemAsDouble(right, y, i)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s, d) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("d"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${VectorKernels.elemAsDouble(left, a, i)} - ${VectorKernels.elemAsDouble(right, b, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Inner product Σ a_i·b_i. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      s += VectorKernels.elemAsDouble(left, x, i) * VectorKernels.elemAsDouble(right, y, i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${VectorKernels.elemAsDouble(left, a, i)} * ${VectorKernels.elemAsDouble(right, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Cosine similarity: dot(a,b) / (‖a‖·‖b‖); 0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xa = VectorKernels.elemAsDouble(left, x, i)
+      val yb = VectorKernels.elemAsDouble(right, y, i)
+      dot += xa * yb; na += xa * xa; nb += yb * yb; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n) = (ctx.freshName("i"), ctx.freshName("n"))
+      val (dot, na, nb, xa, yb, den) =
+        (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+          ctx.freshName("xa"), ctx.freshName("yb"), ctx.freshName("den"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = ${VectorKernels.elemAsDouble(left, a, i)};
+         |  double $yb = ${VectorKernels.elemAsDouble(right, b, i)};
+         |  $dot += $xa * $yb; $na += $xa * $xa; $nb += $yb * $yb;
+         |}
+         |double $den = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** ‖v‖₂ — Euclidean norm of one vector. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vector_norm"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_norm requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = VectorKernels.elemAsDouble(child, x, i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, n, s, v) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("v"))
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${VectorKernels.elemAsDouble(child, a, i)};
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** L2-normalize a vector to unit norm, preserving float32 element type.
+  * Reference: `sklearn.preprocessing.normalize(v, norm="l2")` applied to
+  * image embeddings at `s3vectors-app/pythonvectordbceph.py:47`.
+  * Zero vectors pass through unchanged (sklearn behavior). */
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "l2_normalize"
+
+  override def dataType: DataType = child.dataType match {
+    case at: ArrayType => at
+    case _ => ArrayType(FloatType, containsNull = false)
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"l2_normalize requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  private def isDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { val v = VectorKernels.elemAsDouble(child, x, i); s += v * v; i += 1 }
+    val norm = math.sqrt(s)
+    if (norm == 0.0) x.copy()
+    else if (isDouble) {
+      val out = new Array[Double](n); i = 0
+      while (i < n) { out(i) = x.getDouble(i) / norm; i += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Float](n); i = 0
+      while (i < n) { out(i) = (x.getFloat(i) / norm).toFloat; i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, n, s, v, norm, out) = (ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("s"), ctx.freshName("v"), ctx.freshName("norm"), ctx.freshName("out"))
+      val (jt, getter, divCast) =
+        if (isDouble) ("double", s"$a.getDouble($i)", "")
+        else ("float", s"$a.getFloat($i)", "(float) ")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = ${VectorKernels.elemAsDouble(child, a, i)};
+         |  $s += $v * $v;
+         |}
+         |double $norm = java.lang.Math.sqrt($s);
+         |if ($norm == 0.0) {
+         |  ${ev.value} = $a.copy();
+         |} else {
+         |  $jt[] $out = new $jt[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $divCast($getter / $norm);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Fail the query if a vector's dimension ≠ expected — enforces the
+  * fixed-dimension collection schema the reference declares at index create
+  * (`VECTOR_DIMENSION` env, `s3vectors-app/pythonvectordbceph.py:111-113`,
+  * `milvus-app/pythonvectordbceph_milvus.py:95`). */
+case class AssertDim(child: Expression, dim: Int) extends UnaryExpression {
+  override def prettyName: String = "assert_dim"
+  override def dataType: DataType = child.dataType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vector dimension ${x.numElements()} != declared dimension $dim")
+    x
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vector dimension " + $a.numElements() + " != declared dimension " + $dim);
+         |}
+         |${ev.value} = $a;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Column-API + SQL registration surface for the vector kernels. */
+object VectorFunctions {
+  import GraftShim.{column, expression}
+
+  def l2_distance(a: Column, b: Column): Column = column(L2Distance(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def cosine_similarity(a: Column, b: Column): Column = column(CosineSimilarity(expression(a), expression(b)))
+  def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
+  def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
+  def assert_dim(a: Column, d: Int): Column = column(AssertDim(expression(a), d))
+
+  /** Register all kernels as SQL functions in this session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = GraftShim.functionRegistry(spark)
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+  }
+}

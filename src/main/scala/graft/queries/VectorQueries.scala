@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.VectorFunctions._
+
+/** KNN / vector-search query surface (SURVEY §2 A12–A15, B1–B4).
+  *
+  * The reference issues top-K L2 searches against its backend
+  * (`s3vectors-app/search.py:49-58`, `milvus-app/search.py:13-19`); we
+  * evaluate the same semantics natively on Spark.
+  *
+  * Scale posture: every single-query KNN here plans as
+  * `TakeOrderedAndProject(Project(dist, Scan))` — one fused codegen pass per
+  * partition holding only k rows, then a k-way driver merge. No shuffle, no
+  * full sort; this is exactly the plan you want on a 1000-executor scan of a
+  * 100 TB index. The batched variant broadcasts the (small) query set and
+  * keeps the big index side shuffle-free until the per-query top-k window,
+  * which partial-aggregates via the window's rank filter. At extreme scale
+  * the IVF path (graft.index) prunes the scanned partitions first.
+  */
+object VectorQueries {
+
+  /** Query vector = embeddings row vec_id=0, joined in as a 1-row broadcast
+    * (keeps the query self-contained and oracle-expressible). */
+  private def withQueryVec(spark: SparkSession, dir: String, qid: Long = 0L): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+    emb.crossJoin(broadcast(q))
+  }
+
+  /** A12/A13/A14: exact top-10 by L2 distance + metadata projection. */
+  def knnL2(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir)
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+
+  /** B3: cosine-similarity top-10 (descending). */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir)
+      .select(col("vec_id"), cosine_similarity(col("embedding"), col("qvec")).as("sim"), col("label"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(10)
+
+  /** B3: inner-product top-10 (descending). */
+  def knnDot(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir)
+      .select(col("vec_id"), dot_product(col("embedding"), col("qvec")).as("ip"), col("label"))
+      .orderBy(desc("ip"), col("vec_id"))
+      .limit(10)
+
+  /** B2: metadata pre-filter (label predicate) then top-5 by L2. The filter
+    * sits below the distance projection so Catalyst pushes it to the scan. */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir)
+      .filter(col("label") % 2 === 0 && col("vec_id") =!= 0)
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(5)
+
+  /** B4: batched multi-query search — 20 query vectors × index, per-query
+    * top-3 via ranking window. Query side broadcast; index side stays
+    * partition-local until the per-qid window. */
+  def knnBatched(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("qid"), col("vec_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** A6/B3: per-label stats over vector norms (norm is sqrt — round(6)). */
+  def vectorNormStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), vector_norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+
+  /** A6: l2_normalize yields unit vectors — check norms ≈ 1 (round 5 — the
+    * float32-precision normalize leaves ~1e-7 error; 5 decimals absorbs it). */
+  def l2NormalizeCheck(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        round(vector_norm(l2_normalize(col("embedding"))), 5).as("unit_norm"),
+        round(lit(1.0) * element_at(col("embedding"), 1) / vector_norm(col("embedding")), 6)
+          .as("first_component"))
+      .orderBy(col("vec_id"))
+
+  /** A15: deterministic catalog scan — first 10 rows by key. */
+  def vectorScan(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+      .orderBy(col("vec_id"))
+      .limit(10)
+
+  /** A7: float32 at rest — dimension + element checks survive the cast. */
+  def vectorDims(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(size(col("embedding")).cast("long").as("dim"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n"))
+      .orderBy(col("dim"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_l2_topk" -> knnL2 _,
+    "knn_cosine_topk" -> knnCosine _,
+    "knn_dot_topk" -> knnDot _,
+    "knn_filtered" -> knnFiltered _,
+    "knn_batched" -> knnBatched _,
+    "vector_norm_stats" -> vectorNormStats _,
+    "l2_normalize_check" -> l2NormalizeCheck _,
+    "vector_scan" -> vectorScan _,
+    "vector_dims" -> vectorDims _
+  )
+
+  // DuckDB parity notes: list_distance/list_inner_product over DOUBLE[] are
+  // bit-identical to our double-precision kernels (verified empirically);
+  // DuckDB's list_cosine_similarity uses sqrt(na*nb) so the oracle spells
+  // out dot/(sqrt(na)*sqrt(nb)) explicitly to match our kernel bit-for-bit.
+  private val qv = "(SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)"
+
+  val oracleSql: Map[String, String] = Map(
+    "knn_l2_topk" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_cosine_topk" ->
+      s"""SELECT e.vec_id,
+            list_inner_product(e.embedding::DOUBLE[], q.qvec)
+              / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                 * sqrt(list_inner_product(q.qvec, q.qvec))) AS sim,
+            e.label
+          FROM embeddings e, $qv q ORDER BY sim DESC, vec_id LIMIT 10""",
+    "knn_dot_topk" ->
+      s"""SELECT e.vec_id, list_inner_product(e.embedding::DOUBLE[], q.qvec) AS ip, e.label
+          FROM embeddings e, $qv q ORDER BY ip DESC, vec_id LIMIT 10""",
+    "knn_filtered" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q WHERE e.label % 2 = 0 AND e.vec_id <> 0
+          ORDER BY dist, vec_id LIMIT 5""",
+    "knn_batched" ->
+      """SELECT qid, vec_id, dist, rn FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dist,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS rn
+           FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 20) q)
+         WHERE rn <= 3 ORDER BY qid, rn""",
+    "vector_norm_stats" ->
+      """SELECT label, count(*) AS n,
+            round(min(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+            round(max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "l2_normalize_check" ->
+      """SELECT vec_id, 1.0::DOUBLE AS unit_norm,
+            round(embedding[1]::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+              AS first_component
+         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+    "vector_scan" ->
+      "SELECT vec_id, label, len(embedding) AS dim FROM embeddings ORDER BY vec_id LIMIT 10",
+    "vector_dims" ->
+      "SELECT len(embedding) AS dim, count(*) AS n FROM embeddings GROUP BY dim ORDER BY dim"
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 2.0f)),
+    (2L, Array(0.0f, 3.0f, 4.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f))
+  ).toDF("id", "v")
+
+  test("l2_distance: self-distance is 0, known values match") {
+    val d = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        l2_distance($"a.v", $"b.v").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(d((1L, 1L)) == 0.0)
+    assert(math.abs(d((1L, 2L)) - math.sqrt(1 + 1 + 4)) < 1e-12)
+    assert(d((3L, 3L)) == 0.0)
+  }
+
+  test("dot_product and vector_norm known values") {
+    val r = vecs.filter($"id" === 1)
+      .select(dot_product($"v", $"v").as("dp"), vector_norm($"v").as("n"))
+      .head()
+    assert(r.getDouble(0) == 9.0)
+    assert(r.getDouble(1) == 3.0)
+  }
+
+  test("cosine_similarity: self ~1, orthogonal 0, zero-vector guarded") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        cosine_similarity($"a.v", $"b.v").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((1L, 1L)) - 1.0) < 1e-12)
+    assert(c((1L, 3L)) == 0.0) // zero vector → 0, not NaN
+  }
+
+  test("l2_normalize: unit norm, zero vector passthrough, float32 kept") {
+    val out = vecs.select($"id", l2_normalize($"v").as("u"))
+      .select($"id", vector_norm($"u").as("n"), element_at($"u", 1).as("e1"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getFloat(2))).toMap
+    assert(math.abs(out(1L)._1 - 1.0) < 1e-6)
+    assert(out(3L)._1 == 0.0)
+    assert(math.abs(out(1L)._2 - 1.0f / 3.0f) < 1e-7)
+  }
+
+  test("assert_dim passes on right dim, throws on wrong dim") {
+    assert(vecs.select(assert_dim($"v", 3)).count() == 3)
+    val e = intercept[Exception] {
+      vecs.select(assert_dim($"v", 5)).collect()
+    }
+    assert(e.getMessage.contains("dimension") || e.getCause != null)
+  }
+
+  test("SQL registration works") {
+    register(spark)
+    vecs.createOrReplaceTempView("vt")
+    val r = spark.sql(
+      "SELECT id, l2_distance(v, v) d, vector_norm(v) n FROM vt ORDER BY id").collect()
+    assert(r.forall(_.getDouble(1) == 0.0))
+    assert(r(0).getDouble(2) == 3.0)
+  }
+
+  test("works over real embeddings parquet with codegen") {
+    val df = spark.read.parquet(s"${SparkTestSession.sf}/embeddings.parquet")
+    val q = df.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val top = df.crossJoin(broadcast(q))
+      .select($"vec_id", l2_distance($"embedding", $"q").as("dist"))
+      .orderBy($"dist", $"vec_id").limit(3)
+      .collect()
+    assert(top.length == 3)
+    assert(top(0).getLong(0) == 0L && top(0).getDouble(1) == 0.0)
+    assert(top(1).getDouble(1) > 0.0)
+  }
+}

@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage:
+  python3 tools/oracle_check.py [sf_dir] [out_dir] [--skip-verify]
+
+1. Runs graft.Verify at sf_dir -> out_dir (parquet per query + oracle_sql.json)
+   unless --skip-verify.
+2. Registers each testdata table as a DuckDB view, runs every oracle SQL.
+3. Compares: columns sorted by name; rows sorted by all columns; values
+   compared exactly (with a reported max-abs-diff for floats so we can see
+   how close "close" is).
+
+Exit 0 iff every query matches exactly.
+"""
+import json
+import math
+import subprocess
+import sys
+from pathlib import Path
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("-") else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT_DIR}']
+    print("+", " ".join(cmd), flush=True)
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit(1)
+    for line in r.stdout.splitlines():
+        if "[verify]" in line or "error" in line.lower():
+            print(line)
+
+
+def canon(rows, cols):
+    """Sort columns by name, then rows by stringified values."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    return sorted(out, key=lambda r: tuple(str(x) for x in r)), [cols[i] for i in order]
+
+
+def values_eq(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return a == b
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return fa == fb
+    return a == b
+
+
+def max_float_diff(ra, rb):
+    m = 0.0
+    for a, b in zip(ra, rb):
+        if isinstance(a, float) and isinstance(b, float) and not (math.isnan(a) or math.isnan(b)):
+            m = max(m, abs(a - b))
+    return m
+
+
+def main():
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    out = Path(OUT_DIR)
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        qdir = out / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            srel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            s_rows, s_cols = srel.fetchall(), [d[0] for d in srel.description]
+            drel = con.sql(oracle[name])
+            d_rows, d_cols = drel.fetchall(), [d[0] for d in drel.description]
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_bad += 1
+            continue
+        s_rows, s_cols_s = canon(s_rows, s_cols)
+        d_rows, d_cols_s = canon(d_rows, d_cols)
+        if s_cols_s != d_cols_s:
+            print(f"FAIL {name}: columns spark={s_cols_s} duckdb={d_cols_s}")
+            n_bad += 1
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+            n_bad += 1
+            continue
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows))
+               if not all(values_eq(x, y) for x, y in zip(a, b))]
+        if bad:
+            i, a, b = bad[0]
+            print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; first at {i}:")
+            print(f"  cols : {s_cols_s}")
+            print(f"  spark: {a}")
+            print(f"  duck : {b}")
+            print(f"  max float diff in row: {max_float_diff(a, b):.3e}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(s_rows)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(oracle)} total")
+    sys.exit(0 if n_bad == 0 else 2)
+
+
+if __name__ == "__main__":
+    main()
