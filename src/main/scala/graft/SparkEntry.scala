@@ -9,11 +9,13 @@ object SparkEntry {
   private type Q = Map[String, (SparkSession, String) => DataFrame]
 
   private def queryMaps: Seq[Q] = Seq(
-    _root_.graft.queries.VectorQueries.queries
+    _root_.graft.queries.VectorQueries.queries,
+    _root_.graft.queries.IngestQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
-    _root_.graft.queries.VectorQueries.oracleSql
+    _root_.graft.queries.VectorQueries.oracleSql,
+    _root_.graft.queries.IngestQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Uniform access to the driver-generated parquet tables (TESTDATA.md).
   * One directory per scale factor; one parquet file per table. At cluster
@@ -14,4 +15,16 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column usable as a Spark timestamp.
+    * Spark's TimestampType is µs; the fixture writes ns, which the vanilla
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read ns-as-long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set session-wide in
+    * Verify/Bench/tests) and truncate to µs — the same truncation DuckDB
+    * applies casting TIMESTAMP_NS → TIMESTAMP, so oracles stay exact. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      // integral `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
+      // 2^53 exact range, so float division would round the microseconds.
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 }

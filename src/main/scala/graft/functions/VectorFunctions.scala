@@ -41,6 +41,29 @@ object VectorKernels {
       case DoubleType => arr.getDouble(i)
       case _          => arr.getFloat(i).toDouble
     }
+
+  /** Dimension agreement check shared by the binary kernels. The reference
+    * backends reject mismatched dims at the index boundary (fixed-dim index,
+    * `s3vectors-app/pythonvectordbceph.py:111-113`) and DuckDB's
+    * `list_distance` errors likewise — a silently truncated distance would
+    * diverge from both. */
+  private[functions] def checkDims(name: String, x: ArrayData, y: ArrayData): Int = {
+    val (nx, ny) = (x.numElements(), y.numElements())
+    if (nx != ny)
+      throw new IllegalArgumentException(
+        s"$name: vector dimension mismatch ($nx vs $ny)")
+    nx
+  }
+
+  /** Codegen twin of [[checkDims]]. */
+  private[functions] def checkDimsCode(name: String, a: String, b: String, n: String): String =
+    s"""
+       |if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException(
+       |    "$name: vector dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+       |}
+       |int $n = $a.numElements();
+     """.stripMargin
 }
 
 /** Common typing/validation for binary vector → double kernels. */
@@ -68,7 +91,7 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryVectorE
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorKernels.checkDims(prettyName, x, y)
     var s = 0.0; var i = 0
     while (i < n) {
       val d = VectorKernels.elemAsDouble(left, x, i) - VectorKernels.elemAsDouble(right, y, i)
@@ -81,7 +104,7 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryVectorE
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, s, d) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("d"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorKernels.checkDimsCode(prettyName, a, b, n)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = ${VectorKernels.elemAsDouble(left, a, i)} - ${VectorKernels.elemAsDouble(right, b, i)};
@@ -100,7 +123,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorKernels.checkDims(prettyName, x, y)
     var s = 0.0; var i = 0
     while (i < n) {
       s += VectorKernels.elemAsDouble(left, x, i) * VectorKernels.elemAsDouble(right, y, i)
@@ -113,7 +136,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryVectorE
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (i, n, s) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("s"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorKernels.checkDimsCode(prettyName, a, b, n)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ${VectorKernels.elemAsDouble(left, a, i)} * ${VectorKernels.elemAsDouble(right, b, i)};
@@ -131,7 +154,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = VectorKernels.checkDims(prettyName, x, y)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xa = VectorKernels.elemAsDouble(left, x, i)
@@ -149,7 +172,7 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryV
         (ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
           ctx.freshName("xa"), ctx.freshName("yb"), ctx.freshName("den"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${VectorKernels.checkDimsCode(prettyName, a, b, n)}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xa = ${VectorKernels.elemAsDouble(left, a, i)};
@@ -283,6 +306,15 @@ case class AssertDim(child: Expression, dim: Int) extends UnaryExpression {
   override def prettyName: String = "assert_dim"
   override def dataType: DataType = child.dataType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"assert_dim requires array<float|double>, got ${dt.catalogString}")
+    }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != dim)
@@ -316,13 +348,37 @@ object VectorFunctions {
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
   def assert_dim(a: Column, d: Int): Column = column(AssertDim(expression(a), d))
 
+  /** Arity guard for the SQL builders — a readable error instead of an
+    * IndexOutOfBoundsException on e.g. `l2_distance(v)`. */
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Seq[Expression] = {
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${es.length}")
+    es
+  }
+
   /** Register all kernels as SQL functions in this session (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = GraftShim.functionRegistry(spark)
-    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es(0), es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("vector_norm", es => VectorNorm(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "scala_udf")
+    def reg2(name: String, f: (Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => { arity(name, 2)(es); f(es(0), es(1)) }, "scala_udf")
+    def reg1(name: String, f: Expression => Expression): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => { arity(name, 1)(es); f(es.head) }, "scala_udf")
+    reg2("l2_distance", L2Distance)
+    reg2("dot_product", DotProduct)
+    reg2("cosine_similarity", CosineSimilarity)
+    reg1("vector_norm", VectorNorm)
+    reg1("l2_normalize", L2Normalize)
+    reg.createOrReplaceTempFunction("assert_dim", es => {
+      arity("assert_dim", 2)(es)
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(d: Int, IntegerType) =>
+          AssertDim(es(0), d)
+        case other => throw new IllegalArgumentException(
+          s"assert_dim expects a literal int dimension, got $other")
+      }
+    }, "scala_udf")
   }
 }

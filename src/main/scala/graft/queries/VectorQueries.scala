@@ -163,10 +163,14 @@ object VectorQueries {
             round(max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
          FROM embeddings GROUP BY label ORDER BY label""",
     "l2_normalize_check" ->
-      """SELECT vec_id, 1.0::DOUBLE AS unit_norm,
+      """SELECT vec_id,
+            round(sqrt(list_inner_product(nv::DOUBLE[], nv::DOUBLE[])), 5) AS unit_norm,
             round(embedding[1]::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
               AS first_component
-         FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""",
+         FROM (SELECT vec_id, embedding, list_transform(embedding,
+                 x -> CAST(x::DOUBLE / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS FLOAT)) AS nv
+               FROM embeddings WHERE vec_id < 50)
+         ORDER BY vec_id""",
     "vector_scan" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings ORDER BY vec_id LIMIT 10",
     "vector_dims" ->
