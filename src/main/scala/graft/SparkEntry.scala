@@ -10,12 +10,18 @@ object SparkEntry {
 
   private def queryMaps: Seq[Q] = Seq(
     _root_.graft.queries.VectorQueries.queries,
-    _root_.graft.queries.IngestQueries.queries
+    _root_.graft.queries.IngestQueries.queries,
+    _root_.graft.queries.RelationalQueries.queries,
+    _root_.graft.queries.WindowSetQueries.queries,
+    _root_.graft.queries.ScalarQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
     _root_.graft.queries.VectorQueries.oracleSql,
-    _root_.graft.queries.IngestQueries.oracleSql
+    _root_.graft.queries.IngestQueries.oracleSql,
+    _root_.graft.queries.RelationalQueries.oracleSql,
+    _root_.graft.queries.WindowSetQueries.oracleSql,
+    _root_.graft.queries.ScalarQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Window functions (C5), set operations (C7), exact/approx distinct (C17).
+  *
+  * Scale posture: every window partitions on a real key (`c_mktsegment`,
+  * `o_custkey`) — partitions are bounded (≤ a customer's order history), so
+  * no executor ever materializes more than one key group's frame. The
+  * global-sort ORDER BY at the end of each declared query exists only for
+  * oracle determinism and would be dropped in production use.
+  */
+object WindowSetQueries {
+
+  private val dec = "decimal(12,2)"
+
+  /** C5: ranking family — row_number / rank / dense_rank / ntile within
+    * market segment by account balance. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(dec).as("acctbal"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rn") <= 20)
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** C5: lag/lead — each customer's order history with previous/next price
+    * deltas (decimal-exact). */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 40)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast(dec).as("price"),
+        lag(col("o_totalprice").cast(dec), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice").cast(dec), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** C5: running frames — cumulative sum (rowsBetween) and full-partition
+    * first/last (unbounded frame) per customer. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val ordered = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 40)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(dec)).over(running).cast("decimal(18,2)").as("cum_spend"),
+        first(col("o_orderkey")).over(whole).as("first_order"),
+        last(col("o_orderkey")).over(whole).as("last_order"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** C5: RANGE frame — orders within ±10000 of this order's price, per
+    * status (value-based frame, not row-based). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000, 10000)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(dec).as("price"),
+        count(lit(1)).over(w).as("n_similar_priced"))
+      .filter(col("o_orderkey") < 1000)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C7: UNION (distinct) of two customer selections. */
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"), col("c_mktsegment"))
+    val b = c.filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 8000)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  /** C7: INTERSECT — customers in both selections. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+    val b = c.filter(col("c_mktsegment").isin("MACHINERY", "BUILDING")).select(col("c_custkey"))
+    a.intersect(b).orderBy(col("c_custkey"))
+  }
+
+  /** C7: EXCEPT — high-balance customers not in the two big segments. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val a = c.filter(col("c_acctbal") > 8000).select(col("c_custkey"))
+    val b = c.filter(col("c_mktsegment").isin("MACHINERY", "BUILDING")).select(col("c_custkey"))
+    a.except(b).orderBy(col("c_custkey"))
+  }
+
+  /** C17: exact distinct counts (the hashed twin of approx_count_distinct;
+    * the HLL variant is ε-asserted in ApproxSpec, never oracle-hashed). */
+  def countDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank" -> windowRank _,
+    "window_lag_lead" -> windowLagLead _,
+    "window_running_sum" -> windowRunningSum _,
+    "window_range_frame" -> windowRangeFrame _,
+    "set_union" -> setUnion _,
+    "set_intersect" -> setIntersect _,
+    "set_except" -> setExcept _,
+    "count_distinct" -> countDistinctQ _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+                  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+                  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+         WHERE rn <= 20 ORDER BY c_mktsegment, rn""",
+    "window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
+            LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price
+         FROM orders WHERE o_custkey < 40
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_spend,
+            first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+            last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+         FROM orders WHERE o_custkey < 40
+         ORDER BY o_custkey, o_orderkey""",
+    "window_range_frame" ->
+      """SELECT * FROM (
+         SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                           RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_priced
+         FROM orders) WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+    "set_union" ->
+      """SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+         UNION
+         SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 8000
+         ORDER BY c_custkey""",
+    "set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+         INTERSECT
+         SELECT c_custkey FROM customer WHERE c_mktsegment IN ('MACHINERY','BUILDING')
+         ORDER BY c_custkey""",
+    "set_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_mktsegment IN ('MACHINERY','BUILDING')
+         ORDER BY c_custkey""",
+    "count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+            count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}
