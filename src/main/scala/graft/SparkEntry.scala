@@ -13,7 +13,9 @@ object SparkEntry {
     _root_.graft.queries.IngestQueries.queries,
     _root_.graft.queries.RelationalQueries.queries,
     _root_.graft.queries.WindowSetQueries.queries,
-    _root_.graft.queries.ScalarQueries.queries
+    _root_.graft.queries.ScalarQueries.queries,
+    _root_.graft.queries.TextQueries.queries,
+    _root_.graft.queries.DedupQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
@@ -21,7 +23,9 @@ object SparkEntry {
     _root_.graft.queries.IngestQueries.oracleSql,
     _root_.graft.queries.RelationalQueries.oracleSql,
     _root_.graft.queries.WindowSetQueries.oracleSql,
-    _root_.graft.queries.ScalarQueries.oracleSql
+    _root_.graft.queries.ScalarQueries.oracleSql,
+    _root_.graft.queries.TextQueries.oracleSql,
+    _root_.graft.queries.DedupQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

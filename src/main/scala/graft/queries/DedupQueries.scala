@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.VectorFunctions.cosine_similarity
+
+/** Deduplication surface (C8 + the LLM-data-pipeline mandate): exact,
+  * set-similarity (Jaccard) via an inverted-index join, MinHash banding,
+  * and embedding-cosine near-dup.
+  *
+  * Scale posture — the mandate is 100 TB, so NONE of the near-dup queries
+  * do an all-pairs crossJoin:
+  *   - `dedup_jaccard_pairs` explodes distinct tokens and self-joins on the
+  *     token (inverted index): cost is Σ df(token)² over tokens, not N².
+  *     At corpus scale you'd drop ultra-common tokens first (df cap), which
+  *     is a one-line filter on the same plan.
+  *   - `dedup_minhash_bands` is classic MinHash+LSH banding: fixed-size
+  *     signature per doc, join on (band, value) buckets — O(N) shuffle.
+  *   - `dedup_embedding_cosine` brute-forces only a bounded id-window here
+  *     (exact, oracle-checkable); the production path is the LSH/IVF bucket
+  *     join exercised in DedupSpec.
+  */
+object DedupQueries {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** C8: exact dedup with a deterministic keeper per (lang, source) group —
+    * the A9 upsert window reused as `dropDuplicates`-with-stable-winner. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keeper_doc"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("lang"), col("source"))
+
+  /** C8: exact pairwise Jaccard ≥ 0.9 over word sets via inverted-index
+    * join — no crossJoin anywhere in the plan. */
+  def dedupJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    val sizes = docs.select(col("doc_id"), size(col("ws")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** C8: MinHash + LSH banding — 4 md5-derived min-hashes per doc, banded
+    * 2×2; candidate pairs share at least one band. md5 keeps the hash
+    * deterministic and DuckDB-reproducible. */
+  def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    def mh(salt: Int): Column =
+      array_min(transform(col("ws"), w => md5(concat(lit(s"$salt:"), w))))
+    val sigs = docs.select(col("doc_id"),
+      concat_ws("|", mh(0), mh(1)).as("band0"),
+      concat_ws("|", mh(2), mh(3)).as("band1"))
+    val buckets = sigs.select(col("doc_id"),
+        explode(array(
+          concat(lit("b0:"), col("band0")),
+          concat(lit("b1:"), col("band1")))).as("bucket"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** LLM-pipeline: embedding near-dup — cosine ≥ 0.35 pairs in a bounded
+    * id-window (exact baseline; the banded/LSH variant is the scale path). */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_jaccard_pairs" -> dedupJaccardPairs _,
+    "dedup_minhash_bands" -> dedupMinhashBands _,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS keeper_doc, count(*) AS n_dups
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "dedup_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
+                    FROM documents WHERE doc_id < 150)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_intersect(a.ws, b.ws))::DOUBLE
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
+         ORDER BY doc_a, doc_b""",
+    "dedup_minhash_bands" ->
+      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents),
+           sig AS (SELECT doc_id,
+              'b0:' || list_min(list_transform(ws, w -> md5('0:' || w))) || '|'
+                    || list_min(list_transform(ws, w -> md5('1:' || w))) AS band0,
+              'b1:' || list_min(list_transform(ws, w -> md5('2:' || w))) || '|'
+                    || list_min(list_transform(ws, w -> md5('3:' || w))) AS band1
+            FROM d),
+           buckets AS (SELECT doc_id, band0 AS bucket FROM sig
+                       UNION ALL SELECT doc_id, band1 FROM sig)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE round(list_inner_product(a.v, b.v)
+              / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.35
+         ORDER BY vec_a, vec_b"""
+  )
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Text-analysis surface (C14 + the LLM-data-pipeline mandate): token
+  * counting, TF-IDF, n-grams, quality scoring, language-ID heuristic,
+  * document fingerprinting.
+  *
+  * Everything is Spark built-ins (split/explode/groupBy/lambda functions) —
+  * the classic inverted-index shapes. At 100 TB the explode → groupBy(word)
+  * shuffle is the canonical word-count pattern: map-side partial aggregation
+  * collapses each partition to its vocabulary before the shuffle, so traffic
+  * is O(distinct words), not O(tokens).
+  */
+object TextQueries {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** C14: corpus token counts — top-50 words by frequency. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("word"))
+      .limit(50)
+
+  /** C14: TF-IDF over the corpus — tf from per-doc counts, df from the
+    * whole corpus (N = 500 docs at sf0.01), idf = ln(N/df). */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("word"))
+  }
+
+  /** C14: n-gram shingles — distinct 3-gram count + first shingle per doc. */
+  def ngramStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")
+          .as("shingles"))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        size(array_distinct(col("shingles"))).cast("long").as("n_distinct_shingles"),
+        element_at(col("shingles"), 1).as("first_shingle"))
+      .orderBy(col("doc_id"))
+
+  /** C14: per-language/source corpus stats. */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  /** LLM-pipeline: quality scoring — length, mean word length, stopword
+    * ratio, unique-word ratio (the usual pre-training heuristics). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(col("n_chars").cast("double") / size(col("ws")), 6).as("mean_word_len"),
+        round(size(expr("filter(ws, w -> w IN ('the','a','of','and','to','in'))"))
+          .cast("double") / size(col("ws")), 6).as("stopword_ratio"),
+        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6)
+          .as("unique_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LLM-pipeline: language-ID heuristic — stopword-marker scoring (the
+    * fixture text is synthetic so agreement with `lang` is incidental; the
+    * machinery — marker ratio + argmax dispatch — is what's declared). */
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"), words(col("text")).as("ws"))
+      .select(col("lang"),
+        (size(expr("filter(ws, w -> w IN ('the','a'))")).cast("double") / size(col("ws")))
+          .as("en_score"))
+      .select(col("lang"),
+        when(col("en_score") > 0.05, "en").otherwise("unknown").as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** LLM-pipeline: document fingerprinting — raw md5 + an order-invariant
+    * canonical fingerprint (md5 of the sorted distinct vocabulary). */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(concat_ws(" ", sort_array(array_distinct(words(col("text")))))).as("canon_fp"),
+        substring(md5(col("text")), 1, 8).as("fp8"))
+      .orderBy(col("doc_id"))
+
+  /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
+  def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_ws_tokens"),
+        size(expr("filter(split(text, '[^a-z0-9]+'), x -> x != '')"))
+          .cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_counts" -> tokenCounts _,
+    "tf_idf" -> tfIdf _,
+    "ngram_stats" -> ngramStats _,
+    "lang_stats" -> langStats _,
+    "quality_score" -> qualityScore _,
+    "language_id" -> languageId _,
+    "doc_fingerprint" -> docFingerprint _,
+    "tokenize_compare" -> tokenizeCompare _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "token_counts" ->
+      """SELECT word, count(*) AS n
+         FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "tf_idf" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+           n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+         SELECT doc_id, word, tf, df,
+            round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+         FROM tf JOIN df USING (word), n
+         WHERE doc_id < 20 ORDER BY doc_id, word""",
+    "ngram_stats" ->
+      """SELECT doc_id, len(shingles) AS n_shingles,
+            len(list_distinct(shingles)) AS n_distinct_shingles,
+            shingles[1] AS first_shingle
+         FROM (SELECT doc_id, list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS shingles
+               FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents WHERE doc_id < 100))
+         ORDER BY doc_id""",
+    "lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+            min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+            count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "quality_score" ->
+      """SELECT doc_id, len(ws) AS n_words,
+            round(n_chars::DOUBLE / len(ws), 6) AS mean_word_len,
+            round(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+              / len(ws), 6) AS stopword_ratio,
+            round(len(list_distinct(ws))::DOUBLE / len(ws), 6) AS unique_ratio
+         FROM (SELECT doc_id, n_chars, str_split(text, ' ') AS ws FROM documents WHERE doc_id < 100)
+         ORDER BY doc_id""",
+    "language_id" ->
+      """SELECT lang,
+            CASE WHEN len(list_filter(ws, w -> w IN ('the','a')))::DOUBLE / len(ws) > 0.05
+                 THEN 'en' ELSE 'unknown' END AS predicted,
+            count(*) AS n
+         FROM (SELECT lang, str_split(text, ' ') AS ws FROM documents)
+         GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+            md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS canon_fp,
+            substring(md5(text), 1, 8) AS fp8
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "tokenize_compare" ->
+      """SELECT doc_id,
+            len(str_split(text, ' ')) AS n_ws_tokens,
+            len(list_filter(str_split_regex(text, '[^a-z0-9]+'), x -> x <> '')) AS n_re_tokens,
+            length(text) AS n_chars_actual
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+  )
+}
