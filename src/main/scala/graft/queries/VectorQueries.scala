@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables.t
 import graft.functions.VectorFunctions._
@@ -17,9 +16,9 @@ import graft.functions.VectorFunctions._
   * partition holding only k rows, then a k-way driver merge. No shuffle, no
   * full sort; this is exactly the plan you want on a 1000-executor scan of a
   * 100 TB index. The batched variant broadcasts the (small) query set and
-  * keeps the big index side shuffle-free until the per-query top-k window,
-  * which partial-aggregates via the window's rank filter. At extreme scale
-  * the IVF path (graft.index) prunes the scanned partitions first.
+  * partial-aggregates per-partition bounded top-k heaps (TopKByDistance
+  * UDAF) before its only shuffle. At extreme scale the IVF path
+  * (graft.index.IvfIndex) prunes the scanned partitions first.
   */
 object VectorQueries {
 
@@ -62,8 +61,11 @@ object VectorQueries {
       .limit(5)
 
   /** B4: batched multi-query search — 20 query vectors × index, per-query
-    * top-3 via ranking window. Query side broadcast; index side stays
-    * partition-local until the per-qid window. */
+    * top-3 via the bounded-heap UDAF (graft.functions.TopKByDistance).
+    * Query side broadcast; the aggregate partial-reduces each partition to
+    * ≤k rows per qid BEFORE the shuffle, so shuffle traffic is
+    * k·partitions·Q rows — never the N×Q scored product (a rank window
+    * here would shuffle the full product onto Q keys; see TopKByDistance). */
   def knnBatched(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
@@ -71,10 +73,12 @@ object VectorQueries {
     val scored = emb.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         l2_distance(col("embedding"), col("qvec")).as("dist"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("vec_id"), col("dist"), col("rn").cast("long").as("rn"))
+    val topk = graft.functions.VectorAggregates.topKByDist(3)
+    scored.groupBy(col("qid"))
+      .agg(topk(col("dist"), col("vec_id")).as("tops"))
+      .select(col("qid"), posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("qid"), col("hit.vec_id").as("vec_id"), col("hit.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy(col("qid"), col("rn"))
   }
 
