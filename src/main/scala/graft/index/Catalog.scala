@@ -1,0 +1,85 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+/** Collection metadata — the engine's analog of the reference's collection/
+  * vector-bucket descriptors: Milvus `create_collection` + IVF_FLAT index
+  * params (`milvus-app/pythonvectordbceph_milvus.py:92-102`) and S3Vectors
+  * `create_vector_bucket`/`create_index(float32, dim, euclidean)`
+  * (`s3vectors-app/pythonvectordbceph.py:93-119`). */
+case class CollectionMeta(
+    name: String,
+    dim: Int,
+    metric: String,        // "l2" | "cosine" | "dot" (reference pins l2)
+    indexType: String,     // "FLAT" | "IVF_FLAT"
+    nlist: Int,            // IVF coarse cells; reference pins 16384
+    dataPath: String)
+
+/** File-backed collection catalog (SURVEY A16/A17): idempotent create,
+  * describe, list — `has_collection → create_collection` semantics
+  * (`milvus-app/pythonvectordbceph_milvus.py:92`) over a JSON registry.
+  *
+  * One tiny JSON file per collection under `root/`; reads are lock-free, a
+  * create is an atomic file move. At cluster scale this would live in a
+  * real metastore — the API surface (create/describe/list/drop) is the
+  * part the engine owns, mirrored on `milvus-app/describe.py:11-24`.
+  */
+class Catalog(root: String) {
+  private val dir: Path = Paths.get(root)
+  Files.createDirectories(dir)
+
+  private def fileFor(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"illegal collection name: $name")
+    dir.resolve(s"$name.json")
+  }
+
+  private def render(m: CollectionMeta): String =
+    s"""{"name":"${m.name}","dim":${m.dim},"metric":"${m.metric}",""" +
+      s""""indexType":"${m.indexType}","nlist":${m.nlist},"dataPath":"${m.dataPath}"}"""
+
+  private def field(json: String, key: String): String = {
+    val m = s""""$key":"?([^",}]*)"?""".r.findFirstMatchIn(json)
+    m.map(_.group(1)).getOrElse(sys.error(s"catalog entry missing $key: $json"))
+  }
+
+  private def parse(json: String): CollectionMeta =
+    CollectionMeta(field(json, "name"), field(json, "dim").toInt,
+      field(json, "metric"), field(json, "indexType"),
+      field(json, "nlist").toInt, field(json, "dataPath"))
+
+  /** Idempotent create: returns false (and leaves metadata untouched) when
+    * the collection already exists — `has_collection` gate semantics. */
+  def createCollection(meta: CollectionMeta): Boolean = {
+    val f = fileFor(meta.name)
+    if (Files.exists(f)) false
+    else {
+      val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+      Files.write(tmp, render(meta).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  def hasCollection(name: String): Boolean = Files.exists(fileFor(name))
+
+  /** `describe_collection` + `describe_index` in one shape
+    * (`milvus-app/describe.py:11-24`). */
+  def describeCollection(name: String): Option[CollectionMeta] = {
+    val f = fileFor(name)
+    if (!Files.exists(f)) None
+    else Some(parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+  }
+
+  def listCollections(): Seq[String] =
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith(".tmp-"))
+      .map(_.stripSuffix(".json"))
+      .toSeq.sorted
+
+  def dropCollection(name: String): Boolean =
+    Files.deleteIfExists(fileFor(name))
+}

@@ -1,0 +1,85 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2_distance
+
+/** IVF_FLAT-style coarse index (SURVEY B5, §4.3) — the one physical-design
+  * idea that makes KNN viable at 100 TB.
+  *
+  * Reference configuration: Milvus `IVF_FLAT`, `metric_type=L2`,
+  * `nlist=16384` (`milvus-app/pythonvectordbceph_milvus.py:100-102`). Here:
+  * MLlib KMeans learns `nlist` coarse centroids from a sample, every row is
+  * assigned a `centroidId`, and the index is laid out partitioned by
+  * `centroidId`. A query computes distances to the (tiny) centroid table on
+  * the driver, picks the `nprobe` nearest cells, and scans only those — a
+  * partition-pruning `centroidId IN (...)` filter that Catalyst pushes into
+  * the Parquet scan, so the 100 TB scan touches nprobe/nlist of the data.
+  * `nprobe = nlist` degrades to the exact scan (correctness fallback).
+  */
+object IvfIndex {
+
+  /** Coarse quantizer: centroid vectors, row i = centroid id i. */
+  case class CoarseQuantizer(centers: Array[Array[Double]]) {
+    def nlist: Int = centers.length
+
+    private def l2sq(a: Array[Double], q: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - q(i); s += d * d; i += 1 }
+      s
+    }
+
+    /** The `nprobe` centroid ids nearest to `q` — driver-side, O(nlist·dim). */
+    def probes(q: Array[Float], nprobe: Int): Seq[Int] =
+      centers.indices
+        .sortBy(i => (l2sq(centers(i), q), i))
+        .take(math.min(nprobe, nlist))
+  }
+
+  /** Fit the coarse quantizer and assign `centroidId` to every row.
+    * `sampleFraction` bounds the KMeans fit cost at corpus scale — fitting
+    * on a sample and assigning everything is the standard IVF build. */
+  def build(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
+            sampleFraction: Double = 1.0): (DataFrame, CoarseQuantizer) = {
+    val withFeatures = df.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val fitOn = if (sampleFraction >= 1.0) withFeatures
+                else withFeatures.sample(sampleFraction, seed)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("centroidId")
+      .fit(fitOn)
+    val assigned = model.transform(withFeatures).drop("__features")
+    // Cluster the layout by cell: at rest this is `partitionBy(centroidId)`
+    // on the Parquet write; in-session, a repartition gives the same
+    // pruning behavior for the scan that follows.
+    (assigned.repartition(col("centroidId")), CoarseQuantizer(model.clusterCenters.map(_.toArray)))
+  }
+
+  /** Persist the indexed collection clustered by cell. THIS is where the
+    * pruning win comes from at scale: `partitionBy(centroidId)` makes the
+    * probe filter a directory-level partition prune (zero IO for unprobed
+    * cells). Searching the in-session DataFrame instead would re-evaluate
+    * the KMeans assignment per row — correct, but a full scan. */
+  def writeIndexed(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("centroidId").parquet(path)
+
+  def loadIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Top-k L2 search probing only `nprobe` cells. Over a loaded at-rest
+    * index this plans as PartitionFilters: [centroidId IN probes] →
+    * Project(dist) → TakeOrderedAndProject — the pruned-exact-scan shape
+    * (§4.3): IO touches nprobe/nlist of the data. */
+  def searchL2(indexed: DataFrame, quantizer: CoarseQuantizer, vecCol: String,
+               idCol: String, q: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val cells = quantizer.probes(q, nprobe)
+    indexed
+      .filter(col("centroidId").isin(cells: _*))
+      .select(col(idCol), l2_distance(col(vecCol), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, udf}
+
+/** Pluggable embedding boundary (SURVEY A4/A5, §7.0/§7.4.5).
+  *
+  * The reference embeds text with SentenceTransformer `all-MiniLM-L6-v2`
+  * (dim 384, `s3vectors-app/pythonvectordbceph.py:161-163`) and images with
+  * timm resnet34 avg-pool features, L2-normalized (dim 512, `:17-47`).
+  * Real model inference is an external boundary in this engine (no
+  * torch/ONNX in the JVM image — §7.0); what the engine owns is the
+  * *capability shape*: dimension, normalization, float32 type, and the
+  * partition-amortized execution (the reference reloads its model per event
+  * — `pythonvectordbceph.py:162,168`; we instantiate once per partition).
+  *
+  * `HashingEmbedder` is the deterministic offline stand-in: token/byte
+  * n-grams hashed into `dim` buckets, L2-normalized — same output contract
+  * as the real models, reproducible everywhere.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  /** Embed one document (text) into a unit-norm float32 vector. */
+  def embedText(text: String): Array[Float]
+  /** Embed one binary object (image stand-in). */
+  def embedBytes(bytes: Array[Byte]): Array[Float]
+}
+
+/** Deterministic feature-hashing embedder. Text path: whitespace tokens +
+  * their 3-gram shingles hashed (md5-derived) into buckets with ±1 signs.
+  * Binary path: byte 4-grams. Both L2-normalized like the reference's image
+  * vectors (`s3vectors-app/pythonvectordbceph.py:47`). */
+case class HashingEmbedder(dim: Int) extends Embedder {
+  require(dim > 0)
+
+  private def bucketAndSign(s: String): (Int, Float) = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val h = java.nio.ByteBuffer.wrap(d).getInt
+    val b = math.floorMod(h, dim)
+    (b, if (((h >>> 31) & 1) == 0) 1.0f else -1.0f)
+  }
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v
+    else { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 }; v }
+  }
+
+  override def embedText(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    val tokens = text.split("\\s+").filter(_.nonEmpty)
+    for (t <- tokens) { val (b, s) = bucketAndSign("t:" + t); v(b) += s }
+    for (w <- tokens.sliding(3) if w.length == 3) {
+      val (b, s) = bucketAndSign("g:" + w.mkString(" ")); v(b) += s
+    }
+    normalize(v)
+  }
+
+  override def embedBytes(bytes: Array[Byte]): Array[Float] = {
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i + 4 <= bytes.length) {
+      val quad = java.util.Arrays.copyOfRange(bytes, i, i + 4)
+      val (b, s) = bucketAndSign("b:" + java.util.Base64.getEncoder.encodeToString(quad))
+      v(b) += s
+      i += 4
+    }
+    normalize(v)
+  }
+}
+
+object Embedder {
+  /** Reference dimensions (text/image deployments). */
+  val TextDim = 384  // all-MiniLM-L6-v2, s3vectors-app/sample-deployment-text.yaml:64
+  val ImageDim = 512 // resnet34 avg-pool, s3vectors-app/README.md:216
+
+  val text: Embedder = HashingEmbedder(TextDim)
+  val image: Embedder = HashingEmbedder(ImageDim)
+
+  /** Column-level text embedding. The UDF closes over the (serializable,
+    * stateless) embedder once; Spark ships it per task, not per row — the
+    * partition-amortization the reference lacks. */
+  def embedTextCol(e: Embedder)(c: Column): Column = {
+    val f = udf((s: String) => if (s == null) null else e.embedText(s))
+    f(c)
+  }
+
+  def embedBytesCol(e: Embedder)(c: Column): Column = {
+    val f = udf((b: Array[Byte]) => if (b == null) null else e.embedBytes(b))
+    f(c)
+  }
+
+  /** Full ingest transform: text df (key, text) → (key, vec float32[dim]). */
+  def embedDocuments(df: DataFrame, textCol: String, e: Embedder = text): DataFrame =
+    df.withColumn("vec", embedTextCol(e)(col(textCol)))
+}

@@ -1,0 +1,87 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column pipeline (LLM-data-pipeline mandate): image/audio/video
+  * as opaque `binary` columns with typed metadata, processed per-partition.
+  *
+  * The decode step is a clearly-marked deterministic STUB — this container
+  * has no image/audio codecs (cf. §7.0 offline constraint; the reference's
+  * real decode is PIL + timm preprocessing at
+  * `s3vectors-app/pythonvectordbceph.py:164-169`). Everything around the
+  * stub is the real Spark plumbing: schema, typed Dataset transform,
+  * per-partition amortized setup, batch shape.
+  *
+  * Scale posture: `mapPartitions` keeps decoder/model instantiation
+  * per-task, rows stream through without materializing a partition in
+  * memory, and the output is a normal columnar DataFrame that downstream
+  * embedding/dedup operators consume. Heavy media work would raise
+  * `spark.sql.files.maxPartitionBytes`-driven task counts, not driver load.
+  */
+object Multimodal {
+
+  /** Typed metadata for an opaque media payload. */
+  case class MediaObject(key: String, mediaType: String, content: Array[Byte])
+
+  /** Decoded frame/sample features — fixed shape, schema-stable. */
+  case class MediaFeatures(
+      key: String,
+      mediaType: String,
+      byteLength: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      features: Array[Float])
+
+  /** STUB decode: a real implementation would parse the container format
+    * (JPEG/PNG/WAV/MP4) here. The deterministic fake derives "dimensions"
+    * and a frame count from the payload bytes so tests are stable, and is
+    * loudly not a codec. */
+  private[ingest] def decodeStub(m: MediaObject): (Int, Int, Int) = {
+    val n = m.content.length
+    val w = 16 + math.floorMod(if (n > 0) m.content(0).toInt else 0, 16)
+    val h = 16 + math.floorMod(if (n > 1) m.content(1).toInt else 0, 16)
+    val frames = m.mediaType match {
+      case "video" => 1 + n / 1024
+      case "audio" => 1 + n / 512
+      case _       => 1
+    }
+    (w, h, frames)
+  }
+
+  /** Decode + feature-extract over a typed Dataset. One decoder/embedder
+    * instantiation per partition (the reference re-instantiates per event —
+    * `pythonvectordbceph.py:162,168`). */
+  def extractFeatures(ds: Dataset[MediaObject], dim: Int = Embedder.ImageDim): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val embedder = HashingEmbedder(dim) // per-partition setup, not per-row
+      it.map { m =>
+        val (w, h, frames) = decodeStub(m)
+        MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h, frames,
+          embedder.embedBytes(m.content))
+      }
+    }
+  }
+
+  /** binaryFile scan → typed media Dataset (type inferred from extension). */
+  def fromBinaryFiles(spark: SparkSession, pathGlob: String): Dataset[MediaObject] = {
+    import spark.implicits._
+    graft.sources.ObjectSources.binaryObjects(spark, pathGlob)
+      .select(
+        col("path").as("key"),
+        when(col("path").rlike("\\.(png|jpg|jpeg)$"), "image")
+          .when(col("path").rlike("\\.(wav|mp3)$"), "audio")
+          .when(col("path").rlike("\\.(mp4|mkv)$"), "video")
+          .otherwise("binary").as("mediaType"),
+        col("content"))
+      .as[MediaObject]
+  }
+
+  /** Frame sampling for video stand-ins: every `stride`-th frame index up
+    * to `nFrames` — the batch-shape a real sampler produces. */
+  def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("sampled_frames",
+      expr(s"filter(sequence(0, nFrames - 1), i -> i % $stride = 0)"))
+}
