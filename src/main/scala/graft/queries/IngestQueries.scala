@@ -15,13 +15,8 @@ import graft.ingest.IngestOps
   */
 object IngestQueries {
 
-  private val notifSchema: DataType = DataType.fromDDL(
-    """Records array<struct<
-      |  eventVersion: string, eventSource: string, eventName: string,
-      |  s3: struct<
-      |    bucket: struct<name: string>,
-      |    object: struct<key: string, size: bigint, tags: map<string,string>>>>>
-      |""".stripMargin.replace("\n", " "))
+  private val notifSchema: DataType =
+    graft.streaming.StreamingIngest.notificationSchema
 
   /** A2: synthesize a Ceph-shaped S3 notification per event, then parse it
     * back with `from_json` and extract the nested fields — the exact access

@@ -1,0 +1,169 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.StreamingIngest
+
+/** Streaming capability tests (SURVEY A1, A20, C15): MemoryStream event
+  * ingest, foreachBatch upsert with batch-equivalence, watermark late-drop,
+  * streaming dedup, AvailableNow strong-read drain. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** One notification JSON, shaped like FIXTURES.md §2.1. */
+  private def notif(eventName: String, key: String, size: Long = 1): String =
+    s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
+      s""""s3":{"bucket":{"name":"bkt-0001"},"object":{"key":"$key","size":$size,""" +
+      s""""tags":{"category":"docs"}}}}]}"""
+
+  // (json, event_ts, seq)
+  private val eventLog: Seq[(String, Timestamp, Long)] = Seq(
+    (notif("ObjectCreated:Put", "a.txt"), ts("2024-01-01 10:00:00"), 1L),
+    (notif("ObjectCreated:Put", "b.txt"), ts("2024-01-01 10:00:01"), 2L),
+    (notif("ObjectCreated:Put", "a.txt", size = 2), ts("2024-01-01 10:00:05"), 3L), // overwrite a
+    (notif("ObjectRemoved:Delete", "b.txt"), ts("2024-01-01 10:00:06"), 4L),        // delete b
+    (notif("ObjectCreated:Put", "c.txt"), ts("2024-01-01 10:00:07"), 5L),
+    (notif("ObjectRemoved:Delete", "c.txt"), ts("2024-01-01 10:00:08"), 6L),
+    (notif("ObjectCreated:Put", "c.txt", size = 3), ts("2024-01-01 10:00:09"), 7L)  // resurrect c
+  )
+
+  private def emptyIndex: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Map[String, String], Timestamp, Long)]
+      .toDF("key", "bucket", "tags", "event_ts", "seq")
+  }
+
+  test("parseEvents extracts the reference's fields from notification JSON") {
+    import spark.implicits._
+    val raw = Seq(notif("ObjectCreated:Put", "docs/intro.md", 2048)).toDF("value")
+    val parsed = StreamingIngest.parseEvents(raw).head()
+    assert(parsed.getAs[String]("event_name") == "ObjectCreated:Put")
+    assert(parsed.getAs[String]("bucket") == "bkt-0001")
+    assert(parsed.getAs[String]("key") == "docs/intro.md")
+    assert(parsed.getAs[Long]("size") == 2048L)
+    assert(parsed.getAs[Map[String, String]]("tags") == Map("category" -> "docs"))
+  }
+
+  /** The batch-path ground truth for the event log. */
+  private def batchResult(events: Seq[(String, Timestamp, Long)]): Set[(String, Long)] = {
+    import spark.implicits._
+    val parsed = StreamingIngest.parseEvents(
+      events.toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+    StreamingIngest.mergeBatch(emptyIndex, parsed)
+      .select("key", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  test("batch merge semantics: overwrite, delete, resurrect") {
+    assert(batchResult(eventLog) == Set(("a.txt", 3L), ("c.txt", 7L)))
+  }
+
+  test("streaming foreachBatch upsert == batch pipeline (any micro-batch split)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val expected = batchResult(eventLog)
+
+    for (splitAt <- Seq(1, 3, 5)) {
+      val stream = MemoryStream[(String, Timestamp, Long)]
+      var index = emptyIndex.collect().toSeq // materialized state between batches
+      val parsedStream = StreamingIngest.parseEvents(
+        stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+      val q = parsedStream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val idxDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(index), emptyIndex.schema)
+          index = StreamingIngest.mergeBatch(idxDf, batch)
+            .select("key", "bucket", "tags", "event_ts", "seq").collect().toSeq
+          ()
+        }
+        .start()
+      stream.addData(eventLog.take(splitAt))
+      q.processAllAvailable()
+      stream.addData(eventLog.drop(splitAt))
+      q.processAllAvailable()
+      q.stop()
+      val got = index.map(r => (r.getString(0), r.getLong(4))).toSet
+      assert(got == expected, s"split at $splitAt")
+    }
+  }
+
+  test("tumbling window + watermark drops late data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Long)]
+    val parsed = StreamingIngest.parseEvents(
+      stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+    val counts = StreamingIngest.tumblingCounts(parsed, "event_ts", "10 seconds", "1 minute")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("win_counts").start()
+
+    // Window 10:00 gets 2 puts; advance event time past watermark; then a
+    // straggler way before the watermark must be dropped.
+    stream.addData((notif("ObjectCreated:Put", "a"), ts("2024-01-01 10:00:01"), 1L))
+    stream.addData((notif("ObjectCreated:Put", "b"), ts("2024-01-01 10:00:59"), 2L))
+    q.processAllAvailable()
+    stream.addData((notif("ObjectCreated:Put", "c"), ts("2024-01-01 10:05:00"), 3L))
+    q.processAllAvailable()
+    stream.addData((notif("ObjectCreated:Put", "late"), ts("2024-01-01 10:00:30"), 4L)) // late!
+    q.processAllAvailable()
+    stream.addData((notif("ObjectCreated:Put", "d"), ts("2024-01-01 10:10:00"), 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts")
+      .select(col("win_start").cast("string"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L,
+      s"late straggler must NOT bump the closed 10:00 window: $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redelivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Long)]
+    val parsed = StreamingIngest.parseEvents(
+      stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+      .withWatermark("event_ts", "1 minute")
+      .dropDuplicatesWithinWatermark("key", "event_name")
+    val q = parsed.writeStream.outputMode("append")
+      .format("memory").queryName("deduped").start()
+    stream.addData(eventLog.head, eventLog.head, eventLog.head) // redelivered 3×
+    stream.addData(eventLog(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").count() == 2)
+  }
+
+  test("Trigger.AvailableNow drains all pending events before answering (A20)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    eventLog.map(_._1).toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$dir/landing")
+    val raw = spark.readStream.schema("value STRING").text(s"$dir/landing")
+    val parsed = StreamingIngest.parseEvents(raw)
+    val q = parsed.writeStream
+      .outputMode("append").format("memory").queryName("drained")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // strong read: every event already published is visible, exactly once
+    assert(spark.table("drained").count() == eventLog.length.toLong)
+  }
+}
