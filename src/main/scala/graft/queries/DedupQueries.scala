@@ -56,21 +56,33 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** C8: MinHash + LSH banding — 4 md5-derived min-hashes per doc, banded
-    * 2×2; candidate pairs share at least one band. md5 keeps the hash
-    * deterministic and DuckDB-reproducible. */
+  /** C8: MinHash + LSH banding — 8 md5-derived min-hashes per doc in 2
+    * bands of 4; candidate pairs share at least one band. md5 keeps the
+    * hash deterministic and DuckDB-reproducible.
+    *
+    * Two tuning notes with 100 TB consequences, both hit at sf0.1:
+    *   - Signatures are computed via explode → groupBy(doc) → min, NOT as
+    *     an array lambda carried into the self-join: the aggregation
+    *     materializes each signature once behind a shuffle. (The lambda
+    *     variant let Catalyst inline 4×|words| md5 calls into the join
+    *     key, re-evaluating them per candidate pair — 37s vs ~1s.)
+    *   - Band width sets the candidate volume: r hashes per band collide
+    *     with probability jac^r. r=2 floods a self-similar corpus (this
+    *     fixture: ~8% of ALL pairs have jac ≥ 0.9) with jac≈0.5 pairs;
+    *     r=4 keeps candidates near the 0.9 target. The declared query also
+    *     bounds its input window — listing all near-dup PAIRS of a corpus
+    *     whose duplicate rate is quadratic is unbounded at any band width;
+    *     production emits clusters (connected components), not pairs. */
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
-    def mh(salt: Int): Column =
-      array_min(transform(col("ws"), w => md5(concat(lit(s"$salt:"), w))))
-    val sigs = docs.select(col("doc_id"),
-      concat_ws("|", mh(0), mh(1)).as("band0"),
-      concat_ws("|", mh(2), mh(3)).as("band1"))
+    val inv = t(spark, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+    val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
+    val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val buckets = sigs.select(col("doc_id"),
         explode(array(
-          concat(lit("b0:"), col("band0")),
-          concat(lit("b1:"), col("band1")))).as("bucket"))
+          concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
+          concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
     buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -112,15 +124,18 @@ object DedupQueries {
               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.9
          ORDER BY doc_a, doc_b""",
     "dedup_minhash_bands" ->
-      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents),
+      """WITH inv AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+                      FROM documents WHERE doc_id < 2000),
            sig AS (SELECT doc_id,
-              'b0:' || list_min(list_transform(ws, w -> md5('0:' || w))) || '|'
-                    || list_min(list_transform(ws, w -> md5('1:' || w))) AS band0,
-              'b1:' || list_min(list_transform(ws, w -> md5('2:' || w))) || '|'
-                    || list_min(list_transform(ws, w -> md5('3:' || w))) AS band1
-            FROM d),
-           buckets AS (SELECT doc_id, band0 AS bucket FROM sig
-                       UNION ALL SELECT doc_id, band1 FROM sig)
+              min(md5('0:' || w)) AS m0, min(md5('1:' || w)) AS m1,
+              min(md5('2:' || w)) AS m2, min(md5('3:' || w)) AS m3,
+              min(md5('4:' || w)) AS m4, min(md5('5:' || w)) AS m5,
+              min(md5('6:' || w)) AS m6, min(md5('7:' || w)) AS m7
+            FROM inv GROUP BY doc_id),
+           buckets AS (
+             SELECT doc_id, 'b0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3 AS bucket FROM sig
+             UNION ALL
+             SELECT doc_id, 'b1' || '|' || m4 || '|' || m5 || '|' || m6 || '|' || m7 FROM sig)
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
