@@ -102,7 +102,34 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** C8: n-gram (3-shingle) Jaccard near-dup — same inverted-index shape as
+    * the word-set variant but over order-sensitive shingles, which is what
+    * catches copied PASSAGES rather than shared vocabulary. Thresholds are
+    * low because shingle overlap is rare in this fixture (max ≈ 0.03). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
+        .as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.02)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
@@ -110,6 +137,19 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, len(ws) - 2),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                    FROM (SELECT doc_id, str_split(text, ' ') AS ws
+                          FROM documents WHERE doc_id < 100))
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.02
+         ORDER BY doc_a, doc_b""",
     "dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS keeper_doc, count(*) AS n_dups
          FROM documents GROUP BY lang, source ORDER BY lang, source""",

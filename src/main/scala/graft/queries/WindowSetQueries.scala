@@ -112,7 +112,19 @@ object WindowSetQueries {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** C17: exact interpolated percentiles — the hashed twin of
+    * `percentile_approx` (ε-asserted in ApproxSpec, never oracle-hashed). */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "percentile_agg" -> percentileAgg _,
     "window_rank" -> windowRank _,
     "window_lag_lead" -> windowLagLead _,
     "window_running_sum" -> windowRunningSum _,
@@ -124,6 +136,12 @@ object WindowSetQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+            round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+            round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+            round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "window_rank" ->
       """SELECT * FROM (
            SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
