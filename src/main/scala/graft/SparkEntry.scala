@@ -15,7 +15,8 @@ object SparkEntry {
     _root_.graft.queries.WindowSetQueries.queries,
     _root_.graft.queries.ScalarQueries.queries,
     _root_.graft.queries.TextQueries.queries,
-    _root_.graft.queries.DedupQueries.queries
+    _root_.graft.queries.DedupQueries.queries,
+    _root_.graft.queries.CoverageQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
@@ -25,7 +26,8 @@ object SparkEntry {
     _root_.graft.queries.WindowSetQueries.oracleSql,
     _root_.graft.queries.ScalarQueries.oracleSql,
     _root_.graft.queries.TextQueries.oracleSql,
-    _root_.graft.queries.DedupQueries.oracleSql
+    _root_.graft.queries.DedupQueries.oracleSql,
+    _root_.graft.queries.CoverageQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.VectorFunctions._
+
+/** Gap-closing declared queries for SURVEY §2 rows that earlier families
+  * only exercised incidentally: A7 (float32 cast), B1 (full metadata
+  * predicate grammar on filtered KNN), C3 (right outer), C4 (GROUPING
+  * SETS), C12 (array set ops), C13 (json_tuple), C18 (IN subquery). */
+object CoverageQueries {
+
+  /** A7: float32 storage cast made observable — a double quantized through
+    * float32 differs from the double-precision original exactly as numpy's
+    * `np.float32` cast does (`s3vectors-app/pythonvectordbceph.py:191`). */
+  def float32Cast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(
+        col("vec_id"),
+        round(vector_norm(col("embedding")), 6).as("norm_f64"),
+        vector_norm(col("embedding")).cast("float").cast("double").as("norm_f32"),
+        element_at(col("embedding"), 1).cast("double").as("first_at_rest"))
+      .orderBy(col("vec_id"))
+
+  /** B1: the Milvus-style metadata filter grammar — IN, BETWEEN, AND/OR/
+    * NOT, != — as the pre-filter of a top-k search (B2 shape). */
+  def knnFilteredGrammar(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter(
+        col("label").isin(1, 3, 5, 7) &&
+          col("vec_id").between(10, 400) &&
+          !(col("vec_id") % 10 === 0) ||
+          (col("label") === 9 && col("vec_id") =!= 0))
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(15)
+  }
+
+  /** C3: right outer join — all orders kept, suppliers-nation side only
+    * when present (synthetic null-extension on the left). */
+  def joinRightOuter(spark: SparkSession, dir: String): DataFrame = {
+    val bigCust = t(spark, dir, "customer").filter(col("c_acctbal") > 9500)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    bigCust.join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "right_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** C4: GROUPING SETS — mixed granularities in one pass. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders_v
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  /** C12: array set algebra over adjacent documents' vocabularies —
+    * intersect/union/except sizes (set semantics on both engines via
+    * distinct inputs; only sizes are compared because element ORDER after
+    * set ops is engine-specific). */
+  def arraySetFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+    val a = docs.filter(col("doc_id") < 50)
+    val b = docs.select((col("doc_id") - 1).as("doc_id"), col("ws").as("ws_next"))
+    a.join(b, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        size(array_intersect(col("ws"), col("ws_next"))).cast("long").as("n_shared"),
+        size(array_union(col("ws"), col("ws_next"))).cast("long").as("n_union"),
+        size(array_except(col("ws"), col("ws_next"))).cast("long").as("n_only_here"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C13: json_tuple — multi-field extraction in one generator call. */
+  def jsonTuple(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.events(spark, dir)
+      .filter(col("event_id") < 1000)
+      .select(col("event_id"), json_tuple(col("props"), "k").as("k_str"))
+      .orderBy(col("event_id"))
+
+  /** C18: IN subquery (positive form; NOT IN is not_in_subquery). */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part_v")
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+      """SELECT p_partkey, p_name, p_size FROM part_v
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem_v WHERE l_quantity >= 49)
+           AND p_size < 30
+         ORDER BY p_partkey""")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "float32_cast" -> float32Cast _,
+    "knn_filtered_grammar" -> knnFilteredGrammar _,
+    "join_right_outer" -> joinRightOuter _,
+    "grouping_sets" -> groupingSets _,
+    "array_set_funcs" -> arraySetFuncs _,
+    "json_tuple" -> jsonTuple _,
+    "in_subquery" -> inSubquery _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "float32_cast" ->
+      """SELECT vec_id,
+            round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm_f64,
+            sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))::FLOAT::DOUBLE AS norm_f32,
+            embedding[1]::DOUBLE AS first_at_rest
+         FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    "knn_filtered_grammar" ->
+      """SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+         FROM embeddings e,
+              (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0) q
+         WHERE (e.label IN (1,3,5,7) AND e.vec_id BETWEEN 10 AND 400
+                AND NOT (e.vec_id % 10 = 0))
+            OR (e.label = 9 AND e.vec_id <> 0)
+         ORDER BY dist, vec_id LIMIT 15""",
+    "join_right_outer" ->
+      """SELECT c_mktsegment, count(*) AS n_orders
+         FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9500) c
+         RIGHT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""",
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "array_set_funcs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents)
+         SELECT a.doc_id,
+            len(list_intersect(a.ws, b.ws)) AS n_shared,
+            len(list_distinct(list_concat(a.ws, b.ws))) AS n_union,
+            len(list_filter(a.ws, w -> NOT list_contains(b.ws, w))) AS n_only_here
+         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id < 50 ORDER BY a.doc_id""",
+    "json_tuple" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str
+         FROM events WHERE event_id < 1000 ORDER BY event_id""",
+    "in_subquery" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+           AND p_size < 30
+         ORDER BY p_partkey"""
+  )
+}

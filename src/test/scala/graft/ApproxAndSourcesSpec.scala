@@ -96,6 +96,29 @@ class ApproxAndSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"LSH recall vs exact jaccard>=0.9 pairs: $recall (${exact.size} truth)")
   }
 
+  // ---- A19 error arm + C12 zip_with ----
+
+  test("type dispatch raise_error arm throws on unsupported object type (A19)") {
+    import spark.implicits._
+    val df = Seq("TEXT", "IMAGE", "AUDIO").toDF("object_type")
+      .select(when(col("object_type") === "TEXT", lit(384))
+        .when(col("object_type") === "IMAGE", lit(512))
+        .otherwise(raise_error(concat(lit("unsupported object type: "), col("object_type"))))
+        .as("dim"))
+    val e = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("unsupported object type: AUDIO")))
+  }
+
+  test("zip_with combines aligned arrays element-wise (C12)") {
+    import spark.implicits._
+    val row = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+      .head()
+    assert(row.getDouble(0) == 32.0)
+  }
+
   test("SimHash: identical docs → hamming 0, near-dups close, unrelated far") {
     val a = "spark vector search engine over parquet files at scale".split(" ").toSeq
     val b = "spark vector search engine over parquet data at scale".split(" ").toSeq // 1 token changed
