@@ -111,8 +111,7 @@ object DedupQueries {
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), array_distinct(
-        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"))
-        .as("sh"))
+        graft.functions.TextFunctions.ngrams(col("ws"), 3)).as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     inv.as("a").join(inv.as("b"),

@@ -44,14 +44,15 @@ object TextQueries {
       .orderBy(col("doc_id"), col("word"))
   }
 
-  /** C14: n-gram shingles — distinct 3-gram count + first shingle per doc. */
+  /** C14: n-gram shingles — distinct 3-gram count + first shingle per doc.
+    * Shingling is the native NGrams expression (see TextFunctions: the
+    * transform/sequence lambda route is ~16× slower interpreted). */
   def ngramStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .filter(col("doc_id") < 100)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
-        expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")
-          .as("shingles"))
+        graft.functions.TextFunctions.ngrams(col("ws"), 3).as("shingles"))
       .select(col("doc_id"),
         size(col("shingles")).cast("long").as("n_shingles"),
         size(array_distinct(col("shingles"))).cast("long").as("n_distinct_shingles"),

@@ -74,6 +74,27 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dimension") || e.getCause != null)
   }
 
+  test("ngrams expression: shingles, short inputs, codegen + SQL parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "y")),          // shorter than n
+      (3L, Seq.empty[String])
+    ).toDF("id", "ws")
+    val got = df.select($"id", graft.functions.TextFunctions.ngrams($"ws", 3).as("sh"))
+      .orderBy("id").collect().map(_.getSeq[String](1))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty && got(2) == Seq.empty)
+    graft.functions.TextFunctions.register(spark)
+    df.createOrReplaceTempView("ngram_in")
+    val sqlGot = spark.sql("SELECT ngrams(ws, 2) AS sh FROM ngram_in WHERE id = 1")
+      .head().getSeq[String](0)
+    assert(sqlGot == Seq("a b", "b c", "c d"))
+    val err = intercept[Exception] { spark.sql("SELECT ngrams(ws) FROM ngram_in").collect() }
+    assert(err.getMessage.contains("ngrams expects 2 arguments"))
+  }
+
   test("SQL registration works") {
     register(spark)
     vecs.createOrReplaceTempView("vt")
