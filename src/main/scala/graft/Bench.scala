@@ -29,7 +29,13 @@ object Bench {
     // Warmup: absorbs JVM/codegen/scan-setup cost so per-query numbers are
     // comparable run-to-run (r1's first query ate 6s of one-time warmup).
     names.foreach(runOnce)
-    val results = names.map(n => n -> runOnce(n))
+    // Two timed passes, keep the min — local[32] on a shared box sees
+    // multi-second scheduling noise that a single sample can't average out.
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map { n =>
+      val t2 = runOnce(n)
+      n -> (if (pass1(n) < 0 || t2 < 0) -1.0 else math.min(pass1(n), t2))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
