@@ -96,6 +96,28 @@ class ApproxAndSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"LSH recall vs exact jaccard>=0.9 pairs: $recall (${exact.size} truth)")
   }
 
+  // ---- C14 capability: the MLlib text pipeline variant ----
+
+  test("MLlib Tokenizer -> StopWordsRemover -> HashingTF -> IDF pipeline (C14)") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 50)
+    val pipeline = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("tokens"),
+      new StopWordsRemover().setInputCol("tokens").setOutputCol("filtered"),
+      new HashingTF().setInputCol("filtered").setOutputCol("tf").setNumFeatures(1 << 12),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val model = pipeline.fit(docs)
+    val out = model.transform(docs)
+    assert(out.count() == 50)
+    val row = out.select("tokens", "filtered", "tfidf").head()
+    assert(row.getSeq[String](0).nonEmpty)
+    // stopwords ('the', 'a') removed by the default english list
+    assert(!row.getSeq[String](1).contains("the"))
+    val vec = row.getAs[org.apache.spark.ml.linalg.SparseVector]("tfidf")
+    assert(vec.numNonzeros > 0 && vec.values.forall(_ >= 0.0))
+  }
+
   // ---- A19 error arm + C12 zip_with ----
 
   test("type dispatch raise_error arm throws on unsupported object type (A19)") {

@@ -152,6 +152,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("deduped").count() == 2)
   }
 
+  test("stream-static join: events enrich against a dimension table (C15)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = Seq(("bkt-0001", "eu-west"), ("bkt-0002", "us-east"))
+      .toDF("bucket", "region") // static side
+    val stream = MemoryStream[(String, Timestamp, Long)]
+    val parsed = StreamingIngest.parseEvents(
+      stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+    val enriched = parsed.join(dims, Seq("bucket"), "left_outer")
+      .select(col("key"), col("bucket"), col("region"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    stream.addData((notif("ObjectCreated:Put", "x.txt"), ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("enriched").head()
+    assert(row.getAs[String]("region") == "eu-west")
+  }
+
+  test("session windows group events separated by inactivity gaps (C15)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp, Long)]
+    val parsed = StreamingIngest.parseEvents(
+      stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+    val sessions = parsed
+      .withWatermark("event_ts", "10 seconds")
+      .groupBy(session_window(col("event_ts"), "30 seconds"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("string").as("sess_start"), col("n"))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // burst of 3 within 30s gaps, then 2 after a 5-minute silence
+    stream.addData(
+      (notif("ObjectCreated:Put", "a"), ts("2024-01-01 10:00:00"), 1L),
+      (notif("ObjectCreated:Put", "b"), ts("2024-01-01 10:00:20"), 2L),
+      (notif("ObjectCreated:Put", "c"), ts("2024-01-01 10:00:40"), 3L),
+      (notif("ObjectCreated:Put", "d"), ts("2024-01-01 10:05:00"), 4L),
+      (notif("ObjectCreated:Put", "e"), ts("2024-01-01 10:05:10"), 5L))
+    q.processAllAvailable()
+    // advance watermark far enough to close both sessions
+    stream.addData((notif("ObjectCreated:Put", "z"), ts("2024-01-01 10:30:00"), 6L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00") == 3L, s"first session: $rows")
+    assert(rows("2024-01-01 10:05:00") == 2L, s"second session: $rows")
+  }
+
+  test("typed Dataset[VectorRecord] round-trips through the encoder (SURVEY §1.2)") {
+    import spark.implicits._
+    val rec = graft.core.VectorRecord("k1", "http://rgw/b/k1", "b",
+      Array(0.1f, 0.2f), Map("category" -> "docs"), ts("2024-01-01 10:00:00"))
+    val ds = Seq(rec).toDS()
+    assert(ds.schema.fieldNames.toSeq ==
+      Seq("key", "url", "bucket", "vec", "meta", "ingestTs"))
+    val back = ds.filter(_.key == "k1").head()
+    assert(back.vec.toSeq == Seq(0.1f, 0.2f) && back.meta("category") == "docs")
+  }
+
   test("Trigger.AvailableNow drains all pending events before answering (A20)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
