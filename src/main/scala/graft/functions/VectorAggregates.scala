@@ -47,12 +47,63 @@ class TopKByDistance(k: Int) extends Aggregator[ScoredHit, Vector[ScoredHit], Ve
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** Mean-of-vectors typed Aggregator (SURVEY §4.4 `VectorCentroidAgg`) —
+  * the IVF centroid-refresh aggregate: recomputing a cell's centroid is
+  * `groupBy(centroidId).agg(vector_centroid(vec))`, partial (sumVec, count)
+  * buffers per partition then a single merge — a cell's members are never
+  * materialized anywhere. */
+class VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Array[Float]] {
+
+  override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
+    if (v == null) return b
+    val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    require(acc.length == v.length,
+      s"vector_centroid: dimension mismatch (${acc.length} vs ${v.length})")
+    var i = 0
+    while (i < v.length) { acc(i) += v(i); i += 1 }
+    (acc, b._2 + 1)
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._1.isEmpty) return b
+    if (b._1.isEmpty) return a
+    require(a._1.length == b._1.length,
+      s"vector_centroid: dimension mismatch (${a._1.length} vs ${b._1.length})")
+    val acc = a._1
+    var i = 0
+    while (i < acc.length) { acc(i) += b._1(i); i += 1 }
+    (acc, a._2 + b._2)
+  }
+
+  override def finish(b: (Array[Double], Long)): Array[Float] =
+    if (b._2 == 0L) null
+    else {
+      val out = new Array[Float](b._1.length)
+      var i = 0
+      while (i < out.length) { out(i) = (b._1(i) / b._2).toFloat; i += 1 }
+      out
+    }
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object VectorAggregates {
   /** Column-API handle: `topKByDist(k)(col("dist"), col("vec_id"))`. */
   def topKByDist(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKByDistance(k))
 
-  /** SQL registration: `SELECT topk_by_dist(dist, id) FROM ... GROUP BY qid`. */
-  def register(spark: SparkSession, k: Int = 10): Unit =
+  /** Column-API handle: `vectorCentroid(col("vec"))`. */
+  val vectorCentroid: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new VectorCentroid)
+
+  /** SQL registration (idempotent). */
+  def register(spark: SparkSession, k: Int = 10): Unit = {
     spark.udf.register("topk_by_dist", topKByDist(k))
+    spark.udf.register("vector_centroid", vectorCentroid)
+  }
 }

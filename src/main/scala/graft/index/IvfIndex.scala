@@ -58,6 +58,25 @@ object IvfIndex {
     (assigned.repartition(col("centroidId")), CoarseQuantizer(model.clusterCenters.map(_.toArray)))
   }
 
+  /** Incremental centroid refresh after upserts/deletes shift a cell's
+    * population: one pass of the `VectorCentroid` typed Aggregator per
+    * cell (partial sums map-side — members never collected). Cells that
+    * lost all rows keep their old center so `probes` stays total. */
+  def refreshCentroids(indexed: DataFrame, vecCol: String,
+                       old: CoarseQuantizer): CoarseQuantizer = {
+    val rows = indexed.groupBy(col("centroidId"))
+      .agg(graft.functions.VectorAggregates.vectorCentroid(col(vecCol)).as("centroid"))
+      .collect()
+    val centers = old.centers.map(_.clone())
+    rows.foreach { r =>
+      val id = r.getInt(0)
+      val c = r.getSeq[Float](1)
+      if (c != null && id >= 0 && id < centers.length)
+        centers(id) = c.map(_.toDouble).toArray
+    }
+    CoarseQuantizer(centers)
+  }
+
   /** Persist the indexed collection clustered by cell. THIS is where the
     * pruning win comes from at scale: `partitionBy(centroidId)` makes the
     * probe filter a directory-level partition prune (zero IO for unprobed
