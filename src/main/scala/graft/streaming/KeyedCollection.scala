@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** A keyed parquet collection maintained by streaming upserts — the
+  * at-rest form of the reference's vector store (one row per live key,
+  * same-key overwrite, `s3vectors-app/pythonvectordbceph.py:194-206`).
+  *
+  * Writes are versioned directories under `root/` with an atomic pointer
+  * swap (`CURRENT` file): a reader always sees a complete snapshot — the
+  * batch-read strong consistency A20 leans on. On a real cluster this
+  * would be a table format's (Delta/Iceberg) transaction log doing the
+  * same thing; the merge PLAN feeding it is identical.
+  *
+  * Version directories are pruned to the latest two so a concurrent
+  * reader of the previous snapshot never loses its files mid-scan.
+  */
+class KeyedCollection(root: String, schema: StructType) {
+  private val dir = Paths.get(root)
+  Files.createDirectories(dir)
+  private val pointer = dir.resolve("CURRENT")
+
+  private def currentVersion: Option[Long] =
+    if (Files.exists(pointer)) Some(new String(Files.readAllBytes(pointer)).trim.toLong)
+    else None
+
+  private def versionPath(v: Long) = dir.resolve(f"v$v%08d")
+
+  /** Latest committed snapshot (empty DataFrame with the declared schema
+    * before the first commit). */
+  def read(spark: SparkSession): DataFrame = currentVersion match {
+    case Some(v) => spark.read.parquet(versionPath(v).toString)
+    case None => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Commit a new snapshot: write v+1 fully, then atomically repoint. */
+  def commit(df: DataFrame): Long = {
+    val next = currentVersion.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(versionPath(next).toString)
+    val tmp = Files.createTempFile(dir, ".ptr-", "")
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // retain current + previous; older versions can't have live readers
+    // that started after the previous commit
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v"))
+      .filter(p => p.getFileName.toString.stripPrefix("v").toLong < next - 1)
+      .foreach { p =>
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    next
+  }
+
+  /** One micro-batch of the streaming upsert: merge parsed events into the
+    * current snapshot and commit. Pass to `writeStream.foreachBatch`. */
+  def upsertBatch(spark: SparkSession)(batch: DataFrame, batchId: Long): Unit = {
+    val merged = StreamingIngest.mergeBatch(read(spark), batch)
+    commit(merged.select(schema.fieldNames.map(
+      n => org.apache.spark.sql.functions.col(n)): _*))
+  }
+}
