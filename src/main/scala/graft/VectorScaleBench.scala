@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Vector-path scale benchmark: the driver fixture's `embeddings` table is
+  * 500 rows at every sf, so BENCH exercises per-query overhead, not data
+  * volume. This main generates N deterministic float32 vectors (default
+  * 1M × 64) and measures what actually matters at 100 TB: exact-KNN scan
+  * throughput (rows/s through the codegen'd distance kernel + bounded
+  * TakeOrderedAndProject), batched-KNN via the top-k UDAF, and the IVF
+  * probe speedup vs its recall.
+  *
+  * Run: `sbt "runMain graft.VectorScaleBench [nRows] [dim]"`.
+  * Emits one JSON line; numbers recorded in BASELINE.md. */
+object VectorScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "12g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Deterministic pseudo-random vectors, generated distributed with
+    // compiled per-partition code (an interpreted `transform(sequence)`
+    // lambda takes ~113s for 64M elements; this takes ~2s).
+    def genVectors(rows: Long): DataFrame =
+      spark.range(rows).mapPartitions { it =>
+        it.map { id =>
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { v(i) = math.sin(id * 0.7 + (i + 1) * 1.31).toFloat; i += 1 }
+          (id, v)
+        }
+      }.toDF("vec_id", "vec")
+
+    // Materialize at rest — every measurement below reads parquet, the
+    // only layout that exists at 100 TB (no cache games on either side).
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val buildT0 = System.nanoTime()
+    genVectors(n).write.mode("overwrite").parquet(s"$dataDir/vecs")
+    val buildSec = (System.nanoTime() - buildT0) / 1e9
+    val vecs = spark.read.parquet(s"$dataDir/vecs")
+
+    val q = vecs.filter(col("vec_id") === 12345L).select("vec")
+      .head().getSeq[Float](0).toArray
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // exact top-10 scan (warm + timed)
+    def exactOnce(): Unit =
+      vecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10).collect()
+    exactOnce()
+    val exactSec = math.min(time(exactOnce()), time(exactOnce()))
+
+    // batched: 16 queries × index through the bounded-heap UDAF
+    val queries = vecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    def batchedOnce(): Unit = {
+      val topk = graft.functions.VectorAggregates.topKByDist(5)
+      vecs.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), l2_distance(col("vec"), col("qvec")).as("dist"))
+        .groupBy(col("qid")).agg(topk(col("dist"), col("vec_id")).as("tops"))
+        .collect()
+    }
+    batchedOnce()
+    val batchedSec = math.min(time(batchedOnce()), time(batchedOnce()))
+
+    // IVF: build on a sample, persist partitioned-by-cell, probe 4/64
+    // cells AT REST — an in-session cached probe would still scan every
+    // row (caching defeats pruning); the win is the parquet partition
+    // prune, which is also the only layout that exists at 100 TB.
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/idx"
+    val ivfBuildT0 = System.nanoTime()
+    val (indexed, quant) = graft.index.IvfIndex.build(
+      vecs, "vec", nlist = 64, sampleFraction = 0.02)
+    graft.index.IvfIndex.writeIndexed(indexed, ivfDir)
+    val ivfBuildSec = (System.nanoTime() - ivfBuildT0) / 1e9
+    val atRest = graft.index.IvfIndex.loadIndexed(spark, ivfDir)
+
+    def ivfOnce(): Seq[Long] =
+      graft.index.IvfIndex.searchL2(atRest, quant, "vec", "vec_id", q, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+    ivfOnce()
+    var ivfIds: Seq[Long] = Nil
+    val ivfSec = math.min(time { ivfIds = ivfOnce() }, time { ivfIds = ivfOnce() })
+    val exactIds = vecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10).collect().map(_.getLong(0)).toSeq
+    val recall = ivfIds.count(exactIds.contains).toDouble / exactIds.size
+
+    val rowsPerSec = (n / exactSec).toLong
+    println(
+      s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
+        s""""exact_knn_sec":$exactSec,"exact_rows_per_sec":$rowsPerSec,""" +
+        s""""batched16_sec":$batchedSec,"ivf_build_sec":$ivfBuildSec,""" +
+        s""""ivf_probe4of64_sec":$ivfSec,"ivf_speedup":${exactSec / ivfSec},""" +
+        s""""ivf_recall_at10":$recall}""")
+    spark.stop()
+  }
+}
