@@ -1,0 +1,118 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.index.{Catalog, CollectionMeta}
+import graft.ingest.IngestOps
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, assert_dim}
+import graft.streaming.KeyedCollection
+
+/** The engine's user-facing surface, mirroring the reference's API shape so
+  * a user of `python-vectordbapp-ceph` can switch call-for-call:
+  *
+  *   - `createCollection` ≡ `ensure_vector_bucket_exists` /
+  *     `has_collection → create_collection`
+  *     (`s3vectors-app/pythonvectordbceph.py:93-119`,
+  *     `milvus-app/pythonvectordbceph_milvus.py:92-103`)
+  *   - `upsert` ≡ `put_vectors` / `client.upsert` (same-key overwrite,
+  *     `pythonvectordbceph.py:194-206`)
+  *   - `deleteByKeys` ≡ `delete_vectors` (`:138-147`);
+  *     `deleteWhere` ≡ Milvus `client.delete(filter=...)`
+  *   - `search` ≡ `query_vectors(topK, returnMetadata, returnDistance)` /
+  *     `client.search` (`s3vectors-app/search.py:49-58`) with optional
+  *     metadata pre-filter (B1/B2)
+  *   - `describe` / `list` ≡ `describe_collection` / `list_indexes`
+  *     (`milvus-app/describe.py:11-24`)
+  *
+  * Storage: one versioned keyed-parquet collection per name (atomic
+  * snapshot swap — batch reads are strongly consistent, A20), metadata in
+  * the JSON catalog. All operations are set-at-a-time Spark plans; the
+  * upsert batches any number of rows into one merge. */
+class GraftClient(spark: SparkSession, root: String) {
+  private val catalog = new Catalog(s"$root/catalog")
+
+  private val rowSchema = StructType.fromDDL(
+    "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
+
+  private def collection(meta: CollectionMeta) =
+    new KeyedCollection(meta.dataPath, rowSchema)
+
+  private def metaOrThrow(name: String): CollectionMeta =
+    catalog.describeCollection(name).getOrElse(
+      throw new IllegalArgumentException(s"no such collection: $name"))
+
+  /** Idempotent create (returns false if it already existed). */
+  def createCollection(name: String, dim: Int, metric: String = "l2",
+                       indexType: String = "FLAT", nlist: Int = 0): Boolean =
+    catalog.createCollection(CollectionMeta(
+      name, dim, metric, indexType, nlist, s"$root/data/$name"))
+
+  def describe(name: String): CollectionMeta = metaOrThrow(name)
+  def list(): Seq[String] = catalog.listCollections()
+  def drop(name: String): Boolean = catalog.dropCollection(name)
+
+  /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
+    * last write per key wins, dimension enforced at the boundary like the
+    * reference backends. */
+  def upsert(name: String, df: DataFrame): Long = {
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val current = coll.read(spark)
+    val maxSeq = current.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+    val batch = df.select(
+      col("key"),
+      assert_dim(col("vec"), m.dim).as("vec"),
+      coalesce(col("meta"), map()).as("meta"),
+      current_timestamp().as("ingest_ts"),
+      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq"))
+    val merged = IngestOps.upsertLatest(
+      current.unionByName(batch), col("key"), col("seq"), col("seq"))
+    coll.commit(merged.select(rowSchema.fieldNames.map(col): _*))
+    coll.read(spark).count()
+  }
+
+  /** Delete by key set (the ObjectRemoved:Delete path). */
+  def deleteByKeys(name: String, keys: Seq[String]): Long = {
+    import spark.implicits._
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val remaining = IngestOps.deleteByKey(coll.read(spark), keys.toDF("key"), "key")
+    coll.commit(remaining.select(rowSchema.fieldNames.map(col): _*))
+    coll.read(spark).count()
+  }
+
+  /** Delete by predicate over (key, meta) — Milvus `delete(filter=...)`. */
+  def deleteWhere(name: String, pred: Column): Long = {
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val remaining = IngestOps.deleteByPredicate(coll.read(spark), pred)
+    coll.commit(remaining.select(rowSchema.fieldNames.map(col): _*))
+    coll.read(spark).count()
+  }
+
+  /** Top-k search by the collection's metric, optional metadata pre-filter;
+    * result shape = the reference client's `{vector_key, distance, metadata}`
+    * (`s3vectors-app/search.py:61-69`). */
+  def search(name: String, qvec: Array[Float], k: Int,
+             filter: Option[Column] = None): DataFrame = {
+    val m = metaOrThrow(name)
+    require(qvec.length == m.dim,
+      s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    val base = collection(m).read(spark)
+    val candidates = filter.fold(base)(base.filter)
+    val q = typedLit(qvec)
+    val (scoreCol, ordering) = m.metric match {
+      case "l2" => (l2_distance(col("vec"), q), Seq(col("distance"), col("vector_key")))
+      case "cosine" => (-cosine_similarity(col("vec"), q),
+        Seq(col("distance"), col("vector_key")))
+      case "dot" => (-dot_product(col("vec"), q), Seq(col("distance"), col("vector_key")))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    candidates
+      .select(col("key").as("vector_key"), scoreCol.as("distance"), col("meta").as("metadata"))
+      .orderBy(ordering: _*)
+      .limit(k)
+  }
+}
