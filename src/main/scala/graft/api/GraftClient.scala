@@ -92,15 +92,68 @@ class GraftClient(spark: SparkSession, root: String) {
     coll.read(spark).count()
   }
 
+  // ---- IVF index lifecycle (A16 create_index / B5) ----
+
+  private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"
+
+  /** Build (or rebuild) the IVF_FLAT index over the CURRENT snapshot —
+    * the reference's `create_index(IVF_FLAT, L2, nlist)`
+    * (`milvus-app/pythonvectordbceph_milvus.py:100-102`). Persists the
+    * cell-partitioned layout + centroid table + the snapshot version it
+    * was built from; `search` uses it only while fresh. */
+  def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0): Unit = {
+    import spark.implicits._
+    val m = metaOrThrow(name)
+    require(m.metric == "l2", s"IVF index supports l2 only, collection is ${m.metric}")
+    val coll = collection(m)
+    val version = coll.currentVersion.getOrElse(
+      throw new IllegalStateException(s"collection $name is empty — nothing to index"))
+    val (indexed, quant) = graft.index.IvfIndex.build(
+      coll.read(spark), "vec", nlist, sampleFraction = sampleFraction)
+    graft.index.IvfIndex.writeIndexed(indexed, s"${ivfDir(m)}/cells")
+    quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"${ivfDir(m)}/centroids")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
+      version.toString.getBytes)
+  }
+
+  /** The persisted quantizer, with the collection version it indexed. */
+  private def loadIndex(m: CollectionMeta): Option[(graft.index.IvfIndex.CoarseQuantizer, Long)] = {
+    val vfile = java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION")
+    if (!java.nio.file.Files.exists(vfile)) None
+    else {
+      val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
+      val centers = spark.read.parquet(s"${ivfDir(m)}/centroids")
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+      Some((graft.index.IvfIndex.CoarseQuantizer(centers), v))
+    }
+  }
+
   /** Top-k search by the collection's metric, optional metadata pre-filter;
     * result shape = the reference client's `{vector_key, distance, metadata}`
-    * (`s3vectors-app/search.py:61-69`). */
+    * (`s3vectors-app/search.py:61-69`).
+    *
+    * When a FRESH IVF index exists (built at the current snapshot version,
+    * metric l2, no metadata filter), candidates come from the `nprobe`
+    * nearest cells of the partitioned at-rest layout — a parquet partition
+    * prune; otherwise the exact snapshot scan runs (upserts after an index
+    * build silently degrade to exact rather than to stale results). */
   def search(name: String, qvec: Array[Float], k: Int,
-             filter: Option[Column] = None): DataFrame = {
+             filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
-    val base = collection(m).read(spark)
+    val coll = collection(m)
+    val fresh = loadIndex(m) match {
+      case Some((quant, v)) if coll.currentVersion.contains(v)
+          && m.metric == "l2" && filter.isEmpty =>
+        val cells = quant.probes(qvec, nprobe)
+        Some(graft.index.IvfIndex.loadIndexed(spark, s"${ivfDir(m)}/cells")
+          .filter(col("centroidId").isin(cells: _*)))
+      case _ => None
+    }
+    val base = fresh.getOrElse(coll.read(spark))
     val candidates = filter.fold(base)(base.filter)
     val q = typedLit(qvec)
     val (scoreCol, ordering) = m.metric match {

@@ -23,7 +23,8 @@ class KeyedCollection(root: String, schema: StructType) {
   Files.createDirectories(dir)
   private val pointer = dir.resolve("CURRENT")
 
-  private def currentVersion: Option[Long] =
+  /** Latest committed version id, if any commit happened. */
+  def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(new String(Files.readAllBytes(pointer)).trim.toLong)
     else None
 

@@ -93,6 +93,42 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.list().isEmpty)
   }
 
+  test("IVF index through the client: pruned search, staleness fallback") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-client3").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("ivf", dim = 8, metric = "l2", indexType = "IVF_FLAT", nlist = 4)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("ivf", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("ivf", nlist = 4)
+
+    val q = vec(17).toArray
+    val viaIndex = client.search("ivf", q, k = 5).collect()
+      .map(_.getAs[String]("vector_key")).toSeq
+    assert(viaIndex.head == "k17")
+
+    // exact (filter forces the exact path) must agree at these k
+    val exact = client.search("ivf", q, k = 5, filter = Some(lit(true))).collect()
+      .map(_.getAs[String]("vector_key")).toSeq
+    assert(viaIndex == exact, "fresh IVF top-5 matches the exact scan")
+
+    // upsert after the build → index is stale → exact fallback, and the
+    // new key is findable immediately
+    client.upsert("ivf", Seq(("fresh", vec(17), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val after = client.search("ivf", q, k = 2).collect()
+      .map(_.getAs[String]("vector_key")).toSeq
+    assert(after.contains("fresh"), s"stale index must not hide new rows: $after")
+
+    // rebuild → indexed path again, still sees the new key
+    client.buildIndex("ivf", nlist = 4)
+    val rebuilt = client.search("ivf", q, k = 2).collect()
+      .map(_.getAs[String]("vector_key")).toSeq
+    assert(rebuilt.contains("fresh"))
+  }
+
   test("cosine and dot metrics order correctly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-client2").toString
