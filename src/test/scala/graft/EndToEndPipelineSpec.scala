@@ -81,4 +81,41 @@ class EndToEndPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.head.getAs[Double]("distance") < hits(1).getAs[Double]("distance"))
     assert(hits.head.getAs[String]("metadata").contains("\"rev\":\"2\""))
   }
+
+  test("streaming events drive GraftClient upserts (the full production loop)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e-stream").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("live", dim = Embedder.TextDim)
+
+    // object payloads live in the object store; events land as JSON lines
+    val objects = ObjectSources.withObjectKey(
+      ObjectSources.textObjects(spark, "src/test/resources/objects/text/doc*.txt"),
+      "objects/text").select(col("key"), col("text"))
+
+    spark.read.text("src/test/resources/events/ingest_log.jsonl")
+      .coalesce(1).write.mode("overwrite").text(s"$root/landing")
+    val raw = spark.readStream.schema("value STRING").text(s"$root/landing")
+    val parsed = StreamingIngest.parseEvents(raw)
+
+    val q = parsed.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val puts = batch.filter(!StreamingIngest.isDelete(col("event_name")))
+          .join(objects, Seq("key"))  // A3 fetch
+        val embedded = Embedder.embedDocuments(puts, "text")
+          .select(col("key"), col("vec"), col("tags").as("meta"))
+        if (!embedded.isEmpty) client.upsert("live", embedded)
+        val dels = batch.filter(StreamingIngest.isDelete(col("event_name")))
+          .select("key").collect().map(_.getString(0))
+        if (dels.nonEmpty) client.deleteByKeys("live", dels.toSeq)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val hit = client.search("live", Embedder.text.embedText("the quick brown fox jumps"), 1).head()
+    assert(hit.getAs[String]("vector_key") == "doc1.txt")
+    assert(hit.getAs[Map[String, String]]("metadata")("rev") == "2",
+      "the Copy overwrite's tags must have won")
+  }
 }
