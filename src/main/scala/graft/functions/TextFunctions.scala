@@ -62,10 +62,92 @@ object NGrams {
   }
 }
 
+/** Winnowed rolling-hash document fingerprint (LLM-pipeline mandate:
+  * "document fingerprinting (rolling hash)").
+  *
+  * Classic winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+  * algorithm): Rabin-style polynomial rolling hash over every `w`-byte
+  * window of the UTF-8 text, then from each run of `k` consecutive hashes
+  * keep the rightmost minimum. Guarantees: any shared substring of length
+  * ≥ w + k − 1 contributes at least one common fingerprint, and a local
+  * edit only perturbs fingerprints near the edit — exactly the property
+  * needed for passage-level near-dup detection at corpus scale (fingerprints
+  * feed the same inverted-index/banding joins as shingles, but are
+  * byte-level and length-normalized). Output: sorted distinct selected
+  * hashes. */
+case class WinnowedFingerprint(child: Expression, window: Int, k: Int)
+    extends UnaryExpression {
+  require(window >= 2 && k >= 1, s"need window >= 2 and k >= 1, got w=$window k=$k")
+
+  override def prettyName: String = "winnowed_fingerprint"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnowed_fingerprint requires string, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowedFingerprint.compute(a.asInstanceOf[UTF8String], window, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowedFingerprint.compute($c, $window, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c, window, k)
+}
+
+object WinnowedFingerprint {
+  private val Base = 257L
+  private val Mod = 1000000007L
+
+  def compute(text: UTF8String, w: Int, k: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    // rolling polynomial hash of every w-byte window
+    val hashes = new Array[Long](n - w + 1)
+    var pow = 1L // Base^(w-1) mod Mod
+    var i = 1
+    while (i < w) { pow = pow * Base % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < w) { h = (h * Base + (bytes(i) & 0xff)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i <= n - w) {
+      h = ((h - (bytes(i - 1) & 0xff) * pow % Mod + Mod * Base) * Base +
+        (bytes(i + w - 1) & 0xff)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each k-window of hashes
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    var start = 0
+    while (start <= hashes.length - k) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + k) { if (hashes(j) <= hashes(minIdx)) minIdx = j; j += 1 }
+      selected += hashes(minIdx)
+      start += 1
+    }
+    if (hashes.length < k) selected += hashes.min
+    new GenericArrayData(selected.toArray)
+  }
+}
+
 object TextFunctions {
   import GraftShim.{column, expression}
 
   def ngrams(words: Column, n: Int): Column = column(NGrams(expression(words), n))
+
+  def winnowed_fingerprint(text: Column, window: Int, k: Int): Column =
+    column(WinnowedFingerprint(expression(text), window, k))
 
   /** Register text kernels as SQL functions (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -127,8 +127,30 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C8/LLM mandate: winnowing-fingerprint near-dup — byte-level rolling
+    * hashes winnowed per doc (graft.functions.WinnowedFingerprint), then
+    * the same inverted-index join as the shingle variants: pairs sharing
+    * ≥ 5 selected fingerprints. Not SQL-expressible in DuckDB (no rolling
+    * hash), so this query is declared WITHOUT an oracle — the driver
+    * records the rows-only check; the algorithm itself is verified by the
+    * shared-substring/edit-locality unit tests in VectorFunctionsSpec. */
+  def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowed_fingerprint(col("text"), 16, 8))
+          .as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_winnow_pairs" -> dedupWinnowPairs _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,

@@ -95,6 +95,35 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ngrams expects 2 arguments"))
   }
 
+  test("winnowed_fingerprint: shared-substring guarantee and edit locality") {
+    import graft.functions.WinnowedFingerprint
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(s: String, w: Int = 8, k: Int = 4): Set[Long] =
+      WinnowedFingerprint.compute(UTF8String.fromString(s), w, k)
+        .toLongArray().toSet
+    val shared = "a long shared passage that both documents contain verbatim"
+    val a = "prefix one " + shared + " suffix alpha"
+    val b = "totally different start " + shared + " other ending"
+    // any shared substring >= w+k-1 bytes must yield a common fingerprint
+    assert(fp(a).intersect(fp(b)).nonEmpty)
+    // unrelated texts: no overlap expected at these sizes
+    val c = "zzz qqq completely unrelated material 12345 with nothing in common!"
+    assert(fp(a).intersect(fp(c)).isEmpty)
+    // edit locality: one edit at the end keeps most fingerprints
+    val edited = a.dropRight(1) + "?"
+    val keep = fp(a).intersect(fp(edited)).size.toDouble / fp(a).size
+    assert(keep > 0.7, s"kept $keep of fingerprints after a 1-char edit")
+    // determinism + degenerate inputs
+    assert(fp(a) == fp(a))
+    assert(fp("short", 8, 4).isEmpty)
+    // works through the Column API with codegen
+    import spark.implicits._
+    val viaCol = Seq(a).toDF("t")
+      .select(graft.functions.TextFunctions.winnowed_fingerprint($"t", 8, 4))
+      .head().getSeq[Long](0).toSet
+    assert(viaCol == fp(a))
+  }
+
   test("SQL registration works") {
     register(spark)
     vecs.createOrReplaceTempView("vt")
