@@ -213,6 +213,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.vec.toSeq == Seq(0.1f, 0.2f) && back.meta("category") == "docs")
   }
 
+  test("flatMapGroupsWithState: per-key latest-event state equals the upsert window (C15)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+
+    // state per object key: (seq, event_name) of the newest event seen;
+    // emit the updated winner whenever it changes — the stateful-streaming
+    // form of IngestOps.upsertLatest.
+    def updateState(key: String, events: Iterator[(String, Long, String)],
+                    state: GroupState[(Long, String)]): Iterator[(String, Long, String)] = {
+      val incoming = events.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val newest = incoming.maxBy(_._2)
+        val better = state.getOption.forall(_._1 < newest._2)
+        if (better) {
+          state.update((newest._2, newest._3))
+          Iterator((key, newest._2, newest._3))
+        } else Iterator.empty
+      }
+    }
+
+    val stream = MemoryStream[(String, Timestamp, Long)]
+    val parsed = StreamingIngest.parseEvents(
+      stream.toDF().toDF("value", "event_ts", "seq"), tsCol = Some("event_ts"))
+      .select(col("key"), col("seq"), col("event_name"))
+      .as[(String, Long, String)]
+    val updates = parsed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateState)
+      .toDF("key", "seq", "event_name")
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("state_updates").start()
+    stream.addData(eventLog.take(4))
+    q.processAllAvailable()
+    stream.addData(eventLog.drop(4))
+    q.processAllAvailable()
+    q.stop()
+
+    // the LAST emitted update per key must equal the batch upsert window
+    val emitted = spark.table("state_updates").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val lastPerKey = emitted.groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    val batch = graft.ingest.IngestOps.upsertLatest(
+        StreamingIngest.parseEvents(
+          eventLog.toDF("value", "event_ts", "seq"), tsCol = Some("event_ts")),
+        col("key"), col("event_ts"), col("seq"))
+      .select("key", "seq", "event_name").collect()
+      .map(r => r.getString(0) -> ((r.getString(0), r.getLong(1), r.getString(2)))).toMap
+    assert(lastPerKey == batch, s"stateful stream $lastPerKey vs batch $batch")
+  }
+
   test("KeyedCollection: streaming upsert into versioned parquet snapshots") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
