@@ -97,7 +97,25 @@ object CoverageQueries {
          ORDER BY p_partkey""")
   }
 
+  /** C6: multi-column ORDER BY with explicit NULLS FIRST / NULLS LAST on a
+    * derived nullable column (the fixtures themselves are null-free). The
+    * driver's compare re-sorts rows, so null ORDERING is asserted via the
+    * rank column computed under the explicit null placement. */
+  def nullsOrdering(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(nullif(col("o_orderstatus"), lit("P")).asc_nulls_first,
+        col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy(col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nulls_ordering" -> nullsOrdering _,
     "float32_cast" -> float32Cast _,
     "knn_filtered_grammar" -> knnFilteredGrammar _,
     "join_right_outer" -> joinRightOuter _,
@@ -108,6 +126,12 @@ object CoverageQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "nulls_ordering" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null,
+            CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderstatus, 'P') ASC NULLS FIRST,
+                               o_totalprice DESC, o_orderkey) AS pos
+         FROM orders WHERE o_orderkey < 500 ORDER BY pos""",
     "float32_cast" ->
       """SELECT vec_id,
             round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm_f64,
