@@ -148,9 +148,39 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C8/LLM mandate: SimHash fingerprints, oracle-checked — per-bit
+    * majority vote over each word's md5 bits (64-bit Charikar sketch as a
+    * pure relational plan: explode words × bits → signed sum per bit →
+    * sign → bit-string). Near-dups differ in few bits; at scale the
+    * candidate join groups on fingerprint blocks (see SimHash.blockKeys +
+    * its pigeonhole test). The declared query materializes the
+    * fingerprints themselves. Variable bit shifts are spelled as
+    * floor-division (both engines) since Spark's shiftright needs a
+    * literal shift amount. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+    val bits = tokens
+      .withColumn("h", md5(col("w")))
+      .withColumn("b", explode(expr("sequence(0, 63)")))
+      .withColumn("nib",
+        expr("CAST(conv(substring(h, b div 4 + 1, 1), 16, 10) AS INT)"))
+      .withColumn("s",
+        expr("CASE WHEN CAST(floor(nib / power(2, 3 - b % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END"))
+    val fp = bits.groupBy(col("doc_id"), col("b"))
+      .agg(when(sum(col("s")) > 0, "1").otherwise("0").as("bit"))
+    fp.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("b"), col("bit")))),
+          x => x.getField("bit")), "").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_winnow_pairs" -> dedupWinnowPairs _,
+    "dedup_simhash" -> dedupSimhash _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
@@ -158,6 +188,17 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_simhash" ->
+      """WITH tokens AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+                         FROM documents WHERE doc_id < 100),
+           bits AS (SELECT doc_id, b,
+                CASE WHEN CAST(floor(CAST(('0x' || substring(md5(w), b // 4 + 1, 1)) AS INT)
+                               / power(2, 3 - b % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END AS s
+             FROM tokens, generate_series(0, 63) AS g(b)),
+           fp AS (SELECT doc_id, b, CASE WHEN sum(s) > 0 THEN '1' ELSE '0' END AS bit
+                  FROM bits GROUP BY doc_id, b)
+         SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+         FROM fp GROUP BY doc_id ORDER BY doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
                       generate_series(1, len(ws) - 2),
