@@ -44,8 +44,10 @@ object RelationalQueries {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     val ord = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
     val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01"))
+    // no broadcast hint on customer: a market segment is ~1/5 of a table
+    // that scales with the corpus — AQE picks broadcast only while small
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
         .cast("decimal(18,4)").as("revenue"))
@@ -103,9 +105,13 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
-  /** C3: theta join — equi-key on nation plus a non-equi acctbal range;
-    * supplier side is tiny → broadcast, so the theta predicate evaluates
-    * stream-side with no shuffle. */
+  /** C3: theta join — equi-key on nation plus a non-equi acctbal range.
+    * The broadcast hint here is deliberate and scale-reviewed: the join
+    * key (nation) has only 25 values, so a shuffle join would put entire
+    * nations on single reducers (built-in skew); broadcasting the smaller
+    * side evaluates the theta predicate stream-side instead. If supplier
+    * outgrew broadcast range, the fix is salting (graft.ops.Salting), not
+    * a 25-key shuffle. */
   def joinTheta(spark: SparkSession, dir: String): DataFrame = {
     val supp = t(spark, dir, "supplier")
     t(spark, dir, "customer")
@@ -120,8 +126,8 @@ object RelationalQueries {
   /** C4: HAVING — market segments × order status with enough big orders. */
   def havingAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
-      .join(broadcast(t(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(dec)).cast("decimal(18,2)").as("total"))

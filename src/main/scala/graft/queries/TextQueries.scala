@@ -36,7 +36,10 @@ object TextQueries {
     val tf = tokens.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tokens.select(col("doc_id"), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), Seq("word"))
+    // df is O(vocabulary) — huge at corpus scale, so NO broadcast hint:
+    // AQE broadcasts it while it's small and shuffle-joins when it isn't.
+    // The 1-row corpus count stays a broadcast.
+    tf.join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .filter(col("doc_id") < 20)
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
