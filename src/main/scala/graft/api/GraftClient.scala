@@ -73,6 +73,16 @@ class GraftClient(spark: SparkSession, root: String) {
     coll.read(spark).count()
   }
 
+  /** Convenience mirroring the reference's ingest transform: embed raw
+    * text server-side then upsert — `df` needs (key STRING, text STRING,
+    * meta MAP). The reference embeds inside the event handler
+    * (`s3vectors-app/pythonvectordbceph.py:161-163`); here the embedding
+    * UDF runs distributed over the batch. */
+  def upsertTexts(name: String, df: DataFrame,
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.text): Long =
+    upsert(name, graft.ingest.Embedder.embedDocuments(df, "text", embedder)
+      .select(col("key"), col("vec"), col("meta")))
+
   /** Delete by key set (the ObjectRemoved:Delete path). */
   def deleteByKeys(name: String, keys: Seq[String]): Long = {
     import spark.implicits._

@@ -64,7 +64,12 @@ object WindowSetQueries {
   }
 
   /** C5: RANGE frame — orders within ±10000 of this order's price, per
-    * status (value-based frame, not row-based). */
+    * status (value-based frame, not row-based). Scale note: the partition
+    * key has 3 values, so at corpus scale this window concentrates ~1/3 of
+    * the table per reducer — inherent to the query's semantics. The scale
+    * rewrite is a range-bucketed two-pass (bucket by price div 10000,
+    * aggregate per bucket, merge adjacent buckets), same results, bounded
+    * partitions; declared here in its canonical window form. */
   def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"))

@@ -93,6 +93,19 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.list().isEmpty)
   }
 
+  test("upsertTexts embeds server-side like the reference's ingest handler") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-client4").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("texts", dim = Embedder.TextDim)
+    client.upsertTexts("texts", Seq(
+      ("fox", "the quick brown fox jumps over the lazy dog", Map("k" -> "1")),
+      ("ceph", "ceph object storage event notification", Map("k" -> "2"))
+    ).toDF("key", "text", "meta"))
+    val hit = client.search("texts", Embedder.text.embedText("quick brown fox"), 1).head()
+    assert(hit.getAs[String]("vector_key") == "fox")
+  }
+
   test("IVF index through the client: pruned search, staleness fallback") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-client3").toString
