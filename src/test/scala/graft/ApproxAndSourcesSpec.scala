@@ -68,6 +68,16 @@ class ApproxAndSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("ORC source: write, read, values survive (incl. the vector column)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.write.mode("overwrite").orc(s"$dir/embeddings")
+    val back = spark.read.orc(s"$dir/embeddings")
+    assert(back.schema == emb.schema)
+    assert(back.orderBy("vec_id").collect().toSeq ==
+      emb.orderBy("vec_id").collect().toSeq)
+  }
+
   // ---- C8 scale paths: MLlib MinHashLSH + SimHash ----
 
   test("MLlib MinHashLSH approxSimilarityJoin finds the high-jaccard pairs") {
