@@ -151,6 +151,19 @@ class ApproxAndSourcesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getDouble(0) == 32.0)
   }
 
+  test("scalar udf() SQL registration (C16): simhash64 callable from SQL") {
+    spark.udf.register("simhash64", (tokens: Seq[String]) => SimHash.simhash64(tokens))
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 5)
+      .createOrReplaceTempView("docs_v")
+    val rows = spark.sql(
+      "SELECT doc_id, simhash64(split(text, ' ')) AS fp FROM docs_v ORDER BY doc_id")
+      .collect()
+    assert(rows.length == 5)
+    val expected = SimHash.simhash64(
+      spark.table("docs_v").orderBy("doc_id").head().getString(1).split(" ").toSeq)
+    assert(rows.head.getLong(1) == expected)
+  }
+
   test("SimHash: identical docs → hamming 0, near-dups close, unrelated far") {
     val a = "spark vector search engine over parquet files at scale".split(" ").toSeq
     val b = "spark vector search engine over parquet data at scale".split(" ").toSeq // 1 token changed
