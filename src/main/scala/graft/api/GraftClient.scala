@@ -102,6 +102,35 @@ class GraftClient(spark: SparkSession, root: String) {
     coll.read(spark).count()
   }
 
+  /** The reference's whole event-driven service as one streaming query
+    * (SURVEY §3.1): notification JSON lands under `landingDir` (the
+    * RGW→Knative→HTTP hop collapsed to a landing prefix), objects are
+    * fetched from `objectsDf` (key, text), puts are embedded and upserted,
+    * `ObjectRemoved:Delete` events delete — per micro-batch, exactly the
+    * batch operators. `Trigger.AvailableNow` drains everything pending and
+    * stops (A20 strong read); pass `continuous = true` to keep running. */
+  def startIngest(name: String, landingDir: String, objectsDf: DataFrame,
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
+                  continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.StreamingIngest
+    val raw = spark.readStream.schema("value STRING").text(landingDir)
+    val parsed = StreamingIngest.parseEvents(raw)
+    val writer = parsed.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val puts = batch.filter(!StreamingIngest.isDelete(col("event_name")))
+          .join(objectsDf, Seq("key"))
+        val embedded = graft.ingest.Embedder.embedDocuments(puts, "text", embedder)
+          .select(col("key"), col("vec"), col("tags").as("meta"))
+        if (!embedded.isEmpty) upsert(name, embedded)
+        val dels = batch.filter(StreamingIngest.isDelete(col("event_name")))
+          .select("key").collect().map(_.getString(0))
+        if (dels.nonEmpty) deleteByKeys(name, dels.toSeq)
+        ()
+      }
+    (if (continuous) writer
+     else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
+  }
+
   // ---- IVF index lifecycle (A16 create_index / B5) ----
 
   private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"

@@ -95,22 +95,8 @@ class EndToEndPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     spark.read.text("src/test/resources/events/ingest_log.jsonl")
       .coalesce(1).write.mode("overwrite").text(s"$root/landing")
-    val raw = spark.readStream.schema("value STRING").text(s"$root/landing")
-    val parsed = StreamingIngest.parseEvents(raw)
-
-    val q = parsed.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val puts = batch.filter(!StreamingIngest.isDelete(col("event_name")))
-          .join(objects, Seq("key"))  // A3 fetch
-        val embedded = Embedder.embedDocuments(puts, "text")
-          .select(col("key"), col("vec"), col("tags").as("meta"))
-        if (!embedded.isEmpty) client.upsert("live", embedded)
-        val dels = batch.filter(StreamingIngest.isDelete(col("event_name")))
-          .select("key").collect().map(_.getString(0))
-        if (dels.nonEmpty) client.deleteByKeys("live", dels.toSeq)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // the whole reference service is one client call
+    val q = client.startIngest("live", s"$root/landing", objects)
     q.awaitTermination(120000)
 
     val hit = client.search("live", Embedder.text.embedText("the quick brown fox jumps"), 1).head()
