@@ -84,4 +84,23 @@ object Multimodal {
   def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("sampled_frames",
       expr(s"filter(sequence(0, nFrames - 1), i -> i % $stride = 0)"))
+
+  /** Resize to a target box, preserving aspect ratio (the letterbox
+    * arithmetic real image pipelines run before the model; the reference's
+    * TIMM preprocess resizes to the model's input —
+    * `s3vectors-app/pythonvectordbceph.py:164-169`). The PIXEL resample is
+    * the stubbed part (no codec in this image); the dimension math,
+    * schema, and per-partition execution are real. */
+  def resize(ds: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0)
+    ds.mapPartitions { it =>
+      it.map { f =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+        f.copy(
+          width = math.max(1, math.round(f.width * scale).toInt),
+          height = math.max(1, math.round(f.height * scale).toInt))
+      }
+    }
+  }
 }

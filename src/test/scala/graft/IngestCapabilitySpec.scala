@@ -111,6 +111,16 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .where($"key".endsWith("vid1.mp4"))
       .select($"sampled_frames").head().getSeq[Int](0)
     assert(sampled == Seq(0, 2))
+    // resize: aspect ratio preserved, never upscales, bounded by the box
+    val resized = Multimodal.resize(Multimodal.extractFeatures(media), 8, 8).collect()
+    assert(resized.forall(f => f.width <= 8 && f.height <= 8))
+    val orig = feats.map(f => f.key -> (f.width, f.height)).toMap
+    resized.foreach { f =>
+      val (w0, h0) = orig(f.key)
+      val ratio0 = w0.toDouble / h0
+      val ratio1 = f.width.toDouble / f.height
+      assert(math.abs(ratio0 - ratio1) / ratio0 < 0.35, s"aspect drift for ${f.key}")
+    }
   }
 
   // ---- Catalog (A16/A17) ----
