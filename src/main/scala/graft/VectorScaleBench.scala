@@ -22,8 +22,10 @@ object VectorScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NB: driver memory cannot be set here — the JVM heap is fixed
+      // before this line runs. Size it via SPARK_DRIVER_MEM (build.sbt
+      // forwards it to the forked JVM's -Xmx).
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "12g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

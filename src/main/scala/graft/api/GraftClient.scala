@@ -117,12 +117,22 @@ class GraftClient(spark: SparkSession, root: String) {
     val parsed = StreamingIngest.parseEvents(raw)
     val writer = parsed.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val puts = batch.filter(!StreamingIngest.isDelete(col("event_name")))
+        // Per-key, the LAST event in arrival order decides (the reference
+        // processes events serially): a delete-then-re-put within one
+        // micro-batch must keep the re-put, so resolve per key BEFORE
+        // splitting into puts and deletes. Arrival order = row order of
+        // the landing files, captured per batch.
+        val latest = IngestOps.upsertLatest(
+          batch.withColumn("__arrival", monotonically_increasing_id()),
+          col("key"), col("__arrival"), col("__arrival"))
+        val puts = latest.filter(!StreamingIngest.isDelete(col("event_name")))
           .join(objectsDf, Seq("key"))
-        val embedded = graft.ingest.Embedder.embedDocuments(puts, "text", embedder)
-          .select(col("key"), col("vec"), col("tags").as("meta"))
-        if (!embedded.isEmpty) upsert(name, embedded)
-        val dels = batch.filter(StreamingIngest.isDelete(col("event_name")))
+        if (!puts.isEmpty) { // guard BEFORE embedding so the UDF runs once
+          val embedded = graft.ingest.Embedder.embedDocuments(puts, "text", embedder)
+            .select(col("key"), col("vec"), col("tags").as("meta"))
+          upsert(name, embedded)
+        }
+        val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
           .select("key").collect().map(_.getString(0))
         if (dels.nonEmpty) deleteByKeys(name, dels.toSeq)
         ()

@@ -36,19 +36,32 @@ class Catalog(root: String) {
     dir.resolve(s"$name.json")
   }
 
-  private def render(m: CollectionMeta): String =
-    s"""{"name":"${m.name}","dim":${m.dim},"metric":"${m.metric}",""" +
-      s""""indexType":"${m.indexType}","nlist":${m.nlist},"dataPath":"${m.dataPath}"}"""
+  // Minimal JSON (de)serialization for the 6-field record. Strings are
+  // escaped on write and parsed up to the closing unescaped quote, so a
+  // dataPath containing ',', '}' or '"' round-trips correctly.
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  private def field(json: String, key: String): String = {
-    val m = s""""$key":"?([^",}]*)"?""".r.findFirstMatchIn(json)
-    m.map(_.group(1)).getOrElse(sys.error(s"catalog entry missing $key: $json"))
+  private def render(m: CollectionMeta): String =
+    s"""{"name":"${esc(m.name)}","dim":${m.dim},"metric":"${esc(m.metric)}",""" +
+      s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},"dataPath":"${esc(m.dataPath)}"}"""
+
+  private def strField(json: String, key: String): String = {
+    val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
+    unesc(m.map(_.group(1)).getOrElse(sys.error(s"catalog entry missing $key: $json")))
+  }
+
+  private def intField(json: String, key: String): Int = {
+    val m = s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+    m.map(_.group(1).toInt).getOrElse(sys.error(s"catalog entry missing $key: $json"))
   }
 
   private def parse(json: String): CollectionMeta =
-    CollectionMeta(field(json, "name"), field(json, "dim").toInt,
-      field(json, "metric"), field(json, "indexType"),
-      field(json, "nlist").toInt, field(json, "dataPath"))
+    CollectionMeta(strField(json, "name"), intField(json, "dim"),
+      strField(json, "metric"), strField(json, "indexType"),
+      intField(json, "nlist"), strField(json, "dataPath"))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics. */
@@ -73,12 +86,15 @@ class Catalog(root: String) {
     else Some(parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
   }
 
-  def listCollections(): Seq[String] =
-    Files.list(dir).iterator().asScala
+  def listCollections(): Seq[String] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.startsWith(".tmp-"))
       .map(_.stripSuffix(".json"))
       .toSeq.sorted
+    finally stream.close()
+  }
 
   def dropCollection(name: String): Boolean =
     Files.deleteIfExists(fileFor(name))

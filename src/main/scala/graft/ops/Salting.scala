@@ -16,19 +16,19 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Two-stage skew-proof aggregation: partial aggregate on (key, salt),
-    * then final aggregate on key. `partial` must be decomposable
-    * (sum/count/min/max-style). Example:
+    * then final aggregate on key — the grouping column keeps its name, so
+    * the output is drop-in equal to the unsalted `groupBy(keyName)`.
+    * `partial` must be decomposable (sum/count/min/max-style). Example:
     * {{{
-    * saltedAgg(df, col("k"), 16, count(lit(1)).as("n"))(sum(col("n")).as("n"))
+    * saltedAgg(df, "k", 16, count(lit(1)).as("n"))(sum(col("n")).as("n"))
     * }}} */
-  def saltedAgg(df: DataFrame, key: Column, salts: Int, partial: Column*)(
+  def saltedAgg(df: DataFrame, keyName: String, salts: Int, partial: Column*)(
       finalAgg: Column*): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
-      .groupBy(key.as("__key"), col("__salt"))
+      .groupBy(col(keyName), col("__salt"))
       .agg(partial.head, partial.tail: _*)
-      .groupBy(col("__key"))
+      .groupBy(col(keyName))
       .agg(finalAgg.head, finalAgg.tail: _*)
-      .withColumnRenamed("__key", "key")
 
   /** Salted equi-join for a skewed fact side: fact rows get a random salt
     * in [0, salts); the dimension is exploded `salts` ways so every

@@ -15,10 +15,16 @@ import org.apache.spark.sql.types.StructType
   * would be a table format's (Delta/Iceberg) transaction log doing the
   * same thing; the merge PLAN feeding it is identical.
   *
-  * Version directories are pruned to the latest two so a concurrent
-  * reader of the previous snapshot never loses its files mid-scan.
+  * Version directories are pruned to the latest `retain` (default 2).
+  * CONSTRAINT this implies for readers: a lazy DataFrame returned by
+  * `read` stays valid only until `retain - 1` further commits happen;
+  * a caller holding results across more commits must materialize (or
+  * raise `retain`). Single-writer is assumed (the streaming query);
+  * concurrent committers would race the version counter — that's the
+  * point where a real deployment swaps in a table format's log.
   */
-class KeyedCollection(root: String, schema: StructType) {
+class KeyedCollection(root: String, schema: StructType, retain: Int = 2) {
+  require(retain >= 1)
   private val dir = Paths.get(root)
   Files.createDirectories(dir)
   private val pointer = dir.resolve("CURRENT")
@@ -46,15 +52,21 @@ class KeyedCollection(root: String, schema: StructType) {
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // retain current + previous; older versions can't have live readers
-    // that started after the previous commit
+    // prune to the newest `retain` versions (see class doc for the
+    // reader-validity constraint this implies)
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("v"))
-      .filter(p => p.getFileName.toString.stripPrefix("v").toLong < next - 1)
-      .foreach { p =>
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
+    val listing = Files.list(dir)
+    val stale =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v"))
+        .filter(p => p.getFileName.toString.stripPrefix("v").toLong <= next - retain)
+        .toSeq
+      finally listing.close()
+    stale.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
     next
   }
 

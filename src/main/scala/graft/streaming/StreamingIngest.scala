@@ -35,19 +35,24 @@ object StreamingIngest {
       |""".stripMargin.replace("\n", " "))
 
   /** A2 on a stream: raw JSON lines → one row per record with the fields
-    * the ingest loop dispatches on. `eventTs` is the event-time column
-    * downstream watermarks key on. */
+    * the ingest loop dispatches on. `Records` is exploded, so a batched
+    * notification carrying several records yields several rows (the
+    * reference reads only `Records[0]` — `pythonvectordbceph.py:128` —
+    * and would silently drop the rest; we don't). `event_ts` is the
+    * event-time column downstream watermarks key on. */
   def parseEvents(raw: DataFrame, jsonCol: String = "value",
                   tsCol: Option[String] = None): DataFrame = {
-    val rec = from_json(col(jsonCol), notificationSchema)
-      .getField("Records").getItem(0)
-    val base = raw.select(
-      rec.getField("eventName").as("event_name"),
-      rec.getField("s3").getField("bucket").getField("name").as("bucket"),
-      rec.getField("s3").getField("object").getField("key").as("key"),
-      rec.getField("s3").getField("object").getField("size").as("size"),
-      rec.getField("s3").getField("object").getField("tags").as("tags"),
-      col("*"))
+    val base = raw
+      .withColumn("__rec", explode(
+        from_json(col(jsonCol), notificationSchema).getField("Records")))
+      .select(
+        col("__rec.eventName").as("event_name"),
+        col("__rec.s3.bucket.name").as("bucket"),
+        col("__rec.s3.object.key").as("key"),
+        col("__rec.s3.object.size").as("size"),
+        col("__rec.s3.object.tags").as("tags"),
+        col("*"))
+      .drop("__rec")
     tsCol.fold(base)(c => base.withColumn("event_ts", col(c)))
   }
 

@@ -103,5 +103,12 @@ class EndToEndPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[String]("vector_key") == "doc1.txt")
     assert(hit.getAs[Map[String, String]]("metadata")("rev") == "2",
       "the Copy overwrite's tags must have won")
+    // delete-then-re-put of doc2 within the drained batch: the re-put
+    // (last event in arrival order) must win, with its tags
+    val d2 = client.search("live",
+      Embedder.text.embedText("ceph object storage event notification pipeline"), 1).head()
+    assert(d2.getAs[String]("vector_key") == "doc2.txt",
+      "re-put after delete must keep the key alive")
+    assert(d2.getAs[Map[String, String]]("metadata")("rev") == "9")
   }
 }

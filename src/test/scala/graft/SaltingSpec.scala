@@ -33,7 +33,7 @@ class SaltingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = skewed.groupBy($"key")
       .agg(count(lit(1)).as("n"), sum($"v").as("s"), max($"v").as("mx"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    val salted = Salting.saltedAgg(skewed, $"key", salts = 16,
+    val salted = Salting.saltedAgg(skewed, "key", salts = 16,
         count(lit(1)).as("n"), sum($"v").as("s"), max($"v").as("mx"))(
         sum($"n").as("n"), sum($"s").as("s"), max($"mx").as("mx"))
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap

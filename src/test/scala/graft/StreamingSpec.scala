@@ -62,6 +62,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.getAs[Map[String, String]]("tags") == Map("category" -> "docs"))
   }
 
+  test("parseEvents yields one row per record for batched notifications") {
+    import spark.implicits._
+    val record =
+      """{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"ObjectCreated:Put",""" +
+        """"s3":{"bucket":{"name":"bkt-0001"},"object":{"key":"%s","size":1,"tags":{}}}}"""
+    val batched = s"""{"Records":[${record.format("a.txt")},${record.format("b.txt")}]}"""
+    val rows = StreamingIngest.parseEvents(Seq(batched).toDF("value")).collect()
+    assert(rows.map(_.getAs[String]("key")).toSeq.sorted == Seq("a.txt", "b.txt"),
+      "a multi-record notification must not drop records beyond Records[0]")
+  }
+
   /** The batch-path ground truth for the event log. */
   private def batchResult(events: Seq[(String, Timestamp, Long)]): Set[(String, Long)] = {
     import spark.implicits._
