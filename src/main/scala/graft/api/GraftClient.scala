@@ -70,6 +70,8 @@ class GraftClient(spark: SparkSession, root: String) {
     val merged = IngestOps.upsertLatest(
       current.unionByName(batch), col("key"), col("seq"), col("seq"))
     coll.commit(merged.select(rowSchema.fieldNames.map(col): _*))
+    // parquet count() is satisfied from row-group metadata — this reads
+    // footers of the just-committed snapshot, not the data pages
     coll.read(spark).count()
   }
 
