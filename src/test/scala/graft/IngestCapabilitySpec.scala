@@ -140,6 +140,14 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { cat.describeCollection("../evil") }
   }
 
+  test("catalog round-trips dataPaths containing JSON-hostile characters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog2").toString
+    val cat = new Catalog(dir)
+    val nasty = """/tmp/run,2026/{weird}/pa"th\seg"""
+    cat.createCollection(CollectionMeta("nasty", 64, "l2", "FLAT", 1, nasty))
+    assert(cat.describeCollection("nasty").get.dataPath == nasty)
+  }
+
   // ---- IVF (B5) ----
 
   test("IVF: nprobe=nlist equals exact scan; partial probe keeps decent recall") {
