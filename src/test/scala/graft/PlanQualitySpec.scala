@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Plan-quality regression guards: the physical properties that make the
+  * declared queries scale are asserted here so a future refactor cannot
+  * silently trade them away while staying value-correct.
+  *
+  * (`explain` strings are a stable-enough contract for these coarse
+  * properties; each assertion names the scale behavior it protects.) */
+class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-quality-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("single-query KNN: bounded top-k merge, no shuffle of the index side") {
+    val p = planOf("knn_l2_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must plan as partial per-partition top-k + driver merge")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "a KNN scan must not shuffle the index")
+  }
+
+  test("batched KNN: bounded heap partial-aggregates before its only shuffle") {
+    val p = planOf("knn_batched")
+    assert(p.contains("partial_topkbydistance"),
+      "per-partition partial top-k must run before the exchange")
+    assert(!p.contains("Window"), "the rank-window plan must stay gone")
+  }
+
+  test("pricing summary: filter pushed into the parquet scan, partial aggregation") {
+    val p = planOf("pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "the date filter must reach the scan (row-group pruning at scale)")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "aggregation must be partial (map-side) + final")
+  }
+
+  test("3-way join: no cartesian products, filters pushed to all three scans") {
+    val p = planOf("join_revenue_top10")
+    assert(!p.contains("CartesianProduct"))
+    for (pushed <- Seq("l_shipdate", "o_orderdate", "c_mktsegment"))
+      assert(p.contains(pushed), s"$pushed filter must reach its scan")
+  }
+
+  test("column pruning: a projection query reads only the needed columns") {
+    val p = planOf("string_funcs")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty)
+    assert(!readSchema.contains("p_retailprice"),
+      "unprojected columns must not be read from parquet")
+  }
+
+  test("inverted-index dedup: no cartesian/nested-loop pair generation") {
+    for (q <- Seq("dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_ngram_jaccard")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must generate candidates via equi-joins, got:\n${p.take(2000)}")
+    }
+  }
+
+  test("bounded-window filters are pushed to the scan, not applied post-hoc") {
+    val p = planOf("quality_score")
+    assert(p.contains("PushedFilters") && p.contains("doc_id"),
+      "the doc_id window must prune at the scan")
+  }
+}
