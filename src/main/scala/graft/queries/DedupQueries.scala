@@ -177,10 +177,25 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C8: exact content dedup as a hash-groupBy — group on md5(text), keep
+    * the smallest doc_id per content hash, report the duplicate-count
+    * distribution. Hashing first means the shuffle key is 32 bytes
+    * regardless of document size — the only exact-dedup shape that works
+    * when rows are megabytes (this fixture has no exact dup texts, so the
+    * distribution is the degenerate {1 → N}, asserted by the oracle). */
+  def dedupExactHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"), min(col("keeper_doc")).as("first_keeper"))
+      .orderBy(col("n_copies"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_winnow_pairs" -> dedupWinnowPairs _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_exact_hash" -> dedupExactHash _,
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
@@ -188,6 +203,12 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_exact_hash" ->
+      """SELECT n_copies, count(*) AS n_groups, min(keeper_doc) AS first_keeper
+         FROM (SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc,
+                      count(*) AS n_copies
+               FROM documents GROUP BY 1)
+         GROUP BY n_copies ORDER BY n_copies""",
     "dedup_simhash" ->
       """WITH tokens AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
                          FROM documents WHERE doc_id < 100),
