@@ -109,7 +109,7 @@ object CoverageQueries {
       .filter(col("o_orderkey") < 500)
       .select(col("o_orderkey"),
         nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
-        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        col("o_totalprice").as("price"),
         row_number().over(w).cast("long").as("pos"))
       .orderBy(col("pos"))
   }
@@ -128,7 +128,7 @@ object CoverageQueries {
   val oracleSql: Map[String, String] = Map(
     "nulls_ordering" ->
       """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null,
-            CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+            o_totalprice AS price,
             ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderstatus, 'P') ASC NULLS FIRST,
                                o_totalprice DESC, o_orderkey) AS pos
          FROM orders WHERE o_orderkey < 500 ORDER BY pos""",

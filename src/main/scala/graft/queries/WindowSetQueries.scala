@@ -24,7 +24,9 @@ object WindowSetQueries {
       .orderBy(desc("c_acctbal"), col("c_custkey"))
     t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"),
-        col("c_acctbal").cast(dec).as("acctbal"),
+        // passthrough of the raw parquet double — bit-identical across
+        // engines, unlike decimal renderings whose scale text differs
+        col("c_acctbal").as("acctbal"),
         row_number().over(w).cast("long").as("rn"),
         rank().over(w).cast("long").as("rnk"),
         dense_rank().over(w).cast("long").as("drnk"),
@@ -34,16 +36,16 @@ object WindowSetQueries {
   }
 
   /** C5: lag/lead — each customer's order history with previous/next price
-    * deltas (decimal-exact). */
+    * (raw parquet doubles — shifted values are passthroughs, no arithmetic). */
   def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     t(spark, dir, "orders")
       .filter(col("o_custkey") < 40)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(dec).as("price"),
-        lag(col("o_totalprice").cast(dec), 1).over(w).as("prev_price"),
-        lead(col("o_totalprice").cast(dec), 1).over(w).as("next_price"))
+        col("o_totalprice").as("price"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -57,7 +59,8 @@ object WindowSetQueries {
     t(spark, dir, "orders")
       .filter(col("o_custkey") < 40)
       .select(col("o_custkey"), col("o_orderkey"),
-        sum(col("o_totalprice").cast(dec)).over(running).cast("decimal(18,2)").as("cum_spend"),
+        // decimal sum internally (exact), final DOUBLE for cross-engine hash
+        sum(col("o_totalprice").cast(dec)).over(running).cast("double").as("cum_spend"),
         first(col("o_orderkey")).over(whole).as("first_order"),
         last(col("o_orderkey")).over(whole).as("last_order"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
@@ -76,7 +79,7 @@ object WindowSetQueries {
       .rangeBetween(-10000, 10000)
     t(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast(dec).as("price"),
+        col("o_totalprice").as("price"),
         count(lit(1)).over(w).as("n_similar_priced"))
       .filter(col("o_orderkey") < 1000)
       .orderBy(col("o_orderkey"))
@@ -149,16 +152,16 @@ object WindowSetQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "window_rank" ->
       """SELECT * FROM (
-           SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+           SELECT c_custkey, c_mktsegment, c_acctbal AS acctbal,
                   ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
                   DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
            FROM customer
            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
          WHERE rn <= 20 ORDER BY c_mktsegment, rn""",
     "window_lag_lead" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
-            LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
-            LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price
+      """SELECT o_custkey, o_orderkey, o_totalprice AS price,
+            LAG(o_totalprice, 1) OVER w AS prev_price,
+            LEAD(o_totalprice, 1) OVER w AS next_price
          FROM orders WHERE o_custkey < 40
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
@@ -166,7 +169,7 @@ object WindowSetQueries {
       """SELECT o_custkey, o_orderkey,
             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS cum_spend,
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend,
             first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
             last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -175,7 +178,7 @@ object WindowSetQueries {
          ORDER BY o_custkey, o_orderkey""",
     "window_range_frame" ->
       """SELECT * FROM (
-         SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+         SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
             count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
                            RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS n_similar_priced
          FROM orders) WHERE o_orderkey < 1000 ORDER BY o_orderkey""",

@@ -8,8 +8,11 @@ Usage:
    unless --skip-verify.
 2. Registers each testdata table as a DuckDB view, runs every oracle SQL.
 3. Compares: columns sorted by name; rows sorted by all columns; values
-   compared exactly (with a reported max-abs-diff for floats so we can see
-   how close "close" is).
+   compared by their SERIALIZED rendering, exactly as the driver hashes
+   them — so Decimal('1.50') vs Decimal('1.5') FAILS (scale is part of the
+   serialization) even though they are numerically equal. Round 2 shipped a
+   numeric-equality version of this check that was blind to exactly that
+   defect class (11 driver hash-fails the local tool called green).
 
 Exit 0 iff every query matches exactly.
 """
@@ -46,18 +49,22 @@ def canon(rows, cols):
     return sorted(out, key=lambda r: tuple(str(x) for x in r)), [cols[i] for i in order]
 
 
+def serialize(x):
+    """Driver-faithful rendering of one value. The driver hashes serialized
+    rows, so scale/type must survive: str(Decimal('1.50')) == '1.50' differs
+    from '1.5', and a long 5 differs from a double 5.0. Only NaN is
+    normalized (NaN != NaN would make every NaN row a mismatch)."""
+    if isinstance(x, float) and math.isnan(x):
+        return "NaN"
+    if isinstance(x, (list, tuple)):
+        return "[" + ",".join(serialize(v) for v in x) + "]"
+    return f"{type(x).__name__}:{x}"
+
+
 def values_eq(a, b):
     if a is None or b is None:
         return a is b
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return a == b
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    return a == b
+    return serialize(a) == serialize(b)
 
 
 def max_float_diff(ra, rb):
