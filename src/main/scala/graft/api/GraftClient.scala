@@ -85,14 +85,31 @@ class GraftClient(spark: SparkSession, root: String) {
     upsert(name, graft.ingest.Embedder.embedDocuments(df, "text", embedder)
       .select(col("key"), col("vec"), col("meta")))
 
-  /** Delete by key set (the ObjectRemoved:Delete path). */
-  def deleteByKeys(name: String, keys: Seq[String]): Long = {
-    import spark.implicits._
+  /** Image-branch twin of `upsertTexts` — `df` needs (key STRING,
+    * bytes BINARY, meta MAP); the IMAGE arm of the reference's dispatch
+    * (`s3vectors-app/pythonvectordbceph.py:165-168`) run distributed. */
+  def upsertBytes(name: String, df: DataFrame,
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): Long =
+    upsert(name, df
+      .withColumn("vec", graft.ingest.Embedder.embedBytesCol(embedder)(col("bytes")))
+      .select(col("key"), col("vec"), col("meta")))
+
+  /** Set-at-a-time delete: `keys` needs a `key` column. The whole path is
+    * one anti-join plan — no driver materialization, so a micro-batch (or
+    * a billion-row delete set) never funnels through `.collect()`. */
+  def deleteByKeysDf(name: String, keys: DataFrame): Long = {
     val m = metaOrThrow(name)
     val coll = collection(m)
-    val remaining = IngestOps.deleteByKey(coll.read(spark), keys.toDF("key"), "key")
+    val remaining = IngestOps.deleteByKey(coll.read(spark), keys, "key")
     coll.commit(remaining.select(rowSchema.fieldNames.map(col): _*))
     coll.read(spark).count()
+  }
+
+  /** Delete by key set (the ObjectRemoved:Delete path) — driver-side sugar
+    * over `deleteByKeysDf`. */
+  def deleteByKeys(name: String, keys: Seq[String]): Long = {
+    import spark.implicits._
+    deleteByKeysDf(name, keys.toDF("key"))
   }
 
   /** Delete by predicate over (key, meta) — Milvus `delete(filter=...)`. */
@@ -107,36 +124,55 @@ class GraftClient(spark: SparkSession, root: String) {
   /** The reference's whole event-driven service as one streaming query
     * (SURVEY §3.1): notification JSON lands under `landingDir` (the
     * RGW→Knative→HTTP hop collapsed to a landing prefix), objects are
-    * fetched from `objectsDf` (key, text), puts are embedded and upserted,
-    * `ObjectRemoved:Delete` events delete — per micro-batch, exactly the
-    * batch operators. `Trigger.AvailableNow` drains everything pending and
-    * stops (A20 strong read); pass `continuous = true` to keep running. */
+    * fetched from `objectsDf` — which needs `key` plus `text` (STRING)
+    * and/or `bytes` (BINARY); each put is dispatched per object to the
+    * embedder's text or bytes kernel (A19, the TEXT/IMAGE `match` at
+    * `s3vectors-app/pythonvectordbceph.py:158-173`), rows with neither
+    * are rejected like the reference's 400 arm. `ObjectRemoved:Delete`
+    * events delete — per micro-batch, exactly the batch operators.
+    * `Trigger.AvailableNow` drains everything pending and stops (A20
+    * strong read); pass `continuous = true` to keep running. */
   def startIngest(name: String, landingDir: String, objectsDf: DataFrame,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
                   continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingIngest
+    require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
+      "objectsDf needs a `text` and/or `bytes` column")
+    val objects = Seq("text" -> "string", "bytes" -> "binary")
+      .foldLeft(objectsDf) { case (df, (c, tpe)) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(tpe))
+      }
+    // Arrival order must survive multi-file micro-batches: the landing
+    // files' (modification time, path) is the stable major key — a bare
+    // monotonically_increasing_id is dominated by partition INDEX, and the
+    // file source packs partitions by size, not arrival, so a same-key
+    // delete could beat the re-put that arrived after it. The id remains
+    // only as the within-file tiebreak (rows of one text file read in order).
     val raw = spark.readStream.schema("value STRING").text(landingDir)
+      .select(col("value"),
+        col("_metadata.file_modification_time").as("__mtime"),
+        col("_metadata.file_path").as("__file"))
     val parsed = StreamingIngest.parseEvents(raw)
     val writer = parsed.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Per-key, the LAST event in arrival order decides (the reference
         // processes events serially): a delete-then-re-put within one
         // micro-batch must keep the re-put, so resolve per key BEFORE
-        // splitting into puts and deletes. Arrival order = row order of
-        // the landing files, captured per batch.
+        // splitting into puts and deletes.
         val latest = IngestOps.upsertLatest(
           batch.withColumn("__arrival", monotonically_increasing_id()),
-          col("key"), col("__arrival"), col("__arrival"))
+          col("key"), struct(col("__mtime"), col("__file")), col("__arrival"))
         val puts = latest.filter(!StreamingIngest.isDelete(col("event_name")))
-          .join(objectsDf, Seq("key"))
+          .join(objects, Seq("key"))
         if (!puts.isEmpty) { // guard BEFORE embedding so the UDF runs once
-          val embedded = graft.ingest.Embedder.embedDocuments(puts, "text", embedder)
+          val embedded = graft.ingest.Embedder.embedObjects(puts, embedder)
+            .filter(col("vec").isNotNull) // the reference's 400-per-event arm
             .select(col("key"), col("vec"), col("tags").as("meta"))
-          upsert(name, embedded)
+          if (!embedded.isEmpty) upsert(name, embedded)
         }
         val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
-          .select("key").collect().map(_.getString(0))
-        if (dels.nonEmpty) deleteByKeys(name, dels.toSeq)
+          .select("key")
+        if (!dels.isEmpty) deleteByKeysDf(name, dels)
         ()
       }
     (if (continuous) writer
@@ -186,10 +222,15 @@ class GraftClient(spark: SparkSession, root: String) {
     * (`s3vectors-app/search.py:61-69`).
     *
     * When a FRESH IVF index exists (built at the current snapshot version,
-    * metric l2, no metadata filter), candidates come from the `nprobe`
-    * nearest cells of the partitioned at-rest layout — a parquet partition
-    * prune; otherwise the exact snapshot scan runs (upserts after an index
-    * build silently degrade to exact rather than to stale results). */
+    * metric l2), candidates come from the `nprobe` nearest cells of the
+    * partitioned at-rest layout — a parquet partition prune; otherwise the
+    * exact snapshot scan runs (upserts after an index build silently
+    * degrade to exact rather than to stale results). A metadata `filter`
+    * composes WITH the index — Milvus accepts filter+index the same way
+    * (`milvus-app/pythonvectordbceph_milvus.py:111`): the filter is
+    * conjunctive, so applying it on the pruned-cell scan keeps the
+    * metadata semantics exact while recall stays governed by `nprobe`
+    * exactly as in the unfiltered case. */
   def search(name: String, qvec: Array[Float], k: Int,
              filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
     val m = metaOrThrow(name)
@@ -197,8 +238,7 @@ class GraftClient(spark: SparkSession, root: String) {
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     val coll = collection(m)
     val fresh = loadIndex(m) match {
-      case Some((quant, v)) if coll.currentVersion.contains(v)
-          && m.metric == "l2" && filter.isEmpty =>
+      case Some((quant, v)) if coll.currentVersion.contains(v) && m.metric == "l2" =>
         val cells = quant.probes(qvec, nprobe)
         Some(graft.index.IvfIndex.loadIndexed(spark, s"${ivfDir(m)}/cells")
           .filter(col("centroidId").isin(cells: _*)))
@@ -219,4 +259,18 @@ class GraftClient(spark: SparkSession, root: String) {
       .orderBy(ordering: _*)
       .limit(k)
   }
+
+  /** Embed-then-search conveniences mirroring the reference's query
+    * drivers (`s3vectors-app/search.py:43-58`, `search_image.py:76-97`):
+    * the query text/image is embedded with the same kernel the collection
+    * was ingested with, then searched. */
+  def searchText(name: String, query: String, k: Int,
+                 filter: Option[Column] = None, nprobe: Int = 4,
+                 embedder: graft.ingest.Embedder = graft.ingest.Embedder.text): DataFrame =
+    search(name, embedder.embedText(query), k, filter, nprobe)
+
+  def searchImage(name: String, bytes: Array[Byte], k: Int,
+                  filter: Option[Column] = None, nprobe: Int = 4,
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): DataFrame =
+    search(name, embedder.embedBytes(bytes), k, filter, nprobe)
 }

@@ -98,4 +98,18 @@ object Embedder {
   /** Full ingest transform: text df (key, text) → (key, vec float32[dim]). */
   def embedDocuments(df: DataFrame, textCol: String, e: Embedder = text): DataFrame =
     df.withColumn("vec", embedTextCol(e)(col(textCol)))
+
+  /** A19 per-object dispatch — the TEXT/IMAGE `match` at
+    * `s3vectors-app/pythonvectordbceph.py:158-173` as a per-row CASE: rows
+    * with `text` use the text kernel, binary rows the bytes kernel, both
+    * from ONE embedder so every vector carries the collection's dimension
+    * (the reference runs one deployment per modality for the same reason).
+    * Rows with neither column set (the reference's "Unknown object format"
+    * 400 arm) embed to NULL — callers drop them, matching the reference's
+    * per-event rejection without killing the stream. */
+  def embedObjects(df: DataFrame, e: Embedder = text): DataFrame =
+    df.withColumn("vec",
+      org.apache.spark.sql.functions.when(
+        col("text").isNotNull, embedTextCol(e)(col("text")))
+        .otherwise(embedBytesCol(e)(col("bytes"))))
 }

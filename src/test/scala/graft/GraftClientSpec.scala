@@ -93,6 +93,120 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.list().isEmpty)
   }
 
+  private def notif(eventName: String, key: String): String =
+    s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
+      s""""s3":{"bucket":{"name":"bkt-0001"},"object":{"key":"$key","size":1,""" +
+      s""""tags":{"category":"bin"}}}}]}"""
+
+  private def writeLanding(dir: String, name: String, lines: Seq[String],
+                           mtimeMs: Long): Unit = {
+    val p = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  test("image branch: startIngest dispatches binary objects through embedBytes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-img").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("imgs", dim = Embedder.ImageDim)
+
+    val objects = graft.sources.ObjectSources.withObjectKey(
+      graft.sources.ObjectSources.binaryObjects(spark, "src/test/resources/objects/bin/*"),
+      "objects/bin").select(col("key"), col("content").as("bytes"))
+    val keys = objects.select("key").as[String].collect().toSeq.sorted
+    assert(keys == Seq("clip1.wav", "img1.png", "vid1.mp4"))
+
+    writeLanding(s"$root/landing", "events.json",
+      keys.map(k => notif("ObjectCreated:Put", k)), System.currentTimeMillis())
+    val q = client.startIngest("imgs", s"$root/landing", objects,
+      embedder = Embedder.image)
+    q.awaitTermination(120000)
+
+    // the planted nearest neighbor: querying with img1.png's own bytes
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/objects/bin/img1.png"))
+    val hit = client.searchImage("imgs", bytes, k = 1).head()
+    assert(hit.getAs[String]("vector_key") == "img1.png")
+    assert(hit.getAs[Double]("distance") < 1e-6, "self-query must be distance ~0")
+    assert(hit.getAs[Map[String, String]]("metadata")("category") == "bin")
+  }
+
+  test("mixed text/image dispatch in one stream; unsupported objects rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mixed").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(64) // one dim for both modalities
+    client.createCollection("mixed", dim = 64)
+
+    val objects = Seq(
+      ("a.txt", "the quick brown fox", null: Array[Byte]),
+      ("b.png", null: String, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
+      ("c.bad", null: String, null: Array[Byte]) // reference's 400 arm
+    ).toDF("key", "text", "bytes")
+    writeLanding(s"$root/landing", "events.json",
+      Seq(notif("ObjectCreated:Put", "a.txt"),
+        notif("ObjectCreated:Put", "b.png"),
+        notif("ObjectCreated:Put", "c.bad")), System.currentTimeMillis())
+    val q = client.startIngest("mixed", s"$root/landing", objects, embedder = emb)
+    q.awaitTermination(120000)
+
+    val textHit = client.searchText("mixed", "quick brown fox", 1, embedder = emb).head()
+    assert(textHit.getAs[String]("vector_key") == "a.txt")
+    val imgHit = client.searchImage("mixed",
+      Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 1, embedder = emb).head()
+    assert(imgHit.getAs[String]("vector_key") == "b.png")
+    val all = client.search("mixed", emb.embedText("anything"), 10).collect()
+      .map(_.getAs[String]("vector_key")).toSet
+    assert(all == Set("a.txt", "b.png"), "the unsupported object must be rejected")
+  }
+
+  test("arrival order survives multi-file micro-batches (delete vs re-put)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-arrival").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(32)
+    client.createCollection("live", dim = 32)
+    val objects = Seq(
+      ("a.txt", "alpha document"), ("b.txt", "beta document"), ("c.txt", "gamma document")
+    ).toDF("key", "text")
+
+    val now = System.currentTimeMillis()
+    // OLDER landing file: put a, put c, DELETE b
+    writeLanding(s"$root/landing", "f1.json",
+      Seq(notif("ObjectCreated:Put", "a.txt"),
+        notif("ObjectCreated:Put", "c.txt"),
+        notif("ObjectRemoved:Delete", "b.txt")), now - 60000)
+    // NEWER landing file: re-PUT b (must win over the older delete),
+    // DELETE c (must win over the older put)
+    writeLanding(s"$root/landing", "f2.json",
+      Seq(notif("ObjectCreated:Put", "b.txt"),
+        notif("ObjectRemoved:Delete", "c.txt")), now)
+
+    val q = client.startIngest("live", s"$root/landing", objects, embedder = emb)
+    q.awaitTermination(120000)
+
+    val keys = client.search("live", emb.embedText("document"), 10).collect()
+      .map(_.getAs[String]("vector_key")).toSet
+    assert(keys == Set("a.txt", "b.txt"),
+      s"re-put after delete must survive, put before delete must not: $keys")
+  }
+
+  test("upsertBytes mirrors upsertTexts for the image path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ub").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("bin", dim = Embedder.ImageDim)
+    client.upsertBytes("bin", Seq(
+      ("one", Array[Byte](9, 9, 9, 9, 1, 1, 1, 1), Map("k" -> "1")),
+      ("two", Array[Byte](-5, 0, 3, 7, 2, 4, 6, 8), Map("k" -> "2"))
+    ).toDF("key", "bytes", "meta"))
+    val hit = client.searchImage("bin", Array[Byte](9, 9, 9, 9, 1, 1, 1, 1), 1).head()
+    assert(hit.getAs[String]("vector_key") == "one")
+  }
+
   test("upsertTexts embeds server-side like the reference's ingest handler") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-client4").toString
@@ -122,10 +236,12 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[String]("vector_key")).toSeq
     assert(viaIndex.head == "k17")
 
-    // exact (filter forces the exact path) must agree at these k
-    val exact = client.search("ivf", q, k = 5, filter = Some(lit(true))).collect()
-      .map(_.getAs[String]("vector_key")).toSeq
-    assert(viaIndex == exact, "fresh IVF top-5 matches the exact scan")
+    // brute-force exact oracle (computed locally) must agree at these k
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val exact = rows.map { case (key, v, _) => (key, l2(v)) }
+      .sortBy { case (key, d) => (d, key) }.take(5).map(_._1)
+    assert(viaIndex == exact, "fresh IVF top-5 matches the exact answer")
 
     // upsert after the build → index is stale → exact fallback, and the
     // new key is findable immediately
@@ -140,6 +256,41 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuilt = client.search("ivf", q, k = 2).collect()
       .map(_.getAs[String]("vector_key")).toSeq
     assert(rebuilt.contains("fresh"))
+  }
+
+  test("filtered search composes with the IVF index (prune, then filter)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-client5").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("fivf", dim = 8, metric = "l2", indexType = "IVF_FLAT", nlist = 8)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("fivf", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("fivf", nlist = 8)
+
+    val q = vec(17).toArray
+    val evenFilter = element_at(col("meta"), "i").cast("int") % 2 === 0
+
+    // the filtered search must still go THROUGH the index: pruned to
+    // nprobe cells (centroidId partition filter in the plan), filter
+    // applied on the pruned scan — not a silent exact-scan downgrade
+    val pruned = client.search("fivf", q, k = 5, filter = Some(evenFilter), nprobe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("centroidId"),
+      "filtered search must keep the centroidId partition prune in the plan")
+    assert(pruned.collect().map(_.getAs[String]("vector_key")).toSeq
+      .forall(k => k.drop(1).toInt % 2 == 0), "metadata filter must hold on every hit")
+
+    // with nprobe = nlist every cell is probed, so the filtered result
+    // through the index equals the brute-force filtered exact answer
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val exact = rows.collect { case (key, v, m) if m("i").toInt % 2 == 0 => (key, l2(v)) }
+      .sortBy { case (key, d) => (d, key) }.take(5).map(_._1)
+    val full = client.search("fivf", q, k = 5, filter = Some(evenFilter), nprobe = 8)
+      .collect().map(_.getAs[String]("vector_key")).toSeq
+    assert(full == exact, "filter + full-probe index equals the exact filtered answer")
   }
 
   test("cosine and dot metrics order correctly") {
