@@ -24,7 +24,11 @@ object Tables {
     * applies casting TIMESTAMP_NS → TIMESTAMP, so oracles stay exact. */
   def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-      // integral `div`, NOT `/`: ns-since-epoch (~1.7e18) exceeds double's
-      // 2^53 exact range, so float division would round the microseconds.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Integer FLOOR division, NOT `/` and NOT bare `div`: ns-since-epoch
+      // (~1.7e18) exceeds double's 2^53 exact range, so float division
+      // would round the microseconds; and `div` truncates toward zero
+      // while DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors — they disagree
+      // on pre-1970 (negative-ns) timestamps. pmod-based floor matches
+      // DuckDB on both sides of the epoch.
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
 }

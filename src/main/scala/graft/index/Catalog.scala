@@ -64,15 +64,28 @@ class Catalog(root: String) {
       intField(json, "nlist"), strField(json, "dataPath"))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
-    * the collection already exists — `has_collection` gate semantics. */
+    * the collection already exists — `has_collection` gate semantics.
+    *
+    * Concurrency: the publish is a hard-link creation, which is atomic AND
+    * exclusive on POSIX (fails with FileAlreadyExists if the name is
+    * taken). An ATOMIC_MOVE here would be atomic but NOT exclusive —
+    * rename(2) replaces existing files, so two racing creates could both
+    * return true with the loser silently clobbering the winner's
+    * metadata. Readers always see either no file or complete content. */
   def createCollection(meta: CollectionMeta): Boolean = {
     val f = fileFor(meta.name)
     if (Files.exists(f)) false
     else {
       val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-      Files.write(tmp, render(meta).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      true
+      try {
+        Files.write(tmp, render(meta).getBytes(StandardCharsets.UTF_8))
+        Files.createLink(f, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        Files.deleteIfExists(tmp)
+      }
     }
   }
 

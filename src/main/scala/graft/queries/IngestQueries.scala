@@ -150,11 +150,14 @@ object IngestQueries {
   // DuckDB notes: events.ts is TIMESTAMP_NS — cast to TIMESTAMP(µs) to match
   // Spark's truncation (Tables.events); regexp_replace needs the 'g' flag
   // (Spark replaces all occurrences by default, DuckDB only the first).
+  // The rank ORDER BY must use the µs-CAST ts, not raw ns: Spark ranks on
+  // the truncated timestamp, so two same-user events inside one µs with ns
+  // order opposite to event_id order would otherwise diverge.
   private val upsertIdx =
     """(SELECT user_id, event_id AS last_event_id, event_type AS last_type,
               CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                     ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+                     ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
        WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(

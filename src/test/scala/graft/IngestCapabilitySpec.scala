@@ -140,6 +140,30 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { cat.describeCollection("../evil") }
   }
 
+  test("catalog: racing creates elect exactly one winner, metadata intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog3").toString
+    val cat = new Catalog(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val attempts = (0 until 16).map { i =>
+      Future {
+        gate.await()
+        val won = cat.createCollection(
+          CollectionMeta("raced", dim = i, "l2", "FLAT", 0, s"/data/raced-$i"))
+        (i, won)
+      }
+    }
+    gate.countDown()
+    val outcomes = Await.result(Future.sequence(attempts), 60.seconds)
+    val winners = outcomes.filter(_._2)
+    assert(winners.size == 1, s"exactly one create must win, got $winners")
+    val stored = cat.describeCollection("raced").get
+    assert(stored.dim == winners.head._1,
+      "the stored metadata must be the winner's, not a loser's overwrite")
+  }
+
   test("catalog round-trips dataPaths containing JSON-hostile characters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-catalog2").toString
     val cat = new Catalog(dir)
