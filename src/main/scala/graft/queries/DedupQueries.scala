@@ -90,6 +90,41 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The corpus-scale variant of `dedupJaccardPairs`: tokens with document
+    * frequency above `dfCap` are excluded from the CANDIDATE join (an
+    * ultra-common token pairs nearly everything with everything — it alone
+    * can make Σdf² quadratic), then the exact Jaccard over FULL token sets
+    * is computed only for candidate pairs, so the capped join changes
+    * candidate generation cost, not the similarity math. Recall caveat,
+    * stated loudly: a qualifying pair ALL of whose shared tokens are
+    * common would be missed; at jac ≥ 0.9 the pair shares nearly every
+    * token of both docs, so this requires both docs to consist almost
+    * entirely of capped tokens — equivalence on the fixture is asserted in
+    * DedupSpec, and at production scale the cap is the knob that trades
+    * that tail risk against join cost. */
+  def dedupJaccardPairsCapped(spark: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    val inv = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val rare = inv.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("w"))
+    val rareInv = inv.join(rare, "w")
+    val cands = rareInv.as("a").join(rareInv.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("ws").as("wa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ws").as("wb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          (size(col("wa")) + size(col("wb")) - size(array_intersect(col("wa"), col("wb")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** LLM-pipeline: embedding near-dup — cosine ≥ 0.35 pairs in a bounded
     * id-window (exact baseline; the banded/LSH variant is the scale path). */
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {

@@ -70,9 +70,10 @@ object WindowSetQueries {
     * status (value-based frame, not row-based). Scale note: the partition
     * key has 3 values, so at corpus scale this window concentrates ~1/3 of
     * the table per reducer — inherent to the query's semantics. The scale
-    * rewrite is a range-bucketed two-pass (bucket by price div 10000,
-    * aggregate per bucket, merge adjacent buckets), same results, bounded
-    * partitions; declared here in its canonical window form. */
+    * rewrite is `windowRangeFrameBucketed` below (bucket by price div
+    * 10000, per-bucket sorted arrays, probe adjacent buckets — bounded,
+    * tunable partitions), equivalence-tested against this canonical
+    * window form, which stays the declared/oracled variant. */
   def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice"))
@@ -81,6 +82,36 @@ object WindowSetQueries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").as("price"),
         count(lit(1)).over(w).as("n_similar_priced"))
+      .filter(col("o_orderkey") < 1000)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The 100×-scale rewrite of `windowRangeFrame` — same results, bounded
+    * partitions. The canonical window form partitions on `o_orderstatus`
+    * (3 values → ~1/3 of the corpus per reducer); here rows are bucketed
+    * by `floor(price / width)`, per-bucket sorted price arrays are built
+    * once (shuffle key = (status, bucket) — thousands of keys, each
+    * bounded by the rows inside one width-span), and each row probes its
+    * own + adjacent buckets: anything within ±width lives in buckets
+    * b−1, b, b+1. Partition sizes are tunable via the bucket width rather
+    * than fixed by the domain's 3 statuses. Equivalence with the window
+    * form is regression-tested (WindowSetSpec). */
+  def windowRangeFrameBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val width = 10000.0
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice").as("price"))
+      .withColumn("bucket", floor(col("price") / width).cast("long"))
+    val arrs = base.groupBy(col("o_orderstatus").as("st"), col("bucket").as("bk"))
+      .agg(sort_array(collect_list(col("price"))).as("prices"))
+    base
+      .withColumn("nb", explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      .join(arrs, col("o_orderstatus") === col("st") && col("nb") === col("bk"), "left")
+      .withColumn("cnt_part",
+        when(col("prices").isNull, lit(0L)).otherwise(
+          size(filter(col("prices"),
+            x => x.between(col("price") - width, col("price") + width))).cast("long")))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"), col("price"))
+      .agg(sum(col("cnt_part")).as("n_similar_priced"))
       .filter(col("o_orderkey") < 1000)
       .orderBy(col("o_orderkey"))
   }

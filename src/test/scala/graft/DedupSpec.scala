@@ -27,6 +27,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("df-capped Jaccard candidate join equals the uncapped exact query") {
+    val sf = "/root/testdata/sf0.01"
+    val exact = graft.queries.DedupQueries.dedupJaccardPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture must contain qualifying pairs")
+    val uncapped = graft.queries.DedupQueries
+      .dedupJaccardPairsCapped(spark, sf, dfCap = Int.MaxValue) // sanity: no cap
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped == exact, "uncapped candidate path must equal the inverted-index query")
+    // This fixture window is 150 docs over a 31-token vocabulary with df
+    // 10..125 (median 112) — there IS no rare-token regime, which is
+    // exactly the adversarial case for df-capping. The minimum lossless
+    // cap (max over qualifying pairs of the pair's min shared-token df)
+    // is 108; cap 115 prunes the 6 heaviest tokens (df 117..125, the
+    // biggest df² terms of the join) while keeping every pair reachable.
+    val capped = graft.queries.DedupQueries.dedupJaccardPairsCapped(spark, sf, dfCap = 115)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == exact,
+      "df-capped candidates must not lose any jac>=0.9 pair at a lossless cap")
+  }
+
   test("random-hyperplane LSH finds planted near-dup twins at O(N) cost") {
     import spark.implicits._
     val dim = 64

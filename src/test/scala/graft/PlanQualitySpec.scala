@@ -28,6 +28,17 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("bucketed range-frame rewrite: same values, no 3-key window partitioning") {
+    val canonical = graft.queries.WindowSetQueries.windowRangeFrame(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    val bucketed = graft.queries.WindowSetQueries.windowRangeFrameBucketed(spark, sf)
+    val b = bucketed.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(b == canonical, "bucketed two-pass must reproduce the window frame counts")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the rewrite must not fall back to a window over the 3-value status key")
+  }
+
   test("single-query KNN: bounded top-k merge, no shuffle of the index side") {
     val p = planOf("knn_l2_topk")
     assert(p.contains("TakeOrderedAndProject"),
