@@ -253,6 +253,54 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LLM-pipeline similarity-search scale path, oracle-checked: random-
+    * hyperplane LSH candidate generation + exact cosine on candidates
+    * only. The hyperplanes are DETERMINISTIC INTEGER weights (md5-derived,
+    * w ∈ [-32768, 32767]) against floor-quantized coordinates, so every
+    * sign is an exact integer comparison — order-independent and
+    * bit-identical across engines, where a floating dot product's sign
+    * could flip on a knife-edge sum. 16 planes in 4 bands of 4 bits:
+    * pairs sharing any band become candidates (bucket equi-join, O(N)
+    * shuffle — the production shape; the all-pairs exact twin is
+    * `dedup_embedding_cosine`), then the exact float cosine is computed
+    * for candidates alone. Quantization only affects candidate RECALL
+    * (tunable via bands/bits), never the reported similarity. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val coords = e.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").as("d"),
+        floor(col("col").cast("double") * 1000).as("q"))
+    val planes = spark.range(16).select(col("id").as("p"))
+      .crossJoin(spark.range(64).select(col("id").as("d")))
+      .select(col("p"), col("d"),
+        (expr("CAST(conv(substring(md5(concat(p, ':', d)), 1, 4), 16, 10) AS BIGINT)")
+          - lit(32768L)).as("w"))
+    val bits = coords.join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("q") * col("w")).as("s"))
+      .select(col("vec_id"), col("p"),
+        when(col("s") >= 0, "1").otherwise("0").as("bit"))
+    val sig = bits.groupBy(col("vec_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("bit")))),
+        x => x.getField("bit")), "").as("sig"))
+    val buckets = sig.select(col("vec_id"), explode(array(
+        concat(lit("b0|"), substring(col("sig"), 1, 4)),
+        concat(lit("b1|"), substring(col("sig"), 5, 4)),
+        concat(lit("b2|"), substring(col("sig"), 9, 4)),
+        concat(lit("b3|"), substring(col("sig"), 13, 4)))).as("bucket"))
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("va")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("vb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine_similarity(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** C8/LLM mandate: SimHash fingerprints, oracle-checked — per-bit
     * majority vote over each word's md5 bits (64-bit Charikar sketch as a
     * pure relational plan: explode words × bits → signed sum per bit →
@@ -305,7 +353,8 @@ object DedupQueries {
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
     "dedup_clusters" -> dedupClusters _,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine _
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -435,6 +484,30 @@ object DedupQueries {
          SELECT cluster_id, count(*) AS n_docs FROM
            (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
          GROUP BY cluster_id ORDER BY cluster_id""",
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         coords AS (SELECT vec_id, dd - 1 AS d, CAST(floor(v[dd] * 1000) AS BIGINT) AS q
+                    FROM e, generate_series(1, 64) AS g(dd)),
+         planes AS (SELECT p.p, d.d,
+                      CAST(('0x' || substring(md5(p.p || ':' || d.d), 1, 4)) AS INT) - 32768 AS w
+                    FROM generate_series(0, 15) AS p(p), generate_series(0, 63) AS d(d)),
+         bits AS (SELECT vec_id, p, CASE WHEN sum(q * w) >= 0 THEN '1' ELSE '0' END AS bit
+                  FROM coords JOIN planes USING (d) GROUP BY vec_id, p),
+         sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id),
+         buckets AS (
+           SELECT vec_id, 'b0|' || substring(sig, 1, 4) AS bucket FROM sig
+           UNION ALL SELECT vec_id, 'b1|' || substring(sig, 5, 4) FROM sig
+           UNION ALL SELECT vec_id, 'b2|' || substring(sig, 9, 4) FROM sig
+           UNION ALL SELECT vec_id, 'b3|' || substring(sig, 13, 4) FROM sig),
+         cands AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b,
+           round(list_inner_product(ea.v, eb.v)
+             / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))), 6) AS cos
+         FROM cands JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b
+         WHERE round(list_inner_product(ea.v, eb.v)
+             / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))), 6) >= 0.35
+         ORDER BY vec_a, vec_b""",
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
