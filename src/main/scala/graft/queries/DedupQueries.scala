@@ -270,8 +270,8 @@ object DedupQueries {
     val coords = e.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").cast("long").as("d"),
         floor(col("col").cast("double") * 1000).as("q"))
-    val planes = spark.range(16).select(col("id").as("p"))
-      .crossJoin(spark.range(64).select(col("id").as("d")))
+    val planes = spark.range(16 * 64)
+      .select(expr("id div 64").as("p"), (col("id") % 64).as("d"))
       .select(col("p"), col("d"),
         (expr("CAST(conv(substring(md5(concat(p, ':', d)), 1, 4), 16, 10) AS BIGINT)")
           - lit(32768L)).as("w"))

@@ -39,6 +39,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the rewrite must not fall back to a window over the 3-value status key")
   }
 
+  test("LSH embedding dedup: bucket equi-join candidates, no all-pairs product") {
+    val p = planOf("dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay a bucket equi-join, never all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1024-row plane table must broadcast, not shuffle the coordinates")
+  }
+
   test("single-query KNN: bounded top-k merge, no shuffle of the index side") {
     val p = planOf("knn_l2_topk")
     assert(p.contains("TakeOrderedAndProject"),
