@@ -143,11 +143,16 @@ class GraftClient(spark: SparkSession, root: String) {
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(tpe))
       }
     // Arrival order must survive multi-file micro-batches: the landing
-    // files' (modification time, path) is the stable major key — a bare
-    // monotonically_increasing_id is dominated by partition INDEX, and the
-    // file source packs partitions by size, not arrival, so a same-key
-    // delete could beat the re-put that arrived after it. The id remains
-    // only as the within-file tiebreak (rows of one text file read in order).
+    // files' (modification time, path length, path) is the stable major
+    // key — a bare monotonically_increasing_id is dominated by partition
+    // INDEX, and the file source packs partitions by size, not arrival, so
+    // a same-key delete could beat the re-put that arrived after it.
+    // Length-before-lexicographic orders sequence-numbered landing files
+    // naturally ("f9" before "f10") when mtimes collide within the
+    // filesystem's stamp resolution; files sharing BOTH mtime and an
+    // ambiguous name order have no recoverable arrival order from any
+    // source. The id remains only as the within-file tiebreak (rows of
+    // one text file read in order).
     val raw = spark.readStream.schema("value STRING").text(landingDir)
       .select(col("value"),
         col("_metadata.file_modification_time").as("__mtime"),
@@ -158,21 +163,28 @@ class GraftClient(spark: SparkSession, root: String) {
         // Per-key, the LAST event in arrival order decides (the reference
         // processes events serially): a delete-then-re-put within one
         // micro-batch must keep the re-put, so resolve per key BEFORE
-        // splitting into puts and deletes.
+        // splitting into puts and deletes. Persisted: the window + joins
+        // feed several actions in this batch (guards, upsert, delete).
         val latest = IngestOps.upsertLatest(
           batch.withColumn("__arrival", monotonically_increasing_id()),
-          col("key"), struct(col("__mtime"), col("__file")), col("__arrival"))
-        val puts = latest.filter(!StreamingIngest.isDelete(col("event_name")))
-          .join(objects, Seq("key"))
-        if (!puts.isEmpty) { // guard BEFORE embedding so the UDF runs once
+          col("key"),
+          struct(col("__mtime"), length(col("__file")), col("__file")),
+          col("__arrival")).persist()
+        try {
+          val puts = latest.filter(!StreamingIngest.isDelete(col("event_name")))
+            .join(objects, Seq("key"))
           val embedded = graft.ingest.Embedder.embedObjects(puts, embedder)
             .filter(col("vec").isNotNull) // the reference's 400-per-event arm
             .select(col("key"), col("vec"), col("tags").as("meta"))
+            .persist() // embedding UDF runs once across the guard + upsert
+          // guard: an empty upsert would still commit an (identical) new
+          // snapshot version and needlessly invalidate a fresh IVF index
           if (!embedded.isEmpty) upsert(name, embedded)
-        }
-        val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
-          .select("key")
-        if (!dels.isEmpty) deleteByKeysDf(name, dels)
+          embedded.unpersist()
+          val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
+            .select("key")
+          if (!dels.isEmpty) deleteByKeysDf(name, dels)
+        } finally latest.unpersist()
         ()
       }
     (if (continuous) writer
@@ -230,7 +242,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * (`milvus-app/pythonvectordbceph_milvus.py:111`): the filter is
     * conjunctive, so applying it on the pruned-cell scan keeps the
     * metadata semantics exact while recall stays governed by `nprobe`
-    * exactly as in the unfiltered case. */
+    * exactly as in the unfiltered case. NOTE this changes filtered search
+    * from always-exact (pre-index behavior) to nprobe-approximate when a
+    * fresh index exists — the reference backend behaves the same way;
+    * pass `nprobe >= nlist` to force a full probe (exact recall) through
+    * the index. */
   def search(name: String, qvec: Array[Float], k: Int,
              filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
     val m = metaOrThrow(name)

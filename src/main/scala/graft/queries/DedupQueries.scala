@@ -167,8 +167,11 @@ object DedupQueries {
     * token of both docs, so this requires both docs to consist almost
     * entirely of capped tokens — equivalence on the fixture is asserted in
     * DedupSpec, and at production scale the cap is the knob that trades
-    * that tail risk against join cost. */
-  def dedupJaccardPairsCapped(spark: SparkSession, dir: String, dfCap: Int = 50): DataFrame = {
+    * that tail risk against join cost. `dfCap` is deliberately REQUIRED:
+    * a safe value is a property of the corpus's df distribution (this
+    * fixture's lossless floor is 108 — a "reasonable-looking" default like
+    * 50 silently drops qualifying pairs here). */
+  def dedupJaccardPairsCapped(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") < 150)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))

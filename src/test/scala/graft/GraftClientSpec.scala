@@ -170,7 +170,8 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val emb = graft.ingest.HashingEmbedder(32)
     client.createCollection("live", dim = 32)
     val objects = Seq(
-      ("a.txt", "alpha document"), ("b.txt", "beta document"), ("c.txt", "gamma document")
+      ("a.txt", "alpha document"), ("b.txt", "beta document"),
+      ("c.txt", "gamma document"), ("d.txt", "delta document")
     ).toDF("key", "text")
 
     val now = System.currentTimeMillis()
@@ -184,14 +185,23 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     writeLanding(s"$root/landing", "f2.json",
       Seq(notif("ObjectCreated:Put", "b.txt"),
         notif("ObjectRemoved:Delete", "c.txt")), now)
+    // SAME-mtime collision (notification burst inside one stamp quantum):
+    // sequence-numbered files must order by length-then-lex, so f10 > f9
+    // — d.txt's re-put in f10 must beat its delete in f9 despite
+    // "f10" < "f9" lexicographically
+    writeLanding(s"$root/landing", "f9.json",
+      Seq(notif("ObjectRemoved:Delete", "d.txt")), now)
+    writeLanding(s"$root/landing", "f10.json",
+      Seq(notif("ObjectCreated:Put", "d.txt")), now)
 
     val q = client.startIngest("live", s"$root/landing", objects, embedder = emb)
     q.awaitTermination(120000)
 
     val keys = client.search("live", emb.embedText("document"), 10).collect()
       .map(_.getAs[String]("vector_key")).toSet
-    assert(keys == Set("a.txt", "b.txt"),
-      s"re-put after delete must survive, put before delete must not: $keys")
+    assert(keys == Set("a.txt", "b.txt", "d.txt"),
+      s"re-put after delete must survive (incl. same-mtime seq-named files), " +
+        s"put before delete must not: $keys")
   }
 
   test("upsertBytes mirrors upsertTexts for the image path") {
