@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 import graft.index.{Catalog, CollectionMeta}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, assert_dim}
-import graft.streaming.KeyedCollection
+import graft.streaming.BucketedKeyedCollection
 
 /** The engine's user-facing surface, mirroring the reference's API shape so
   * a user of `python-vectordbapp-ceph` can switch call-for-call:
@@ -37,17 +37,28 @@ class GraftClient(spark: SparkSession, root: String) {
     "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
 
   private def collection(meta: CollectionMeta) =
-    new KeyedCollection(meta.dataPath, rowSchema)
+    new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets)
+
+  /** The bucket ids a batch touches — bounded by the collection's bucket
+    * count (a ≤`buckets`-int driver array, NOT a data collect). */
+  private def touchedBuckets(coll: BucketedKeyedCollection,
+                             df: DataFrame): Seq[Int] =
+    df.select(coll.bucketExpr.as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
 
   private def metaOrThrow(name: String): CollectionMeta =
     catalog.describeCollection(name).getOrElse(
       throw new IllegalArgumentException(s"no such collection: $name"))
 
-  /** Idempotent create (returns false if it already existed). */
+  /** Idempotent create (returns false if it already existed). `buckets`
+    * fixes the keyed store's hash-bucket count for the collection's
+    * lifetime — size it so one bucket of the target corpus fits an
+    * executor's write comfortably. */
   def createCollection(name: String, dim: Int, metric: String = "l2",
-                       indexType: String = "FLAT", nlist: Int = 0): Boolean =
+                       indexType: String = "FLAT", nlist: Int = 0,
+                       buckets: Int = 16): Boolean =
     catalog.createCollection(CollectionMeta(
-      name, dim, metric, indexType, nlist, s"$root/data/$name"))
+      name, dim, metric, indexType, nlist, s"$root/data/$name", buckets))
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
   def list(): Seq[String] = catalog.listCollections()
@@ -55,21 +66,30 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
     * last write per key wins, dimension enforced at the boundary like the
-    * reference backends. */
+    * reference backends. Only the buckets the batch touches are read and
+    * rewritten (the manifest carries the seq high-water mark, so no index
+    * scan happens either) — a small batch against a huge collection moves
+    * `touched/buckets` of the data, not all of it. */
   def upsert(name: String, df: DataFrame): Long = {
     val m = metaOrThrow(name)
     val coll = collection(m)
-    val current = coll.read(spark)
-    val maxSeq = current.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+    val maxSeq = coll.maxSeq
     val batch = df.select(
       col("key"),
       assert_dim(col("vec"), m.dim).as("vec"),
       coalesce(col("meta"), map()).as("meta"),
       current_timestamp().as("ingest_ts"),
-      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq"))
-    val merged = IngestOps.upsertLatest(
-      current.unionByName(batch), col("key"), col("seq"), col("seq"))
-    coll.commit(merged.select(rowSchema.fieldNames.map(col): _*))
+      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq")).persist()
+    try {
+      val touched = touchedBuckets(coll, batch)
+      val current = coll.readBuckets(spark, touched)
+      val merged = IngestOps.upsertLatest(
+        current.unionByName(batch), col("key"), col("seq"), col("seq"))
+        .select(rowSchema.fieldNames.map(col): _*).persist()
+      val newMaxSeq = merged.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+      coll.commitBuckets(touched, merged, math.max(maxSeq, newMaxSeq))
+      merged.unpersist()
+    } finally batch.unpersist()
     // parquet count() is satisfied from row-group metadata — this reads
     // footers of the just-committed snapshot, not the data pages
     coll.read(spark).count()
@@ -94,14 +114,20 @@ class GraftClient(spark: SparkSession, root: String) {
       .withColumn("vec", graft.ingest.Embedder.embedBytesCol(embedder)(col("bytes")))
       .select(col("key"), col("vec"), col("meta")))
 
-  /** Set-at-a-time delete: `keys` needs a `key` column. The whole path is
-    * one anti-join plan — no driver materialization, so a micro-batch (or
-    * a billion-row delete set) never funnels through `.collect()`. */
+  /** Set-at-a-time delete: `keys` needs a `key` column. The data path is
+    * one anti-join plan over the touched buckets only — no driver
+    * materialization of keys (the bucket-id set is bounded by the
+    * collection's bucket count). */
   def deleteByKeysDf(name: String, keys: DataFrame): Long = {
     val m = metaOrThrow(name)
     val coll = collection(m)
-    val remaining = IngestOps.deleteByKey(coll.read(spark), keys, "key")
-    coll.commit(remaining.select(rowSchema.fieldNames.map(col): _*))
+    val keyed = keys.select(col("key")).persist()
+    try {
+      val touched = touchedBuckets(coll, keyed)
+      val remaining = IngestOps.deleteByKey(coll.readBuckets(spark, touched), keyed, "key")
+      coll.commitBuckets(touched,
+        remaining.select(rowSchema.fieldNames.map(col): _*), coll.maxSeq)
+    } finally keyed.unpersist()
     coll.read(spark).count()
   }
 
@@ -112,12 +138,15 @@ class GraftClient(spark: SparkSession, root: String) {
     deleteByKeysDf(name, keys.toDF("key"))
   }
 
-  /** Delete by predicate over (key, meta) — Milvus `delete(filter=...)`. */
+  /** Delete by predicate over (key, meta) — Milvus `delete(filter=...)`.
+    * An arbitrary predicate can match anywhere, so this is the one write
+    * that legitimately touches every bucket. */
   def deleteWhere(name: String, pred: Column): Long = {
     val m = metaOrThrow(name)
     val coll = collection(m)
     val remaining = IngestOps.deleteByPredicate(coll.read(spark), pred)
-    coll.commit(remaining.select(rowSchema.fieldNames.map(col): _*))
+    coll.commitBuckets((0 until m.buckets),
+      remaining.select(rowSchema.fieldNames.map(col): _*), coll.maxSeq)
     coll.read(spark).count()
   }
 

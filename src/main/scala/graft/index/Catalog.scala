@@ -16,7 +16,11 @@ case class CollectionMeta(
     metric: String,        // "l2" | "cosine" | "dot" (reference pins l2)
     indexType: String,     // "FLAT" | "IVF_FLAT"
     nlist: Int,            // IVF coarse cells; reference pins 16384
-    dataPath: String)
+    dataPath: String,
+    buckets: Int = 16)     // hash buckets of the keyed store — immutable
+                           // per collection (bucket assignment is
+                           // pmod(xxhash64(key), buckets); changing it
+                           // would strand rows in unread buckets)
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -46,7 +50,8 @@ class Catalog(root: String) {
 
   private def render(m: CollectionMeta): String =
     s"""{"name":"${esc(m.name)}","dim":${m.dim},"metric":"${esc(m.metric)}",""" +
-      s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},"dataPath":"${esc(m.dataPath)}"}"""
+      s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
+      s""""buckets":${m.buckets},"dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
     val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -58,10 +63,15 @@ class Catalog(root: String) {
     m.map(_.group(1).toInt).getOrElse(sys.error(s"catalog entry missing $key: $json"))
   }
 
+  private def intFieldOr(json: String, key: String, default: Int): Int =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(default)
+
   private def parse(json: String): CollectionMeta =
     CollectionMeta(strField(json, "name"), intField(json, "dim"),
       strField(json, "metric"), strField(json, "indexType"),
-      intField(json, "nlist"), strField(json, "dataPath"))
+      intField(json, "nlist"), strField(json, "dataPath"),
+      intFieldOr(json, "buckets", 16))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

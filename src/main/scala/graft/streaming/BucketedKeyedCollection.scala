@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.types.StructType
+
+/** The 100 TB form of [[KeyedCollection]]: rows hash-bucketed by key, one
+  * parquet directory per (bucket, version), and a manifest mapping each
+  * bucket to its live version. A commit rewrites ONLY the buckets a batch
+  * touches — a 1000-row micro-batch against a 100 TB index rewrites
+  * ~`touched/numBuckets` of the data instead of all of it, which is the
+  * difference between an ingest path that works at scale and one that
+  * recopies the world per batch.
+  *
+  * Consistency model is unchanged from KeyedCollection: the manifest id is
+  * the snapshot version, published by an atomic pointer swap, so a reader
+  * always sees a complete, consistent set of bucket directories (A20).
+  * The manifest also carries the seq high-water mark, so allocating new
+  * upsert sequence numbers needs no index scan. On a real cluster this
+  * layout IS a table format's manifest + data files (Delta/Iceberg); the
+  * merge plan feeding it is identical.
+  *
+  * `numBuckets` is immutable for the collection's lifetime — bucket
+  * assignment is `pmod(xxhash64(key), numBuckets)`, so changing it would
+  * strand existing rows in buckets the merge no longer reads (it is
+  * persisted in the catalog's CollectionMeta for exactly that reason).
+  *
+  * Same reader-validity constraint as KeyedCollection: a lazy DataFrame
+  * from `read`/`readBuckets` stays valid for `retain - 1` further commits.
+  * Single-writer assumed (the streaming query).
+  */
+class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
+                              numBuckets: Int, retain: Int = 2) {
+  require(numBuckets >= 1 && retain >= 1)
+  private val dir: Path = Paths.get(root)
+  Files.createDirectories(dir)
+  private val pointer = dir.resolve("CURRENT")
+
+  /** Latest committed version id (manifest id), if any commit happened. */
+  def currentVersion: Option[Long] =
+    if (Files.exists(pointer)) Some(new String(Files.readAllBytes(pointer)).trim.toLong)
+    else None
+
+  /** Deterministic bucket of the key column. */
+  def bucketExpr: Column = pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+
+  // Manifest file: line 1 "maxseq <n>", then one "<bucket> <relativeDir>"
+  // line per non-empty bucket.
+  private case class Manifest(maxSeq: Long, buckets: Map[Int, String])
+
+  private def manifestPath(v: Long) = dir.resolve(f"manifest-$v%08d")
+
+  private def readManifest(v: Long): Manifest = {
+    val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
+    val maxSeq = lines.head.stripPrefix("maxseq ").trim.toLong
+    val buckets = lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(b, rel) = l.split(" ", 2)
+      b.toInt -> rel
+    }.toMap
+    Manifest(maxSeq, buckets)
+  }
+
+  private def current: Option[Manifest] = currentVersion.map(readManifest)
+
+  /** Seq high-water mark of the latest snapshot — no index scan needed. */
+  def maxSeq: Long = current.map(_.maxSeq).getOrElse(0L)
+
+  private def emptyDf(spark: SparkSession): DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readPaths(spark: SparkSession, rels: Seq[String]): DataFrame =
+    if (rels.isEmpty) emptyDf(spark)
+    else spark.read.schema(schema).parquet(rels.map(dir.resolve(_).toString): _*)
+
+  /** Latest full snapshot. */
+  def read(spark: SparkSession): DataFrame =
+    readPaths(spark, current.map(_.buckets.values.toSeq).getOrElse(Nil))
+
+  /** Latest snapshot restricted to `buckets` — what a merge reads. */
+  def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
+    val live = current.map(_.buckets).getOrElse(Map.empty)
+    readPaths(spark, buckets.distinct.flatMap(live.get))
+  }
+
+  /** Commit `rows` as the complete new contents of the `touched` buckets
+    * (every row of `rows` must hash into `touched`); all other buckets
+    * carry over untouched. A touched bucket with no surviving rows is
+    * dropped from the manifest. */
+  def commitBuckets(touched: Seq[Int], rows: DataFrame, newMaxSeq: Long): Long = {
+    val next = currentVersion.getOrElse(-1L) + 1
+    val staging = dir.resolve(f".stage-$next%08d")
+    rows.withColumn("__b", bucketExpr)
+      .write.partitionBy("__b").mode("overwrite").parquet(staging.toString)
+    val written: Seq[Int] = {
+      val listing = Files.list(staging)
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("__b="))
+        .map(_.stripPrefix("__b=").toInt)
+        .toSeq
+      finally listing.close()
+    }
+    val stray = written.toSet -- touched.toSet
+    require(stray.isEmpty,
+      s"commitBuckets: rows hash into undeclared buckets $stray — the merge " +
+        "would silently duplicate their keys")
+    val moved = written.map { b =>
+      val rel = f"b$b%05d-v$next%08d"
+      Files.move(staging.resolve(s"__b=$b"), dir.resolve(rel))
+      b -> rel
+    }.toMap
+    deleteRecursively(staging) // leftover _SUCCESS markers
+    val updated = (current.map(_.buckets).getOrElse(Map.empty) -- touched) ++ moved
+    val body = (s"maxseq $newMaxSeq" +:
+      updated.toSeq.sortBy(_._1).map { case (b, rel) => s"$b $rel" }).mkString("\n")
+    Files.write(manifestPath(next), body.getBytes(StandardCharsets.UTF_8))
+    val tmp = Files.createTempFile(dir, ".ptr-", "")
+    Files.write(tmp, next.toString.getBytes)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prune(next)
+    next
+  }
+
+  /** Keep the last `retain` manifests; drop bucket dirs none of them
+    * references (see class doc for the reader-validity window). */
+  private def prune(latest: Long): Unit = {
+    val keepManifests = (math.max(0L, latest - retain + 1) to latest)
+      .filter(v => Files.exists(manifestPath(v)))
+    val referenced = keepManifests.flatMap(v => readManifest(v).buckets.values).toSet
+    val listing = Files.list(dir)
+    val entries =
+      try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally listing.close()
+    entries.filter(n => n.startsWith("b") && n.contains("-v") && !referenced(n))
+      .foreach(n => deleteRecursively(dir.resolve(n)))
+    entries.filter(_.startsWith("manifest-"))
+      .filter(_.stripPrefix("manifest-").toLong <= latest - retain)
+      .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+  }
+
+  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.streaming.BucketedKeyedCollection
+
+/** The 100 TB ingest-layout property: a commit rewrites ONLY the buckets a
+  * batch touches. Asserted at the filesystem level — untouched buckets keep
+  * the exact same data directories across commits. */
+class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("bucketed-collection-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val schema = StructType.fromDDL("key STRING, value BIGINT, seq BIGINT")
+
+  private def freshColl(buckets: Int = 8): (String, BucketedKeyedCollection) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bkc").toString
+    (root, new BucketedKeyedCollection(root, schema, "key", buckets))
+  }
+
+  private def rowsOf(coll: BucketedKeyedCollection): Set[(String, Long)] =
+    coll.read(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  /** bucket id → live relative data dir, parsed from the current manifest. */
+  private def liveDirs(root: String): Map[Int, String] = {
+    import scala.jdk.CollectionConverters._
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "CURRENT"))).trim.toLong
+    java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(root, f"manifest-$cur%08d")).asScala.toSeq.tail
+      .filter(_.nonEmpty)
+      .map { l => val Array(b, rel) = l.split(" ", 2); b.toInt -> rel }.toMap
+  }
+
+  private def bucketOf(coll: BucketedKeyedCollection, key: String): Int = {
+    import spark.implicits._
+    Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
+  }
+
+  test("commit rewrites only touched buckets; untouched dirs carry over") {
+    import spark.implicits._
+    val (root, coll) = freshColl()
+    val all = (0 until 200).map(i => (s"k$i", i.toLong, 1L))
+    coll.commitBuckets((0 until 8), all.toDF("key", "value", "seq"), 1L)
+    val before = liveDirs(root)
+    assert(before.nonEmpty)
+
+    // second commit touches exactly one key → one bucket
+    val b = bucketOf(coll, "k0")
+    val survivors = all.filter(r => bucketOf(coll, r._1) == b)
+      .map { case (k, v, s) => if (k == "k0") (k, 999L, 2L) else (k, v, s) }
+    coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), 2L)
+    val after = liveDirs(root)
+
+    assert(after(b) != before(b), "touched bucket must get a new data dir")
+    (before.keySet - b).foreach { other =>
+      assert(after(other) == before(other),
+        s"untouched bucket $other must keep its exact data directory")
+    }
+    assert(rowsOf(coll) == all.map { case (k, v, _) =>
+      (k, if (k == "k0") 999L else v) }.toSet)
+    assert(coll.currentVersion.contains(1L))
+  }
+
+  test("a bucket emptied by deletes disappears from the manifest; reads stay whole") {
+    import spark.implicits._
+    val (root, coll) = freshColl(buckets = 4)
+    val rows = (0 until 40).map(i => (s"k$i", i.toLong, 1L))
+    coll.commitBuckets((0 until 4), rows.toDF("key", "value", "seq"), 1L)
+    val b = bucketOf(coll, "k1")
+    // new contents of bucket b: nothing survives
+    coll.commitBuckets(Seq(b),
+      Seq.empty[(String, Long, Long)].toDF("key", "value", "seq"), 1L)
+    val expect = rows.filter(r => bucketOf(coll, r._1) != b)
+      .map { case (k, v, _) => (k, v) }.toSet
+    assert(rowsOf(coll) == expect)
+    assert(!liveDirs(root).contains(b))
+  }
+
+  test("maxSeq is carried by the manifest, no index scan needed") {
+    import spark.implicits._
+    val (_, coll) = freshColl()
+    assert(coll.maxSeq == 0L)
+    coll.commitBuckets(Seq(bucketOf(coll, "a")),
+      Seq(("a", 1L, 7L)).toDF("key", "value", "seq"), 7L)
+    assert(coll.maxSeq == 7L)
+    assert(coll.currentVersion.contains(0L))
+  }
+
+  test("rows hashing outside the declared touched set are rejected") {
+    import spark.implicits._
+    val (_, coll) = freshColl()
+    val k = "somekey"
+    val wrong = (bucketOf(coll, k) + 1) % 8
+    val err = intercept[IllegalArgumentException] {
+      coll.commitBuckets(Seq(wrong), Seq((k, 1L, 1L)).toDF("key", "value", "seq"), 1L)
+    }
+    assert(err.getMessage.contains("undeclared buckets"))
+  }
+}
