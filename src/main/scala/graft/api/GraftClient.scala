@@ -64,36 +64,55 @@ class GraftClient(spark: SparkSession, root: String) {
   def list(): Seq[String] = catalog.listCollections()
   def drop(name: String): Boolean = catalog.dropCollection(name)
 
-  /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
-    * last write per key wins, dimension enforced at the boundary like the
-    * reference backends. Only the buckets the batch touches are read and
-    * rewritten (the manifest carries the seq high-water mark, so no index
-    * scan happens either) — a small batch against a huge collection moves
-    * `touched/buckets` of the data, not all of it. */
-  def upsert(name: String, df: DataFrame): Long = {
-    val m = metaOrThrow(name)
+  /** One atomic merge-commit of a resolved batch: upsert `puts`
+    * (key, vec, meta) and delete `delKeys` (key) as ONE new snapshot
+    * version — a caller that has already resolved per-key winners (the
+    * micro-batch loop) applies its whole batch atomically, with no
+    * intermediate version where the upserts are visible but the deletes
+    * are not. Only the buckets the batch touches are read and rewritten
+    * (the manifest carries the seq high-water mark, so no index scan
+    * happens either) — a small batch against a huge collection moves
+    * `touched/buckets` of the data, not all of it. A key must appear in
+    * at most one side (per-key resolution is the caller's job). */
+  private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
+                          delKeys: Option[DataFrame]): Long = {
     val coll = collection(m)
     val maxSeq = coll.maxSeq
-    val batch = df.select(
+    val decorated = puts.map(df => df.select(
       col("key"),
       assert_dim(col("vec"), m.dim).as("vec"),
       coalesce(col("meta"), map()).as("meta"),
       current_timestamp().as("ingest_ts"),
-      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq")).persist()
+      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq")).persist())
+    val keyed = delKeys.map(_.select(col("key")).persist())
     try {
-      val touched = touchedBuckets(coll, batch)
-      val current = coll.readBuckets(spark, touched)
-      val merged = IngestOps.upsertLatest(
-        current.unionByName(batch), col("key"), col("seq"), col("seq"))
-        .select(rowSchema.fieldNames.map(col): _*).persist()
-      val newMaxSeq = merged.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
-      coll.commitBuckets(touched, merged, math.max(maxSeq, newMaxSeq))
-      merged.unpersist()
-    } finally batch.unpersist()
+      val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
+        .reduceOption(_ union _)
+      touchKeys.foreach { tk =>
+        val touched = touchedBuckets(coll, tk)
+        val current = coll.readBuckets(spark, touched)
+        val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
+          current.unionByName(b), col("key"), col("seq"), col("seq")))
+        val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
+          .select(rowSchema.fieldNames.map(col): _*).persist()
+        val newMaxSeq = remaining.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
+        coll.commitBuckets(touched, remaining, math.max(maxSeq, newMaxSeq))
+        remaining.unpersist()
+      }
+    } finally {
+      decorated.foreach(_.unpersist())
+      keyed.foreach(_.unpersist())
+    }
     // parquet count() is satisfied from row-group metadata — this reads
     // footers of the just-committed snapshot, not the data pages
     coll.read(spark).count()
   }
+
+  /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
+    * last write per key wins, dimension enforced at the boundary like the
+    * reference backends. */
+  def upsert(name: String, df: DataFrame): Long =
+    mergeCommit(metaOrThrow(name), Some(df), None)
 
   /** Convenience mirroring the reference's ingest transform: embed raw
     * text server-side then upsert — `df` needs (key STRING, text STRING,
@@ -118,18 +137,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * one anti-join plan over the touched buckets only — no driver
     * materialization of keys (the bucket-id set is bounded by the
     * collection's bucket count). */
-  def deleteByKeysDf(name: String, keys: DataFrame): Long = {
-    val m = metaOrThrow(name)
-    val coll = collection(m)
-    val keyed = keys.select(col("key")).persist()
-    try {
-      val touched = touchedBuckets(coll, keyed)
-      val remaining = IngestOps.deleteByKey(coll.readBuckets(spark, touched), keyed, "key")
-      coll.commitBuckets(touched,
-        remaining.select(rowSchema.fieldNames.map(col): _*), coll.maxSeq)
-    } finally keyed.unpersist()
-    coll.read(spark).count()
-  }
+  def deleteByKeysDf(name: String, keys: DataFrame): Long =
+    mergeCommit(metaOrThrow(name), None, Some(keys))
 
   /** Delete by key set (the ObjectRemoved:Delete path) — driver-side sugar
     * over `deleteByKeysDf`. */
@@ -205,14 +214,20 @@ class GraftClient(spark: SparkSession, root: String) {
           val embedded = graft.ingest.Embedder.embedObjects(puts, embedder)
             .filter(col("vec").isNotNull) // the reference's 400-per-event arm
             .select(col("key"), col("vec"), col("tags").as("meta"))
-            .persist() // embedding UDF runs once across the guard + upsert
-          // guard: an empty upsert would still commit an (identical) new
-          // snapshot version and needlessly invalidate a fresh IVF index
-          if (!embedded.isEmpty) upsert(name, embedded)
-          embedded.unpersist()
+            .persist() // embedding UDF runs once across the guard + commit
           val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
             .select("key")
-          if (!dels.isEmpty) deleteByKeysDf(name, dels)
+          // the whole micro-batch applies as ONE snapshot version — no
+          // intermediate state where puts are visible but deletes aren't.
+          // Guards keep an all-empty batch from committing an (identical)
+          // new version and needlessly invalidating a fresh IVF index.
+          val havePuts = !embedded.isEmpty
+          val haveDels = !dels.isEmpty
+          if (havePuts || haveDels)
+            mergeCommit(metaOrThrow(name),
+              if (havePuts) Some(embedded) else None,
+              if (haveDels) Some(dels) else None)
+          embedded.unpersist()
         } finally latest.unpersist()
         ()
       }
