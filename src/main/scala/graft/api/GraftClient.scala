@@ -78,6 +78,9 @@ class GraftClient(spark: SparkSession, root: String) {
                           delKeys: Option[DataFrame]): Long = {
     val coll = collection(m)
     val maxSeq = coll.maxSeq
+    // persist() here is correctness, not just caching: seq comes from
+    // monotonically_increasing_id, which is only stable across the two
+    // actions below (touched-bucket collect, merge) if materialized once
     val decorated = puts.map(df => df.select(
       col("key"),
       assert_dim(col("vec"), m.dim).as("vec"),
