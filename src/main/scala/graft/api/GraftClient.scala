@@ -36,8 +36,19 @@ class GraftClient(spark: SparkSession, root: String) {
   private val rowSchema = StructType.fromDDL(
     "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
 
-  private def collection(meta: CollectionMeta) =
-    new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets)
+  private def collection(meta: CollectionMeta) = {
+    val c = new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets)
+    // Data written by the pre-bucketed KeyedCollection layout migrates
+    // transparently on first open (one all-buckets rewrite) — the catalog
+    // parse is backward compatible, so the data must be too.
+    if (c.isLegacyLayout) c.migrateFromLegacy(spark)
+    c
+  }
+
+  /** Null keys would hash to a null bucket and corrupt the partitioned
+    * write — reject them at the write boundary, like the dimension check. */
+  private def requireKey(c: Column): Column =
+    when(c.isNull, raise_error(lit("null key in write batch"))).otherwise(c)
 
   /** The bucket ids a batch touches — bounded by the collection's bucket
     * count (a ≤`buckets`-int driver array, NOT a data collect). */
@@ -73,21 +84,38 @@ class GraftClient(spark: SparkSession, root: String) {
     * (the manifest carries the seq high-water mark, so no index scan
     * happens either) — a small batch against a huge collection moves
     * `touched/buckets` of the data, not all of it. A key must appear in
-    * at most one side (per-key resolution is the caller's job). */
+    * at most one side; duplicate keys WITHIN `puts` resolve to a
+    * deterministic winner (see below). */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
                           delKeys: Option[DataFrame]): Long = {
     val coll = collection(m)
     val maxSeq = coll.maxSeq
-    // persist() here is correctness, not just caching: seq comes from
-    // monotonically_increasing_id, which is only stable across the two
-    // actions below (touched-bucket collect, merge) if materialized once
-    val decorated = puts.map(df => df.select(
-      col("key"),
-      assert_dim(col("vec"), m.dim).as("vec"),
-      coalesce(col("meta"), map()).as("meta"),
-      current_timestamp().as("ingest_ts"),
-      (monotonically_increasing_id() + lit(maxSeq + 1)).as("seq")).persist())
-    val keyed = delKeys.map(_.select(col("key")).persist())
+    // Seq assignment must be recompute-safe: a DataFrame is a bag, so
+    // there is no stable row order that would make "last duplicate in the
+    // batch wins" survive recomputation (the old monotonically_increasing_id
+    // scheme leaned on persist(), which is best-effort — block eviction or
+    // executor loss between the actions below could reassign ids and record
+    // a manifest maxseq below a seq actually written). Instead the winner
+    // per key is a pure function of row CONTENT (max content hash) and
+    // every batch row gets the SAME seq, maxSeq + 1: distinct keys never
+    // compare seqs against each other, only against current rows (all
+    // <= maxSeq), so cross-commit last-write-wins is unchanged and any
+    // recomputation reproduces the identical batch. Callers needing
+    // ordered within-batch semantics resolve per key first — the streaming
+    // micro-batch loop does, by arrival order.
+    val decorated = puts.map { df =>
+      val typed = df.select(
+        requireKey(col("key")).as("key"),
+        assert_dim(col("vec"), m.dim).as("vec"),
+        coalesce(col("meta"), map()).as("meta"))
+      IngestOps.upsertLatest(typed, col("key"),
+          xxhash64(col("key"), col("vec"), to_json(col("meta"))), lit(0))
+        .select(col("key"), col("vec"), col("meta"),
+          current_timestamp().as("ingest_ts"),
+          lit(maxSeq + 1).as("seq"))
+        .persist() // caching across the actions below — no longer correctness
+    }
+    val keyed = delKeys.map(_.select(requireKey(col("key")).as("key")).persist())
     try {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
         .reduceOption(_ union _)

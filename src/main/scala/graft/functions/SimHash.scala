@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
@@ -21,7 +20,7 @@ import org.apache.spark.sql.functions.udf
 object SimHash {
 
   def tokenHash64(token: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(token.getBytes(StandardCharsets.UTF_8))
+    val d = Md5.digest(token.getBytes(StandardCharsets.UTF_8))
     java.nio.ByteBuffer.wrap(d).getLong
   }
 

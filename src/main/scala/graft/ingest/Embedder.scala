@@ -1,7 +1,6 @@
 package graft.ingest
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, udf}
@@ -37,7 +36,7 @@ case class HashingEmbedder(dim: Int) extends Embedder {
   require(dim > 0)
 
   private def bucketAndSign(s: String): (Int, Float) = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = graft.functions.Md5.digest(s.getBytes(StandardCharsets.UTF_8))
     val h = java.nio.ByteBuffer.wrap(d).getInt
     val b = math.floorMod(h, dim)
     (b, if (((h >>> 31) & 1) == 0) 1.0f else -1.0f)

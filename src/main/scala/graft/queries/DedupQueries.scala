@@ -110,7 +110,8 @@ object DedupQueries {
     * (node, label) pairs — nothing driver-side but loop control and one
     * scalar, so the same plan runs at corpus scale. Output: one row per
     * cluster (cluster_id = min doc_id, n_docs). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String,
+                    broadcastNodeLimit: Long = 4L << 20): DataFrame = {
     val pairs = minhashCandidatePairs(spark, dir)
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -122,15 +123,18 @@ object DedupQueries {
     // truncates the lineage, keeping every round's plan O(1).
     var labels = t(spark, dir, "documents").filter(col("doc_id") < 2000)
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    // When the node set fits the driver comfortably, broadcasting the label
+    // table keeps the edge set from ever shuffling (map-side join + partial
+    // aggregation are the only per-round passes over the edges). Past the
+    // limit the hint would OOM the driver, so let AQE pick the join — the
+    // node count never grows across rounds, so one count decides for all.
+    val hint: DataFrame => DataFrame =
+      if (labels.count() <= broadcastNodeLimit) broadcast else identity
     var prevSum = Long.MaxValue
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      // labels is bounded by the declared query's doc window — broadcast
-      // it so the edge set is never shuffled (map-side join + partial
-      // aggregation are the only per-round passes over the 1.65M edges).
-      // At unbounded corpus scale drop the hint and AQE picks the join.
-      val nbrLbl = sym.join(broadcast(labels.select(col("doc_id").as("dst"), col("lbl"))), "dst")
+      val nbrLbl = sym.join(hint(labels.select(col("doc_id").as("dst"), col("lbl"))), "dst")
         .select(col("src").as("doc_id"), col("lbl"))
       val oneHop = labels.union(nbrLbl)
         .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
@@ -138,7 +142,7 @@ object DedupQueries {
       // (already-minimized) label. Labels only decrease, so least() and
       // the left join's coalesce are pure defensiveness.
       val next = oneHop.join(
-          broadcast(oneHop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2"))),
+          hint(oneHop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2"))),
           Seq("lbl"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
@@ -151,6 +155,13 @@ object DedupQueries {
       rounds += 1
     }
     sym.unpersist()
+    // Pointer jumping needs ~log2(diameter) rounds, so the cap is ample —
+    // but exiting through it would silently return partially-merged
+    // clusters as if correct. Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        "dedupClusters: label propagation hit the 32-round cap without " +
+          "converging — output would be partially merged clusters")
     labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_id"))
@@ -355,7 +366,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
-    "dedup_clusters" -> dedupClusters _,
+    "dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )

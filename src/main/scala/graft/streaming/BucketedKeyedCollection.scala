@@ -56,6 +56,13 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   private def manifestPath(v: Long) = dir.resolve(f"manifest-$v%08d")
 
   private def readManifest(v: Long): Manifest = {
+    if (!Files.exists(manifestPath(v)))
+      throw new IllegalStateException(
+        f"$root: CURRENT points at version $v but manifest-$v%08d is missing — " + (
+          if (Files.exists(dir.resolve(f"v$v%08d")))
+            "this is a legacy (pre-bucketed) KeyedCollection layout; " +
+              "call migrateFromLegacy(spark) to rewrite it into buckets"
+          else "the collection directory is corrupt"))
     val lines = Files.readAllLines(manifestPath(v)).asScala.toSeq
     val maxSeq = lines.head.stripPrefix("maxseq ").trim.toLong
     val buckets = lines.tail.filter(_.nonEmpty).map { l =>
@@ -66,6 +73,39 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   }
 
   private def current: Option[Manifest] = currentVersion.map(readManifest)
+
+  /** Commit-side view of the manifest: a legacy layout (CURRENT without a
+    * manifest) commits as if empty — the only commit that runs in that
+    * state is [[migrateFromLegacy]], which rewrites every bucket. Readers
+    * keep the strict view so an unmigrated store fails loudly. */
+  private def currentForCommit: Option[Manifest] =
+    currentVersion.filter(v => Files.exists(manifestPath(v))).map(readManifest)
+
+  /** True when the directory holds the pre-bucketed [[KeyedCollection]]
+    * layout: a CURRENT pointer whose manifest is absent but whose legacy
+    * whole-snapshot dir (`vNNNNNNNN`) exists. Such data is unreadable by
+    * this class until [[migrateFromLegacy]] rewrites it into buckets. */
+  def isLegacyLayout: Boolean = currentVersion.exists { v =>
+    !Files.exists(manifestPath(v)) && Files.exists(dir.resolve(f"v$v%08d"))
+  }
+
+  /** One-time rewrite of a legacy KeyedCollection snapshot into the
+    * bucketed layout — one all-buckets commit, then the legacy version
+    * dirs (which `prune` never matches) are dropped. The seq high-water
+    * mark seeds from the data's `seq` column when the schema has one. */
+  def migrateFromLegacy(spark: SparkSession): Long = {
+    require(isLegacyLayout, s"$root is not a legacy KeyedCollection layout")
+    val v = currentVersion.get
+    val rows = spark.read.schema(schema).parquet(dir.resolve(f"v$v%08d").toString)
+    val maxSeq =
+      if (schema.fieldNames.contains("seq"))
+        rows.agg(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.max(col("seq")), lit(0L))).head().getLong(0)
+      else 0L
+    val next = commitBuckets(0 until numBuckets, rows, maxSeq)
+    listDir().filter(_.matches("v\\d{8}")).foreach(n => deleteRecursively(dir.resolve(n)))
+    next
+  }
 
   /** Seq high-water mark of the latest snapshot — no index scan needed. */
   def maxSeq: Long = current.map(_.maxSeq).getOrElse(0L)
@@ -93,6 +133,16 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     * dropped from the manifest. */
   def commitBuckets(touched: Seq[Int], rows: DataFrame, newMaxSeq: Long): Long = {
     val next = currentVersion.getOrElse(-1L) + 1
+    // Retry safety: a commit that crashed after some bucket-dir moves but
+    // before the pointer swap leaves orphan `b*-v<next>` dirs (the retried
+    // commit recomputes the same `next`, and Files.move without
+    // REPLACE_EXISTING would throw FileAlreadyExistsException, wedging all
+    // future commits) and stale `.stage-*` dirs. Single-writer is assumed,
+    // so anything staged or versioned >= `next` is dead — clean it first.
+    listDir().filter(n => n.startsWith(".stage-") ||
+        (n.startsWith("b") && n.contains("-v") &&
+          n.substring(n.indexOf("-v") + 2).toLong >= next))
+      .foreach(n => deleteRecursively(dir.resolve(n)))
     val staging = dir.resolve(f".stage-$next%08d")
     rows.withColumn("__b", bucketExpr)
       .write.partitionBy("__b").mode("overwrite").parquet(staging.toString)
@@ -115,7 +165,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
       b -> rel
     }.toMap
     deleteRecursively(staging) // leftover _SUCCESS markers
-    val updated = (current.map(_.buckets).getOrElse(Map.empty) -- touched) ++ moved
+    val updated = (currentForCommit.map(_.buckets).getOrElse(Map.empty) -- touched) ++ moved
     val body = (s"maxseq $newMaxSeq" +:
       updated.toSeq.sortBy(_._1).map { case (b, rel) => s"$b $rel" }).mkString("\n")
     Files.write(manifestPath(next), body.getBytes(StandardCharsets.UTF_8))
@@ -133,15 +183,18 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     val keepManifests = (math.max(0L, latest - retain + 1) to latest)
       .filter(v => Files.exists(manifestPath(v)))
     val referenced = keepManifests.flatMap(v => readManifest(v).buckets.values).toSet
-    val listing = Files.list(dir)
-    val entries =
-      try listing.iterator().asScala.map(_.getFileName.toString).toSeq
-      finally listing.close()
+    val entries = listDir()
     entries.filter(n => n.startsWith("b") && n.contains("-v") && !referenced(n))
       .foreach(n => deleteRecursively(dir.resolve(n)))
     entries.filter(_.startsWith("manifest-"))
       .filter(_.stripPrefix("manifest-").toLong <= latest - retain)
       .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+  }
+
+  private def listDir(): Seq[String] = {
+    val listing = Files.list(dir)
+    try listing.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally listing.close()
   }
 
   private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {

@@ -98,6 +98,54 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coll.currentVersion.contains(0L))
   }
 
+  test("a commit retried after a mid-move crash succeeds (orphan dirs cleaned)") {
+    import spark.implicits._
+    val (root, coll) = freshColl(buckets = 4)
+    coll.commitBuckets((0 until 4),
+      (0 until 20).map(i => (s"k$i", i.toLong, 1L)).toDF("key", "value", "seq"), 1L)
+    // simulate a crash after some bucket moves of version 1 but before the
+    // pointer swap: orphan data dirs for the NEXT version + a stale staging
+    // dir are left behind
+    val next = coll.currentVersion.get + 1
+    val orphan = java.nio.file.Paths.get(root, f"b00000-v$next%08d")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val stage = java.nio.file.Paths.get(root, f".stage-$next%08d")
+    java.nio.file.Files.createDirectories(stage)
+    // the retried commit must not throw FileAlreadyExistsException and must
+    // publish the correct contents
+    val b = bucketOf(coll, "k0")
+    val survivors = (0 until 20).filter(i => bucketOf(coll, s"k$i") == b)
+      .map(i => (s"k$i", if (i == 0) 999L else i.toLong, 2L))
+    coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), 2L)
+    assert(coll.currentVersion.contains(next))
+    assert(rowsOf(coll) == (0 until 20).map(i =>
+      (s"k$i", if (i == 0) 999L else i.toLong)).toSet)
+    assert(!java.nio.file.Files.exists(stage), "stale staging dirs are pruned")
+  }
+
+  test("legacy KeyedCollection layout is detected and migrates into buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val legacy = new graft.streaming.KeyedCollection(root, schema)
+    legacy.commit((0 until 30).map(i => (s"k$i", i.toLong, (i % 7).toLong))
+      .toDF("key", "value", "seq"))
+    val coll = new BucketedKeyedCollection(root, schema, "key", 4)
+    assert(coll.isLegacyLayout)
+    val err = intercept[IllegalStateException] { coll.read(spark) }
+    assert(err.getMessage.contains("legacy"), s"opaque error: ${err.getMessage}")
+    coll.migrateFromLegacy(spark)
+    assert(!coll.isLegacyLayout)
+    assert(rowsOf(coll) == (0 until 30).map(i => (s"k$i", i.toLong)).toSet)
+    assert(coll.maxSeq == 6L, "seq high-water mark seeds from the data")
+    // migrated store keeps working: touched-bucket commit on top
+    val b = bucketOf(coll, "k3")
+    val survivors = (0 until 30).filter(i => bucketOf(coll, s"k$i") == b)
+      .map(i => (s"k$i", if (i == 3) 777L else i.toLong, 7L))
+    coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), 7L)
+    assert(rowsOf(coll).contains(("k3", 777L)))
+  }
+
   test("rows hashing outside the declared touched set are rejected") {
     import spark.implicits._
     val (_, coll) = freshColl()

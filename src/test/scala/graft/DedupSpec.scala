@@ -48,6 +48,18 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "df-capped candidates must not lose any jac>=0.9 pair at a lossless cap")
   }
 
+  test("dedupClusters' non-broadcast path (label table over the limit) agrees") {
+    val sf = "/root/testdata/sf0.01"
+    val hinted = graft.queries.DedupQueries.dedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted.nonEmpty)
+    // limit 0 forces the shuffle-join path the helper takes on an unbounded
+    // corpus, where broadcasting the label table would OOM the driver
+    val unhinted = graft.queries.DedupQueries.dedupClusters(spark, sf, broadcastNodeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unhinted == hinted, "join strategy must not change the clusters")
+  }
+
   test("random-hyperplane LSH finds planted near-dup twins at O(N) cost") {
     import spark.implicits._
     val dim = 64

@@ -303,6 +303,64 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(full == exact, "filter + full-probe index equals the exact filtered answer")
   }
 
+  test("within-batch duplicate keys resolve to one deterministic winner") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("d1", dim = 2)
+    client.createCollection("d2", dim = 2)
+    val rows = (0 until 50).flatMap(i => Seq(
+      (s"k$i", Seq(i.toFloat, 0f), Map("v" -> "a")),
+      (s"k$i", Seq(i.toFloat, 1f), Map("v" -> "b"))))
+    val df = rows.toDF("key", "vec", "meta")
+    // the same logical batch in two different physical layouts (partition
+    // count, per-partition order) must commit identical contents — the
+    // winner is a function of row content, not of evaluation order
+    client.upsert("d1", df)
+    client.upsert("d2", df.repartition(7, col("vec")).sortWithinPartitions(col("vec").desc))
+    def contents(name: String): Set[(String, String)] =
+      client.search(name, Array(0f, 0f), k = 100).collect().map { r =>
+        (r.getAs[String]("vector_key"), r.getAs[Map[String, String]]("metadata")("v"))
+      }.toSet
+    assert(contents("d1") == contents("d2"))
+    assert(contents("d1").size == 50)
+  }
+
+  test("null keys are rejected at the write boundary") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-nullkey").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("nk", dim = 2)
+    val bad = Seq((null: String, Seq(1.0f, 2.0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta")
+    val err = intercept[Exception] { client.upsert("nk", bad) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("null key")), s"opaque error: ${msgs(err)}")
+  }
+
+  test("a collection written by the legacy layout opens and migrates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy-cl").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("old", dim = 2)
+    // fabricate the pre-bucketed layout at the collection's data path
+    val legacy = new graft.streaming.KeyedCollection(
+      client.describe("old").dataPath,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT"))
+    legacy.commit(Seq(
+      ("a", Seq(1.0f, 0.0f), Map("k" -> "1"), new java.sql.Timestamp(0L), 3L),
+      ("b", Seq(0.0f, 1.0f), Map("k" -> "2"), new java.sql.Timestamp(0L), 5L)
+    ).toDF("key", "vec", "meta", "ingest_ts", "seq"))
+    // first client op detects + migrates, then everything works on top
+    val hit = client.search("old", Array(1.0f, 0.0f), k = 1).head()
+    assert(hit.getAs[String]("vector_key") == "a")
+    client.upsert("old", Seq(("c", Seq(0.5f, 0.5f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.search("old", Array(1.0f, 0.0f), k = 10).count() == 3)
+  }
+
   test("cosine and dot metrics order correctly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-client2").toString
