@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta}
+import graft.index.{Catalog, CollectionMeta, IvfIndex}
 import graft.ingest.IngestOps
-import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, assert_dim}
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim}
 import graft.streaming.BucketedKeyedCollection
 
 /** The engine's user-facing surface, mirroring the reference's API shape so
@@ -120,6 +120,7 @@ class GraftClient(spark: SparkSession, root: String) {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
         .reduceOption(_ union _)
       touchKeys.foreach { tk =>
+        val preVersion = coll.currentVersion
         val touched = touchedBuckets(coll, tk)
         val current = coll.readBuckets(spark, touched)
         val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
@@ -127,8 +128,12 @@ class GraftClient(spark: SparkSession, root: String) {
         val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
           .select(rowSchema.fieldNames.map(col): _*).persist()
         val newMaxSeq = remaining.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
-        coll.commitBuckets(touched, remaining, math.max(maxSeq, newMaxSeq))
+        val newVersion = coll.commitBuckets(touched, remaining, math.max(maxSeq, newMaxSeq))
         remaining.unpersist()
+        // keep a fresh IVF index fresh across the commit — `current` (the
+        // pre-image) stays readable here because the store retains the
+        // previous snapshot's directories for one more commit
+        refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
       }
     } finally {
       decorated.foreach(_.unpersist())
@@ -269,38 +274,178 @@ class GraftClient(spark: SparkSession, root: String) {
   // ---- IVF index lifecycle (A16 create_index / B5) ----
 
   private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"
+  private def cellsPath(m: CollectionMeta) = s"${ivfDir(m)}/cells"
+
+  /** Metrics the IVF prune can serve. Cosine rides the L2 prune in
+    * unit-normalized space (for unit vectors, cosine order ≡ L2 order);
+    * dot has no Voronoi prune (MIPS needs an augmented-dimension
+    * transform) so dot searches stay exact by design. */
+  private def indexableMetric(metric: String): Boolean =
+    metric == "l2" || metric == "cosine"
+
+  /** The space the quantizer lives in: raw vectors for l2, unit-normalized
+    * for cosine. Stored index rows keep the ORIGINAL vec; only centroid
+    * assignment and probing happen in this space. */
+  private def assignSpace(m: CollectionMeta)(c: Column): Column =
+    if (m.metric == "cosine") l2_normalize(c) else c
+
+  private def normalizeQuery(q: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < q.length) { s += q(i).toDouble * q(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) q else q.map(x => (x / n).toFloat)
+  }
+
+  private def writeCentroids(quant: IvfIndex.CoarseQuantizer, path: String): Unit = {
+    import spark.implicits._
+    quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroid_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def readCentroids(path: String): IvfIndex.CoarseQuantizer =
+    IvfIndex.CoarseQuantizer(spark.read.parquet(path)
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
 
   /** Build (or rebuild) the IVF_FLAT index over the CURRENT snapshot —
     * the reference's `create_index(IVF_FLAT, L2, nlist)`
     * (`milvus-app/pythonvectordbceph_milvus.py:100-102`). Persists the
-    * cell-partitioned layout + centroid table + the snapshot version it
-    * was built from; `search` uses it only while fresh. */
+    * cell-partitioned layout, TWO centroid tables, and the snapshot
+    * version indexed:
+    *
+    *   - `centroids` — the frozen ASSIGNMENT centers. These never move
+    *     after build, so any row's cell is recomputable from its vector
+    *     alone — which is what lets incremental maintenance evict a key's
+    *     old copy without a key→cell map.
+    *   - `probe_centroids` — the refreshed PER-CELL MEANS used to choose
+    *     cells at query time. Incremental commits move these toward the
+    *     cells' true current means, so probe quality tracks drift while
+    *     cell membership stays frozen. */
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0): Unit = {
-    import spark.implicits._
     val m = metaOrThrow(name)
-    require(m.metric == "l2", s"IVF index supports l2 only, collection is ${m.metric}")
+    require(indexableMetric(m.metric),
+      s"IVF index supports l2 and cosine (dot has no Voronoi prune — dot " +
+        s"searches stay exact); collection is ${m.metric}")
     val coll = collection(m)
     val version = coll.currentVersion.getOrElse(
       throw new IllegalStateException(s"collection $name is empty — nothing to index"))
-    val (indexed, quant) = graft.index.IvfIndex.build(
-      coll.read(spark), "vec", nlist, sampleFraction = sampleFraction)
-    graft.index.IvfIndex.writeIndexed(indexed, s"${ivfDir(m)}/cells")
-    quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("centroid_id", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"${ivfDir(m)}/centroids")
+    val snapshot = coll.read(spark).withColumn("__assign", assignSpace(m)(col("vec")))
+    val (indexed, quant) = IvfIndex.build(
+      snapshot, "__assign", nlist, sampleFraction = sampleFraction)
+    IvfIndex.writeIndexed(indexed.drop("__assign"), cellsPath(m))
+    writeCentroids(quant, s"${ivfDir(m)}/centroids")
+    writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
       version.toString.getBytes)
   }
 
-  /** The persisted quantizer, with the collection version it indexed. */
-  private def loadIndex(m: CollectionMeta): Option[(graft.index.IvfIndex.CoarseQuantizer, Long)] = {
+  /** `maintainable` = the index carries the probe table (new format);
+    * pre-probe-table indexes still serve reads (probe falls back to the
+    * assignment centers) but are never maintained incrementally — their
+    * rows were placed by KMeans.transform, which our deterministic kernel
+    * cannot reproduce. */
+  private case class LoadedIndex(assign: IvfIndex.CoarseQuantizer,
+                                 probe: IvfIndex.CoarseQuantizer,
+                                 version: Long, maintainable: Boolean)
+
+  private def loadIndex(m: CollectionMeta): Option[LoadedIndex] = {
     val vfile = java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION")
     if (!java.nio.file.Files.exists(vfile)) None
     else {
       val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
-      val centers = spark.read.parquet(s"${ivfDir(m)}/centroids")
-        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
-      Some((graft.index.IvfIndex.CoarseQuantizer(centers), v))
+      val assign = readCentroids(s"${ivfDir(m)}/centroids")
+      val probePath = s"${ivfDir(m)}/probe_centroids"
+      val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
+      Some(LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
+        v, hasProbe))
+    }
+  }
+
+  /** Incrementally maintain the IVF index across one merge-commit: evict
+    * the touched keys from their old cells, insert the new rows into their
+    * (deterministically assigned) cells, refresh the touched cells' probe
+    * centers to the new means, and stamp the index with the new snapshot
+    * version — so `search` keeps its `centroidId` partition prune after
+    * upserts/deletes instead of silently degrading to an exact full scan
+    * until the next full rebuild. The reference's backend keeps its index
+    * live across upserts the same way
+    * (`milvus-app/pythonvectordbceph_milvus.py:100-102,154`).
+    *
+    * Cost is bounded by the batch: only the cells holding touched keys are
+    * read and rewritten (a `centroidId` partition prune), the probe
+    * refresh aggregates only those cells' rows, and the frozen assignment
+    * centers make an old row's cell recomputable from its vector — no
+    * key→cell sidecar to maintain.
+    *
+    * Crash-safety: VERSION is stamped last. A crash mid-rewrite leaves
+    * VERSION behind the store version, so `search` falls back to the
+    * exact scan and `buildIndex` is the recovery path (later commits see
+    * a stale index and skip this). `deleteWhere` commits outside this
+    * path and intentionally leaves the index stale the same way. */
+  private def refreshIndexIncremental(m: CollectionMeta, preVersion: Option[Long],
+      newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
+      puts: Option[DataFrame]): Unit = loadIndex(m) match {
+    case Some(idx) if idx.maintainable && preVersion.contains(idx.version)
+        && indexableMetric(m.metric) =>
+      val keys = touchKeys.distinct().persist()
+      try {
+        // old copies of the touched keys — their cells are recomputable
+        // because the assignment centers are frozen at build time
+        val evicted = IvfIndex.assignCells(
+          preImage.join(keys, Seq("key"), "left_semi")
+            .withColumn("__assign", assignSpace(m)(col("vec"))),
+          "__assign", idx.assign)
+        val inserted = puts.map(p => IvfIndex.assignCells(
+          p.withColumn("__assign", assignSpace(m)(col("vec"))), "__assign", idx.assign))
+        val oldCells = evicted.select("centroidId").distinct().collect().map(_.getInt(0))
+        val newCells = inserted.toSeq.flatMap(
+          _.select("centroidId").distinct().collect().map(_.getInt(0)))
+        val touchedCells = (oldCells ++ newCells).distinct.toSeq
+        if (touchedCells.nonEmpty) {
+          val survivors = IvfIndex.loadIndexed(spark, cellsPath(m))
+            .filter(col("centroidId").isin(touchedCells: _*))
+            .join(keys, Seq("key"), "left_anti")
+          // localCheckpoint: materializes the new cell contents before the
+          // dynamic partition overwrite below (a path can't be overwritten
+          // while the plan still reads it), and the materialized set is
+          // bounded by the touched cells' rows
+          val contents = inserted.fold(survivors)(i =>
+            survivors.unionByName(i.drop("__assign"))).localCheckpoint()
+          val writtenCells = contents.select("centroidId").distinct()
+            .collect().map(_.getInt(0)).toSet
+          contents.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroidId").parquet(cellsPath(m))
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // write — a touched cell left with no surviving rows must have
+          // its directory dropped explicitly, or deleted keys would linger
+          (touchedCells.toSet -- writtenCells).foreach { cell =>
+            deleteDir(s"${cellsPath(m)}/centroidId=$cell")
+          }
+          // probe centers of the touched cells move to the new cell means;
+          // untouched cells keep theirs (refreshCentroids only sees the
+          // touched cells' rows)
+          val refreshed = IvfIndex.refreshCentroids(
+            contents.withColumn("__assign", assignSpace(m)(col("vec"))),
+            "__assign", idx.probe)
+          writeCentroids(refreshed, s"${ivfDir(m)}/probe_centroids")
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
+          newVersion.toString.getBytes)
+      } finally keys.unpersist()
+    case _ => () // no index, already stale, or pre-probe-table format —
+                 // search falls back to the exact scan as before
+  }
+
+  private def deleteDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
     }
   }
 
@@ -308,11 +453,15 @@ class GraftClient(spark: SparkSession, root: String) {
     * result shape = the reference client's `{vector_key, distance, metadata}`
     * (`s3vectors-app/search.py:61-69`).
     *
-    * When a FRESH IVF index exists (built at the current snapshot version,
-    * metric l2), candidates come from the `nprobe` nearest cells of the
-    * partitioned at-rest layout — a parquet partition prune; otherwise the
-    * exact snapshot scan runs (upserts after an index build silently
-    * degrade to exact rather than to stale results). A metadata `filter`
+    * When a FRESH IVF index exists (stamped at the current snapshot
+    * version; metric l2, or cosine via the normalized-space prune),
+    * candidates come from the `nprobe` nearest cells of the partitioned
+    * at-rest layout — a parquet partition prune. Merge-commits maintain
+    * the index incrementally, so it normally STAYS fresh across
+    * upserts/deletes; if it is stale anyway (crash mid-refresh,
+    * `deleteWhere`, legacy format), the exact snapshot scan runs — never
+    * stale results. Dot-metric collections always scan exactly (no
+    * Voronoi prune exists for inner product). A metadata `filter`
     * composes WITH the index — Milvus accepts filter+index the same way
     * (`milvus-app/pythonvectordbceph_milvus.py:111`): the filter is
     * conjunctive, so applying it on the pruned-cell scan keeps the
@@ -329,9 +478,11 @@ class GraftClient(spark: SparkSession, root: String) {
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     val coll = collection(m)
     val fresh = loadIndex(m) match {
-      case Some((quant, v)) if coll.currentVersion.contains(v) && m.metric == "l2" =>
-        val cells = quant.probes(qvec, nprobe)
-        Some(graft.index.IvfIndex.loadIndexed(spark, s"${ivfDir(m)}/cells")
+      case Some(idx) if coll.currentVersion.contains(idx.version)
+          && indexableMetric(m.metric) =>
+        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+        val cells = idx.probe.probes(qa, nprobe)
+        Some(IvfIndex.loadIndexed(spark, cellsPath(m))
           .filter(col("centroidId").isin(cells: _*)))
       case _ => None
     }

@@ -38,9 +38,38 @@ object IvfIndex {
         .take(math.min(nprobe, nlist))
   }
 
+  /** Assign every row to its nearest centroid under OUR deterministic
+    * kernel (strict-less L2², ties to the lowest id). Both the initial
+    * build and incremental maintenance go through this one function: a
+    * row's cell must be recomputable bit-for-bit later (to find and evict
+    * its old copy on upsert/delete), and MLlib's `model.transform` computes
+    * distances with a different floating-point decomposition
+    * (‖a‖²+‖b‖²−2a·b), so a near-tie row could land differently there. */
+  def assignCells(df: DataFrame, vecCol: String, quant: CoarseQuantizer): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(quant.centers)
+    val nearest = udf { (v: Seq[Float]) =>
+      val centers = bc.value
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < centers.length) {
+        val c = centers(i)
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { val d = c(j) - v(j); s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = i }
+        i += 1
+      }
+      best
+    }
+    df.withColumn("centroidId", nearest(col(vecCol)))
+  }
+
   /** Fit the coarse quantizer and assign `centroidId` to every row.
     * `sampleFraction` bounds the KMeans fit cost at corpus scale — fitting
-    * on a sample and assigning everything is the standard IVF build. */
+    * on a sample and assigning everything is the standard IVF build.
+    * KMeans only LEARNS the centers; assignment goes through
+    * [[assignCells]] so incremental maintenance reproduces it exactly. */
   def build(df: DataFrame, vecCol: String, nlist: Int, seed: Long = 42L,
             sampleFraction: Double = 1.0): (DataFrame, CoarseQuantizer) = {
     val withFeatures = df.withColumn("__features",
@@ -49,13 +78,14 @@ object IvfIndex {
                 else withFeatures.sample(sampleFraction, seed)
     val model = new KMeans()
       .setK(nlist).setSeed(seed)
-      .setFeaturesCol("__features").setPredictionCol("centroidId")
+      .setFeaturesCol("__features").setPredictionCol("__kmCell")
       .fit(fitOn)
-    val assigned = model.transform(withFeatures).drop("__features")
+    val quant = CoarseQuantizer(model.clusterCenters.map(_.toArray))
+    val assigned = assignCells(df, vecCol, quant)
     // Cluster the layout by cell: at rest this is `partitionBy(centroidId)`
     // on the Parquet write; in-session, a repartition gives the same
     // pruning behavior for the scan that follows.
-    (assigned.repartition(col("centroidId")), CoarseQuantizer(model.clusterCenters.map(_.toArray)))
+    (assigned.repartition(col("centroidId")), quant)
   }
 
   /** Incremental centroid refresh after upserts/deletes shift a cell's

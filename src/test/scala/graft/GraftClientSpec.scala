@@ -253,19 +253,123 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy { case (key, d) => (d, key) }.take(5).map(_._1)
     assert(viaIndex == exact, "fresh IVF top-5 matches the exact answer")
 
-    // upsert after the build → index is stale → exact fallback, and the
-    // new key is findable immediately
+    // upsert after the build → the index refreshes incrementally: search
+    // must still run THROUGH the prune and see the new key immediately
     client.upsert("ivf", Seq(("fresh", vec(17), Map.empty[String, String]))
       .toDF("key", "vec", "meta"))
-    val after = client.search("ivf", q, k = 2).collect()
-      .map(_.getAs[String]("vector_key")).toSeq
-    assert(after.contains("fresh"), s"stale index must not hide new rows: $after")
+    val afterDf = client.search("ivf", q, k = 2)
+    assert(afterDf.queryExecution.executedPlan.toString.contains("centroidId"),
+      "an upsert must not silently degrade search to the exact full scan")
+    val after = afterDf.collect().map(_.getAs[String]("vector_key")).toSeq
+    assert(after.contains("fresh"), s"refreshed index must not hide new rows: $after")
+
+    // deleteWhere commits outside the merge path → index goes stale →
+    // exact fallback (correct, just unpruned) until a rebuild
+    client.deleteWhere("ivf", col("key") === "k199")
+    val staleDf = client.search("ivf", q, k = 2)
+    assert(!staleDf.queryExecution.executedPlan.toString.contains("centroidId"),
+      "a stale index must fall back to the exact scan, not serve stale cells")
+    assert(staleDf.collect().map(_.getAs[String]("vector_key")).toSeq.contains("fresh"))
 
     // rebuild → indexed path again, still sees the new key
     client.buildIndex("ivf", nlist = 4)
     val rebuilt = client.search("ivf", q, k = 2).collect()
       .map(_.getAs[String]("vector_key")).toSeq
     assert(rebuilt.contains("fresh"))
+  }
+
+  test("incremental IVF maintenance: upserts/deletes keep the prune exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("inc", dim = 8, metric = "l2", indexType = "IVF_FLAT", nlist = 4)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("inc", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("inc", nlist = 4)
+
+    // a batch that exercises every maintenance arm: brand-new keys, an
+    // overwrite that MOVES a key to a different cell (k30 gets k170's
+    // vector), then a delete
+    client.upsert("inc", Seq(
+      ("new1", vec(500), Map("i" -> "500")),
+      ("new2", vec(501), Map("i" -> "501")),
+      ("k30", vec(170), Map("i" -> "moved"))
+    ).toDF("key", "vec", "meta"))
+    client.deleteByKeys("inc", Seq("k17"))
+
+    val live: Map[String, Seq[Float]] =
+      (rows.map { case (k, v, _) => k -> v }.toMap
+        ++ Map("new1" -> vec(500), "new2" -> vec(501), "k30" -> vec(170))) - "k17"
+
+    // full probe (nprobe = nlist) through the maintained index must equal
+    // the exact answer over the merged state — any lingering old copy
+    // (k30's old cell, k17) or missed insert would show up here
+    for (qSeed <- Seq(17, 30, 170, 500)) {
+      val q = vec(qSeed).toArray
+      val df = client.search("inc", q, k = 8, nprobe = 4)
+      assert(df.queryExecution.executedPlan.toString.contains("centroidId"),
+        "search must keep the centroidId prune after maintenance commits")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+      def l2(v: Seq[Float]): Double =
+        v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+      val exact = live.toSeq.map { case (k, v) => (k, l2(v)) }
+        .sortBy { case (k, d) => (d, k) }.take(8).map(_._1)
+      assert(got == exact, s"q=vec($qSeed): $got != $exact")
+    }
+    // the deleted and moved-away copies must be gone from the cells on disk
+    val cells = spark.read.parquet(
+      s"${client.describe("inc").dataPath}-ivf/cells")
+    assert(cells.filter(col("key") === "k17").count() == 0, "deleted key lingers in a cell")
+    assert(cells.filter(col("key") === "k30").count() == 1, "moved key must exist exactly once")
+  }
+
+  test("cosine metric rides the IVF prune in normalized space") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-cos").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("cosivf", dim = 8, metric = "cosine", indexType = "IVF_FLAT", nlist = 8)
+    val rnd = new scala.util.Random(7)
+    // unnormalized vectors on purpose: magnitude must not affect cosine
+    val rows = (0 until 400).map { i =>
+      val scale = 0.1f + rnd.nextFloat() * 10f
+      (s"k$i", (1 to 8).map(j => (math.sin(i * 0.37 + j * 1.7) * scale).toFloat), Map("i" -> i.toString))
+    }
+    client.upsert("cosivf", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("cosivf", nlist = 8)
+
+    def cos(v: Seq[Float], q: Array[Float]): Double = {
+      val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+      val na = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(q.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    var hits = 0; var total = 0
+    for (qSeed <- 0 until 10) {
+      val q = (1 to 8).map(j => math.sin(qSeed * 0.91 + j * 0.53).toFloat).toArray
+      val df = client.search("cosivf", q, k = 10, nprobe = 3)
+      assert(df.queryExecution.executedPlan.toString.contains("centroidId"),
+        "cosine search must go through the index when fresh")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSet
+      val exact = rows.map { case (k, v, _) => (k, -cos(v, q)) }
+        .sortBy { case (k, d) => (d, k) }.take(10).map(_._1).toSet
+      hits += got.intersect(exact).size; total += 10
+      // full probe must be exactly the exact answer
+      val full = client.search("cosivf", q, k = 10, nprobe = 8)
+        .collect().map(_.getAs[String]("vector_key")).toSet
+      assert(full == exact, "cosine full-probe through the index must be exact")
+    }
+    val recall = hits.toDouble / total
+    assert(recall >= 0.95, s"cosine recall@10 with nprobe=3/8 was $recall")
+
+    // dot stays exact by documented stance
+    val err = intercept[IllegalArgumentException] {
+      val c2 = new GraftClient(spark, root)
+      c2.createCollection("dotc", dim = 8, metric = "dot")
+      c2.buildIndex("dotc", nlist = 4)
+    }
+    assert(err.getMessage.contains("dot"))
   }
 
   test("filtered search composes with the IVF index (prune, then filter)") {
