@@ -75,6 +75,26 @@ class GraftClient(spark: SparkSession, root: String) {
   def list(): Seq[String] = catalog.listCollections()
   def drop(name: String): Boolean = catalog.dropCollection(name)
 
+  /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
+    * collection becomes a temp view of its current snapshot, and
+    * `graft_collections` mirrors the catalog — the reference's describe
+    * flow (`milvus-app/describe.py:11-33`: list_collections →
+    * describe_collection → describe_index → query) as plain SQL:
+    *
+    *   SELECT name, dim, metric, indexType, nlist FROM graft_collections;
+    *   SELECT key, vec, meta FROM <collection> LIMIT 10;
+    *
+    * View names replace `-` with `_` (SQL identifiers); views are
+    * snapshot-consistent as of registration (A20) — re-register after
+    * writes to advance them. */
+  def registerSqlViews(): Unit = {
+    import spark.implicits._
+    val metas = list().map(metaOrThrow)
+    metas.foreach(m =>
+      collection(m).read(spark).createOrReplaceTempView(m.name.replace('-', '_')))
+    metas.toDF().createOrReplaceTempView("graft_collections")
+  }
+
   /** One atomic merge-commit of a resolved batch: upsert `puts`
     * (key, vec, meta) and delete `delKeys` (key) as ONE new snapshot
     * version — a caller that has already resolved per-key winners (the
@@ -183,16 +203,19 @@ class GraftClient(spark: SparkSession, root: String) {
     deleteByKeysDf(name, keys.toDF("key"))
   }
 
-  /** Delete by predicate over (key, meta) — Milvus `delete(filter=...)`.
-    * An arbitrary predicate can match anywhere, so this is the one write
-    * that legitimately touches every bucket. */
+  /** Delete by predicate over (key, vec, meta) — Milvus `delete(filter=...)`.
+    * An arbitrary predicate must READ every bucket to find its matches,
+    * but it only needs to REWRITE the buckets that contain one: the
+    * matching keys are resolved against the current snapshot first, then
+    * the delete flows through the same touched-bucket merge-commit as
+    * `deleteByKeysDf` — which also keeps a fresh IVF index fresh. A
+    * predicate matching nothing commits nothing. */
   def deleteWhere(name: String, pred: Column): Long = {
     val m = metaOrThrow(name)
     val coll = collection(m)
-    val remaining = IngestOps.deleteByPredicate(coll.read(spark), pred)
-    coll.commitBuckets((0 until m.buckets),
-      remaining.select(rowSchema.fieldNames.map(col): _*), coll.maxSeq)
-    coll.read(spark).count()
+    val matches = coll.read(spark).filter(coalesce(pred, lit(false))).select("key")
+    if (matches.isEmpty) coll.read(spark).count()
+    else mergeCommit(m, None, Some(matches))
   }
 
   /** The reference's whole event-driven service as one streaming query
@@ -380,8 +403,7 @@ class GraftClient(spark: SparkSession, root: String) {
     * Crash-safety: VERSION is stamped last. A crash mid-rewrite leaves
     * VERSION behind the store version, so `search` falls back to the
     * exact scan and `buildIndex` is the recovery path (later commits see
-    * a stale index and skip this). `deleteWhere` commits outside this
-    * path and intentionally leaves the index stale the same way. */
+    * a stale index and skip this). */
   private def refreshIndexIncremental(m: CollectionMeta, preVersion: Option[Long],
       newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
       puts: Option[DataFrame]): Unit = loadIndex(m) match {
@@ -458,8 +480,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * candidates come from the `nprobe` nearest cells of the partitioned
     * at-rest layout — a parquet partition prune. Merge-commits maintain
     * the index incrementally, so it normally STAYS fresh across
-    * upserts/deletes; if it is stale anyway (crash mid-refresh,
-    * `deleteWhere`, legacy format), the exact snapshot scan runs — never
+    * upserts/deletes; if it is stale anyway (crash mid-refresh, legacy
+    * format), the exact snapshot scan runs — never
     * stale results. Dot-metric collections always scan exactly (no
     * Voronoi prune exists for inner product). A metadata `filter`
     * composes WITH the index — Milvus accepts filter+index the same way

@@ -263,9 +263,19 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = afterDf.collect().map(_.getAs[String]("vector_key")).toSeq
     assert(after.contains("fresh"), s"refreshed index must not hide new rows: $after")
 
-    // deleteWhere commits outside the merge path → index goes stale →
-    // exact fallback (correct, just unpruned) until a rebuild
+    // deleteWhere also flows through the merge path now — index stays fresh
     client.deleteWhere("ivf", col("key") === "k199")
+    val afterDel = client.search("ivf", q, k = 2)
+    assert(afterDel.queryExecution.executedPlan.toString.contains("centroidId"),
+      "a predicate delete must not silently degrade search either")
+    assert(afterDel.collect().map(_.getAs[String]("vector_key")).toSeq.contains("fresh"))
+
+    // simulate a crash mid-refresh (VERSION left behind the store): search
+    // must fall back to the exact scan — correct, just unpruned
+    val vfile = java.nio.file.Paths.get(
+      s"${client.describe("ivf").dataPath}-ivf/VERSION")
+    val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
+    java.nio.file.Files.write(vfile, (v - 1).toString.getBytes)
     val staleDf = client.search("ivf", q, k = 2)
     assert(!staleDf.queryExecution.executedPlan.toString.contains("centroidId"),
       "a stale index must fall back to the exact scan, not serve stale cells")
@@ -405,6 +415,39 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val full = client.search("fivf", q, k = 5, filter = Some(evenFilter), nprobe = 8)
       .collect().map(_.getAs[String]("vector_key")).toSeq
     assert(full == exact, "filter + full-probe index equals the exact filtered answer")
+  }
+
+  test("deleteWhere rewrites only the buckets holding matches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-delw").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("dw", dim = 2, buckets = 8)
+    val rows = (0 until 100).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map("grp" -> (if (i == 5) "victim" else "keep"))))
+    client.upsert("dw", rows.toDF("key", "vec", "meta"))
+
+    def liveDirs(): Map[Int, String] = {
+      import scala.jdk.CollectionConverters._
+      val dp = java.nio.file.Paths.get(client.describe("dw").dataPath)
+      val cur = new String(java.nio.file.Files.readAllBytes(dp.resolve("CURRENT"))).trim.toLong
+      java.nio.file.Files.readAllLines(dp.resolve(f"manifest-$cur%08d")).asScala.toSeq.tail
+        .filter(_.nonEmpty)
+        .map { l => val Array(b, rel) = l.split(" ", 2); b.toInt -> rel }.toMap
+    }
+    val before = liveDirs()
+    assert(client.deleteWhere("dw",
+      element_at(col("meta"), "grp") === "victim") == 99)
+    val after = liveDirs()
+    val changed = before.keySet.filter(b => after.get(b) != before.get(b))
+    assert(changed.size == 1,
+      s"a single-key predicate delete must rewrite exactly one bucket, got $changed")
+    // a no-match predicate commits nothing at all
+    val ver = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(client.describe("dw").dataPath, "CURRENT"))).trim
+    assert(client.deleteWhere("dw", element_at(col("meta"), "grp") === "absent") == 99)
+    val ver2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(client.describe("dw").dataPath, "CURRENT"))).trim
+    assert(ver == ver2, "no-match deleteWhere must not bump the snapshot version")
   }
 
   test("within-batch duplicate keys resolve to one deterministic winner") {

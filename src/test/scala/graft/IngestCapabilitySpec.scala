@@ -215,4 +215,135 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected partition pruning on centroidId, got:\n$plan")
     assert(res.collect().map(_.getAs[Long]("vec_id")).contains(7L))
   }
+
+  // ---- SQL surface (A16/A17 from pure SQL, mirroring describe.py) ----
+
+  test("registerSqlViews: the describe.py flow works from plain SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sql").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("texts_a", dim = 4, metric = "l2",
+      indexType = "IVF_FLAT", nlist = 8)
+    client.createCollection("texts_b", dim = 2, metric = "cosine")
+    client.upsert("texts_a", Seq(
+      ("k1", Seq(1f, 0f, 0f, 0f), Map("cat" -> "x")),
+      ("k2", Seq(0f, 1f, 0f, 0f), Map("cat" -> "y"))).toDF("key", "vec", "meta"))
+    client.registerSqlViews()
+
+    // list_collections + describe_collection + describe_index in one query
+    val descr = spark.sql(
+      """SELECT name, dim, metric, indexType, nlist FROM graft_collections
+        |ORDER BY name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3), r.getInt(4)))
+    assert(descr.toSeq == Seq(
+      ("texts_a", 4, "l2", "IVF_FLAT", 8),
+      ("texts_b", 2, "cosine", "FLAT", 0)))
+
+    // query the collection itself (describe.py:28-33's sample query)
+    val rows = spark.sql(
+      "SELECT key, element_at(meta, 'cat') AS cat FROM texts_a ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("k1", "x"), ("k2", "y")))
+
+    // views advance on re-registration after a write
+    client.upsert("texts_a",
+      Seq(("k3", Seq(0f, 0f, 1f, 0f), Map("cat" -> "z"))).toDF("key", "vec", "meta"))
+    client.registerSqlViews()
+    assert(spark.sql("SELECT count(*) AS n FROM texts_a").head().getLong(0) == 3)
+  }
+
+  // ---- HTTP landing adapter (A1) + external-inference hook (A4 remote) ----
+
+  test("LandingReceiver: posted notifications land and ingest end-to-end") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-recv").toString
+    val recv = new graft.streaming.LandingReceiver(s"$root/landing")
+    try {
+      def post(json: String): Int = {
+        val conn = new java.net.URI(s"http://localhost:${recv.boundPort}/")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(json.getBytes("UTF-8"))
+        val c = conn.getResponseCode; conn.disconnect(); c
+      }
+      def notif(eventName: String, key: String): String =
+        s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
+          s""""s3":{"bucket":{"name":"bkt"},"object":{"key":"$key","size":1,""" +
+          s""""tags":{"category":"docs"}}}}]}"""
+      assert(post(notif("ObjectCreated:Put", "a.txt")) == 200)
+      assert(post(notif("ObjectCreated:Put", "b.txt")) == 200)
+      assert(post(notif("ObjectRemoved:Delete", "a.txt")) == 200)
+
+      val client = new graft.api.GraftClient(spark, root)
+      val emb = HashingEmbedder(16)
+      client.createCollection("recvd", dim = 16)
+      val objects = Seq(("a.txt", "alpha doc"), ("b.txt", "beta doc")).toDF("key", "text")
+      client.startIngest("recvd", s"$root/landing", objects, embedder = emb)
+        .awaitTermination(120000)
+      val keys = client.search("recvd", emb.embedText("doc"), 10).collect()
+        .map(_.getAs[String]("vector_key")).toSet
+      assert(keys == Set("b.txt"), s"delete-after-put must hold over HTTP posts: $keys")
+
+      // GETs are rejected like the reference's POST-only handler
+      val g = new java.net.URI(s"http://localhost:${recv.boundPort}/")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(g.getResponseCode == 405)
+      g.disconnect()
+    } finally recv.stop()
+  }
+
+  test("RemoteEmbedder: batched per-partition calls against a stub service") {
+    import spark.implicits._
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val kernel = HashingEmbedder(8) // the stub "model"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/embed", (ex: com.sun.net.httpserver.HttpExchange) => {
+      served.incrementAndGet()
+      val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val out = mapper.createObjectNode()
+      val vecs = out.putArray("vectors")
+      val inputs = req.get("inputs")
+      (0 until inputs.size()).foreach { i =>
+        val item = inputs.get(i)
+        val v = if (item.has("text")) kernel.embedText(item.get("text").asText())
+          else kernel.embedBytes(java.util.Base64.getDecoder.decode(item.get("bytes_b64").asText()))
+        val arr = vecs.addArray()
+        v.foreach(arr.add)
+      }
+      val bytes = mapper.writeValueAsBytes(out)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/embed"
+      val remote = graft.ingest.RemoteEmbedder(url, dim = 8, batchSize = 4)
+
+      // the config gate: endpoint set → remote; unset → hashing stand-in
+      spark.conf.set("spark.graft.embedder.endpoint", url)
+      spark.conf.set("spark.graft.embedder.batchSize", "4")
+      assert(Embedder.configured(spark, 8) == graft.ingest.RemoteEmbedder(url, 8, 4))
+      spark.conf.unset("spark.graft.embedder.endpoint")
+      assert(Embedder.configured(spark, 8) == HashingEmbedder(8))
+
+      val docs = (0 until 10).map(i => (s"k$i", if (i == 7) null else s"doc number $i"))
+        .toDF("key", "text").repartition(1)
+      val embedded = Embedder.embedDocuments(docs, "text", remote)
+        .collect().map(r => r.getAs[String]("key") -> Option(r.getSeq[Float](2))).toMap
+      assert(embedded("k7").isEmpty, "null text embeds to null without a call")
+      (0 until 10).filter(_ != 7).foreach { i =>
+        assert(embedded(s"k$i").get == kernel.embedText(s"doc number $i").toSeq,
+          s"k$i: remote vector must equal the service's kernel output")
+      }
+      // 9 non-null rows at batchSize 4 in one partition = 3 requests, not 9
+      assert(served.get() == 3, s"expected 3 batched calls, saw ${served.get()}")
+
+      // bytes path round-trips too
+      assert(remote.embedBytes(Array[Byte](1, 2, 3, 4)).toSeq ==
+        kernel.embedBytes(Array[Byte](1, 2, 3, 4)).toSeq)
+    } finally server.stop(0)
+  }
 }
