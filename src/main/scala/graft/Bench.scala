@@ -43,9 +43,18 @@ object Bench {
     // the headline look FASTER — so failures are both surfaced in the JSON
     // and fatal to the bench's exit code; a total-only gate can't miss them.
     val failed = results.count(_._2 < 0)
+    // Streaming ingest is timed as its own top-level entry, OUTSIDE the
+    // per-query map and `total` (those carry per-query budgets; ingest
+    // writes state, spans micro-batches, and runs once — its baseline is
+    // BASELINE.md's streaming row, r4).
+    val ingest =
+      try Some(IngestScaleBench.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming ingest failed: ${e.getMessage}"); None }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failed,"sf":"$sfDir"}""")
+      s""""failed":${failed + (if (ingest.isEmpty) 1 else 0)}""" +
+      ingest.fold("")("," + _.json) + s""","sf":"$sfDir"}""")
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (failed > 0 || ingest.isEmpty) sys.exit(1)
   }
 }

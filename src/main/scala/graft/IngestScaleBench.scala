@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.api.GraftClient
+import graft.core.Tables
+
+/** End-to-end streaming-ingest benchmark — the number BASELINE.md's
+  * streaming row comes from (the per-query bench can't time ingest: it
+  * writes state and spans micro-batches).
+  *
+  * The whole event-driven service runs at fixture scale: the sf `events`
+  * table (100k rows at sf0.1) becomes S3 bucket-notification JSON in
+  * landing files — the shape the reference's Flask handler receives one
+  * RPC at a time (`s3vectors-app/pythonvectordbceph.py:121-147`) —
+  * and `startIngest` drains them under `Trigger.AvailableNow` with
+  * `maxFilesPerTrigger` sizing the micro-batches: parse → per-key
+  * last-write-wins resolve → object join → embed (dim 384) → bucketed
+  * merge-commit, one atomic snapshot per batch.
+  *
+  * Prints one JSON line: events/s end-to-end, per-micro-batch commit
+  * cost, and the final live-key count (a correctness cross-check — the
+  * same resolve the oracle-checked `upsert_last_write_wins` verifies).
+  */
+object IngestScaleBench {
+
+  /** One measured ingest of the sf `events` fixture. Returns
+    * (wall seconds, events, per-batch trigger seconds, live keys). */
+  case class Result(wallSec: Double, events: Long, batchSec: Seq[Double], liveKeys: Long) {
+    def eventsPerSec: Long = (events / wallSec).round
+    def json: String =
+      s""""streaming_ingest_sec":${f"$wallSec%.2f"},""" +
+        s""""ingest_events_per_sec":$eventsPerSec,""" +
+        s""""ingest_batch_sec":[${batchSec.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""ingest_live_keys":$liveKeys"""
+  }
+
+  def run(spark: SparkSession, sfDir: String): Result = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
+    val landing = s"$root/landing"
+
+    // events → notification JSON; ~5% deletes (the fixture's "error" type).
+    // ~5 events/key keeps real re-put churn at every sf (20k keys at sf0.1).
+    val events = Tables.events(spark, sfDir)
+    val nEvents = events.count()
+    val nKeys = math.max(nEvents / 5, 100L)
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    val s3 = struct(
+      struct(lit("bench").as("name")).as("bucket"),
+      struct(
+        concat(lit("obj-"), pmod(col("event_id"), lit(nKeys))).as("key"),
+        col("event_id").as("size"),
+        map(lit("category"), col("event_type")).as("tags")).as("object"))
+    val record = struct(
+      lit("2.2").as("eventVersion"),
+      lit("ceph:s3").as("eventSource"),
+      when(col("event_type") === "error", "ObjectRemoved:Delete")
+        .otherwise("ObjectCreated:Put").as("eventName"),
+      s3.as("s3"))
+    val notifs = events.orderBy("event_id")
+      .select(to_json(struct(array(record).as("Records"))).as("value"))
+    // 20 landing files → maxFilesPerTrigger=4 → 5 micro-batches of ~20k
+    notifs.repartition(20).write.mode("overwrite").text(landing)
+
+    // the object store: each key's body is a fixture document (~300 chars)
+    val objects = spark.range(nKeys)
+      .select(concat(lit("obj-"), col("id")).as("key"),
+        pmod(col("id"), lit(nDocs)).as("doc_id"))
+      .join(Tables.t(spark, sfDir, "documents").select("doc_id", "text"), Seq("doc_id"))
+      .drop("doc_id")
+
+    val client = new GraftClient(spark, s"$root/store")
+    client.createCollection("bench", dim = 384, buckets = 64)
+
+    val t0 = System.nanoTime()
+    val q = client.startIngest("bench", landing, objects, maxFilesPerTrigger = Some(4))
+    q.awaitTermination()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    val perBatchSec = batches.map(_.durationMs.get("triggerExecution").toDouble / 1e3).toSeq
+    client.registerSqlViews()
+    val live = spark.sql("SELECT count(*) FROM bench").head().getLong(0)
+    Result(wallSec, nEvents, perBatchSec, live)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir)
+    println(s"""{"metric":"ingest_events_per_sec","value":${r.eventsPerSec},""" +
+      s""""unit":"events/sec",${r.json},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

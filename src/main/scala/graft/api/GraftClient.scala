@@ -228,10 +228,13 @@ class GraftClient(spark: SparkSession, root: String) {
     * are rejected like the reference's 400 arm. `ObjectRemoved:Delete`
     * events delete — per micro-batch, exactly the batch operators.
     * `Trigger.AvailableNow` drains everything pending and stops (A20
-    * strong read); pass `continuous = true` to keep running. */
+    * strong read); pass `continuous = true` to keep running.
+    * `maxFilesPerTrigger` bounds a micro-batch (admission control under
+    * both triggers) — the backlog-vs-latency knob when a burst lands. */
   def startIngest(name: String, landingDir: String, objectsDf: DataFrame,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
-                  continuous: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+                  continuous: Boolean = false,
+                  maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingIngest
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
@@ -250,7 +253,9 @@ class GraftClient(spark: SparkSession, root: String) {
     // ambiguous name order have no recoverable arrival order from any
     // source. The id remains only as the within-file tiebreak (rows of
     // one text file read in order).
-    val raw = spark.readStream.schema("value STRING").text(landingDir)
+    val reader = spark.readStream.schema("value STRING")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.text(landingDir)
       .select(col("value"),
         col("_metadata.file_modification_time").as("__mtime"),
         col("_metadata.file_path").as("__file"))
