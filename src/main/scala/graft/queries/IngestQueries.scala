@@ -137,8 +137,51 @@ object IngestQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
       .orderBy(col("object_class"))
 
+  /** A2, the deployed delivery path: the reference's Knative channel
+    * (`s3vectors-app/knative-resources.yaml:1-41`) wraps each notification
+    * in a CloudEvents 1.0 structured envelope before it reaches the
+    * subscriber. Even event_ids get the envelope, odd ones stay bare RGW
+    * posts, and BOTH go through the production `parseEvents` — the oracle
+    * computes every output field directly, so a wrong branch in the
+    * envelope dispatch (or any unwrap loss) hash-mismatches. */
+  def cloudEventsParse(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val record = struct(
+      lit("2.2").as("eventVersion"),
+      lit("ceph:s3").as("eventSource"),
+      when(col("event_type") === "error", lit("ObjectRemoved:Delete"))
+        .otherwise(lit("ObjectCreated:Put")).as("eventName"),
+      struct(
+        struct(concat(lit("bkt-"), col("user_id")).as("name")).as("bucket"),
+        struct(
+          concat(lit("objects/"), col("user_id"), lit("/"), col("event_id")).as("key"),
+          col("event_id").as("size"),
+          map(lit("k"), get_json_object(col("props"), "$.k")).as("tags")
+        ).as("object")
+      ).as("s3"))
+    val notif = struct(array(record).as("Records"))
+    val envelope = struct(
+      lit("1.0").as("specversion"),
+      concat(lit("evt-"), col("event_id")).as("id"),
+      lit("/rgw/notifications").as("source"),
+      lit("dev.knative.channel.event").as("type"),
+      notif.as("data"))
+    val raw = ev.select(
+      col("event_id"),
+      (pmod(col("event_id"), lit(2)) === 0).as("enveloped"),
+      when(pmod(col("event_id"), lit(2)) === 0, to_json(envelope))
+        .otherwise(to_json(notif)).as("value"))
+    graft.streaming.StreamingIngest.parseEvents(raw)
+      .select(col("event_id"), col("event_name"), col("bucket"),
+        col("key").as("object_key"),
+        element_at(col("tags"), "k").as("tag_k"), col("enveloped"))
+      .filter(col("event_id") < 2000)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_parse" -> eventParse _,
+    "cloudevents_parse" -> cloudEventsParse _,
     "metadata_to_json" -> metadataToJson _,
     "upsert_last_write_wins" -> upsertLastWriteWins _,
     "delete_by_key" -> deleteByKey _,
@@ -161,6 +204,15 @@ object IngestQueries {
        WHERE rn = 1)"""
 
   val oracleSql: Map[String, String] = Map(
+    "cloudevents_parse" ->
+      """SELECT event_id,
+            CASE WHEN event_type = 'error' THEN 'ObjectRemoved:Delete'
+                 ELSE 'ObjectCreated:Put' END AS event_name,
+            'bkt-' || user_id AS bucket,
+            'objects/' || user_id || '/' || event_id AS object_key,
+            json_extract_string(props, '$.k') AS tag_k,
+            (event_id % 2 = 0) AS enveloped
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "event_parse" ->
       """SELECT event_id,
             CASE WHEN event_type = 'error' THEN 'ObjectRemoved:Delete'

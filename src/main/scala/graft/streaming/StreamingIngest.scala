@@ -34,17 +34,38 @@ object StreamingIngest {
       |    object: struct<key: string, size: bigint, tags: map<string,string>>>>>
       |""".stripMargin.replace("\n", " "))
 
+  /** CloudEvents 1.0 structured-mode envelope — what the reference's
+    * Knative channel (`s3vectors-app/knative-resources.yaml:1-41`,
+    * InMemoryChannel → Subscription) delivers to the subscriber: the S3
+    * notification nested under `data`, spec metadata alongside. (Binary
+    * mode carries the metadata in ce-* HTTP headers with the bare
+    * notification as body — that shape needs no unwrap.) */
+  val cloudEventsSchema: DataType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("specversion", StringType).add("id", StringType)
+      .add("source", StringType).add("type", StringType)
+      .add("time", StringType).add("datacontenttype", StringType)
+      .add("data", notificationSchema)
+  }
+
   /** A2 on a stream: raw JSON lines → one row per record with the fields
     * the ingest loop dispatches on. `Records` is exploded, so a batched
     * notification carrying several records yields several rows (the
     * reference reads only `Records[0]` — `pythonvectordbceph.py:128` —
-    * and would silently drop the rest; we don't). `event_ts` is the
-    * event-time column downstream watermarks key on. */
+    * and would silently drop the rest; we don't). A CloudEvents structured
+    * envelope is unwrapped transparently — `specversion` present means the
+    * notification sits under `data`; a bare notification parses as before,
+    * so one stream can mix direct RGW posts and channel-delivered events.
+    * `event_ts` is the event-time column downstream watermarks key on. */
   def parseEvents(raw: DataFrame, jsonCol: String = "value",
                   tsCol: Option[String] = None): DataFrame = {
+    val ce = from_json(col(jsonCol), cloudEventsSchema)
+    val records = when(ce.getField("specversion").isNotNull,
+        ce.getField("data").getField("Records"))
+      .otherwise(from_json(col(jsonCol), notificationSchema).getField("Records"))
     val base = raw
-      .withColumn("__rec", explode(
-        from_json(col(jsonCol), notificationSchema).getField("Records")))
+      .withColumn("__rec", explode(records))
       .select(
         col("__rec.eventName").as("event_name"),
         col("__rec.s3.bucket.name").as("bucket"),

@@ -146,6 +146,40 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsOf(coll).contains(("k3", 777L)))
   }
 
+  test("storage is bounded: old manifests and unreferenced bucket dirs are vacuumed") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val (root, coll) = freshColl(buckets = 4)
+    // 10 commits, each rewriting one bucket — without pruning this leaves
+    // 10 manifests and ~14 bucket dirs; retention must bound both
+    val all = (0 until 40).map(i => (s"k$i", i.toLong, 1L))
+    coll.commitBuckets((0 until 4), all.toDF("key", "value", "seq"), 1L)
+    val b = bucketOf(coll, "k0")
+    (2 to 10).foreach { v =>
+      val survivors = all.filter(r => bucketOf(coll, r._1) == b)
+        .map { case (k, _, _) => (k, v.toLong, v.toLong) }
+      coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), v.toLong)
+    }
+    val entries = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq finally l.close()
+    }
+    val manifests = entries.filter(_.startsWith("manifest-")).sorted
+    val cur = coll.currentVersion.get
+    assert(manifests == Seq(f"manifest-${cur - 1}%08d", f"manifest-$cur%08d"),
+      s"only the last retain=2 manifests may remain, got $manifests")
+    val referenced = manifests.flatMap(m =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(root, m)).asScala.toSeq.tail
+        .filter(_.nonEmpty).map(_.split(" ", 2)(1))).toSet
+    val dataDirs = entries.filter(n => n.startsWith("b") && n.contains("-v")).toSet
+    assert(dataDirs == referenced,
+      s"every surviving data dir must be referenced by a retained manifest; " +
+        s"orphans: ${dataDirs -- referenced}")
+    // the snapshot itself is intact after 9 prunes
+    assert(rowsOf(coll) == all.map { case (k, v, _) =>
+      (k, if (bucketOf(coll, k) == b) 10L else v) }.toSet)
+  }
+
   test("rows hashing outside the declared touched set are rejected") {
     import spark.implicits._
     val (_, coll) = freshColl()

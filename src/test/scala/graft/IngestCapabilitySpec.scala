@@ -216,6 +216,34 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.collect().map(_.getAs[Long]("vec_id")).contains(7L))
   }
 
+  // ---- RGW connectivity (A3's deployed form; conf-layer only, no net) ----
+
+  test("RgwConfig wires the reference's env contract into S3A conf") {
+    import graft.sources.RgwConfig
+    // the env the reference's pod spec injects (pythonvectordbceph.py:49-60)
+    val cfg = RgwConfig.fromEnv(Map(
+      "BUCKET_HOST" -> "rook-ceph-rgw-my-store.rook-ceph.svc",
+      "BUCKET_PORT" -> "8080",
+      "AWS_ACCESS_KEY_ID" -> "AK", "AWS_SECRET_ACCESS_KEY" -> "SK")).get
+    assert(cfg == RgwConfig("http://rook-ceph-rgw-my-store.rook-ceph.svc:8080", "AK", "SK"))
+    assert(RgwConfig.fromEnv(Map("BUCKET_HOST" -> "h")).isEmpty, "no creds → no config")
+
+    cfg.apply(spark)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://rook-ceph-rgw-my-store.rook-ceph.svc:8080")
+    assert(hc.get("fs.s3a.access.key") == "AK")
+    assert(hc.get("fs.s3a.path.style.access") == "true", "RGW buckets are not DNS subdomains")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false", "http endpoint → plain TCP")
+
+    // per-bucket override: a second gateway/credential set coexists (the
+    // reference's s3 vs s3vectors clients)
+    RgwConfig("https://other-gw:443", "AK2", "SK2").applyForBucket(spark, "vectors")
+    assert(hc.get("fs.s3a.bucket.vectors.endpoint") == "https://other-gw:443")
+    assert(hc.get("fs.s3a.bucket.vectors.connection.ssl.enabled") == "true")
+    assert(hc.get("fs.s3a.endpoint") == "http://rook-ceph-rgw-my-store.rook-ceph.svc:8080",
+      "a per-bucket override must not clobber the global gateway")
+  }
+
   // ---- SQL surface (A16/A17 from pure SQL, mirroring describe.py) ----
 
   test("registerSqlViews: the describe.py flow works from plain SQL") {

@@ -62,6 +62,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parsed.getAs[Map[String, String]]("tags") == Map("category" -> "docs"))
   }
 
+  test("parseEvents unwraps a CloudEvents envelope; bare and wrapped can mix") {
+    import spark.implicits._
+    val bare = notif("ObjectCreated:Put", "plain.txt", 7)
+    val wrapped =
+      """{"specversion":"1.0","id":"evt-1","source":"/rgw/notifications",""" +
+        """"type":"dev.knative.channel.event","datacontenttype":"application/json",""" +
+        s""""data":${notif("ObjectRemoved:Delete", "via-channel.txt", 9)}}"""
+    val rows = StreamingIngest.parseEvents(Seq(bare, wrapped).toDF("value"))
+      .select("event_name", "key", "size").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      ("ObjectCreated:Put", "plain.txt", 7L),
+      ("ObjectRemoved:Delete", "via-channel.txt", 9L)),
+      "the channel-delivered (enveloped) and direct (bare) shapes must parse identically")
+  }
+
   test("parseEvents yields one row per record for batched notifications") {
     import spark.implicits._
     val record =
