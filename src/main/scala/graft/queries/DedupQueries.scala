@@ -94,6 +94,45 @@ object DedupQueries {
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
+  /** C8/LLM mandate: MinHash similarity ESTIMATION — the fraction of
+    * agreeing signature components estimates Jaccard (E[agree/k] = jac),
+    * which is how production pipelines threshold near-dups WITHOUT
+    * materializing word sets per candidate pair: at corpus scale the
+    * pair join carries two 8-hash signatures (fixed width) instead of two
+    * unbounded token arrays. The true Jaccard rides along here (bounded
+    * 500-doc window) so the estimate's quality is itself oracle-checked
+    * per pair — both engines compute identical md5 minhashes, so the
+    * estimate matches exactly, not just statistically. */
+  def dedupMinhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
+    val inv = docs.select(col("doc_id"), explode(col("ws")).as("w"))
+    val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
+    val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(
+        concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
+        concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = (0 to 7).map(i =>
+      when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
+    val inter = size(array_intersect(col("da.ws"), col("db.ws")))
+    cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree / lit(8.0), 4).as("jac_est"),
+        round(inter.cast("double") /
+          (size(col("da.ws")) + size(col("db.ws")) - inter), 4).as("jac_true"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C8/LLM mandate: duplicate CLUSTERS — what production dedup actually
     * emits (the pair listing of a self-similar corpus is quadratic; the
     * keep-one-per-cluster decision needs connected components). Components
@@ -366,6 +405,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact _,
     "dedup_jaccard_pairs" -> dedupJaccardPairs _,
     "dedup_minhash_bands" -> dedupMinhashBands _,
+    "dedup_minhash_jaccard_est" -> dedupMinhashJaccardEst _,
     "dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
@@ -471,6 +511,35 @@ object DedupQueries {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "dedup_minhash_jaccard_est" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws
+                       FROM documents WHERE doc_id < 500),
+           inv AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+           sig AS (SELECT doc_id,
+              min(md5('0:' || w)) AS m0, min(md5('1:' || w)) AS m1,
+              min(md5('2:' || w)) AS m2, min(md5('3:' || w)) AS m3,
+              min(md5('4:' || w)) AS m4, min(md5('5:' || w)) AS m5,
+              min(md5('6:' || w)) AS m6, min(md5('7:' || w)) AS m7
+            FROM inv GROUP BY doc_id),
+           buckets AS (
+             SELECT doc_id, 'b0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3 AS bucket FROM sig
+             UNION ALL
+             SELECT doc_id, 'b1' || '|' || m4 || '|' || m5 || '|' || m6 || '|' || m7 FROM sig),
+           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                    FROM buckets a JOIN buckets b
+                      ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+            round(((sa.m0 = sb.m0)::INT + (sa.m1 = sb.m1)::INT + (sa.m2 = sb.m2)::INT
+                 + (sa.m3 = sb.m3)::INT + (sa.m4 = sb.m4)::INT + (sa.m5 = sb.m5)::INT
+                 + (sa.m6 = sb.m6)::INT + (sa.m7 = sb.m7)::INT) / 8.0, 4) AS jac_est,
+            round(len(list_intersect(da.ws, db.ws))::DOUBLE
+                 / (len(da.ws) + len(db.ws) - len(list_intersect(da.ws, db.ws))), 4) AS jac_true
+         FROM cand
+           JOIN sig sa ON sa.doc_id = doc_a
+           JOIN sig sb ON sb.doc_id = doc_b
+           JOIN docs da ON da.doc_id = doc_a
+           JOIN docs db ON db.doc_id = doc_b
          ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
       """WITH RECURSIVE inv AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w

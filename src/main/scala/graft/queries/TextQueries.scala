@@ -117,6 +117,42 @@ object TextQueries {
         substring(md5(col("text")), 1, 8).as("fp8"))
       .orderBy(col("doc_id"))
 
+  /** LLM-pipeline: character-level Shannon entropy — the classic
+    * gibberish/boilerplate detector (low entropy → repeated filler, high →
+    * random noise; pre-training filters cut both tails). Two-level
+    * aggregation: per-(doc, char) counts, then -Σ p·log2 p per doc — both
+    * are map-side-combinable groupBys, so corpus scale-out is the same
+    * word-count shape as everything else here. */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = t(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
+    counts.join(totals, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-sum((col("cnt") / col("n")) * log(2.0, col("cnt") / col("n"))), 4)
+          .as("entropy_bits"),
+        count(lit(1)).as("n_distinct_chars"),
+        max(col("n")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LLM-pipeline: corpus length histogram — width-50 buckets with share
+    * and cumulative count (the "what do we truncate at" plot). */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = t(spark, dir, "documents")
+      .groupBy((floor(col("n_chars") / 50) * 50).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+    hist.select(col("bucket_lo"), col("n_docs"), col("avg_chars"),
+        round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 4)
+          .as("pct"),
+        sum(col("n_docs")).over(Window.orderBy(col("bucket_lo"))).as("cum_docs"))
+      .orderBy(col("bucket_lo"))
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -137,7 +173,9 @@ object TextQueries {
     "quality_score" -> qualityScore _,
     "language_id" -> languageId _,
     "doc_fingerprint" -> docFingerprint _,
-    "tokenize_compare" -> tokenizeCompare _
+    "tokenize_compare" -> tokenizeCompare _,
+    "doc_entropy" -> docEntropy _,
+    "doc_length_histogram" -> docLengthHistogram _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -192,6 +230,26 @@ object TextQueries {
             len(str_split(text, ' ')) AS n_ws_tokens,
             len(list_filter(str_split_regex(text, '[^a-z0-9]+'), x -> x <> '')) AS n_re_tokens,
             length(text) AS n_chars_actual
-         FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    "doc_entropy" ->
+      """WITH chars AS (SELECT doc_id, substring(text, i + 1, 1) AS ch
+               FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+                     FROM documents WHERE doc_id < 100)),
+           counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+           totals AS (SELECT doc_id, sum(cnt) AS n FROM counts GROUP BY 1)
+         SELECT doc_id,
+            round(-sum((cnt::DOUBLE / n) * log2(cnt::DOUBLE / n)), 4) AS entropy_bits,
+            count(*) AS n_distinct_chars,
+            CAST(max(n) AS BIGINT) AS n_chars_actual
+         FROM counts JOIN totals USING (doc_id)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "doc_length_histogram" ->
+      """WITH hist AS (SELECT (n_chars // 50) * 50 AS bucket_lo, count(*) AS n_docs,
+                         round(avg(n_chars), 4) AS avg_chars
+                       FROM documents GROUP BY 1)
+         SELECT bucket_lo, n_docs, avg_chars,
+            round(n_docs * 100.0 / sum(n_docs) OVER (), 4) AS pct,
+            CAST(sum(n_docs) OVER (ORDER BY bucket_lo) AS BIGINT) AS cum_docs
+         FROM hist ORDER BY bucket_lo"""
   )
 }

@@ -162,7 +162,34 @@ object WindowSetQueries {
         round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"))
       .orderBy(col("l_returnflag"))
 
+  /** C5/C15: batch sessionization — split each user's event stream into
+    * sessions at >30-minute inactivity gaps (the batch twin of the
+    * streaming session windows StreamingSpec drives). The classic
+    * two-window shape: gap flag via lag, session id via running sum of
+    * flags — both windows partition on user_id, so no frame outgrows one
+    * user's history at any corpus size. Gap test is a pure timestamp
+    * comparison (ts > prev + INTERVAL) — no epoch-seconds conversion,
+    * which Spark truncates and DuckDB rounds. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.core.Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize" -> sessionize _,
     "percentile_agg" -> percentileAgg _,
     "window_rank" -> windowRank _,
     "window_lag_lead" -> windowLagLead _,
@@ -175,6 +202,20 @@ object WindowSetQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE user_id < 50),
+           f AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS new_sess
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           s AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                 FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+            min(ts) AS session_start, max(ts) AS session_end,
+            round(sum(value), 4) AS total_value
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
     "percentile_agg" ->
       """SELECT l_returnflag,
             round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
