@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -62,6 +64,21 @@ object IngestScaleBench {
       .select(to_json(struct(array(record).as("Records"))).as("value"))
     // 20 landing files → maxFilesPerTrigger=4 → 5 micro-batches of ~20k
     notifs.repartition(20).write.mode("overwrite").text(landing)
+    // Deterministic arrival order across runs: the files are written
+    // near-simultaneously, so their real mtimes tie unpredictably at the
+    // filesystem's stamp resolution — and arrival order (mtime, then
+    // path) decides per-key last-write-wins, which would make live_keys
+    // drift run to run. Stamp strictly increasing mtimes in path order.
+    val parts = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(landing))
+      try l.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.getFileName.toString)
+      finally l.close()
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
 
     // the object store: each key's body is a fixture document (~300 chars)
     val objects = spark.range(nKeys)

@@ -107,7 +107,7 @@ class GraftClient(spark: SparkSession, root: String) {
     * at most one side; duplicate keys WITHIN `puts` resolve to a
     * deterministic winner (see below). */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
-                          delKeys: Option[DataFrame]): Long = {
+                          delKeys: Option[DataFrame]): Unit = {
     val coll = collection(m)
     val maxSeq = coll.maxSeq
     // Seq assignment must be recompute-safe: a DataFrame is a bag, so
@@ -142,33 +142,52 @@ class GraftClient(spark: SparkSession, root: String) {
       touchKeys.foreach { tk =>
         val preVersion = coll.currentVersion
         val touched = touchedBuckets(coll, tk)
-        val current = coll.readBuckets(spark, touched)
-        val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
-          current.unionByName(b), col("key"), col("seq"), col("seq")))
-        val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
-          .select(rowSchema.fieldNames.map(col): _*).persist()
-        val newMaxSeq = remaining.agg(coalesce(max(col("seq")), lit(0L))).head().getLong(0)
-        val newVersion = coll.commitBuckets(touched, remaining, math.max(maxSeq, newMaxSeq))
-        remaining.unpersist()
-        // keep a fresh IVF index fresh across the commit — `current` (the
-        // pre-image) stays readable here because the store retains the
-        // previous snapshot's directories for one more commit
-        refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
+        // An effectively-empty batch (no put survived the object join, no
+        // delete matched) commits NOTHING: no version bump, no needless
+        // invalidation work — and a fresh IVF index stays fresh. This is
+        // also the only emptiness check the whole batch pays for (the
+        // streaming loop runs no separate isEmpty guard jobs).
+        if (touched.nonEmpty) {
+          val current = coll.readBuckets(spark, touched)
+          val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
+            current.unionByName(b), col("key"), col("seq"), col("seq")))
+          val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
+            .select(rowSchema.fieldNames.map(col): _*)
+          // The seq watermark needs no aggregation job: batch rows all
+          // carry maxSeq + 1 and current rows are ≤ maxSeq, so the new
+          // high-water mark is known statically (a watermark above the
+          // live maximum — puts all deleted within the batch — is
+          // harmless: allocation only needs monotonicity).
+          val newMaxSeq = if (decorated.isDefined) maxSeq + 1 else maxSeq
+          val newVersion = coll.commitBuckets(touched, remaining, newMaxSeq)
+          // keep a fresh IVF index fresh across the commit — `current` (the
+          // pre-image) stays readable here because the store retains the
+          // previous snapshot's directories for one more commit
+          refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
+        }
       }
     } finally {
       decorated.foreach(_.unpersist())
       keyed.foreach(_.unpersist())
     }
-    // parquet count() is satisfied from row-group metadata — this reads
-    // footers of the just-committed snapshot, not the data pages
-    coll.read(spark).count()
   }
+
+  /** Live row count of the current snapshot — parquet `count()` is
+    * satisfied from row-group metadata (footers, not data pages). The
+    * write APIs return it to mirror the reference's row-count responses;
+    * the streaming loop skips it (nobody reads a discarded count, and at
+    * scale even footer reads of every bucket per micro-batch add up). */
+  private def liveCount(m: CollectionMeta): Long =
+    collection(m).read(spark).count()
 
   /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
     * last write per key wins, dimension enforced at the boundary like the
     * reference backends. */
-  def upsert(name: String, df: DataFrame): Long =
-    mergeCommit(metaOrThrow(name), Some(df), None)
+  def upsert(name: String, df: DataFrame): Long = {
+    val m = metaOrThrow(name)
+    mergeCommit(m, Some(df), None)
+    liveCount(m)
+  }
 
   /** Convenience mirroring the reference's ingest transform: embed raw
     * text server-side then upsert — `df` needs (key STRING, text STRING,
@@ -193,8 +212,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * one anti-join plan over the touched buckets only — no driver
     * materialization of keys (the bucket-id set is bounded by the
     * collection's bucket count). */
-  def deleteByKeysDf(name: String, keys: DataFrame): Long =
-    mergeCommit(metaOrThrow(name), None, Some(keys))
+  def deleteByKeysDf(name: String, keys: DataFrame): Long = {
+    val m = metaOrThrow(name)
+    mergeCommit(m, None, Some(keys))
+    liveCount(m)
+  }
 
   /** Delete by key set (the ObjectRemoved:Delete path) — driver-side sugar
     * over `deleteByKeysDf`. */
@@ -212,10 +234,10 @@ class GraftClient(spark: SparkSession, root: String) {
     * predicate matching nothing commits nothing. */
   def deleteWhere(name: String, pred: Column): Long = {
     val m = metaOrThrow(name)
-    val coll = collection(m)
-    val matches = coll.read(spark).filter(coalesce(pred, lit(false))).select("key")
-    if (matches.isEmpty) coll.read(spark).count()
-    else mergeCommit(m, None, Some(matches))
+    val matches = collection(m).read(spark)
+      .filter(coalesce(pred, lit(false))).select("key")
+    mergeCommit(m, None, Some(matches)) // no matches → commits nothing
+    liveCount(m)
   }
 
   /** The reference's whole event-driven service as one streaming query
@@ -265,8 +287,9 @@ class GraftClient(spark: SparkSession, root: String) {
         // Per-key, the LAST event in arrival order decides (the reference
         // processes events serially): a delete-then-re-put within one
         // micro-batch must keep the re-put, so resolve per key BEFORE
-        // splitting into puts and deletes. Persisted: the window + joins
-        // feed several actions in this batch (guards, upsert, delete).
+        // splitting into puts and deletes. Persisted: the put and delete
+        // sides each materialize their own cache inside mergeCommit, and
+        // both derive from this window.
         val latest = IngestOps.upsertLatest(
           batch.withColumn("__arrival", monotonically_increasing_id()),
           col("key"),
@@ -275,23 +298,19 @@ class GraftClient(spark: SparkSession, root: String) {
         try {
           val puts = latest.filter(!StreamingIngest.isDelete(col("event_name")))
             .join(objects, Seq("key"))
+          // no persist here: mergeCommit's decorated cache is the single
+          // consumer, so the embedding UDF still runs exactly once
           val embedded = graft.ingest.Embedder.embedObjects(puts, embedder)
             .filter(col("vec").isNotNull) // the reference's 400-per-event arm
             .select(col("key"), col("vec"), col("tags").as("meta"))
-            .persist() // embedding UDF runs once across the guard + commit
           val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
             .select("key")
           // the whole micro-batch applies as ONE snapshot version — no
           // intermediate state where puts are visible but deletes aren't.
-          // Guards keep an all-empty batch from committing an (identical)
-          // new version and needlessly invalidating a fresh IVF index.
-          val havePuts = !embedded.isEmpty
-          val haveDels = !dels.isEmpty
-          if (havePuts || haveDels)
-            mergeCommit(metaOrThrow(name),
-              if (havePuts) Some(embedded) else None,
-              if (haveDels) Some(dels) else None)
-          embedded.unpersist()
+          // No isEmpty pre-checks: mergeCommit's single touched-bucket
+          // collect doubles as the emptiness guard (an effectively-empty
+          // batch commits nothing), so the batch pays no extra jobs.
+          mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
         } finally latest.unpersist()
         ()
       }
