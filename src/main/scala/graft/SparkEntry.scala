@@ -16,7 +16,8 @@ object SparkEntry {
     _root_.graft.queries.ScalarQueries.queries,
     _root_.graft.queries.TextQueries.queries,
     _root_.graft.queries.DedupQueries.queries,
-    _root_.graft.queries.CoverageQueries.queries
+    _root_.graft.queries.CoverageQueries.queries,
+    _root_.graft.queries.EventAnalyticsQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
@@ -27,7 +28,8 @@ object SparkEntry {
     _root_.graft.queries.ScalarQueries.oracleSql,
     _root_.graft.queries.TextQueries.oracleSql,
     _root_.graft.queries.DedupQueries.oracleSql,
-    _root_.graft.queries.CoverageQueries.oracleSql
+    _root_.graft.queries.CoverageQueries.oracleSql,
+    _root_.graft.queries.EventAnalyticsQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
