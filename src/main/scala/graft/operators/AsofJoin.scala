@@ -56,15 +56,20 @@ object AsofJoin {
     require(collide.isEmpty, s"right payload columns collide with left: $collide")
     val leftCols = left.columns.toSeq
 
+    // tie-break keeps its ORIGINAL type (a string cast would order
+    // numerics lexicographically); the left side carries a typed null —
+    // left rows never compare ties against right rows, __side decides
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast("string"))
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
     val r = right.select(
       (by.map(col) :+ col(rightTs).as("__ts")) ++ Seq(
         lit(0).as("__side"),
-        rightTieBreak.fold(lit(null).cast("string"))(c => col(c).cast("string")).as("__tie"),
+        rightTieBreak.fold(lit(null).cast(tieType))(col).as("__tie"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
     // left rows carry their full row; right rows carry only key + payload —
     // the union schema is the left schema + the bookkeeping columns

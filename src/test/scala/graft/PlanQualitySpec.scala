@@ -47,6 +47,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "the 1024-row plane table must broadcast, not shuffle the coordinates")
   }
 
+  test("as-of join: one union-sort window, no inequality join or cartesian") {
+    val p = planOf("asof_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the as-of must be the union-sort form — an inequality-join encoding " +
+        "materializes every left row against its whole right history")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join operator at all: both sides flow through ONE window")
+    assert(p.contains("Window"), "the running last-payload window is the operator")
+  }
+
   test("single-query KNN: bounded top-k merge, no shuffle of the index side") {
     val p = planOf("knn_l2_topk")
     assert(p.contains("TakeOrderedAndProject"),
