@@ -252,11 +252,21 @@ class GraftClient(spark: SparkSession, root: String) {
     * `Trigger.AvailableNow` drains everything pending and stops (A20
     * strong read); pass `continuous = true` to keep running.
     * `maxFilesPerTrigger` bounds a micro-batch (admission control under
-    * both triggers) — the backlog-vs-latency knob when a burst lands. */
+    * both triggers) — the backlog-vs-latency knob when a burst lands.
+    *
+    * `checkpointDir` makes ingest RESTARTABLE: the file-source offsets
+    * persist, so a stopped/crashed query resumes at the first unseen
+    * landing file instead of reprocessing the prefix. A batch replayed
+    * after a crash between its commit and the checkpoint ack re-applies
+    * the same resolved puts/deletes and converges to the identical live
+    * set (per-key content is recomputed, seq only rises) — effective
+    * exactly-once, same stance as the table formats. Without it a temp
+    * checkpoint is used (one-shot drains, tests). */
   def startIngest(name: String, landingDir: String, objectsDf: DataFrame,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
                   continuous: Boolean = false,
-                  maxFilesPerTrigger: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                  maxFilesPerTrigger: Option[Int] = None,
+                  checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingIngest
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
@@ -314,6 +324,7 @@ class GraftClient(spark: SparkSession, root: String) {
         } finally latest.unpersist()
         ()
       }
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
     (if (continuous) writer
      else writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())).start()
   }

@@ -204,6 +204,42 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"put before delete must not: $keys")
   }
 
+  test("checkpointed ingest restarts at the first unseen landing file") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(16)
+    client.createCollection("ckpt", dim = 16)
+    val objects = Seq(("k1", "one doc"), ("k2", "two doc"), ("k3", "three doc"))
+      .toDF("key", "text")
+    val ckpt = s"$root/checkpoint"
+    val now = System.currentTimeMillis()
+
+    // run 1: two puts
+    writeLanding(s"$root/landing", "f1.json",
+      Seq(notif("ObjectCreated:Put", "k1"), notif("ObjectCreated:Put", "k2")),
+      now - 60000)
+    client.startIngest("ckpt", s"$root/landing", objects, embedder = emb,
+      checkpointDir = Some(ckpt)).awaitTermination(120000)
+
+    // run 2, same checkpoint: one delete + one put in a NEW file — the
+    // restarted query must process exactly this file's 2 events, not
+    // re-read f1 (a reprocess would also re-put k1 and break the delete)
+    writeLanding(s"$root/landing", "f2.json",
+      Seq(notif("ObjectRemoved:Delete", "k1"), notif("ObjectCreated:Put", "k3")), now)
+    val q2 = client.startIngest("ckpt", s"$root/landing", objects, embedder = emb,
+      checkpointDir = Some(ckpt))
+    q2.awaitTermination(120000)
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayed == 2,
+      s"restart must resume at the checkpointed offset (2 new events), saw $replayed")
+
+    val keys = client.search("ckpt", emb.embedText("doc"), 10).collect()
+      .map(_.getAs[String]("vector_key")).toSet
+    assert(keys == Set("k2", "k3"),
+      s"delete of k1 must hold across the restart: $keys")
+  }
+
   test("upsertBytes mirrors upsertTexts for the image path") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ub").toString
