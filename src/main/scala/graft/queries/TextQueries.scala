@@ -153,6 +153,22 @@ object TextQueries {
       .orderBy(col("bucket_lo"))
   }
 
+  /** LLM-pipeline: repetition ratio — the most-repeated 3-gram's share of
+    * all 3-grams (the boilerplate/spam detector that catches what entropy
+    * alone misses: long docs that loop one phrase). */
+  def repetitionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.ngrams(words(col("text")), 3)).as("g"))
+    sh.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_gram_n"),
+        sum(col("cnt")).as("n_grams"),
+        round(max(col("cnt")).cast("double") / sum(col("cnt")), 6).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -175,7 +191,8 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprint _,
     "tokenize_compare" -> tokenizeCompare _,
     "doc_entropy" -> docEntropy _,
-    "doc_length_histogram" -> docLengthHistogram _
+    "doc_length_histogram" -> docLengthHistogram _,
+    "repetition_ratio" -> repetitionRatio _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -250,6 +267,17 @@ object TextQueries {
          SELECT bucket_lo, n_docs, avg_chars,
             round(n_docs * 100.0 / sum(n_docs) OVER (), 4) AS pct,
             CAST(sum(n_docs) OVER (ORDER BY bucket_lo) AS BIGINT) AS cum_docs
-         FROM hist ORDER BY bucket_lo"""
+         FROM hist ORDER BY bucket_lo""",
+    "repetition_ratio" ->
+      """WITH sh AS (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+             FROM (SELECT doc_id, str_split(text, ' ') AS ws
+                   FROM documents WHERE doc_id < 200)),
+           counts AS (SELECT doc_id, g, count(*) AS cnt FROM sh GROUP BY 1, 2)
+         SELECT doc_id, max(cnt) AS top_gram_n,
+            CAST(sum(cnt) AS BIGINT) AS n_grams,
+            round(max(cnt)::DOUBLE / sum(cnt), 6) AS rep_ratio
+         FROM counts GROUP BY doc_id ORDER BY doc_id"""
   )
 }
