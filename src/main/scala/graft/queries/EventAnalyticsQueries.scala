@@ -36,6 +36,26 @@ object EventAnalyticsQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Range join: every (purchase, click) pair by the same user within
+    * ±10 minutes — the banded equi-join operator
+    * (`operators/RangeJoin.scala`), timestamps compared in integral
+    * microseconds (float µs would round, epoch seconds truncate/round
+    * differently across engines). Oracle is DuckDB's inequality join. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("user_id") < 100)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    graft.operators.RangeJoin.within(p, c, Seq("user_id"),
+        "p_us", "c_us", tolerance = 600000000L) // 10 min in µs
+      .select(col("purchase_id"), col("user_id"), col("p_us"),
+        col("click_id"), col("c_us"), (col("p_us") - col("c_us")).as("diff_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Funnel progression signup → view → purchase, each stage strictly
     * ordered after the previous one per user (min qualifying timestamp
     * carried forward). One row: users reaching each stage. */
@@ -73,6 +93,7 @@ object EventAnalyticsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_attribution" -> asofAttribution _,
+    "range_join_events" -> rangeJoinEvents _,
     "event_funnel" -> eventFunnel _,
     "retention_cohorts" -> retentionCohorts _
   )
@@ -93,6 +114,19 @@ object EventAnalyticsQueries {
          FROM p ASOF LEFT JOIN v
            ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts
          ORDER BY p.purchase_id""",
+    "range_join_events" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                    FROM events WHERE user_id < 100),
+           p AS (SELECT event_id AS purchase_id, user_id, us AS p_us
+                 FROM e WHERE event_type = 'purchase'),
+           c AS (SELECT event_id AS click_id, user_id, us AS c_us
+                 FROM e WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, p.p_us, c.click_id, c.c_us,
+                p.p_us - c.c_us AS diff_us
+         FROM p JOIN c ON p.user_id = c.user_id
+           AND abs(p.p_us - c.c_us) <= 600000000
+         ORDER BY purchase_id, click_id""",
     "event_funnel" ->
       """WITH s AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
                     FROM events WHERE event_type = 'signup' GROUP BY 1),

@@ -169,6 +169,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** LLM-pipeline: deterministic train/val split — assignment by
+    * content-independent hash (md5 of the doc id, lexicographic threshold
+    * over the uniform hex space: "e6" ≈ 90%). Hash-based splitting is the
+    * production norm because it is stable under reshuffles, re-runs, and
+    * corpus growth — a random() split is none of those. Output aggregates
+    * per (split, lang) so the oracle checks the ASSIGNMENT (counts, id
+    * extremes, length means all shift if any doc flips). */
+  def trainValSplit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("split",
+        when(md5(col("doc_id").cast("string")) < "e6", "train").otherwise("val"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"), col("lang"))
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -192,7 +210,8 @@ object TextQueries {
     "tokenize_compare" -> tokenizeCompare _,
     "doc_entropy" -> docEntropy _,
     "doc_length_histogram" -> docLengthHistogram _,
-    "repetition_ratio" -> repetitionRatio _
+    "repetition_ratio" -> repetitionRatio _,
+    "train_val_split" -> trainValSplit _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -278,6 +297,12 @@ object TextQueries {
          SELECT doc_id, max(cnt) AS top_gram_n,
             CAST(sum(cnt) AS BIGINT) AS n_grams,
             round(max(cnt)::DOUBLE / sum(cnt), 6) AS rep_ratio
-         FROM counts GROUP BY doc_id ORDER BY doc_id"""
+         FROM counts GROUP BY doc_id ORDER BY doc_id""",
+    "train_val_split" ->
+      """SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6'
+                     THEN 'train' ELSE 'val' END AS split,
+            lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
   )
 }
