@@ -75,9 +75,10 @@ object DedupQueries {
     *     production emits clusters (connected components), not pairs. */
   /** Candidate pairs (doc_a < doc_b), un-ordered — shared by the declared
     * pair listing and the cluster query. */
-  private def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashCandidatePairs(spark: SparkSession, dir: String,
+                                    window: Long = 2000): DataFrame = {
     val inv = t(spark, dir, "documents")
-      .filter(col("doc_id") < 2000)
+      .filter(col("doc_id") < window)
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
     val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
     val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -150,8 +151,17 @@ object DedupQueries {
     * scalar, so the same plan runs at corpus scale. Output: one row per
     * cluster (cluster_id = min doc_id, n_docs). */
   def dedupClusters(spark: SparkSession, dir: String,
-                    broadcastNodeLimit: Long = 4L << 20): DataFrame = {
-    val pairs = minhashCandidatePairs(spark, dir)
+                    broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    clusterLabels(spark, dir, 2000, broadcastNodeLimit)
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("cluster_id"))
+
+  /** The converged (doc_id, lbl) component labels behind `dedupClusters`
+    * and `dedupKeepBest` — lbl = min doc_id of the component. */
+  private def clusterLabels(spark: SparkSession, dir: String, window: Long,
+                            broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+    val pairs = minhashCandidatePairs(spark, dir, window)
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist() // reused every round — without this each round re-runs MinHash
@@ -160,7 +170,7 @@ object DedupQueries {
     // rounds the plan tree is exponential and merely rendering it for
     // scheduling OOMs the driver. Checkpointing materializes the rows AND
     // truncates the lineage, keeping every round's plan O(1).
-    var labels = t(spark, dir, "documents").filter(col("doc_id") < 2000)
+    var labels = t(spark, dir, "documents").filter(col("doc_id") < window)
       .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
     // When the node set fits the driver comfortably, broadcasting the label
     // table keeps the edge set from ever shuffling (map-side join + partial
@@ -201,8 +211,27 @@ object DedupQueries {
       throw new IllegalStateException(
         "dedupClusters: label propagation hit the 32-round cap without " +
           "converging — output would be partially merged clusters")
-    labels.groupBy(col("lbl").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"))
+    labels
+  }
+
+  /** C8/LLM mandate, the FINAL dedup step: one kept representative per
+    * duplicate cluster — the keep-rule production actually applies after
+    * clustering (here: longest doc wins, doc_id breaks ties; swap the
+    * ordering for any other rule). Output is only multi-doc clusters:
+    * everything else survives dedup untouched. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = clusterLabels(spark, dir, window = 1000)
+    val docs = t(spark, dir, "documents")
+      .filter(col("doc_id") < 1000).select(col("doc_id"), col("n_chars"))
+    val byCluster = Window.partitionBy(col("lbl"))
+    val keepOrder = byCluster.orderBy(desc("n_chars"), col("doc_id"))
+    labels.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(keepOrder))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1 && col("n_docs") > 1)
+      .select(col("lbl").as("cluster_id"), col("doc_id").as("keep_doc_id"),
+        col("n_chars").as("keep_chars"), col("n_docs"))
       .orderBy(col("cluster_id"))
   }
 
@@ -407,6 +436,7 @@ object DedupQueries {
     "dedup_minhash_bands" -> dedupMinhashBands _,
     "dedup_minhash_jaccard_est" -> dedupMinhashJaccardEst _,
     "dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "dedup_keep_best" -> dedupKeepBest _,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine _,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh _
   )
@@ -567,6 +597,40 @@ object DedupQueries {
          SELECT cluster_id, count(*) AS n_docs FROM
            (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
          GROUP BY cluster_id ORDER BY cluster_id""",
+    "dedup_keep_best" ->
+      """WITH RECURSIVE inv AS (SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS w
+                      FROM documents WHERE doc_id < 1000),
+           sig AS (SELECT doc_id,
+              min(md5('0:' || w)) AS m0, min(md5('1:' || w)) AS m1,
+              min(md5('2:' || w)) AS m2, min(md5('3:' || w)) AS m3,
+              min(md5('4:' || w)) AS m4, min(md5('5:' || w)) AS m5,
+              min(md5('6:' || w)) AS m6, min(md5('7:' || w)) AS m7
+            FROM inv GROUP BY doc_id),
+           buckets AS (
+             SELECT doc_id, 'b0' || '|' || m0 || '|' || m1 || '|' || m2 || '|' || m3 AS bucket FROM sig
+             UNION ALL
+             SELECT doc_id, 'b1' || '|' || m4 || '|' || m5 || '|' || m6 || '|' || m7 FROM sig),
+           pairs AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+           sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+           reach(node, lbl) AS (
+             SELECT doc_id, doc_id FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000)
+             UNION
+             SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+           ),
+           labels AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+           joined AS (SELECT l.cluster_id, d.doc_id, d.n_chars
+                      FROM labels l JOIN documents d ON d.doc_id = l.node)
+         SELECT cluster_id, doc_id AS keep_doc_id, n_chars AS keep_chars, n_docs
+         FROM (SELECT *,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY cluster_id) AS n_docs
+               FROM joined)
+         WHERE rn = 1 AND n_docs > 1
+         ORDER BY cluster_id""",
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          coords AS (SELECT vec_id, dd - 1 AS d, CAST(floor(v[dd] * 1000) AS BIGINT) AS q
