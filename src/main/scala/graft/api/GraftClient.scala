@@ -559,6 +559,66 @@ class GraftClient(spark: SparkSession, root: String) {
       .limit(k)
   }
 
+  /** Batched top-k search: `queries` needs (qid BIGINT, qvec ARRAY<FLOAT>);
+    * output one row per (qid, hit) — Milvus `search` takes a LIST of
+    * vectors (`milvus-app/pythonvectordbceph_milvus.py:106-112`), and at
+    * scale running Q plans serially leaves Q-1 queries' worth of scan
+    * locality on the floor.
+    *
+    * Plan shape (the B4×B5 composition): each query's `nprobe` cells come
+    * from the broadcast quantizer DISTRIBUTED (a probe udf + explode — no
+    * driver loop over queries), candidates are the cells⋈queries equi-join
+    * on `centroidId`, and the bounded-heap [[graft.functions.TopKDocs]]
+    * partial-aggregates k rows per (partition, qid) BEFORE its one
+    * shuffle — the candidates×queries product never moves. Without a
+    * fresh index (or for dot), the same aggregate runs over the exact
+    * scan×queries product with the queries side broadcast. Per-query
+    * results equal single-query `search` exactly (same kernel, same
+    * tie-breaks). */
+  def searchBatch(name: String, queries: DataFrame, k: Int,
+                  filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorAggregates
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      assert_dim(col("qvec"), m.dim).as("qvec"))
+    val candidates = loadIndex(m) match {
+      case Some(idx) if coll.currentVersion.contains(idx.version)
+          && indexableMetric(m.metric) =>
+        val bc = spark.sparkContext.broadcast(idx.probe)
+        val normalize = m.metric == "cosine"
+        val np = nprobe
+        // closure captures only (bc, normalize, np) — not the client
+        val probeCells = udf { (v: Seq[Float]) =>
+          var a = v.toArray
+          if (normalize) {
+            var s = 0.0; var i = 0
+            while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+            val n = math.sqrt(s)
+            if (n != 0.0) a = a.map(x => (x / n).toFloat)
+          }
+          bc.value.probes(a, np)
+        }
+        val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
+        IvfIndex.loadIndexed(spark, cellsPath(m)).join(probed, Seq("centroidId"))
+      case _ => coll.read(spark).crossJoin(broadcast(q))
+    }
+    val scored = m.metric match {
+      case "l2" => l2_distance(col("vec"), col("qvec"))
+      case "cosine" => -cosine_similarity(col("vec"), col("qvec"))
+      case "dot" => -dot_product(col("vec"), col("qvec"))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    filter.fold(candidates)(candidates.filter)
+      .select(col("qid"), scored.as("dist"), col("key"), col("meta"))
+      .groupBy(col("qid"))
+      .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta")).as("hits"))
+      .select(col("qid"), explode(col("hits")).as("h"))
+      .select(col("qid"), col("h.key").as("vector_key"),
+        col("h.dist").as("distance"), col("h.meta").as("metadata"))
+      .orderBy(col("qid"), col("distance"), col("vector_key"))
+  }
+
   /** Embed-then-search conveniences mirroring the reference's query
     * drivers (`s3vectors-app/search.py:43-58`, `search_image.py:76-97`):
     * the query text/image is embedded with the same kernel the collection

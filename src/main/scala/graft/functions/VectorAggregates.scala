@@ -47,6 +47,43 @@ class TopKByDistance(k: Int) extends Aggregator[ScoredHit, Vector[ScoredHit], Ve
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** A scored DOCUMENT flowing into the keyed top-k aggregate — the
+  * GraftClient result payload (string key + metadata map) rather than the
+  * embeddings table's numeric id. */
+case class ScoredDoc(dist: Double, key: String, meta: Map[String, String])
+
+/** Keyed sibling of [[TopKByDistance]] for the batched collection search
+  * (`GraftClient.searchBatch`): identical bounded-buffer partial
+  * aggregation (k·partitions rows per query reach the shuffle, never the
+  * candidates×queries product), payload carries the result row itself.
+  * Ties break on key, so batched output is total and equals the
+  * single-query `search` ordering. */
+class TopKDocs(k: Int) extends Aggregator[ScoredDoc, Vector[ScoredDoc], Vector[ScoredDoc]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def lt(a: ScoredDoc, b: ScoredDoc): Boolean =
+    a.dist < b.dist || (a.dist == b.dist && a.key < b.key)
+
+  override def zero: Vector[ScoredDoc] = Vector.empty
+
+  override def reduce(buf: Vector[ScoredDoc], hit: ScoredDoc): Vector[ScoredDoc] =
+    if (buf.length >= k && !lt(hit, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => lt(hit, b)) match { case -1 => buf.length; case x => x }
+      (buf.patch(i, Vector(hit), 0)).take(k)
+    }
+
+  override def merge(a: Vector[ScoredDoc], b: Vector[ScoredDoc]): Vector[ScoredDoc] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Vector[ScoredDoc]): Vector[ScoredDoc] = buf
+
+  override def bufferEncoder: Encoder[Vector[ScoredDoc]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Vector[ScoredDoc]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 /** Mean-of-vectors typed Aggregator (SURVEY §4.4 `VectorCentroidAgg`) —
   * the IVF centroid-refresh aggregate: recomputing a cell's centroid is
   * `groupBy(centroidId).agg(vector_centroid(vec))`, partial (sumVec, count)
@@ -96,6 +133,10 @@ object VectorAggregates {
   /** Column-API handle: `topKByDist(k)(col("dist"), col("vec_id"))`. */
   def topKByDist(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKByDistance(k))
+
+  /** Column-API handle: `topKDocs(k)(col("dist"), col("key"), col("meta"))`. */
+  def topKDocs(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKDocs(k))
 
   /** Column-API handle: `vectorCentroid(col("vec"))`. */
   val vectorCentroid: org.apache.spark.sql.expressions.UserDefinedFunction =

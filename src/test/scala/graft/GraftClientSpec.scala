@@ -240,6 +240,44 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"delete of k1 must hold across the restart: $keys")
   }
 
+  test("searchBatch equals per-query search on both the pruned and exact paths") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sb").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("sb", dim = 4, nlist = 8)
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map(i =>
+      (s"k$i", Seq.fill(4)(rnd.nextFloat()), Map("i" -> i.toString)))
+    client.upsert("sb", rows.toDF("key", "vec", "meta"))
+    val qvecs = (0 until 5).map(qi => qi.toLong -> Array.fill(4)(rnd.nextFloat()))
+    val queries = qvecs.map { case (qi, v) => (qi, v.toSeq) }.toDF("qid", "qvec")
+
+    def batchByQid(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getAs[Long]("qid")).map { case (qi, hits) =>
+        qi -> hits.map(r => (r.getAs[String]("vector_key"),
+          math.round(r.getAs[Double]("distance") * 1e9))).toSeq
+      }
+    def singles(nprobe: Int) = qvecs.map { case (qi, v) =>
+      qi -> client.search("sb", v, k = 3, nprobe = nprobe).collect()
+        .map(r => (r.getAs[String]("vector_key"),
+          math.round(r.getAs[Double]("distance") * 1e9))).toSeq
+    }.toMap
+
+    // exact path (no index yet)
+    assert(batchByQid(client.searchBatch("sb", queries, k = 3)) == singles(4))
+
+    // pruned path: fresh index, per-query cells — plan must show the
+    // probe join, and full-probe results must equal the exact answer
+    client.buildIndex("sb", nlist = 8)
+    val pruned = client.searchBatch("sb", queries, k = 3, nprobe = 2)
+    assert(pruned.queryExecution.executedPlan.toString.contains("centroidId"),
+      "a fresh index must route searchBatch through the cell join")
+    assert(batchByQid(pruned) == singles(2),
+      "batched pruned results must equal single-query pruned results")
+    assert(batchByQid(client.searchBatch("sb", queries, k = 3, nprobe = 8)) ==
+      singles(8), "full probe through the index equals exact")
+  }
+
   test("upsertBytes mirrors upsertTexts for the image path") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ub").toString
