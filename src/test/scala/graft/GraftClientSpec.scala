@@ -409,6 +409,45 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells.filter(col("key") === "k30").count() == 1, "moved key must exist exactly once")
   }
 
+  test("IVF maintenance chains across many commits without drifting") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-chain").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("chain", dim = 8, nlist = 4)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    var live = (0 until 150).map(i => s"k$i" -> vec(i)).toMap
+    client.upsert("chain", live.toSeq.map { case (k, v) => (k, v, Map("i" -> k)) }
+      .toDF("key", "vec", "meta"))
+    client.buildIndex("chain", nlist = 4)
+
+    // ten alternating commits: each upserts 5 (2 fresh, 3 moved) and
+    // deletes 2 — the VERSION must chain through every one (a single
+    // missed refresh would drop search to the exact scan; a wrong evict
+    // would return a stale copy at full probe)
+    for (round <- 1 to 10) {
+      val fresh = (0 until 2).map(j => s"r$round-n$j" -> vec(1000 + round * 10 + j))
+      val moved = (0 until 3).map(j => s"k${(round * 13 + j * 17) % 150}" -> vec(2000 + round * 10 + j))
+      client.upsert("chain", (fresh ++ moved).map { case (k, v) => (k, v, Map("i" -> k)) }
+        .toDF("key", "vec", "meta"))
+      live = live ++ fresh ++ moved
+      val dels = Seq(s"k${(round * 7) % 150}", s"k${(round * 11 + 3) % 150}")
+        .filter(live.contains)
+      if (dels.nonEmpty) { client.deleteByKeys("chain", dels); live = live -- dels }
+    }
+
+    val q = vec(42).toArray
+    val df = client.search("chain", q, k = 10, nprobe = 4)
+    assert(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "after 20 maintenance commits the prune must still be in the plan")
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val exact = live.toSeq.map { case (k, v) => (k, l2(v)) }
+      .sortBy { case (k, d) => (d, k) }.take(10).map(_._1)
+    assert(df.collect().map(_.getAs[String]("vector_key")).toSeq == exact,
+      "full probe after the commit chain must equal the exact answer")
+  }
+
   test("cosine metric rides the IVF prune in normalized space") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-cos").toString
