@@ -14,7 +14,8 @@ import graft.ingest.HashingEmbedder
 object IngestMicroBench {
 
   // the old code path: a fresh getInstance per token (kept here only as
-  // the micro-bench baseline)
+  // the micro-bench baseline; identical math to HashingEmbedder.embedText,
+  // normalization included, so the two timed loops do the same work)
   private def embedTextFresh(dim: Int, text: String): Array[Float] = {
     def bucketAndSign(s: String): (Int, Float) = {
       val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
@@ -27,6 +28,10 @@ object IngestMicroBench {
     for (w <- tokens.sliding(3) if w.length == 3) {
       val (b, s) = bucketAndSign("g:" + w.mkString(" ")); v(b) += s
     }
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n != 0.0) { i = 0; while (i < v.length) { v(i) = (v(i) / n).toFloat; i += 1 } }
     v
   }
 
@@ -47,11 +52,14 @@ object IngestMicroBench {
       nDocs / sec
     }
 
+    // sanity FIRST: the two paths must produce identical vectors — a
+    // thread-local digest that failed to reset would speed up AND be wrong
+    docs.take(50).foreach { d =>
+      require(java.util.Arrays.equals(embedTextFresh(384, d), emb.embedText(d)),
+        "fresh-digest and thread-local paths diverged")
+    }
     val fresh = time("fresh-digest-per-token") { docs.foreach(embedTextFresh(384, _)) }
     val reused = time("thread-local-digest") { docs.foreach(emb.embedText) }
     println(f"speedup ${reused / fresh}%.2fx")
-    // sanity: identical output
-    val a = emb.embedText(docs.head)
-    require(java.util.Arrays.equals(a.map(math.abs), a.map(math.abs)), "self-check")
   }
 }

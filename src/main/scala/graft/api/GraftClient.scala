@@ -181,8 +181,11 @@ class GraftClient(spark: SparkSession, root: String) {
     collection(m).read(spark).count()
 
   /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
-    * last write per key wins, dimension enforced at the boundary like the
-    * reference backends. */
+    * last write per key wins ACROSS commits; duplicate keys WITHIN one
+    * batch resolve to a deterministic content-chosen winner (a DataFrame
+    * is a bag — it has no "last" row; callers needing ordered semantics
+    * resolve per key first, as the streaming loop does by arrival order).
+    * Dimension enforced at the boundary like the reference backends. */
   def upsert(name: String, df: DataFrame): Long = {
     val m = metaOrThrow(name)
     mergeCommit(m, Some(df), None)
@@ -313,7 +316,12 @@ class GraftClient(spark: SparkSession, root: String) {
           val embedded = graft.ingest.Embedder.embedObjects(puts, embedder)
             .filter(col("vec").isNotNull) // the reference's 400-per-event arm
             .select(col("key"), col("vec"), col("tags").as("meta"))
+          // drop malformed delete events (no object key) like the
+          // reference's per-event rejection: feeding a null key into the
+          // write boundary's requireKey would poison-pill the stream —
+          // every checkpoint replay of this batch would die the same way
           val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
+            .filter(col("key").isNotNull)
             .select("key")
           // the whole micro-batch applies as ONE snapshot version — no
           // intermediate state where puts are visible but deletes aren't.
@@ -601,7 +609,12 @@ class GraftClient(spark: SparkSession, root: String) {
         }
         val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
         IvfIndex.loadIndexed(spark, cellsPath(m)).join(probed, Seq("centroidId"))
-      case _ => coll.read(spark).crossJoin(broadcast(q))
+      case _ =>
+        // broadcast only when the query set plausibly fits the driver —
+        // a forced hint on a huge batch would OOM instead of shuffling
+        val hint: DataFrame => DataFrame =
+          if (q.limit(100001).count() <= 100000L) broadcast else identity
+        coll.read(spark).crossJoin(hint(q))
     }
     val scored = m.metric match {
       case "l2" => l2_distance(col("vec"), col("qvec"))

@@ -35,6 +35,15 @@ trait Embedder extends Serializable {
 trait BulkEmbedder extends Embedder {
   def batchSize: Int
   def embedTexts(texts: Seq[String]): Seq[Array[Float]]
+
+  /** Mixed-modality batch (the A19 dispatch, batched): Left = text,
+    * Right = bytes. Default fans out per item; a remote implementation
+    * overrides this with one round-trip for the whole batch. */
+  def embedItems(items: Seq[Either[String, Array[Byte]]]): Seq[Array[Float]] =
+    items.map {
+      case Left(text) => embedText(text)
+      case Right(bytes) => embedBytes(bytes)
+    }
 }
 
 /** Deterministic feature-hashing embedder. Text path: whitespace tokens +
@@ -154,10 +163,46 @@ object Embedder {
     * (the reference runs one deployment per modality for the same reason).
     * Rows with neither column set (the reference's "Unknown object format"
     * 400 arm) embed to NULL — callers drop them, matching the reference's
-    * per-event rejection without killing the stream. */
-  def embedObjects(df: DataFrame, e: Embedder = text): DataFrame =
-    df.withColumn("vec",
-      org.apache.spark.sql.functions.when(
-        col("text").isNotNull, embedTextCol(e)(col("text")))
-        .otherwise(embedBytesCol(e)(col("bytes"))))
+    * per-event rejection without killing the stream.
+    *
+    * A [[BulkEmbedder]] routes through the batched per-partition path —
+    * this is the STREAMING-ingest embed boundary, so without the dispatch
+    * a remote embedder would fall back to one RPC per row (the reference's
+    * own anti-pattern) in exactly the path built to avoid it. */
+  def embedObjects(df: DataFrame, e: Embedder = text): DataFrame = e match {
+    case b: BulkEmbedder => embedObjectsBulk(df, b)
+    case _ =>
+      df.withColumn("vec",
+        org.apache.spark.sql.functions.when(
+          col("text").isNotNull, embedTextCol(e)(col("text")))
+          .otherwise(embedBytesCol(e)(col("bytes"))))
+  }
+
+  /** Batched A19 dispatch: each partition groups rows into `batchSize`
+    * chunks and embeds every chunk's text AND binary items in ONE
+    * [[BulkEmbedder.embedItems]] call. Rows with neither modality embed
+    * to null without occupying batch slots. */
+  def embedObjectsBulk(df: DataFrame, e: BulkEmbedder): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val out = df.schema.add("vec", ArrayType(FloatType))
+    val textIdx = df.schema.fieldIndex("text")
+    val bytesIdx = df.schema.fieldIndex("bytes")
+    df.mapPartitions { it =>
+      it.grouped(e.batchSize).flatMap { rows =>
+        val items = rows.map { r =>
+          if (!r.isNullAt(textIdx)) Some(Left(r.getString(textIdx)))
+          else if (!r.isNullAt(bytesIdx)) Some(Right(r.getAs[Array[Byte]](bytesIdx)))
+          else None
+        }
+        val vecs = {
+          val present = items.flatten
+          if (present.isEmpty) Iterator.empty else e.embedItems(present).iterator
+        }
+        rows.zip(items).map { case (r, item) =>
+          Row.fromSeq(r.toSeq :+ item.map(_ => vecs.next()).orNull)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(out))
+  }
 }

@@ -29,12 +29,13 @@ case class RemoteEmbedder(endpoint: String, dim: Int, batchSize: Int = 64,
     embedTexts(Seq(text)).head
 
   override def embedBytes(bytes: Array[Byte]): Array[Float] =
-    post(Seq(Right(bytes))).head
+    embedItems(Seq(Right(bytes))).head
 
   override def embedTexts(texts: Seq[String]): Seq[Array[Float]] =
-    post(texts.map(Left(_)))
+    embedItems(texts.map(Left(_)))
 
-  private def post(items: Seq[Either[String, Array[Byte]]]): Seq[Array[Float]] = {
+  /** One HTTP round-trip for a whole mixed batch. */
+  override def embedItems(items: Seq[Either[String, Array[Byte]]]): Seq[Array[Float]] = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val arr = root.putArray("inputs")

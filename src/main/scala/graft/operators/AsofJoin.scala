@@ -66,7 +66,12 @@ object AsofJoin {
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(rightPayload.map(col): _*).schema.fields)))
-    val r = right.select(
+    // SQL as-of semantics: a null timestamp never satisfies `ts <= ts`
+    // (NULL comparison), so null-ts right rows match nothing — without
+    // this filter Spark's nulls-first sort would make them a universal
+    // fallback match. Null-ts LEFT rows need no handling: they sort
+    // before every (filtered) right row and read a null payload.
+    val r = right.filter(col(rightTs).isNotNull).select(
       (by.map(col) :+ col(rightTs).as("__ts")) ++ Seq(
         lit(0).as("__side"),
         rightTieBreak.fold(lit(null).cast(tieType))(col).as("__tie"),

@@ -42,14 +42,24 @@ class LandingReceiver(landingDir: String, port: Int = 0) {
     override def handle(ex: HttpExchange): Unit = {
       val (status, msg) =
         if (ex.getRequestMethod != "POST") (405, "POST only")
-        else try {
-          val body = ex.getRequestBody.readAllBytes()
-          val tmp = Files.createTempFile(dir, ".recv-", ".tmp")
-          Files.write(tmp, body)
-          Files.move(tmp, dir.resolve(f"evt-${seq.getAndIncrement()}%012d.json"),
-            StandardCopyOption.ATOMIC_MOVE)
-          (200, "OK")
-        } catch { case e: Exception => (500, String.valueOf(e.getMessage)) }
+        else {
+          var tmp: java.nio.file.Path = null
+          try {
+            val body = ex.getRequestBody.readAllBytes()
+            tmp = Files.createTempFile(dir, ".recv-", ".tmp")
+            Files.write(tmp, body)
+            Files.move(tmp, dir.resolve(f"evt-${seq.getAndIncrement()}%012d.json"),
+              StandardCopyOption.ATOMIC_MOVE)
+            tmp = null
+            (200, "OK")
+          } catch {
+            case e: Exception =>
+              // a failed receive must not leak its half-written temp file
+              // into the landing dir forever
+              if (tmp != null) Files.deleteIfExists(tmp)
+              (500, Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          }
+        }
       val bytes = msg.getBytes("UTF-8")
       ex.sendResponseHeaders(status, bytes.length)
       ex.getResponseBody.write(bytes)

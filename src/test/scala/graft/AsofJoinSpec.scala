@@ -68,6 +68,19 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set(("a", 10L, 10L, "zzz")), "largest tie-break value wins")
   }
 
+  test("null timestamps: right rows never match, left rows get null payload") {
+    import spark.implicits._
+    val left = Seq(("a", Some(10L)), ("a", Option.empty[Long])).toDF("k", "lts")
+    val right = Seq(("a", Option.empty[Long], "null-ts"), ("a", Some(3L), "real"))
+      .toDF("k", "rts", "payload")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "lts", "rts", Seq("payload"))
+      .collect().map(r => (if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).orNull)).toSet
+    // SQL semantics: NULL <= ts is never true — the null-ts right row is
+    // not a universal fallback match, and the null-ts left row matches nothing
+    assert(out == Set((10L, "real"), (-1L, null)))
+  }
+
   test("payload name collision with a left column is rejected") {
     import spark.implicits._
     val err = intercept[IllegalArgumentException] {

@@ -204,6 +204,30 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"put before delete must not: $keys")
   }
 
+  test("a malformed delete event (no object key) does not poison the stream") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-malformed").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(16)
+    client.createCollection("mal", dim = 16)
+    val objects = Seq(("good.txt", "a good doc")).toDF("key", "text")
+    // delete record whose s3.object carries no key (truncated notification)
+    val malformed =
+      """{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3",""" +
+        """"eventName":"ObjectRemoved:Delete","s3":{"bucket":{"name":"bkt"},""" +
+        """"object":{"size":1,"tags":{}}}}]}"""
+    writeLanding(s"$root/landing", "f1.json",
+      Seq(notif("ObjectCreated:Put", "good.txt"), malformed),
+      System.currentTimeMillis())
+    val q = client.startIngest("mal", s"$root/landing", objects, embedder = emb)
+    q.awaitTermination(120000)
+    assert(q.exception.isEmpty,
+      s"a malformed event must be dropped per-event, not kill the query: ${q.exception}")
+    val keys = client.search("mal", emb.embedText("doc"), 10).collect()
+      .map(_.getAs[String]("vector_key")).toSet
+    assert(keys == Set("good.txt"), s"the well-formed event must still apply: $keys")
+  }
+
   test("checkpointed ingest restarts at the first unseen landing file") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

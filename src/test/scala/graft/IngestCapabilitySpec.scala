@@ -372,6 +372,27 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       // bytes path round-trips too
       assert(remote.embedBytes(Array[Byte](1, 2, 3, 4)).toSeq ==
         kernel.embedBytes(Array[Byte](1, 2, 3, 4)).toSeq)
+
+      // the STREAMING embed boundary (embedObjects — mixed text/bytes
+      // dispatch) must batch too: one request per row-chunk, text and
+      // binary items in the same round-trip, no-modality rows → null
+      served.set(0)
+      val mixed = Seq(
+        ("t1", Some("text one"), Option.empty[Array[Byte]]),
+        ("b1", Option.empty[String], Some(Array[Byte](1, 2, 3, 4))),
+        ("t2", Some("text two"), Option.empty[Array[Byte]]),
+        ("x1", Option.empty[String], Option.empty[Array[Byte]]),
+        ("b2", Option.empty[String], Some(Array[Byte](5, 6, 7, 8)))
+      ).toDF("key", "text", "bytes").repartition(1)
+      val objVecs = Embedder.embedObjects(mixed, remote)
+        .collect().map(r => r.getAs[String]("key") -> Option(r.getSeq[Float](3))).toMap
+      assert(objVecs("t1").get == kernel.embedText("text one").toSeq)
+      assert(objVecs("b1").get == kernel.embedBytes(Array[Byte](1, 2, 3, 4)).toSeq)
+      assert(objVecs("b2").get == kernel.embedBytes(Array[Byte](5, 6, 7, 8)).toSeq)
+      assert(objVecs("x1").isEmpty, "no-modality rows embed to null (the 400 arm)")
+      assert(served.get() == 2,
+        s"5 rows at batchSize 4 = two row-chunks = 2 mixed requests (not 4 " +
+          s"per-item RPCs), saw ${served.get()}")
     } finally server.stop(0)
   }
 }
