@@ -105,19 +105,18 @@ object DedupQueries {
     * per pair — both engines compute identical md5 minhashes, so the
     * estimate matches exactly, not just statistically. */
   def dedupMinhashJaccardEst(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint both shared inputs: Spark does not deduplicate
-    // common subplans, and docs feeds 3 consumers / sigs feeds 4 (the two
-    // bucket arms and both sides of each self-join) — without
-    // materialization the explode+groupBy MinHash would run ~4× and the
-    // tokenization ~3× inside one query
+    // sigs/docs feed 4 and 3 consumers, but NO materialization here:
+    // sigs sits behind a shuffle, and ReuseExchange dedupes identical
+    // exchange subplans, so the MinHash aggregation runs once per query
+    // already — an explicit localCheckpoint measured neutral-to-worse
+    // (eager write of the full intermediate vs free plan-level reuse,
+    // and it blocks pruning/pushdown across the materialization point).
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
-      .localCheckpoint()
     val inv = docs.select(col("doc_id"), explode(col("ws")).as("w"))
     val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
     val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-      .localCheckpoint()
     val buckets = sigs.select(col("doc_id"),
       explode(array(
         concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
