@@ -100,13 +100,55 @@ object VectorScaleBench {
       .orderBy(col("dist"), col("vec_id")).limit(10).collect().map(_.getLong(0)).toSeq
     val recall = ivfIds.count(exactIds.contains).toDouble / exactIds.size
 
+    // batched 16 queries THROUGH the IVF prune (the searchBatch
+    // composition, B4×B5): per-query probe cells from the broadcast
+    // quantizer, an explicit static cell prune (16 queries × nprobe=4
+    // touch ≤ 64-of-64... at nlist=64 — the point generalizes: the union
+    // of probed cells bounds the scan), cell equi-join, bounded heap.
+    val bcQ = spark.sparkContext.broadcast(quant)
+    val probeCells = udf((v: Seq[Float]) => bcQ.value.probes(v.toArray, 4))
+    def ivfBatchedOnce(): Array[org.apache.spark.sql.Row] = {
+      val probed = queries.withColumn("centroidId", explode(probeCells(col("qvec"))))
+      val cells = probed.select("centroidId").distinct().collect().map(_.getInt(0))
+      val topk = graft.functions.VectorAggregates.topKByDist(5)
+      atRest.filter(col("centroidId").isin(cells.map(Integer.valueOf).toSeq: _*))
+        .join(broadcast(probed), Seq("centroidId"))
+        .select(col("qid"), col("vec_id"), l2_distance(col("vec"), col("qvec")).as("dist"))
+        .groupBy(col("qid")).agg(topk(col("dist"), col("vec_id")).as("tops"))
+        .collect()
+    }
+    ivfBatchedOnce()
+    var ivfBatchedRows: Array[org.apache.spark.sql.Row] = Array.empty
+    val ivfBatchedSec = math.min(
+      time { ivfBatchedRows = ivfBatchedOnce() }, time { ivfBatchedRows = ivfBatchedOnce() })
+    // recall of the pruned batch vs the exact batched answer
+    val exactBatched = {
+      val topk = graft.functions.VectorAggregates.topKByDist(5)
+      vecs.crossJoin(broadcast(queries))
+        .select(col("qid"), col("vec_id"), l2_distance(col("vec"), col("qvec")).as("dist"))
+        .groupBy(col("qid")).agg(topk(col("dist"), col("vec_id")).as("tops"))
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet).toMap
+    }
+    val batchRecall = {
+      val per = ivfBatchedRows.map { r =>
+        val got = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet
+        val want = exactBatched(r.getLong(0))
+        got.intersect(want).size.toDouble / want.size
+      }
+      per.sum / per.length
+    }
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
         s""""exact_knn_sec":$exactSec,"exact_rows_per_sec":$rowsPerSec,""" +
         s""""batched16_sec":$batchedSec,"ivf_build_sec":$ivfBuildSec,""" +
         s""""ivf_probe4of64_sec":$ivfSec,"ivf_speedup":${exactSec / ivfSec},""" +
-        s""""ivf_recall_at10":$recall}""")
+        s""""ivf_recall_at10":$recall,""" +
+        s""""ivf_batched16_sec":$ivfBatchedSec,""" +
+        s""""ivf_batched_speedup":${batchedSec / ivfBatchedSec},""" +
+        s""""ivf_batched_recall_at5":$batchRecall}""")
     spark.stop()
   }
 }
