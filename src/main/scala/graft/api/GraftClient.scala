@@ -180,6 +180,40 @@ class GraftClient(spark: SparkSession, root: String) {
   private def liveCount(m: CollectionMeta): Long =
     collection(m).read(spark).count()
 
+  /** Change a collection's hash-bucket count — the one layout parameter
+    * frozen at create time (bucket assignment is pmod(xxhash64(key), N),
+    * so N can't drift), yet the one that must follow data growth: 16
+    * buckets sized for a prototype means 1/16th-of-the-corpus rewrites
+    * per touched bucket at 100 TB, while too many buckets at small scale
+    * is all file overhead. This is the offline migration: one full
+    * rewrite into a fresh directory under the new bucketing, then an
+    * atomic catalog swap — readers see the old complete layout or the
+    * new complete layout, never a mix. The seq high-water mark carries
+    * over, so cross-commit last-write-wins is unaffected.
+    *
+    * The IVF index does not survive (it is keyed to the data path and
+    * the new layout restarts snapshot versions): search falls back to
+    * the exact scan until `buildIndex` runs again — correct, just
+    * unpruned, same stance as every other staleness path. */
+  def rebucket(name: String, newBuckets: Int): Long = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    val m = metaOrThrow(name)
+    require(newBuckets != m.buckets, s"$name already has $newBuckets buckets")
+    val coll = collection(m)
+    val rows = coll.read(spark).select(rowSchema.fieldNames.map(col): _*)
+    val newPath = s"${m.dataPath}.rb$newBuckets"
+    deleteDir(newPath) // a prior failed rebucket's partial target is dead
+    val fresh = new graft.streaming.BucketedKeyedCollection(
+      newPath, rowSchema, "key", newBuckets)
+    fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
+    val updated = m.copy(dataPath = newPath, buckets = newBuckets)
+    require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
+    // old layout + its now-unreachable index are dead after the swap
+    deleteDir(ivfDir(m))
+    deleteDir(m.dataPath)
+    liveCount(updated)
+  }
+
   /** Batch upsert: `df` needs (key STRING, vec ARRAY<FLOAT>, meta MAP) —
     * last write per key wins ACROSS commits; duplicate keys WITHIN one
     * batch resolve to a deterministic content-chosen winner (a DataFrame

@@ -101,6 +101,23 @@ class Catalog(root: String) {
 
   def hasCollection(name: String): Boolean = Files.exists(fileFor(name))
 
+  /** Atomic in-place metadata update of an EXISTING collection — the
+    * publish step of operations that swap a collection's storage (e.g.
+    * `rebucket`). ATOMIC_MOVE with replace: readers see either the old or
+    * the new record, never a partial one. Single administrative writer
+    * assumed (unlike create, an update has no exclusivity to defend). */
+  def updateCollection(meta: CollectionMeta): Boolean = {
+    val f = fileFor(meta.name)
+    if (!Files.exists(f)) false
+    else {
+      val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+      Files.write(tmp, render(meta).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+
   /** `describe_collection` + `describe_index` in one shape
     * (`milvus-app/describe.py:11-24`). */
   def describeCollection(name: String): Option[CollectionMeta] = {
