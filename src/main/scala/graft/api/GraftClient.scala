@@ -180,6 +180,23 @@ class GraftClient(spark: SparkSession, root: String) {
   private def liveCount(m: CollectionMeta): Long =
     collection(m).read(spark).count()
 
+  /** Point lookup by key — the `client.query(filter="key == ...")` /
+    * `get_vectors` read. The key's hash names its ONE bucket, so the scan
+    * reads 1/buckets of the collection regardless of corpus size (plus
+    * Parquet min/max pruning inside the bucket) — never a full scan.
+    * Returns (vec, meta) or None. */
+  def get(name: String, key: String): Option[(Seq[Float], Map[String, String])] = {
+    import spark.implicits._
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
+    coll.readBuckets(spark, Seq(bucket))
+      .filter(col("key") === key)
+      .select(col("vec"), col("meta"))
+      .collect().headOption
+      .map(r => (r.getSeq[Float](0), r.getAs[Map[String, String]](1)))
+  }
+
   /** Change a collection's hash-bucket count — the one layout parameter
     * frozen at create time (bucket assignment is pmod(xxhash64(key), N),
     * so N can't drift), yet the one that must follow data growth: 16

@@ -302,6 +302,31 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       singles(8), "full probe through the index equals exact")
   }
 
+  test("get: point lookup reads only the key's bucket") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-get").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("pt", dim = 2, buckets = 8)
+    client.upsert("pt", (0 until 100).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map("i" -> i.toString))).toDF("key", "vec", "meta"))
+
+    val got = client.get("pt", "k42")
+    assert(got.contains((Seq(42f, 0f), Map("i" -> "42"))))
+    assert(client.get("pt", "nope").isEmpty)
+
+    // plan-level: the scan reads ONE bucket directory, not eight
+    val m = client.describe("pt")
+    val coll = new graft.streaming.BucketedKeyedCollection(
+      m.dataPath, org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT"),
+      "key", m.buckets)
+    val b = Seq("k42").toDF("key").select(coll.bucketExpr).head().getInt(0)
+    val single = coll.readBuckets(spark, Seq(b))
+    assert(single.inputFiles.nonEmpty &&
+      single.inputFiles.forall(_.contains(f"b$b%05d-")),
+      s"a point read must touch only bucket $b's files: ${single.inputFiles.toSeq}")
+  }
+
   test("rebucket migrates the layout; writes and search keep working") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-rb").toString
