@@ -320,6 +320,46 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally recv.stop()
   }
 
+  test("RemoteEmbedder: malformed service responses fail loudly, not silently") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    @volatile var mode = "short" // short | wrongdim | error
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/embed", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      if (mode == "error") {
+        val b = "boom".getBytes; ex.sendResponseHeaders(503, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      } else {
+        val out = mapper.createObjectNode()
+        val vecs = out.putArray("vectors")
+        val arr = vecs.addArray()
+        (0 until (if (mode == "wrongdim") 3 else 4)).foreach(_ => arr.add(0.5))
+        val bytes = mapper.writeValueAsBytes(out)
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val remote = graft.ingest.RemoteEmbedder(
+        s"http://localhost:${server.getAddress.getPort}/embed", dim = 4, batchSize = 8)
+      // fewer vectors than inputs → a silent drop would misalign every
+      // row after the gap; must throw instead
+      val short = intercept[IllegalArgumentException] {
+        remote.embedTexts(Seq("a", "b"))
+      }
+      assert(short.getMessage.contains("1 vectors for 2 inputs"), short.getMessage)
+      mode = "wrongdim"
+      val dim = intercept[IllegalArgumentException] { remote.embedText("a") }
+      assert(dim.getMessage.contains("dimension 3"), dim.getMessage)
+      mode = "error"
+      val err = intercept[java.io.IOException] { remote.embedText("a") }
+      assert(err.getMessage.contains("503") && err.getMessage.contains("boom"),
+        err.getMessage)
+    } finally server.stop(0)
+  }
+
   test("RemoteEmbedder: batched per-partition calls against a stub service") {
     import spark.implicits._
     val served = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -57,6 +57,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Window"), "the running last-payload window is the operator")
   }
 
+  test("range join: banded equi-join, never a nested-loop over the range predicate") {
+    val p = planOf("range_join_events")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the tolerance predicate must ride a band equi-join — Spark plans a raw " +
+        "|l.ts - r.ts| <= tol condition as a nested loop, quadratic per key")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "the (key, band) join must be a hash/merge equi-join")
+  }
+
+  test("sessionize: both windows share one user_id partitioning (one shuffle)") {
+    val p = planOf("sessionize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"the gap-flag and session-id windows must reuse one user_id shuffle, saw $exchanges:\n" +
+        p.take(2000))
+  }
+
   test("single-query KNN: bounded top-k merge, no shuffle of the index side") {
     val p = planOf("knn_l2_topk")
     assert(p.contains("TakeOrderedAndProject"),
