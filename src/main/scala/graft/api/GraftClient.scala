@@ -180,6 +180,21 @@ class GraftClient(spark: SparkSession, root: String) {
   private def liveCount(m: CollectionMeta): Long =
     collection(m).read(spark).count()
 
+  /** Per-bucket statistics of the current snapshot — the operational view
+    * that tells you when [[rebucket]] is due (bucket sizes drifting past
+    * target) and whether keys skew (xxhash64 should spread them; a hot
+    * bucket here means adversarial keys, and writes to it dominate commit
+    * cost). One row per live bucket: (bucket, n_rows, max_seq). Parquet
+    * row-group metadata serves the counts — no data pages read. */
+  def stats(name: String): DataFrame = {
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    coll.read(spark)
+      .groupBy(coll.bucketExpr.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
+      .orderBy(col("bucket"))
+  }
+
   /** Point lookup by key — the `client.query(filter="key == ...")` /
     * `get_vectors` read. The key's hash names its ONE bucket, so the scan
     * reads 1/buckets of the collection regardless of corpus size (plus

@@ -302,6 +302,21 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       singles(8), "full probe through the index equals exact")
   }
 
+  test("stats: per-bucket rows and seq high-water marks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("st", dim = 2, buckets = 4)
+    client.upsert("st", (0 until 80).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map.empty[String, String])).toDF("key", "vec", "meta"))
+    client.deleteByKeys("st", Seq("k0", "k1"))
+    val s = client.stats("st").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(s.map(_._2).sum == 78, s"78 live rows across buckets: ${s.toSeq}")
+    assert(s.map(_._1).toSeq == s.map(_._1).toSeq.sorted && s.forall(_._1 < 4))
+    assert(s.forall(_._3 == 1L), "one upsert commit → every bucket's max_seq is 1")
+  }
+
   test("get: point lookup reads only the key's bucket") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-get").toString
