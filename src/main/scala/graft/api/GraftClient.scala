@@ -90,6 +90,14 @@ class GraftClient(spark: SparkSession, root: String) {
   def registerSqlViews(): Unit = {
     import spark.implicits._
     val metas = list().map(metaOrThrow)
+    // `-`→`_` sanitization can merge distinct collection names (`a-b` and
+    // `a_b`); registering both would silently shadow one view — fail loudly
+    val collisions = metas.map(_.name).groupBy(_.replace('-', '_'))
+      .filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      "collection names collide after SQL-identifier sanitization ('-'→'_'): " +
+        collisions.map { case (v, ns) => s"${ns.mkString(", ")} → view $v" }
+          .mkString("; "))
     metas.foreach(m =>
       collection(m).read(spark).createOrReplaceTempView(m.name.replace('-', '_')))
     metas.toDF().createOrReplaceTempView("graft_collections")
@@ -123,6 +131,12 @@ class GraftClient(spark: SparkSession, root: String) {
     // recomputation reproduces the identical batch. Callers needing
     // ordered within-batch semantics resolve per key first — the streaming
     // micro-batch loop does, by arrival order.
+    // the batch timestamp is stamped ONCE on the driver as a literal:
+    // current_timestamp() re-evaluates per action, so a cache-evicted
+    // recomputation of `decorated` (the store commit runs one action, the
+    // incremental index refresh another) could write diverging ingest_ts
+    // for the same keys — a literal makes every recomputation bit-identical
+    val batchTs = new java.sql.Timestamp(System.currentTimeMillis())
     val decorated = puts.map { df =>
       val typed = df.select(
         requireKey(col("key")).as("key"),
@@ -131,7 +145,7 @@ class GraftClient(spark: SparkSession, root: String) {
       IngestOps.upsertLatest(typed, col("key"),
           xxhash64(col("key"), col("vec"), to_json(col("meta"))), lit(0))
         .select(col("key"), col("vec"), col("meta"),
-          current_timestamp().as("ingest_ts"),
+          lit(batchTs).as("ingest_ts"),
           lit(maxSeq + 1).as("seq"))
         .persist() // caching across the actions below — no longer correctness
     }

@@ -54,6 +54,12 @@ object AsofJoin {
     require(by.nonEmpty, "as-of join needs at least one key column")
     val collide = rightPayload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"right payload columns collide with left: $collide")
+    // the union-sort bookkeeping columns would silently REPLACE same-named
+    // input columns via withColumn — reject, mirroring the payload check
+    val reserved = Set("__ts", "__side", "__tie", "__r", "__match")
+    val reservedHit = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHit.isEmpty,
+      s"input columns collide with as-of bookkeeping names: $reservedHit")
     val leftCols = left.columns.toSeq
 
     // tie-break keeps its ORIGINAL type (a string cast would order

@@ -140,8 +140,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     // future commits) and stale `.stage-*` dirs. Single-writer is assumed,
     // so anything staged or versioned >= `next` is dead — clean it first.
     listDir().filter(n => n.startsWith(".stage-") ||
-        (n.startsWith("b") && n.contains("-v") &&
-          n.substring(n.indexOf("-v") + 2).toLong >= next))
+        bucketDirVersion(n).exists(_ >= next))
       .foreach(n => deleteRecursively(dir.resolve(n)))
     val staging = dir.resolve(f".stage-$next%08d")
     rows.withColumn("__b", bucketExpr)
@@ -177,16 +176,26 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     next
   }
 
+  /** Version of a bucket-dir name, ONLY for names this class wrote
+    * (`bNNNNN-vNNNNNNNN`). Cleanup paths gate on this so a stray file a
+    * user drops in the directory (e.g. `backup-v2.txt`) is neither parsed
+    * (NumberFormatException would wedge every later commit) nor deleted. */
+  private def bucketDirVersion(n: String): Option[Long] =
+    if (n.matches("b\\d{5}-v\\d{8}")) Some(n.substring(n.indexOf("-v") + 2).toLong)
+    else None
+
   /** Keep the last `retain` manifests; drop bucket dirs none of them
-    * references (see class doc for the reader-validity window). */
+    * references (see class doc for the reader-validity window). Only
+    * names matching this class's own naming are touched — stray files
+    * survive untouched instead of throwing or being deleted. */
   private def prune(latest: Long): Unit = {
     val keepManifests = (math.max(0L, latest - retain + 1) to latest)
       .filter(v => Files.exists(manifestPath(v)))
     val referenced = keepManifests.flatMap(v => readManifest(v).buckets.values).toSet
     val entries = listDir()
-    entries.filter(n => n.startsWith("b") && n.contains("-v") && !referenced(n))
+    entries.filter(n => bucketDirVersion(n).isDefined && !referenced(n))
       .foreach(n => deleteRecursively(dir.resolve(n)))
-    entries.filter(_.startsWith("manifest-"))
+    entries.filter(_.matches("manifest-\\d{8}"))
       .filter(_.stripPrefix("manifest-").toLong <= latest - retain)
       .foreach(n => Files.deleteIfExists(dir.resolve(n)))
   }

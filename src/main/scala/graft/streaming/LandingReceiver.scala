@@ -30,7 +30,9 @@ class LandingReceiver(landingDir: String, port: Int = 0) {
     val existing =
       try listing.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("evt-") && n.endsWith(".json") =>
+        // strict match: a stray non-numeric file (e.g. `evt-test.json`)
+        // must not throw in the constructor — it's simply not ours
+        .collect { case n if n.matches("evt-\\d+\\.json") =>
           n.stripPrefix("evt-").stripSuffix(".json").toLong }
         .maxOption.getOrElse(-1L)
       finally listing.close()

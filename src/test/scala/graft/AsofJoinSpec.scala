@@ -90,4 +90,24 @@ class AsofJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("collide"))
   }
+
+  test("input columns colliding with bookkeeping names are rejected, not corrupted") {
+    import spark.implicits._
+    // a left `__ts` would be silently REPLACED by the internal ordering
+    // column (wrong results, no error) without the guard
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(
+        Seq(("a", 1L, 99L)).toDF("k", "lts", "__ts"),
+        Seq(("a", 1L, "x")).toDF("k", "rts", "payload"),
+        Seq("k"), "lts", "rts", Seq("payload"))
+    }
+    assert(err.getMessage.contains("__ts"))
+    val err2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(
+        Seq(("a", 1L)).toDF("k", "lts"),
+        Seq(("a", 1L, "x", 0)).toDF("k", "rts", "payload", "__side"),
+        Seq("k"), "lts", "rts", Seq("payload"))
+    }
+    assert(err2.getMessage.contains("__side"))
+  }
 }

@@ -190,4 +190,29 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("undeclared buckets"))
   }
+
+  test("stray files in the collection dir neither wedge commits nor get deleted") {
+    import spark.implicits._
+    val (root, coll) = freshColl(buckets = 4)
+    val all = (0 until 40).map(i => (s"k$i", i.toLong, 1L))
+    coll.commitBuckets((0 until 4), all.toDF("key", "value", "seq"), 1L)
+    // user-dropped files whose names superficially match the layout's
+    // naming: `backup-v2.txt` starts with 'b' and contains '-v' (the old
+    // substring parse threw NumberFormatException and wedged every
+    // subsequent commit); `manifest-backup` matches the manifest prefix
+    val strays = Seq("backup-v2.txt", "manifest-backup", "b-notes-v.md")
+      .map(java.nio.file.Paths.get(root, _))
+    strays.foreach(p => java.nio.file.Files.write(p, "keep me".getBytes))
+    // several commits: exercises both the retry-cleanup scan (every commit)
+    // and prune's vacuum of manifests + unreferenced bucket dirs
+    val b = bucketOf(coll, "k0")
+    (2 to 4).foreach { v =>
+      val survivors = all.filter(r => bucketOf(coll, r._1) == b)
+        .map { case (k, _, _) => (k, v.toLong, v.toLong) }
+      coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), v.toLong)
+    }
+    strays.foreach(p => assert(java.nio.file.Files.exists(p),
+      s"stray file $p must survive cleanup untouched"))
+    assert(rowsOf(coll).size == 40, "snapshot intact around the strays")
+  }
 }

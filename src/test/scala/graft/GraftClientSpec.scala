@@ -516,6 +516,15 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"${client.describe("inc").dataPath}-ivf/cells")
     assert(cells.filter(col("key") === "k17").count() == 0, "deleted key lingers in a cell")
     assert(cells.filter(col("key") === "k30").count() == 1, "moved key must exist exactly once")
+    // the batch timestamp is a driver literal, so the index-cell rows and
+    // the committed snapshot carry the IDENTICAL ingest_ts per key even
+    // though they come from different actions over the same cached plan
+    client.registerSqlViews()
+    val snapTs = spark.table("inc").select("key", "ingest_ts")
+    val diverged = cells.select(col("key"), col("ingest_ts").as("cell_ts"))
+      .join(snapTs, Seq("key"))
+      .filter(col("cell_ts") =!= col("ingest_ts")).count()
+    assert(diverged == 0, "index-cell ingest_ts diverged from the snapshot's")
   }
 
   test("IVF maintenance chains across many commits without drifting") {

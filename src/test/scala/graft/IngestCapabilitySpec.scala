@@ -280,6 +280,17 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) AS n FROM texts_a").head().getLong(0) == 3)
   }
 
+  test("registerSqlViews: names colliding after '-'→'_' sanitization fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlc").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("docs-a", dim = 2)
+    client.createCollection("docs_a", dim = 2)
+    // both sanitize to view `docs_a` — the later registration would
+    // silently shadow the earlier one's view without the guard
+    val err = intercept[IllegalArgumentException](client.registerSqlViews())
+    assert(err.getMessage.contains("docs-a") && err.getMessage.contains("docs_a"))
+  }
+
   // ---- HTTP landing adapter (A1) + external-inference hook (A4 remote) ----
 
   test("LandingReceiver: posted notifications land and ingest end-to-end") {
@@ -317,6 +328,25 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(g.getResponseCode == 405)
       g.disconnect()
+    } finally recv.stop()
+  }
+
+  test("LandingReceiver: stray landing files don't break counter resume") {
+    val landing = java.nio.file.Files.createTempDirectory("graft-stray")
+    // a non-numeric evt file (user-dropped) plus a real one the counter
+    // must resume AFTER — the constructor used to throw on the stray
+    java.nio.file.Files.write(landing.resolve("evt-test.json"), "{}".getBytes)
+    java.nio.file.Files.write(
+      landing.resolve("evt-000000000007.json"), "{}".getBytes)
+    val recv = new graft.streaming.LandingReceiver(landing.toString)
+    try {
+      val conn = new java.net.URI(s"http://localhost:${recv.boundPort}/")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("{}".getBytes("UTF-8"))
+      assert(conn.getResponseCode == 200); conn.disconnect()
+      assert(java.nio.file.Files.exists(landing.resolve("evt-000000000008.json")),
+        "counter resumes after the max NUMERIC landing file")
     } finally recv.stop()
   }
 
