@@ -17,7 +17,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries.queries,
     _root_.graft.queries.DedupQueries.queries,
     _root_.graft.queries.CoverageQueries.queries,
-    _root_.graft.queries.EventAnalyticsQueries.queries
+    _root_.graft.queries.EventAnalyticsQueries.queries,
+    _root_.graft.queries.PipelineQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
@@ -29,7 +30,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries.oracleSql,
     _root_.graft.queries.DedupQueries.oracleSql,
     _root_.graft.queries.CoverageQueries.oracleSql,
-    _root_.graft.queries.EventAnalyticsQueries.oracleSql
+    _root_.graft.queries.EventAnalyticsQueries.oracleSql,
+    _root_.graft.queries.PipelineQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

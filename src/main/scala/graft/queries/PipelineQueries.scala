@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+
+/** Training-data pipeline operators beyond per-doc scoring (SURVEY §2 C19):
+  * the corpus-level steps a pre-training data build runs between "raw docs"
+  * and "token shards" — contamination checks, deterministic shuffling and
+  * stratified sampling, sequence packing, vocabulary coverage, length
+  * windsorization, dedup-rate observability.
+  *
+  * Everything is hash-deterministic (md5 over the doc id, the same trick
+  * train_val_split uses) so results are stable under reshuffles, re-runs
+  * and corpus growth, and oracle-checkable in DuckDB.
+  *
+  * Scale notes inline per query; the common theme: the only global windows
+  * here are over vocabulary-sized or shard-local data, never over the raw
+  * corpus in one partition.
+  */
+object PipelineQueries {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Test-set contamination: which training docs share any 8-gram with a
+    * held-out doc (the decontamination check every eval suite needs —
+    * GPT-3-style n-gram overlap). Test split = doc_id % 10 == 0 stands in
+    * for "the benchmark set".
+    *
+    * Shape at scale: distinct 8-grams per doc (array_distinct BEFORE the
+    * explode caps the join input at one row per distinct gram), then an
+    * inverted-index equi-join on the gram — Σ df² work like the Jaccard
+    * path, never |train|×|test|. The test side is small in practice; AQE
+    * broadcasts it while it is, no hint needed. */
+  def contaminationNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val grams = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.ngrams(words(col("text")), 8))).as("g"))
+    val test = grams.filter(col("doc_id") % 10 === 0)
+      .withColumnRenamed("doc_id", "test_doc")
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+      .withColumnRenamed("doc_id", "train_doc")
+    train.join(test, Seq("g"))
+      .groupBy(col("train_doc"), col("test_doc"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy(col("train_doc"), col("test_doc"))
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget packs (2048) the
+    * way a training loader concatenates-and-chunks. Docs are hash-sharded
+    * (first md5 hex char, 16 shards), hash-ordered within the shard, and a
+    * running token count maps each doc to pack floor(offset / budget).
+    * Output is per-pack stats, so the oracle checks the whole assignment.
+    *
+    * Shape at scale: the ONLY window is partitioned by shard — each shard
+    * packs independently (this is how a 1000-executor export run stays
+    * parallel; a single global cumsum would serialize the corpus through
+    * one partition). Packs never split a doc, so a pack can overflow the
+    * budget by at most one doc's tokens — documented loader semantics. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, 1))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .groupBy(col("shard"), expr("(cum - n_tokens) div 2048").as("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** Deterministic global shuffle — the pre-export corpus shuffle, as a
+    * rank over md5(doc_id). First 20 positions declared (top-k plan, not a
+    * full materialized sort). Production exports don't need the global rank
+    * at all — they sort-within-shard (see sequencePacking / TrainingExport);
+    * the declared query checks the ORDER ITSELF is the engine-independent
+    * hash order. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+    d.select(
+        row_number().over(Window.orderBy(col("h"), col("doc_id"))).as("rn"),
+        col("doc_id"), substring(col("h"), 1, 8).as("h8"), col("lang"))
+      .orderBy(col("rn")).limit(20)
+  }
+
+  /** Stratified sampling with per-stratum rates — downsample the dominant
+    * language (en ≈ 20%) while keeping the tail (others ≈ 80%), the usual
+    * data-mix rebalancing step. Hash-threshold per stratum keeps it
+    * deterministic; output aggregates per lang so the oracle checks every
+    * membership decision. Pure filter + agg: no shuffle beyond the final
+    * vocabulary-sized groupBy. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(md5(col("doc_id").cast("string")) <
+        when(col("lang") === "en", "33").otherwise("cc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Vocabulary coverage: cumulative share of corpus tokens covered by the
+    * top-k vocabulary (the "how big must the tokenizer vocab be" curve).
+    * The explode→groupBy(word) is the map-side-combinable word-count shape;
+    * the window runs over the VOCABULARY (≈ distinct words), which is
+    * orders of magnitude smaller than the corpus — safe as a global sort. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val ord = Window.orderBy(desc("n"), col("word"))
+    counts.crossJoin(broadcast(total))
+      .select(row_number().over(ord).as("rnk"), col("word"), col("n"),
+        round(sum(col("n")).over(ord) / col("total"), 6).as("cum_share"))
+      .orderBy(col("rnk")).limit(40)
+  }
+
+  /** Length windsorization: keep docs between the exact p05/p95 n_chars
+    * quantiles (the truncate-the-tails pre-filter). Two-pass: a 1-row exact
+    * percentile aggregate (broadcast), then filter + per-lang agg — the
+    * same shape at any corpus size. At 100 TB the exact percentile becomes
+    * approx_percentile with a documented ε; the declared query stays exact
+    * so the oracle can hash it. */
+  def lengthQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bounds = docs.agg(
+      expr("percentile(n_chars, 0.05)").as("lo"),
+      expr("percentile(n_chars, 0.95)").as("hi"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(first(col("lo")), 4).as("p05"),
+        round(first(col("hi")), 4).as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  /** Dedup-rate observability: per-source duplicate share by content hash
+    * (the "which crawl is feeding us copies" dashboard number). 32-byte
+    * md5 as the distinct key — the shuffle carries hashes, not documents. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round(lit(1.0) - countDistinct(md5(col("text"))).cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_ngrams" -> contaminationNgrams _,
+    "sequence_packing" -> sequencePacking _,
+    "corpus_shuffle" -> corpusShuffle _,
+    "sample_stratified" -> sampleStratified _,
+    "vocab_coverage" -> vocabCoverage _,
+    "length_quantile_filter" -> lengthQuantileFilter _,
+    "dup_rate_by_source" -> dupRateBySource _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "contamination_ngrams" ->
+      """WITH ws AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+           grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(w) - 7),
+               i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS g
+             FROM ws),
+           test AS (SELECT doc_id AS test_doc, g FROM grams WHERE doc_id % 10 = 0),
+           train AS (SELECT doc_id AS train_doc, g FROM grams WHERE doc_id % 10 <> 0)
+         SELECT train_doc, test_doc, count(*) AS shared_ngrams
+         FROM train JOIN test USING (g)
+         GROUP BY 1, 2 ORDER BY train_doc, test_doc""",
+    "sequence_packing" ->
+      """WITH d AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tokens,
+                      md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+           s AS (SELECT doc_id, n_tokens, substring(h, 1, 1) AS shard,
+                   sum(n_tokens) OVER (PARTITION BY substring(h, 1, 1)
+                     ORDER BY h, doc_id) AS cum
+                 FROM d)
+         SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+            min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM s GROUP BY 1, 2 ORDER BY shard, pack_id""",
+    "corpus_shuffle" ->
+      """SELECT row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+            doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h8, lang
+         FROM documents ORDER BY rn LIMIT 20""",
+    "sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc,
+            max(doc_id) AS max_doc, round(avg(n_chars), 4) AS avg_chars
+         FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR)) < (CASE WHEN lang = 'en' THEN '33' ELSE 'cc' END)
+         GROUP BY lang ORDER BY lang""",
+    "vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(str_split(text, ' ')) AS word FROM documents),
+           counts AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+           tot AS (SELECT sum(n) AS total FROM counts)
+         SELECT row_number() OVER (ORDER BY n DESC, word) AS rnk, word, n,
+            round(sum(n) OVER (ORDER BY n DESC, word) / total, 6) AS cum_share
+         FROM counts, tot ORDER BY rnk LIMIT 40""",
+    "length_quantile_filter" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM documents)
+         SELECT lang, count(*) AS n_kept, round(avg(n_chars), 4) AS avg_chars,
+            round(any_value(lo), 4) AS p05, round(any_value(hi), 4) AS p95
+         FROM documents, b WHERE n_chars BETWEEN lo AND hi
+         GROUP BY lang ORDER BY lang""",
+    "dup_rate_by_source" ->
+      """SELECT source, count(*) AS n_docs,
+            count(DISTINCT md5(text)) AS n_distinct,
+            round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_rate
+         FROM documents GROUP BY source ORDER BY source"""
+  )
+}

@@ -125,4 +125,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("PushedFilters") && p.contains("doc_id"),
       "the doc_id window must prune at the scan")
   }
+
+  test("contamination check: inverted-index gram join, never train×test product") {
+    val p = planOf("contamination_ngrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "test-set contamination must equi-join on the gram (Σ df² work), " +
+        s"not cross every train doc with every test doc:\n${p.take(2000)}")
+  }
+
+  test("sequence packing: the running-offset window is shard-partitioned") {
+    val p = planOf("sequence_packing")
+    assert(p.contains("hashpartitioning(shard"),
+      "packing must cumsum per shard — a global-order window would pull " +
+        s"the corpus through one partition:\n${p.take(2000)}")
+  }
+
+  test("corpus shuffle: declared top-20 plans as bounded top-k, not a full sort") {
+    val p = planOf("corpus_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the final limit must merge per-partition top-k on the driver:\n${p.take(2000)}")
+  }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pipeline.TrainingExport
+
+/** The terminal LLM-pipeline step: filter → dedup → hash-shard → pack →
+  * partitioned write. Tests pin the loader contract (no doc lost or
+  * duplicated, pack start-offsets honor the budget, determinism across
+  * runs) and the scale-relevant plan/layout properties (shard-partitioned
+  * window, partition-pruned read-back). */
+class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("training-export-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private val cfg = TrainingExport.Config(budgetTokens = 512, shards = 8)
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(c => deleteRec(c))
+    Files.deleteIfExists(p)
+  }
+
+  test("every kept doc appears exactly once; dedup keeps the min doc_id") {
+    val p = TrainingExport.packed(docs, cfg).cache()
+    try {
+      val ids = p.select("doc_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length, "a doc was packed twice")
+      // expected survivor set: windsorized by n_chars quantiles, then min
+      // doc_id per content hash
+      val bounds = docs.agg(
+        expr("percentile(n_chars, 0.05)").as("lo"),
+        expr("percentile(n_chars, 0.95)").as("hi")).collect()(0)
+      val expected = docs
+        .filter(col("n_chars").between(bounds.getDouble(0), bounds.getDouble(1)))
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.toSet == expected,
+        "packed doc set must equal windsorized+deduped survivors")
+    } finally p.unpersist()
+  }
+
+  test("pack assignment follows start offsets; packs overflow by at most one doc") {
+    val rows = TrainingExport.packed(docs, cfg)
+      .select("shard", "pack_id", "pos_in_pack", "doc_id", "n_tokens")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (shard, inShard) =>
+      // reconstruct the shard's hash order exactly as packed() defines it
+      val ordered = inShard.sortBy { case (_, pid, pos, _, _) => (pid, pos) }
+      var cum = 0L
+      ordered.foreach { case (_, packId, _, docId, nTok) =>
+        val start = cum
+        assert(start / cfg.budgetTokens == packId,
+          s"shard $shard doc $docId: start $start maps to pack ${start / cfg.budgetTokens}, not $packId")
+        cum += nTok
+      }
+      // within a pack, every doc's start is inside the budget window, so
+      // total overflow is bounded by the LAST doc's tokens
+      ordered.groupBy(_._2).foreach { case (packId, inPack) =>
+        val total = inPack.map(_._5).sum
+        val lastTokens = inPack.maxBy(_._3)._5
+        assert(total - lastTokens < cfg.budgetTokens,
+          s"shard $shard pack $packId: pre-last total ${total - lastTokens} exceeds budget")
+      }
+    }
+  }
+
+  test("packing is deterministic across independent runs") {
+    val a = TrainingExport.packed(docs, cfg).collect().map(_.toString).sorted
+    val b = TrainingExport.packed(docs, cfg).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "two runs over the same corpus must pack identically")
+  }
+
+  test("packing window is shard-partitioned, never a single global partition") {
+    val plan = TrainingExport.packed(docs, cfg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"),
+      s"pack window must shuffle by shard (parallel at scale), plan was:\n$plan")
+  }
+
+  test("run() writes shard-partitioned parquet; single-shard read prunes to one dir") {
+    val out = Files.createTempDirectory("graft-export").toString
+    try {
+      val stats = TrainingExport.run(spark, docs, out, cfg)
+      assert(stats.docsIn >= stats.docsAfterFilter)
+      assert(stats.docsAfterFilter >= stats.docsKept)
+      assert(stats.packs > 0 && stats.tokens > 0)
+      val back = spark.read.parquet(out)
+      assert(back.count() == stats.docsKept)
+      // partition pruning: a shard=N filter must reach the scan as a
+      // partition filter (inputFiles ignores filters, so inspect the plan)
+      val pruned = back.filter(col("shard") === 3)
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+        s"shard filter must prune at the partitioned scan:\n${scan.take(1500)}")
+      assert(pruned.count() > 0, "shard 3 must be non-empty in this fixture")
+      // and the packed content round-trips the in-memory assignment
+      val mem = TrainingExport.packed(docs, cfg)
+        .collect().map(_.toString).sorted
+      val disk = back
+        .select("shard", "pack_id", "pos_in_pack", "doc_id", "n_tokens", "text")
+        .collect().map(_.toString).sorted
+      assert(disk.sameElements(mem), "written packs must equal the computed assignment")
+    } finally deleteRec(java.nio.file.Paths.get(out))
+  }
+
+  test("lang keep-list restricts the corpus before packing") {
+    val p = TrainingExport.packed(docs, cfg.copy(langs = Set("en", "de")))
+    val langs = p.join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de")))
+    assert(langs.nonEmpty)
+  }
+}
