@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocklist exclusion at corpus scale (the "remove everything on this
+  * denylist" step of a training-data build: opted-out domains, known-bad
+  * documents, eval-set keys).
+  *
+  * A plain `left_anti` join shuffles the FULL corpus on the key — at
+  * 100 TB that is the whole dataset through the wire to drop a fraction
+  * of a percent. This operator builds a Bloom filter over the blocklist
+  * (`df.stat.bloomFilter` — distributed build, bits merged on the driver),
+  * broadcasts the bits, and splits the corpus map-side:
+  *
+  *   - `mightContain == false` → definitely NOT blocked (Bloom filters
+  *     have no false negatives) → kept with NO shuffle at all;
+  *   - `mightContain == true`  → blocked OR false positive → confirmed by
+  *     an exact anti-join whose left side is only |hits| + fpp·|corpus|
+  *     rows.
+  *
+  * Equivalence with the plain anti-join is exact (BloomExclusionSpec), so
+  * the shuffle saving is free correctness-wise. The blocklist itself can
+  * be far larger than a broadcast-join could take: 10M keys at 1% fpp is
+  * ~12 MB of bits vs ~GBs for a broadcast hash table.
+  */
+object BloomExclusion {
+
+  /** Rows of `corpus` whose `keyCol` does NOT appear in
+    * `blocklist.blockCol`. Exactly `corpus.join(blocklist, corpus(keyCol)
+    * === blocklist(blockCol), "left_anti")` (null keys are kept — SQL
+    * anti-join semantics), with the corpus-wide shuffle replaced by a
+    * broadcast Bloom probe.
+    *
+    * Keys are compared through their string rendering on BOTH the build
+    * and probe side — BloomFilter hashes longs and strings differently,
+    * so a mixed-type put/probe would silently never match.
+    *
+    * @param expectedKeys sizing hint for the filter; defaults to the
+    *                     blocklist count (one extra cheap action)
+    * @param fpp          false-positive rate — tunes bits vs how many
+    *                     rows take the exact-confirm join */
+  def excludeKeys(corpus: DataFrame, keyCol: String,
+                  blocklist: DataFrame, blockCol: String,
+                  expectedKeys: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val keys = blocklist.select(col(blockCol).cast("string").as("__k")).na.drop()
+    // stat.bloomFilter NPEs on an empty input (no partial buffer to merge)
+    if (keys.isEmpty) return corpus
+    val n = if (expectedKeys > 0) expectedKeys else math.max(1L, keys.count())
+    val bloom = keys.stat.bloomFilter("__k", n, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    // the probe is a deterministic scalar udf over the broadcast bits; it
+    // fences codegen around itself but runs map-side with zero shuffle
+    val maybe = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
+    val probed = corpus.withColumn("__maybe", maybe(col(keyCol).cast("string")))
+    val definitelyClean = probed.filter(!col("__maybe")).drop("__maybe")
+    val candidates = probed.filter(col("__maybe")).drop("__maybe")
+    val confirmed = candidates.join(
+      blocklist.select(col(blockCol).as(keyCol)), Seq(keyCol), "left_anti")
+    definitelyClean.unionByName(confirmed)
+  }
+}

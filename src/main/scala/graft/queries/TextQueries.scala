@@ -187,6 +187,36 @@ object TextQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"), col("lang"))
 
+  /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
+    * — the lexical-search twin of the KNN surface (hybrid retrieval runs
+    * both). Same inverted-index shape as TF-IDF: tokens filtered to the
+    * query terms BEFORE the tf groupBy, so the shuffle carries only
+    * matching postings — at corpus scale that is Σ df(term), not the
+    * corpus. Per-doc sums range over ≤3 terms; round(6) absorbs engine
+    * summation-order ulps. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("join", "hash", "scan")
+    val docs = t(spark, dir, "documents")
+    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+    val avgdl = dl.agg(avg(col("dlen")).as("avgdl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val matching = tokens.filter(col("word").isin(qterms: _*))
+    val tf = matching.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfT = matching.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(dfT, Seq("word")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))), 6)
+        .as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(15)
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -211,7 +241,8 @@ object TextQueries {
     "doc_entropy" -> docEntropy _,
     "doc_length_histogram" -> docLengthHistogram _,
     "repetition_ratio" -> repetitionRatio _,
-    "train_val_split" -> trainValSplit _
+    "train_val_split" -> trainValSplit _,
+    "bm25_scores" -> bm25Scores _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -303,6 +334,20 @@ object TextQueries {
                      THEN 'train' ELSE 'val' END AS split,
             lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
             min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM documents GROUP BY 1, 2 ORDER BY split, lang"""
+         FROM documents GROUP BY 1, 2 ORDER BY split, lang""",
+    "bm25_scores" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1)
+         SELECT tf.doc_id,
+            round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
+         FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
+         GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15"""
   )
 }

@@ -110,6 +110,31 @@ object VectorQueries {
       .orderBy(col("vec_id"))
       .limit(10)
 
+  /** ANN scale path: int8 symmetric quantization error — per-vector
+    * scale = 127 / max|x|, quantize with floor(x·scale + 0.5) (explicit
+    * floor, NOT round: both engines floor identically, while round()
+    * half-tie behavior is a cross-engine hash flip waiting to happen),
+    * dequantize back to float32, and measure L2 reconstruction error.
+    * This is the storage math for an IVF-SQ8-style index — 4× smaller
+    * cells, error bounded by mx/254 per component; the declared query
+    * checks the quantizer's exact arithmetic so a future SQ8 cell format
+    * can trust it. */
+  def embeddingQuantError(spark: SparkSession, dir: String): DataFrame = {
+    val v = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"),
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE)").as("mx"))
+      .filter(col("mx") > 0)
+    val q = v.select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) " +
+        "* mx / 127.0 AS FLOAT))").as("deq"))
+    q.select(col("vec_id"),
+        round(l2_distance(col("embedding"), col("deq")), 6).as("l2_err"),
+        round(l2_distance(col("embedding"), col("deq")) / vector_norm(col("embedding")), 6)
+          .as("rel_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -126,7 +151,8 @@ object VectorQueries {
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
-    "vector_dims" -> vectorDims _
+    "vector_dims" -> vectorDims _,
+    "embedding_quant_error" -> embeddingQuantError _
   )
 
   // DuckDB parity notes: list_distance/list_inner_product over DOUBLE[] are
@@ -178,6 +204,19 @@ object VectorQueries {
     "vector_scan" ->
       "SELECT vec_id, label, len(embedding) AS dim FROM embeddings ORDER BY vec_id LIMIT 10",
     "vector_dims" ->
-      "SELECT len(embedding) AS dim, count(*) AS n FROM embeddings GROUP BY dim ORDER BY dim"
+      "SELECT len(embedding) AS dim, count(*) AS n FROM embeddings GROUP BY dim ORDER BY dim",
+    "embedding_quant_error" ->
+      """WITH v AS (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x)))::DOUBLE AS mx
+             FROM embeddings WHERE vec_id < 50),
+           q AS (SELECT vec_id, embedding,
+               list_transform(embedding,
+                 x -> CAST(floor(x::DOUBLE * 127.0 / mx + 0.5) * mx / 127.0 AS FLOAT)) AS deq
+             FROM v WHERE mx > 0)
+         SELECT vec_id,
+            round(list_distance(embedding::DOUBLE[], deq::DOUBLE[]), 6) AS l2_err,
+            round(list_distance(embedding::DOUBLE[], deq::DOUBLE[])
+              / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS rel_err
+         FROM q ORDER BY vec_id"""
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.BloomExclusion
+
+/** Bloom-prefiltered blocklist exclusion must be EXACTLY the plain
+  * left_anti join — the whole point is that the no-false-negative split
+  * (clean rows skip the shuffle, only Bloom hits take the exact confirm
+  * join) is invisible to correctness. */
+class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("bloom-exclusion-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.01"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("long keys: result equals the plain left_anti join") {
+    import spark.implicits._
+    // every 7th doc blocked, plus ids that don't exist in the corpus
+    val corpus = docs
+    val block = spark.range(0, 500, 7).toDF("bad_id")
+      .union(Seq(100000L, 100001L).toDF("bad_id"))
+    val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < 500, "blocklist must actually drop rows")
+  }
+
+  test("string keys: result equals the plain left_anti join") {
+    import spark.implicits._
+    val corpus = docs
+    val block = Seq("src0", "src7", "no-such-source").toDF("bad_src")
+    val expected = corpus.join(block, corpus("source") === block("bad_src"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = BloomExclusion.excludeKeys(corpus, "source", block, "bad_src")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(got.size < 500, "the two sources must have been dropped")
+  }
+
+  test("null corpus keys are kept, matching anti-join semantics") {
+    import spark.implicits._
+    val corpus = Seq(Some("a"), Some("b"), None, Some("c")).toDF("k")
+    val block = Seq("b").toDF("bad")
+    val expected = corpus.join(block, corpus("k") === block("bad"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    val got = BloomExclusion.excludeKeys(corpus, "k", block, "bad")
+      .collect().map(_.getString(0)).toSet
+    assert(got == expected)
+    assert(got.contains(null.asInstanceOf[String]))
+  }
+
+  test("empty blocklist passes the corpus through unchanged") {
+    import spark.implicits._
+    val block = spark.emptyDataset[String].toDF("bad")
+    val got = BloomExclusion.excludeKeys(docs, "doc_id", block, "bad").count()
+    assert(got == docs.count())
+  }
+
+  test("fpp sweep: every rate yields the exact result (false positives only cost work)") {
+    import spark.implicits._
+    val corpus = docs
+    val block = spark.range(0, 500, 11).toDF("bad_id")
+    val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti").count()
+    for (fpp <- Seq(0.3, 0.01, 0.0001)) {
+      val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id", fpp = fpp).count()
+      assert(got == expected, s"fpp=$fpp must not change the result")
+    }
+  }
+}
