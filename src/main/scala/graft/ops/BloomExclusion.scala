@@ -32,9 +32,17 @@ object BloomExclusion {
     * anti-join semantics), with the corpus-wide shuffle replaced by a
     * broadcast Bloom probe.
     *
-    * Keys are compared through their string rendering on BOTH the build
-    * and probe side — BloomFilter hashes longs and strings differently,
-    * so a mixed-type put/probe would silently never match.
+    * Key columns must have the SAME type on both sides (enforced): the
+    * Bloom probe compares string renderings while the confirm join would
+    * compare under numeric coercion, so a long corpus key against a
+    * double blocklist ("7" vs "7.0") would silently skip the confirm join
+    * and KEEP a blocked row. Cast one side explicitly before calling.
+    *
+    * Cost shape: the corpus is scanned twice (once per branch of the
+    * union — clean rows and candidates are independent filters over the
+    * probe). That is the deliberate trade: two map-side columnar scans
+    * instead of shuffling the full corpus on the key; persist the corpus
+    * first if its scan is the bottleneck.
     *
     * @param expectedKeys sizing hint for the filter; defaults to the
     *                     blocklist count (one extra cheap action)
@@ -44,6 +52,12 @@ object BloomExclusion {
                   blocklist: DataFrame, blockCol: String,
                   expectedKeys: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
+    val corpusType = corpus.schema(keyCol).dataType
+    val blockType = blocklist.schema(blockCol).dataType
+    require(corpusType == blockType,
+      s"key types must match exactly (corpus $keyCol: $corpusType, blocklist " +
+        s"$blockCol: $blockType) — the string-rendered Bloom probe and the " +
+        "type-coercing confirm join disagree on mixed types; cast one side first")
     val keys = blocklist.select(col(blockCol).cast("string").as("__k")).na.drop()
     // stat.bloomFilter NPEs on an empty input (no partial buffer to merge)
     if (keys.isEmpty) return corpus

@@ -48,22 +48,27 @@ object TrainingExport {
   private def tokenCount(c: org.apache.spark.sql.Column) =
     size(split(c, " ")).cast("long")
 
+  /** The lang keep-list + quantile-windsorization stages — ONE definition
+    * shared by packed() and run()'s stats so the two can never drift. */
+  private def filtered(docs: DataFrame, cfg: Config): DataFrame = {
+    val langFiltered =
+      if (cfg.langs.isEmpty) docs
+      else docs.filter(col("lang").isin(cfg.langs.toSeq: _*))
+    // windsorize on n_chars via a 1-row broadcast of the exact quantiles
+    val bounds = langFiltered.agg(
+      expr(s"percentile(n_chars, ${cfg.lowQ})").as("__lo"),
+      expr(s"percentile(n_chars, ${cfg.highQ})").as("__hi"))
+    langFiltered.crossJoin(broadcast(bounds))
+      .filter(col("n_chars").between(col("__lo"), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** The packed dataset as a DataFrame (no write): one row per kept doc,
     * with (shard, pack_id, pos_in_pack, doc_id, n_tokens, text). Exposed
     * separately so tests and downstream jobs can recompute/verify the
     * assignment without touching the filesystem. */
   def packed(docs: DataFrame, cfg: Config): DataFrame = {
-    val langFiltered =
-      if (cfg.langs.isEmpty) docs
-      else docs.filter(col("lang").isin(cfg.langs.toSeq: _*))
-
-    // windsorize on n_chars via a 1-row broadcast of the exact quantiles
-    val bounds = langFiltered.agg(
-      expr(s"percentile(n_chars, ${cfg.lowQ})").as("__lo"),
-      expr(s"percentile(n_chars, ${cfg.highQ})").as("__hi"))
-    val windsorized = langFiltered.crossJoin(broadcast(bounds))
-      .filter(col("n_chars").between(col("__lo"), col("__hi")))
-      .drop("__lo", "__hi")
+    val windsorized = filtered(docs, cfg)
 
     // exact dedup by content hash, deterministic winner (min doc_id) —
     // the shuffle key is the 32-byte hash, never the document
@@ -99,21 +104,16 @@ object TrainingExport {
     val docsIn = docs.count()
     val p = packed(docs, cfg).persist()
     try {
+      // coalesce: sum over ZERO rows is null (empty corpus / keep-list
+      // matching nothing) — stats must report zeros, not throw
       val agg = p.agg(
         count(lit(1)).as("docs"),
         countDistinct(col("shard"), col("pack_id")).as("packs"),
-        sum(col("n_tokens")).as("tokens")).collect()(0)
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens")).collect()(0)
       p.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-      // docsAfterFilter = kept + dropped-as-duplicate; recompute cheaply
-      // from the same filters packed() applied
-      val langFiltered =
-        if (cfg.langs.isEmpty) docs
-        else docs.filter(col("lang").isin(cfg.langs.toSeq: _*))
-      val bounds = langFiltered.agg(
-        expr(s"percentile(n_chars, ${cfg.lowQ})").as("lo"),
-        expr(s"percentile(n_chars, ${cfg.highQ})").as("hi"))
-      val afterFilter = langFiltered.crossJoin(broadcast(bounds))
-        .filter(col("n_chars").between(col("lo"), col("hi"))).count()
+      // docsAfterFilter = kept + dropped-as-duplicate, from the SAME
+      // shared filter stages packed() ran
+      val afterFilter = filtered(docs, cfg).count()
       Stats(docsIn, afterFilter, agg.getLong(0), agg.getLong(1), agg.getLong(2))
     } finally p.unpersist()
   }

@@ -76,19 +76,24 @@ object PipelineQueries {
   }
 
   /** Deterministic global shuffle — the pre-export corpus shuffle, as a
-    * rank over md5(doc_id). First 20 positions declared (top-k plan, not a
-    * full materialized sort). Production exports don't need the global rank
-    * at all — they sort-within-shard (see sequencePacking / TrainingExport);
-    * the declared query checks the ORDER ITSELF is the engine-independent
+    * rank over md5(doc_id). The LIMIT runs FIRST (TakeOrderedAndProject:
+    * per-partition top-k + driver merge, parallel at any corpus size) and
+    * the row_number window only ranks the 20 surviving rows — a global
+    * window over the raw corpus would serialize it through one partition.
+    * Production exports don't need the global rank at all — they
+    * sort-within-shard (see sequencePacking / TrainingExport); the
+    * declared query checks the ORDER ITSELF is the engine-independent
     * hash order. */
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val top = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
-    d.select(
-        row_number().over(Window.orderBy(col("h"), col("doc_id"))).as("rn"),
+      .orderBy(col("h"), col("doc_id")).limit(20)
+    top.select(
+        row_number().over(Window.orderBy(col("h"), col("doc_id")))
+          .cast("long").as("rn"),
         col("doc_id"), substring(col("h"), 1, 8).as("h8"), col("lang"))
-      .orderBy(col("rn")).limit(20)
+      .orderBy(col("rn"))
   }
 
   /** Stratified sampling with per-stratum rates — downsample the dominant
@@ -120,7 +125,7 @@ object PipelineQueries {
     val total = counts.agg(sum(col("n")).as("total"))
     val ord = Window.orderBy(desc("n"), col("word"))
     counts.crossJoin(broadcast(total))
-      .select(row_number().over(ord).as("rnk"), col("word"), col("n"),
+      .select(row_number().over(ord).cast("long").as("rnk"), col("word"), col("n"),
         round(sum(col("n")).over(ord) / col("total"), 6).as("cum_share"))
       .orderBy(col("rnk")).limit(40)
   }
@@ -158,6 +163,42 @@ object PipelineQueries {
           .as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Unigram-LM perplexity proxy: mean −log p(word) per doc under the
+    * corpus unigram distribution — the cheap LM-quality filter (junk and
+    * boilerplate score high/low long before a real LM is in the loop).
+    * Same inverted-index shape as TF-IDF: tokens join the O(vocabulary)
+    * frequency table (AQE broadcasts it while small), the 1-row total is
+    * an explicit broadcast. */
+  def perplexityProxy(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val freq = tokens.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val tot = freq.agg(sum(col("n")).as("total"))
+    tokens.filter(col("doc_id") < 100)
+      .join(freq, Seq("word"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("n") / col("total"))), 6).as("mean_neg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context windowing: how many seq-len-32/stride-16 windows each doc
+    * yields (the chunking step before tokenized training examples).
+    * Pure per-row integer math + one histogram groupBy — embarrassingly
+    * parallel at any scale. */
+  def contextWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tok"))
+      .withColumn("n_windows",
+        when(col("n_tok") <= 32, lit(1L))
+          .otherwise(ceil((col("n_tok") - 32) / lit(16.0)) + 1))
+      .groupBy(col("n_windows"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"))
+      .orderBy(col("n_windows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "contamination_ngrams" -> contaminationNgrams _,
     "sequence_packing" -> sequencePacking _,
@@ -165,7 +206,9 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratified _,
     "vocab_coverage" -> vocabCoverage _,
     "length_quantile_filter" -> lengthQuantileFilter _,
-    "dup_rate_by_source" -> dupRateBySource _
+    "dup_rate_by_source" -> dupRateBySource _,
+    "perplexity_proxy" -> perplexityProxy _,
+    "context_windows" -> contextWindows _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -219,6 +262,21 @@ object PipelineQueries {
       """SELECT source, count(*) AS n_docs,
             count(DISTINCT md5(text)) AS n_distinct,
             round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6) AS dup_rate
-         FROM documents GROUP BY source ORDER BY source"""
+         FROM documents GROUP BY source ORDER BY source""",
+    "perplexity_proxy" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           freq AS (SELECT word, count(*) AS n FROM tokens GROUP BY 1),
+           tot AS (SELECT sum(n) AS total FROM freq),
+           doc AS (SELECT doc_id, word FROM tokens WHERE doc_id < 100)
+         SELECT doc_id, count(*) AS n_tokens,
+            round(-avg(ln(n / total)), 6) AS mean_neg_logp
+         FROM doc JOIN freq USING (word), tot
+         GROUP BY doc_id ORDER BY doc_id""",
+    "context_windows" ->
+      """WITH d AS (SELECT doc_id, len(str_split(text, ' ')) AS n_tok FROM documents)
+         SELECT CASE WHEN n_tok <= 32 THEN 1
+                     ELSE CAST(ceil((n_tok - 32) / 16.0) AS BIGINT) + 1 END AS n_windows,
+            count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
+         FROM d GROUP BY 1 ORDER BY n_windows"""
   )
 }

@@ -135,6 +135,19 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** C16 through the declared surface: exact per-label centroids for the
+    * first 8 dimensions — the arithmetic the IVF centroid Aggregator runs,
+    * here as posexplode → groupBy(label, dim) so the oracle can hash it
+    * (the typed Aggregator itself is capability-tested). Partial avg is
+    * map-side-combinable; the shuffle carries (label × dim) cells. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+      .groupBy(col("label"), (col("pos") + lit(1)).cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .orderBy(col("label"), col("dim"))
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -152,7 +165,8 @@ object VectorQueries {
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
     "vector_dims" -> vectorDims _,
-    "embedding_quant_error" -> embeddingQuantError _
+    "embedding_quant_error" -> embeddingQuantError _,
+    "label_centroids" -> labelCentroids _
   )
 
   // DuckDB parity notes: list_distance/list_inner_product over DOUBLE[] are
@@ -217,6 +231,10 @@ object VectorQueries {
             round(list_distance(embedding::DOUBLE[], deq::DOUBLE[]), 6) AS l2_err,
             round(list_distance(embedding::DOUBLE[], deq::DOUBLE[])
               / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS rel_err
-         FROM q ORDER BY vec_id"""
+         FROM q ORDER BY vec_id""",
+    "label_centroids" ->
+      """SELECT label, i AS dim, round(avg(embedding[i]::DOUBLE), 6) AS c
+         FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+         WHERE i <= 8 GROUP BY 1, 2 ORDER BY label, dim"""
   )
 }

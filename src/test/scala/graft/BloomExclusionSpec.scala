@@ -64,9 +64,23 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("empty blocklist passes the corpus through unchanged") {
     import spark.implicits._
-    val block = spark.emptyDataset[String].toDF("bad")
+    val block = spark.emptyDataset[Long].toDF("bad")
     val got = BloomExclusion.excludeKeys(docs, "doc_id", block, "bad").count()
     assert(got == docs.count())
+  }
+
+  test("mixed key types are rejected, not silently wrong") {
+    import spark.implicits._
+    // long corpus key vs double blocklist: the plain anti-join would
+    // coerce 7 === 7.0 and drop the row, but the string-rendered Bloom
+    // probe ("7" vs "7.0") would never flag it — so the operator must
+    // refuse the combination outright
+    val corpus = Seq(7L, 8L).toDF("k")
+    val block = Seq(7.0).toDF("bad")
+    val e = intercept[IllegalArgumentException] {
+      BloomExclusion.excludeKeys(corpus, "k", block, "bad")
+    }
+    assert(e.getMessage.contains("key types must match"))
   }
 
   test("fpp sweep: every rate yields the exact result (false positives only cost work)") {

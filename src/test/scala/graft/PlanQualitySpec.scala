@@ -140,9 +140,15 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the corpus through one partition:\n${p.take(2000)}")
   }
 
-  test("corpus shuffle: declared top-20 plans as bounded top-k, not a full sort") {
+  test("corpus shuffle: limit runs BELOW the rank window (top-k first, rank 20 rows)") {
     val p = planOf("corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"),
-      s"the final limit must merge per-partition top-k on the driver:\n${p.take(2000)}")
+      s"the limit must merge per-partition top-k on the driver:\n${p.take(2000)}")
+    // tree printing puts children after parents: the window must be the
+    // ancestor (printed first) and the top-k its input — the other order
+    // means the whole corpus went through the single-partition window
+    assert(p.indexOf("Window") >= 0 &&
+        p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"row_number must rank only the 20 limited rows, not the corpus:\n${p.take(2000)}")
   }
 }

@@ -28,8 +28,10 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val cfg = TrainingExport.Config(budgetTokens = 512, shards = 8)
 
   private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(c => deleteRec(c))
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.forEach(c => deleteRec(c)) finally s.close()
+    }
     Files.deleteIfExists(p)
   }
 
@@ -115,6 +117,17 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("shard", "pack_id", "pos_in_pack", "doc_id", "n_tokens", "text")
         .collect().map(_.toString).sorted
       assert(disk.sameElements(mem), "written packs must equal the computed assignment")
+    } finally deleteRec(java.nio.file.Paths.get(out))
+  }
+
+  test("keep-list matching nothing exports zero packs, not a crash") {
+    val out = Files.createTempDirectory("graft-export-empty").toString
+    try {
+      val stats = TrainingExport.run(spark, docs, out,
+        cfg.copy(langs = Set("zz-no-such-lang")))
+      assert(stats.docsIn > 0)
+      assert(stats.docsAfterFilter == 0 && stats.docsKept == 0)
+      assert(stats.packs == 0 && stats.tokens == 0)
     } finally deleteRec(java.nio.file.Paths.get(out))
   }
 
