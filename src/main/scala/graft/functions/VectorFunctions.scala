@@ -337,6 +337,73 @@ case class AssertDim(child: Expression, dim: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** L2 distance between an SQ8-encoded vector and a full-precision query.
+  *
+  * SQ8 storage (Sq8Index): codes are int8, `code_i = floor(x_i·127/qmax
+  * + 0.5)` with `qmax = max|x|` per vector; dequantization is `code_i ·
+  * qmax / 127`. This kernel fuses dequantize-and-distance so the scan
+  * reads 1 byte per component instead of 4 and never materializes the
+  * dequantized array. Same double arithmetic + codegen posture as
+  * [[L2Distance]] — the approximate scan stays a fused loop. */
+case class Sq8L2Distance(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "sq8_l2_distance"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val qOk = third.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (first.dataType == BinaryType && second.dataType == DoubleType && qOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, double, array<float|double>), got " +
+          s"${first.dataType.catalogString} / ${second.dataType.catalogString} / " +
+          third.dataType.catalogString)
+  }
+
+  override def nullSafeEval(bv: Any, mv: Any, qv: Any): Any = {
+    val codes = bv.asInstanceOf[Array[Byte]]
+    val mx = mv.asInstanceOf[Double]
+    val q = qv.asInstanceOf[ArrayData]
+    if (codes.length != q.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${codes.length} vs ${q.numElements()})")
+    val scale = mx / 127.0
+    var s = 0.0; var i = 0
+    while (i < codes.length) {
+      val d = codes(i) * scale - VectorKernels.elemAsDouble(third, q, i)
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, m, q) => {
+      val (i, n, s, d, sc) = (ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("s"), ctx.freshName("d"), ctx.freshName("sc"))
+      s"""
+         |if ($b.length != $q.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: dimension mismatch (" + $b.length + " vs " + $q.numElements() + ")");
+         |}
+         |int $n = $b.length;
+         |double $sc = $m / 127.0;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $b[$i] * $sc - ${VectorKernels.elemAsDouble(third, q, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sE: Expression, t: Expression): Expression = copy(f, sE, t)
+}
+
 /** Column-API + SQL registration surface for the vector kernels. */
 object VectorFunctions {
   import GraftShim.{column, expression}
@@ -347,6 +414,8 @@ object VectorFunctions {
   def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
   def assert_dim(a: Column, d: Int): Column = column(AssertDim(expression(a), d))
+  def sq8_l2_distance(codes: Column, qmax: Column, q: Column): Column =
+    column(Sq8L2Distance(expression(codes), expression(qmax.cast("double")), expression(q)))
 
   /** Arity guard for the SQL builders — a readable error instead of an
     * IndexOutOfBoundsException on e.g. `l2_distance(v)`. */
@@ -366,9 +435,13 @@ object VectorFunctions {
     def reg1(name: String, f: Expression => Expression): Unit =
       reg.createOrReplaceTempFunction(name,
         es => { arity(name, 1)(es); f(es.head) }, "scala_udf")
+    def reg3(name: String, f: (Expression, Expression, Expression) => Expression): Unit =
+      reg.createOrReplaceTempFunction(name,
+        es => { arity(name, 3)(es); f(es(0), es(1), es(2)) }, "scala_udf")
     reg2("l2_distance", L2Distance)
     reg2("dot_product", DotProduct)
     reg2("cosine_similarity", CosineSimilarity)
+    reg3("sq8_l2_distance", Sq8L2Distance)
     reg1("vector_norm", VectorNorm)
     reg1("l2_normalize", L2Normalize)
     reg.createOrReplaceTempFunction("assert_dim", es => {
