@@ -139,6 +139,84 @@ object VectorScaleBench {
       per.sum / per.length
     }
 
+    // SQ8 cells: same probe prune over int8 codes, then exact re-rank of
+    // the broadcast candidate set against the primary parquet.
+    //
+    // Measured on an IID HASH-RANDOM dataset, not the sine lattice above:
+    // any smooth 1-parameter generator puts n points on a curve, so NN
+    // gaps shrink like 1/n and fall BELOW the int8 resolution (measured:
+    // lattice gaps ~0.003-0.03 vs quantization error scale ~0.04) — int8
+    // ranking legitimately cannot order sub-resolution structure. That is
+    // a property of the synthetic, not the kernel (Sq8IndexSpec shows
+    // refined == exact on real embeddings). IID uniform components are
+    // the standard ANN-bench regime: NN spacing stays well above the
+    // quantization error, like real embedding corpora.
+    def mix(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def genRandom(rows: Long): DataFrame =
+      spark.range(rows).mapPartitions { it =>
+        it.map { id =>
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            v(i) = (mix(id * 64L + i).toDouble / Long.MaxValue).toFloat
+            i += 1
+          }
+          (id, v)
+        }
+      }.toDF("vec_id", "vec")
+    genRandom(n).write.mode("overwrite").parquet(s"$dataDir/cvecs")
+    val cvecs = spark.read.parquet(s"$dataDir/cvecs")
+    val cq = cvecs.filter(col("vec_id") === 12345L).select("vec")
+      .head().getSeq[Float](0).toArray
+    val (cIndexed, cQuant) = graft.index.IvfIndex.build(
+      cvecs, "vec", nlist = 64, sampleFraction = 0.02)
+    val cIvfDir = java.nio.file.Files.createTempDirectory("graft-scale-civf").toString + "/idx"
+    graft.index.IvfIndex.writeIndexed(cIndexed, cIvfDir)
+
+    val sq8Dir = java.nio.file.Files.createTempDirectory("graft-scale-sq8").toString + "/idx"
+    val sq8BuildT0 = System.nanoTime()
+    graft.index.Sq8Index.writeQuantized(
+      graft.index.Sq8Index.quantize(cIndexed, "vec"), sq8Dir)
+    val sq8BuildSec = (System.nanoTime() - sq8BuildT0) / 1e9
+    val sq8AtRest = graft.index.Sq8Index.loadQuantized(spark, sq8Dir)
+    def dirBytes(d: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    val (floatBytes, sq8Bytes) = (dirBytes(cIvfDir), dirBytes(sq8Dir))
+
+    val cExactIds = cvecs
+      .select(col("vec_id"), l2_distance(col("vec"), typedLit(cq)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10).collect().map(_.getLong(0)).toSeq
+
+    def sq8Once(): Seq[Long] =
+      graft.index.Sq8Index.searchApproxL2(sq8AtRest, cQuant, "vec_id", cq, 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+    sq8Once()
+    var sq8Ids: Seq[Long] = Nil
+    val sq8Sec = math.min(time { sq8Ids = sq8Once() }, time { sq8Ids = sq8Once() })
+    val sq8Recall = sq8Ids.count(cExactIds.contains).toDouble / cExactIds.size
+
+    def sq8RefinedOnce(): Seq[Long] =
+      graft.index.Sq8Index.searchRefinedL2(sq8AtRest, cQuant, cvecs, "vec", "vec_id",
+        cq, 10, nprobe = 4, refine = 4).collect().map(_.getLong(0)).toSeq
+    sq8RefinedOnce()
+    var sq8RefIds: Seq[Long] = Nil
+    val sq8RefSec = math.min(
+      time { sq8RefIds = sq8RefinedOnce() }, time { sq8RefIds = sq8RefinedOnce() })
+    // vs the float-cell probe of the SAME cells — apples to apples
+    val cIvfIds = graft.index.IvfIndex.searchL2(
+      graft.index.IvfIndex.loadIndexed(spark, cIvfDir), cQuant, "vec", "vec_id",
+      cq, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val sq8RefRecall = sq8RefIds.count(cIvfIds.contains).toDouble / cIvfIds.size
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
@@ -148,7 +226,12 @@ object VectorScaleBench {
         s""""ivf_recall_at10":$recall,""" +
         s""""ivf_batched16_sec":$ivfBatchedSec,""" +
         s""""ivf_batched_speedup":${batchedSec / ivfBatchedSec},""" +
-        s""""ivf_batched_recall_at5":$batchRecall}""")
+        s""""ivf_batched_recall_at5":$batchRecall,""" +
+        s""""sq8_data":"iid_random","sq8_build_sec":$sq8BuildSec,""" +
+        s""""sq8_bytes":$sq8Bytes,"float_bytes":$floatBytes,""" +
+        s""""sq8_bytes_ratio":${sq8Bytes.toDouble / floatBytes},""" +
+        s""""sq8_probe_sec":$sq8Sec,"sq8_recall_at10":$sq8Recall,""" +
+        s""""sq8_refined_sec":$sq8RefSec,"sq8_refined_recall_vs_ivf":$sq8RefRecall}""")
     spark.stop()
   }
 }

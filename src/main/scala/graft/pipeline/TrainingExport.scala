@@ -48,12 +48,21 @@ object TrainingExport {
   private def tokenCount(c: org.apache.spark.sql.Column) =
     size(split(c, " ")).cast("long")
 
-  /** The lang keep-list + quantile-windsorization stages — ONE definition
-    * shared by packed() and run()'s stats so the two can never drift. */
-  private def filtered(docs: DataFrame, cfg: Config): DataFrame = {
+  /** The blocklist + lang keep-list + quantile-windsorization stages — ONE
+    * definition shared by packed() and run()'s stats so the two can never
+    * drift. The blocklist (opted-out / known-bad / eval-set doc ids) is
+    * applied FIRST through the Bloom-prefiltered exclusion, so at corpus
+    * scale only Bloom hits take a join — see [[graft.ops.BloomExclusion]]. */
+  private def filtered(docs: DataFrame, cfg: Config,
+                       blocklist: Option[DataFrame]): DataFrame = {
+    val unblocked = blocklist match {
+      case Some(bl) =>
+        graft.ops.BloomExclusion.excludeKeys(docs, "doc_id", bl, bl.columns.head)
+      case None => docs
+    }
     val langFiltered =
-      if (cfg.langs.isEmpty) docs
-      else docs.filter(col("lang").isin(cfg.langs.toSeq: _*))
+      if (cfg.langs.isEmpty) unblocked
+      else unblocked.filter(col("lang").isin(cfg.langs.toSeq: _*))
     // windsorize on n_chars via a 1-row broadcast of the exact quantiles
     val bounds = langFiltered.agg(
       expr(s"percentile(n_chars, ${cfg.lowQ})").as("__lo"),
@@ -67,8 +76,9 @@ object TrainingExport {
     * with (shard, pack_id, pos_in_pack, doc_id, n_tokens, text). Exposed
     * separately so tests and downstream jobs can recompute/verify the
     * assignment without touching the filesystem. */
-  def packed(docs: DataFrame, cfg: Config): DataFrame = {
-    val windsorized = filtered(docs, cfg)
+  def packed(docs: DataFrame, cfg: Config,
+             blocklist: Option[DataFrame] = None): DataFrame = {
+    val windsorized = filtered(docs, cfg, blocklist)
 
     // exact dedup by content hash, deterministic winner (min doc_id) —
     // the shuffle key is the 32-byte hash, never the document
@@ -100,9 +110,9 @@ object TrainingExport {
     * an export is a once-per-corpus batch job, so the bookkeeping scans are
     * noise next to the write. */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-          cfg: Config = Config()): Stats = {
+          cfg: Config = Config(), blocklist: Option[DataFrame] = None): Stats = {
     val docsIn = docs.count()
-    val p = packed(docs, cfg).persist()
+    val p = packed(docs, cfg, blocklist).persist()
     try {
       // coalesce: sum over ZERO rows is null (empty corpus / keep-list
       // matching nothing) — stats must report zeros, not throw
@@ -113,7 +123,7 @@ object TrainingExport {
       p.write.mode("overwrite").partitionBy("shard").parquet(outDir)
       // docsAfterFilter = kept + dropped-as-duplicate, from the SAME
       // shared filter stages packed() ran
-      val afterFilter = filtered(docs, cfg).count()
+      val afterFilter = filtered(docs, cfg, blocklist).count()
       Stats(docsIn, afterFilter, agg.getLong(0), agg.getLong(1), agg.getLong(2))
     } finally p.unpersist()
   }

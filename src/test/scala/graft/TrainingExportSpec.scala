@@ -131,6 +131,19 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally deleteRec(java.nio.file.Paths.get(out))
   }
 
+  test("blocklist stage excludes exactly the listed docs before packing") {
+    import spark.implicits._
+    val bl = spark.range(0, 500, 5).toDF("doc_id") // every 5th doc blocked
+    val withBl = TrainingExport.packed(docs, cfg, Some(bl))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val manual = TrainingExport.packed(docs.filter(col("doc_id") % 5 =!= 0), cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withBl == manual,
+      "bloom-excluded export must equal packing the pre-filtered corpus")
+    assert(withBl.forall(_ % 5 != 0))
+    assert(withBl.nonEmpty)
+  }
+
   test("lang keep-list restricts the corpus before packing") {
     val p = TrainingExport.packed(docs, cfg.copy(langs = Set("en", "de")))
     val langs = p.join(docs.select("doc_id", "lang"), "doc_id")
