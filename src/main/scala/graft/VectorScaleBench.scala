@@ -163,7 +163,7 @@ object VectorScaleBench {
           val v = new Array[Float](dim)
           var i = 0
           while (i < dim) {
-            v(i) = (mix(id * 64L + i).toDouble / Long.MaxValue).toFloat
+            v(i) = (mix(id * dim.toLong + i).toDouble / Long.MaxValue).toFloat
             i += 1
           }
           (id, v)

@@ -21,8 +21,11 @@ import graft.functions.VectorFunctions.{l2_distance, sq8_l2_distance}
   * At cluster scale step 2's fetch side is the PRIMARY keyed store, not
   * the index: the candidate set is k·refine rows (tiny — always
   * broadcast), and over a bucketed keyed layout the fetch touches only
-  * the candidates' buckets. The quantizer arithmetic here is pinned
-  * bit-for-bit by the declared `embedding_quant_error` oracle query. */
+  * the candidates' buckets. The ENCODE arithmetic here (floor(x·127/qmax
+  * + 0.5)) is pinned by the declared `embedding_quant_error` oracle
+  * query; the kernel's decode stays in pure double (the oracle query
+  * materializes a float32 intermediate, so its distances differ from the
+  * kernel's by sub-ulp float-rounding — same codes, same bound). */
 object Sq8Index {
 
   /** Symmetric per-vector int8 encoding: `qmax = max|x|`, `code =
@@ -46,8 +49,8 @@ object Sq8Index {
   /** Replace `vecCol` with SQ8 columns (`qvec` binary, `qmax` double) —
     * run on an IVF-assigned frame, keeping `centroidId` for pruning. */
   def quantize(indexed: DataFrame, vecCol: String): DataFrame = {
-    require(!indexed.columns.contains("qvec") && !indexed.columns.contains("qmax"),
-      "input already has qvec/qmax columns")
+    require(Seq("qvec", "qmax", "__q").forall(!indexed.columns.contains(_)),
+      "input already has qvec/qmax/__q columns")
     indexed.withColumn("__q", encodeUdf(col(vecCol)))
       .withColumn("qvec", col("__q._1"))
       .withColumn("qmax", col("__q._2"))

@@ -54,10 +54,20 @@ object BloomExclusion {
     val spark = corpus.sparkSession
     val corpusType = corpus.schema(keyCol).dataType
     val blockType = blocklist.schema(blockCol).dataType
-    require(corpusType == blockType,
-      s"key types must match exactly (corpus $keyCol: $corpusType, blocklist " +
+    // integral mixes are safe: "7" renders "7" at every integral width and
+    // the confirm join coerces losslessly. Anything else (long vs double:
+    // "7" vs "7.0"; decimal scales; string vs numeric) makes the probe and
+    // the join disagree — reject those outright.
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    require(corpusType == blockType || (integral(corpusType) && integral(blockType)),
+      s"key types must match (corpus $keyCol: $corpusType, blocklist " +
         s"$blockCol: $blockType) — the string-rendered Bloom probe and the " +
-        "type-coercing confirm join disagree on mixed types; cast one side first")
+        "type-coercing confirm join disagree on mixed non-integral types; " +
+        "cast one side first")
     val keys = blocklist.select(col(blockCol).cast("string").as("__k")).na.drop()
     // stat.bloomFilter NPEs on an empty input (no partial buffer to merge)
     if (keys.isEmpty) return corpus

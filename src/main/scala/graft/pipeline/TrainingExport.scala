@@ -77,9 +77,12 @@ object TrainingExport {
     * separately so tests and downstream jobs can recompute/verify the
     * assignment without touching the filesystem. */
   def packed(docs: DataFrame, cfg: Config,
-             blocklist: Option[DataFrame] = None): DataFrame = {
-    val windsorized = filtered(docs, cfg, blocklist)
+             blocklist: Option[DataFrame] = None): DataFrame =
+    packFiltered(filtered(docs, cfg, blocklist), cfg)
 
+  /** Dedup + shard + pack over an ALREADY-filtered frame — split out so
+    * run() can filter once, count it, and pack the same frame. */
+  private def packFiltered(windsorized: DataFrame, cfg: Config): DataFrame = {
     // exact dedup by content hash, deterministic winner (min doc_id) —
     // the shuffle key is the 32-byte hash, never the document
     val byContent = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
@@ -112,7 +115,11 @@ object TrainingExport {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
           cfg: Config = Config(), blocklist: Option[DataFrame] = None): Stats = {
     val docsIn = docs.count()
-    val p = packed(docs, cfg, blocklist).persist()
+    // filter ONCE (the blocklist Bloom build and the exact-percentile scan
+    // are corpus-sized work) — both the pack and the afterFilter count
+    // read this persisted frame
+    val f = filtered(docs, cfg, blocklist).persist()
+    val p = packFiltered(f, cfg).persist()
     try {
       // coalesce: sum over ZERO rows is null (empty corpus / keep-list
       // matching nothing) — stats must report zeros, not throw
@@ -121,10 +128,10 @@ object TrainingExport {
         countDistinct(col("shard"), col("pack_id")).as("packs"),
         coalesce(sum(col("n_tokens")), lit(0L)).as("tokens")).collect()(0)
       p.write.mode("overwrite").partitionBy("shard").parquet(outDir)
-      // docsAfterFilter = kept + dropped-as-duplicate, from the SAME
-      // shared filter stages packed() ran
-      val afterFilter = filtered(docs, cfg, blocklist).count()
+      // docsAfterFilter = kept + dropped-as-duplicate, counted from the
+      // SAME persisted frame the pack read
+      val afterFilter = f.count()
       Stats(docsIn, afterFilter, agg.getLong(0), agg.getLong(1), agg.getLong(2))
-    } finally p.unpersist()
+    } finally { p.unpersist(); f.unpersist() }
   }
 }

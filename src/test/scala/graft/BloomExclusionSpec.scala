@@ -69,6 +69,18 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == docs.count())
   }
 
+  test("integral-width mixes are allowed and exact (int blocklist, long corpus)") {
+    import spark.implicits._
+    val corpus = docs
+    val block = Seq(3, 14, 100).toDF("bad_id") // IntegerType vs doc_id LongType
+    val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(!got.contains(3L) && !got.contains(14L))
+  }
+
   test("mixed key types are rejected, not silently wrong") {
     import spark.implicits._
     // long corpus key vs double blocklist: the plain anti-join would

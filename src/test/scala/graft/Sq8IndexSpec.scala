@@ -26,13 +26,7 @@ class Sq8IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.01"
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(c => deleteRec(c)) finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRec(p: Path): Unit = TestDirs.deleteRec(p)
 
   /** Scala-side quantize + dequantize, the oracle for the fused kernel. */
   private def dequant(v: Array[Float]): Array[Double] = {
@@ -113,12 +107,7 @@ class Sq8IndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       Sq8Index.writeQuantized(
         Sq8Index.quantize(indexed.select("vec_id", "embedding", "centroidId"), "embedding"),
         sq8Dir)
-      def bytes(dir: String): Long = {
-        val s = Files.walk(java.nio.file.Paths.get(dir))
-        try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
-        finally s.close()
-      }
-      val (fb, qb) = (bytes(floatDir), bytes(sq8Dir))
+      val (fb, qb) = (TestDirs.dirBytes(floatDir), TestDirs.dirBytes(sq8Dir))
       assert(qb < fb / 2,
         s"sq8 cells $qb bytes must be well under half the float cells $fb")
 

@@ -27,13 +27,7 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private val cfg = TrainingExport.Config(budgetTokens = 512, shards = 8)
 
-  private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val s = Files.list(p)
-      try s.forEach(c => deleteRec(c)) finally s.close()
-    }
-    Files.deleteIfExists(p)
-  }
+  private def deleteRec(p: Path): Unit = TestDirs.deleteRec(p)
 
   test("every kept doc appears exactly once; dedup keeps the min doc_id") {
     val p = TrainingExport.packed(docs, cfg).cache()
