@@ -140,6 +140,28 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the corpus through one partition:\n${p.take(2000)}")
   }
 
+  test("bm25: postings filtered to query terms before any shuffle, no cartesian") {
+    val p = planOf("bm25_scores")
+    assert(!p.contains("CartesianProduct"),
+      "the term join must stay an equi-join on the word")
+    // the tf aggregation must consume ALREADY term-filtered tokens — a
+    // full-vocabulary tf shuffle would be corpus-sized at scale
+    assert(p.contains("word#") && p.contains("Filter"),
+      s"expected a term filter below the tf aggregate:\n${p.take(1500)}")
+  }
+
+  test("perplexity proxy: doc_id window pruned at the scan, freq join stays equi") {
+    val p = planOf("perplexity_proxy")
+    // the 1-row corpus total rides a broadcast nested-loop cross by design;
+    // the hazard is the token→freq join degenerating to a product
+    assert(!p.contains("CartesianProduct"),
+      "token→freq must be an equi-join on the word")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"the freq join must be hash/merge on the word:\n${p.take(1500)}")
+    assert(p.contains("LessThan(doc_id,100)"),
+      s"the doc_id < 100 window must reach the parquet scan:\n${p.take(1500)}")
+  }
+
   test("corpus shuffle: limit runs BELOW the rank window (top-k first, rank 20 rows)") {
     val p = planOf("corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"),
