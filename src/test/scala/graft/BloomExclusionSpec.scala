@@ -32,7 +32,7 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .union(Seq(100000L, 100001L).toDF("bad_id"))
     val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id")
+    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id", smallBlocklistRows = 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
     assert(got.nonEmpty && got.size < 500, "blocklist must actually drop rows")
@@ -44,7 +44,7 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val block = Seq("src0", "src7", "no-such-source").toDF("bad_src")
     val expected = corpus.join(block, corpus("source") === block("bad_src"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val got = BloomExclusion.excludeKeys(corpus, "source", block, "bad_src")
+    val got = BloomExclusion.excludeKeys(corpus, "source", block, "bad_src", smallBlocklistRows = 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
     assert(got.size < 500, "the two sources must have been dropped")
@@ -56,7 +56,7 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val block = Seq("b").toDF("bad")
     val expected = corpus.join(block, corpus("k") === block("bad"), "left_anti")
       .collect().map(_.getString(0)).toSet
-    val got = BloomExclusion.excludeKeys(corpus, "k", block, "bad")
+    val got = BloomExclusion.excludeKeys(corpus, "k", block, "bad", smallBlocklistRows = 0)
       .collect().map(_.getString(0)).toSet
     assert(got == expected)
     assert(got.contains(null.asInstanceOf[String]))
@@ -75,7 +75,7 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     val block = Seq(3, 14, 100).toDF("bad_id") // IntegerType vs doc_id LongType
     val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id")
+    val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id", smallBlocklistRows = 0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(got == expected)
     assert(!got.contains(3L) && !got.contains(14L))
@@ -95,13 +95,27 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("key types must match"))
   }
 
+  test("small blocklists delegate to the plain anti-join (no bloom machinery)") {
+    import spark.implicits._
+    val corpus = docs
+    val block = spark.range(0, 500, 9).toDF("bad_id")
+    val delegated = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id")
+    // the delegated plan is the join itself — no UDF probe filter in it
+    val plan = delegated.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("__maybe"),
+      s"small blocklist must skip the bloom probe:\n${plan.take(1200)}")
+    val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti").count()
+    assert(delegated.count() == expected)
+  }
+
   test("fpp sweep: every rate yields the exact result (false positives only cost work)") {
     import spark.implicits._
     val corpus = docs
     val block = spark.range(0, 500, 11).toDF("bad_id")
     val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti").count()
     for (fpp <- Seq(0.3, 0.01, 0.0001)) {
-      val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id", fpp = fpp).count()
+      val got = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id", fpp = fpp,
+        smallBlocklistRows = 0).count()
       assert(got == expected, s"fpp=$fpp must not change the result")
     }
   }
