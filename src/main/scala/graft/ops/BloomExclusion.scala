@@ -52,8 +52,11 @@ object BloomExclusion {
     * instead of shuffling the full corpus on the key; persist the corpus
     * first if its scan is the bottleneck.
     *
-    * @param expectedKeys sizing hint for the filter; defaults to the
-    *                     blocklist count (one extra cheap action)
+    * @param expectedKeys sizing hint for the BLOOM BITS ONLY (bits grow
+    *                     with expected insertions); the regime decision
+    *                     (plain anti vs bloom split) always uses the
+    *                     actual blocklist count, so a stale hint can
+    *                     waste filter bits but cannot flip the plan
     * @param fpp          false-positive rate — tunes bits vs how many
     *                     rows take the exact-confirm join */
   def excludeKeys(corpus: DataFrame, keyCol: String,
@@ -77,21 +80,36 @@ object BloomExclusion {
         s"$blockCol: $blockType) — the string-rendered Bloom probe and the " +
         "type-coercing confirm join disagree on mixed non-integral types; " +
         "cast one side first")
-    val keys = blocklist.select(col(blockCol).cast("string").as("__k")).na.drop()
-    // stat.bloomFilter NPEs on an empty input (no partial buffer to merge)
-    if (keys.isEmpty) return corpus
-    val n = if (expectedKeys > 0) expectedKeys else math.max(1L, keys.count())
+    // the join normalizes -0.0 to 0.0 in float/double keys but the string
+    // render distinguishes them ("0.0" vs "-0.0") — fold signed zeros
+    // before rendering so the probe agrees with the confirm join. NaN is
+    // safe as-is: one spelling on both sides, and Spark joins match it.
+    def renderKey(c: org.apache.spark.sql.Column,
+                  dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType =>
+        when(c === lit(0).cast(dt), lit(0).cast(dt)).otherwise(c).cast("string")
+      case _ => c.cast("string")
+    }
+    val keys = blocklist.select(renderKey(col(blockCol), blockType).as("__k")).na.drop()
+    // the regime decision needs the TRUE count: an optimistic hint on a
+    // 50M-key blocklist must not delegate to the full-corpus shuffle
+    // anti-join this operator exists to avoid. stat.bloomFilter also
+    // NPEs on an empty input (no partial buffer to merge), so count once.
+    val actualKeys = keys.count()
+    if (actualKeys == 0L) return corpus
     // broadcastable blocklist ⇒ the plain anti-join is already map-side
     // and strictly cheaper than building + probing a bloom (see scaladoc)
-    if (n <= smallBlocklistRows)
+    if (actualKeys <= smallBlocklistRows)
       return corpus.join(
         blocklist.select(col(blockCol).as(keyCol)), Seq(keyCol), "left_anti")
+    val n = if (expectedKeys > 0) expectedKeys else actualKeys
     val bloom = keys.stat.bloomFilter("__k", n, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     // the probe is a deterministic scalar udf over the broadcast bits; it
     // fences codegen around itself but runs map-side with zero shuffle
     val maybe = udf((k: String) => k != null && bloomBc.value.mightContainString(k))
-    val probed = corpus.withColumn("__maybe", maybe(col(keyCol).cast("string")))
+    val probed = corpus.withColumn("__maybe", maybe(renderKey(col(keyCol), corpusType)))
     val definitelyClean = probed.filter(!col("__maybe")).drop("__maybe")
     val candidates = probed.filter(col("__maybe")).drop("__maybe")
     val confirmed = candidates.join(

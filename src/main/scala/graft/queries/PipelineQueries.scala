@@ -48,6 +48,43 @@ object PipelineQueries {
       .orderBy(col("train_doc"), col("test_doc"))
   }
 
+  /** The corpus-scale variant of `contaminationNgrams` — same defense as
+    * `DedupQueries.dedupJaccardPairsCapped`: the gram equi-join does
+    * Σ df_train·df_test work per gram, and boilerplate grams (license
+    * headers, navigation chrome) have huge df on BOTH sides. Grams with
+    * corpus-wide df above `dfCap` are excluded from the CANDIDATE join
+    * only; the emitted `shared_ngrams` is then recounted exactly from the
+    * full per-doc gram sets (array_intersect over the two arrays), so the
+    * cap changes candidate-generation cost, not the overlap math. A pair
+    * ALL of whose shared grams are hot is missed — for 8-grams that means
+    * two docs sharing only boilerplate, which is precisely what
+    * decontamination pipelines deliberately ignore (the standard df-drop
+    * trade). `dfCap` is REQUIRED: the lossless floor is a property of the
+    * corpus's gram-df distribution (asserted on the fixture in
+    * TrainingExportSpec). */
+  def contaminationNgramsCapped(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(
+          graft.functions.TextFunctions.ngrams(words(col("text")), 8)).as("gs"))
+    val grams = docs.select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("g"))
+    val rareGrams = grams.join(rare, "g")
+    val test = rareGrams.filter(col("doc_id") % 10 === 0)
+      .withColumnRenamed("doc_id", "test_doc")
+    val train = rareGrams.filter(col("doc_id") % 10 =!= 0)
+      .withColumnRenamed("doc_id", "train_doc")
+    val cands = train.join(test, Seq("g"))
+      .select(col("train_doc"), col("test_doc")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("train_doc"), col("gs").as("ga")), "train_doc")
+      .join(docs.select(col("doc_id").as("test_doc"), col("gs").as("gb")), "test_doc")
+      .select(col("train_doc"), col("test_doc"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("shared_ngrams"))
+      .orderBy(col("train_doc"), col("test_doc"))
+  }
+
   /** Sequence packing: assign docs to fixed token-budget packs (2048) the
     * way a training loader concatenates-and-chunks. Docs are hash-sharded
     * (first md5 hex char, 16 shards), hash-ordered within the shard, and a
@@ -115,19 +152,28 @@ object PipelineQueries {
 
   /** Vocabulary coverage: cumulative share of corpus tokens covered by the
     * top-k vocabulary (the "how big must the tokenizer vocab be" curve).
-    * The explode→groupBy(word) is the map-side-combinable word-count shape;
-    * the window runs over the VOCABULARY (≈ distinct words), which is
-    * orders of magnitude smaller than the corpus — safe as a global sort. */
+    * The explode→groupBy(word) is the map-side-combinable word-count shape.
+    *
+    * Shape at scale: the LIMIT runs FIRST — `orderBy.limit(40)` is
+    * TakeOrderedAndProject (per-partition top-k + driver merge, parallel
+    * at any vocabulary size), and the rank/running-sum window only sees
+    * the 40 survivors plus the broadcast 1-row total. A web-scale corpus
+    * has hundreds of millions of distinct words; ranking them all through
+    * a single-partition global window (the naive spelling) is the same
+    * hazard corpusShuffle engineered around. The cumulative sum at rank k
+    * depends only on the rows ranked <= k, so the rewrite emits
+    * byte-identical rows. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val counts = t(spark, dir, "documents")
       .select(explode(words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
+    val top = counts.orderBy(desc("n"), col("word")).limit(40)
     val ord = Window.orderBy(desc("n"), col("word"))
-    counts.crossJoin(broadcast(total))
+    top.crossJoin(broadcast(total))
       .select(row_number().over(ord).cast("long").as("rnk"), col("word"), col("n"),
         round(sum(col("n")).over(ord) / col("total"), 6).as("cum_share"))
-      .orderBy(col("rnk")).limit(40)
+      .orderBy(col("rnk"))
   }
 
   /** Length windsorization: keep docs between the exact p05/p95 n_chars

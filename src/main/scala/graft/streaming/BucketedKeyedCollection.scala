@@ -103,7 +103,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
           org.apache.spark.sql.functions.max(col("seq")), lit(0L))).head().getLong(0)
       else 0L
     val next = commitBuckets(0 until numBuckets, rows, maxSeq)
-    listDir().filter(_.matches("v\\d{8}")).foreach(n => deleteRecursively(dir.resolve(n)))
+    listDir().filter(_.matches("v\\d{8,}")).foreach(n => deleteRecursively(dir.resolve(n)))
     next
   }
 
@@ -181,7 +181,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     * user drops in the directory (e.g. `backup-v2.txt`) is neither parsed
     * (NumberFormatException would wedge every later commit) nor deleted. */
   private def bucketDirVersion(n: String): Option[Long] =
-    if (n.matches("b\\d{5}-v\\d{8}")) Some(n.substring(n.indexOf("-v") + 2).toLong)
+    if (n.matches("b\\d{5,}-v\\d{8,}")) Some(n.substring(n.indexOf("-v") + 2).toLong)
     else None
 
   /** Keep the last `retain` manifests; drop bucket dirs none of them
@@ -195,7 +195,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     val entries = listDir()
     entries.filter(n => bucketDirVersion(n).isDefined && !referenced(n))
       .foreach(n => deleteRecursively(dir.resolve(n)))
-    entries.filter(_.matches("manifest-\\d{8}"))
+    entries.filter(_.matches("manifest-\\d{8,}"))
       .filter(_.stripPrefix("manifest-").toLong <= latest - retain)
       .foreach(n => Files.deleteIfExists(dir.resolve(n)))
   }

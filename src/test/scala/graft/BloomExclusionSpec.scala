@@ -108,6 +108,37 @@ class BloomExclusionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(delegated.count() == expected)
   }
 
+  test("double keys: signed zeros agree with the plain anti-join") {
+    import spark.implicits._
+    // Spark join keys normalize -0.0 == 0.0, but a naive string render
+    // ("0.0" vs "-0.0") would mark such rows definitely-clean and keep
+    // them. The probe must fold signed zeros before rendering.
+    val corpus = Seq(0.0, -0.0, 1.5, Double.NaN).toDF("k")
+    val block = Seq(-0.0, Double.NaN).toDF("bad")
+    val expected = corpus.join(block, corpus("k") === block("bad"), "left_anti")
+      .collect().map(_.getDouble(0)).toSet
+    val got = BloomExclusion.excludeKeys(corpus, "k", block, "bad", smallBlocklistRows = 0)
+      .collect().map(_.getDouble(0)).toSet
+    assert(got == expected)
+    assert(got == Set(1.5), "both zero spellings and NaN must be dropped")
+  }
+
+  test("sizing hint cannot flip the execution regime") {
+    import spark.implicits._
+    // an inflated expectedKeys on a tiny blocklist must still delegate to
+    // the plain (broadcastable) anti-join: the hint sizes the bloom bits,
+    // the ACTUAL count picks the plan
+    val corpus = docs
+    val block = spark.range(0, 500, 9).toDF("bad_id")
+    val delegated = BloomExclusion.excludeKeys(corpus, "doc_id", block, "bad_id",
+      expectedKeys = 50L * 1000 * 1000)
+    val plan = delegated.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("__maybe"),
+      s"tiny blocklist with a huge hint must still skip the bloom probe:\n${plan.take(1200)}")
+    val expected = corpus.join(block, corpus("doc_id") === block("bad_id"), "left_anti").count()
+    assert(delegated.count() == expected)
+  }
+
   test("fpp sweep: every rate yields the exact result (false positives only cost work)") {
     import spark.implicits._
     val corpus = docs

@@ -215,4 +215,25 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stray file $p must survive cleanup untouched"))
     assert(rowsOf(coll).size == 40, "snapshot intact around the strays")
   }
+
+  test("dir names wider than the %0Nd padding are still parsed and cleaned") {
+    import spark.implicits._
+    val (root, coll) = freshColl(buckets = 4)
+    val rows = (0 until 40).map(i => (s"k$i", i.toLong, 1L))
+    coll.commitBuckets((0 until 4), rows.toDF("key", "value", "seq"), 1L)
+    // %08d / %05d WIDEN past their pad once the value outgrows it — a layout
+    // at version >= 1e8 writes 9-digit dir names. A fixed-width regex would
+    // stop recognizing them: such a crashed-commit leftover (version >=
+    // next) escapes the pre-commit cleanup and the later Files.move into
+    // the same name wedges the commit; prune leaks it forever.
+    val wideOrphan = java.nio.file.Paths.get(root, "b00001-v123456789")
+    java.nio.file.Files.createDirectory(wideOrphan)
+    java.nio.file.Files.write(wideOrphan.resolve("part-junk.parquet"), Array[Byte](1))
+    val b = bucketOf(coll, "k0")
+    val survivors = rows.filter(r => bucketOf(coll, r._1) == b)
+    coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), 2L)
+    assert(!java.nio.file.Files.exists(wideOrphan),
+      "a >=next orphan with overflowed digit width must be swept pre-commit")
+    assert(rowsOf(coll).size == 40, "snapshot intact after the sweep")
+  }
 }

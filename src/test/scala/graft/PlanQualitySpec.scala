@@ -162,6 +162,18 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the doc_id < 100 window must reach the parquet scan:\n${p.take(1500)}")
   }
 
+  test("vocab coverage: limit runs BELOW the rank window (top-k first, rank 40 words)") {
+    val p = planOf("vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocab top-40 must merge per-partition top-k on the driver:\n${p.take(2000)}")
+    // a web-scale vocabulary is 1e8+ distinct words — the rank/cumsum
+    // window must be the ancestor of the top-k (printed first), i.e. it
+    // ranks the 40 survivors, never the whole vocabulary
+    assert(p.indexOf("Window") >= 0 &&
+        p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
+      s"the coverage window must rank only the 40 limited words:\n${p.take(2000)}")
+  }
+
   test("corpus shuffle: limit runs BELOW the rank window (top-k first, rank 20 rows)") {
     val p = planOf("corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"),

@@ -145,4 +145,25 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langs.subsetOf(Set("en", "de")))
     assert(langs.nonEmpty)
   }
+
+  test("df-capped contamination equals the exact query at a lossless cap") {
+    val sf01 = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(graft.queries.PipelineQueries.contaminationNgrams(spark, sf01))
+    assert(exact.nonEmpty)
+    val uncapped = rows(graft.queries.PipelineQueries
+      .contaminationNgramsCapped(spark, sf01, dfCap = Int.MaxValue))
+    assert(uncapped == exact, "uncapped candidate path must equal the declared query")
+    // This fixture's gram-df distribution: 22.6k distinct 8-grams, df <= 3,
+    // and every contaminated pair shares at least one df=2 gram — so the
+    // lossless floor is 2, and cap 2 actually prunes (every df=3 gram, the
+    // largest df_train*df_test terms of the join) while keeping all 6
+    // pairs reachable. At a web corpus the capped grams are boilerplate
+    // (license headers, chrome) — the standard decontamination drop.
+    val capped = rows(graft.queries.PipelineQueries
+      .contaminationNgramsCapped(spark, sf01, dfCap = 2))
+    assert(capped == exact,
+      "df-capped candidates must not lose any contaminated pair at a lossless cap")
+  }
 }
