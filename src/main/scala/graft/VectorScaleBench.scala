@@ -217,6 +217,46 @@ object VectorScaleBench {
       cq, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
     val sq8RefRecall = sq8RefIds.count(cIvfIds.contains).toDouble / cIvfIds.size
 
+    // IVF_SQ8 end-to-end THROUGH GraftClient (r6): the API-reachable path —
+    // keyed store ingest, IVF_SQ8 build (float + quantized cells), refined
+    // search (quantized stage-1 + broadcast re-rank against the store),
+    // and one incremental maintenance commit (re-quantizes only touched
+    // cells). Same iid dataset as the module-level SQ8 rows above.
+    val clientRoot = java.nio.file.Files.createTempDirectory("graft-scale-cli").toString
+    val client = new graft.api.GraftClient(spark, clientRoot)
+    client.createCollection("bench", dim = dim, metric = "l2",
+      indexType = "IVF_SQ8", nlist = 64, buckets = 16)
+    val upsertT0 = System.nanoTime()
+    client.upsert("bench", cvecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val clientUpsertSec = (System.nanoTime() - upsertT0) / 1e9
+    val cliBuildT0 = System.nanoTime()
+    client.buildIndex("bench", nlist = 64, sampleFraction = 0.02)
+    val clientBuildSec = (System.nanoTime() - cliBuildT0) / 1e9
+    def clientOnce(np: Int): Seq[String] =
+      client.search("bench", cq, k = 10, nprobe = np)
+        .collect().map(_.getString(0)).toSeq
+    clientOnce(4)
+    var cliIds: Seq[String] = Nil
+    val clientSearchSec = math.min(
+      time { cliIds = clientOnce(4) }, time { cliIds = clientOnce(4) })
+    // two recalls, each against the right oracle: the full-probe refined
+    // answer vs the exact brute-force scan isolates quantization+refine
+    // (the client's own cells differ from the module-level index above —
+    // comparing across the two k-means runs would measure cell-assignment
+    // mismatch, not SQ8); nprobe=4 vs the full probe isolates the prune.
+    val cliFull = clientOnce(64)
+    val exactStr = cExactIds.map(_.toString)
+    val cliFullRecall = cliFull.count(exactStr.contains).toDouble / exactStr.size
+    val cliPruneRecall = cliIds.count(cliFull.contains).toDouble / cliFull.size
+    val maintT0 = System.nanoTime()
+    client.upsert("bench", cvecs.limit(1000)
+      .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
+        col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val clientMaintSec = (System.nanoTime() - maintT0) / 1e9
+    val stillSq8 = client.search("bench", cq, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString.contains("qvec")
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
@@ -231,7 +271,14 @@ object VectorScaleBench {
         s""""sq8_bytes":$sq8Bytes,"float_bytes":$floatBytes,""" +
         s""""sq8_bytes_ratio":${sq8Bytes.toDouble / floatBytes},""" +
         s""""sq8_probe_sec":$sq8Sec,"sq8_recall_at10":$sq8Recall,""" +
-        s""""sq8_refined_sec":$sq8RefSec,"sq8_refined_recall_vs_ivf":$sq8RefRecall}""")
+        s""""sq8_refined_sec":$sq8RefSec,"sq8_refined_recall_vs_ivf":$sq8RefRecall,""" +
+        s""""client_sq8_upsert_sec":$clientUpsertSec,""" +
+        s""""client_sq8_build_sec":$clientBuildSec,""" +
+        s""""client_sq8_search_sec":$clientSearchSec,""" +
+        s""""client_sq8_fullprobe_recall_vs_exact":$cliFullRecall,""" +
+        s""""client_sq8_prune_recall_vs_fullprobe":$cliPruneRecall,""" +
+        s""""client_sq8_maint_commit_sec":$clientMaintSec,""" +
+        s""""client_sq8_fresh_after_maint":$stillSq8}""")
     spark.stop()
   }
 }

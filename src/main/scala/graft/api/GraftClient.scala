@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, Sq8Index}
 import graft.ingest.IngestOps
-import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim}
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance}
 import graft.streaming.BucketedKeyedCollection
 
 /** The engine's user-facing surface, mirroring the reference's API shape so
@@ -198,13 +198,21 @@ class GraftClient(spark: SparkSession, root: String) {
     * that tells you when [[rebucket]] is due (bucket sizes drifting past
     * target) and whether keys skew (xxhash64 should spread them; a hot
     * bucket here means adversarial keys, and writes to it dominate commit
-    * cost). One row per live bucket: (bucket, n_rows, max_seq). Parquet
-    * row-group metadata serves the counts — no data pages read. */
+    * cost). One row per live bucket: (bucket, n_rows, max_seq).
+    *
+    * The bucket id comes from the LAYOUT (each row's `bNNNNN-vNNNNNNNN`
+    * data directory, via `input_file_name`), not from re-hashing the key
+    * — so the key column's data pages are never read; the scan projects
+    * only the int64 `seq` column, and the single shuffle carries at most
+    * `buckets` partially-aggregated rows. */
   def stats(name: String): DataFrame = {
     val m = metaOrThrow(name)
     val coll = collection(m)
     coll.read(spark)
-      .groupBy(coll.bucketExpr.as("bucket"))
+      .select(col("seq"),
+        regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}", 1)
+          .cast("int").as("bucket"))
+      .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
       .orderBy(col("bucket"))
   }
@@ -421,6 +429,15 @@ class GraftClient(spark: SparkSession, root: String) {
 
   private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"
   private def cellsPath(m: CollectionMeta) = s"${ivfDir(m)}/cells"
+  private def sq8CellsPath(m: CollectionMeta) = s"${ivfDir(m)}/sq8cells"
+
+  /** Whether the collection's index carries SQ8 quantized cells — the
+    * `index_type` the reference's backend takes as config
+    * (`milvus-app/pythonvectordbceph_milvus.py:100-102`; IVF_SQ8 is
+    * IVF_FLAT's space-saving sibling in that config surface). */
+  private def sq8Indexed(m: CollectionMeta): Boolean =
+    m.indexType == "IVF_SQ8" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(sq8CellsPath(m)))
 
   /** Metrics the IVF prune can serve. Cosine rides the L2 prune in
     * unit-normalized space (for unit vectors, cosine order ≡ L2 order);
@@ -466,12 +483,27 @@ class GraftClient(spark: SparkSession, root: String) {
     *   - `probe_centroids` — the refreshed PER-CELL MEANS used to choose
     *     cells at query time. Incremental commits move these toward the
     *     cells' true current means, so probe quality tracks drift while
-    *     cell membership stays frozen. */
+    *     cell membership stays frozen.
+    *
+    * Collections created with `indexType = "IVF_SQ8"` additionally get
+    * SQ8-quantized cells (`qvec` binary + `qmax` double — 0.30× the bytes
+    * at rest): `search` scans THOSE for stage-1 candidates (the fused
+    * int8 dequantize-distance kernel reads a quarter of the IO) and
+    * re-ranks exactly against the float cells. The float cells stay on
+    * disk as the exact re-rank side and the staleness fallback — the same
+    * two-layout split FAISS/Milvus IVF_SQ8 keeps (quantized scan +
+    * full-precision refine). SQ8 stage-1 ranks by L2 in the raw vector
+    * space, so it serves l2 collections only — cosine's normalized-space
+    * prune would need normalized-then-quantized codes (a second layout);
+    * cosine/dot collections reject IVF_SQ8 at build. */
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0): Unit = {
     val m = metaOrThrow(name)
     require(indexableMetric(m.metric),
       s"IVF index supports l2 and cosine (dot has no Voronoi prune — dot " +
         s"searches stay exact); collection is ${m.metric}")
+    require(m.indexType != "IVF_SQ8" || m.metric == "l2",
+      s"IVF_SQ8 ranks stage-1 candidates by L2 over quantized raw vectors — " +
+        s"create the collection with metric l2 (got ${m.metric})")
     val coll = collection(m)
     val version = coll.currentVersion.getOrElse(
       throw new IllegalStateException(s"collection $name is empty — nothing to index"))
@@ -479,6 +511,10 @@ class GraftClient(spark: SparkSession, root: String) {
     val (indexed, quant) = IvfIndex.build(
       snapshot, "__assign", nlist, sampleFraction = sampleFraction)
     IvfIndex.writeIndexed(indexed.drop("__assign"), cellsPath(m))
+    if (m.indexType == "IVF_SQ8")
+      Sq8Index.writeQuantized(
+        Sq8Index.quantize(IvfIndex.loadIndexed(spark, cellsPath(m)), "vec"),
+        sq8CellsPath(m))
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
@@ -567,6 +603,18 @@ class GraftClient(spark: SparkSession, root: String) {
           (touchedCells.toSet -- writtenCells).foreach { cell =>
             deleteDir(s"${cellsPath(m)}/centroidId=$cell")
           }
+          // SQ8 cells mirror the float cells cell-for-cell: re-quantize
+          // ONLY the touched cells' new contents (same dynamic partition
+          // overwrite, same emptied-dir sweep) — an upsert/delete batch
+          // re-encodes batch-bounded rows, never the whole index
+          if (sq8Indexed(m)) {
+            Sq8Index.quantize(contents, "vec").write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("centroidId").parquet(sq8CellsPath(m))
+            (touchedCells.toSet -- writtenCells).foreach { cell =>
+              deleteDir(s"${sq8CellsPath(m)}/centroidId=$cell")
+            }
+          }
           // probe centers of the touched cells move to the new cell means;
           // untouched cells keep theirs (refreshCentroids only sees the
           // touched cells' rows)
@@ -581,6 +629,26 @@ class GraftClient(spark: SparkSession, root: String) {
       } finally keys.unpersist()
     case _ => () // no index, already stale, or pre-probe-table format —
                  // search falls back to the exact scan as before
+  }
+
+  /** Distributed per-query cell probe: cells chosen executor-side against
+    * the broadcast quantizer — no driver loop over the query set. The
+    * closure captures only (broadcast, normalize, nprobe), never the
+    * client. */
+  private def probesUdf(quant: IvfIndex.CoarseQuantizer, normalize: Boolean,
+      nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(quant)
+    val np = nprobe
+    udf { (v: Seq[Float]) =>
+      var a = v.toArray
+      if (normalize) {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n != 0.0) a = a.map(x => (x / n).toFloat)
+      }
+      bc.value.probes(a, np)
+    }
   }
 
   private def deleteDir(path: String): Unit = {
@@ -615,13 +683,28 @@ class GraftClient(spark: SparkSession, root: String) {
     * from always-exact (pre-index behavior) to nprobe-approximate when a
     * fresh index exists — the reference backend behaves the same way;
     * pass `nprobe >= nlist` to force a full probe (exact recall) through
-    * the index. */
+    * the index.
+    *
+    * IVF_SQ8 collections serve stage 1 from the quantized cells (the
+    * fused int8 kernel reads ~1/4 the bytes) and re-rank the top
+    * `k*refine` candidates exactly against the keyed store — `refine`
+    * trades recall for re-rank size and is ignored by the other index
+    * types. The metadata `filter` applies on the quantized scan (SQ8
+    * cells carry `key` and `meta`), so its semantics match the float
+    * path; a filter referencing `vec` belongs to the exact path — drop
+    * the index or use a FLAT collection for that. */
   def search(name: String, qvec: Array[Float], k: Int,
-             filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
+             filter: Option[Column] = None, nprobe: Int = 4,
+             refine: Int = 4): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     val coll = collection(m)
+    loadIndex(m) match {
+      case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
+        return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine)
+      case _ => ()
+    }
     val fresh = loadIndex(m) match {
       case Some(idx) if coll.currentVersion.contains(idx.version)
           && indexableMetric(m.metric) =>
@@ -647,6 +730,40 @@ class GraftClient(spark: SparkSession, root: String) {
       .limit(k)
   }
 
+  /** The IVF_SQ8 two-stage search (FAISS/Milvus `IVF_SQ8` semantics —
+    * the reference backend's `index_type` config sibling of IVF_FLAT,
+    * `milvus-app/pythonvectordbceph_milvus.py:100-102`):
+    *
+    *   1. probe `nprobe` cells of the QUANTIZED layout (a centroidId
+    *      partition prune), rank by the fused dequantize-L2 kernel, keep
+    *      the top `k*refine` keys — TakeOrderedAndProject over 1/4 the
+    *      scan bytes;
+    *   2. fetch those keys' full-precision vectors from the primary keyed
+    *      store (the candidate set is k·refine rows — always broadcast,
+    *      so the fetch is a broadcast hash join, no shuffle of the store)
+    *      and re-rank exactly.
+    *
+    * Build guarantees metric == l2. Determinism: both stages tie-break on
+    * the key. */
+  private def searchSq8Refined(m: CollectionMeta, coll: BucketedKeyedCollection,
+      idx: LoadedIndex, qvec: Array[Float], k: Int, filter: Option[Column],
+      nprobe: Int, refine: Int): DataFrame = {
+    val q = typedLit(qvec)
+    val cells = idx.probe.probes(qvec, nprobe)
+    val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m))
+      .filter(col("centroidId").isin(cells: _*))
+    val cand = filter.fold(sq8)(sq8.filter)
+      .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q).as("adist"))
+      .orderBy(col("adist"), col("key"))
+      .limit(k * refine)
+      .select(col("key"))
+    coll.read(spark).join(broadcast(cand), Seq("key"))
+      .select(col("key").as("vector_key"), l2_distance(col("vec"), q).as("distance"),
+        col("meta").as("metadata"))
+      .orderBy(col("distance"), col("vector_key"))
+      .limit(k)
+  }
+
   /** Batched top-k search: `queries` needs (qid BIGINT, qvec ARRAY<FLOAT>);
     * output one row per (qid, hit) — Milvus `search` takes a LIST of
     * vectors (`milvus-app/pythonvectordbceph_milvus.py:106-112`), and at
@@ -664,29 +781,41 @@ class GraftClient(spark: SparkSession, root: String) {
     * results equal single-query `search` exactly (same kernel, same
     * tie-breaks). */
   def searchBatch(name: String, queries: DataFrame, k: Int,
-                  filter: Option[Column] = None, nprobe: Int = 4): DataFrame = {
+                  filter: Option[Column] = None, nprobe: Int = 4,
+                  refine: Int = 4): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
     val coll = collection(m)
     val q = queries.select(col("qid").cast("long").as("qid"),
       assert_dim(col("qvec"), m.dim).as("qvec"))
     val candidates = loadIndex(m) match {
+      case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
+        // IVF_SQ8 (metric l2 by build contract): stage 1 ranks the
+        // (query × probed quantized cells) pairs with the fused int8
+        // kernel and keeps k*refine keys per query through the bounded
+        // heap BEFORE any shuffle; stage 2 re-fetches those keys' exact
+        // vectors from the keyed store (candidates = |Q|·k·refine rows —
+        // broadcast by construction), so the shared scoring tail below
+        // re-ranks exactly like every other path
+        val probeCells = probesUdf(idx.probe, normalize = false, nprobe)
+        val probed = q.select(col("qid"), col("qvec").as("__qv"))
+          .withColumn("centroidId", explode(probeCells(col("__qv"))))
+        val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m))
+          .join(probed, Seq("centroidId"))
+        val stage1 = filter.fold(scanned)(scanned.filter)
+          .select(col("qid"),
+            sq8_l2_distance(col("qvec"), col("qmax"), col("__qv")).as("dist"),
+            col("key"), col("meta"))
+          .groupBy(col("qid"))
+          .agg(VectorAggregates.topKDocs(k * refine)(
+            col("dist"), col("key"), col("meta")).as("hits"))
+          .select(col("qid"), explode(col("hits")).as("h"))
+          .select(col("qid"), col("h.key").as("key"))
+        coll.read(spark).join(broadcast(stage1), Seq("key"))
+          .join(broadcast(q), Seq("qid"))
       case Some(idx) if coll.currentVersion.contains(idx.version)
           && indexableMetric(m.metric) =>
-        val bc = spark.sparkContext.broadcast(idx.probe)
-        val normalize = m.metric == "cosine"
-        val np = nprobe
-        // closure captures only (bc, normalize, np) — not the client
-        val probeCells = udf { (v: Seq[Float]) =>
-          var a = v.toArray
-          if (normalize) {
-            var s = 0.0; var i = 0
-            while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
-            val n = math.sqrt(s)
-            if (n != 0.0) a = a.map(x => (x / n).toFloat)
-          }
-          bc.value.probes(a, np)
-        }
+        val probeCells = probesUdf(idx.probe, normalize = m.metric == "cosine", nprobe)
         val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
         IvfIndex.loadIndexed(spark, cellsPath(m)).join(probed, Seq("centroidId"))
       case _ =>
@@ -710,6 +839,60 @@ class GraftClient(spark: SparkSession, root: String) {
       .select(col("qid"), col("h.key").as("vector_key"),
         col("h.dist").as("distance"), col("h.meta").as("metadata"))
       .orderBy(col("qid"), col("distance"), col("vector_key"))
+  }
+
+  // ---- Text-retrieval surface (C14/C19, parameterized) ----
+  //
+  // The vector store keeps only (key, vector, metadata) — "without actual
+  // storing the data" (`milvus-app/README.md:3`) — so lexical scoring
+  // takes the caller's documents frame, keyed like the collection.
+
+  /** BM25 lexical retrieval with USER query terms over any documents
+    * frame (`idCol`, `textCol`) — the callable form of the declared
+    * `bm25_scores` query. Emits (idCol, bm25), top `k`. The postings are
+    * term-filtered before the tf shuffle (Σ df(term) traffic, not the
+    * corpus — same plan the PlanQualitySpec guard pins). */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10,
+           idCol: String = "key", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.queries.TextQueries.bm25(docs, idCol, textCol, terms, k, k1, b)
+
+  /** Unigram-LM perplexity proxy with a USER scoring predicate — the
+    * callable form of the declared `perplexity_proxy` query. The unigram
+    * model fits on the FULL frame; only rows passing `scoreFilter` are
+    * scored. Emits (idCol, n_tokens, mean_neg_logp). */
+  def perplexityProxy(docs: DataFrame, scoreFilter: Column,
+                      idCol: String = "key", textCol: String = "text"): DataFrame =
+    graft.queries.PipelineQueries.perplexity(docs, idCol, textCol, scoreFilter)
+
+  /** Hybrid retrieval against a collection: the BM25 lexical arm (over
+    * `docs`, keyed like the collection) and the vector arm
+    * ([[search]] — IVF/SQ8-pruned when an index is fresh) fused by
+    * reciprocal-rank fusion `Σ 1/(rrfK + rank)` — the standard fusion of
+    * the reference's two-sided surface (lexical `search.py` next to
+    * vector `search.py`). Each arm is top-`armK`-pushed before its
+    * ≤armK-row rank window (the limit-below-window contract); the fuse
+    * is an armK×armK full-outer join. Emits (key, lex_rank, vec_rank,
+    * rrf), top `k` by fused score. */
+  def hybridSearch(name: String, docs: DataFrame, terms: Seq[String],
+                   qvec: Array[Float], k: Int = 10, armK: Int = 15,
+                   rrfK: Int = 60, filter: Option[Column] = None,
+                   nprobe: Int = 4, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(docs, terms, k = armK, idCol = "key", textCol = textCol)
+      .select(col("key"),
+        row_number().over(Window.orderBy(desc("bm25"), col("key")))
+          .cast("long").as("lex_rank"))
+    val vec = search(name, qvec, armK, filter, nprobe)
+      .select(col("vector_key").as("key"),
+        row_number().over(Window.orderBy(col("distance"), col("vector_key")))
+          .cast("long").as("vec_rank"))
+    lex.join(vec, Seq("key"), "full_outer")
+      .select(col("key"), col("lex_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("key"))
+      .limit(k)
   }
 
   /** Embed-then-search conveniences mirroring the reference's query

@@ -14,7 +14,7 @@ case class CollectionMeta(
     name: String,
     dim: Int,
     metric: String,        // "l2" | "cosine" | "dot" (reference pins l2)
-    indexType: String,     // "FLAT" | "IVF_FLAT"
+    indexType: String,     // "FLAT" | "IVF_FLAT" | "IVF_SQ8"
     nlist: Int,            // IVF coarse cells; reference pins 16384
     dataPath: String,
     buckets: Int = 16)     // hash buckets of the keyed store — immutable

@@ -209,25 +209,34 @@ object PipelineQueries {
           .as("dup_rate"))
       .orderBy(col("source"))
 
-  /** Unigram-LM perplexity proxy: mean −log p(word) per doc under the
-    * corpus unigram distribution — the cheap LM-quality filter (junk and
-    * boilerplate score high/low long before a real LM is in the loop).
+  /** Parameterized unigram-LM perplexity core over ANY (id, text) frame —
+    * the callable C19 surface (caller picks which docs to score; the
+    * unigram model always fits on the FULL frame), used by both the
+    * declared `perplexity_proxy` query and `GraftClient.perplexityProxy`.
     * Same inverted-index shape as TF-IDF: tokens join the O(vocabulary)
     * frequency table (AQE broadcasts it while small), the 1-row total is
-    * an explicit broadcast. */
-  def perplexityProxy(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    * an explicit broadcast; `scoreFilter` is pushed below the join so the
+    * scan of the scored side prunes at the source. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 scoreFilter: Column): DataFrame = {
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
     val freq = tokens.groupBy(col("word")).agg(count(lit(1)).as("n"))
     val tot = freq.agg(sum(col("n")).as("total"))
-    tokens.filter(col("doc_id") < 100)
+    tokens.filter(scoreFilter)
       .join(freq, Seq("word"))
       .crossJoin(broadcast(tot))
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(-avg(log(col("n") / col("total"))), 6).as("mean_neg_logp"))
-      .orderBy(col("doc_id"))
+      .orderBy(col(idCol))
   }
+
+  /** Unigram-LM perplexity proxy: mean −log p(word) per doc under the
+    * corpus unigram distribution — the cheap LM-quality filter (junk and
+    * boilerplate score high/low long before a real LM is in the loop);
+    * the declared, oracle-pinned instantiation of [[perplexity]]. */
+  def perplexityProxy(spark: SparkSession, dir: String): DataFrame =
+    perplexity(t(spark, dir, "documents"), "doc_id", "text", col("doc_id") < 100)
 
   /** Context windowing: how many seq-len-32/stride-16 windows each doc
     * yields (the chunking step before tokenized training examples).

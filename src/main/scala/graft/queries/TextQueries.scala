@@ -187,34 +187,74 @@ object TextQueries {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"), col("lang"))
 
-  /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
-    * — the lexical-search twin of the KNN surface (hybrid retrieval runs
-    * both). Same inverted-index shape as TF-IDF: tokens filtered to the
-    * query terms BEFORE the tf groupBy, so the shuffle carries only
-    * matching postings — at corpus scale that is Σ df(term), not the
-    * corpus. Per-doc sums range over ≤3 terms; round(6) absorbs engine
-    * summation-order ulps. */
-  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
-    val qterms = Seq("join", "hash", "scan")
-    val docs = t(spark, dir, "documents")
-    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
-    val dl = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dlen"))
+  /** Parameterized BM25 core over ANY (id, text) frame — the callable C14
+    * retrieval surface (user terms, tunable k1/b/k), used by both the
+    * declared `bm25_scores` query and `GraftClient.bm25`. Same
+    * inverted-index shape as TF-IDF: tokens filtered to the query terms
+    * BEFORE the tf groupBy, so the shuffle carries only matching postings
+    * — at corpus scale that is Σ df(term), not the corpus. Per-doc sums
+    * range over |terms| rows; round(6) absorbs engine summation-order
+    * ulps. Emits (idCol, bm25), top `k` by score. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val dl = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
     val avgdl = dl.agg(avg(col("dlen")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val matching = tokens.filter(col("word").isin(qterms: _*))
-    val tf = matching.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val dfT = matching.select(col("doc_id"), col("word")).distinct()
+    val matching = tokens.filter(col("word").isin(terms: _*))
+    val tf = matching.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfT = matching.select(col(idCol), col("word")).distinct()
       .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(dfT, Seq("word")).join(dl, Seq("doc_id"))
+    tf.join(dfT, Seq("word")).join(dl, Seq(idCol))
       .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
-      .groupBy(col("doc_id"))
+      .groupBy(col(idCol))
       .agg(round(sum(
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * col("tf") * 2.2
-          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl")))), 6)
+          * col("tf") * (k1 + 1.0)
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avgdl")))), 6)
         .as("bm25"))
-      .orderBy(desc("bm25"), col("doc_id"))
-      .limit(15)
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+  }
+
+  /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
+    * — the lexical-search twin of the KNN surface (hybrid retrieval runs
+    * both); the declared, oracle-pinned instantiation of [[bm25]]. */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame =
+    bm25(t(spark, dir, "documents"), "doc_id", "text", Seq("join", "hash", "scan"))
+
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF, the standard k=60
+    * variant) of the BM25 lexical arm and the exact L2 KNN vector arm —
+    * the two-sided surface the reference implies (lexical `search.py`
+    * next to vector `search.py`). `doc_id` aligns with `vec_id` in the
+    * fixture, standing in for "the same corpus embedded".
+    *
+    * Shape at scale: each arm is top-k-pushed (TakeOrderedAndProject)
+    * BEFORE its rank window, so the windows rank ≤15 survivors — the
+    * same limit-below-window contract as corpus_shuffle/vocab_coverage
+    * (plan-guarded). The fuse is a 15×15 full-outer join on doc_id. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2_distance
+    val lexTop = bm25Scores(spark, dir) // (doc_id, bm25) — top 15
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val vecTop = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(15)
+    val lex = lexTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("bm25"), col("doc_id")))
+        .cast("long").as("lex_rank"))
+    val vec = vecTop.select(col("vec_id").as("doc_id"),
+      row_number().over(Window.orderBy(col("dist"), col("vec_id")))
+        .cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(10)
   }
 
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
@@ -242,7 +282,8 @@ object TextQueries {
     "doc_length_histogram" -> docLengthHistogram _,
     "repetition_ratio" -> repetitionRatio _,
     "train_val_split" -> trainValSplit _,
-    "bm25_scores" -> bm25Scores _
+    "bm25_scores" -> bm25Scores _,
+    "hybrid_rrf" -> hybridRrf _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -348,6 +389,33 @@ object TextQueries {
             round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
          FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
-         GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15"""
+         GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""",
+    "hybrid_rrf" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1),
+           bm25 AS (SELECT tf.doc_id,
+               round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                          * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
+             FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
+             GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm25),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           knn AS (SELECT e.vec_id AS doc_id,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+             FROM embeddings e, q ORDER BY dist, vec_id LIMIT 15),
+           vec AS (SELECT doc_id,
+               row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM knn)
+         SELECT doc_id, lex_rank, vec_rank,
+            round(coalesce(1.0 / (60 + lex_rank), 0)
+              + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
+         FROM lex FULL OUTER JOIN vec USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10"""
   )
 }

@@ -310,11 +310,29 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.upsert("st", (0 until 80).map(i =>
       (s"k$i", Seq(i.toFloat, 0f), Map.empty[String, String])).toDF("key", "vec", "meta"))
     client.deleteByKeys("st", Seq("k0", "k1"))
-    val s = client.stats("st").collect()
+    val statsDf = client.stats("st")
+    val s = statsDf.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(s.map(_._2).sum == 78, s"78 live rows across buckets: ${s.toSeq}")
     assert(s.map(_._1).toSeq == s.map(_._1).toSeq.sorted && s.forall(_._1 < 4))
     assert(s.forall(_._3 == 1L), "one upsert commit → every bucket's max_seq is 1")
+    // the bucket comes from the layout path, never from re-hashing keys:
+    // the scan must project only `seq` (no key/vec/meta data pages)
+    val plan = statsDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("xxhash64"),
+      s"stats must not re-hash the key column:\n${plan.take(1500)}")
+    assert(plan.contains("ReadSchema: struct<seq:bigint>"),
+      s"stats must read only the seq column:\n${plan.take(1500)}")
+    // layout-derived buckets agree with hash-derived ones over the LIVE
+    // snapshot (listing the data dir raw would also count retained
+    // previous-version dirs)
+    client.registerSqlViews()
+    val viaHash = spark.table("st")
+      .groupBy(pmod(xxhash64(col("key")), lit(4L)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(s.map(t => t._1 -> t._2).toMap == viaHash,
+      "path-derived bucket counts must equal hash-derived counts")
   }
 
   test("get: point lookup reads only the key's bucket") {
@@ -564,6 +582,168 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .sortBy { case (k, d) => (d, k) }.take(10).map(_._1)
     assert(df.collect().map(_.getAs[String]("vector_key")).toSeq == exact,
       "full probe after the commit chain must equal the exact answer")
+  }
+
+  test("IVF_SQ8 through the client: quantized stage-1, exact re-rank, fresh across upserts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("sq8", dim = 8, metric = "l2", indexType = "IVF_SQ8", nlist = 4)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("sq8", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("sq8", nlist = 4)
+
+    val dp = client.describe("sq8").dataPath
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dp-ivf/sq8cells")),
+      "IVF_SQ8 build must persist the quantized cells")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dp-ivf/cells")),
+      "the float cells remain as the exact fallback")
+
+    // stage 1 runs over the QUANTIZED layout with the cell prune in the
+    // plan; stage 2 is a broadcast re-rank against the keyed store
+    val probed = client.search("sq8", vec(17).toArray, k = 5, nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("centroidId"), "SQ8 stage 1 must keep the cell prune")
+    assert(plan.contains("qvec"), "stage 1 must scan the quantized codes")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exact re-rank fetch must be a broadcast join, not a shuffle")
+    assert(probed.collect().head.getAs[String]("vector_key") == "k17")
+
+    def l2(v: Seq[Float], q: Array[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    def exactTop(live: Map[String, Seq[Float]], q: Array[Float], k: Int): Seq[String] =
+      live.toSeq.map { case (key, v) => (key, l2(v, q)) }
+        .sortBy { case (key, d) => (d, key) }.take(k).map(_._1)
+
+    val live0 = rows.map { case (k, v, _) => k -> v }.toMap
+    for (qSeed <- Seq(3, 17, 42, 101)) {
+      val q = vec(qSeed).toArray
+      val got = client.search("sq8", q, k = 10, nprobe = 4)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live0, q, 10),
+        s"refined SQ8 at full probe must equal the exact answer (q=vec($qSeed))")
+    }
+
+    // metadata filter composes on the quantized scan
+    val evenFilter = element_at(col("meta"), "i").cast("int") % 2 === 0
+    val filtered = client.search("sq8", vec(17).toArray, k = 5,
+      filter = Some(evenFilter), nprobe = 4)
+    assert(filtered.queryExecution.executedPlan.toString.contains("centroidId"))
+    assert(filtered.collect().map(_.getAs[String]("vector_key")).toSeq
+      .forall(k => k.drop(1).toInt % 2 == 0))
+
+    // upsert (move + fresh) and delete: maintenance must re-quantize only
+    // the touched cells and keep the SQ8 path serving — never degrade to
+    // the exact scan, never serve a stale quantized copy
+    client.upsert("sq8", Seq(
+      ("fresh", vec(500), Map("i" -> "500")),
+      ("k30", vec(170), Map("i" -> "30"))
+    ).toDF("key", "vec", "meta"))
+    client.deleteByKeys("sq8", Seq("k17"))
+    val live = live0 ++ Map("fresh" -> vec(500), "k30" -> vec(170)) - "k17"
+
+    for (qSeed <- Seq(17, 170, 500)) {
+      val q = vec(qSeed).toArray
+      val df = client.search("sq8", q, k = 8, nprobe = 4)
+      assert(df.queryExecution.executedPlan.toString.contains("qvec"),
+        "maintenance commits must keep the SQ8 stage-1 path")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live, q, 8), s"q=vec($qSeed): $got")
+    }
+    val sq8OnDisk = spark.read.parquet(s"$dp-ivf/sq8cells")
+    assert(sq8OnDisk.filter(col("key") === "k17").count() == 0,
+      "deleted key lingers in the quantized cells")
+    assert(sq8OnDisk.filter(col("key") === "k30").count() == 1,
+      "moved key must exist exactly once in the quantized cells")
+    assert(sq8OnDisk.filter(col("key") === "fresh").count() == 1)
+
+    // batched search through the SQ8 path equals per-query search
+    val queries = Seq((0L, vec(17)), (1L, vec(170)), (2L, vec(500)))
+      .toDF("qid", "qvec")
+    val batch = client.searchBatch("sq8", queries, k = 5, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
+    for ((qid, qv) <- Seq((0L, vec(17)), (1L, vec(170)), (2L, vec(500)))) {
+      val single = client.search("sq8", qv.toArray, k = 5, nprobe = 4)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(batch(qid) == single, s"batch qid=$qid diverges from single-query search")
+    }
+
+    // a crash mid-refresh (stale VERSION) falls back to the exact scan
+    val vfile = java.nio.file.Paths.get(s"$dp-ivf/VERSION")
+    val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
+    java.nio.file.Files.write(vfile, (v - 1).toString.getBytes)
+    val stale = client.search("sq8", vec(17).toArray, k = 5)
+    assert(!stale.queryExecution.executedPlan.toString.contains("qvec"),
+      "a stale SQ8 index must fall back to the exact scan")
+    assert(stale.collect().map(_.getAs[String]("vector_key")).toSeq ==
+      exactTop(live, vec(17).toArray, 5))
+  }
+
+  test("parameterized retrieval: user terms drive bm25, perplexity, and hybrid fusion") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-retr").toString
+    val client = new GraftClient(spark, root)
+    val docs = Seq(
+      ("d1", "fox fox fox jumps high"),
+      ("d2", "dog sleeps all day long"),
+      ("d3", "fox dog mixed words here"),
+      ("d4", "nothing relevant at all")
+    ).toDF("key", "text")
+
+    // bm25 with USER terms — ranking follows the terms, not a baked query
+    val foxTop = client.bm25(docs, Seq("fox"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(foxTop.head == "d1", s"tf=3 doc must out-score tf=1: $foxTop")
+    assert(foxTop == Seq("d1", "d3"))
+    val dogTop = client.bm25(docs, Seq("dog"), k = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(dogTop.toSet == Set("d2", "d3"), s"changing terms must change hits: $dogTop")
+
+    // perplexity with a USER scoring predicate: model on the full frame,
+    // scores only for the selected rows
+    val ppl = client.perplexityProxy(docs, col("key").isin("d1", "d2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppl.keySet == Set("d1", "d2"))
+    assert(ppl("d1") == 5L && ppl("d2") == 5L)
+
+    // hybrid: d1 wins the lexical arm; make it ALSO vector-nearest → it
+    // must win the fusion; then flip the query vector toward d2 with dog
+    // terms and the fused winner flips too
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    client.createCollection("hyb", dim = 8)
+    client.upsert("hyb", Seq(
+      ("d1", vec(1), Map.empty[String, String]),
+      ("d2", vec(2), Map.empty[String, String]),
+      ("d3", vec(3), Map.empty[String, String]),
+      ("d4", vec(4), Map.empty[String, String])
+    ).toDF("key", "vec", "meta"))
+    val fused = client.hybridSearch("hyb", docs, Seq("fox"), vec(1).toArray, k = 4)
+    val rows = fused.collect()
+    assert(rows.head.getString(0) == "d1",
+      s"lexical+vector winner must top the fusion: ${rows.map(_.getString(0)).toSeq}")
+    val rrfs = rows.map(_.getDouble(3)).toSeq
+    assert(rrfs == rrfs.sorted.reverse, "fused scores must be descending")
+    val flipped = client.hybridSearch("hyb", docs, Seq("dog"), vec(2).toArray, k = 4)
+      .collect().head.getString(0)
+    assert(flipped == "d2", s"user terms + query vector must drive the winner: $flipped")
+  }
+
+  test("IVF_SQ8 rejects non-l2 metrics at build time") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8-cos").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("sq8cos", dim = 8, metric = "cosine",
+      indexType = "IVF_SQ8", nlist = 4)
+    client.upsert("sq8cos", Seq(("a", (1 to 8).map(_.toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val e = intercept[IllegalArgumentException] {
+      client.buildIndex("sq8cos", nlist = 4)
+    }
+    assert(e.getMessage.contains("IVF_SQ8"))
   }
 
   test("cosine metric rides the IVF prune in normalized space") {

@@ -174,6 +174,20 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the coverage window must rank only the 40 limited words:\n${p.take(2000)}")
   }
 
+  test("hybrid rrf: both arms stay top-k-pushed below their rank windows") {
+    val p = planOf("hybrid_rrf")
+    assert(!p.contains("CartesianProduct"),
+      "the fuse must stay a full-outer equi-join on doc_id")
+    // three TakeOrderedAndProject: the bm25 arm's top-15, the knn arm's
+    // top-15, the fused top-10 — each rank window sees <=15 survivors
+    val takes = "TakeOrderedAndProject".r.findAllMatchIn(p).size
+    assert(takes >= 3,
+      s"expected top-k pushdown in both arms and the fuse (got $takes):\n${p.take(2000)}")
+    assert(p.indexOf("Window") >= 0 &&
+        p.indexOf("Window") < p.lastIndexOf("TakeOrderedAndProject"),
+      s"rank windows must sit above their arms' top-k, never above the corpus:\n${p.take(2000)}")
+  }
+
   test("corpus shuffle: limit runs BELOW the rank window (top-k first, rank 20 rows)") {
     val p = planOf("corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"),
