@@ -264,6 +264,81 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"delete of k1 must hold across the restart: $keys")
   }
 
+  test("crash between merge-commit and checkpoint ack: replay converges, IVF recovers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(16)
+    client.createCollection("crash", dim = 16, indexType = "IVF_FLAT", nlist = 2)
+    val objects = Seq(("k1", "one doc"), ("k2", "two doc")).toDF("key", "text")
+    client.upsert("crash", Seq(
+      ("k0", emb.embedText("zero doc").toSeq, Map.empty[String, String]),
+      ("kA", emb.embedText("alpha doc").toSeq, Map.empty[String, String])
+    ).toDF("key", "vec", "meta"))
+    client.buildIndex("crash", nlist = 2)
+    val ckpt = s"$root/checkpoint"
+    writeLanding(s"$root/landing", "f1.json",
+      Seq(notif("ObjectCreated:Put", "k1"), notif("ObjectCreated:Put", "k2"),
+        notif("ObjectRemoved:Delete", "k0")), System.currentTimeMillis())
+    client.startIngest("crash", s"$root/landing", objects, embedder = emb,
+      checkpointDir = Some(ckpt)).awaitTermination(120000)
+
+    val dataPath = client.describe("crash").dataPath
+    def storeVersion: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataPath, "CURRENT"))).trim.toLong
+    def indexVersion: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataPath-ivf/VERSION"))).trim.toLong
+    def liveKeys: Set[String] = {
+      client.registerSqlViews()
+      spark.table("crash").select("key").collect().map(_.getString(0)).toSet
+    }
+    val expected = Set("kA", "k1", "k2")
+    assert(liveKeys == expected)
+    assert(indexVersion == storeVersion, "maintenance must chain VERSION through the batch")
+    val vAfterBatch = storeVersion
+
+    // CRASH INJECTION: the merge-commit landed (store + index above) but
+    // the checkpoint ack never did — exactly the window the scaladoc
+    // claims is safe (GraftClient.startIngest). The faithful on-disk
+    // state has NEITHER commits/<n> NOR its checksum sidecar (a stale
+    // .crc would trip the local filesystem's checksum check on rewrite
+    // and masquerade as a concurrent-writer error).
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    import scala.jdk.CollectionConverters._
+    val lastCommit = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d+")).toSeq
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(lastCommit)
+    java.nio.file.Files.deleteIfExists(
+      lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+
+    // restart with the same checkpoint: structured streaming re-executes
+    // the unacked batch (same offsets, same landing files)
+    val q2 = client.startIngest("crash", s"$root/landing", objects, embedder = emb,
+      checkpointDir = Some(ckpt))
+    q2.awaitTermination(120000)
+    assert(q2.recentProgress.map(_.numInputRows).sum == 3,
+      "the restarted query must replay the unacked 3-event batch")
+
+    // convergence: same live set, content identical, no resurrected k0
+    assert(liveKeys == expected, s"replay must converge to the identical live set")
+    assert(storeVersion > vAfterBatch, "the replayed merge commits a new version")
+    assert(indexVersion == storeVersion,
+      "IVF VERSION must recover across the replayed commit (no silent staleness)")
+    val df = client.search("crash", emb.embedText("one doc"), k = 3, nprobe = 2)
+    assert(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "search must keep the index prune after the crash-replay cycle")
+    val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+    val q = emb.embedText("one doc")
+    val live = Map("kA" -> emb.embedText("alpha doc"),
+      "k1" -> emb.embedText("one doc"), "k2" -> emb.embedText("two doc"))
+    val exact = live.toSeq.map { case (k, v) => (k, l2(v, q)) }
+      .sortBy { case (k, d) => (d, k) }.map(_._1)
+    assert(got == exact, s"full-probe search after replay must be exact: $got vs $exact")
+  }
+
   test("searchBatch equals per-query search on both the pruned and exact paths") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sb").toString

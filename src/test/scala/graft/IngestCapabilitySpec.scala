@@ -244,6 +244,163 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "a per-bucket override must not clobber the global gateway")
   }
 
+  /** In-process S3-protocol object server: path-style HEAD / ranged GET /
+    * ListObjectsV2 with delimiter grouping and 2-entry pages (so the
+    * filesystem's continuation-token loop actually runs). Records every
+    * Authorization header and request path for the contract assertions. */
+  private final class S3Stub(bucket: String, objects: Map[String, Array[Byte]]) {
+    val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var listPages = 0
+    private val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def port: Int = server.getAddress.getPort
+
+    private def xmlEsc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      auths.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val rawPath = ex.getRequestURI.getPath
+      paths.add(rawPath)
+      def send(code: Int, body: Array[Byte]): Unit = {
+        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+        ex.close()
+      }
+      if (rawPath != s"/$bucket" && !rawPath.startsWith(s"/$bucket/")) send(404, Array.empty)
+      else if (rawPath == s"/$bucket" || rawPath == s"/$bucket/") {
+        // ListObjectsV2
+        listPages += 1
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+          .filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val prefix = q.getOrElse("prefix", "")
+        val delim = q.get("delimiter")
+        val token = q.get("continuation-token")
+        val matching = objects.keys.filter(_.startsWith(prefix)).toSeq
+        // delimiter grouping: direct children are Contents, deeper keys
+        // collapse into CommonPrefixes
+        val (filesAll, prefixesAll) = delim match {
+          case Some(d) =>
+            val rest = matching.map(k => k -> k.stripPrefix(prefix))
+            (rest.filterNot(_._2.contains(d)).map(_._1).sorted,
+              rest.filter(_._2.contains(d))
+                .map { case (_, r) => prefix + r.takeWhile(_.toString != d) + d }
+                .distinct.sorted)
+          case None => (matching.sorted, Seq.empty)
+        }
+        val entries: Seq[Either[String, String]] = // Left=file key, Right=prefix
+          (filesAll.map(Left(_)) ++ prefixesAll.map(Right(_)))
+            .sortBy(_.fold(identity, identity))
+        val after = token.fold(entries)(t => entries.dropWhile(_.fold(identity, identity) <= t))
+        val page = after.take(2)
+        val truncated = after.size > 2
+        val body = new StringBuilder(
+          s"""<?xml version="1.0" encoding="UTF-8"?><ListBucketResult>""" +
+            s"<Name>$bucket</Name><Prefix>${xmlEsc(prefix)}</Prefix>" +
+            s"<IsTruncated>$truncated</IsTruncated><KeyCount>${page.size}</KeyCount>")
+        page.foreach {
+          case Left(k) => body.append(
+            s"<Contents><Key>${xmlEsc(k)}</Key><Size>${objects(k).length}</Size>" +
+              "<LastModified>2026-01-01T00:00:00.000Z</LastModified>" +
+              "<ETag>\"0\"</ETag></Contents>")
+          case Right(p) => body.append(
+            s"<CommonPrefixes><Prefix>${xmlEsc(p)}</Prefix></CommonPrefixes>")
+        }
+        if (truncated) body.append(
+          s"<NextContinuationToken>${xmlEsc(page.last.fold(identity, identity))}" +
+            "</NextContinuationToken>")
+        body.append("</ListBucketResult>")
+        ex.getResponseHeaders.add("Content-Type", "application/xml")
+        send(200, body.toString.getBytes("UTF-8"))
+      } else {
+        val key = java.net.URLDecoder.decode(rawPath.stripPrefix(s"/$bucket/"), "UTF-8")
+        objects.get(key) match {
+          case None => send(404, Array.empty)
+          case Some(data) => ex.getRequestMethod match {
+            case "HEAD" =>
+              ex.getResponseHeaders.add("Content-Length", data.length.toString)
+              ex.sendResponseHeaders(200, -1)
+              ex.close()
+            case "GET" =>
+              Option(ex.getRequestHeaders.getFirst("Range")) match {
+                case Some(r) =>
+                  val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
+                  val from = m.group(1).toInt
+                  val to = Option(m.group(2)).filter(_.nonEmpty)
+                    .map(_.toInt).getOrElse(data.length - 1)
+                  val slice = data.slice(from, to + 1)
+                  ex.getResponseHeaders.add("Content-Range",
+                    s"bytes $from-${from + slice.length - 1}/${data.length}")
+                  send(206, slice)
+                case None => send(200, data)
+              }
+            case _ => send(405, Array.empty)
+          }
+        }
+      }
+    })
+    server.start()
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("s3a end-to-end: ObjectSources reads through the S3 protocol with the env contract") {
+    import graft.sources.{ObjectSources, RgwConfig}
+    val payload = Array.tabulate(4096)(i => (i % 251).toByte)
+    val stub = new S3Stub("test-bucket", Map(
+      "docs/a.txt" -> "alpha doc body".getBytes("UTF-8"),
+      "docs/b.txt" -> "beta doc body longer".getBytes("UTF-8"),
+      "docs/c.bin" -> payload,
+      "docs/sub/d.txt" -> "nested delta".getBytes("UTF-8"),
+      "other/x.txt" -> "outside prefix".getBytes("UTF-8")))
+    try {
+      // the reference deployment's env contract (pythonvectordbceph.py:49-60)
+      val cfg = RgwConfig.fromEnv(Map(
+        "BUCKET_HOST" -> "127.0.0.1", "BUCKET_PORT" -> stub.port.toString,
+        "AWS_ACCESS_KEY_ID" -> "AKTEST", "AWS_SECRET_ACCESS_KEY" -> "SK")).get
+      cfg.apply(spark)
+      val hc = spark.sparkContext.hadoopConfiguration
+      // no hadoop-aws jar in this sandbox — register the protocol-faithful
+      // lite filesystem under the same scheme + conf contract
+      hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+
+      val texts = ObjectSources.withObjectKey(
+          ObjectSources.textObjects(spark, "s3a://test-bucket/docs/*.txt"),
+          "s3a://test-bucket")
+        .select("key", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(texts == Map(
+        "docs/a.txt" -> "alpha doc body",
+        "docs/b.txt" -> "beta doc body longer"),
+        s"glob over s3a must read exactly the matching objects: $texts")
+
+      val bin = ObjectSources.binaryObjects(spark, "s3a://test-bucket/docs/c.bin")
+        .select("content", "length").head()
+      assert(bin.getLong(1) == 4096L)
+      assert(java.util.Arrays.equals(bin.getAs[Array[Byte]](0), payload),
+        "binary content must survive the ranged-GET read path byte-for-byte")
+
+      // protocol contract: path-style addressing, credential attribution,
+      // and real pagination (2-entry pages force the continuation loop)
+      import scala.jdk.CollectionConverters._
+      assert(stub.paths.asScala.forall(p =>
+        p == "/test-bucket" || p.startsWith("/test-bucket/")),
+        s"every request must be path-style: ${stub.paths.asScala.toSeq.distinct}")
+      assert(stub.auths.asScala.forall(_.contains("Credential=AKTEST/")),
+        "the configured access key must reach the gateway on every request")
+      assert(stub.listPages >= 2,
+        s"the 4-entry docs/ listing at 2-entry pages must take >1 page (got ${stub.listPages})")
+    } finally {
+      stub.stop()
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.unset("fs.s3a.impl"); hc.unset("fs.s3a.impl.disable.cache")
+    }
+  }
+
   // ---- SQL surface (A16/A17 from pure SQL, mirroring describe.py) ----
 
   test("registerSqlViews: the describe.py flow works from plain SQL") {
