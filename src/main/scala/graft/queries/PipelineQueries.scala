@@ -238,6 +238,30 @@ object PipelineQueries {
   def perplexityProxy(spark: SparkSession, dir: String): DataFrame =
     perplexity(t(spark, dir, "documents"), "doc_id", "text", col("doc_id") < 100)
 
+  /** Data-mix reweighting: per-source sampling weights that move the
+    * corpus toward a UNIFORM token share across sources (the "don't let
+    * one crawl dominate the mix" step before export — the target-share /
+    * actual-share ratio, capped at 1.0 since a data build downsamples
+    * rather than duplicating). Shape at scale: one map-side-combinable
+    * groupBy(source) plus a broadcast 1-row total — the shuffle carries
+    * O(sources) rows at any corpus size. */
+  def dataMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .select(col("source"), size(words(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"), count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("tokens")).cast("double").as("total"),
+      count(lit(1)).cast("double").as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("tokens") / col("total"), 6).as("actual_share"),
+        round(least(lit(1.0),
+          (col("total") / col("n_sources")) / col("tokens")), 6).as("weight"),
+        round(least(col("tokens").cast("double"), col("total") / col("n_sources")), 4)
+          .as("tokens_after"))
+      .orderBy(col("source"))
+  }
+
   /** Context windowing: how many seq-len-32/stride-16 windows each doc
     * yields (the chunking step before tokenized training examples).
     * Pure per-row integer math + one histogram groupBy — embarrassingly
@@ -263,7 +287,8 @@ object PipelineQueries {
     "length_quantile_filter" -> lengthQuantileFilter _,
     "dup_rate_by_source" -> dupRateBySource _,
     "perplexity_proxy" -> perplexityProxy _,
-    "context_windows" -> contextWindows _
+    "context_windows" -> contextWindows _,
+    "data_mix_weights" -> dataMixWeights _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -332,6 +357,17 @@ object PipelineQueries {
          SELECT CASE WHEN n_tok <= 32 THEN 1
                      ELSE CAST(ceil((n_tok - 32) / 16.0) AS BIGINT) + 1 END AS n_windows,
             count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
-         FROM d GROUP BY 1 ORDER BY n_windows"""
+         FROM d GROUP BY 1 ORDER BY n_windows""",
+    "data_mix_weights" ->
+      """WITH per AS (SELECT source, sum(len(str_split(text, ' '))) AS tokens,
+                        count(*) AS n_docs
+                      FROM documents GROUP BY source),
+           tot AS (SELECT sum(tokens)::DOUBLE AS total,
+                     count(*)::DOUBLE AS n_sources FROM per)
+         SELECT source, n_docs, tokens,
+            round(tokens / total, 6) AS actual_share,
+            round(least(1.0, (total / n_sources) / tokens), 6) AS weight,
+            round(least(tokens::DOUBLE, total / n_sources), 4) AS tokens_after
+         FROM per, tot ORDER BY source"""
   )
 }

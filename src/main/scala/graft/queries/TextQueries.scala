@@ -257,6 +257,43 @@ object TextQueries {
       .limit(10)
   }
 
+  /** PII scrubbing — the redaction pass every training-data build runs
+    * before export (emails, phone numbers, IPv4 addresses → typed
+    * placeholder tokens). Pure per-row regex work: embarrassingly
+    * parallel, no shuffle at any corpus size.
+    *
+    * The fixture corpus contains no natural PII, so the query INJECTS a
+    * deterministic doc_id-derived email/phone/IP into each doc first —
+    * the redaction kernel (patterns, replacement order, counts) is the
+    * operator under test; the injection is the harness, and the oracle
+    * recomputes both sides. Patterns are written in the common
+    * Java-regex/RE2 subset so Spark and DuckDB agree byte-for-byte. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val d = col("doc_id").cast("string")
+    val raw = concat(col("text"),
+      lit(" contact user"), d, lit("@example.com phone 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    t(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        size(regexp_extract_all(raw, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(raw, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(raw, lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        md5(redacted).as("redacted_fp"),
+        length(redacted).cast("long").as("n_chars_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -283,7 +320,8 @@ object TextQueries {
     "repetition_ratio" -> repetitionRatio _,
     "train_val_split" -> trainValSplit _,
     "bm25_scores" -> bm25Scores _,
-    "hybrid_rrf" -> hybridRrf _
+    "hybrid_rrf" -> hybridRrf _,
+    "pii_redact" -> piiRedact _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -416,6 +454,29 @@ object TextQueries {
             round(coalesce(1.0 / (60 + lex_rank), 0)
               + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
          FROM lex FULL OUTER JOIN vec USING (doc_id)
-         ORDER BY rrf DESC, doc_id LIMIT 10"""
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "pii_redact" ->
+      """WITH raw AS (SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+               '@example.com phone 555-' ||
+               lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+               lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+               ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+               ((doc_id * 7) % 256)::VARCHAR AS raw
+           FROM documents WHERE doc_id < 200),
+           red AS (SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+           FROM raw)
+         SELECT doc_id,
+            len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+            len(regexp_extract_all(raw, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+            len(regexp_extract_all(raw, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+            md5(redacted) AS redacted_fp,
+            length(redacted) AS n_chars_redacted
+         FROM red ORDER BY doc_id"""
   )
 }
