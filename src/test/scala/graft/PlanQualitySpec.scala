@@ -188,6 +188,29 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank windows must sit above their arms' top-k, never above the corpus:\n${p.take(2000)}")
   }
 
+  test("pii redact: pure per-row work — no shuffle except the output sort") {
+    val p = planOf("pii_redact")
+    // redaction is map-only; the single Exchange in the plan is the
+    // rangepartitioning for the final ORDER BY doc_id. A join or
+    // aggregate here would mean the scrub stopped being embarrassingly
+    // parallel.
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"pii scrub must stay per-row (no agg/join):\n${p.take(1500)}")
+    val exchanges = "Exchange".r.findAllMatchIn(p).size
+    assert(exchanges <= 1,
+      s"expected at most the output-sort exchange, got $exchanges:\n${p.take(1500)}")
+  }
+
+  test("data mix weights: partial agg before the O(sources) shuffle; 1-row total broadcast") {
+    val p = planOf("data_mix_weights")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row total must ride a broadcast, not a cartesian")
+    // map-side combine: a partial_sum must appear below the exchange so
+    // the shuffle carries per-partition per-source rows, not tokens
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected map-side partial aggregation before the shuffle:\n${p.take(1500)}")
+  }
+
   test("corpus shuffle: limit runs BELOW the rank window (top-k first, rank 20 rows)") {
     val p = planOf("corpus_shuffle")
     assert(p.contains("TakeOrderedAndProject"),
