@@ -198,15 +198,24 @@ object TextQueries {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
-    val dl = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dlen"))
-    val avgdl = dl.agg(avg(col("dlen")).as("avgdl"))
+    // dlen is a PER-ROW expression (size of the split array), so the
+    // document-length table needs no corpus-wide explode→groupBy shuffle:
+    // avgdl is a partial-aggregated 1-row scan, and dlen rides the
+    // matching postings. The only O(corpus) shuffle left is the tf
+    // groupBy over ALREADY term-filtered tokens — Σ df(term) rows.
+    val withLen = docs.select(col(idCol), words(col(textCol)).as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
+    val avgdl = withLen.agg(avg(col("dlen")).as("avgdl"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val matching = tokens.filter(col("word").isin(terms: _*))
-    val tf = matching.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
-    val dfT = matching.select(col(idCol), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(dfT, Seq("word")).join(dl, Seq(idCol))
+    val matching = withLen
+      .select(col(idCol), col("dlen"), explode(col("__ws")).as("word"))
+      .filter(col("word").isin(terms: _*))
+    val tf = matching.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+    // tf rows are distinct (doc, word) pairs already — df is a second
+    // tiny aggregate over them, O(terms) output
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(dfT, Seq("word"))
       .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
       .groupBy(col(idCol))
       .agg(round(sum(
