@@ -350,11 +350,25 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("s3a end-to-end: ObjectSources reads through the S3 protocol with the env contract") {
     import graft.sources.{ObjectSources, RgwConfig}
     val payload = Array.tabulate(4096)(i => (i % 251).toByte)
+    // a real parquet object: reading it over s3a exercises the SEEK path
+    // (footer at EOF first, then row groups — random IO via ranged GETs),
+    // which sequential text/binary reads never touch
+    val parquetBytes = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("s3a-parquet")
+      (0 until 100).map(i => (i.toLong, s"row$i")).toDF("id", "name")
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.readAllBytes(part)
+    }
     val stub = new S3Stub("test-bucket", Map(
       "docs/a.txt" -> "alpha doc body".getBytes("UTF-8"),
       "docs/b.txt" -> "beta doc body longer".getBytes("UTF-8"),
       "docs/c.bin" -> payload,
       "docs/sub/d.txt" -> "nested delta".getBytes("UTF-8"),
+      "tables/t.parquet" -> parquetBytes,
       "other/x.txt" -> "outside prefix".getBytes("UTF-8")))
     try {
       // the reference deployment's env contract (pythonvectordbceph.py:49-60)
@@ -383,6 +397,13 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bin.getLong(1) == 4096L)
       assert(java.util.Arrays.equals(bin.getAs[Array[Byte]](0), payload),
         "binary content must survive the ranged-GET read path byte-for-byte")
+
+      // parquet over s3a: the footer read seeks to EOF, then row groups —
+      // the ranged-GET seek path sequential reads never exercise
+      val table = spark.read.parquet("s3a://test-bucket/tables/t.parquet")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(table.size == 100 && table(42L) == "row42",
+        "parquet random-IO read over s3a must round-trip every row")
 
       // protocol contract: path-style addressing, credential attribution,
       // and real pagination (2-entry pages force the continuation loop)
