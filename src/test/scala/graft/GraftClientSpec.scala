@@ -745,6 +745,21 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getAs[String]("vector_key")).toSeq
       assert(batch(qid) == single, s"batch qid=$qid diverges from single-query search")
     }
+    // the metadata filter applies on the quantized stage-1 scan in the
+    // batch path too, and filtered batch == filtered single-query
+    val fBatch = client.searchBatch("sq8", queries, k = 5,
+        filter = Some(evenFilter), nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
+    for ((qid, qv) <- Seq((0L, vec(17)), (1L, vec(170)), (2L, vec(500)))) {
+      val single = client.search("sq8", qv.toArray, k = 5,
+          filter = Some(evenFilter), nprobe = 4)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(fBatch(qid) == single, s"filtered batch qid=$qid diverges from single")
+      // keys carry their meta "i": kN has i=N, fresh has i=500 — all even
+      assert(single.forall(k => k == "fresh" || k.drop(1).toInt % 2 == 0),
+        s"metadata filter must hold on every filtered hit: $single")
+    }
 
     // a crash mid-refresh (stale VERSION) falls back to the exact scan
     val vfile = java.nio.file.Paths.get(s"$dp-ivf/VERSION")
