@@ -198,6 +198,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[String]("region") == "eu-west")
   }
 
+  test("stream-stream interval join: reads attribute to the preceding put (C15)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two live streams joined with an event-time bound — the "which reads
+    // hit a freshly-written object" attribution; both sides watermarked
+    // so the join state is bounded (the 100 TB posture: state size is
+    // watermark-window-bounded, not stream-length-bounded)
+    val puts = MemoryStream[(String, Timestamp)]
+    val reads = MemoryStream[(String, Timestamp)]
+    val putsDf = puts.toDF().toDF("key", "put_ts").withWatermark("put_ts", "1 minute")
+    val readsDf = reads.toDF().toDF("rkey", "read_ts").withWatermark("read_ts", "1 minute")
+    val joined = putsDf.join(readsDf,
+      col("key") === col("rkey") &&
+        col("read_ts") >= col("put_ts") &&
+        col("read_ts") <= col("put_ts") + expr("interval 2 minutes"))
+      .select(col("key"), col("read_ts").cast("string").as("read_at"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    puts.addData(("a", ts("2024-01-01 10:00:00")), ("b", ts("2024-01-01 10:00:10")))
+    reads.addData(
+      ("a", ts("2024-01-01 10:01:00")), // within 2 min of a's put → match
+      ("a", ts("2024-01-01 10:05:00")), // outside the bound → dropped
+      ("c", ts("2024-01-01 10:01:00"))) // no matching put → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "2024-01-01 10:01:00")),
+      s"only the in-window read of a put key attributes: $rows")
+  }
+
   test("session windows group events separated by inactivity gaps (C15)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
