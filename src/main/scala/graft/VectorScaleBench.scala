@@ -216,6 +216,10 @@ object VectorScaleBench {
       graft.index.IvfIndex.loadIndexed(spark, cIvfDir), cQuant, "vec", "vec_id",
       cq, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
     val sq8RefRecall = sq8RefIds.count(cIvfIds.contains).toDouble / cIvfIds.size
+    // the FLOAT prune's own recall on iid data — the control that shows
+    // partial-probe recall loss is the IVF prune (iid neighbors scatter
+    // across cells), not the int8 quantization
+    val ivfIidRecall = cIvfIds.count(cExactIds.contains).toDouble / cExactIds.size
 
     // IVF_SQ8 end-to-end THROUGH GraftClient (r6): the API-reachable path —
     // keyed store ingest, IVF_SQ8 build (float + quantized cells), refined
@@ -272,6 +276,7 @@ object VectorScaleBench {
         s""""sq8_bytes_ratio":${sq8Bytes.toDouble / floatBytes},""" +
         s""""sq8_probe_sec":$sq8Sec,"sq8_recall_at10":$sq8Recall,""" +
         s""""sq8_refined_sec":$sq8RefSec,"sq8_refined_recall_vs_ivf":$sq8RefRecall,""" +
+        s""""ivf_iid_prune_recall_at10":$ivfIidRecall,""" +
         s""""client_sq8_upsert_sec":$clientUpsertSec,""" +
         s""""client_sq8_build_sec":$clientBuildSec,""" +
         s""""client_sq8_search_sec":$clientSearchSec,""" +
