@@ -33,4 +33,16 @@ object ObjectSources {
     * `Records[0].s3.object.key` addressing. */
   def withObjectKey(df: DataFrame, root: String): DataFrame =
     df.withColumn("key", regexp_replace(col("path"), s".*${java.util.regex.Pattern.quote(root)}/?", ""))
+
+  /** Shard-partitioned gzip JSONL sink — the other wire format training
+    * loaders consume (one JSON object per line, one directory per shard).
+    * Same layout contract as the parquet export: a loader reading one
+    * shard partition-prunes to that directory, and the write
+    * parallelizes per shard like any file sink. Gzip keeps the text
+    * format's at-rest size honest; JSONL trades parquet's columnar
+    * pruning for line-oriented streamability, which is why both sinks
+    * exist. */
+  def writeJsonlSharded(df: DataFrame, path: String, shardCol: String = "shard"): Unit =
+    df.write.mode("overwrite").partitionBy(shardCol)
+      .option("compression", "gzip").json(path)
 }

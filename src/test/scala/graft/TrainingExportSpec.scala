@@ -114,6 +114,36 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally deleteRec(java.nio.file.Paths.get(out))
   }
 
+  test("JSONL sharded sink round-trips the packed export; shard dirs prune") {
+    val out = Files.createTempDirectory("graft-export-jsonl").toString
+    try {
+      val packed = TrainingExport.packed(docs, cfg)
+      graft.sources.ObjectSources.writeJsonlSharded(packed, out)
+      // gzip JSONL on disk, one dir per shard
+      import scala.jdk.CollectionConverters._
+      val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("shard=")).toSeq
+      assert(shardDirs.nonEmpty, "expected shard=N partition directories")
+      val gz = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+        .iterator().asScala.count(_.getFileName.toString.endsWith(".json.gz"))
+      assert(gz > 0, "expected gzip-compressed JSONL part files")
+      // round-trip: same rows (shard comes back as the partition column)
+      val back = spark.read.json(out)
+      val mem = packed.select("shard", "pack_id", "doc_id", "n_tokens")
+        .collect().map(_.toString).sorted
+      val disk = back.select(col("shard").cast("string"), col("pack_id"),
+          col("doc_id"), col("n_tokens"))
+        .collect().map(_.toString).sorted
+      assert(disk.sameElements(mem), "JSONL round-trip must preserve the assignment")
+      // single-shard read prunes to that directory
+      val pruned = back.filter(col("shard") === shardDirs.head.stripPrefix("shard="))
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("shard"),
+        s"shard filter must prune at the partitioned JSON scan:\n${scan.take(1200)}")
+    } finally deleteRec(java.nio.file.Paths.get(out))
+  }
+
   test("keep-list matching nothing exports zero packs, not a crash") {
     val out = Files.createTempDirectory("graft-export-empty").toString
     try {
