@@ -210,7 +210,10 @@ class GraftClient(spark: SparkSession, root: String) {
     val coll = collection(m)
     coll.read(spark)
       .select(col("seq"),
-        regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}", 1)
+        // anchored to the file's PARENT directory — an unanchored match
+        // would take the leftmost bNNNNN-vNNNNNNNN-shaped segment, which
+        // could be part of the collection's root path
+        regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}/[^/]*$", 1)
           .cast("int").as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
@@ -699,15 +702,18 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    require(refine >= 1, s"refine must be >= 1 (got $refine) — 0 would " +
+      "silently return no candidates from the SQ8 stage-1 limit")
     val coll = collection(m)
-    loadIndex(m) match {
-      case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
+    // loadIndex collects two small centroid tables — bind it ONCE per call
+    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
+    liveIdx match {
+      case Some(idx) if sq8Indexed(m) =>
         return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine)
       case _ => ()
     }
-    val fresh = loadIndex(m) match {
-      case Some(idx) if coll.currentVersion.contains(idx.version)
-          && indexableMetric(m.metric) =>
+    val fresh = liveIdx match {
+      case Some(idx) if indexableMetric(m.metric) =>
         val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
         val cells = idx.probe.probes(qa, nprobe)
         Some(IvfIndex.loadIndexed(spark, cellsPath(m))
@@ -785,6 +791,7 @@ class GraftClient(spark: SparkSession, root: String) {
                   refine: Int = 4): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
+    require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val coll = collection(m)
     val q = queries.select(col("qid").cast("long").as("qid"),
       assert_dim(col("qvec"), m.dim).as("qvec"))
@@ -794,9 +801,13 @@ class GraftClient(spark: SparkSession, root: String) {
         // (query × probed quantized cells) pairs with the fused int8
         // kernel and keeps k*refine keys per query through the bounded
         // heap BEFORE any shuffle; stage 2 re-fetches those keys' exact
-        // vectors from the keyed store (candidates = |Q|·k·refine rows —
-        // broadcast by construction), so the shared scoring tail below
-        // re-ranks exactly like every other path
+        // vectors from the keyed store, so the shared scoring tail below
+        // re-ranks exactly like every other path. The candidate set is
+        // |Q|·k·refine rows — broadcast only while the query set
+        // plausibly fits the driver (same guard as the exact path), else
+        // the fetch degrades to ordinary shuffle joins instead of OOMing
+        val hint: DataFrame => DataFrame =
+          if (q.limit(100001).count() <= 100000L) broadcast else identity
         val probeCells = probesUdf(idx.probe, normalize = false, nprobe)
         val probed = q.select(col("qid"), col("qvec").as("__qv"))
           .withColumn("centroidId", explode(probeCells(col("__qv"))))
@@ -811,8 +822,8 @@ class GraftClient(spark: SparkSession, root: String) {
             col("dist"), col("key"), col("meta")).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
           .select(col("qid"), col("h.key").as("key"))
-        coll.read(spark).join(broadcast(stage1), Seq("key"))
-          .join(broadcast(q), Seq("qid"))
+        coll.read(spark).join(hint(stage1), Seq("key"))
+          .join(hint(q), Seq("qid"))
       case Some(idx) if coll.currentVersion.contains(idx.version)
           && indexableMetric(m.metric) =>
         val probeCells = probesUdf(idx.probe, normalize = m.metric == "cosine", nprobe)

@@ -219,10 +219,14 @@ object PipelineQueries {
     * scan of the scored side prunes at the source. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  scoreFilter: Column): DataFrame = {
-    val tokens = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
-    val freq = tokens.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    def tokens(d: DataFrame) =
+      d.select(col(idCol), explode(words(col(textCol))).as("word"))
+    val freq = tokens(docs).groupBy(col("word")).agg(count(lit(1)).as("n"))
     val tot = freq.agg(sum(col("n")).as("total"))
-    tokens.filter(scoreFilter)
+    // scoreFilter selects DOCS (it runs against the caller's frame, so it
+    // may reference any of its columns — lang, length, metadata), and the
+    // predicate pushes to the scored side's scan
+    tokens(docs.filter(scoreFilter))
       .join(freq, Seq("word"))
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))

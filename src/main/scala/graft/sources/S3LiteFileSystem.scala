@@ -201,17 +201,25 @@ class S3LiteFileSystem extends FileSystem {
     }
     override def getPos: Long = pos
     override def seekToNewSource(targetPos: Long): Boolean = false
+    // a body ending before the HEAD-reported length is a truncated
+    // response, not EOF — surfacing it beats handing parquet/text readers
+    // a silently short object
+    private def shortBody(): Nothing =
+      throw new java.io.EOFException(
+        s"GET $key: body ended at $pos of $len bytes (truncated response)")
     override def read(): Int = {
       if (pos >= len) return -1
       ensure()
       val b = in.read()
-      if (b >= 0) pos += 1
+      if (b < 0) shortBody()
+      pos += 1
       b
     }
     override def read(b: Array[Byte], off: Int, l: Int): Int = {
       if (pos >= len) return -1
       ensure()
       val n = in.read(b, off, l)
+      if (n < 0) shortBody()
       if (n > 0) pos += n
       n
     }
