@@ -28,6 +28,19 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("no declared query ever plans a CartesianProduct") {
+    // the global safety net behind every per-query guard: a future edit
+    // that degrades any equi-join to an unconstrained product (the one
+    // plan shape with no 100 TB story) fails here by name. Deliberate
+    // 1-row cross joins ride explicit broadcast() hints and plan as
+    // BroadcastNestedLoopJoin, which this does not flag.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      planOf(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct: ${offenders.mkString(", ")}")
+  }
+
   test("bucketed range-frame rewrite: same values, no 3-key window partitioning") {
     val canonical = graft.queries.WindowSetQueries.windowRangeFrame(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
