@@ -363,7 +363,7 @@ object PipelineQueries {
             count(*) AS n_docs, min(n_tok) AS min_tok, max(n_tok) AS max_tok
          FROM d GROUP BY 1 ORDER BY n_windows""",
     "data_mix_weights" ->
-      """WITH per AS (SELECT source, sum(len(str_split(text, ' '))) AS tokens,
+      """WITH per AS (SELECT source, sum(len(str_split(text, ' ')))::BIGINT AS tokens,
                         count(*) AS n_docs
                       FROM documents GROUP BY source),
            tot AS (SELECT sum(tokens)::DOUBLE AS total,

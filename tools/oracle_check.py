@@ -14,6 +14,14 @@ Usage:
    numeric-equality version of this check that was blind to exactly that
    defect class (11 driver hash-fails the local tool called green).
 
+Both sides are fetched VIA ARROW, never fetchall(): DuckDB HUGEINT (the
+type of an uncast sum(int)) surfaces through Arrow as decimal128(38,0),
+which the driver's type-tagged hasher distinguishes from int64 — but
+fetchall() degrades it to a plain Python int, hiding the mismatch. Round 6
+shipped exactly that blind spot: data_mix_weights was green here (fetchall
+path) and red at the driver (arrow path). Arrow schemas are also compared
+directly, so a type-only divergence fails even when every value coincides.
+
 Exit 0 iff every query matches exactly.
 """
 import json
@@ -23,6 +31,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("-") else "/tmp/verify_out"
@@ -40,6 +49,18 @@ def run_verify():
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
             print(line)
+
+
+def fetch_arrow(rel):
+    """Materialize a DuckDB relation through Arrow so types survive:
+    HUGEINT -> decimal128(38,0) -> Decimal (NOT a plain int as fetchall
+    would give). Returns (rows, col_names, arrow_types_by_name)."""
+    tbl = rel.arrow()
+    cols = tbl.column_names
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = [tuple(c[i] for c in pycols) for i in range(tbl.num_rows)]
+    types = {f.name: str(f.type) for f in tbl.schema}
+    return rows, cols, types
 
 
 def canon(rows, cols):
@@ -93,10 +114,8 @@ def main():
             n_bad += 1
             continue
         try:
-            srel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
-            s_rows, s_cols = srel.fetchall(), [d[0] for d in srel.description]
-            drel = con.sql(oracle[name])
-            d_rows, d_cols = drel.fetchall(), [d[0] for d in drel.description]
+            s_rows, s_cols, s_types = fetch_arrow(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
+            d_rows, d_cols, d_types = fetch_arrow(con.sql(oracle[name]))
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_bad += 1
@@ -105,6 +124,19 @@ def main():
         d_rows, d_cols_s = canon(d_rows, d_cols)
         if s_cols_s != d_cols_s:
             print(f"FAIL {name}: columns spark={s_cols_s} duckdb={d_cols_s}")
+            n_bad += 1
+            continue
+        # Hard-fail when exactly one side is decimal: values coincide
+        # numerically, so this is the class the driver's type-tagged hash
+        # catches and a value-equality check (or fetchall) silently misses.
+        dec_bad = [c for c in s_cols_s
+                   if s_types.get(c, "").startswith("decimal") != d_types.get(c, "").startswith("decimal")]
+        if dec_bad:
+            detail = ", ".join(f"{c}: spark={s_types.get(c)} duckdb={d_types.get(c)}" for c in dec_bad)
+            hint = ""
+            if any(d_types.get(c, "") == "decimal128(38, 0)" for c in dec_bad):
+                hint = " (decimal128(38,0) = DuckDB HUGEINT, i.e. an uncast sum(int) — add ::BIGINT in the oracle SQL)"
+            print(f"FAIL {name}: arrow type mismatch — {detail}{hint}")
             n_bad += 1
             continue
         if len(s_rows) != len(d_rows):
