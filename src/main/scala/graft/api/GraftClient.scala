@@ -33,6 +33,30 @@ import graft.streaming.BucketedKeyedCollection
 class GraftClient(spark: SparkSession, root: String) {
   private val catalog = new Catalog(s"$root/catalog")
 
+  /** Per-(collection, kind, index-version) broadcast cache. The probe
+    * quantizer and assignment centers are re-read by every `loadIndex`,
+    * but their BROADCASTS are reused across calls — a long-lived session
+    * no longer accumulates one ~nlist×dim quantizer copy per
+    * search/commit. Superseded versions are only dropped from the map
+    * (never `destroy()`ed): an in-flight query that started before an
+    * index refresh must keep its broadcast usable; Spark's ContextCleaner
+    * reclaims the blocks once the last plan reference is gone. */
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), org.apache.spark.broadcast.Broadcast[_]]()
+
+  private def cachedBroadcast[T](name: String, kind: String, version: Long)
+      (mk: => T)(implicit ct: scala.reflect.ClassTag[T])
+      : org.apache.spark.broadcast.Broadcast[T] = {
+    val it = bcCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == name && k._2 == kind && k._3 != version) it.remove()
+    }
+    bcCache.computeIfAbsent((name, kind, version),
+        _ => spark.sparkContext.broadcast(mk))
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+  }
+
   private val rowSchema = StructType.fromDDL(
     "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
 
@@ -212,9 +236,16 @@ class GraftClient(spark: SparkSession, root: String) {
       .select(col("seq"),
         // anchored to the file's PARENT directory — an unanchored match
         // would take the leftmost bNNNNN-vNNNNNNNN-shaped segment, which
-        // could be part of the collection's root path
-        regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}/[^/]*$", 1)
-          .cast("int").as("bucket"))
+        // could be part of the collection's root path. A file whose
+        // parent does NOT match fails loudly instead of landing in a
+        // silent null-bucket row: this is the observability surface that
+        // is supposed to EXPOSE layout drift, not absorb it.
+        coalesce(
+          regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}/[^/]*$", 1)
+            .cast("int"),
+          raise_error(concat(
+            lit("stats: file outside the bNNNNN-vNNNNNNNN bucket layout: "),
+            input_file_name()))).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
       .orderBy(col("bucket"))
@@ -575,12 +606,14 @@ class GraftClient(spark: SparkSession, root: String) {
       try {
         // old copies of the touched keys — their cells are recomputable
         // because the assignment centers are frozen at build time
+        val centersBc =
+          cachedBroadcast(m.name, "assign", idx.version)(idx.assign.centers)
         val evicted = IvfIndex.assignCells(
           preImage.join(keys, Seq("key"), "left_semi")
             .withColumn("__assign", assignSpace(m)(col("vec"))),
-          "__assign", idx.assign)
+          "__assign", centersBc)
         val inserted = puts.map(p => IvfIndex.assignCells(
-          p.withColumn("__assign", assignSpace(m)(col("vec"))), "__assign", idx.assign))
+          p.withColumn("__assign", assignSpace(m)(col("vec"))), "__assign", centersBc))
         val oldCells = evicted.select("centroidId").distinct().collect().map(_.getInt(0))
         val newCells = inserted.toSeq.flatMap(
           _.select("centroidId").distinct().collect().map(_.getInt(0)))
@@ -637,10 +670,11 @@ class GraftClient(spark: SparkSession, root: String) {
   /** Distributed per-query cell probe: cells chosen executor-side against
     * the broadcast quantizer — no driver loop over the query set. The
     * closure captures only (broadcast, normalize, nprobe), never the
-    * client. */
-  private def probesUdf(quant: IvfIndex.CoarseQuantizer, normalize: Boolean,
+    * client. The broadcast comes from [[cachedBroadcast]], so repeated
+    * batched searches against the same index version reuse one copy. */
+  private def probesUdf(bc: org.apache.spark.broadcast.Broadcast[IvfIndex.CoarseQuantizer],
+      normalize: Boolean,
       nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val bc = spark.sparkContext.broadcast(quant)
     val np = nprobe
     udf { (v: Seq[Float]) =>
       var a = v.toArray
@@ -785,16 +819,29 @@ class GraftClient(spark: SparkSession, root: String) {
     * fresh index (or for dot), the same aggregate runs over the exact
     * scan×queries product with the queries side broadcast. Per-query
     * results equal single-query `search` exactly (same kernel, same
-    * tie-breaks). */
+    * tie-breaks). `numQueries` is an optional |Q| hint that skips the
+    * sizing job behind the broadcast decisions; a local in-memory query
+    * frame never needs it (its size is read off the optimized plan). */
   def searchBatch(name: String, queries: DataFrame, k: Int,
                   filter: Option[Column] = None, nprobe: Int = 4,
-                  refine: Int = 4): DataFrame = {
+                  refine: Int = 4, numQueries: Option[Long] = None): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val coll = collection(m)
     val q = queries.select(col("qid").cast("long").as("qid"),
       assert_dim(col("qvec"), m.dim).as("qvec"))
+    // |Q| drives the broadcast decisions below. Precedence: caller hint →
+    // statically-known size (a local in-memory query frame, the common
+    // interactive case — costs NO job) → one bounded counting job. Lazy:
+    // the IVF_FLAT path joins on centroidId and never needs it.
+    lazy val nQ: Long = numQueries.getOrElse {
+      q.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          lr.data.size.toLong
+        case _ => q.limit(100001).count()
+      }
+    }
     val candidates = loadIndex(m) match {
       case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
         // IVF_SQ8 (metric l2 by build contract): stage 1 ranks the
@@ -802,13 +849,18 @@ class GraftClient(spark: SparkSession, root: String) {
         // kernel and keeps k*refine keys per query through the bounded
         // heap BEFORE any shuffle; stage 2 re-fetches those keys' exact
         // vectors from the keyed store, so the shared scoring tail below
-        // re-ranks exactly like every other path. The candidate set is
-        // |Q|·k·refine rows — broadcast only while the query set
-        // plausibly fits the driver (same guard as the exact path), else
+        // re-ranks exactly like every other path. Broadcast guards: q
+        // holds |Q| rows, but stage1 holds |Q|·k·refine candidate keys —
+        // its guard scales by k·refine (100k queries at k=100, refine=10
+        // would otherwise broadcast ~100M rows); past either threshold
         // the fetch degrades to ordinary shuffle joins instead of OOMing
-        val hint: DataFrame => DataFrame =
-          if (q.limit(100001).count() <= 100000L) broadcast else identity
-        val probeCells = probesUdf(idx.probe, normalize = false, nprobe)
+        val hintQ: DataFrame => DataFrame =
+          if (nQ <= 100000L) broadcast else identity
+        val hintStage1: DataFrame => DataFrame =
+          if (nQ * k * refine <= 100000L) broadcast else identity
+        val probeCells = probesUdf(
+          cachedBroadcast(m.name, "probe", idx.version)(idx.probe),
+          normalize = false, nprobe)
         val probed = q.select(col("qid"), col("qvec").as("__qv"))
           .withColumn("centroidId", explode(probeCells(col("__qv"))))
         val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m))
@@ -822,18 +874,20 @@ class GraftClient(spark: SparkSession, root: String) {
             col("dist"), col("key"), col("meta")).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
           .select(col("qid"), col("h.key").as("key"))
-        coll.read(spark).join(hint(stage1), Seq("key"))
-          .join(hint(q), Seq("qid"))
+        coll.read(spark).join(hintStage1(stage1), Seq("key"))
+          .join(hintQ(q), Seq("qid"))
       case Some(idx) if coll.currentVersion.contains(idx.version)
           && indexableMetric(m.metric) =>
-        val probeCells = probesUdf(idx.probe, normalize = m.metric == "cosine", nprobe)
+        val probeCells = probesUdf(
+          cachedBroadcast(m.name, "probe", idx.version)(idx.probe),
+          normalize = m.metric == "cosine", nprobe)
         val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
         IvfIndex.loadIndexed(spark, cellsPath(m)).join(probed, Seq("centroidId"))
       case _ =>
         // broadcast only when the query set plausibly fits the driver —
         // a forced hint on a huge batch would OOM instead of shuffling
         val hint: DataFrame => DataFrame =
-          if (q.limit(100001).count() <= 100000L) broadcast else identity
+          if (nQ <= 100000L) broadcast else identity
         coll.read(spark).crossJoin(hint(q))
     }
     val scored = m.metric match {

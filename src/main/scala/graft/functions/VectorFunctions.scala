@@ -337,6 +337,90 @@ case class AssertDim(child: Expression, dim: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Nearest-centroid argmin over a BROADCAST center table: the IVF cell
+  * assignment kernel (IvfIndex.assignCells). Semantics are frozen —
+  * strict-less L2², ties to the lowest centroid id — because a row's cell
+  * must be recomputable bit-for-bit at eviction time (GraftClient's
+  * incremental index maintenance re-derives an old row's cell from its
+  * vector; reference backend keeps its index live across upserts at
+  * `milvus-app/pythonvectordbceph_milvus.py:100-102,154`).
+  *
+  * The centers ride a [[Broadcast]] (ship-once-per-executor, exactly like
+  * the udf this replaces — nlist=16384 × dim 384 doubles is ~50 MB, too big
+  * to serialize into every task), resolved once per generated class in
+  * codegen init, so the per-row loop is a fused primitive argmin with no
+  * boxing — this runs on every merge-commit's maintenance path. */
+case class NearestCentroid(child: Expression,
+    centers: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
+  extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cs = centers.value
+    if (cs.nonEmpty && v.numElements() != cs(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dimension ${v.numElements()} != centroid dimension ${cs(0).length}")
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val c = cs(i)
+      var s = 0.0; var j = 0
+      while (j < c.length) {
+        val d = c(j) - VectorKernels.elemAsDouble(child, v, j)
+        s += d * d; j += 1
+      }
+      if (s < bestD) { bestD = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centersBc", centers,
+      "org.apache.spark.broadcast.Broadcast")
+    // The broadcast is unwrapped ONCE per generated class instance, not per
+    // row — the row loop sees a plain double[][].
+    val cVar = ctx.addMutableState("double[][]", "nearestCentroidCenters",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, j, c, s, d) = (ctx.freshName("i"), ctx.freshName("j"),
+        ctx.freshName("c"), ctx.freshName("s"), ctx.freshName("d"))
+      val (best, bestD) = (ctx.freshName("best"), ctx.freshName("bestD"))
+      s"""
+         |if ($cVar.length > 0 && $a.numElements() != $cVar[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: vector dimension " + $a.numElements() +
+         |    " != centroid dimension " + $cVar[0].length);
+         |}
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $i = 0; $i < $cVar.length; $i++) {
+         |  double[] $c = $cVar[$i];
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $c.length; $j++) {
+         |    double $d = $c[$j] - ${VectorKernels.elemAsDouble(child, a, j)};
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestD) { $bestD = $s; $best = $i; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** L2 distance between an SQ8-encoded vector and a full-precision query.
   *
   * SQ8 storage (Sq8Index): codes are int8, `code_i = floor(x_i·127/qmax
@@ -414,6 +498,9 @@ object VectorFunctions {
   def vector_norm(a: Column): Column = column(VectorNorm(expression(a)))
   def l2_normalize(a: Column): Column = column(L2Normalize(expression(a)))
   def assert_dim(a: Column, d: Int): Column = column(AssertDim(expression(a), d))
+  def nearest_centroid(a: Column,
+      centers: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
+    column(NearestCentroid(expression(a), centers))
   def sq8_l2_distance(codes: Column, qmax: Column, q: Column): Column =
     column(Sq8L2Distance(expression(codes), expression(qmax.cast("double")), expression(q)))
 

@@ -45,25 +45,19 @@ object IvfIndex {
     * its old copy on upsert/delete), and MLlib's `model.transform` computes
     * distances with a different floating-point decomposition
     * (‖a‖²+‖b‖²−2a·b), so a near-tie row could land differently there. */
-  def assignCells(df: DataFrame, vecCol: String, quant: CoarseQuantizer): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(quant.centers)
-    val nearest = udf { (v: Seq[Float]) =>
-      val centers = bc.value
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centers.length) {
-        val c = centers(i)
-        var s = 0.0
-        var j = 0
-        while (j < c.length) { val d = c(j) - v(j); s += d * d; j += 1 }
-        if (s < bestD) { bestD = s; best = i }
-        i += 1
-      }
-      best
-    }
-    df.withColumn("centroidId", nearest(col(vecCol)))
-  }
+  def assignCells(df: DataFrame, vecCol: String, quant: CoarseQuantizer): DataFrame =
+    assignCells(df, vecCol, df.sparkSession.sparkContext.broadcast(quant.centers))
+
+  /** Broadcast-reusing overload: callers that assign repeatedly against the
+    * same frozen quantizer (GraftClient's per-merge-commit maintenance)
+    * pass a cached broadcast instead of re-shipping ~nlist×dim doubles per
+    * call. The kernel is the codegen'd [[graft.functions.NearestCentroid]]
+    * expression — a fused primitive argmin inside whole-stage codegen, no
+    * boxed per-row closure. */
+  def assignCells(df: DataFrame, vecCol: String,
+      centersBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame =
+    df.withColumn("centroidId",
+      graft.functions.VectorFunctions.nearest_centroid(col(vecCol), centersBc))
 
   /** Fit the coarse quantizer and assign `centroidId` to every row.
     * `sampleFraction` bounds the KMeans fit cost at corpus scale — fitting

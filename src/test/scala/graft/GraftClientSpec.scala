@@ -681,6 +681,9 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val probed = client.search("sq8", vec(17).toArray, k = 5, nprobe = 2)
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("centroidId"), "SQ8 stage 1 must keep the cell prune")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("centroidId")),
+      s"SQ8 stage 1's cell prune must be a PARTITION filter on the quantized scan:\n$plan")
     assert(plan.contains("qvec"), "stage 1 must scan the quantized codes")
     assert(plan.contains("BroadcastHashJoin"),
       "the exact re-rank fetch must be a broadcast join, not a shuffle")
@@ -737,7 +740,13 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batched search through the SQ8 path equals per-query search
     val queries = Seq((0L, vec(17)), (1L, vec(170)), (2L, vec(500)))
       .toDF("qid", "qvec")
-    val batch = client.searchBatch("sq8", queries, k = 5, nprobe = 4)
+    val batchDf = client.searchBatch("sq8", queries, k = 5, nprobe = 4)
+    // plan guard: the |Q|·k·refine stage-1 candidates and the query set
+    // both ride broadcast joins into the keyed store — a refactor must
+    // not silently trade the re-rank fetch for a shuffle of the store
+    assert(batchDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "SQ8 batch re-rank must broadcast the candidate keys")
+    val batch = batchDf
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
     for ((qid, qv) <- Seq((0L, vec(17)), (1L, vec(170)), (2L, vec(500)))) {
@@ -904,6 +913,10 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("centroidId"),
       "filtered search must keep the centroidId partition prune in the plan")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("centroidId")),
+      s"the cell prune must reach the scan as a PARTITION filter (directory " +
+        s"pruning at rest), not a post-scan predicate:\n$plan")
     assert(pruned.collect().map(_.getAs[String]("vector_key")).toSeq
       .forall(k => k.drop(1).toInt % 2 == 0), "metadata filter must hold on every hit")
 

@@ -133,6 +133,50 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r(0).getDouble(2) == 3.0)
   }
 
+  test("nearest_centroid: argmin semantics, tie to lowest id, codegen, dim guard") {
+    val centers = Array(
+      Array(0.0, 0.0, 0.0),
+      Array(1.0, 2.0, 2.0),   // exactly vec 1
+      Array(1.0, 2.0, 2.0))   // duplicate — tie must go to the LOWER id
+    val bc = spark.sparkContext.broadcast(centers)
+    // repartition blocks ConvertToLocalRelation from eagerly evaluating the
+    // projection driver-side — the plan must show the real codegen'd kernel
+    val assigned = vecs.repartition(2)
+      .select($"id", nearest_centroid($"v", bc).as("cell"))
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 1, "exact match goes to its centroid, tie broken to lowest id")
+    assert(got(3L) == 0, "zero vector is nearest the origin centroid")
+
+    // the assign kernel must stay inside whole-stage codegen (it runs on
+    // every merge-commit's index-maintenance path) — no boxed udf closure
+    val plan = assigned.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(l =>
+      l.contains("nearest_centroid") && l.contains("Project"))
+    assert(line.isDefined, s"expression missing from plan:\n$plan")
+    assert(line.get.contains("*("),
+      s"nearest_centroid fell out of whole-stage codegen (no *(n) stage marker):\n$plan")
+    assert(!plan.contains("UDF"), "assign path must not plan a udf")
+
+    // interpreted (no-codegen) path computes the same assignment
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = vecs.repartition(2)
+        .select($"id", nearest_centroid($"v", bc).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(interp == got, "interpreted eval diverges from codegen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+    // a vector whose dimension disagrees with the centroids fails loudly
+    val badBc = spark.sparkContext.broadcast(Array(Array(0.0, 0.0)))
+    val e = intercept[Exception] {
+      vecs.select(nearest_centroid($"v", badBc)).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("dimension"), s"unexpected error: $messages")
+  }
+
   test("works over real embeddings parquet with codegen") {
     val df = spark.read.parquet(s"${SparkTestSession.sf}/embeddings.parquet")
     val q = df.filter($"vec_id" === 0).select($"embedding".as("q"))
