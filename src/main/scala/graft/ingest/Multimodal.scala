@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column pipeline (LLM-data-pipeline mandate): image/audio/video
   * as opaque `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step is a clearly-marked deterministic STUB — this container
-  * has no image/audio codecs (cf. §7.0 offline constraint; the reference's
-  * real decode is PIL + timm preprocessing at
-  * `s3vectors-app/pythonvectordbceph.py:164-169`). Everything around the
-  * stub is the real Spark plumbing: schema, typed Dataset transform,
-  * per-partition amortized setup, batch shape.
+  * IMAGES decode for real: `javax.imageio` (JDK built-in, PNG/JPEG/GIF/BMP)
+  * parses the container and hands the feature step actual pixels — the
+  * reference's image arm reads real pixels the same way (PIL + timm
+  * preprocessing, `s3vectors-app/pythonvectordbceph.py:164-169`).
+  * AUDIO/VIDEO decode is a clearly-marked deterministic STUB — this
+  * container has no wav/mp4 codecs (cf. §7.0 offline constraint).
+  * Everything around it is the real Spark plumbing: schema, typed Dataset
+  * transform, per-partition amortized setup, batch shape. The `decoded`
+  * flag separates codec-parsed rows from stubbed/corrupt ones, so a
+  * downstream filter can quarantine undecodable media instead of training
+  * on fabricated dimensions.
   *
   * Scale posture: `mapPartitions` keeps decoder/model instantiation
   * per-task, rows stream through without materializing a partition in
@@ -24,7 +29,9 @@ object Multimodal {
   /** Typed metadata for an opaque media payload. */
   case class MediaObject(key: String, mediaType: String, content: Array[Byte])
 
-  /** Decoded frame/sample features — fixed shape, schema-stable. */
+  /** Decoded frame/sample features — fixed shape, schema-stable.
+    * `decoded` = a real codec parsed the payload (vs stub dims for
+    * audio/video and corrupt images). */
   case class MediaFeatures(
       key: String,
       mediaType: String,
@@ -32,12 +39,42 @@ object Multimodal {
       width: Int,
       height: Int,
       nFrames: Int,
+      decoded: Boolean,
       features: Array[Float])
 
-  /** STUB decode: a real implementation would parse the container format
-    * (JPEG/PNG/WAV/MP4) here. The deterministic fake derives "dimensions"
-    * and a frame count from the payload bytes so tests are stable, and is
-    * loudly not a codec. */
+  /** Real image decode via the JDK's ImageIO: (width, height, row-major
+    * RGB bytes). None = the payload is not a decodable image (corrupt or
+    * an unsupported format) — callers must not fabricate dimensions for
+    * it silently. */
+  private[ingest] def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(i) = ((rgb >> 16) & 0xff).toByte
+            px(i + 1) = ((rgb >> 8) & 0xff).toByte
+            px(i + 2) = (rgb & 0xff).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** STUB decode for audio/video (and the corrupt-image fallback): a real
+    * implementation would parse the WAV/MP4 container here. The
+    * deterministic fake derives "dimensions" and a frame count from the
+    * payload bytes so tests are stable, and is loudly not a codec. */
   private[ingest] def decodeStub(m: MediaObject): (Int, Int, Int) = {
     val n = m.content.length
     val w = 16 + math.floorMod(if (n > 0) m.content(0).toInt else 0, 16)
@@ -52,15 +89,27 @@ object Multimodal {
 
   /** Decode + feature-extract over a typed Dataset. One decoder/embedder
     * instantiation per partition (the reference re-instantiates per event —
-    * `pythonvectordbceph.py:162,168`). */
+    * `pythonvectordbceph.py:162,168`). Image features are computed over
+    * the DECODED PIXELS (not the container bytes), so two encodings of
+    * the same image embed identically. */
   def extractFeatures(ds: Dataset[MediaObject], dim: Int = Embedder.ImageDim): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       val embedder = HashingEmbedder(dim) // per-partition setup, not per-row
+      // ImageIO's default temp-FILE stream cache is pure overhead for
+      // in-memory payloads on executors
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val (w, h, frames) = decodeStub(m)
-        MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h, frames,
-          embedder.embedBytes(m.content))
+        val real = if (m.mediaType == "image") decodeImage(m.content) else None
+        real match {
+          case Some((w, h, px)) =>
+            MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
+              nFrames = 1, decoded = true, embedder.embedBytes(px))
+          case None =>
+            val (w, h, frames) = decodeStub(m)
+            MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
+              frames, decoded = false, embedder.embedBytes(m.content))
+        }
       }
     }
   }

@@ -9,30 +9,33 @@ import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FSInputStrea
 import org.apache.hadoop.fs.permission.FsPermission
 import org.apache.hadoop.util.Progressable
 
-/** A minimal READ-ONLY Hadoop FileSystem speaking the S3 REST protocol —
-  * path-style GET / HEAD / ListObjectsV2 (with continuation-token
-  * pagination) and ranged reads — registered in place of S3A via
-  * `fs.s3a.impl = graft.sources.S3LiteFileSystem`.
+/** A minimal Hadoop FileSystem speaking the S3 REST protocol — path-style
+  * GET / HEAD / PUT / DELETE / ListObjectsV2 (with continuation-token
+  * pagination), ranged reads, server-side COPY (`x-amz-copy-source`) for
+  * rename, and `key/` zero-byte directory markers — registered in place of
+  * S3A via `fs.s3a.impl = graft.sources.S3LiteFileSystem`.
   *
   * Why it exists: this build environment has no `hadoop-aws` jar and no
   * egress to fetch one, so the stock `S3AFileSystem` cannot load — yet the
   * engine's RGW story (`RgwConfig` + `ObjectSources` over `s3a://`, the
-  * reference's `s3.get_object` path, `s3vectors-app/pythonvectordbceph
-  * .py:155`) deserves an END-TO-END drive, not just conf-layer assertions.
-  * This class honors the exact conf contract `RgwConfig` writes —
-  * `fs.s3a.endpoint`, `fs.s3a.access.key`, `fs.s3a.path.style.access`,
-  * per-bucket `fs.s3a.bucket.<name>.*` overrides — so
-  * IngestCapabilitySpec can read fixtures through a real Spark scan
-  * against an in-process S3 server using the reference deployment's
-  * env-var contract.
+  * reference's `s3.get_object` read at `s3vectors-app/pythonvectordbceph
+  * .py:155` and `put_vectors` write at `:194-206`) deserves an END-TO-END
+  * drive, not just conf-layer assertions. This class honors the exact conf
+  * contract `RgwConfig` writes — `fs.s3a.endpoint`, `fs.s3a.access.key`,
+  * `fs.s3a.path.style.access`, per-bucket `fs.s3a.bucket.<name>.*`
+  * overrides — so IngestCapabilitySpec can drive a real Spark scan AND a
+  * real committer-mediated Spark write (create → rename → delete, the
+  * FileOutputCommitter protocol) against an in-process S3 server using the
+  * reference deployment's env-var contract.
   *
   * Production posture, stated loudly: deployments WITH `hadoop-aws` on the
   * classpath should keep the stock `S3AFileSystem` (SigV4 signing,
-  * multipart, retries, committers — none of which this class implements;
-  * the Authorization header sent here carries the access key in SigV4
-  * Credential SHAPE but no real signature). The protocol subset here is
-  * the read path of RGW's S3 API, which is also why the same spec doubles
-  * as the gateway-contract test. */
+  * multipart upload, retries, the zero-rename magic committer — none of
+  * which this class implements; the Authorization header sent here carries
+  * the access key in SigV4 Credential SHAPE but no real signature, and
+  * rename is the non-atomic COPY+DELETE every plain-S3 filesystem has).
+  * The protocol subset here is RGW's S3 API surface, which is also why the
+  * same spec doubles as the gateway-contract test. */
 class S3LiteFileSystem extends FileSystem {
 
   private var fsUri: URI = _
@@ -116,9 +119,10 @@ class S3LiteFileSystem extends FileSystem {
     } finally c.disconnect()
   }
 
-  /** One ListObjectsV2 page: (file entries, common prefixes, next token). */
+  /** One ListObjectsV2 page: (raw (key, size, mtime) entries — keys may be
+    * `dir/` markers — common prefixes, next token). */
   private def listPage(prefix: String, delimited: Boolean, maxKeys: Option[Int],
-                       token: Option[String]): (Seq[FileStatus], Seq[String], Option[String]) = {
+                       token: Option[String]): (Seq[(String, Long, Long)], Seq[String], Option[String]) = {
     val q = new StringBuilder(s"list-type=2&prefix=${URLEncoder.encode(prefix, "UTF-8")}")
     if (delimited) q.append("&delimiter=%2F")
     maxKeys.foreach(m => q.append(s"&max-keys=$m"))
@@ -141,7 +145,7 @@ class S3LiteFileSystem extends FileSystem {
         val size = texts(e, "Size").headOption.map(_.toLong).getOrElse(0L)
         val mtime = texts(e, "LastModified").headOption
           .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
-        fileStatusOf(key, size, mtime)
+        (key, size, mtime)
       }
       val cps = doc.getElementsByTagName("CommonPrefixes")
       val prefixes = (0 until cps.getLength).flatMap { i =>
@@ -164,11 +168,29 @@ class S3LiteFileSystem extends FileSystem {
     while (first || token.isDefined) {
       first = false
       val (files, prefixes, next) = listPage(prefix, delimited = true, maxKeys = None, token)
-      out ++= files.filterNot(_.getPath.toUri.getPath.stripPrefix("/") == key)
+      // `.../` zero-byte directory markers are layout metadata, not files
+      out ++= files.collect {
+        case (k, size, mtime) if !k.endsWith("/") => fileStatusOf(k, size, mtime)
+      }
       out ++= prefixes.map(dirStatusOf)
       token = next
     }
     out.toArray
+  }
+
+  /** Every raw key under `prefix` (markers included) — the delete/rename
+    * walk. */
+  private def listKeysRaw(prefix: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var token: Option[String] = None
+    var first = true
+    while (first || token.isDefined) {
+      first = false
+      val (files, _, next) = listPage(prefix, delimited = false, maxKeys = None, token)
+      out ++= files.map(_._1)
+      token = next
+    }
+    out.toSeq
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
@@ -194,6 +216,18 @@ class S3LiteFileSystem extends FileSystem {
       if (rc != 200 && rc != 206)
         throw new java.io.IOException(s"GET $key @$pos: HTTP $rc")
       in = conn.getInputStream
+      // a server/proxy may legally IGNORE the Range header and answer 200
+      // with the full body — serving byte 0 as byte `pos` would corrupt
+      // reads silently (e.g. a parquet footer seek returning header
+      // bytes), so skip to the requested offset before serving anything
+      if (rc == 200 && pos > 0L) {
+        try in.skipNBytes(pos)
+        catch { case _: java.io.EOFException =>
+          closeCurrent()
+          throw new java.io.EOFException(
+            s"GET $key: un-ranged 200 body shorter than requested offset $pos")
+        }
+      }
     }
     override def seek(p: Long): Unit = {
       if (p < 0 || p > len) throw new java.io.EOFException(s"seek($p) outside [0,$len]")
@@ -226,17 +260,153 @@ class S3LiteFileSystem extends FileSystem {
     override def close(): Unit = closeCurrent()
   }
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"S3LiteFileSystem is the read-path wiring proof; $op belongs to the " +
-        "real S3A filesystem (deploy with hadoop-aws on the classpath)")
+  // ---- write path: PUT / DELETE / COPY-rename / dir markers ----
+  //
+  // This is the subset a committer-mediated Spark write needs
+  // (FileOutputCommitter: mkdirs _temporary → task streams → rename into
+  // place → delete _temporary → touch _SUCCESS), mirroring the
+  // reference's write side (`put_vectors`,
+  // `s3vectors-app/pythonvectordbceph.py:194-206`). Rename is COPY+DELETE
+  // — non-atomic exactly like every plain-S3 filesystem; real deployments
+  // should prefer S3A's magic committer.
+
+  /** Buffer to a local temp file, PUT once on close — bounded memory for
+    * arbitrarily large part files, and the object appears atomically
+    * (S3 PUT semantics) rather than as a growing partial. */
+  private final class S3LitePutStream(key: String) extends java.io.OutputStream {
+    private val tmp = java.nio.file.Files.createTempFile("s3lite-put", ".buf")
+    private val out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp))
+    private var closed = false
+    override def write(b: Int): Unit = out.write(b)
+    override def write(b: Array[Byte], off: Int, l: Int): Unit = out.write(b, off, l)
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = {
+      if (closed) return
+      closed = true
+      out.close()
+      try {
+        val size = java.nio.file.Files.size(tmp)
+        val c = connect("PUT", objectUrl(key))
+        c.setDoOutput(true)
+        c.setFixedLengthStreamingMode(size)
+        val body = c.getOutputStream
+        try java.nio.file.Files.copy(tmp, body) finally body.close()
+        val rc = c.getResponseCode
+        c.disconnect()
+        if (rc != 200 && rc != 201 && rc != 204)
+          throw new java.io.IOException(s"PUT $key: HTTP $rc")
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  private def putEmpty(key: String): Unit = {
+    val c = connect("PUT", objectUrl(key))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(0L)
+    c.getOutputStream.close()
+    val rc = c.getResponseCode
+    c.disconnect()
+    if (rc != 200 && rc != 201 && rc != 204)
+      throw new java.io.IOException(s"PUT $key: HTTP $rc")
+  }
+
+  /** Server-side copy — S3 PUT + `x-amz-copy-source`, the rename
+    * primitive (RGW implements CopyObject; bytes never leave the
+    * gateway). */
+  private def copyObject(srcKey: String, dstKey: String): Unit = {
+    val c = connect("PUT", objectUrl(dstKey))
+    c.setRequestProperty("x-amz-copy-source", s"/$bucket/${encKey(srcKey)}")
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(0L)
+    c.getOutputStream.close()
+    val rc = c.getResponseCode
+    c.disconnect()
+    if (rc != 200)
+      throw new java.io.IOException(s"COPY $srcKey -> $dstKey: HTTP $rc")
+  }
+
+  /** DELETE; 404 tolerated (S3 delete is idempotent, and dir markers are
+    * optional). */
+  private def deleteObject(key: String): Unit = {
+    val c = connect("DELETE", objectUrl(key))
+    val rc = c.getResponseCode
+    c.disconnect()
+    if (rc != 200 && rc != 204 && rc != 404)
+      throw new java.io.IOException(s"DELETE $key: HTTP $rc")
+  }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
-                      progress: Progressable): FSDataOutputStream = readOnly("create")
+                      progress: Progressable): FSDataOutputStream = {
+    val key = keyOf(f)
+    require(key.nonEmpty, "cannot create an object at the bucket root")
+    if (!overwrite) {
+      val exists = try { getFileStatus(f); true }
+                   catch { case _: FileNotFoundException => false }
+      if (exists)
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(s"s3a://$bucket/$key")
+    }
+    new FSDataOutputStream(new S3LitePutStream(key), statistics)
+  }
+
   override def append(f: Path, bufferSize: Int,
-                      progress: Progressable): FSDataOutputStream = readOnly("append")
-  override def rename(src: Path, dst: Path): Boolean = readOnly("rename")
-  override def delete(f: Path, recursive: Boolean): Boolean = readOnly("delete")
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly("mkdirs")
+                      progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      "append is not an S3 operation (objects are immutable)")
+
+  /** HDFS rename contract over COPY+DELETE: into an existing directory
+    * moves src UNDER it; onto an existing file fails; otherwise src
+    * becomes dst. Directory rename walks every key under the prefix —
+    * the FileOutputCommitter job-commit path. */
+  override def rename(src: Path, dst: Path): Boolean = {
+    val srcKey = keyOf(src)
+    val srcSt = try getFileStatus(src)
+                catch { case _: FileNotFoundException => return false }
+    val dstSt = try Some(getFileStatus(dst))
+                catch { case _: FileNotFoundException => None }
+    val target = dstSt match {
+      case Some(d) if d.isDirectory =>
+        val base = keyOf(dst)
+        if (base.isEmpty) src.getName else s"$base/${src.getName}"
+      case Some(_) => return false
+      case None => keyOf(dst)
+    }
+    if (srcSt.isFile) {
+      copyObject(srcKey, target)
+      deleteObject(srcKey)
+    } else {
+      listKeysRaw(srcKey + "/").foreach { k =>
+        if (!k.endsWith("/")) copyObject(k, target + "/" + k.stripPrefix(srcKey + "/"))
+        deleteObject(k)
+      }
+      deleteObject(srcKey + "/") // src's own marker, if any
+      putEmpty(target + "/")     // keep the moved dir visible even if empty
+    }
+    true
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val key = keyOf(f)
+    val st = try getFileStatus(f)
+             catch { case _: FileNotFoundException => return false }
+    if (st.isFile) deleteObject(key)
+    else {
+      val children = listKeysRaw(if (key.isEmpty) "" else key + "/")
+      if (!recursive && children.exists(!_.endsWith("/")))
+        throw new java.io.IOException(
+          s"directory s3a://$bucket/$key is not empty (non-recursive delete)")
+      children.foreach(deleteObject)
+      if (key.nonEmpty) deleteObject(key + "/")
+    }
+    true
+  }
+
+  /** S3 has no directories; a `key/` zero-byte marker makes an EMPTY one
+    * visible to getFileStatus (non-empty prefixes are already directories
+    * by the listing probe). Ancestors materialize the same way lazily. */
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val key = keyOf(f)
+    if (key.nonEmpty) putEmpty(key + "/")
+    true
+  }
 }

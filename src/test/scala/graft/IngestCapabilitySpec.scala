@@ -73,8 +73,10 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows.length == 3)
     val img = rows.find(_.getAs[String]("path").endsWith("img1.png")).get
-    assert(img.getAs[Long]("length") == 2048L)
-    assert(img.getAs[Array[Byte]]("content").length == 2048)
+    // img1.png is a REAL 24×16 PNG (1236 bytes) so the imageio decode arm
+    // operates on true pixels
+    assert(img.getAs[Long]("length") == 1236L)
+    assert(img.getAs[Array[Byte]]("content").length == 1236)
   }
 
   test("end-to-end: text objects → embed → search finds the right doc") {
@@ -99,13 +101,43 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       && types("vid1.mp4") == "video")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.forall(_.features.length == Embedder.ImageDim))
-    assert(feats.forall(f => f.width >= 16 && f.height >= 16 && f.nFrames >= 1))
+    assert(feats.forall(f => f.width >= 1 && f.height >= 1 && f.nFrames >= 1))
+    // the image arm is a REAL decode: javax.imageio parses the PNG and the
+    // features see its true dimensions and pixels
+    val img = feats.find(_.key.endsWith("img1.png")).get
+    assert(img.decoded, "a valid PNG must decode for real, not via the stub")
+    assert(img.width == 24 && img.height == 16,
+      s"img1.png is 24×16; decode reported ${img.width}×${img.height}")
+    // audio/video stay on the loudly-marked stub (no codecs in this image)
     val vid = feats.find(_.key.endsWith("vid1.mp4")).get
+    assert(!vid.decoded && !feats.find(_.key.endsWith("clip1.wav")).get.decoded)
     assert(vid.nFrames == 1 + 3000 / 1024)
     // deterministic: same input → same features
     val again = Multimodal.extractFeatures(media).collect()
       .find(_.key.endsWith("vid1.mp4")).get
     assert(vid.features.toSeq == again.features.toSeq)
+
+    // image features ride the DECODED PIXELS, not the container bytes:
+    // the same image re-encoded as BMP must embed identically to the PNG
+    val pngBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$resources/bin/img1.png"))
+    val bmp = {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pngBytes))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "bmp", out)
+      out.toByteArray
+    }
+    val twoEncodings = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("a.png", "image", pngBytes),
+      Multimodal.MediaObject("a.bmp", "image", bmp),
+      // corrupt payload: must fall back to the stub, flagged undecoded
+      Multimodal.MediaObject("bad.png", "image", Array.fill(64)('A'.toByte))
+    ).toDS()).collect().map(f => f.key -> f).toMap
+    assert(twoEncodings("a.png").features.toSeq == twoEncodings("a.bmp").features.toSeq,
+      "two containers of the same pixels must produce identical features")
+    assert(twoEncodings("a.png").decoded && twoEncodings("a.bmp").decoded)
+    assert(!twoEncodings("bad.png").decoded,
+      "a corrupt image must be flagged, never fabricated as decoded")
     val sampled = Multimodal.sampleFrameIndexes(
       Multimodal.extractFeatures(media).toDF(), stride = 2)
       .where($"key".endsWith("vid1.mp4"))
@@ -245,10 +277,13 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** In-process S3-protocol object server: path-style HEAD / ranged GET /
-    * ListObjectsV2 with delimiter grouping and 2-entry pages (so the
-    * filesystem's continuation-token loop actually runs). Records every
-    * Authorization header and request path for the contract assertions. */
+    * PUT / DELETE / CopyObject (`x-amz-copy-source`) / ListObjectsV2 with
+    * delimiter grouping and 2-entry pages (so the filesystem's
+    * continuation-token loop actually runs). Records every Authorization
+    * header and request path for the contract assertions. */
   private final class S3Stub(bucket: String, objects: Map[String, Array[Byte]]) {
+    val store = new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    store ++= objects
     val auths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     @volatile var listPages = 0
@@ -280,7 +315,7 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         val prefix = q.getOrElse("prefix", "")
         val delim = q.get("delimiter")
         val token = q.get("continuation-token")
-        val matching = objects.keys.filter(_.startsWith(prefix)).toSeq
+        val matching = store.keys.filter(_.startsWith(prefix)).toSeq
         // delimiter grouping: direct children are Contents, deeper keys
         // collapse into CommonPrefixes
         val (filesAll, prefixesAll) = delim match {
@@ -304,7 +339,7 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
             s"<IsTruncated>$truncated</IsTruncated><KeyCount>${page.size}</KeyCount>")
         page.foreach {
           case Left(k) => body.append(
-            s"<Contents><Key>${xmlEsc(k)}</Key><Size>${objects(k).length}</Size>" +
+            s"<Contents><Key>${xmlEsc(k)}</Key><Size>${store(k).length}</Size>" +
               "<LastModified>2026-01-01T00:00:00.000Z</LastModified>" +
               "<ETag>\"0\"</ETag></Contents>")
           case Right(p) => body.append(
@@ -318,27 +353,49 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         send(200, body.toString.getBytes("UTF-8"))
       } else {
         val key = java.net.URLDecoder.decode(rawPath.stripPrefix(s"/$bucket/"), "UTF-8")
-        objects.get(key) match {
-          case None => send(404, Array.empty)
-          case Some(data) => ex.getRequestMethod match {
-            case "HEAD" =>
-              ex.getResponseHeaders.add("Content-Length", data.length.toString)
-              ex.sendResponseHeaders(200, -1)
-              ex.close()
-            case "GET" =>
-              Option(ex.getRequestHeaders.getFirst("Range")) match {
-                case Some(r) =>
-                  val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
-                  val from = m.group(1).toInt
-                  val to = Option(m.group(2)).filter(_.nonEmpty)
-                    .map(_.toInt).getOrElse(data.length - 1)
-                  val slice = data.slice(from, to + 1)
-                  ex.getResponseHeaders.add("Content-Range",
-                    s"bytes $from-${from + slice.length - 1}/${data.length}")
-                  send(206, slice)
-                case None => send(200, data)
-              }
-            case _ => send(405, Array.empty)
+        ex.getRequestMethod match {
+          case "PUT" =>
+            Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+              case Some(src) =>
+                // CopyObject: bytes never cross the wire
+                val srcKey = java.net.URLDecoder.decode(
+                  src.stripPrefix(s"/$bucket/"), "UTF-8")
+                store.get(srcKey) match {
+                  case None => send(404, Array.empty)
+                  case Some(data) =>
+                    store.put(key, data)
+                    send(200, ("<CopyObjectResult><ETag>\"0\"</ETag>" +
+                      "</CopyObjectResult>").getBytes("UTF-8"))
+                }
+              case None =>
+                store.put(key, ex.getRequestBody.readAllBytes())
+                send(200, Array.empty)
+            }
+          case "DELETE" =>
+            store.remove(key)
+            send(204, Array.empty)
+          case method => store.get(key) match {
+            case None => send(404, Array.empty)
+            case Some(data) => method match {
+              case "HEAD" =>
+                ex.getResponseHeaders.add("Content-Length", data.length.toString)
+                ex.sendResponseHeaders(200, -1)
+                ex.close()
+              case "GET" =>
+                Option(ex.getRequestHeaders.getFirst("Range")) match {
+                  case Some(r) =>
+                    val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
+                    val from = m.group(1).toInt
+                    val to = Option(m.group(2)).filter(_.nonEmpty)
+                      .map(_.toInt).getOrElse(data.length - 1)
+                    val slice = data.slice(from, to + 1)
+                    ex.getResponseHeaders.add("Content-Range",
+                      s"bytes $from-${from + slice.length - 1}/${data.length}")
+                    send(206, slice)
+                  case None => send(200, data)
+                }
+              case _ => send(405, Array.empty)
+            }
           }
         }
       }
@@ -419,6 +476,75 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       stub.stop()
       val hc = spark.sparkContext.hadoopConfiguration
       hc.unset("fs.s3a.impl"); hc.unset("fs.s3a.impl.disable.cache")
+    }
+  }
+
+  test("s3a write path: TrainingExport and the JSONL sink run end-to-end through the gateway") {
+    import graft.sources.{ObjectSources, RgwConfig}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // empty bucket: everything the test reads back was WRITTEN through the
+    // S3 protocol (committer-mediated: mkdirs _temporary → PUT task files →
+    // COPY+DELETE rename into place → delete _temporary → _SUCCESS) —
+    // the reference's write side is put_vectors (pythonvectordbceph.py:194-206)
+    val stub = new S3Stub("out-bucket", Map.empty)
+    try {
+      RgwConfig.fromEnv(Map(
+        "BUCKET_HOST" -> "127.0.0.1", "BUCKET_PORT" -> stub.port.toString,
+        "AWS_ACCESS_KEY_ID" -> "AKWRITE", "AWS_SECRET_ACCESS_KEY" -> "SK")).get.apply(spark)
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3a.impl", classOf[graft.sources.S3LiteFileSystem].getName)
+      hc.set("fs.s3a.impl.disable.cache", "true")
+      // mapred-default binds scheme s3a to S3ACommitterFactory (hadoop-aws,
+      // absent here) — write through the classic rename-based committer,
+      // which is exactly the protocol S3LiteFileSystem implements
+      hc.set("mapreduce.outputcommitter.factory.scheme.s3a",
+        "org.apache.hadoop.mapreduce.lib.output.FileOutputCommitterFactory")
+
+      val docs = (0 until 60).map { i =>
+        val text = (0 to i % 7).map(j => s"w${(i + j) % 11}").mkString(" ")
+        (i.toLong, text, if (i % 3 == 0) "en" else "de", text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "n_chars")
+
+      val stats = graft.pipeline.TrainingExport.run(
+        spark, docs, "s3a://out-bucket/export",
+        graft.pipeline.TrainingExport.Config(budgetTokens = 16, shards = 4))
+      assert(stats.docsKept > 0, "export must keep documents")
+      assert(stub.store.contains("export/_SUCCESS"),
+        "job commit must reach the gateway (committer protocol completed)")
+      assert(!stub.store.keys.exists(_.contains("_temporary/")),
+        s"commit must clean the staging keys: ${stub.store.keys.filter(_.contains("_temporary"))}")
+
+      val back = spark.read.parquet("s3a://out-bucket/export")
+      assert(back.count() == stats.docsKept,
+        "every exported row must read back through the gateway")
+      // the partitionBy(shard) layout survives: a one-shard read PUTs a
+      // partition filter on the s3a scan, not a full-bucket scan
+      val oneShard = spark.read.parquet("s3a://out-bucket/export")
+        .filter(col("shard") === 1)
+      assert(oneShard.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+        "shard read over s3a must keep partition pruning")
+      assert(oneShard.count() > 0)
+
+      // loader-facing JSONL sink over the same gateway, then round-trip
+      ObjectSources.writeJsonlSharded(
+        back.select(col("shard"), col("doc_id"), col("text")),
+        "s3a://out-bucket/jsonl")
+      assert(stub.store.keys.exists(k =>
+          k.startsWith("jsonl/shard=") && k.endsWith(".json.gz")),
+        s"JSONL sink must land gzip shard objects: ${stub.store.keys.filter(_.startsWith("jsonl/")).take(5)}")
+      val jl = spark.read.json("s3a://out-bucket/jsonl")
+      assert(jl.count() == stats.docsKept, "JSONL round-trip must keep every row")
+      val sample = back.orderBy(col("doc_id")).limit(1)
+        .select(col("doc_id"), col("text")).head()
+      assert(jl.filter(col("doc_id") === sample.getLong(0)).head()
+        .getAs[String]("text") == sample.getString(1),
+        "document text must survive the gzip JSONL round-trip byte-for-byte")
+    } finally {
+      stub.stop()
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.unset("fs.s3a.impl"); hc.unset("fs.s3a.impl.disable.cache")
+      hc.unset("mapreduce.outputcommitter.factory.scheme.s3a")
     }
   }
 
