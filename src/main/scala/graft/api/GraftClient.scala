@@ -960,6 +960,43 @@ class GraftClient(spark: SparkSession, root: String) {
       .limit(k)
   }
 
+  // ---- Dedup surface (C8, parameterized) ----
+  //
+  // The same cores the declared dedup queries pin (DedupQueries), exposed
+  // over ANY caller frame keyed like a collection — a user can cluster
+  // their corpus and keep one representative per near-dup group without
+  // touching the fixture-pinned query entry points.
+
+  /** MinHash+LSH near-dup candidate pairs over any (idCol, textCol)
+    * frame — emits (id_a, id_b), id_a < id_b. Candidates are a band-bucket
+    * equi-join (never an all-pairs product); ids may be string keys. */
+  def dedupCandidates(docs: DataFrame, idCol: String = "key",
+                      textCol: String = "text"): DataFrame =
+    graft.queries.DedupQueries.candidatePairs(docs, idCol, textCol)
+
+  /** Near-dup clusters of any (idCol, textCol) frame: connected components
+    * of the MinHash candidate graph (pointer-jumping label propagation,
+    * O(log diameter) rounds). Emits (cluster_id = min id, n_docs). */
+  def dedupClusters(docs: DataFrame, idCol: String = "key",
+                    textCol: String = "text",
+                    broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    graft.queries.DedupQueries.clustersOf(docs, idCol, textCol, broadcastNodeLimit)
+
+  /** Per-id cluster labels (idCol, lbl) — the raw assignment behind
+    * [[dedupClusters]], for callers that filter/join themselves. */
+  def dedupClusterLabels(docs: DataFrame, idCol: String = "key",
+                         textCol: String = "text",
+                         broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    graft.queries.DedupQueries.clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+
+  /** One kept representative per multi-doc near-dup cluster under the
+    * CALLER's keep rule (ordering over `docs`' columns; first row wins) —
+    * the final dedup step. Emits the kept row plus (cluster_id, n_docs). */
+  def dedupKeepBest(docs: DataFrame, keepOrder: Seq[Column],
+                    idCol: String = "key", textCol: String = "text",
+                    broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    graft.queries.DedupQueries.keepBestOf(docs, idCol, textCol, keepOrder, broadcastNodeLimit)
+
   /** Embed-then-search conveniences mirroring the reference's query
     * drivers (`s3vectors-app/search.py:43-58`, `search_image.py:76-97`):
     * the query text/image is embedded with the same kernel the collection

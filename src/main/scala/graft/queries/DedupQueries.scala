@@ -73,24 +73,36 @@ object DedupQueries {
     *     bounds its input window — listing all near-dup PAIRS of a corpus
     *     whose duplicate rate is quadratic is unbounded at any band width;
     *     production emits clusters (connected components), not pairs. */
-  /** Candidate pairs (doc_a < doc_b), un-ordered — shared by the declared
-    * pair listing and the cluster query. */
-  private def minhashCandidatePairs(spark: SparkSession, dir: String,
-                                    window: Long = 2000): DataFrame = {
-    val inv = t(spark, dir, "documents")
-      .filter(col("doc_id") < window)
-      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("w"))
+  /** Parameterized MinHash+LSH candidate core over ANY (id, text) frame —
+    * the callable C8 surface (`GraftClient.dedupCandidates`); the declared
+    * queries below are pinned instantiations. 8 md5-derived min-hashes in
+    * 2 bands of 4; emits un-ordered candidate pairs (id_a < id_b). The id
+    * can be any orderable type (long doc ids here, string collection keys
+    * through the client). Plan shape is the banner note above: signatures
+    * materialize behind ONE groupBy shuffle, candidates are a bucket
+    * equi-join — never an all-pairs product. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inv = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(words(col(textCol)))).as("w"))
     val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
-    val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val buckets = sigs.select(col("doc_id"),
+    val sigs = inv.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(col("__id"),
         explode(array(
           concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
           concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
     buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        col("a.bucket") === col("b.bucket") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
   }
+
+  /** Candidate pairs (doc_a < doc_b), un-ordered — shared by the declared
+    * pair listing and the cluster query; the pinned [[candidatePairs]]. */
+  private def minhashCandidatePairs(spark: SparkSession, dir: String,
+                                    window: Long = 2000): DataFrame =
+    candidatePairs(
+      t(spark, dir, "documents").filter(col("doc_id") < window), "doc_id", "text")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
 
   def dedupMinhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatePairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
@@ -163,49 +175,60 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("cluster_id"))
 
-  /** The converged (doc_id, lbl) component labels behind `dedupClusters`
-    * and `dedupKeepBest` — lbl = min doc_id of the component. */
-  private def clusterLabels(spark: SparkSession, dir: String, window: Long,
-                            broadcastNodeLimit: Long = 4L << 20): DataFrame = {
-    val pairs = minhashCandidatePairs(spark, dir, window)
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+  /** Parameterized connected-components core over ANY (id, text) frame —
+    * the callable clustering surface (`GraftClient.dedupClusters`): MinHash
+    * candidate graph → min-label propagation with pointer jumping. Returns
+    * the converged (idCol, lbl) labels, lbl = the component's minimum id.
+    * Ids may be any orderable type (string keys included): convergence is
+    * detected by an xxhash64 label checksum — equal consecutive checksums
+    * ⇔ no label moved (up to a ~2⁻⁶⁴/round false-convergence chance),
+    * one scalar agg per round, no comparison join, id-type-agnostic. */
+  def clusterLabelsOf(docs: DataFrame, idCol: String, textCol: String,
+                      broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+    require(idCol != "lbl", "idCol 'lbl' collides with the label column")
+    val pairs = candidatePairs(docs, idCol, textCol)
+    val sym = pairs.select(col("id_a").as("dst"), col("id_b").as("src"))
+      .union(pairs.select(col("id_b").as("dst"), col("id_a").as("src")))
       .persist() // reused every round — without this each round re-runs MinHash
     // localCheckpoint (eager) rather than persist: an iterative DataFrame
     // loop NESTS each round's logical plan inside the next — after ~10
     // rounds the plan tree is exponential and merely rendering it for
     // scheduling OOMs the driver. Checkpointing materializes the rows AND
     // truncates the lineage, keeping every round's plan O(1).
-    var labels = t(spark, dir, "documents").filter(col("doc_id") < window)
-      .select(col("doc_id"), col("doc_id").as("lbl")).localCheckpoint()
+    var labels = docs.select(col(idCol), col(idCol).as("lbl")).localCheckpoint()
     // When the node set fits the driver comfortably, broadcasting the label
     // table keeps the edge set from ever shuffling (map-side join + partial
     // aggregation are the only per-round passes over the edges). Past the
     // limit the hint would OOM the driver, so let AQE pick the join — the
     // node count never grows across rounds, so one count decides for all.
-    val hint: DataFrame => DataFrame =
-      if (labels.count() <= broadcastNodeLimit) broadcast else identity
-    var prevSum = Long.MaxValue
+    val small = labels.count() <= broadcastNodeLimit
+    val hint: DataFrame => DataFrame = if (small) broadcast else identity
+    // small node sets don't need 32 post-shuffle partitions per round
+    val shape: DataFrame => DataFrame =
+      if (small) _.coalesce(8) else identity
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      val nbrLbl = sym.join(hint(labels.select(col("doc_id").as("dst"), col("lbl"))), "dst")
-        .select(col("src").as("doc_id"), col("lbl"))
+      val nbrLbl = sym.join(hint(labels.select(col(idCol).as("dst"), col("lbl"))), "dst")
+        .select(col("src").as(idCol), col("lbl"))
       val oneHop = labels.union(nbrLbl)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+        .groupBy(col(idCol)).agg(min(col("lbl")).as("lbl"))
       // pointer jump: a label is itself a node id — adopt that node's
       // (already-minimized) label. Labels only decrease, so least() and
       // the left join's coalesce are pure defensiveness.
-      val next = oneHop.join(
-          hint(oneHop.select(col("doc_id").as("lbl"), col("lbl").as("lbl2"))),
+      val next = shape(oneHop.join(
+          hint(oneHop.select(col(idCol).as("lbl"), col("lbl").as("lbl2"))),
           Seq("lbl"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .coalesce(8) // 2000 rows don't need 32 post-shuffle partitions
+        .select(col(idCol),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
         .localCheckpoint()
-      val s = next.agg(sum(col("lbl"))).head().getLong(0)
+      // decimal(38,0) sum: full-range 64-bit hashes would overflow a LONG
+      // sum under ANSI arithmetic at any node count
+      val s = next.agg(sum(xxhash64(col("lbl").cast("string")).cast("decimal(38,0)")))
+        .head().getDecimal(0)
       labels = next
-      converged = s == prevSum
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
     }
@@ -219,6 +242,42 @@ object DedupQueries {
           "converging — output would be partially merged clusters")
     labels
   }
+
+  /** Parameterized cluster summary: one row per duplicate component of
+    * ANY (id, text) frame — (cluster_id = min id, n_docs). */
+  def clustersOf(docs: DataFrame, idCol: String, textCol: String,
+                 broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Parameterized keep-best: one surviving representative per multi-doc
+    * cluster under the CALLER's keep rule (an ordering over `docs`'
+    * columns — first row wins). Emits the kept row's columns plus
+    * (cluster_id, n_docs); singleton clusters are untouched by dedup and
+    * not listed. */
+  def keepBestOf(docs: DataFrame, idCol: String, textCol: String,
+                 keepOrder: Seq[Column],
+                 broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepOrder.nonEmpty, "keepBestOf needs a keep-rule ordering")
+    val labels = clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+    val byCluster = Window.partitionBy(col("lbl"))
+    labels.join(docs, Seq(idCol))
+      .withColumn("__rn", row_number().over(byCluster.orderBy(keepOrder: _*)))
+      .withColumn("n_docs", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1 && col("n_docs") > 1)
+      .drop("__rn")
+      .withColumnRenamed("lbl", "cluster_id")
+  }
+
+  /** The converged (doc_id, lbl) component labels behind `dedupClusters`
+    * and `dedupKeepBest` — the pinned [[clusterLabelsOf]]. */
+  private def clusterLabels(spark: SparkSession, dir: String, window: Long,
+                            broadcastNodeLimit: Long = 4L << 20): DataFrame =
+    clusterLabelsOf(
+      t(spark, dir, "documents").filter(col("doc_id") < window),
+      "doc_id", "text", broadcastNodeLimit)
 
   /** C8/LLM mandate, the FINAL dedup step: one kept representative per
     * duplicate cluster — the keep-rule production actually applies after

@@ -831,6 +831,47 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flipped == "d2", s"user terms + query vector must drive the winner: $flipped")
   }
 
+  test("parameterized dedup: candidates, clusters, keep-best on a user frame with string keys") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val client = new GraftClient(spark, root)
+    // a user corpus keyed like a collection (string keys) — NOT the
+    // fixture documents table: near-dup group {a1,a2,a3}, group {b1,b2},
+    // and two singletons
+    def doc(seed: String, mutate: Int): String =
+      ((0 until 30).map(i => s"${seed}w${i}") ++ (0 until mutate).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(
+      ("a1", doc("a", 0), 30L), ("a2", doc("a", 1), 31L), ("a3", doc("a", 2), 32L),
+      ("b1", doc("b", 0), 30L), ("b2", doc("b", 1), 31L),
+      ("solo1", doc("c", 0), 30L), ("solo2", doc("d", 0), 30L)
+    ).toDF("key", "text", "n_chars")
+
+    val pairs = client.dedupCandidates(docs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("a1", "a2")) && pairs.contains(("b1", "b2")),
+      s"near-identical docs must be candidates: $pairs")
+    assert(!pairs.exists { case (x, y) => x.head != y.head },
+      s"unrelated docs must never pair: $pairs")
+
+    val clusters = client.dedupClusters(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clusters("a1") == 3 && clusters("b1") == 2,
+      s"string-keyed clusters must converge to min-key labels: $clusters")
+    assert(clusters("solo1") == 1 && clusters("solo2") == 1)
+
+    // keep rule: longest doc wins (ties by key) — only multi-doc clusters listed
+    val kept = client.dedupKeepBest(docs,
+        keepOrder = Seq(org.apache.spark.sql.functions.desc("n_chars"), col("key")))
+      .collect().map(r => r.getAs[String]("cluster_id") -> r.getAs[String]("key")).toMap
+    assert(kept == Map("a1" -> "a3", "b1" -> "b2"),
+      s"keep-best must pick the longest doc per multi-doc cluster: $kept")
+
+    // labels expose the raw assignment for caller-side joins
+    val lbls = client.dedupClusterLabels(docs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lbls("a3") == "a1" && lbls("b2") == "b1" && lbls("solo1") == "solo1")
+  }
+
   test("IVF_SQ8 rejects non-l2 metrics at build time") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sq8-cos").toString
