@@ -299,6 +299,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // old layout + its now-unreachable index are dead after the swap
     deleteDir(ivfDir(m))
     deleteDir(m.dataPath)
+    invalidateIndexCaches(name)
     liveCount(updated)
   }
 
@@ -465,6 +466,18 @@ class GraftClient(spark: SparkSession, root: String) {
   private def cellsPath(m: CollectionMeta) = s"${ivfDir(m)}/cells"
   private def sq8CellsPath(m: CollectionMeta) = s"${ivfDir(m)}/sq8cells"
 
+  // Known at-rest schemas for the index layouts: passing them to the
+  // loaders skips parquet footer inference — a Spark job of pure latency
+  // on every interactive search otherwise.
+  private lazy val cellsSchema =
+    rowSchema.add("centroidId", org.apache.spark.sql.types.IntegerType)
+  private lazy val sq8CellsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(rowSchema.fields.filterNot(_.name == "vec"))
+      .add("qvec", BinaryType).add("qmax", DoubleType)
+      .add("centroidId", IntegerType)
+  }
+
   /** Whether the collection's index carries SQ8 quantized cells — the
     * `index_type` the reference's backend takes as config
     * (`milvus-app/pythonvectordbceph_milvus.py:100-102`; IVF_SQ8 is
@@ -547,12 +560,24 @@ class GraftClient(spark: SparkSession, root: String) {
     IvfIndex.writeIndexed(indexed.drop("__assign"), cellsPath(m))
     if (m.indexType == "IVF_SQ8")
       Sq8Index.writeQuantized(
-        Sq8Index.quantize(IvfIndex.loadIndexed(spark, cellsPath(m)), "vec"),
+        Sq8Index.quantize(IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)), "vec"),
         sq8CellsPath(m))
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
       version.toString.getBytes)
+    // a REBUILD can land at an unchanged store version (e.g. new nlist,
+    // no new upserts) — version-keyed caches must not serve the old
+    // quantizers over the new cells
+    invalidateIndexCaches(name)
+  }
+
+  /** Drop every version-keyed cache entry for `name` — required whenever
+    * index artifacts are rewritten WITHOUT a guaranteed version bump
+    * (rebuild, rebucket). */
+  private def invalidateIndexCaches(name: String): Unit = {
+    idxCache.keySet().removeIf(_._1 == name)
+    bcCache.keySet().removeIf(_._1 == name)
   }
 
   /** `maintainable` = the index carries the probe table (new format);
@@ -564,16 +589,32 @@ class GraftClient(spark: SparkSession, root: String) {
                                  probe: IvfIndex.CoarseQuantizer,
                                  version: Long, maintainable: Boolean)
 
+  /** Per-(collection, version) LoadedIndex cache: the VERSION file is
+    * re-read on every call (staleness must always be detected), but the
+    * centroid-table collects — several Spark jobs of pure latency — run
+    * once per index version, not once per search. Maintenance/rebuild
+    * stamps a new VERSION, which keys a fresh load; superseded entries
+    * are evicted like [[bcCache]]. */
+  private val idxCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), LoadedIndex]()
+
   private def loadIndex(m: CollectionMeta): Option[LoadedIndex] = {
     val vfile = java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION")
     if (!java.nio.file.Files.exists(vfile)) None
     else {
       val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
-      val assign = readCentroids(s"${ivfDir(m)}/centroids")
-      val probePath = s"${ivfDir(m)}/probe_centroids"
-      val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
-      Some(LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
-        v, hasProbe))
+      val it = idxCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == m.name && k._2 != v) it.remove()
+      }
+      Some(idxCache.computeIfAbsent((m.name, v), { _ =>
+        val assign = readCentroids(s"${ivfDir(m)}/centroids")
+        val probePath = s"${ivfDir(m)}/probe_centroids"
+        val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
+        LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
+          v, hasProbe)
+      }))
     }
   }
 
@@ -619,7 +660,7 @@ class GraftClient(spark: SparkSession, root: String) {
           _.select("centroidId").distinct().collect().map(_.getInt(0)))
         val touchedCells = (oldCells ++ newCells).distinct.toSeq
         if (touchedCells.nonEmpty) {
-          val survivors = IvfIndex.loadIndexed(spark, cellsPath(m))
+          val survivors = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
             .filter(col("centroidId").isin(touchedCells: _*))
             .join(keys, Seq("key"), "left_anti")
           // localCheckpoint: materializes the new cell contents before the
@@ -750,7 +791,7 @@ class GraftClient(spark: SparkSession, root: String) {
       case Some(idx) if indexableMetric(m.metric) =>
         val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
         val cells = idx.probe.probes(qa, nprobe)
-        Some(IvfIndex.loadIndexed(spark, cellsPath(m))
+        Some(IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
           .filter(col("centroidId").isin(cells: _*)))
       case _ => None
     }
@@ -790,7 +831,7 @@ class GraftClient(spark: SparkSession, root: String) {
       nprobe: Int, refine: Int): DataFrame = {
     val q = typedLit(qvec)
     val cells = idx.probe.probes(qvec, nprobe)
-    val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m))
+    val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
       .filter(col("centroidId").isin(cells: _*))
     val cand = filter.fold(sq8)(sq8.filter)
       .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q).as("adist"))
@@ -863,7 +904,7 @@ class GraftClient(spark: SparkSession, root: String) {
           normalize = false, nprobe)
         val probed = q.select(col("qid"), col("qvec").as("__qv"))
           .withColumn("centroidId", explode(probeCells(col("__qv"))))
-        val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m))
+        val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
           .join(probed, Seq("centroidId"))
         val stage1 = filter.fold(scanned)(scanned.filter)
           .select(col("qid"),
@@ -882,7 +923,7 @@ class GraftClient(spark: SparkSession, root: String) {
           cachedBroadcast(m.name, "probe", idx.version)(idx.probe),
           normalize = m.metric == "cosine", nprobe)
         val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
-        IvfIndex.loadIndexed(spark, cellsPath(m)).join(probed, Seq("centroidId"))
+        IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)).join(probed, Seq("centroidId"))
       case _ =>
         // broadcast only when the query set plausibly fits the driver —
         // a forced hint on a huge batch would OOM instead of shuffling

@@ -109,8 +109,14 @@ object IvfIndex {
   def writeIndexed(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("centroidId").parquet(path)
 
-  def loadIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** A caller-supplied `schema` skips parquet footer inference — one
+    * Spark job of pure latency on every interactive search otherwise. */
+  def loadIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(path)
+  }
 
   /** Top-k L2 search probing only `nprobe` cells. Over a loaded at-rest
     * index this plans as PartitionFilters: [centroidId IN probes] →

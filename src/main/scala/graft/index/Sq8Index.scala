@@ -62,8 +62,14 @@ object Sq8Index {
   def writeQuantized(sq8: DataFrame, path: String): Unit =
     sq8.write.mode("overwrite").partitionBy("centroidId").parquet(path)
 
-  def loadQuantized(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** A caller-supplied `schema` skips parquet footer inference — one
+    * Spark job of pure latency on every interactive search otherwise. */
+  def loadQuantized(spark: SparkSession, path: String,
+                    schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.foreach(r.schema)
+    r.parquet(path)
+  }
 
   /** Stage 1: approximate top-k by SQ8 distance over `nprobe` probed
     * cells. Plan shape: partition-prune → fused sq8 kernel →

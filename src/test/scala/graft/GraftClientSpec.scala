@@ -375,6 +375,30 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "batched pruned results must equal single-query pruned results")
     assert(batchByQid(client.searchBatch("sb", queries, k = 3, nprobe = 8)) ==
       singles(8), "full probe through the index equals exact")
+
+    // CONSTRUCTING a batched search must not launch Spark jobs: a local
+    // in-memory query frame's size is read off the optimized plan, so the
+    // broadcast decision costs no limit+count sizing job (interactive
+    // latency). Jobs run when the caller acts, not before.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobNames = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobNames.add(js.stageInfos.map(_.name).mkString("; "))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(1000) // drain in-flight listener events from above
+      jobs.set(0)
+      val df = client.searchBatch("sb", queries, k = 3, nprobe = 2)
+      Thread.sleep(1000) // a sizing job's start event would post well within this
+      assert(jobs.get() == 0,
+        s"searchBatch construction launched ${jobs.get()} sizing job(s): " +
+          s"${String.join(" || ", jobNames)}")
+      assert(df.collect().nonEmpty)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("stats: per-bucket rows and seq high-water marks") {
@@ -870,6 +894,36 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lbls = client.dedupClusterLabels(docs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(lbls("a3") == "a1" && lbls("b2") == "b1" && lbls("solo1") == "solo1")
+  }
+
+  test("index rebuild at an unchanged store version evicts the version-keyed caches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("rb", dim = 8, metric = "l2", indexType = "IVF_FLAT", nlist = 2)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map.empty[String, String]))
+    client.upsert("rb", rows.toDF("key", "vec", "meta"))
+
+    client.buildIndex("rb", nlist = 2)
+    val q = vec(17).toArray
+    // warm the (name, version) caches through a search
+    assert(client.search("rb", q, k = 5, nprobe = 2).collect().nonEmpty)
+
+    // REBUILD with a different nlist — store version unchanged (no new
+    // upserts). A stale cached quantizer would probe nlist=2 cell ids over
+    // the new 8-cell layout and silently drop candidates.
+    client.buildIndex("rb", nlist = 8)
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val exact = rows.map { case (key, v, _) => (key, l2(v)) }
+      .sortBy { case (key, d) => (d, key) }.take(5).map(_._1)
+    val viaIndex = client.search("rb", q, k = 5, nprobe = 8)
+    assert(viaIndex.queryExecution.executedPlan.toString.contains("centroidId"),
+      "the rebuilt index must serve the search")
+    assert(viaIndex.collect().map(_.getAs[String]("vector_key")).toSeq == exact,
+      "full probe through the REBUILT index must equal the exact answer")
   }
 
   test("IVF_SQ8 rejects non-l2 metrics at build time") {
