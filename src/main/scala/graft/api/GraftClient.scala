@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.index.{Catalog, CollectionMeta, IvfIndex, Sq8Index}
 import graft.ingest.IngestOps
-import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance}
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
 
 /** The engine's user-facing surface, mirroring the reference's API shape so
@@ -709,25 +709,17 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   /** Distributed per-query cell probe: cells chosen executor-side against
-    * the broadcast quantizer — no driver loop over the query set. The
-    * closure captures only (broadcast, normalize, nprobe), never the
-    * client. The broadcast comes from [[cachedBroadcast]], so repeated
-    * batched searches against the same index version reuse one copy. */
-  private def probesUdf(bc: org.apache.spark.broadcast.Broadcast[IvfIndex.CoarseQuantizer],
-      normalize: Boolean,
-      nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val np = nprobe
-    udf { (v: Seq[Float]) =>
-      var a = v.toArray
-      if (normalize) {
-        var s = 0.0; var i = 0
-        while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
-        val n = math.sqrt(s)
-        if (n != 0.0) a = a.map(x => (x / n).toFloat)
-      }
-      bc.value.probes(a, np)
-    }
-  }
+    * the broadcast probe centers — no driver loop over the query set. The
+    * kernel is the codegen'd [[graft.functions.NearestCentroids]]
+    * expression (bounded insertion top-k over nlist, no boxed closure);
+    * its output order matches `CoarseQuantizer.probes` exactly. The
+    * broadcast comes from [[cachedBroadcast]], so repeated batched
+    * searches against the same index version reuse one copy. */
+  private def probeCellsCol(m: CollectionMeta, idx: LoadedIndex, v: Column,
+      normalize: Boolean, nprobe: Int): Column =
+    nearest_centroids(v,
+      cachedBroadcast(m.name, "probe", idx.version)(idx.probe.centers),
+      nprobe, normalize)
 
   private def deleteDir(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
@@ -899,11 +891,9 @@ class GraftClient(spark: SparkSession, root: String) {
           if (nQ <= 100000L) broadcast else identity
         val hintStage1: DataFrame => DataFrame =
           if (nQ * k * refine <= 100000L) broadcast else identity
-        val probeCells = probesUdf(
-          cachedBroadcast(m.name, "probe", idx.version)(idx.probe),
-          normalize = false, nprobe)
         val probed = q.select(col("qid"), col("qvec").as("__qv"))
-          .withColumn("centroidId", explode(probeCells(col("__qv"))))
+          .withColumn("centroidId", explode(
+            probeCellsCol(m, idx, col("__qv"), normalize = false, nprobe)))
         val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
           .join(probed, Seq("centroidId"))
         val stage1 = filter.fold(scanned)(scanned.filter)
@@ -919,10 +909,8 @@ class GraftClient(spark: SparkSession, root: String) {
           .join(hintQ(q), Seq("qid"))
       case Some(idx) if coll.currentVersion.contains(idx.version)
           && indexableMetric(m.metric) =>
-        val probeCells = probesUdf(
-          cachedBroadcast(m.name, "probe", idx.version)(idx.probe),
-          normalize = m.metric == "cosine", nprobe)
-        val probed = q.withColumn("centroidId", explode(probeCells(col("qvec"))))
+        val probed = q.withColumn("centroidId", explode(
+          probeCellsCol(m, idx, col("qvec"), normalize = m.metric == "cosine", nprobe)))
         IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)).join(probed, Seq("centroidId"))
       case _ =>
         // broadcast only when the query set plausibly fits the driver —

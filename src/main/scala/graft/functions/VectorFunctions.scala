@@ -421,6 +421,220 @@ case class NearestCentroid(child: Expression,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Runtime kernel behind [[NearestCentroids]] — static so generated code
+  * calls it directly (one call per row; the selection loop itself is
+  * branch-predictable primitive arithmetic). */
+object NearestCentroidsKernel {
+  /** The `nprobe` centroid ids nearest to `v` under (L2², lowest-id-wins)
+    * — EXACTLY CoarseQuantizer.probes' ordering, including its float32
+    * rounding of the normalized query (the cosine path normalizes to a
+    * float vector before probing). Bounded-insertion top-k: O(nlist·k)
+    * worst case with k = nprobe (typically ≤ 32), not a full
+    * O(nlist·log nlist) argsort per row. */
+  def select(centers: Array[Array[Double]], v: ArrayData, vIsFloat: Boolean,
+             normalize: Boolean, nprobe: Int): GenericArrayData = {
+    val n = v.numElements()
+    val q = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      q(i) = if (vIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    if (normalize) {
+      var s = 0.0; i = 0
+      while (i < n) { s += q(i) * q(i); i += 1 }
+      val nm = math.sqrt(s)
+      if (nm != 0.0) {
+        i = 0
+        // float32-rounded, matching the reference probe path: the
+        // normalized query is materialized as float before distances
+        while (i < n) { q(i) = (q(i) / nm).toFloat.toDouble; i += 1 }
+      }
+    }
+    val k = math.min(nprobe, centers.length)
+    // ascending (dist, id) insertion buffer of size k
+    val bd = new Array[Double](k)
+    val bi = new Array[Int](k)
+    var sz = 0
+    var c = 0
+    while (c < centers.length) {
+      val ct = centers(c)
+      var s = 0.0; var j = 0
+      while (j < ct.length) { val d = ct(j) - q(j); s += d * d; j += 1 }
+      if (sz < k || s < bd(sz - 1) || (s == bd(sz - 1) && c < bi(sz - 1))) {
+        // insertion position: after all entries strictly better than (s, c)
+        var p = if (sz < k) sz else sz - 1
+        while (p > 0 && (bd(p - 1) > s || (bd(p - 1) == s && bi(p - 1) > c))) {
+          if (p < k) { bd(p) = bd(p - 1); bi(p) = bi(p - 1) }
+          p -= 1
+        }
+        bd(p) = s; bi(p) = c
+        if (sz < k) sz += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bi, sz))
+  }
+}
+
+/** The `nprobe` nearest centroid ids per query vector, DISTRIBUTED — the
+  * batched-KNN probe step (cells chosen executor-side against the
+  * broadcast quantizer; no driver loop over the query set). Replaces the
+  * probe udf: no boxed `Seq[Float]` per row, and the selection is a
+  * bounded insertion top-k instead of a full argsort over nlist. Output
+  * order matches `CoarseQuantizer.probes` exactly (L2² ascending, ties to
+  * the lowest id; cosine normalizes to float32 first). */
+case class NearestCentroids(child: Expression,
+    centers: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    nprobe: Int, normalize: Boolean)
+  extends UnaryExpression {
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroids requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCentroidsKernel.select(
+      centers.value, a.asInstanceOf[ArrayData], isFloat, normalize, nprobe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centersBc", centers,
+      "org.apache.spark.broadcast.Broadcast")
+    val cVar = ctx.addMutableState("double[][]", "nearestCentroidsCenters",
+      v => s"$v = (double[][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.NearestCentroidsKernel.select(
+         |  $cVar, $a, $isFloat, $normalize, $nprobe);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SQ8 symmetric int8 encoding, CODES half: `code_i = floor(x_i·127/qmax
+  * + 0.5).toByte` with `qmax = max|x|` (explicit floor(+0.5), matching the
+  * declared `embedding_quant_error` oracle arithmetic; an all-zero vector
+  * encodes as all-zero codes). Paired with [[Sq8Qmax]]; both are codegen'd
+  * so the per-merge-commit re-quantize of touched SQ8 cells is a fused
+  * primitive loop, not a boxed `Seq[Float]` udf closure. The max-abs pass
+  * runs in each expression (dim-bounded, branch-free) — cheaper than the
+  * per-row boxing a shared struct-returning kernel would reintroduce. */
+case class Sq8Codes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sq8_codes"
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_codes requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) {
+      val x = math.abs(VectorKernels.elemAsDouble(child, v, i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    val codes = new Array[Byte](n)
+    if (mx > 0) {
+      i = 0
+      while (i < n) {
+        codes(i) = math.floor(
+          VectorKernels.elemAsDouble(child, v, i) * 127.0 / mx + 0.5).toByte
+        i += 1
+      }
+    }
+    codes
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, n, mx, x, codes) = (ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("mx"), ctx.freshName("x"), ctx.freshName("codes"))
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsDouble(child, a, i)});
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |byte[] $codes = new byte[$n];
+         |if ($mx > 0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $codes[$i] = (byte) java.lang.Math.floor(
+         |      ${VectorKernels.elemAsDouble(child, a, i)} * 127.0 / $mx + 0.5);
+         |  }
+         |}
+         |${ev.value} = $codes;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** SQ8 symmetric int8 encoding, SCALE half: `qmax = max|x|` as double —
+  * see [[Sq8Codes]]. */
+case class Sq8Qmax(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "sq8_qmax"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_qmax requires array<float|double>, got ${dt.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) {
+      val x = math.abs(VectorKernels.elemAsDouble(child, v, i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    mx
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (i, n, mx, x) = (ctx.freshName("i"), ctx.freshName("n"),
+        ctx.freshName("mx"), ctx.freshName("x"))
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsDouble(child, a, i)});
+         |  if ($x > $mx) $mx = $x;
+         |}
+         |${ev.value} = $mx;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
 /** L2 distance between an SQ8-encoded vector and a full-precision query.
   *
   * SQ8 storage (Sq8Index): codes are int8, `code_i = floor(x_i·127/qmax
@@ -501,8 +715,14 @@ object VectorFunctions {
   def nearest_centroid(a: Column,
       centers: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column =
     column(NearestCentroid(expression(a), centers))
+  def nearest_centroids(a: Column,
+      centers: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int, normalize: Boolean): Column =
+    column(NearestCentroids(expression(a), centers, nprobe, normalize))
   def sq8_l2_distance(codes: Column, qmax: Column, q: Column): Column =
     column(Sq8L2Distance(expression(codes), expression(qmax.cast("double")), expression(q)))
+  def sq8_codes(a: Column): Column = column(Sq8Codes(expression(a)))
+  def sq8_qmax(a: Column): Column = column(Sq8Qmax(expression(a)))
 
   /** Arity guard for the SQL builders — a readable error instead of an
     * IndexOutOfBoundsException on e.g. `l2_distance(v)`. */
@@ -531,6 +751,8 @@ object VectorFunctions {
     reg3("sq8_l2_distance", Sq8L2Distance)
     reg1("vector_norm", VectorNorm)
     reg1("l2_normalize", L2Normalize)
+    reg1("sq8_codes", Sq8Codes)
+    reg1("sq8_qmax", Sq8Qmax)
     reg.createOrReplaceTempFunction("assert_dim", es => {
       arity("assert_dim", 2)(es)
       es(1) match {

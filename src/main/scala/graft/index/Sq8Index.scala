@@ -28,33 +28,22 @@ import graft.functions.VectorFunctions.{l2_distance, sq8_l2_distance}
   * kernel's by sub-ulp float-rounding — same codes, same bound). */
 object Sq8Index {
 
-  /** Symmetric per-vector int8 encoding: `qmax = max|x|`, `code =
-    * floor(x·127/qmax + 0.5)` ∈ [-127, 127]. Explicit floor(+0.5), not
-    * round() — matching the declared oracle query's engine-stable form.
-    * An all-zero vector encodes as qmax = 0 with zero codes. */
-  private val encodeUdf = udf { (v: Seq[Float]) =>
-    var mx = 0.0
-    v.foreach { x => val a = math.abs(x.toDouble); if (a > mx) mx = a }
-    val codes = new Array[Byte](v.length)
-    if (mx > 0) {
-      var i = 0
-      while (i < v.length) {
-        codes(i) = math.floor(v(i).toDouble * 127.0 / mx + 0.5).toByte
-        i += 1
-      }
-    }
-    (codes, mx)
-  }
-
   /** Replace `vecCol` with SQ8 columns (`qvec` binary, `qmax` double) —
-    * run on an IVF-assigned frame, keeping `centroidId` for pruning. */
+    * run on an IVF-assigned frame, keeping `centroidId` for pruning.
+    * Encoding: `qmax = max|x|`, `code = floor(x·127/qmax + 0.5)` ∈
+    * [-127, 127] — explicit floor(+0.5), not round(), matching the
+    * declared oracle query's engine-stable form; an all-zero vector
+    * encodes as qmax = 0 with zero codes. The kernels are the codegen'd
+    * [[graft.functions.Sq8Codes]]/[[graft.functions.Sq8Qmax]]
+    * expressions (fused primitive loops — this path re-runs on every
+    * merge-commit's touched-cell re-quantize, so no boxed udf). */
   def quantize(indexed: DataFrame, vecCol: String): DataFrame = {
-    require(Seq("qvec", "qmax", "__q").forall(!indexed.columns.contains(_)),
-      "input already has qvec/qmax/__q columns")
-    indexed.withColumn("__q", encodeUdf(col(vecCol)))
-      .withColumn("qvec", col("__q._1"))
-      .withColumn("qmax", col("__q._2"))
-      .drop("__q", vecCol)
+    require(Seq("qvec", "qmax").forall(!indexed.columns.contains(_)),
+      "input already has qvec/qmax columns")
+    indexed
+      .withColumn("qvec", graft.functions.VectorFunctions.sq8_codes(col(vecCol)))
+      .withColumn("qmax", graft.functions.VectorFunctions.sq8_qmax(col(vecCol)))
+      .drop(vecCol)
   }
 
   /** Persist quantized cells clustered by centroid — same partition-prune

@@ -177,6 +177,49 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(messages.contains("dimension"), s"unexpected error: $messages")
   }
 
+  test("nearest_centroids: matches CoarseQuantizer.probes incl. ties and cosine normalization") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(50)(Array.fill(6)(rnd.nextDouble() * 2 - 1))
+    centers(10) = centers(3).clone() // duplicated center: every query ties 3 vs 10
+    val quant = graft.index.IvfIndex.CoarseQuantizer(centers)
+    val bc = spark.sparkContext.broadcast(centers)
+    val vs = (0 until 40).map(i => (i.toLong, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val df = vs.toDF("id", "v").repartition(3)
+    for (normalize <- Seq(false, true); nprobe <- Seq(1, 4, 50, 64)) {
+      val got = df.select($"id", nearest_centroids($"v", bc, nprobe, normalize).as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      val want = vs.map { case (id, v) =>
+        var a = v.toArray
+        if (normalize) {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i).toDouble * a(i); i += 1 }
+          val n = math.sqrt(s)
+          if (n != 0.0) a = a.map(x => (x / n).toFloat)
+        }
+        id -> quant.probes(a, nprobe)
+      }.toMap
+      assert(got == want, s"normalize=$normalize nprobe=$nprobe")
+    }
+    // ties resolve to the lowest id: the duplicated center pair must appear
+    // in id order whenever both are selected
+    val full = df.select($"id", nearest_centroids($"v", bc, 50, false).as("cells"))
+      .head().getSeq[Int](1)
+    assert(full.indexOf(3) < full.indexOf(10),
+      "equal-distance centroids must rank by ascending id")
+  }
+
+  test("sq8_codes/sq8_qmax: encode arithmetic, zero vector, codegen round-trip") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v").repartition(2)
+    val rows = df.select($"id", sq8_codes($"v").as("codes"), sq8_qmax($"v").as("qmax"))
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Array[Byte]]("codes").toSeq, r.getDouble(2)))).toMap
+    // qmax = 1.0; codes = floor(x*127/1 + 0.5): 0.5→64, -1.0→-127, 0.25→32
+    assert(rows(1L) == (Seq[Byte](64, -127, 32), 1.0))
+    assert(rows(2L) == (Seq[Byte](0, 0, 0), 0.0), "all-zero vector: qmax 0, zero codes")
+  }
+
   test("works over real embeddings parquet with codegen") {
     val df = spark.read.parquet(s"${SparkTestSession.sf}/embeddings.parquet")
     val q = df.filter($"vec_id" === 0).select($"embedding".as("q"))
