@@ -315,8 +315,26 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_actual"))
       .orderBy(col("doc_id"))
 
+  /** LLM-pipeline: BPE-ish PRE-tokenization counts — the GPT-2-style
+    * regex pre-tokenizer (contraction suffixes, space-prefixed letter and
+    * digit runs, punctuation runs, whitespace runs), lookahead-free so
+    * RE2 (the oracle engine) and java.util.regex agree on every match.
+    * This is the spacing-aware sibling of `token_counts`: " the" and
+    * "the" are distinct tokens, exactly as a real BPE vocabulary keys
+    * them. Same O(distinct tokens) shuffle shape as `token_counts`
+    * (partial aggregation collapses each partition's vocabulary first). */
+  def tokenCountsBpe(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    t(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit(pat), lit(0))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("tok"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_counts" -> tokenCounts _,
+    "token_counts_bpe" -> tokenCountsBpe _,
     "tf_idf" -> tfIdf _,
     "ngram_stats" -> ngramStats _,
     "lang_stats" -> langStats _,
@@ -338,6 +356,12 @@ object TextQueries {
       """SELECT word, count(*) AS n
          FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 50""",
+    "token_counts_bpe" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS tok
+               FROM documents)
+         GROUP BY tok ORDER BY n DESC, tok LIMIT 50""",
     "tf_idf" ->
       """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2),
