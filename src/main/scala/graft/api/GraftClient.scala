@@ -97,7 +97,12 @@ class GraftClient(spark: SparkSession, root: String) {
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
   def list(): Seq[String] = catalog.listCollections()
-  def drop(name: String): Boolean = catalog.dropCollection(name)
+  def drop(name: String): Boolean = {
+    // dropped collections must release their cached broadcasts/centroids
+    // too — no later call for this name will ever evict them otherwise
+    invalidateIndexCaches(name)
+    catalog.dropCollection(name)
+  }
 
   /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
     * collection becomes a temp view of its current snapshot, and

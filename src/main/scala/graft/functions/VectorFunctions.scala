@@ -427,17 +427,23 @@ case class NearestCentroid(child: Expression,
 object NearestCentroidsKernel {
   /** The `nprobe` centroid ids nearest to `v` under (L2², lowest-id-wins)
     * — EXACTLY CoarseQuantizer.probes' ordering, including its float32
-    * rounding of the normalized query (the cosine path normalizes to a
-    * float vector before probing). Bounded-insertion top-k: O(nlist·k)
-    * worst case with k = nprobe (typically ≤ 32), not a full
-    * O(nlist·log nlist) argsort per row. */
+    * rounding of the query (probes takes `Array[Float]`, so a double
+    * vector is float-rounded BEFORE distances — the udf this replaced got
+    * that cast from the analyzer) and of the normalized query (the cosine
+    * path normalizes to a float vector before probing). Bounded-insertion
+    * top-k: O(nlist·k) worst case with k = nprobe (typically ≤ 32), not a
+    * full O(nlist·log nlist) argsort per row. nprobe ≤ 0 selects nothing
+    * (the take(0) behavior of the driver-side probes). */
   def select(centers: Array[Array[Double]], v: ArrayData, vIsFloat: Boolean,
              normalize: Boolean, nprobe: Int): GenericArrayData = {
+    if (nprobe <= 0 || centers.length == 0)
+      return new GenericArrayData(Array.empty[Int])
     val n = v.numElements()
     val q = new Array[Double](n)
     var i = 0
     while (i < n) {
-      q(i) = if (vIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      q(i) = if (vIsFloat) v.getFloat(i).toDouble
+             else v.getDouble(i).toFloat.toDouble
       i += 1
     }
     if (normalize) {

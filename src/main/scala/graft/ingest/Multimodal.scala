@@ -46,29 +46,54 @@ object Multimodal {
     * RGB bytes). None = the payload is not a decodable image (corrupt or
     * an unsupported format) — callers must not fabricate dimensions for
     * it silently. */
+  /** Max header-claimed pixel count accepted by [[decodeImage]] — a
+    * dimension cap enforced BEFORE any pixel allocation, so a crafted
+    * "decompression bomb" header (e.g. 100000×100000) is rejected for the
+    * cost of a header read, never an executor OOM. 64 MPx ≈ a 192 MB RGB
+    * buffer, far above any embedding input. */
+  private[ingest] val MaxPixels: Long = 64L * 1024 * 1024
+
   private[ingest] def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      if (img == null) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val px = new Array[Byte](w * h * 3)
-        var i = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            px(i) = ((rgb >> 16) & 0xff).toByte
-            px(i + 1) = ((rgb >> 8) & 0xff).toByte
-            px(i + 2) = (rgb & 0xff).toByte
-            i += 3; x += 1
-          }
-          y += 1
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only dimension read: reject bombs BEFORE decoding
+            val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+            else {
+              val img = reader.read(0)
+              // one bulk fetch — per-pixel getRGB pays a color-model
+              // conversion call per pixel on the ingest hot path
+              val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+              val px = new Array[Byte](w * h * 3)
+              var i = 0
+              var p = 0
+              while (p < rgb.length) {
+                val v = rgb(p)
+                px(i) = ((v >> 16) & 0xff).toByte
+                px(i + 1) = ((v >> 8) & 0xff).toByte
+                px(i + 2) = (v & 0xff).toByte
+                i += 3; p += 1
+              }
+              Some((w, h, px))
+            }
+          } finally reader.dispose()
         }
-        Some((w, h, px))
-      }
-    } catch { case _: java.io.IOException => None }
+      } finally if (iis != null) iis.close()
+    } catch {
+      // ImageIO plugins throw RuntimeExceptions (IndexOutOfBounds,
+      // IllegalArgument, ...) on crafted/corrupt payloads, not just
+      // IOException — ANY decode failure means "quarantine via
+      // decoded=false", never "abort the ingest job over one image"
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** STUB decode for audio/video (and the corrupt-image fallback): a real

@@ -376,7 +376,12 @@ class S3LiteFileSystem extends FileSystem {
       deleteObject(srcKey)
     } else {
       listKeysRaw(srcKey + "/").foreach { k =>
-        if (!k.endsWith("/")) copyObject(k, target + "/" + k.stripPrefix(srcKey + "/"))
+        val rel = k.stripPrefix(srcKey + "/")
+        // nested `.../` markers move as fresh empty markers (an empty
+        // subdirectory must survive the rename — HDFS contract); files
+        // move by server-side copy
+        if (k.endsWith("/")) { if (rel.nonEmpty) putEmpty(target + "/" + rel) }
+        else copyObject(k, target + "/" + rel)
         deleteObject(k)
       }
       deleteObject(srcKey + "/") // src's own marker, if any
@@ -392,7 +397,9 @@ class S3LiteFileSystem extends FileSystem {
     if (st.isFile) deleteObject(key)
     else {
       val children = listKeysRaw(if (key.isEmpty) "" else key + "/")
-      if (!recursive && children.exists(!_.endsWith("/")))
+      // the dir's own marker is layout metadata, not a child; anything
+      // else — files OR subdirectory markers — makes it non-empty
+      if (!recursive && children.exists(_ != key + "/"))
         throw new java.io.IOException(
           s"directory s3a://$bucket/$key is not empty (non-recursive delete)")
       children.foreach(deleteObject)

@@ -365,6 +365,17 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exact path (no index yet)
     assert(batchByQid(client.searchBatch("sb", queries, k = 3)) == singles(4))
 
+    // the huge-|Q| regime on the exact path (the branch that consults the
+    // nQ broadcast guard): a numQueries hint past the threshold must
+    // degrade the query side to a shuffle join with IDENTICAL results —
+    // the guard changes the plan, never the answer
+    // (no plan assertion: AQE may legitimately re-broadcast the actually-
+    // tiny frame at runtime — the guard only withholds the STATIC hint)
+    val big = client.searchBatch("sb", queries, k = 3,
+      numQueries = Some(200000L))
+    assert(batchByQid(big) == singles(4),
+      "forced non-broadcast regime must return the same hits")
+
     // pruned path: fresh index, per-query cells — plan must show the
     // probe join, and full-probe results must equal the exact answer
     client.buildIndex("sb", nlist = 8)

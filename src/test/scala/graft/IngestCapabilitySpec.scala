@@ -127,17 +127,37 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       javax.imageio.ImageIO.write(bi, "bmp", out)
       out.toByteArray
     }
+    // a VALID png header claiming 100000×100000 (correct CRC): the
+    // dimension cap must reject it from the header alone — decoding it
+    // would allocate a ~30 GB buffer on an executor
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'))
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("IHDR".getBytes("US-ASCII"))
+      body.write(java.nio.ByteBuffer.allocate(13)
+        .putInt(100000).putInt(100000)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array())
+      val crc = new java.util.zip.CRC32(); crc.update(body.toByteArray)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+      out.write(body.toByteArray)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
     val twoEncodings = Multimodal.extractFeatures(Seq(
       Multimodal.MediaObject("a.png", "image", pngBytes),
       Multimodal.MediaObject("a.bmp", "image", bmp),
       // corrupt payload: must fall back to the stub, flagged undecoded
-      Multimodal.MediaObject("bad.png", "image", Array.fill(64)('A'.toByte))
+      Multimodal.MediaObject("bad.png", "image", Array.fill(64)('A'.toByte)),
+      Multimodal.MediaObject("bomb.png", "image", bomb)
     ).toDS()).collect().map(f => f.key -> f).toMap
     assert(twoEncodings("a.png").features.toSeq == twoEncodings("a.bmp").features.toSeq,
       "two containers of the same pixels must produce identical features")
     assert(twoEncodings("a.png").decoded && twoEncodings("a.bmp").decoded)
     assert(!twoEncodings("bad.png").decoded,
       "a corrupt image must be flagged, never fabricated as decoded")
+    assert(!twoEncodings("bomb.png").decoded,
+      "a decompression-bomb header must be rejected from the header alone")
     val sampled = Multimodal.sampleFrameIndexes(
       Multimodal.extractFeatures(media).toDF(), stride = 2)
       .where($"key".endsWith("vid1.mp4"))
@@ -540,6 +560,23 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(jl.filter(col("doc_id") === sample.getLong(0)).head()
         .getAs[String]("text") == sample.getString(1),
         "document text must survive the gzip JSONL round-trip byte-for-byte")
+
+      // HDFS directory contract over `key/` markers: an EMPTY subdirectory
+      // survives rename, and non-recursive delete refuses a dir holding it
+      import org.apache.hadoop.fs.Path
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI("s3a://out-bucket/"), hc)
+      fs.mkdirs(new Path("s3a://out-bucket/mv/sub"))
+      assert(fs.rename(new Path("s3a://out-bucket/mv"), new Path("s3a://out-bucket/mv2")))
+      assert(fs.getFileStatus(new Path("s3a://out-bucket/mv2/sub")).isDirectory,
+        "an empty subdirectory must survive a directory rename")
+      intercept[java.io.IOException] {
+        fs.delete(new Path("s3a://out-bucket/mv2"), false)
+      }
+      assert(fs.delete(new Path("s3a://out-bucket/mv2"), true))
+      intercept[java.io.FileNotFoundException] {
+        fs.getFileStatus(new Path("s3a://out-bucket/mv2/sub"))
+      }
     } finally {
       stub.stop()
       val hc = spark.sparkContext.hadoopConfiguration
