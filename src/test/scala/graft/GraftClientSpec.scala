@@ -789,6 +789,17 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(_.getAs[String]("vector_key")).toSeq
       assert(batch(qid) == single, s"batch qid=$qid diverges from single-query search")
     }
+    // the differentiated broadcast guards: a numQueries hint that keeps q
+    // broadcastable (60000 <= 100k) but pushes stage1 past its k*refine-
+    // scaled threshold (60000*5*4 = 1.2M > 100k) must only change the
+    // stage-1 join strategy, never the hits
+    val splitRegime = client.searchBatch("sq8", queries, k = 5, nprobe = 4,
+        numQueries = Some(60000L))
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
+    assert(splitRegime == batch,
+      "k*refine-scaled stage-1 guard must not change results")
+
     // the metadata filter applies on the quantized stage-1 scan in the
     // batch path too, and filtered batch == filtered single-query
     val fBatch = client.searchBatch("sq8", queries, k = 5,
