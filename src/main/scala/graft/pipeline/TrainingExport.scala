@@ -28,8 +28,15 @@ import org.apache.spark.sql.functions._
 object TrainingExport {
 
   /** @param langs       keep-list; empty keeps every language
-    * @param lowQ/highQ  exact n_chars quantile bounds (windsorization);
-    *                    at 100 TB swap `percentile` for approx_percentile
+    * @param lowQ/highQ  n_chars quantile bounds (windsorization)
+    * @param approxQuantiles the 100 TB setting: `approx_percentile`
+    *                    (t-digest-style sketch, fixed memory, one pass)
+    *                    instead of exact `percentile` (sort-based
+    *                    aggregation of every n_chars) for the bounds. At
+    *                    default accuracy the sketch is exact whenever the
+    *                    distinct-value count is small — flip it freely;
+    *                    only the windsorization CUTOFFS can move, the
+    *                    pipeline stays deterministic for fixed input.
     * @param budgetTokens pack token budget (whitespace tokens here; a BPE
     *                    count drops in by replacing `tokenCount`)
     * @param shards      hash-shard fan-out; at cluster scale set to a small
@@ -39,7 +46,8 @@ object TrainingExport {
       shards: Int = 16,
       langs: Set[String] = Set.empty,
       lowQ: Double = 0.05,
-      highQ: Double = 0.95)
+      highQ: Double = 0.95,
+      approxQuantiles: Boolean = false)
 
   final case class Stats(
       docsIn: Long, docsAfterFilter: Long, docsKept: Long,
@@ -63,10 +71,11 @@ object TrainingExport {
     val langFiltered =
       if (cfg.langs.isEmpty) unblocked
       else unblocked.filter(col("lang").isin(cfg.langs.toSeq: _*))
-    // windsorize on n_chars via a 1-row broadcast of the exact quantiles
+    // windsorize on n_chars via a 1-row broadcast of the quantile bounds
+    val pctl = if (cfg.approxQuantiles) "approx_percentile" else "percentile"
     val bounds = langFiltered.agg(
-      expr(s"percentile(n_chars, ${cfg.lowQ})").as("__lo"),
-      expr(s"percentile(n_chars, ${cfg.highQ})").as("__hi"))
+      expr(s"$pctl(n_chars, ${cfg.lowQ})").as("__lo"),
+      expr(s"$pctl(n_chars, ${cfg.highQ})").as("__hi"))
     langFiltered.crossJoin(broadcast(bounds))
       .filter(col("n_chars").between(col("__lo"), col("__hi")))
       .drop("__lo", "__hi")

@@ -144,6 +144,18 @@ class TrainingExportSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally deleteRec(java.nio.file.Paths.get(out))
   }
 
+  test("approx-quantile windsorization (the 100 TB setting) matches exact on this corpus") {
+    // default-accuracy approx_percentile is exact while the distinct
+    // n_chars count is small, so the sketch path must reproduce the exact
+    // path bit-for-bit here — the flip only trades memory/passes at scale
+    val exact = TrainingExport.packed(docs, cfg)
+      .select("shard", "pack_id", "pos_in_pack", "doc_id").collect().toSet
+    val approx = TrainingExport.packed(docs, cfg.copy(approxQuantiles = true))
+      .select("shard", "pack_id", "pos_in_pack", "doc_id").collect().toSet
+    assert(approx == exact,
+      "approx-quantile bounds must reproduce the exact windsorization on small distincts")
+  }
+
   test("keep-list matching nothing exports zero packs, not a crash") {
     val out = Files.createTempDirectory("graft-export-empty").toString
     try {
