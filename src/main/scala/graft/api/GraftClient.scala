@@ -544,18 +544,17 @@ class GraftClient(spark: SparkSession, root: String) {
     * re-ranks exactly against the float cells. The float cells stay on
     * disk as the exact re-rank side and the staleness fallback — the same
     * two-layout split FAISS/Milvus IVF_SQ8 keeps (quantized scan +
-    * full-precision refine). SQ8 stage-1 ranks by L2 in the raw vector
-    * space, so it serves l2 collections only — cosine's normalized-space
-    * prune would need normalized-then-quantized codes (a second layout);
-    * cosine/dot collections reject IVF_SQ8 at build. */
+    * full-precision refine). SQ8 codes are encoded in the ASSIGN space:
+    * raw vectors for l2, unit-normalized for cosine (L2 order over unit
+    * vectors ≡ cosine order, so the same fused kernel ranks stage 1 for
+    * both; the exact re-rank uses the collection's own metric over the
+    * original vectors). Dot collections reject any IVF index at build
+    * (no Voronoi prune exists for inner product). */
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0): Unit = {
     val m = metaOrThrow(name)
     require(indexableMetric(m.metric),
       s"IVF index supports l2 and cosine (dot has no Voronoi prune — dot " +
         s"searches stay exact); collection is ${m.metric}")
-    require(m.indexType != "IVF_SQ8" || m.metric == "l2",
-      s"IVF_SQ8 ranks stage-1 candidates by L2 over quantized raw vectors — " +
-        s"create the collection with metric l2 (got ${m.metric})")
     val coll = collection(m)
     val version = coll.currentVersion.getOrElse(
       throw new IllegalStateException(s"collection $name is empty — nothing to index"))
@@ -563,9 +562,16 @@ class GraftClient(spark: SparkSession, root: String) {
     val (indexed, quant) = IvfIndex.build(
       snapshot, "__assign", nlist, sampleFraction = sampleFraction)
     IvfIndex.writeIndexed(indexed.drop("__assign"), cellsPath(m))
+    // SQ8 codes live in the ASSIGN space: raw vectors for l2, unit-
+    // normalized for cosine (L2 order over unit vectors ≡ cosine order,
+    // so stage 1 ranks with the same fused int8 kernel in both metrics);
+    // the exact re-rank always reads the ORIGINAL vectors from the store
     if (m.indexType == "IVF_SQ8")
       Sq8Index.writeQuantized(
-        Sq8Index.quantize(IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)), "vec"),
+        Sq8Index.quantize(
+          IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+            .withColumn("__v", assignSpace(m)(col("vec"))).drop("vec"),
+          "__v"),
         sq8CellsPath(m))
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
@@ -688,9 +694,14 @@ class GraftClient(spark: SparkSession, root: String) {
           // SQ8 cells mirror the float cells cell-for-cell: re-quantize
           // ONLY the touched cells' new contents (same dynamic partition
           // overwrite, same emptied-dir sweep) — an upsert/delete batch
-          // re-encodes batch-bounded rows, never the whole index
+          // re-encodes batch-bounded rows, never the whole index. Codes
+          // are encoded in the ASSIGN space (normalized for cosine),
+          // exactly as buildIndex wrote them
           if (sq8Indexed(m)) {
-            Sq8Index.quantize(contents, "vec").write.mode("overwrite")
+            Sq8Index.quantize(
+                contents.withColumn("__v", assignSpace(m)(col("vec"))).drop("vec"),
+                "__v")
+              .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("centroidId").parquet(sq8CellsPath(m))
             (touchedCells.toSet -- writtenCells).foreach { cell =>
@@ -821,22 +832,33 @@ class GraftClient(spark: SparkSession, root: String) {
     *      so the fetch is a broadcast hash join, no shuffle of the store)
     *      and re-rank exactly.
     *
-    * Build guarantees metric == l2. Determinism: both stages tie-break on
-    * the key. */
+    * Metrics: l2 ranks raw codes by L2; cosine ranks UNIT-NORMALIZED
+    * codes by L2 (order-equivalent to cosine on unit vectors — the same
+    * normalized-space ride the IVF_FLAT prune uses) and re-ranks by
+    * exact cosine. Determinism: both stages tie-break on the key. */
   private def searchSq8Refined(m: CollectionMeta, coll: BucketedKeyedCollection,
       idx: LoadedIndex, qvec: Array[Float], k: Int, filter: Option[Column],
       nprobe: Int, refine: Int): DataFrame = {
-    val q = typedLit(qvec)
-    val cells = idx.probe.probes(qvec, nprobe)
+    // stage-1 query lives in the assign space (normalized for cosine) —
+    // the same float-rounded vector that probes the cells
+    val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+    val q1 = typedLit(qa)
+    val cells = idx.probe.probes(qa, nprobe)
     val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
       .filter(col("centroidId").isin(cells: _*))
     val cand = filter.fold(sq8)(sq8.filter)
-      .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q).as("adist"))
+      .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
       .orderBy(col("adist"), col("key"))
       .limit(k * refine)
       .select(col("key"))
+    // exact re-rank in the collection's metric over the ORIGINAL vectors
+    val qx = typedLit(qvec)
+    val score = m.metric match {
+      case "cosine" => -cosine_similarity(col("vec"), qx)
+      case _ => l2_distance(col("vec"), qx)
+    }
     coll.read(spark).join(broadcast(cand), Seq("key"))
-      .select(col("key").as("vector_key"), l2_distance(col("vec"), q).as("distance"),
+      .select(col("key").as("vector_key"), score.as("distance"),
         col("meta").as("metadata"))
       .orderBy(col("distance"), col("vector_key"))
       .limit(k)
@@ -882,10 +904,12 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     val candidates = loadIndex(m) match {
       case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
-        // IVF_SQ8 (metric l2 by build contract): stage 1 ranks the
-        // (query × probed quantized cells) pairs with the fused int8
-        // kernel and keeps k*refine keys per query through the bounded
-        // heap BEFORE any shuffle; stage 2 re-fetches those keys' exact
+        // IVF_SQ8 (l2, or cosine over unit-normalized codes): stage 1
+        // ranks the (query × probed quantized cells) pairs with the fused
+        // int8 kernel — in the ASSIGN space, where L2 order ≡ the
+        // collection metric's order — and keeps k*refine keys per query
+        // through the bounded heap BEFORE any shuffle; stage 2 re-fetches
+        // those keys' exact
         // vectors from the keyed store, so the shared scoring tail below
         // re-ranks exactly like every other path. Broadcast guards: q
         // holds |Q| rows, but stage1 holds |Q|·k·refine candidate keys —
@@ -896,9 +920,15 @@ class GraftClient(spark: SparkSession, root: String) {
           if (nQ <= 100000L) broadcast else identity
         val hintStage1: DataFrame => DataFrame =
           if (nQ * k * refine <= 100000L) broadcast else identity
-        val probed = q.select(col("qid"), col("qvec").as("__qv"))
+        // stage-1 queries live in the assign space: l2_normalize here is
+        // bit-identical to the single-query normalizeQuery rounding, so
+        // batch stage-1 distances equal single-query stage-1 distances
+        val normalize = m.metric == "cosine"
+        val probed = q.select(col("qid"), col("qvec"),
+            (if (normalize) l2_normalize(col("qvec")) else col("qvec")).as("__qv"))
           .withColumn("centroidId", explode(
-            probeCellsCol(m, idx, col("__qv"), normalize = false, nprobe)))
+            probeCellsCol(m, idx, col("qvec"), normalize = normalize, nprobe)))
+          .drop("qvec")
         val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
           .join(probed, Seq("centroidId"))
         val stage1 = filter.fold(scanned)(scanned.filter)

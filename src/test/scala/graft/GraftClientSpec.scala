@@ -948,18 +948,83 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "full probe through the REBUILT index must equal the exact answer")
   }
 
-  test("IVF_SQ8 rejects non-l2 metrics at build time") {
+  test("IVF_SQ8 rejects dot at build time (no Voronoi prune for inner product)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8-dot").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("sq8dot", dim = 8, metric = "dot",
+      indexType = "IVF_SQ8", nlist = 4)
+    client.upsert("sq8dot", Seq(("a", (1 to 8).map(_.toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val e = intercept[IllegalArgumentException] {
+      client.buildIndex("sq8dot", nlist = 4)
+    }
+    assert(e.getMessage.contains("IVF index supports l2 and cosine"))
+  }
+
+  test("cosine IVF_SQ8: normalized-space quantized stage-1, exact cosine re-rank, fresh across upserts") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sq8-cos").toString
     val client = new GraftClient(spark, root)
-    client.createCollection("sq8cos", dim = 8, metric = "cosine",
+    client.createCollection("sq8c", dim = 8, metric = "cosine",
       indexType = "IVF_SQ8", nlist = 4)
-    client.upsert("sq8cos", Seq(("a", (1 to 8).map(_.toFloat), Map.empty[String, String]))
-      .toDF("key", "vec", "meta"))
-    val e = intercept[IllegalArgumentException] {
-      client.buildIndex("sq8cos", nlist = 4)
+    // vectors with WILDLY different magnitudes: cosine order ≠ l2 order,
+    // so quantizing raw vectors (instead of normalized) would fail this
+    def vec(seed: Int): Seq[Float] = {
+      val mag = 1.0f + (seed % 7) * 10.0f
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat * mag)
     }
-    assert(e.getMessage.contains("IVF_SQ8"))
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("sq8c", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("sq8c", nlist = 4)
+
+    def cosine(v: Seq[Float], q: Seq[Float]): Double = {
+      val dot = v.zip(q).map { case (a, b) => a.toDouble * b }.sum
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val nq = math.sqrt(q.map(x => x.toDouble * x).sum)
+      if (nv == 0 || nq == 0) 0.0 else dot / (nv * nq)
+    }
+    def exactTop(live: Map[String, Seq[Float]], q: Seq[Float], k: Int): Seq[String] =
+      live.toSeq.map { case (key, v) => (key, -cosine(v, q)) }
+        .sortBy { case (key, d) => (d, key) }.take(k).map(_._1)
+
+    val live0 = rows.map { case (k, v, _) => k -> v }.toMap
+    for (qSeed <- Seq(3, 17, 42, 101)) {
+      val q = vec(qSeed)
+      val df = client.search("sq8c", q.toArray, k = 10, nprobe = 4)
+      assert(df.queryExecution.executedPlan.toString.contains("qvec"),
+        "cosine SQ8 must serve stage 1 from the quantized cells")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live0, q, 10),
+        s"full-probe refined cosine SQ8 must equal the exact cosine answer (q=vec($qSeed))")
+    }
+
+    // batch through the cosine SQ8 path equals per-query search
+    val queries = Seq((0L, vec(3)), (1L, vec(17)), (2L, vec(42))).toDF("qid", "qvec")
+    val batch = client.searchBatch("sq8c", queries, k = 5, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
+    for ((qid, qv) <- Seq((0L, vec(3)), (1L, vec(17)), (2L, vec(42)))) {
+      val single = client.search("sq8c", qv.toArray, k = 5, nprobe = 4)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(batch(qid) == single, s"cosine batch qid=$qid diverges from single-query")
+    }
+
+    // maintenance keeps the normalized-space codes fresh
+    client.upsert("sq8c", Seq(
+      ("fresh", vec(500), Map("i" -> "500")),
+      ("k30", vec(171), Map("i" -> "30"))
+    ).toDF("key", "vec", "meta"))
+    client.deleteByKeys("sq8c", Seq("k17"))
+    val live = live0 ++ Map("fresh" -> vec(500), "k30" -> vec(171)) - "k17"
+    for (qSeed <- Seq(17, 171, 500)) {
+      val q = vec(qSeed)
+      val df = client.search("sq8c", q.toArray, k = 8, nprobe = 4)
+      assert(df.queryExecution.executedPlan.toString.contains("qvec"),
+        "maintenance commits must keep the cosine SQ8 stage-1 path")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live, q, 8), s"q=vec($qSeed): $got")
+    }
   }
 
   test("cosine metric rides the IVF prune in normalized space") {
