@@ -261,6 +261,37 @@ object VectorScaleBench {
     val stillSq8 = client.search("bench", cq, k = 10, nprobe = 4)
       .queryExecution.executedPlan.toString.contains("qvec")
 
+    // cosine IVF_SQ8 through GraftClient (r7): codes are quantized in the
+    // unit-normalized assign space, so the same fused int8 kernel ranks
+    // stage 1 and the re-rank is exact cosine over the original vectors.
+    // Same iid dataset; recall decomposed the same two ways as l2 —
+    // full-probe-vs-exact isolates quantize+refine, nprobe-vs-full-probe
+    // isolates the prune.
+    val cosRoot = java.nio.file.Files.createTempDirectory("graft-scale-cos").toString
+    val cosClient = new graft.api.GraftClient(spark, cosRoot)
+    cosClient.createCollection("benchcos", dim = dim, metric = "cosine",
+      indexType = "IVF_SQ8", nlist = 64, buckets = 16)
+    cosClient.upsert("benchcos", cvecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val cosBuildT0 = System.nanoTime()
+    cosClient.buildIndex("benchcos", nlist = 64, sampleFraction = 0.02)
+    val cosBuildSec = (System.nanoTime() - cosBuildT0) / 1e9
+    def cosOnce(np: Int): Seq[String] =
+      cosClient.search("benchcos", cq, k = 10, nprobe = np)
+        .collect().map(_.getString(0)).toSeq
+    cosOnce(4)
+    var cosIds: Seq[String] = Nil
+    val cosSearchSec = math.min(
+      time { cosIds = cosOnce(4) }, time { cosIds = cosOnce(4) })
+    val cosExact = cvecs
+      .select(col("vec_id"),
+        cosine_similarity(col("vec"), typedLit(cq)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0).toString).toSeq
+    val cosFull = cosOnce(64)
+    val cosFullRecall = cosFull.count(cosExact.contains).toDouble / cosExact.size
+    val cosPruneRecall = cosIds.count(cosFull.contains).toDouble / cosFull.size
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
@@ -283,7 +314,11 @@ object VectorScaleBench {
         s""""client_sq8_fullprobe_recall_vs_exact":$cliFullRecall,""" +
         s""""client_sq8_prune_recall_vs_fullprobe":$cliPruneRecall,""" +
         s""""client_sq8_maint_commit_sec":$clientMaintSec,""" +
-        s""""client_sq8_fresh_after_maint":$stillSq8}""")
+        s""""client_sq8_fresh_after_maint":$stillSq8,""" +
+        s""""client_cos_sq8_build_sec":$cosBuildSec,""" +
+        s""""client_cos_sq8_search_sec":$cosSearchSec,""" +
+        s""""client_cos_sq8_fullprobe_recall_vs_exact":$cosFullRecall,""" +
+        s""""client_cos_sq8_prune_recall_vs_fullprobe":$cosPruneRecall}""")
     spark.stop()
   }
 }

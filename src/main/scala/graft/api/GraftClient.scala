@@ -61,7 +61,8 @@ class GraftClient(spark: SparkSession, root: String) {
     "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
 
   private def collection(meta: CollectionMeta) = {
-    val c = new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets)
+    val c = new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets,
+      retain = meta.retain)
     // Data written by the pre-bucketed KeyedCollection layout migrates
     // transparently on first open (one all-buckets rewrite) — the catalog
     // parse is backward compatible, so the data must be too.
@@ -88,12 +89,15 @@ class GraftClient(spark: SparkSession, root: String) {
   /** Idempotent create (returns false if it already existed). `buckets`
     * fixes the keyed store's hash-bucket count for the collection's
     * lifetime — size it so one bucket of the target corpus fits an
-    * executor's write comfortably. */
+    * executor's write comfortably. `retain` is the time-travel window:
+    * how many snapshot versions stay readable via [[readVersion]] before
+    * the commit-time vacuum reclaims them. */
   def createCollection(name: String, dim: Int, metric: String = "l2",
                        indexType: String = "FLAT", nlist: Int = 0,
-                       buckets: Int = 16): Boolean =
+                       buckets: Int = 16, retain: Int = 2): Boolean =
     catalog.createCollection(CollectionMeta(
-      name, dim, metric, indexType, nlist, s"$root/data/$name", buckets))
+      name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
+      retain))
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
   def list(): Seq[String] = catalog.listCollections()
@@ -255,6 +259,21 @@ class GraftClient(spark: SparkSession, root: String) {
       .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
       .orderBy(col("bucket"))
   }
+
+  /** Snapshot versions still readable, oldest first — the collection's
+    * `retain` most recent commits (driver-side manifest listing, no Spark
+    * job). */
+  def versions(name: String): Seq[Long] =
+    collection(metaOrThrow(name)).retainedVersions
+
+  /** Time-travel read: the full (key, vec, meta, ingest_ts, seq) snapshot
+    * AS OF `version` (one of [[versions]]). A pinned version is immutable
+    * — later upserts/deletes land in new versions — so a job that records
+    * the version it read (e.g. a training-data export) is reproducible
+    * bit-for-bit while ingest keeps committing, for as long as the
+    * version stays inside the collection's `retain` window. */
+  def readVersion(name: String, version: Long): DataFrame =
+    collection(metaOrThrow(name)).readVersion(spark, version)
 
   /** Point lookup by key — the `client.query(filter="key == ...")` /
     * `get_vectors` read. The key's hash names its ONE bucket, so the scan

@@ -17,10 +17,12 @@ case class CollectionMeta(
     indexType: String,     // "FLAT" | "IVF_FLAT" | "IVF_SQ8"
     nlist: Int,            // IVF coarse cells; reference pins 16384
     dataPath: String,
-    buckets: Int = 16)     // hash buckets of the keyed store — immutable
+    buckets: Int = 16,     // hash buckets of the keyed store — immutable
                            // per collection (bucket assignment is
                            // pmod(xxhash64(key), buckets); changing it
                            // would strand rows in unread buckets)
+    retain: Int = 2)       // snapshot versions kept for time-travel reads;
+                           // older bucket dirs are vacuumed on commit
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -40,7 +42,7 @@ class Catalog(root: String) {
     dir.resolve(s"$name.json")
   }
 
-  // Minimal JSON (de)serialization for the 6-field record. Strings are
+  // Minimal JSON (de)serialization for the flat record. Strings are
   // escaped on write and parsed up to the closing unescaped quote, so a
   // dataPath containing ',', '}' or '"' round-trips correctly.
   private def esc(s: String): String =
@@ -51,7 +53,8 @@ class Catalog(root: String) {
   private def render(m: CollectionMeta): String =
     s"""{"name":"${esc(m.name)}","dim":${m.dim},"metric":"${esc(m.metric)}",""" +
       s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
-      s""""buckets":${m.buckets},"dataPath":"${esc(m.dataPath)}"}"""
+      s""""buckets":${m.buckets},"retain":${m.retain},""" +
+      s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
     val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -71,7 +74,7 @@ class Catalog(root: String) {
     CollectionMeta(strField(json, "name"), intField(json, "dim"),
       strField(json, "metric"), strField(json, "indexType"),
       intField(json, "nlist"), strField(json, "dataPath"),
-      intFieldOr(json, "buckets", 16))
+      intFieldOr(json, "buckets", 16), intFieldOr(json, "retain", 2))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -121,6 +121,34 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   def read(spark: SparkSession): DataFrame =
     readPaths(spark, current.map(_.buckets.values.toSeq).getOrElse(Nil))
 
+  /** Snapshot versions still readable (oldest first): manifests `prune`
+    * has kept, capped at CURRENT — a manifest above the pointer is a
+    * commit that crashed before its pointer swap, not a published
+    * snapshot. At most `retain` entries. */
+  def retainedVersions: Seq[Long] = currentVersion match {
+    case None => Nil
+    case Some(cur) => listDir()
+      .filter(_.matches("manifest-\\d{8,}"))
+      .map(_.stripPrefix("manifest-").toLong)
+      .filter(_ <= cur).sorted
+  }
+
+  /** Time-travel read: the full snapshot AS OF `version`. The version must
+    * still be retained (`retain` manifests are kept; older bucket dirs are
+    * vacuumed on commit), so this is the bounded-window time travel a
+    * table format gives you — pin a version, and every read of it is
+    * byte-identical regardless of later commits, which is what makes a
+    * training-data export reproducible while ingest keeps running. */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val live = retainedVersions
+    require(live.contains(version),
+      s"$root: version $version is not retained (retained: " +
+        s"${live.mkString(", ")}) — older snapshots are vacuumed after " +
+        s"$retain commits; create the collection with a larger retain to " +
+        "widen the time-travel window")
+    readPaths(spark, readManifest(version).buckets.values.toSeq)
+  }
+
   /** Latest snapshot restricted to `buckets` — what a merge reads. */
   def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame = {
     val live = current.map(_.buckets).getOrElse(Map.empty)

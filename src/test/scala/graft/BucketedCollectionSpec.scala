@@ -180,6 +180,49 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       (k, if (bucketOf(coll, k) == b) 10L else v) }.toSet)
   }
 
+  test("time travel: retained versions read as-of; pruned and unpublished ones refuse") {
+    import spark.implicits._
+    val (root, _) = freshColl(buckets = 4)
+    val coll = new BucketedKeyedCollection(root, schema, "key", 4, retain = 3)
+    assert(coll.retainedVersions.isEmpty, "no commits → no versions")
+
+    def commitAll(rows: Seq[(String, Long, Long)], maxSeq: Long): Long =
+      coll.commitBuckets(0 until 4, rows.toDF("key", "value", "seq"), maxSeq)
+    val v0 = commitAll((0 until 20).map(i => (s"k$i", 0L, 1L)), 1L)
+    val v1 = commitAll((0 until 20).map(i => (s"k$i", 1L, 2L)), 2L)
+    val v2 = commitAll((0 until 10).map(i => (s"k$i", 2L, 3L)), 3L)
+    assert(coll.retainedVersions == Seq(v0, v1, v2))
+
+    // each retained version reads back its exact snapshot, and the pinned
+    // frame is the SAME rows regardless of later commits
+    def valsAt(v: Long): Set[(String, Long)] =
+      coll.readVersion(spark, v).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(valsAt(v0) == (0 until 20).map(i => (s"k$i", 0L)).toSet)
+    assert(valsAt(v1) == (0 until 20).map(i => (s"k$i", 1L)).toSet)
+    assert(valsAt(v2) == (0 until 10).map(i => (s"k$i", 2L)).toSet)
+    assert(coll.readVersion(spark, v2).collect().toSet ==
+      coll.read(spark).collect().toSet, "readVersion(CURRENT) ≡ read")
+
+    // a 4th commit vacuums v0: it leaves the window and refuses loudly
+    val v3 = commitAll((0 until 5).map(i => (s"k$i", 3L, 4L)), 4L)
+    assert(coll.retainedVersions == Seq(v1, v2, v3))
+    val e = intercept[IllegalArgumentException] { coll.readVersion(spark, v0) }
+    assert(e.getMessage.contains("not retained"))
+    assert(valsAt(v1) == (0 until 20).map(i => (s"k$i", 1L)).toSet,
+      "surviving pinned version still reads after the vacuum")
+
+    // a manifest ABOVE the pointer (commit crashed before its swap) is
+    // not a published snapshot — neither listed nor readable
+    val ghost = v3 + 1
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(root, f"manifest-$v3%08d"),
+      java.nio.file.Paths.get(root, f"manifest-$ghost%08d"))
+    assert(coll.retainedVersions == Seq(v1, v2, v3),
+      "unpublished manifest must not surface as a version")
+    intercept[IllegalArgumentException] { coll.readVersion(spark, ghost) }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, f"manifest-$ghost%08d"))
+  }
+
   test("rows hashing outside the declared touched set are rejected") {
     import spark.implicits._
     val (_, coll) = freshColl()

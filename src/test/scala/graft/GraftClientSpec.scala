@@ -445,6 +445,37 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "path-derived bucket counts must equal hash-derived counts")
   }
 
+  test("time travel: readVersion pins a snapshot while ingest keeps committing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("tt", dim = 4, retain = 3)
+    def up(tag: String, n: Int): Unit = client.upsert("tt",
+      (0 until n).map(i => (s"k$i", Seq.fill(4)(i.toFloat), Map("tag" -> tag)))
+        .toDF("key", "vec", "meta"))
+
+    up("a", 6)
+    val v0 = client.versions("tt").last
+    up("b", 3)               // overwrites k0..k2
+    client.deleteByKeys("tt", Seq("k5"))
+    val vs = client.versions("tt")
+    assert(vs.size == 3 && vs.head == v0 && vs == vs.sorted,
+      s"retain=3 keeps the three commits oldest-first, got $vs")
+
+    // the pinned frame is the pre-overwrite, pre-delete world —
+    // reproducible export semantics while the collection keeps moving
+    val pinned = client.readVersion("tt", v0)
+    assert(pinned.count() == 6)
+    assert(pinned.filter(col("meta")("tag") === "a").count() == 6,
+      "version v0 must not see the later overwrites")
+    val cur = client.readVersion("tt", vs.last)
+    assert(cur.count() == 5, "current version sees the delete")
+    assert(cur.filter(col("meta")("tag") === "b").count() == 3,
+      "current version sees the overwrites")
+
+    intercept[IllegalArgumentException] { client.readVersion("tt", v0 + 999L) }
+  }
+
   test("get: point lookup reads only the key's bucket") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-get").toString
