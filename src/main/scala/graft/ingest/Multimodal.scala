@@ -112,13 +112,65 @@ object Multimodal {
     (w, h, frames)
   }
 
+  /** Real pixel resample (JDK `Graphics2D`, bilinear): scale row-major RGB
+    * pixels into the (maxW, maxH) box preserving aspect ratio, never
+    * upscaling — the letterbox arithmetic AND the resample real image
+    * pipelines run before the model (the reference's TIMM preprocess,
+    * `s3vectors-app/pythonvectordbceph.py:164-169`). Headless-safe:
+    * BufferedImage raster ops need no display. */
+  private[ingest] def resamplePixels(w: Int, h: Int, px: Array[Byte],
+      maxW: Int, maxH: Int): (Int, Int, Array[Byte]) = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    if (scale >= 1.0) (w, h, px)
+    else {
+      val (tw, th) = (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+      val src = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val ints = new Array[Int](w * h)
+      var p = 0
+      while (p < ints.length) {
+        ints(p) = ((px(3 * p) & 0xff) << 16) |
+          ((px(3 * p + 1) & 0xff) << 8) | (px(3 * p + 2) & 0xff)
+        p += 1
+      }
+      src.setRGB(0, 0, w, h, ints, 0, w)
+      val dst = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val out = dst.getRGB(0, 0, tw, th, null, 0, tw)
+      val bytes = new Array[Byte](tw * th * 3)
+      var i = 0
+      p = 0
+      while (p < out.length) {
+        val v = out(p)
+        bytes(i) = ((v >> 16) & 0xff).toByte
+        bytes(i + 1) = ((v >> 8) & 0xff).toByte
+        bytes(i + 2) = (v & 0xff).toByte
+        i += 3; p += 1
+      }
+      (tw, th, bytes)
+    }
+  }
+
   /** Decode + feature-extract over a typed Dataset. One decoder/embedder
     * instantiation per partition (the reference re-instantiates per event —
     * `pythonvectordbceph.py:162,168`). Image features are computed over
     * the DECODED PIXELS (not the container bytes), so two encodings of
-    * the same image embed identically. */
-  def extractFeatures(ds: Dataset[MediaObject], dim: Int = Embedder.ImageDim): Dataset[MediaFeatures] = {
+    * the same image embed identically. `resizeTo = Some((w, h))` runs the
+    * REAL bilinear resample on decoded images before embedding — model
+    * input normalization as part of the scan, so the embedder sees a
+    * bounded buffer regardless of source resolution; stub rows get the
+    * same dimension arithmetic (no pixels exist to resample). */
+  def extractFeatures(ds: Dataset[MediaObject], dim: Int = Embedder.ImageDim,
+      resizeTo: Option[(Int, Int)] = None): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
+    resizeTo.foreach { case (mw, mh) => require(mw > 0 && mh > 0) }
     ds.mapPartitions { it =>
       val embedder = HashingEmbedder(dim) // per-partition setup, not per-row
       // ImageIO's default temp-FILE stream cache is pure overhead for
@@ -127,11 +179,22 @@ object Multimodal {
       it.map { m =>
         val real = if (m.mediaType == "image") decodeImage(m.content) else None
         real match {
-          case Some((w, h, px)) =>
+          case Some((w0, h0, px0)) =>
+            val (w, h, px) = resizeTo match {
+              case Some((mw, mh)) => resamplePixels(w0, h0, px0, mw, mh)
+              case None => (w0, h0, px0)
+            }
             MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
               nFrames = 1, decoded = true, embedder.embedBytes(px))
           case None =>
-            val (w, h, frames) = decodeStub(m)
+            val (w0, h0, frames) = decodeStub(m)
+            val (w, h) = resizeTo match {
+              case Some((mw, mh)) =>
+                val s = math.min(1.0, math.min(mw.toDouble / w0, mh.toDouble / h0))
+                (math.max(1, math.round(w0 * s).toInt),
+                  math.max(1, math.round(h0 * s).toInt))
+              case None => (w0, h0)
+            }
             MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
               frames, decoded = false, embedder.embedBytes(m.content))
         }
@@ -159,12 +222,11 @@ object Multimodal {
     df.withColumn("sampled_frames",
       expr(s"filter(sequence(0, nFrames - 1), i -> i % $stride = 0)"))
 
-  /** Resize to a target box, preserving aspect ratio (the letterbox
-    * arithmetic real image pipelines run before the model; the reference's
-    * TIMM preprocess resizes to the model's input —
-    * `s3vectors-app/pythonvectordbceph.py:164-169`). The PIXEL resample is
-    * the stubbed part (no codec in this image); the dimension math,
-    * schema, and per-partition execution are real. */
+  /** Metadata-level resize to a target box, preserving aspect ratio — the
+    * dimension arithmetic over an already-extracted [[MediaFeatures]]
+    * frame (no pixels are carried there). For the real pixel resample,
+    * pass `resizeTo` to [[extractFeatures]], which letterboxes the
+    * decoded image with `Graphics2D` BEFORE embedding. */
   def resize(ds: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     require(maxW > 0 && maxH > 0)

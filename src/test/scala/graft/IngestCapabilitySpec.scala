@@ -173,6 +173,33 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       val ratio1 = f.width.toDouble / f.height
       assert(math.abs(ratio0 - ratio1) / ratio0 < 0.35, s"aspect drift for ${f.key}")
     }
+
+    // REAL pixel resample: extractFeatures(resizeTo) scales the decoded
+    // pixels (Graphics2D bilinear), not just the dims. A solid-color
+    // 64×48 downscaled into a 32×32 box must land at 32×24 and embed
+    // IDENTICALLY to a natively 32×24 image of the same color — bilinear
+    // interpolation of a constant field is that constant, so any
+    // divergence means the resample fabricated pixels.
+    def solidPng(w: Int, h: Int): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => bi.setRGB(x, y, 0xc04020)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "png", out)
+      out.toByteArray
+    }
+    val resampled = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("big.png", "image", solidPng(64, 48)),
+      Multimodal.MediaObject("native.png", "image", solidPng(32, 24)),
+      Multimodal.MediaObject("small.png", "image", solidPng(10, 10))
+    ).toDS(), resizeTo = Some((32, 32))).collect().map(f => f.key -> f).toMap
+    val big = resampled("big.png")
+    assert(big.decoded && big.width == 32 && big.height == 24,
+      s"64×48 into a 32×32 box must letterbox to 32×24, got ${big.width}×${big.height}")
+    assert(big.features.toSeq == resampled("native.png").features.toSeq,
+      "downscaled solid image must embed identically to the natively-sized one")
+    assert(resampled("small.png").width == 10 && resampled("small.png").height == 10,
+      "resample never upscales")
   }
 
   // ---- Catalog (A16/A17) ----
