@@ -1019,6 +1019,18 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       live.toSeq.map { case (key, v) => (key, -cosine(v, q)) }
         .sortBy { case (key, d) => (d, key) }.take(k).map(_._1)
 
+    // same plan shape as the l2 SQ8 path: partition-pruned quantized
+    // stage 1, broadcast exact re-rank — a refactor must not trade the
+    // broadcast for a shuffle of the keyed store
+    val guard = client.search("sq8c", vec(3).toArray, k = 5, nprobe = 2)
+    val gplan = guard.queryExecution.executedPlan.toString
+    assert(gplan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("centroidId")),
+      s"cosine SQ8 stage 1's cell prune must be a PARTITION filter:\n$gplan")
+    assert(gplan.contains("qvec"), "stage 1 must scan the quantized codes")
+    assert(gplan.contains("BroadcastHashJoin"),
+      "the exact-cosine re-rank fetch must be a broadcast join, not a shuffle")
+
     val live0 = rows.map { case (k, v, _) => k -> v }.toMap
     for (qSeed <- Seq(3, 17, 42, 101)) {
       val q = vec(qSeed)
