@@ -94,10 +94,16 @@ class GraftClient(spark: SparkSession, root: String) {
     * the commit-time vacuum reclaims them. */
   def createCollection(name: String, dim: Int, metric: String = "l2",
                        indexType: String = "FLAT", nlist: Int = 0,
-                       buckets: Int = 16, retain: Int = 2): Boolean =
+                       buckets: Int = 16, retain: Int = 2): Boolean = {
+    // validate at the create boundary: a persisted bad value would wedge
+    // every later operation (the store's constructor require fires far
+    // from the argument that caused it, on a collection already cataloged)
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    require(retain >= 1, s"retain must be >= 1 (got $retain)")
     catalog.createCollection(CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain))
+  }
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
   def list(): Seq[String] = catalog.listCollections()
@@ -249,10 +255,15 @@ class GraftClient(spark: SparkSession, root: String) {
         // parent does NOT match fails loudly instead of landing in a
         // silent null-bucket row: this is the observability surface that
         // is supposed to EXPOSE layout drift, not absorb it.
-        coalesce(
+        // guarded cast: under ANSI (this project's default) an unguarded
+        // cast of the no-match "" throws CAST_INVALID_INPUT BEFORE the
+        // fallback can fire, so the diagnostic below — the whole point of
+        // this branch — would be dead code
+        when(
+          regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}/[^/]*$", 1) =!= "",
           regexp_extract(input_file_name(), "b(\\d{5,})-v\\d{8,}/[^/]*$", 1)
-            .cast("int"),
-          raise_error(concat(
+            .cast("int"))
+          .otherwise(raise_error(concat(
             lit("stats: file outside the bNNNNN-vNNNNNNNN bucket layout: "),
             input_file_name()))).as("bucket"))
       .groupBy(col("bucket"))
@@ -941,13 +952,15 @@ class GraftClient(spark: SparkSession, root: String) {
           if (nQ * k * refine <= 100000L) broadcast else identity
         // stage-1 queries live in the assign space: l2_normalize here is
         // bit-identical to the single-query normalizeQuery rounding, so
-        // batch stage-1 distances equal single-query stage-1 distances
+        // batch stage-1 distances equal single-query stage-1 distances.
+        // The probe kernel reads the ALREADY-normalized __qv (normalize =
+        // false) — re-normalizing inside NearestCentroids would run the
+        // norm+divide pass twice per query row for identical results
         val normalize = m.metric == "cosine"
-        val probed = q.select(col("qid"), col("qvec"),
+        val probed = q.select(col("qid"),
             (if (normalize) l2_normalize(col("qvec")) else col("qvec")).as("__qv"))
           .withColumn("centroidId", explode(
-            probeCellsCol(m, idx, col("qvec"), normalize = normalize, nprobe)))
-          .drop("qvec")
+            probeCellsCol(m, idx, col("__qv"), normalize = false, nprobe)))
         val scanned = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
           .join(probed, Seq("centroidId"))
         val stage1 = filter.fold(scanned)(scanned.filter)

@@ -42,6 +42,29 @@ object VectorKernels {
       case _          => arr.getFloat(i).toDouble
     }
 
+  /** Element read that ROUNDS double inputs through float32 first. The
+    * frozen-encoding kernels (cell assign, SQ8 codes/qmax) promise
+    * bit-for-bit float32 recomputability regardless of the input column's
+    * width — a double-typed vector must assign/encode exactly like its
+    * float32 rounding, or incremental index maintenance re-deriving a
+    * row's cell could disagree with the cell it was written to (the
+    * pre-codegen udfs got this for free from their Seq[Float] signature;
+    * [[NearestCentroids]] rounds explicitly the same way). The DISTANCE
+    * kernels deliberately keep full double inputs — query-time precision
+    * is not an at-rest contract. */
+  private[functions] def elemAsFloat32(e: Expression, arr: String, i: String): String =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => s"(double) (float) $arr.getDouble($i)"
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case other => throw new IllegalStateException(s"unsupported vector element type $other")
+    }
+
+  private[functions] def elemAsFloat32(e: Expression, arr: ArrayData, i: Int): Double =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => arr.getDouble(i).toFloat.toDouble
+      case _          => arr.getFloat(i).toDouble
+    }
+
   /** Dimension agreement check shared by the binary kernels. The reference
     * backends reject mismatched dims at the index boundary (fixed-dim index,
     * `s3vectors-app/pythonvectordbceph.py:111-113`) and DuckDB's
@@ -377,7 +400,7 @@ case class NearestCentroid(child: Expression,
       val c = cs(i)
       var s = 0.0; var j = 0
       while (j < c.length) {
-        val d = c(j) - VectorKernels.elemAsDouble(child, v, j)
+        val d = c(j) - VectorKernels.elemAsFloat32(child, v, j)
         s += d * d; j += 1
       }
       if (s < bestD) { bestD = s; best = i }
@@ -408,7 +431,7 @@ case class NearestCentroid(child: Expression,
          |  double[] $c = $cVar[$i];
          |  double $s = 0.0;
          |  for (int $j = 0; $j < $c.length; $j++) {
-         |    double $d = $c[$j] - ${VectorKernels.elemAsDouble(child, a, j)};
+         |    double $d = $c[$j] - ${VectorKernels.elemAsFloat32(child, a, j)};
          |    $s += $d * $d;
          |  }
          |  if ($s < $bestD) { $bestD = $s; $best = $i; }
@@ -555,7 +578,7 @@ case class Sq8Codes(child: Expression) extends UnaryExpression {
     val n = v.numElements()
     var mx = 0.0; var i = 0
     while (i < n) {
-      val x = math.abs(VectorKernels.elemAsDouble(child, v, i))
+      val x = math.abs(VectorKernels.elemAsFloat32(child, v, i))
       if (x > mx) mx = x
       i += 1
     }
@@ -564,7 +587,7 @@ case class Sq8Codes(child: Expression) extends UnaryExpression {
       i = 0
       while (i < n) {
         codes(i) = math.floor(
-          VectorKernels.elemAsDouble(child, v, i) * 127.0 / mx + 0.5).toByte
+          VectorKernels.elemAsFloat32(child, v, i) * 127.0 / mx + 0.5).toByte
         i += 1
       }
     }
@@ -579,14 +602,14 @@ case class Sq8Codes(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsDouble(child, a, i)});
+         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsFloat32(child, a, i)});
          |  if ($x > $mx) $mx = $x;
          |}
          |byte[] $codes = new byte[$n];
          |if ($mx > 0) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $codes[$i] = (byte) java.lang.Math.floor(
-         |      ${VectorKernels.elemAsDouble(child, a, i)} * 127.0 / $mx + 0.5);
+         |      ${VectorKernels.elemAsFloat32(child, a, i)} * 127.0 / $mx + 0.5);
          |  }
          |}
          |${ev.value} = $codes;
@@ -616,7 +639,7 @@ case class Sq8Qmax(child: Expression) extends UnaryExpression {
     val n = v.numElements()
     var mx = 0.0; var i = 0
     while (i < n) {
-      val x = math.abs(VectorKernels.elemAsDouble(child, v, i))
+      val x = math.abs(VectorKernels.elemAsFloat32(child, v, i))
       if (x > mx) mx = x
       i += 1
     }
@@ -631,7 +654,7 @@ case class Sq8Qmax(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsDouble(child, a, i)});
+         |  double $x = java.lang.Math.abs(${VectorKernels.elemAsFloat32(child, a, i)});
          |  if ($x > $mx) $mx = $x;
          |}
          |${ev.value} = $mx;

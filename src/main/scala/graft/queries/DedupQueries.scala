@@ -261,6 +261,16 @@ object DedupQueries {
                  broadcastNodeLimit: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepOrder.nonEmpty, "keepBestOf needs a keep-rule ordering")
+    // this is the one surface that joins the CALLER's full frame with the
+    // internal label/window columns — a caller column named like them
+    // would either throw AMBIGUOUS_REFERENCE mid-plan or be silently
+    // overwritten in the output; fail loudly at the boundary instead
+    val reserved = Seq("lbl", "cluster_id", "n_docs", "__rn")
+    val clash = docs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"keepBestOf: input column(s) ${clash.mkString(", ")} collide with " +
+        s"internal/output columns (${reserved.mkString(", ")}) — rename " +
+        "them before calling")
     val labels = clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
     val byCluster = Window.partitionBy(col("lbl"))
     labels.join(docs, Seq(idCol))

@@ -413,7 +413,26 @@ class S3LiteFileSystem extends FileSystem {
     * by the listing probe). Ancestors materialize the same way lazily. */
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val key = keyOf(f)
-    if (key.nonEmpty) putEmpty(key + "/")
+    if (key.isEmpty) return true
+    // HDFS contract: mkdirs over an existing FILE — at the path or any
+    // ancestor — must throw, not succeed. Silently writing the `key/`
+    // marker would leave a same-named file and directory; readers then
+    // resolve the name arbitrarily (HEAD wins → the file), so children
+    // written under the "directory" become invisible to anyone who
+    // trusted the mkdirs success. One HEAD per component: these paths
+    // are shallow (committer staging dirs), never data-sized.
+    val components = key.split("/")
+    var prefix = ""
+    components.foreach { c =>
+      prefix = if (prefix.isEmpty) c else s"$prefix/$c"
+      val h = connect("HEAD", objectUrl(prefix))
+      try {
+        if (h.getResponseCode == 200)
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"mkdirs s3a://$bucket/$key: s3a://$bucket/$prefix is a file")
+      } finally h.disconnect()
+    }
+    putEmpty(key + "/")
     true
   }
 }

@@ -16,4 +16,10 @@ object GraftShim {
 
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+
+  /** Block until every queued listener-bus event has been delivered —
+    * lets a test assert "no job was launched" deterministically instead
+    * of sleeping a wall-clock guess (flaky both ways under load). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

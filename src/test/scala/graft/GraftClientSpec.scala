@@ -401,10 +401,14 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(1000) // drain in-flight listener events from above
+      // deterministic, not wall-clock: drain every queued event from the
+      // work above, zero the counter, and after constructing the plan
+      // drain again — any sizing job's start event MUST have been
+      // delivered by the time waitUntilEmpty returns
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
       jobs.set(0)
       val df = client.searchBatch("sb", queries, k = 3, nprobe = 2)
-      Thread.sleep(1000) // a sizing job's start event would post well within this
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
       assert(jobs.get() == 0,
         s"searchBatch construction launched ${jobs.get()} sizing job(s): " +
           s"${String.join(" || ", jobNames)}")
@@ -443,6 +447,28 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(s.map(t => t._1 -> t._2).toMap == viaHash,
       "path-derived bucket counts must equal hash-derived counts")
+
+    // layout DRIFT fails loudly with the offending file's path — not a
+    // silent null bucket, and not ANSI's generic cast error (the guard
+    // must fire BEFORE the int cast of the unmatched extract). Simulate
+    // drift the way it would really happen: a data dir referenced by the
+    // manifest whose name stopped matching the bNNNNN-vNNNNNNNN layout.
+    val dp = java.nio.file.Paths.get(client.describe("st").dataPath)
+    val cur = new String(java.nio.file.Files.readAllBytes(dp.resolve("CURRENT"))).trim.toLong
+    val manifest = dp.resolve(f"manifest-$cur%08d")
+    val lines = java.nio.file.Files.readAllLines(manifest)
+    val Array(b0, rel0) = lines.get(1).split(" ", 2)
+    val stray = "renamed-by-hand"
+    java.nio.file.Files.move(dp.resolve(rel0), dp.resolve(stray))
+    java.nio.file.Files.write(manifest,
+      (Seq(lines.get(0), s"$b0 $stray") ++
+        (2 until lines.size).map(lines.get)).mkString("\n").getBytes)
+    val drift = intercept[Exception] { client.stats("st").collect() }
+    val msgs = Iterator.iterate[Throwable](drift)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("outside the bNNNNN-vNNNNNNNN bucket layout") &&
+        msgs.contains(stray),
+      s"drift must surface the designed diagnostic with the path, got: $msgs")
   }
 
   test("time travel: readVersion pins a snapshot while ingest keeps committing") {
@@ -474,6 +500,14 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "current version sees the overwrites")
 
     intercept[IllegalArgumentException] { client.readVersion("tt", v0 + 999L) }
+
+    // a bad retain must be rejected at CREATE — persisting it would wedge
+    // every later operation on an already-cataloged collection
+    val bad = intercept[IllegalArgumentException] {
+      client.createCollection("tt-bad", dim = 4, retain = 0)
+    }
+    assert(bad.getMessage.contains("retain"))
+    assert(!client.list().contains("tt-bad"), "rejected create must not catalog")
   }
 
   test("get: point lookup reads only the key's bucket") {
@@ -947,6 +981,16 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lbls = client.dedupClusterLabels(docs)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(lbls("a3") == "a1" && lbls("b2") == "b1" && lbls("solo1") == "solo1")
+
+    // a caller frame whose columns collide with the internal label/window
+    // names must be rejected at the boundary, not fail mid-plan with
+    // AMBIGUOUS_REFERENCE or silently overwrite the caller's column
+    val clashing = docs.withColumn("n_docs", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      client.dedupKeepBest(clashing, keepOrder = Seq(col("key")))
+    }
+    assert(e.getMessage.contains("n_docs") && e.getMessage.contains("rename"),
+      s"expected a loud reserved-column rejection, got: ${e.getMessage}")
   }
 
   test("index rebuild at an unchanged store version evicts the version-keyed caches") {

@@ -604,6 +604,20 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       intercept[java.io.FileNotFoundException] {
         fs.getFileStatus(new Path("s3a://out-bucket/mv2/sub"))
       }
+
+      // mkdirs over an existing FILE (at the path or an ancestor) must
+      // throw per the HDFS contract — silently PUTting the `key/` marker
+      // would create a same-named file and directory, and children under
+      // the "directory" become invisible (HEAD resolves the file first)
+      assert(stub.store.contains("export/_SUCCESS"))
+      intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+        fs.mkdirs(new Path("s3a://out-bucket/export/_SUCCESS"))
+      }
+      intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+        fs.mkdirs(new Path("s3a://out-bucket/export/_SUCCESS/child"))
+      }
+      assert(!stub.store.contains("export/_SUCCESS/"),
+        "a refused mkdirs must not leave a directory marker behind")
     } finally {
       stub.stop()
       val hc = spark.sparkContext.hadoopConfiguration

@@ -220,6 +220,37 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(2L) == (Seq[Byte](0, 0, 0), 0.0), "all-zero vector: qmax 0, zero codes")
   }
 
+  test("frozen-encoding kernels round double inputs through float32") {
+    // The at-rest contract: a row's cell/codes must be re-derivable
+    // bit-for-bit in float32 space whatever the input column's width —
+    // a double-typed vector has to assign and encode exactly like its
+    // float32 rounding (the pre-codegen udfs took Seq[Float] and got
+    // this for free; maintenance re-derives cells from the stored rows).
+    val d = Seq(0.1, 1.0 / 3.0, 0.7, -0.30000000000000004)
+    val dfD = Seq((1L, d.toArray)).toDF("id", "v").repartition(2)
+    val dfF = Seq((1L, d.map(_.toFloat).toArray)).toDF("id", "v").repartition(2)
+    val gotD = dfD.select(sq8_codes($"v").as("c"), sq8_qmax($"v").as("q")).head()
+    val gotF = dfF.select(sq8_codes($"v").as("c"), sq8_qmax($"v").as("q")).head()
+    assert(gotD.getAs[Array[Byte]]("c").toSeq == gotF.getAs[Array[Byte]]("c").toSeq,
+      "sq8 codes from a double vector must equal its float32 rounding's codes")
+    assert(gotD.getDouble(1) == gotF.getDouble(1),
+      "sq8 qmax must be computed over the float32-rounded elements")
+
+    // cell assign near a tie the rounding decides: x = 0.5 + 1.5e-9 is
+    // closer to center 1 (0.5 + 2e-9) in double space, but float32(x) is
+    // exactly 0.5 → center 0. Both input widths must pick center 0.
+    val centers = Array(Array(0.5), Array(0.5 + 2e-9))
+    val bc = spark.sparkContext.broadcast(centers)
+    val x = 0.5 + 1.5e-9
+    val cellD = Seq((1L, Array(x))).toDF("id", "v").repartition(2)
+      .select(nearest_centroid($"v", bc)).head().getInt(0)
+    val cellF = Seq((1L, Array(x.toFloat))).toDF("id", "v").repartition(2)
+      .select(nearest_centroid($"v", bc)).head().getInt(0)
+    assert(cellF == 0, "float32 input: x rounds to 0.5, center 0 wins")
+    assert(cellD == 0,
+      "double input must assign like its float32 rounding, not full precision")
+  }
+
   test("works over real embeddings parquet with codegen") {
     val df = spark.read.parquet(s"${SparkTestSession.sf}/embeddings.parquet")
     val q = df.filter($"vec_id" === 0).select($"embedding".as("q"))
