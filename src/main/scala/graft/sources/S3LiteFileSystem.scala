@@ -30,10 +30,13 @@ import org.apache.hadoop.util.Progressable
   *
   * Production posture, stated loudly: deployments WITH `hadoop-aws` on the
   * classpath should keep the stock `S3AFileSystem` (SigV4 signing,
-  * multipart upload, retries, the zero-rename magic committer — none of
-  * which this class implements; the Authorization header sent here carries
-  * the access key in SigV4 Credential SHAPE but no real signature, and
-  * rename is the non-atomic COPY+DELETE every plain-S3 filesystem has).
+  * multipart upload, the zero-rename magic committer — none of which this
+  * class implements; the Authorization header sent here carries the
+  * access key in SigV4 Credential SHAPE but no real signature, and rename
+  * is the non-atomic COPY+DELETE every plain-S3 filesystem has). What IS
+  * implemented besides the verb set: bounded-backoff retry of transient
+  * 5xx/429 shedding and mid-body reconnect on broken reads — the failure
+  * modes a fleet-scale scan hits routinely (see [[withRetry]]).
   * The protocol subset here is RGW's S3 API surface, which is also why the
   * same spec doubles as the gateway-contract test. */
 class S3LiteFileSystem extends FileSystem {
@@ -91,6 +94,48 @@ class S3LiteFileSystem extends FileSystem {
 
   private def objectUrl(key: String): String = s"$endpoint/$bucket/${encKey(key)}"
 
+  // ---- transient-failure retry ----
+  //
+  // S3/RGW shed load with transient 5xx/429 (SlowDown, InternalError): at
+  // fleet scale some fraction of requests ALWAYS sees them, and a
+  // 1000-executor job that fails a task per transient response turns
+  // routine shedding into job churn. hadoop-aws retries these in
+  // S3ARetryPolicy; so does this client. Every verb issued here is
+  // idempotent — HEAD / GET / LIST, full-object PUT (the body is
+  // re-streamed from the local buffer), COPY, DELETE — so a blanket
+  // bounded retry is safe.
+
+  private def isTransient(rc: Int): Boolean =
+    rc == 429 || rc == 500 || rc == 502 || rc == 503 || rc == 504
+
+  /** Thrown INSIDE a [[withRetry]] op to mark a response worth retrying;
+    * any other exception (404, contract violations, EOF) propagates. */
+  private final class TransientHttpException(msg: String)
+    extends java.io.IOException(msg)
+
+  private def transientOrFail(rc: Int, what: String): Nothing =
+    if (isTransient(rc)) throw new TransientHttpException(s"$what: HTTP $rc")
+    else throw new java.io.IOException(s"$what: HTTP $rc")
+
+  /** Bounded exponential backoff (4 attempts, 24/48/96 ms between). The
+    * op must open a FRESH connection per invocation. */
+  private def withRetry[T](what: String)(op: () => T): T = {
+    var attempt = 0
+    while (true) {
+      try return op()
+      catch {
+        case e @ (_: TransientHttpException | _: java.net.ConnectException |
+                  _: java.net.SocketTimeoutException) =>
+          attempt += 1
+          if (attempt >= 4)
+            throw new java.io.IOException(
+              s"$what: giving up after $attempt attempts", e)
+          Thread.sleep(12L << attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def qualified(key: String): Path =
     new Path(s"$fsUri/$key")
 
@@ -103,20 +148,22 @@ class S3LiteFileSystem extends FileSystem {
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatusOf("")
-    val c = connect("HEAD", objectUrl(key))
-    try {
-      c.getResponseCode match {
-        case 200 =>
-          fileStatusOf(key, c.getContentLengthLong, c.getLastModified)
-        case 404 =>
-          // objects under the prefix make it a "directory"
-          val (entries, _, _) = listPage(key + "/", delimited = false, maxKeys = Some(1), token = None)
-          if (entries.nonEmpty) dirStatusOf(key)
-          else throw new FileNotFoundException(s"s3a://$bucket/$key")
-        case other =>
-          throw new java.io.IOException(s"HEAD $key: HTTP $other")
-      }
-    } finally c.disconnect()
+    withRetry(s"HEAD $key") { () =>
+      val c = connect("HEAD", objectUrl(key))
+      try {
+        c.getResponseCode match {
+          case 200 =>
+            fileStatusOf(key, c.getContentLengthLong, c.getLastModified)
+          case 404 =>
+            // objects under the prefix make it a "directory"
+            val (entries, _, _) = listPage(key + "/", delimited = false, maxKeys = Some(1), token = None)
+            if (entries.nonEmpty) dirStatusOf(key)
+            else throw new FileNotFoundException(s"s3a://$bucket/$key")
+          case other =>
+            transientOrFail(other, s"HEAD $key")
+        }
+      } finally c.disconnect()
+    }
   }
 
   /** One ListObjectsV2 page: (raw (key, size, mtime) entries — keys may be
@@ -127,10 +174,11 @@ class S3LiteFileSystem extends FileSystem {
     if (delimited) q.append("&delimiter=%2F")
     maxKeys.foreach(m => q.append(s"&max-keys=$m"))
     token.foreach(t => q.append(s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}"))
+    withRetry(s"LIST $prefix") { () =>
     val c = connect("GET", s"$endpoint/$bucket?$q")
     try {
       if (c.getResponseCode != 200)
-        throw new java.io.IOException(s"LIST $prefix: HTTP ${c.getResponseCode}")
+        transientOrFail(c.getResponseCode, s"LIST $prefix")
       val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
         .newDocumentBuilder().parse(c.getInputStream)
       def texts(parent: org.w3c.dom.Element, tag: String): Seq[String] = {
@@ -155,6 +203,7 @@ class S3LiteFileSystem extends FileSystem {
         .filter(_ => texts(root, "IsTruncated").headOption.contains("true"))
       (files, prefixes, next)
     } finally c.disconnect()
+    }
   }
 
   override def listStatus(f: Path): Array[FileStatus] = {
@@ -211,21 +260,25 @@ class S3LiteFileSystem extends FileSystem {
       if (conn != null) { conn.disconnect(); conn = null }
     }
     private def ensure(): Unit = if (in == null && pos < len) {
-      conn = connect("GET", objectUrl(key), range = Some(pos))
-      val rc = conn.getResponseCode
-      if (rc != 200 && rc != 206)
-        throw new java.io.IOException(s"GET $key @$pos: HTTP $rc")
-      in = conn.getInputStream
-      // a server/proxy may legally IGNORE the Range header and answer 200
-      // with the full body — serving byte 0 as byte `pos` would corrupt
-      // reads silently (e.g. a parquet footer seek returning header
-      // bytes), so skip to the requested offset before serving anything
-      if (rc == 200 && pos > 0L) {
-        try in.skipNBytes(pos)
-        catch { case _: java.io.EOFException =>
+      withRetry(s"GET $key @$pos") { () =>
+        conn = connect("GET", objectUrl(key), range = Some(pos))
+        val rc = conn.getResponseCode
+        if (rc != 200 && rc != 206) {
           closeCurrent()
-          throw new java.io.EOFException(
-            s"GET $key: un-ranged 200 body shorter than requested offset $pos")
+          transientOrFail(rc, s"GET $key @$pos")
+        }
+        in = conn.getInputStream
+        // a server/proxy may legally IGNORE the Range header and answer 200
+        // with the full body — serving byte 0 as byte `pos` would corrupt
+        // reads silently (e.g. a parquet footer seek returning header
+        // bytes), so skip to the requested offset before serving anything
+        if (rc == 200 && pos > 0L) {
+          try in.skipNBytes(pos)
+          catch { case _: java.io.EOFException =>
+            closeCurrent()
+            throw new java.io.EOFException(
+              s"GET $key: un-ranged 200 body shorter than requested offset $pos")
+          }
         }
       }
     }
@@ -241,10 +294,23 @@ class S3LiteFileSystem extends FileSystem {
     private def shortBody(): Nothing =
       throw new java.io.EOFException(
         s"GET $key: body ended at $pos of $len bytes (truncated response)")
+    /** A body that dies mid-flight (connection reset) is as routine as a
+      * shed request at fleet scale: reopen once from the current offset —
+      * `pos` tracks delivered bytes exactly, so the resumed ranged GET
+      * continues byte-exact (S3AInputStream's onReadFailure does the
+      * same). EOF is NOT recovered: shortBody is a real truncation. */
+    private def readRecovering(doRead: () => Int): Int =
+      try doRead()
+      catch {
+        case e: java.io.IOException if !e.isInstanceOf[java.io.EOFException] =>
+          closeCurrent()
+          ensure()
+          doRead()
+      }
     override def read(): Int = {
       if (pos >= len) return -1
       ensure()
-      val b = in.read()
+      val b = readRecovering(() => in.read())
       if (b < 0) shortBody()
       pos += 1
       b
@@ -252,7 +318,7 @@ class S3LiteFileSystem extends FileSystem {
     override def read(b: Array[Byte], off: Int, l: Int): Int = {
       if (pos >= len) return -1
       ensure()
-      val n = in.read(b, off, l)
+      val n = readRecovering(() => in.read(b, off, l))
       if (n < 0) shortBody()
       if (n > 0) pos += n
       n
@@ -284,7 +350,10 @@ class S3LiteFileSystem extends FileSystem {
       if (closed) return
       closed = true
       out.close()
-      try {
+      // the local temp buffer makes the PUT safely retryable: each
+      // attempt re-streams the full body from disk (full-object S3 PUT
+      // is idempotent)
+      try withRetry(s"PUT $key") { () =>
         val size = java.nio.file.Files.size(tmp)
         val c = connect("PUT", objectUrl(key))
         c.setDoOutput(true)
@@ -294,46 +363,49 @@ class S3LiteFileSystem extends FileSystem {
         val rc = c.getResponseCode
         c.disconnect()
         if (rc != 200 && rc != 201 && rc != 204)
-          throw new java.io.IOException(s"PUT $key: HTTP $rc")
+          transientOrFail(rc, s"PUT $key")
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }
 
-  private def putEmpty(key: String): Unit = {
-    val c = connect("PUT", objectUrl(key))
-    c.setDoOutput(true)
-    c.setFixedLengthStreamingMode(0L)
-    c.getOutputStream.close()
-    val rc = c.getResponseCode
-    c.disconnect()
-    if (rc != 200 && rc != 201 && rc != 204)
-      throw new java.io.IOException(s"PUT $key: HTTP $rc")
-  }
+  private def putEmpty(key: String): Unit =
+    withRetry(s"PUT $key") { () =>
+      val c = connect("PUT", objectUrl(key))
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(0L)
+      c.getOutputStream.close()
+      val rc = c.getResponseCode
+      c.disconnect()
+      if (rc != 200 && rc != 201 && rc != 204)
+        transientOrFail(rc, s"PUT $key")
+    }
 
   /** Server-side copy — S3 PUT + `x-amz-copy-source`, the rename
     * primitive (RGW implements CopyObject; bytes never leave the
     * gateway). */
-  private def copyObject(srcKey: String, dstKey: String): Unit = {
-    val c = connect("PUT", objectUrl(dstKey))
-    c.setRequestProperty("x-amz-copy-source", s"/$bucket/${encKey(srcKey)}")
-    c.setDoOutput(true)
-    c.setFixedLengthStreamingMode(0L)
-    c.getOutputStream.close()
-    val rc = c.getResponseCode
-    c.disconnect()
-    if (rc != 200)
-      throw new java.io.IOException(s"COPY $srcKey -> $dstKey: HTTP $rc")
-  }
+  private def copyObject(srcKey: String, dstKey: String): Unit =
+    withRetry(s"COPY $srcKey -> $dstKey") { () =>
+      val c = connect("PUT", objectUrl(dstKey))
+      c.setRequestProperty("x-amz-copy-source", s"/$bucket/${encKey(srcKey)}")
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(0L)
+      c.getOutputStream.close()
+      val rc = c.getResponseCode
+      c.disconnect()
+      if (rc != 200)
+        transientOrFail(rc, s"COPY $srcKey -> $dstKey")
+    }
 
   /** DELETE; 404 tolerated (S3 delete is idempotent, and dir markers are
     * optional). */
-  private def deleteObject(key: String): Unit = {
-    val c = connect("DELETE", objectUrl(key))
-    val rc = c.getResponseCode
-    c.disconnect()
-    if (rc != 200 && rc != 204 && rc != 404)
-      throw new java.io.IOException(s"DELETE $key: HTTP $rc")
-  }
+  private def deleteObject(key: String): Unit =
+    withRetry(s"DELETE $key") { () =>
+      val c = connect("DELETE", objectUrl(key))
+      val rc = c.getResponseCode
+      c.disconnect()
+      if (rc != 200 && rc != 204 && rc != 404)
+        transientOrFail(rc, s"DELETE $key")
+    }
 
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSize: Long,
@@ -425,12 +497,16 @@ class S3LiteFileSystem extends FileSystem {
     var prefix = ""
     components.foreach { c =>
       prefix = if (prefix.isEmpty) c else s"$prefix/$c"
-      val h = connect("HEAD", objectUrl(prefix))
-      try {
-        if (h.getResponseCode == 200)
-          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-            s"mkdirs s3a://$bucket/$key: s3a://$bucket/$prefix is a file")
-      } finally h.disconnect()
+      withRetry(s"HEAD $prefix") { () =>
+        val h = connect("HEAD", objectUrl(prefix))
+        try h.getResponseCode match {
+          case 200 =>
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"mkdirs s3a://$bucket/$key: s3a://$bucket/$prefix is a file")
+          case 404 => ()
+          case other => transientOrFail(other, s"HEAD $prefix")
+        } finally h.disconnect()
+      }
     }
     putEmpty(key + "/")
     true

@@ -341,6 +341,13 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     private def xmlEsc(s: String) =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+    // chaos injection: every (1/shedEveryN)-th request is answered 503
+    // SlowDown BEFORE normal handling — S3's load-shedding behavior, for
+    // asserting the client's retry survives it. 0 = off.
+    @volatile var shedEveryN = 0
+    val requestsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile var shedCount = 0L
+
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       auths.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
       val rawPath = ex.getRequestURI.getPath
@@ -350,7 +357,12 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         if (body.nonEmpty) ex.getResponseBody.write(body)
         ex.close()
       }
-      if (rawPath != s"/$bucket" && !rawPath.startsWith(s"/$bucket/")) send(404, Array.empty)
+      val n = requestsSeen.incrementAndGet()
+      if (shedEveryN > 0 && n % shedEveryN == 0) {
+        shedCount += 1
+        send(503, "<Error><Code>SlowDown</Code></Error>".getBytes("UTF-8"))
+      }
+      else if (rawPath != s"/$bucket" && !rawPath.startsWith(s"/$bucket/")) send(404, Array.empty)
       else if (rawPath == s"/$bucket" || rawPath == s"/$bucket/") {
         // ListObjectsV2
         listPages += 1
@@ -618,6 +630,25 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       assert(!stub.store.contains("export/_SUCCESS/"),
         "a refused mkdirs must not leave a directory marker behind")
+
+      // S3 LOAD SHEDDING: from here on the gateway answers every 3rd
+      // request with 503 SlowDown. At fleet scale some fraction of
+      // requests always sees this — the client's bounded-backoff retry
+      // must absorb it invisibly: writes commit, reads stay byte-exact,
+      // nothing leaks into results. (Sequential retries can never draw
+      // two 503s in a row at every-3rd cadence, so the 4-attempt budget
+      // is deterministic headroom.)
+      stub.shedEveryN = 3
+      val chaosDf = back.select(col("doc_id"), col("text"))
+      chaosDf.coalesce(1).write.parquet("s3a://out-bucket/chaos")
+      val chaosBack = spark.read.parquet("s3a://out-bucket/chaos")
+      assert(chaosBack.count() == stats.docsKept,
+        "a write through 33% shedding must commit every row exactly once")
+      assert(chaosBack.agg(sum(col("doc_id"))).head().getLong(0) ==
+          chaosDf.agg(sum(col("doc_id"))).head().getLong(0),
+        "rows read through shedding must be byte-exact, not resent/partial")
+      stub.shedEveryN = 0
+      assert(stub.shedCount > 0, "the chaos injection must actually have fired")
     } finally {
       stub.stop()
       val hc = spark.sparkContext.hadoopConfiguration
