@@ -95,11 +95,23 @@ class GraftClient(spark: SparkSession, root: String) {
   def createCollection(name: String, dim: Int, metric: String = "l2",
                        indexType: String = "FLAT", nlist: Int = 0,
                        buckets: Int = 16, retain: Int = 2): Boolean = {
-    // validate at the create boundary: a persisted bad value would wedge
-    // every later operation (the store's constructor require fires far
-    // from the argument that caused it, on a collection already cataloged)
+    // validate EVERYTHING at the create boundary: a persisted bad value
+    // would wedge every later operation (the failure would fire far from
+    // the argument that caused it, on a collection already cataloged)
+    require(dim >= 1, s"dim must be >= 1 (got $dim)")
+    require(Set("l2", "cosine", "dot").contains(metric),
+      s"metric must be one of l2, cosine, dot (got '$metric')")
+    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8").contains(indexType),
+      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8 (got '$indexType')")
+    require(nlist >= 0, s"nlist must be >= 0 (got $nlist)")
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
-    require(retain >= 1, s"retain must be >= 1 (got $retain)")
+    // retain >= 2 is load-bearing, not a taste floor: incremental index
+    // maintenance reads the PRE-image snapshot after the store commit's
+    // vacuum, which only survives while the previous version's bucket
+    // dirs are retained (mergeCommit relies on exactly one extra version)
+    require(retain >= 2, s"retain must be >= 2 (got $retain) — the " +
+      "previous snapshot must outlive a commit for incremental index " +
+      "maintenance and pinned readers")
     catalog.createCollection(CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain))
@@ -327,7 +339,7 @@ class GraftClient(spark: SparkSession, root: String) {
     val newPath = s"${m.dataPath}.rb$newBuckets"
     deleteDir(newPath) // a prior failed rebucket's partial target is dead
     val fresh = new graft.streaming.BucketedKeyedCollection(
-      newPath, rowSchema, "key", newBuckets)
+      newPath, rowSchema, "key", newBuckets, retain = m.retain)
     fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
     val updated = m.copy(dataPath = newPath, buckets = newBuckets)
     require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
@@ -966,10 +978,14 @@ class GraftClient(spark: SparkSession, root: String) {
         val stage1 = filter.fold(scanned)(scanned.filter)
           .select(col("qid"),
             sq8_l2_distance(col("qvec"), col("qmax"), col("__qv")).as("dist"),
-            col("key"), col("meta"))
+            col("key"))
           .groupBy(col("qid"))
+          // only the KEYS survive stage 1 (stage 2 re-fetches vec+meta
+          // from the keyed store) — carrying the real meta maps through
+          // the heap and its shuffle would move |Q|·k·refine maps just
+          // to drop them at the next select
           .agg(VectorAggregates.topKDocs(k * refine)(
-            col("dist"), col("key"), col("meta")).as("hits"))
+            col("dist"), col("key"), typedLit(Map.empty[String, String])).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
           .select(col("qid"), col("h.key").as("key"))
         coll.read(spark).join(hintStage1(stage1), Seq("key"))

@@ -118,13 +118,22 @@ object Multimodal {
     * pipelines run before the model (the reference's TIMM preprocess,
     * `s3vectors-app/pythonvectordbceph.py:164-169`). Headless-safe:
     * BufferedImage raster ops need no display. */
+  /** The letterbox dimension contract, in ONE place: scale (w, h) into
+    * the (maxW, maxH) box preserving aspect ratio, never upscaling. Every
+    * resize surface — real pixel resample, stub-row arithmetic,
+    * metadata-level [[resize]] — must agree on these numbers or the
+    * stub/real/metadata dimensions silently diverge. */
+  private[ingest] def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+  }
+
   private[ingest] def resamplePixels(w: Int, h: Int, px: Array[Byte],
       maxW: Int, maxH: Int): (Int, Int, Array[Byte]) = {
-    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-    if (scale >= 1.0) (w, h, px)
+    val (tw, th) = fitBox(w, h, maxW, maxH)
+    if (tw == w && th == h) (w, h, px)
     else {
-      val (tw, th) = (math.max(1, math.round(w * scale).toInt),
-        math.max(1, math.round(h * scale).toInt))
       val src = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val ints = new Array[Int](w * h)
@@ -189,10 +198,7 @@ object Multimodal {
           case None =>
             val (w0, h0, frames) = decodeStub(m)
             val (w, h) = resizeTo match {
-              case Some((mw, mh)) =>
-                val s = math.min(1.0, math.min(mw.toDouble / w0, mh.toDouble / h0))
-                (math.max(1, math.round(w0 * s).toInt),
-                  math.max(1, math.round(h0 * s).toInt))
+              case Some((mw, mh)) => fitBox(w0, h0, mw, mh)
               case None => (w0, h0)
             }
             MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
@@ -232,10 +238,8 @@ object Multimodal {
     require(maxW > 0 && maxH > 0)
     ds.mapPartitions { it =>
       it.map { f =>
-        val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
-        f.copy(
-          width = math.max(1, math.round(f.width * scale).toInt),
-          height = math.max(1, math.round(f.height * scale).toInt))
+        val (w, h) = fitBox(f.width, f.height, maxW, maxH)
+        f.copy(width = w, height = h)
       }
     }
   }

@@ -124,7 +124,11 @@ class S3LiteFileSystem extends FileSystem {
     while (true) {
       try return op()
       catch {
-        case e @ (_: TransientHttpException | _: java.net.ConnectException |
+        // SocketException covers ConnectException AND mid-request resets/
+        // broken pipes — a gateway shedding load by dropping the
+        // connection is as routine as a 503, and every op here is
+        // idempotent (the PUT body re-streams from its local buffer)
+        case e @ (_: TransientHttpException | _: java.net.SocketException |
                   _: java.net.SocketTimeoutException) =>
           attempt += 1
           if (attempt >= 4)
@@ -261,6 +265,11 @@ class S3LiteFileSystem extends FileSystem {
     }
     private def ensure(): Unit = if (in == null && pos < len) {
       withRetry(s"GET $key @$pos") { () =>
+        // a prior attempt may have died between connect and stream-open
+        // (retryable throw from getResponseCode/skipNBytes) — drop its
+        // half-open connection before dialing again, or sustained
+        // shedding leaks a socket per retry
+        closeCurrent()
         conn = connect("GET", objectUrl(key), range = Some(pos))
         val rc = conn.getResponseCode
         if (rc != 200 && rc != 206) {

@@ -124,13 +124,17 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   /** Snapshot versions still readable (oldest first): manifests `prune`
     * has kept, capped at CURRENT — a manifest above the pointer is a
     * commit that crashed before its pointer swap, not a published
-    * snapshot. At most `retain` entries. */
+    * snapshot — and floored at prune's own window (`cur - retain + 1`):
+    * prune deletes bucket dirs BEFORE manifests, so a crash between the
+    * two sweeps can strand a below-window manifest whose data is already
+    * vacuumed; listing it would promise a read that fails downstream.
+    * At most `retain` entries. */
   def retainedVersions: Seq[Long] = currentVersion match {
     case None => Nil
     case Some(cur) => listDir()
       .filter(_.matches("manifest-\\d{8,}"))
       .map(_.stripPrefix("manifest-").toLong)
-      .filter(_ <= cur).sorted
+      .filter(v => v <= cur && v >= cur - retain + 1).sorted
   }
 
   /** Time-travel read: the full snapshot AS OF `version`. The version must

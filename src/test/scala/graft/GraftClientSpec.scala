@@ -501,13 +501,18 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     intercept[IllegalArgumentException] { client.readVersion("tt", v0 + 999L) }
 
-    // a bad retain must be rejected at CREATE — persisting it would wedge
-    // every later operation on an already-cataloged collection
-    val bad = intercept[IllegalArgumentException] {
-      client.createCollection("tt-bad", dim = 4, retain = 0)
+    // bad parameters must be rejected at CREATE — persisting them would
+    // wedge every later operation on an already-cataloged collection.
+    // retain=1 in particular would let the commit-time vacuum delete the
+    // pre-image snapshot incremental index maintenance still reads.
+    for (bad <- Seq(
+        () => client.createCollection("tt-bad", dim = 4, retain = 1),
+        () => client.createCollection("tt-bad", dim = 0),
+        () => client.createCollection("tt-bad", dim = 4, metric = "ip"),
+        () => client.createCollection("tt-bad", dim = 4, indexType = "HNSW"))) {
+      intercept[IllegalArgumentException] { bad() }
+      assert(!client.list().contains("tt-bad"), "rejected create must not catalog")
     }
-    assert(bad.getMessage.contains("retain"))
-    assert(!client.list().contains("tt-bad"), "rejected create must not catalog")
   }
 
   test("get: point lookup reads only the key's bucket") {
