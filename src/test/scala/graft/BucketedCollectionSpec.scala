@@ -223,6 +223,23 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, f"manifest-$ghost%08d"))
   }
 
+  test("a lazy reader stays valid across retain-1 commits (the documented window)") {
+    import spark.implicits._
+    val (_, coll) = freshColl(buckets = 4)
+    coll.commitBuckets(0 until 4,
+      (0 until 40).map(i => (s"k$i", 1L, 1L)).toDF("key", "value", "seq"), 1L)
+    // a long-running job plans its scan at t0 and collects much later —
+    // the class doc promises the frame is still readable for retain-1
+    // further commits, because the vacuum keeps the dirs the previous
+    // manifest references
+    val lazyFrame = coll.read(spark) // plans against v0's bucket dirs
+    coll.commitBuckets(Seq(bucketOf(coll, "k0")),
+      Seq(("k0", 2L, 2L)).toDF("key", "value", "seq"), 2L)
+    val got = lazyFrame.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == (0 until 40).map(i => (s"k$i", 1L)).toSet,
+      "the pre-commit frame must still read v0's world, not fail or mix versions")
+  }
+
   test("rows hashing outside the declared touched set are rejected") {
     import spark.implicits._
     val (_, coll) = freshColl()

@@ -1091,9 +1091,13 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"full-probe refined cosine SQ8 must equal the exact cosine answer (q=vec($qSeed))")
     }
 
-    // batch through the cosine SQ8 path equals per-query search
+    // batch through the cosine SQ8 path equals per-query search, with the
+    // same broadcast-fetch plan shape as the l2 batch arm
     val queries = Seq((0L, vec(3)), (1L, vec(17)), (2L, vec(42))).toDF("qid", "qvec")
-    val batch = client.searchBatch("sq8c", queries, k = 5, nprobe = 4)
+    val batchDf = client.searchBatch("sq8c", queries, k = 5, nprobe = 4)
+    assert(batchDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "cosine SQ8 batch stage-2 fetch must broadcast, not shuffle the store")
+    val batch = batchDf
       .collect().groupBy(_.getLong(0))
       .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
     for ((qid, qv) <- Seq((0L, vec(3)), (1L, vec(17)), (2L, vec(42)))) {
