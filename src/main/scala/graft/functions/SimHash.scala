@@ -42,9 +42,14 @@ object SimHash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Column form: array<string> tokens → bigint fingerprint. */
+  /** Column form: array<string> tokens → bigint fingerprint. Null
+    * ELEMENTS are skipped (a null token contributes no bits to a
+    * bag-of-tokens sketch — unlike shingling, position doesn't matter),
+    * instead of NPE-ing the task. */
   val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((tokens: Seq[String]) => if (tokens == null) null else Long.box(simhash64(tokens)))
+    udf((tokens: Seq[String]) =>
+      if (tokens == null) null
+      else Long.box(simhash64(tokens.filter(_ != null))))
 
   def simhashCol(tokens: Column): Column = simhashUdf(tokens)
 

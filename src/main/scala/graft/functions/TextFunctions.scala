@@ -54,7 +54,18 @@ object NGrams {
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < n) {
+        parts(j) = words.getUTF8String(i + j)
+        // concatWs SKIPS nulls, which would silently emit shortened
+        // shingles ("a b" from (a, null, b)) that then join against
+        // honest ones downstream — corrupt matches with no signal.
+        // Null elements have no shingle semantics; fail loudly.
+        if (parts(j) == null)
+          throw new IllegalArgumentException(
+            s"ngrams: null element at position ${i + j} — filter nulls " +
+              "out of the token array before shingling")
+        j += 1
+      }
       out(i) = UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
@@ -152,15 +163,24 @@ object TextFunctions {
   /** Register text kernels as SQL functions (idempotent). */
   def register(spark: SparkSession): Unit = {
     val reg = GraftShim.functionRegistry(spark)
+    def literalInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   fn: String, arg: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) => i
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal int $arg, got $other")
+    }
     reg.createOrReplaceTempFunction("ngrams", es => {
       if (es.length != 2)
         throw new IllegalArgumentException(s"ngrams expects 2 arguments, got ${es.length}")
-      es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, IntegerType) =>
-          NGrams(es(0), i)
-        case other => throw new IllegalArgumentException(
-          s"ngrams expects a literal int n, got $other")
-      }
+      NGrams(es(0), literalInt(es(1), "ngrams", "n"))
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("winnowed_fingerprint", es => {
+      if (es.length != 3)
+        throw new IllegalArgumentException(
+          s"winnowed_fingerprint expects 3 arguments, got ${es.length}")
+      WinnowedFingerprint(es(0),
+        literalInt(es(1), "winnowed_fingerprint", "window"),
+        literalInt(es(2), "winnowed_fingerprint", "k"))
     }, "scala_udf")
   }
 }

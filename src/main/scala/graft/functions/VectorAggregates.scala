@@ -93,9 +93,13 @@ class VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Arr
 
   override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
+  // "no rows yet" is count == 0, NOT an empty sum array — a zero-LENGTH
+  // input vector is a legitimate (degenerate) dimension, and conflating
+  // the two would let a later differently-sized vector slip past the
+  // mismatch require and divide by an inflated count
   override def reduce(b: (Array[Double], Long), v: Array[Float]): (Array[Double], Long) = {
     if (v == null) return b
-    val acc = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    val acc = if (b._2 == 0L) new Array[Double](v.length) else b._1
     require(acc.length == v.length,
       s"vector_centroid: dimension mismatch (${acc.length} vs ${v.length})")
     var i = 0
@@ -104,8 +108,8 @@ class VectorCentroid extends Aggregator[Array[Float], (Array[Double], Long), Arr
   }
 
   override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-    if (a._1.isEmpty) return b
-    if (b._1.isEmpty) return a
+    if (a._2 == 0L) return b
+    if (b._2 == 0L) return a
     require(a._1.length == b._1.length,
       s"vector_centroid: dimension mismatch (${a._1.length} vs ${b._1.length})")
     val acc = a._1

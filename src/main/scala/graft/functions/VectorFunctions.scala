@@ -391,7 +391,12 @@ case class NearestCentroid(child: Expression,
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val cs = centers.value
-    if (cs.nonEmpty && v.numElements() != cs(0).length)
+    // an empty quantizer has NO cell to assign to — returning the
+    // plausible-looking id 0 would write rows into a cell the quantizer
+    // doesn't contain, silently breaking the frozen-recompute contract
+    if (cs.isEmpty)
+      throw new IllegalStateException("nearest_centroid: empty centroid set")
+    if (v.numElements() != cs(0).length)
       throw new IllegalArgumentException(
         s"nearest_centroid: vector dimension ${v.numElements()} != centroid dimension ${cs(0).length}")
     var best = 0; var bestD = Double.MaxValue
@@ -421,7 +426,10 @@ case class NearestCentroid(child: Expression,
         ctx.freshName("c"), ctx.freshName("s"), ctx.freshName("d"))
       val (best, bestD) = (ctx.freshName("best"), ctx.freshName("bestD"))
       s"""
-         |if ($cVar.length > 0 && $a.numElements() != $cVar[0].length) {
+         |if ($cVar.length == 0) {
+         |  throw new IllegalStateException("nearest_centroid: empty centroid set");
+         |}
+         |if ($a.numElements() != $cVar[0].length) {
          |  throw new IllegalArgumentException(
          |    "nearest_centroid: vector dimension " + $a.numElements() +
          |    " != centroid dimension " + $cVar[0].length);

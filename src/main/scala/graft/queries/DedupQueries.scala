@@ -81,19 +81,33 @@ object DedupQueries {
     * through the client). Plan shape is the banner note above: signatures
     * materialize behind ONE groupBy shuffle, candidates are a bucket
     * equi-join — never an all-pairs product. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val inv = docs
-      .select(col(idCol).as("__id"), explode(array_distinct(words(col(textCol)))).as("w"))
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSigsAndCandidates(
+      docs.select(col(idCol).as("__id"),
+        array_distinct(words(col(textCol))).as("__ws")), "__id")._2
+
+  /** THE banding scheme, in one place: 8 md5-derived min-hashes (m0..m7)
+    * per id over the `__ws` token array, bucketed as 2 bands of 4, and
+    * the bucket-equi-join candidate pairs (id_a < id_b, distinct).
+    * Returns (signatures, candidates) — [[candidatePairs]] uses only the
+    * pairs, the signature-agreement estimator needs both; sharing the
+    * core means a tuning change (hash count, band width) can never
+    * silently diverge between the candidate generator and the estimator
+    * that claims to measure it. */
+  private def minhashSigsAndCandidates(tokenized: DataFrame,
+                                       idCol: String): (DataFrame, DataFrame) = {
+    val inv = tokenized.select(col(idCol), explode(col("__ws")).as("w"))
     val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
-    val sigs = inv.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
-    val buckets = sigs.select(col("__id"),
+    val sigs = inv.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val buckets = sigs.select(col(idCol),
         explode(array(
           concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
           concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
-    buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+    (sigs, cand)
   }
 
   /** Candidate pairs (doc_a < doc_b), un-ordered — shared by the declared
@@ -126,17 +140,10 @@ object DedupQueries {
     val docs = t(spark, dir, "documents")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), array_distinct(words(col("text"))).as("ws"))
-    val inv = docs.select(col("doc_id"), explode(col("ws")).as("w"))
-    val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
-    val sigs = inv.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(
-        concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
-        concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // same banding core as candidatePairs — one scheme to tune
+    val (sigs, candIds) = minhashSigsAndCandidates(
+      docs.select(col("doc_id"), col("ws").as("__ws")), "doc_id")
+    val cand = candIds.select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val agree = (0 to 7).map(i =>
       when(col(s"sa.m$i") === col(s"sb.m$i"), 1).otherwise(0)).reduce(_ + _)
     val inter = size(array_intersect(col("da.ws"), col("db.ws")))
@@ -195,13 +202,23 @@ object DedupQueries {
     // rounds the plan tree is exponential and merely rendering it for
     // scheduling OOMs the driver. Checkpointing materializes the rows AND
     // truncates the lineage, keeping every round's plan O(1).
+    val spark = docs.sparkSession
+    val preexistingRdds = spark.sparkContext.getPersistentRDDs.keySet
     var labels = docs.select(col(idCol), col(idCol).as("lbl")).localCheckpoint()
     // When the node set fits the driver comfortably, broadcasting the label
     // table keeps the edge set from ever shuffling (map-side join + partial
     // aggregation are the only per-round passes over the edges). Past the
     // limit the hint would OOM the driver, so let AQE pick the join — the
     // node count never grows across rounds, so one count decides for all.
-    val small = labels.count() <= broadcastNodeLimit
+    val nNodes = labels.count()
+    if (nNodes == 0L) {
+      // empty in, empty out — entering the loop would never converge (the
+      // xxhash64 checksum over zero rows is null every round) and throw
+      // the 32-round cap where an empty frame is the correct answer
+      sym.unpersist()
+      return labels
+    }
+    val small = nNodes <= broadcastNodeLimit
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
     // small node sets don't need 32 post-shuffle partitions per round
     val shape: DataFrame => DataFrame =
@@ -209,6 +226,7 @@ object DedupQueries {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var rounds = 0
+    try {
     while (!converged && rounds < 32) {
       val nbrLbl = sym.join(hint(labels.select(col(idCol).as("dst"), col("lbl"))), "dst")
         .select(col("src").as(idCol), col("lbl"))
@@ -232,7 +250,17 @@ object DedupQueries {
       prevSum = s
       rounds += 1
     }
-    sym.unpersist()
+    } finally {
+      // the edge cache and every round's localCheckpoint blocks are
+      // per-call scratch — free them even when a round's job throws
+      // (ContextCleaner would reclaim them only at GC time, and a long
+      // session would pin up to 32 node-sized snapshots meanwhile). The
+      // NEWEST checkpoint backs the returned frame and must survive.
+      sym.unpersist()
+      val created = (spark.sparkContext.getPersistentRDDs -- preexistingRdds)
+        .toSeq.sortBy(_._1)
+      created.dropRight(1).foreach(_._2.unpersist(blocking = false))
+    }
     // Pointer jumping needs ~log2(diameter) rounds, so the cap is ample —
     // but exiting through it would silently return partially-merged
     // clusters as if correct. Fail loudly instead.

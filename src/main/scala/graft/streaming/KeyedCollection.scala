@@ -57,8 +57,12 @@ class KeyedCollection(root: String, schema: StructType, retain: Int = 2) {
     import scala.jdk.CollectionConverters._
     val listing = Files.list(dir)
     val stale =
+      // only names THIS class wrote (vNNNNNNNN) are parsed or deleted — a
+      // stray file like "v2-backup" must neither wedge every later commit
+      // with NumberFormatException nor be swept (same hardening as
+      // BucketedKeyedCollection.bucketDirVersion)
       try listing.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("v"))
+        .filter(p => p.getFileName.toString.matches("v\\d{8,}"))
         .filter(p => p.getFileName.toString.stripPrefix("v").toLong <= next - retain)
         .toSeq
       finally listing.close()

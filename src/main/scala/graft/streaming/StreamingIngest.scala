@@ -85,6 +85,18 @@ object StreamingIngest {
     * anti-join of deletes — the same set-at-a-time operators as the batch
     * path (IngestOps), applied to index ∪ batch. Used from `foreachBatch`.
     *
+    * Event-TIME ordering holds WITHIN a micro-batch; the applied state is
+    * the boundary ACROSS batches (no tombstone retention): a put whose
+    * event_ts predates an already-applied delete but arrives in a LATER
+    * batch re-creates the key. That is the reference's own semantics —
+    * its handler applies events serially in arrival order with no
+    * event-time reasoning, so a late re-delivered put resurrects there
+    * too (`s3vectors-app/pythonvectordbceph.py:121-147`); retaining
+    * delete tombstones (Cassandra-style, with an expiry) is the upgrade
+    * if cross-batch event-time LWW is ever required. The production path
+    * (`GraftClient.startIngest`) resolves by ARRIVAL order within each
+    * batch for exactly this consistency.
+    *
     * At scale the rewrite would be partitioned by key-bucket so a batch
     * only rewrites touched buckets; the merge PLAN (union → window →
     * anti-join) is unchanged. */

@@ -223,6 +223,27 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, f"manifest-$ghost%08d"))
   }
 
+  test("KeyedCollection: stray v* files neither wedge commits nor get deleted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-kc-stray").toString
+    val kc = new graft.streaming.KeyedCollection(root, schema)
+    kc.commit(Seq(("a", 1L, 1L)).toDF("key", "value", "seq"))
+    // a user/tool drops non-numeric v* files into the collection root —
+    // the prune must neither NumberFormatException (wedging every later
+    // commit AFTER its pointer swap) nor sweep them as version dirs
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "vacuum.log"),
+      "hi".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "v2-backup"),
+      "hi".getBytes)
+    (2 to 4).foreach(i =>
+      kc.commit(Seq(("a", i.toLong, i.toLong)).toDF("key", "value", "seq")))
+    assert(kc.read(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 4L)))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "vacuum.log")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, "v2-backup")),
+      "stray files must survive the vacuum untouched")
+  }
+
   test("a lazy reader stays valid across retain-1 commits (the documented window)") {
     import spark.implicits._
     val (_, coll) = freshColl(buckets = 4)

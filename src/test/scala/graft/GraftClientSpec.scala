@@ -987,6 +987,11 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(lbls("a3") == "a1" && lbls("b2") == "b1" && lbls("solo1") == "solo1")
 
+    // an empty input frame returns empty clusters immediately — the
+    // propagation loop's null checksum could never converge, so without
+    // the early exit this would burn 32 rounds and throw the cap error
+    assert(client.dedupClusters(docs.filter(col("key") === "no-such")).collect().isEmpty)
+
     // a caller frame whose columns collide with the internal label/window
     // names must be rejected at the boundary, not fail mid-plan with
     // AMBIGUOUS_REFERENCE or silently overwrite the caller's column

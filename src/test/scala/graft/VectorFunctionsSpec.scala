@@ -93,6 +93,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(sqlGot == Seq("a b", "b c", "c d"))
     val err = intercept[Exception] { spark.sql("SELECT ngrams(ws) FROM ngram_in").collect() }
     assert(err.getMessage.contains("ngrams expects 2 arguments"))
+
+    // null ELEMENTS fail loudly: concatWs would silently skip them and
+    // emit shortened shingles that join against honest ones downstream
+    val nullErr = intercept[Exception] {
+      Seq((1L, Seq("a", null, "b"))).toDF("id", "ws")
+        .repartition(2)
+        .select(graft.functions.TextFunctions.ngrams($"ws", 2)).collect()
+    }
+    val nullMsgs = Iterator.iterate[Throwable](nullErr)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(nullMsgs.contains("null element"), s"unexpected: $nullMsgs")
+
+    // the sibling text kernel registers too (same literal-arg pattern)
+    val wf = spark.sql(
+      "SELECT winnowed_fingerprint('the quick brown fox jumps over it', 8, 4) AS fp")
+      .head().getSeq[Long](0)
+    assert(wf.nonEmpty, "SQL-registered winnowed_fingerprint must produce fingerprints")
   }
 
   test("winnowed_fingerprint: shared-substring guarantee and edit locality") {

@@ -91,6 +91,16 @@ class VectorPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val expect = (0 until 4).map(i => vs.map(_(i)).sum / vs.length)
       mean.toSeq.zip(expect).foreach { case (x, y) => assert(math.abs(x - y) < 1e-3) }
     }
+    // "no rows" is count==0, not an empty sum array: a zero-LENGTH vector
+    // is a real (degenerate) dimension, so a later 2-dim vector must trip
+    // the mismatch require instead of slipping past an "empty" buffer and
+    // diluting the mean with an inflated count
+    val zeroLen = agg.reduce(agg.zero, Array.emptyFloatArray)
+    assert(zeroLen._2 == 1L)
+    intercept[IllegalArgumentException] { agg.reduce(zeroLen, Array(1f, 2f)) }
+    intercept[IllegalArgumentException] {
+      agg.merge(zeroLen, agg.reduce(agg.zero, Array(1f, 2f)))
+    }
   }
 
   test("vector_centroid over a DataFrame groups (and SQL registration)") {
