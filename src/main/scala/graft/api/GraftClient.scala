@@ -123,7 +123,17 @@ class GraftClient(spark: SparkSession, root: String) {
     // dropped collections must release their cached broadcasts/centroids
     // too — no later call for this name will ever evict them otherwise
     invalidateIndexCaches(name)
-    catalog.dropCollection(name)
+    catalog.describeCollection(name) match {
+      case None => false
+      case Some(m) =>
+        val ok = catalog.dropCollection(name)
+        // destroy the storage with the catalog entry: leaving the data
+        // and index dirs behind means a same-named re-create silently
+        // RESURRECTS the old rows under the old dim (rebucket already
+        // deletes superseded layouts for the same reason)
+        if (ok) { deleteDir(ivfDir(m)); deleteDir(m.dataPath) }
+        ok
+    }
   }
 
   /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
@@ -191,7 +201,17 @@ class GraftClient(spark: SparkSession, root: String) {
     val decorated = puts.map { df =>
       val typed = df.select(
         requireKey(col("key")).as("key"),
-        assert_dim(col("vec"), m.dim).as("vec"),
+        // assert_dim is null-PROPAGATING (nullSafeEval never runs on
+        // null), so a null vec — e.g. an embedder returning null for a
+        // null payload — would commit and then rank first in every
+        // search (ASC NULLS FIRST) with a null distance, and NPE the
+        // index maintenance collect. Reject at the boundary like null
+        // keys; callers wanting skip semantics filter first (the
+        // streaming loop does — the reference's 400-per-event arm).
+        when(col("vec").isNull, raise_error(lit(
+          "null vec in write batch — embedding failed or payload " +
+            "missing; filter null vecs before upserting")))
+          .otherwise(assert_dim(col("vec"), m.dim)).as("vec"),
         coalesce(col("meta"), map()).as("meta"))
       IngestOps.upsertLatest(typed, col("key"),
           xxhash64(col("key"), col("vec"), to_json(col("meta"))), lit(0))
@@ -200,7 +220,20 @@ class GraftClient(spark: SparkSession, root: String) {
           lit(maxSeq + 1).as("seq"))
         .persist() // caching across the actions below — no longer correctness
     }
-    val keyed = delKeys.map(_.select(requireKey(col("key")).as("key")).persist())
+    // Delete keys resolve against the store FIRST (a bucket-pruned
+    // left-semi): a delete of never-ingested keys must not rewrite its
+    // hash buckets, bump the snapshot version, expire a pinned
+    // readVersion one commit early, or run the index refresh — the
+    // "no delete matched → commits NOTHING" guarantee below holds for
+    // ghost keys, not just literally-empty frames. Costs one pruned read
+    // of the candidate buckets; the merge re-reads only buckets that
+    // actually have matches.
+    val keyed = delKeys.map { d =>
+      val k = d.select(requireKey(col("key")).as("key"))
+      val candidates = touchedBuckets(coll, k)
+      k.join(coll.readBuckets(spark, candidates).select("key"), Seq("key"), "left_semi")
+        .persist()
+    }
     try {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
         .reduceOption(_ union _)
@@ -617,8 +650,7 @@ class GraftClient(spark: SparkSession, root: String) {
         sq8CellsPath(m))
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
-      version.toString.getBytes)
+    stampIndexVersion(m, version)
     // a REBUILD can land at an unchanged store version (e.g. new nlist,
     // no new upserts) — version-keyed caches must not serve the old
     // quantizers over the new cells
@@ -758,9 +790,7 @@ class GraftClient(spark: SparkSession, root: String) {
             "__assign", idx.probe)
           writeCentroids(refreshed, s"${ivfDir(m)}/probe_centroids")
         }
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION"),
-          newVersion.toString.getBytes)
+        stampIndexVersion(m, newVersion)
       } finally keys.unpersist()
     case _ => () // no index, already stale, or pre-probe-table format —
                  // search falls back to the exact scan as before
@@ -779,16 +809,28 @@ class GraftClient(spark: SparkSession, root: String) {
       cachedBroadcast(m.name, "probe", idx.version)(idx.probe.centers),
       nprobe, normalize)
 
-  private def deleteDir(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+  /** Atomic VERSION stamp — temp file + ATOMIC_MOVE, the same publish
+    * pattern as the keyed store's CURRENT pointer. A truncate-in-place
+    * write would let a concurrent loadIndex read an EMPTY file and throw
+    * NumberFormatException out of search() instead of taking the
+    * designed stale-index fallback. (The cell parquet under it is still
+    * rewritten in place by dynamic partition overwrite — a search plan
+    * holding the OLD file listing across a maintenance commit can hit a
+    * missing file and should retry; full snapshot isolation would
+    * version the cell dirs like the keyed store's buckets.) */
+  private def stampIndexVersion(m: CollectionMeta, version: Long): Unit = {
+    val dir = java.nio.file.Paths.get(ivfDir(m))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".ver-", "")
+    java.nio.file.Files.write(tmp, version.toString.getBytes)
+    java.nio.file.Files.move(tmp, dir.resolve("VERSION"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def deleteDir(path: String): Unit =
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(path))
 
   /** Top-k search by the collection's metric, optional metadata pre-filter;
     * result shape = the reference client's `{vector_key, distance, metadata}`

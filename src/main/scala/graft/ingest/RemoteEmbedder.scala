@@ -36,7 +36,7 @@ case class RemoteEmbedder(endpoint: String, dim: Int, batchSize: Int = 64,
 
   /** One HTTP round-trip for a whole mixed batch. */
   override def embedItems(items: Seq[Either[String, Array[Byte]]]): Seq[Array[Float]] = {
-    val mapper = new ObjectMapper()
+    val mapper = RemoteEmbedder.mapper
     val root = mapper.createObjectNode()
     val arr = root.putArray("inputs")
     items.foreach {
@@ -73,4 +73,11 @@ case class RemoteEmbedder(endpoint: String, dim: Int, batchSize: Int = 64,
       }
     } finally conn.disconnect()
   }
+}
+
+object RemoteEmbedder {
+  // ObjectMapper construction is Jackson's documented-expensive setup and
+  // instances are thread-safe for read/write — one shared mapper per JVM,
+  // not one per batch on the per-chunk ingest hot path
+  private[ingest] val mapper = new ObjectMapper()
 }

@@ -238,7 +238,15 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     finally listing.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
+  private def deleteRecursively(p: Path): Unit =
+    BucketedKeyedCollection.deleteTree(p)
+}
+
+object BucketedKeyedCollection {
+  /** Recursive delete shared by the store's vacuum and the client's
+    * layout destructors (drop/rebucket) — one walk-reverse-delete to
+    * maintain instead of two. */
+  private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()

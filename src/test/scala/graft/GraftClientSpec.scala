@@ -515,6 +515,46 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("drop destroys storage; ghost deletes commit nothing; null vecs rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("dd", dim = 4)
+    client.upsert("dd", Seq(("a", Seq(1f, 2f, 3f, 4f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+
+    // a delete that matches NOTHING must not rewrite buckets or bump the
+    // version (it would expire pinned snapshots one commit early)
+    val v = client.versions("dd").last
+    client.deleteByKeys("dd", Seq("never-ingested"))
+    assert(client.versions("dd").last == v, "ghost delete must not commit")
+    // mixed ghost+real still deletes the real key
+    client.deleteByKeys("dd", Seq("never-ingested", "a"))
+    assert(client.get("dd", "a").isEmpty && client.versions("dd").last == v + 1)
+
+    // a null vec must be rejected at the write boundary — committed, it
+    // would rank first in every search (ASC NULLS FIRST, null distance)
+    val e = intercept[Exception] {
+      client.upsert("dd", Seq(("b", null.asInstanceOf[Seq[Float]],
+        Map.empty[String, String])).toDF("key", "vec", "meta"))
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("null vec"), s"unexpected: $msgs")
+
+    // drop destroys the layout: a same-named re-create must start EMPTY
+    // (stale dirs would resurrect the old rows under the old dim)
+    client.upsert("dd", Seq(("a", Seq(9f, 9f, 9f, 9f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val dp = client.describe("dd").dataPath
+    assert(client.drop("dd"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dp)),
+      "drop must delete the data directory")
+    client.createCollection("dd", dim = 8)
+    assert(client.versions("dd").isEmpty, "re-created collection must start empty")
+    assert(client.get("dd", "a").isEmpty, "old rows must not resurrect")
+  }
+
   test("get: point lookup reads only the key's bucket") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-get").toString
