@@ -220,19 +220,26 @@ class GraftClient(spark: SparkSession, root: String) {
           lit(maxSeq + 1).as("seq"))
         .persist() // caching across the actions below — no longer correctness
     }
-    // Delete keys resolve against the store FIRST (a bucket-pruned
-    // left-semi): a delete of never-ingested keys must not rewrite its
-    // hash buckets, bump the snapshot version, expire a pinned
-    // readVersion one commit early, or run the index refresh — the
-    // "no delete matched → commits NOTHING" guarantee below holds for
-    // ghost keys, not just literally-empty frames. Costs one pruned read
-    // of the candidate buckets; the merge re-reads only buckets that
-    // actually have matches.
+    // PURE-delete batches resolve their keys against the store FIRST (a
+    // bucket-pruned left-semi): a delete of never-ingested keys must not
+    // rewrite its hash buckets, bump the snapshot version, expire a
+    // pinned readVersion one commit early, or run the index refresh —
+    // the "no delete matched → commits NOTHING" guarantee below holds
+    // for ghost keys, not just literally-empty frames. Mixed put+delete
+    // batches (the streaming loop) skip the pre-resolve: they commit for
+    // their puts regardless, so the extra read per micro-batch would buy
+    // nothing but latency (a ghost key there only rewrites its bucket
+    // byte-identically, which is harmless).
     val keyed = delKeys.map { d =>
       val k = d.select(requireKey(col("key")).as("key"))
-      val candidates = touchedBuckets(coll, k)
-      k.join(coll.readBuckets(spark, candidates).select("key"), Seq("key"), "left_semi")
-        .persist()
+      val resolved =
+        if (puts.nonEmpty) k
+        else {
+          val candidates = touchedBuckets(coll, k)
+          k.join(coll.readBuckets(spark, candidates).select("key"),
+            Seq("key"), "left_semi")
+        }
+      resolved.persist()
     }
     try {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
