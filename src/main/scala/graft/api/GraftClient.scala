@@ -285,6 +285,12 @@ class GraftClient(spark: SparkSession, root: String) {
   private def liveCount(m: CollectionMeta): Long =
     collection(m).read(spark).count()
 
+  /** Live row count of the collection — Milvus
+    * `get_collection_stats().row_count` / `num_entities` parity
+    * (`milvus-app/describe.py` surfaces the same figure). Satisfied from
+    * parquet row-group metadata: footers only, no data pages. */
+  def count(name: String): Long = liveCount(metaOrThrow(name))
+
   /** Per-bucket statistics of the current snapshot — the operational view
     * that tells you when [[rebucket]] is due (bucket sizes drifting past
     * target) and whether keys skew (xxhash64 should spread them; a hot
@@ -319,7 +325,10 @@ class GraftClient(spark: SparkSession, root: String) {
             lit("stats: file outside the bNNNNN-vNNNNNNNN bucket layout: "),
             input_file_name()))).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_rows"), max(col("seq")).as("max_seq"))
+      // functions.count qualified: the client's public count(name) API
+      // shadows it in this scope
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"),
+        max(col("seq")).as("max_seq"))
       .orderBy(col("bucket"))
   }
 

@@ -47,6 +47,8 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch2 = Seq(row("doc3", "spark vector search engine over parquet", "infra-v2"))
       .toDF("key", "vec", "meta")
     assert(client.upsert("bkt_text_0001", batch2) == 3)
+    // Milvus get_collection_stats().row_count parity
+    assert(client.count("bkt_text_0001") == 3)
 
     // search: top-2 by L2, reference result shape
     val q = Embedder.text.embedText("quick brown fox")
