@@ -341,11 +341,16 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     private def xmlEsc(s: String) =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-    // chaos injection: every (1/shedEveryN)-th request is answered 503
-    // SlowDown BEFORE normal handling — S3's load-shedding behavior, for
-    // asserting the client's retry survives it. 0 = off.
-    @volatile var shedEveryN = 0
-    val requestsSeen = new java.util.concurrent.atomic.AtomicLong(0)
+    // chaos injection: when on, the FIRST attempt of every distinct
+    // (method, path, query) is answered 503 SlowDown BEFORE normal
+    // handling — S3's load-shedding behavior. Deterministic under ANY
+    // task interleaving (unlike an every-Nth counter, where concurrent
+    // tasks could in principle land a whole retry budget on shed
+    // indices): every operation fails exactly once, so the client's
+    // retry is exercised on EVERY path and success is guaranteed iff
+    // retry works.
+    @volatile var shedFirstAttempts = false
+    val shedSeen = new scala.collection.concurrent.TrieMap[String, Boolean]()
     @volatile var shedCount = 0L
 
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
@@ -357,8 +362,10 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         if (body.nonEmpty) ex.getResponseBody.write(body)
         ex.close()
       }
-      val n = requestsSeen.incrementAndGet()
-      if (shedEveryN > 0 && n % shedEveryN == 0) {
+      val reqKey = ex.getRequestMethod + " " + rawPath + "?" +
+        Option(ex.getRequestURI.getRawQuery).getOrElse("") + "|" +
+        Option(ex.getRequestHeaders.getFirst("Range")).getOrElse("")
+      if (shedFirstAttempts && shedSeen.putIfAbsent(reqKey, true).isEmpty) {
         shedCount += 1
         send(503, "<Error><Code>SlowDown</Code></Error>".getBytes("UTF-8"))
       }
@@ -631,14 +638,14 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!stub.store.contains("export/_SUCCESS/"),
         "a refused mkdirs must not leave a directory marker behind")
 
-      // S3 LOAD SHEDDING: from here on the gateway answers every 3rd
-      // request with 503 SlowDown. At fleet scale some fraction of
-      // requests always sees this — the client's bounded-backoff retry
-      // must absorb it invisibly: writes commit, reads stay byte-exact,
-      // nothing leaks into results. (Sequential retries can never draw
-      // two 503s in a row at every-3rd cadence, so the 4-attempt budget
-      // is deterministic headroom.)
-      stub.shedEveryN = 3
+      // S3 LOAD SHEDDING: from here on the gateway 503s the FIRST
+      // attempt of every distinct request. At fleet scale some fraction
+      // of requests always sees shedding — the client's bounded-backoff
+      // retry must absorb it invisibly: writes commit, reads stay
+      // byte-exact, nothing leaks into results. Every single operation
+      // of the write+read below fails once, so success proves retry
+      // works on every path — deterministically, under any parallelism.
+      stub.shedFirstAttempts = true
       val chaosDf = back.select(col("doc_id"), col("text"))
       chaosDf.coalesce(1).write.parquet("s3a://out-bucket/chaos")
       val chaosBack = spark.read.parquet("s3a://out-bucket/chaos")
@@ -647,7 +654,7 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(chaosBack.agg(sum(col("doc_id"))).head().getLong(0) ==
           chaosDf.agg(sum(col("doc_id"))).head().getLong(0),
         "rows read through shedding must be byte-exact, not resent/partial")
-      stub.shedEveryN = 0
+      stub.shedFirstAttempts = false
       assert(stub.shedCount > 0, "the chaos injection must actually have fired")
     } finally {
       stub.stop()
