@@ -36,7 +36,7 @@ object Bench {
       val t2 = runOnce(n)
       n -> (if (pass1(n) < 0 || t2 < 0) -1.0 else math.min(pass1(n), t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => JsonStr.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // A failed query (-1 entry) is excluded from `total`, which would make
@@ -53,7 +53,7 @@ object Bench {
         System.err.println(s"[bench] streaming ingest failed: ${e.getMessage}"); None }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed + (if (ingest.isEmpty) 1 else 0)}""" +
-      ingest.fold("")("," + _.json) + s""","sf":"$sfDir"}""")
+      ingest.fold("")("," + _.json) + s""","sf":${JsonStr.q(sfDir)}}""")
     spark.stop()
     if (failed > 0 || ingest.isEmpty) sys.exit(1)
   }

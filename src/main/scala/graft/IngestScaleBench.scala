@@ -31,10 +31,15 @@ object IngestScaleBench {
     * (wall seconds, events, per-batch trigger seconds, live keys). */
   case class Result(wallSec: Double, events: Long, batchSec: Seq[Double], liveKeys: Long) {
     def eventsPerSec: Long = (events / wallSec).round
+    // Locale.ROOT: the f interpolator uses the JVM default locale, and a
+    // comma-decimal locale would print 12,34 — malformed JSON the driver
+    // archive can't parse (build.sbt pins no -Duser.language)
+    private def s2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     def json: String =
-      s""""streaming_ingest_sec":${f"$wallSec%.2f"},""" +
+      s""""streaming_ingest_sec":${s2(wallSec)},""" +
         s""""ingest_events_per_sec":$eventsPerSec,""" +
-        s""""ingest_batch_sec":[${batchSec.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""ingest_batch_sec":[${batchSec.map(s2).mkString(",")}],""" +
         s""""ingest_live_keys":$liveKeys"""
   }
 
@@ -99,6 +104,11 @@ object IngestScaleBench {
     val perBatchSec = batches.map(_.durationMs.get("triggerExecution").toDouble / 1e3).toSeq
     client.registerSqlViews()
     val live = spark.sql("SELECT count(*) FROM bench").head().getLong(0)
+    // scratch store + landing files are per-run throwaways — on a shared
+    // box, per-round leftovers would accumulate until /tmp pressure
+    // fails later Spark writes
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(root))
     Result(wallSec, nEvents, perBatchSec, live)
   }
 

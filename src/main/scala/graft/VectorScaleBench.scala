@@ -43,46 +43,67 @@ object VectorScaleBench {
         }
       }.toDF("vec_id", "vec")
 
+    // per-run scratch dirs, deleted before exit — multi-GB leftovers
+    // would otherwise accumulate in /tmp across rounds on a shared box
+    val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tmpDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      scratch += d
+      d
+    }
+
+    // the probe vector's id — fixed at 12345 for the documented 1M runs,
+    // clamped so small custom nRows don't crash an empty head()
+    val probeId = math.min(12345L, n - 1)
+
     // Materialize at rest — every measurement below reads parquet, the
     // only layout that exists at 100 TB (no cache games on either side).
-    val dataDir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val dataDir = tmpDir("graft-scale")
     val buildT0 = System.nanoTime()
     genVectors(n).write.mode("overwrite").parquet(s"$dataDir/vecs")
     val buildSec = (System.nanoTime() - buildT0) / 1e9
     val vecs = spark.read.parquet(s"$dataDir/vecs")
 
-    val q = vecs.filter(col("vec_id") === 12345L).select("vec")
+    val q = vecs.filter(col("vec_id") === probeId).select("vec")
       .head().getSeq[Float](0).toArray
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // exact top-10 scan (warm + timed)
+    // exact top-10 scan (warm + timed); ids captured from the timed run
+    // itself — a separate answer-only pass would be another full scan
+    var exactIds: Seq[Long] = Nil
     def exactOnce(): Unit =
-      vecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(q)).as("dist"))
-        .orderBy(col("dist"), col("vec_id")).limit(10).collect()
+      exactIds = vecs
+        .select(col("vec_id"), l2_distance(col("vec"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
     exactOnce()
     val exactSec = math.min(time(exactOnce()), time(exactOnce()))
 
-    // batched: 16 queries × index through the bounded-heap UDAF
+    // batched: 16 queries × index through the bounded-heap UDAF; the
+    // exact per-query answer sets are captured from the timed run
     val queries = vecs.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    var batchedRows: Array[org.apache.spark.sql.Row] = Array.empty
     def batchedOnce(): Unit = {
       val topk = graft.functions.VectorAggregates.topKByDist(5)
-      vecs.crossJoin(broadcast(queries))
+      batchedRows = vecs.crossJoin(broadcast(queries))
         .select(col("qid"), col("vec_id"), l2_distance(col("vec"), col("qvec")).as("dist"))
         .groupBy(col("qid")).agg(topk(col("dist"), col("vec_id")).as("tops"))
         .collect()
     }
     batchedOnce()
     val batchedSec = math.min(time(batchedOnce()), time(batchedOnce()))
+    val exactBatched = batchedRows.map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet).toMap
 
     // IVF: build on a sample, persist partitioned-by-cell, probe 4/64
     // cells AT REST — an in-session cached probe would still scan every
     // row (caching defeats pruning); the win is the parquet partition
     // prune, which is also the only layout that exists at 100 TB.
-    val ivfDir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString + "/idx"
+    val ivfDir = tmpDir("graft-scale-ivf") + "/idx"
     val ivfBuildT0 = System.nanoTime()
     val (indexed, quant) = graft.index.IvfIndex.build(
       vecs, "vec", nlist = 64, sampleFraction = 0.02)
@@ -96,8 +117,6 @@ object VectorScaleBench {
     ivfOnce()
     var ivfIds: Seq[Long] = Nil
     val ivfSec = math.min(time { ivfIds = ivfOnce() }, time { ivfIds = ivfOnce() })
-    val exactIds = vecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(q)).as("dist"))
-      .orderBy(col("dist"), col("vec_id")).limit(10).collect().map(_.getLong(0)).toSeq
     val recall = ivfIds.count(exactIds.contains).toDouble / exactIds.size
 
     // batched 16 queries THROUGH the IVF prune (the searchBatch
@@ -121,20 +140,16 @@ object VectorScaleBench {
     var ivfBatchedRows: Array[org.apache.spark.sql.Row] = Array.empty
     val ivfBatchedSec = math.min(
       time { ivfBatchedRows = ivfBatchedOnce() }, time { ivfBatchedRows = ivfBatchedOnce() })
-    // recall of the pruned batch vs the exact batched answer
-    val exactBatched = {
-      val topk = graft.functions.VectorAggregates.topKByDist(5)
-      vecs.crossJoin(broadcast(queries))
-        .select(col("qid"), col("vec_id"), l2_distance(col("vec"), col("qvec")).as("dist"))
-        .groupBy(col("qid")).agg(topk(col("dist"), col("vec_id")).as("tops"))
-        .collect().map(r => r.getLong(0) ->
-          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet).toMap
-    }
+    // recall of the pruned batch vs the exact batched answer (captured
+    // from the timed exact run above). Iterate the EXACT qids: a query
+    // whose probed cells are all empty contributes no pruned row, and
+    // skipping it would overstate recall (its true recall is 0) — and an
+    // all-missing degenerate would print NaN into the JSON line.
     val batchRecall = {
-      val per = ivfBatchedRows.map { r =>
-        val got = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet
-        val want = exactBatched(r.getLong(0))
-        got.intersect(want).size.toDouble / want.size
+      val pruned = ivfBatchedRows.map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSet).toMap
+      val per = exactBatched.toSeq.map { case (qid, want) =>
+        pruned.getOrElse(qid, Set.empty[Long]).intersect(want).size.toDouble / want.size
       }
       per.sum / per.length
     }
@@ -171,14 +186,14 @@ object VectorScaleBench {
       }.toDF("vec_id", "vec")
     genRandom(n).write.mode("overwrite").parquet(s"$dataDir/cvecs")
     val cvecs = spark.read.parquet(s"$dataDir/cvecs")
-    val cq = cvecs.filter(col("vec_id") === 12345L).select("vec")
+    val cq = cvecs.filter(col("vec_id") === probeId).select("vec")
       .head().getSeq[Float](0).toArray
     val (cIndexed, cQuant) = graft.index.IvfIndex.build(
       cvecs, "vec", nlist = 64, sampleFraction = 0.02)
-    val cIvfDir = java.nio.file.Files.createTempDirectory("graft-scale-civf").toString + "/idx"
+    val cIvfDir = tmpDir("graft-scale-civf") + "/idx"
     graft.index.IvfIndex.writeIndexed(cIndexed, cIvfDir)
 
-    val sq8Dir = java.nio.file.Files.createTempDirectory("graft-scale-sq8").toString + "/idx"
+    val sq8Dir = tmpDir("graft-scale-sq8") + "/idx"
     val sq8BuildT0 = System.nanoTime()
     graft.index.Sq8Index.writeQuantized(
       graft.index.Sq8Index.quantize(cIndexed, "vec"), sq8Dir)
@@ -226,7 +241,7 @@ object VectorScaleBench {
     // search (quantized stage-1 + broadcast re-rank against the store),
     // and one incremental maintenance commit (re-quantizes only touched
     // cells). Same iid dataset as the module-level SQ8 rows above.
-    val clientRoot = java.nio.file.Files.createTempDirectory("graft-scale-cli").toString
+    val clientRoot = tmpDir("graft-scale-cli")
     val client = new graft.api.GraftClient(spark, clientRoot)
     client.createCollection("bench", dim = dim, metric = "l2",
       indexType = "IVF_SQ8", nlist = 64, buckets = 16)
@@ -267,7 +282,7 @@ object VectorScaleBench {
     // Same iid dataset; recall decomposed the same two ways as l2 —
     // full-probe-vs-exact isolates quantize+refine, nprobe-vs-full-probe
     // isolates the prune.
-    val cosRoot = java.nio.file.Files.createTempDirectory("graft-scale-cos").toString
+    val cosRoot = tmpDir("graft-scale-cos")
     val cosClient = new graft.api.GraftClient(spark, cosRoot)
     cosClient.createCollection("benchcos", dim = dim, metric = "cosine",
       indexType = "IVF_SQ8", nlist = 64, buckets = 16)
@@ -320,5 +335,9 @@ object VectorScaleBench {
         s""""client_cos_sq8_fullprobe_recall_vs_exact":$cosFullRecall,""" +
         s""""client_cos_sq8_prune_recall_vs_fullprobe":$cosPruneRecall}""")
     spark.stop()
+    // multi-GB scratch (two datasets, three index copies, two client
+    // stores) — clean it before exit so repeated runs don't fill /tmp
+    scratch.foreach(d => graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(d)))
   }
 }

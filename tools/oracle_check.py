@@ -19,8 +19,10 @@ type of an uncast sum(int)) surfaces through Arrow as decimal128(38,0),
 which the driver's type-tagged hasher distinguishes from int64 — but
 fetchall() degrades it to a plain Python int, hiding the mismatch. Round 6
 shipped exactly that blind spot: data_mix_weights was green here (fetchall
-path) and red at the driver (arrow path). Arrow schemas are also compared
-directly, so a type-only divergence fails even when every value coincides.
+path) and red at the driver (arrow path). Arrow types are also compared at
+the PYTHON-VALUE-CLASS level (see type_class — calibrated against driver
+evidence: int widths collapse, decimal/str/tz-awareness do not), so a
+class-level divergence fails even when every value coincides.
 
 Exit 0 iff every query matches exactly.
 """
@@ -96,6 +98,27 @@ def max_float_diff(ra, rb):
     return m
 
 
+def type_class(t):
+    """Python-value class of an arrow type string — the granularity the
+    driver's type-tagged hash actually distinguishes (int widths collapse
+    to Python int; decimal stays Decimal; tz-aware datetimes differ from
+    naive ones)."""
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith(("int", "uint")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t in ("string", "large_string", "string_view"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp+tz" if "tz=" in t else "timestamp"
+    for prefix in ("large_list<", "list<"):
+        if t.startswith(prefix) and t.endswith(">"):
+            return "list<" + type_class(t[len(prefix):-1].replace("item: ", "")) + ">"
+    return t
+
+
 def main():
     if "--skip-verify" not in sys.argv:
         run_verify()
@@ -126,16 +149,23 @@ def main():
             print(f"FAIL {name}: columns spark={s_cols_s} duckdb={d_cols_s}")
             n_bad += 1
             continue
-        # Hard-fail when exactly one side is decimal: values coincide
-        # numerically, so this is the class the driver's type-tagged hash
-        # catches and a value-equality check (or fetchall) silently misses.
-        dec_bad = [c for c in s_cols_s
-                   if s_types.get(c, "").startswith("decimal") != d_types.get(c, "").startswith("decimal")]
-        if dec_bad:
-            detail = ", ".join(f"{c}: spark={s_types.get(c)} duckdb={d_types.get(c)}" for c in dec_bad)
+        # Hard-fail when the two sides' arrow types map to DIFFERENT
+        # Python value classes. Calibrated against driver evidence: r6
+        # passed int64-vs-int32 columns (math_funcs.line_no — integer
+        # widths collapse to the same Python int) but failed
+        # decimal128-vs-int64 (data_mix_weights — Decimal is a distinct
+        # serialized class). So the faithful rule is class-level, not
+        # width-level: int family, float family, decimal, str,
+        # timestamp split by tz-awareness (naive vs aware datetimes
+        # serialize differently), lists recursing on the element.
+        type_bad = [c for c in s_cols_s
+                    if type_class(s_types.get(c, "")) != type_class(d_types.get(c, ""))]
+        if type_bad:
+            detail = ", ".join(f"{c}: spark={s_types.get(c)} duckdb={d_types.get(c)}" for c in type_bad)
             hint = ""
-            if any(d_types.get(c, "") == "decimal128(38, 0)" for c in dec_bad):
-                hint = " (decimal128(38,0) = DuckDB HUGEINT, i.e. an uncast sum(int) — add ::BIGINT in the oracle SQL)"
+            if any(d_types.get(c, "") == "decimal128(38, 0)" for c in type_bad):
+                hint = (" (decimal128(38,0) = DuckDB HUGEINT, i.e. an "
+                        "uncast sum(int) — add ::BIGINT in the oracle SQL)")
             print(f"FAIL {name}: arrow type mismatch — {detail}{hint}")
             n_bad += 1
             continue
