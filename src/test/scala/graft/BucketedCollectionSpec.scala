@@ -33,15 +33,7 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     coll.read(spark).collect().map(r => (r.getString(0), r.getLong(1))).toSet
 
   /** bucket id → live relative data dir, parsed from the current manifest. */
-  private def liveDirs(root: String): Map[Int, String] = {
-    import scala.jdk.CollectionConverters._
-    val cur = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(root, "CURRENT"))).trim.toLong
-    java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(root, f"manifest-$cur%08d")).asScala.toSeq.tail
-      .filter(_.nonEmpty)
-      .map { l => val Array(b, rel) = l.split(" ", 2); b.toInt -> rel }.toMap
-  }
+  private def liveDirs(root: String): Map[Int, String] = TestDirs.liveDirs(root)
 
   private def bucketOf(coll: BucketedKeyedCollection, key: String): Int = {
     import spark.implicits._

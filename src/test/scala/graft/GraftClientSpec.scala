@@ -96,9 +96,7 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private def notif(eventName: String, key: String): String =
-    s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
-      s""""s3":{"bucket":{"name":"bkt-0001"},"object":{"key":"$key","size":1,""" +
-      s""""tags":{"category":"bin"}}}}]}"""
+    TestDirs.notif(eventName, key, category = "bin")
 
   private def writeLanding(dir: String, name: String, lines: Seq[String],
                            mtimeMs: Long): Unit = {
@@ -607,19 +605,17 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.collect().map(_.getAs[String]("vector_key")).toSeq == Seq("k5", "k4", "k6"))
 
     // the migrated store keeps touched-bucket economics: a one-key upsert
-    // rewrites exactly one of the 32 buckets, and seq carried over so the
-    // new write wins
-    def liveDirCount(): Int = {
-      import scala.jdk.CollectionConverters._
-      val dp = java.nio.file.Paths.get(meta.dataPath)
-      val cur = new String(java.nio.file.Files.readAllBytes(dp.resolve("CURRENT"))).trim.toLong
-      java.nio.file.Files.readAllLines(dp.resolve(f"manifest-$cur%08d")).asScala.toSeq.tail
-        .count(_.nonEmpty)
-    }
-    val before = liveDirCount()
+    // rewrites exactly one of the 32 buckets — asserted on the full
+    // bucket→dir MAP, not a count (a full-layout rewrite would keep the
+    // count identical while replacing every directory)
+    val before = TestDirs.liveDirs(meta.dataPath)
     client.upsert("rb", Seq(("k5", Seq(999f, 0f, 0f, 0f), Map("i" -> "new")))
       .toDF("key", "vec", "meta"))
-    assert(liveDirCount() == before, "bucket count of live dirs unchanged")
+    val after = TestDirs.liveDirs(meta.dataPath)
+    assert(after.keySet == before.keySet, "live bucket set unchanged")
+    val changed = after.keySet.filter(b => after(b) != before(b))
+    assert(changed.size == 1,
+      s"a one-key upsert must rewrite exactly one bucket dir, changed: $changed")
     assert(client.search("rb", Array(999f, 0f, 0f, 0f), 1).collect()
       .head.getAs[String]("vector_key") == "k5", "post-rebucket write must win")
     // old layout is gone from disk
@@ -1265,14 +1261,8 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       (s"k$i", Seq(i.toFloat, 0f), Map("grp" -> (if (i == 5) "victim" else "keep"))))
     client.upsert("dw", rows.toDF("key", "vec", "meta"))
 
-    def liveDirs(): Map[Int, String] = {
-      import scala.jdk.CollectionConverters._
-      val dp = java.nio.file.Paths.get(client.describe("dw").dataPath)
-      val cur = new String(java.nio.file.Files.readAllBytes(dp.resolve("CURRENT"))).trim.toLong
-      java.nio.file.Files.readAllLines(dp.resolve(f"manifest-$cur%08d")).asScala.toSeq.tail
-        .filter(_.nonEmpty)
-        .map { l => val Array(b, rel) = l.split(" ", 2); b.toInt -> rel }.toMap
-    }
+    def liveDirs(): Map[Int, String] =
+      TestDirs.liveDirs(client.describe("dw").dataPath)
     val before = liveDirs()
     assert(client.deleteWhere("dw",
       element_at(col("meta"), "grp") === "victim") == 99)

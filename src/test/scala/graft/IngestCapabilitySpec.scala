@@ -40,12 +40,18 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("similar texts embed closer than dissimilar ones") {
     val e = HashingEmbedder(384)
-    def cos(a: Array[Float], b: Array[Float]): Double =
+    // dot product ≡ cosine here ONLY because HashingEmbedder emits
+    // unit-norm vectors (asserted in its own test) — named honestly so a
+    // non-normalized embedder change doesn't silently turn this into a
+    // magnitude comparison
+    def dot(a: Array[Float], b: Array[Float]): Double =
       a.zip(b).map { case (x, y) => x.toDouble * y }.sum
     val base = e.embedText("spark vector search engine over parquet files")
     val near = e.embedText("spark vector search engine over parquet data")
     val far = e.embedText("completely unrelated words about gardening tools")
-    assert(cos(base, near) > cos(base, far))
+    assert(math.abs(dot(base, base) - 1.0) < 1e-6,
+      "unit-norm precondition for dot ≡ cosine")
+    assert(dot(base, near) > dot(base, far))
   }
 
   // ---- Object sources (A3, C1) ----
@@ -450,14 +456,30 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
               case "GET" =>
                 Option(ex.getRequestHeaders.getFirst("Range")) match {
                   case Some(r) =>
-                    val m = "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r).get
-                    val from = m.group(1).toInt
-                    val to = Option(m.group(2)).filter(_.nonEmpty)
-                      .map(_.toInt).getOrElse(data.length - 1)
-                    val slice = data.slice(from, to + 1)
-                    ex.getResponseHeaders.add("Content-Range",
-                      s"bytes $from-${from + slice.length - 1}/${data.length}")
-                    send(206, slice)
+                    // prefix (bytes=N-[M]) and suffix (bytes=-N) forms —
+                    // an unhandled legal form must answer 416, never
+                    // crash the handler and leave the exchange hanging
+                    // (the client would block to its timeout)
+                    "bytes=(\\d+)-(\\d*)".r.findFirstMatchIn(r) match {
+                      case Some(m) =>
+                        val from = m.group(1).toInt
+                        val to = Option(m.group(2)).filter(_.nonEmpty)
+                          .map(_.toInt).getOrElse(data.length - 1)
+                        val slice = data.slice(from, to + 1)
+                        ex.getResponseHeaders.add("Content-Range",
+                          s"bytes $from-${from + slice.length - 1}/${data.length}")
+                        send(206, slice)
+                      case None =>
+                        "bytes=-(\\d+)".r.findFirstMatchIn(r) match {
+                          case Some(s) =>
+                            val n = math.min(s.group(1).toInt, data.length)
+                            val slice = data.slice(data.length - n, data.length)
+                            ex.getResponseHeaders.add("Content-Range",
+                              s"bytes ${data.length - n}-${data.length - 1}/${data.length}")
+                            send(206, slice)
+                          case None => send(416, Array.empty)
+                        }
+                    }
                   case None => send(200, data)
                 }
               case _ => send(405, Array.empty)
@@ -726,9 +748,7 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
         val c = conn.getResponseCode; conn.disconnect(); c
       }
       def notif(eventName: String, key: String): String =
-        s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
-          s""""s3":{"bucket":{"name":"bkt"},"object":{"key":"$key","size":1,""" +
-          s""""tags":{"category":"docs"}}}}]}"""
+        TestDirs.notif(eventName, key, bucket = "bkt")
       assert(post(notif("ObjectCreated:Put", "a.txt")) == 200)
       assert(post(notif("ObjectCreated:Put", "b.txt")) == 200)
       assert(post(notif("ObjectRemoved:Delete", "a.txt")) == 200)

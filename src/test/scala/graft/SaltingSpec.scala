@@ -47,15 +47,22 @@ class SaltingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plain = skewed.join(dim, Seq("key"))
       .groupBy($"key", $"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
-    val salted = Salting.saltedJoin(skewed, dim, "key", salts = 16)
+    val joined = Salting.saltedJoin(skewed, dim, "key", salts = 16)
+    val salted = joined
       .groupBy($"key", $"label").agg(count(lit(1)).as("n"), sum($"v").as("s"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
     assert(salted == plain)
 
-    // the hot key's rows really occupy many salt buckets pre-join
-    val buckets = skewed.withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)))
-      .filter($"key" === "hot").select("__salt").distinct().count()
-    assert(buckets >= 8, s"hot key spread over $buckets buckets")
+    // assert the UNIT's own mechanism, not a test-local recomputation
+    // (equivalence alone passes even if saltedJoin stopped salting —
+    // salting is value-preserving): the join must key on __salt, and the
+    // hot key's OUTPUT rows must land across many shuffle partitions
+    // instead of the one reducer an unsalted join would pin them to
+    assert(joined.queryExecution.executedPlan.toString.contains("__salt"),
+      "saltedJoin must actually join on the salt column")
+    val hotPartitions = joined.filter($"key" === "hot")
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(hotPartitions >= 8,
+      s"hot key's joined rows spread over only $hotPartitions partitions")
   }
 }

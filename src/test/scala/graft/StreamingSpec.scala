@@ -30,9 +30,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** One notification JSON, shaped like FIXTURES.md §2.1. */
   private def notif(eventName: String, key: String, size: Long = 1): String =
-    s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3","eventName":"$eventName",""" +
-      s""""s3":{"bucket":{"name":"bkt-0001"},"object":{"key":"$key","size":$size,""" +
-      s""""tags":{"category":"docs"}}}}]}"""
+    TestDirs.notif(eventName, key, size)
 
   // (json, event_ts, seq)
   private val eventLog: Seq[(String, Timestamp, Long)] = Seq(
@@ -155,9 +153,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.processAllAvailable()
     q.stop()
 
-    val rows = spark.table("win_counts")
+    val emitted = spark.table("win_counts")
       .select(col("win_start").cast("string"), col("n")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exactly ONE emission per window FIRST — a .toMap alone could mask a
+    // duplicate re-emission of the closed window (collect order decides
+    // which pair survives), which is the very regression under test
+    val dupes = emitted.groupBy(_._1).filter(_._2.length > 1).keys
+    assert(dupes.isEmpty, s"closed windows re-emitted: $dupes in ${emitted.toSeq}")
+    val rows = emitted.toMap
     assert(rows("2024-01-01 10:00:00") == 2L,
       s"late straggler must NOT bump the closed 10:00 window: $rows")
   }

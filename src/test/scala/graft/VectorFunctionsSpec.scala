@@ -71,7 +71,11 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       vecs.select(assert_dim($"v", 5)).collect()
     }
-    assert(e.getMessage.contains("dimension") || e.getCause != null)
+    // the DESIGNED diagnostic must appear somewhere in the cause chain —
+    // "any exception with a cause" would accept an unrelated NPE too
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("dimension"), s"unexpected error: $msgs")
   }
 
   test("ngrams expression: shingles, short inputs, codegen + SQL parity") {
