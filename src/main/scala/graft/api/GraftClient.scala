@@ -71,9 +71,17 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   /** Null keys would hash to a null bucket and corrupt the partitioned
-    * write — reject them at the write boundary, like the dimension check. */
+    * write — reject them at the write boundary, like the dimension check.
+    * Keys are also capped at 2048 chars: the reference's primary key is
+    * VARCHAR(max_length=2048) (milvus-app/pythonvectordbceph_milvus.py:94),
+    * and an unbounded key would silently bloat every per-key structure
+    * (bucket files, index candidate lists) a migrating user sized for it. */
   private def requireKey(c: Column): Column =
-    when(c.isNull, raise_error(lit("null key in write batch"))).otherwise(c)
+    when(c.isNull, raise_error(lit("null key in write batch")))
+      .when(length(c) > GraftClient.MaxKeyLength, raise_error(concat(
+        lit(s"key exceeds max length ${GraftClient.MaxKeyLength}: "),
+        length(c).cast("string"), lit(" chars"))))
+      .otherwise(c)
 
   /** The bucket ids a batch touches — bounded by the collection's bucket
     * count (a ≤`buckets`-int driver array, NOT a data collect). */
@@ -112,9 +120,17 @@ class GraftClient(spark: SparkSession, root: String) {
     require(retain >= 2, s"retain must be >= 2 (got $retain) — the " +
       "previous snapshot must outlive a commit for incremental index " +
       "maintenance and pinned readers")
-    catalog.createCollection(CollectionMeta(
+    val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
-      retain))
+      retain)
+    // defensively clear any pre-existing storage under this name BEFORE
+    // cataloging it: a crash inside an earlier drop() (or any orphaned
+    // dir) would otherwise silently RESURRECT old rows — under a possibly
+    // different dim — the moment the name is re-created
+    if (catalog.describeCollection(name).isEmpty) {
+      deleteDir(ivfDir(meta)); deleteDir(meta.dataPath)
+    }
+    catalog.createCollection(meta)
   }
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
@@ -126,13 +142,13 @@ class GraftClient(spark: SparkSession, root: String) {
     catalog.describeCollection(name) match {
       case None => false
       case Some(m) =>
-        val ok = catalog.dropCollection(name)
-        // destroy the storage with the catalog entry: leaving the data
-        // and index dirs behind means a same-named re-create silently
-        // RESURRECTS the old rows under the old dim (rebucket already
-        // deletes superseded layouts for the same reason)
-        if (ok) { deleteDir(ivfDir(m)); deleteDir(m.dataPath) }
-        ok
+        // destroy the storage BEFORE the catalog entry: a crash between
+        // the two then leaves a cataloged-but-empty collection (benign,
+        // and re-droppable) instead of orphaned data dirs that a
+        // same-named re-create would silently RESURRECT under a possibly
+        // different dim (createCollection also clears defensively)
+        deleteDir(ivfDir(m)); deleteDir(m.dataPath)
+        catalog.dropCollection(name)
     }
   }
 
@@ -1018,8 +1034,13 @@ class GraftClient(spark: SparkSession, root: String) {
         // the fetch degrades to ordinary shuffle joins instead of OOMing
         val hintQ: DataFrame => DataFrame =
           if (nQ <= 100000L) broadcast else identity
+        // division, not multiplication: nQ is caller-suppliable via the
+        // numQueries hint, and nQ * k * refine can overflow Long to a
+        // negative that would PASS the <= check and broadcast the huge
+        // candidate set — the exact OOM this guard exists to prevent
         val hintStage1: DataFrame => DataFrame =
-          if (nQ * k * refine <= 100000L) broadcast else identity
+          if (nQ <= 100000L / math.max(1L, k.toLong * refine)) broadcast
+          else identity
         // stage-1 queries live in the assign space: l2_normalize here is
         // bit-identical to the single-query normalizeQuery rounding, so
         // batch stage-1 distances equal single-query stage-1 distances.
@@ -1180,4 +1201,12 @@ class GraftClient(spark: SparkSession, root: String) {
                   filter: Option[Column] = None, nprobe: Int = 4,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): DataFrame =
     search(name, embedder.embedBytes(bytes), k, filter, nprobe)
+}
+
+object GraftClient {
+  /** Primary-key length cap, matching the reference schema's
+    * VARCHAR(max_length=2048) (milvus-app/pythonvectordbceph_milvus.py:94).
+    * Enforced row-wise at the write boundary alongside the null-key and
+    * dimension checks. */
+  val MaxKeyLength: Int = 2048
 }

@@ -469,6 +469,14 @@ object NearestCentroidsKernel {
              normalize: Boolean, nprobe: Int): GenericArrayData = {
     if (nprobe <= 0 || centers.length == 0)
       return new GenericArrayData(Array.empty[Int])
+    // same dim guard as NearestCentroid: a LONGER query would silently
+    // rank cells by a prefix distance, a shorter one would die with a
+    // bare ArrayIndexOutOfBoundsException — both paths (eval and codegen)
+    // funnel through this kernel, so the check covers both
+    if (v.numElements() != centers(0).length)
+      throw new IllegalArgumentException(
+        s"nearest_centroids: vector dimension ${v.numElements()} != " +
+          s"centroid dimension ${centers(0).length}")
     val n = v.numElements()
     val q = new Array[Double](n)
     var i = 0

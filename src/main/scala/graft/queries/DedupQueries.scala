@@ -203,8 +203,25 @@ object DedupQueries {
     // scheduling OOMs the driver. Checkpointing materializes the rows AND
     // truncates the lineage, keeping every round's plan O(1).
     val spark = docs.sparkSession
-    val preexistingRdds = spark.sparkContext.getPersistentRDDs.keySet
-    var labels = docs.select(col(idCol), col(idCol).as("lbl")).localCheckpoint()
+    // ownership tracking for the cleanup below: each localCheckpoint's
+    // persisted RDD is read straight out of the returned frame's plan
+    // (its LogicalRDD leaf). A global getPersistentRDDs diff would race
+    // with ANY concurrent persist on the same session — streaming ingest,
+    // a parallel dedup call — unpersisting blocks this call doesn't own,
+    // or worse keeping a foreign block while truncating our OWN final
+    // checkpoint's lineage.
+    val ownedCheckpoints =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def rddsOf(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    def checkpointOwned(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      ownedCheckpoints ++= rddsOf(cp)
+      cp
+    }
+    var labels = checkpointOwned(docs.select(col(idCol), col(idCol).as("lbl")))
     // When the node set fits the driver comfortably, broadcasting the label
     // table keeps the edge set from ever shuffling (map-side join + partial
     // aggregation are the only per-round passes over the edges). Past the
@@ -235,12 +252,11 @@ object DedupQueries {
       // pointer jump: a label is itself a node id — adopt that node's
       // (already-minimized) label. Labels only decrease, so least() and
       // the left join's coalesce are pure defensiveness.
-      val next = shape(oneHop.join(
+      val next = checkpointOwned(shape(oneHop.join(
           hint(oneHop.select(col(idCol).as("lbl"), col("lbl").as("lbl2"))),
           Seq("lbl"), "left")
         .select(col(idCol),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))))
       // decimal(38,0) sum: full-range 64-bit hashes would overflow a LONG
       // sum under ANSI arithmetic at any node count
       val s = next.agg(sum(xxhash64(col("lbl").cast("string")).cast("decimal(38,0)")))
@@ -254,12 +270,14 @@ object DedupQueries {
       // the edge cache and every round's localCheckpoint blocks are
       // per-call scratch — free them even when a round's job throws
       // (ContextCleaner would reclaim them only at GC time, and a long
-      // session would pin up to 32 node-sized snapshots meanwhile). The
-      // NEWEST checkpoint backs the returned frame and must survive.
+      // session would pin up to 32 node-sized snapshots meanwhile). Only
+      // blocks THIS call checkpointed are touched (ownership captured at
+      // each checkpoint, never a session-wide diff), and the ones backing
+      // the returned `labels` frame must survive its lazy consumption.
       sym.unpersist()
-      val created = (spark.sparkContext.getPersistentRDDs -- preexistingRdds)
-        .toSeq.sortBy(_._1)
-      created.dropRight(1).foreach(_._2.unpersist(blocking = false))
+      val keep = rddsOf(labels).map(_.id).toSet
+      ownedCheckpoints.filterNot(r => keep.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
     }
     // Pointer jumping needs ~log2(diameter) rounds, so the cap is ample —
     // but exiting through it would silently return partially-merged

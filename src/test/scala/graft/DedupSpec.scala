@@ -60,6 +60,60 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unhinted == hinted, "join strategy must not change the clusters")
   }
 
+  test("cluster-label cleanup frees only its own checkpoints, not foreign caches") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a foreign cached RDD on the same session — stands in for streaming
+    // ingest's persist() or any concurrent caller's cache
+    val foreign = sc.parallelize(1 to 100, 2).persist()
+    foreign.count()
+    val before = sc.getPersistentRDDs.keySet
+    val docs = (0 until 40).map { i =>
+      // 10 groups of 4 identical texts with DISJOINT per-group vocabularies
+      // (inter-group Jaccard 0, so banding can't merge groups) → MinHash
+      // candidate edges inside each group, several propagation rounds of
+      // checkpoints
+      val g = i / 4
+      (i.toLong, (0 until 8).map(w => s"tok${g}w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val labels = graft.queries.DedupQueries.clusterLabelsOf(docs, "doc_id", "text")
+    // the returned frame stays actionable: its OWN final checkpoint survived
+    assert(labels.count() == 40)
+    assert(labels.select(countDistinct(col("lbl"))).head().getLong(0) == 10)
+    // the foreign cache was not unpersisted by the per-call cleanup
+    assert(sc.getPersistentRDDs.contains(foreign.id),
+      "cleanup unpersisted a cache block it does not own")
+    // and superseded rounds WERE freed — only the final checkpoint remains
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1,
+      s"superseded round checkpoints must be freed, still cached: $added")
+    foreign.unpersist()
+  }
+
+  test("concurrent cluster-label calls do not free each other's checkpoints") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def docsFor(off: Long) = (0 until 60).map { i =>
+      // disjoint per-group vocabularies, like the ownership test above
+      val g = i / 3
+      (off + i, (0 until 8).map(w => s"c${off}g${g}w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    // two interleaved calls on ONE session: a session-wide persistent-RDD
+    // diff would let either call unpersist the other's round checkpoints
+    // (or keep a foreign block while truncating its own final one)
+    val futs = Seq(0L, 100000L).map(off => Future {
+      val labels = graft.queries.DedupQueries.clusterLabelsOf(docsFor(off), "doc_id", "text")
+      // act on the frame AFTER both cleanups have had a chance to run
+      Thread.sleep(50)
+      (labels.count(), labels.select(countDistinct(col("lbl"))).head().getLong(0))
+    })
+    val results = futs.map(Await.result(_, 5.minutes))
+    assert(results.forall(_ == ((60L, 20L))),
+      s"concurrent cluster labelings corrupted each other: $results")
+  }
+
   test("random-hyperplane LSH finds planted near-dup twins at O(N) cost") {
     import spark.implicits._
     val dim = 64

@@ -1315,6 +1315,50 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(err).exists(_.contains("null key")), s"opaque error: ${msgs(err)}")
   }
 
+  test("keys are capped at 2048 chars (reference VARCHAR parity)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-keylen").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("kl", dim = 2)
+    def row(len: Int) =
+      Seq(("k" * len, Seq(1.0f, 2.0f), Map.empty[String, String]))
+        .toDF("key", "vec", "meta")
+    // exactly at the cap: accepted and round-trips
+    client.upsert("kl", row(GraftClient.MaxKeyLength))
+    assert(client.search("kl", Array(1.0f, 2.0f), k = 1)
+      .head().getAs[String]("vector_key").length == GraftClient.MaxKeyLength)
+    // one past the cap: rejected at the write boundary, nothing committed
+    val err = intercept[Exception] { client.upsert("kl", row(GraftClient.MaxKeyLength + 1)) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("max length")), s"opaque error: ${msgs(err)}")
+    assert(client.count("kl") == 1L, "a rejected batch must commit nothing")
+  }
+
+  test("createCollection clears orphaned storage instead of resurrecting it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("rz", dim = 2)
+    client.upsert("rz", Seq(
+      ("a", Seq(1.0f, 0.0f), Map.empty[String, String]),
+      ("b", Seq(0.0f, 1.0f), Map.empty[String, String])).toDF("key", "vec", "meta"))
+    val dataPath = client.describe("rz").dataPath
+    // simulate a crashed drop that removed the catalog entry but left the
+    // storage behind (the pre-fix crash window): delete ONLY the registry
+    // file, keeping the bucket dirs intact
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "catalog", "rz.json"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dataPath)),
+      "fixture: orphaned data dir must exist")
+    // re-creating the name — even under a DIFFERENT dim — must start empty,
+    // not resurrect the old dim-2 rows
+    assert(client.createCollection("rz", dim = 3))
+    assert(client.count("rz") == 0L, "orphaned rows must not resurrect")
+    client.upsert("rz", Seq(("c", Seq(1.0f, 0.0f, 0.0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.count("rz") == 1L)
+  }
+
   test("a collection written by the legacy layout opens and migrates") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-legacy-cl").toString

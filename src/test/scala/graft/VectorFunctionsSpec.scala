@@ -227,6 +227,22 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .head().getSeq[Int](1)
     assert(full.indexOf(3) < full.indexOf(10),
       "equal-distance centroids must rank by ascending id")
+
+    // dim mismatch fails loudly in BOTH directions (same guard as
+    // nearest_centroid): a longer query must not silently rank cells by a
+    // prefix distance, a shorter one must not die with a bare
+    // ArrayIndexOutOfBoundsException. The kernel is shared by eval and
+    // codegen, so one executed plan per direction covers both.
+    for (badDim <- Seq(4, 8)) {
+      val bad = Seq((1L, Seq.fill(badDim)(0.5f))).toDF("id", "v").repartition(2)
+      val e = intercept[Exception] {
+        bad.select(nearest_centroids($"v", bc, 4, false)).collect()
+      }
+      val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("dimension"),
+        s"dim $badDim vs 6 centroids: unexpected error: $msgs")
+    }
   }
 
   test("sq8_codes/sq8_qmax: encode arithmetic, zero vector, codegen round-trip") {
