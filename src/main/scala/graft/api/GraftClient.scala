@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, Sq8Index}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -128,7 +128,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // dir) would otherwise silently RESURRECT old rows — under a possibly
     // different dim — the moment the name is re-created
     if (catalog.describeCollection(name).isEmpty) {
-      deleteDir(ivfDir(meta)); deleteDir(meta.dataPath)
+      deleteDir(ivfDir(meta)); deleteDir(textDir(meta)); deleteDir(meta.dataPath)
     }
     catalog.createCollection(meta)
   }
@@ -147,7 +147,7 @@ class GraftClient(spark: SparkSession, root: String) {
         // and re-droppable) instead of orphaned data dirs that a
         // same-named re-create would silently RESURRECT under a possibly
         // different dim (createCollection also clears defensively)
-        deleteDir(ivfDir(m)); deleteDir(m.dataPath)
+        deleteDir(ivfDir(m)); deleteDir(textDir(m)); deleteDir(m.dataPath)
         catalog.dropCollection(name)
     }
   }
@@ -408,8 +408,11 @@ class GraftClient(spark: SparkSession, root: String) {
     fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
     val updated = m.copy(dataPath = newPath, buckets = newBuckets)
     require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
-    // old layout + its now-unreachable index are dead after the swap
+    // old layout + its now-unreachable indexes are dead after the swap
+    // (the text index keys off dataPath too — searchLexical falls back to
+    // the caller's frame until the next buildTextIndex)
     deleteDir(ivfDir(m))
+    deleteDir(textDir(m))
     deleteDir(m.dataPath)
     invalidateIndexCaches(name)
     liveCount(updated)
@@ -850,14 +853,23 @@ class GraftClient(spark: SparkSession, root: String) {
     * holding the OLD file listing across a maintenance commit can hit a
     * missing file and should retry; full snapshot isolation would
     * version the cell dirs like the keyed store's buckets.) */
-  private def stampIndexVersion(m: CollectionMeta, version: Long): Unit = {
-    val dir = java.nio.file.Paths.get(ivfDir(m))
+  private def stampIndexVersion(m: CollectionMeta, version: Long): Unit =
+    stampVersionFile(ivfDir(m), version)
+
+  private def stampVersionFile(dirPath: String, version: Long): Unit = {
+    val dir = java.nio.file.Paths.get(dirPath)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, ".ver-", "")
     java.nio.file.Files.write(tmp, version.toString.getBytes)
     java.nio.file.Files.move(tmp, dir.resolve("VERSION"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readVersionFile(dirPath: String): Option[Long] = {
+    val vfile = java.nio.file.Paths.get(dirPath, "VERSION")
+    if (!java.nio.file.Files.exists(vfile)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong)
   }
 
   private def deleteDir(path: String): Unit =
@@ -1113,6 +1125,45 @@ class GraftClient(spark: SparkSession, root: String) {
            k1: Double = 1.2, b: Double = 0.75): DataFrame =
     graft.queries.TextQueries.bm25(docs, idCol, textCol, terms, k, k1, b)
 
+  private def textDir(m: CollectionMeta) = s"${m.dataPath}-text"
+
+  /** Build (or rebuild) the at-rest postings index for collection `name`
+    * over the caller's documents frame (keyed like the collection — the
+    * store keeps only (key, vector, metadata), so text comes from the
+    * caller, exactly as [[hybridSearch]] takes it). Mirrors [[buildIndex]]:
+    * one corpus-sized tokenize→tf pass persists the bucket-partitioned
+    * postings + 1-row stats under `<dataPath>-text/`, and the snapshot
+    * VERSION is stamped LAST — a crash mid-build leaves the stamp stale,
+    * so [[searchLexical]] falls back to scoring the caller's frame and a
+    * re-run of buildTextIndex is the recovery path, never a stale score. */
+  def buildTextIndex(name: String, docs: DataFrame, textCol: String = "text",
+                     buckets: Int = 64): Unit = {
+    val m = metaOrThrow(name)
+    val version = collection(m).currentVersion.getOrElse(
+      throw new IllegalStateException(s"collection $name is empty — nothing to index"))
+    TextIndex.build(docs.select(col("key"), col(textCol)), "key", textCol,
+      textDir(m), buckets)
+    stampVersionFile(textDir(m), version)
+  }
+
+  /** BM25 against a collection: when the text index is FRESH (stamped at
+    * the collection's current snapshot version), queries ride the at-rest
+    * postings — a bucket partition prune + pushed term filter, Σ df(term)
+    * I/O instead of a corpus re-tokenize. If it is stale (writes since
+    * the build, crash mid-build) or absent, the raw-text plan scores the
+    * caller's `docs` frame — same staleness contract as [[search]]'s IVF
+    * fallback, and the two paths share one scoring expression, so which
+    * one ran never changes a result. */
+  def searchLexical(name: String, docs: DataFrame, terms: Seq[String],
+                    k: Int = 10, textCol: String = "text",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val m = metaOrThrow(name)
+    val fresh = readVersionFile(textDir(m)).exists(v =>
+      TextIndex.exists(textDir(m)) && collection(m).currentVersion.contains(v))
+    if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b)
+    else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b)
+  }
+
   /** Unigram-LM perplexity proxy with a USER scoring predicate — the
     * callable form of the declared `perplexity_proxy` query. The unigram
     * model fits on the FULL frame; only rows passing `scoreFilter` are
@@ -1135,7 +1186,10 @@ class GraftClient(spark: SparkSession, root: String) {
                    rrfK: Int = 60, filter: Option[Column] = None,
                    nprobe: Int = 4, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25(docs, terms, k = armK, idCol = "key", textCol = textCol)
+    // the lexical arm rides the at-rest postings when fresh (the vector
+    // arm already rides IVF/SQ8 via search()) — both arms then read
+    // query-bounded at-rest layouts instead of corpus-sized raw inputs
+    val lex = searchLexical(name, docs, terms, k = armK, textCol = textCol)
       .select(col("key"),
         row_number().over(Window.orderBy(desc("bm25"), col("key")))
           .cast("long").as("lex_rank"))

@@ -1,0 +1,127 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** At-rest inverted-index (postings) layout for the BM25 lexical arm —
+  * the text-side twin of [[IvfIndex]]'s at-rest treatment of the vector
+  * arm. The reference ships lexical `search.py` next to vector
+  * `search.py` (`s3vectors-app/search.py`); production retrieval over a
+  * 100 TB corpus cannot re-derive postings from raw text per query, so
+  * the tokenize→tf pass runs ONCE at build and queries touch only the
+  * queried terms' postings.
+  *
+  * Layout under `path/`:
+  *   - `postings/bucket=N/` — parquet (id, term, tf, dlen) partitioned by
+  *     `bucket = pmod(xxhash64(term), buckets)`. A query computes its
+  *     terms' buckets driver-side, so the scan is a parquet PARTITION
+  *     prune to ≤|terms| buckets plus a pushed `term IN (...)` filter
+  *     within them — I/O scales with Σ df(term), not the corpus. Term
+  *     dirs are hash buckets (bounded count), never raw-term dirs (an
+  *     open vocabulary would create millions of directories).
+  *   - `stats/` — one row (n_docs, avgdl), broadcast at query time.
+  *   - `META` — bucket count + postings schema DDL, read driver-side so
+  *     queries skip parquet footer inference (a pure-latency Spark job
+  *     per interactive search otherwise).
+  *
+  * Score parity: [[bm25]] and the raw-text path
+  * (`TextQueries.bm25`) share [[scoreExpr]] verbatim — same tf/df/dlen
+  * integers, same stats, same round(6) — so riding the index never
+  * changes a result hash. Version stamping/staleness is the CLIENT's
+  * concern (`GraftClient.buildTextIndex` stamps VERSION last, exactly
+  * like the IVF build), keeping this module a pure layout.
+  */
+object TextIndex {
+
+  /** One shared BM25 per-(doc, term) score term — referenced by NAME
+    * (`tf`, `df`, `dlen`, `n_docs`, `avgdl`), so both the raw-text plan
+    * and the postings plan bind it to their own columns. Lucene-style
+    * BM25 with the +1 idf floor. */
+  private[graft] def scoreExpr(k1: Double, b: Double): Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avgdl")))
+
+  /** The shared score aggregation tail: per-doc sum, round(6) (absorbs
+    * engine summation-order ulps), deterministic top-k. */
+  private[graft] def scoreTail(scored: DataFrame, idCol: String, k: Int,
+                               k1: Double, b: Double): DataFrame =
+    scored.groupBy(col(idCol))
+      .agg(round(sum(scoreExpr(k1, b)), 6).as("bm25"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+
+  /** `pmod(xxhash64(term), buckets)` evaluated driver-side — MUST match
+    * the executor-side partition expression in [[build]] bit-for-bit,
+    * so it reuses Catalyst's own XxHash64 (seed 42, like the SQL
+    * function) instead of reimplementing the hash. */
+  private[graft] def termBucket(term: String, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          term, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
+
+  /** Build (or rebuild) the postings layout for `docs` at `path`.
+    * Tokenization is the whitespace split every other C14 operator uses;
+    * tf/dlen/n_docs/avgdl are computed EXACTLY as the raw-text BM25 plan
+    * computes them, so the two paths score identically. One corpus-sized
+    * explode→groupBy shuffle at build time buys Σ df(term) reads per
+    * query forever after. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    val reserved = Seq("term", "tf", "dlen", "bucket", "bm25", "df")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with a postings column (${reserved.mkString(", ")})")
+    val withLen = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
+    val postings = withLen
+      .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      // first(dlen) is deterministic: dlen is functionally dependent on id
+      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+    postings.write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    // META last: bucket count + schema DDL (so reads skip footer
+    // inference). bm25() treats a missing META as "no index".
+    java.nio.file.Files.write(metaPath(path),
+      s"$buckets\n${postings.schema.toDDL}".getBytes("UTF-8"))
+  }
+
+  /** Whether a postings layout exists at `path`. */
+  def exists(path: String): Boolean = java.nio.file.Files.exists(metaPath(path))
+
+  /** BM25 top-`k` for `terms`, riding the at-rest postings: partition
+    * prune to the terms' hash buckets, pushed `term IN` filter, df as a
+    * tiny second aggregate over the ALREADY-pruned postings (identical
+    * to the global df for those terms), stats broadcast from the 1-row
+    * table. Emits (id, bm25) exactly like the raw-text plan. */
+  def bm25(spark: SparkSession, path: String, terms: Seq[String],
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(exists(path), s"no text index at $path — run build first")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath(path)),
+      "UTF-8").split("\n", 2)
+    val buckets = meta(0).trim.toInt
+    val schema = StructType.fromDDL(meta(1))
+    val idCol = schema.fields.head.name
+    val bucketIds = terms.map(termBucket(_, buckets)).distinct
+    val matching = spark.read.schema(schema).parquet(s"$path/postings")
+      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+    val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.schema("n_docs BIGINT, avgdl DOUBLE")
+      .parquet(s"$path/stats")
+    scoreTail(
+      matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
+      idCol, k, k1, b)
+  }
+}

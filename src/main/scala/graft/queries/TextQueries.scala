@@ -215,23 +215,38 @@ object TextQueries {
     // tf rows are distinct (doc, word) pairs already — df is a second
     // tiny aggregate over them, O(terms) output
     val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    tf.join(dfT, Seq("word"))
-      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
-      .groupBy(col(idCol))
-      .agg(round(sum(
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * col("tf") * (k1 + 1.0)
-          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avgdl")))), 6)
-        .as("bm25"))
-      .orderBy(desc("bm25"), col(idCol))
-      .limit(k)
+    // the scoring expression and top-k tail are SHARED with the at-rest
+    // postings path (TextIndex.bm25) — parity by construction, so riding
+    // the index never changes a result hash
+    graft.index.TextIndex.scoreTail(
+      tf.join(dfT, Seq("word"))
+        .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs)),
+      idCol, k, k1, b)
   }
+
+  /** Per-JVM cache of at-rest postings built for a fixture dir (the
+    * declared queries' analogue of a collection's `buildTextIndex`): one
+    * build per (dir, process), then every `bm25_scores`/`hybrid_rrf` run
+    * rides the partition-pruned layout — the production shape, where
+    * postings are built once and queried forever. */
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def postingsFor(spark: SparkSession, dir: String): String =
+    textIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-textidx").toString
+      graft.index.TextIndex.build(t(spark, d, "documents"), "doc_id", "text", p)
+      p
+    })
 
   /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
     * — the lexical-search twin of the KNN surface (hybrid retrieval runs
-    * both); the declared, oracle-pinned instantiation of [[bm25]]. */
+    * both); the declared, oracle-pinned instantiation of the BM25 core,
+    * riding the AT-REST postings index (built once per process, queried
+    * via bucket partition prune + pushed term filter). */
   def bm25Scores(spark: SparkSession, dir: String): DataFrame =
-    bm25(t(spark, dir, "documents"), "doc_id", "text", Seq("join", "hash", "scan"))
+    graft.index.TextIndex.bm25(spark, postingsFor(spark, dir),
+      Seq("join", "hash", "scan"))
 
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, the standard k=60
     * variant) of the BM25 lexical arm and the exact L2 KNN vector arm —

@@ -153,14 +153,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"the corpus through one partition:\n${p.take(2000)}")
   }
 
-  test("bm25: postings filtered to query terms before any shuffle, no cartesian") {
+  test("bm25: rides the at-rest postings — bucket partition prune, pushed term filter") {
     val p = planOf("bm25_scores")
     assert(!p.contains("CartesianProduct"),
-      "the term join must stay an equi-join on the word")
-    // the tf aggregation must consume ALREADY term-filtered tokens — a
-    // full-vocabulary tf shuffle would be corpus-sized at scale
-    assert(p.contains("word#") && p.contains("Filter"),
-      s"expected a term filter below the tf aggregate:\n${p.take(1500)}")
+      "the term join must stay an equi-join on the term")
+    // the query must read the persisted postings layout, pruned to the
+    // query terms' hash-bucket dirs, with the term filter pushed into
+    // parquet — never re-tokenize the corpus per query
+    val scanLine = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("postings"))
+    assert(scanLine.isDefined, s"no postings scan in plan:\n${p.take(1500)}")
+    assert(scanLine.get.contains("PartitionFilters: [") &&
+      scanLine.get.replaceAll(".*PartitionFilters", "").contains("bucket"),
+      s"bucket partition prune missing:\n${scanLine.get}")
+    assert(scanLine.get.contains("In(term"),
+      s"term filter not pushed to the postings scan:\n${scanLine.get}")
+    assert(!p.contains("explode"),
+      "tokenization must happen at build time, not per query")
   }
 
   test("perplexity proxy: doc_id window pruned at the scan, freq join stays equi") {

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** At-rest postings index (TextIndex): score parity with the raw-text
+  * BM25 plan, partition pruning to the query terms' buckets, and the
+  * client's build/staleness contract (mirroring the IVF index's). */
+class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("text-index-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = graft.core.Tables.t(spark, sf, "documents")
+
+  test("postings bm25 equals the raw-text bm25 exactly") {
+    val path = java.nio.file.Files.createTempDirectory("ti-parity").toString
+    graft.index.TextIndex.build(docs, "doc_id", "text", path)
+    for ((terms, k, k1, b) <- Seq(
+        (Seq("join", "hash", "scan"), 15, 1.2, 0.75),
+        (Seq("the", "query"), 40, 0.9, 0.4),
+        (Seq("absent_term_zzz"), 10, 1.2, 0.75))) {
+      val raw = graft.queries.TextQueries.bm25(docs, "doc_id", "text", terms, k, k1, b)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = graft.index.TextIndex.bm25(spark, path, terms, k, k1, b)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(idx == raw, s"terms=$terms k=$k k1=$k1 b=$b")
+    }
+  }
+
+  test("postings scan partition-prunes to the query terms' buckets") {
+    val path = java.nio.file.Files.createTempDirectory("ti-prune").toString
+    graft.index.TextIndex.build(docs, "doc_id", "text", path, buckets = 64)
+    val q = graft.index.TextIndex.bm25(spark, path, Seq("join", "hash", "scan"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the bucket filter must reach the scan as a PARTITION filter (dir
+    // prune, not a post-read filter) and the term filter must be pushed
+    // into parquet
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("postings"))
+    assert(scanLine.isDefined, s"no postings scan in plan:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [") &&
+      scanLine.get.replaceAll(".*PartitionFilters", "").contains("bucket"),
+      s"bucket prune missing from scan:\n${scanLine.get}")
+    assert(scanLine.get.contains("In(term") || scanLine.get.contains("term#"),
+      s"term filter not pushed:\n${scanLine.get}")
+    // and the prune is real: the executed scan reads exactly the queried
+    // terms' bucket dirs (the numPartitions metric), not all 64
+    val wanted = Seq("join", "hash", "scan")
+      .map(graft.index.TextIndex.termBucket(_, 64)).distinct.size
+    q.collect()
+    // AQE hides scans behind AdaptiveSparkPlanExec/QueryStageExec whose
+    // inner plans are not `children` — walk them explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.toString.contains("postings"))
+      .getOrElse(fail(s"no postings FileSourceScanExec in:\n" +
+        q.queryExecution.executedPlan))
+    val nParts = scan.metrics("numPartitions").value
+    assert(nParts == wanted,
+      s"scan read $nParts bucket partitions, expected exactly $wanted of 64")
+  }
+
+  test("driver-side termBucket matches the executor-side partition expression") {
+    import spark.implicits._
+    val terms = Seq("join", "hash", "scan", "the", "zebra", "ünïcode", "", "a b")
+    val fromSpark = terms.toDF("t")
+      .select(col("t"), pmod(xxhash64(col("t")), lit(64L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(graft.index.TextIndex.termBucket(t, 64) == fromSpark(t),
+        s"bucket mismatch for term '$t'")
+    }
+  }
+
+  test("client: searchLexical rides a fresh index, falls back when stale") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("tx", dim = 2)
+    val keys = (0 until 50).map(i => s"k$i")
+    client.upsert("tx", keys.map(k =>
+        (k, Seq(1.0f, 0.0f), Map.empty[String, String])).toDF("key", "vec", "meta"))
+    val corpus = keys.zipWithIndex.map { case (k, i) =>
+      (k, if (i % 5 == 0) "special marker token plus filler" else s"plain filler text $i")
+    }.toDF("key", "text")
+    client.buildTextIndex("tx", corpus)
+    // an EMPTY docs frame proves which path ran: the index path scores
+    // from the at-rest postings (hits), the raw path from the frame (none)
+    val empty = Seq.empty[(String, String)].toDF("key", "text")
+    val viaIndex = client.searchLexical("tx", empty, Seq("marker"), k = 20)
+    assert(viaIndex.count() == 10, "fresh index must serve from postings")
+    // a write bumps the snapshot version → the index is stale → fallback
+    client.upsert("tx", Seq(("k999", Seq(0.0f, 1.0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.searchLexical("tx", empty, Seq("marker")).count() == 0,
+      "stale index must NOT serve — the raw path scores the caller's frame")
+    val viaRaw = client.searchLexical("tx", corpus, Seq("marker"), k = 20)
+    assert(viaRaw.collect().map(_.getString(0)).toSet ==
+      viaIndex.collect().map(_.getString(0)).toSet,
+      "fallback scores must match the index's for the same corpus")
+    // rebuilding restamps at the new version → fresh again
+    client.buildTextIndex("tx", corpus)
+    assert(client.searchLexical("tx", empty, Seq("marker")).count() == 10)
+  }
+
+  test("client: hybridSearch results are identical with and without the index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-hy").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("hy", dim = 2)
+    val rows = (0 until 40).map(i =>
+      (s"k$i", Seq(i.toFloat / 40f, 1f - i.toFloat / 40f), Map.empty[String, String]))
+    client.upsert("hy", rows.toDF("key", "vec", "meta"))
+    val corpus = (0 until 40).map(i =>
+      (s"k$i", s"document number $i ${if (i % 3 == 0) "needle" else "hay"}"))
+      .toDF("key", "text")
+    def run() = client.hybridSearch("hy", corpus, Seq("needle"), Array(0.1f, 0.9f))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val before = run()
+    assert(before.nonEmpty)
+    client.buildTextIndex("hy", corpus)
+    assert(run() == before,
+      "riding the postings index must not change hybrid results")
+  }
+
+  test("client: drop removes the text index with the collection") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-drop").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("td", dim = 2)
+    client.upsert("td", Seq(("a", Seq(1.0f, 0.0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.buildTextIndex("td", Seq(("a", "some text")).toDF("key", "text"))
+    val tdir = client.describe("td").dataPath + "-text"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(tdir)))
+    client.drop("td")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tdir)),
+      "drop must destroy the text index with the data")
+  }
+}
