@@ -194,6 +194,12 @@ class GraftClient(spark: SparkSession, root: String) {
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
                           delKeys: Option[DataFrame]): Unit = {
     val coll = collection(m)
+    // the snapshot this merge is computed against, captured BEFORE any
+    // other store read: commitBuckets CASes on it, so a concurrent
+    // writer landing anywhere in this method makes THIS commit raise
+    // (ConcurrentModificationException — retryable) instead of silently
+    // clobbering the other writer's rows with a merge that never saw them
+    val baseVersion = coll.currentVersion
     val maxSeq = coll.maxSeq
     // Seq assignment must be recompute-safe: a DataFrame is a bag, so
     // there is no stable row order that would make "last duplicate in the
@@ -261,7 +267,7 @@ class GraftClient(spark: SparkSession, root: String) {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
         .reduceOption(_ union _)
       touchKeys.foreach { tk =>
-        val preVersion = coll.currentVersion
+        val preVersion = baseVersion
         val touched = touchedBuckets(coll, tk)
         // An effectively-empty batch (no put survived the object join, no
         // delete matched) commits NOTHING: no version bump, no needless
@@ -280,7 +286,8 @@ class GraftClient(spark: SparkSession, root: String) {
           // live maximum — puts all deleted within the batch — is
           // harmless: allocation only needs monotonicity).
           val newMaxSeq = if (decorated.isDefined) maxSeq + 1 else maxSeq
-          val newVersion = coll.commitBuckets(touched, remaining, newMaxSeq)
+          val newVersion = coll.commitBuckets(touched, remaining, newMaxSeq,
+            expectedBase = Some(baseVersion.getOrElse(-1L)))
           // keep a fresh IVF index fresh across the commit — `current` (the
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit

@@ -32,7 +32,10 @@ import org.apache.spark.sql.types.StructType
   *
   * Same reader-validity constraint as KeyedCollection: a lazy DataFrame
   * from `read`/`readBuckets` stays valid for `retain - 1` further commits.
-  * Single-writer assumed (the streaming query).
+  * Writers: commits serialize on a per-collection lock, and a caller
+  * passing its merge's base version gets compare-and-swap semantics — a
+  * concurrent interleaving commit raises instead of being clobbered
+  * (see [[commitBuckets]]).
   */
 class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
                               numBuckets: Int, retain: Int = 2) {
@@ -102,7 +105,8 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
         rows.agg(org.apache.spark.sql.functions.coalesce(
           org.apache.spark.sql.functions.max(col("seq")), lit(0L))).head().getLong(0)
       else 0L
-    val next = commitBuckets(0 until numBuckets, rows, maxSeq)
+    val next = commitBuckets(0 until numBuckets, rows, maxSeq,
+      expectedBase = Some(v))
     listDir().filter(_.matches("v\\d{8,}")).foreach(n => deleteRecursively(dir.resolve(n)))
     next
   }
@@ -162,9 +166,29 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   /** Commit `rows` as the complete new contents of the `touched` buckets
     * (every row of `rows` must hash into `touched`); all other buckets
     * carry over untouched. A touched bucket with no surviving rows is
-    * dropped from the manifest. */
-  def commitBuckets(touched: Seq[Int], rows: DataFrame, newMaxSeq: Long): Long = {
-    val next = currentVersion.getOrElse(-1L) + 1
+    * dropped from the manifest.
+    *
+    * Multi-writer contract: commits SERIALIZE on a per-collection lock
+    * (in-process mutex + OS file lock, so two clients in one JVM and two
+    * separate processes are both covered; the OS lock releases on crash).
+    * A caller that computed its merge against snapshot `expectedBase`
+    * passes it here — if another writer committed in between, the CAS
+    * fails with ConcurrentModificationException INSTEAD of silently
+    * clobbering that writer's rows with a merge that never saw them
+    * (writes are read-merge-write, so the lost update would be real data
+    * loss, not just a version-stamp oddity). On an object store the same
+    * contract is a compare-and-swap on the CURRENT pointer. */
+  def commitBuckets(touched: Seq[Int], rows: DataFrame, newMaxSeq: Long,
+                    expectedBase: Option[Long] = None): Long =
+    BucketedKeyedCollection.withCommitLock(dir) {
+    val curV = currentVersion.getOrElse(-1L)
+    expectedBase.filter(_ != curV).foreach { e =>
+      throw new java.util.ConcurrentModificationException(
+        s"$root: concurrent commit detected — this merge was computed " +
+          s"against snapshot $e but the collection is now at $curV; " +
+          "retry the write against the current snapshot")
+    }
+    val next = curV + 1
     // Retry safety: a commit that crashed after some bucket-dir moves but
     // before the pointer swap leaves orphan `b*-v<next>` dirs (the retried
     // commit recomputes the same `next`, and Files.move without
@@ -206,7 +230,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
       StandardCopyOption.REPLACE_EXISTING)
     prune(next)
     next
-  }
+    }
 
   /** Version of a bucket-dir name, ONLY for names this class wrote
     * (`bNNNNN-vNNNNNNNN`). Cleanup paths gate on this so a stray file a
@@ -250,5 +274,37 @@ object BucketedKeyedCollection {
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
+  }
+
+  // Per-collection commit mutexes, keyed by canonical root. The JVM-level
+  // lock is load-bearing twice over: it serializes same-process writers
+  // (two GraftClient instances construct separate collection objects for
+  // one root), and it keeps the file lock below single-entrant per JVM —
+  // FileChannel.lock throws OverlappingFileLockException, not blocks,
+  // when the SAME JVM already holds a region.
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Run `f` holding the collection's commit lock: in-process mutex, then
+    * an OS file lock on `<root>/COMMIT_LOCK` (blocks until the competing
+    * PROCESS releases; the OS frees it on crash, so no stale-lock
+    * recovery dance). The lock covers the whole commit — staging write,
+    * dir moves, manifest, pointer swap, vacuum — so commits from any
+    * number of writers serialize and the pre-existing crash-cleanup logic
+    * keeps its single-writer-at-a-time assumption. */
+  private[streaming] def withCommitLock[T](dir: Path)(f: => T): T = {
+    val jvmLock = commitLocks.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("COMMIT_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try f finally fl.release()
+      } finally ch.close()
+    } finally jvmLock.unlock()
   }
 }

@@ -40,6 +40,34 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
   }
 
+  test("commitBuckets CASes on the caller's base version — a stale merge raises") {
+    import spark.implicits._
+    val (_, coll) = freshColl(buckets = 4)
+    coll.commitBuckets(0 until 4,
+      Seq(("a", 1L, 1L)).toDF("key", "value", "seq"), 1L,
+      expectedBase = Some(-1L)) // empty store: base is the -1 sentinel
+    val base = coll.currentVersion.get
+    // writer B lands a commit between A's snapshot read and A's commit
+    coll.commitBuckets(0 until 4,
+      Seq(("a", 1L, 1L), ("b", 2L, 2L)).toDF("key", "value", "seq"), 2L)
+    // A's merge was computed against `base` and never saw B's row — the
+    // commit must RAISE, not quietly produce a snapshot without "b"
+    val e = intercept[java.util.ConcurrentModificationException] {
+      coll.commitBuckets(0 until 4,
+        Seq(("a", 99L, 3L)).toDF("key", "value", "seq"), 3L,
+        expectedBase = Some(base))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the failed CAS left the store untouched at B's snapshot
+    assert(rowsOf(coll) == Set(("a", 1L), ("b", 2L)))
+    assert(coll.currentVersion.contains(base + 1))
+    // and a retry computed against the CURRENT snapshot goes through
+    coll.commitBuckets(0 until 4,
+      Seq(("a", 99L, 3L), ("b", 2L, 2L)).toDF("key", "value", "seq"), 3L,
+      expectedBase = Some(base + 1))
+    assert(rowsOf(coll) == Set(("a", 99L), ("b", 2L)))
+  }
+
   test("commit rewrites only touched buckets; untouched dirs carry over") {
     import spark.implicits._
     val (root, coll) = freshColl()

@@ -1335,6 +1335,48 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.count("kl") == 1L, "a rejected batch must commit nothing")
   }
 
+  test("two concurrent clients never silently lose a committed write") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = java.nio.file.Files.createTempDirectory("graft-mw").toString
+    val c1 = new GraftClient(spark, root)
+    c1.createCollection("mw", dim = 2)
+    val c2 = new GraftClient(spark, root)
+    // Two clients interleave upserts to one collection. The commit path
+    // CASes on the snapshot the merge was computed against, so every
+    // write either lands or raises ConcurrentModificationException — the
+    // test retries those, and at the end EVERY acknowledged write must be
+    // present (the lost-update the contract exists to prevent is a write
+    // that "succeeded" but whose rows a concurrent merge clobbered).
+    def writer(client: GraftClient, tag: String, batches: Int): Int = {
+      var retries = 0
+      (0 until batches).foreach { i =>
+        val df = Seq((s"$tag-$i", Seq(i.toFloat, 0f), Map.empty[String, String]))
+          .toDF("key", "vec", "meta")
+        var done = false
+        while (!done) {
+          try { client.upsert("mw", df); done = true }
+          catch { case _: java.util.ConcurrentModificationException =>
+            retries += 1
+            assert(retries < 100, "concurrent-commit livelock")
+          }
+        }
+      }
+      retries
+    }
+    val f1 = Future(writer(c1, "a", 6))
+    val f2 = Future(writer(c2, "b", 6))
+    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    val keys = c1.search("mw", Array(0f, 0f), k = 100)
+      .collect().map(_.getAs[String]("vector_key")).toSet
+    val expected = ((0 until 6).map(i => s"a-$i") ++ (0 until 6).map(i => s"b-$i")).toSet
+    assert(keys == expected,
+      s"acknowledged writes lost: missing ${expected -- keys} " +
+        s"(retries: $r1 + $r2)")
+  }
+
   test("createCollection clears orphaned storage instead of resurrecting it") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString
