@@ -1019,7 +1019,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * frame never needs it (its size is read off the optimized plan). */
   def searchBatch(name: String, queries: DataFrame, k: Int,
                   filter: Option[Column] = None, nprobe: Int = 4,
-                  refine: Int = 4, numQueries: Option[Long] = None): DataFrame = {
+                  refine: Int = 4, numQueries: Option[Long] = None,
+                  forceExact: Boolean = false): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
@@ -1037,7 +1038,11 @@ class GraftClient(spark: SparkSession, root: String) {
         case _ => q.limit(100001).count()
       }
     }
-    val candidates = loadIndex(m) match {
+    // forceExact bypasses any index — the ground-truth arm of
+    // estimateRecall, and an escape hatch for a user double-checking a
+    // pruned result set (the exact plan is the same `case _` fallback a
+    // stale index takes)
+    val candidates = (if (forceExact) None else loadIndex(m)) match {
       case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
         // IVF_SQ8 (l2, or cosine over unit-normalized codes): stage 1
         // ranks the (query × probed quantized cells) pairs with the fused
@@ -1114,6 +1119,48 @@ class GraftClient(spark: SparkSession, root: String) {
       .select(col("qid"), col("h.key").as("vector_key"),
         col("h.dist").as("distance"), col("h.meta").as("metadata"))
       .orderBy(col("qid"), col("distance"), col("vector_key"))
+  }
+
+  /** Measured recall@k of the pruned (IVF/IVF_SQ8) search against the
+    * exact scan, on a deterministic sample of the collection's OWN
+    * vectors — `nprobe` is the recall/latency knob, and this is how a
+    * user measures where THEIR data sits on that curve before picking a
+    * value (clustered corpora hold recall ~1.0 at small nprobe; near-iid
+    * ones don't — BASELINE.md's dim-64 iid runs measured 0.2–0.5 where
+    * the dim-384 corpus measured 1.0).
+    *
+    * Sampling orders by key hash (reproducible, spread across cells) and
+    * caps at `sampleQueries` — both arms then run as ONE batched search
+    * each (never a per-query driver loop), and recall is the mean
+    * per-query overlap |approx ∩ exact| / k', k' = the exact arm's hit
+    * count (≤ k on a small collection). Both arms share the scoring tail
+    * and its (distance, key) tie-break, so ties cost no spurious recall.
+    * Returns 1.0 trivially when no fresh index exists — the pruned arm
+    * IS the exact arm then (search's staleness fallback). */
+  def estimateRecall(name: String, k: Int = 10, nprobe: Int = 4,
+                     sampleQueries: Int = 32, refine: Int = 4): Double = {
+    import spark.implicits._
+    require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
+    val m = metaOrThrow(name)
+    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+      .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
+      .collect()
+    require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
+    val queries = sample.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }.toSeq
+      .toDF("qid", "qvec")
+    def hits(df: DataFrame): Map[Long, Set[String]] =
+      df.select(col("qid"), col("vector_key")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val exact = hits(searchBatch(name, queries, k, nprobe = nprobe,
+      refine = refine, forceExact = true))
+    val approx = hits(searchBatch(name, queries, k, nprobe = nprobe,
+      refine = refine))
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    recalls.sum / recalls.size
   }
 
   // ---- Text-retrieval surface (C14/C19, parameterized) ----

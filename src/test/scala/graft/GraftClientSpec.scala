@@ -1335,6 +1335,30 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.count("kl") == 1L, "a rejected batch must commit nothing")
   }
 
+  test("estimateRecall measures the nprobe recall/latency knob on the collection's own data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("er", dim = 2, indexType = "IVF_FLAT")
+    // 100 points on a line: Voronoi cells partition the line into
+    // contiguous runs, so a query near a cell boundary has true nearest
+    // neighbors in the ADJACENT cell — exactly the regime where nprobe=1
+    // loses recall and a larger nprobe recovers it
+    client.upsert("er", (0 until 100).map(i =>
+        (f"p$i%03d", Seq(i.toFloat, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    // no index yet: the pruned arm IS the exact arm
+    assert(client.estimateRecall("er", k = 5) == 1.0)
+    client.buildIndex("er", nlist = 4)
+    val r1 = client.estimateRecall("er", k = 5, nprobe = 1, sampleQueries = 50)
+    val rFull = client.estimateRecall("er", k = 5, nprobe = 4, sampleQueries = 50)
+    assert(rFull == 1.0, s"full probe must be exact (got $rFull)")
+    assert(r1 < 1.0, s"nprobe=1 on boundary-straddling neighbors must lose " +
+      s"recall on this fixture (got $r1)")
+    assert(r1 > 0.5, s"nprobe=1 recall collapsed ($r1) — prune is broken, " +
+      "not just boundary-lossy")
+  }
+
   test("two concurrent clients never silently lose a committed write") {
     import spark.implicits._
     import scala.concurrent.{Await, Future, ExecutionContext}
