@@ -1268,33 +1268,49 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** MinHash+LSH near-dup candidate pairs over any (idCol, textCol)
     * frame — emits (id_a, id_b), id_a < id_b. Candidates are a band-bucket
-    * equi-join (never an all-pairs product); ids may be string keys. */
+    * equi-join (never an all-pairs product); ids may be string keys.
+    *
+    * Set `dfCap` on real corpora: tokens above the document-frequency cap
+    * are dropped before min-hashing (production's stopword filter). This
+    * is scale safety, not tuning — corpus-wide tokens concentrate some
+    * fraction of all docs into ONE band bucket, whose join cost is
+    * O(bucket²); DedupScaleBench measured the blowup and BASELINE.md
+    * records it. Uncapped matches the declared oracle queries. */
   def dedupCandidates(docs: DataFrame, idCol: String = "key",
-                      textCol: String = "text"): DataFrame =
-    graft.queries.DedupQueries.candidatePairs(docs, idCol, textCol)
+                      textCol: String = "text",
+                      dfCap: Option[Int] = None): DataFrame =
+    graft.queries.DedupQueries.candidatePairs(docs, idCol, textCol, dfCap)
 
   /** Near-dup clusters of any (idCol, textCol) frame: connected components
     * of the MinHash candidate graph (pointer-jumping label propagation,
-    * O(log diameter) rounds). Emits (cluster_id = min id, n_docs). */
+    * O(log diameter) rounds). Emits (cluster_id = min id, n_docs).
+    * `dfCap` as in [[dedupCandidates]]. */
   def dedupClusters(docs: DataFrame, idCol: String = "key",
                     textCol: String = "text",
-                    broadcastNodeLimit: Long = 4L << 20): DataFrame =
-    graft.queries.DedupQueries.clustersOf(docs, idCol, textCol, broadcastNodeLimit)
+                    broadcastNodeLimit: Long = 4L << 20,
+                    dfCap: Option[Int] = None): DataFrame =
+    graft.queries.DedupQueries.clustersOf(docs, idCol, textCol,
+      broadcastNodeLimit, dfCap)
 
   /** Per-id cluster labels (idCol, lbl) — the raw assignment behind
     * [[dedupClusters]], for callers that filter/join themselves. */
   def dedupClusterLabels(docs: DataFrame, idCol: String = "key",
                          textCol: String = "text",
-                         broadcastNodeLimit: Long = 4L << 20): DataFrame =
-    graft.queries.DedupQueries.clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+                         broadcastNodeLimit: Long = 4L << 20,
+                         dfCap: Option[Int] = None): DataFrame =
+    graft.queries.DedupQueries.clusterLabelsOf(docs, idCol, textCol,
+      broadcastNodeLimit, dfCap)
 
   /** One kept representative per multi-doc near-dup cluster under the
     * CALLER's keep rule (ordering over `docs`' columns; first row wins) —
-    * the final dedup step. Emits the kept row plus (cluster_id, n_docs). */
+    * the final dedup step. Emits the kept row plus (cluster_id, n_docs).
+    * `dfCap` as in [[dedupCandidates]]. */
   def dedupKeepBest(docs: DataFrame, keepOrder: Seq[Column],
                     idCol: String = "key", textCol: String = "text",
-                    broadcastNodeLimit: Long = 4L << 20): DataFrame =
-    graft.queries.DedupQueries.keepBestOf(docs, idCol, textCol, keepOrder, broadcastNodeLimit)
+                    broadcastNodeLimit: Long = 4L << 20,
+                    dfCap: Option[Int] = None): DataFrame =
+    graft.queries.DedupQueries.keepBestOf(docs, idCol, textCol, keepOrder,
+      broadcastNodeLimit, dfCap)
 
   /** Embed-then-search conveniences mirroring the reference's query
     * drivers (`s3vectors-app/search.py:43-58`, `search_image.py:76-97`):

@@ -80,11 +80,24 @@ object DedupQueries {
     * can be any orderable type (long doc ids here, string collection keys
     * through the client). Plan shape is the banner note above: signatures
     * materialize behind ONE groupBy shuffle, candidates are a bucket
-    * equi-join — never an all-pairs product. */
-  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    * equi-join — never an all-pairs product.
+    *
+    * `dfCap` drops tokens whose document frequency exceeds the cap BEFORE
+    * min-hashing — production MinHash's stopword filter. It is a
+    * SCALE-SAFETY knob, not a tuning nicety: a token present in every doc
+    * makes some fraction of all docs share an all-stopword band signature
+    * (each doc's min-hash has P ≈ (1-f)^|other tokens| of being the
+    * globally-minimal stopword hash, f = stopword fraction), and that
+    * single mega-bucket contributes O(bucket²) candidate pairs — measured
+    * at 50k synthetic docs: max "cluster" 295 uncapped vs 3 planted;
+    * at corpus scale the bucket join degenerates quadratic. Capped tokens
+    * cannot vote, so two docs equal only in stopwords stop being
+    * candidates — which is the point. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     dfCap: Option[Int] = None): DataFrame =
     minhashSigsAndCandidates(
       docs.select(col(idCol).as("__id"),
-        array_distinct(words(col(textCol))).as("__ws")), "__id")._2
+        array_distinct(words(col(textCol))).as("__ws")), "__id", dfCap)._2
 
   /** THE banding scheme, in one place: 8 md5-derived min-hashes (m0..m7)
     * per id over the `__ws` token array, bucketed as 2 bands of 4, and
@@ -94,9 +107,17 @@ object DedupQueries {
     * core means a tuning change (hash count, band width) can never
     * silently diverge between the candidate generator and the estimator
     * that claims to measure it. */
-  private def minhashSigsAndCandidates(tokenized: DataFrame,
-                                       idCol: String): (DataFrame, DataFrame) = {
-    val inv = tokenized.select(col(idCol), explode(col("__ws")).as("w"))
+  private def minhashSigsAndCandidates(tokenized: DataFrame, idCol: String,
+      dfCap: Option[Int] = None): (DataFrame, DataFrame) = {
+    val exploded = tokenized.select(col(idCol), explode(col("__ws")).as("w"))
+    // df-cap (see candidatePairs): one tiny aggregate over the already-
+    // exploded tokens, then an equi-join — the kept-vocabulary table is
+    // ≤ |vocab| rows and AQE broadcasts it when small
+    val inv = dfCap.fold(exploded) { cap =>
+      val keep = exploded.groupBy(col("w")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= cap).select(col("w"))
+      exploded.join(keep, Seq("w"))
+    }
     val mins = (0 to 7).map(i => min(md5(concat(lit(s"$i:"), col("w")))).as(s"m$i"))
     val sigs = inv.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val buckets = sigs.select(col(idCol),
@@ -191,9 +212,10 @@ object DedupQueries {
     * ⇔ no label moved (up to a ~2⁻⁶⁴/round false-convergence chance),
     * one scalar agg per round, no comparison join, id-type-agnostic. */
   def clusterLabelsOf(docs: DataFrame, idCol: String, textCol: String,
-                      broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+                      broadcastNodeLimit: Long = 4L << 20,
+                      dfCap: Option[Int] = None): DataFrame = {
     require(idCol != "lbl", "idCol 'lbl' collides with the label column")
-    val pairs = candidatePairs(docs, idCol, textCol)
+    val pairs = candidatePairs(docs, idCol, textCol, dfCap)
     val sym = pairs.select(col("id_a").as("dst"), col("id_b").as("src"))
       .union(pairs.select(col("id_b").as("dst"), col("id_a").as("src")))
       .persist() // reused every round — without this each round re-runs MinHash
@@ -292,8 +314,9 @@ object DedupQueries {
   /** Parameterized cluster summary: one row per duplicate component of
     * ANY (id, text) frame — (cluster_id = min id, n_docs). */
   def clustersOf(docs: DataFrame, idCol: String, textCol: String,
-                 broadcastNodeLimit: Long = 4L << 20): DataFrame =
-    clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+                 broadcastNodeLimit: Long = 4L << 20,
+                 dfCap: Option[Int] = None): DataFrame =
+    clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit, dfCap)
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -304,7 +327,8 @@ object DedupQueries {
     * not listed. */
   def keepBestOf(docs: DataFrame, idCol: String, textCol: String,
                  keepOrder: Seq[Column],
-                 broadcastNodeLimit: Long = 4L << 20): DataFrame = {
+                 broadcastNodeLimit: Long = 4L << 20,
+                 dfCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepOrder.nonEmpty, "keepBestOf needs a keep-rule ordering")
     // this is the one surface that joins the CALLER's full frame with the
@@ -317,7 +341,7 @@ object DedupQueries {
       s"keepBestOf: input column(s) ${clash.mkString(", ")} collide with " +
         s"internal/output columns (${reserved.mkString(", ")}) — rename " +
         "them before calling")
-    val labels = clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit)
+    val labels = clusterLabelsOf(docs, idCol, textCol, broadcastNodeLimit, dfCap)
     val byCluster = Window.partitionBy(col("lbl"))
     labels.join(docs, Seq(idCol))
       .withColumn("__rn", row_number().over(byCluster.orderBy(keepOrder: _*)))

@@ -60,6 +60,39 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(unhinted == hinted, "join strategy must not change the clusters")
   }
 
+  test("dfCap drops stopword-driven candidates but keeps every planted dup pair") {
+    import spark.implicits._
+    // 40 docs ALL sharing three corpus-wide stopwords; 5 planted identical
+    // pairs with disjoint content vocabularies; the rest unique. The
+    // stopwords dominate min-hashes often enough that uncapped banding
+    // emits cross-group candidates (the mega-bucket pathology); capping at
+    // df <= 10 removes only the stopwords (content df is 2 or 1).
+    val docs = (0 until 40).map { i =>
+      val content =
+        if (i < 10) s"p${i / 2}a p${i / 2}b p${i / 2}c p${i / 2}d" // pairs 0..4
+        else s"u${i}a u${i}b u${i}c u${i}d"
+      (i.toLong, s"the of and $content")
+    }.toDF("doc_id", "text")
+    val planted = (0 until 5).map(p => (2L * p, 2L * p + 1)).toSet
+    def pairs(dfCap: Option[Int]): Set[(Long, Long)] =
+      graft.queries.DedupQueries.candidatePairs(docs, "doc_id", "text", dfCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(None)
+    val capped = pairs(Some(10))
+    assert(capped == planted,
+      s"capped candidates must be exactly the planted pairs, got $capped")
+    assert(planted.subsetOf(uncapped),
+      "the cap must not be needed for recall on this fixture")
+    assert(uncapped.size > planted.size,
+      "fixture must exhibit the stopword mega-bucket pathology uncapped " +
+        s"(got ${uncapped.size} candidates)")
+    // and the clusters downstream see the same effect end-to-end
+    val clusters = graft.queries.DedupQueries
+      .clustersOf(docs, "doc_id", "text", dfCap = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters.count(_._2 > 1) == 5 && clusters.forall(_._2 <= 2))
+  }
+
   test("cluster-label cleanup frees only its own checkpoints, not foreign caches") {
     import spark.implicits._
     val sc = spark.sparkContext

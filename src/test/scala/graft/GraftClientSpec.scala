@@ -134,6 +134,51 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Map[String, String]]("metadata")("category") == "bin")
   }
 
+  test("a Copy event's tag mutation lands in meta (RGW metadata rewrite)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(16)
+    client.createCollection("cp", dim = 16)
+    val objects = Seq(("report.pdf", "quarterly revenue numbers")).toDF("key", "text")
+
+    // Golden fixtures in the Ceph-extension notification shape
+    // (FIXTURES.md §2.1 — `s3.object.tags` rides inside the S3 record).
+    // COPY is how RGW rewrites an object's metadata in place: S3 has no
+    // metadata-update call, so `x-amz-metadata-directive: REPLACE` copies
+    // the object onto its own key and the notification arrives as
+    // ObjectCreated:Copy carrying the NEW tags.
+    val putEvent =
+      """{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3",""" +
+        """"eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"docs-bkt"},""" +
+        """"object":{"key":"report.pdf","size":9512,""" +
+        """"tags":{"category":"finance","status":"draft"}}}}]}"""
+    val copyEvent =
+      """{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3",""" +
+        """"eventName":"ObjectCreated:Copy","s3":{"bucket":{"name":"docs-bkt"},""" +
+        """"object":{"key":"report.pdf","size":9512,""" +
+        """"tags":{"category":"finance","status":"approved","reviewed_by":"ops"}}}}]}"""
+
+    writeLanding(s"$root/landing1", "put.json", Seq(putEvent), 1000000L)
+    client.startIngest("cp", s"$root/landing1", objects, embedder = emb)
+      .awaitTermination(120000)
+    val before = client.search("cp", emb.embedText("quarterly revenue numbers"), 1)
+      .head().getAs[Map[String, String]]("metadata")
+    assert(before == Map("category" -> "finance", "status" -> "draft"))
+
+    // the Copy arrives later (second landing dir = second stream run):
+    // the two-arm dispatch upserts it, replacing the key's meta wholesale
+    writeLanding(s"$root/landing2", "copy.json", Seq(copyEvent), 2000000L)
+    client.startIngest("cp", s"$root/landing2", objects, embedder = emb)
+      .awaitTermination(120000)
+    val after = client.search("cp", emb.embedText("quarterly revenue numbers"), 1)
+      .head().getAs[Map[String, String]]("metadata")
+    assert(after == Map("category" -> "finance", "status" -> "approved",
+      "reviewed_by" -> "ops"),
+      s"Copy tag mutation must replace the key's meta, got $after")
+    assert(client.count("cp") == 1L, "a Copy must update in place, not duplicate")
+  }
+
   test("mixed text/image dispatch in one stream; unsupported objects rejected") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-mixed").toString
