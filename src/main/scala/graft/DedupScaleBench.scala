@@ -80,8 +80,8 @@ object DedupScaleBench {
       }.toDF("key", "text")
 
     val meter = new ShuffleMeter(spark)
-    val client = new graft.api.GraftClient(spark,
-      java.nio.file.Files.createTempDirectory("graft-dsb").toString)
+    val clientRoot = java.nio.file.Files.createTempDirectory("graft-dsb").toString
+    val client = new graft.api.GraftClient(spark, clientRoot)
     val docs = genDocs(n).persist()
     val nDocs = docs.count() // materialize generation outside the timings
     meter.mark()
@@ -147,6 +147,8 @@ object DedupScaleBench {
       s""""jaccard_df_capped_pairs":$nJac,"jaccard_sec":${f"$tJac%.1f"},"jaccard_shuffle_mb":${shJac >> 20},""" +
       s""""expected_clusters":$expectedClusters}""")
     docs.unpersist()
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(clientRoot))
     spark.stop()
   }
 }

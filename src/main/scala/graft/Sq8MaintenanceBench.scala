@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF_SQ8 maintenance cost vs touched-cell fraction at the
+  * reference's realistic dimension (1M × 384, nlist 64) — the measured
+  * per-commit cost curve the r7 verdict asked for. The r6 number (10.6 s
+  * at 1M × 64) was the WORST case: 1000 iid rows touch ~every cell, so
+  * ~the whole index re-quantizes. Real corpora arrive clustered — a
+  * crawl batch lands in a handful of cells — so this bench commits
+  * batches constructed to touch 1, 4, 16, then ~all of the 64 cells
+  * (rows = frozen assignment centroids + tiny noise, so the touched set
+  * is exact by construction) and times each `upsert` end-to-end (store
+  * merge-commit + incremental cell rewrite + SQ8 re-quantize + probe
+  * refresh + VERSION chain).
+  *
+  *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+  *     sbt -batch "runMain graft.Sq8MaintenanceBench 1000000 384 64"
+  */
+object Sq8MaintenanceBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val dim = args.drop(1).headOption.map(_.toInt).getOrElse(384)
+    val nlist = args.drop(2).headOption.map(_.toInt).getOrElse(64)
+    val batchRows = 1000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sq8m").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("m", dim = dim, indexType = "IVF_SQ8", nlist = nlist,
+      buckets = 16)
+
+    // deterministic pseudo-random corpus (VectorScaleBench's generator)
+    val rows = spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) { v(i) = math.sin(id * 0.7 + (i + 1) * 1.31).toFloat; i += 1 }
+        (s"k$id", v)
+      }
+    }.toDF("key", "vec").withColumn("meta", map())
+    val (_, tUp) = timed(client.upsert("m", rows))
+    // 2% KMeans sample — the documented VectorScaleBench configuration
+    // (BASELINE's 1M×384 buildIndex rows), so build times are comparable
+    val (_, tBuild) = timed(
+      client.buildIndex("m", nlist = nlist, sampleFraction = 0.02))
+
+    // the FROZEN assignment centers (cell membership is decided against
+    // these forever — buildIndex's own contract), read from the at-rest
+    // centroid table the build wrote
+    val centers = spark.read
+      .parquet(s"${client.describe("m").dataPath}-ivf/centroids")
+      .collect().sortBy(_.getInt(0))
+      .map(r => r.getSeq[Double](1).toArray)
+
+    // a batch touching exactly `cells` cells: rows = centroid + tiny
+    // noise (1e-4 ≪ inter-centroid distance), new keys so every row is
+    // an insert into its cell
+    def batchFor(cells: Int, tag: String): DataFrame = {
+      val picked = (0 until cells).map(c => c * (centers.length / cells))
+      val rs = (0 until batchRows).map { j =>
+        val c = centers(picked(j % cells))
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          v(i) = (c(i) + 1e-4 * math.sin(j * 1.7 + i)).toFloat; i += 1
+        }
+        (s"new-$tag-$j", v.toSeq, Map.empty[String, String])
+      }
+      rs.toDF("key", "vec", "meta")
+    }
+
+    // warm-up commit (untimed): the first post-build commit pays one-time
+    // costs — centroid/broadcast cache construction, page-cache warmth,
+    // JIT — that would otherwise land entirely on the first curve point
+    // and invert the ordering (measured: 48 s for 1 cell vs 15 s for 4)
+    client.upsert("m", batchFor(1, "warm"))
+
+    // min of two commits per point: single samples on a shared box carry
+    // multi-second scheduler noise (same policy as Bench's timed passes)
+    val curve = Seq(1, 4, 16, centers.length).distinct.map { cells =>
+      val t = (0 until 2).map { pass =>
+        timed(client.upsert("m", batchFor(cells, s"c$cells-p$pass")))._2
+      }.min
+      s""""commit_${cells}_cells_sec":${f"$t%.1f"}"""
+    }
+    // control: the search path must still be on the (chained) SQ8 index
+    val probe = centers(0).map(_.toFloat)
+    val (hit, tSearch) = timed(client.search("m", probe, k = 1).head())
+
+    println(s"""{"bench":"sq8_maintenance","n":$n,"dim":$dim,"nlist":$nlist,""" +
+      s""""batch_rows":$batchRows,"upsert_sec":${f"$tUp%.1f"},""" +
+      s""""build_sec":${f"$tBuild%.1f"},${curve.mkString(",")},""" +
+      s""""post_commit_search_sec":${f"$tSearch%.2f"},""" +
+      s""""post_commit_top1":"${hit.getAs[String]("vector_key")}"}""")
+    // multi-GB store + index scratch must not accumulate in /tmp across
+    // rounds on a shared box (VectorScaleBench's cleanup stance)
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(root))
+    spark.stop()
+  }
+}

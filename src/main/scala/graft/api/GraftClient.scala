@@ -407,12 +407,22 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     require(newBuckets != m.buckets, s"$name already has $newBuckets buckets")
     val coll = collection(m)
+    val baseVersion = coll.currentVersion
     val rows = coll.read(spark).select(rowSchema.fieldNames.map(col): _*)
     val newPath = s"${m.dataPath}.rb$newBuckets"
     deleteDir(newPath) // a prior failed rebucket's partial target is dead
     val fresh = new graft.streaming.BucketedKeyedCollection(
       newPath, rowSchema, "key", newBuckets, retain = m.retain)
     fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
+    // a writer landing on the OLD layout after our snapshot read would be
+    // silently dropped by the catalog swap below — detect and fail like
+    // commitBuckets' CAS (rebucket is an admin op; the caller retries)
+    if (coll.currentVersion != baseVersion) {
+      deleteDir(newPath)
+      throw new java.util.ConcurrentModificationException(
+        s"$name: concurrent write during rebucket (snapshot " +
+          s"$baseVersion -> ${coll.currentVersion}) — retry")
+    }
     val updated = m.copy(dataPath = newPath, buckets = newBuckets)
     require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
     // old layout + its now-unreachable indexes are dead after the swap

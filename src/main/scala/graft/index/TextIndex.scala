@@ -67,18 +67,40 @@ object TextIndex {
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
 
+  // META: line 1 buckets, line 2 postings schema DDL, line 3 the live
+  // generation token (postings-<g>/stats-<g> dir suffix)
+  private def readMeta(path: String): (Int, StructType, String) = {
+    val lines = new String(java.nio.file.Files.readAllBytes(metaPath(path)),
+      "UTF-8").split("\n", 3)
+    require(lines.length == 3,
+      s"$path/META is not a generation-format text index — rebuild it " +
+        "(TextIndex.build / GraftClient.buildTextIndex)")
+    (lines(0).trim.toInt, StructType.fromDDL(lines(1)), lines(2).trim)
+  }
+
   /** Build (or rebuild) the postings layout for `docs` at `path`.
     * Tokenization is the whitespace split every other C14 operator uses;
     * tf/dlen/n_docs/avgdl are computed EXACTLY as the raw-text BM25 plan
     * computes them, so the two paths score identically. One corpus-sized
     * explode→groupBy shuffle at build time buys Σ df(term) reads per
-    * query forever after. */
+    * query forever after.
+    *
+    * Publish protocol: each build writes a fresh GENERATION
+    * (`postings-<g>/`, `stats-<g>/`) and then swaps META — which names
+    * the live generation — with a temp-file + ATOMIC_MOVE. A reader
+    * resolves META first, so it only ever sees a COMPLETE generation;
+    * rebuilding in place (mode=overwrite on a shared dir) would let a
+    * concurrent query score from half-written postings while the
+    * version stamp still reads fresh. A crash mid-build strands an
+    * unreferenced generation dir (swept by the next successful build)
+    * and leaves the old index serving. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
             buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     val reserved = Seq("term", "tf", "dlen", "bucket", "bm25", "df")
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with a postings column (${reserved.mkString(", ")})")
+    val gen = java.util.UUID.randomUUID.toString.take(8)
     val withLen = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
     val stats = withLen.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
@@ -89,12 +111,29 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
     postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    // META last: bucket count + schema DDL (so reads skip footer
-    // inference). bm25() treats a missing META as "no index".
-    java.nio.file.Files.write(metaPath(path),
-      s"$buckets\n${postings.schema.toDDL}".getBytes("UTF-8"))
+      .parquet(s"$path/postings-$gen")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
+    java.nio.file.Files.write(tmp,
+      s"$buckets\n${postings.schema.toDDL}\n$gen".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, metaPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // sweep superseded/crash-stranded generations (never the live one).
+    // A reader holding a LAZY frame over a superseded generation loses it
+    // here — same reader-validity window as the keyed store's vacuum;
+    // resolve-then-collect (what bm25's callers do) is unaffected.
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => (n.startsWith("postings-") || n.startsWith("stats-")) &&
+          !n.endsWith(s"-$gen"))
+        .toSeq
+        .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
+          dir.resolve(n)))
+    } finally listing.close()
   }
 
   /** Whether a postings layout exists at `path`. */
@@ -109,17 +148,14 @@ object TextIndex {
            k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(exists(path), s"no text index at $path — run build first")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath(path)),
-      "UTF-8").split("\n", 2)
-    val buckets = meta(0).trim.toInt
-    val schema = StructType.fromDDL(meta(1))
+    val (buckets, schema, gen) = readMeta(path)
     val idCol = schema.fields.head.name
     val bucketIds = terms.map(termBucket(_, buckets)).distinct
-    val matching = spark.read.schema(schema).parquet(s"$path/postings")
+    val matching = spark.read.schema(schema).parquet(s"$path/postings-$gen")
       .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
     val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.read.schema("n_docs BIGINT, avgdl DOUBLE")
-      .parquet(s"$path/stats")
+      .parquet(s"$path/stats-$gen")
     scoreTail(
       matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
       idCol, k, k1, b)

@@ -91,6 +91,40 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rebuilds publish atomically: META names the generation, old ones are swept") {
+    val path = java.nio.file.Files.createTempDirectory("ti-gen").toString
+    val dir = java.nio.file.Paths.get(path)
+    def gens(prefix: String): Set[String] = {
+      val l = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith(prefix)).toSet
+      } finally l.close()
+    }
+    val terms = Seq("join", "hash", "scan")
+    graft.index.TextIndex.build(docs, "doc_id", "text", path)
+    val expected = graft.index.TextIndex.bm25(spark, path, terms).collect().toSeq
+    assert(gens("postings-").size == 1 && gens("stats-").size == 1)
+    // a crash-stranded partial build: an unreferenced generation full of
+    // garbage must neither be read (META doesn't name it) nor wedge
+    java.nio.file.Files.createDirectories(dir.resolve("postings-deadbeef"))
+    java.nio.file.Files.write(dir.resolve("postings-deadbeef/junk"),
+      "not parquet".getBytes)
+    assert(graft.index.TextIndex.bm25(spark, path, terms).collect().toSeq == expected,
+      "an orphan generation must not affect reads of the live one")
+    // rebuild: swaps META to a fresh generation, sweeps the superseded
+    // one AND the stranded orphan
+    val liveBefore = gens("postings-")
+    graft.index.TextIndex.build(docs, "doc_id", "text", path)
+    assert(graft.index.TextIndex.bm25(spark, path, terms).collect().toSeq == expected)
+    val liveAfter = gens("postings-")
+    assert(liveAfter.size == 1 && gens("stats-").size == 1,
+      s"superseded generations must be swept, left: ${gens("postings-")} ${gens("stats-")}")
+    assert((liveAfter & (liveBefore + "postings-deadbeef")).isEmpty,
+      "the rebuild must publish a NEW generation and remove old + orphan dirs")
+  }
+
   test("client: searchLexical rides a fresh index, falls back when stale") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ti").toString
