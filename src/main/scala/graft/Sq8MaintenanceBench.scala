@@ -71,7 +71,10 @@ object Sq8MaintenanceBench {
     // noise (1e-4 ≪ inter-centroid distance), new keys so every row is
     // an insert into its cell
     def batchFor(cells: Int, tag: String): DataFrame = {
-      val picked = (0 until cells).map(c => c * (centers.length / cells))
+      // multiply BEFORE dividing: centers.length / cells is 0 whenever
+      // cells > nlist, which would plant every row in cell 0 while the
+      // output still claims `cells` cells — a silently-wrong curve point
+      val picked = (0 until cells).map(c => c * centers.length / cells)
       val rs = (0 until batchRows).map { j =>
         val c = centers(picked(j % cells))
         val v = new Array[Float](dim)
@@ -92,7 +95,8 @@ object Sq8MaintenanceBench {
 
     // min of two commits per point: single samples on a shared box carry
     // multi-second scheduler noise (same policy as Bench's timed passes)
-    val curve = Seq(1, 4, 16, centers.length).distinct.map { cells =>
+    val curve = Seq(1, 4, 16, centers.length).distinct
+      .filter(_ <= centers.length).map { cells =>
       val t = (0 until 2).map { pass =>
         timed(client.upsert("m", batchFor(cells, s"c$cells-p$pass")))._2
       }.min

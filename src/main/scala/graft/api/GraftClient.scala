@@ -72,16 +72,25 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** Null keys would hash to a null bucket and corrupt the partitioned
     * write — reject them at the write boundary, like the dimension check.
-    * Keys are also capped at 2048 chars: the reference's primary key is
-    * VARCHAR(max_length=2048) (milvus-app/pythonvectordbceph_milvus.py:94),
-    * and an unbounded key would silently bloat every per-key structure
-    * (bucket files, index candidate lists) a migrating user sized for it. */
-  private def requireKey(c: Column): Column =
-    when(c.isNull, raise_error(lit("null key in write batch")))
-      .when(length(c) > GraftClient.MaxKeyLength, raise_error(concat(
-        lit(s"key exceeds max length ${GraftClient.MaxKeyLength}: "),
-        length(c).cast("string"), lit(" chars"))))
-      .otherwise(c)
+    * PUT keys are also capped at 2048 chars: the reference's primary key
+    * is VARCHAR(max_length=2048)
+    * (milvus-app/pythonvectordbceph_milvus.py:94), and an unbounded key
+    * would silently bloat every per-key structure (bucket files, index
+    * candidate lists) a migrating user sized for it. The cap applies to
+    * PUTS ONLY (`capped = false` on the delete side): an over-long key
+    * written before the cap existed must stay deletable — capping
+    * deletes would make it immortal, and a delete EVENT carrying one
+    * would poison-pill the streaming batch on every checkpoint replay. */
+  private def requireKey(c: Column, capped: Boolean = true): Column = {
+    val nonNull = when(c.isNull, raise_error(lit("null key in write batch")))
+    if (capped)
+      nonNull
+        .when(length(c) > GraftClient.MaxKeyLength, raise_error(concat(
+          lit(s"key exceeds max length ${GraftClient.MaxKeyLength}: "),
+          length(c).cast("string"), lit(" chars"))))
+        .otherwise(c)
+    else nonNull.otherwise(c)
+  }
 
   /** The bucket ids a batch touches — bounded by the collection's bucket
     * count (a ≤`buckets`-int driver array, NOT a data collect). */
@@ -123,14 +132,18 @@ class GraftClient(spark: SparkSession, root: String) {
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain)
-    // defensively clear any pre-existing storage under this name BEFORE
-    // cataloging it: a crash inside an earlier drop() (or any orphaned
-    // dir) would otherwise silently RESURRECT old rows — under a possibly
-    // different dim — the moment the name is re-created
-    if (catalog.describeCollection(name).isEmpty) {
+    val created = catalog.createCollection(meta)
+    // defensively clear pre-existing storage under this name, but ONLY
+    // after WINNING the catalog's exclusive create (hard-link
+    // exclusivity): a crash inside an earlier drop() (or any orphaned
+    // dir) would otherwise silently RESURRECT old rows — under a
+    // possibly different dim — the moment the name is re-created. A
+    // check-then-delete BEFORE the create would let the LOSER of a
+    // racing create wipe the winner's freshly-written data.
+    if (created) {
       deleteDir(ivfDir(meta)); deleteDir(textDir(meta)); deleteDir(meta.dataPath)
     }
-    catalog.createCollection(meta)
+    created
   }
 
   def describe(name: String): CollectionMeta = metaOrThrow(name)
@@ -253,7 +266,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // nothing but latency (a ghost key there only rewrites its bucket
     // byte-identically, which is harmless).
     val keyed = delKeys.map { d =>
-      val k = d.select(requireKey(col("key")).as("key"))
+      val k = d.select(requireKey(col("key"), capped = false).as("key"))
       val resolved =
         if (puts.nonEmpty) k
         else {
@@ -414,23 +427,32 @@ class GraftClient(spark: SparkSession, root: String) {
     val fresh = new graft.streaming.BucketedKeyedCollection(
       newPath, rowSchema, "key", newBuckets, retain = m.retain)
     fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
-    // a writer landing on the OLD layout after our snapshot read would be
-    // silently dropped by the catalog swap below — detect and fail like
-    // commitBuckets' CAS (rebucket is an admin op; the caller retries)
-    if (coll.currentVersion != baseVersion) {
-      deleteDir(newPath)
-      throw new java.util.ConcurrentModificationException(
-        s"$name: concurrent write during rebucket (snapshot " +
-          s"$baseVersion -> ${coll.currentVersion}) — retry")
-    }
+    // The check→catalog-swap→delete must exclude commits on the OLD
+    // layout, so it runs under that layout's own commit lock — a plain
+    // check-then-act would let a writer CAS successfully against the old
+    // layout between our check and the swap, and the deleteDir below
+    // would destroy its acknowledged commit. Under the lock: a writer
+    // that committed BEFORE us fails our version check (we raise, caller
+    // retries the rebucket); a writer whose mergeCommit is in flight
+    // blocks on the lock, then finds CURRENT deleted (-1 ≠ its base) and
+    // raises ITS retryable CAS error. Either way, loud — never a silent
+    // lost update.
     val updated = m.copy(dataPath = newPath, buckets = newBuckets)
-    require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
-    // old layout + its now-unreachable indexes are dead after the swap
-    // (the text index keys off dataPath too — searchLexical falls back to
-    // the caller's frame until the next buildTextIndex)
-    deleteDir(ivfDir(m))
-    deleteDir(textDir(m))
-    deleteDir(m.dataPath)
+    coll.withWriteLock {
+      if (coll.currentVersion != baseVersion) {
+        deleteDir(newPath)
+        throw new java.util.ConcurrentModificationException(
+          s"$name: concurrent write during rebucket (snapshot " +
+            s"$baseVersion -> ${coll.currentVersion}) — retry")
+      }
+      require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
+      // old layout + its now-unreachable indexes are dead after the swap
+      // (the text index keys off dataPath too — searchLexical falls back
+      // to the caller's frame until the next buildTextIndex)
+      deleteDir(ivfDir(m))
+      deleteDir(textDir(m))
+      deleteDir(m.dataPath)
+    }
     invalidateIndexCaches(name)
     liveCount(updated)
   }
@@ -583,7 +605,25 @@ class GraftClient(spark: SparkSession, root: String) {
           // No isEmpty pre-checks: mergeCommit's single touched-bucket
           // collect doubles as the emptiness guard (an effectively-empty
           // batch commits nothing), so the batch pays no extra jobs.
-          mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
+          // CAS failures (a concurrent client committed mid-merge) are
+          // RETRIED here — mergeCommit recomputes everything from the
+          // fresh snapshot per call — because an exception escaping
+          // foreachBatch terminates the whole StreamingQuery: the
+          // multi-writer contract would otherwise turn a supported
+          // two-writer configuration into an ingest outage. Bounded so a
+          // pathological commit storm still surfaces instead of looping.
+          var attempts = 0
+          var committed = false
+          while (!committed) {
+            try {
+              mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
+              committed = true
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                attempts += 1
+                if (attempts >= 5) throw e
+            }
+          }
         } finally latest.unpersist()
         ()
       }
@@ -735,25 +775,21 @@ class GraftClient(spark: SparkSession, root: String) {
   private val idxCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), LoadedIndex]()
 
-  private def loadIndex(m: CollectionMeta): Option[LoadedIndex] = {
-    val vfile = java.nio.file.Paths.get(s"${ivfDir(m)}/VERSION")
-    if (!java.nio.file.Files.exists(vfile)) None
-    else {
-      val v = new String(java.nio.file.Files.readAllBytes(vfile)).trim.toLong
+  private def loadIndex(m: CollectionMeta): Option[LoadedIndex] =
+    readVersionFile(ivfDir(m)).map { v =>
       val it = idxCache.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
         if (k._1 == m.name && k._2 != v) it.remove()
       }
-      Some(idxCache.computeIfAbsent((m.name, v), { _ =>
+      idxCache.computeIfAbsent((m.name, v), { _ =>
         val assign = readCentroids(s"${ivfDir(m)}/centroids")
         val probePath = s"${ivfDir(m)}/probe_centroids"
         val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
         LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
           v, hasProbe)
-      }))
+      })
     }
-  }
 
   /** Incrementally maintain the IVF index across one merge-commit: evict
     * the touched keys from their old cells, insert the new rows into their
@@ -1216,13 +1252,22 @@ class GraftClient(spark: SparkSession, root: String) {
     * I/O instead of a corpus re-tokenize. If it is stale (writes since
     * the build, crash mid-build) or absent, the raw-text plan scores the
     * caller's `docs` frame — same staleness contract as [[search]]'s IVF
-    * fallback, and the two paths share one scoring expression, so which
-    * one ran never changes a result. */
+    * fallback.
+    *
+    * CONTRACT: `docs` must be the same corpus [[buildTextIndex]] indexed
+    * — it is the raw source of truth the index is a materialization of,
+    * exactly as the keyed store is for the IVF index. When they match,
+    * the two paths score identically (one shared expression). Passing a
+    * DIFFERENT frame (a filtered subset, another corpus) while a fresh
+    * index exists would silently score the INDEXED corpus instead — so
+    * callers doing ad-hoc lexical scoring over an arbitrary frame must
+    * either pass `useIndex = false` or use [[bm25]] directly. */
   def searchLexical(name: String, docs: DataFrame, terms: Seq[String],
                     k: Int = 10, textCol: String = "text",
-                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k1: Double = 1.2, b: Double = 0.75,
+                    useIndex: Boolean = true): DataFrame = {
     val m = metaOrThrow(name)
-    val fresh = readVersionFile(textDir(m)).exists(v =>
+    val fresh = useIndex && readVersionFile(textDir(m)).exists(v =>
       TextIndex.exists(textDir(m)) && collection(m).currentVersion.contains(v))
     if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b)
     else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b)
@@ -1248,12 +1293,16 @@ class GraftClient(spark: SparkSession, root: String) {
   def hybridSearch(name: String, docs: DataFrame, terms: Seq[String],
                    qvec: Array[Float], k: Int = 10, armK: Int = 15,
                    rrfK: Int = 60, filter: Option[Column] = None,
-                   nprobe: Int = 4, textCol: String = "text"): DataFrame = {
+                   nprobe: Int = 4, textCol: String = "text",
+                   useIndex: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the lexical arm rides the at-rest postings when fresh (the vector
     // arm already rides IVF/SQ8 via search()) — both arms then read
-    // query-bounded at-rest layouts instead of corpus-sized raw inputs
-    val lex = searchLexical(name, docs, terms, k = armK, textCol = textCol)
+    // query-bounded at-rest layouts instead of corpus-sized raw inputs.
+    // searchLexical's contract applies: `docs` is the corpus the text
+    // index materializes; pass useIndex=false to force raw-frame scoring
+    val lex = searchLexical(name, docs, terms, k = armK, textCol = textCol,
+      useIndex = useIndex)
       .select(col("key"),
         row_number().over(Window.orderBy(desc("bm25"), col("key")))
           .cast("long").as("lex_rank"))

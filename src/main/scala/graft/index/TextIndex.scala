@@ -100,6 +100,14 @@ object TextIndex {
     val reserved = Seq("term", "tf", "dlen", "bucket", "bm25", "df")
     require(!reserved.contains(idCol),
       s"idCol '$idCol' collides with a postings column (${reserved.mkString(", ")})")
+    // builds on one path serialize on the layout's lock (same mechanism
+    // as the keyed store's commits): two concurrent builds would
+    // otherwise each sweep the OTHER's in-flight generation — the loser
+    // could swap META to a directory the winner just deleted, wedging
+    // every read until a manual rebuild. Serialized, the last build's
+    // generation wins and the sweep only ever removes superseded ones.
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
     val gen = java.util.UUID.randomUUID.toString.take(8)
     val withLen = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
@@ -134,6 +142,7 @@ object TextIndex {
         .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
           dir.resolve(n)))
     } finally listing.close()
+    }
   }
 
   /** Whether a postings layout exists at `path`. */

@@ -264,6 +264,12 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
 
   private def deleteRecursively(p: Path): Unit =
     BucketedKeyedCollection.deleteTree(p)
+
+  /** The collection's commit lock, for admin operations (e.g. rebucket)
+    * whose multi-step swaps must exclude concurrent commits — see the
+    * companion's withCommitLock. */
+  private[graft] def withWriteLock[T](f: => T): T =
+    BucketedKeyedCollection.withCommitLock(dir)(f)
 }
 
 object BucketedKeyedCollection {
@@ -291,8 +297,14 @@ object BucketedKeyedCollection {
     * recovery dance). The lock covers the whole commit — staging write,
     * dir moves, manifest, pointer swap, vacuum — so commits from any
     * number of writers serialize and the pre-existing crash-cleanup logic
-    * keeps its single-writer-at-a-time assumption. */
-  private[streaming] def withCommitLock[T](dir: Path)(f: => T): T = {
+    * keeps its single-writer-at-a-time assumption. Also taken (via
+    * [[BucketedKeyedCollection.withWriteLock]]) by admin operations that
+    * must exclude commits across a multi-step swap (rebucket's
+    * check→catalog-swap→delete) and by text-index builds sharing a
+    * layout directory. `dir` is created if absent — callers lock paths
+    * that may not exist yet. */
+  private[graft] def withCommitLock[T](dir: Path)(f: => T): T = {
+    Files.createDirectories(dir)
     val jvmLock = commitLocks.computeIfAbsent(
       dir.toAbsolutePath.normalize.toString,
       _ => new java.util.concurrent.locks.ReentrantLock())

@@ -1378,6 +1378,12 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(err).exists(_.contains("max length")), s"opaque error: ${msgs(err)}")
     assert(client.count("kl") == 1L, "a rejected batch must commit nothing")
+    // the cap is PUTS-only: a delete carrying an over-long key (e.g. a
+    // pre-cap legacy row, or a malformed delete event in a stream) must
+    // not raise — capping deletes would make such keys immortal and
+    // poison-pill streaming batches on every checkpoint replay
+    assert(client.deleteByKeys("kl", Seq("k" * (GraftClient.MaxKeyLength + 100))) == 1L)
+    assert(client.count("kl") == 1L, "a ghost over-long delete commits nothing")
   }
 
   test("estimateRecall measures the nprobe recall/latency knob on the collection's own data") {

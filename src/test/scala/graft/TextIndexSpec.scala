@@ -125,6 +125,25 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the rebuild must publish a NEW generation and remove old + orphan dirs")
   }
 
+  test("concurrent builds on one path serialize; the survivor generation is complete") {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val path = java.nio.file.Files.createTempDirectory("ti-conc").toString
+    val terms = Seq("join", "hash", "scan")
+    // unserialized, each build's sweep could delete the OTHER's in-flight
+    // generation and then publish META pointing at a swept directory —
+    // every later read would throw missing-path
+    val builds = Seq(0, 1).map(_ => Future {
+      graft.index.TextIndex.build(docs, "doc_id", "text", path)
+    })
+    builds.foreach(Await.result(_, 5.minutes))
+    val expected = graft.queries.TextQueries.bm25(
+      docs, "doc_id", "text", terms, 15, 1.2, 0.75).collect().toSeq
+    assert(graft.index.TextIndex.bm25(spark, path, terms).collect().toSeq == expected,
+      "after two concurrent builds the published generation must be complete")
+  }
+
   test("client: searchLexical rides a fresh index, falls back when stale") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ti").toString
