@@ -95,20 +95,33 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   /** One-time rewrite of a legacy KeyedCollection snapshot into the
     * bucketed layout — one all-buckets commit, then the legacy version
     * dirs (which `prune` never matches) are dropped. The seq high-water
-    * mark seeds from the data's `seq` column when the schema has one. */
-  def migrateFromLegacy(spark: SparkSession): Long = {
-    require(isLegacyLayout, s"$root is not a legacy KeyedCollection layout")
-    val v = currentVersion.get
-    val rows = spark.read.schema(schema).parquet(dir.resolve(f"v$v%08d").toString)
-    val maxSeq =
-      if (schema.fieldNames.contains("seq"))
-        rows.agg(org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.max(col("seq")), lit(0L))).head().getLong(0)
-      else 0L
-    val next = commitBuckets(0 until numBuckets, rows, maxSeq,
-      expectedBase = Some(v))
-    listDir().filter(_.matches("v\\d{8,}")).foreach(n => deleteRecursively(dir.resolve(n)))
-    next
+    * mark seeds from the data's `seq` column when the schema has one.
+    *
+    * Runs under the commit lock and is IDEMPOTENT: two concurrent first
+    * opens of a legacy store both reach the check-then-migrate, and the
+    * loser must see "already migrated" and return the live version —
+    * not throw out of what the caller experiences as a plain read. The
+    * inner commitBuckets re-enters the same lock (reentrancy handled by
+    * withCommitLock). */
+  def migrateFromLegacy(spark: SparkSession): Long = withWriteLock {
+    if (!isLegacyLayout) {
+      // lost the open race: the other opener migrated while we waited
+      currentVersion.getOrElse(
+        throw new IllegalArgumentException(
+          s"$root is not a legacy KeyedCollection layout"))
+    } else {
+      val v = currentVersion.get
+      val rows = spark.read.schema(schema).parquet(dir.resolve(f"v$v%08d").toString)
+      val maxSeq =
+        if (schema.fieldNames.contains("seq"))
+          rows.agg(org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.max(col("seq")), lit(0L))).head().getLong(0)
+        else 0L
+      val next = commitBuckets(0 until numBuckets, rows, maxSeq,
+        expectedBase = Some(v))
+      listDir().filter(_.matches("v\\d{8,}")).foreach(n => deleteRecursively(dir.resolve(n)))
+      next
+    }
   }
 
   /** Seq high-water mark of the latest snapshot — no index scan needed. */
@@ -195,7 +208,11 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     // REPLACE_EXISTING would throw FileAlreadyExistsException, wedging all
     // future commits) and stale `.stage-*` dirs. Single-writer is assumed,
     // so anything staged or versioned >= `next` is dead — clean it first.
-    listDir().filter(n => n.startsWith(".stage-") ||
+    // `.ptr-` temps are strandable by a crash between createTempFile and
+    // the atomic move below — harmless individually, an unbounded leak
+    // across crash-retry cycles; this cleanup already runs under the
+    // commit lock, so sweeping them here can't race a live publish
+    listDir().filter(n => n.startsWith(".stage-") || n.startsWith(".ptr-") ||
         bucketDirVersion(n).exists(_ >= next))
       .foreach(n => deleteRecursively(dir.resolve(n)))
     val staging = dir.resolve(f".stage-$next%08d")
@@ -283,13 +300,26 @@ object BucketedKeyedCollection {
   }
 
   // Per-collection commit mutexes, keyed by canonical root. The JVM-level
-  // lock is load-bearing twice over: it serializes same-process writers
-  // (two GraftClient instances construct separate collection objects for
-  // one root), and it keeps the file lock below single-entrant per JVM —
+  // lock serializes same-process writers ACROSS threads (two GraftClient
+  // instances construct separate collection objects for one root) so the
+  // file lock below only ever arbitrates BETWEEN processes —
   // FileChannel.lock throws OverlappingFileLockException, not blocks,
-  // when the SAME JVM already holds a region.
+  // when the same JVM already holds a region. Same-THREAD reentry is
+  // handled separately (heldByThread below): a ReentrantLock would
+  // re-enter and then trip exactly that exception on the file lock.
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  // Paths whose commit lock the CURRENT THREAD already holds. The JVM
+  // ReentrantLock re-enters fine, but FileChannel.lock would then throw
+  // OverlappingFileLockException (same JVM already holds the region), so
+  // true reentrancy — an admin op composing another locked op on the same
+  // dir, e.g. migrate-under-collection-open — must skip BOTH acquisitions
+  // when the outer frame owns them.
+  private val heldByThread = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
 
   /** Run `f` holding the collection's commit lock: in-process mutex, then
     * an OS file lock on `<root>/COMMIT_LOCK` (blocks until the competing
@@ -305,10 +335,12 @@ object BucketedKeyedCollection {
     * that may not exist yet. */
   private[graft] def withCommitLock[T](dir: Path)(f: => T): T = {
     Files.createDirectories(dir)
+    val key = dir.toAbsolutePath.normalize.toString
+    if (heldByThread.get.contains(key)) return f // reentrant: outer frame owns both locks
     val jvmLock = commitLocks.computeIfAbsent(
-      dir.toAbsolutePath.normalize.toString,
-      _ => new java.util.concurrent.locks.ReentrantLock())
+      key, _ => new java.util.concurrent.locks.ReentrantLock())
     jvmLock.lock()
+    heldByThread.get += key
     try {
       val ch = java.nio.channels.FileChannel.open(dir.resolve("COMMIT_LOCK"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -317,6 +349,9 @@ object BucketedKeyedCollection {
         val fl = ch.lock()
         try f finally fl.release()
       } finally ch.close()
-    } finally jvmLock.unlock()
+    } finally {
+      heldByThread.get -= key
+      jvmLock.unlock()
+    }
   }
 }

@@ -164,6 +164,40 @@ class BucketedCollectionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(i => (s"k$i", if (i == 3) 777L else i.toLong, 7L))
     coll.commitBuckets(Seq(b), survivors.toDF("key", "value", "seq"), 7L)
     assert(rowsOf(coll).contains(("k3", 777L)))
+    // IDEMPOTENT: a second migrate (the loser of a concurrent first-open
+    // race) must return the live version, not throw — the caller
+    // experiences it as a plain read
+    assert(coll.migrateFromLegacy(spark) == coll.currentVersion.get)
+  }
+
+  test("commit lock is reentrant on the same thread, exclusive across threads") {
+    import scala.jdk.CollectionConverters._
+    val (root, coll) = freshColl(buckets = 2)
+    val dir = java.nio.file.Paths.get(root)
+    // same-thread nesting must not trip OverlappingFileLockException —
+    // admin ops compose locked ops on the same dir (migrate-under-open,
+    // rebucket's commitBuckets under the rebucket lock)
+    val nested = BucketedKeyedCollection.withCommitLock(dir) {
+      BucketedKeyedCollection.withCommitLock(dir) { 42 }
+    }
+    assert(nested == 42)
+    // cross-thread: a second thread must BLOCK until the holder releases
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => BucketedKeyedCollection.withCommitLock(dir) {
+      order.add("t1-in"); entered.countDown(); release.await(); order.add("t1-out")
+    })
+    t1.start()
+    entered.await()
+    val t2 = new Thread(() => BucketedKeyedCollection.withCommitLock(dir) {
+      order.add("t2-in")
+    })
+    t2.start()
+    Thread.sleep(200) // t2 must still be parked on the lock here
+    assert(!order.contains("t2-in"), s"lock failed to exclude a second thread: $order")
+    release.countDown(); t1.join(10000); t2.join(10000)
+    assert(order.asScala.toSeq == Seq("t1-in", "t1-out", "t2-in"), s"order: $order")
   }
 
   test("storage is bounded: old manifests and unreferenced bucket dirs are vacuumed") {
