@@ -420,38 +420,36 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     require(newBuckets != m.buckets, s"$name already has $newBuckets buckets")
     val coll = collection(m)
-    val baseVersion = coll.currentVersion
-    val rows = coll.read(spark).select(rowSchema.fieldNames.map(col): _*)
-    val newPath = s"${m.dataPath}.rb$newBuckets"
-    deleteDir(newPath) // a prior failed rebucket's partial target is dead
-    val fresh = new graft.streaming.BucketedKeyedCollection(
-      newPath, rowSchema, "key", newBuckets, retain = m.retain)
-    fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
-    // The check→catalog-swap→delete must exclude commits on the OLD
-    // layout, so it runs under that layout's own commit lock — a plain
-    // check-then-act would let a writer CAS successfully against the old
-    // layout between our check and the swap, and the deleteDir below
-    // would destroy its acknowledged commit. Under the lock: a writer
-    // that committed BEFORE us fails our version check (we raise, caller
-    // retries the rebucket); a writer whose mergeCommit is in flight
-    // blocks on the lock, then finds CURRENT deleted (-1 ≠ its base) and
-    // raises ITS retryable CAS error. Either way, loud — never a silent
-    // lost update.
-    val updated = m.copy(dataPath = newPath, buckets = newBuckets)
-    coll.withWriteLock {
-      if (coll.currentVersion != baseVersion) {
-        deleteDir(newPath)
+    // The WHOLE rebucket runs under the old layout's commit lock:
+    //  - rebucket vs WRITER: a mergeCommit in flight blocks at its
+    //    commitBuckets until we release, then finds CURRENT deleted
+    //    (-1 ≠ its base) and raises ITS retryable CAS error — never a
+    //    commit silently destroyed by the deleteDirs below.
+    //  - rebucket vs REBUCKET: both calls compute the SAME newPath, so
+    //    the loser's upfront deleteDir(newPath) would wipe the winner's
+    //    already-catalog-swapped live data. Serialized here, the loser
+    //    re-reads the catalog after acquiring the lock, sees its meta is
+    //    no longer live, and raises instead.
+    val updated = coll.withWriteLock {
+      if (!catalog.describeCollection(name).contains(m))
         throw new java.util.ConcurrentModificationException(
-          s"$name: concurrent write during rebucket (snapshot " +
-            s"$baseVersion -> ${coll.currentVersion}) — retry")
-      }
-      require(catalog.updateCollection(updated), s"catalog lost $name mid-rebucket")
+          s"$name: collection changed while waiting to rebucket " +
+            "(concurrent rebucket or drop) — re-describe and retry")
+      val rows = coll.read(spark).select(rowSchema.fieldNames.map(col): _*)
+      val newPath = s"${m.dataPath}.rb$newBuckets"
+      deleteDir(newPath) // a prior failed rebucket's partial target is dead
+      val fresh = new graft.streaming.BucketedKeyedCollection(
+        newPath, rowSchema, "key", newBuckets, retain = m.retain)
+      fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
+      val u = m.copy(dataPath = newPath, buckets = newBuckets)
+      require(catalog.updateCollection(u), s"catalog lost $name mid-rebucket")
       // old layout + its now-unreachable indexes are dead after the swap
       // (the text index keys off dataPath too — searchLexical falls back
       // to the caller's frame until the next buildTextIndex)
       deleteDir(ivfDir(m))
       deleteDir(textDir(m))
       deleteDir(m.dataPath)
+      u
     }
     invalidateIndexCaches(name)
     liveCount(updated)
@@ -686,8 +684,12 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   private def readCentroids(path: String): IvfIndex.CoarseQuantizer =
-    IvfIndex.CoarseQuantizer(spark.read.parquet(path)
-      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
+    // explicit schema: an inferred read fires a footer job per index-
+    // version load — the exact latency the cellsSchema comment above
+    // says interactive paths must not pay
+    IvfIndex.CoarseQuantizer(
+      spark.read.schema("centroid_id INT, center ARRAY<DOUBLE>").parquet(path)
+        .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
 
   /** Build (or rebuild) the IVF_FLAT index over the CURRENT snapshot —
     * the reference's `create_index(IVF_FLAT, L2, nlist)`
@@ -1261,16 +1263,25 @@ class GraftClient(spark: SparkSession, root: String) {
     * DIFFERENT frame (a filtered subset, another corpus) while a fresh
     * index exists would silently score the INDEXED corpus instead — so
     * callers doing ad-hoc lexical scoring over an arbitrary frame must
-    * either pass `useIndex = false` or use [[bm25]] directly. */
+    * either pass `useIndex = false` or use [[bm25]] directly.
+    *
+    * `restrictTo` (a 1-column frame of collection keys) gates which docs
+    * may RANK while stats stay whole-corpus — the Lucene filtered-query
+    * semantic — so a metadata-filtered query still rides the postings
+    * index (semi-join on the term-pruned rows), and both paths score
+    * hash-identically. Restricting `docs` instead would shift idf with
+    * the filter AND force the raw path. */
   def searchLexical(name: String, docs: DataFrame, terms: Seq[String],
                     k: Int = 10, textCol: String = "text",
                     k1: Double = 1.2, b: Double = 0.75,
-                    useIndex: Boolean = true): DataFrame = {
+                    useIndex: Boolean = true,
+                    restrictTo: Option[DataFrame] = None): DataFrame = {
     val m = metaOrThrow(name)
     val fresh = useIndex && readVersionFile(textDir(m)).exists(v =>
       TextIndex.exists(textDir(m)) && collection(m).currentVersion.contains(v))
-    if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b)
-    else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b)
+    if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b, restrictTo)
+    else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b,
+      restrictTo)
   }
 
   /** Unigram-LM perplexity proxy with a USER scoring predicate — the
@@ -1289,20 +1300,32 @@ class GraftClient(spark: SparkSession, root: String) {
     * vector `search.py`). Each arm is top-`armK`-pushed before its
     * ≤armK-row rank window (the limit-below-window contract); the fuse
     * is an armK×armK full-outer join. Emits (key, lex_rank, vec_rank,
-    * rrf), top `k` by fused score. */
+    * rrf), top `k` by fused score.
+    *
+    * `filter` binds BOTH arms (a key failing it can appear in neither):
+    * the vector arm pre-filters inside [[search]]; the lexical arm gates
+    * candidates on the filter-passing keys while scoring with
+    * whole-corpus stats (Lucene filtered-query semantics — see
+    * [[searchLexical]]), so it keeps riding the postings index. `docs`
+    * must be the collection's corpus — see [[searchLexical]]'s
+    * contract. */
   def hybridSearch(name: String, docs: DataFrame, terms: Seq[String],
                    qvec: Array[Float], k: Int = 10, armK: Int = 15,
                    rrfK: Int = 60, filter: Option[Column] = None,
                    nprobe: Int = 4, textCol: String = "text",
                    useIndex: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the lexical arm rides the at-rest postings when fresh (the vector
-    // arm already rides IVF/SQ8 via search()) — both arms then read
-    // query-bounded at-rest layouts instead of corpus-sized raw inputs.
-    // searchLexical's contract applies: `docs` is the corpus the text
-    // index materializes; pass useIndex=false to force raw-frame scoring
+    // The metadata `filter` must bind BOTH arms: search() pre-filters the
+    // vector arm, and the lexical arm gates its CANDIDATES on the keys
+    // passing the filter — otherwise a filtered-out doc ranking high
+    // lexically would occupy final top-k slots the caller's predicate
+    // says it cannot have. The gate is a semi-join BETWEEN scoring and
+    // ranking (restrictTo), not a restriction of `docs`: corpus stats
+    // stay fixed, so the filtered arm rides the postings index too.
+    val passing = filter.map(f =>
+      collection(metaOrThrow(name)).read(spark).filter(f).select("key"))
     val lex = searchLexical(name, docs, terms, k = armK, textCol = textCol,
-      useIndex = useIndex)
+      useIndex = useIndex, restrictTo = passing)
       .select(col("key"),
         row_number().over(Window.orderBy(desc("bm25"), col("key")))
           .cast("long").as("lex_rank"))

@@ -44,10 +44,29 @@ object TextIndex {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen") / col("avgdl")))
 
   /** The shared score aggregation tail: per-doc sum, round(6) (absorbs
-    * engine summation-order ulps), deterministic top-k. */
+    * engine summation-order ulps), deterministic top-k.
+    *
+    * `restrictTo` (a 1-column frame of ids) narrows the CANDIDATES via a
+    * semi-join while df/n_docs/avgdl — already bound into `scored` —
+    * stay whole-corpus: the Lucene/Elasticsearch filtered-query
+    * semantic (a metadata filter gates which docs may rank; it never
+    * shifts idf). Joining BEFORE the per-doc sum keeps the agg shuffle
+    * at Σ df(term ∩ passing) rows, and because each doc's score is
+    * independent of the others given corpus stats, restrict-then-sum
+    * equals sum-then-restrict.
+    *
+    * Shape at scale: semi-join is dup-safe with no distinct pass. When
+    * the id set is small it broadcasts; when it is a large filtered
+    * slice of the corpus, the shuffle moves the TERM-PRUNED postings
+    * (Σ df) plus the id keys — never corpus-sized postings. A filtered
+    * query at volume already paid a metadata scan to produce the ids,
+    * so the key shuffle is the same order as that scan's output. */
   private[graft] def scoreTail(scored: DataFrame, idCol: String, k: Int,
-                               k1: Double, b: Double): DataFrame =
-    scored.groupBy(col(idCol))
+                               k1: Double, b: Double,
+                               restrictTo: Option[DataFrame] = None): DataFrame =
+    restrictTo.fold(scored)(ids => scored.join(
+        ids.toDF(idCol), Seq(idCol), "left_semi"))
+      .groupBy(col(idCol))
       .agg(round(sum(scoreExpr(k1, b)), 6).as("bm25"))
       .orderBy(desc("bm25"), col(idCol))
       .limit(k)
@@ -97,9 +116,14 @@ object TextIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
             buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
-    val reserved = Seq("term", "tf", "dlen", "bucket", "bm25", "df")
+    // n_docs/avgdl clash at QUERY time (the stats crossJoin), __ws at
+    // build time — all three would otherwise produce an expensively-built
+    // index that throws AMBIGUOUS_REFERENCE on first use
+    val reserved = Seq("term", "tf", "dlen", "bucket", "bm25", "df",
+      "n_docs", "avgdl", "__ws")
     require(!reserved.contains(idCol),
-      s"idCol '$idCol' collides with a postings column (${reserved.mkString(", ")})")
+      s"idCol '$idCol' collides with a postings/query column " +
+        s"(${reserved.mkString(", ")})")
     // builds on one path serialize on the layout's lock (same mechanism
     // as the keyed store's commits): two concurrent builds would
     // otherwise each sweep the OTHER's in-flight generation — the loser
@@ -109,39 +133,51 @@ object TextIndex {
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
     val gen = java.util.UUID.randomUUID.toString.take(8)
+    // persisted: the stats aggregate and the postings write both consume
+    // this frame — uncached, each would re-run the caller's full upstream
+    // plan (possibly joins/embedding) plus the tokenize, making the
+    // "one corpus-sized pass" promise two. (Stats can't derive from the
+    // postings: a null-text doc has no postings row but DOES count in
+    // n_docs, and the raw-scoring path counts it — parity requires the
+    // same source.)
     val withLen = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
-    val stats = withLen.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
-    val postings = withLen
-      .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
-      .groupBy(col(idCol), col("term"))
-      // first(dlen) is deterministic: dlen is functionally dependent on id
-      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
-    postings.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings-$gen")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
-    val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
-    java.nio.file.Files.write(tmp,
-      s"$buckets\n${postings.schema.toDDL}\n$gen".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, metaPath(path),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // sweep superseded/crash-stranded generations (never the live one).
-    // A reader holding a LAZY frame over a superseded generation loses it
-    // here — same reader-validity window as the keyed store's vacuum;
-    // resolve-then-collect (what bm25's callers do) is unaffected.
-    val listing = java.nio.file.Files.list(dir)
+      .persist()
     try {
-      import scala.jdk.CollectionConverters._
-      listing.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => (n.startsWith("postings-") || n.startsWith("stats-")) &&
-          !n.endsWith(s"-$gen"))
-        .toSeq
-        .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
-          dir.resolve(n)))
-    } finally listing.close()
+      val stats = withLen.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
+      val postings = withLen
+        .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
+        .groupBy(col(idCol), col("term"))
+        // first(dlen) is deterministic: dlen is functionally dependent on id
+        .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      postings.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings-$gen")
+      stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
+      val dir = java.nio.file.Paths.get(path)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
+      java.nio.file.Files.write(tmp,
+        s"$buckets\n${postings.schema.toDDL}\n$gen".getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, metaPath(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // sweep superseded/crash-stranded generations (never the live one)
+      // plus any crash-stranded .meta- temps — safe here because the
+      // whole build holds the path's lock. A reader holding a LAZY frame
+      // over a superseded generation loses it here — same
+      // reader-validity window as the keyed store's vacuum;
+      // resolve-then-collect (what bm25's callers do) is unaffected.
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => ((n.startsWith("postings-") || n.startsWith("stats-")) &&
+            !n.endsWith(s"-$gen")) || n.startsWith(".meta-"))
+          .toSeq
+          .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
+            dir.resolve(n)))
+      } finally listing.close()
+    } finally withLen.unpersist()
     }
   }
 
@@ -152,9 +188,16 @@ object TextIndex {
     * prune to the terms' hash buckets, pushed `term IN` filter, df as a
     * tiny second aggregate over the ALREADY-pruned postings (identical
     * to the global df for those terms), stats broadcast from the 1-row
-    * table. Emits (id, bm25) exactly like the raw-text plan. */
+    * table. Emits (id, bm25) exactly like the raw-text plan.
+    *
+    * `restrictTo` (1-column frame of ids) gates CANDIDATES only — df and
+    * the stats row are resolved from the unrestricted postings first, so
+    * a metadata-filtered query scores with corpus idf (see
+    * [[scoreTail]]); the semi-join lands on the already term-pruned
+    * Σ df(term) rows, never the corpus. */
   def bm25(spark: SparkSession, path: String, terms: Seq[String],
-           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75,
+           restrictTo: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(exists(path), s"no text index at $path — run build first")
     val (buckets, schema, gen) = readMeta(path)
@@ -167,6 +210,6 @@ object TextIndex {
       .parquet(s"$path/stats-$gen")
     scoreTail(
       matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
-      idCol, k, k1, b)
+      idCol, k, k1, b, restrictTo)
   }
 }

@@ -194,9 +194,15 @@ object TextQueries {
     * BEFORE the tf groupBy, so the shuffle carries only matching postings
     * — at corpus scale that is Σ df(term), not the corpus. Per-doc sums
     * range over |terms| rows; round(6) absorbs engine summation-order
-    * ulps. Emits (idCol, bm25), top `k` by score. */
+    * ulps. Emits (idCol, bm25), top `k` by score.
+    *
+    * `restrictTo` narrows CANDIDATES after stats bind (corpus idf — the
+    * Lucene filtered-query semantic; see TextIndex.scoreTail), so this
+    * path and the postings path stay hash-identical for filtered
+    * queries too. */
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
-           k: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k: Int = 15, k1: Double = 1.2, b: Double = 0.75,
+           restrictTo: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     // dlen is a PER-ROW expression (size of the split array), so the
     // document-length table needs no corpus-wide explode→groupBy shuffle:
@@ -221,7 +227,7 @@ object TextQueries {
     graft.index.TextIndex.scoreTail(
       tf.join(dfT, Seq("word"))
         .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs)),
-      idCol, k, k1, b)
+      idCol, k, k1, b, restrictTo)
   }
 
   /** Per-JVM cache of at-rest postings built for a fixture dir (the

@@ -1030,6 +1030,41 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flipped == "d2", s"user terms + query vector must drive the winner: $flipped")
   }
 
+  test("hybridSearch: a metadata filter binds BOTH arms, not just the vector one") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hybfilter").toString
+    val client = new GraftClient(spark, root)
+    val docs = Seq(
+      ("d1", "fox fox fox jumps"), // lexical winner for "fox"
+      ("d2", "dog dog sleeps"),
+      ("d3", "fox dog mixed words here"),
+      ("d4", "nothing relevant at all")
+    ).toDF("key", "text")
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    client.createCollection("hybf", dim = 8)
+    client.upsert("hybf", Seq(
+      ("d1", vec(1), Map("tier" -> "blocked")),
+      ("d2", vec(2), Map("tier" -> "ok")),
+      ("d3", vec(3), Map("tier" -> "ok")),
+      ("d4", vec(4), Map("tier" -> "ok"))
+    ).toDF("key", "vec", "meta"))
+    // d1 wins both arms unfiltered; the filter excludes it, so it must
+    // appear in NEITHER arm — a lexical-only leak would still seat it in
+    // the fused top-k with a non-null lex_rank
+    val filt = element_at(col("meta"), "tier") === "ok"
+    val keys = client.hybridSearch("hybf", docs, Seq("fox"), vec(1).toArray,
+        k = 4, filter = Some(filt))
+      .collect().map(_.getString(0)).toSeq
+    assert(!keys.contains("d1"), s"filtered-out doc leaked into the fusion: $keys")
+    assert(keys.nonEmpty && keys.head == "d3",
+      s"next-best fox doc must inherit the top slot: $keys")
+    // unfiltered control: same call without the filter still crowns d1
+    val ctl = client.hybridSearch("hybf", docs, Seq("fox"), vec(1).toArray, k = 4)
+      .collect().head.getString(0)
+    assert(ctl == "d1")
+  }
+
   test("parameterized dedup: candidates, clusters, keep-best on a user frame with string keys") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-dedup").toString

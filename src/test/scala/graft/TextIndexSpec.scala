@@ -188,11 +188,29 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("key", "text")
     def run() = client.hybridSearch("hy", corpus, Seq("needle"), Array(0.1f, 0.9f))
       .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // filtered variant: candidates gated, corpus stats — must ALSO be
+    // path-independent (the whole point of restrictTo over docs-slicing)
+    val filt = col("key").isin((0 until 40 by 2).map(i => s"k$i"): _*)
+    def runF() = client.hybridSearch("hy", corpus, Seq("needle"),
+        Array(0.1f, 0.9f), filter = Some(filt))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
     val before = run()
-    assert(before.nonEmpty)
+    val beforeF = runF()
+    assert(before.nonEmpty && beforeF.nonEmpty)
+    assert(beforeF.forall { case (key, _) => key.drop(1).toInt % 2 == 0 },
+      s"filter must gate the fused results: $beforeF")
     client.buildTextIndex("hy", corpus)
     assert(run() == before,
       "riding the postings index must not change hybrid results")
+    assert(runF() == beforeF,
+      "riding the postings index must not change FILTERED hybrid results")
+    // empty docs frame + fresh index: the filtered lexical arm must still
+    // serve from postings — proof the filter no longer forces the raw path
+    val empty = Seq.empty[(String, String)].toDF("key", "text")
+    val lexF = client.searchLexical("hy", empty, Seq("needle"), k = 40,
+      restrictTo = Some(corpus.filter(filt).select("key")))
+    assert(lexF.count() > 0, "filtered lexical arm must ride the postings index")
+    assert(lexF.collect().forall(_.getString(0).drop(1).toInt % 2 == 0))
   }
 
   test("client: drop removes the text index with the collection") {
