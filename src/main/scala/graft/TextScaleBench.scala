@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval at volume — the measured counterpart of the
+  * postings-index plan guards: BM25 over ≥1M synthetic documents, raw
+  * tokenize-per-query vs the at-rest postings ride, each UNFILTERED and
+  * FILTERED (restrictTo = a 50% key slice, the metadata-filter shape
+  * hybridSearch feeds it). Reports wall time and shuffle bytes per
+  * variant plus a cross-path parity check (identical rows — the
+  * hash-stability contract), recorded in BASELINE.md.
+  *
+  * Query terms are planted at realistic document frequencies (df =
+  * N/200, N/100, N/50), so the postings prune reads Σ df ≈ 3.5% of the
+  * corpus rows instead of re-tokenizing all of it — the gap that should
+  * widen with corpus size.
+  *
+  *   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=48g \
+  *     sbt -batch "runMain graft.TextScaleBench 1000000"
+  */
+object TextScaleBench {
+
+  private class ShuffleMeter(spark: SparkSession)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(this)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    def mark(): Long = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      bytes.getAndSet(0L)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Deterministic corpus, generated distributed (the VectorScaleBench
+    // pattern). Per doc: 3 corpus-wide stopwords (df = N), 8 tokens from
+    // a 1000-term mid-frequency pool (df ≈ N/125 each), one unique token,
+    // and the query terms planted at fixed rates — "scan" df = N/200,
+    // "needle" df = N/100, "hash" df = N/50 — so Σ df(query) ≈ 0.035·N.
+    def genDocs(rows: Long): DataFrame =
+      spark.range(rows).mapPartitions { it =>
+        it.map { id =>
+          val sb = new StringBuilder(200)
+          sb.append("the of and")
+          var j = 0
+          while (j < 8) { sb.append(" m").append((id * 7 + j * 131) % 1000); j += 1 }
+          sb.append(" u").append(id)
+          if (id % 200 == 0) sb.append(" scan")
+          if (id % 100 == 0) sb.append(" needle")
+          if (id % 50 == 0) sb.append(" hash")
+          (s"k$id", sb.toString)
+        }
+      }.toDF("key", "text")
+
+    val meter = new ShuffleMeter(spark)
+    val docs = genDocs(n).persist()
+    val nDocs = docs.count() // materialize outside the timings
+    meter.mark()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val terms = Seq("needle", "hash", "scan")
+    // the metadata-filter stand-in: half the keys pass (the shape
+    // hybridSearch hands restrictTo — a key slice of the collection)
+    def passing = spark.range(n).filter(col("id") % 2 === 0)
+      .select(concat(lit("k"), col("id")).as("key"))
+
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("graft-tsb").toString + "/ti"
+    val (_, tBuild) = timed {
+      graft.index.TextIndex.build(docs, "key", "text", idxPath)
+    }
+    val shBuild = meter.mark()
+
+    def collectRows(df: DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+    val k = 100
+    val (rawU, tRawU) = timed { collectRows(
+      graft.queries.TextQueries.bm25(docs, "key", "text", terms, k)) }
+    val shRawU = meter.mark()
+    val (idxU, tIdxU) = timed { collectRows(
+      graft.index.TextIndex.bm25(spark, idxPath, terms, k)) }
+    val shIdxU = meter.mark()
+    val (rawF, tRawF) = timed { collectRows(
+      graft.queries.TextQueries.bm25(docs, "key", "text", terms, k,
+        restrictTo = Some(passing))) }
+    val shRawF = meter.mark()
+    val (idxF, tIdxF) = timed { collectRows(
+      graft.index.TextIndex.bm25(spark, idxPath, terms, k,
+        restrictTo = Some(passing))) }
+    val shIdxF = meter.mark()
+
+    // hash-stability contract: riding the index never changes a result,
+    // filtered or not (shared scoreExpr, corpus stats on both paths)
+    val parity = rawU == idxU && rawF == idxF
+    val filterHolds = idxF.forall { case (key, _) => key.drop(1).toLong % 2 == 0 }
+
+    println(s"""{"bench":"text_scale","n_docs":$nDocs,"k":$k,""" +
+      s""""build_sec":${f"$tBuild%.1f"},"build_shuffle_mb":${shBuild >> 20},""" +
+      s""""raw_sec":${f"$tRawU%.2f"},"raw_shuffle_mb":${shRawU >> 20},""" +
+      s""""postings_sec":${f"$tIdxU%.2f"},"postings_shuffle_mb":${shIdxU >> 20},""" +
+      s""""raw_filtered_sec":${f"$tRawF%.2f"},"raw_filtered_shuffle_mb":${shRawF >> 20},""" +
+      s""""postings_filtered_sec":${f"$tIdxF%.2f"},"postings_filtered_shuffle_mb":${shIdxF >> 20},""" +
+      s""""parity":$parity,"filter_holds":$filterHolds}""")
+    require(parity, "raw and postings paths diverged — hash-stability contract broken")
+    require(filterHolds, "restrictTo leaked a filtered-out doc")
+    docs.unpersist()
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(idxPath).getParent)
+    spark.stop()
+  }
+}
