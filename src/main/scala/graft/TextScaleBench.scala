@@ -113,15 +113,47 @@ object TextScaleBench {
     val parity = rawU == idxU && rawF == idxF
     val filterHolds = idxF.forall { case (key, _) => key.drop(1).toLong % 2 == 0 }
 
+    // Incremental maintenance at 1% churn: 5k new docs + 3k rewrites +
+    // 2k deletes appended as ONE delta segment — the per-commit cost a
+    // streaming corpus pays, vs the full rebuild measured above. Then
+    // the query tax of the extra segment, and compaction (index-sized
+    // parquet merge, no re-tokenize) to fold it back.
+    val delta = spark.range(n, n + 5000)
+      .union(spark.range(0, 3000 * 333, 333)) // rewrites: spread over the corpus
+      .selectExpr("concat('k', id) AS key",
+        "concat('rewritten needle doc ', id) AS text")
+    val dels = spark.range(1, 2000 * 499, 499)
+      .filter(col("id") % 333 =!= 0) // disjoint from the rewrites
+      .limit(2000).selectExpr("concat('k', id) AS key")
+    val (_, tAppend) = timed {
+      graft.index.TextIndex.append(delta, "key", "text", idxPath,
+        Some(dels))
+    }
+    val shAppend = meter.mark()
+    val (idxSeg, tIdxSeg) = timed { collectRows(
+      graft.index.TextIndex.bm25(spark, idxPath, terms, k)) }
+    meter.mark()
+    val (_, tCompact) = timed { graft.index.TextIndex.compact(spark, idxPath) }
+    val shCompact = meter.mark()
+    val (idxC, tIdxC) = timed { collectRows(
+      graft.index.TextIndex.bm25(spark, idxPath, terms, k)) }
+    meter.mark()
+    val compactStable = idxC == idxSeg
+
     println(s"""{"bench":"text_scale","n_docs":$nDocs,"k":$k,""" +
       s""""build_sec":${f"$tBuild%.1f"},"build_shuffle_mb":${shBuild >> 20},""" +
       s""""raw_sec":${f"$tRawU%.2f"},"raw_shuffle_mb":${shRawU >> 20},""" +
       s""""postings_sec":${f"$tIdxU%.2f"},"postings_shuffle_mb":${shIdxU >> 20},""" +
       s""""raw_filtered_sec":${f"$tRawF%.2f"},"raw_filtered_shuffle_mb":${shRawF >> 20},""" +
       s""""postings_filtered_sec":${f"$tIdxF%.2f"},"postings_filtered_shuffle_mb":${shIdxF >> 20},""" +
+      s""""append_1pct_sec":${f"$tAppend%.1f"},"append_shuffle_mb":${shAppend >> 20},""" +
+      s""""postings_2seg_sec":${f"$tIdxSeg%.2f"},""" +
+      s""""compact_sec":${f"$tCompact%.1f"},"compact_shuffle_mb":${shCompact >> 20},""" +
+      s""""postings_compacted_sec":${f"$tIdxC%.2f"},"compact_stable":$compactStable,""" +
       s""""parity":$parity,"filter_holds":$filterHolds}""")
     require(parity, "raw and postings paths diverged — hash-stability contract broken")
     require(filterHolds, "restrictTo leaked a filtered-out doc")
+    require(compactStable, "compaction changed query results")
     docs.unpersist()
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(idxPath).getParent)

@@ -1248,6 +1248,42 @@ class GraftClient(spark: SparkSession, root: String) {
     stampVersionFile(textDir(m), version)
   }
 
+  /** Incrementally maintain the text index after writes — the lexical
+    * twin of the IVF index's incremental cell maintenance, so lexical
+    * search stays FRESH across upserts/deletes without a corpus-sized
+    * rebuild. `docsDelta` holds the text of the keys just upserted (the
+    * post-merge batch: unique keys, disjoint from `deletedKeys`);
+    * appends a delta segment whose cost scales with the delta, then
+    * re-stamps the index at the collection's CURRENT snapshot version.
+    *
+    * Call it AFTER the writes it covers, in the same order — the stamp
+    * asserts "the index now reflects the live snapshot", exactly like
+    * [[buildTextIndex]]'s. A delta that misses some of the writes makes
+    * the stamp a lie the engine cannot detect (the store keeps no
+    * text); the safe recovery from doubt is a [[buildTextIndex]] rerun.
+    *
+    * Queries pay one pruned scan + churn-sized anti-join per live
+    * segment, so after `compactAt` appends the index auto-compacts —
+    * a merge of index-sized parquet (never a re-tokenize). */
+  def appendTextIndex(name: String, docsDelta: DataFrame,
+                      deletedKeys: Seq[String] = Nil,
+                      textCol: String = "text", compactAt: Int = 8): Unit = {
+    val m = metaOrThrow(name)
+    require(TextIndex.exists(textDir(m)),
+      s"$name has no text index — buildTextIndex first")
+    require(compactAt >= 1, s"compactAt must be >= 1 (got $compactAt)")
+    val version = collection(m).currentVersion.getOrElse(
+      throw new IllegalStateException(s"collection $name is empty"))
+    import spark.implicits._
+    TextIndex.append(docsDelta.select(col("key"), col(textCol)), "key",
+      textCol, textDir(m),
+      if (deletedKeys.isEmpty) None
+      else Some(deletedKeys.toDF("key")))
+    if (TextIndex.segmentCount(textDir(m)) > compactAt)
+      TextIndex.compact(spark, textDir(m))
+    stampVersionFile(textDir(m), version)
+  }
+
   /** BM25 against a collection: when the text index is FRESH (stamped at
     * the collection's current snapshot version), queries ride the at-rest
     * postings — a bucket partition prune + pushed term filter, Σ df(term)

@@ -12,25 +12,45 @@ import org.apache.spark.sql.types.StructType
   * the tokenize→tf pass runs ONCE at build and queries touch only the
   * queried terms' postings.
   *
-  * Layout under `path/`:
-  *   - `postings/bucket=N/` — parquet (id, term, tf, dlen) partitioned by
-  *     `bucket = pmod(xxhash64(term), buckets)`. A query computes its
-  *     terms' buckets driver-side, so the scan is a parquet PARTITION
-  *     prune to ≤|terms| buckets plus a pushed `term IN (...)` filter
-  *     within them — I/O scales with Σ df(term), not the corpus. Term
-  *     dirs are hash buckets (bounded count), never raw-term dirs (an
-  *     open vocabulary would create millions of directories).
-  *   - `stats/` — one row (n_docs, avgdl), broadcast at query time.
-  *   - `META` — bucket count + postings schema DDL, read driver-side so
-  *     queries skip parquet footer inference (a pure-latency Spark job
-  *     per interactive search otherwise).
+  * Layout under `path/` — a SEGMENT LIST (Lucene's design, re-expressed
+  * as parquet + an atomic manifest), so incremental corpus changes
+  * append a delta segment instead of re-tokenizing 100 TB:
+  *   - `postings-<g>/bucket=N/` — parquet (id, term, tf, dlen)
+  *     partitioned by `bucket = pmod(xxhash64(term), buckets)`. A query
+  *     computes its terms' buckets driver-side, so each segment scan is
+  *     a parquet PARTITION prune to ≤|terms| buckets plus a pushed
+  *     `term IN (...)` filter within them — I/O scales with Σ df(term),
+  *     not the corpus. Term dirs are hash buckets (bounded count),
+  *     never raw-term dirs (an open vocabulary would create millions of
+  *     directories).
+  *   - `doclen-<g>/` — (id, dlen), one row per doc the segment wrote:
+  *     the per-key length lookup appends need to tombstone superseded
+  *     docs exactly (postings scatter a doc over every term bucket —
+  *     useless for a by-key probe).
+  *   - `tombstones-<g>/` — (id, dlen) of docs SUPERSEDED by this
+  *     segment (re-upserted or deleted). A postings row in segment i is
+  *     live iff its id is in no tombstone of a LATER segment j > i — an
+  *     upsert tombstones every prior version of the key, so the latest
+  *     writer's rows are the only live ones.
+  *   - `stats-<g>/` — one row (n_docs, avgdl, sum_dlen) of the GLOBAL
+  *     live corpus as of this segment; queries read only the newest.
+  *     sum_dlen (exact integer) is what appends maintain — avgdl is
+  *     derived by one division, so the maintained value matches what
+  *     the raw path's avg() computes over the merged corpus (dlen sums
+  *     sit far below 2^53, so double summation is exact).
+  *   - `META` — bucket count + postings schema DDL + the live segment
+  *     list in commit order, read driver-side so queries skip parquet
+  *     footer inference (a pure-latency Spark job per interactive
+  *     search otherwise). Swapped atomically; readers only ever see
+  *     complete segments.
   *
   * Score parity: [[bm25]] and the raw-text path
   * (`TextQueries.bm25`) share [[scoreExpr]] verbatim — same tf/df/dlen
   * integers, same stats, same round(6) — so riding the index never
-  * changes a result hash. Version stamping/staleness is the CLIENT's
-  * concern (`GraftClient.buildTextIndex` stamps VERSION last, exactly
-  * like the IVF build), keeping this module a pure layout.
+  * changes a result hash, segmented or not. Version stamping/staleness
+  * is the CLIENT's concern (`GraftClient.buildTextIndex` stamps VERSION
+  * last, exactly like the IVF build), keeping this module a pure
+  * layout.
   */
 object TextIndex {
 
@@ -87,14 +107,53 @@ object TextIndex {
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
 
   // META: line 1 buckets, line 2 postings schema DDL, line 3 the live
-  // generation token (postings-<g>/stats-<g> dir suffix)
-  private def readMeta(path: String): (Int, StructType, String) = {
+  // segment tokens in COMMIT ORDER (comma-separated; a full build is the
+  // one-segment case, so pre-segment single-token METAs parse unchanged)
+  private def readMeta(path: String): (Int, StructType, Seq[String]) = {
     val lines = new String(java.nio.file.Files.readAllBytes(metaPath(path)),
       "UTF-8").split("\n", 3)
     require(lines.length == 3,
       s"$path/META is not a generation-format text index — rebuild it " +
         "(TextIndex.build / GraftClient.buildTextIndex)")
-    (lines(0).trim.toInt, StructType.fromDDL(lines(1)), lines(2).trim)
+    (lines(0).trim.toInt, StructType.fromDDL(lines(1)),
+      lines(2).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  }
+
+  /** Number of live segments — the client's auto-compaction trigger. */
+  def segmentCount(path: String): Int = readMeta(path)._3.size
+
+  private val statsSchema = "n_docs BIGINT, avgdl DOUBLE, sum_dlen BIGINT"
+
+  // Atomically publish META naming `gens` as the live segment list, then
+  // sweep everything the new list does not reference: superseded/
+  // crash-stranded segment dirs and .meta- temps. Callers hold the
+  // path's commit lock. A reader holding a LAZY frame over a superseded
+  // segment loses it here — same reader-validity window as the keyed
+  // store's vacuum; resolve-then-collect (what bm25's callers do) is
+  // unaffected.
+  private def publishMeta(path: String, buckets: Int, schemaDdl: String,
+                          gens: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
+    java.nio.file.Files.write(tmp,
+      s"$buckets\n$schemaDdl\n${gens.mkString(",")}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, metaPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val live = gens.toSet
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter { n =>
+          val seg = Seq("postings-", "stats-", "doclen-", "tombstones-")
+            .find(n.startsWith).map(p => n.drop(p.length))
+          seg.exists(!live.contains(_)) || n.startsWith(".meta-")
+        }
+        .toSeq
+        .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
+          dir.resolve(n)))
+    } finally listing.close()
   }
 
   /** Build (or rebuild) the postings layout for `docs` at `path`.
@@ -144,7 +203,12 @@ object TextIndex {
       .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
       .persist()
     try {
-      val stats = withLen.agg(count(lit(1)).as("n_docs"), avg(col("dlen")).as("avgdl"))
+      // sum_dlen is the exact integer appends maintain; avgdl derives
+      // from it by one division, matching the raw path's avg() (dlen
+      // sums sit far below 2^53)
+      val stats = withLen.agg(count(lit(1)).as("n_docs"),
+        avg(col("dlen")).as("avgdl"),
+        coalesce(sum(col("dlen")), lit(0L)).as("sum_dlen"))
       val postings = withLen
         .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
         .groupBy(col(idCol), col("term"))
@@ -153,32 +217,170 @@ object TextIndex {
         .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
       postings.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings-$gen")
+      withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
+        .parquet(s"$path/doclen-$gen")
       stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
-      val dir = java.nio.file.Paths.get(path)
-      val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
-      java.nio.file.Files.write(tmp,
-        s"$buckets\n${postings.schema.toDDL}\n$gen".getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, metaPath(path),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // sweep superseded/crash-stranded generations (never the live one)
-      // plus any crash-stranded .meta- temps — safe here because the
-      // whole build holds the path's lock. A reader holding a LAZY frame
-      // over a superseded generation loses it here — same
-      // reader-validity window as the keyed store's vacuum;
-      // resolve-then-collect (what bm25's callers do) is unaffected.
-      val listing = java.nio.file.Files.list(dir)
-      try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => ((n.startsWith("postings-") || n.startsWith("stats-")) &&
-            !n.endsWith(s"-$gen")) || n.startsWith(".meta-"))
-          .toSeq
-          .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
-            dir.resolve(n)))
-      } finally listing.close()
+      publishMeta(path, buckets, postings.schema.toDDL, Seq(gen))
     } finally withLen.unpersist()
     }
+  }
+
+  /** Append a DELTA segment: `docsDelta` are new or re-upserted docs
+    * (unique ids — pass the post-merge batch, exactly what the keyed
+    * store commits), `deletedIds` (1-column frame, disjoint from the
+    * delta's ids) are removals. Cost scales with the DELTA plus one
+    * by-key join against the per-segment doclen tables (Σ segment docs
+    * keys, no text) — never a corpus re-tokenize; this is the lexical
+    * twin of the IVF index's incremental cell maintenance.
+    *
+    * Mechanics: tokenizes only the delta; tombstones every prior
+    * version of a delta/deleted id (found via the doclen tables, masked
+    * so only the LIVE prior version counts); maintains the global
+    * (n_docs, sum_dlen) exactly and derives avgdl — so a query after N
+    * appends scores bit-identically to a full rebuild over the merged
+    * corpus ([[scoreExpr]] parity plus exact stats). META swaps
+    * atomically; a crash strands an unreferenced segment swept by the
+    * next successful publish. */
+  def append(docsDelta: DataFrame, idCol: String, textCol: String,
+             path: String, deletedIds: Option[DataFrame] = None): Unit = {
+    require(exists(path), s"no text index at $path — run build first")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
+      val spark = docsDelta.sparkSession
+      val (buckets, schema, gens) = readMeta(path)
+      require(schema.fields.head.name == idCol,
+        s"idCol '$idCol' does not match the index's '${schema.fields.head.name}'")
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      val withLen = docsDelta
+        .select(col(idCol), split(col(textCol), " ").as("__ws"))
+        .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
+        .persist()
+      try {
+        // Prior LIVE version of every id this delta touches: union the
+        // doclen tables with their segment ordinal, drop rows already
+        // tombstoned by a LATER segment, then semi-join the touched ids.
+        // One narrow (id, dlen) join per append — no postings scan.
+        val touched = deletedIds.foldLeft(withLen.select(col(idCol)))(
+          (t, d) => t.union(d.toDF(idCol)))
+        val prior = liveDoclen(spark, path, gens, schema)
+          .join(touched, Seq(idCol), "left_semi")
+          .persist()
+        try {
+          val nPrior = prior.count() // also materializes before the writes
+          val delStats = deletedIds.map { d =>
+            prior.join(d.toDF(idCol), Seq(idCol), "left_semi")
+              .agg(count(lit(1)), coalesce(sum(col("dlen")), lit(0L))).head()
+          }
+          val supersededStats = prior
+            .join(withLen.select(col(idCol)), Seq(idCol), "left_semi")
+            .agg(count(lit(1)), coalesce(sum(col("dlen")), lit(0L))).head()
+          val deltaStats = withLen
+            .agg(count(lit(1)), coalesce(sum(col("dlen")), lit(0L))).head()
+          val old = spark.read.schema(statsSchema)
+            .parquet(s"$path/stats-${gens.last}").head()
+          require(!old.isNullAt(2),
+            s"$path was built before segment support — rebuild it once " +
+              "(TextIndex.build / GraftClient.buildTextIndex) to enable appends")
+          val nDocs = old.getLong(0) + deltaStats.getLong(0) -
+            supersededStats.getLong(0) -
+            delStats.map(_.getLong(0)).getOrElse(0L)
+          val sumDlen = old.getLong(2) + deltaStats.getLong(1) -
+            supersededStats.getLong(1) -
+            delStats.map(_.getLong(1)).getOrElse(0L)
+
+          val postings = withLen
+            .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
+            .groupBy(col(idCol), col("term"))
+            .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
+            .withColumn("bucket",
+              pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+          postings.write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$path/postings-$gen")
+          withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
+            .parquet(s"$path/doclen-$gen")
+          // tombstones = the prior live versions of everything we touched
+          prior.write.mode("overwrite").parquet(s"$path/tombstones-$gen")
+          spark.range(1).select(lit(nDocs).as("n_docs"),
+              (lit(sumDlen).cast("double") / lit(nDocs).cast("double")).as("avgdl"),
+              lit(sumDlen).as("sum_dlen"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
+          publishMeta(path, buckets, schema.toDDL, gens :+ gen)
+        } finally prior.unpersist()
+      } finally withLen.unpersist()
+    }
+  }
+
+  /** Merge all live segments into ONE — from the postings themselves
+    * (mask + union + rewrite), so compaction never needs the raw text:
+    * it reads index-sized parquet, not the corpus. Run it when the
+    * segment list grows (each segment adds a pruned scan + anti-join to
+    * every query); the client auto-triggers at its threshold. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    require(exists(path), s"no text index at $path — run build first")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
+      val (buckets, schema, gens) = readMeta(path)
+      if (gens.size > 1) {
+        val gen = java.util.UUID.randomUUID.toString.take(8)
+        livePostings(spark, path, gens, schema, None)
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/postings-$gen")
+        liveDoclen(spark, path, gens, schema).write.mode("overwrite")
+          .parquet(s"$path/doclen-$gen")
+        // stats are already global-live in the newest segment — copy
+        spark.read.schema(statsSchema).parquet(s"$path/stats-${gens.last}")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
+        publishMeta(path, buckets, schema.toDDL, Seq(gen))
+      }
+    }
+  }
+
+  // (id, dlen) schema with the index's actual id type — the fixture
+  // corpora key by LONG doc_id, collections by STRING key, so nothing
+  // here may hardcode the id type.
+  private def doclenSchema(schema: StructType) =
+    StructType(Seq(schema.fields.head,
+      org.apache.spark.sql.types.StructField("dlen",
+        org.apache.spark.sql.types.LongType)))
+
+  // Union of the segments' doclen tables with later-segment tombstones
+  // masked out — (id, dlen) of exactly the LIVE corpus.
+  private def liveDoclen(spark: SparkSession, path: String,
+                         gens: Seq[String], schema: StructType): DataFrame =
+    maskedUnion(spark, path, gens, schema,
+      g => spark.read.schema(doclenSchema(schema))
+        .parquet(s"$path/doclen-$g"))
+
+  // Union of per-segment postings (optionally bucket/term-pruned via
+  // `prune`) with later-segment tombstones masked out.
+  private def livePostings(spark: SparkSession, path: String,
+                           gens: Seq[String], schema: StructType,
+                           prune: Option[Column]): DataFrame =
+    maskedUnion(spark, path, gens, schema, { g =>
+      val seg = spark.read.schema(schema).parquet(s"$path/postings-$g")
+      prune.fold(seg)(seg.filter)
+    })
+
+  // The segment-masking core: a row of segment i is live iff its id is
+  // in no tombstone of a later segment. Each segment anti-joins ONE
+  // union of its later tombstones; the build()-born single-segment list
+  // (no tombstones) short-circuits to a plain read.
+  private def maskedUnion(spark: SparkSession, path: String,
+                          gens: Seq[String], schema: StructType,
+                          read: String => DataFrame): DataFrame = {
+    val idCol = schema.fields.head.name
+    val tombs = gens.map(g =>
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, s"tombstones-$g")))
+        Some(spark.read.schema(doclenSchema(schema))
+          .parquet(s"$path/tombstones-$g").select(col(idCol)))
+      else None)
+    gens.indices.map { i =>
+      val later = tombs.drop(i + 1).flatten
+      val seg = read(gens(i))
+      if (later.isEmpty) seg
+      else seg.join(later.reduce(_ union _), Seq(idCol), "left_anti")
+    }.reduce(_ unionByName _)
   }
 
   /** Whether a postings layout exists at `path`. */
@@ -200,14 +402,19 @@ object TextIndex {
            restrictTo: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(exists(path), s"no text index at $path — run build first")
-    val (buckets, schema, gen) = readMeta(path)
+    val (buckets, schema, gens) = readMeta(path)
     val idCol = schema.fields.head.name
     val bucketIds = terms.map(termBucket(_, buckets)).distinct
-    val matching = spark.read.schema(schema).parquet(s"$path/postings-$gen")
-      .filter(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*))
+    // every segment scan gets the same prune (partition + pushed term
+    // filter), THEN later-segment tombstones mask superseded rows —
+    // the anti-join right sides are churn-sized, never corpus-sized
+    val matching = livePostings(spark, path, gens, schema,
+      Some(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)))
+    // df over the masked union = live df for the queried terms
     val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // newest segment's stats row is the live global corpus
     val stats = spark.read.schema("n_docs BIGINT, avgdl DOUBLE")
-      .parquet(s"$path/stats-$gen")
+      .parquet(s"$path/stats-${gens.last}")
     scoreTail(
       matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
       idCol, k, k1, b, restrictTo)

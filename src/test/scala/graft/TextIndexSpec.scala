@@ -227,4 +227,137 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tdir)),
       "drop must destroy the text index with the data")
   }
+
+  // ---- incremental maintenance (segments + tombstones) ----
+
+  private def corpusDoc(i: Int): String = {
+    val sb = new StringBuilder
+    sb.append("common filler words")
+    if (i % 4 == 0) sb.append(" alpha")
+    if (i % 7 == 0) sb.append(" beta beta")
+    if (i == 13) sb.append(" unicorn") // df=1 term that edits will kill
+    sb.append(s" unique$i")
+    sb.toString
+  }
+
+  test("append equals a full rebuild over the merged corpus, exactly") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ti-append").toString
+    val base = (0 until 100).map(i => (i.toLong, corpusDoc(i))).toDF("doc_id", "text")
+    graft.index.TextIndex.build(base, "doc_id", "text", path)
+    // the delta: 10 NEW docs, 5 RE-UPSERTS with changed text (different
+    // dlen; doc 13 loses its df=1 'unicorn' term entirely; doc 0 gains
+    // 'gamma'), and 5 DELETES — every tombstone shape at once
+    val delta = ((100 until 110).map(i => (i.toLong, corpusDoc(i))) ++ Seq(
+      (0L, "common gamma gamma rewritten"),
+      (4L, "alpha alpha alpha now dominant"),
+      (13L, "no more rare term here"),
+      (28L, "beta went away"),
+      (96L, "short")
+    )).toDF("doc_id", "text")
+    val deleted = Seq(7L, 11L, 56L, 84L, 91L)
+    graft.index.TextIndex.append(delta, "doc_id", "text", path,
+      Some(deleted.toDF("doc_id")))
+    assert(graft.index.TextIndex.segmentCount(path) == 2)
+    // the merged corpus the index must now equal
+    val deltaIds = Set(0L, 4L, 13L, 28L, 96L) ++ (100L until 110L)
+    val merged = base.as[(Long, String)].collect()
+      .filterNot(r => deltaIds(r._1) || deleted.contains(r._1))
+      .toSeq ++ delta.as[(Long, String)].collect()
+    val mergedDf = merged.toDF("doc_id", "text")
+    // n_docs changed (105) and df of alpha/beta/unicorn/gamma all moved
+    // — idf of EVERY term shifts, so parity here proves exact stats
+    // maintenance, tombstone masking, and df-over-live-rows at once
+    for (terms <- Seq(Seq("alpha"), Seq("beta", "gamma"), Seq("unicorn"),
+        Seq("common", "unique5"), Seq("unique7"))) {
+      val raw = graft.queries.TextQueries.bm25(mergedDf, "doc_id", "text",
+          terms, 30).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = graft.index.TextIndex.bm25(spark, path, terms, 30)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(idx == raw, s"terms=$terms: append diverged from rebuild\n" +
+        s"idx=$idx\nraw=$raw")
+    }
+    // the deleted doc's unique term finds nothing
+    assert(graft.index.TextIndex.bm25(spark, path, Seq("unique7")).count() == 0)
+  }
+
+  test("chained appends stay exact; compact folds them into one segment") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ti-chain").toString
+    var corpus = (0 until 60).map(i => (i.toLong, corpusDoc(i))).toMap
+    graft.index.TextIndex.build(
+      corpus.toSeq.toDF("doc_id", "text"), "doc_id", "text", path)
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val newDocs = (0 until 5).map(j =>
+        ((60 + round * 10 + j).toLong, s"round$round fresh doc$j common"))
+      val rewrites = rnd.shuffle(corpus.keys.toSeq).take(4)
+        .map(id => (id, s"rewritten in round $round common alpha"))
+      val dels = rnd.shuffle((corpus.keys.toSet -- rewrites.map(_._1)).toSeq).take(3)
+      corpus = corpus -- dels ++ newDocs ++ rewrites
+      graft.index.TextIndex.append(
+        (newDocs ++ rewrites).toDF("doc_id", "text"), "doc_id", "text", path,
+        Some(dels.toDF("doc_id")))
+      // a doc re-upserted in an EARLIER round and again later must keep
+      // only the last version — chained-tombstone correctness
+      val raw = graft.queries.TextQueries.bm25(corpus.toSeq.toDF("doc_id", "text"),
+          "doc_id", "text", Seq("common", "alpha"), 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val idx = graft.index.TextIndex.bm25(spark, path,
+          Seq("common", "alpha"), 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(idx == raw, s"round $round diverged")
+    }
+    assert(graft.index.TextIndex.segmentCount(path) == 4)
+    val before = graft.index.TextIndex.bm25(spark, path, Seq("common"), 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    graft.index.TextIndex.compact(spark, path)
+    assert(graft.index.TextIndex.segmentCount(path) == 1)
+    val after = graft.index.TextIndex.bm25(spark, path, Seq("common"), 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction changed results")
+    // restrictTo still binds across the compacted layout
+    val some = graft.index.TextIndex.bm25(spark, path, Seq("common"), 50,
+      restrictTo = Some(corpus.keys.toSeq.filter(_ % 2 == 0).toDF("doc_id")))
+    assert(some.collect().forall(_.getLong(0) % 2 == 0))
+  }
+
+  test("client: appendTextIndex keeps lexical search fresh; auto-compacts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-app").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("ap", dim = 2)
+    def vec = Seq(1.0f, 0.0f)
+    client.upsert("ap", (0 until 20).map(i =>
+      (s"k$i", vec, Map.empty[String, String])).toDF("key", "vec", "meta"))
+    val corpus = (0 until 20).map(i => (s"k$i", s"doc $i payload"))
+      .toDF("key", "text")
+    client.buildTextIndex("ap", corpus)
+    // a write makes the index stale...
+    client.upsert("ap", Seq(("k20", vec, Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val empty = Seq.empty[(String, String)].toDF("key", "text")
+    assert(client.searchLexical("ap", empty, Seq("payload")).count() == 0,
+      "stale after a write the index has not seen")
+    // ...appendTextIndex covers it and re-stamps: fresh again, and the
+    // new doc is searchable
+    client.appendTextIndex("ap", Seq(("k20", "payload of the new doc"))
+      .toDF("key", "text"))
+    assert(client.searchLexical("ap", empty, Seq("payload"), k = 50).count() == 21,
+      "append must re-stamp AND serve the delta")
+    // deletes flow through too
+    client.deleteByKeys("ap", Seq("k3"))
+    client.appendTextIndex("ap", empty, deletedKeys = Seq("k3"))
+    assert(client.searchLexical("ap", empty, Seq("payload"), k = 50).count() == 20)
+    // compactAt bounds the segment list: the next append folds 3 -> 1
+    val tdir = client.describe("ap").dataPath + "-text"
+    assert(graft.index.TextIndex.segmentCount(tdir) == 3)
+    client.upsert("ap", Seq(("k21", vec, Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.appendTextIndex("ap", Seq(("k21", "payload again"))
+      .toDF("key", "text"), compactAt = 3)
+    assert(graft.index.TextIndex.segmentCount(tdir) == 1,
+      "crossing compactAt must fold the segment list")
+    assert(client.searchLexical("ap", empty, Seq("payload"), k = 50).count() == 21)
+  }
 }
