@@ -473,9 +473,21 @@ class GraftClient(spark: SparkSession, root: String) {
     * (`s3vectors-app/pythonvectordbceph.py:161-163`); here the embedding
     * UDF runs distributed over the batch. */
   def upsertTexts(name: String, df: DataFrame,
-                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.text): Long =
-    upsert(name, graft.ingest.Embedder.embedDocuments(df, "text", embedder)
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
+                  maintainTextIndex: Boolean = false): Long = {
+    val m = metaOrThrow(name)
+    // decide BEFORE the write: appending to an index that was already
+    // stale would stamp it fresh while missing the writes that staled
+    // it. Assumes this caller is the only writer (the same "the delta
+    // covers all writes" contract appendTextIndex documents) — with
+    // concurrent writers, maintain the index explicitly instead.
+    val maintain = maintainTextIndex && textIndexFresh(m)
+    val n = upsert(name, graft.ingest.Embedder.embedDocuments(df, "text", embedder)
       .select(col("key"), col("vec"), col("meta")))
+    if (maintain) appendTextIndexDf(name, df.select(col("key"), col("text")),
+      stampAt = collection(m).currentVersion)
+    n
+  }
 
   /** Image-branch twin of `upsertTexts` — `df` needs (key STRING,
     * bytes BINARY, meta MAP); the IMAGE arm of the reference's dispatch
@@ -544,7 +556,8 @@ class GraftClient(spark: SparkSession, root: String) {
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
                   continuous: Boolean = false,
                   maxFilesPerTrigger: Option[Int] = None,
-                  checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                  checkpointDir: Option[String] = None,
+                  maintainTextIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingIngest
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
@@ -610,6 +623,14 @@ class GraftClient(spark: SparkSession, root: String) {
           // multi-writer contract would otherwise turn a supported
           // two-writer configuration into an ingest outage. Bounded so a
           // pathological commit storm still surfaces instead of looping.
+          // text-index auto-maintenance decides on the PRE-commit
+          // freshness: appending to an already-stale index would stamp
+          // it fresh while missing the writes that staled it. Assumes
+          // this stream is the collection's only writer (the "delta
+          // covers all writes" contract); with concurrent writers,
+          // maintain the index explicitly instead.
+          val preFresh = maintainTextIndex &&
+            textIndexFresh(metaOrThrow(name))
           var attempts = 0
           var committed = false
           while (!committed) {
@@ -621,6 +642,17 @@ class GraftClient(spark: SparkSession, root: String) {
                 attempts += 1
                 if (attempts >= 5) throw e
             }
+          }
+          if (preFresh && !latest.isEmpty) {
+            // the text index's corpus = live docs WITH text: binary
+            // objects never enter it, and a key flipping text -> binary
+            // must leave it (its put acts as a text-index delete)
+            val textPuts = puts.filter(col("text").isNotNull)
+              .select(col("key"), col("text"))
+            val nonTextKeys = puts.filter(col("text").isNull).select(col("key"))
+            appendTextIndexDf(name, textPuts,
+              Some(dels.union(nonTextKeys)),
+              stampAt = collection(metaOrThrow(name)).currentVersion)
           }
         } finally latest.unpersist()
         ()
@@ -1268,21 +1300,42 @@ class GraftClient(spark: SparkSession, root: String) {
   def appendTextIndex(name: String, docsDelta: DataFrame,
                       deletedKeys: Seq[String] = Nil,
                       textCol: String = "text", compactAt: Int = 8): Unit = {
+    import spark.implicits._
+    appendTextIndexDf(name, docsDelta,
+      if (deletedKeys.isEmpty) None else Some(deletedKeys.toDF("key")),
+      textCol, compactAt)
+  }
+
+  /** [[appendTextIndex]] with a set-at-a-time deleted-keys frame (one
+    * `key` column) — the shape streaming batches produce. `stampAt`
+    * overrides the snapshot version the index is stamped at (callers
+    * that KNOW which commit their delta covers pass it, so a concurrent
+    * foreign commit makes the index read STALE — the safe direction —
+    * instead of claiming coverage of writes the delta never saw). */
+  def appendTextIndexDf(name: String, docsDelta: DataFrame,
+                        deletedKeys: Option[DataFrame] = None,
+                        textCol: String = "text", compactAt: Int = 8,
+                        stampAt: Option[Long] = None): Unit = {
     val m = metaOrThrow(name)
     require(TextIndex.exists(textDir(m)),
       s"$name has no text index — buildTextIndex first")
     require(compactAt >= 1, s"compactAt must be >= 1 (got $compactAt)")
-    val version = collection(m).currentVersion.getOrElse(
+    val version = stampAt.orElse(collection(m).currentVersion).getOrElse(
       throw new IllegalStateException(s"collection $name is empty"))
-    import spark.implicits._
     TextIndex.append(docsDelta.select(col("key"), col(textCol)), "key",
-      textCol, textDir(m),
-      if (deletedKeys.isEmpty) None
-      else Some(deletedKeys.toDF("key")))
+      textCol, textDir(m), deletedKeys.map(_.select(col("key"))))
     if (TextIndex.segmentCount(textDir(m)) > compactAt)
       TextIndex.compact(spark, textDir(m))
     stampVersionFile(textDir(m), version)
   }
+
+  // Whether the text index is stamped exactly at the collection's
+  // current snapshot — the precondition for auto-maintenance: appending
+  // to an already-stale index would re-stamp it fresh while silently
+  // missing the writes that staled it.
+  private def textIndexFresh(m: CollectionMeta): Boolean =
+    TextIndex.exists(textDir(m)) && readVersionFile(textDir(m)).exists(v =>
+      collection(m).currentVersion.contains(v))
 
   /** BM25 against a collection: when the text index is FRESH (stamped at
     * the collection's current snapshot version), queries ride the at-rest
@@ -1313,8 +1366,7 @@ class GraftClient(spark: SparkSession, root: String) {
                     useIndex: Boolean = true,
                     restrictTo: Option[DataFrame] = None): DataFrame = {
     val m = metaOrThrow(name)
-    val fresh = useIndex && readVersionFile(textDir(m)).exists(v =>
-      TextIndex.exists(textDir(m)) && collection(m).currentVersion.contains(v))
+    val fresh = useIndex && textIndexFresh(m)
     if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b, restrictTo)
     else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b,
       restrictTo)

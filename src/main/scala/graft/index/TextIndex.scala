@@ -250,6 +250,12 @@ object TextIndex {
       val (buckets, schema, gens) = readMeta(path)
       require(schema.fields.head.name == idCol,
         s"idCol '$idCol' does not match the index's '${schema.fields.head.name}'")
+      // an index built before segment support has no doclen tables —
+      // fail with the recovery path, not a parquet path-not-found
+      require(gens.forall(g => java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, s"doclen-$g"))),
+        s"$path was built before segment support — rebuild it once " +
+          "(TextIndex.build / GraftClient.buildTextIndex) to enable appends")
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val withLen = docsDelta
         .select(col(idCol), split(col(textCol), " ").as("__ws"))

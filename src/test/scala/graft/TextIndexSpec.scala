@@ -360,4 +360,65 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crossing compactAt must fold the segment list")
     assert(client.searchLexical("ap", empty, Seq("payload"), k = 50).count() == 21)
   }
+
+  test("client: streaming ingest with maintainTextIndex keeps lexical search fresh") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-stream").toString
+    val client = new graft.api.GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(16)
+    client.createCollection("st", dim = 16)
+    def landing(n: Int, events: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(root, s"landing$n", "events.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, events.mkString("\n").getBytes)
+    }
+    val empty = Seq.empty[(String, String)].toDF("key", "text")
+
+    // batch 1 (no index yet — maintain is a no-op, nothing to append to)
+    val objects1 = Seq(("a.txt", "alpha doc"), ("b.txt", "bravo doc"))
+      .toDF("key", "text")
+    landing(1, Seq(TestDirs.notif("ObjectCreated:Put", "a.txt"),
+      TestDirs.notif("ObjectCreated:Put", "b.txt")))
+    client.startIngest("st", s"$root/landing1", objects1, embedder = emb,
+      maintainTextIndex = true).awaitTermination(120000)
+    client.buildTextIndex("st", objects1)
+    assert(client.searchLexical("st", empty, Seq("bravo")).count() == 1)
+
+    // batch 2: new doc, delete, re-put with CHANGED text — the maintained
+    // index must serve all three without a rebuild (empty docs frame
+    // proves postings served, and the version stamp stayed fresh)
+    val objects2 = Seq(("a.txt", "alpha rewritten now"), ("c.txt", "charlie doc"))
+      .toDF("key", "text")
+    landing(2, Seq(TestDirs.notif("ObjectCreated:Put", "c.txt"),
+      TestDirs.notif("ObjectRemoved:Delete", "b.txt"),
+      TestDirs.notif("ObjectCreated:Put", "a.txt")))
+    client.startIngest("st", s"$root/landing2", objects2, embedder = emb,
+      maintainTextIndex = true).awaitTermination(120000)
+    assert(client.searchLexical("st", empty, Seq("charlie")).count() == 1,
+      "new doc must be lexically searchable straight off the stream")
+    assert(client.searchLexical("st", empty, Seq("bravo")).count() == 0,
+      "deleted doc must leave the index")
+    assert(client.searchLexical("st", empty, Seq("rewritten")).count() == 1 &&
+      client.searchLexical("st", empty, Seq("doc")).count() == 1,
+      "re-put doc must serve its NEW text only (old 'doc' token masked)")
+
+    // a plain write the stream did not cover makes the index stale again
+    // (the auto-maintain precondition refuses to paper over it)
+    client.upsert("st", Seq(("d.txt", (1 to 16).map(_.toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.searchLexical("st", empty, Seq("charlie")).count() == 0,
+      "uncovered write must stale the index, not silently miss d.txt")
+
+    // the batch path composes the same way: rebuild to fresh, then
+    // upsertTexts(maintainTextIndex) both writes and appends
+    val corpus3 = Seq(("a.txt", "alpha rewritten now"), ("c.txt", "charlie doc"),
+      ("d.txt", "delta doc")).toDF("key", "text")
+    client.buildTextIndex("st", corpus3)
+    client.upsertTexts("st",
+      Seq(("e.txt", "echo arrives", Map.empty[String, String]))
+        .toDF("key", "text", "meta"),
+      embedder = emb, maintainTextIndex = true)
+    assert(client.searchLexical("st", empty, Seq("echo")).count() == 1,
+      "upsertTexts(maintain) must leave the index fresh AND serving the delta")
+  }
 }
