@@ -203,9 +203,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * happens either) — a small batch against a huge collection moves
     * `touched/buckets` of the data, not all of it. A key must appear in
     * at most one side; duplicate keys WITHIN `puts` resolve to a
-    * deterministic winner (see below). */
+    * deterministic winner (see below). Returns the committed snapshot
+    * version, or None when the batch was effectively empty (no put
+    * survived, no delete matched) and nothing was committed. */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
-                          delKeys: Option[DataFrame]): Unit = {
+                          delKeys: Option[DataFrame]): Option[Long] = {
     val coll = collection(m)
     // the snapshot this merge is computed against, captured BEFORE any
     // other store read: commitBuckets CASes on it, so a concurrent
@@ -279,7 +281,7 @@ class GraftClient(spark: SparkSession, root: String) {
     try {
       val touchKeys = (decorated.map(_.select("key")).toSeq ++ keyed.map(_.select("key")))
         .reduceOption(_ union _)
-      touchKeys.foreach { tk =>
+      touchKeys.flatMap { tk =>
         val preVersion = baseVersion
         val touched = touchedBuckets(coll, tk)
         // An effectively-empty batch (no put survived the object join, no
@@ -287,7 +289,7 @@ class GraftClient(spark: SparkSession, root: String) {
         // invalidation work — and a fresh IVF index stays fresh. This is
         // also the only emptiness check the whole batch pays for (the
         // streaming loop runs no separate isEmpty guard jobs).
-        if (touched.nonEmpty) {
+        if (touched.isEmpty) None else {
           val current = coll.readBuckets(spark, touched)
           val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
             current.unionByName(b), col("key"), col("seq"), col("seq")))
@@ -305,6 +307,7 @@ class GraftClient(spark: SparkSession, root: String) {
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
           refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
+          Some(newVersion)
         }
       }
     } finally {
@@ -476,17 +479,22 @@ class GraftClient(spark: SparkSession, root: String) {
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
                   maintainTextIndex: Boolean = false): Long = {
     val m = metaOrThrow(name)
-    // decide BEFORE the write: appending to an index that was already
-    // stale would stamp it fresh while missing the writes that staled
-    // it. Assumes this caller is the only writer (the same "the delta
-    // covers all writes" contract appendTextIndex documents) — with
-    // concurrent writers, maintain the index explicitly instead.
-    val maintain = maintainTextIndex && textIndexFresh(m)
-    val n = upsert(name, graft.ingest.Embedder.embedDocuments(df, "text", embedder)
-      .select(col("key"), col("vec"), col("meta")))
-    if (maintain) appendTextIndexDf(name, df.select(col("key"), col("text")),
-      stampAt = collection(m).currentVersion)
-    n
+    // capture the index's fresh-stamped version BEFORE the write:
+    // appending to an index that was already stale would stamp it fresh
+    // while missing the writes that staled it
+    val freshAt = if (maintainTextIndex) textIndexFreshAt(m) else None
+    val committed = mergeCommit(m,
+      Some(graft.ingest.Embedder.embedDocuments(df, "text", embedder)
+        .select(col("key"), col("vec"), col("meta"))), None)
+    // append ONLY if our commit is v0+1: snapshot versions are monotonic
+    // +1, so any foreign commit interleaving between the freshness check
+    // and our write breaks the arithmetic and we leave the index stale
+    // (the safe direction) instead of stamping it as covering writes
+    // this delta never saw
+    for (v0 <- freshAt; v <- committed; if v == v0 + 1)
+      appendTextIndexDf(name, df.select(col("key"), col("text")),
+        stampAt = Some(v))
+    liveCount(m)
   }
 
   /** Image-branch twin of `upsertTexts` — `df` needs (key STRING,
@@ -623,27 +631,33 @@ class GraftClient(spark: SparkSession, root: String) {
           // multi-writer contract would otherwise turn a supported
           // two-writer configuration into an ingest outage. Bounded so a
           // pathological commit storm still surfaces instead of looping.
-          // text-index auto-maintenance decides on the PRE-commit
-          // freshness: appending to an already-stale index would stamp
-          // it fresh while missing the writes that staled it. Assumes
-          // this stream is the collection's only writer (the "delta
-          // covers all writes" contract); with concurrent writers,
-          // maintain the index explicitly instead.
-          val preFresh = maintainTextIndex &&
-            textIndexFresh(metaOrThrow(name))
+          // text-index auto-maintenance captures the index's
+          // fresh-stamped version BEFORE the commit: appending to an
+          // already-stale index would stamp it fresh while missing the
+          // writes that staled it
+          val freshAt =
+            if (maintainTextIndex) textIndexFreshAt(metaOrThrow(name)) else None
           var attempts = 0
-          var committed = false
-          while (!committed) {
+          var committed: Option[Long] = None
+          var done = false
+          while (!done) {
             try {
-              mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
-              committed = true
+              committed = mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
+              done = true
             } catch {
               case e: java.util.ConcurrentModificationException =>
                 attempts += 1
                 if (attempts >= 5) throw e
             }
           }
-          if (preFresh && !latest.isEmpty) {
+          // append ONLY if our commit is v0+1 (versions are monotonic
+          // +1): a foreign commit interleaving anywhere between the
+          // freshness check and our commit — including one absorbed by
+          // the CAS retry above — breaks the arithmetic and the index is
+          // left stale (the safe direction) instead of stamped as
+          // covering writes this batch never saw. None = effectively
+          // empty batch: nothing committed, index still fresh as-is.
+          for (v0 <- freshAt; v <- committed; if v == v0 + 1) {
             // the text index's corpus = live docs WITH text: binary
             // objects never enter it, and a key flipping text -> binary
             // must leave it (its put acts as a text-index delete)
@@ -652,7 +666,7 @@ class GraftClient(spark: SparkSession, root: String) {
             val nonTextKeys = puts.filter(col("text").isNull).select(col("key"))
             appendTextIndexDf(name, textPuts,
               Some(dels.union(nonTextKeys)),
-              stampAt = collection(metaOrThrow(name)).currentVersion)
+              stampAt = Some(v))
           }
         } finally latest.unpersist()
         ()
@@ -1329,13 +1343,19 @@ class GraftClient(spark: SparkSession, root: String) {
     stampVersionFile(textDir(m), version)
   }
 
-  // Whether the text index is stamped exactly at the collection's
-  // current snapshot — the precondition for auto-maintenance: appending
-  // to an already-stale index would re-stamp it fresh while silently
-  // missing the writes that staled it.
-  private def textIndexFresh(m: CollectionMeta): Boolean =
-    TextIndex.exists(textDir(m)) && readVersionFile(textDir(m)).exists(v =>
+  // The snapshot version the text index is stamped at, IF that stamp
+  // equals the collection's current snapshot (i.e. the index is fresh) —
+  // the precondition for auto-maintenance: appending to an already-stale
+  // index would re-stamp it fresh while silently missing the writes that
+  // staled it. Callers compare a later commit's version against this
+  // (commit == fresh + 1 ⇒ no foreign commit interleaved).
+  private def textIndexFreshAt(m: CollectionMeta): Option[Long] =
+    if (!TextIndex.exists(textDir(m))) None
+    else readVersionFile(textDir(m)).filter(v =>
       collection(m).currentVersion.contains(v))
+
+  private def textIndexFresh(m: CollectionMeta): Boolean =
+    textIndexFreshAt(m).isDefined
 
   /** BM25 against a collection: when the text index is FRESH (stamped at
     * the collection's current snapshot version), queries ride the at-rest
