@@ -16,19 +16,26 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its TIMESTAMP(NANOS) column usable as a Spark timestamp.
-    * Spark's TimestampType is µs; the fixture writes ns, which the vanilla
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read ns-as-long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set session-wide in
-    * Verify/Bench/tests) and truncate to µs — the same truncation DuckDB
-    * applies casting TIMESTAMP_NS → TIMESTAMP, so oracles stay exact. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      // Integer FLOOR division, NOT `/` and NOT bare `div`: ns-since-epoch
-      // (~1.7e18) exceeds double's 2^53 exact range, so float division
-      // would round the microseconds; and `div` truncates toward zero
-      // while DuckDB's TIMESTAMP_NS→TIMESTAMP cast floors — they disagree
-      // on pre-1970 (negative-ns) timestamps. pmod-based floor matches
-      // DuckDB on both sides of the epoch.
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+  /** `events` with its timestamp column normalized to Spark's TimestampType
+    * (µs, session tz = UTC everywhere we run). The fixture's `ts` physical
+    * type has varied across driver regenerations, so dispatch on what the
+    * file actually holds instead of assuming one layout:
+    *   - TIMESTAMP(µs) / TIMESTAMP_NTZ (current fixtures): a value-preserving
+    *     cast under the UTC session tz — DuckDB reads the same file as its
+    *     (tz-less) TIMESTAMP, so oracles agree byte-for-byte.
+    *   - TIMESTAMP(NANOS) read as ns-since-epoch LONG (older fixtures, via
+    *     `spark.sql.legacy.parquet.nanosAsLong`): floor-truncate ns → µs with
+    *     integer pmod arithmetic — ns magnitudes (~1.7e18) exceed double's
+    *     2^53 exact range so float division would round, and `div` truncates
+    *     toward zero while DuckDB's TIMESTAMP_NS → TIMESTAMP cast floors;
+    *     pmod-floor matches DuckDB on both sides of the epoch. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case _ =>
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+    }
+  }
 }

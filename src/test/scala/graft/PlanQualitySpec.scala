@@ -12,14 +12,24 @@ import org.scalatest.BeforeAndAfterAll
   * properties; each assertion names the scale behavior it protects.) */
 class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .appName("plan-quality-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-quality-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate RETURNS AN EXISTING SESSION when another suite in the
+    // same JVM created one first — builder confs are silently dropped on
+    // that path, and the events fixture's ns-timestamp column then reads
+    // as TIMESTAMP_NTZ instead of LONG. Set the read confs on whatever
+    // session we actually got, so suite ordering can't break the reads.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
 
   override def afterAll(): Unit = spark.stop()
 
