@@ -287,6 +287,50 @@ object TextQueries {
       .limit(10)
   }
 
+  /** Hybrid retrieval, weighted-score fusion (the Milvus `WeightedRanker`
+    * sibling of [[hybridRrf]]'s RRF): each arm's top-15 scores are min-max
+    * normalized to [0,1] WITHIN the arm — BM25 ascending-good, L2 distance
+    * descending-good — then fused as 0.7·vec + 0.3·lex. Rank fusion (RRF)
+    * discards score magnitudes; weighted fusion keeps them, which is what
+    * you want when one arm's confidence should dominate ties. A doc
+    * missing from an arm contributes 0 from that arm (standard
+    * WeightedRanker semantics for un-retrieved candidates). Same scale
+    * shape as hybrid_rrf: both arms top-k-pushed before the (≤15-row)
+    * normalization windows; the fuse is a 15×15 full-outer join. */
+  def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2_distance
+    val wAll = Window.partitionBy() // 15-row frames — global min/max per arm
+    val lexTop = bm25Scores(spark, dir) // (doc_id, bm25) — top 15
+    val lex = lexTop
+      .withColumn("__mn", min(col("bm25")).over(wAll))
+      .withColumn("__mx", max(col("bm25")).over(wAll))
+      .select(col("doc_id"),
+        when(col("__mx") > col("__mn"),
+          (col("bm25") - col("__mn")) / (col("__mx") - col("__mn")))
+          .otherwise(lit(0.0)).as("lex_norm"))
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val vecTop = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(15)
+    val vec = vecTop
+      .withColumn("__mn", min(col("dist")).over(wAll))
+      .withColumn("__mx", max(col("dist")).over(wAll))
+      .select(col("vec_id").as("doc_id"),
+        when(col("__mx") > col("__mn"),
+          (col("__mx") - col("dist")) / (col("__mx") - col("__mn")))
+          .otherwise(lit(0.0)).as("vec_norm"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(col("lex_norm"), 6).as("lex_norm"),
+        round(col("vec_norm"), 6).as("vec_norm"),
+        round(lit(0.7) * coalesce(col("vec_norm"), lit(0.0))
+          + lit(0.3) * coalesce(col("lex_norm"), lit(0.0)), 6).as("wscore"))
+      .orderBy(desc("wscore"), col("doc_id"))
+      .limit(10)
+  }
+
   /** PII scrubbing — the redaction pass every training-data build runs
     * before export (emails, phone numbers, IPv4 addresses → typed
     * placeholder tokens). Pure per-row regex work: embarrassingly
@@ -369,6 +413,7 @@ object TextQueries {
     "train_val_split" -> trainValSplit _,
     "bm25_scores" -> bm25Scores _,
     "hybrid_rrf" -> hybridRrf _,
+    "hybrid_weighted" -> hybridWeighted _,
     "pii_redact" -> piiRedact _
   )
 
@@ -509,6 +554,38 @@ object TextQueries {
               + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
          FROM lex FULL OUTER JOIN vec USING (doc_id)
          ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "hybrid_weighted" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                  WHERE word IN ('join','hash','scan') GROUP BY 1),
+           bm25 AS (SELECT tf.doc_id,
+               round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                          * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
+             FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
+             GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           lex AS (SELECT doc_id,
+               CASE WHEN MAX(bm25) OVER () > MIN(bm25) OVER ()
+                    THEN (bm25 - MIN(bm25) OVER ())
+                         / (MAX(bm25) OVER () - MIN(bm25) OVER ())
+                    ELSE 0.0 END AS lex_norm FROM bm25),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           knn AS (SELECT e.vec_id AS doc_id,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+             FROM embeddings e, q ORDER BY dist, vec_id LIMIT 15),
+           vec AS (SELECT doc_id,
+               CASE WHEN MAX(dist) OVER () > MIN(dist) OVER ()
+                    THEN (MAX(dist) OVER () - dist)
+                         / (MAX(dist) OVER () - MIN(dist) OVER ())
+                    ELSE 0.0 END AS vec_norm FROM knn)
+         SELECT doc_id, round(lex_norm, 6) AS lex_norm, round(vec_norm, 6) AS vec_norm,
+            round(0.7 * coalesce(vec_norm, 0) + 0.3 * coalesce(lex_norm, 0), 6) AS wscore
+         FROM lex FULL OUTER JOIN vec USING (doc_id)
+         ORDER BY wscore DESC, doc_id LIMIT 10""",
     "pii_redact" ->
       """WITH raw AS (SELECT doc_id,
              text || ' contact user' || doc_id::VARCHAR ||

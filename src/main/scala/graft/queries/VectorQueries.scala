@@ -82,6 +82,67 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** B2+ (Milvus range search, `radius`/`range_filter` params): every row
+    * whose L2 distance to the query falls in the [0.5, 1.25) annulus —
+    * the inner bound excludes the query's own row (dist 0) exactly the
+    * way `range_filter` excludes already-ingested near-dupes in
+    * production. Unlike nprobe top-k there is NO recall knob here: the
+    * declared query is a distance-predicate scan, and the client-surface
+    * form (`GraftClient.searchRange`) keeps it exact even through the
+    * IVF prune, whose triangle-inequality cell bound is lossless. Plans
+    * as Project(dist) → Filter → Sort: one scan pass, the filter sits on
+    * the projected distance, no shuffle but the output sort. */
+  def knnRangeSearch(spark: SparkSession, dir: String): DataFrame =
+    withQueryVec(spark, dir)
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
+      .filter(col("dist") >= 0.5 && col("dist") < 1.25)
+      .orderBy(col("dist"), col("vec_id"))
+
+  /** B2+ (Milvus grouping search, `group_by_field`/`group_size`): the
+    * top-4 labels ranked by their best hit, keeping the 2 nearest rows
+    * per label — "k results from k DISTINCT groups" instead of k rows
+    * that may all share one group. Scale shape: the per-group top-2 is
+    * the bounded-heap UDAF partial-aggregated BEFORE its one shuffle
+    * (the same kernel as `knn_batched` keyed by group instead of qid —
+    * never a corpus-wide rank window); the group-ranking windows run
+    * over the ≤2·|groups| survivors. */
+  def knnGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = graft.functions.VectorAggregates.topKByDist(2)
+    val perGroup = withQueryVec(spark, dir)
+      .select(col("label"), col("vec_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .groupBy(col("label"))
+      .agg(topk(col("dist"), col("vec_id")).as("tops"))
+      .select(col("label"), posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("label"), col("hit.vec_id").as("vec_id"), col("hit.dist").as("dist"),
+        (col("pos") + 1).cast("long").as("rn"))
+    perGroup
+      .withColumn("grp_best", min(col("dist")).over(Window.partitionBy(col("label"))))
+      .withColumn("grp_rank",
+        dense_rank().over(Window.orderBy(col("grp_best"), col("label"))).cast("long"))
+      .filter(col("grp_rank") <= 4)
+      .select(col("label"), col("grp_rank"), col("rn"), col("vec_id"), col("dist"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
+  /** B2+ (Milvus search `offset` — pagination): page 2 of the L2 ranking,
+    * rows 11–20. The plan stays top-(offset+k)-pushed: a
+    * TakeOrderedAndProject(20) bounds every partition BEFORE the
+    * row-number window ranks the 20 survivors and drops the first page —
+    * offset never degrades the scan into a full sort. */
+  def knnPaged(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    withQueryVec(spark, dir)
+      .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(20)
+      .withColumn("rn", row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rn") > 10)
+      .drop("rn")
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** A6/B3: per-label stats over vector norms (norm is sqrt — round(6)). */
   def vectorNormStats(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -161,6 +222,9 @@ object VectorQueries {
     "knn_dot_topk" -> knnDot _,
     "knn_filtered" -> knnFiltered _,
     "knn_batched" -> knnBatched _,
+    "knn_range_search" -> knnRangeSearch _,
+    "knn_grouped" -> knnGrouped _,
+    "knn_paged" -> knnPaged _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
@@ -193,6 +257,26 @@ object VectorQueries {
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q WHERE e.label % 2 = 0 AND e.vec_id <> 0
           ORDER BY dist, vec_id LIMIT 5""",
+    "knn_range_search" ->
+      s"""SELECT vec_id, dist, label FROM (
+            SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+            FROM embeddings e, $qv q)
+          WHERE dist >= 0.5 AND dist < 1.25 ORDER BY dist, vec_id""",
+    "knn_grouped" ->
+      s"""WITH scored AS (
+            SELECT e.label, e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+            FROM embeddings e, $qv q),
+          top2 AS (SELECT label, vec_id, dist, rn FROM (
+            SELECT label, vec_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rn
+            FROM scored) WHERE rn <= 2),
+          g AS (SELECT *, MIN(dist) OVER (PARTITION BY label) AS grp_best FROM top2),
+          r AS (SELECT *, DENSE_RANK() OVER (ORDER BY grp_best, label) AS grp_rank FROM g)
+          SELECT label, grp_rank, rn, vec_id, dist FROM r
+          WHERE grp_rank <= 4 ORDER BY grp_rank, rn""",
+    "knn_paged" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
     "knn_batched" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
