@@ -268,6 +268,33 @@ object VectorScaleBench {
     val exactStr = cExactIds.map(_.toString)
     val cliFullRecall = cliFull.count(exactStr.contains).toDouble / exactStr.size
     val cliPruneRecall = cliIds.count(cliFull.contains).toDouble / cliFull.size
+    // Range search on IID data (r8) — the honest high-dim regime: iid
+    // points concentrate all pairwise distances around one value, so cell
+    // radii rival the data spread and the triangle-inequality prune keeps
+    // ~every cell. Measured, not assumed — the clustered block below is
+    // the regime the prune is FOR (real corpora cluster). Runs BEFORE the
+    // maintenance commit so the store content equals cvecs exactly and
+    // the raw-parquet band is a fair oracle.
+    val iidBandRadius = cvecs
+      .select(l2_distance(col("vec"), typedLit(cq)).as("dist"))
+      .orderBy(col("dist")).limit(100).collect().last.getDouble(0)
+    val iidBandExact = cvecs
+      .select(col("vec_id"), l2_distance(col("vec"), typedLit(cq)).as("dist"))
+      .filter(col("dist") < iidBandRadius)
+      .collect().map(_.getLong(0).toString).toSet
+    def iidRangeOnce(): Set[String] =
+      client.searchRange("bench", cq, iidBandRadius)
+        .collect().map(_.getString(0)).toSet
+    iidRangeOnce()
+    var iidRangeIds: Set[String] = Set.empty
+    val iidRangeSec = math.min(
+      time { iidRangeIds = iidRangeOnce() }, time { iidRangeIds = iidRangeOnce() })
+    val iidRangeExactSec = time {
+      cvecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(cq)).as("dist"))
+        .filter(col("dist") < iidBandRadius).collect()
+    }
+    val iidRangeMatch = iidRangeIds == iidBandExact
+
     val maintT0 = System.nanoTime()
     client.upsert("bench", cvecs.limit(1000)
       .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
@@ -307,6 +334,36 @@ object VectorScaleBench {
     val cosFullRecall = cosFull.count(cosExact.contains).toDouble / cosExact.size
     val cosPruneRecall = cosIds.count(cosFull.contains).toDouble / cosFull.size
 
+    // Range search on CLUSTERED data (r8) — the sine lattice lies on a
+    // 1-D curve, so cells tile the curve and per-cell radii stay small
+    // vs the data spread: the regime real (clustered) corpora resemble,
+    // and the one the lossless triangle-inequality prune is for. The
+    // band radius self-calibrates to the exact 100th-nearest distance;
+    // exact (pre-index snapshot scan) and pruned (post-build) runs must
+    // return the IDENTICAL band — the prune has no recall knob.
+    val rngRoot = tmpDir("graft-scale-rng")
+    val rngClient = new graft.api.GraftClient(spark, rngRoot)
+    rngClient.createCollection("benchrng", dim = dim, metric = "l2",
+      indexType = "IVF_FLAT", nlist = 64, buckets = 16)
+    rngClient.upsert("benchrng", vecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val bandRadius = vecs
+      .select(l2_distance(col("vec"), typedLit(q)).as("dist"))
+      .orderBy(col("dist")).limit(100).collect().last.getDouble(0)
+    def rngOnce(): Set[String] =
+      rngClient.searchRange("benchrng", q, bandRadius)
+        .collect().map(_.getString(0)).toSet
+    rngOnce()
+    var rngExactIds: Set[String] = Set.empty
+    val rngExactSec = math.min(
+      time { rngExactIds = rngOnce() }, time { rngExactIds = rngOnce() })
+    rngClient.buildIndex("benchrng", nlist = 64, sampleFraction = 0.02)
+    rngOnce()
+    var rngPrunedIds: Set[String] = Set.empty
+    val rngPrunedSec = math.min(
+      time { rngPrunedIds = rngOnce() }, time { rngPrunedIds = rngOnce() })
+    val rngMatch = rngPrunedIds == rngExactIds
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
@@ -333,7 +390,15 @@ object VectorScaleBench {
         s""""client_cos_sq8_build_sec":$cosBuildSec,""" +
         s""""client_cos_sq8_search_sec":$cosSearchSec,""" +
         s""""client_cos_sq8_fullprobe_recall_vs_exact":$cosFullRecall,""" +
-        s""""client_cos_sq8_prune_recall_vs_fullprobe":$cosPruneRecall}""")
+        s""""client_cos_sq8_prune_recall_vs_fullprobe":$cosPruneRecall,""" +
+        s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
+        s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
+        s""""range_iid_match":$iidRangeMatch,""" +
+        s""""range_clustered_radius":$bandRadius,"range_clustered_hits":${rngPrunedIds.size},""" +
+        s""""range_clustered_exact_sec":$rngExactSec,""" +
+        s""""range_clustered_pruned_sec":$rngPrunedSec,""" +
+        s""""range_clustered_speedup":${rngExactSec / rngPrunedSec},""" +
+        s""""range_clustered_match":$rngMatch}""")
     spark.stop()
     // multi-GB scratch (two datasets, three index copies, two client
     // stores) — clean it before exit so repeated runs don't fill /tmp

@@ -737,6 +737,43 @@ class GraftClient(spark: SparkSession, root: String) {
       spark.read.schema("centroid_id INT, center ARRAY<DOUBLE>").parquet(path)
         .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray))
 
+  private def cellRadiiPath(m: CollectionMeta) = s"${ivfDir(m)}/cell_radii"
+
+  /** Per-cell max assign-space L2 distance to the FROZEN assignment
+    * center — the triangle-inequality bound [[searchRange]] prunes cells
+    * with (`‖q−cᵢ‖ ≤ r + radiusᵢ` keeps cell i; anything farther cannot
+    * contain a point within `r` of `q`). Distances are computed in pure
+    * double arithmetic against the double centers, the same math the
+    * driver-side prune uses; the residual float(__assign)-vs-double
+    * summation slack is absorbed by [[GraftClient.RangePruneEps]].
+    * Output: one (centroidId, radius) row per NON-EMPTY cell. */
+  private def cellRadii(assigned: DataFrame,
+                        quant: IvfIndex.CoarseQuantizer): Map[Int, Double] = {
+    import spark.implicits._
+    val centers = quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("centroidId", "__center")
+    assigned.join(broadcast(centers), Seq("centroidId"))
+      .groupBy(col("centroidId"))
+      .agg(max(expr(
+        "sqrt(aggregate(zip_with(CAST(__assign AS ARRAY<DOUBLE>), __center, " +
+          "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), " +
+          "(acc, v) -> acc + v))")).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  private def writeCellRadii(radii: Map[Int, Double], m: CollectionMeta): Unit = {
+    import spark.implicits._
+    radii.toSeq.toDF("centroid_id", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(cellRadiiPath(m))
+  }
+
+  private def readCellRadii(m: CollectionMeta): Option[Map[Int, Double]] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellRadiiPath(m)))) None
+    else Some(spark.read.schema("centroid_id INT, radius DOUBLE")
+      .parquet(cellRadiiPath(m))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap)
+  }
+
   /** Build (or rebuild) the IVF_FLAT index over the CURRENT snapshot —
     * the reference's `create_index(IVF_FLAT, L2, nlist)`
     * (`milvus-app/pythonvectordbceph_milvus.py:100-102`). Persists the
@@ -790,6 +827,9 @@ class GraftClient(spark: SparkSession, root: String) {
         sq8CellsPath(m))
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
+    // per-cell radii for range search's lossless prune — computed against
+    // the frozen assignment centers, maintained per-commit like the cells
+    writeCellRadii(cellRadii(indexed, quant), m)
     stampIndexVersion(m, version)
     // a REBUILD can land at an unchanged store version (e.g. new nlist,
     // no new upserts) — version-keyed caches must not serve the old
@@ -812,7 +852,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * cannot reproduce. */
   private case class LoadedIndex(assign: IvfIndex.CoarseQuantizer,
                                  probe: IvfIndex.CoarseQuantizer,
-                                 version: Long, maintainable: Boolean)
+                                 version: Long, maintainable: Boolean,
+                                 radii: Option[Map[Int, Double]])
 
   /** Per-(collection, version) LoadedIndex cache: the VERSION file is
     * re-read on every call (staleness must always be detected), but the
@@ -835,7 +876,7 @@ class GraftClient(spark: SparkSession, root: String) {
         val probePath = s"${ivfDir(m)}/probe_centroids"
         val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
         LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
-          v, hasProbe)
+          v, hasProbe, readCellRadii(m))
       })
     }
 
@@ -925,6 +966,20 @@ class GraftClient(spark: SparkSession, root: String) {
             contents.withColumn("__assign", assignSpace(m)(col("vec"))),
             "__assign", idx.probe)
           writeCentroids(refreshed, s"${ivfDir(m)}/probe_centroids")
+          // range search's per-cell radii follow the same touched-cell
+          // merge: recompute EXACTLY from the touched cells' full new
+          // contents (`contents` holds every surviving + inserted row of
+          // those cells), keep untouched cells' values, drop emptied
+          // cells. Radii are measured against the FROZEN assign centers,
+          // so they stay exact — never a loosening upper bound. An index
+          // built before radii existed has no file: skip, and searchRange
+          // scans the whole cell layout (still exact, just unpruned).
+          readCellRadii(m).foreach { old =>
+            val touchedRadii = cellRadii(
+              contents.withColumn("__assign", assignSpace(m)(col("vec"))),
+              idx.assign)
+            writeCellRadii((old -- touchedCells) ++ touchedRadii, m)
+          }
         }
         stampIndexVersion(m, newVersion)
       } finally keys.unpersist()
@@ -1010,18 +1065,19 @@ class GraftClient(spark: SparkSession, root: String) {
     * the index or use a FLAT collection for that. */
   def search(name: String, qvec: Array[Float], k: Int,
              filter: Option[Column] = None, nprobe: Int = 4,
-             refine: Int = 4): DataFrame = {
+             refine: Int = 4, offset: Int = 0): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(refine >= 1, s"refine must be >= 1 (got $refine) — 0 would " +
       "silently return no candidates from the SQ8 stage-1 limit")
+    require(offset >= 0, s"offset must be >= 0 (got $offset)")
     val coll = collection(m)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
     liveIdx match {
       case Some(idx) if sq8Indexed(m) =>
-        return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine)
+        return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine, offset)
       case _ => ()
     }
     val fresh = liveIdx match {
@@ -1034,18 +1090,43 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     val base = fresh.getOrElse(coll.read(spark))
     val candidates = filter.fold(base)(base.filter)
+    paged(candidates
+      .select(col("key").as("vector_key"),
+        distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata")),
+      offset, k)
+  }
+
+  /** The metric-dependent "smaller is better" score [[search]] and its
+    * siblings rank by: L2 distance, negated cosine similarity, negated
+    * inner product — one convention across every search surface. */
+  private def distanceCol(metric: String, qvec: Array[Float]): Column = {
     val q = typedLit(qvec)
-    val (scoreCol, ordering) = m.metric match {
-      case "l2" => (l2_distance(col("vec"), q), Seq(col("distance"), col("vector_key")))
-      case "cosine" => (-cosine_similarity(col("vec"), q),
-        Seq(col("distance"), col("vector_key")))
-      case "dot" => (-dot_product(col("vec"), q), Seq(col("distance"), col("vector_key")))
+    metric match {
+      case "l2" => l2_distance(col("vec"), q)
+      case "cosine" => -cosine_similarity(col("vec"), q)
+      case "dot" => -dot_product(col("vec"), q)
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    candidates
-      .select(col("key").as("vector_key"), scoreCol.as("distance"), col("meta").as("metadata"))
-      .orderBy(ordering: _*)
-      .limit(k)
+  }
+
+  /** Milvus `offset` pagination over a (vector_key, distance, metadata)
+    * result: top-(offset+k) stays pushed into TakeOrderedAndProject
+    * (every partition bounds to offset+k rows, k-way driver merge — no
+    * full sort at any offset), then a row-number window over the
+    * ≤ offset+k survivors drops the first page. Deep pagination costs
+    * O(offset+k) memory by construction — the same bound Milvus imposes
+    * by capping offset+limit. */
+  private def paged(scored: DataFrame, offset: Int, k: Int): DataFrame = {
+    val ordered = scored.orderBy(col("distance"), col("vector_key"))
+    if (offset <= 0) ordered.limit(k)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      ordered.limit(offset + k)
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("distance"), col("vector_key"))))
+        .filter(col("__rn") > offset).drop("__rn")
+        .orderBy(col("distance"), col("vector_key"))
+    }
   }
 
   /** The IVF_SQ8 two-stage search (FAISS/Milvus `IVF_SQ8` semantics —
@@ -1067,9 +1148,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * exact cosine. Determinism: both stages tie-break on the key. */
   private def searchSq8Refined(m: CollectionMeta, coll: BucketedKeyedCollection,
       idx: LoadedIndex, qvec: Array[Float], k: Int, filter: Option[Column],
-      nprobe: Int, refine: Int): DataFrame = {
+      nprobe: Int, refine: Int, offset: Int = 0): DataFrame = {
     // stage-1 query lives in the assign space (normalized for cosine) —
-    // the same float-rounded vector that probes the cells
+    // the same float-rounded vector that probes the cells. Pagination
+    // widens BOTH stages to offset+k (the page's rows must survive
+    // stage 1 to be rankable in stage 2).
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     val q1 = typedLit(qa)
     val cells = idx.probe.probes(qa, nprobe)
@@ -1078,7 +1161,7 @@ class GraftClient(spark: SparkSession, root: String) {
     val cand = filter.fold(sq8)(sq8.filter)
       .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
       .orderBy(col("adist"), col("key"))
-      .limit(k * refine)
+      .limit((k + offset) * refine)
       .select(col("key"))
     // exact re-rank in the collection's metric over the ORIGINAL vectors
     val qx = typedLit(qvec)
@@ -1086,11 +1169,166 @@ class GraftClient(spark: SparkSession, root: String) {
       case "cosine" => -cosine_similarity(col("vec"), qx)
       case _ => l2_distance(col("vec"), qx)
     }
-    coll.read(spark).join(broadcast(cand), Seq("key"))
+    paged(coll.read(spark).join(broadcast(cand), Seq("key"))
       .select(col("key").as("vector_key"), score.as("distance"),
-        col("meta").as("metadata"))
+        col("meta").as("metadata")),
+      offset, k)
+  }
+
+  /** Range search — Milvus `radius`/`range_filter` search params: every
+    * row whose `distance` (the same metric-dependent smaller-is-better
+    * column [[search]] returns) satisfies
+    * `rangeFilter <= distance < radius`, nearest-first, optionally capped
+    * at `limit` rows. The annulus form (`rangeFilter` > -∞) is how
+    * production excludes already-known near-dupes while sweeping a
+    * neighborhood.
+    *
+    * Unlike top-k there is NO recall knob here: with a fresh l2/cosine
+    * index carrying per-cell radii, candidates come from only the cells
+    * the triangle inequality cannot rule out
+    * (`‖q−cᵢ‖ ≤ radius + radiusᵢ` in assign space — a LOSSLESS prune, so
+    * the result is identical to the exact scan at a fraction of the IO;
+    * cosine's similarity bound maps to unit-sphere chord length
+    * `sqrt(2−2·sim)`). Stale index, dot metric, or a pre-radii legacy
+    * index → exact scan, same answer. SQ8 collections prune identically
+    * but read the FLOAT cells: a range predicate is a hard boundary, and
+    * keeping it exact over quantized codes would need per-cell error
+    * bounds. */
+  def searchRange(name: String, qvec: Array[Float], radius: Double,
+                  rangeFilter: Double = Double.NegativeInfinity,
+                  limit: Option[Int] = None,
+                  filter: Option[Column] = None): DataFrame = {
+    val m = metaOrThrow(name)
+    require(qvec.length == m.dim,
+      s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    require(rangeFilter < radius,
+      s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
+        "the band is [rangeFilter, radius)")
+    val coll = collection(m)
+    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
+    val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+    // assign-space prune radius: l2 uses `radius` directly; cosine maps
+    // the similarity bound (sim > -radius) to chord length on the unit
+    // sphere. None = the bound admits the whole space (cosine radius >= 1)
+    // — nothing is prunable, scan every cell, still exact.
+    val pruneRadius: Option[Double] = m.metric match {
+      case "l2" => Some(radius)
+      case "cosine" =>
+        val simMin = -radius
+        if (simMin <= -1.0) None
+        else Some(math.sqrt(math.max(0.0, 2.0 - 2.0 * simMin)))
+      case _ => None
+    }
+    val base = liveIdx match {
+      case Some(idx) if indexableMetric(m.metric) =>
+        val cellsDf = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+        (idx.radii, pruneRadius) match {
+          case (Some(rad), Some(r)) =>
+            val centerDist = idx.assign.distancesTo(qa)
+            val keep = rad.collect {
+              case (cell, rc) if cell < centerDist.length &&
+                centerDist(cell) <= r + rc + GraftClient.RangePruneEps => cell
+            }.toSeq
+            if (keep.isEmpty) cellsDf.filter(lit(false))
+            else cellsDf.filter(col("centroidId").isin(keep: _*))
+          case _ => cellsDf // legacy index without radii: all cells, exact
+        }
+      case _ => coll.read(spark) // no/stale index or dot: exact snapshot scan
+    }
+    val out = filter.fold(base)(base.filter)
+      .select(col("key").as("vector_key"),
+        distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata"))
+      .filter(col("distance") < radius &&
+        (if (rangeFilter.isNegInfinity) lit(true) else col("distance") >= rangeFilter))
       .orderBy(col("distance"), col("vector_key"))
-      .limit(k)
+    limit.fold(out)(out.limit)
+  }
+
+  /** Grouping search — Milvus `group_by_field`/`group_size`: the top `k`
+    * GROUPS ranked by their best hit, keeping the `groupSize` nearest
+    * rows per group, where a row's group is `meta[groupByKey]`. Rows
+    * without that key are skipped (a group value must exist to group by —
+    * Milvus likewise excludes entities with a null group field). Output:
+    * (group_value, grp_rank, rn, vector_key, distance, metadata) ordered
+    * by group rank, then rank within the group.
+    *
+    * Scale shape: candidates come from the same source as [[search]]
+    * (IVF-pruned cells when the index is fresh — recall governed by
+    * `nprobe` exactly as there; SQ8 collections read the float cells,
+    * since exact per-candidate distances are what rank the groups). The
+    * per-group top-`groupSize` is the bounded-heap
+    * [[graft.functions.TopKDocs]] Aggregator partial-aggregated BEFORE
+    * its one shuffle — traffic is ≤ groupSize·partitions·|groups| rows,
+    * never the scored candidate set — and the group-ranking windows run
+    * over the ≤ groupSize·|groups| survivors. */
+  def searchGrouped(name: String, qvec: Array[Float], k: Int,
+                    groupByKey: String, groupSize: Int = 1,
+                    filter: Option[Column] = None,
+                    nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = metaOrThrow(name)
+    require(qvec.length == m.dim,
+      s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    val coll = collection(m)
+    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
+    val base = liveIdx match {
+      case Some(idx) if indexableMetric(m.metric) =>
+        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+        val cells = idx.probe.probes(qa, nprobe)
+        IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+          .filter(col("centroidId").isin(cells: _*))
+      case _ => coll.read(spark)
+    }
+    val cand = filter.fold(base)(base.filter)
+      .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
+      .filter(col("__grp").isNotNull)
+      .select(col("__grp").as("group_value"),
+        distanceCol(m.metric, qvec).as("distance"), col("key"), col("meta"))
+    val topk = graft.functions.VectorAggregates.topKDocs(groupSize)
+    val perGroup = cand.groupBy(col("group_value"))
+      .agg(topk(col("distance"), col("key"), col("meta")).as("tops"))
+      .select(col("group_value"), posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("group_value"),
+        col("hit.key").as("vector_key"), col("hit.dist").as("distance"),
+        col("hit.meta").as("metadata"), (col("pos") + 1).cast("long").as("rn"))
+    perGroup
+      .withColumn("__best", min(col("distance")).over(
+        Window.partitionBy(col("group_value"))))
+      .withColumn("grp_rank", dense_rank().over(
+        Window.orderBy(col("__best"), col("group_value"))).cast("long"))
+      .filter(col("grp_rank") <= k)
+      .select(col("group_value"), col("grp_rank"), col("rn"),
+        col("vector_key"), col("distance"), col("metadata"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
+  /** Point lookup by primary key — Milvus `client.get(ids)`: (key, vec,
+    * meta) for the keys that exist. The plan reads ONLY the buckets the
+    * keys hash to (the write path's touched-bucket prune on the read
+    * side), then semi-joins the key set — the driver holds a ≤`buckets`
+    * bucket-id array, never the keys. At cluster scale a 5-key get reads
+    * 5 bucket directories of the store, not the store; AQE broadcasts
+    * the key side when small (the point-lookup case), and a corpus-sized
+    * key frame degrades gracefully to a shuffle join. */
+  def fetchDf(name: String, keys: DataFrame): DataFrame = {
+    val m = metaOrThrow(name)
+    val coll = collection(m)
+    val keyed = keys.select(
+      requireKey(col("key"), capped = false).as("key")).distinct()
+    val touched = touchedBuckets(coll, keyed)
+    if (touched.isEmpty) coll.read(spark).filter(lit(false))
+      .select("key", "vec", "meta")
+    else coll.readBuckets(spark, touched)
+      .join(keyed, Seq("key"), "left_semi")
+      .select("key", "vec", "meta")
+  }
+
+  /** Driver-side sugar over [[fetchDf]]. */
+  def fetch(name: String, keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    fetchDf(name, keys.toDF("key"))
   }
 
   /** Batched top-k search: `queries` needs (qid BIGINT, qvec ARRAY<FLOAT>);
@@ -1421,8 +1659,12 @@ class GraftClient(spark: SparkSession, root: String) {
                    qvec: Array[Float], k: Int = 10, armK: Int = 15,
                    rrfK: Int = 60, filter: Option[Column] = None,
                    nprobe: Int = 4, textCol: String = "text",
-                   useIndex: Boolean = true): DataFrame = {
+                   useIndex: Boolean = true,
+                   fusion: String = "rrf",
+                   wVec: Double = 0.7, wLex: Double = 0.3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(fusion == "rrf" || fusion == "weighted",
+      s"fusion must be 'rrf' or 'weighted' (got '$fusion')")
     // The metadata `filter` must bind BOTH arms: search() pre-filters the
     // vector arm, and the lexical arm gates its CANDIDATES on the keys
     // passing the filter — otherwise a filtered-out doc ranking high
@@ -1432,21 +1674,53 @@ class GraftClient(spark: SparkSession, root: String) {
     // stay fixed, so the filtered arm rides the postings index too.
     val passing = filter.map(f =>
       collection(metaOrThrow(name)).read(spark).filter(f).select("key"))
-    val lex = searchLexical(name, docs, terms, k = armK, textCol = textCol,
-      useIndex = useIndex, restrictTo = passing)
-      .select(col("key"),
-        row_number().over(Window.orderBy(desc("bm25"), col("key")))
-          .cast("long").as("lex_rank"))
-    val vec = search(name, qvec, armK, filter, nprobe)
-      .select(col("vector_key").as("key"),
-        row_number().over(Window.orderBy(col("distance"), col("vector_key")))
-          .cast("long").as("vec_rank"))
-    lex.join(vec, Seq("key"), "full_outer")
-      .select(col("key"), col("lex_rank"), col("vec_rank"),
-        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
-          + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
-      .orderBy(desc("rrf"), col("key"))
-      .limit(k)
+    val lexTop = searchLexical(name, docs, terms, k = armK, textCol = textCol,
+      useIndex = useIndex, restrictTo = passing) // (key, bm25)
+    val vecTop = search(name, qvec, armK, filter, nprobe)
+    fusion match {
+      case "rrf" =>
+        val lex = lexTop.select(col("key"),
+          row_number().over(Window.orderBy(desc("bm25"), col("key")))
+            .cast("long").as("lex_rank"))
+        val vec = vecTop.select(col("vector_key").as("key"),
+          row_number().over(Window.orderBy(col("distance"), col("vector_key")))
+            .cast("long").as("vec_rank"))
+        lex.join(vec, Seq("key"), "full_outer")
+          .select(col("key"), col("lex_rank"), col("vec_rank"),
+            round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+          .orderBy(desc("rrf"), col("key"))
+          .limit(k)
+      case _ =>
+        // Milvus WeightedRanker semantics: each arm's scores min-max
+        // normalized to [0,1] WITHIN its top-armK (BM25 ascending-good,
+        // distance descending-good), fused as wVec·vec + wLex·lex; a doc
+        // un-retrieved by an arm contributes 0 from it. Rank fusion
+        // discards magnitudes — weighted fusion keeps them, for when one
+        // arm's confidence should dominate ties. The normalization
+        // windows see ≤armK rows (both arms are already top-k-pushed).
+        val wAll = Window.partitionBy()
+        val lex = lexTop
+          .withColumn("__mn", min(col("bm25")).over(wAll))
+          .withColumn("__mx", max(col("bm25")).over(wAll))
+          .select(col("key"),
+            when(col("__mx") > col("__mn"),
+              (col("bm25") - col("__mn")) / (col("__mx") - col("__mn")))
+              .otherwise(lit(0.0)).as("lex_norm"))
+        val vec = vecTop
+          .withColumn("__mn", min(col("distance")).over(wAll))
+          .withColumn("__mx", max(col("distance")).over(wAll))
+          .select(col("vector_key").as("key"),
+            when(col("__mx") > col("__mn"),
+              (col("__mx") - col("distance")) / (col("__mx") - col("__mn")))
+              .otherwise(lit(0.0)).as("vec_norm"))
+        lex.join(vec, Seq("key"), "full_outer")
+          .select(col("key"), col("lex_norm"), col("vec_norm"),
+            round(lit(wVec) * coalesce(col("vec_norm"), lit(0.0))
+              + lit(wLex) * coalesce(col("lex_norm"), lit(0.0)), 6).as("wscore"))
+          .orderBy(desc("wscore"), col("key"))
+          .limit(k)
+    }
   }
 
   // ---- Dedup surface (C8, parameterized) ----
@@ -1523,4 +1797,15 @@ object GraftClient {
     * Enforced row-wise at the write boundary alongside the null-key and
     * dimension checks. */
   val MaxKeyLength: Int = 2048
+
+  /** Slack added to range search's triangle-inequality cell compare
+    * (`‖q−cᵢ‖ ≤ radius + radiusᵢ + eps`). Cell radii are computed from
+    * float32 assign-space vectors against double centers, and summation
+    * order differs between the radii aggregate and the driver-side
+    * center distances — both O(1e-7·scale) effects. Distances here are
+    * O(1)–O(1e3), so 1e-6 absolute stays orders above the fp slack while
+    * admitting at most one boundary-grazing extra cell's IO. Soundness
+    * (never dropping a qualifying row) needs eps ≥ the fp error; it does
+    * not depend on eps being small. */
+  val RangePruneEps: Double = 1e-6
 }

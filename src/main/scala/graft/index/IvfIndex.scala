@@ -36,6 +36,12 @@ object IvfIndex {
       centers.indices
         .sortBy(i => (l2sq(centers(i), q), i))
         .take(math.min(nprobe, nlist))
+
+    /** L2 distance from `q` to every center — driver-side, O(nlist·dim).
+      * Range search's triangle-inequality cell prune compares these
+      * against per-cell radii (`‖q−cᵢ‖ ≤ r + radiusᵢ` keeps cell i). */
+    def distancesTo(q: Array[Float]): Array[Double] =
+      centers.map(c => math.sqrt(l2sq(c, q)))
   }
 
   /** Assign every row to its nearest centroid under OUR deterministic

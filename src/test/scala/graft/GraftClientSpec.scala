@@ -1547,4 +1547,234 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[String]("vector_key")).toSeq
     assert(top == Seq("east", "northeast", "north"))
   }
+
+  test("range search: exact band, lossless cell prune, radii maintained across commits") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-range").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("rng", dim = 2, metric = "l2", indexType = "IVF_FLAT", nlist = 4)
+    // points on a line: key ki at distance i from the query (0,0)
+    val rows = (0 until 100).map(i => (f"k$i%03d", Seq(i.toFloat, 0f),
+      Map("i" -> i.toString)))
+    client.upsert("rng", rows.toDF("key", "vec", "meta"))
+
+    def band(radius: Double, rf: Double = Double.NegativeInfinity): Seq[String] =
+      client.searchRange("rng", Array(0f, 0f), radius, rangeFilter = rf)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+
+    // exact path (no index yet): [0, 5.5) → k000..k005; annulus [1.5, 5.5) drops k000/k001
+    assert(band(5.5) == (0 to 5).map(i => f"k$i%03d"))
+    assert(band(5.5, rf = 1.5) == (2 to 5).map(i => f"k$i%03d"))
+
+    // indexed path must return the identical band — the prune is lossless
+    client.buildIndex("rng", nlist = 4)
+    val viaIndex = client.searchRange("rng", Array(0f, 0f), 5.5)
+    assert(viaIndex.collect().map(_.getAs[String]("vector_key")).toSeq
+      == (0 to 5).map(i => f"k$i%03d"))
+    // and it actually prunes: the tight band's executed scan reads fewer
+    // centroidId partitions than an all-covering band (AQE hides scans
+    // behind AdaptiveSparkPlanExec/QueryStageExec — walk them explicitly)
+    def cellPartitionsRead(radius: Double): Long = {
+      val df = client.searchRange("rng", Array(0f, 0f), radius)
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(s.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val scan = scans(df.queryExecution.executedPlan)
+        .find(_.toString.contains("centroidId"))
+        .getOrElse(fail(s"no cell FileSourceScanExec in:\n" +
+          df.queryExecution.executedPlan))
+      scan.metrics("numPartitions").value
+    }
+    val tight = cellPartitionsRead(5.5)
+    val wide = cellPartitionsRead(1e6)
+    assert(tight < wide,
+      s"a 5.5-radius band over a 0..99 line must scan fewer cells ($tight) than an " +
+        s"all-covering band ($wide)")
+
+    // SOUNDNESS across maintenance: upsert a far outlier — its cell's
+    // radius must grow with it, or the prune would silently skip it
+    client.upsert("rng", Seq(("far", Seq(1000f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    val outlier = client.searchRange("rng", Array(0f, 0f), 1000.5, rangeFilter = 999.5)
+    assert(outlier.queryExecution.executedPlan.toString.contains("centroidId"),
+      "post-commit range search must still ride the index")
+    assert(outlier.collect().map(_.getAs[String]("vector_key")).toSeq == Seq("far"),
+      "a commit-grown cell radius must keep the far row findable through the prune")
+
+    // delete it — radii recompute exactly (never a stale loose bound),
+    // and the band over its old location is empty again
+    client.deleteByKeys("rng", Seq("far"))
+    assert(band(1000.5, rf = 999.5).isEmpty)
+
+    // limit caps the band nearest-first
+    assert(band(5.5).take(3) ==
+      client.searchRange("rng", Array(0f, 0f), 5.5, limit = Some(3))
+        .collect().map(_.getAs[String]("vector_key")).toSeq)
+
+    // metadata filter composes (exact semantics on the pruned scan)
+    val odd = client.searchRange("rng", Array(0f, 0f), 5.5,
+      filter = Some(element_at(col("meta"), "i").cast("int") % 2 === 1))
+      .collect().map(_.getAs[String]("vector_key")).toSeq
+    assert(odd == Seq("k001", "k003", "k005"))
+  }
+
+  test("range search: cosine similarity bound maps to the chord-length prune exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-range-cos").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("rngc", dim = 2, metric = "cosine",
+      indexType = "IVF_FLAT", nlist = 4)
+    // unit-ish circle at 5° steps, magnitudes varied (cosine ignores them)
+    val rows = (0 until 72).map { i =>
+      val a = math.toRadians(i * 5.0); val mag = 1.0 + (i % 7)
+      (f"a$i%03d", Seq((mag * math.cos(a)).toFloat, (mag * math.sin(a)).toFloat),
+        Map("deg" -> (i * 5).toString))
+    }
+    client.upsert("rngc", rows.toDF("key", "vec", "meta"))
+    val q = Array(1f, 0f)
+    // sim > 0.9 ⇔ distance < -0.9: exact answer computed locally
+    def exact(simMin: Double): Seq[String] = rows.collect {
+      case (k, v, _) if {
+        val d = v(0).toDouble * q(0) + v(1).toDouble * q(1)
+        val n = math.sqrt(v(0).toDouble * v(0) + v(1).toDouble * v(1))
+        d / n > simMin
+      } => k
+    }.sorted
+    val pre = client.searchRange("rngc", q, radius = -0.9)
+      .collect().map(_.getAs[String]("vector_key")).toSeq.sorted
+    assert(pre == exact(0.9) && pre.nonEmpty)
+    client.buildIndex("rngc", nlist = 4)
+    val post = client.searchRange("rngc", q, radius = -0.9)
+    assert(post.queryExecution.executedPlan.toString.contains("centroidId"))
+    assert(post.collect().map(_.getAs[String]("vector_key")).toSeq.sorted == exact(0.9))
+    // a radius admitting the whole sphere still answers exactly (no prune)
+    assert(client.searchRange("rngc", q, radius = 1.5).count() == 72)
+  }
+
+  test("search offset paginates: pages tile the ranking on FLAT and SQ8 paths") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-paged").toString
+    val client = new GraftClient(spark, root)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 300).map(i => (f"k$i%03d", vec(i), Map("i" -> i.toString)))
+    for ((name, itype) <- Seq(("flat", "FLAT"), ("sq8", "IVF_SQ8"))) {
+      client.createCollection(name, dim = 8, indexType = itype,
+        nlist = if (itype == "FLAT") 0 else 4)
+      client.upsert(name, rows.toDF("key", "vec", "meta"))
+      if (itype == "IVF_SQ8") client.buildIndex(name, nlist = 4)
+      val q = vec(42).toArray
+      val all = client.search(name, q, k = 9, nprobe = 4).collect()
+        .map(_.getAs[String]("vector_key")).toSeq
+      val pages = (0 until 3).flatMap(p =>
+        client.search(name, q, k = 3, nprobe = 4, offset = p * 3).collect()
+          .map(_.getAs[String]("vector_key")))
+      assert(pages == all,
+        s"$itype: three offset pages must tile the top-9 exactly: $pages vs $all")
+    }
+  }
+
+  test("grouped search: top groups by best hit, groupSize per group, null groups skipped") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-grouped").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("grp", dim = 2)
+    // category c<g> sits at distance band g: members at g.0 and g.1; a
+    // rogue uncategorized row sits nearest of all (must be skipped)
+    val rows = (1 to 5).flatMap { g =>
+      Seq((s"g${g}a", Seq(g.toFloat, 0f), Map("cat" -> s"c$g")),
+          (s"g${g}b", Seq(g.toFloat + 0.1f, 0f), Map("cat" -> s"c$g")))
+    } :+ (("nocat", Seq(0.1f, 0f), Map.empty[String, String]))
+    client.upsert("grp", rows.toDF("key", "vec", "meta"))
+    val out = client.searchGrouped("grp", Array(0f, 0f), k = 2,
+      groupByKey = "cat", groupSize = 2).collect()
+    assert(out.map(_.getAs[String]("vector_key")).toSeq ==
+      Seq("g1a", "g1b", "g2a", "g2b"),
+      "top-2 groups are the two nearest bands, 2 hits each, rogue row skipped")
+    assert(out.map(r => (r.getAs[String]("group_value"),
+      r.getAs[Long]("grp_rank"), r.getAs[Long]("rn"))).toSeq ==
+      Seq(("c1", 1L, 1L), ("c1", 1L, 2L), ("c2", 2L, 1L), ("c2", 2L, 2L)))
+    // groupSize=1 = "k results from k distinct groups"
+    assert(client.searchGrouped("grp", Array(0f, 0f), k = 3, groupByKey = "cat")
+      .collect().map(_.getAs[String]("vector_key")).toSeq == Seq("g1a", "g2a", "g3a"))
+    // a metadata filter composes: exclude band 1 → bands 2 and 3 lead
+    assert(client.searchGrouped("grp", Array(0f, 0f), k = 2, groupByKey = "cat",
+      filter = Some(element_at(col("meta"), "cat") =!= "c1"))
+      .collect().map(_.getAs[String]("vector_key")).toSeq == Seq("g2a", "g3a"))
+  }
+
+  test("weighted hybrid fusion: min-max normalized arms, weights steer the ranking") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-whybrid").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("wh", dim = 384)
+    val docs = Seq(
+      ("d1", "spark join hash scan join hash"),       // strong lexical
+      ("d2", "completely unrelated prose about owls"),
+      ("d3", "join scan"),                            // mild lexical
+      ("d4", "storage engines and columnar layouts")
+    ).toDF("key", "text")
+    client.upsertTexts("wh", docs.withColumn("meta",
+      map(lit("s"), col("key"))))
+    val qv = graft.ingest.Embedder.text.embedText("spark join hash scan join hash")
+    // wLex=1/wVec=0 ranks purely lexically: d1 (max bm25) must lead and
+    // carry lex_norm == 1.0; wVec=1/wLex=0 ranks purely by vector: d1 is
+    // the embedded twin of the query, so it leads there too with
+    // vec_norm == 1.0 — both extremes agree on the winner, and the
+    // normalized scores hit the [0,1] endpoints the ranker defines.
+    val lexOnly = client.hybridSearch("wh", docs, Seq("join", "hash", "scan"), qv,
+      fusion = "weighted", wVec = 0.0, wLex = 1.0).collect()
+    assert(lexOnly.head.getAs[String]("key") == "d1")
+    assert(math.abs(lexOnly.head.getAs[Double]("lex_norm") - 1.0) < 1e-9)
+    val vecOnly = client.hybridSearch("wh", docs, Seq("join", "hash", "scan"), qv,
+      fusion = "weighted", wVec = 1.0, wLex = 0.0).collect()
+    assert(vecOnly.head.getAs[String]("key") == "d1")
+    assert(math.abs(vecOnly.head.getAs[Double]("vec_norm") - 1.0) < 1e-9)
+    // every fused score lives in [0,1] for unit weights
+    val fused = client.hybridSearch("wh", docs, Seq("join", "hash", "scan"), qv,
+      fusion = "weighted").collect()
+    assert(fused.forall { r =>
+      val s = r.getAs[Double]("wscore"); s >= 0.0 && s <= 1.0 + 1e-9 })
+    // an un-retrieved arm contributes exactly 0, not null
+    assert(fused.forall(r => !r.isNullAt(r.fieldIndex("wscore"))))
+    // rrf still works through the same entry point (regression guard)
+    assert(client.hybridSearch("wh", docs, Seq("join", "hash", "scan"), qv,
+      fusion = "rrf").columns.contains("rrf"))
+  }
+
+  test("fetch: batch point lookup reads only the touched buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fetch").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("fx", dim = 2, buckets = 8)
+    client.upsert("fx", (0 until 200).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map("i" -> i.toString))).toDF("key", "vec", "meta"))
+    val got = client.fetch("fx", Seq("k3", "k42", "k150", "missing"))
+    val byKey = got.collect().map(r => r.getAs[String]("key") ->
+      r.getSeq[Float](r.fieldIndex("vec"))).toMap
+    assert(byKey.keySet == Set("k3", "k42", "k150"), "existing keys only, no ghosts")
+    assert(byKey("k42") == Seq(42f, 0f))
+    // the scan lists only the keys' bucket files, not all 8 buckets
+    val m = client.describe("fx")
+    val coll = new graft.streaming.BucketedKeyedCollection(
+      m.dataPath, org.apache.spark.sql.types.StructType.fromDDL(
+        "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT"),
+      "key", m.buckets)
+    val wantBuckets = Seq("k3", "k42", "k150", "missing").toDF("key")
+      .select(coll.bucketExpr.as("b")).distinct().collect().map(_.getInt(0)).toSet
+    val files = client.fetch("fx", Seq("k3", "k42", "k150", "missing")).inputFiles
+    assert(files.nonEmpty && files.forall(f =>
+      wantBuckets.exists(b => f.contains(f"b$b%05d-"))),
+      s"fetch must list only buckets $wantBuckets: ${files.toSeq}")
+    // empty key set → empty result, correct schema, no scan
+    assert(client.fetch("fx", Seq.empty).columns.toSeq == Seq("key", "vec", "meta"))
+    assert(client.fetch("fx", Seq.empty).count() == 0)
+  }
 }

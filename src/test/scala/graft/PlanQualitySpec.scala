@@ -112,6 +112,26 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), "the rank-window plan must stay gone")
   }
 
+  test("grouped KNN: per-group bounded heap partial-aggregates before its one shuffle") {
+    val p = planOf("knn_grouped")
+    assert(p.contains("partial_topkbydistance"),
+      "the per-group top-k must partial-aggregate map-side — a corpus-wide " +
+        "rank window here would shuffle every scored row onto the group keys")
+  }
+
+  test("paged KNN: offset stays top-(offset+k)-pushed, never a full sort") {
+    val p = planOf("knn_paged")
+    assert(p.contains("TakeOrderedAndProject"),
+      "pagination must bound every partition to offset+k rows before the " +
+        "page window — a global Sort here breaks at corpus scale")
+  }
+
+  test("weighted hybrid: both arms stay top-k-pushed below their normalization windows") {
+    val p = planOf("hybrid_weighted")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 1,
+      "the vector arm must be limit-pushed before its min-max window")
+  }
+
   test("pricing summary: filter pushed into the parquet scan, partial aggregation") {
     val p = planOf("pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
