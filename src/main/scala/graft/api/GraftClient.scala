@@ -99,9 +99,14 @@ class GraftClient(spark: SparkSession, root: String) {
     df.select(coll.bucketExpr.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq
 
+  /** Resolve `name` — a collection, or an alias to one (Milvus aliasing:
+    * every data-path call accepts either; aliases re-point atomically via
+    * [[alterAlias]], the zero-downtime reindex/migration pattern). */
   private def metaOrThrow(name: String): CollectionMeta =
-    catalog.describeCollection(name).getOrElse(
-      throw new IllegalArgumentException(s"no such collection: $name"))
+    catalog.describeCollection(name)
+      .orElse(catalog.resolveAlias(name).flatMap(catalog.describeCollection))
+      .getOrElse(
+        throw new IllegalArgumentException(s"no such collection: $name"))
 
   /** Idempotent create (returns false if it already existed). `buckets`
     * fixes the keyed store's hash-bucket count for the collection's
@@ -129,6 +134,11 @@ class GraftClient(spark: SparkSession, root: String) {
     require(retain >= 2, s"retain must be >= 2 (got $retain) — the " +
       "previous snapshot must outlive a commit for incremental index " +
       "maintenance and pinned readers")
+    // the alias namespace is shared with collections: a collection named
+    // like a live alias would make every `name` lookup ambiguous
+    require(catalog.resolveAlias(name).isEmpty,
+      s"'$name' is an existing alias (→ ${catalog.resolveAlias(name).getOrElse("")}) " +
+        "— drop it first or pick another collection name")
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain)
@@ -149,6 +159,20 @@ class GraftClient(spark: SparkSession, root: String) {
   def describe(name: String): CollectionMeta = metaOrThrow(name)
   def list(): Seq[String] = catalog.listCollections()
   def drop(name: String): Boolean = {
+    // aliases make two destruction mistakes possible, both refused loudly:
+    // dropping THROUGH an alias (the caller names an indirection but would
+    // destroy the shared target), and dropping a collection that live
+    // aliases still point at (every aliased reader would start throwing
+    // no-such-collection) — Milvus rejects both the same way
+    catalog.resolveAlias(name).foreach { target =>
+      throw new IllegalArgumentException(
+        s"'$name' is an alias — dropAlias removes the alias; to destroy " +
+          s"the data, drop its target collection '$target'")
+    }
+    val pointing = catalog.aliasesOf(name)
+    require(pointing.isEmpty,
+      s"collection '$name' still has aliases (${pointing.mkString(", ")}) — " +
+        "drop or re-point them first")
     // dropped collections must release their cached broadcasts/centroids
     // too — no later call for this name will ever evict them otherwise
     invalidateIndexCaches(name)
@@ -164,6 +188,26 @@ class GraftClient(spark: SparkSession, root: String) {
         catalog.dropCollection(name)
     }
   }
+
+  /** Milvus `create_alias`: a stable client-facing name over a
+    * re-pointable target collection. Every data-path call (search,
+    * upsert, fetch, …) accepts an alias wherever it accepts a collection
+    * name. False if the alias already exists. */
+  def createAlias(alias: String, target: String): Boolean =
+    catalog.createAlias(alias, target)
+
+  /** Milvus `alter_alias`: atomically re-point an existing alias — the
+    * zero-downtime reindex/migration step (build the new collection under
+    * a fresh name, re-point readers, drop the old). A reader mid-flight
+    * sees the old or the new target, never a missing name. */
+  def alterAlias(alias: String, target: String): Unit =
+    catalog.alterAlias(alias, target)
+
+  /** Milvus `drop_alias`: removes only the indirection, never data. */
+  def dropAlias(alias: String): Boolean = catalog.dropAlias(alias)
+
+  /** (alias, target) pairs, sorted by alias. */
+  def listAliases(): Seq[(String, String)] = catalog.listAliases()
 
   /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
     * collection becomes a temp view of its current snapshot, and

@@ -141,4 +141,77 @@ class Catalog(root: String) {
 
   def dropCollection(name: String): Boolean =
     Files.deleteIfExists(fileFor(name))
+
+  // ---- Aliases (Milvus create_alias / alter_alias / drop_alias) ----
+  //
+  // An alias is a stable client-facing name over a re-pointable target —
+  // the standard zero-downtime reindex/migration pattern: build the new
+  // collection under a fresh name, then alter_alias atomically re-points
+  // readers. Stored as one `<alias>.alias` file holding the target name
+  // (the `.alias` extension keeps them out of listCollections); targets
+  // must be real collections, so chains cannot form.
+
+  private def aliasFile(alias: String): Path = {
+    require(alias.matches("[A-Za-z0-9_\\-]+"), s"illegal alias name: $alias")
+    dir.resolve(s"$alias.alias")
+  }
+
+  /** Exclusive create (hard-link publish, exactly like createCollection):
+    * false if the alias already exists. The alias namespace is shared
+    * with collections — a name can be one or the other, never both. */
+  def createAlias(alias: String, target: String): Boolean = {
+    require(hasCollection(target), s"alias target does not exist: $target")
+    require(!hasCollection(alias),
+      s"alias '$alias' collides with an existing collection name")
+    val f = aliasFile(alias)
+    if (Files.exists(f)) false
+    else {
+      val tmp = Files.createTempFile(dir, ".tmp-", ".alias")
+      try {
+        Files.write(tmp, target.getBytes(StandardCharsets.UTF_8))
+        Files.createLink(f, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        Files.deleteIfExists(tmp)
+      }
+    }
+  }
+
+  /** Atomically re-point an EXISTING alias — readers see the old target
+    * or the new one, never a missing alias (the rename replaces). */
+  def alterAlias(alias: String, target: String): Unit = {
+    require(hasCollection(target), s"alias target does not exist: $target")
+    require(Files.exists(aliasFile(alias)),
+      s"no such alias: $alias (create_alias first)")
+    val tmp = Files.createTempFile(dir, ".tmp-", ".alias")
+    Files.write(tmp, target.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, aliasFile(alias), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def dropAlias(alias: String): Boolean = Files.deleteIfExists(aliasFile(alias))
+
+  /** The target collection name, if `name` is an alias. */
+  def resolveAlias(name: String): Option[String] = {
+    val f = aliasFile(name)
+    if (!Files.exists(f)) None
+    else Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim)
+  }
+
+  def listAliases(): Seq[(String, String)] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".alias") && !n.startsWith(".tmp-"))
+      .map(_.stripSuffix(".alias"))
+      .toSeq.sorted
+      .flatMap(a => resolveAlias(a).map(a -> _))
+    finally stream.close()
+  }
+
+  /** Aliases currently pointing at `target` — drop-safety introspection. */
+  def aliasesOf(target: String): Seq[String] =
+    listAliases().collect { case (a, t) if t == target => a }
 }

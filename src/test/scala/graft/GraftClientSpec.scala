@@ -1749,6 +1749,45 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       fusion = "rrf").columns.contains("rrf"))
   }
 
+  test("aliases: stable names over re-pointable targets, destruction guarded") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-alias").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("v1", dim = 2)
+    client.createCollection("v2", dim = 2)
+    client.upsert("v1", Seq(("a", Seq(1f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.upsert("v2", Seq(("b", Seq(0f, 1f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+
+    // create + use through the alias on the data path
+    assert(client.createAlias("prod", "v1"))
+    assert(!client.createAlias("prod", "v2"), "create is exclusive, not upsert")
+    assert(client.search("prod", Array(1f, 0f), k = 1)
+      .head().getAs[String]("vector_key") == "a")
+    assert(client.count("prod") == 1)
+    assert(client.listAliases() == Seq("prod" -> "v1"))
+
+    // the zero-downtime re-point: same client-facing name, new target
+    client.alterAlias("prod", "v2")
+    assert(client.search("prod", Array(0f, 1f), k = 1)
+      .head().getAs[String]("vector_key") == "b")
+
+    // guards: no alias to nowhere, no chains, no name collisions either way
+    intercept[IllegalArgumentException](client.createAlias("x", "nope"))
+    intercept[IllegalArgumentException](client.createAlias("x", "prod"))
+    intercept[IllegalArgumentException](client.createAlias("v1", "v2"))
+    intercept[IllegalArgumentException](client.createCollection("prod", dim = 2))
+
+    // destruction: dropping through an alias refused; dropping an aliased
+    // target refused until the alias is gone; dropAlias never touches data
+    intercept[IllegalArgumentException](client.drop("prod"))
+    intercept[IllegalArgumentException](client.drop("v2"))
+    assert(client.dropAlias("prod"))
+    assert(client.count("v2") == 1, "dropAlias removes only the indirection")
+    assert(client.drop("v2"))
+  }
+
   test("fetch: batch point lookup reads only the touched buckets") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-fetch").toString
