@@ -478,7 +478,10 @@ class GraftClient(spark: SparkSession, root: String) {
     //    re-reads the catalog after acquiring the lock, sees its meta is
     //    no longer live, and raises instead.
     val updated = coll.withWriteLock {
-      if (!catalog.describeCollection(name).contains(m))
+      // re-describe under the RESOLVED name: `name` may be an alias, and
+      // describeCollection on the raw alias would return None and throw a
+      // spurious concurrency error for a perfectly valid call
+      if (!catalog.describeCollection(m.name).contains(m))
         throw new java.util.ConcurrentModificationException(
           s"$name: collection changed while waiting to rebucket " +
             "(concurrent rebucket or drop) — re-describe and retry")
@@ -498,7 +501,8 @@ class GraftClient(spark: SparkSession, root: String) {
       deleteDir(m.dataPath)
       u
     }
-    invalidateIndexCaches(name)
+    // caches are keyed by the RESOLVED collection name, not the alias
+    invalidateIndexCaches(m.name)
     liveCount(updated)
   }
 
@@ -877,8 +881,9 @@ class GraftClient(spark: SparkSession, root: String) {
     stampIndexVersion(m, version)
     // a REBUILD can land at an unchanged store version (e.g. new nlist,
     // no new upserts) — version-keyed caches must not serve the old
-    // quantizers over the new cells
-    invalidateIndexCaches(name)
+    // quantizers over the new cells. Invalidate under the RESOLVED name:
+    // cache entries are keyed by m.name, and `name` may be an alias.
+    invalidateIndexCaches(m.name)
   }
 
   /** Drop every version-keyed cache entry for `name` — required whenever
@@ -1118,27 +1123,50 @@ class GraftClient(spark: SparkSession, root: String) {
     require(offset >= 0, s"offset must be >= 0 (got $offset)")
     val coll = collection(m)
     // loadIndex collects two small centroid tables — bind it ONCE per call
-    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
+    val liveIdx = liveIndex(m, coll)
     liveIdx match {
       case Some(idx) if sq8Indexed(m) =>
         return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine, offset)
       case _ => ()
     }
-    val fresh = liveIdx match {
-      case Some(idx) if indexableMetric(m.metric) =>
-        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
-        val cells = idx.probe.probes(qa, nprobe)
-        Some(IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
-          .filter(col("centroidId").isin(cells: _*)))
-      case _ => None
+    val base = prunedCellsOrScan(m, coll, liveIdx) { idx =>
+      val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+      Some(idx.probe.probes(qa, nprobe))
     }
-    val base = fresh.getOrElse(coll.read(spark))
     val candidates = filter.fold(base)(base.filter)
     paged(candidates
       .select(col("key").as("vector_key"),
         distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata")),
       offset, k)
   }
+
+  /** The loaded index IF it is stamped at the store's current snapshot —
+    * the ONE staleness rule every search surface shares. */
+  private def liveIndex(m: CollectionMeta,
+                        coll: BucketedKeyedCollection): Option[LoadedIndex] =
+    loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
+
+  /** Candidate source shared by search/searchRange/searchGrouped: the
+    * chosen cells of the float index layout when a fresh prunable index
+    * exists, else the exact snapshot scan. `choose` returns the cells to
+    * scan — None means ALL cells (exact over the index layout, e.g. an
+    * unprunable range bound or a radii-less legacy index), an empty Seq
+    * means the prune excluded everything. One scaffold so the staleness
+    * rule and the cells schema cannot silently diverge across the three
+    * surfaces. */
+  private def prunedCellsOrScan(m: CollectionMeta, coll: BucketedKeyedCollection,
+      liveIdx: Option[LoadedIndex])(
+      choose: LoadedIndex => Option[Seq[Int]]): DataFrame =
+    liveIdx match {
+      case Some(idx) if indexableMetric(m.metric) =>
+        val cellsDf = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+        choose(idx) match {
+          case Some(cs) if cs.isEmpty => cellsDf.filter(lit(false))
+          case Some(cs) => cellsDf.filter(col("centroidId").isin(cs: _*))
+          case None => cellsDf
+        }
+      case _ => coll.read(spark)
+    }
 
   /** The metric-dependent "smaller is better" score [[search]] and its
     * siblings rank by: L2 distance, negated cosine similarity, negated
@@ -1249,7 +1277,6 @@ class GraftClient(spark: SparkSession, root: String) {
       s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
         "the band is [rangeFilter, radius)")
     val coll = collection(m)
-    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     // assign-space prune radius: l2 uses `radius` directly; cosine maps
     // the similarity bound (sim > -radius) to chord length on the unit
@@ -1263,21 +1290,16 @@ class GraftClient(spark: SparkSession, root: String) {
         else Some(math.sqrt(math.max(0.0, 2.0 - 2.0 * simMin)))
       case _ => None
     }
-    val base = liveIdx match {
-      case Some(idx) if indexableMetric(m.metric) =>
-        val cellsDf = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
-        (idx.radii, pruneRadius) match {
-          case (Some(rad), Some(r)) =>
-            val centerDist = idx.assign.distancesTo(qa)
-            val keep = rad.collect {
-              case (cell, rc) if cell < centerDist.length &&
-                centerDist(cell) <= r + rc + GraftClient.RangePruneEps => cell
-            }.toSeq
-            if (keep.isEmpty) cellsDf.filter(lit(false))
-            else cellsDf.filter(col("centroidId").isin(keep: _*))
-          case _ => cellsDf // legacy index without radii: all cells, exact
-        }
-      case _ => coll.read(spark) // no/stale index or dot: exact snapshot scan
+    // stale/dot → exact snapshot scan; fresh but radii-less (legacy) or
+    // unprunable bound → all cells, still exact
+    val base = prunedCellsOrScan(m, coll, liveIndex(m, coll)) { idx =>
+      for (rad <- idx.radii; r <- pruneRadius) yield {
+        val centerDist = idx.assign.distancesTo(qa)
+        rad.collect {
+          case (cell, rc) if cell < centerDist.length &&
+            centerDist(cell) <= r + rc + GraftClient.RangePruneEps => cell
+        }.toSeq
+      }
     }
     val out = filter.fold(base)(base.filter)
       .select(col("key").as("vector_key"),
@@ -1316,14 +1338,9 @@ class GraftClient(spark: SparkSession, root: String) {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
     val coll = collection(m)
-    val liveIdx = loadIndex(m).filter(idx => coll.currentVersion.contains(idx.version))
-    val base = liveIdx match {
-      case Some(idx) if indexableMetric(m.metric) =>
-        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
-        val cells = idx.probe.probes(qa, nprobe)
-        IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
-          .filter(col("centroidId").isin(cells: _*))
-      case _ => coll.read(spark)
+    val base = prunedCellsOrScan(m, coll, liveIndex(m, coll)) { idx =>
+      val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+      Some(idx.probe.probes(qa, nprobe))
     }
     val cand = filter.fold(base)(base.filter)
       .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
@@ -1359,8 +1376,16 @@ class GraftClient(spark: SparkSession, root: String) {
   def fetchDf(name: String, keys: DataFrame): DataFrame = {
     val m = metaOrThrow(name)
     val coll = collection(m)
-    val keyed = keys.select(
-      requireKey(col("key"), capped = false).as("key")).distinct()
+    // get semantics: a null key matches nothing — filtered, not raised
+    // (this is a read path; the write boundary's raise stays where the
+    // hazard is). localCheckpoint pins ONE evaluation of the caller's
+    // plan: a non-deterministic keys frame re-evaluated between the
+    // bucket collect and the semi-join could hash to buckets the scan
+    // never reads and silently drop existing rows — the same recompute
+    // hazard mergeCommit persists against — and checkpointing also stops
+    // the caller's plan being paid twice.
+    val keyed = keys.select(col("key")).filter(col("key").isNotNull)
+      .distinct().localCheckpoint()
     val touched = touchedBuckets(coll, keyed)
     if (touched.isEmpty) coll.read(spark).filter(lit(false))
       .select("key", "vec", "meta")
@@ -1418,8 +1443,8 @@ class GraftClient(spark: SparkSession, root: String) {
     // estimateRecall, and an escape hatch for a user double-checking a
     // pruned result set (the exact plan is the same `case _` fallback a
     // stale index takes)
-    val candidates = (if (forceExact) None else loadIndex(m)) match {
-      case Some(idx) if coll.currentVersion.contains(idx.version) && sq8Indexed(m) =>
+    val candidates = (if (forceExact) None else liveIndex(m, coll)) match {
+      case Some(idx) if sq8Indexed(m) =>
         // IVF_SQ8 (l2, or cosine over unit-normalized codes): stage 1
         // ranks the (query × probed quantized cells) pairs with the fused
         // int8 kernel — in the ASSIGN space, where L2 order ≡ the
@@ -1469,8 +1494,7 @@ class GraftClient(spark: SparkSession, root: String) {
           .select(col("qid"), col("h.key").as("key"))
         coll.read(spark).join(hintStage1(stage1), Seq("key"))
           .join(hintQ(q), Seq("qid"))
-      case Some(idx) if coll.currentVersion.contains(idx.version)
-          && indexableMetric(m.metric) =>
+      case Some(idx) if indexableMetric(m.metric) =>
         val probed = q.withColumn("centroidId", explode(
           probeCellsCol(m, idx, col("qvec"), normalize = m.metric == "cosine", nprobe)))
         IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)).join(probed, Seq("centroidId"))
@@ -1743,6 +1767,10 @@ class GraftClient(spark: SparkSession, root: String) {
         // discards magnitudes — weighted fusion keeps them, for when one
         // arm's confidence should dominate ties. The normalization
         // windows see ≤armK rows (both arms are already top-k-pushed).
+        // A degenerate arm (one retrieved doc, or all scores tied) maps
+        // to 1.0, NOT 0: every retrieved doc is jointly the arm's best,
+        // and 0 would make the arm's only hit indistinguishable from a
+        // doc the arm never retrieved.
         val wAll = Window.partitionBy()
         val lex = lexTop
           .withColumn("__mn", min(col("bm25")).over(wAll))
@@ -1750,14 +1778,14 @@ class GraftClient(spark: SparkSession, root: String) {
           .select(col("key"),
             when(col("__mx") > col("__mn"),
               (col("bm25") - col("__mn")) / (col("__mx") - col("__mn")))
-              .otherwise(lit(0.0)).as("lex_norm"))
+              .otherwise(lit(1.0)).as("lex_norm"))
         val vec = vecTop
           .withColumn("__mn", min(col("distance")).over(wAll))
           .withColumn("__mx", max(col("distance")).over(wAll))
           .select(col("vector_key").as("key"),
             when(col("__mx") > col("__mn"),
               (col("__mx") - col("distance")) / (col("__mx") - col("__mn")))
-              .otherwise(lit(0.0)).as("vec_norm"))
+              .otherwise(lit(1.0)).as("vec_norm"))
         lex.join(vec, Seq("key"), "full_outer")
           .select(col("key"), col("lex_norm"), col("vec_norm"),
             round(lit(wVec) * coalesce(col("vec_norm"), lit(0.0))

@@ -93,6 +93,19 @@ class Catalog(root: String) {
       try {
         Files.write(tmp, render(meta).getBytes(StandardCharsets.UTF_8))
         Files.createLink(f, tmp)
+        // cross-namespace exclusivity cannot ride the hard link (aliases
+        // live in different files), so it is enforced publish-then-check
+        // on BOTH sides: whichever of a racing createAlias/createCollection
+        // publishes second sees the other's file and rolls itself back —
+        // at least one always aborts, so `name` can never be a collection
+        // AND an alias at once (metaOrThrow would silently prefer the
+        // collection and re-point every alias reader).
+        if (Files.exists(dir.resolve(s"${meta.name}.alias"))) {
+          Files.deleteIfExists(f)
+          throw new IllegalArgumentException(
+            s"'${meta.name}' is an existing alias — drop it first or pick " +
+              "another collection name")
+        }
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
@@ -170,6 +183,15 @@ class Catalog(root: String) {
       try {
         Files.write(tmp, target.getBytes(StandardCharsets.UTF_8))
         Files.createLink(f, tmp)
+        // publish-then-check half of the cross-namespace exclusivity
+        // contract (see createCollection): a collection named `alias`
+        // that won a concurrent race makes this alias ambiguous — roll
+        // back and fail loudly rather than leave both files standing.
+        if (hasCollection(alias)) {
+          Files.deleteIfExists(f)
+          throw new IllegalArgumentException(
+            s"alias '$alias' collides with an existing collection name")
+        }
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false

@@ -294,8 +294,11 @@ object TextQueries {
     * discards score magnitudes; weighted fusion keeps them, which is what
     * you want when one arm's confidence should dominate ties. A doc
     * missing from an arm contributes 0 from that arm (standard
-    * WeightedRanker semantics for un-retrieved candidates). Same scale
-    * shape as hybrid_rrf: both arms top-k-pushed before the (≤15-row)
+    * WeightedRanker semantics for un-retrieved candidates); a DEGENERATE
+    * arm (one hit, or all scores tied) normalizes to 1.0 — every
+    * retrieved doc is jointly the arm's best, and 0 would collapse the
+    * arm's only hit into the un-retrieved case. Same scale shape as
+    * hybrid_rrf: both arms top-k-pushed before the (≤15-row)
     * normalization windows; the fuse is a 15×15 full-outer join. */
   def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -308,7 +311,7 @@ object TextQueries {
       .select(col("doc_id"),
         when(col("__mx") > col("__mn"),
           (col("bm25") - col("__mn")) / (col("__mx") - col("__mn")))
-          .otherwise(lit(0.0)).as("lex_norm"))
+          .otherwise(lit(1.0)).as("lex_norm"))
     val emb = t(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
     val vecTop = emb.crossJoin(broadcast(q))
@@ -320,7 +323,7 @@ object TextQueries {
       .select(col("vec_id").as("doc_id"),
         when(col("__mx") > col("__mn"),
           (col("__mx") - col("dist")) / (col("__mx") - col("__mn")))
-          .otherwise(lit(0.0)).as("vec_norm"))
+          .otherwise(lit(1.0)).as("vec_norm"))
     lex.join(vec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(col("lex_norm"), 6).as("lex_norm"),
@@ -572,7 +575,7 @@ object TextQueries {
                CASE WHEN MAX(bm25) OVER () > MIN(bm25) OVER ()
                     THEN (bm25 - MIN(bm25) OVER ())
                          / (MAX(bm25) OVER () - MIN(bm25) OVER ())
-                    ELSE 0.0 END AS lex_norm FROM bm25),
+                    ELSE 1.0 END AS lex_norm FROM bm25),
            q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
            knn AS (SELECT e.vec_id AS doc_id,
                list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
@@ -581,7 +584,7 @@ object TextQueries {
                CASE WHEN MAX(dist) OVER () > MIN(dist) OVER ()
                     THEN (MAX(dist) OVER () - dist)
                          / (MAX(dist) OVER () - MIN(dist) OVER ())
-                    ELSE 0.0 END AS vec_norm FROM knn)
+                    ELSE 1.0 END AS vec_norm FROM knn)
          SELECT doc_id, round(lex_norm, 6) AS lex_norm, round(vec_norm, 6) AS vec_norm,
             round(0.7 * coalesce(vec_norm, 0) + 0.3 * coalesce(lex_norm, 0), 6) AS wscore
          FROM lex FULL OUTER JOIN vec USING (doc_id)

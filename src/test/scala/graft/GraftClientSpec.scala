@@ -1737,6 +1737,15 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       fusion = "weighted", wVec = 1.0, wLex = 0.0).collect()
     assert(vecOnly.head.getAs[String]("key") == "d1")
     assert(math.abs(vecOnly.head.getAs[Double]("vec_norm") - 1.0) < 1e-9)
+    // degenerate lexical arm (exactly ONE doc matches the term): its only
+    // hit is the arm's best and must normalize to 1.0 and win under
+    // wLex=1 — not collapse to 0 and become indistinguishable from docs
+    // the arm never retrieved
+    val single = client.hybridSearch("wh", docs, Seq("owls"), qv,
+      fusion = "weighted", wVec = 0.0, wLex = 1.0).collect()
+    assert(single.head.getAs[String]("key") == "d2",
+      s"the only lexically-matching doc must lead: ${single.toSeq}")
+    assert(math.abs(single.head.getAs[Double]("lex_norm") - 1.0) < 1e-9)
     // every fused score lives in [0,1] for unit weights
     val fused = client.hybridSearch("wh", docs, Seq("join", "hash", "scan"), qv,
       fusion = "weighted").collect()
@@ -1815,5 +1824,36 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // empty key set → empty result, correct schema, no scan
     assert(client.fetch("fx", Seq.empty).columns.toSeq == Seq("key", "vec", "meta"))
     assert(client.fetch("fx", Seq.empty).count() == 0)
+    // a null key on the READ path matches nothing — it must not abort the
+    // fetch with the write boundary's raise
+    assert(client.fetchDf("fx",
+      Seq(Option("k3"), Option.empty[String]).toDF("key")).count() == 1)
+  }
+
+  test("buildIndex through an alias evicts the resolved name's caches") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-alias-idx").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("v3", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("v3", (0 until 20).map(i =>
+      (f"p$i%02d", Seq((i % 4) * 10f + i / 4f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.buildIndex("v3", nlist = 2)
+    assert(client.createAlias("iprod", "v3"))
+    client.search("iprod", Array(0f, 0f), k = 3).collect() // warms the caches
+    // a rebuild through the ALIAS lands at the SAME store version: the
+    // version-keyed caches of the RESOLVED name must be evicted, or the
+    // stale 2-center quantizer would probe only 2 of the new 4 cells and
+    // a full-probe search would silently drop rows
+    client.buildIndex("iprod", nlist = 4)
+    val full = client.search("iprod", Array(0f, 0f), k = 20, nprobe = 4)
+      .collect().map(_.getAs[String]("vector_key")).toSet
+    assert(full == (0 until 20).map(i => f"p$i%02d").toSet,
+      "a rebuild through an alias must not leave stale quantizers over the new cells")
+    // rebucket through the alias exercises the same resolved-name paths
+    // (in-lock liveness re-check + cache eviction) — must not throw the
+    // spurious concurrent-modification error
+    client.rebucket("iprod", 4)
+    assert(client.search("iprod", Array(0f, 0f), k = 20, nprobe = 64).count() == 20)
   }
 }
