@@ -1400,6 +1400,48 @@ class GraftClient(spark: SparkSession, root: String) {
     fetchDf(name, keys.toDF("key"))
   }
 
+  /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the
+    * no-vector read (predicate over key/vec/meta, deterministic key
+    * order, optional limit). A null-evaluating predicate matches nothing,
+    * like [[deleteWhere]]. Pushdown-friendly predicates (on `key` or
+    * map keys the scan can see) reach the Parquet row groups; at cluster
+    * scale this is the full-snapshot sibling of [[fetchDf]]'s
+    * bucket-pruned point read. */
+  def queryWhere(name: String, filter: Column,
+                 limit: Option[Int] = None): DataFrame = {
+    val m = metaOrThrow(name)
+    val out = collection(m).read(spark)
+      .filter(coalesce(filter, lit(false)))
+      .select(col("key"), col("vec"), col("meta"))
+      .orderBy(col("key"))
+    limit.fold(out)(out.limit)
+  }
+
+  /** Index observability: per-cell occupancy and radius of the CURRENT
+    * IVF layout, plus freshness — the skew report an operator reads
+    * before trusting nprobe/radius behavior on their corpus (one hot
+    * cell = one slow probe; one huge radius = a cell the range prune can
+    * never exclude; many empty cells = nlist oversized for the data).
+    * Columns: (centroidId, n_rows, radius, fresh). One scan of the cell
+    * layout — an admin-sized job, not a query-path one. Pairs with
+    * [[estimateRecall]]: that measures the recall knob's effect, this
+    * shows the layout property causing it. */
+  def indexStats(name: String): DataFrame = {
+    import spark.implicits._
+    val m = metaOrThrow(name)
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m))),
+      s"$name has no IVF index — buildIndex first")
+    val coll = collection(m)
+    val fresh = liveIndex(m, coll).isDefined
+    val radii = readCellRadii(m).getOrElse(Map.empty[Int, Double]).toSeq
+    IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+      .groupBy(col("centroidId"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .join(radii.toDF("centroidId", "radius"), Seq("centroidId"), "left_outer")
+      .withColumn("fresh", lit(fresh))
+      .orderBy(col("centroidId"))
+  }
+
   /** Batched top-k search: `queries` needs (qid BIGINT, qvec ARRAY<FLOAT>);
     * output one row per (qid, hit) — Milvus `search` takes a LIST of
     * vectors (`milvus-app/pythonvectordbceph_milvus.py:106-112`), and at

@@ -1830,6 +1830,36 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(Option("k3"), Option.empty[String]).toDF("key")).count() == 1)
   }
 
+  test("queryWhere: the scalar no-vector read; indexStats: cell occupancy + radius") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-qw").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("qw", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("qw", (0 until 40).map(i =>
+      (f"k$i%02d", Seq(if (i < 20) 0f else 100f, i.toFloat),
+        Map("parity" -> (i % 2).toString))).toDF("key", "vec", "meta"))
+
+    // Milvus client.query(filter=...): predicate-only read, key order
+    val odd = client.queryWhere("qw",
+      element_at(col("meta"), "parity") === "1", limit = Some(5))
+      .collect().map(_.getAs[String]("key")).toSeq
+    assert(odd == Seq("k01", "k03", "k05", "k07", "k09"))
+    // a null-evaluating predicate matches nothing (deleteWhere's rule)
+    assert(client.queryWhere("qw",
+      element_at(col("meta"), "missing") === "x").count() == 0)
+
+    client.buildIndex("qw", nlist = 2)
+    val stats = client.indexStats("qw").collect()
+    assert(stats.map(_.getAs[Long]("n_rows")).sum == 40,
+      "every stored row is in exactly one cell")
+    assert(stats.forall(r => !r.isNullAt(r.fieldIndex("radius"))),
+      "every populated cell carries its range-prune radius")
+    assert(stats.forall(_.getAs[Boolean]("fresh")))
+    // the two planted clusters land in the two cells — occupancy visible
+    assert(stats.length == 2 && stats.forall(_.getAs[Long]("n_rows") == 20))
+    intercept[IllegalArgumentException](client.indexStats("nope"))
+  }
+
   test("buildIndex through an alias evicts the resolved name's caches") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-alias-idx").toString
