@@ -1383,7 +1383,12 @@ class GraftClient(spark: SparkSession, root: String) {
     // bucket collect and the semi-join could hash to buckets the scan
     // never reads and silently drop existing rows — the same recompute
     // hazard mergeCommit persists against — and checkpointing also stops
-    // the caller's plan being paid twice.
+    // the caller's plan being paid twice. Lifecycle: the checkpointed
+    // blocks live until the caller drops the returned frame (Spark's
+    // ContextCleaner reclaims them then — eager cleanup here would break
+    // the lazy result); and because localCheckpoint truncates lineage,
+    // an executor loss invalidates the returned frame — re-call fetchDf,
+    // exactly as for any cached-and-lost intermediate.
     val keyed = keys.select(col("key")).filter(col("key").isNotNull)
       .distinct().localCheckpoint()
     val touched = touchedBuckets(coll, keyed)
@@ -1409,6 +1414,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * bucket-pruned point read. */
   def queryWhere(name: String, filter: Column,
                  limit: Option[Int] = None): DataFrame = {
+    limit.foreach(l => require(l >= 0,
+      s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
+                                       // from inside plan analysis
     val m = metaOrThrow(name)
     val out = collection(m).read(spark)
       .filter(coalesce(filter, lit(false)))
@@ -1434,9 +1442,20 @@ class GraftClient(spark: SparkSession, root: String) {
     val coll = collection(m)
     val fresh = liveIndex(m, coll).isDefined
     val radii = readCellRadii(m).getOrElse(Map.empty[Int, Double]).toSeq
-    IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+    val counts = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
       .groupBy(col("centroidId"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+    // seed the report with EVERY quantizer cell, not just the populated
+    // ones: the empty cells ARE the oversized-nlist signal this report
+    // exists to surface, and a groupBy over stored rows can never emit a
+    // zero. (loadIndex unfiltered: even a stale index describes the
+    // layout on disk — staleness is the `fresh` column's job.)
+    val base = loadIndex(m) match {
+      case Some(idx) => (0 until idx.assign.nlist).toDF("centroidId")
+      case None => counts.select("centroidId") // no quantizer: report what's stored
+    }
+    base.join(counts, Seq("centroidId"), "left_outer")
+      .na.fill(0L, Seq("n_rows"))
       .join(radii.toDF("centroidId", "radius"), Seq("centroidId"), "left_outer")
       .withColumn("fresh", lit(fresh))
       .orderBy(col("centroidId"))

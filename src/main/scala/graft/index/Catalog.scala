@@ -102,9 +102,13 @@ class Catalog(root: String) {
         // collection and re-point every alias reader).
         if (Files.exists(dir.resolve(s"${meta.name}.alias"))) {
           Files.deleteIfExists(f)
+          // a racing pair can BOTH roll back (each sees the other's
+          // publish) — the message must not assert the alias still
+          // exists, only why this create aborted
           throw new IllegalArgumentException(
-            s"'${meta.name}' is an existing alias — drop it first or pick " +
-              "another collection name")
+            s"'${meta.name}' collided with an alias (existing, or a " +
+              "concurrent create that may itself have rolled back) — " +
+              "re-check with resolveAlias and retry or pick another name")
         }
         true
       } catch {
@@ -189,8 +193,13 @@ class Catalog(root: String) {
         // back and fail loudly rather than leave both files standing.
         if (hasCollection(alias)) {
           Files.deleteIfExists(f)
+          // symmetric to createCollection's post-check: don't assert the
+          // collection still exists — a racing createCollection may have
+          // rolled itself back on seeing our (now deleted) alias
           throw new IllegalArgumentException(
-            s"alias '$alias' collides with an existing collection name")
+            s"alias '$alias' collided with a collection name (existing, " +
+              "or a concurrent create that may itself have rolled back) — " +
+              "re-check with hasCollection and retry or pick another name")
         }
         true
       } catch {

@@ -1857,7 +1857,16 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.forall(_.getAs[Boolean]("fresh")))
     // the two planted clusters land in the two cells — occupancy visible
     assert(stats.length == 2 && stats.forall(_.getAs[Long]("n_rows") == 20))
+    // empty a whole cluster: its cell must still be REPORTED, at zero —
+    // empty cells are the oversized-nlist signal the report exists for
+    client.deleteWhere("qw", col("key") < "k20")
+    val after = client.indexStats("qw").collect()
+    assert(after.length == 2, "the emptied cell must not vanish from the report")
+    assert(after.count(_.getAs[Long]("n_rows") == 0L) == 1)
+    assert(after.count(_.getAs[Long]("n_rows") == 20L) == 1)
     intercept[IllegalArgumentException](client.indexStats("nope"))
+    intercept[IllegalArgumentException](
+      client.queryWhere("qw", lit(true), limit = Some(-1)))
   }
 
   test("buildIndex through an alias evicts the resolved name's caches") {
