@@ -224,16 +224,24 @@ class GraftClient(spark: SparkSession, root: String) {
   def registerSqlViews(): Unit = {
     import spark.implicits._
     val metas = list().map(metaOrThrow)
-    // `-`→`_` sanitization can merge distinct collection names (`a-b` and
-    // `a_b`); registering both would silently shadow one view — fail loudly
-    val collisions = metas.map(_.name).groupBy(_.replace('-', '_'))
-      .filter(_._2.size > 1)
+    val aliases = listAliases()
+    // `-`→`_` sanitization can merge distinct names (`a-b` and `a_b`, or
+    // an alias with a collection); registering both would silently shadow
+    // one view — fail loudly. Aliases share the view namespace.
+    val collisions = (metas.map(_.name) ++ aliases.map(_._1))
+      .groupBy(_.replace('-', '_')).filter(_._2.size > 1)
     require(collisions.isEmpty,
-      "collection names collide after SQL-identifier sanitization ('-'→'_'): " +
+      "names collide after SQL-identifier sanitization ('-'→'_'): " +
         collisions.map { case (v, ns) => s"${ns.mkString(", ")} → view $v" }
           .mkString("; "))
     metas.foreach(m =>
       collection(m).read(spark).createOrReplaceTempView(m.name.replace('-', '_')))
+    // alias views resolve THROUGH the alias at registration time — the
+    // same snapshot-as-of-registration contract as collection views (an
+    // alterAlias afterwards needs a re-register, like any write)
+    aliases.foreach { case (a, t) =>
+      collection(metaOrThrow(t)).read(spark)
+        .createOrReplaceTempView(a.replace('-', '_')) }
     metas.toDF().createOrReplaceTempView("graft_collections")
   }
 

@@ -1625,6 +1625,39 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(odd == Seq("k001", "k003", "k005"))
   }
 
+  test("range search: randomized sweep — pruned band equals brute force on every draw") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-range-rand").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("rr", dim = 8, metric = "l2",
+      indexType = "IVF_FLAT", nlist = 8)
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 300).map { i =>
+      (f"r$i%03d", Seq.fill(8)((rnd.nextDouble() * 4 - 2).toFloat),
+        Map.empty[String, String])
+    }
+    client.upsert("rr", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("rr", nlist = 8)
+    def exactBand(q: Array[Float], lo: Double, hi: Double): Set[String] =
+      rows.collect { case (k, v, _) if {
+        val d = math.sqrt(v.zip(q).map { case (a, b) =>
+          val x = a.toDouble - b; x * x }.sum)
+        d >= lo && d < hi
+      } => k }.toSet
+    // 20 random (query, annulus) draws — every one must match brute force
+    // exactly through the radii prune; soundness may not depend on where
+    // the band lands relative to the cell geometry
+    (0 until 20).foreach { t =>
+      val q = Array.fill(8)((rnd.nextDouble() * 4 - 2).toFloat)
+      val lo = rnd.nextDouble() * 2
+      val hi = lo + 0.2 + rnd.nextDouble() * 3
+      val got = client.searchRange("rr", q, hi, rangeFilter = lo)
+        .collect().map(_.getAs[String]("vector_key")).toSet
+      assert(got == exactBand(q, lo, hi),
+        s"draw $t: pruned band diverged from brute force (q=${q.toSeq}, lo=$lo, hi=$hi)")
+    }
+  }
+
   test("range search: cosine similarity bound maps to the chord-length prune exactly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-range-cos").toString
@@ -1787,6 +1820,11 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](client.createAlias("x", "prod"))
     intercept[IllegalArgumentException](client.createAlias("v1", "v2"))
     intercept[IllegalArgumentException](client.createCollection("prod", dim = 2))
+
+    // aliases surface in the SQL views too, reading their current target
+    client.registerSqlViews()
+    assert(spark.sql("SELECT key FROM prod").collect().map(_.getString(0)).toSeq
+      == Seq("b"), "the alias view must read through to its CURRENT target")
 
     // destruction: dropping through an alias refused; dropping an aliased
     // target refused until the alias is gone; dropAlias never touches data
