@@ -228,20 +228,29 @@ class GraftClient(spark: SparkSession, root: String) {
     // `-`→`_` sanitization can merge distinct names (`a-b` and `a_b`, or
     // an alias with a collection); registering both would silently shadow
     // one view — fail loudly. Aliases share the view namespace.
-    val collisions = (metas.map(_.name) ++ aliases.map(_._1))
-      .groupBy(_.replace('-', '_')).filter(_._2.size > 1)
+    val sanitized = (metas.map(_.name) ++ aliases.map(_._1))
+      .groupBy(_.replace('-', '_'))
+    val collisions = sanitized.filter(_._2.size > 1)
     require(collisions.isEmpty,
       "names collide after SQL-identifier sanitization ('-'→'_'): " +
         collisions.map { case (v, ns) => s"${ns.mkString(", ")} → view $v" }
           .mkString("; "))
+    // the catalog view's name is reserved — registered LAST, it would
+    // silently shadow a same-named collection/alias view otherwise
+    require(!sanitized.contains("graft_collections"),
+      "'graft_collections' is the reserved catalog view name — rename " +
+        s"the colliding entry (${sanitized("graft_collections").mkString(", ")})")
     metas.foreach(m =>
       collection(m).read(spark).createOrReplaceTempView(m.name.replace('-', '_')))
     // alias views resolve THROUGH the alias at registration time — the
     // same snapshot-as-of-registration contract as collection views (an
-    // alterAlias afterwards needs a re-register, like any write)
+    // alterAlias afterwards needs a re-register, like any write). A
+    // DANGLING alias (its target dropped through a path that couldn't see
+    // it — e.g. a create racing the drop) is SKIPPED, not fatal: one
+    // broken indirection must not take down the whole SQL surface.
     aliases.foreach { case (a, t) =>
-      collection(metaOrThrow(t)).read(spark)
-        .createOrReplaceTempView(a.replace('-', '_')) }
+      catalog.describeCollection(t).foreach(tm =>
+        collection(tm).read(spark).createOrReplaceTempView(a.replace('-', '_'))) }
     metas.toDF().createOrReplaceTempView("graft_collections")
   }
 
@@ -1448,7 +1457,11 @@ class GraftClient(spark: SparkSession, root: String) {
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m))),
       s"$name has no IVF index — buildIndex first")
     val coll = collection(m)
-    val fresh = liveIndex(m, coll).isDefined
+    // ONE index load serves both the freshness column and the cell-id
+    // seed — two loads could straddle a concurrent rebuild and describe
+    // different quantizers
+    val idx = loadIndex(m)
+    val fresh = idx.exists(i => coll.currentVersion.contains(i.version))
     val radii = readCellRadii(m).getOrElse(Map.empty[Int, Double]).toSeq
     val counts = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
       .groupBy(col("centroidId"))
@@ -1456,13 +1469,14 @@ class GraftClient(spark: SparkSession, root: String) {
     // seed the report with EVERY quantizer cell, not just the populated
     // ones: the empty cells ARE the oversized-nlist signal this report
     // exists to surface, and a groupBy over stored rows can never emit a
-    // zero. (loadIndex unfiltered: even a stale index describes the
-    // layout on disk — staleness is the `fresh` column's job.)
-    val base = loadIndex(m) match {
-      case Some(idx) => (0 until idx.assign.nlist).toDF("centroidId")
+    // zero. FULL outer with the stored counts: a crashed rebuild can
+    // leave cells outside the (stale) quantizer's id range on disk —
+    // those rows must stay counted, not silently dropped by the seed.
+    val base = idx match {
+      case Some(i) => (0 until i.assign.nlist).toDF("centroidId")
       case None => counts.select("centroidId") // no quantizer: report what's stored
     }
-    base.join(counts, Seq("centroidId"), "left_outer")
+    base.join(counts, Seq("centroidId"), "full_outer")
       .na.fill(0L, Seq("n_rows"))
       .join(radii.toDF("centroidId", "radius"), Seq("centroidId"), "left_outer")
       .withColumn("fresh", lit(fresh))
