@@ -289,9 +289,12 @@ object VectorScaleBench {
     var iidRangeIds: Set[String] = Set.empty
     val iidRangeSec = math.min(
       time { iidRangeIds = iidRangeOnce() }, time { iidRangeIds = iidRangeOnce() })
+    // apples-to-apples with the searchRange timing above: the exact arm
+    // pays the same nearest-first output sort the measured path pays
     val iidRangeExactSec = time {
       cvecs.select(col("vec_id"), l2_distance(col("vec"), typedLit(cq)).as("dist"))
-        .filter(col("dist") < iidBandRadius).collect()
+        .filter(col("dist") < iidBandRadius)
+        .orderBy(col("dist"), col("vec_id")).collect()
     }
     val iidRangeMatch = iidRangeIds == iidBandExact
 

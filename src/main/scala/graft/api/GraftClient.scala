@@ -893,8 +893,15 @@ class GraftClient(spark: SparkSession, root: String) {
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
     // per-cell radii for range search's lossless prune — computed against
-    // the frozen assignment centers, maintained per-commit like the cells
-    writeCellRadii(cellRadii(indexed, quant), m)
+    // the frozen assignment centers, maintained per-commit like the cells.
+    // Read the JUST-WRITTEN cells back rather than re-evaluating the
+    // unpersisted `indexed` plan: that lineage repeats the full snapshot
+    // scan, assignment, and clustering shuffle — roughly doubling build
+    // cost — while the parquet read-back is partition-local (the SQ8
+    // branch above reads back for the same reason).
+    writeCellRadii(cellRadii(
+      IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+        .withColumn("__assign", assignSpace(m)(col("vec"))), quant), m)
     stampIndexVersion(m, version)
     // a REBUILD can land at an unchanged store version (e.g. new nlist,
     // no new upserts) — version-keyed caches must not serve the old
@@ -1293,18 +1300,26 @@ class GraftClient(spark: SparkSession, root: String) {
     require(rangeFilter < radius,
       s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
         "the band is [rangeFilter, radius)")
+    limit.foreach(l => require(l >= 0, s"limit must be >= 0 (got $l)"))
     val coll = collection(m)
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     // assign-space prune radius: l2 uses `radius` directly; cosine maps
     // the similarity bound (sim > -radius) to chord length on the unit
-    // sphere. None = the bound admits the whole space (cosine radius >= 1)
-    // — nothing is prunable, scan every cell, still exact.
+    // sphere. The sim bound is WIDENED by CosineSimEps BEFORE the chord
+    // mapping: float32 normalization error lives in sim space, and
+    // chord(sim) has derivative 1/chord — an absolute chord-space eps
+    // (RangePruneEps) under-covers tight bounds (chord ~0.1 at sim 0.995
+    // amplifies a 1e-7 sim error ~10×), while widening in sim space lets
+    // the mapping itself apply the right amplification at every radius.
+    // None = the bound admits the whole space (cosine radius >= 1) —
+    // nothing is prunable, scan every cell, still exact.
     val pruneRadius: Option[Double] = m.metric match {
       case "l2" => Some(radius)
       case "cosine" =>
         val simMin = -radius
         if (simMin <= -1.0) None
-        else Some(math.sqrt(math.max(0.0, 2.0 - 2.0 * simMin)))
+        else Some(math.sqrt(math.max(0.0,
+          2.0 - 2.0 * (simMin - GraftClient.CosineSimEps))))
       case _ => None
     }
     // stale/dot → exact snapshot scan; fresh but radii-less (legacy) or
@@ -1816,6 +1831,16 @@ class GraftClient(spark: SparkSession, root: String) {
     import org.apache.spark.sql.expressions.Window
     require(fusion == "rrf" || fusion == "weighted",
       s"fusion must be 'rrf' or 'weighted' (got '$fusion')")
+    // Milvus WeightedRanker's weight contract: [0,1] each, not both zero.
+    // A negative weight silently INVERTS an arm's ranking and NaN poisons
+    // every fused score — fail at the boundary like every other knob.
+    if (fusion == "weighted") {
+      require(wVec >= 0.0 && wVec <= 1.0 && !wVec.isNaN,
+        s"wVec must be in [0, 1] (got $wVec)")
+      require(wLex >= 0.0 && wLex <= 1.0 && !wLex.isNaN,
+        s"wLex must be in [0, 1] (got $wLex)")
+      require(wVec + wLex > 0.0, "wVec and wLex must not both be 0")
+    }
     // The metadata `filter` must bind BOTH arms: search() pre-filters the
     // vector arm, and the lexical arm gates its CANDIDATES on the keys
     // passing the filter — otherwise a filtered-out doc ranking high
@@ -1963,4 +1988,13 @@ object GraftClient {
     * (never dropping a qualifying row) needs eps ≥ the fp error; it does
     * not depend on eps being small. */
   val RangePruneEps: Double = 1e-6
+
+  /** Similarity-space slack applied BEFORE the cosine → chord mapping in
+    * range search's cell prune. Float32 unit-normalization error is
+    * O(1e-7) in sim space, but the chord mapping amplifies sim error by
+    * 1/chord — unboundedly for tight bounds — so the slack must be
+    * applied to the similarity bound itself and amplified BY the
+    * mapping, not added to the chord afterwards. 1e-6 is ~10× the fp
+    * error; cost is at most a boundary-grazing extra cell. */
+  val CosineSimEps: Double = 1e-6
 }

@@ -128,8 +128,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("weighted hybrid: both arms stay top-k-pushed below their normalization windows") {
     val p = planOf("hybrid_weighted")
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 1,
-      "the vector arm must be limit-pushed before its min-max window")
+    // three TakeOrderedAndProject, exactly like hybrid_rrf's guard: the
+    // bm25 arm's top-15, the knn arm's top-15, and the fused top-10 —
+    // >= 1 would let either single arm silently degrade to a corpus sort
+    val takes = "TakeOrderedAndProject".r.findAllMatchIn(p).size
+    assert(takes >= 3,
+      s"expected top-k pushdown in both arms and the fuse (got $takes):\n${p.take(2000)}")
   }
 
   test("pricing summary: filter pushed into the parquet scan, partial aggregation") {
