@@ -1350,20 +1350,37 @@ class GraftClient(spark: SparkSession, root: String) {
     * (group_value, grp_rank, rn, vector_key, distance, metadata) ordered
     * by group rank, then rank within the group.
     *
-    * Scale shape: candidates come from the same source as [[search]]
+    * Scale shape — two passes over the candidate source, NO window at any
+    * cardinality of the group key:
+    *
+    *   1. rank the groups: per-group best distance is a map-side-combined
+    *      `min` (partial rows ≤ |groups|·partitions), TakeOrdered to the
+    *      top `k` groups and collected — `k` rows on the driver, bounded
+    *      by the API's `k` like [[fetchDf]]'s bucket-id collect;
+    *   2. emit the survivors: the `k` winning groups broadcast-join the
+    *      candidate stream BELOW the bounded-heap
+    *      [[graft.functions.TopKDocs]] Aggregator, so the heap
+    *      partial-aggregates only the winners' candidates before its one
+    *      shuffle (traffic ≤ groupSize·partitions·k rows).
+    *
+    * An earlier shape ranked groups with an UNPARTITIONED `dense_rank`
+    * window over all survivors — fine for label-like group keys, but a
+    * high-cardinality key (group = source document id, the "one hit per
+    * doc" pattern) would serialize groupSize·|groups| rows through one
+    * task. The two-pass shape is invariant in |groups|:
+    * `HighCardinalityGroupSpec` pins it at tens of thousands of
+    * singleton groups and `PlanQualitySpec` asserts the plan stays
+    * window-free. Candidates come from the same source as [[search]]
     * (IVF-pruned cells when the index is fresh — recall governed by
     * `nprobe` exactly as there; SQ8 collections read the float cells,
-    * since exact per-candidate distances are what rank the groups). The
-    * per-group top-`groupSize` is the bounded-heap
-    * [[graft.functions.TopKDocs]] Aggregator partial-aggregated BEFORE
-    * its one shuffle — traffic is ≤ groupSize·partitions·|groups| rows,
-    * never the scored candidate set — and the group-ranking windows run
-    * over the ≤ groupSize·|groups| survivors. */
+    * since exact per-candidate distances are what rank the groups); both
+    * passes resolve the SAME snapshot (the cell/bucket file lists bind
+    * when the source frame is built). NOTE: pass 1 runs a Spark job at
+    * call time — like [[fetchDf]], this method is not fully lazy. */
   def searchGrouped(name: String, qvec: Array[Float], k: Int,
                     groupByKey: String, groupSize: Int = 1,
                     filter: Option[Column] = None,
                     nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -1379,21 +1396,33 @@ class GraftClient(spark: SparkSession, root: String) {
       .filter(col("__grp").isNotNull)
       .select(col("__grp").as("group_value"),
         distanceCol(m.metric, qvec).as("distance"), col("key"), col("meta"))
+    // pass 1 — top-k groups by best hit. Deterministic ranking: the
+    // ordering key (__best, group_value) is unique per group, so the
+    // k-row TakeOrdered + driver-side index assignment reproduces the
+    // previous dense_rank semantics exactly (ties in __best break on
+    // group_value, every rank distinct).
+    val bests = cand.groupBy(col("group_value"))
+      .agg(min(col("distance")).as("__best"))
+      .orderBy(col("__best"), col("group_value"))
+      .limit(k)
+      .collect()
+    import spark.implicits._
+    val ranks = bests.zipWithIndex.toSeq
+      .map { case (r, i) => (r.getString(0), (i + 1).toLong) }
+      .toDF("group_value", "grp_rank")
+    // pass 2 — broadcast the k winners UNDER the heap agg: candidates of
+    // losing groups are dropped map-side by the broadcast hash join, so
+    // the per-group top-`groupSize` heap only ever aggregates k groups
     val topk = graft.functions.VectorAggregates.topKDocs(groupSize)
-    val perGroup = cand.groupBy(col("group_value"))
+    cand.join(broadcast(ranks), Seq("group_value"))
+      .groupBy(col("group_value"), col("grp_rank"))
       .agg(topk(col("distance"), col("key"), col("meta")).as("tops"))
-      .select(col("group_value"), posexplode(col("tops")).as(Seq("pos", "hit")))
-      .select(col("group_value"),
+      .select(col("group_value"), col("grp_rank"),
+        posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("group_value"), col("grp_rank"),
+        (col("pos") + 1).cast("long").as("rn"),
         col("hit.key").as("vector_key"), col("hit.dist").as("distance"),
-        col("hit.meta").as("metadata"), (col("pos") + 1).cast("long").as("rn"))
-    perGroup
-      .withColumn("__best", min(col("distance")).over(
-        Window.partitionBy(col("group_value"))))
-      .withColumn("grp_rank", dense_rank().over(
-        Window.orderBy(col("__best"), col("group_value"))).cast("long"))
-      .filter(col("grp_rank") <= k)
-      .select(col("group_value"), col("grp_rank"), col("rn"),
-        col("vector_key"), col("distance"), col("metadata"))
+        col("hit.meta").as("metadata"))
       .orderBy(col("grp_rank"), col("rn"))
   }
 

@@ -101,28 +101,38 @@ object VectorQueries {
   /** B2+ (Milvus grouping search, `group_by_field`/`group_size`): the
     * top-4 labels ranked by their best hit, keeping the 2 nearest rows
     * per label — "k results from k DISTINCT groups" instead of k rows
-    * that may all share one group. Scale shape: the per-group top-2 is
-    * the bounded-heap UDAF partial-aggregated BEFORE its one shuffle
-    * (the same kernel as `knn_batched` keyed by group instead of qid —
-    * never a corpus-wide rank window); the group-ranking windows run
-    * over the ≤2·|groups| survivors. */
+    * that may all share one group. Scale shape mirrors
+    * `GraftClient.searchGrouped`, window-free at ANY group cardinality:
+    * pass 1 ranks groups with a map-side-combined `min` per group +
+    * TakeOrdered(4) collected (4 rows, bounded by the API's k); pass 2
+    * broadcast-joins the winners UNDER the bounded-heap top-2 UDAF (the
+    * same kernel as `knn_batched` keyed by group instead of qid), so the
+    * heap partial-aggregates only the winning groups' candidates before
+    * its one shuffle. The ranking (ties on best distance break by group
+    * value, every rank distinct) matches a dense_rank over the unique
+    * (best, group) ordering exactly. */
   def knnGrouped(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val topk = graft.functions.VectorAggregates.topKByDist(2)
-    val perGroup = withQueryVec(spark, dir)
+    val scored = withQueryVec(spark, dir)
       .select(col("label"), col("vec_id"),
         l2_distance(col("embedding"), col("qvec")).as("dist"))
-      .groupBy(col("label"))
+    val bests = scored.groupBy(col("label"))
+      .agg(min(col("dist")).as("grp_best"))
+      .orderBy(col("grp_best"), col("label"))
+      .limit(4)
+      .collect()
+    import spark.implicits._
+    val ranks = bests.zipWithIndex.toSeq
+      .map { case (r, i) => (r.getInt(0), (i + 1).toLong) }
+      .toDF("label", "grp_rank")
+    val topk = graft.functions.VectorAggregates.topKByDist(2)
+    scored.join(broadcast(ranks), Seq("label"))
+      .groupBy(col("label"), col("grp_rank"))
       .agg(topk(col("dist"), col("vec_id")).as("tops"))
-      .select(col("label"), posexplode(col("tops")).as(Seq("pos", "hit")))
-      .select(col("label"), col("hit.vec_id").as("vec_id"), col("hit.dist").as("dist"),
-        (col("pos") + 1).cast("long").as("rn"))
-    perGroup
-      .withColumn("grp_best", min(col("dist")).over(Window.partitionBy(col("label"))))
-      .withColumn("grp_rank",
-        dense_rank().over(Window.orderBy(col("grp_best"), col("label"))).cast("long"))
-      .filter(col("grp_rank") <= 4)
-      .select(col("label"), col("grp_rank"), col("rn"), col("vec_id"), col("dist"))
+      .select(col("label"), col("grp_rank"),
+        posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("label"), col("grp_rank"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("hit.vec_id").as("vec_id"), col("hit.dist").as("dist"))
       .orderBy(col("grp_rank"), col("rn"))
   }
 

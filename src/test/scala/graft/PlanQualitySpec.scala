@@ -117,6 +117,13 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_topkbydistance"),
       "the per-group top-k must partial-aggregate map-side — a corpus-wide " +
         "rank window here would shuffle every scored row onto the group keys")
+    assert(!p.contains("Window"),
+      "the grouped plan must stay window-free: group ranking is a " +
+        "TakeOrdered-k collect + broadcast join, never an unpartitioned " +
+        "rank window (which serializes groupSize·|groups| rows in one task)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the k winning groups must broadcast UNDER the heap agg so losing " +
+        "groups' candidates drop map-side")
   }
 
   test("paged KNN: offset stays top-(offset+k)-pushed, never a full sort") {
