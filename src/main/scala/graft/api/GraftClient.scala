@@ -103,10 +103,24 @@ class GraftClient(spark: SparkSession, root: String) {
     * every data-path call accepts either; aliases re-point atomically via
     * [[alterAlias]], the zero-downtime reindex/migration pattern). */
   private def metaOrThrow(name: String): CollectionMeta =
-    catalog.describeCollection(name)
-      .orElse(catalog.resolveAlias(name).flatMap(catalog.describeCollection))
-      .getOrElse(
-        throw new IllegalArgumentException(s"no such collection: $name"))
+    catalog.describeCollection(name).getOrElse {
+      catalog.resolveAlias(name) match {
+        // a DANGLING alias (target dropped by a path that couldn't see
+        // it — e.g. a drop racing alterAlias) must be diagnosable from
+        // the error: name both the alias the caller used and the target
+        // that resolution found, or the caller chases a collection name
+        // they never typed
+        case Some(target) =>
+          catalog.describeCollection(target).getOrElse(
+            throw new IllegalArgumentException(
+              s"alias '$name' points at collection '$target', which does " +
+                "not exist (dangling alias — its target was dropped or " +
+                "never created); alterAlias to a live collection or " +
+                "dropAlias it"))
+        case None =>
+          throw new IllegalArgumentException(s"no such collection: $name")
+      }
+    }
 
   /** Idempotent create (returns false if it already existed). `buckets`
     * fixes the keyed store's hash-bucket count for the collection's
@@ -116,7 +130,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * the commit-time vacuum reclaims them. */
   def createCollection(name: String, dim: Int, metric: String = "l2",
                        indexType: String = "FLAT", nlist: Int = 0,
-                       buckets: Int = 16, retain: Int = 2): Boolean = {
+                       buckets: Int = 16, retain: Int = 2,
+                       partitionKey: String = "",
+                       numPartitions: Int = 16): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
@@ -139,9 +155,18 @@ class GraftClient(spark: SparkSession, root: String) {
     require(catalog.resolveAlias(name).isEmpty,
       s"'$name' is an existing alias (→ ${catalog.resolveAlias(name).getOrElse("")}) " +
         "— drop it first or pick another collection name")
+    // partition-key collections (Milvus `partition_key_field` +
+    // `num_partitions`): rows route by hash of meta[partitionKey] into
+    // engine-managed physical partitions, pre-created below. Immutable,
+    // like the bucket count — re-routing would strand rows.
+    require(partitionKey.nonEmpty || numPartitions == 16 || numPartitions == 0,
+      "numPartitions only applies with a partitionKey")
+    if (partitionKey.nonEmpty)
+      require(numPartitions >= 1 && numPartitions <= 4096,
+        s"numPartitions must be in [1, 4096] (got $numPartitions)")
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
-      retain)
+      retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -151,7 +176,12 @@ class GraftClient(spark: SparkSession, root: String) {
     // check-then-delete BEFORE the create would let the LOSER of a
     // racing create wipe the winner's freshly-written data.
     if (created) {
-      deleteDir(ivfDir(meta)); deleteDir(textDir(meta)); deleteDir(meta.dataPath)
+      deleteDir(ivfDir(meta)); deleteDir(textDir(meta))
+      deleteDir(partsDir(meta)); deleteDir(meta.dataPath)
+      if (meta.partitionKey.nonEmpty)
+        (0 until meta.numPartitions).foreach(i =>
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(partsDir(meta), s"_pk_$i")))
     }
     created
   }
@@ -184,7 +214,8 @@ class GraftClient(spark: SparkSession, root: String) {
         // and re-droppable) instead of orphaned data dirs that a
         // same-named re-create would silently RESURRECT under a possibly
         // different dim (createCollection also clears defensively)
-        deleteDir(ivfDir(m)); deleteDir(textDir(m)); deleteDir(m.dataPath)
+        deleteDir(ivfDir(m)); deleteDir(textDir(m))
+        deleteDir(partsDir(m)); deleteDir(m.dataPath)
         catalog.dropCollection(name)
     }
   }
@@ -208,6 +239,176 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** (alias, target) pairs, sorted by alias. */
   def listAliases(): Seq[(String, String)] = catalog.listAliases()
+
+  // ---- Partitions (Milvus partition surface) ----
+  //
+  // Milvus `create_partition` / `partition_names` scoping
+  // (pymilvus MilvusClient — the client the reference app drives at
+  // `milvus-app/pythonvectordbceph_milvus.py:85-111`): a collection is
+  // born with the implicit `_default` partition; extra partitions
+  // physically isolate their rows, and search/query/get scoped to
+  // `partition_names` reads ONLY those partitions' storage.
+  //
+  // Physical model: each non-default partition is its OWN bucketed
+  // keyed store + IVF index under `<dataPath>-parts/<p>/`, driven by
+  // the exact same single-store machinery via a derived CollectionMeta
+  // (partMeta) — per-partition snapshot versions, commit CAS, index
+  // freshness, everything. The default partition IS the collection's
+  // original paths, so pre-partition layouts are unchanged. A
+  // partition-scoped read therefore prunes at the directory level — at
+  // cluster scale, scoping to 1 of 100 partitions reads 1% of the
+  // files, not a filtered 100%. Commits are atomic PER PARTITION (one
+  // store = one CAS pointer); Milvus makes no cross-partition
+  // transactional promise either.
+
+  private def partsDir(m: CollectionMeta) = s"${m.dataPath}-parts"
+
+  /** The derived meta a partition's physical state lives under. The '#'
+    * in the derived name keeps every version-keyed cache distinct per
+    * partition ('#' is illegal in catalog names, so it cannot clash
+    * with a real collection). */
+  private def partMeta(m: CollectionMeta, part: String): CollectionMeta =
+    if (part == GraftClient.DefaultPartition) m
+    else m.copy(name = s"${m.name}#$part",
+      dataPath = s"${partsDir(m)}/$part/store")
+
+  private def requirePartName(part: String): Unit =
+    require(part.matches("[A-Za-z0-9_\\-]+"),
+      s"illegal partition name: '$part'")
+
+  /** Milvus `create_partition` (idempotent — false if it exists).
+    * Lifecycle runs under the partitions dir's commit lock so a racing
+    * create/drop pair serializes. Partition stores inherit the
+    * collection's bucket count, retention, and index parameters. */
+  def createPartition(name: String, partition: String): Boolean = {
+    val m = metaOrThrow(name)
+    requirePartName(partition)
+    require(m.partitionKey.isEmpty,
+      s"'${m.name}' is a partition-key collection — its partitions are " +
+        "engine-managed (Milvus refuses manual partitions the same way)")
+    if (partition == GraftClient.DefaultPartition) false
+    else graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(partsDir(m))) {
+      val dir = java.nio.file.Paths.get(partsDir(m), partition)
+      if (java.nio.file.Files.exists(dir)) false
+      else { java.nio.file.Files.createDirectories(dir); true }
+    }
+  }
+
+  /** Milvus `drop_partition`: destroys the partition's rows and index
+    * (false if absent). The default partition is irremovable — drop the
+    * collection instead, exactly as Milvus refuses. */
+  def dropPartition(name: String, partition: String): Boolean = {
+    val m = metaOrThrow(name)
+    requirePartName(partition)
+    require(partition != GraftClient.DefaultPartition,
+      "cannot drop the default partition — drop the collection instead")
+    require(m.partitionKey.isEmpty,
+      s"'${m.name}' is a partition-key collection — its partitions are " +
+        "engine-managed")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(partsDir(m))) {
+      val dir = java.nio.file.Paths.get(partsDir(m), partition)
+      if (!java.nio.file.Files.exists(dir)) false
+      else {
+        // the partition's version-keyed caches die with it — nothing
+        // will ever evict them otherwise (same rule as drop())
+        invalidateIndexCaches(partMeta(m, partition).name)
+        deleteDir(dir.toString)
+        true
+      }
+    }
+  }
+
+  /** Live partitions: `_default` first, then registered names sorted. */
+  def listPartitions(name: String): Seq[String] =
+    listedPartitions(metaOrThrow(name))
+
+  def hasPartition(name: String, partition: String): Boolean =
+    listedPartitions(metaOrThrow(name)).contains(partition)
+
+  private def listedPartitions(m: CollectionMeta): Seq[String] = {
+    val d = java.nio.file.Paths.get(partsDir(m))
+    val extra =
+      if (!java.nio.file.Files.exists(d)) Seq.empty[String]
+      else {
+        val l = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+            .map(_.getFileName.toString).toSeq.sorted
+        } finally l.close()
+      }
+    GraftClient.DefaultPartition +: extra
+  }
+
+  /** Resolve a caller's partition scope: empty = every live partition
+    * (the Milvus default); named partitions must exist — a typo'd scope
+    * must fail loudly, not silently search nothing. */
+  private def resolveParts(m: CollectionMeta, partitions: Seq[String]): Seq[String] =
+    if (partitions.isEmpty) listedPartitions(m)
+    else {
+      val live = listedPartitions(m)
+      partitions.foreach(p => require(live.contains(p),
+        s"collection '${m.name}' has no partition '$p' " +
+          s"(live: ${live.mkString(", ")})"))
+      partitions.distinct
+    }
+
+  /** Union read of the named partitions' current snapshots (empty =
+    * all) — each arm lists only its own partition's bucket dirs, so
+    * scoping prunes at the DIRECTORY level before any filter runs. */
+  private def readParts(m: CollectionMeta, partitions: Seq[String]): DataFrame =
+    resolveParts(m, partitions)
+      .map(p => collection(partMeta(m, p)).read(spark))
+      .reduce(_ unionByName _)
+
+  private def countParts(m: CollectionMeta, partitions: Seq[String]): Long =
+    resolveParts(m, partitions).map(p => liveCount(partMeta(m, p))).sum
+
+  /** The physical partition a partition-key VALUE routes to — the same
+    * stable hash both the write router and read scoping use:
+    * `pmod(xxhash64(value), numPartitions)` (Spark's xxhash64, seed 42,
+    * evaluated via the same Catalyst kernel the column expression
+    * compiles to, so driver and executors can never disagree). */
+  private def pkPartition(value: String, n: Int): String = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
+          value, org.apache.spark.sql.types.StringType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    s"_pk_${(((h % n) + n) % n).toInt}"
+  }
+
+  /** Route a partition-key collection's batch: one merge-commit per
+    * touched physical partition (≤ numPartitions, usually far fewer).
+    * The routed frame is persisted so the router evaluates the caller's
+    * plan once across the per-partition commits. Atomicity is per
+    * partition — a crash mid-loop leaves whole-partition batches
+    * applied, never a torn single-partition commit (and Milvus promises
+    * nothing stronger across partitions either). */
+  private def upsertRouted(m: CollectionMeta, df: DataFrame): Long = {
+    val n = m.numPartitions
+    val pk = element_at(col("meta"), lit(m.partitionKey))
+    val routed = df.select(col("key"), col("vec"), col("meta"),
+        when(pk.isNull, raise_error(lit(
+          s"row missing partition key meta['${m.partitionKey}'] — " +
+            "partition-key collections require it on every row, like " +
+            "Milvus's partition key field")))
+          .otherwise(pmod(xxhash64(pk), lit(n.toLong)).cast("int"))
+          .as("__route"))
+      .persist()
+    try {
+      val touched = routed.select("__route").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ numPartitions ints
+      touched.foreach { i =>
+        mergeCommit(partMeta(m, s"_pk_$i"),
+          Some(routed.filter(col("__route") === i)
+            .select(col("key"), col("vec"), col("meta"))), None)
+      }
+    } finally routed.unpersist()
+    countParts(m, Nil)
+  }
 
   /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
     * collection becomes a temp view of its current snapshot, and
@@ -241,7 +442,9 @@ class GraftClient(spark: SparkSession, root: String) {
       "'graft_collections' is the reserved catalog view name — rename " +
         s"the colliding entry (${sanitized("graft_collections").mkString(", ")})")
     metas.foreach(m =>
-      collection(m).read(spark).createOrReplaceTempView(m.name.replace('-', '_')))
+      // the view shows the WHOLE collection — all partitions unioned —
+      // exactly what an unscoped Milvus query sees
+      readParts(m, Nil).createOrReplaceTempView(m.name.replace('-', '_')))
     // alias views resolve THROUGH the alias at registration time — the
     // same snapshot-as-of-registration contract as collection views (an
     // alterAlias afterwards needs a re-register, like any write). A
@@ -250,7 +453,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // broken indirection must not take down the whole SQL surface.
     aliases.foreach { case (a, t) =>
       catalog.describeCollection(t).foreach(tm =>
-        collection(tm).read(spark).createOrReplaceTempView(a.replace('-', '_'))) }
+        readParts(tm, Nil).createOrReplaceTempView(a.replace('-', '_'))) }
     metas.toDF().createOrReplaceTempView("graft_collections")
   }
 
@@ -266,9 +469,38 @@ class GraftClient(spark: SparkSession, root: String) {
     * at most one side; duplicate keys WITHIN `puts` resolve to a
     * deterministic winner (see below). Returns the committed snapshot
     * version, or None when the batch was effectively empty (no put
-    * survived, no delete matched) and nothing was committed. */
+    * survived, no delete matched) and nothing was committed.
+    *
+    * Multi-writer: LOSING a CAS race is handled HERE, not by callers —
+    * a ConcurrentModificationException from the commit means nothing was
+    * written (the CAS throws under the commit lock before any bucket
+    * move), so the merge is recomputed wholesale against the NEW current
+    * snapshot and retried, up to [[GraftClient.MaxCommitRetries]] times
+    * with linear backoff. Rebasing preserves cross-commit
+    * last-write-wins: the retried batch re-reads the interleaved
+    * writer's rows and re-resolves per key, exactly as if it had arrived
+    * after that commit. Past the bound the exception propagates —
+    * sustained contention should surface, not be absorbed silently. */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
                           delKeys: Option[DataFrame]): Option[Long] = {
+    var attempt = 1
+    var out: Option[Option[Long]] = None
+    while (out.isEmpty) {
+      try out = Some(mergeCommitOnce(m, puts, delKeys))
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= GraftClient.MaxCommitRetries) throw e
+          // linear backoff: contention here is a handful of writers on
+          // one collection racing micro-batches, not a thundering herd
+          Thread.sleep(20L * attempt)
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
+  private def mergeCommitOnce(m: CollectionMeta, puts: Option[DataFrame],
+                              delKeys: Option[DataFrame]): Option[Long] = {
     val coll = collection(m)
     // the snapshot this merge is computed against, captured BEFORE any
     // other store read: commitBuckets CASes on it, so a concurrent
@@ -329,6 +561,13 @@ class GraftClient(spark: SparkSession, root: String) {
     // nothing but latency (a ghost key there only rewrites its bucket
     // byte-identically, which is harmless).
     val keyed = delKeys.map { d =>
+      // capped = false is DELIBERATE, not an oversight to "fix" into a
+      // raise: the write boundary caps keys at MaxKeyLength, so an
+      // over-long key cannot exist in the store — deleting one is a
+      // semantic no-op (idempotent delete of a nonexistent key), exactly
+      // like deleting any other ghost key. Raising here would make
+      // delete-everything-matching loops brittle for no safety gain.
+      // GraftClientSpec pins the no-op.
       val k = d.select(requireKey(col("key"), capped = false).as("key"))
       val resolved =
         if (puts.nonEmpty) k
@@ -389,7 +628,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * `get_collection_stats().row_count` / `num_entities` parity
     * (`milvus-app/describe.py` surfaces the same figure). Satisfied from
     * parquet row-group metadata: footers only, no data pages. */
-  def count(name: String): Long = liveCount(metaOrThrow(name))
+  def count(name: String, partitions: Seq[String] = Nil): Long =
+    countParts(metaOrThrow(name), partitions)
 
   /** Per-bucket statistics of the current snapshot — the operational view
     * that tells you when [[rebucket]] is due (bucket sizes drifting past
@@ -483,6 +723,14 @@ class GraftClient(spark: SparkSession, root: String) {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
     val m = metaOrThrow(name)
     require(newBuckets != m.buckets, s"$name already has $newBuckets buckets")
+    // partition stores share the collection's bucket count AND root its
+    // dataPath — a rebucket would re-home the collection out from under
+    // them (stranding their rows) and leave their layouts hashed by the
+    // OLD count. Refuse rather than corrupt; partitioned rebucketing
+    // would need a per-partition rewrite under one lock.
+    require(listedPartitions(m).size == 1 && m.partitionKey.isEmpty,
+      s"$name has partitions — rebucket supports single-partition " +
+        "collections only")
     val coll = collection(m)
     // The WHOLE rebucket runs under the old layout's commit lock:
     //  - rebucket vs WRITER: a mergeCommit in flight blocks at its
@@ -529,10 +777,23 @@ class GraftClient(spark: SparkSession, root: String) {
     * is a bag — it has no "last" row; callers needing ordered semantics
     * resolve per key first, as the streaming loop does by arrival order).
     * Dimension enforced at the boundary like the reference backends. */
-  def upsert(name: String, df: DataFrame): Long = {
+  def upsert(name: String, df: DataFrame,
+             partition: String = GraftClient.DefaultPartition): Long = {
     val m = metaOrThrow(name)
-    mergeCommit(m, Some(df), None)
-    liveCount(m)
+    if (m.partitionKey.nonEmpty) {
+      // Milvus refuses a partition name on partition-key collections —
+      // the router owns placement
+      require(partition == GraftClient.DefaultPartition,
+        s"'${m.name}' routes rows by partition key '${m.partitionKey}' — " +
+          "callers cannot name a partition")
+      upsertRouted(m, df)
+    } else {
+      if (partition != GraftClient.DefaultPartition)
+        require(listedPartitions(m).contains(partition),
+          s"collection '${m.name}' has no partition '$partition' — createPartition first")
+      mergeCommit(partMeta(m, partition), Some(df), None)
+      countParts(m, Nil)
+    }
   }
 
   /** Convenience mirroring the reference's ingest transform: embed raw
@@ -544,13 +805,23 @@ class GraftClient(spark: SparkSession, root: String) {
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
                   maintainTextIndex: Boolean = false): Long = {
     val m = metaOrThrow(name)
+    val embedded = graft.ingest.Embedder.embedDocuments(df, "text", embedder)
+      .select(col("key"), col("vec"), col("meta"))
+    // partition-key collections route like upsert(); the text index (a
+    // collection-level structure keyed off the DEFAULT store's version)
+    // cannot be auto-maintained across routed commits
+    if (m.partitionKey.nonEmpty) {
+      require(!maintainTextIndex,
+        s"'${m.name}' is a partition-key collection — maintainTextIndex " +
+          "rides the default store's snapshot version and cannot cover " +
+          "routed commits; buildTextIndex explicitly instead")
+      return upsertRouted(m, embedded)
+    }
     // capture the index's fresh-stamped version BEFORE the write:
     // appending to an index that was already stale would stamp it fresh
     // while missing the writes that staled it
     val freshAt = if (maintainTextIndex) textIndexFreshAt(m) else None
-    val committed = mergeCommit(m,
-      Some(graft.ingest.Embedder.embedDocuments(df, "text", embedder)
-        .select(col("key"), col("vec"), col("meta"))), None)
+    val committed = mergeCommit(m, Some(embedded), None)
     // append ONLY if our commit is v0+1: snapshot versions are monotonic
     // +1, so any foreign commit interleaving between the freshness check
     // and our write breaks the arithmetic and we leave the index stale
@@ -575,17 +846,23 @@ class GraftClient(spark: SparkSession, root: String) {
     * one anti-join plan over the touched buckets only — no driver
     * materialization of keys (the bucket-id set is bounded by the
     * collection's bucket count). */
-  def deleteByKeysDf(name: String, keys: DataFrame): Long = {
+  def deleteByKeysDf(name: String, keys: DataFrame,
+                     partitions: Seq[String] = Nil): Long = {
     val m = metaOrThrow(name)
-    mergeCommit(m, None, Some(keys))
-    liveCount(m)
+    // Milvus delete semantics: an unscoped delete applies everywhere the
+    // key lives; `partitions` narrows it. One commit per partition (the
+    // ghost pre-resolve makes untouched partitions commit NOTHING).
+    resolveParts(m, partitions).foreach(p =>
+      mergeCommit(partMeta(m, p), None, Some(keys)))
+    countParts(m, Nil)
   }
 
   /** Delete by key set (the ObjectRemoved:Delete path) — driver-side sugar
     * over `deleteByKeysDf`. */
-  def deleteByKeys(name: String, keys: Seq[String]): Long = {
+  def deleteByKeys(name: String, keys: Seq[String],
+                   partitions: Seq[String] = Nil): Long = {
     import spark.implicits._
-    deleteByKeysDf(name, keys.toDF("key"))
+    deleteByKeysDf(name, keys.toDF("key"), partitions)
   }
 
   /** Delete by predicate over (key, vec, meta) — Milvus `delete(filter=...)`.
@@ -595,12 +872,19 @@ class GraftClient(spark: SparkSession, root: String) {
     * the delete flows through the same touched-bucket merge-commit as
     * `deleteByKeysDf` — which also keeps a fresh IVF index fresh. A
     * predicate matching nothing commits nothing. */
-  def deleteWhere(name: String, pred: Column): Long = {
+  def deleteWhere(name: String, pred: Column,
+                  partitions: Seq[String] = Nil): Long = {
     val m = metaOrThrow(name)
-    val matches = collection(m).read(spark)
-      .filter(coalesce(pred, lit(false))).select("key")
-    mergeCommit(m, None, Some(matches)) // no matches → commits nothing
-    liveCount(m)
+    // per-partition resolve: each partition's matches come from ITS OWN
+    // snapshot and commit into its own store — a partition with no match
+    // commits nothing
+    resolveParts(m, partitions).foreach { p =>
+      val pm = partMeta(m, p)
+      val matches = collection(pm).read(spark)
+        .filter(coalesce(pred, lit(false))).select("key")
+      mergeCommit(pm, None, Some(matches))
+    }
+    countParts(m, Nil)
   }
 
   /** The reference's whole event-driven service as one streaming query
@@ -634,6 +918,13 @@ class GraftClient(spark: SparkSession, root: String) {
     import graft.streaming.StreamingIngest
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
+    // the streaming loop commits straight to the default store — on a
+    // partition-key collection that would bypass the router and hide
+    // rows from partition-scoped reads
+    require(metaOrThrow(name).partitionKey.isEmpty,
+      s"'$name' is a partition-key collection — streaming ingest commits " +
+        "to the default partition and would bypass the router; ingest " +
+        "via batch upsert, or use a plain collection")
     val objects = Seq("text" -> "string", "bytes" -> "binary")
       .foldLeft(objectsDf) { case (df, (c, tpe)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(tpe))
@@ -867,14 +1158,33 @@ class GraftClient(spark: SparkSession, root: String) {
     * both; the exact re-rank uses the collection's own metric over the
     * original vectors). Dot collections reject any IVF index at build
     * (no Voronoi prune exists for inner product). */
-  def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0): Unit = {
+  def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0,
+                 partitions: Seq[String] = Nil): Unit = {
     val m = metaOrThrow(name)
     require(indexableMetric(m.metric),
       s"IVF index supports l2 and cosine (dot has no Voronoi prune — dot " +
         s"searches stay exact); collection is ${m.metric}")
+    // per-partition indexes (Milvus builds per segment, clustered by
+    // partition): the default all-partition build skips EMPTY partitions
+    // (registered but never written) but must still build SOMETHING;
+    // a named empty partition fails loudly.
+    val built = resolveParts(m, partitions).count { p =>
+      val pm = partMeta(m, p)
+      val empty = collection(pm).currentVersion.isEmpty
+      if (empty) require(partitions.isEmpty,
+        s"partition '$p' of '$name' is empty — nothing to index")
+      if (!empty) buildIndexFor(pm, nlist, sampleFraction)
+      !empty
+    }
+    if (built == 0) throw new IllegalStateException(
+      s"collection $name is empty — nothing to index")
+  }
+
+  private def buildIndexFor(m: CollectionMeta, nlist: Int,
+                            sampleFraction: Double): Unit = {
     val coll = collection(m)
     val version = coll.currentVersion.getOrElse(
-      throw new IllegalStateException(s"collection $name is empty — nothing to index"))
+      throw new IllegalStateException(s"collection ${m.name} is empty — nothing to index"))
     val snapshot = coll.read(spark).withColumn("__assign", assignSpace(m)(col("vec")))
     val (indexed, quant) = IvfIndex.build(
       snapshot, "__assign", nlist, sampleFraction = sampleFraction)
@@ -914,8 +1224,12 @@ class GraftClient(spark: SparkSession, root: String) {
     * index artifacts are rewritten WITHOUT a guaranteed version bump
     * (rebuild, rebucket). */
   private def invalidateIndexCaches(name: String): Unit = {
-    idxCache.keySet().removeIf(_._1 == name)
-    bcCache.keySet().removeIf(_._1 == name)
+    // a collection-level invalidation covers its partitions too (their
+    // cache keys are "<name>#<partition>") — drop/rebuild through the
+    // collection name must not leave partition quantizers live
+    val pfx = name + "#"
+    idxCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
+    bcCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
   }
 
   /** `maintainable` = the index carries the probe table (new format);
@@ -1138,30 +1452,79 @@ class GraftClient(spark: SparkSession, root: String) {
     * the index or use a FLAT collection for that. */
   def search(name: String, qvec: Array[Float], k: Int,
              filter: Option[Column] = None, nprobe: Int = 4,
-             refine: Int = 4, offset: Int = 0): DataFrame = {
+             refine: Int = 4, offset: Int = 0,
+             partitions: Seq[String] = Nil,
+             partitionKeyValues: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(refine >= 1, s"refine must be >= 1 (got $refine) — 0 would " +
       "silently return no candidates from the SQ8 stage-1 limit")
     require(offset >= 0, s"offset must be >= 0 (got $offset)")
-    val coll = collection(m)
+    // overflow-safe page-depth cap, checked in Long BEFORE any Int
+    // arithmetic: offset + k (and the SQ8 stage-1 (k+offset)*refine)
+    // would otherwise wrap negative for huge offsets and surface as a
+    // confusing plan-analysis failure. 16384 is Milvus's own
+    // offset+limit ceiling — deep pagination costs O(offset+k) memory
+    // by construction, so the bound is the honest contract, not a quirk.
+    require(offset.toLong + k <= GraftClient.MaxPageDepth,
+      s"offset + k must be <= ${GraftClient.MaxPageDepth} " +
+        s"(got ${offset.toLong + k}) — Milvus caps offset+limit the same " +
+        "way; paginate in smaller pages or narrow with a filter")
+    require((offset.toLong + k) * refine <= Int.MaxValue,
+      s"(offset + k) * refine overflows Int (got ${(offset.toLong + k) * refine}) — lower refine")
+    require(partitions.isEmpty || partitionKeyValues.isEmpty,
+      "pass partitions OR partitionKeyValues, not both")
+    // partition-key scoping (Milvus: a filter on the partition key
+    // prunes to its hashed partitions): hash each value to its physical
+    // partition, AND apply the value filter conjunctively — other
+    // values sharing a hashed partition must not leak into the result
+    val (parts, pkFilter) =
+      if (partitionKeyValues.nonEmpty) {
+        require(m.partitionKey.nonEmpty,
+          s"'${m.name}' has no partition key — scope with `partitions` instead")
+        (partitionKeyValues.map(v => pkPartition(v, m.numPartitions))
+           .distinct.sorted,
+         Some(element_at(col("meta"), lit(m.partitionKey))
+           .isin(partitionKeyValues: _*)))
+      } else (resolveParts(m, partitions), None)
+    val conj = (filter.toSeq ++ pkFilter.toSeq).reduceOption(_ && _)
+    // per-partition scored candidates (each partition resolves its OWN
+    // index freshness and prune), then ONE global page: the union's
+    // top-(offset+k) still plans as per-partition partial top-k + a
+    // driver k-way merge — no shuffle, no full sort
+    val scored = parts
+      .map(p => scoredCandidates(partMeta(m, p), qvec, conj, nprobe, refine,
+        offset + k))
+      .reduce(_ unionByName _)
+    paged(scored, offset, k)
+  }
+
+  /** One partition's scored candidate stream for [[search]]:
+    * (vector_key, distance, metadata), NOT yet paged — the caller pages
+    * once over the union. SQ8 partitions run their two-stage refine
+    * internally bounded to `depth` (= offset+k) candidates, so the
+    * global page ranks exactly the rows the single-partition path would
+    * have ranked. */
+  private def scoredCandidates(pm: CollectionMeta, qvec: Array[Float],
+      filter: Option[Column], nprobe: Int, refine: Int,
+      depth: Int): DataFrame = {
+    val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
-    val liveIdx = liveIndex(m, coll)
+    val liveIdx = liveIndex(pm, coll)
     liveIdx match {
-      case Some(idx) if sq8Indexed(m) =>
-        return searchSq8Refined(m, coll, idx, qvec, k, filter, nprobe, refine, offset)
-      case _ => ()
+      case Some(idx) if sq8Indexed(pm) =>
+        sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth)
+      case _ =>
+        val base = prunedCellsOrScan(pm, coll, liveIdx) { idx =>
+          val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+          GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
+        }
+        filter.fold(base)(base.filter)
+          .select(col("key").as("vector_key"),
+            distanceCol(pm.metric, qvec).as("distance"),
+            col("meta").as("metadata"))
     }
-    val base = prunedCellsOrScan(m, coll, liveIdx) { idx =>
-      val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
-      Some(idx.probe.probes(qa, nprobe))
-    }
-    val candidates = filter.fold(base)(base.filter)
-    paged(candidates
-      .select(col("key").as("vector_key"),
-        distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata")),
-      offset, k)
   }
 
   /** The loaded index IF it is stamped at the store's current snapshot —
@@ -1172,22 +1535,28 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** Candidate source shared by search/searchRange/searchGrouped: the
     * chosen cells of the float index layout when a fresh prunable index
-    * exists, else the exact snapshot scan. `choose` returns the cells to
-    * scan — None means ALL cells (exact over the index layout, e.g. an
-    * unprunable range bound or a radii-less legacy index), an empty Seq
-    * means the prune excluded everything. One scaffold so the staleness
-    * rule and the cells schema cannot silently diverge across the three
-    * surfaces. */
+    * exists, else the exact snapshot scan. `choose` says which cells to
+    * scan: [[GraftClient.KeepCells]] is an inclusion list (the top-k
+    * probe — approximate by design, recall governed by nprobe);
+    * [[GraftClient.DropCells]] is an EXCLUSION list for lossless prunes
+    * (range search): only cells proven out are skipped, so a layout cell
+    * the pruner knows nothing about is scanned by construction —
+    * soundness cannot depend on metadata completeness.
+    * [[GraftClient.AllCells]] scans the whole layout (unprunable bound,
+    * radii-less legacy index). One scaffold so the staleness rule and
+    * the cells schema cannot silently diverge across the surfaces. */
   private def prunedCellsOrScan(m: CollectionMeta, coll: BucketedKeyedCollection,
       liveIdx: Option[LoadedIndex])(
-      choose: LoadedIndex => Option[Seq[Int]]): DataFrame =
+      choose: LoadedIndex => GraftClient.CellChoice): DataFrame =
     liveIdx match {
       case Some(idx) if indexableMetric(m.metric) =>
         val cellsDf = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
         choose(idx) match {
-          case Some(cs) if cs.isEmpty => cellsDf.filter(lit(false))
-          case Some(cs) => cellsDf.filter(col("centroidId").isin(cs: _*))
-          case None => cellsDf
+          case GraftClient.KeepCells(cs) if cs.isEmpty => cellsDf.filter(lit(false))
+          case GraftClient.KeepCells(cs) => cellsDf.filter(col("centroidId").isin(cs: _*))
+          case GraftClient.DropCells(cs) if cs.isEmpty => cellsDf
+          case GraftClient.DropCells(cs) => cellsDf.filter(!col("centroidId").isin(cs: _*))
+          case GraftClient.AllCells => cellsDf
         }
       case _ => coll.read(spark)
     }
@@ -1241,14 +1610,16 @@ class GraftClient(spark: SparkSession, root: String) {
     * Metrics: l2 ranks raw codes by L2; cosine ranks UNIT-NORMALIZED
     * codes by L2 (order-equivalent to cosine on unit vectors — the same
     * normalized-space ride the IVF_FLAT prune uses) and re-ranks by
-    * exact cosine. Determinism: both stages tie-break on the key. */
-  private def searchSq8Refined(m: CollectionMeta, coll: BucketedKeyedCollection,
-      idx: LoadedIndex, qvec: Array[Float], k: Int, filter: Option[Column],
-      nprobe: Int, refine: Int, offset: Int = 0): DataFrame = {
+    * exact cosine. Determinism: both stages tie-break on the key.
+    * Returns the re-ranked candidate stream UN-paged (≤ depth·refine
+    * rows); [[search]] pages once over the per-partition union. `depth`
+    * = offset+k — the page's rows must survive stage 1 to be rankable
+    * in stage 2. */
+  private def sq8Scored(m: CollectionMeta, coll: BucketedKeyedCollection,
+      idx: LoadedIndex, qvec: Array[Float], filter: Option[Column],
+      nprobe: Int, refine: Int, depth: Int): DataFrame = {
     // stage-1 query lives in the assign space (normalized for cosine) —
-    // the same float-rounded vector that probes the cells. Pagination
-    // widens BOTH stages to offset+k (the page's rows must survive
-    // stage 1 to be rankable in stage 2).
+    // the same float-rounded vector that probes the cells
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     val q1 = typedLit(qa)
     val cells = idx.probe.probes(qa, nprobe)
@@ -1257,7 +1628,7 @@ class GraftClient(spark: SparkSession, root: String) {
     val cand = filter.fold(sq8)(sq8.filter)
       .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
       .orderBy(col("adist"), col("key"))
-      .limit((k + offset) * refine)
+      .limit(depth * refine)
       .select(col("key"))
     // exact re-rank in the collection's metric over the ORIGINAL vectors
     val qx = typedLit(qvec)
@@ -1265,10 +1636,9 @@ class GraftClient(spark: SparkSession, root: String) {
       case "cosine" => -cosine_similarity(col("vec"), qx)
       case _ => l2_distance(col("vec"), qx)
     }
-    paged(coll.read(spark).join(broadcast(cand), Seq("key"))
+    coll.read(spark).join(broadcast(cand), Seq("key"))
       .select(col("key").as("vector_key"), score.as("distance"),
-        col("meta").as("metadata")),
-      offset, k)
+        col("meta").as("metadata"))
   }
 
   /** Range search — Milvus `radius`/`range_filter` search params: every
@@ -1293,7 +1663,8 @@ class GraftClient(spark: SparkSession, root: String) {
   def searchRange(name: String, qvec: Array[Float], radius: Double,
                   rangeFilter: Double = Double.NegativeInfinity,
                   limit: Option[Int] = None,
-                  filter: Option[Column] = None): DataFrame = {
+                  filter: Option[Column] = None,
+                  partitions: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -1301,7 +1672,6 @@ class GraftClient(spark: SparkSession, root: String) {
       s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
         "the band is [rangeFilter, radius)")
     limit.foreach(l => require(l >= 0, s"limit must be >= 0 (got $l)"))
-    val coll = collection(m)
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     // assign-space prune radius: l2 uses `radius` directly; cosine maps
     // the similarity bound (sim > -radius) to chord length on the unit
@@ -1323,16 +1693,28 @@ class GraftClient(spark: SparkSession, root: String) {
       case _ => None
     }
     // stale/dot → exact snapshot scan; fresh but radii-less (legacy) or
-    // unprunable bound → all cells, still exact
-    val base = prunedCellsOrScan(m, coll, liveIndex(m, coll)) { idx =>
-      for (rad <- idx.radii; r <- pruneRadius) yield {
-        val centerDist = idx.assign.distancesTo(qa)
-        rad.collect {
-          case (cell, rc) if cell < centerDist.length &&
-            centerDist(cell) <= r + rc + GraftClient.RangePruneEps => cell
-        }.toSeq
+    // unprunable bound → all cells, still exact. The prune is an
+    // EXCLUSION list (DropCells): only cells PROVEN out by the triangle
+    // inequality are skipped, so a layout cell absent from the radii map
+    // or outside the quantizer's range — unreachable today because
+    // VERSION is stamped last, but the one metadata inconsistency that
+    // would otherwise drop rows silently — is scanned by construction.
+    // Soundness no longer leans on the stamp-ordering invariant.
+    // Partition scope: each partition prunes against ITS OWN index's
+    // radii, and the union keeps the lossless guarantee partition-wise.
+    val base = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      prunedCellsOrScan(pm, coll, liveIndex(pm, coll)) { idx =>
+        (for (rad <- idx.radii; r <- pruneRadius) yield {
+          val centerDist = idx.assign.distancesTo(qa)
+          GraftClient.DropCells(rad.collect {
+            case (cell, rc) if cell < centerDist.length &&
+              centerDist(cell) > r + rc + GraftClient.RangePruneEps => cell
+          }.toSeq): GraftClient.CellChoice
+        }).getOrElse(GraftClient.AllCells)
       }
-    }
+    }.reduce(_ unionByName _)
     val out = filter.fold(base)(base.filter)
       .select(col("key").as("vector_key"),
         distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata"))
@@ -1380,17 +1762,21 @@ class GraftClient(spark: SparkSession, root: String) {
   def searchGrouped(name: String, qvec: Array[Float], k: Int,
                     groupByKey: String, groupSize: Int = 1,
                     filter: Option[Column] = None,
-                    nprobe: Int = 4): DataFrame = {
+                    nprobe: Int = 4,
+                    partitions: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
-    val coll = collection(m)
-    val base = prunedCellsOrScan(m, coll, liveIndex(m, coll)) { idx =>
-      val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
-      Some(idx.probe.probes(qa, nprobe))
-    }
+    val base = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      prunedCellsOrScan(pm, coll, liveIndex(pm, coll)) { idx =>
+        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+        GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
+      }
+    }.reduce(_ unionByName _)
     val cand = filter.fold(base)(base.filter)
       .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
       .filter(col("__grp").isNotNull)
@@ -1434,9 +1820,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * 5 bucket directories of the store, not the store; AQE broadcasts
     * the key side when small (the point-lookup case), and a corpus-sized
     * key frame degrades gracefully to a shuffle join. */
-  def fetchDf(name: String, keys: DataFrame): DataFrame = {
+  def fetchDf(name: String, keys: DataFrame,
+              partitions: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
-    val coll = collection(m)
     // get semantics: a null key matches nothing — filtered, not raised
     // (this is a read path; the write boundary's raise stays where the
     // hazard is). localCheckpoint pins ONE evaluation of the caller's
@@ -1452,18 +1838,25 @@ class GraftClient(spark: SparkSession, root: String) {
     // exactly as for any cached-and-lost intermediate.
     val keyed = keys.select(col("key")).filter(col("key").isNotNull)
       .distinct().localCheckpoint()
-    val touched = touchedBuckets(coll, keyed)
-    if (touched.isEmpty) coll.read(spark).filter(lit(false))
-      .select("key", "vec", "meta")
-    else coll.readBuckets(spark, touched)
-      .join(keyed, Seq("key"), "left_semi")
-      .select("key", "vec", "meta")
+    // per-partition touched-bucket prune, one union: a get scoped to
+    // `partitions` reads only those partitions' bucket dirs (Milvus
+    // get(ids, partition_names) parity)
+    resolveParts(m, partitions).map { p =>
+      val coll = collection(partMeta(m, p))
+      val touched = touchedBuckets(coll, keyed)
+      if (touched.isEmpty) coll.read(spark).filter(lit(false))
+        .select("key", "vec", "meta")
+      else coll.readBuckets(spark, touched)
+        .join(keyed, Seq("key"), "left_semi")
+        .select("key", "vec", "meta")
+    }.reduce(_ unionByName _)
   }
 
   /** Driver-side sugar over [[fetchDf]]. */
-  def fetch(name: String, keys: Seq[String]): DataFrame = {
+  def fetch(name: String, keys: Seq[String],
+            partitions: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
-    fetchDf(name, keys.toDF("key"))
+    fetchDf(name, keys.toDF("key"), partitions)
   }
 
   /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the
@@ -1474,13 +1867,21 @@ class GraftClient(spark: SparkSession, root: String) {
     * scale this is the full-snapshot sibling of [[fetchDf]]'s
     * bucket-pruned point read. */
   def queryWhere(name: String, filter: Column,
-                 limit: Option[Int] = None): DataFrame = {
+                 limit: Option[Int] = None,
+                 partitions: Seq[String] = Nil): DataFrame = {
     limit.foreach(l => require(l >= 0,
       s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
                                        // from inside plan analysis
     val m = metaOrThrow(name)
-    val out = collection(m).read(spark)
-      .filter(coalesce(filter, lit(false)))
+    // NO coalesce wrapper here: a positive Filter already treats a
+    // null-evaluating predicate as false (null-matches-nothing is the
+    // documented semantics), and wrapping the conjunct in Coalesce would
+    // make it untranslatable by DataSourceStrategy — the whole predicate
+    // would stay un-pushed instead of reaching the Parquet row groups
+    // (deleteWhere's NEGATED use is the one that genuinely needs the
+    // explicit null collapse). PlanQualitySpec pins the pushdown.
+    val out = readParts(m, partitions)
+      .filter(filter)
       .select(col("key"), col("vec"), col("meta"))
       .orderBy(col("key"))
     limit.fold(out)(out.limit)
@@ -1495,11 +1896,12 @@ class GraftClient(spark: SparkSession, root: String) {
     * layout — an admin-sized job, not a query-path one. Pairs with
     * [[estimateRecall]]: that measures the recall knob's effect, this
     * shows the layout property causing it. */
-  def indexStats(name: String): DataFrame = {
+  def indexStats(name: String,
+                 partition: String = GraftClient.DefaultPartition): DataFrame = {
     import spark.implicits._
-    val m = metaOrThrow(name)
+    val m = partMeta(metaOrThrow(name), partition)
     require(java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m))),
-      s"$name has no IVF index — buildIndex first")
+      s"${m.name} has no IVF index — buildIndex first")
     val coll = collection(m)
     // ONE index load serves both the freshness column and the cell-id
     // seed — two loads could straddle a concurrent rebuild and describe
@@ -1548,11 +1950,11 @@ class GraftClient(spark: SparkSession, root: String) {
   def searchBatch(name: String, queries: DataFrame, k: Int,
                   filter: Option[Column] = None, nprobe: Int = 4,
                   refine: Int = 4, numQueries: Option[Long] = None,
-                  forceExact: Boolean = false): DataFrame = {
+                  forceExact: Boolean = false,
+                  partitions: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
-    val coll = collection(m)
     val q = queries.select(col("qid").cast("long").as("qid"),
       assert_dim(col("qvec"), m.dim).as("qvec"))
     // |Q| drives the broadcast decisions below. Precedence: caller hint →
@@ -1569,8 +1971,39 @@ class GraftClient(spark: SparkSession, root: String) {
     // forceExact bypasses any index — the ground-truth arm of
     // estimateRecall, and an escape hatch for a user double-checking a
     // pruned result set (the exact plan is the same `case _` fallback a
-    // stale index takes)
-    val candidates = (if (forceExact) None else liveIndex(m, coll)) match {
+    // stale index takes). Per partition: each arm resolves ITS OWN index
+    // freshness (one partition can serve SQ8-pruned while another falls
+    // back to the exact scan) and emits the same uniform candidate
+    // schema, so the union feeds one shared scoring tail.
+    val candidates = resolveParts(m, partitions).map { part =>
+      val pm = partMeta(m, part)
+      batchCandidates(pm, q, nQ, k, filter, nprobe, refine, forceExact)
+    }.reduce(_ unionByName _)
+    val scored = m.metric match {
+      case "l2" => l2_distance(col("vec"), col("qvec"))
+      case "cosine" => -cosine_similarity(col("vec"), col("qvec"))
+      case "dot" => -dot_product(col("vec"), col("qvec"))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    filter.fold(candidates)(candidates.filter)
+      .select(col("qid"), scored.as("dist"), col("key"), col("meta"))
+      .groupBy(col("qid"))
+      .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta")).as("hits"))
+      .select(col("qid"), explode(col("hits")).as("h"))
+      .select(col("qid"), col("h.key").as("vector_key"),
+        col("h.dist").as("distance"), col("h.meta").as("metadata"))
+      .orderBy(col("qid"), col("distance"), col("vector_key"))
+  }
+
+  /** One partition's (qid, qvec, key, vec, meta) candidate stream for
+    * [[searchBatch]] — index-pruned when that partition's index is
+    * fresh, exact otherwise. */
+  private def batchCandidates(m: CollectionMeta, q: DataFrame, nQ: => Long,
+      k: Int, filter: Option[Column], nprobe: Int, refine: Int,
+      forceExact: Boolean): DataFrame = {
+    import graft.functions.VectorAggregates
+    val coll = collection(m)
+    ((if (forceExact) None else liveIndex(m, coll)) match {
       case Some(idx) if sq8Indexed(m) =>
         // IVF_SQ8 (l2, or cosine over unit-normalized codes): stage 1
         // ranks the (query × probed quantized cells) pairs with the fused
@@ -1631,21 +2064,7 @@ class GraftClient(spark: SparkSession, root: String) {
         val hint: DataFrame => DataFrame =
           if (nQ <= 100000L) broadcast else identity
         coll.read(spark).crossJoin(hint(q))
-    }
-    val scored = m.metric match {
-      case "l2" => l2_distance(col("vec"), col("qvec"))
-      case "cosine" => -cosine_similarity(col("vec"), col("qvec"))
-      case "dot" => -dot_product(col("vec"), col("qvec"))
-      case other => throw new IllegalArgumentException(s"unknown metric $other")
-    }
-    filter.fold(candidates)(candidates.filter)
-      .select(col("qid"), scored.as("dist"), col("key"), col("meta"))
-      .groupBy(col("qid"))
-      .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta")).as("hits"))
-      .select(col("qid"), explode(col("hits")).as("h"))
-      .select(col("qid"), col("h.key").as("vector_key"),
-        col("h.dist").as("distance"), col("h.meta").as("metadata"))
-      .orderBy(col("qid"), col("distance"), col("vector_key"))
+    }).select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
   }
 
   /** Measured recall@k of the pruned (IVF/IVF_SQ8) search against the
@@ -1665,10 +2084,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * Returns 1.0 trivially when no fresh index exists — the pruned arm
     * IS the exact arm then (search's staleness fallback). */
   def estimateRecall(name: String, k: Int = 10, nprobe: Int = 4,
-                     sampleQueries: Int = 32, refine: Int = 4): Double = {
+                     sampleQueries: Int = 32, refine: Int = 4,
+                     partition: String = GraftClient.DefaultPartition): Double = {
     import spark.implicits._
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
-    val m = metaOrThrow(name)
+    val m = partMeta(metaOrThrow(name), partition)
     val sample = collection(m).read(spark).select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
@@ -1681,9 +2101,9 @@ class GraftClient(spark: SparkSession, root: String) {
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = hits(searchBatch(name, queries, k, nprobe = nprobe,
-      refine = refine, forceExact = true))
+      refine = refine, forceExact = true, partitions = Seq(partition)))
     val approx = hits(searchBatch(name, queries, k, nprobe = nprobe,
-      refine = refine))
+      refine = refine, partitions = Seq(partition)))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
     }
@@ -1743,14 +2163,18 @@ class GraftClient(spark: SparkSession, root: String) {
     *
     * Queries pay one pruned scan + churn-sized anti-join per live
     * segment, so after `compactAt` appends the index auto-compacts —
-    * a merge of index-sized parquet (never a re-tokenize). */
+    * a merge of index-sized parquet (never a re-tokenize). A second
+    * trigger watches the TOMBSTONE ratio (`tombstoneRatioAt`): heavy
+    * re-upsert/delete churn keeps the segment count small while dead
+    * rows pile up, and the count trigger alone would never fire. */
   def appendTextIndex(name: String, docsDelta: DataFrame,
                       deletedKeys: Seq[String] = Nil,
-                      textCol: String = "text", compactAt: Int = 8): Unit = {
+                      textCol: String = "text", compactAt: Int = 8,
+                      tombstoneRatioAt: Double = 0.5): Unit = {
     import spark.implicits._
     appendTextIndexDf(name, docsDelta,
       if (deletedKeys.isEmpty) None else Some(deletedKeys.toDF("key")),
-      textCol, compactAt)
+      textCol, compactAt, tombstoneRatioAt = tombstoneRatioAt)
   }
 
   /** [[appendTextIndex]] with a set-at-a-time deleted-keys frame (one
@@ -1762,18 +2186,36 @@ class GraftClient(spark: SparkSession, root: String) {
   def appendTextIndexDf(name: String, docsDelta: DataFrame,
                         deletedKeys: Option[DataFrame] = None,
                         textCol: String = "text", compactAt: Int = 8,
-                        stampAt: Option[Long] = None): Unit = {
+                        stampAt: Option[Long] = None,
+                        tombstoneRatioAt: Double = 0.5): Unit = {
     val m = metaOrThrow(name)
     require(TextIndex.exists(textDir(m)),
       s"$name has no text index — buildTextIndex first")
     require(compactAt >= 1, s"compactAt must be >= 1 (got $compactAt)")
-    val version = stampAt.orElse(collection(m).currentVersion).getOrElse(
-      throw new IllegalStateException(s"collection $name is empty"))
-    TextIndex.append(docsDelta.select(col("key"), col(textCol)), "key",
-      textCol, textDir(m), deletedKeys.map(_.select(col("key"))))
-    if (TextIndex.segmentCount(textDir(m)) > compactAt)
-      TextIndex.compact(spark, textDir(m))
-    stampVersionFile(textDir(m), version)
+    require(tombstoneRatioAt > 0.0 && tombstoneRatioAt <= 1.0,
+      s"tombstoneRatioAt must be in (0, 1] (got $tombstoneRatioAt)")
+    // The whole maintenance step — append, compaction decision, compact,
+    // stamp — runs as ONE critical section under the text dir's commit
+    // lock (reentrant with append's and compact's own acquisitions): two
+    // concurrent maintainers could otherwise interleave their appends
+    // and stamps and publish a version stamp that regresses past the
+    // other writer's coverage.
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(textDir(m))) {
+      val version = stampAt.orElse(collection(m).currentVersion).getOrElse(
+        throw new IllegalStateException(s"collection $name is empty"))
+      TextIndex.append(docsDelta.select(col("key"), col(textCol)), "key",
+        textCol, textDir(m), deletedKeys.map(_.select(col("key"))))
+      // two triggers, either fires the same index-sized merge: segment
+      // count (append-heavy churn — each segment taxes every query with
+      // a pruned scan + anti-join) and tombstone ratio (re-upsert/delete
+      // churn — few segments, corpus-sized dead weight). The ratio check
+      // costs footer-only counts over the ≤compactAt live segments.
+      if (TextIndex.segmentCount(textDir(m)) > compactAt ||
+          TextIndex.tombstoneRatio(spark, textDir(m)) > tombstoneRatioAt)
+        TextIndex.compact(spark, textDir(m))
+      stampVersionFile(textDir(m), version)
+    }
   }
 
   // The snapshot version the text index is stamped at, IF that stamp
@@ -2007,6 +2449,25 @@ object GraftClient {
     * dimension checks. */
   val MaxKeyLength: Int = 2048
 
+  /** Pagination depth ceiling (`offset + k`), matching Milvus's
+    * offset+limit cap of 16384: deep pagination costs O(offset+k)
+    * memory per partition by construction (every partition bounds to
+    * offset+k rows before the page window), so the cap is the honest
+    * contract — and checking it in Long keeps the downstream Int
+    * arithmetic overflow-free for any accepted arguments. */
+  val MaxPageDepth: Long = 16384L
+
+  /** Bounded attempts for [[GraftClient]]'s commit retry-with-rebase on
+    * a lost CAS race (see mergeCommit). Each retry recomputes the whole
+    * merge against the then-current snapshot, so the bound caps wasted
+    * recompute under sustained contention, not correctness. */
+  val MaxCommitRetries: Int = 6
+
+  /** The implicit partition every collection is born with — Milvus's
+    * `_default`. All single-partition APIs read/write it, so a
+    * partition-free caller never notices partitions exist. */
+  val DefaultPartition: String = "_default"
+
   /** Slack added to range search's triangle-inequality cell compare
     * (`‖q−cᵢ‖ ≤ radius + radiusᵢ + eps`). Cell radii are computed from
     * float32 assign-space vectors against double centers, and summation
@@ -2026,4 +2487,12 @@ object GraftClient {
     * mapping, not added to the chord afterwards. 1e-6 is ~10× the fp
     * error; cost is at most a boundary-grazing extra cell. */
   val CosineSimEps: Double = 1e-6
+
+  /** Cell selection for [[GraftClient.prunedCellsOrScan]]'s `choose`:
+    * inclusion (approximate top-k probes), exclusion (lossless prunes —
+    * unknown cells scanned by construction), or the full layout. */
+  private[api] sealed trait CellChoice
+  private[api] case object AllCells extends CellChoice
+  private[api] final case class KeepCells(cells: Seq[Int]) extends CellChoice
+  private[api] final case class DropCells(cells: Seq[Int]) extends CellChoice
 }

@@ -21,8 +21,15 @@ case class CollectionMeta(
                            // per collection (bucket assignment is
                            // pmod(xxhash64(key), buckets); changing it
                            // would strand rows in unread buckets)
-    retain: Int = 2)       // snapshot versions kept for time-travel reads;
+    retain: Int = 2,       // snapshot versions kept for time-travel reads;
                            // older bucket dirs are vacuumed on commit
+    partitionKey: String = "",  // Milvus partition-key collections: the
+                                // metadata field whose HASH routes each
+                                // row to one of numPartitions physical
+                                // partitions ("" = plain collection)
+    numPartitions: Int = 0)     // partition count for partition-key
+                                // routing — immutable (the route is
+                                // pmod(xxhash64(value), numPartitions))
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -54,6 +61,7 @@ class Catalog(root: String) {
     s"""{"name":"${esc(m.name)}","dim":${m.dim},"metric":"${esc(m.metric)}",""" +
       s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
       s""""buckets":${m.buckets},"retain":${m.retain},""" +
+      s""""partitionKey":"${esc(m.partitionKey)}","numPartitions":${m.numPartitions},""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
@@ -70,11 +78,18 @@ class Catalog(root: String) {
     s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(default)
 
+  private def strFieldOr(json: String, key: String, default: String): String =
+    (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
+      .map(m => unesc(m.group(1))).getOrElse(default)
+
   private def parse(json: String): CollectionMeta =
     CollectionMeta(strField(json, "name"), intField(json, "dim"),
       strField(json, "metric"), strField(json, "indexType"),
       intField(json, "nlist"), strField(json, "dataPath"),
-      intFieldOr(json, "buckets", 16), intFieldOr(json, "retain", 2))
+      intFieldOr(json, "buckets", 16), intFieldOr(json, "retain", 2),
+      // absent in pre-partition catalogs — parse stays backward compatible
+      strFieldOr(json, "partitionKey", ""),
+      intFieldOr(json, "numPartitions", 0))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -122,6 +122,26 @@ object TextIndex {
   /** Number of live segments — the client's auto-compaction trigger. */
   def segmentCount(path: String): Int = readMeta(path)._3.size
 
+  /** Fraction of physically-stored doc rows that are DEAD — tombstoned
+    * prior versions: Σ|tombstones-g| / Σ|doclen-g|. Parquet `count()`s
+    * are satisfied from row-group footers, no data pages. The client's
+    * SECOND auto-compaction trigger: a re-upsert/delete-heavy churn can
+    * keep the segment COUNT small while the per-query tombstone
+    * anti-join grows corpus-sized — segment count alone would never
+    * fire, and every query would pay the dead weight forever. */
+  def tombstoneRatio(spark: SparkSession, path: String): Double = {
+    val (_, schema, gens) = readMeta(path)
+    val ds = doclenSchema(schema)
+    def rows(prefix: String): Long = gens.map { g =>
+      val p = java.nio.file.Paths.get(path, s"$prefix-$g")
+      if (java.nio.file.Files.exists(p))
+        spark.read.schema(ds).parquet(p.toString).count()
+      else 0L
+    }.sum
+    val total = rows("doclen")
+    if (total == 0L) 0.0 else rows("tombstones").toDouble / total
+  }
+
   private val statsSchema = "n_docs BIGINT, avgdl DOUBLE, sum_dlen BIGINT"
 
   // Atomically publish META naming `gens` as the live segment list, then

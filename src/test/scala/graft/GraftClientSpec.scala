@@ -1454,37 +1454,38 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c1 = new GraftClient(spark, root)
     c1.createCollection("mw", dim = 2)
     val c2 = new GraftClient(spark, root)
-    // Two clients interleave upserts to one collection. The commit path
-    // CASes on the snapshot the merge was computed against, so every
-    // write either lands or raises ConcurrentModificationException — the
-    // test retries those, and at the end EVERY acknowledged write must be
-    // present (the lost-update the contract exists to prevent is a write
-    // that "succeeded" but whose rows a concurrent merge clobbered).
-    def writer(client: GraftClient, tag: String, batches: Int): Int = {
-      var retries = 0
+    // Two clients interleave upserts to one collection WITH NO
+    // caller-side retry code: the commit path CASes on the snapshot the
+    // merge was computed against and rebase-retries a lost race
+    // internally (bounded), so every upsert call here must simply land —
+    // and at the end EVERY acknowledged write must be present (the
+    // lost-update the contract exists to prevent is a write that
+    // "succeeded" but whose rows a concurrent merge clobbered).
+    def writer(client: GraftClient, tag: String, batches: Int): Unit =
       (0 until batches).foreach { i =>
-        val df = Seq((s"$tag-$i", Seq(i.toFloat, 0f), Map.empty[String, String]))
-          .toDF("key", "vec", "meta")
-        var done = false
-        while (!done) {
-          try { client.upsert("mw", df); done = true }
-          catch { case _: java.util.ConcurrentModificationException =>
-            retries += 1
-            assert(retries < 100, "concurrent-commit livelock")
-          }
-        }
+        client.upsert("mw",
+          Seq((s"$tag-$i", Seq(i.toFloat, 0f), Map.empty[String, String]))
+            .toDF("key", "vec", "meta"))
       }
-      retries
-    }
     val f1 = Future(writer(c1, "a", 6))
     val f2 = Future(writer(c2, "b", 6))
-    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
     val keys = c1.search("mw", Array(0f, 0f), k = 100)
       .collect().map(_.getAs[String]("vector_key")).toSet
     val expected = ((0 until 6).map(i => s"a-$i") ++ (0 until 6).map(i => s"b-$i")).toSet
     assert(keys == expected,
-      s"acknowledged writes lost: missing ${expected -- keys} " +
-        s"(retries: $r1 + $r2)")
+      s"acknowledged writes lost: missing ${expected -- keys}")
+    // cross-commit last-write-wins survives the rebase: both clients
+    // rewrite the SAME key, serialized by the internal retry — whoever
+    // committed second owns the final value
+    c1.upsert("mw", Seq(("shared", Seq(1f, 0f), Map("by" -> "c1")))
+      .toDF("key", "vec", "meta"))
+    c2.upsert("mw", Seq(("shared", Seq(2f, 0f), Map("by" -> "c2")))
+      .toDF("key", "vec", "meta"))
+    val sh = c1.fetch("mw", Seq("shared")).collect()
+    assert(sh.length == 1 &&
+      sh.head.getAs[Map[String, String]]("meta") == Map("by" -> "c2"),
+      "the later commit must own the key after rebase-retry")
   }
 
   test("createCollection clears orphaned storage instead of resurrecting it") {
@@ -1885,6 +1886,16 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a null-evaluating predicate matches nothing (deleteWhere's rule)
     assert(client.queryWhere("qw",
       element_at(col("meta"), "missing") === "x").count() == 0)
+    // the pushdown claim is a plan fact, not prose: a pushable predicate
+    // must reach the Parquet scan's PushedFilters (an earlier coalesce
+    // wrapper made the whole conjunct untranslatable — this guards the
+    // regression)
+    val pushed = client.queryWhere("qw", col("key") === "k07")
+    val pplan = pushed.queryExecution.executedPlan.toString
+    assert(pplan.contains("PushedFilters: [") &&
+      pplan.contains("EqualTo(key,k07)"),
+      s"key predicate must push to the Parquet row groups, plan was:\n$pplan")
+    assert(pushed.collect().map(_.getAs[String]("key")).toSeq == Seq("k07"))
 
     client.buildIndex("qw", nlist = 2)
     val stats = client.indexStats("qw").collect()
@@ -1932,5 +1943,46 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     // spurious concurrent-modification error
     client.rebucket("iprod", 4)
     assert(client.search("iprod", Array(0f, 0f), k = 20, nprobe = 64).count() == 20)
+  }
+
+  test("dangling alias: the error names both the alias and its resolved target") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dangle").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("dng", dim = 2)
+    client.upsert("dng", Seq(("a", Seq(0f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.createAlias("dnga", "dng"))
+    // simulate the torn state a drop racing alterAlias can leave: the
+    // target's catalog entry gone while the alias file survives. The
+    // data-path error must name BOTH names — a caller who only typed
+    // 'dnga' cannot act on "no such collection: dng"
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/catalog/dng.json"))
+    val err = intercept[IllegalArgumentException](client.describe("dnga"))
+    assert(err.getMessage.contains("dnga") && err.getMessage.contains("'dng'"),
+      s"message must name alias and target, was: ${err.getMessage}")
+    assert(err.getMessage.toLowerCase.contains("dangling"),
+      "message must say the alias is dangling")
+  }
+
+  test("pagination depth is capped at 16384 (Milvus offset+limit parity, overflow-safe)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pagecap").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("pc", dim = 2)
+    client.upsert("pc", (0 until 5).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    // at the cap: accepted (offset+k == 16384)
+    assert(client.search("pc", Array(0f, 0f), k = 4, offset = 16380).count() == 0)
+    // past the cap: loud boundary error, not a wrapped-negative plan failure
+    val err = intercept[IllegalArgumentException](
+      client.search("pc", Array(0f, 0f), k = 10, offset = 16380))
+    assert(err.getMessage.contains("16384"))
+    // the old overflow trap: a huge offset must hit the cap check, never
+    // reach (offset+k)*refine Int arithmetic
+    intercept[IllegalArgumentException](
+      client.search("pc", Array(0f, 0f), k = 10, offset = Int.MaxValue - 5))
   }
 }

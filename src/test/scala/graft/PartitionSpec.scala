@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** Milvus partition surface (create/drop/list + `partition_names`
+  * scoping + partition-key collections): each partition is its own
+  * bucketed store + index, so a scoped read prunes at the DIRECTORY
+  * level — asserted on the physical plan, not just on values. */
+class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("partition-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newClient(): (GraftClient, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-part").toString
+    (new GraftClient(spark, root), root)
+  }
+
+  private def row(key: String, x: Float, tag: String = "t") =
+    (key, Seq(x, 0f), Map("tag" -> tag))
+
+  test("lifecycle: create/list/has/drop, default irremovable, illegal names refused") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("pl", dim = 2)
+    assert(client.listPartitions("pl") == Seq("_default"))
+    assert(client.createPartition("pl", "hot"))
+    assert(!client.createPartition("pl", "hot"), "idempotent create")
+    assert(!client.createPartition("pl", "_default"), "default already exists")
+    assert(client.createPartition("pl", "cold"))
+    assert(client.listPartitions("pl") == Seq("_default", "cold", "hot"))
+    assert(client.hasPartition("pl", "hot") && !client.hasPartition("pl", "warm"))
+    intercept[IllegalArgumentException](client.createPartition("pl", "no/slash"))
+    intercept[IllegalArgumentException](client.dropPartition("pl", "_default"))
+    assert(client.dropPartition("pl", "cold"))
+    assert(!client.dropPartition("pl", "cold"), "already gone")
+    assert(client.listPartitions("pl") == Seq("_default", "hot"))
+    // upsert into an uncreated partition fails loudly, not silently
+    intercept[IllegalArgumentException](client.upsert("pl",
+      Seq(row("x", 1f)).toDF("key", "vec", "meta"), partition = "warm"))
+  }
+
+  test("scoped writes and reads: search/count/fetch/queryWhere honor partition_names") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("ps", dim = 2)
+    client.createPartition("ps", "p1")
+    client.createPartition("ps", "p2")
+    client.upsert("ps", Seq(row("d0", 0.1f)).toDF("key", "vec", "meta"))
+    client.upsert("ps", Seq(row("a1", 1f), row("a2", 2f)).toDF("key", "vec", "meta"),
+      partition = "p1")
+    client.upsert("ps", Seq(row("b1", 3f), row("b2", 4f)).toDF("key", "vec", "meta"),
+      partition = "p2")
+    // unscoped = everything, scoped = only the named partitions' rows
+    assert(client.count("ps") == 5)
+    assert(client.count("ps", Seq("p1")) == 2)
+    assert(client.count("ps", Seq("_default", "p2")) == 3)
+    val all = client.search("ps", Array(0f, 0f), k = 10)
+      .collect().map(_.getAs[String]("vector_key")).toSeq
+    assert(all == Seq("d0", "a1", "a2", "b1", "b2"),
+      "unscoped search ranks across every partition")
+    val scoped = client.search("ps", Array(0f, 0f), k = 10, partitions = Seq("p2"))
+    val splan = scoped.queryExecution.executedPlan.toString
+    assert(splan.contains("-parts/p2/store"),
+      "scoped search must read the named partition's store")
+    assert(!splan.contains("-parts/p1/store"),
+      "scoped search must NOT touch other partitions' directories — " +
+        "partition scoping is a directory-level prune")
+    assert(scoped.collect().map(_.getAs[String]("vector_key")).toSeq == Seq("b1", "b2"))
+    intercept[IllegalArgumentException](
+      client.search("ps", Array(0f, 0f), k = 2, partitions = Seq("nope")))
+    // fetch: the same key can live in several partitions (Milvus PKs are
+    // per-partition); scoping narrows which copies a get sees
+    client.upsert("ps", Seq(row("dup", 5f, "inP1")).toDF("key", "vec", "meta"),
+      partition = "p1")
+    client.upsert("ps", Seq(row("dup", 6f, "inP2")).toDF("key", "vec", "meta"),
+      partition = "p2")
+    assert(client.fetch("ps", Seq("dup")).count() == 2)
+    assert(client.fetch("ps", Seq("dup"), Seq("p1")).collect()
+      .map(_.getAs[Map[String, String]]("meta")("tag")).toSeq == Seq("inP1"))
+    // queryWhere scoping
+    assert(client.queryWhere("ps", col("key").startsWith("b"),
+      partitions = Seq("p2")).count() == 2)
+    assert(client.queryWhere("ps", col("key").startsWith("b"),
+      partitions = Seq("p1")).count() == 0)
+    // scoped delete removes only that partition's copy; unscoped delete
+    // sweeps every partition
+    client.deleteByKeys("ps", Seq("dup"), Seq("p2"))
+    assert(client.fetch("ps", Seq("dup")).count() == 1)
+    client.deleteByKeys("ps", Seq("a1", "b1"))
+    assert(client.count("ps") == 4) // d0, a2, b2, dup@p1
+    // deleteWhere per-partition resolve
+    client.deleteWhere("ps", element_at(col("meta"), "tag") === "inP1")
+    assert(client.fetch("ps", Seq("dup")).count() == 0)
+  }
+
+  test("per-partition IVF: build all, scoped search rides that partition's prune") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("pi", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.createPartition("pi", "px")
+    // two clusters per partition so nlist=2 separates them
+    client.upsert("pi", (0 until 20).map(i =>
+      (s"d$i", Seq(if (i < 10) 0f else 100f, i.toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.upsert("pi", (0 until 20).map(i =>
+      (s"x$i", Seq(if (i < 10) 0f else 100f, i.toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"), partition = "px")
+    client.buildIndex("pi", nlist = 2) // builds EVERY non-empty partition
+    // scoped + pruned: only px's near cell feeds the result
+    val hits = client.search("pi", Array(0f, 0f), k = 10, nprobe = 1,
+      partitions = Seq("px")).collect().map(_.getAs[String]("vector_key"))
+    assert(hits.toSeq == (0 until 10).map(i => s"x$i"),
+      "scoped pruned search returns exactly px's near cluster")
+    val plan = client.search("pi", Array(0f, 0f), k = 10, nprobe = 1,
+      partitions = Seq("px")).queryExecution.executedPlan.toString
+    assert(plan.contains("-parts/px/store-ivf"),
+      "scoped search must ride the PARTITION'S index layout")
+    // unscoped search unions both partitions' pruned scans
+    assert(client.search("pi", Array(0f, 0f), k = 20, nprobe = 2)
+      .count() == 20)
+    // per-partition observability
+    assert(client.indexStats("pi", partition = "px")
+      .collect().map(_.getAs[Long]("n_rows")).sum == 20)
+    assert(client.estimateRecall("pi", k = 5, nprobe = 2, sampleQueries = 8,
+      partition = "px") == 1.0)
+  }
+
+  test("partition-key collection: hash routing, value-scoped search, manual partitions refused") {
+    import spark.implicits._
+    val (client, root) = newClient()
+    client.createCollection("pk", dim = 2, partitionKey = "tenant",
+      numPartitions = 4)
+    assert(client.listPartitions("pk").toSet ==
+      (Set("_default") ++ (0 until 4).map(i => s"_pk_$i")))
+    intercept[IllegalArgumentException](client.createPartition("pk", "manual"))
+    intercept[IllegalArgumentException](client.dropPartition("pk", "_pk_0"))
+    intercept[IllegalArgumentException](client.upsert("pk",
+      Seq(row("k", 1f)).toDF("key", "vec", "meta"), partition = "_pk_1"))
+    val rows = (0 until 30).map { i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map("tenant" -> s"t${i % 3}"))
+    }
+    client.upsert("pk", rows.toDF("key", "vec", "meta"))
+    assert(client.count("pk") == 30)
+    // a row missing the partition key fails the whole batch loudly
+    val err = intercept[Exception](client.upsert("pk",
+      Seq(("bad", Seq(1f, 0f), Map.empty[String, String])).toDF("key", "vec", "meta")))
+    assert(err.getMessage != null)
+    assert(client.count("pk") == 30, "failed batch must commit nothing")
+    // value scoping: exactly tenant t1's rows, from its hashed partition
+    val t1 = client.search("pk", Array(0f, 0f), k = 30,
+      partitionKeyValues = Seq("t1"))
+    assert(t1.collect().map(_.getAs[String]("vector_key")).toSet ==
+      (0 until 30).filter(_ % 3 == 1).map(i => s"k$i").toSet,
+      "value-scoped search returns exactly that tenant's rows")
+    val t1plan = t1.queryExecution.executedPlan.toString
+    val touched = (0 until 4).count(i => t1plan.contains(s"_pk_$i/store"))
+    assert(touched == 1,
+      s"one value must hash to ONE physical partition (plan touched $touched)")
+    // routing is consistent: delete by key finds the routed copies
+    client.deleteByKeys("pk", Seq("k1", "k4"))
+    assert(client.count("pk") == 28)
+    intercept[IllegalArgumentException](client.search("pk", Array(0f, 0f),
+      k = 2, partitions = Seq("_pk_0"), partitionKeyValues = Seq("t0")))
+    // partitionKey survives the catalog round-trip
+    val c2 = new GraftClient(spark, root)
+    assert(c2.describe("pk").partitionKey == "tenant" &&
+      c2.describe("pk").numPartitions == 4)
+  }
+
+  test("aliases compose with partitions; drop destroys partition storage") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("pa", dim = 2)
+    client.createPartition("pa", "live")
+    client.upsert("pa", Seq(row("r1", 1f)).toDF("key", "vec", "meta"),
+      partition = "live")
+    client.createAlias("pa-alias", "pa")
+    assert(client.listPartitions("pa-alias") == Seq("_default", "live"))
+    assert(client.search("pa-alias", Array(0f, 0f), k = 5,
+      partitions = Seq("live")).count() == 1)
+    assert(client.upsert("pa-alias", Seq(row("r2", 2f)).toDF("key", "vec", "meta"),
+      partition = "live") == 2)
+    // rebucket refuses partitioned collections rather than stranding them
+    intercept[IllegalArgumentException](client.rebucket("pa", 4))
+    val partsPath = java.nio.file.Paths.get(
+      client.describe("pa").dataPath + "-parts")
+    assert(java.nio.file.Files.exists(partsPath))
+    client.dropAlias("pa-alias")
+    client.drop("pa")
+    assert(!java.nio.file.Files.exists(partsPath),
+      "drop must destroy partition storage — a re-created name must not resurrect it")
+  }
+}

@@ -361,6 +361,88 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.searchLexical("ap", empty, Seq("payload"), k = 50).count() == 21)
   }
 
+  test("client: tombstone-ratio trigger compacts a re-upsert-heavy index the count trigger misses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-tomb").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("tb", dim = 2)
+    def vec = Seq(1.0f, 0.0f)
+    val n = 40
+    client.upsert("tb", (0 until n).map(i =>
+      (s"k$i", vec, Map.empty[String, String])).toDF("key", "vec", "meta"))
+    client.buildTextIndex("tb", (0 until n).map(i =>
+      (s"k$i", s"doc $i payload")).toDF("key", "text"))
+    val tdir = client.describe("tb").dataPath + "-text"
+    // a small re-upsert (25% dead) stays under the default ratio AND the
+    // count trigger: 2 segments survive
+    client.upsert("tb", (0 until 10).map(i =>
+      (s"k$i", vec, Map.empty[String, String])).toDF("key", "vec", "meta"))
+    client.appendTextIndex("tb", (0 until 10).map(i =>
+      (s"k$i", s"doc $i payload revised")).toDF("key", "text"))
+    assert(graft.index.TextIndex.segmentCount(tdir) == 2,
+      "ratio 10/50 = 0.2 must not fire the default 0.5 trigger")
+    // a mass re-upsert makes HALF the stored rows dead while the segment
+    // count (3) stays far under compactAt=8 — only the ratio trigger can
+    // see this; it must fold the index
+    client.upsert("tb", (0 until n).map(i =>
+      (s"k$i", vec, Map.empty[String, String])).toDF("key", "vec", "meta"))
+    client.appendTextIndex("tb", (0 until n).map(i =>
+      (s"k$i", s"doc $i payload final")).toDF("key", "text"),
+      tombstoneRatioAt = 0.4)
+    assert(graft.index.TextIndex.segmentCount(tdir) == 1,
+      "50/90 dead rows must fire the 0.4 ratio trigger despite 3 < compactAt segments")
+    // parity survives the fold: postings == raw-text scoring, exactly
+    val corpus = (0 until n).map(i => (s"k$i", s"doc $i payload final"))
+      .toDF("key", "text")
+    val viaIdx = client.searchLexical("tb", corpus, Seq("payload", "final"), k = 50)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaRaw = client.searchLexical("tb", corpus, Seq("payload", "final"), k = 50,
+      useIndex = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaIdx == viaRaw, "compacted postings must score bit-identically to raw")
+  }
+
+  test("client: segment count stays bounded under a sustained append churn loop") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ti-churn").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("ch", dim = 2)
+    def vec = Seq(1.0f, 0.0f)
+    val live = scala.collection.mutable.Map[String, String]()
+    (0 until 5).foreach(i => live(s"k$i") = s"seed doc $i payload")
+    client.upsert("ch", live.toSeq.map { case (k, _) =>
+      (k, vec, Map.empty[String, String]) }.toDF("key", "vec", "meta"))
+    client.buildTextIndex("ch", live.toSeq.toDF("key", "text"))
+    val tdir = client.describe("ch").dataPath + "-text"
+    // 12 rounds of mixed churn: one brand-new doc + one re-upsert per
+    // round, maintenance with compactAt=3 — the segment list must stay
+    // bounded (<= 4: it can reach compactAt+1 transiently inside the
+    // round, the NEXT append folds it) for the whole run, never drift
+    (0 until 12).foreach { i =>
+      val delta = Seq(
+        (s"n$i", s"new doc $i payload"),
+        (s"k${i % 5}", s"seed doc ${i % 5} payload rev$i"))
+      delta.foreach { case (k, t) => live(k) = t }
+      client.upsert("ch", delta.map { case (k, _) =>
+        (k, vec, Map.empty[String, String]) }.toDF("key", "vec", "meta"))
+      client.appendTextIndex("ch", delta.toDF("key", "text"), compactAt = 3)
+      val segs = graft.index.TextIndex.segmentCount(tdir)
+      assert(segs <= 4, s"round $i: segment count $segs drifted past the bound")
+    }
+    // end state: fresh, and postings scoring == raw scoring bit-for-bit
+    val corpus = live.toSeq.toDF("key", "text")
+    val idxFrame = client.searchLexical("ch", corpus, Seq("payload", "doc"), k = 50)
+    assert(idxFrame.queryExecution.executedPlan.toString.contains("postings-"),
+      "the index path must actually be serving (fresh), or the parity check is vacuous")
+    val viaIdx = idxFrame
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaRaw = client.searchLexical("ch", corpus, Seq("payload", "doc"), k = 50,
+      useIndex = false)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaIdx == viaRaw,
+      "after 12 churn rounds the postings path must score bit-identically to raw")
+  }
+
   test("client: streaming ingest with maintainTextIndex keeps lexical search fresh") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ti-stream").toString
