@@ -396,6 +396,36 @@ object VectorScaleBench {
       time { rngPrunedIds = rngOnce() }, time { rngPrunedIds = rngOnce() })
     val rngMatch = rngPrunedIds == rngExactIds
 
+    // Grouped search at HIGH group cardinality (r9) — the "one hit per
+    // source document" pattern: n/2 distinct groups over n rows, FLAT
+    // (exact scan — worst case for the group-ranking stage, every row a
+    // candidate). The two-pass shape (min-agg + TakeOrdered(k) collect,
+    // then broadcast-join under the bounded heap) must stay flat in
+    // |groups|; the retired rank-window shape serialized all n/2 groups'
+    // survivors through ONE task here. Correctness: the emitted group
+    // ranking must equal the exact per-group-best ranking computed
+    // directly on the raw frame.
+    val grpRoot = tmpDir("graft-scale-grp")
+    val grpClient = new graft.api.GraftClient(spark, grpRoot)
+    grpClient.createCollection("benchgrp", dim = dim, metric = "l2")
+    grpClient.upsert("benchgrp", cvecs.select(
+      col("vec_id").cast("string").as("key"), col("vec"),
+      map(lit("g"), (col("vec_id") / 2).cast("long").cast("string")).as("meta")))
+    def grpOnce(): Seq[String] =
+      grpClient.searchGrouped("benchgrp", cq, k = 10, groupByKey = "g",
+        groupSize = 2).collect().map(_.getString(0)).distinct.toSeq
+    grpOnce()
+    var grpTop: Seq[String] = Nil
+    val groupedHcSec = math.min(
+      time { grpTop = grpOnce() }, time { grpTop = grpOnce() })
+    val grpExpected = cvecs
+      .select((col("vec_id") / 2).cast("long").cast("string").as("g"),
+        l2_distance(col("vec"), typedLit(cq)).as("dist"))
+      .groupBy(col("g")).agg(min(col("dist")).as("best"))
+      .orderBy(col("best"), col("g")).limit(10)
+      .collect().map(_.getString(0)).toSeq
+    val groupedHcMatch = grpTop == grpExpected
+
     val rowsPerSec = (n / exactSec).toLong
     println(
       s"""{"metric":"vector_scale","n":$n,"dim":$dim,"gen_sec":$buildSec,""" +
@@ -433,7 +463,9 @@ object VectorScaleBench {
         // Infinity/NaN — invalid JSON — into the line
         s""""range_clustered_speedup":${
           if (rngPrunedSec > 0) f"${rngExactSec / rngPrunedSec}%.4f" else "null"},""" +
-        s""""range_clustered_match":$rngMatch}""")
+        s""""range_clustered_match":$rngMatch,""" +
+        s""""grouped_hc_groups":${n / 2},"grouped_hc_sec":$groupedHcSec,""" +
+        s""""grouped_hc_match":$groupedHcMatch}""")
     spark.stop()
     // multi-GB scratch (two datasets, three index copies, two client
     // stores) — clean it before exit so repeated runs don't fill /tmp

@@ -155,6 +155,21 @@ class GraftClient(spark: SparkSession, root: String) {
     require(catalog.resolveAlias(name).isEmpty,
       s"'$name' is an existing alias (→ ${catalog.resolveAlias(name).getOrElse("")}) " +
         "— drop it first or pick another collection name")
+    // derived-path suffixes are RESERVED: collection 'x' owns the
+    // sibling dirs '<dataPath>-ivf', '-text', '-parts', so a collection
+    // literally named 'x-parts' would alias x's partition registry —
+    // x's drop() would destroy it, and x's listPartitions would read its
+    // bucket dirs as partitions. Refuse at the boundary; '.rb' rebucket
+    // targets can't collide ('.' is not a legal name character).
+    Seq("-ivf", "-text", "-parts").foreach(sfx =>
+      require(!name.endsWith(sfx),
+        s"collection names ending in '$sfx' are reserved (derived index/" +
+          "partition storage of the unsuffixed name) — pick another name"))
+    // the partition key is matched by element_at against meta and
+    // round-trips through the catalog JSON — keep it identifier-shaped,
+    // like Milvus field names
+    require(partitionKey.isEmpty || partitionKey.matches("[A-Za-z0-9_\\-]+"),
+      s"illegal partitionKey '$partitionKey' — use [A-Za-z0-9_-]+")
     // partition-key collections (Milvus `partition_key_field` +
     // `num_partitions`): rows route by hash of meta[partitionKey] into
     // engine-managed physical partitions, pre-created below. Immutable,
@@ -311,10 +326,22 @@ class GraftClient(spark: SparkSession, root: String) {
       val dir = java.nio.file.Paths.get(partsDir(m), partition)
       if (!java.nio.file.Files.exists(dir)) false
       else {
-        // the partition's version-keyed caches die with it — nothing
-        // will ever evict them otherwise (same rule as drop())
-        invalidateIndexCaches(partMeta(m, partition).name)
-        deleteDir(dir.toString)
+        // the delete additionally holds the partition STORE's commit
+        // lock (ordering: parts dir → store, the same order every other
+        // taker uses — no deadlock): an in-flight merge-commit to this
+        // partition finishes or fully retries before the directory goes,
+        // never interleaves with the delete into a torn store. A write
+        // that LOSES this race and retries after the drop recreates the
+        // partition whole with its batch — drop-vs-write is last-actor-
+        // wins, the same as a racing createPartition (Milvus promises
+        // nothing stronger).
+        graft.streaming.BucketedKeyedCollection.withCommitLock(
+            java.nio.file.Paths.get(partMeta(m, partition).dataPath)) {
+          // the partition's version-keyed caches die with it — nothing
+          // will ever evict them otherwise (same rule as drop())
+          invalidateIndexCaches(partMeta(m, partition).name)
+          deleteDir(dir.toString)
+        }
         true
       }
     }
@@ -364,7 +391,10 @@ class GraftClient(spark: SparkSession, root: String) {
       .reduce(_ unionByName _)
 
   private def countParts(m: CollectionMeta, partitions: Seq[String]): Long =
-    resolveParts(m, partitions).map(p => liveCount(partMeta(m, p))).sum
+    // ONE count job over the union (parquet count() is footer-only) —
+    // a per-partition liveCount loop would schedule numPartitions jobs
+    // on every write-path return value
+    readParts(m, partitions).count()
 
   /** The physical partition a partition-key VALUE routes to — the same
     * stable hash both the write router and read scoping use:
@@ -1458,6 +1488,8 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    require(k >= 1, s"k must be >= 1 (got $k)") // Milvus errors on
+                                                // limit=0 the same way
     require(refine >= 1, s"refine must be >= 1 (got $refine) — 0 would " +
       "silently return no candidates from the SQ8 stage-1 limit")
     require(offset >= 0, s"offset must be >= 0 (got $offset)")
@@ -1702,6 +1734,10 @@ class GraftClient(spark: SparkSession, root: String) {
     // Soundness no longer leans on the stamp-ordering invariant.
     // Partition scope: each partition prunes against ITS OWN index's
     // radii, and the union keeps the lossless guarantee partition-wise.
+    // Each arm projects to the shared (key, vec, meta) shape BEFORE the
+    // union: a fresh-index arm reads the cells layout (which carries
+    // centroidId) while a stale/empty arm reads the raw store — mixed
+    // per-partition index state must union cleanly, not throw.
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
@@ -1713,7 +1749,7 @@ class GraftClient(spark: SparkSession, root: String) {
               centerDist(cell) > r + rc + GraftClient.RangePruneEps => cell
           }.toSeq): GraftClient.CellChoice
         }).getOrElse(GraftClient.AllCells)
-      }
+      }.select(col("key"), col("vec"), col("meta"))
     }.reduce(_ unionByName _)
     val out = filter.fold(base)(base.filter)
       .select(col("key").as("vector_key"),
@@ -1769,13 +1805,16 @@ class GraftClient(spark: SparkSession, root: String) {
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    // each arm projects to (key, vec, meta) before the union — a
+    // fresh-index arm's cells layout carries centroidId, a stale/empty
+    // arm's store scan does not, and mixed state must union cleanly
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
       prunedCellsOrScan(pm, coll, liveIndex(pm, coll)) { idx =>
         val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
         GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
-      }
+      }.select(col("key"), col("vec"), col("meta"))
     }.reduce(_ unionByName _)
     val cand = filter.fold(base)(base.filter)
       .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
@@ -1838,12 +1877,15 @@ class GraftClient(spark: SparkSession, root: String) {
     // exactly as for any cached-and-lost intermediate.
     val keyed = keys.select(col("key")).filter(col("key").isNotNull)
       .distinct().localCheckpoint()
-    // per-partition touched-bucket prune, one union: a get scoped to
-    // `partitions` reads only those partitions' bucket dirs (Milvus
+    // the bucket assignment (pmod(xxhash64(key), buckets)) is identical
+    // across a collection's partitions, so the touched-bucket ids are
+    // computed ONCE — not one collect job per partition — and each arm
+    // reads only its own partition's copies of those buckets (Milvus
     // get(ids, partition_names) parity)
-    resolveParts(m, partitions).map { p =>
+    val parts = resolveParts(m, partitions)
+    val touched = touchedBuckets(collection(partMeta(m, parts.head)), keyed)
+    parts.map { p =>
       val coll = collection(partMeta(m, p))
-      val touched = touchedBuckets(coll, keyed)
       if (touched.isEmpty) coll.read(spark).filter(lit(false))
         .select("key", "vec", "meta")
       else coll.readBuckets(spark, touched)
@@ -1954,6 +1996,7 @@ class GraftClient(spark: SparkSession, root: String) {
                   partitions: Seq[String] = Nil): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
+    require(k >= 1, s"k must be >= 1 (got $k)")
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val q = queries.select(col("qid").cast("long").as("qid"),
       assert_dim(col("qvec"), m.dim).as("qvec"))

@@ -179,6 +179,36 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       c2.describe("pk").numPartitions == 4)
   }
 
+  test("mixed per-partition index state: fresh-index arm unions with raw-scan arm") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("mx", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    // index exists for _default only; 'late' is written AFTER the build,
+    // so its arm serves the raw store scan while _default serves the
+    // cells layout (which carries an extra centroidId column) — the
+    // union across them must resolve, and results must cover both
+    client.upsert("mx", (0 until 10).map(i =>
+      (s"d$i", Seq(i.toFloat, 0f), Map("g" -> s"d$i")))
+      .toDF("key", "vec", "meta"))
+    client.buildIndex("mx", nlist = 2)
+    client.createPartition("mx", "late")
+    client.upsert("mx", (0 until 10).map(i =>
+      (s"l$i", Seq(i.toFloat + 0.5f, 0f), Map("g" -> s"l$i")))
+      .toDF("key", "vec", "meta"), partition = "late")
+    assert(client.search("mx", Array(0f, 0f), k = 4, nprobe = 2).collect()
+      .map(_.getAs[String]("vector_key")).toSeq == Seq("d0", "l0", "d1", "l1"))
+    assert(client.searchRange("mx", Array(0f, 0f), radius = 1.6).collect()
+      .map(_.getAs[String]("vector_key")).toSeq == Seq("d0", "l0", "d1", "l1"),
+      "range search must union the indexed and unindexed partitions")
+    assert(client.searchGrouped("mx", Array(0f, 0f), k = 3, groupByKey = "g")
+      .collect().map(_.getAs[String]("vector_key")).toSeq == Seq("d0", "l0", "d1"),
+      "grouped search must union the indexed and unindexed partitions")
+    val qs = Seq((0L, Seq(0f, 0f))).toDF("qid", "qvec")
+    assert(client.searchBatch("mx", qs, k = 3, nprobe = 2).collect()
+      .map(_.getAs[String]("vector_key")).toSeq == Seq("d0", "l0", "d1"),
+      "batched search must union mixed-state partitions")
+  }
+
   test("aliases compose with partitions; drop destroys partition storage") {
     import spark.implicits._
     val (client, _) = newClient()
