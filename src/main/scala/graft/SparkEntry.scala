@@ -18,7 +18,8 @@ object SparkEntry {
     _root_.graft.queries.DedupQueries.queries,
     _root_.graft.queries.CoverageQueries.queries,
     _root_.graft.queries.EventAnalyticsQueries.queries,
-    _root_.graft.queries.PipelineQueries.queries
+    _root_.graft.queries.PipelineQueries.queries,
+    _root_.graft.queries.SparseBinaryQueries.queries
   )
 
   private def sqlMaps: Seq[Map[String, String]] = Seq(
@@ -31,7 +32,8 @@ object SparkEntry {
     _root_.graft.queries.DedupQueries.oracleSql,
     _root_.graft.queries.CoverageQueries.oracleSql,
     _root_.graft.queries.EventAnalyticsQueries.oracleSql,
-    _root_.graft.queries.PipelineQueries.oracleSql
+    _root_.graft.queries.PipelineQueries.oracleSql,
+    _root_.graft.queries.SparseBinaryQueries.oracleSql
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -1927,6 +1927,173 @@ class GraftClient(spark: SparkSession, root: String) {
       .select(col("key"), col("vec"), col("meta"))
       .orderBy(col("key"))
     limit.fold(out)(out.limit)
+  }
+
+  /** Milvus `search_iterator`: distance-ordered batched iteration WITHOUT
+    * the [[GraftClient.MaxPageDepth]] offset cap — the cap exists because
+    * offset paging costs O(offset+k) per page, and Milvus ships an
+    * iterator for exactly this reason. Ours pages on a strict
+    * (distance, vector_key) keyset cursor instead of a growing offset:
+    * each page filters the scored candidate stream to rows strictly
+    * after the cursor and takes the next `batchSize` — so on the exact
+    * and IVF_FLAT paths EVERY page is one bounded
+    * TakeOrderedAndProject(batch) job regardless of depth (no growing
+    * window, no full sort; total work for a full drain is
+    * O(pages · scan), the price of distance-ordered iteration without a
+    * distance-sorted at-rest layout). Pages tile the ranking exactly:
+    * concatenating them equals one giant search, same tie-breaks.
+    *
+    * Coverage contract matches [[search]]: with a fresh prunable index
+    * the iterator enumerates the `nprobe` probed cells' rows (recall
+    * governed by nprobe; pass `nprobe >= nlist` to drain the whole
+    * collection through the index); the exact-scan path enumerates
+    * everything. IVF_SQ8 partitions bound stage 1 to (page·batch)·refine
+    * candidates, so SQ8 iteration deepens like offset paging and keeps
+    * the MaxPageDepth cap — drop to FLAT for unbounded drains.
+    *
+    * Consistency: the iterator pins each partition's snapshot version at
+    * creation and CHECKS it before every page — a commit landing
+    * mid-iteration raises ConcurrentModificationException (pages from
+    * different snapshots could repeat or skip rows) unless `allowDrift`;
+    * Milvus iterators hold a consistency guarantee the same way. Keys
+    * duplicated ACROSS scoped partitions tie on (distance, key) and the
+    * cursor cannot order within the tie — dedupe per-partition keys
+    * upstream if you scope multiple partitions (Milvus PKs are likewise
+    * only unique per partition).
+    *
+    * Each element is one collected page (≤ batchSize rows of
+    * (vector_key, distance, metadata), caller-bounded memory). */
+  def searchIterator(name: String, qvec: Array[Float], batchSize: Int,
+                     filter: Option[Column] = None, nprobe: Int = 4,
+                     refine: Int = 4, partitions: Seq[String] = Nil,
+                     allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+    val m = metaOrThrow(name)
+    require(qvec.length == m.dim,
+      s"query dimension ${qvec.length} != collection dimension ${m.dim}")
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    require(refine >= 1, s"refine must be >= 1 (got $refine)")
+    val parts = resolveParts(m, partitions)
+    val pinned: Seq[(String, Option[Long])] =
+      parts.map(p => p -> collection(partMeta(m, p)).currentVersion)
+    val fOpt = filter // `filter` inside the Iterator body is Iterator.filter
+    new Iterator[Seq[Row]] {
+      private var cursor: Option[(Double, String)] = None
+      private var page = 0
+      private var pending: Seq[Row] = null
+      private var exhausted = false
+
+      private def fetchPage(): Seq[Row] = {
+        if (!allowDrift) pinned.foreach { case (p, v0) =>
+          val now = collection(partMeta(m, p)).currentVersion
+          if (now != v0) throw new java.util.ConcurrentModificationException(
+            s"collection '$name' partition '$p' advanced from version $v0 to $now " +
+              "mid-iteration — restart the iterator, or pass allowDrift = true " +
+              "to accept pages from mixed snapshots")
+        }
+        // depth only bounds the SQ8 stage-1 pool; FLAT/exact paths
+        // ignore it and stay O(batch) per page at ANY depth
+        val depth = (page.toLong + 1) * batchSize
+        if (depth > GraftClient.MaxPageDepth &&
+            parts.exists(p => sq8Indexed(partMeta(m, p)))) {
+          throw new IllegalStateException(
+            s"SQ8 iterator depth $depth exceeds ${GraftClient.MaxPageDepth} — " +
+              "SQ8 stage-1 deepens like offset paging (candidates ∝ pages·batch); " +
+              "use a FLAT/IVF_FLAT collection for unbounded drains")
+        }
+        val scored = parts
+          .map(p => scoredCandidates(partMeta(m, p), qvec, fOpt, nprobe,
+            refine, depth.min(Int.MaxValue.toLong).toInt))
+          .reduce(_ unionByName _)
+        val after = cursor.fold(scored) { case (d, k0) =>
+          scored.filter(col("distance") > d ||
+            (col("distance") === d && col("vector_key") > k0))
+        }
+        val rows = after.orderBy(col("distance"), col("vector_key"))
+          .limit(batchSize).collect().toSeq
+        page += 1
+        rows.lastOption.foreach(r => cursor = Some((r.getDouble(1), r.getString(0))))
+        rows
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !exhausted) {
+          val rows = fetchPage()
+          if (rows.length < batchSize) exhausted = true // short page: drained
+          if (rows.nonEmpty) pending = rows
+        }
+        pending != null
+      }
+
+      override def next(): Seq[Row] = {
+        if (!hasNext) throw new NoSuchElementException("search iterator drained")
+        val out = pending; pending = null; out
+      }
+    }
+  }
+
+  /** Milvus `query_iterator`: scalar iteration over every row matching
+    * `filter`, batched on a PRIMARY-KEY keyset cursor (`key > last`,
+    * `ORDER BY key LIMIT batch`). The cursor predicate is a plain
+    * comparison on the stored key column, so it reaches the Parquet row
+    * groups (PushedFilters) and every page is one bounded top-batch job —
+    * no offset window, no depth cap, constant memory for a full-table
+    * export. Pages tile `queryWhere(filter)` ordered by key exactly.
+    * Rows carry (key, vec, meta) like [[queryWhere]], plus a `__part`
+    * tag when multiple partitions are scoped (the cursor orders on
+    * (key, __part) so cross-partition duplicate keys cannot straddle a
+    * page boundary and silently drop).
+    *
+    * Same snapshot pin as [[searchIterator]]: a mid-iteration commit
+    * raises unless `allowDrift`. */
+  def queryIterator(name: String, filter: Column, batchSize: Int,
+                    partitions: Seq[String] = Nil,
+                    allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+    val m = metaOrThrow(name)
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val parts = resolveParts(m, partitions)
+    val pinned: Seq[(String, Option[Long])] =
+      parts.map(p => p -> collection(partMeta(m, p)).currentVersion)
+    val tagged = parts
+      .map(p => collection(partMeta(m, p)).read(spark)
+        .select(col("key"), col("vec"), col("meta"), lit(p).as("__part")))
+      .reduce(_ unionByName _)
+      .filter(filter)
+    new Iterator[Seq[Row]] {
+      private var cursor: Option[(String, String)] = None // (key, part)
+      private var pending: Seq[Row] = null
+      private var exhausted = false
+
+      private def fetchPage(): Seq[Row] = {
+        if (!allowDrift) pinned.foreach { case (p, v0) =>
+          val now = collection(partMeta(m, p)).currentVersion
+          if (now != v0) throw new java.util.ConcurrentModificationException(
+            s"collection '$name' partition '$p' advanced from version $v0 to $now " +
+              "mid-iteration — restart the iterator, or pass allowDrift = true")
+        }
+        val after = cursor.fold(tagged) { case (k0, p0) =>
+          tagged.filter(col("key") > k0 ||
+            (col("key") === k0 && col("__part") > p0))
+        }
+        val rows = after.orderBy(col("key"), col("__part"))
+          .limit(batchSize).collect().toSeq
+        rows.lastOption.foreach(r => cursor = Some((r.getString(0), r.getString(3))))
+        rows
+      }
+
+      override def hasNext: Boolean = {
+        if (pending == null && !exhausted) {
+          val rows = fetchPage()
+          if (rows.length < batchSize) exhausted = true
+          if (rows.nonEmpty) pending = rows
+        }
+        pending != null
+      }
+
+      override def next(): Seq[Row] = {
+        if (!hasNext) throw new NoSuchElementException("query iterator drained")
+        val out = pending; pending = null; out
+      }
+    }
   }
 
   /** Index observability: per-cell occupancy and radius of the CURRENT

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables.t
+import graft.functions.BinaryVectorFunctions._
+
+/** Binary-vector metrics + sparse-vector search (Milvus BINARY_VECTOR /
+  * SPARSE_FLOAT_VECTOR envelope — the two vector families the reference's
+  * backend supports beyond dense float, `milvus-app/` drives the dense one).
+  *
+  * Scale posture:
+  *   - The binary KNNs plan exactly like the dense family —
+  *     `TakeOrderedAndProject(Project(dist, Scan))`, one fused codegen pass
+  *     holding k rows per partition — but the per-row work is 6 XOR+popcounts
+  *     over packed longs instead of 384 float ops, which is why sign-bit
+  *     pre-ranking is the cheap first stage over a 100 TB embedding store.
+  *   - The sparse dot-product is the inverted-posting join: explode to
+  *     (doc, term, weight) postings, broadcast the query's nonzero terms,
+  *     join and partial-sum per doc BEFORE the one shuffle. Work and shuffle
+  *     are Σ df(query term) — the corpus rows that share no term with the
+  *     query are never touched, the same reason Milvus stores sparse vectors
+  *     as an inverted index (WAND-style) rather than scanning.
+  */
+object SparseBinaryQueries {
+
+  /** Query codes = sign-binarized embedding of vec_id 0, as a 1-row broadcast. */
+  private def withQueryCodes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), pack_sign_bits(col("embedding")).as("codes"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("codes").as("qcodes"))
+    emb.crossJoin(broadcast(q))
+  }
+
+  /** Milvus BINARY_VECTOR + HAMMING: top-10 by Hamming distance between
+    * sign-binarized embeddings (the standard binarize-then-rerank recipe).
+    * The kernel runs over packed 64-bit words; the oracle recomputes the
+    * same count as per-position sign disagreement — identical by
+    * construction (packing is a bijection on sign patterns). */
+  def knnHamming(spark: SparkSession, dir: String): DataFrame =
+    withQueryCodes(spark, dir)
+      .select(col("vec_id"),
+        hamming_distance(col("codes"), col("qcodes")).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+
+  /** Milvus BINARY_VECTOR + JACCARD: top-10 by Jaccard distance
+    * 1 − |A∩B|/|A∪B| over the sign-bit sets. Rounded to 6 places on both
+    * sides (the ratio of exact small ints is the same double in both
+    * engines; the round is belt-and-braces for the hash compare). */
+  def binaryJaccard(spark: SparkSession, dir: String): DataFrame =
+    withQueryCodes(spark, dir)
+      .select(col("vec_id"),
+        round(jaccard_distance(col("codes"), col("qcodes")), 6).as("dist"), col("label"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+
+  /** Milvus SPARSE_FLOAT_VECTOR search: docs as sparse term-frequency
+    * vectors (dims = vocabulary terms, weights = tf), query = doc 0's own
+    * sparse vector, score = sparse dot product, plus the cosine the dot
+    * normalizes into. Top-10 by dot.
+    *
+    * Plan shape (the part that survives 100 TB): tf postings are built once
+    * per side from the same explode→groupBy (map-side combined); the query
+    * side is filtered to ONE doc before its broadcast, so the join streams
+    * each matching posting list exactly once; per-doc norms join on doc_id
+    * without a hint (AQE broadcasts while small). No row without a shared
+    * term ever reaches the aggregation. */
+  def sparseDotTopK(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val q = tf.filter(col("doc_id") === 0L).select(col("word"), col("tf").as("qtf"))
+    val nrm = tf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("tf") * col("tf")).cast("double")).as("nrm"))
+    val qn = nrm.filter(col("doc_id") === 0L).select(col("nrm").as("qnrm"))
+    tf.join(broadcast(q), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+      .join(nrm, Seq("doc_id"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"), col("dot"),
+        round(col("dot").cast("double") / (col("nrm") * col("qnrm")), 6).as("cosine"))
+      .orderBy(desc("dot"), col("doc_id"))
+      .limit(10)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_hamming" -> knnHamming _,
+    "binary_jaccard" -> binaryJaccard _,
+    "sparse_dot_topk" -> sparseDotTopK _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // Per-position sign disagreement == packed-word Hamming (bijection on
+    // sign patterns; DuckDB has no 64-bit popcount over packed arrays, so
+    // the oracle counts positions directly).
+    "knn_hamming" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id, e.label,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id, e.label)
+         SELECT vec_id, dist, label FROM h ORDER BY dist, vec_id LIMIT 10""",
+    "binary_jaccard" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id, e.label,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) AND (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) OR (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS un
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id, e.label)
+         SELECT vec_id,
+           round(CASE WHEN un = 0 THEN 0.0 ELSE 1.0 - inter::DOUBLE / un::DOUBLE END, 6) AS dist,
+           label
+         FROM h ORDER BY dist, vec_id LIMIT 10""",
+    "sparse_dot_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           nrm AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
+           dt AS (SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+                  FROM tf t JOIN q USING (word) GROUP BY 1)
+         SELECT d.doc_id, d.dot, round(d.dot::DOUBLE / (n.nrm * qn.qnrm), 6) AS cosine
+         FROM dt d JOIN nrm n USING (doc_id), (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 0) qn
+         ORDER BY d.dot DESC, d.doc_id LIMIT 10"""
+  )
+}

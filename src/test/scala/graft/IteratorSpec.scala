@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** Milvus `search_iterator` / `query_iterator` parity: keyset-cursor
+  * batched iteration past the offset cap — pages tile the full ranking
+  * exactly, snapshot-pinned against mid-iteration commits. */
+class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("iterator-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def newClient(): GraftClient = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iter").toString
+    new GraftClient(spark, root)
+  }
+
+  private def seed(client: GraftClient, name: String, n: Int,
+                   indexNlist: Option[Int] = None): Unit = {
+    import spark.implicits._
+    client.createCollection(name, dim = 2)
+    val rows = (0 until n).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 7).toFloat), Map("grp" -> (i % 3).toString))
+    }
+    client.upsert(name, rows.toDF("key", "vec", "meta"))
+    indexNlist.foreach(nl => client.buildIndex(name, nlist = nl))
+  }
+
+  test("searchIterator pages tile one big exact search; short final page terminates") {
+    val client = newClient()
+    seed(client, "si", 47)
+    val q = Array(3.0f, 2.0f)
+    val pages = client.searchIterator("si", q, batchSize = 10).toSeq
+    assert(pages.length == 5, s"expected 5 pages (10×4 + 7), got ${pages.length}")
+    assert(pages.map(_.length) == Seq(10, 10, 10, 10, 7))
+    val tiled = pages.flatten.map(r => (r.getString(0), r.getDouble(1)))
+    // one giant search at k = n (within the page-depth cap) as the truth
+    val whole = client.search("si", q, k = 47).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(tiled == whole, "concatenated pages must equal the single search")
+    // strictly non-decreasing distance, strict (distance, key) order
+    assert(tiled.sliding(2).forall { case Seq(a, b) =>
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1) })
+  }
+
+  test("searchIterator drains ALL rows through a fresh IVF index at nprobe >= nlist") {
+    val client = newClient()
+    seed(client, "sii", 60, indexNlist = Some(4))
+    val pages = client.searchIterator("sii", Array(1.0f, 1.0f),
+      batchSize = 25, nprobe = 4).toSeq
+    assert(pages.flatten.length == 60, "nprobe = nlist must enumerate everything")
+    // and with nprobe = 1 the iterator drains exactly the probed cell
+    val pruned = client.searchIterator("sii", Array(1.0f, 1.0f),
+      batchSize = 25, nprobe = 1).toSeq.flatten
+    assert(pruned.length < 60 && pruned.nonEmpty,
+      s"nprobe = 1 should cover one cell, got ${pruned.length} of 60")
+  }
+
+  test("searchIterator composes with a metadata filter") {
+    val client = newClient()
+    seed(client, "sif", 50)
+    val only1 = client.searchIterator("sif", Array(0.0f, 0.0f), batchSize = 7,
+      filter = Some(element_at(col("meta"), "grp") === "1")).toSeq.flatten
+    assert(only1.length == 17) // i % 3 == 1 for 0 until 50
+    assert(only1.forall(_.getMap[String, String](2).get("grp").contains("1")))
+  }
+
+  test("mid-iteration commit raises; allowDrift continues") {
+    import spark.implicits._
+    val client = newClient()
+    seed(client, "sic", 30)
+    val it = client.searchIterator("sic", Array(0.0f, 0.0f), batchSize = 10)
+    assert(it.next().length == 10)
+    client.upsert("sic", Seq(("zz", Seq(99f, 99f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    intercept[java.util.ConcurrentModificationException](it.next())
+
+    val drifting = client.searchIterator("sic", Array(0.0f, 0.0f),
+      batchSize = 10, allowDrift = true)
+    assert(drifting.next().length == 10)
+    client.upsert("sic", Seq(("zz2", Seq(98f, 98f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(drifting.next().length == 10, "allowDrift pages through the commit")
+  }
+
+  test("queryIterator pages tile queryWhere ordered by key; filter pushdown holds") {
+    val client = newClient()
+    seed(client, "qi", 43)
+    val pred = element_at(col("meta"), "grp") =!= "2"
+    val pages = client.queryIterator("qi", pred, batchSize = 10).toSeq
+    val tiledKeys = pages.flatten.map(_.getString(0))
+    val wholeKeys = client.queryWhere("qi", pred).collect().map(_.getString(0)).toSeq
+    assert(tiledKeys == wholeKeys)
+    assert(pages.map(_.length).last <= 10 && pages.flatten.length == wholeKeys.length)
+    // keyset cursor reaches the scan: page 2's plan pushes key > cursor
+    // (spot-check via explain of an equivalent frame)
+    val plan = client.queryWhere("qi", col("key") > "k0009").queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(key"),
+      s"key cursor must reach Parquet:\n$plan")
+  }
+
+  test("queryIterator covers scoped partitions with duplicate keys intact") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("qp", dim = 2)
+    client.createPartition("qp", "p1")
+    client.upsert("qp", Seq(("dup", Seq(1f, 0f), Map("src" -> "default")))
+      .toDF("key", "vec", "meta"))
+    client.upsert("qp", Seq(("dup", Seq(2f, 0f), Map("src" -> "p1")))
+      .toDF("key", "vec", "meta"), partition = "p1")
+    val rows = client.queryIterator("qp", lit(true), batchSize = 1,
+      partitions = Seq(GraftClient.DefaultPartition, "p1")).toSeq.flatten
+    assert(rows.length == 2, "cross-partition duplicate keys must both appear")
+    assert(rows.map(_.getString(0)).toSet == Set("dup"))
+  }
+
+  test("boundary validation") {
+    val client = newClient()
+    seed(client, "sv", 5)
+    intercept[IllegalArgumentException](
+      client.searchIterator("sv", Array(0f, 0f), batchSize = 0))
+    intercept[IllegalArgumentException](
+      client.queryIterator("sv", lit(true), batchSize = -1))
+    intercept[IllegalArgumentException](
+      client.searchIterator("sv", Array(0f), batchSize = 1)) // wrong dim
+  }
+}
