@@ -285,4 +285,26 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
         p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"),
       s"row_number must rank only the 20 limited rows, not the corpus:\n${p.take(2000)}")
   }
+
+  test("binary KNN (hamming/jaccard): bounded top-k merge, no shuffle of the index side") {
+    // same contract as the dense family: the packed-popcount kernels must
+    // not break the TakeOrderedAndProject shape or force a shuffle
+    for (name <- Seq("knn_hamming", "binary_jaccard")) {
+      val p = planOf(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: top-k must plan as partial per-partition top-k + driver merge")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: a binary KNN scan must not shuffle the index")
+    }
+  }
+
+  test("sparse dot top-k: query postings broadcast, partial sums before the shuffle") {
+    val p = planOf("sparse_dot_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query's nonzero dims must broadcast into the postings join:\n${p.take(2000)}")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-doc dots must partial-aggregate map-side before the shuffle:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the final top-10 must merge per-partition top-k on the driver")
+  }
 }
