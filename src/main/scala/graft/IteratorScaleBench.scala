@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Iterator surfaces at volume — the measured counterpart of
+  * IteratorSpec's correctness checks, on the geometry the deep-page
+  * cursor prune exists for: clustered vectors, a full distance-ordered
+  * drain through `searchIterator`.
+  *
+  * What the numbers must show (recorded in BASELINE.md):
+  *   - the drain's per-page cost FALLS as the cursor advances (cells
+  *     whose max possible distance sits below the cursor are skipped —
+  *     without the prune every page re-scans all probed cells);
+  *   - `queryIterator` drains a filtered export at a steady rows/s with
+  *     constant per-page cost (keyset cursor, no offset window).
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.IteratorScaleBench 200000"
+  */
+object IteratorScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val dim = 64
+    val clusters = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // `clusters` tight blobs spread on a line in dim-space: cluster c
+    // centers at x0 = 3c, per-point jitter ±0.1 — cells ≈ clusters after
+    // the k-means build, radii ≈ 0.2, inter-cluster gap 3: the prune's
+    // home turf (and realistic — embeddings cluster by topic/source).
+    val vecs = spark.range(n).mapPartitions { it =>
+      it.map { id =>
+        val c = (id % clusters).toInt
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          v(i) = (if (i == 0) 3.0 * c else 0.0).toFloat +
+            (math.sin(id * 1.7 + i * 0.91) * 0.1).toFloat
+          i += 1
+        }
+        (id, v)
+      }
+    }.toDF("vec_id", "vec")
+
+    val root = java.nio.file.Files.createTempDirectory("graft-iter-scale").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("it", dim = dim, metric = "l2", indexType = "IVF_FLAT")
+    val t0 = System.nanoTime()
+    client.upsert("it", vecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), map(lit("p"), pmod(col("vec_id"), lit(7)).cast("string")).as("meta")))
+    client.buildIndex("it", nlist = clusters)
+    val setupSec = (System.nanoTime() - t0) / 1e9
+
+    // full distance-ordered drain; query sits at cluster 0 so the cursor
+    // sweeps cluster by cluster and the prune retires them in order
+    val q = new Array[Float](dim)
+    val batch = math.max(1000, (n / 100).toInt)
+    val pageSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var drained = 0L
+    val it = client.searchIterator("it", q, batchSize = batch, nprobe = clusters)
+    val tD = System.nanoTime()
+    // the iterator PREFETCHES in hasNext — time the full hasNext+next
+    // span per page, not just next()
+    var lastT = System.nanoTime()
+    while (it.hasNext) {
+      drained += it.next().length
+      val now = System.nanoTime()
+      pageSec += (now - lastT) / 1e9
+      lastT = now
+    }
+    val drainSec = (System.nanoTime() - tD) / 1e9
+    require(drained == n, s"drain lost rows: $drained of $n")
+    val early = pageSec.take(5).sum / math.min(5, pageSec.length)
+    val late = pageSec.takeRight(5).sum / math.min(5, pageSec.length)
+
+    // prune engagement at depth: cells provably below a late cursor
+    val lateCursor = 3.0 * (clusters - 2) // past all but the last 2 clusters
+    val prunedCells = client.cursorPrunedCellCount("it", q, lateCursor)
+
+    // queryIterator: filtered export drain (keyset cursor on key)
+    val tQ = System.nanoTime()
+    var qRows = 0L
+    val qit = client.queryIterator("it",
+      element_at(col("meta"), "p") === "3", batchSize = batch)
+    while (qit.hasNext) qRows += qit.next().length
+    val querySec = (System.nanoTime() - tQ) / 1e9
+
+    println(s"""{"bench":"iterator_scale","n":$n,"clusters":$clusters,""" +
+      s""""setup_sec":$setupSec,"drain_sec":$drainSec,"pages":${pageSec.length},""" +
+      s""""early_page_sec":$early,"late_page_sec":$late,""" +
+      s""""late_cursor_pruned_cells":$prunedCells,""" +
+      s""""query_drain_rows":$qRows,"query_drain_sec":$querySec}""")
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(root))
+    spark.stop()
+  }
+}

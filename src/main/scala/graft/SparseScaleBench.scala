@@ -26,13 +26,22 @@ object SparseScaleBench {
   private class ShuffleMeter(spark: SparkSession)
       extends org.apache.spark.scheduler.SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong()
+    private val readBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(this)
     override def onStageCompleted(
-        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      readBytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+    }
     def mark(): Long = {
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      readBytes.set(0L)
       bytes.getAndSet(0L)
+    }
+    def markRead(): Long = {
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      bytes.set(0L)
+      readBytes.getAndSet(0L)
     }
   }
 
@@ -113,13 +122,56 @@ object SparseScaleBench {
     val (topCos, cosSec, _) = measure(
       SparseSearch.topK(postings, query, k = 10, metric = "cosine").collect())
 
+    // at-rest layout: same query through the bucket-partitioned index —
+    // the win to show is BYTES READ (partition prune + dim pushdown), the
+    // number that becomes the I/O bound at 100 TB. Full-scan bytes = the
+    // postings directory size on disk (the unpruned scan reads all of
+    // it); pruned bytes from the scan stage's inputMetrics.
+    def dirBytes(p: String): Long = {
+      val root = java.nio.file.Paths.get(p)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    val (_, idxBuildSec) = timed(
+      graft.index.SparseIndex.build(postings, s"$dir/idx", buckets = 64))
+    val corpusBytes = dirBytes(s"$dir/postings")
+    val (topIdx, idxSec, _) = measure(
+      graft.index.SparseIndex.topK(spark, s"$dir/idx", query, k = 10).collect())
+    meter.markRead()
+    graft.index.SparseIndex.topK(spark, s"$dir/idx", query, k = 10).collect()
+    val idxReadBytes = meter.markRead()
+    require(topIdx.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      top1.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "index-backed topK must equal the raw-postings topK exactly")
+
+    // the realistic sparse-query regime: FEW dims, none of them hot —
+    // the prune keeps ≤5 of 64 buckets and the dim pushdown skips row
+    // groups within them
+    val narrow = Seq(25117L, 50234L, 75351L, 91468L, 99585L).map(_ -> 1.0)
+    val (topNarrowRaw, narrowRawSec, _) = measure(
+      SparseSearch.topK(postings, narrow, k = 10).collect())
+    val (topNarrowIdx, narrowIdxSec, _) = measure(
+      graft.index.SparseIndex.topK(spark, s"$dir/idx", narrow, k = 10).collect())
+    meter.markRead()
+    graft.index.SparseIndex.topK(spark, s"$dir/idx", narrow, k = 10).collect()
+    val narrowIdxReadBytes = meter.markRead()
+    require(topNarrowIdx.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      topNarrowRaw.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "index-backed narrow topK must equal the raw-postings topK exactly")
+
     require(top1.length == 10 && topCos.length == 10 && batch.length == 64 * 10,
       s"unexpected result sizes: ${top1.length}/${topCos.length}/${batch.length}")
     println(s"""{"bench":"sparse_scale","n":$n,"postings":$nPost,""" +
       s""""matched_postings":$matched,"build_sec":$buildSec,""" +
       s""""single_sec":$singleSec,"single_shuffle_bytes":$singleShuffle,""" +
       s""""batch64_sec":$batchSec,"batch_shuffle_bytes":$batchShuffle,""" +
-      s""""cosine_sec":$cosSec}""")
+      s""""cosine_sec":$cosSec,"index_build_sec":$idxBuildSec,""" +
+      s""""index_single_sec":$idxSec,"corpus_parquet_bytes":$corpusBytes,""" +
+      s""""index_read_bytes":$idxReadBytes,""" +
+      s""""narrow_raw_sec":$narrowRawSec,"narrow_index_sec":$narrowIdxSec,""" +
+      s""""narrow_index_read_bytes":$narrowIdxReadBytes}""")
     spark.stop()
   }
 }

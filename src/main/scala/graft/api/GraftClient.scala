@@ -1540,17 +1540,23 @@ class GraftClient(spark: SparkSession, root: String) {
     * have ranked. */
   private def scoredCandidates(pm: CollectionMeta, qvec: Array[Float],
       filter: Option[Column], nprobe: Int, refine: Int,
-      depth: Int): DataFrame = {
+      depth: Int, cursorDist: Option[Double] = None): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
     liveIdx match {
       case Some(idx) if sq8Indexed(pm) =>
+        // SQ8 stage 1 is depth-bounded (approximate by contract) — the
+        // cursor prune stays on the FLAT/exact paths
         sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth)
       case _ =>
         val base = prunedCellsOrScan(pm, coll, liveIdx) { idx =>
           val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
-          GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
+          val keep = idx.probe.probes(qa, nprobe)
+          cursorDist.flatMap(cd => cursorDroppable(pm, idx, qa, cd)) match {
+            case Some(drop) => GraftClient.KeepCells(keep.filterNot(drop))
+            case None => GraftClient.KeepCells(keep)
+          }
         }
         filter.fold(base)(base.filter)
           .select(col("key").as("vector_key"),
@@ -1558,6 +1564,44 @@ class GraftClient(spark: SparkSession, root: String) {
             col("meta").as("metadata"))
     }
   }
+
+  /** Deep-iteration cell prune ([[searchIterator]]): a cell whose MAX
+    * possible distance (‖q−cᵢ‖ + radiusᵢ, triangle inequality) falls
+    * strictly below the cursor distance holds only rows the cursor
+    * filter would discard — skipping it is lossless, and pages get
+    * CHEAPER as the cursor advances past each cluster. Mirrors
+    * [[searchRange]]'s exclusion prune with the inequality flipped
+    * (range drops cells proven too FAR; the cursor drops cells proven
+    * too NEAR). Cosine maps the cursor's sim bound to chord length in
+    * the normalized space, widening by CosineSimEps in sim space first —
+    * the same fp-slack treatment searchRange derives. Cells absent from
+    * the radii map are never dropped (sound by construction). None when
+    * the index has no radii (legacy) or the metric can't prune. */
+  private def cursorDroppable(pm: CollectionMeta, idx: LoadedIndex,
+      qa: Array[Float], cursorDist: Double): Option[Int => Boolean] =
+    idx.radii.flatMap { rad =>
+      val maxChord: Option[Double] = pm.metric match {
+        // keep rows with dist >= cursor (ties resolve by key): droppable
+        // iff centerDist + r < cursor, with fp slack
+        case "l2" => Some(cursorDist)
+        case "cosine" =>
+          // dist = −sim; the cursor keeps sim <= s0 = −cursor (plus key
+          // ties). A cell's MIN sim is 1 − (centerDist+r)²/2; droppable
+          // iff min sim > s0 + eps ⟺ centerDist + r < chord(s0 + eps).
+          val s0 = -cursorDist + GraftClient.CosineSimEps
+          if (s0 >= 1.0) None // cursor still at the top — nothing prunable
+          else Some(math.sqrt(math.max(0.0, 2.0 - 2.0 * s0)))
+        case _ => None
+      }
+      maxChord.map { bound =>
+        val centerDist = idx.assign.distancesTo(qa)
+        val dropped = rad.collect {
+          case (cell, rc) if cell < centerDist.length &&
+            centerDist(cell) + rc + GraftClient.RangePruneEps < bound => cell
+        }.toSet
+        (c: Int) => dropped.contains(c)
+      }
+    }
 
   /** The loaded index IF it is stamped at the store's current snapshot —
     * the ONE staleness rule every search surface shares. */
@@ -2002,7 +2046,9 @@ class GraftClient(spark: SparkSession, root: String) {
         }
         val scored = parts
           .map(p => scoredCandidates(partMeta(m, p), qvec, fOpt, nprobe,
-            refine, depth.min(Int.MaxValue.toLong).toInt))
+            refine, depth.min(Int.MaxValue.toLong).toInt,
+            cursorDist = cursor.map(_._1))) // deep pages skip cells the
+                                            // cursor has fully passed
           .reduce(_ unionByName _)
         val after = cursor.fold(scored) { case (d, k0) =>
           scored.filter(col("distance") > d ||
@@ -2038,10 +2084,10 @@ class GraftClient(spark: SparkSession, root: String) {
     * groups (PushedFilters) and every page is one bounded top-batch job —
     * no offset window, no depth cap, constant memory for a full-table
     * export. Pages tile `queryWhere(filter)` ordered by key exactly.
-    * Rows carry (key, vec, meta) like [[queryWhere]], plus a `__part`
-    * tag when multiple partitions are scoped (the cursor orders on
-    * (key, __part) so cross-partition duplicate keys cannot straddle a
-    * page boundary and silently drop).
+    * Rows carry (key, vec, meta, __part) — [[queryWhere]]'s shape plus
+    * the source-partition tag: the cursor orders on (key, __part) so
+    * cross-partition duplicate keys cannot straddle a page boundary and
+    * silently drop (Milvus PKs are only unique per partition).
     *
     * Same snapshot pin as [[searchIterator]]: a mid-iteration commit
     * raises unless `allowDrift`. */
@@ -2094,6 +2140,22 @@ class GraftClient(spark: SparkSession, root: String) {
         val out = pending; pending = null; out
       }
     }
+  }
+
+  /** Test hook: how many index cells the deep-iteration cursor prune
+    * would skip for this (query, cursor distance) — lets a spec assert
+    * the prune ENGAGES (completeness alone would pass trivially if the
+    * prune never fired). Returns 0 when no fresh radii-bearing index. */
+  private[graft] def cursorPrunedCellCount(name: String, qvec: Array[Float],
+      cursorDist: Double,
+      partition: String = GraftClient.DefaultPartition): Int = {
+    val pm = partMeta(metaOrThrow(name), partition)
+    val coll = collection(pm)
+    liveIndex(pm, coll).flatMap { idx =>
+      val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+      cursorDroppable(pm, idx, qa, cursorDist)
+        .map(drop => idx.radii.map(_.keys.count(drop)).getOrElse(0))
+    }.getOrElse(0)
   }
 
   /** Index observability: per-cell occupancy and radius of the CURRENT

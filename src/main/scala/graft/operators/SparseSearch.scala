@@ -63,17 +63,25 @@ object SparseSearch {
     * cosine the per-id norms aggregate over the SAME postings frame and
     * join in (no hint — AQE broadcasts while small); the query norm is a
     * literal computed here. */
-  def topK(postings: DataFrame, query: Seq[(Long, Double)], k: Int,
-           metric: String = "dot", idCol: String = "id"): DataFrame = {
-    requireMetric(metric)
-    require(k >= 1, s"k must be >= 1 (got $k)")
+  /** Un-ranked per-id dot products against one query — the shared core
+    * of [[topK]] and the index-backed cosine path ([[graft.index.SparseIndex]]),
+    * which needs ALL dots (to renormalize) rather than a top-k. */
+  private[graft] def dotScores(postings: DataFrame, query: Seq[(Long, Double)],
+      idCol: String): DataFrame = {
     require(query.nonEmpty, "query sparse vector has no nonzero dimensions")
     val spark = postings.sparkSession
     import spark.implicits._
     val q = query.filter(_._2 != 0.0).toDF("dim", "__qw")
-    val dots = postings.join(broadcast(q), Seq("dim"))
+    postings.join(broadcast(q), Seq("dim"))
       .groupBy(col(idCol))
       .agg(sum(col("w") * col("__qw")).as("__dot"))
+  }
+
+  def topK(postings: DataFrame, query: Seq[(Long, Double)], k: Int,
+           metric: String = "dot", idCol: String = "id"): DataFrame = {
+    requireMetric(metric)
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val dots = dotScores(postings, query, idCol)
     val scored = metric match {
       case "dot" => dots.select(col(idCol), col("__dot").as("score"))
       case "cosine" =>
@@ -101,6 +109,9 @@ object SparseSearch {
                 broadcastQueries: Boolean = true): DataFrame = {
     requireMetric(metric)
     require(k >= 1, s"k must be >= 1 (got $k)")
+    require(!Set("qid", "dim", "w").contains(idCol),
+      s"idCol '$idCol' collides with the reserved postings/query column " +
+        "names (qid, dim, w) — rename the id column first")
     val q0 = queryPostings.select(col("qid"), col("dim"), col("w").as("__qw"))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val dots = postings.join(q, Seq("dim"))
@@ -118,6 +129,14 @@ object SparseSearch {
           .select(col("qid"), col(idCol),
             (col("__dot") / (col("__nrm") * col("__qnrm"))).as("score"))
     }
+    rankPerQuery(scored, k, idCol)
+  }
+
+  /** Per-qid bounded-heap top-k over a (qid, idCol, score) frame — ≤k
+    * rows per (partition, qid) reach the final shuffle. Shared with the
+    * index-backed batch path ([[graft.index.SparseIndex.topKBatch]]). */
+  private[graft] def rankPerQuery(scored: DataFrame, k: Int,
+      idCol: String): DataFrame = {
     // bounded heap keyed by qid: "smaller is better" dist = -score
     val idType = scored.schema(idCol).dataType
     val hits = idType match {

@@ -126,6 +126,73 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSet == Set("dup"))
   }
 
+  test("deep-page cursor cell prune: lossless full drain on clustered data, and it fires") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("prune", dim = 2, indexType = "IVF_FLAT", nlist = 4)
+    // four tight clusters at L2 distance ~0 / 10 / 20 / 30 from the query
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (f"k$i%04d",
+        Seq(c * 10.0f + (i % 7) * 0.01f, (i % 5) * 0.01f),
+        Map("c" -> c.toString))
+    }
+    client.upsert("prune", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("prune", nlist = 4)
+    val q = Array(0.0f, 0.0f)
+    // completeness: a full drain through the index must see EVERY key in
+    // strict (distance, key) order — an unsound prune loses keys
+    val drained = client.searchIterator("prune", q, batchSize = 30, nprobe = 4)
+      .toSeq.flatten.map(r => (r.getString(0), r.getDouble(1)))
+    assert(drained.map(_._1).toSet == rows.map(_._1).toSet,
+      s"drain lost ${200 - drained.size} rows — the cursor prune is unsound")
+    assert(drained.sliding(2).forall { case Seq(a, b) =>
+      a._2 < b._2 || (a._2 == b._2 && a._1 < b._1) })
+    // engagement: with the cursor past cluster 2 (distance ~20), the two
+    // near clusters (max dist ≲ 10.1) are provably below it — ≥2 cells skip
+    assert(client.cursorPrunedCellCount("prune", q, cursorDist = 19.0) >= 2,
+      "the prune never fired on geometry built for it")
+    assert(client.cursorPrunedCellCount("prune", q, cursorDist = -1.0) == 0,
+      "nothing is prunable before the cursor has advanced")
+  }
+
+  test("searchIterator on SQ8: pages equal the offset-paged search; depth cap enforced") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("sq8i", dim = 2, indexType = "IVF_SQ8", nlist = 4)
+    val rows = (0 until 90).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 5).toFloat), Map.empty[String, String])
+    }
+    client.upsert("sq8i", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("sq8i", nlist = 4)
+    val q = Array(40.0f, 2.0f)
+    val it = client.searchIterator("sq8i", q, batchSize = 20, nprobe = 4)
+    for (pageIdx <- 0 until 3) {
+      val page = it.next().map(r => (r.getString(0), r.getDouble(1)))
+      val viaOffset = client.search("sq8i", q, k = 20, nprobe = 4,
+        offset = pageIdx * 20).collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(page == viaOffset.toSeq,
+        s"SQ8 iterator page $pageIdx must tile exactly like offset paging")
+    }
+  }
+
+  test("searchIterator on SQ8 refuses to deepen past the page-depth cap") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("sq8cap", dim = 2, indexType = "IVF_SQ8", nlist = 2)
+    val n = 10020 // > one 10000-row page, so page 2's depth check fires
+    val df = spark.range(n)
+      .selectExpr("lpad(cast(id as string), 8, '0') AS key",
+        "array(cast(id as float), cast(id % 11 as float)) AS vec",
+        "map() AS meta")
+    client.upsert("sq8cap", df)
+    client.buildIndex("sq8cap", nlist = 2)
+    val it = client.searchIterator("sq8cap", Array(0.0f, 0.0f), batchSize = 10000)
+    assert(it.next().length == 10000)
+    val e = intercept[IllegalStateException](it.next())
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+  }
+
   test("boundary validation") {
     val client = newClient()
     seed(client, "sv", 5)

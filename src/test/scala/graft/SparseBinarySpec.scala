@@ -74,6 +74,20 @@ class SparseBinarySpec extends AnyFunSuite {
     assert(msgs(e2).exists(_.contains("code length mismatch")))
   }
 
+  test("SQL registration surface: kernels callable from spark.sql") {
+    graft.functions.BinaryVectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT hamming_distance(pack_sign_bits(array(1.0F, -1.0F, 1.0F)),
+        |                        pack_sign_bits(array(1.0F, 1.0F, -1.0F))) AS h,
+        |       jaccard_distance(pack_sign_bits(array(1.0F, 1.0F)),
+        |                        pack_sign_bits(array(1.0F, -1.0F))) AS j
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 0.5) // |∩|=1, |∪|=2
+    val e = intercept[Exception](spark.sql("SELECT pack_sign_bits()").collect())
+    assert(e.getMessage.contains("expects 1 argument"))
+  }
+
   test("declared knn_hamming / binary_jaccard: deterministic, self at rank 1") {
     val h = graft.queries.SparseBinaryQueries.knnHamming(spark, SparkTestSession.sf).collect()
     assert(h.length == 10)

@@ -6,7 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.VectorFunctions._
 
 object SparkTestSession {
-  lazy val spark: SparkSession = {
+  /** A LIVE shared session — `def`, not `lazy val`: most suites in this
+    * build stop the (single, JVM-wide) SparkContext in their afterAll,
+    * so a cached session dies under any suite that runs after them. Each
+    * call goes through getOrCreate, which skips stopped sessions and
+    * builds a fresh one; builder confs are silently DROPPED when an
+    * existing live session is returned, so the read confs are re-applied
+    * on whatever session we actually got (the PlanQualitySpec pattern). */
+  def spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -15,6 +22,7 @@ object SparkTestSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s
   }
   val sf: String = "/root/testdata/sf0.001"
