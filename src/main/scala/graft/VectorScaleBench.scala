@@ -460,9 +460,14 @@ object VectorScaleBench {
         s""""range_clustered_exact_sec":$rngExactSec,""" +
         s""""range_clustered_pruned_sec":$rngPrunedSec,""" +
         // guarded ratio: a denominator rounding to 0 would interpolate
-        // Infinity/NaN — invalid JSON — into the line
+        // Infinity/NaN — invalid JSON — into the line. Locale.ROOT, not
+        // the f interpolator: String.format under a comma-decimal default
+        // locale would emit "1,2345" and corrupt the JSON.
         s""""range_clustered_speedup":${
-          if (rngPrunedSec > 0) f"${rngExactSec / rngPrunedSec}%.4f" else "null"},""" +
+          if (rngPrunedSec > 0)
+            String.format(java.util.Locale.ROOT, "%.4f",
+              Double.box(rngExactSec / rngPrunedSec))
+          else "null"},""" +
         s""""range_clustered_match":$rngMatch,""" +
         s""""grouped_hc_groups":${n / 2},"grouped_hc_sec":$groupedHcSec,""" +
         s""""grouped_hc_match":$groupedHcMatch}""")

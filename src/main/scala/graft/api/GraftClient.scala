@@ -401,14 +401,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * `pmod(xxhash64(value), numPartitions)` (Spark's xxhash64, seed 42,
     * evaluated via the same Catalyst kernel the column expression
     * compiles to, so driver and executors can never disagree). */
-  private def pkPartition(value: String, n: Int): String = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
-          value, org.apache.spark.sql.types.StringType)), 42L)
-      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[Long]
-    s"_pk_${(((h % n) + n) % n).toInt}"
-  }
+  private def pkPartition(value: String, n: Int): String =
+    s"_pk_${graft.core.CatalystHash.pmodXxhash64(value,
+      org.apache.spark.sql.types.StringType, n)}"
 
   /** Route a partition-key collection's batch: one merge-commit per
     * touched physical partition (≤ numPartitions, usually far fewer).
@@ -512,11 +507,26 @@ class GraftClient(spark: SparkSession, root: String) {
     * after that commit. Past the bound the exception propagates —
     * sustained contention should surface, not be absorbed silently. */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
-                          delKeys: Option[DataFrame]): Option[Long] = {
+                          delKeys: Option[DataFrame]): Option[Long] =
+    mergeCommitRebasing(m, puts, delKeys.map(df => () => df))
+
+  /** The rebase-retry loop. `delKeysFn` is RE-INVOKED on every attempt:
+    * a snapshot-derived delete set (deleteWhere binds its `matches` to
+    * the store's bucket dirs at plan time) must be recomputed against
+    * the snapshot the retried commit will actually CAS over — replaying
+    * the pre-race frame would (a) delete an interleaved writer's
+    * re-upserted row whose NEW content no longer matches the predicate,
+    * the exact lost-update the CAS exists to prevent, and (b) die with
+    * FileNotFoundException once the vacuum reclaims the old dirs.
+    * Caller-provided frames (upsert batches, explicit key lists) are
+    * snapshot-independent, so the plain overload wraps them in a
+    * constant closure. */
+  private def mergeCommitRebasing(m: CollectionMeta, puts: Option[DataFrame],
+                                  delKeysFn: Option[() => DataFrame]): Option[Long] = {
     var attempt = 1
     var out: Option[Option[Long]] = None
     while (out.isEmpty) {
-      try out = Some(mergeCommitOnce(m, puts, delKeys))
+      try out = Some(mergeCommitOnce(m, puts, delKeysFn.map(_.apply())))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= GraftClient.MaxCommitRetries) throw e
@@ -910,9 +920,12 @@ class GraftClient(spark: SparkSession, root: String) {
     // commits nothing
     resolveParts(m, partitions).foreach { p =>
       val pm = partMeta(m, p)
-      val matches = collection(pm).read(spark)
-        .filter(coalesce(pred, lit(false))).select("key")
-      mergeCommit(pm, None, Some(matches))
+      // matches as a CLOSURE, not a frame: each rebase attempt re-reads
+      // the then-current snapshot (see mergeCommitRebasing) so a lost
+      // CAS race cannot replay a stale delete set
+      mergeCommitRebasing(pm, None, Some(() =>
+        collection(pm).read(spark)
+          .filter(coalesce(pred, lit(false))).select("key")))
     }
     countParts(m, Nil)
   }
@@ -2017,52 +2030,65 @@ class GraftClient(spark: SparkSession, root: String) {
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val parts = resolveParts(m, partitions)
-    val pinned: Seq[(String, Option[Long])] =
-      parts.map(p => p -> collection(partMeta(m, p)).currentVersion)
-    val fOpt = filter // `filter` inside the Iterator body is Iterator.filter
-    new Iterator[Seq[Row]] {
-      private var cursor: Option[(Double, String)] = None
-      private var page = 0
-      private var pending: Seq[Row] = null
-      private var exhausted = false
-
-      private def fetchPage(): Seq[Row] = {
-        if (!allowDrift) pinned.foreach { case (p, v0) =>
-          val now = collection(partMeta(m, p)).currentVersion
-          if (now != v0) throw new java.util.ConcurrentModificationException(
-            s"collection '$name' partition '$p' advanced from version $v0 to $now " +
-              "mid-iteration — restart the iterator, or pass allowDrift = true " +
-              "to accept pages from mixed snapshots")
-        }
-        // depth only bounds the SQ8 stage-1 pool; FLAT/exact paths
-        // ignore it and stay O(batch) per page at ANY depth
-        val depth = (page.toLong + 1) * batchSize
-        if (depth > GraftClient.MaxPageDepth &&
-            parts.exists(p => sq8Indexed(partMeta(m, p)))) {
+    val fOpt = filter // `filter` inside closures shadows Iterator.filter
+    var cursor: Option[(Double, String)] = None
+    var page = 0
+    pagedIterator(m, parts, allowDrift, batchSize) { () =>
+      // depth only bounds the SQ8 stage-1 pool; FLAT/exact paths
+      // ignore it and stay O(batch) per page at ANY depth
+      val depth = (page.toLong + 1) * batchSize
+      if (parts.exists(p => sq8Indexed(partMeta(m, p)))) {
+        if (depth > GraftClient.MaxPageDepth)
           throw new IllegalStateException(
             s"SQ8 iterator depth $depth exceeds ${GraftClient.MaxPageDepth} — " +
               "SQ8 stage-1 deepens like offset paging (candidates ∝ pages·batch); " +
               "use a FLAT/IVF_FLAT collection for unbounded drains")
-        }
-        val scored = parts
-          .map(p => scoredCandidates(partMeta(m, p), qvec, fOpt, nprobe,
-            refine, depth.min(Int.MaxValue.toLong).toInt,
-            cursorDist = cursor.map(_._1))) // deep pages skip cells the
-                                            // cursor has fully passed
-          .reduce(_ unionByName _)
-        val after = cursor.fold(scored) { case (d, k0) =>
-          scored.filter(col("distance") > d ||
-            (col("distance") === d && col("vector_key") > k0))
-        }
-        val rows = after.orderBy(col("distance"), col("vector_key"))
-          .limit(batchSize).collect().toSeq
-        page += 1
-        rows.lastOption.foreach(r => cursor = Some((r.getDouble(1), r.getString(0))))
-        rows
+        // same Long-checked guard as search(): depth·refine feeds an Int
+        // limit inside the SQ8 stage-1 plan and must never wrap negative
+        require(depth * refine <= Int.MaxValue,
+          s"depth * refine overflows Int (got ${depth * refine}) — lower refine")
       }
+      val scored = parts
+        .map(p => scoredCandidates(partMeta(m, p), qvec, fOpt, nprobe,
+          refine, depth.min(Int.MaxValue.toLong).toInt,
+          cursorDist = cursor.map(_._1))) // deep pages skip cells the
+                                          // cursor has fully passed
+        .reduce(_ unionByName _)
+      val after = cursor.fold(scored) { case (d, k0) =>
+        scored.filter(col("distance") > d ||
+          (col("distance") === d && col("vector_key") > k0))
+      }
+      val rows = after.orderBy(col("distance"), col("vector_key"))
+        .limit(batchSize).collect().toSeq
+      page += 1
+      rows.lastOption.foreach(r => cursor = Some((r.getDouble(1), r.getString(0))))
+      rows
+    }
+  }
+
+  /** Shared scaffold for the two cursor surfaces: the prefetching
+    * hasNext/next state machine (short page ⇒ drained), with the
+    * per-page snapshot-pin check ahead of every fetch — ONE copy, so a
+    * fix to either rule cannot silently miss the other iterator. Pins
+    * are captured here, at iterator creation. */
+  private def pagedIterator(m: CollectionMeta, parts: Seq[String],
+      allowDrift: Boolean, batchSize: Int)(
+      fetchPage: () => Seq[Row]): Iterator[Seq[Row]] = {
+    val pinned: Seq[(String, Option[Long])] =
+      parts.map(p => p -> collection(partMeta(m, p)).currentVersion)
+    new Iterator[Seq[Row]] {
+      private var pending: Seq[Row] = null
+      private var exhausted = false
 
       override def hasNext: Boolean = {
         if (pending == null && !exhausted) {
+          if (!allowDrift) pinned.foreach { case (p, v0) =>
+            val now = collection(partMeta(m, p)).currentVersion
+            if (now != v0) throw new java.util.ConcurrentModificationException(
+              s"collection '${m.name}' partition '$p' advanced from version $v0 " +
+                s"to $now mid-iteration — restart the iterator, or pass " +
+                "allowDrift = true to accept pages from mixed snapshots")
+          }
           val rows = fetchPage()
           if (rows.length < batchSize) exhausted = true // short page: drained
           if (rows.nonEmpty) pending = rows
@@ -2071,7 +2097,7 @@ class GraftClient(spark: SparkSession, root: String) {
       }
 
       override def next(): Seq[Row] = {
-        if (!hasNext) throw new NoSuchElementException("search iterator drained")
+        if (!hasNext) throw new NoSuchElementException("iterator drained")
         val out = pending; pending = null; out
       }
     }
@@ -2097,48 +2123,28 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val parts = resolveParts(m, partitions)
-    val pinned: Seq[(String, Option[Long])] =
-      parts.map(p => p -> collection(partMeta(m, p)).currentVersion)
-    val tagged = parts
+    // the union frame is rebuilt PER PAGE, not once at creation:
+    // collection.read binds the snapshot's bucket dirs at plan time, so
+    // a creation-time frame would crash a long allowDrift export with
+    // FileNotFoundException once ingest commits retire those dirs — the
+    // exact scenario allowDrift exists to survive (without allowDrift the
+    // pin check raises before any stale frame could run)
+    def tagged: DataFrame = parts
       .map(p => collection(partMeta(m, p)).read(spark)
         .select(col("key"), col("vec"), col("meta"), lit(p).as("__part")))
       .reduce(_ unionByName _)
       .filter(filter)
-    new Iterator[Seq[Row]] {
-      private var cursor: Option[(String, String)] = None // (key, part)
-      private var pending: Seq[Row] = null
-      private var exhausted = false
-
-      private def fetchPage(): Seq[Row] = {
-        if (!allowDrift) pinned.foreach { case (p, v0) =>
-          val now = collection(partMeta(m, p)).currentVersion
-          if (now != v0) throw new java.util.ConcurrentModificationException(
-            s"collection '$name' partition '$p' advanced from version $v0 to $now " +
-              "mid-iteration — restart the iterator, or pass allowDrift = true")
-        }
-        val after = cursor.fold(tagged) { case (k0, p0) =>
-          tagged.filter(col("key") > k0 ||
-            (col("key") === k0 && col("__part") > p0))
-        }
-        val rows = after.orderBy(col("key"), col("__part"))
-          .limit(batchSize).collect().toSeq
-        rows.lastOption.foreach(r => cursor = Some((r.getString(0), r.getString(3))))
-        rows
+    var cursor: Option[(String, String)] = None // (key, part)
+    pagedIterator(m, parts, allowDrift, batchSize) { () =>
+      val frame = tagged
+      val after = cursor.fold(frame) { case (k0, p0) =>
+        frame.filter(col("key") > k0 ||
+          (col("key") === k0 && col("__part") > p0))
       }
-
-      override def hasNext: Boolean = {
-        if (pending == null && !exhausted) {
-          val rows = fetchPage()
-          if (rows.length < batchSize) exhausted = true
-          if (rows.nonEmpty) pending = rows
-        }
-        pending != null
-      }
-
-      override def next(): Seq[Row] = {
-        if (!hasNext) throw new NoSuchElementException("query iterator drained")
-        val out = pending; pending = null; out
-      }
+      val rows = after.orderBy(col("key"), col("__part"))
+        .limit(batchSize).collect().toSeq
+      rows.lastOption.foreach(r => cursor = Some((r.getString(0), r.getString(3))))
+      rows
     }
   }
 

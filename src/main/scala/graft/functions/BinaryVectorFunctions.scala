@@ -50,8 +50,12 @@ object BinaryVectorKernels {
        |int $n = $a.numElements();
      """.stripMargin
 
+  // containsNull MUST be false: the word loop reads elements with
+  // getLong, which renders a null slot as 0 — a silently wrong distance.
+  // pack_sign_bits emits non-null elements; user-supplied codes with a
+  // nullable element type are rejected at analysis, not misread at run.
   private[functions] def codesTypeOk(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, _) => true
+    case ArrayType(LongType, false) => true
     case _ => false
   }
 }
@@ -64,8 +68,10 @@ abstract class BinaryCodeExpression extends BinaryExpression {
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<bigint> packed codes, " +
-          s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+        s"$prettyName requires array<bigint> packed codes with NON-NULL " +
+          "elements (a null word would silently read as 0 — cast away the " +
+          s"nullability if your codes carry none), got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
 }
 
 /** Sign binarization: array<float|double> → array<long>, 64 dims per word,

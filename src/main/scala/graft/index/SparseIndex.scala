@@ -38,15 +38,11 @@ import graft.operators.SparseSearch
 object SparseIndex {
 
   /** `pmod(xxhash64(dim), buckets)` evaluated driver-side — MUST match
-    * the executor-side partition expression in [[build]] bit-for-bit. */
-  private[graft] def dimBucket(dim: Long, buckets: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
-          dim, org.apache.spark.sql.types.LongType)), 42L)
-      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[Long]
-    (((h % buckets) + buckets) % buckets).toInt
-  }
+    * the executor-side partition expression in [[build]] bit-for-bit
+    * (the shared [[graft.core.CatalystHash]] kernel guarantees it). */
+  private[graft] def dimBucket(dim: Long, buckets: Int): Int =
+    graft.core.CatalystHash.pmodXxhash64(dim,
+      org.apache.spark.sql.types.LongType, buckets)
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
 
@@ -125,10 +121,13 @@ object SparseIndex {
       case "dot" => SparseSearch.topKBatch(pruned, queryPostings, k, "dot", idCol)
       case "cosine" =>
         // per-(qid, id) dots over the pruned scan, then the side-table
-        // norms; the bounded heap still caps rows per (partition, qid)
+        // norms; the bounded heap still caps rows per (partition, qid).
+        // Zero-weight query postings dropped like SparseSearch.topKBatch:
+        // an all-zero qid must match nothing, not emit NaN scores.
         val norms = spark.read.parquet(s"$path/norms")
-        val q0 = queryPostings.select(col("qid"), col("dim"), col("w").as("__qw"))
-        val qnorms = queryPostings.groupBy(col("qid"))
+        val liveQ = queryPostings.filter(col("w") =!= 0.0)
+        val q0 = liveQ.select(col("qid"), col("dim"), col("w").as("__qw"))
+        val qnorms = liveQ.groupBy(col("qid"))
           .agg(sqrt(sum(col("w") * col("w"))).as("__qnrm"))
         val dots = pruned.join(broadcast(q0), Seq("dim"))
           .groupBy(col("qid"), col(idCol))

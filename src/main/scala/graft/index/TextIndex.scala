@@ -95,14 +95,9 @@ object TextIndex {
     * the executor-side partition expression in [[build]] bit-for-bit,
     * so it reuses Catalyst's own XxHash64 (seed 42, like the SQL
     * function) instead of reimplementing the hash. */
-  private[graft] def termBucket(term: String, buckets: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(
-          term, org.apache.spark.sql.types.StringType)), 42L)
-      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[Long]
-    (((h % buckets) + buckets) % buckets).toInt
-  }
+  private[graft] def termBucket(term: String, buckets: Int): Int =
+    graft.core.CatalystHash.pmodXxhash64(term,
+      org.apache.spark.sql.types.StringType, buckets)
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
 

@@ -112,7 +112,15 @@ object SparseSearch {
     require(!Set("qid", "dim", "w").contains(idCol),
       s"idCol '$idCol' collides with the reserved postings/query column " +
         "names (qid, dim, w) — rename the id column first")
-    val q0 = queryPostings.select(col("qid"), col("dim"), col("w").as("__qw"))
+    // zero-weight query postings are dropped up front (the single-query
+    // path filters them the same way): they add join traffic but no
+    // score, and for cosine an ALL-zero qid would otherwise divide by a
+    // zero norm — NaN scores that Spark's NaN-greatest ordering ranks on
+    // TOP. After the filter an all-zero query simply matches nothing
+    // (absent from the output), the zero-vector semantics the dot metric
+    // already has.
+    val liveQ = queryPostings.filter(col("w") =!= 0.0)
+    val q0 = liveQ.select(col("qid"), col("dim"), col("w").as("__qw"))
     val q = if (broadcastQueries) broadcast(q0) else q0
     val dots = postings.join(q, Seq("dim"))
       .groupBy(col("qid"), col(idCol))
@@ -120,9 +128,9 @@ object SparseSearch {
     val scored = metric match {
       case "dot" => dots.select(col("qid"), col(idCol), col("__dot").as("score"))
       case "cosine" =>
-        val norms = postings.groupBy(col(idCol))
+        val norms = postings.filter(col("w") =!= 0.0).groupBy(col(idCol))
           .agg(sqrt(sum(col("w") * col("w"))).as("__nrm"))
-        val qnorms = queryPostings.groupBy(col("qid"))
+        val qnorms = liveQ.groupBy(col("qid"))
           .agg(sqrt(sum(col("w") * col("w"))).as("__qnrm"))
         val qn = if (broadcastQueries) broadcast(qnorms) else qnorms
         dots.join(norms, Seq(idCol)).join(qn, Seq("qid"))

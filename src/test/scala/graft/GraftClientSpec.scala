@@ -1488,6 +1488,47 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the later commit must own the key after rebase-retry")
   }
 
+  test("deleteWhere racing a re-upsert never deletes the re-upserted row") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = java.nio.file.Files.createTempDirectory("graft-delrace").toString
+    val cDel = new GraftClient(spark, root)
+    cDel.createCollection("dr", dim = 2)
+    val cUp = new GraftClient(spark, root)
+    // Per round: the key starts tagged "del"; writer B re-upserts it
+    // tagged "keep" while writer A fires deleteWhere(tag == "del").
+    // In EVERY linearizable interleaving the key ends alive-with-keep:
+    // a delete committed after B's write must have been COMPUTED against
+    // a snapshot where the tag is "keep" (no match). The pre-fix rebase
+    // replayed the delete set computed on the pre-race snapshot, which
+    // could erase B's acknowledged write — this test is the regression
+    // net (racy, so it exercises the window probabilistically; it can
+    // never false-fail).
+    (0 until 6).foreach { round =>
+      val k = s"r$round"
+      cUp.upsert("dr", Seq((k, Seq(1f, 0f), Map("tag" -> "del")))
+        .toDF("key", "vec", "meta"))
+      val fDel = Future {
+        cDel.deleteWhere("dr", element_at(col("meta"), "tag") === "del")
+      }
+      val fUp = Future {
+        cUp.upsert("dr", Seq((k, Seq(2f, 0f), Map("tag" -> "keep")))
+          .toDF("key", "vec", "meta"))
+      }
+      Await.result(fDel, 2.minutes); Await.result(fUp, 2.minutes)
+      // quiesce: one final delete computed on the settled snapshot —
+      // must be a no-op for the keep-tagged row
+      cDel.deleteWhere("dr", element_at(col("meta"), "tag") === "del")
+      val got = cUp.fetch("dr", Seq(k)).collect()
+      assert(got.length == 1 &&
+        got.head.getAs[Map[String, String]]("meta") == Map("tag" -> "keep"),
+        s"round $round: the re-upserted keep row was deleted — a stale " +
+          "delete set was replayed across the rebase")
+    }
+  }
+
   test("createCollection clears orphaned storage instead of resurrecting it") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-orphan").toString

@@ -94,6 +94,27 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drifting.next().length == 10, "allowDrift pages through the commit")
   }
 
+  test("queryIterator with allowDrift survives commits that vacuum the creation-time snapshot") {
+    import spark.implicits._
+    val client = newClient()
+    seed(client, "qv", 25)
+    val it = client.queryIterator("qv", lit(true), batchSize = 10, allowDrift = true)
+    assert(it.next().length == 10)
+    // three commits rewriting the same keys: with retain = 2 the bucket
+    // dirs the creation-time frame bound are vacuumed — a frame pinned at
+    // creation would now die with FileNotFoundException; the per-page
+    // rebuild must keep serving pages from the current snapshot
+    (0 until 3).foreach { i =>
+      client.upsert("qv", (0 until 25).map { j =>
+        (f"k$j%04d", Seq(j.toFloat, i.toFloat), Map("grp" -> (j % 3).toString))
+      }.toDF("key", "vec", "meta"))
+    }
+    val rest = Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+      .takeWhile(_.isDefined).flatten.flatten.toSeq
+    assert(rest.nonEmpty && rest.forall(_.getString(0) > "k0009"),
+      "post-vacuum pages must keep the keyset cursor and keep serving rows")
+  }
+
   test("queryIterator pages tile queryWhere ordered by key; filter pushdown holds") {
     val client = newClient()
     seed(client, "qi", 43)

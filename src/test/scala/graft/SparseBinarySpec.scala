@@ -86,6 +86,11 @@ class SparseBinarySpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.5) // |∩|=1, |∪|=2
     val e = intercept[Exception](spark.sql("SELECT pack_sign_bits()").collect())
     assert(e.getMessage.contains("expects 1 argument"))
+    // nullable code elements are an ANALYSIS error, not a silent 0-read:
+    // getLong on a null slot would fabricate a wrong distance
+    val nul = intercept[Exception](spark.sql(
+      "SELECT hamming_distance(array(CAST(NULL AS BIGINT), 5L), array(3L, 5L))").collect())
+    assert(nul.getMessage.contains("NON-NULL"), nul.getMessage)
   }
 
   test("declared knn_hamming / binary_jaccard: deterministic, self at rank 1") {

@@ -100,6 +100,20 @@ class SparseSearchSpec extends AnyFunSuite {
     assert(dimsOfB.nonEmpty)
   }
 
+  test("topKBatch: an all-zero-weight qid matches nothing instead of emitting NaN ranks") {
+    val qp = Seq(
+      (1L, 3L, 0.0), (1L, 7L, 0.0), // degenerate query: every weight zero
+      (2L, 3L, 1.5), (2L, 7L, 2.0)  // healthy sibling in the same batch
+    ).toDF("qid", "dim", "w")
+    for (metric <- Seq("dot", "cosine")) {
+      val got = SparseSearch.topKBatch(postingsDf, qp, k = 5, metric).collect()
+      assert(!got.exists(_.getLong(0) == 1L),
+        s"$metric: the zero-vector query must be absent, not NaN-ranked")
+      assert(got.count(_.getLong(0) == 2L) == 5, s"$metric: sibling qid starved")
+      assert(got.forall(r => !r.getDouble(2).isNaN))
+    }
+  }
+
   test("zero-weight postings and empty/zero queries are rejected or dropped") {
     val df = Seq((1L, Map(3L -> 0.0, 7L -> 1.0))).toDF("id", "vec")
     assert(SparseSearch.postings(df, "id", "vec").count() == 1)
