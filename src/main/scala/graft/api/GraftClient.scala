@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, Sq8Index, TextIndex}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, ScalarIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -161,7 +161,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // x's drop() would destroy it, and x's listPartitions would read its
     // bucket dirs as partitions. Refuse at the boundary; '.rb' rebucket
     // targets can't collide ('.' is not a legal name character).
-    Seq("-ivf", "-text", "-parts").foreach(sfx =>
+    Seq("-ivf", "-text", "-parts", "-scalar").foreach(sfx =>
       require(!name.endsWith(sfx),
         s"collection names ending in '$sfx' are reserved (derived index/" +
           "partition storage of the unsuffixed name) — pick another name"))
@@ -192,6 +192,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // racing create wipe the winner's freshly-written data.
     if (created) {
       deleteDir(ivfDir(meta)); deleteDir(textDir(meta))
+      deleteDir(scalarRoot(meta))
       deleteDir(partsDir(meta)); deleteDir(meta.dataPath)
       if (meta.partitionKey.nonEmpty)
         (0 until meta.numPartitions).foreach(i =>
@@ -230,6 +231,7 @@ class GraftClient(spark: SparkSession, root: String) {
         // same-named re-create would silently RESURRECT under a possibly
         // different dim (createCollection also clears defensively)
         deleteDir(ivfDir(m)); deleteDir(textDir(m))
+        deleteDir(scalarRoot(m))
         deleteDir(partsDir(m)); deleteDir(m.dataPath)
         catalog.dropCollection(name)
     }
@@ -647,6 +649,11 @@ class GraftClient(spark: SparkSession, root: String) {
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
           refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
+          // scalar indexes roll forward the same way — touched-bucket
+          // postings rewritten from this commit's own post-image
+          // (`remaining` reads the RETAINED pre-image dirs by lineage,
+          // so it stays valid after the commit, like `current` above)
+          refreshScalarIndexes(m, coll, preVersion, newVersion, touched, remaining)
           Some(newVersion)
         }
       }
@@ -800,9 +807,14 @@ class GraftClient(spark: SparkSession, root: String) {
       require(catalog.updateCollection(u), s"catalog lost $name mid-rebucket")
       // old layout + its now-unreachable indexes are dead after the swap
       // (the text index keys off dataPath too — searchLexical falls back
-      // to the caller's frame until the next buildTextIndex)
+      // to the caller's frame until the next buildTextIndex; scalar
+      // indexes likewise key off dataPath AND the bucket count they were
+      // built under, so the swap both orphans and invalidates them —
+      // filtered reads fall back to full scans until createScalarIndex
+      // is re-run)
       deleteDir(ivfDir(m))
       deleteDir(textDir(m))
+      deleteDir(scalarRoot(m))
       deleteDir(m.dataPath)
       u
     }
@@ -922,9 +934,12 @@ class GraftClient(spark: SparkSession, root: String) {
       val pm = partMeta(m, p)
       // matches as a CLOSURE, not a frame: each rebase attempt re-reads
       // the then-current snapshot (see mergeCommitRebasing) so a lost
-      // CAS race cannot replay a stale delete set
+      // CAS race cannot replay a stale delete set. The match scan rides
+      // the scalar-index bucket prune when the predicate's conjuncts
+      // allow (recomputed per attempt — freshness is re-checked against
+      // the then-current snapshot inside scalarPrunedRead).
       mergeCommitRebasing(pm, None, Some(() =>
-        collection(pm).read(spark)
+        scalarPrunedRead(pm, collection(pm), Some(pred))
           .filter(coalesce(pred, lit(false))).select("key")))
     }
     countParts(m, Nil)
@@ -1497,7 +1512,9 @@ class GraftClient(spark: SparkSession, root: String) {
              filter: Option[Column] = None, nprobe: Int = 4,
              refine: Int = 4, offset: Int = 0,
              partitions: Seq[String] = Nil,
-             partitionKeyValues: Seq[String] = Nil): DataFrame = {
+             partitionKeyValues: Seq[String] = Nil,
+             matchTerms: Seq[String] = Nil,
+             matchMode: String = "any"): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -1537,10 +1554,16 @@ class GraftClient(spark: SparkSession, root: String) {
     // per-partition scored candidates (each partition resolves its OWN
     // index freshness and prune), then ONE global page: the union's
     // top-(offset+k) still plans as per-partition partial top-k + a
-    // driver k-way merge — no shuffle, no full sort
+    // driver k-way merge — no shuffle, no full sort. `matchTerms` adds
+    // the Milvus TEXT_MATCH gate: each partition semi-joins its
+    // candidates against ITS postings index's matching keys BEFORE any
+    // ranking bound, so top-k ranks only matching docs.
     val scored = parts
-      .map(p => scoredCandidates(partMeta(m, p), qvec, conj, nprobe, refine,
-        offset + k))
+      .map { p =>
+        val pm = partMeta(m, p)
+        scoredCandidates(pm, qvec, conj, nprobe, refine, offset + k,
+          gate = textMatchGate(pm, matchTerms, matchMode))
+      }
       .reduce(_ unionByName _)
     paged(scored, offset, k)
   }
@@ -1553,7 +1576,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * have ranked. */
   private def scoredCandidates(pm: CollectionMeta, qvec: Array[Float],
       filter: Option[Column], nprobe: Int, refine: Int,
-      depth: Int, cursorDist: Option[Double] = None): DataFrame = {
+      depth: Int, cursorDist: Option[Double] = None,
+      gate: Option[DataFrame] = None): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
@@ -1561,9 +1585,10 @@ class GraftClient(spark: SparkSession, root: String) {
       case Some(idx) if sq8Indexed(pm) =>
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
         // cursor prune stays on the FLAT/exact paths
-        sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth)
+        sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth, gate)
       case _ =>
-        val base = prunedCellsOrScan(pm, coll, liveIdx) { idx =>
+        val base = prunedCellsOrScan(pm, coll, liveIdx,
+            scalarPrunedRead(pm, coll, filter)) { idx =>
           val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
           val keep = idx.probe.probes(qa, nprobe)
           cursorDist.flatMap(cd => cursorDroppable(pm, idx, qa, cd)) match {
@@ -1571,7 +1596,12 @@ class GraftClient(spark: SparkSession, root: String) {
             case None => GraftClient.KeepCells(keep)
           }
         }
-        filter.fold(base)(base.filter)
+        val filtered = filter.fold(base)(base.filter)
+        // the TEXT_MATCH gate joins BEFORE any ranking bound — an equi
+        // semi-join on key (AQE broadcasts the Σ df(term)-sized key set
+        // when small; a stopword-sized one degrades to a shuffle join,
+        // never a collect)
+        gate.fold(filtered)(g => filtered.join(g, Seq("key"), "left_semi"))
           .select(col("key").as("vector_key"),
             distanceCol(pm.metric, qvec).as("distance"),
             col("meta").as("metadata"))
@@ -1633,9 +1663,14 @@ class GraftClient(spark: SparkSession, root: String) {
     * soundness cannot depend on metadata completeness.
     * [[GraftClient.AllCells]] scans the whole layout (unprunable bound,
     * radii-less legacy index). One scaffold so the staleness rule and
-    * the cells schema cannot silently diverge across the surfaces. */
+    * the cells schema cannot silently diverge across the surfaces.
+    * `exactScan` is the no-index fallback frame — callers holding a
+    * metadata filter pass [[scalarPrunedRead]] so the exact path rides
+    * the scalar-index bucket prune (the indexed path reads the cells
+    * layout, which is partitioned by centroid, not bucket — the vector
+    * prune already did its work there). */
   private def prunedCellsOrScan(m: CollectionMeta, coll: BucketedKeyedCollection,
-      liveIdx: Option[LoadedIndex])(
+      liveIdx: Option[LoadedIndex], exactScan: => DataFrame)(
       choose: LoadedIndex => GraftClient.CellChoice): DataFrame =
     liveIdx match {
       case Some(idx) if indexableMetric(m.metric) =>
@@ -1647,7 +1682,7 @@ class GraftClient(spark: SparkSession, root: String) {
           case GraftClient.DropCells(cs) => cellsDf.filter(!col("centroidId").isin(cs: _*))
           case GraftClient.AllCells => cellsDf
         }
-      case _ => coll.read(spark)
+      case _ => exactScan
     }
 
   /** The metric-dependent "smaller is better" score [[search]] and its
@@ -1706,7 +1741,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * in stage 2. */
   private def sq8Scored(m: CollectionMeta, coll: BucketedKeyedCollection,
       idx: LoadedIndex, qvec: Array[Float], filter: Option[Column],
-      nprobe: Int, refine: Int, depth: Int): DataFrame = {
+      nprobe: Int, refine: Int, depth: Int,
+      gate: Option[DataFrame] = None): DataFrame = {
     // stage-1 query lives in the assign space (normalized for cosine) —
     // the same float-rounded vector that probes the cells
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
@@ -1714,7 +1750,12 @@ class GraftClient(spark: SparkSession, root: String) {
     val cells = idx.probe.probes(qa, nprobe)
     val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
       .filter(col("centroidId").isin(cells: _*))
-    val cand = filter.fold(sq8)(sq8.filter)
+    val metaFiltered = filter.fold(sq8)(sq8.filter)
+    // the TEXT_MATCH gate applies BEFORE the stage-1 depth bound, like
+    // the metadata filter: a gated-out candidate must not consume
+    // stage-1 slots, or the refine pool would under-fill with matches
+    val cand = gate.fold(metaFiltered)(g =>
+        metaFiltered.join(g, Seq("key"), "left_semi"))
       .select(col("key"), sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
       .orderBy(col("adist"), col("key"))
       .limit(depth * refine)
@@ -1798,7 +1839,8 @@ class GraftClient(spark: SparkSession, root: String) {
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      prunedCellsOrScan(pm, coll, liveIndex(pm, coll)) { idx =>
+      prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
+          scalarPrunedRead(pm, coll, filter)) { idx =>
         (for (rad <- idx.radii; r <- pruneRadius) yield {
           val centerDist = idx.assign.distancesTo(qa)
           GraftClient.DropCells(rad.collect {
@@ -1868,7 +1910,8 @@ class GraftClient(spark: SparkSession, root: String) {
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      prunedCellsOrScan(pm, coll, liveIndex(pm, coll)) { idx =>
+      prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
+          scalarPrunedRead(pm, coll, filter)) { idx =>
         val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
         GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
       }.select(col("key"), col("vec"), col("meta"))
@@ -1967,7 +2010,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * bucket-pruned point read. */
   def queryWhere(name: String, filter: Column,
                  limit: Option[Int] = None,
-                 partitions: Seq[String] = Nil): DataFrame = {
+                 partitions: Seq[String] = Nil,
+                 matchTerms: Seq[String] = Nil,
+                 matchMode: String = "any"): DataFrame = {
     limit.foreach(l => require(l >= 0,
       s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
                                        // from inside plan analysis
@@ -1979,7 +2024,22 @@ class GraftClient(spark: SparkSession, root: String) {
     // would stay un-pushed instead of reaching the Parquet row groups
     // (deleteWhere's NEGATED use is the one that genuinely needs the
     // explicit null collapse). PlanQualitySpec pins the pushdown.
-    val out = readParts(m, partitions)
+    //
+    // Each partition's scan additionally bucket-prunes through any FRESH
+    // scalar index the filter's equality/IN conjuncts can use
+    // (scalarPrunedRead — lossless, the full filter still applies): the
+    // Milvus `query(filter=...)` export path is where a scalar index
+    // pays at 100 TB.
+    val out = resolveParts(m, partitions)
+      .map { p =>
+        val pm = partMeta(m, p)
+        val base = scalarPrunedRead(pm, collection(pm), Some(filter))
+        // Milvus TEXT_MATCH in query filters: per-partition semi-join
+        // against that partition's postings-index matches
+        textMatchGate(pm, matchTerms, matchMode)
+          .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
+      }
+      .reduce(_ unionByName _)
       .filter(filter)
       .select(col("key"), col("vec"), col("meta"))
       .orderBy(col("key"))
@@ -2404,6 +2464,247 @@ class GraftClient(spark: SparkSession, root: String) {
            k1: Double = 1.2, b: Double = 0.75): DataFrame =
     graft.queries.TextQueries.bm25(docs, idCol, textCol, terms, k, k1, b)
 
+  // ---- Scalar (metadata) indexes — Milvus scalar-index parity ----
+  //
+  // Milvus `create_index(field_name=<scalar field>, index_type=
+  // "INVERTED"/"BITMAP")`: the index a migrating user of the reference's
+  // MilvusClient builds once filtered queries dominate (the `filter=`
+  // argument at `milvus-app/pythonvectordbceph_milvus.py:109-111` and
+  // `milvus-app/describe.py:28`). Here it is a per-field (value → store
+  // bucket) posting list ([[graft.index.ScalarIndex]]): a filter whose
+  // AND-conjuncts imply `meta[field] ∈ values` scans ONLY the buckets
+  // listed for those values — a DIRECTORY-level prune ahead of parquet's
+  // row-group pushdown, so a selective equality reads a handful of
+  // bucket dirs instead of opening every file of a 100 TB store.
+  // Lossless by construction (a live row's value always has a posting
+  // for its bucket); stale or inapplicable → plain full scan, same
+  // staleness contract as the IVF and text indexes. Auto-maintained from
+  // every commit at touched-bucket cost, exactly like the IVF cells.
+
+  private def scalarRoot(m: CollectionMeta) = s"${m.dataPath}-scalar"
+  private def scalarFieldDir(m: CollectionMeta, field: String) =
+    s"${scalarRoot(m)}/$field"
+
+  // the field names a directory under the scalar root and is matched by
+  // element_at — identifier-shaped, like partitionKey (Milvus field
+  // names carry the same constraint)
+  private def requireScalarField(field: String): Unit =
+    require(field.matches("[A-Za-z0-9_\\-]+"),
+      s"illegal scalar-index field '$field' — use [A-Za-z0-9_-]+")
+
+  /** Build (or rebuild) the scalar index on `meta[field]` — one pass over
+    * each scoped partition's snapshot, distinct (value, bucket) postings,
+    * VERSION stamped LAST (a crash mid-build leaves the stamp stale and
+    * every read falls back to the full scan; re-run to recover). Mirrors
+    * [[buildIndex]]'s partition semantics: the default all-partition form
+    * skips empty partitions, a NAMED empty partition fails loudly.
+    * Partitions created after this call have no index until it is re-run
+    * — their reads stay full-scan (sound). */
+  def createScalarIndex(name: String, field: String,
+                        partitions: Seq[String] = Nil): Unit = {
+    val m = metaOrThrow(name)
+    requireScalarField(field)
+    val built = resolveParts(m, partitions).count { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val versionAt = coll.currentVersion
+      val empty = versionAt.isEmpty
+      if (empty) require(partitions.isEmpty,
+        s"partition '$p' of '$name' is empty — nothing to index")
+      if (!empty) {
+        val dir = scalarFieldDir(pm, field)
+        // version captured BEFORE the snapshot read: a commit landing
+        // anywhere in between leaves the stamp behind the data (or the
+        // data behind the stamp) — both read as STALE, never as a fresh
+        // index missing rows
+        ScalarIndex.write(
+          coll.read(spark).select(
+              element_at(col("meta"), lit(field)).as("value"),
+              coll.bucketExpr.as("bucket"))
+            .filter(col("value").isNotNull),
+          dir)
+        stampVersionFile(dir, versionAt.get)
+      }
+      !empty
+    }
+    if (built == 0) throw new IllegalStateException(
+      s"collection $name is empty — nothing to index")
+  }
+
+  /** Drop the scalar index on `field` across every live partition —
+    * false if none existed. Reads simply stop pruning. */
+  def dropScalarIndex(name: String, field: String): Boolean = {
+    val m = metaOrThrow(name)
+    requireScalarField(field)
+    listedPartitions(m).map { p =>
+      val dir = scalarFieldDir(partMeta(m, p), field)
+      val existed = ScalarIndex.exists(dir)
+      deleteDir(dir)
+      existed
+    }.contains(true)
+  }
+
+  /** Fields with a scalar index on ANY live partition (freshness is
+    * per-partition and per-read — this is the catalog surface). */
+  def listScalarIndexes(name: String): Seq[String] = {
+    val m = metaOrThrow(name)
+    listedPartitions(m)
+      .flatMap(p => scalarIndexedFields(partMeta(m, p)))
+      .distinct.sorted
+  }
+
+  /** Observability for the prune's effectiveness: the `field` values with
+    * the widest bucket fan-out in the default partition's index — a value
+    * present in every bucket prunes nothing, so the operator can see
+    * which predicates the index helps before relying on it. */
+  def scalarIndexStats(name: String, field: String, topN: Int = 10): DataFrame = {
+    val m = metaOrThrow(name)
+    requireScalarField(field)
+    val dir = scalarFieldDir(m, field)
+    require(ScalarIndex.exists(dir),
+      s"'$name' has no scalar index on '$field' — createScalarIndex first")
+    ScalarIndex.stats(spark, dir, topN)
+  }
+
+  private def scalarIndexedFields(m: CollectionMeta): Seq[String] = {
+    val root = java.nio.file.Paths.get(scalarRoot(m))
+    if (!java.nio.file.Files.isDirectory(root)) Nil
+    else {
+      val s = java.nio.file.Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(d => ScalarIndex.exists(d.toString))
+          .map(_.getFileName.toString).toSeq.sorted
+      } finally s.close()
+    }
+  }
+
+  /** Per-commit scalar maintenance (called from mergeCommitOnce beside
+    * the IVF refresh): each FRESH field index rolls forward by rewriting
+    * exactly the touched buckets' postings from the commit's own
+    * post-image — cost ∝ the commit's rows per indexed field, never the
+    * corpus. An index not stamped at the snapshot this commit replaced
+    * stays stale (rolling it forward would stamp fresh an index missing
+    * the writes that staled it — same precondition as the text index). */
+  private def refreshScalarIndexes(m: CollectionMeta,
+      coll: BucketedKeyedCollection, preVersion: Option[Long],
+      newVersion: Long, touched: Seq[Int], remaining: DataFrame): Unit =
+    scalarIndexedFields(m).foreach { field =>
+      val dir = scalarFieldDir(m, field)
+      if (readVersionFile(dir).exists(preVersion.contains)) {
+        ScalarIndex.overwriteTouched(
+          remaining.select(
+              element_at(col("meta"), lit(field)).as("value"),
+              coll.bucketExpr.as("bucket"))
+            .filter(col("value").isNotNull),
+          touched, dir)
+        stampVersionFile(dir, newVersion)
+      }
+    }
+
+  /** Bounded value sets implied by `filter` for meta fields, read off the
+    * ANALYZED predicate: only top-level AND-conjuncts of the shapes
+    * `meta['f'] = 'v'` (either order; `<=>` with a non-null literal) and
+    * `meta['f'] IN ('v1', …)` contribute — each is implied by the whole
+    * filter, so restricting the scan to buckets containing one of the
+    * values is lossless. Anything else (ORs, ranges, UDFs, null-safe
+    * null compares) yields no entry and therefore no prune. Matching
+    * runs on the analyzed tree (GetMapValue / ElementAt over the `meta`
+    * attribute), not on unresolved Column ASTs — the same shapes the
+    * partition-key filter compiles to, so pk scoping rides this too. */
+  private def impliedMetaValueSets(base: DataFrame, filter: Column)
+      : Map[String, Seq[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val cond = base.filter(filter).queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      case _ => return Map.empty
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def metaField(e: Expression): Option[String] = {
+      val kv = e match {
+        case g: GetMapValue => Some((g.child, g.key))
+        case el: ElementAt if el.left.dataType.isInstanceOf[MapType] =>
+          Some((el.left, el.right))
+        case _ => None
+      }
+      kv.collect {
+        case (a: AttributeReference, Literal(f, StringType))
+            if a.name == "meta" && f != null => f.toString
+      }
+    }
+    def litString(e: Expression): Option[String] = e match {
+      case l: Literal if l.dataType == StringType => Option(l.value).map(_.toString)
+      case o if o.foldable && o.dataType == StringType => Option(o.eval()).map(_.toString)
+      case _ => None
+    }
+    def eq(l: Expression, r: Expression): Option[(String, Seq[String])] =
+      metaField(l).flatMap(f => litString(r).map(v => f -> Seq(v)))
+        .orElse(metaField(r).flatMap(f => litString(l).map(v => f -> Seq(v))))
+    val sets = conjuncts(cond).flatMap {
+      case EqualTo(l, r) => eq(l, r)
+      case EqualNullSafe(l, r) => eq(l, r)
+      case In(v, list) =>
+        metaField(v).flatMap { f =>
+          val vs = list.map(litString)
+          // a null element never matches (three-valued IN) but makes the
+          // set unrepresentable here — skip the prune, stay conservative
+          if (vs.nonEmpty && vs.forall(_.isDefined)) Some(f -> vs.flatten)
+          else None
+        }
+      case i: InSet =>
+        // null elements never match under IN semantics — dropping them
+        // keeps the prune sound; an all-null set prunes to zero buckets,
+        // which is exactly the (empty) answer the filter produces
+        metaField(i.child).map(f =>
+          f -> i.hset.toSeq.filter(_ != null).map(_.toString).sorted)
+      case _ => None
+    }
+    // multiple conjuncts on the SAME field intersect (a row must satisfy
+    // all of them) — the tightest value set wins
+    sets.groupBy(_._1).map { case (f, fs) =>
+      f -> fs.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    }
+  }
+
+  /** One partition's snapshot read, bucket-pruned through any FRESH
+    * scalar index the filter's equality/IN conjuncts can use — else the
+    * plain full read. Lossless either way; callers still apply the full
+    * filter on top. Multiple usable fields intersect their bucket sets.
+    * The read is PINNED to the snapshot version the freshness check saw
+    * (readBucketsAt) so a commit racing this query cannot hand it the
+    * next snapshot's data restricted to this snapshot's bucket list —
+    * the result is always a consistent snapshot, exactly like the plain
+    * read. */
+  private def scalarPrunedRead(pm: CollectionMeta,
+      coll: BucketedKeyedCollection, filter: Option[Column]): DataFrame = {
+    val full = coll.read(spark)
+    filter match {
+      case None => full
+      case Some(f) =>
+        val fields = scalarIndexedFields(pm)
+        if (fields.isEmpty) full
+        else {
+          val implied = impliedMetaValueSets(full, f)
+          val pinned = coll.currentVersion
+          val usable = fields.filter(fd => implied.contains(fd) &&
+            readVersionFile(scalarFieldDir(pm, fd)).exists(pinned.contains))
+          if (usable.isEmpty || pinned.isEmpty) full
+          else {
+            val buckets = usable
+              .map(fd => ScalarIndex.bucketsFor(
+                spark, scalarFieldDir(pm, fd), implied(fd)))
+              .reduce(_ intersect _)
+            coll.readBucketsAt(spark, pinned.get, buckets.toSeq.sorted)
+          }
+        }
+    }
+  }
+
   private def textDir(m: CollectionMeta) = s"${m.dataPath}-text"
 
   /** Build (or rebuild) the at-rest postings index for collection `name`
@@ -2510,6 +2811,39 @@ class GraftClient(spark: SparkSession, root: String) {
   private def textIndexFresh(m: CollectionMeta): Boolean =
     textIndexFreshAt(m).isDefined
 
+  /** The TEXT_MATCH candidate gate for one partition: the live doc keys
+    * containing `terms` per that partition's postings index (I/O ∝
+    * Σ df(term) — [[TextIndex.matchingDocs]]). Requires a FRESH index,
+    * exactly as Milvus requires `enable_match` + the match index on the
+    * field: the store keeps no text, so there is nothing to fall back
+    * to, and an explicit error beats a silently stale match. */
+  private def textMatchGate(pm: CollectionMeta, terms: Seq[String],
+                            mode: String): Option[DataFrame] =
+    if (terms.isEmpty) None
+    else {
+      require(textIndexFresh(pm),
+        s"TEXT_MATCH needs a FRESH text index on '${pm.name}' — " +
+          "buildTextIndex / appendTextIndex (or upsertTexts with " +
+          "maintainTextIndex = true) first")
+      Some(TextIndex.matchingDocs(spark, textDir(pm), terms, mode))
+    }
+
+  /** Milvus `TEXT_MATCH` as a standalone surface: the distinct live doc
+    * keys of the scoped partitions whose indexed text contains `terms`
+    * (`mode` "any" = at least one term — TEXT_MATCH's OR semantics;
+    * "all" = every term — Milvus's conjoined-TEXT_MATCH form). The same
+    * gate [[search]] and [[queryWhere]] apply via their `matchTerms`
+    * parameter, exposed for callers composing their own plans. */
+  def textMatchKeys(name: String, terms: Seq[String], mode: String = "any",
+                    partitions: Seq[String] = Nil): DataFrame = {
+    require(terms.nonEmpty, "text match needs at least one term")
+    val m = metaOrThrow(name)
+    resolveParts(m, partitions)
+      .map(p => textMatchGate(partMeta(m, p), terms, mode).get)
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** BM25 against a collection: when the text index is FRESH (stamped at
     * the collection's current snapshot version), queries ride the at-rest
     * postings — a bucket partition prune + pushed term filter, Σ df(term)
@@ -2597,8 +2931,11 @@ class GraftClient(spark: SparkSession, root: String) {
     // says it cannot have. The gate is a semi-join BETWEEN scoring and
     // ranking (restrictTo), not a restriction of `docs`: corpus stats
     // stay fixed, so the filtered arm rides the postings index too.
-    val passing = filter.map(f =>
-      collection(metaOrThrow(name)).read(spark).filter(f).select("key"))
+    val passing = filter.map { f =>
+      // the gate's key-set scan rides the scalar-index bucket prune too
+      val pm = metaOrThrow(name)
+      scalarPrunedRead(pm, collection(pm), Some(f)).filter(f).select("key")
+    }
     val lexTop = searchLexical(name, docs, terms, k = armK, textCol = textCol,
       useIndex = useIndex, restrictTo = passing) // (key, bm25)
     val vecTop = search(name, qvec, armK, filter, nprobe)

@@ -407,6 +407,38 @@ object TextIndex {
   /** Whether a postings layout exists at `path`. */
   def exists(path: String): Boolean = java.nio.file.Files.exists(metaPath(path))
 
+  /** Milvus `TEXT_MATCH(field, 'terms…')`: the distinct LIVE doc ids
+    * containing the terms — mode "any" = at least one term (Milvus
+    * TEXT_MATCH's OR semantics over the analyzed terms), "all" = every
+    * term (Milvus spells AND as conjoined TEXT_MATCH filters; this is
+    * that conjunction in one call). Rides the same bucket partition
+    * prune + pushed `term IN` as [[bm25]], with later-segment tombstones
+    * masked: I/O ∝ Σ df(term), never corpus. Terms must match the
+    * index's tokenizer (whitespace split) exactly — same contract as
+    * bm25 query terms. */
+  def matchingDocs(spark: SparkSession, path: String, terms: Seq[String],
+                   mode: String = "any"): DataFrame = {
+    require(terms.nonEmpty, "text match needs at least one term")
+    require(mode == "any" || mode == "all",
+      s"mode must be 'any' or 'all' (got '$mode')")
+    require(exists(path), s"no text index at $path — run build first")
+    val (buckets, schema, gens) = readMeta(path)
+    val idCol = schema.fields.head.name
+    val distinctTerms = terms.distinct
+    val bucketIds = distinctTerms.map(termBucket(_, buckets)).distinct
+    val matching = livePostings(spark, path, gens, schema,
+      Some(col("bucket").isin(bucketIds: _*) &&
+        col("term").isin(distinctTerms: _*)))
+    if (mode == "any") matching.select(col(idCol)).distinct()
+    else matching.groupBy(col(idCol))
+      // postings are unique per (id, term) within a live doc version, so
+      // a plain count equals the distinct-term count — but count_distinct
+      // keeps "all" correct even if that invariant ever loosens
+      .agg(count_distinct(col("term")).as("__nt"))
+      .filter(col("__nt") === distinctTerms.size)
+      .select(col(idCol))
+  }
+
   /** BM25 top-`k` for `terms`, riding the at-rest postings: partition
     * prune to the terms' hash buckets, pushed `term IN` filter, df as a
     * tiny second aggregate over the ALREADY-pruned postings (identical

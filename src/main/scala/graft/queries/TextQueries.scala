@@ -254,6 +254,27 @@ object TextQueries {
     graft.index.TextIndex.bm25(spark, postingsFor(spark, dir),
       Seq("join", "hash", "scan"))
 
+  /** B6/C14 — Milvus `TEXT_MATCH` as a KNN pre-filter: docs containing
+    * ALL of {'join','scan'} (the conjoined-TEXT_MATCH form), KNN-ranked
+    * by exact L2 against vec_id 0's embedding. The match set comes from
+    * the AT-REST postings index ([[graft.index.TextIndex.matchingDocs]]
+    * — bucket partition prune + pushed `term IN`, I/O ∝ Σ df(term)), so
+    * the oracle pins the production gate the client's `matchTerms`
+    * parameter applies inside search/queryWhere. */
+  def textMatchKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, postingsFor(spark, dir), Seq("join", "scan"), mode = "all")
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (RRF, the standard k=60
     * variant) of the BM25 lexical arm and the exact L2 KNN vector arm —
     * the two-sided surface the reference implies (lexical `search.py`
@@ -415,6 +436,7 @@ object TextQueries {
     "repetition_ratio" -> repetitionRatio _,
     "train_val_split" -> trainValSplit _,
     "bm25_scores" -> bm25Scores _,
+    "text_match_knn" -> textMatchKnn _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_weighted" -> hybridWeighted _,
     "pii_redact" -> piiRedact _
@@ -530,6 +552,15 @@ object TextQueries {
                        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
          FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
          GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""",
+    "text_match_knn" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           m AS (SELECT doc_id FROM tokens WHERE word IN ('join', 'scan')
+                 GROUP BY doc_id HAVING count(DISTINCT word) = 2),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
     "hybrid_rrf" ->
       """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
            dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),

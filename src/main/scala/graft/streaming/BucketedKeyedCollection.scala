@@ -176,6 +176,17 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     readPaths(spark, buckets.distinct.flatMap(live.get))
   }
 
+  /** [[readBuckets]] pinned to an explicit snapshot `version` — for
+    * callers that derived `buckets` from version-stamped metadata (the
+    * scalar indexes) and must not mix that bucket list with a LATER
+    * snapshot a racing commit just published. Same reader-validity
+    * window as [[readVersion]]: the version must still be retained. */
+  def readBucketsAt(spark: SparkSession, version: Long,
+                    buckets: Seq[Int]): DataFrame = {
+    val live = readManifest(version).buckets
+    readPaths(spark, buckets.distinct.flatMap(live.get))
+  }
+
   /** Commit `rows` as the complete new contents of the `touched` buckets
     * (every row of `rows` must hash into `touched`); all other buckets
     * carry over untouched. A touched bucket with no surviving rows is

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftClient
+
+/** Scalar (metadata) index — Milvus scalar-index parity: directory-level
+  * bucket pruning for filtered reads, per-commit touched-bucket
+  * maintenance, staleness fallback. Correctness here is double-checked
+  * everywhere: every pruned result is compared against the same query's
+  * full-scan answer. */
+class ScalarIndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def mkClient(): GraftClient = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scalar").toString
+    new GraftClient(spark, root)
+  }
+
+  private def vec(seed: Int): Seq[Float] = Seq.tabulate(4)(i => (seed % 17 + i).toFloat)
+
+  /** 200 rows, two RARE source values on known keys, the rest common —
+    * rare values land in few store buckets, so the prune is observable. */
+  private def seedRows = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val src = if (i == 7 || i == 42) "rare" else if (i == 99) "unicorn" else "common"
+      (s"k$i", vec(i), Map("source" -> src, "x" -> (i % 10).toString))
+    }.toDF("key", "vec", "meta")
+  }
+
+  private def srcEq(v: String) = element_at(col("meta"), lit("source")) === v
+
+  /** Distinct bucket directories a frame's plan actually reads. */
+  private def bucketDirsRead(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+
+  test("build + prune: equality and IN read only the value's buckets, same answer") {
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+
+    // BEFORE the index: full scan baseline (all live bucket dirs)
+    val fullDirs = bucketDirsRead(c.queryWhere("col", srcEq("rare")))
+    val fullKeys = c.queryWhere("col", srcEq("rare")).select("key")
+      .collect().map(_.getString(0)).toSet
+    assert(fullKeys == Set("k7", "k42"))
+
+    c.createScalarIndex("col", "source")
+    assert(c.listScalarIndexes("col") == Seq("source"))
+
+    val pruned = c.queryWhere("col", srcEq("rare"))
+    assert(pruned.select("key").collect().map(_.getString(0)).toSet == fullKeys)
+    val prunedDirs = bucketDirsRead(pruned)
+    assert(prunedDirs.size <= 2, s"rare (2 keys) must read <= 2 bucket dirs, got $prunedDirs")
+    assert(prunedDirs.size < fullDirs.size)
+
+    // IN over two values — union of their posting lists
+    val in = c.queryWhere("col",
+      element_at(col("meta"), lit("source")).isin("rare", "unicorn"))
+    assert(in.select("key").collect().map(_.getString(0)).toSet == Set("k7", "k42", "k99"))
+    assert(bucketDirsRead(in).size <= 3)
+
+    // a value absent from the corpus proves absence: zero buckets, zero rows
+    val none = c.queryWhere("col", srcEq("never-written"))
+    assert(none.count() == 0)
+    assert(none.inputFiles.isEmpty)
+  }
+
+  test("only implied AND-conjuncts prune; ORs stay full-scan; same-field conjuncts intersect") {
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+
+    // conjunct beside an un-indexed predicate: prune fires, filter still exact
+    val conj = c.queryWhere("col",
+      srcEq("rare") && element_at(col("meta"), lit("x")) === "7")
+    assert(conj.select("key").collect().map(_.getString(0)).toSet == Set("k7"))
+    assert(bucketDirsRead(conj).size <= 2)
+
+    // OR cannot imply a bounded value set — no prune, correct answer
+    val or = c.queryWhere("col",
+      srcEq("rare") || element_at(col("meta"), lit("x")) === "9")
+    val orKeys = or.select("key").collect().map(_.getString(0)).toSet
+    assert(orKeys.contains("k7") && orKeys.contains("k42") && orKeys.contains("k9"))
+    val fullDirs = bucketDirsRead(c.queryWhere("col", lit(true)))
+    assert(bucketDirsRead(or) == fullDirs)
+
+    // two conjuncts on the SAME field intersect their value sets
+    val inter = c.queryWhere("col",
+      srcEq("rare") && element_at(col("meta"), lit("source")).isin("rare", "common"))
+    assert(inter.select("key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(bucketDirsRead(inter).size <= 2)
+    // contradictory conjuncts → empty value set → zero buckets, zero rows
+    assert(c.queryWhere("col", srcEq("rare") && srcEq("common")).count() == 0)
+  }
+
+  test("per-commit maintenance: upserts, value churn, deletes — index stays fresh and exact") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+
+    // new value arrives: the index rolled forward with the commit
+    c.upsert("col", Seq(("kNew", vec(1), Map("source" -> "fresh")))
+      .toDF("key", "vec", "meta"))
+    val fresh = c.queryWhere("col", srcEq("fresh"))
+    assert(fresh.select("key").collect().map(_.getString(0)).toSet == Set("kNew"))
+    assert(bucketDirsRead(fresh).size <= 1)
+
+    // value churn: k7 re-upserted with a DIFFERENT source — old posting
+    // must not resurrect the key under 'rare'
+    c.upsert("col", Seq(("k7", vec(7), Map("source" -> "moved")))
+      .toDF("key", "vec", "meta"))
+    assert(c.queryWhere("col", srcEq("rare")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k42"))
+    assert(c.queryWhere("col", srcEq("moved")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k7"))
+
+    // deleteWhere rides the prune and maintains the index through its commit
+    c.deleteWhere("col", srcEq("rare"))
+    val gone = c.queryWhere("col", srcEq("rare"))
+    assert(gone.count() == 0)
+    assert(gone.inputFiles.isEmpty, "deleted value's postings must be gone")
+
+    // delete by key maintains too
+    c.deleteByKeys("col", Seq("kNew"))
+    assert(c.queryWhere("col", srcEq("fresh")).count() == 0)
+
+    // after all the churn the pruned path still equals a fresh full scan
+    val all = c.queryWhere("col", lit(true)).select("key")
+      .collect().map(_.getString(0)).toSet
+    assert(!all.contains("kNew") && all.contains("k7") && !all.contains("k42"))
+  }
+
+  test("staleness falls back to the full scan, never a wrong answer") {
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+    val dataPath = c.describe("col").dataPath
+
+    // simulate a crashed build/maintenance: VERSION gone → index unusable
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dataPath-scalar/source/VERSION"))
+    val q = c.queryWhere("col", srcEq("rare"))
+    assert(q.select("key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(bucketDirsRead(q) == bucketDirsRead(c.queryWhere("col", lit(true))),
+      "stale index must not prune")
+
+    // createScalarIndex is the recovery path
+    c.createScalarIndex("col", "source")
+    assert(bucketDirsRead(c.queryWhere("col", srcEq("rare"))).size <= 2)
+  }
+
+  test("exact-path search prunes through the filter; IVF path unaffected") {
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+
+    val q = Array.fill(4)(0.5f)
+    val hits = c.search("col", q, k = 5, filter = Some(srcEq("rare")))
+    assert(hits.select("vector_key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(bucketDirsRead(hits).size <= 2, "exact-path filtered search must bucket-prune")
+
+    // with a fresh IVF index the candidates come from the cells layout —
+    // the scalar prune must not interfere with result correctness
+    c.buildIndex("col", nlist = 4)
+    val viaIvf = c.search("col", q, k = 5, filter = Some(srcEq("rare")), nprobe = 4)
+    assert(viaIvf.select("vector_key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+  }
+
+  test("partition-key collection: routed commits maintain per-partition; pk scoping rides the prune") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("pkc", dim = 4, partitionKey = "tenant", numPartitions = 4)
+    val rows = (0 until 120).map { i =>
+      (s"k$i", vec(i), Map("tenant" -> s"t${i % 3}", "kind" -> (if (i < 3) "odd" else "usual")))
+    }.toDF("key", "vec", "meta")
+    c.upsert("pkc", rows)
+    c.createScalarIndex("pkc", "kind")
+
+    // routed upsert after the index: every touched partition's index rolls forward
+    c.upsert("pkc", Seq(("kX", vec(5), Map("tenant" -> "t1", "kind" -> "odd")))
+      .toDF("key", "vec", "meta"))
+    val odd = c.queryWhere("pkc", element_at(col("meta"), lit("kind")) === "odd")
+    assert(odd.select("key").collect().map(_.getString(0)).toSet ==
+      Set("k0", "k1", "k2", "kX"))
+    // 4 rows → at most 4 bucket dirs across all partitions
+    assert(bucketDirsRead(odd).size <= 4)
+
+    // partition-key scoped search composes with the scalar filter
+    val hits = c.search("pkc", Array.fill(4)(0.5f), k = 50,
+      filter = Some(element_at(col("meta"), lit("kind")) === "odd"),
+      partitionKeyValues = Seq("t1"))
+    val keys = hits.select("vector_key").collect().map(_.getString(0)).toSet
+    assert(keys.forall(Set("k1", "kX")), s"t1&odd only, got $keys")
+    assert(keys == Set("k1", "kX"))
+  }
+
+  test("lifecycle: reserved suffix, stats, drop, collection drop cleans up") {
+    val c = mkClient()
+    assertThrows[IllegalArgumentException](c.createCollection("x-scalar", dim = 4))
+
+    c.createCollection("col", dim = 4)
+    assertThrows[IllegalStateException](c.createScalarIndex("col", "source"))
+    c.upsert("col", seedRows)
+    assertThrows[IllegalArgumentException](c.createScalarIndex("col", "no spaces!"))
+    c.createScalarIndex("col", "source")
+    c.createScalarIndex("col", "x")
+    assert(c.listScalarIndexes("col") == Seq("source", "x"))
+
+    // stats: 'common' fans out to the most buckets (prunes nothing) —
+    // the operator can see that before relying on the index
+    val top = c.scalarIndexStats("col", "source").collect()
+    assert(top.head.getString(0) == "common")
+    assert(top.map(_.getString(0)).toSet == Set("common", "rare", "unicorn"))
+
+    assert(c.dropScalarIndex("col", "x"))
+    assert(!c.dropScalarIndex("col", "x"))
+    assert(c.listScalarIndexes("col") == Seq("source"))
+
+    val dataPath = c.describe("col").dataPath
+    c.drop("col")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataPath-scalar")),
+      "drop must remove the scalar root")
+  }
+}

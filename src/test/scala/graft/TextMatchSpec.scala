@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftClient
+import graft.ingest.Embedder
+
+/** Milvus TEXT_MATCH parity: term-match filters on search/query gated by
+  * the at-rest postings index — `matchTerms`/`matchMode` on [[GraftClient
+  * .search]] and [[GraftClient.queryWhere]], plus the standalone
+  * [[GraftClient.textMatchKeys]]. Freshness is a hard precondition (the
+  * store keeps no text — there is nothing to fall back to), mirroring
+  * Milvus's requirement of a match index on the field. */
+class TextMatchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def mk(): GraftClient = new GraftClient(spark,
+    java.nio.file.Files.createTempDirectory("graft-tm").toString)
+
+  private val corpus = Seq(
+    ("d1", "hash join over parquet files"),
+    ("d2", "sort merge join planner"),
+    ("d3", "full table scan fallback"),
+    ("d4", "hash scan join hybrid path"),
+    ("d5", "nothing relevant in here"))
+
+  private def docsDf = {
+    import spark.implicits._
+    corpus.map { case (k, t) => (k, t, Map("src" -> "s")) }
+      .toDF("key", "text", "meta")
+  }
+
+  private def keysOf(df: org.apache.spark.sql.DataFrame, c: String = "key") =
+    df.select(c).collect().map(_.getString(0)).toSet
+
+  private def seeded(): GraftClient = {
+    val c = mk()
+    c.createCollection("col", dim = 384)
+    c.upsertTexts("col", docsDf)
+    c.buildTextIndex("col", docsDf)
+    c
+  }
+
+  test("textMatchKeys: any = OR of terms, all = conjoined TEXT_MATCH") {
+    val c = seeded()
+    assert(keysOf(c.textMatchKeys("col", Seq("join"))) == Set("d1", "d2", "d4"))
+    assert(keysOf(c.textMatchKeys("col", Seq("join", "scan"))) ==
+      Set("d1", "d2", "d3", "d4"))
+    assert(keysOf(c.textMatchKeys("col", Seq("join", "scan"), mode = "all")) ==
+      Set("d4"))
+    assert(c.textMatchKeys("col", Seq("absent-term")).count() == 0)
+    assertThrows[IllegalArgumentException](
+      c.textMatchKeys("col", Seq("join"), mode = "nope"))
+    assertThrows[IllegalArgumentException](c.textMatchKeys("col", Nil))
+  }
+
+  test("search gates candidates through the match; ranking = filtered exact ranking") {
+    val c = seeded()
+    val q = Embedder.text.embedText("hash join")
+    val gated = c.search("col", q, k = 10, matchTerms = Seq("join"))
+    val gatedKeys = gated.select("vector_key").collect().map(_.getString(0))
+    assert(gatedKeys.toSet == Set("d1", "d2", "d4"))
+    // ranking parity: same order as the full search restricted post-hoc
+    val full = c.search("col", q, k = 10)
+      .select("vector_key").collect().map(_.getString(0))
+    assert(gatedKeys.toSeq == full.filter(Set("d1", "d2", "d4")).toSeq)
+    // match composes with a metadata filter conjunctively
+    val both = c.search("col", q, k = 10,
+      filter = Some(col("key") =!= "d2"), matchTerms = Seq("join"))
+    assert(keysOf(both, "vector_key") == Set("d1", "d4"))
+  }
+
+  test("queryWhere with matchTerms: per-partition postings semi-join") {
+    val c = seeded()
+    assert(keysOf(c.queryWhere("col", lit(true), matchTerms = Seq("scan"))) ==
+      Set("d3", "d4"))
+    assert(keysOf(c.queryWhere("col", col("key") =!= "d3",
+      matchTerms = Seq("scan"))) == Set("d4"))
+  }
+
+  test("staleness is a hard error; append is the recovery; maintained upserts stay fresh") {
+    import spark.implicits._
+    val c = seeded()
+    // a commit the index never saw → stale → explicit error, not a miss
+    c.upsertTexts("col", Seq(("d6", "another join workload", Map("src" -> "s")))
+      .toDF("key", "text", "meta"))
+    assertThrows[IllegalArgumentException](
+      c.search("col", Embedder.text.embedText("join"), k = 5,
+        matchTerms = Seq("join")))
+    // append covers the delta and restamps → d6 now matches
+    c.appendTextIndex("col", Seq(("d6", "another join workload"))
+      .toDF("key", "text"))
+    assert(keysOf(c.textMatchKeys("col", Seq("join"))) ==
+      Set("d1", "d2", "d4", "d6"))
+    // the auto-maintained write path keeps the match surface live
+    c.upsertTexts("col", Seq(("d7", "join again", Map("src" -> "s")))
+      .toDF("key", "text", "meta"), maintainTextIndex = true)
+    assert(keysOf(c.queryWhere("col", lit(true), matchTerms = Seq("join"))) ==
+      Set("d1", "d2", "d4", "d6", "d7"))
+  }
+
+  test("SQ8 path: the gate applies before the stage-1 depth bound") {
+    val c = mk()
+    c.createCollection("colq", dim = 384, metric = "l2",
+      indexType = "IVF_SQ8", nlist = 2)
+    c.upsertTexts("colq", docsDf)
+    c.buildTextIndex("colq", docsDf)
+    c.buildIndex("colq", nlist = 2)
+    val q = Embedder.text.embedText("hash join")
+    // k=1 with a tight depth: an ungated stage 1 could fill its pool with
+    // non-matching near neighbors; the gate must keep matches rankable
+    val hit = c.search("colq", q, k = 1, nprobe = 2, refine = 1,
+      matchTerms = Seq("scan", "join"), matchMode = "all")
+    assert(keysOf(hit, "vector_key") == Set("d4"))
+    val all = c.search("colq", q, k = 10, nprobe = 2,
+      matchTerms = Seq("join"))
+    assert(keysOf(all, "vector_key") == Set("d1", "d2", "d4"))
+  }
+}
