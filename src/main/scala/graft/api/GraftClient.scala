@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, ScalarIndex, Sq8Index, TextIndex}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -650,10 +650,10 @@ class GraftClient(spark: SparkSession, root: String) {
           // previous snapshot's directories for one more commit
           refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
           // scalar indexes roll forward the same way — touched-bucket
-          // postings rewritten from this commit's own post-image
-          // (`remaining` reads the RETAINED pre-image dirs by lineage,
-          // so it stays valid after the commit, like `current` above)
-          refreshScalarIndexes(m, coll, preVersion, newVersion, touched, remaining)
+          // postings rewritten from the post-image bucket dirs this
+          // commit just wrote (read back pinned to newVersion, one pass
+          // for all indexed fields)
+          refreshScalarIndexes(m, coll, preVersion, newVersion, touched)
           Some(newVersion)
         }
       }
@@ -2083,7 +2083,9 @@ class GraftClient(spark: SparkSession, root: String) {
   def searchIterator(name: String, qvec: Array[Float], batchSize: Int,
                      filter: Option[Column] = None, nprobe: Int = 4,
                      refine: Int = 4, partitions: Seq[String] = Nil,
-                     allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+                     allowDrift: Boolean = false,
+                     matchTerms: Seq[String] = Nil,
+                     matchMode: String = "any"): Iterator[Seq[Row]] = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -2109,10 +2111,17 @@ class GraftClient(spark: SparkSession, root: String) {
           s"depth * refine overflows Int (got ${depth * refine}) — lower refine")
       }
       val scored = parts
-        .map(p => scoredCandidates(partMeta(m, p), qvec, fOpt, nprobe,
-          refine, depth.min(Int.MaxValue.toLong).toInt,
-          cursorDist = cursor.map(_._1))) // deep pages skip cells the
-                                          // cursor has fully passed
+        .map { p =>
+          val pm = partMeta(m, p)
+          scoredCandidates(pm, qvec, fOpt, nprobe,
+            refine, depth.min(Int.MaxValue.toLong).toInt,
+            cursorDist = cursor.map(_._1), // deep pages skip cells the
+                                           // cursor has fully passed
+            // TEXT_MATCH gate, re-resolved per page like the frame (a
+            // mid-drain commit raises via the pin check unless
+            // allowDrift, same contract as everything else here)
+            gate = textMatchGate(pm, matchTerms, matchMode))
+        }
         .reduce(_ unionByName _)
       val after = cursor.fold(scored) { case (d, k0) =>
         scored.filter(col("distance") > d ||
@@ -2179,7 +2188,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * raises unless `allowDrift`. */
   def queryIterator(name: String, filter: Column, batchSize: Int,
                     partitions: Seq[String] = Nil,
-                    allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+                    allowDrift: Boolean = false,
+                    matchTerms: Seq[String] = Nil,
+                    matchMode: String = "any"): Iterator[Seq[Row]] = {
     val m = metaOrThrow(name)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val parts = resolveParts(m, partitions)
@@ -2188,10 +2199,22 @@ class GraftClient(spark: SparkSession, root: String) {
     // a creation-time frame would crash a long allowDrift export with
     // FileNotFoundException once ingest commits retire those dirs — the
     // exact scenario allowDrift exists to survive (without allowDrift the
-    // pin check raises before any stale frame could run)
+    // pin check raises before any stale frame could run).
+    //
+    // Each per-page rebuild re-applies the scalar-index bucket prune and
+    // the TEXT_MATCH gate: a filtered export over a selective indexed
+    // value reads the value's buckets EVERY page instead of re-scanning
+    // the store per page — freshness is re-resolved per page, so under
+    // allowDrift a mid-export commit simply flips that page between the
+    // pruned and full-scan plans (both lossless).
     def tagged: DataFrame = parts
-      .map(p => collection(partMeta(m, p)).read(spark)
-        .select(col("key"), col("vec"), col("meta"), lit(p).as("__part")))
+      .map { p =>
+        val pm = partMeta(m, p)
+        val base = scalarPrunedRead(pm, collection(pm), Some(filter))
+        textMatchGate(pm, matchTerms, matchMode)
+          .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
+          .select(col("key"), col("vec"), col("meta"), lit(p).as("__part"))
+      }
       .reduce(_ unionByName _)
       .filter(filter)
     var cursor: Option[(String, String)] = None // (key, part)
@@ -2233,6 +2256,35 @@ class GraftClient(spark: SparkSession, root: String) {
     * layout — an admin-sized job, not a query-path one. Pairs with
     * [[estimateRecall]]: that measures the recall knob's effect, this
     * shows the layout property causing it. */
+  /** Milvus `list_indexes` + `describe_index` in one frame: every index
+    * attached to the partition — IVF (with SQ8 sub-layout), text
+    * postings, scalar fields — with the ONE fact an operator needs per
+    * row: is it FRESH at the store's current snapshot (serving pruned
+    * reads) or stale (reads fall back; rebuild/append is the recovery).
+    * Columns: (kind, field, fresh, stamped_version, current_version).
+    * Driver-side directory/stamp reads only — no Spark job. */
+  def listIndexes(name: String,
+                  partition: String = GraftClient.DefaultPartition): DataFrame = {
+    import spark.implicits._
+    val m = partMeta(metaOrThrow(name), partition)
+    val current = collection(m).currentVersion
+    def row(kind: String, field: String, dir: String) = {
+      val stamped = readVersionFile(dir)
+      (kind, field, stamped.isDefined && stamped == current,
+        stamped.getOrElse(-1L), current.getOrElse(-1L))
+    }
+    val ivf =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
+      else Seq(row(if (sq8Indexed(m)) "IVF_SQ8" else "IVF_FLAT", "vec", ivfDir(m)))
+    val text =
+      if (!TextIndex.exists(textDir(m))) Nil
+      else Seq(row("TEXT", "text", textDir(m)))
+    val scalars = scalarIndexedFields(m).map(f =>
+      row("SCALAR", f, scalarFieldDir(m, f)))
+    (ivf ++ text ++ scalars)
+      .toDF("kind", "field", "fresh", "stamped_version", "current_version")
+  }
+
   def indexStats(name: String,
                  partition: String = GraftClient.DefaultPartition): DataFrame = {
     import spark.implicits._
@@ -2581,27 +2633,50 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   /** Per-commit scalar maintenance (called from mergeCommitOnce beside
-    * the IVF refresh): each FRESH field index rolls forward by rewriting
+    * the IVF refresh): every FRESH field index rolls forward by rewriting
     * exactly the touched buckets' postings from the commit's own
-    * post-image — cost ∝ the commit's rows per indexed field, never the
-    * corpus. An index not stamped at the snapshot this commit replaced
-    * stays stale (rolling it forward would stamp fresh an index missing
-    * the writes that staled it — same precondition as the text index). */
+    * post-image — cost ∝ the commit's rows, never the corpus, and never
+    * per-field: ONE partition-local read-back of the bucket dirs the
+    * commit just wrote (pinned to `newVersion` via readBucketsAt — those
+    * dirs are immutable once written, later commits create NEW dirs, so
+    * the read can never observe a racing writer's data) feeds ONE
+    * explode pass building every field's entries together. Re-running
+    * the merge lineage per field instead was measured at ~2× the whole
+    * commit cost for two fields (ScalarScaleBench) — the read-back is
+    * the same trick buildIndexFor uses for radii.
+    *
+    * An index not stamped at the snapshot this commit replaced stays
+    * stale (rolling it forward would stamp it fresh while missing the
+    * writes that staled it — the text index's precondition). Racing
+    * refreshes from concurrent commits can at worst leave a stamp behind
+    * the data — which reads as STALE (full-scan fallback, sound);
+    * createScalarIndex is the recovery, exactly as for the IVF index. */
   private def refreshScalarIndexes(m: CollectionMeta,
       coll: BucketedKeyedCollection, preVersion: Option[Long],
-      newVersion: Long, touched: Seq[Int], remaining: DataFrame): Unit =
-    scalarIndexedFields(m).foreach { field =>
-      val dir = scalarFieldDir(m, field)
-      if (readVersionFile(dir).exists(preVersion.contains)) {
+      newVersion: Long, touched: Seq[Int]): Unit = {
+    val fields = scalarIndexedFields(m).filter(f =>
+      readVersionFile(scalarFieldDir(m, f)).exists(preVersion.contains))
+    if (fields.nonEmpty) {
+      val fv = fields.map(f => struct(lit(f).as("field"),
+        element_at(col("meta"), lit(f)).as("value")))
+      // localCheckpoint: the per-field writes below each consume this
+      // frame — materialized once, bounded by the touched buckets'
+      // distinct (field, value, bucket) triples
+      val entries = coll.readBucketsAt(spark, newVersion, touched)
+        .select(coll.bucketExpr.as("bucket"), explode(array(fv: _*)).as("fv"))
+        .select(col("fv.field").as("field"), col("fv.value").as("value"),
+          col("bucket"))
+        .filter(col("value").isNotNull)
+        .distinct()
+        .localCheckpoint()
+      fields.foreach { f =>
         ScalarIndex.overwriteTouched(
-          remaining.select(
-              element_at(col("meta"), lit(field)).as("value"),
-              coll.bucketExpr.as("bucket"))
-            .filter(col("value").isNotNull),
-          touched, dir)
-        stampVersionFile(dir, newVersion)
+          entries.filter(col("field") === f).select("value", "bucket"),
+          touched, scalarFieldDir(m, f))
+        stampVersionFile(scalarFieldDir(m, f), newVersion)
       }
     }
+  }
 
   /** Bounded value sets implied by `filter` for meta fields, read off the
     * ANALYZED predicate: only top-level AND-conjuncts of the shapes
@@ -2639,7 +2714,12 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     def litString(e: Expression): Option[String] = e match {
       case l: Literal if l.dataType == StringType => Option(l.value).map(_.toString)
-      case o if o.foldable && o.dataType == StringType => Option(o.eval()).map(_.toString)
+      case o if o.foldable && o.dataType == StringType =>
+        // a foldable expression that THROWS on eval (raise_error behind a
+        // constant-true guard, a malformed cast) must surface at query
+        // execution like any other filter error — not here at plan time;
+        // failing the fold just means no prune
+        scala.util.Try(Option(o.eval()).map(_.toString)).toOption.flatten
       case _ => None
     }
     def eq(l: Expression, r: Expression): Option[(String, Seq[String])] =
@@ -2931,11 +3011,9 @@ class GraftClient(spark: SparkSession, root: String) {
     // says it cannot have. The gate is a semi-join BETWEEN scoring and
     // ranking (restrictTo), not a restriction of `docs`: corpus stats
     // stay fixed, so the filtered arm rides the postings index too.
-    val passing = filter.map { f =>
-      // the gate's key-set scan rides the scalar-index bucket prune too
-      val pm = metaOrThrow(name)
-      scalarPrunedRead(pm, collection(pm), Some(f)).filter(f).select("key")
-    }
+    // all-partition gate (a doc living in a non-default partition must
+    // still pass), each partition's scan riding the scalar bucket prune
+    val passing = filter.map(f => filterPassingKeys(metaOrThrow(name), f))
     val lexTop = searchLexical(name, docs, terms, k = armK, textCol = textCol,
       useIndex = useIndex, restrictTo = passing) // (key, bm25)
     val vecTop = search(name, qvec, armK, filter, nprobe)
@@ -2984,6 +3062,118 @@ class GraftClient(spark: SparkSession, root: String) {
           .select(col("key"), col("lex_norm"), col("vec_norm"),
             round(lit(wVec) * coalesce(col("vec_norm"), lit(0.0))
               + lit(wLex) * coalesce(col("lex_norm"), lit(0.0)), 6).as("wscore"))
+          .orderBy(desc("wscore"), col("key"))
+          .limit(k)
+    }
+  }
+
+  /** The keys passing `f` across EVERY live partition — the candidate
+    * gate the hybrid surfaces apply to their non-dense arm (a key
+    * failing the filter may appear in neither arm, and a key living in
+    * a NON-default partition must still pass — the vector arm searches
+    * all partitions, so the gate must cover them too). Each partition's
+    * scan rides the scalar-index bucket prune. */
+  private def filterPassingKeys(m: CollectionMeta, f: Column): DataFrame =
+    listedPartitions(m)
+      .map { p =>
+        val pm = partMeta(m, p)
+        scalarPrunedRead(pm, collection(pm), Some(f)).filter(f).select("key")
+      }
+      .reduce(_ unionByName _)
+
+  /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per
+    * vector FIELD fused by a ranker: the DENSE arm is [[search]] over
+    * the collection's float vectors (IVF/SQ8-pruned when fresh, same
+    * filter semantics), the SPARSE arm is
+    * [[graft.index.SparseIndex.topK]] over an at-rest sparse layout
+    * holding the SAME keys (the SPLADE/lexical second vector a modern
+    * RAG corpus carries — build it with `SparseIndex.build` over
+    * postings whose id column is the collection key). Fusion mirrors
+    * [[hybridSearch]] exactly: "rrf" (`Σ 1/(rrfK + rank)`) emitting
+    * (key, sp_rank, vec_rank, rrf), or "weighted" min-max (Milvus
+    * WeightedRanker — each arm normalized within its top-armK, absent
+    * arm contributes 0, degenerate arm maps to 1.0) emitting
+    * (key, sp_norm, vec_norm, wscore). Top `k` by fused score.
+    *
+    * `filter` binds BOTH arms: the dense arm pre-filters inside
+    * [[search]]; the sparse arm semi-joins its ≤armK hits against the
+    * filter-passing keys (which ride the scalar-index bucket prune) —
+    * sparse scores are per-doc absolute (not corpus-statistical like
+    * BM25), so gating after scoring changes nothing but membership. */
+  def hybridDenseSparse(name: String, sparseDir: String,
+                        sparseQuery: Seq[(Long, Double)],
+                        qvec: Array[Float], k: Int = 10, armK: Int = 15,
+                        rrfK: Int = 60, filter: Option[Column] = None,
+                        nprobe: Int = 4, sparseMetric: String = "dot",
+                        fusion: String = "rrf",
+                        wVec: Double = 0.7, wSparse: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(armK >= 1, s"armK must be >= 1 (got $armK)")
+    require(fusion == "rrf" || fusion == "weighted",
+      s"fusion must be 'rrf' or 'weighted' (got '$fusion')")
+    if (fusion == "weighted") {
+      require(wVec >= 0.0 && wVec <= 1.0 && !wVec.isNaN,
+        s"wVec must be in [0, 1] (got $wVec)")
+      require(wSparse >= 0.0 && wSparse <= 1.0 && !wSparse.isNaN,
+        s"wSparse must be in [0, 1] (got $wSparse)")
+      require(wVec + wSparse > 0.0, "wVec and wSparse must not both be 0")
+    }
+    val m = metaOrThrow(name)
+    val sparseHits = SparseIndex.topK(spark, sparseDir, sparseQuery,
+      // over-fetch when filtering: the semi-join below drops non-passing
+      // hits AFTER the sparse top-k (the index knows nothing of meta),
+      // so a filtered arm fetches a deeper pool to keep armK survivors
+      // likely. Absolute per-doc scores make the gate order-preserving.
+      if (filter.isEmpty) armK
+      else math.min(armK.toLong * 4, GraftClient.MaxPageDepth).toInt,
+      sparseMetric)
+    val sparseKeyed = sparseHits.columns.head match {
+      case "key" => sparseHits
+      case other => sparseHits.withColumnRenamed(other, "key")
+    }
+    val sparseTop = filter
+      .map(f => sparseKeyed.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
+      .getOrElse(sparseKeyed)
+      .orderBy(desc("score"), col("key"))
+      .limit(armK)
+    val vecTop = search(name, qvec, armK, filter, nprobe)
+    fusion match {
+      case "rrf" =>
+        val sp = sparseTop.select(col("key"),
+          row_number().over(Window.orderBy(desc("score"), col("key")))
+            .cast("long").as("sp_rank"))
+        val vec = vecTop.select(col("vector_key").as("key"),
+          row_number().over(Window.orderBy(col("distance"), col("vector_key")))
+            .cast("long").as("vec_rank"))
+        sp.join(vec, Seq("key"), "full_outer")
+          .select(col("key"), col("sp_rank"), col("vec_rank"),
+            round(coalesce(lit(1.0) / (lit(rrfK) + col("sp_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6)
+              .as("rrf"))
+          .orderBy(desc("rrf"), col("key"))
+          .limit(k)
+      case _ =>
+        val wAll = Window.partitionBy()
+        val sp = sparseTop
+          .withColumn("__mn", min(col("score")).over(wAll))
+          .withColumn("__mx", max(col("score")).over(wAll))
+          .select(col("key"),
+            when(col("__mx") > col("__mn"),
+              (col("score") - col("__mn")) / (col("__mx") - col("__mn")))
+              .otherwise(lit(1.0)).as("sp_norm"))
+        val vec = vecTop
+          .withColumn("__mn", min(col("distance")).over(wAll))
+          .withColumn("__mx", max(col("distance")).over(wAll))
+          .select(col("vector_key").as("key"),
+            when(col("__mx") > col("__mn"),
+              (col("__mx") - col("distance")) / (col("__mx") - col("__mn")))
+              .otherwise(lit(1.0)).as("vec_norm"))
+        sp.join(vec, Seq("key"), "full_outer")
+          .select(col("key"), col("sp_norm"), col("vec_norm"),
+            round(lit(wVec) * coalesce(col("vec_norm"), lit(0.0))
+              + lit(wSparse) * coalesce(col("sp_norm"), lit(0.0)), 6)
+              .as("wscore"))
           .orderBy(desc("wscore"), col("key"))
           .limit(k)
     }

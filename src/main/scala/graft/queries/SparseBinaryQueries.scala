@@ -86,10 +86,54 @@ object SparseBinaryQueries {
       .limit(10)
   }
 
+  /** Milvus multi-vector `hybrid_search` (two AnnSearchRequests fused by
+    * RRFRanker): a DENSE arm (exact L2 over the embedding field) and a
+    * SPARSE arm (term-tf dot product over the lexical field — the
+    * SPLADE/BM25-shaped second vector every 2024+ RAG stack carries),
+    * each top-15-pushed before its ≤15-row rank window, fused by
+    * reciprocal rank `Σ 1/(60 + rank)`, top-10. `doc_id` aligns with
+    * `vec_id` in the fixture — the same corpus carrying both fields.
+    *
+    * Scale shape: the arms never materialize more than 15 rows past
+    * their TakeOrdered; the sparse arm's work is Σ df(query term) (the
+    * inverted-posting join above); the fuse is a 15×15 full-outer. */
+  def hybridDenseSparse(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.l2_distance
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val q = tf.filter(col("doc_id") === 0L).select(col("word"), col("tf").as("qtf"))
+    val sparseTop = tf.join(broadcast(q), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+      .orderBy(desc("dot"), col("doc_id")).limit(15)
+    val emb = t(spark, dir, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    val denseTop = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id")).limit(15)
+    val sp = sparseTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(desc("dot"), col("doc_id")))
+        .cast("long").as("sp_rank"))
+    val dn = denseTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("dist"), col("doc_id")))
+        .cast("long").as("vec_rank"))
+    sp.join(dn, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("sp_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(60) + col("sp_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
-    "sparse_dot_topk" -> sparseDotTopK _
+    "sparse_dot_topk" -> sparseDotTopK _,
+    "hybrid_dense_sparse" -> hybridDenseSparse _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -125,6 +169,26 @@ object SparseBinaryQueries {
                   FROM tf t JOIN q USING (word) GROUP BY 1)
          SELECT d.doc_id, d.dot, round(d.dot::DOUBLE / (n.nrm * qn.qnrm), 6) AS cosine
          FROM dt d JOIN nrm n USING (doc_id), (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 0) qn
-         ORDER BY d.dot DESC, d.doc_id LIMIT 10"""
+         ORDER BY d.dot DESC, d.doc_id LIMIT 10""",
+    "hybrid_dense_sparse" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           qw AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           sp0 AS (SELECT t.doc_id, CAST(sum(t.tf * qw.qtf) AS BIGINT) AS dot
+                   FROM tf t JOIN qw USING (word) GROUP BY 1
+                   ORDER BY dot DESC, doc_id LIMIT 15),
+           sp AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dot DESC, doc_id) AS sp_rank FROM sp0),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           dn0 AS (SELECT e.vec_id AS doc_id,
+                     list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+                   FROM embeddings e, q ORDER BY dist, doc_id LIMIT 15),
+           dn AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM dn0)
+         SELECT doc_id, sp_rank, vec_rank,
+            round(coalesce(1.0 / (60 + sp_rank), 0)
+              + coalesce(1.0 / (60 + vec_rank), 0), 6) AS rrf
+         FROM sp FULL OUTER JOIN dn USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10"""
   )
 }

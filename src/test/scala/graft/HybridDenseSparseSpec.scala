@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftClient
+import graft.index.SparseIndex
+
+/** Milvus multi-vector `hybrid_search` parity: the dense collection arm
+  * fused with an at-rest sparse-index arm ([[GraftClient
+  * .hybridDenseSparse]]). Fixtures are built so every rank — and every
+  * fused score — is hand-computable: dense distances 1..6 rank k0 best,
+  * sparse scores 1..6 rank k5 best (the arms exactly oppose). */
+class HybridDenseSparseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def fixture(): (GraftClient, String) = {
+    import spark.implicits._
+    val c = new GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-hds").toString)
+    c.createCollection("hc", dim = 2)
+    c.upsert("hc", (0 until 6).map(i =>
+        (s"k$i", Seq((i + 1).toFloat, 0f),
+          Map("grp" -> (if (i == 5) "b" else "a"))))
+      .toDF("key", "vec", "meta"))
+    val sdir = java.nio.file.Files.createTempDirectory("graft-hds-sp").toString
+    SparseIndex.build((0 until 6).map(i => (s"k$i", 1L, (i + 1).toDouble))
+      .toDF("key", "dim", "w"), sdir, buckets = 4, idCol = "key")
+    (c, sdir)
+  }
+  private val q = Array(0f, 0f)
+  private val sq = Seq((1L, 1.0))
+
+  test("rrf: opposing arms fuse to the hand-computed interleave") {
+    val (c, sdir) = fixture()
+    // sp_rank(ki) = 6-i, vec_rank(ki) = i+1 ⇒ rrf symmetric pairs:
+    // {k0,k5} > {k1,k4} > {k2,k3}, ties break on key
+    val out = c.hybridDenseSparse("hc", sdir, sq, q, k = 6)
+    assert(out.select("key").collect().map(_.getString(0)).toSeq ==
+      Seq("k0", "k5", "k1", "k4", "k2", "k3"))
+  }
+
+  test("filter binds both arms (and the sparse arm re-ranks without the gated doc)") {
+    val (c, sdir) = fixture()
+    val f = element_at(col("meta"), lit("grp")) === "a"
+    val out = c.hybridDenseSparse("hc", sdir, sq, q, k = 6, filter = Some(f))
+      .select("key").collect().map(_.getString(0)).toSeq
+    // k5 gone from BOTH arms; remaining ranks: sp k4=1..k0=5, vec k0=1..k4=5
+    assert(out == Seq("k0", "k4", "k1", "k3", "k2"))
+  }
+
+  test("weighted: opposing min-max arms cancel to exactly 0.5 each") {
+    val (c, sdir) = fixture()
+    // vec_norm(ki) = (5-i)/5, sp_norm(ki) = i/5 ⇒ 0.5·sum = 0.5 for all —
+    // the normalization is pinned exactly, ties order by key
+    val rows = c.hybridDenseSparse("hc", sdir, sq, q, k = 6,
+      fusion = "weighted", wVec = 0.5, wSparse = 0.5).collect()
+    assert(rows.map(_.getString(0)).toSeq == (0 until 6).map(i => s"k$i"))
+    rows.foreach(r => assert(r.getDouble(3) == 0.5))
+  }
+
+  test("filter gate covers non-default partitions") {
+    import spark.implicits._
+    val (c, sdir) = fixture()
+    // k9 lives in partition p2 (grp a) and is the best BOTH arms' hit —
+    // a default-store-only gate would silently drop it from the sparse arm
+    c.createPartition("hc", "p2")
+    c.upsert("hc", Seq(("k9", Seq(0.5f, 0f), Map("grp" -> "a")))
+      .toDF("key", "vec", "meta"), partition = "p2")
+    SparseIndex.build((0 until 6).map(i => (s"k$i", 1L, (i + 1).toDouble))
+      .toDF("key", "dim", "w")
+      .union(Seq(("k9", 1L, 9.0)).toDF("key", "dim", "w")), sdir,
+      buckets = 4, idCol = "key")
+    val out = c.hybridDenseSparse("hc", sdir, sq, q, k = 7,
+      filter = Some(element_at(col("meta"), lit("grp")) === "a"))
+    val k9 = out.filter(col("key") === "k9").collect()
+    assert(k9.length == 1, "k9 (partition p2) must survive the filter gate")
+    assert(!k9.head.isNullAt(1), "k9 must appear in the SPARSE arm (sp_rank)")
+    assert(k9.head.getLong(1) == 1L, "k9 has the top sparse score")
+    assert(!out.select("key").collect().map(_.getString(0)).contains("k5"))
+  }
+
+  test("cosine sparse arm and boundary validation") {
+    val (c, sdir) = fixture()
+    // cosine: all docs have a single dim ⇒ all cosines 1.0 ⇒ sparse arm
+    // ties everywhere (rank = key order); dense arm dominates the fuse
+    val out = c.hybridDenseSparse("hc", sdir, sq, q, k = 3,
+      sparseMetric = "cosine")
+    assert(out.select("key").collect().map(_.getString(0)).head == "k0")
+    assertThrows[IllegalArgumentException](
+      c.hybridDenseSparse("hc", sdir, sq, q, fusion = "nope"))
+    assertThrows[IllegalArgumentException](
+      c.hybridDenseSparse("hc", sdir, sq, q, fusion = "weighted",
+        wVec = 0.0, wSparse = 0.0))
+  }
+}

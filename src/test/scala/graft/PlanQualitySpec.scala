@@ -143,6 +143,25 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected top-k pushdown in both arms and the fuse (got $takes):\n${p.take(2000)}")
   }
 
+  test("dense+sparse hybrid: both arms top-k-pushed, sparse arm equi-joins on the term") {
+    val p = planOf("hybrid_dense_sparse")
+    val takes = "TakeOrderedAndProject".r.findAllMatchIn(p).size
+    assert(takes >= 3,
+      s"sparse top-15, dense top-15, fused top-10 must all stay pushed (got $takes)")
+    assert(!p.contains("CartesianProduct"),
+      "the sparse dot must be the postings equi-join on word, never a product")
+  }
+
+  test("text match KNN: the match set rides the postings index — bucket prune + pushed term filter") {
+    val p = planOf("text_match_knn")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the gated KNN must stay top-k-pushed")
+    // the postings read must push the term predicate to the scan (the
+    // bucket partition prune shows as the pushed IN over `term`)
+    assert(p.contains("term"),
+      s"the TEXT_MATCH gate must read term-pruned postings:\n${p.take(2000)}")
+  }
+
   test("pricing summary: filter pushed into the parquet scan, partial aggregation") {
     val p = planOf("pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),

@@ -203,6 +203,15 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(keys == Set("k1", "kX"))
   }
 
+  test("queryIterator re-applies the prune on every page") {
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+    val it = c.queryIterator("col", srcEq("rare"), batchSize = 1)
+    assert(it.flatMap(_.map(_.getString(0))).toSeq == Seq("k42", "k7"))
+  }
+
   test("lifecycle: reserved suffix, stats, drop, collection drop cleans up") {
     val c = mkClient()
     assertThrows[IllegalArgumentException](c.createCollection("x-scalar", dim = 4))
@@ -229,5 +238,27 @@ class ScalarIndexSpec extends AnyFunSuite {
     c.drop("col")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataPath-scalar")),
       "drop must remove the scalar root")
+  }
+
+  test("listIndexes: one frame over IVF + text + scalar with per-index freshness") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.createScalarIndex("col", "source")
+    c.buildIndex("col", nlist = 2)
+    c.buildTextIndex("col", seedRows
+      .select(col("key"), concat_ws(" ", lit("doc"), col("key")).as("text")))
+    val idx = c.listIndexes("col").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(idx == Set(("IVF_FLAT", "vec", true), ("TEXT", "text", true),
+      ("SCALAR", "source", true)))
+    // a commit the text index never saw: scalar + IVF roll forward
+    // (auto-maintained), text goes stale — the report shows exactly that
+    c.upsert("col", Seq(("kz", vec(3), Map("source" -> "z")))
+      .toDF("key", "vec", "meta"))
+    val after = c.listIndexes("col").collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(after("SCALAR") && after("IVF_FLAT") && !after("TEXT"))
   }
 }

@@ -101,6 +101,20 @@ class TextMatchSpec extends AnyFunSuite {
       Set("d1", "d2", "d4", "d6", "d7"))
   }
 
+  test("iterators carry the match gate across pages") {
+    val c = seeded()
+    val q = Embedder.text.embedText("hash join")
+    val si = c.searchIterator("col", q, batchSize = 2, matchTerms = Seq("join"))
+    val drained = si.flatten.map(_.getString(0)).toSeq
+    assert(drained.toSet == Set("d1", "d2", "d4") && drained.size == 3)
+    // distance order matches the one-shot gated search
+    assert(drained == c.search("col", q, k = 10, matchTerms = Seq("join"))
+      .select("vector_key").collect().map(_.getString(0)).toSeq)
+    val qi = c.queryIterator("col", lit(true), batchSize = 1,
+      matchTerms = Seq("scan"))
+    assert(qi.flatten.map(_.getString(0)).toSeq == Seq("d3", "d4"))
+  }
+
   test("SQ8 path: the gate applies before the stage-1 depth bound") {
     val c = mk()
     c.createCollection("colq", dim = 384, metric = "l2",
