@@ -111,8 +111,8 @@ object ScalarScaleBench {
       if (first >= hi) 0L else (hi - 1 - first) / 50 + 1
     }
     val (rareSec, rareBytes) = run("rare", rareFull)
-    val (midSec, midBytes) = run("mid", 20000L)
-    val (commonSec, commonBytes) = run("common-7", mod7(20200, n + 2000))
+    val (_, midBytes) = run("mid", 20000L)
+    val (_, commonBytes) = run("common-7", mod7(20200, n + 2000))
 
     // the reference's own predicate shape: unique-url point lookup → ONE
     // bucket; absent url → ZERO buckets (absence proven by the index)

@@ -2008,6 +2008,16 @@ class GraftClient(spark: SparkSession, root: String) {
     * map keys the scan can see) reach the Parquet row groups; at cluster
     * scale this is the full-snapshot sibling of [[fetchDf]]'s
     * bucket-pruned point read. */
+  /** Milvus filter-STRING entry point — the exact argument a migrating
+    * client passes (`filter='url == "..."'` at
+    * `milvus-app/pythonvectordbceph_milvus.py:108-111`): translate the
+    * Milvus boolean grammar to a Column over (key, vec, meta) and
+    * compose with any filtered surface. Bare field names become
+    * `meta['<name>']` — the same shape the scalar-index prune extracts,
+    * so string filters on indexed fields bucket-prune automatically.
+    * See [[MilvusFilter]] for the grammar contract. */
+  def milvusFilter(filter: String): Column = MilvusFilter.parse(filter)
+
   def queryWhere(name: String, filter: Column,
                  limit: Option[Int] = None,
                  partitions: Seq[String] = Nil,
@@ -2775,11 +2785,30 @@ class GraftClient(spark: SparkSession, root: String) {
             readVersionFile(scalarFieldDir(pm, fd)).exists(pinned.contains))
           if (usable.isEmpty || pinned.isEmpty) full
           else {
-            val buckets = usable
+            // Try: a racing index rewrite can delete posting files under
+            // a running read (overwrites are not atomic across partition
+            // dirs) — that is a failure, not a wrongness, and the full
+            // scan is always a sound answer
+            val buckets = scala.util.Try(usable
               .map(fd => ScalarIndex.bucketsFor(
                 spark, scalarFieldDir(pm, fd), implied(fd)))
-              .reduce(_ intersect _)
-            coll.readBucketsAt(spark, pinned.get, buckets.toSeq.sorted)
+              .reduce(_ intersect _)).toOption
+            // TOCTOU guard, collected-postings-then-recheck: a commit
+            // landing between the freshness check above and the postings
+            // collect would have its refresh REWRITE the postings we just
+            // read — a bucket list from snapshot N+1 applied to snapshot
+            // N's data could silently MISS rows (a value's last bucket
+            // dropped by the newer commit). Every postings rewrite runs
+            // strictly AFTER its commit publishes CURRENT (mergeCommitOnce
+            // orders commitBuckets → refresh; createScalarIndex rebuilt at
+            // the same version writes equivalent content), so CURRENT
+            // still == pinned here proves the postings were untorn state
+            // of `pinned`. Changed → fall back, never mix snapshots.
+            buckets match {
+              case Some(bs) if coll.currentVersion == pinned =>
+                coll.readBucketsAt(spark, pinned.get, bs.toSeq.sorted)
+              case _ => full
+            }
           }
         }
     }
@@ -2797,10 +2826,16 @@ class GraftClient(spark: SparkSession, root: String) {
     * so [[searchLexical]] falls back to scoring the caller's frame and a
     * re-run of buildTextIndex is the recovery path, never a stale score. */
   def buildTextIndex(name: String, docs: DataFrame, textCol: String = "text",
-                     buckets: Int = 64): Unit = {
-    val m = metaOrThrow(name)
+                     buckets: Int = 64,
+                     partition: String = GraftClient.DefaultPartition): Unit = {
+    // per-partition indexes, like the IVF layout: `docs` must be THAT
+    // partition's corpus (each partition is its own store, snapshot
+    // version, and staleness clock) — TEXT_MATCH on a partitioned
+    // collection needs each scoped partition's index built this way
+    val m = partMeta(metaOrThrow(name), partition)
     val version = collection(m).currentVersion.getOrElse(
-      throw new IllegalStateException(s"collection $name is empty — nothing to index"))
+      throw new IllegalStateException(
+        s"${m.name} is empty — nothing to index"))
     TextIndex.build(docs.select(col("key"), col(textCol)), "key", textCol,
       textDir(m), buckets)
     stampVersionFile(textDir(m), version)
@@ -2829,11 +2864,13 @@ class GraftClient(spark: SparkSession, root: String) {
   def appendTextIndex(name: String, docsDelta: DataFrame,
                       deletedKeys: Seq[String] = Nil,
                       textCol: String = "text", compactAt: Int = 8,
-                      tombstoneRatioAt: Double = 0.5): Unit = {
+                      tombstoneRatioAt: Double = 0.5,
+                      partition: String = GraftClient.DefaultPartition): Unit = {
     import spark.implicits._
     appendTextIndexDf(name, docsDelta,
       if (deletedKeys.isEmpty) None else Some(deletedKeys.toDF("key")),
-      textCol, compactAt, tombstoneRatioAt = tombstoneRatioAt)
+      textCol, compactAt, tombstoneRatioAt = tombstoneRatioAt,
+      partition = partition)
   }
 
   /** [[appendTextIndex]] with a set-at-a-time deleted-keys frame (one
@@ -2846,10 +2883,11 @@ class GraftClient(spark: SparkSession, root: String) {
                         deletedKeys: Option[DataFrame] = None,
                         textCol: String = "text", compactAt: Int = 8,
                         stampAt: Option[Long] = None,
-                        tombstoneRatioAt: Double = 0.5): Unit = {
-    val m = metaOrThrow(name)
+                        tombstoneRatioAt: Double = 0.5,
+                        partition: String = GraftClient.DefaultPartition): Unit = {
+    val m = partMeta(metaOrThrow(name), partition)
     require(TextIndex.exists(textDir(m)),
-      s"$name has no text index — buildTextIndex first")
+      s"${m.name} has no text index — buildTextIndex first")
     require(compactAt >= 1, s"compactAt must be >= 1 (got $compactAt)")
     require(tombstoneRatioAt > 0.0 && tombstoneRatioAt <= 1.0,
       s"tombstoneRatioAt must be in (0, 1] (got $tombstoneRatioAt)")

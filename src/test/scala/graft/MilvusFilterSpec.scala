@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.{GraftClient, MilvusFilter}
+
+/** Milvus filter-string translation ([[MilvusFilter]]): the reference's
+  * own `filter=` argument shape, checked end-to-end against hand-built
+  * Column equivalents on a live collection — including the typed-compare
+  * rules over string metadata and the scalar-index prune riding a string
+  * filter unchanged. */
+class MilvusFilterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def seeded(): GraftClient = {
+    import spark.implicits._
+    val c = new GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-mf").toString)
+    c.createCollection("col", dim = 2)
+    c.upsert("col", (0 until 30).map { i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map(
+        "url" -> s"http://h/o$i",
+        "price" -> (i * 3).toString,   // "0", "3", ... "87" — lexically unsorted
+        "lang" -> (if (i % 3 == 0) "en" else "de"),
+        "flag" -> (if (i % 2 == 0) "true" else "false")))
+    }.toDF("key", "vec", "meta"))
+    c
+  }
+
+  private def keys(c: GraftClient, f: String): Set[String] =
+    c.queryWhere("col", c.milvusFilter(f)).select("key")
+      .collect().map(_.getString(0)).toSet
+
+  test("the reference's own delete-by-url shape, plus equality/IN/LIKE") {
+    val c = seeded()
+    assert(keys(c, """url == "http://h/o7"""") == Set("k7"))
+    assert(keys(c, """url in ["http://h/o1", "http://h/o2"]""") == Set("k1", "k2"))
+    assert(keys(c, """key == 'k3'""") == Set("k3"))
+    assert(keys(c, """url like "http://h/o2%"""") ==
+      Set("k2", "k20", "k21", "k22", "k23", "k24", "k25", "k26", "k27", "k28", "k29"))
+    // and the reference's actual DELETE path accepts the same string
+    c.deleteWhere("col", c.milvusFilter("""url == "http://h/o7""""))
+    assert(keys(c, """url == "http://h/o7"""") == Set.empty)
+  }
+
+  test("numeric literals compare numerically over string metadata, not lexically") {
+    val c = seeded()
+    // lexical "9" > "80"; numeric 9 < 80 — the cast is what makes this right
+    assert(keys(c, "price > 80") == Set("k27", "k28", "k29"))
+    assert(keys(c, "price >= 81 && price <= 84") == Set("k27", "k28"))
+    assert(keys(c, "price in [0, 3, 87]") == Set("k0", "k1", "k29"))
+    assert(keys(c, "flag == true && price > 80") == Set("k28"))
+  }
+
+  test("Milvus operator spellings: && || ! and not-!= disambiguation") {
+    val c = seeded()
+    assert(keys(c, """lang == "en" && price < 10""") == Set("k0", "k3"))
+    assert(keys(c, """price > 84 || url == "http://h/o0"""") == Set("k0", "k29"))
+    assert(keys(c, """!(price > 6) && lang != "de"""") == Set("k0"))
+    assert(keys(c, """price != 0 && price < 7""") == Set("k1", "k2"))
+  }
+
+  test("a string filter on a scalar-indexed field bucket-prunes automatically") {
+    val c = seeded()
+    c.createScalarIndex("col", "url")
+    val df = c.queryWhere("col", c.milvusFilter("""url == "http://h/o7""""))
+    assert(df.select("key").collect().map(_.getString(0)).toSeq == Seq("k7"))
+    assert(df.inputFiles.length <= 1, "one unique value must read one bucket")
+    assert(c.queryWhere("col", c.milvusFilter("""url == "u-absent"""")).inputFiles.isEmpty)
+  }
+
+  test("unsupported Milvus functions fail loudly with the engine equivalent named") {
+    val c = seeded()
+    val e = intercept[IllegalArgumentException](
+      c.milvusFilter("""TEXT_MATCH(text, "spark vector")"""))
+    assert(e.getMessage.contains("matchTerms"))
+    intercept[IllegalArgumentException](c.milvusFilter("   "))
+    // brackets inside string literals survive preprocessing untouched
+    assert(keys(c, """url == "a[!&&|]b"""") == Set.empty)
+  }
+}

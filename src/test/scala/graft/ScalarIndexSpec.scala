@@ -240,6 +240,50 @@ class ScalarIndexSpec extends AnyFunSuite {
       "drop must remove the scalar root")
   }
 
+  test("two concurrent writers: the index is never WRONG — fresh-and-pruned or stale-and-full") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = java.nio.file.Files.createTempDirectory("graft-scrace").toString
+    val c1 = new GraftClient(spark, root)
+    c1.createCollection("sc", dim = 2)
+    val c2 = new GraftClient(spark, root)
+    c1.upsert("sc", Seq(("seed", Seq(0f, 0f), Map("tag" -> "t0")))
+      .toDF("key", "vec", "meta"))
+    c1.createScalarIndex("sc", "tag")
+    // Both clients interleave commits; each commit's refresh races the
+    // other's. The contract under EVERY interleaving: a pruned read is
+    // either FRESH (index rolled forward) or falls back to the full scan
+    // (stamp left behind) — never a wrong answer. The end state is
+    // deterministic (distinct keys), so expected sets are computable.
+    def writer(c: GraftClient, tag: String): Unit =
+      (0 until 6).foreach { i =>
+        c.upsert("sc", Seq((s"$tag-$i", Seq(i.toFloat, 0f),
+            Map("tag" -> s"t${i % 3}"))).toDF("key", "vec", "meta"))
+      }
+    val f1 = Future(writer(c1, "a")); val f2 = Future(writer(c2, "b"))
+    Await.result(f1, 5.minutes); Await.result(f2, 5.minutes)
+    (0 until 3).foreach { t =>
+      val expected = Seq("a", "b").flatMap(p =>
+        (0 until 6).filter(_ % 3 == t).map(i => s"$p-$i")).toSet ++
+        (if (t == 0) Set("seed") else Set.empty[String])
+      val got = keysOfTag(c1, s"t$t")
+      assert(got == expected, s"t$t: got $got, expected $expected")
+    }
+    assert(c1.queryWhere("sc", element_at(col("meta"), lit("tag")) === "tX")
+      .count() == 0)
+    // recovery path regardless of which refreshes lost their races:
+    // re-create, then the prune must serve exact answers again
+    c1.createScalarIndex("sc", "tag")
+    assert(keysOfTag(c1, "t1") ==
+      Set("a-1", "a-4", "b-1", "b-4"))
+  }
+
+  private def keysOfTag(c: GraftClient, v: String): Set[String] =
+    c.queryWhere("sc", element_at(col("meta"), lit("tag")) === v)
+      .select("key").collect().map(_.getString(0)).toSet
+
   test("listIndexes: one frame over IVF + text + scalar with per-index freshness") {
     import spark.implicits._
     val c = mkClient()

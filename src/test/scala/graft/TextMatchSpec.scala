@@ -115,6 +115,44 @@ class TextMatchSpec extends AnyFunSuite {
     assert(qi.flatten.map(_.getString(0)).toSeq == Seq("d3", "d4"))
   }
 
+  test("partitioned collections: per-partition text indexes, per-partition gates") {
+    import spark.implicits._
+    val c = mk()
+    c.createCollection("colp", dim = 384)
+    c.upsertTexts("colp", docsDf)
+    c.buildTextIndex("colp", docsDf)
+    c.createPartition("colp", "p2")
+    val p2docs = Seq(("e1", "join inside p2", Map("src" -> "s")))
+      .toDF("key", "text", "meta")
+    c.upsert("colp", graft.ingest.Embedder.embedDocuments(
+        p2docs, "text", graft.ingest.Embedder.text)
+      .select(col("key"), col("vec"), col("meta")), partition = "p2")
+    // before p2's index exists, an unscoped match fails loudly for p2 —
+    // never a silent miss of p2's docs
+    assertThrows[IllegalArgumentException](
+      c.textMatchKeys("colp", Seq("join")))
+    // scoped to the indexed partition it works; after building p2's
+    // index the unscoped match covers both
+    assert(keysOf(c.textMatchKeys("colp", Seq("join"),
+      partitions = Seq(GraftClient.DefaultPartition))) == Set("d1", "d2", "d4"))
+    c.buildTextIndex("colp", p2docs, partition = "p2")
+    assert(keysOf(c.textMatchKeys("colp", Seq("join"))) ==
+      Set("d1", "d2", "d4", "e1"))
+    val hits = c.search("colp", Embedder.text.embedText("join p2"), k = 10,
+      matchTerms = Seq("join"))
+    assert(keysOf(hits, "vector_key") == Set("d1", "d2", "d4", "e1"))
+    // per-partition append keeps p2's own staleness clock
+    c.upsert("colp", graft.ingest.Embedder.embedDocuments(
+        Seq(("e2", "another join doc", Map("src" -> "s")))
+          .toDF("key", "text", "meta"), "text", graft.ingest.Embedder.text)
+      .select(col("key"), col("vec"), col("meta")), partition = "p2")
+    assertThrows[IllegalArgumentException](c.textMatchKeys("colp", Seq("join")))
+    c.appendTextIndex("colp", Seq(("e2", "another join doc")).toDF("key", "text"),
+      partition = "p2")
+    assert(keysOf(c.textMatchKeys("colp", Seq("join"))) ==
+      Set("d1", "d2", "d4", "e1", "e2"))
+  }
+
   test("SQ8 path: the gate applies before the stage-1 depth bound") {
     val c = mk()
     c.createCollection("colq", dim = 384, metric = "l2",
