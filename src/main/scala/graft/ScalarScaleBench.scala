@@ -33,6 +33,11 @@ import graft.api.GraftClient
 object ScalarScaleBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // bucket count is THE prune-fraction knob (a value with r rows reads
+    // ~min(r, buckets)/buckets of the store): 64 = the default-config
+    // regime, 1024+ = cluster-scale configs where mid-selectivity values
+    // prune too
+    val buckets = args.drop(1).headOption.map(_.toInt).getOrElse(64)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -57,7 +62,7 @@ object ScalarScaleBench {
 
     val root = java.nio.file.Files.createTempDirectory("scalar-bench").toString
     val client = new GraftClient(spark, root)
-    client.createCollection("sb", dim = 8, buckets = 64)
+    client.createCollection("sb", dim = 8, buckets = buckets)
 
     val src = when(col("id") < 200, "rare")
       .when(col("id") < 20200, "mid")
@@ -136,7 +141,8 @@ object ScalarScaleBench {
     val (checkSec, _) = run("rare", rareFull)
 
     println(String.format(Locale.ROOT,
-      """{"metric":"scalar_index_1m","n":%d,"load_sec":%.2f,"store_mb":%.1f,""" +
+      """{"metric":"scalar_index_1m","n":%d,"buckets":""" + buckets +
+        ""","load_sec":%.2f,"store_mb":%.1f,""" +
         """"index_mb":%.2f,"build_sec":%.2f,""" +
         """"url_point_full_sec":%.3f,"url_point_pruned_sec":%.3f,""" +
         """"url_point_bytes_frac":%.5f,""" +
