@@ -2001,13 +2001,6 @@ class GraftClient(spark: SparkSession, root: String) {
     fetchDf(name, keys.toDF("key"), partitions)
   }
 
-  /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the
-    * no-vector read (predicate over key/vec/meta, deterministic key
-    * order, optional limit). A null-evaluating predicate matches nothing,
-    * like [[deleteWhere]]. Pushdown-friendly predicates (on `key` or
-    * map keys the scan can see) reach the Parquet row groups; at cluster
-    * scale this is the full-snapshot sibling of [[fetchDf]]'s
-    * bucket-pruned point read. */
   /** Milvus filter-STRING entry point — the exact argument a migrating
     * client passes (`filter='url == "..."'` at
     * `milvus-app/pythonvectordbceph_milvus.py:108-111`): translate the
@@ -2018,6 +2011,13 @@ class GraftClient(spark: SparkSession, root: String) {
     * See [[MilvusFilter]] for the grammar contract. */
   def milvusFilter(filter: String): Column = MilvusFilter.parse(filter)
 
+  /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the
+    * no-vector read (predicate over key/vec/meta, deterministic key
+    * order, optional limit). A null-evaluating predicate matches nothing,
+    * like [[deleteWhere]]. Pushdown-friendly predicates (on `key` or
+    * map keys the scan can see) reach the Parquet row groups; at cluster
+    * scale this is the full-snapshot sibling of [[fetchDf]]'s
+    * bucket-pruned point read. */
   def queryWhere(name: String, filter: Column,
                  limit: Option[Int] = None,
                  partitions: Seq[String] = Nil,
@@ -2257,15 +2257,6 @@ class GraftClient(spark: SparkSession, root: String) {
     }.getOrElse(0)
   }
 
-  /** Index observability: per-cell occupancy and radius of the CURRENT
-    * IVF layout, plus freshness — the skew report an operator reads
-    * before trusting nprobe/radius behavior on their corpus (one hot
-    * cell = one slow probe; one huge radius = a cell the range prune can
-    * never exclude; many empty cells = nlist oversized for the data).
-    * Columns: (centroidId, n_rows, radius, fresh). One scan of the cell
-    * layout — an admin-sized job, not a query-path one. Pairs with
-    * [[estimateRecall]]: that measures the recall knob's effect, this
-    * shows the layout property causing it. */
   /** Milvus `list_indexes` + `describe_index` in one frame: every index
     * attached to the partition — IVF (with SQ8 sub-layout), text
     * postings, scalar fields — with the ONE fact an operator needs per
@@ -2295,6 +2286,15 @@ class GraftClient(spark: SparkSession, root: String) {
       .toDF("kind", "field", "fresh", "stamped_version", "current_version")
   }
 
+  /** Index observability: per-cell occupancy and radius of the CURRENT
+    * IVF layout, plus freshness — the skew report an operator reads
+    * before trusting nprobe/radius behavior on their corpus (one hot
+    * cell = one slow probe; one huge radius = a cell the range prune can
+    * never exclude; many empty cells = nlist oversized for the data).
+    * Columns: (centroidId, n_rows, radius, fresh). One scan of the cell
+    * layout — an admin-sized job, not a query-path one. Pairs with
+    * [[estimateRecall]]: that measures the recall knob's effect, this
+    * shows the layout property causing it. */
   def indexStats(name: String,
                  partition: String = GraftClient.DefaultPartition): DataFrame = {
     import spark.implicits._
