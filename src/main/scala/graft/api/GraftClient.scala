@@ -3021,7 +3021,14 @@ class GraftClient(spark: SparkSession, root: String) {
     * whole-corpus stats (Lucene filtered-query semantics — see
     * [[searchLexical]]), so it keeps riding the postings index. `docs`
     * must be the collection's corpus — see [[searchLexical]]'s
-    * contract. */
+    * contract.
+    *
+    * PARTITIONED collections: the lexical index here is the DEFAULT
+    * partition's (its staleness clock tracks only default-store
+    * commits), so indexing the union corpus through it leaves writes to
+    * other partitions invisible to that clock. For strict per-partition
+    * semantics use [[buildTextIndex]](partition = …) + the `matchTerms`
+    * gate on [[search]], which resolve freshness per partition. */
   def hybridSearch(name: String, docs: DataFrame, terms: Seq[String],
                    qvec: Array[Float], k: Int = 10, armK: Int = 15,
                    rrfK: Int = 60, filter: Option[Column] = None,

@@ -47,6 +47,10 @@ class ModelSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
 
     for (step <- 1 to 30) {
+      // a scalar index on the churning 's' field joins the soak early:
+      // every later random upsert/delete interleaving must roll it
+      // forward exactly (single writer — no stale excuse)
+      if (step == 2) client.createScalarIndex("soak", "s")
       if (rnd.nextInt(10) < 7 || model.isEmpty) {
         // upsert 1..15 distinct keys from a small hot keyspace (real
         // churn: most steps overwrite keys earlier steps wrote)
@@ -77,6 +81,27 @@ class ModelSoakSpec extends AnyFunSuite with BeforeAndAfterAll {
       pinned.filter(p => vs.contains(p._1)).foreach { case (v, snap) =>
         assert(liveAt(v) == snap.map { case (k, (_, s)) => k -> s.toString },
           s"step $step: pinned version $v drifted after later commits")
+      }
+
+      // scalar-index invariants under the same churn: a pruned value
+      // read equals the model (including values emptied by overwrites —
+      // a step every later upsert superseded must read as gone), an
+      // absent value reads empty, and the single-writer index is FRESH
+      // after every commit (its maintenance saw every interleaving)
+      if (step >= 2 && step % 5 == 0) {
+        val probe = (step - rnd.nextInt(3)).toString
+        val got = client.queryWhere("soak",
+            element_at(col("meta"), lit("s")) === probe)
+          .select("key").collect().map(_.getString(0)).toSet
+        val want = model.collect {
+          case (k, (_, s)) if s.toString == probe => k }.toSet
+        assert(got == want, s"step $step: scalar-pruned read of s=$probe diverged")
+        assert(client.queryWhere("soak",
+          element_at(col("meta"), lit("s")) === "never-a-step").count() == 0)
+        assert(client.listIndexes("soak")
+          .filter(col("kind") === "SCALAR").collect()
+          .forall(_.getAs[Boolean]("fresh")),
+          s"step $step: single-writer scalar index went stale")
       }
 
       // random point lookups: present key exact, absent key empty
