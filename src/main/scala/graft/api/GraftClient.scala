@@ -102,6 +102,26 @@ class GraftClient(spark: SparkSession, root: String) {
   /** Resolve `name` — a collection, or an alias to one (Milvus aliasing:
     * every data-path call accepts either; aliases re-point atomically via
     * [[alterAlias]], the zero-downtime reindex/migration pattern). */
+  // derived-path suffixes are RESERVED: collection 'x' owns the sibling
+  // dirs '<dataPath>-ivf', '-text', '-parts', '-scalar', so a collection
+  // literally named 'x-parts' would alias x's partition registry — x's
+  // drop() would destroy it, and x's listPartitions would read its
+  // bucket dirs as partitions. Enforced at create AND rename; '.rb'
+  // rebucket targets can't collide ('.' is not a legal name character).
+  private def requireUnreservedName(name: String): Unit =
+    Seq("-ivf", "-text", "-parts", "-scalar").foreach(sfx =>
+      require(!name.endsWith(sfx),
+        s"collection names ending in '$sfx' are reserved (derived index/" +
+          "partition storage of the unsuffixed name) — pick another name"))
+
+  /** Catalog entries other than `excluding` whose storage is `path` —
+    * nonempty only in the torn-rename state (or a hand-edited catalog);
+    * create/drop consult it before touching storage. O(|catalog|) tiny
+    * file reads. */
+  private def dataPathOwners(path: String, excluding: String): Seq[String] =
+    catalog.listCollections().filter(_ != excluding)
+      .filter(n => catalog.describeCollection(n).exists(_.dataPath == path))
+
   private def metaOrThrow(name: String): CollectionMeta =
     catalog.describeCollection(name).getOrElse {
       catalog.resolveAlias(name) match {
@@ -155,16 +175,7 @@ class GraftClient(spark: SparkSession, root: String) {
     require(catalog.resolveAlias(name).isEmpty,
       s"'$name' is an existing alias (→ ${catalog.resolveAlias(name).getOrElse("")}) " +
         "— drop it first or pick another collection name")
-    // derived-path suffixes are RESERVED: collection 'x' owns the
-    // sibling dirs '<dataPath>-ivf', '-text', '-parts', so a collection
-    // literally named 'x-parts' would alias x's partition registry —
-    // x's drop() would destroy it, and x's listPartitions would read its
-    // bucket dirs as partitions. Refuse at the boundary; '.rb' rebucket
-    // targets can't collide ('.' is not a legal name character).
-    Seq("-ivf", "-text", "-parts", "-scalar").foreach(sfx =>
-      require(!name.endsWith(sfx),
-        s"collection names ending in '$sfx' are reserved (derived index/" +
-          "partition storage of the unsuffixed name) — pick another name"))
+    requireUnreservedName(name)
     // the partition key is matched by element_at against meta and
     // round-trips through the catalog JSON — keep it identifier-shaped,
     // like Milvus field names
@@ -191,6 +202,18 @@ class GraftClient(spark: SparkSession, root: String) {
     // check-then-delete BEFORE the create would let the LOSER of a
     // racing create wipe the winner's freshly-written data.
     if (created) {
+      // a RENAMED collection keeps its original dataPath (rename is
+      // O(1), catalog-only), so re-creating the OLD name would compute
+      // that same path — and the defensive clear below would destroy the
+      // renamed collection's live data. Roll back and refuse instead.
+      val owners = dataPathOwners(meta.dataPath, meta.name)
+      if (owners.nonEmpty) {
+        catalog.dropCollection(meta.name)
+        throw new IllegalArgumentException(
+          s"cannot create '$name': its storage path is owned by " +
+            s"${owners.mkString(", ")} (a collection renamed away from " +
+            "this name) — pick another name")
+      }
       deleteDir(ivfDir(meta)); deleteDir(textDir(meta))
       deleteDir(scalarRoot(meta))
       deleteDir(partsDir(meta)); deleteDir(meta.dataPath)
@@ -225,6 +248,14 @@ class GraftClient(spark: SparkSession, root: String) {
     catalog.describeCollection(name) match {
       case None => false
       case Some(m) =>
+        // a torn rename (crash between its publish and its old-entry
+        // delete) leaves two names describing ONE dataPath — destroying
+        // the storage through either would take the other down with it.
+        // Refuse; deleting the stale catalog file is the recovery.
+        val owners = dataPathOwners(m.dataPath, name)
+        require(owners.isEmpty,
+          s"'$name' shares storage with ${owners.mkString(", ")} (torn " +
+            "rename) — remove the stale catalog entry instead of dropping")
         // destroy the storage BEFORE the catalog entry: a crash between
         // the two then leaves a cataloged-but-empty collection (benign,
         // and re-droppable) instead of orphaned data dirs that a
@@ -235,6 +266,51 @@ class GraftClient(spark: SparkSession, root: String) {
         deleteDir(partsDir(m)); deleteDir(m.dataPath)
         catalog.dropCollection(name)
     }
+  }
+
+  /** Milvus `rename_collection`: re-key the catalog entry — O(1), no
+    * data movement, and because every derived layout (store, IVF/SQ8
+    * cells, text postings, scalar indexes, partitions) keys off the
+    * UNCHANGED dataPath, all of them — and their freshness stamps —
+    * survive the rename intact.
+    *
+    * Hazards refused loudly, mirroring [[drop]]: renaming THROUGH an
+    * alias (re-point the alias instead), onto an existing name, or a
+    * collection that live aliases still point at (ours resolve by NAME —
+    * a rename would dangle them; re-point or drop them first).
+    *
+    * Runs under the store's commit lock so it serializes against
+    * [[rebucket]] (which swaps dataPath and re-describes under the lock)
+    * and concurrent renames. Publish order: the NEW entry via the
+    * catalog's exclusive create, then the old entry's delete — a crash
+    * in between leaves BOTH names describing one dataPath, which
+    * [[drop]] detects (shared-storage guard) and refuses to destroy;
+    * deleting the stale catalog file is the documented recovery. */
+  def renameCollection(name: String, newName: String): Unit = {
+    requireUnreservedName(newName)
+    catalog.resolveAlias(name).foreach { target =>
+      throw new IllegalArgumentException(
+        s"'$name' is an alias — alterAlias re-points it; to rename the " +
+          s"data, rename its target collection '$target'")
+    }
+    val pointing = catalog.aliasesOf(name)
+    require(pointing.isEmpty,
+      s"collection '$name' still has aliases (${pointing.mkString(", ")}) — " +
+        "re-point or drop them first (aliases resolve by name and would dangle)")
+    val m = metaOrThrow(name)
+    collection(m).withWriteLock {
+      // re-describe under the lock: a concurrent rebucket/drop/rename
+      // could have swapped or removed the entry while we waited
+      val cur = catalog.describeCollection(name).getOrElse(
+        throw new java.util.ConcurrentModificationException(
+          s"$name: collection changed while waiting to rename — retry"))
+      require(catalog.createCollection(cur.copy(name = newName)),
+        s"collection '$newName' already exists")
+      catalog.dropCollection(name)
+    }
+    // version-keyed caches are keyed by the OLD name — drop them; the
+    // first read under the new name re-loads from the unchanged layouts
+    invalidateIndexCaches(name)
   }
 
   /** Milvus `create_alias`: a stable client-facing name over a
