@@ -113,6 +113,20 @@ object TextScaleBench {
     val parity = rawU == idxU && rawF == idxF
     val filterHolds = idxF.forall { case (key, _) => key.drop(1).toLong % 2 == 0 }
 
+    // TEXT_MATCH (r9): the matching-doc-id set for the same terms —
+    // bm25's pruned read minus scoring — against a raw tokenize twin
+    val (mAny, tMatchAny) = timed {
+      graft.index.TextIndex.matchingDocs(spark, idxPath, terms, "any").count() }
+    val shMatchAny = meter.mark()
+    val (mAll, tMatchAll) = timed {
+      graft.index.TextIndex.matchingDocs(spark, idxPath, terms, "all").count() }
+    meter.mark()
+    val (mAnyRaw, tMatchRaw) = timed {
+      docs.select(col("key"), explode(split(col("text"), " ")).as("__w"))
+        .filter(col("__w").isin(terms: _*)).select("key").distinct().count() }
+    meter.mark()
+    val matchParity = mAny == mAnyRaw && mAll <= mAny
+
     // Incremental maintenance at 1% churn: 5k new docs + 3k rewrites +
     // 2k deletes appended as ONE delta segment — the per-commit cost a
     // streaming corpus pays, vs the full rebuild measured above. Then
@@ -150,9 +164,14 @@ object TextScaleBench {
       s""""postings_2seg_sec":${f"$tIdxSeg%.2f"},""" +
       s""""compact_sec":${f"$tCompact%.1f"},"compact_shuffle_mb":${shCompact >> 20},""" +
       s""""postings_compacted_sec":${f"$tIdxC%.2f"},"compact_stable":$compactStable,""" +
-      s""""parity":$parity,"filter_holds":$filterHolds}""")
+      s""""match_any_sec":${f"$tMatchAny%.2f"},"match_any_docs":$mAny,""" +
+      s""""match_any_shuffle_mb":${shMatchAny >> 20},""" +
+      s""""match_all_sec":${f"$tMatchAll%.2f"},"match_all_docs":$mAll,""" +
+      s""""match_raw_sec":${f"$tMatchRaw%.2f"},""" +
+      s""""parity":$parity,"filter_holds":$filterHolds,"match_parity":$matchParity}""")
     require(parity, "raw and postings paths diverged — hash-stability contract broken")
     require(filterHolds, "restrictTo leaked a filtered-out doc")
+    require(matchParity, "TEXT_MATCH set diverged from the raw tokenize twin")
     require(compactStable, "compaction changed query results")
     docs.unpersist()
     graft.streaming.BucketedKeyedCollection.deleteTree(
