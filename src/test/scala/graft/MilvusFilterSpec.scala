@@ -40,7 +40,11 @@ class MilvusFilterSpec extends AnyFunSuite {
     assert(keys(c, """key == 'k3'""") == Set("k3"))
     assert(keys(c, """url like "http://h/o2%"""") ==
       Set("k2", "k20", "k21", "k22", "k23", "k24", "k25", "k26", "k27", "k28", "k29"))
-    // and the reference's actual DELETE path accepts the same string
+    // and the reference's actual DELETE path accepts the same string,
+    // as does filtered KNN
+    assert(c.search("col", Array(0f, 0f), k = 1,
+        filter = Some(c.milvusFilter("""url == "http://h/o7"""")))
+      .collect().head.getString(0) == "k7")
     c.deleteWhere("col", c.milvusFilter("""url == "http://h/o7""""))
     assert(keys(c, """url == "http://h/o7"""") == Set.empty)
   }
