@@ -931,25 +931,35 @@ class GraftClient(spark: SparkSession, root: String) {
     * UDF runs distributed over the batch. */
   def upsertTexts(name: String, df: DataFrame,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.text,
-                  maintainTextIndex: Boolean = false): Long = {
+                  maintainTextIndex: Boolean = false,
+                  partition: String = GraftClient.DefaultPartition): Long = {
     val m = metaOrThrow(name)
     val embedded = graft.ingest.Embedder.embedDocuments(df, "text", embedder)
       .select(col("key"), col("vec"), col("meta"))
-    // partition-key collections route like upsert(); the text index (a
-    // collection-level structure keyed off the DEFAULT store's version)
-    // cannot be auto-maintained across routed commits
+    // partition-key collections route like upsert(); the text index
+    // cannot be auto-maintained across ROUTED commits (one delta would
+    // have to cover many partitions' independent snapshot clocks)
     if (m.partitionKey.nonEmpty) {
+      require(partition == GraftClient.DefaultPartition,
+        s"'${m.name}' is a partition-key collection — the router owns " +
+          "placement; do not name a partition")
       require(!maintainTextIndex,
         s"'${m.name}' is a partition-key collection — maintainTextIndex " +
-          "rides the default store's snapshot version and cannot cover " +
+          "rides one store's snapshot version and cannot cover " +
           "routed commits; buildTextIndex explicitly instead")
       return upsertRouted(m, embedded)
     }
+    // named-partition form: commit into THAT partition's store and
+    // maintain THAT partition's text index on its own staleness clock
+    if (partition != GraftClient.DefaultPartition)
+      require(listedPartitions(m).contains(partition),
+        s"collection '${m.name}' has no partition '$partition' — createPartition first")
+    val pm = partMeta(m, partition)
     // capture the index's fresh-stamped version BEFORE the write:
     // appending to an index that was already stale would stamp it fresh
     // while missing the writes that staled it
-    val freshAt = if (maintainTextIndex) textIndexFreshAt(m) else None
-    val committed = mergeCommit(m, Some(embedded), None)
+    val freshAt = if (maintainTextIndex) textIndexFreshAt(pm) else None
+    val committed = mergeCommit(pm, Some(embedded), None)
     // append ONLY if our commit is v0+1: snapshot versions are monotonic
     // +1, so any foreign commit interleaving between the freshness check
     // and our write breaks the arithmetic and we leave the index stale
@@ -957,8 +967,8 @@ class GraftClient(spark: SparkSession, root: String) {
     // this delta never saw
     for (v0 <- freshAt; v <- committed; if v == v0 + 1)
       appendTextIndexDf(name, df.select(col("key"), col("text")),
-        stampAt = Some(v))
-    liveCount(m)
+        stampAt = Some(v), partition = partition)
+    countParts(m, Nil)
   }
 
   /** Image-branch twin of `upsertTexts` — `df` needs (key STRING,
@@ -1001,7 +1011,9 @@ class GraftClient(spark: SparkSession, root: String) {
     * `deleteByKeysDf` — which also keeps a fresh IVF index fresh. A
     * predicate matching nothing commits nothing. */
   def deleteWhere(name: String, pred: Column,
-                  partitions: Seq[String] = Nil): Long = {
+                  partitions: Seq[String] = Nil,
+                  matchTerms: Seq[String] = Nil,
+                  matchMode: String = "any"): Long = {
     val m = metaOrThrow(name)
     // per-partition resolve: each partition's matches come from ITS OWN
     // snapshot and commit into its own store — a partition with no match
@@ -1012,11 +1024,17 @@ class GraftClient(spark: SparkSession, root: String) {
       // the then-current snapshot (see mergeCommitRebasing) so a lost
       // CAS race cannot replay a stale delete set. The match scan rides
       // the scalar-index bucket prune when the predicate's conjuncts
-      // allow (recomputed per attempt — freshness is re-checked against
-      // the then-current snapshot inside scalarPrunedRead).
-      mergeCommitRebasing(pm, None, Some(() =>
-        scalarPrunedRead(pm, collection(pm), Some(pred))
-          .filter(coalesce(pred, lit(false))).select("key")))
+      // allow, and `matchTerms` adds the Milvus TEXT_MATCH gate (delete
+      // by term containment) — both recomputed per attempt, freshness
+      // re-checked against the then-current snapshot. Deleting matched
+      // docs STALES the text index like any delete; appendTextIndexDf
+      // with deletedKeys (or a rebuild) is the maintenance path.
+      mergeCommitRebasing(pm, None, Some(() => {
+        val base = scalarPrunedRead(pm, collection(pm), Some(pred))
+        textMatchGate(pm, matchTerms, matchMode)
+          .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
+          .filter(coalesce(pred, lit(false))).select("key")
+      }))
     }
     countParts(m, Nil)
   }

@@ -153,6 +153,31 @@ class TextMatchSpec extends AnyFunSuite {
       Set("d1", "d2", "d4", "e1", "e2"))
   }
 
+  test("deleteWhere gates on matchTerms; upsertTexts routes + maintains a named partition") {
+    import spark.implicits._
+    val c = seeded()
+    // Milvus delete(filter) with a TEXT_MATCH conjunct: docs containing
+    // 'scan' go; the delete then stales the index (no text to re-derive)
+    c.deleteWhere("col", lit(true), matchTerms = Seq("scan"))
+    assert(keysOf(c.queryWhere("col", lit(true))) == Set("d1", "d2", "d5"))
+    assertThrows[IllegalArgumentException](c.textMatchKeys("col", Seq("join")))
+
+    // named-partition text corpus: routed upsertTexts + per-partition
+    // auto-maintenance on that partition's own staleness clock
+    val c2 = mk()
+    c2.createCollection("colr", dim = 384)
+    c2.createPartition("colr", "p2")
+    c2.upsertTexts("colr", docsDf, partition = "p2")
+    c2.buildTextIndex("colr", docsDf, partition = "p2")
+    c2.upsertTexts("colr", Seq(("e1", "fresh join doc", Map("src" -> "s")))
+      .toDF("key", "text", "meta"), maintainTextIndex = true, partition = "p2")
+    assert(keysOf(c2.textMatchKeys("colr", Seq("join"),
+      partitions = Seq("p2"))) == Set("d1", "d2", "d4", "e1"))
+    // the (index-less) default partition still fails an unscoped match
+    // loudly — never a silent miss
+    assertThrows[IllegalArgumentException](c2.textMatchKeys("colr", Seq("join")))
+  }
+
   test("SQ8 path: the gate applies before the stage-1 depth bound") {
     val c = mk()
     c.createCollection("colq", dim = 384, metric = "l2",
