@@ -725,11 +725,10 @@ class GraftClient(spark: SparkSession, root: String) {
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
           refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
-          // scalar indexes roll forward the same way — touched-bucket
-          // postings rewritten from the post-image bucket dirs this
-          // commit just wrote (read back pinned to newVersion, one pass
-          // for all indexed fields)
-          refreshScalarIndexes(m, coll, preVersion, newVersion, touched)
+          // scalar indexes roll forward by appending the BATCH's own
+          // (value, bucket) pairs — batch-bounded, one pass for all
+          // indexed fields; pure deletes just re-stamp
+          refreshScalarIndexes(m, coll, preVersion, newVersion, decorated)
           Some(newVersion)
         }
       }
@@ -2737,17 +2736,25 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   /** Per-commit scalar maintenance (called from mergeCommitOnce beside
-    * the IVF refresh): every FRESH field index rolls forward by rewriting
-    * exactly the touched buckets' postings from the commit's own
-    * post-image — cost ∝ the commit's rows, never the corpus, and never
-    * per-field: ONE partition-local read-back of the bucket dirs the
-    * commit just wrote (pinned to `newVersion` via readBucketsAt — those
-    * dirs are immutable once written, later commits create NEW dirs, so
-    * the read can never observe a racing writer's data) feeds ONE
-    * explode pass building every field's entries together. Re-running
-    * the merge lineage per field instead was measured at ~2× the whole
-    * commit cost for two fields (ScalarScaleBench) — the read-back is
-    * the same trick buildIndexFor uses for radii.
+    * the IVF refresh): every FRESH field index rolls forward by
+    * APPENDING the batch's own (value, bucket) pairs — cost ∝ the
+    * BATCH, not the touched buckets' rows. (Two earlier schemes were
+    * measured and replaced: re-running the merge lineage per field cost
+    * ~2× the whole commit for two fields, and rewriting the touched
+    * buckets' full posting sets made an all-buckets commit on a
+    * per-row-unique field rewrite the entire index — at cluster scale
+    * that is index-sized I/O per micro-batch. Append-only is
+    * batch-bounded and MONOTONE: deleted/superseded pairs linger as
+    * dead postings the prune merely over-scans — see
+    * [[graft.index.ScalarIndex.appendPairs]].) A pure-delete commit
+    * appends nothing and just re-stamps: the existing postings remain a
+    * superset of the new snapshot's, which is all soundness needs.
+    *
+    * Every `scalarCompactAt` appends the field auto-compacts: a full
+    * [[graft.index.ScalarIndex.write]] from the new snapshot (pinned
+    * via readBucketsAt — immutable dirs, racing writers invisible),
+    * folding dead pairs and small files; an amortized 1/compactAt
+    * corpus-pass, the same policy shape as the text index's.
     *
     * An index not stamped at the snapshot this commit replaced stays
     * stale (rolling it forward would stamp it fresh while missing the
@@ -2757,30 +2764,46 @@ class GraftClient(spark: SparkSession, root: String) {
     * createScalarIndex is the recovery, exactly as for the IVF index. */
   private def refreshScalarIndexes(m: CollectionMeta,
       coll: BucketedKeyedCollection, preVersion: Option[Long],
-      newVersion: Long, touched: Seq[Int]): Unit = {
+      newVersion: Long, puts: Option[DataFrame]): Unit = {
     val fields = scalarIndexedFields(m).filter(f =>
       readVersionFile(scalarFieldDir(m, f)).exists(preVersion.contains))
-    if (fields.nonEmpty) {
+    if (fields.isEmpty) return
+    val entries = puts.map { batch =>
       val fv = fields.map(f => struct(lit(f).as("field"),
         element_at(col("meta"), lit(f)).as("value")))
-      // localCheckpoint: the per-field writes below each consume this
-      // frame — materialized once, bounded by the touched buckets'
-      // distinct (field, value, bucket) triples
-      val entries = coll.readBucketsAt(spark, newVersion, touched)
+      // localCheckpoint: the per-field appends below each consume this
+      // frame — materialized once, bounded by the batch's distinct
+      // (field, value, bucket) triples
+      batch
         .select(coll.bucketExpr.as("bucket"), explode(array(fv: _*)).as("fv"))
         .select(col("fv.field").as("field"), col("fv.value").as("value"),
           col("bucket"))
         .filter(col("value").isNotNull)
         .distinct()
         .localCheckpoint()
-      fields.foreach { f =>
-        ScalarIndex.overwriteTouched(
-          entries.filter(col("field") === f).select("value", "bucket"),
-          touched, scalarFieldDir(m, f))
-        stampVersionFile(scalarFieldDir(m, f), newVersion)
+    }
+    fields.foreach { f =>
+      val dir = scalarFieldDir(m, f)
+      entries.foreach { e =>
+        if (ScalarIndex.bumpAppends(dir) >= scalarCompactAt)
+          ScalarIndex.write(
+            coll.readBucketsAt(spark, newVersion, 0 until m.buckets)
+              .select(element_at(col("meta"), lit(f)).as("value"),
+                coll.bucketExpr.as("bucket"))
+              .filter(col("value").isNotNull),
+            dir)
+        else
+          ScalarIndex.appendPairs(
+            e.filter(col("field") === f).select("value", "bucket"), dir)
       }
+      stampVersionFile(dir, newVersion)
     }
   }
+
+  /** Appends between scalar-index auto-compactions — overridable for
+    * tests; 64 amortizes the compaction's corpus pass to ~1.6% of
+    * commits while bounding dead-posting accumulation. */
+  protected val scalarCompactAt: Int = 64
 
   /** Bounded value sets implied by `filter` for meta fields, read off the
     * ANALYZED predicate: only top-level AND-conjuncts of the shapes

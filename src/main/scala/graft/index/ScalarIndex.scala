@@ -51,52 +51,71 @@ object ScalarIndex {
   def exists(dir: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(valuesPath(dir)))
 
-  /** Full build: write the complete distinct (value, bucket) posting set.
-    * `entries` must have (value STRING, bucket INT); null values are the
-    * caller's to exclude (a row without the field has no posting — a
-    * filter on the field rejects it anyway, so its bucket need not be
-    * listed on the field's account). */
-  def write(entries: DataFrame, dir: String): Unit =
+  /** Full build (and COMPACTION — the same operation): write the
+    * complete distinct (value, bucket) posting set and reset the append
+    * counter. `entries` must have (value STRING, bucket INT); null
+    * values are the caller's to exclude (a row without the field has no
+    * posting — a filter on the field rejects it anyway, so its bucket
+    * need not be listed on the field's account). */
+  def write(entries: DataFrame, dir: String): Unit = {
     entries.select(col("value").cast("string"), col("bucket").cast("int"))
       .distinct()
+      // cluster by the partition column before the partitioned write:
+      // without it every shuffle partition writes a sliver into every
+      // bucket dir — buckets × shuffle-partitions tiny files whose
+      // open/commit overhead dominates both this write and later reads.
+      // Clustered, each bucket's rows land in one task → one file.
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(valuesPath(dir))
-
-  /** Touched-bucket maintenance: replace the listed `touched` buckets'
-    * partitions with `entries` (the post-image's distinct values of those
-    * buckets), dropping partitions left empty. Mirrors the IVF cells'
-    * dynamic-partition-overwrite maintenance: cost ∝ the touched buckets'
-    * rows. Returns nothing; the caller stamps VERSION after. */
-  def overwriteTouched(entries: DataFrame, touched: Seq[Int], dir: String): Unit = {
-    val deduped = entries
-      .select(col("value").cast("string"), col("bucket").cast("int"))
-      .distinct()
-      // the write below materializes `deduped` once; the written-bucket
-      // collect is a ≤|touched|-int driver set over the SAME frame —
-      // localCheckpoint keeps the second action from re-running the
-      // upstream merge plan (and from racing the overwrite it follows)
-      .localCheckpoint()
-    val written = deduped.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (written.nonEmpty)
-      deduped.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(valuesPath(dir))
-    // dynamic overwrite replaces only partitions PRESENT in the write —
-    // a touched bucket with no surviving values must have its directory
-    // dropped explicitly, or deleted values would linger and un-prune
-    // (sound but ever-growing) or resurrect (if the bucket refills)
-    (touched.toSet -- written).foreach { b =>
-      val p = java.nio.file.Paths.get(valuesPath(dir), s"bucket=$b")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.walk(p)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally s.close()
-      }
-    }
+    resetAppends(dir)
   }
+
+  /** Per-commit maintenance: APPEND the batch's (value, bucket) pairs —
+    * cost ∝ the batch, never the touched buckets' rows (the earlier
+    * rewrite-touched-partitions scheme re-derived every touched bucket's
+    * full posting set per commit, which for a per-row-unique field made
+    * an all-buckets commit rewrite the whole index; ScalarScaleBench
+    * measured the tax). Append-only is MONOTONE, which is also what
+    * keeps it sound with no coordination:
+    *   - new rows' pairs are added before the stamp — the index stays
+    *     value-complete for the new snapshot;
+    *   - deleted/superseded rows' old pairs simply LINGER as dead
+    *     postings: the prune scans their buckets and the filter finds
+    *     nothing — extra I/O, never a wrong row. Dead weight and
+    *     within-file duplicates fold away at the next [[write]]
+    *     (compaction), which the client triggers automatically every
+    *     `scalarCompactAt` appends (the counter below) and any
+    *     createScalarIndex re-run performs explicitly.
+    * Readers are append-tolerant by construction: a scan that misses
+    * just-appended files sees the previous snapshot's complete posting
+    * set, and the client's CURRENT-recheck falls back if the snapshot
+    * moved. */
+  def appendPairs(entries: DataFrame, dir: String): Unit =
+    entries.select(col("value").cast("string"), col("bucket").cast("int"))
+      .distinct()
+      .repartition(col("bucket")) // ≤ one file per bucket per append —
+                                  // see the write() comment
+      .write.mode("append").partitionBy("bucket")
+      .parquet(valuesPath(dir))
+
+  // ---- append counter (drives auto-compaction) ----
+  private def appendsPath(dir: String) = java.nio.file.Paths.get(dir, "APPENDS")
+
+  def appendCount(dir: String): Int =
+    if (!java.nio.file.Files.exists(appendsPath(dir))) 0
+    else java.nio.file.Files.readString(appendsPath(dir)).trim.toInt
+
+  /** Increment and return the post-append count. A torn counter only
+    * skews WHEN compaction fires, never correctness. */
+  def bumpAppends(dir: String): Int = {
+    val n = appendCount(dir) + 1
+    java.nio.file.Files.writeString(appendsPath(dir), n.toString)
+    n
+  }
+
+  private def resetAppends(dir: String): Unit =
+    java.nio.file.Files.deleteIfExists(appendsPath(dir))
 
   /** The store buckets that may contain a live row whose field value is
     * in `values` — the union of the values' posting lists (≤ buckets
@@ -117,7 +136,10 @@ object ScalarIndex {
     * index can and cannot help). */
   def stats(spark: SparkSession, dir: String, topN: Int = 10): DataFrame =
     spark.read.schema(valuesSchema).parquet(valuesPath(dir))
-      .groupBy(col("value")).agg(count(lit(1)).as("n_buckets"))
+      // count DISTINCT buckets: appended segments can repeat a (value,
+      // bucket) pair (and dead pairs linger until compaction) — a plain
+      // row count would overstate the fan-out
+      .groupBy(col("value")).agg(count_distinct(col("bucket")).as("n_buckets"))
       .orderBy(desc("n_buckets"), col("value"))
       .limit(topN)
 }

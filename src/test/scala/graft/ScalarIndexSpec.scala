@@ -121,11 +121,14 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(c.queryWhere("col", srcEq("moved")).select("key")
       .collect().map(_.getString(0)).toSet == Set("k7"))
 
-    // deleteWhere rides the prune and maintains the index through its commit
+    // deleteWhere rides the prune and keeps the index fresh through its
+    // commit; append-only maintenance lets the deleted value's postings
+    // LINGER (dead, bucket-bounded) — the answer stays exact
     c.deleteWhere("col", srcEq("rare"))
     val gone = c.queryWhere("col", srcEq("rare"))
     assert(gone.count() == 0)
-    assert(gone.inputFiles.isEmpty, "deleted value's postings must be gone")
+    assert(bucketDirsRead(gone).size <= 2,
+      "dead postings stay bounded by the value's original buckets")
 
     // delete by key maintains too
     c.deleteByKeys("col", Seq("kNew"))
@@ -238,6 +241,49 @@ class ScalarIndexSpec extends AnyFunSuite {
     c.drop("col")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dataPath-scalar")),
       "drop must remove the scalar root")
+  }
+
+  test("append-only maintenance: dead postings linger soundly, auto-compaction folds them") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val c = new GraftClient(spark, root) {
+      override protected val scalarCompactAt: Int = 3
+    }
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    // kX is the ONLY row with source 'solo'
+    c.upsert("col", Seq(("kX", vec(1), Map("source" -> "solo")))
+      .toDF("key", "vec", "meta"))
+    c.createScalarIndex("col", "source")
+    val dir = s"${c.describe("col").dataPath}-scalar/source"
+    assert(graft.index.ScalarIndex.appendCount(dir) == 0)
+
+    // append 1: kX's value churns away — the old (solo, bucket) pair
+    // LINGERS: the query reads kX's bucket, finds nothing, answers right
+    c.upsert("col", Seq(("kX", vec(1), Map("source" -> "moved")))
+      .toDF("key", "vec", "meta"))
+    val solo = c.queryWhere("col", srcEq("solo"))
+    assert(solo.count() == 0)
+    assert(solo.inputFiles.nonEmpty, "append-only keeps the dead pair until compaction")
+    assert(graft.index.ScalarIndex.appendCount(dir) == 1)
+
+    // appends 2 and 3 — the third hits the threshold and compacts
+    c.upsert("col", Seq(("kY", vec(2), Map("source" -> "y")))
+      .toDF("key", "vec", "meta"))
+    assert(graft.index.ScalarIndex.appendCount(dir) == 2)
+    c.upsert("col", Seq(("kZ", vec(3), Map("source" -> "z")))
+      .toDF("key", "vec", "meta"))
+    assert(graft.index.ScalarIndex.appendCount(dir) == 0, "compaction resets the counter")
+    // the dead pair folded: the absent value is again proven with zero I/O
+    val soloAfter = c.queryWhere("col", srcEq("solo"))
+    assert(soloAfter.count() == 0 && soloAfter.inputFiles.isEmpty)
+    // and the compacted index still serves every live value exactly
+    assert(c.queryWhere("col", srcEq("moved")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("kX"))
+    assert(c.queryWhere("col", srcEq("z")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("kZ"))
+    assert(c.listIndexes("col").filter(col("kind") === "SCALAR")
+      .collect().forall(_.getAs[Boolean]("fresh")))
   }
 
   test("two concurrent writers: the index is never WRONG — fresh-and-pruned or stale-and-full") {
