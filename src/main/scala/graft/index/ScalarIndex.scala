@@ -26,15 +26,14 @@ import org.apache.spark.sql.functions._
   * posting for its bucket), and a value absent from the index proves no
   * live row carries it.
   *
-  * Partitioning by STORE bucket (not by value hash) is deliberate: it
-  * aligns the index's partitions with the write path's unit of change,
-  * so a commit touching buckets {3, 7} rewrites exactly the `bucket=3`
-  * and `bucket=7` index partitions from its own post-image — maintenance
-  * cost ∝ the commit's rows, never the corpus. A value-hashed layout
-  * would make lookups O(1) directories instead of a pushed `value IN`
-  * over all bucket dirs, but every commit would scatter-rewrite the
-  * whole index; the index is distinct-values-sized, so the pushed
-  * filter's footer reads are the far smaller price.
+  * Maintenance is APPEND-ONLY ([[appendPairs]] — batch-bounded, dead
+  * pairs linger soundly) with threshold compaction ([[write]] — the
+  * full rebuild). Partitioning by STORE bucket (not by value hash)
+  * keeps each append's files bounded (clustered, ≤ one file per
+  * touched bucket) and compaction's write aligned with the store's own
+  * unit of change; lookups are a pushed `value IN` over the index
+  * parquet either way — the index is distinct-values-sized, so those
+  * footer reads are index-I/O, not corpus-I/O.
   *
   * Size bound: ≤ distinct(value, bucket) rows ≤ min(rows,
   * |values|·buckets). At 100 TB with thousands of buckets this is
