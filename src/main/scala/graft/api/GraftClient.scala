@@ -2668,17 +2668,29 @@ class GraftClient(spark: SparkSession, root: String) {
         s"partition '$p' of '$name' is empty — nothing to index")
       if (!empty) {
         val dir = scalarFieldDir(pm, field)
-        // version captured BEFORE the snapshot read: a commit landing
-        // anywhere in between leaves the stamp behind the data (or the
-        // data behind the stamp) — both read as STALE, never as a fresh
-        // index missing rows
-        ScalarIndex.write(
-          coll.read(spark).select(
-              element_at(col("meta"), lit(field)).as("value"),
-              coll.bucketExpr.as("bucket"))
-            .filter(col("value").isNotNull),
-          dir)
-        stampVersionFile(dir, versionAt.get)
+        // ALL writers of one field dir (this build, every commit's
+        // refresh append/compaction) serialize on the dir's commit lock
+        // — the TextIndex pattern: without it, a refresh APPEND landing
+        // inside this build's overwrite window could have its files
+        // eaten and then stamp the index fresh while missing that
+        // batch's pairs. Serialized, a refresh that waited behind this
+        // build appends onto the COMPLETE layout (worst case duplicate
+        // pairs — folded at compaction), with its stamp precondition
+        // deciding the roll-forward.
+        //
+        // Version captured BEFORE the snapshot read: a commit landing
+        // in between leaves the stamp behind the data — reads STALE,
+        // never a fresh index missing rows.
+        graft.streaming.BucketedKeyedCollection.withCommitLock(
+            java.nio.file.Paths.get(dir)) {
+          ScalarIndex.write(
+            coll.read(spark).select(
+                element_at(col("meta"), lit(field)).as("value"),
+                coll.bucketExpr.as("bucket"))
+              .filter(col("value").isNotNull),
+            dir)
+          stampVersionFile(dir, versionAt.get)
+        }
       }
       !empty
     }
@@ -2694,7 +2706,15 @@ class GraftClient(spark: SparkSession, root: String) {
     listedPartitions(m).map { p =>
       val dir = scalarFieldDir(partMeta(m, p), field)
       val existed = ScalarIndex.exists(dir)
-      deleteDir(dir)
+      // under the field dir's commit lock: an unserialized delete racing
+      // a commit's refresh APPEND would let the append recreate the dir
+      // as a ghost batch-only index and stamp it fresh — wrong answers,
+      // not just debris. Serialized, the refresh either finishes first
+      // (we delete the whole thing) or waits and finds no stamp (skips).
+      graft.streaming.BucketedKeyedCollection.withCommitLock(
+          java.nio.file.Paths.get(dir)) {
+        deleteDir(dir)
+      }
       existed
     }.contains(true)
   }
@@ -2765,15 +2785,14 @@ class GraftClient(spark: SparkSession, root: String) {
   private def refreshScalarIndexes(m: CollectionMeta,
       coll: BucketedKeyedCollection, preVersion: Option[Long],
       newVersion: Long, puts: Option[DataFrame]): Unit = {
-    val fields = scalarIndexedFields(m).filter(f =>
-      readVersionFile(scalarFieldDir(m, f)).exists(preVersion.contains))
-    if (fields.isEmpty) return
-    val entries = puts.map { batch =>
-      val fv = fields.map(f => struct(lit(f).as("field"),
+    val allFields = scalarIndexedFields(m)
+    if (allFields.isEmpty) return
+    // built lazily and ONCE (localCheckpoint), only if some field
+    // actually rolls forward — bounded by the batch's distinct
+    // (field, value, bucket) triples
+    lazy val entries = puts.map { batch =>
+      val fv = allFields.map(f => struct(lit(f).as("field"),
         element_at(col("meta"), lit(f)).as("value")))
-      // localCheckpoint: the per-field appends below each consume this
-      // frame — materialized once, bounded by the batch's distinct
-      // (field, value, bucket) triples
       batch
         .select(coll.bucketExpr.as("bucket"), explode(array(fv: _*)).as("fv"))
         .select(col("fv.field").as("field"), col("fv.value").as("value"),
@@ -2782,21 +2801,31 @@ class GraftClient(spark: SparkSession, root: String) {
         .distinct()
         .localCheckpoint()
     }
-    fields.foreach { f =>
+    allFields.foreach { f =>
       val dir = scalarFieldDir(m, f)
-      entries.foreach { e =>
-        if (ScalarIndex.bumpAppends(dir) >= scalarCompactAt)
-          ScalarIndex.write(
-            coll.readBucketsAt(spark, newVersion, 0 until m.buckets)
-              .select(element_at(col("meta"), lit(f)).as("value"),
-                coll.bucketExpr.as("bucket"))
-              .filter(col("value").isNotNull),
-            dir)
-        else
-          ScalarIndex.appendPairs(
-            e.filter(col("field") === f).select("value", "bucket"), dir)
+      // every writer of a field dir — refresh appends, compactions,
+      // createScalarIndex builds — serializes on the dir's commit lock,
+      // with the stamp precondition read INSIDE it: at most one
+      // roll-forward per version transition, and no append can land
+      // inside a concurrent overwrite's window (the TextIndex pattern)
+      graft.streaming.BucketedKeyedCollection.withCommitLock(
+          java.nio.file.Paths.get(dir)) {
+        if (readVersionFile(dir).exists(preVersion.contains)) {
+          entries.foreach { e =>
+            if (ScalarIndex.bumpAppends(dir) >= scalarCompactAt)
+              ScalarIndex.write(
+                coll.readBucketsAt(spark, newVersion, 0 until m.buckets)
+                  .select(element_at(col("meta"), lit(f)).as("value"),
+                    coll.bucketExpr.as("bucket"))
+                  .filter(col("value").isNotNull),
+                dir)
+            else
+              ScalarIndex.appendPairs(
+                e.filter(col("field") === f).select("value", "bucket"), dir)
+          }
+          stampVersionFile(dir, newVersion)
+        }
       }
-      stampVersionFile(dir, newVersion)
     }
   }
 
