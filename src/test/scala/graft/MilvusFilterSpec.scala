@@ -75,6 +75,15 @@ class MilvusFilterSpec extends AnyFunSuite {
     assert(c.queryWhere("col", c.milvusFilter("""url == "u-absent"""")).inputFiles.isEmpty)
   }
 
+  test("preprocess corner spellings: in[ without space, not-in lists, escapes") {
+    val c = seeded()
+    assert(keys(c, """lang in["en"] && price < 10""") == Set("k0", "k3"))
+    // prices 0,3,6,9 under 10 — NOT IN drops the first two numerically
+    assert(keys(c, """price not in [0, 3] && price < 10""") == Set("k2", "k3"))
+    // escaped quote inside a literal: the &&/[ ] inside stay untouched
+    assert(keys(c, """url == "a\"b[!&&]c"""") == Set.empty)
+  }
+
   test("unsupported Milvus functions fail loudly with the engine equivalent named") {
     val c = seeded()
     val e = intercept[IllegalArgumentException](
