@@ -2196,6 +2196,18 @@ class GraftClient(spark: SparkSession, root: String) {
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val parts = resolveParts(m, partitions)
     val fOpt = filter // `filter` inside closures shadows Iterator.filter
+    // TEXT_MATCH key set PINNED at drain start: the gate requires a FRESH
+    // text index, and under allowDrift a mid-drain commit stales it — a
+    // per-page re-resolve would then throw on the next page, killing
+    // exactly the long export allowDrift exists to survive. Resolving
+    // once here (freshness checked against the same snapshot the pin
+    // captures) and MATERIALIZING via localCheckpoint detaches the key
+    // set from the index's segment files, so later commits/compactions
+    // can neither stale nor sweep it mid-drain. Size is Σ df(term) keys —
+    // matching-docs-bounded, the same rows a single-page resolve reads.
+    val gates: Seq[Option[DataFrame]] =
+      parts.map(p => textMatchGate(partMeta(m, p), matchTerms, matchMode)
+        .map(_.localCheckpoint()))
     var cursor: Option[(Double, String)] = None
     var page = 0
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
@@ -2213,17 +2225,14 @@ class GraftClient(spark: SparkSession, root: String) {
         require(depth * refine <= Int.MaxValue,
           s"depth * refine overflows Int (got ${depth * refine}) — lower refine")
       }
-      val scored = parts
-        .map { p =>
+      val scored = parts.zip(gates)
+        .map { case (p, gate) =>
           val pm = partMeta(m, p)
           scoredCandidates(pm, qvec, fOpt, nprobe,
             refine, depth.min(Int.MaxValue.toLong).toInt,
             cursorDist = cursor.map(_._1), // deep pages skip cells the
                                            // cursor has fully passed
-            // TEXT_MATCH gate, re-resolved per page like the frame (a
-            // mid-drain commit raises via the pin check unless
-            // allowDrift, same contract as everything else here)
-            gate = textMatchGate(pm, matchTerms, matchMode))
+            gate = gate) // drain-start-pinned TEXT_MATCH key set (above)
         }
         .reduce(_ unionByName _)
       val after = cursor.fold(scored) { case (d, k0) =>
@@ -2304,18 +2313,23 @@ class GraftClient(spark: SparkSession, root: String) {
     // exact scenario allowDrift exists to survive (without allowDrift the
     // pin check raises before any stale frame could run).
     //
-    // Each per-page rebuild re-applies the scalar-index bucket prune and
-    // the TEXT_MATCH gate: a filtered export over a selective indexed
-    // value reads the value's buckets EVERY page instead of re-scanning
-    // the store per page — freshness is re-resolved per page, so under
-    // allowDrift a mid-export commit simply flips that page between the
-    // pruned and full-scan plans (both lossless).
-    def tagged: DataFrame = parts
-      .map { p =>
+    // Each per-page rebuild re-applies the scalar-index bucket prune: a
+    // filtered export over a selective indexed value reads the value's
+    // buckets EVERY page instead of re-scanning the store per page —
+    // freshness is re-resolved per page, so under allowDrift a mid-export
+    // commit simply flips that page between the pruned and full-scan
+    // plans (both lossless). The TEXT_MATCH gate is NOT per-page: it
+    // THROWS when stale rather than falling back (the store keeps no
+    // text), so it is resolved ONCE at drain start and materialized —
+    // see searchIterator's pinned-gate rationale.
+    val gates: Seq[Option[DataFrame]] =
+      parts.map(p => textMatchGate(partMeta(m, p), matchTerms, matchMode)
+        .map(_.localCheckpoint()))
+    def tagged: DataFrame = parts.zip(gates)
+      .map { case (p, gate) =>
         val pm = partMeta(m, p)
         val base = scalarPrunedRead(pm, collection(pm), Some(filter))
-        textMatchGate(pm, matchTerms, matchMode)
-          .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
+        gate.fold(base)(g => base.join(g, Seq("key"), "left_semi"))
           .select(col("key"), col("vec"), col("meta"), lit(p).as("__part"))
       }
       .reduce(_ unionByName _)

@@ -115,6 +115,51 @@ class TextMatchSpec extends AnyFunSuite {
     assert(qi.flatten.map(_.getString(0)).toSeq == Seq("d3", "d4"))
   }
 
+  test("matchTerms + allowDrift survives a mid-drain commit that stales the index") {
+    import spark.implicits._
+    val c = seeded()
+    // both surfaces: the gate is pinned (and materialized) at drain
+    // start, so a commit landing mid-drain — which stales the text index
+    // (no maintenance here) — must neither throw nor change the match set
+    val qi = c.queryIterator("col", lit(true), batchSize = 1,
+      matchTerms = Seq("join"), allowDrift = true)
+    assert(qi.next().map(_.getString(0)) == Seq("d1"))
+    c.upsertTexts("col", Seq(("d9", "a new join doc", Map("src" -> "s")))
+      .toDF("key", "text", "meta")) // stales the index; no appendTextIndex
+    // a FRESH-index surface rejects the stale index (existing contract)…
+    assertThrows[IllegalArgumentException](
+      c.textMatchKeys("col", Seq("join")))
+    // …but the in-flight drain, pinned at creation, keeps going
+    val rest = qi.flatten.map(_.getString(0)).toSeq
+    assert(rest == Seq("d2", "d4"),
+      s"drain-start match set must keep serving after the commit, got $rest")
+    // d9 is invisible to this drain: its match set predates the commit
+    assert(!rest.contains("d9"))
+
+    val q = Embedder.text.embedText("hash join")
+    val si = c2Pinned(c, q)
+    c.upsertTexts("col", Seq(("d10", "another join doc", Map("src" -> "s")))
+      .toDF("key", "text", "meta"))
+    val drained = si.flatten.map(_.getString(0)).toSeq
+    assert(drained.toSet == Set("d1", "d2", "d4", "d9"),
+      s"searchIterator must keep its drain-start match set, got $drained")
+  }
+
+  // a searchIterator created while the index is fresh (rebuilt to cover
+  // d9), first page consumed — helper keeps the test above readable
+  private def c2Pinned(c: GraftClient, q: Array[Float]) = {
+    val docs = {
+      import spark.implicits._
+      (corpus :+ ("d9", "a new join doc"))
+        .map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta")
+    }
+    c.buildTextIndex("col", docs)
+    val it = c.searchIterator("col", q, batchSize = 2,
+      matchTerms = Seq("join"), allowDrift = true)
+    it
+  }
+
   test("partitioned collections: per-partition text indexes, per-partition gates") {
     import spark.implicits._
     val c = mk()
