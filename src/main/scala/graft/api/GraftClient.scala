@@ -2781,10 +2781,12 @@ class GraftClient(spark: SparkSession, root: String) {
     * batch-bounded and MONOTONE: deleted/superseded pairs linger as
     * dead postings the prune merely over-scans — see
     * [[graft.index.ScalarIndex.appendPairs]].) A pure-delete commit
-    * appends nothing and just re-stamps: the existing postings remain a
-    * superset of the new snapshot's, which is all soundness needs.
+    * appends nothing (the existing postings remain a superset of the new
+    * snapshot's, which is all soundness needs) but still TICKS the
+    * compaction clock — delete-dominated churn accumulates dead pairs
+    * exactly like value churn, so it must reach the same trigger.
     *
-    * Every `scalarCompactAt` appends the field auto-compacts: a full
+    * Every `scalarCompactAt` commits the field auto-compacts: a full
     * [[graft.index.ScalarIndex.write]] from the new snapshot (pinned
     * via readBucketsAt — immutable dirs, racing writers invisible),
     * folding dead pairs and small files; an amortized 1/compactAt
@@ -2825,46 +2827,65 @@ class GraftClient(spark: SparkSession, root: String) {
       graft.streaming.BucketedKeyedCollection.withCommitLock(
           java.nio.file.Paths.get(dir)) {
         if (readVersionFile(dir).exists(preVersion.contains)) {
-          entries.foreach { e =>
-            if (ScalarIndex.bumpAppends(dir) >= scalarCompactAt)
-              ScalarIndex.write(
-                coll.readBucketsAt(spark, newVersion, 0 until m.buckets)
-                  .select(element_at(col("meta"), lit(f)).as("value"),
-                    coll.bucketExpr.as("bucket"))
-                  .filter(col("value").isNotNull),
-                dir)
-            else
-              ScalarIndex.appendPairs(
-                e.filter(col("field") === f).select("value", "bucket"), dir)
-          }
+          // the change clock ticks on EVERY commit — pure deletes too: a
+          // delete-dominated workload kills rows without appending, so an
+          // appends-only clock would never fire compaction while dead
+          // (value, bucket) pairs degrade the prune toward a full scan
+          if (ScalarIndex.bumpAppends(dir) >= scalarCompactAt)
+            ScalarIndex.write(
+              coll.readBucketsAt(spark, newVersion, 0 until m.buckets)
+                .select(element_at(col("meta"), lit(f)).as("value"),
+                  coll.bucketExpr.as("bucket"))
+                .filter(col("value").isNotNull),
+              dir)
+          else
+            entries.foreach(e => ScalarIndex.appendPairs(
+              e.filter(col("field") === f).select("value", "bucket"), dir))
           stampVersionFile(dir, newVersion)
         }
       }
     }
   }
 
-  /** Appends between scalar-index auto-compactions — overridable for
-    * tests; 64 amortizes the compaction's corpus pass to ~1.6% of
-    * commits while bounding dead-posting accumulation. */
+  /** Commits between scalar-index auto-compactions (pure deletes tick
+    * the clock too) — overridable for tests; 64 amortizes the
+    * compaction's corpus pass to ~1.6% of commits while bounding
+    * dead-posting accumulation. */
   protected val scalarCompactAt: Int = 64
 
-  /** Bounded value sets implied by `filter` for meta fields, read off the
-    * ANALYZED predicate: only top-level AND-conjuncts of the shapes
-    * `meta['f'] = 'v'` (either order; `<=>` with a non-null literal) and
-    * `meta['f'] IN ('v1', …)` contribute — each is implied by the whole
-    * filter, so restricting the scan to buckets containing one of the
-    * values is lossless. Anything else (ORs, ranges, UDFs, null-safe
-    * null compares) yields no entry and therefore no prune. Matching
-    * runs on the analyzed tree (GetMapValue / ElementAt over the `meta`
-    * attribute), not on unresolved Column ASTs — the same shapes the
-    * partition-key filter compiles to, so pk scoping rides this too. */
-  private def impliedMetaValueSets(base: DataFrame, filter: Column)
-      : Map[String, Seq[String]] = {
+  /** Bounded value sets AND range constraints implied by `filter` for
+    * meta fields, read off the ANALYZED predicate — only top-level
+    * AND-conjuncts contribute (each is implied by the whole filter, so
+    * restricting the scan to buckets satisfying it is lossless):
+    *   - `meta['f'] = 'v'` (either order; `<=>` with a non-null
+    *     literal) and `meta['f'] IN ('v1', …)` → the field's VALUE SET
+    *     (posting-list prune);
+    *   - `meta['f'] <cmp> 'v'` (string compare) and
+    *     `CAST(meta['f'] AS DOUBLE) <cmp>/=/IN <numeric>` — the exact
+    *     shape [[MilvusFilter]] emits for `price > 5` / `price == 5` /
+    *     `price in [..]` — → [[graft.index.ScalarIndex.ZoneCon]]s
+    *     (zone-map prune). Only a DIRECT cast to DOUBLE matches: a cast
+    *     to another numeric type truncates (`CAST('3.9' AS INT)` = 3),
+    *     so its comparisons do not agree with the double-valued zone
+    *     spans and pruning on them could drop matching rows.
+    * Anything else (ORs, UDFs, null-safe null compares) yields no entry
+    * and therefore no prune. Matching runs on the analyzed tree
+    * (GetMapValue / ElementAt over the `meta` attribute), not on
+    * unresolved Column ASTs — the same shapes the partition-key filter
+    * compiles to, so pk scoping rides this too.
+    *
+    * ANSI note: under ANSI mode (the default) `CAST` raises on a
+    * malformed numeric string at ROW level; a zone prune can skip the
+    * buckets holding such rows, in which case the pruned query succeeds
+    * where the full scan would error — the same reordering latitude
+    * Spark's own filter pushdown reserves. */
+  private def impliedMetaConstraints(base: DataFrame, filter: Column)
+      : (Map[String, Seq[String]], Map[String, Seq[ScalarIndex.ZoneCon]]) = {
     import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types.{MapType, StringType}
+    import org.apache.spark.sql.types.{DoubleType, MapType, NumericType, StringType}
     val cond = base.filter(filter).queryExecution.analyzed match {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      case _ => return Map.empty
+      case _ => return (Map.empty, Map.empty)
     }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -2895,7 +2916,40 @@ class GraftClient(spark: SparkSession, root: String) {
     def eq(l: Expression, r: Expression): Option[(String, Seq[String])] =
       metaField(l).flatMap(f => litString(r).map(v => f -> Seq(v)))
         .orElse(metaField(r).flatMap(f => litString(l).map(v => f -> Seq(v))))
-    val sets = conjuncts(cond).flatMap {
+    // the numeric-compare shape: a DIRECT double cast of the meta access
+    // (possibly through the analyzer's no-op double-to-double re-cast)
+    def metaFieldNum(e: Expression): Option[String] = e match {
+      case c: Cast if c.dataType == DoubleType =>
+        metaField(c.child).orElse(c.child match {
+          case i: Cast if i.dataType == DoubleType => metaField(i.child)
+          case _ => None
+        })
+      case _ => None
+    }
+    def litNum(e: Expression): Option[Double] = e match {
+      case o if o.foldable && o.dataType.isInstanceOf[NumericType] =>
+        scala.util.Try(Option(o.eval())).toOption.flatten.map {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: java.lang.Number => n.doubleValue
+        }
+      case _ => None
+    }
+    val flip = Map("gt" -> "lt", "ge" -> "le", "lt" -> "gt", "le" -> "ge",
+      "eq" -> "eq")
+    // one comparison conjunct → a string-zone or numeric-zone constraint
+    // (field on either side; op flips when the literal is on the left)
+    def zone(op: String, l: Expression, r: Expression)
+        : Option[(String, ScalarIndex.ZoneCon)] =
+      metaFieldNum(l).flatMap(f => litNum(r).map(v =>
+          f -> (ScalarIndex.NumCmp(op, v): ScalarIndex.ZoneCon)))
+        .orElse(metaFieldNum(r).flatMap(f => litNum(l).map(v =>
+          f -> (ScalarIndex.NumCmp(flip(op), v): ScalarIndex.ZoneCon))))
+        .orElse(metaField(l).flatMap(f => litString(r).map(v =>
+          f -> (ScalarIndex.StrCmp(op, v): ScalarIndex.ZoneCon))))
+        .orElse(metaField(r).flatMap(f => litString(l).map(v =>
+          f -> (ScalarIndex.StrCmp(flip(op), v): ScalarIndex.ZoneCon))))
+    val cs = conjuncts(cond)
+    val sets = cs.flatMap {
       case EqualTo(l, r) => eq(l, r)
       case EqualNullSafe(l, r) => eq(l, r)
       case In(v, list) =>
@@ -2914,11 +2968,39 @@ class GraftClient(spark: SparkSession, root: String) {
           f -> i.hset.toSeq.filter(_ != null).map(_.toString).sorted)
       case _ => None
     }
-    // multiple conjuncts on the SAME field intersect (a row must satisfy
-    // all of them) — the tightest value set wins
-    sets.groupBy(_._1).map { case (f, fs) =>
-      f -> fs.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+    val ranges = cs.flatMap {
+      case GreaterThan(l, r) => zone("gt", l, r)
+      case GreaterThanOrEqual(l, r) => zone("ge", l, r)
+      case LessThan(l, r) => zone("lt", l, r)
+      case LessThanOrEqual(l, r) => zone("le", l, r)
+      // numeric equality/IN never reach the posting lists (the cast is
+      // not their GetMapValue shape) — the zone span check is what makes
+      // a numeric point filter prune at all
+      case EqualTo(l, r) =>
+        zone("eq", l, r).filter(_._2.isInstanceOf[ScalarIndex.NumCmp])
+      case In(v, list) =>
+        metaFieldNum(v).flatMap { f =>
+          val vs = list.map(litNum)
+          if (vs.nonEmpty && vs.forall(_.isDefined))
+            Some(f -> (ScalarIndex.NumIn(vs.flatten): ScalarIndex.ZoneCon))
+          else None
+        }
+      case i: InSet => // the optimizer's large-list In rewrite
+        metaFieldNum(i.child).map { f =>
+          f -> (ScalarIndex.NumIn(i.hset.toSeq.filter(_ != null).map {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: java.lang.Number => n.doubleValue
+          }): ScalarIndex.ZoneCon)
+        }
+      case _ => None
     }
+    // multiple conjuncts on the SAME field intersect (a row must satisfy
+    // all of them) — the tightest value set wins; zone constraints just
+    // conjoin (bucketsForRange ANDs them)
+    (sets.groupBy(_._1).map { case (f, fs) =>
+       f -> fs.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+     },
+     ranges.groupBy(_._1).map { case (f, fs) => f -> fs.map(_._2) })
   }
 
   /** One partition's snapshot read, bucket-pruned through any FRESH
@@ -2939,20 +3021,34 @@ class GraftClient(spark: SparkSession, root: String) {
         val fields = scalarIndexedFields(pm)
         if (fields.isEmpty) full
         else {
-          val implied = impliedMetaValueSets(full, f)
+          val (implied, ranges) = impliedMetaConstraints(full, f)
           val pinned = coll.currentVersion
-          val usable = fields.filter(fd => implied.contains(fd) &&
-            readVersionFile(scalarFieldDir(pm, fd)).exists(pinned.contains))
+          val usable = fields.filter(fd =>
+            (implied.contains(fd) || ranges.contains(fd)) &&
+              readVersionFile(scalarFieldDir(pm, fd)).exists(pinned.contains))
           if (usable.isEmpty || pinned.isEmpty) full
           else {
             // Try: a racing index rewrite can delete posting files under
             // a running read (overwrites are not atomic across partition
             // dirs) — that is a failure, not a wrongness, and the full
-            // scan is always a sound answer
+            // scan is always a sound answer. Per field: the equality
+            // value set prunes via posting lists, range/numeric
+            // conjuncts via zone spans; both present → intersect. A
+            // field with only range conjuncts over a pre-zone-map layout
+            // contributes nothing (bucketsForRange = None).
             val buckets = scala.util.Try(usable
-              .map(fd => ScalarIndex.bucketsFor(
-                spark, scalarFieldDir(pm, fd), implied(fd)))
-              .reduce(_ intersect _)).toOption
+              .flatMap { fd =>
+                val dir = scalarFieldDir(pm, fd)
+                val eqB = implied.get(fd)
+                  .map(vs => ScalarIndex.bucketsFor(spark, dir, vs))
+                val rgB = ranges.get(fd)
+                  .flatMap(cs => ScalarIndex.bucketsForRange(spark, dir, cs))
+                (eqB, rgB) match {
+                  case (Some(a), Some(b)) => Some(a intersect b)
+                  case (a, b) => a.orElse(b)
+                }
+              }
+              .reduceOption(_ intersect _)).toOption.flatten
             // TOCTOU guard, collected-postings-then-recheck: a commit
             // landing between the freshness check above and the postings
             // collect would have its refresh REWRITE the postings we just

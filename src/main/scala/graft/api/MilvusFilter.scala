@@ -33,7 +33,13 @@ import org.apache.spark.sql.types._
   *     casts the field to DOUBLE (`price > 5` must compare numerically,
   *     not lexically — "10" < "5" as strings); a BOOLEAN literal casts
   *     to BOOLEAN. String comparisons stay raw — which keeps equality/IN
-  *     in the scalar index's prunable shape.
+  *     in the scalar index's posting-list shape; numeric compares and
+  *     ranges prune through the index's per-bucket zone maps instead.
+  *     The cast follows the session's cast semantics: under ANSI
+  *     (Spark's default) a malformed value — a row with price =
+  *     "cheap" under `price > 5` — RAISES at query time, the engine's
+  *     analogue of typed Milvus rejecting the value at insert; with
+  *     ANSI off it nulls out and the row silently drops.
   *   - `TEXT_MATCH`/`PHRASE_MATCH`/`json_contains` conjuncts are
   *     rejected loudly with the engine's equivalent named (matchTerms /
   *     get_json_object) — failing at parse beats silently resolving to
@@ -55,7 +61,29 @@ object MilvusFilter {
     // raw SQL in a lazy SqlExpression node, so the rewrites below would
     // see one opaque leaf instead of the attribute/comparison tree
     val parsed = CatalystSqlParser.parseExpression(preprocess(filter))
-    GraftShim.column(typedCompares(rewriteFields(parsed)))
+    GraftShim.column(typedCompares(rejectFieldToField(rewriteFields(parsed))))
+  }
+
+  /** Milvus has no field-to-field comparison, so `lang == en` is a PARSE
+    * ERROR there (`en` is an unquoted string value) — but the bare-field
+    * rewrite above would quietly turn it into `meta['lang'] ==
+    * meta['en']`, a null-compare that returns an EMPTY result: a typo'd
+    * filter silently matching nothing instead of failing loudly. Mirror
+    * Milvus and reject any comparison whose sides BOTH resolved to meta
+    * accesses, naming the likely missing quotes. */
+  private def rejectFieldToField(e: Expression): Expression = {
+    e.foreach {
+      case c: BinaryComparison if isMetaAccess(c.left) && isMetaAccess(c.right) =>
+        val rhs = c.right match {
+          case UnresolvedExtractValue(_, Literal(k, _)) => String.valueOf(k)
+          case _ => "<field>"
+        }
+        throw new IllegalArgumentException(
+          "field-to-field comparison is not valid Milvus filter syntax — " +
+            s"if '$rhs' is a string VALUE, quote it: ... == \"$rhs\"")
+      case _ =>
+    }
+    e
   }
 
   /** Milvus spellings → Spark SQL, outside string literals. */

@@ -42,8 +42,25 @@ import org.apache.spark.sql.functions._
   */
 object ScalarIndex {
   private val valuesSchema = "value STRING, bucket INT"
+  private val zonesSchema =
+    "bucket INT, nmin DOUBLE, nmax DOUBLE, smin STRING, smax STRING"
 
   private[graft] def valuesPath(dir: String) = s"$dir/values"
+  private[graft] def zonesPath(dir: String) = s"$dir/zones"
+
+  /** One conjunct a range prune can use — the zone-map counterpart of the
+    * posting lists' equality/IN value sets. Numeric constraints compare
+    * against the per-bucket [nmin, nmax] of `cast(value AS DOUBLE)`
+    * (rows whose value does not cast contribute nothing — they cannot
+    * satisfy a numeric predicate either, so excluding them is lossless);
+    * string constraints against the raw-string [smin, smax]. */
+  sealed trait ZoneCon
+  /** op ∈ gt | ge | lt | le | eq over `cast(value AS DOUBLE)`. */
+  final case class NumCmp(op: String, v: Double) extends ZoneCon
+  /** Numeric IN: keep buckets whose span contains ANY of the values. */
+  final case class NumIn(vs: Seq[Double]) extends ZoneCon
+  /** op ∈ gt | ge | lt | le over the raw string value (lexical). */
+  final case class StrCmp(op: String, v: String) extends ZoneCon
 
   /** Whether a scalar-index layout exists at `dir` (the client stamps
     * VERSION separately — existence is the layout, freshness the stamp). */
@@ -67,8 +84,30 @@ object ScalarIndex {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(valuesPath(dir))
+    // zone maps derive from the values parquet just written — an
+    // INDEX-sized read, so compaction stays a single corpus pass (zones
+    // from `entries` directly would re-run its corpus-sized lineage)
+    zoneRows(entries.sparkSession.read.schema(valuesSchema)
+        .parquet(valuesPath(dir)))
+      .write.mode("overwrite").parquet(zonesPath(dir))
     resetAppends(dir)
   }
+
+  // Per-bucket min/max of the numeric cast and of the raw string — one
+  // row per bucket present in `pairs`. min/max skip nulls, so a bucket
+  // with no castable value gets null nmin/nmax (which a numeric zone
+  // predicate treats as prunable — such rows cannot satisfy a numeric
+  // compare either).
+  private def zoneRows(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("bucket").cast("int").as("bucket"))
+      // try_cast, NOT cast: under ANSI (the default) a plain cast THROWS
+      // on the first non-numeric value, and a text-valued field must
+      // still be indexable — its buckets simply carry null numeric spans
+      .agg(min(expr("try_cast(value AS DOUBLE)")).as("nmin"),
+        max(expr("try_cast(value AS DOUBLE)")).as("nmax"),
+        min(col("value").cast("string")).as("smin"),
+        max(col("value").cast("string")).as("smax"))
+      .coalesce(1)
 
   /** Per-commit maintenance: APPEND the batch's (value, bucket) pairs —
     * cost ∝ the batch, never the touched buckets' rows (the earlier
@@ -90,22 +129,33 @@ object ScalarIndex {
     * just-appended files sees the previous snapshot's complete posting
     * set, and the client's CURRENT-recheck falls back if the snapshot
     * moved. */
-  def appendPairs(entries: DataFrame, dir: String): Unit =
-    entries.select(col("value").cast("string"), col("bucket").cast("int"))
-      .distinct()
+  def appendPairs(entries: DataFrame, dir: String): Unit = {
+    val pairs = entries.select(col("value").cast("string"),
+      col("bucket").cast("int"))
+    // zones FIRST: a reader between the two appends then sees zones
+    // covering values not yet listed (over-wide spans over-scan — sound)
+    // instead of values outside every zone (a span that could wrongly
+    // prune the new value's bucket). Both frames are batch-bounded; the
+    // callers hand in a checkpointed batch, so the double consumption is
+    // two cheap local scans, not two lineage replays.
+    zoneRows(pairs).write.mode("append").parquet(zonesPath(dir))
+    pairs.distinct()
       .repartition(col("bucket")) // ≤ one file per bucket per append —
                                   // see the write() comment
       .write.mode("append").partitionBy("bucket")
       .parquet(valuesPath(dir))
+  }
 
-  // ---- append counter (drives auto-compaction) ----
+  // ---- change counter (drives auto-compaction) — the client ticks it
+  // on EVERY commit it rolls the index through, pure deletes included:
+  // deletes add no postings but they DO strand dead ones
   private def appendsPath(dir: String) = java.nio.file.Paths.get(dir, "APPENDS")
 
   def appendCount(dir: String): Int =
     if (!java.nio.file.Files.exists(appendsPath(dir))) 0
     else java.nio.file.Files.readString(appendsPath(dir)).trim.toInt
 
-  /** Increment and return the post-append count. A torn counter only
+  /** Increment and return the post-tick change count. A torn counter only
     * skews WHEN compaction fires, never correctness. */
   def bumpAppends(dir: String): Int = {
     val n = appendCount(dir) + 1
@@ -127,6 +177,49 @@ object ScalarIndex {
       .filter(col("value").isin(values: _*))
       .select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
+  }
+
+  /** The store buckets that may contain a live row satisfying ALL of
+    * `cons` (conjoined range/numeric constraints) per the zone maps —
+    * or None when the layout predates zone maps (indexes built before
+    * this feature; the next compaction/build adds them), in which case
+    * the caller must not prune on ranges. Appended zone rows ACCUMULATE
+    * per bucket, so the per-bucket span is the min/max across all of a
+    * bucket's rows — dead values only widen a span (over-scan, never a
+    * wrong prune), exactly the posting lists' monotone story. The read
+    * is bucket-count-sized parquet; the collect ≤ buckets ints. */
+  def bucketsForRange(spark: SparkSession, dir: String,
+                      cons: Seq[ZoneCon]): Option[Set[Int]] = {
+    if (cons.isEmpty) return None
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(zonesPath(dir))))
+      return None
+    val spans = spark.read.schema(zonesSchema).parquet(zonesPath(dir))
+      .groupBy(col("bucket"))
+      .agg(min(col("nmin")).as("nmin"), max(col("nmax")).as("nmax"),
+        min(col("smin")).as("smin"), max(col("smax")).as("smax"))
+    // a span can only be KEPT by a non-null comparison: buckets whose
+    // every value fails the numeric cast have null nmin/nmax and drop —
+    // their rows cannot satisfy a numeric predicate either (null-compare)
+    val keep = cons.map {
+      case NumCmp("gt", v) => col("nmax") > v
+      case NumCmp("ge", v) => col("nmax") >= v
+      case NumCmp("lt", v) => col("nmin") < v
+      case NumCmp("le", v) => col("nmin") <= v
+      case NumCmp("eq", v) => col("nmin") <= v && col("nmax") >= v
+      case NumCmp(op, _) =>
+        throw new IllegalArgumentException(s"unknown zone op '$op'")
+      case NumIn(vs) =>
+        vs.map(v => col("nmin") <= v && col("nmax") >= v)
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case StrCmp("gt", v) => col("smax") > v
+      case StrCmp("ge", v) => col("smax") >= v
+      case StrCmp("lt", v) => col("smin") < v
+      case StrCmp("le", v) => col("smin") <= v
+      case StrCmp(op, _) =>
+        throw new IllegalArgumentException(s"unknown zone op '$op'")
+    }.reduce(_ && _)
+    Some(spans.filter(keep).select("bucket")
+      .collect().map(_.getInt(0)).toSet)
   }
 
   /** Observability: per-field index shape — distinct values, posting

@@ -93,4 +93,17 @@ class MilvusFilterSpec extends AnyFunSuite {
     // brackets inside string literals survive preprocessing untouched
     assert(keys(c, """url == "a[!&&|]b"""") == Set.empty)
   }
+
+  test("unquoted string values fail loudly, mirroring Milvus's parse error") {
+    val c = seeded()
+    // Milvus rejects `lang == en` at parse (en is an unquoted value); the
+    // bare-field rewrite must not quietly turn it into the null-compare
+    // meta['lang'] == meta['en'] that matches NOTHING
+    val e = intercept[IllegalArgumentException](c.milvusFilter("lang == en"))
+    assert(e.getMessage.contains("quote") && e.getMessage.contains("en"),
+      s"error must point at the missing quotes: ${e.getMessage}")
+    intercept[IllegalArgumentException](c.milvusFilter("price > budget"))
+    // properly quoted, the same comparison works
+    assert(keys(c, """lang == "en"""").nonEmpty)
+  }
 }

@@ -286,6 +286,105 @@ class ScalarIndexSpec extends AnyFunSuite {
       .collect().forall(_.getAs[Boolean]("fresh")))
   }
 
+  test("zone maps: numeric range/equality/IN and string ranges bucket-prune, lossless") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("col", dim = 4)
+    // skewed fixture: two planted HIGH prices on known keys, the rest
+    // 0..9 — high values land in few buckets, so a range prune shows
+    c.upsert("col", (0 until 200).map { i =>
+      val price = if (i == 7) "5000" else if (i == 42) "6000" else (i % 10).toString
+      val tag = if (i == 99) "zz-top" else s"m$i"
+      (s"k$i", vec(i), Map("price" -> price, "tag" -> tag))
+    }.toDF("key", "vec", "meta"))
+    val fullDirs = bucketDirsRead(c.queryWhere("col", lit(true)))
+    c.createScalarIndex("col", "price")
+    c.createScalarIndex("col", "tag")
+
+    // numeric range via the Milvus filter-string shape (Cast to DOUBLE)
+    val hi = c.queryWhere("col", c.milvusFilter("price > 1000"))
+    assert(hi.select("key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(bucketDirsRead(hi).size <= 2 && bucketDirsRead(hi).size < fullDirs.size,
+      s"range prune must skip low-price buckets, read ${bucketDirsRead(hi).size} of ${fullDirs.size}")
+
+    // numeric POINT filter now prunes too (casts bypassed the posting
+    // lists; the zone span check is what fires here)
+    val eq = c.queryWhere("col", c.milvusFilter("price == 5000"))
+    assert(eq.select("key").collect().map(_.getString(0)).toSet == Set("k7"))
+    // span containment is coarser than a posting lookup (k42's bucket
+    // spans [low, 6000] ∋ 5000) but must still beat the full scan
+    assert(bucketDirsRead(eq).size <= 2 && bucketDirsRead(eq).size < fullDirs.size)
+
+    // numeric IN
+    val in = c.queryWhere("col", c.milvusFilter("price in [5000, 6000]"))
+    assert(in.select("key").collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(bucketDirsRead(in).size <= 2)
+
+    // string (lexical) range
+    val z = c.queryWhere("col", element_at(col("meta"), lit("tag")) > "z")
+    assert(z.select("key").collect().map(_.getString(0)).toSet == Set("k99"))
+    assert(bucketDirsRead(z).size <= 1)
+
+    // an empty range proves emptiness with zero I/O
+    val none = c.queryWhere("col", c.milvusFilter("price > 99999"))
+    assert(none.count() == 0 && none.inputFiles.isEmpty)
+
+    // appends keep zones sound: a NEW high value lands, range still finds it
+    c.upsert("col", Seq(("kN", vec(3), Map("price" -> "7000", "tag" -> "mN")))
+      .toDF("key", "vec", "meta"))
+    assert(c.queryWhere("col", c.milvusFilter("price > 1000")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k7", "k42", "kN"))
+
+    // pre-zone-map layouts (no zones/ dir) fall back to the full scan,
+    // never a wrong answer
+    val zonesDir = java.nio.file.Paths.get(
+      s"${c.describe("col").dataPath}-scalar/price/zones")
+    graft.streaming.BucketedKeyedCollection.deleteTree(zonesDir)
+    val fallback = c.queryWhere("col", c.milvusFilter("price > 1000"))
+    assert(fallback.select("key").collect().map(_.getString(0)).toSet ==
+      Set("k7", "k42", "kN"))
+  }
+
+  test("delete-only commits tick the compaction clock; dead pairs fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-delclock").toString
+    val c = new GraftClient(spark, root) {
+      override protected val scalarCompactAt: Int = 3
+    }
+    c.createCollection("col", dim = 4)
+    c.upsert("col", seedRows)
+    c.upsert("col", Seq(
+      ("kA", vec(1), Map("source" -> "doomed")),
+      ("kB", vec(2), Map("source" -> "doomed")),
+      ("kC", vec(3), Map("source" -> "doomed")))
+      .toDF("key", "vec", "meta"))
+    c.createScalarIndex("col", "source")
+    val dir = s"${c.describe("col").dataPath}-scalar/source"
+    assert(graft.index.ScalarIndex.appendCount(dir) == 0)
+
+    // three PURE-delete commits: no puts, so nothing appends — but each
+    // must tick the clock, and the third fires compaction
+    c.deleteByKeys("col", Seq("kA"))
+    assert(graft.index.ScalarIndex.appendCount(dir) == 1,
+      "a delete-only commit must advance the compaction clock")
+    val mid = c.queryWhere("col", srcEq("doomed"))
+    assert(mid.select("key").collect().map(_.getString(0)).toSet == Set("kB", "kC"))
+    c.deleteByKeys("col", Seq("kB"))
+    assert(graft.index.ScalarIndex.appendCount(dir) == 2)
+    c.deleteByKeys("col", Seq("kC"))
+    assert(graft.index.ScalarIndex.appendCount(dir) == 0,
+      "the third delete-only commit must fire compaction and reset the clock")
+    // dead pairs folded: the fully-deleted value is proven absent, 0 I/O
+    val gone = c.queryWhere("col", srcEq("doomed"))
+    assert(gone.count() == 0 && gone.inputFiles.isEmpty,
+      "after compaction the dead value must prune to zero buckets")
+    // the index is fresh and still exact for live values
+    assert(c.queryWhere("col", srcEq("rare")).select("key")
+      .collect().map(_.getString(0)).toSet == Set("k7", "k42"))
+    assert(c.listIndexes("col").filter(col("kind") === "SCALAR")
+      .collect().forall(_.getAs[Boolean]("fresh")))
+  }
+
   test("two concurrent writers: the index is never WRONG — fresh-and-pruned or stale-and-full") {
     import spark.implicits._
     import scala.concurrent.{Await, Future, ExecutionContext}
