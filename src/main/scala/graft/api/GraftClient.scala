@@ -1012,7 +1012,8 @@ class GraftClient(spark: SparkSession, root: String) {
   def deleteWhere(name: String, pred: Column,
                   partitions: Seq[String] = Nil,
                   matchTerms: Seq[String] = Nil,
-                  matchMode: String = "any"): Long = {
+                  matchMode: String = "any",
+                  matchGates: Seq[(Seq[String], String)] = Nil): Long = {
     val m = metaOrThrow(name)
     // per-partition resolve: each partition's matches come from ITS OWN
     // snapshot and commit into its own store — a partition with no match
@@ -1030,7 +1031,7 @@ class GraftClient(spark: SparkSession, root: String) {
       // with deletedKeys (or a rebuild) is the maintenance path.
       mergeCommitRebasing(pm, None, Some(() => {
         val base = scalarPrunedRead(pm, collection(pm), Some(pred))
-        textMatchGate(pm, matchTerms, matchMode)
+        textMatchGateAll(pm, matchTerms, matchMode, matchGates)
           .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
           .filter(coalesce(pred, lit(false))).select("key")
       }))
@@ -1607,7 +1608,8 @@ class GraftClient(spark: SparkSession, root: String) {
              partitions: Seq[String] = Nil,
              partitionKeyValues: Seq[String] = Nil,
              matchTerms: Seq[String] = Nil,
-             matchMode: String = "any"): DataFrame = {
+             matchMode: String = "any",
+             matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -1655,7 +1657,7 @@ class GraftClient(spark: SparkSession, root: String) {
       .map { p =>
         val pm = partMeta(m, p)
         scoredCandidates(pm, qvec, conj, nprobe, refine, offset + k,
-          gate = textMatchGate(pm, matchTerms, matchMode))
+          gate = textMatchGateAll(pm, matchTerms, matchMode, matchGates))
       }
       .reduce(_ unionByName _)
     paged(scored, offset, k)
@@ -2104,6 +2106,31 @@ class GraftClient(spark: SparkSession, root: String) {
     * See [[MilvusFilter]] for the grammar contract. */
   def milvusFilter(filter: String): Column = MilvusFilter.parse(filter)
 
+  /** [[milvusFilter]] for strings carrying `TEXT_MATCH` / `PHRASE_MATCH`
+    * conjuncts — the full Milvus 2.5 grammar: returns (row predicate if
+    * any non-match conjunct remains, match gates). Pass the gates to the
+    * `matchGates` parameter of [[search]] / [[queryWhere]] /
+    * [[deleteWhere]] (or, for a single gate, `matchTerms`/`matchMode`):
+    * {{{
+    * val (pred, gates) = client.milvusFilterWithMatches(
+    *   """PHRASE_MATCH(text, 'machine learning') and lang == "en"""")
+    * client.search("col", q, k = 10, filter = pred, matchGates = gates)
+    * }}} */
+  def milvusFilterWithMatches(filter: String)
+      : (Option[Column], Seq[(Seq[String], String)]) =
+    MilvusFilter.parseWithMatches(filter)
+
+  // conjoined match gates for one partition: each (terms, mode) gate's
+  // matching keys, intersected (every gate must pass — they were
+  // top-level AND conjuncts). Single-pair (matchTerms, matchMode)
+  // surfaces funnel through here too.
+  private def textMatchGateAll(pm: CollectionMeta, terms: Seq[String],
+      mode: String, gates: Seq[(Seq[String], String)]): Option[DataFrame] = {
+    val all = (if (terms.isEmpty) Nil else Seq((terms, mode))) ++ gates
+    all.flatMap { case (t, md) => textMatchGate(pm, t, md) }
+      .reduceOption((a, b) => a.join(b, Seq("key"), "left_semi"))
+  }
+
   /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the
     * no-vector read (predicate over key/vec/meta, deterministic key
     * order, optional limit). A null-evaluating predicate matches nothing,
@@ -2115,7 +2142,8 @@ class GraftClient(spark: SparkSession, root: String) {
                  limit: Option[Int] = None,
                  partitions: Seq[String] = Nil,
                  matchTerms: Seq[String] = Nil,
-                 matchMode: String = "any"): DataFrame = {
+                 matchMode: String = "any",
+                 matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     limit.foreach(l => require(l >= 0,
       s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
                                        // from inside plan analysis
@@ -2137,9 +2165,9 @@ class GraftClient(spark: SparkSession, root: String) {
       .map { p =>
         val pm = partMeta(m, p)
         val base = scalarPrunedRead(pm, collection(pm), Some(filter))
-        // Milvus TEXT_MATCH in query filters: per-partition semi-join
-        // against that partition's postings-index matches
-        textMatchGate(pm, matchTerms, matchMode)
+        // Milvus TEXT_MATCH/PHRASE_MATCH in query filters: per-partition
+        // semi-join against that partition's postings-index matches
+        textMatchGateAll(pm, matchTerms, matchMode, matchGates)
           .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
       }
       .reduce(_ unionByName _)
@@ -2188,7 +2216,8 @@ class GraftClient(spark: SparkSession, root: String) {
                      refine: Int = 4, partitions: Seq[String] = Nil,
                      allowDrift: Boolean = false,
                      matchTerms: Seq[String] = Nil,
-                     matchMode: String = "any"): Iterator[Seq[Row]] = {
+                     matchMode: String = "any",
+                     matchGates: Seq[(Seq[String], String)] = Nil): Iterator[Seq[Row]] = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -2206,8 +2235,8 @@ class GraftClient(spark: SparkSession, root: String) {
     // can neither stale nor sweep it mid-drain. Size is Σ df(term) keys —
     // matching-docs-bounded, the same rows a single-page resolve reads.
     val gates: Seq[Option[DataFrame]] =
-      parts.map(p => textMatchGate(partMeta(m, p), matchTerms, matchMode)
-        .map(_.localCheckpoint()))
+      parts.map(p => textMatchGateAll(partMeta(m, p), matchTerms, matchMode,
+        matchGates).map(_.localCheckpoint()))
     var cursor: Option[(Double, String)] = None
     var page = 0
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
@@ -2302,7 +2331,8 @@ class GraftClient(spark: SparkSession, root: String) {
                     partitions: Seq[String] = Nil,
                     allowDrift: Boolean = false,
                     matchTerms: Seq[String] = Nil,
-                    matchMode: String = "any"): Iterator[Seq[Row]] = {
+                    matchMode: String = "any",
+                    matchGates: Seq[(Seq[String], String)] = Nil): Iterator[Seq[Row]] = {
     val m = metaOrThrow(name)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val parts = resolveParts(m, partitions)
@@ -2323,8 +2353,8 @@ class GraftClient(spark: SparkSession, root: String) {
     // text), so it is resolved ONCE at drain start and materialized —
     // see searchIterator's pinned-gate rationale.
     val gates: Seq[Option[DataFrame]] =
-      parts.map(p => textMatchGate(partMeta(m, p), matchTerms, matchMode)
-        .map(_.localCheckpoint()))
+      parts.map(p => textMatchGateAll(partMeta(m, p), matchTerms, matchMode,
+        matchGates).map(_.localCheckpoint()))
     def tagged: DataFrame = parts.zip(gates)
       .map { case (p, gate) =>
         val pm = partMeta(m, p)
@@ -3205,7 +3235,9 @@ class GraftClient(spark: SparkSession, root: String) {
   /** Milvus `TEXT_MATCH` as a standalone surface: the distinct live doc
     * keys of the scoped partitions whose indexed text contains `terms`
     * (`mode` "any" = at least one term — TEXT_MATCH's OR semantics;
-    * "all" = every term — Milvus's conjoined-TEXT_MATCH form). The same
+    * "all" = every term — Milvus's conjoined-TEXT_MATCH form; "phrase" =
+    * the terms ADJACENT and IN ORDER — Milvus PHRASE_MATCH at slop 0,
+    * evaluated on the index's per-(term, doc) position lists). The same
     * gate [[search]] and [[queryWhere]] apply via their `matchTerms`
     * parameter, exposed for callers composing their own plans. */
   def textMatchKeys(name: String, terms: Seq[String], mode: String = "any",

@@ -224,12 +224,7 @@ object TextIndex {
       val stats = withLen.agg(count(lit(1)).as("n_docs"),
         avg(col("dlen")).as("avgdl"),
         coalesce(sum(col("dlen")), lit(0L)).as("sum_dlen"))
-      val postings = withLen
-        .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
-        .groupBy(col(idCol), col("term"))
-        // first(dlen) is deterministic: dlen is functionally dependent on id
-        .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      val postings = tokenPostings(withLen, idCol, buckets)
       postings.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings-$gen")
       withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
@@ -309,12 +304,7 @@ object TextIndex {
             supersededStats.getLong(1) -
             delStats.map(_.getLong(1)).getOrElse(0L)
 
-          val postings = withLen
-            .select(col(idCol), col("dlen"), explode(col("__ws")).as("term"))
-            .groupBy(col(idCol), col("term"))
-            .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"))
-            .withColumn("bucket",
-              pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+          val postings = tokenPostings(withLen, idCol, buckets)
           postings.write.mode("overwrite").partitionBy("bucket")
             .parquet(s"$path/postings-$gen")
           withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
@@ -404,39 +394,89 @@ object TextIndex {
     }.reduce(_ unionByName _)
   }
 
+  // The one tokenize→postings shape build and append share: per
+  // (id, term) tf, dlen, and the POSITION LIST (0-based token offsets in
+  // document order — what PHRASE_MATCH consumes; Lucene stores the same
+  // per-posting positions). tf stays a materialized count, not
+  // size(pos): BM25 reads tf without deserializing position arrays.
+  private def tokenPostings(withLen: DataFrame, idCol: String,
+                            buckets: Int): DataFrame =
+    withLen
+      .select(col(idCol), col("dlen"),
+        posexplode(col("__ws")).as(Seq("pos", "term")))
+      .groupBy(col(idCol), col("term"))
+      // first(dlen) is deterministic: dlen is functionally dependent on id
+      .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"),
+        sort_array(collect_list(col("pos"))).as("pos"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+
   /** Whether a postings layout exists at `path`. */
   def exists(path: String): Boolean = java.nio.file.Files.exists(metaPath(path))
 
-  /** Milvus `TEXT_MATCH(field, 'terms…')`: the distinct LIVE doc ids
-    * containing the terms — mode "any" = at least one term (Milvus
-    * TEXT_MATCH's OR semantics over the analyzed terms), "all" = every
-    * term (Milvus spells AND as conjoined TEXT_MATCH filters; this is
-    * that conjunction in one call). Rides the same bucket partition
-    * prune + pushed `term IN` as [[bm25]], with later-segment tombstones
-    * masked: I/O ∝ Σ df(term), never corpus. Terms must match the
-    * index's tokenizer (whitespace split) exactly — same contract as
-    * bm25 query terms. */
+  /** Milvus `TEXT_MATCH(field, 'terms…')` / `PHRASE_MATCH(field,
+    * 'phrase')`: the distinct LIVE doc ids matching the terms —
+    *   - mode "any" = at least one term (Milvus TEXT_MATCH's OR
+    *     semantics over the analyzed terms);
+    *   - mode "all" = every term (Milvus spells AND as conjoined
+    *     TEXT_MATCH filters; this is that conjunction in one call);
+    *   - mode "phrase" = the terms ADJACENT and IN ORDER (Milvus
+    *     PHRASE_MATCH at slop 0): doc matches iff some token offset p
+    *     has terms(i) at p+i for every i — evaluated on the postings'
+    *     per-(term, doc) position lists, duplicated phrase terms
+    *     included ("a b a" needs the SAME term at p and p+2).
+    * All three ride the same bucket partition prune + pushed `term IN`
+    * as [[bm25]], with later-segment tombstones masked: I/O ∝
+    * Σ df(term), never corpus — phrase adds one per-doc position
+    * intersection over only the docs containing every term. Terms must
+    * match the index's tokenizer (whitespace split) exactly — same
+    * contract as bm25 query terms; phrase requires a position-bearing
+    * index (builds since positional postings; rebuild is the recovery). */
   def matchingDocs(spark: SparkSession, path: String, terms: Seq[String],
                    mode: String = "any"): DataFrame = {
     require(terms.nonEmpty, "text match needs at least one term")
-    require(mode == "any" || mode == "all",
-      s"mode must be 'any' or 'all' (got '$mode')")
+    require(mode == "any" || mode == "all" || mode == "phrase",
+      s"mode must be 'any', 'all' or 'phrase' (got '$mode')")
     require(exists(path), s"no text index at $path — run build first")
     val (buckets, schema, gens) = readMeta(path)
     val idCol = schema.fields.head.name
+    require(mode != "phrase" || schema.fieldNames.contains("pos"),
+      s"$path was built before positional postings — rebuild it once " +
+        "(TextIndex.build / GraftClient.buildTextIndex) to enable PHRASE_MATCH")
     val distinctTerms = terms.distinct
     val bucketIds = distinctTerms.map(termBucket(_, buckets)).distinct
     val matching = livePostings(spark, path, gens, schema,
       Some(col("bucket").isin(bucketIds: _*) &&
         col("term").isin(distinctTerms: _*)))
     if (mode == "any") matching.select(col(idCol)).distinct()
-    else matching.groupBy(col(idCol))
+    else if (mode == "all") matching.groupBy(col(idCol))
       // postings are unique per (id, term) within a live doc version, so
       // a plain count equals the distinct-term count — but count_distinct
       // keeps "all" correct even if that invariant ever loosens
       .agg(count_distinct(col("term")).as("__nt"))
       .filter(col("__nt") === distinctTerms.size)
       .select(col(idCol))
+    else {
+      // phrase: fold each candidate doc's (term → positions) rows into
+      // one map (group sized |distinct terms| — bounded by the phrase,
+      // not the doc), require every term present, then check adjacency:
+      // ∃ p ∈ pos(terms(0)) with terms(i) ∋ p+i ∀ i — array_contains
+      // over the SORTED position lists
+      val grouped = matching
+        .groupBy(col(idCol))
+        .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
+          .as("__pm"))
+        .filter(size(col("__pm")) === distinctTerms.size)
+      val pm = col("__pm")
+      // functions.exists qualified: the object's own exists(path) member
+      // shadows the imported higher-order function by name
+      grouped.filter(org.apache.spark.sql.functions.exists(
+          element_at(pm, lit(terms.head)), p =>
+            terms.zipWithIndex.drop(1)
+              .map { case (t, i) => array_contains(element_at(pm, lit(t)), p + i) }
+              .reduceOption(_ && _).getOrElse(lit(true))))
+        .select(col(idCol))
+    }
   }
 
   /** BM25 top-`k` for `terms`, riding the at-rest postings: partition

@@ -392,6 +392,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** B8/C14 — Milvus `PHRASE_MATCH` as a KNN pre-filter: docs containing
+    * the exact phrase "hash join" (terms ADJACENT and IN ORDER — slop 0,
+    * Milvus's default), KNN-ranked by exact L2 against vec_id 0's
+    * embedding. The match set rides the POSITIONAL postings index
+    * ([[graft.index.TextIndex.matchingDocs]] mode = "phrase": bucket
+    * partition prune + pushed `term IN`, then a per-doc position
+    * intersection over only the docs containing every term — I/O ∝
+    * Σ df(term), never corpus). The oracle expresses adjacency as the
+    * whitespace-delimited substring ' hash join ' — exactly token
+    * adjacency under the engine's single-space tokenizer. */
+  def phraseMatchKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, postingsFor(spark, dir), Seq("hash", "join"), mode = "phrase")
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -437,6 +461,7 @@ object TextQueries {
     "train_val_split" -> trainValSplit _,
     "bm25_scores" -> bm25Scores _,
     "text_match_knn" -> textMatchKnn _,
+    "phrase_match_knn" -> phraseMatchKnn _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_weighted" -> hybridWeighted _,
     "pii_redact" -> piiRedact _
@@ -556,6 +581,14 @@ object TextQueries {
       """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
            m AS (SELECT doc_id FROM tokens WHERE word IN ('join', 'scan')
                  GROUP BY doc_id HAVING count(DISTINCT word) = 2),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
+    "phrase_match_knn" ->
+      """WITH m AS (SELECT doc_id FROM documents
+                 WHERE ' ' || text || ' ' LIKE '% hash join %'),
            q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS doc_id,
             list_distance(e.embedding::DOUBLE[], q.qvec) AS dist

@@ -94,6 +94,76 @@ class MilvusFilterSpec extends AnyFunSuite {
     assert(keys(c, """url == "a[!&&|]b"""") == Set.empty)
   }
 
+  test("json_contains family over a JSON tags field, nested arrays included") {
+    import spark.implicits._
+    val c = new GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-jc").toString)
+    c.createCollection("jc", dim = 2)
+    c.upsert("jc", Seq(
+      ("k1", Seq(1f, 0f), Map("tags" -> """["python", "ml"]""")),
+      ("k2", Seq(2f, 0f), Map("tags" -> """["rust", "db"]""")),
+      ("k3", Seq(3f, 0f), Map("tags" -> """[1, 2, 3]""")),
+      ("k4", Seq(4f, 0f), Map("tags" -> """[[1, 2], [3]]""")),
+      ("k5", Seq(5f, 0f), Map("tags" -> """not json""")),
+      ("k6", Seq(6f, 0f), Map("other" -> "x")))
+      .toDF("key", "vec", "meta"))
+    def ks(f: String): Set[String] =
+      c.queryWhere("jc", c.milvusFilter(f)).select("key")
+        .collect().map(_.getString(0)).toSet
+    // string membership — and the hand-built Column twin agrees
+    assert(ks("""json_contains(tags, "python")""") == Set("k1"))
+    val twin = c.queryWhere("jc", array_contains(
+        from_json(element_at(col("meta"), "tags"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), "python"))
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(twin == Set("k1"))
+    // numeric membership: 2.0 matches the JSON number 2
+    assert(ks("""json_contains(tags, 2)""") == Set("k3"))
+    assert(ks("""json_contains(tags, 2.0)""") == Set("k3"))
+    // nested array membership, whitespace-insensitive
+    assert(ks("""json_contains(tags, [1, 2])""") == Set("k4"))
+    assert(ks("""json_contains(tags, [3])""") == Set("k4"))
+    assert(ks("""json_contains(tags, [2, 1])""").isEmpty, "order is structural")
+    // any / all
+    assert(ks("""json_contains_any(tags, ["python", "rust"])""") == Set("k1", "k2"))
+    assert(ks("""json_contains_all(tags, ["python", "ml"])""") == Set("k1"))
+    assert(ks("""json_contains_all(tags, ["python", "rust"])""").isEmpty)
+    // malformed / absent JSON matches nothing, never errors
+    assert(ks("""json_contains(tags, "not")""").isEmpty)
+    // composes with other conjuncts
+    assert(ks("""json_contains(tags, "python") and key == "k1"""") == Set("k1"))
+    // unquoted string element → loud error, not a silent null-compare
+    val e = intercept[IllegalArgumentException](
+      c.milvusFilter("""json_contains(tags, [python])"""))
+    assert(e.getMessage.contains("quote"))
+  }
+
+  test("parseWithMatches splits match conjuncts; slop and non-top-level reject") {
+    import graft.api.MilvusFilter
+    val (p1, g1) = MilvusFilter.parseWithMatches(
+      """TEXT_MATCH(text, 'spark vector') and price > 5""")
+    assert(g1 == Seq((Seq("spark", "vector"), "any")) && p1.isDefined)
+    val (p2, g2) = MilvusFilter.parseWithMatches(
+      "PHRASE_MATCH(text, 'machine learning')")
+    assert(g2 == Seq((Seq("machine", "learning"), "phrase")) && p2.isEmpty)
+    val (p3, g3) = MilvusFilter.parseWithMatches(
+      "PHRASE_MATCH(text, 'a b', 0) and TEXT_MATCH(text, 'c')")
+    assert(g3 == Seq((Seq("a", "b"), "phrase"), (Seq("c"), "any")) && p3.isEmpty)
+    val slop = intercept[IllegalArgumentException](
+      MilvusFilter.parseWithMatches("PHRASE_MATCH(text, 'a b', 2)"))
+    assert(slop.getMessage.contains("slop"))
+    val orPos = intercept[IllegalArgumentException](
+      MilvusFilter.parseWithMatches(
+        """TEXT_MATCH(text, 'a') or price > 5"""))
+    assert(orPos.getMessage.contains("TOP-LEVEL"))
+    // plain parse still rejects match fns, naming the real surfaces
+    val pm = intercept[IllegalArgumentException](
+      MilvusFilter.parse("PHRASE_MATCH(text, 'a b')"))
+    assert(pm.getMessage.contains("phrase") ||
+      pm.getMessage.contains("milvusFilterWithMatches"))
+  }
+
   test("unquoted string values fail loudly, mirroring Milvus's parse error") {
     val c = seeded()
     // Milvus rejects `lang == en` at parse (en is an unquoted value); the

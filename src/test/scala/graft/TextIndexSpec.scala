@@ -38,6 +38,48 @@ class TextIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("phrase mode: in-order adjacency on position lists, duplicate terms, append") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("ti-phrase").toString
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "b a c"), (3L, "x a b"), (4L, "a b a"),
+      (5L, "a a b a"), (6L, "b"), (7L, "a c b")).toDF("doc_id", "text")
+    graft.index.TextIndex.build(corpus, "doc_id", "text", path)
+    def ids(terms: Seq[String]): Set[Long] =
+      graft.index.TextIndex.matchingDocs(spark, path, terms, "phrase")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(Seq("a", "b")) == Set(1L, 3L, 4L, 5L))
+    assert(ids(Seq("b", "a")) == Set(2L, 4L, 5L), "order matters — not 'all'")
+    assert(ids(Seq("a", "b", "a")) == Set(4L, 5L),
+      "duplicate phrase terms need the SAME term at both offsets")
+    assert(ids(Seq("a", "c")) == Set(2L, 7L))
+    assert(ids(Seq("b")) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "a 1-term phrase is containment")
+    assert(ids(Seq("zzz", "a")).isEmpty)
+    // appended delta segments carry positions too
+    graft.index.TextIndex.append(Seq((8L, "z a b")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(ids(Seq("a", "b")) == Set(1L, 3L, 4L, 5L, 8L))
+    // and a re-upsert retires the old version's positions
+    graft.index.TextIndex.append(Seq((1L, "c b a")).toDF("doc_id", "text"),
+      "doc_id", "text", path)
+    assert(ids(Seq("a", "b")) == Set(3L, 4L, 5L, 8L))
+    assert(ids(Seq("b", "a")) == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("phrase mode equals the raw whitespace-adjacency twin on the documents corpus") {
+    val path = java.nio.file.Files.createTempDirectory("ti-phrase-par").toString
+    graft.index.TextIndex.build(docs, "doc_id", "text", path)
+    val idx = graft.index.TextIndex.matchingDocs(
+        spark, path, Seq("hash", "join"), "phrase")
+      .collect().map(_.getLong(0)).toSet
+    val raw = docs.filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(" hash join "))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idx == raw && idx.nonEmpty,
+      s"index phrase match must equal substring adjacency (idx=${idx.size}, raw=${raw.size})")
+  }
+
   test("postings scan partition-prunes to the query terms' buckets") {
     val path = java.nio.file.Files.createTempDirectory("ti-prune").toString
     graft.index.TextIndex.build(docs, "doc_id", "text", path, buckets = 64)

@@ -115,6 +115,35 @@ class TextMatchSpec extends AnyFunSuite {
     assert(qi.flatten.map(_.getString(0)).toSeq == Seq("d3", "d4"))
   }
 
+  test("PHRASE_MATCH: matchMode=phrase gates on in-order adjacency across surfaces") {
+    val c = seeded()
+    // d1 "hash join over parquet files" has the phrase; d4 "hash scan
+    // join hybrid path" has both terms NOT adjacent — 'all' would match
+    // it, phrase must not
+    assert(keysOf(c.textMatchKeys("col", Seq("hash", "join"), mode = "all")) ==
+      Set("d1", "d4"))
+    assert(keysOf(c.textMatchKeys("col", Seq("hash", "join"), mode = "phrase")) ==
+      Set("d1"))
+    assert(keysOf(c.textMatchKeys("col", Seq("join", "hash"), mode = "phrase"))
+      .isEmpty, "reversed phrase matches nothing")
+    // search + queryWhere ride the same gate
+    val q = Embedder.text.embedText("hash join")
+    assert(c.search("col", q, k = 10, matchTerms = Seq("hash", "join"),
+      matchMode = "phrase").collect().map(_.getString(0)).toSeq == Seq("d1"))
+    assert(keysOf(c.queryWhere("col", lit(true), matchTerms = Seq("hash", "join"),
+      matchMode = "phrase")) == Set("d1"))
+    // the full Milvus filter string, split into predicate + gates
+    val (pred, gates) = c.milvusFilterWithMatches(
+      """PHRASE_MATCH(text, 'hash join') and src == "s"""")
+    assert(gates == Seq((Seq("hash", "join"), "phrase")))
+    assert(keysOf(c.queryWhere("col", pred.get, matchGates = gates)) == Set("d1"))
+    // conjoined gates intersect: TEXT_MATCH any-of ∩ phrase
+    val (pred2, gates2) = c.milvusFilterWithMatches(
+      "TEXT_MATCH(text, 'parquet planner') and PHRASE_MATCH(text, 'hash join')")
+    assert(pred2.isEmpty && gates2.size == 2)
+    assert(keysOf(c.queryWhere("col", lit(true), matchGates = gates2)) == Set("d1"))
+  }
+
   test("matchTerms + allowDrift survives a mid-drain commit that stales the index") {
     import spark.implicits._
     val c = seeded()
