@@ -1333,11 +1333,26 @@ class GraftClient(spark: SparkSession, root: String) {
   }
 
   private def buildIndexFor(m: CollectionMeta, nlist: Int,
-                            sampleFraction: Double): Unit = {
+                            sampleFraction: Double): Unit =
+    // EVERY writer of the IVF layout — admin builds here, per-commit
+    // incremental refreshes in refreshIndexIncremental — serializes on
+    // the index dir's commit lock, the same serialized-writers guarantee
+    // the scalar and text indexes hold: interleaved build/refresh writes
+    // could otherwise tear the cell layout while a fresh stamp still
+    // claims coverage (ghost-fresh). The snapshot read is PINNED to the
+    // version being stamped (readBucketsAt): a store commit racing the
+    // build can advance CURRENT mid-build, and an unpinned read would
+    // index the newer rows under the older stamp — instead the build
+    // stays internally consistent, reads as stale if overtaken, and the
+    // overtaking commit's refresh (queued on this lock, stamp re-read
+    // inside it) rolls the just-built index forward — no lost refresh.
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(ivfDir(m))) {
     val coll = collection(m)
     val version = coll.currentVersion.getOrElse(
       throw new IllegalStateException(s"collection ${m.name} is empty — nothing to index"))
-    val snapshot = coll.read(spark).withColumn("__assign", assignSpace(m)(col("vec")))
+    val snapshot = coll.readBucketsAt(spark, version, 0 until m.buckets)
+      .withColumn("__assign", assignSpace(m)(col("vec")))
     val (indexed, quant) = IvfIndex.build(
       snapshot, "__assign", nlist, sampleFraction = sampleFraction)
     IvfIndex.writeIndexed(indexed.drop("__assign"), cellsPath(m))
@@ -1370,7 +1385,7 @@ class GraftClient(spark: SparkSession, root: String) {
     // quantizers over the new cells. Invalidate under the RESOLVED name:
     // cache entries are keyed by m.name, and `name` may be an alias.
     invalidateIndexCaches(m.name)
-  }
+    }
 
   /** Drop every version-keyed cache entry for `name` — required whenever
     * index artifacts are rewritten WITHOUT a guaranteed version bump
@@ -1441,7 +1456,16 @@ class GraftClient(spark: SparkSession, root: String) {
     * a stale index and skip this). */
   private def refreshIndexIncremental(m: CollectionMeta, preVersion: Option[Long],
       newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
-      puts: Option[DataFrame]): Unit = loadIndex(m) match {
+      puts: Option[DataFrame]): Unit =
+    // serialized with buildIndexFor on the index dir's lock; the stamp is
+    // re-read INSIDE the lock (loadIndex), so a build that just finished
+    // is seen — if it stamped the version this commit replaced, the
+    // roll-forward below covers the commit (no lost refresh), and if it
+    // stamped anything else the index reads stale and the refresh skips
+    // (never a ghost-fresh stamp over writes the index missed)
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(ivfDir(m))) {
+    loadIndex(m) match {
     case Some(idx) if idx.maintainable && preVersion.contains(idx.version)
         && indexableMetric(m.metric) =>
       val keys = touchKeys.distinct().persist()
@@ -1524,6 +1548,7 @@ class GraftClient(spark: SparkSession, root: String) {
       } finally keys.unpersist()
     case _ => () // no index, already stale, or pre-probe-table format —
                  // search falls back to the exact scan as before
+    }
   }
 
   /** Distributed per-query cell probe: cells chosen executor-side against
