@@ -127,6 +127,27 @@ object TextScaleBench {
     meter.mark()
     val matchParity = mAny == mAnyRaw && mAll <= mAny
 
+    // PHRASE_MATCH (r10): the corpus plants the adjacency "needle hash"
+    // on exactly the id % 100 docs (both suffixes append in that order),
+    // so the phrase df is N/100 BY CONSTRUCTION — the parity check pins
+    // the positional intersection against both the planted count and a
+    // raw substring-adjacency twin (whitespace-delimited substring ≡
+    // token adjacency under the single-space tokenizer)
+    val (mPhrase, tPhrase) = timed {
+      graft.index.TextIndex.matchingDocs(
+        spark, idxPath, Seq("needle", "hash"), "phrase").count() }
+    val shPhrase = meter.mark()
+    val (mPhraseRaw, tPhraseRaw) = timed {
+      docs.filter(concat(lit(" "), col("text"), lit(" "))
+        .contains(" needle hash ")).count() }
+    meter.mark()
+    // and the reversed phrase must match NOTHING (order, not co-occurrence)
+    val mPhraseRev = graft.index.TextIndex.matchingDocs(
+      spark, idxPath, Seq("hash", "needle"), "phrase").count()
+    meter.mark()
+    val phraseParity = mPhrase == mPhraseRaw && mPhrase == nDocs / 100 &&
+      mPhraseRev == 0L
+
     // Incremental maintenance at 1% churn: 5k new docs + 3k rewrites +
     // 2k deletes appended as ONE delta segment — the per-commit cost a
     // streaming corpus pays, vs the full rebuild measured above. Then
@@ -168,10 +189,15 @@ object TextScaleBench {
       s""""match_any_shuffle_mb":${shMatchAny >> 20},""" +
       s""""match_all_sec":${f"$tMatchAll%.2f"},"match_all_docs":$mAll,""" +
       s""""match_raw_sec":${f"$tMatchRaw%.2f"},""" +
-      s""""parity":$parity,"filter_holds":$filterHolds,"match_parity":$matchParity}""")
+      s""""phrase_sec":${f"$tPhrase%.2f"},"phrase_docs":$mPhrase,""" +
+      s""""phrase_shuffle_mb":${shPhrase >> 20},""" +
+      s""""phrase_raw_sec":${f"$tPhraseRaw%.2f"},""" +
+      s""""parity":$parity,"filter_holds":$filterHolds,""" +
+      s""""match_parity":$matchParity,"phrase_parity":$phraseParity}""")
     require(parity, "raw and postings paths diverged — hash-stability contract broken")
     require(filterHolds, "restrictTo leaked a filtered-out doc")
     require(matchParity, "TEXT_MATCH set diverged from the raw tokenize twin")
+    require(phraseParity, "PHRASE_MATCH diverged from the planted adjacency")
     require(compactStable, "compaction changed query results")
     docs.unpersist()
     graft.streaming.BucketedKeyedCollection.deleteTree(
