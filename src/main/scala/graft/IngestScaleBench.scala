@@ -112,6 +112,31 @@ object IngestScaleBench {
     Result(wallSec, nEvents, perBatchSec, live)
   }
 
+  /** Per-call-site Spark-job wall-time profiler — attribution for the
+    * micro-batch floor question: every job a batch launches carries its
+    * driver call site ("collect at GraftClient.scala:NNN"), so grouping
+    * job durations by site says WHERE the per-batch seconds go, and
+    * wall − Σ(job time) bounds the driver-side (non-job) residue. Jobs
+    * in this loop run sequentially from foreachBatch, so the sum is a
+    * faithful decomposition, not an overlap artifact. */
+  private class JobProfiler extends org.apache.spark.scheduler.SparkListener {
+    private val open = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val agg = new java.util.concurrent.ConcurrentHashMap[String, (Double, Int)]()
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val site = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("unknown")
+      open.put(j.jobId, (site, j.time))
+    }
+    override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      Option(open.remove(j.jobId)).foreach { case (site, t0) =>
+        agg.merge(site, ((j.time - t0) / 1000.0, 1),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    def report(): Seq[(String, Double, Int)] =
+      agg.asScala.toSeq.map { case (s, (t, n)) => (s, t, n) }
+        .sortBy(-_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,9 +148,23 @@ object IngestScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val profile = args.contains("profile")
+    val prof = if (profile) {
+      val p = new JobProfiler; spark.sparkContext.addSparkListener(p); Some(p)
+    } else None
     val r = run(spark, sfDir)
     println(s"""{"metric":"ingest_events_per_sec","value":${r.eventsPerSec},""" +
       s""""unit":"events/sec",${r.json},"sf":"$sfDir"}""")
+    prof.foreach { p =>
+      org.apache.spark.sql.GraftShim.drainListenerBus(spark)
+      val rows = p.report()
+      val jobSum = rows.map(_._2).sum
+      println(f"[profile] wall ${r.wallSec}%.1f s, spark jobs ${jobSum}%.1f s, " +
+        f"driver residue ${r.wallSec - jobSum}%.1f s, batches ${r.batchSec.length}")
+      rows.take(20).foreach { case (site, sec, n) =>
+        println(f"[profile] ${sec}%8.2f s  ${n}%5d jobs  $site")
+      }
+    }
     spark.stop()
   }
 }

@@ -63,20 +63,20 @@ object IteratorScaleBench {
     val q = new Array[Float](dim)
     val batch = math.max(1000, (n / 100).toInt)
     val pageSec = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var drained = 0L
+    val flatKeys = scala.collection.mutable.ArrayBuffer.empty[String]
     val it = client.searchIterator("it", q, batchSize = batch, nprobe = clusters)
     val tD = System.nanoTime()
     // the iterator PREFETCHES in hasNext — time the full hasNext+next
     // span per page, not just next()
     var lastT = System.nanoTime()
     while (it.hasNext) {
-      drained += it.next().length
+      it.next().foreach(r => flatKeys += r.getString(0))
       val now = System.nanoTime()
       pageSec += (now - lastT) / 1e9
       lastT = now
     }
     val drainSec = (System.nanoTime() - tD) / 1e9
-    require(drained == n, s"drain lost rows: $drained of $n")
+    require(flatKeys.length == n, s"drain lost rows: ${flatKeys.length} of $n")
     val early = pageSec.take(5).sum / math.min(5, pageSec.length)
     val late = pageSec.takeRight(5).sum / math.min(5, pageSec.length)
 
@@ -92,11 +92,31 @@ object IteratorScaleBench {
     while (qit.hasNext) qRows += qit.next().length
     val querySec = (System.nanoTime() - tQ) / 1e9
 
+    // SQ8 unbounded drain (r10): the same corpus under IVF_SQ8, drained
+    // in full through the quantized-keyset margin drain — depths far
+    // past the former 16384 cap, and the key sequence must equal the
+    // FLAT drain's exactly (the margin emits in exact-distance order)
+    client.createCollection("itq", dim = dim, metric = "l2", indexType = "IVF_SQ8")
+    client.upsert("itq", vecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), map(lit("p"), pmod(col("vec_id"), lit(7)).cast("string")).as("meta")))
+    client.buildIndex("itq", nlist = clusters)
+    val sq8Keys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sit = client.searchIterator("itq", q, batchSize = batch, nprobe = clusters)
+    val tS = System.nanoTime()
+    while (sit.hasNext) sit.next().foreach(r => sq8Keys += r.getString(0))
+    val sq8Sec = (System.nanoTime() - tS) / 1e9
+    val sq8Parity = sq8Keys == flatKeys
+    require(sq8Keys.length == n,
+      s"SQ8 drain lost rows: ${sq8Keys.length} of $n")
+    require(sq8Parity, "SQ8 drain order diverged from the FLAT drain")
+
     println(s"""{"bench":"iterator_scale","n":$n,"clusters":$clusters,""" +
       s""""setup_sec":$setupSec,"drain_sec":$drainSec,"pages":${pageSec.length},""" +
       s""""early_page_sec":$early,"late_page_sec":$late,""" +
       s""""late_cursor_pruned_cells":$prunedCells,""" +
-      s""""query_drain_rows":$qRows,"query_drain_sec":$querySec}""")
+      s""""query_drain_rows":$qRows,"query_drain_sec":$querySec,""" +
+      s""""sq8_drain_sec":$sq8Sec,"sq8_drained":${sq8Keys.length},""" +
+      s""""sq8_parity":$sq8Parity}""")
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(root))
     spark.stop()

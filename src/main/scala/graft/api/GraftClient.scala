@@ -2220,9 +2220,18 @@ class GraftClient(spark: SparkSession, root: String) {
     * the iterator enumerates the `nprobe` probed cells' rows (recall
     * governed by nprobe; pass `nprobe >= nlist` to drain the whole
     * collection through the index); the exact-scan path enumerates
-    * everything. IVF_SQ8 partitions bound stage 1 to (page·batch)·refine
-    * candidates, so SQ8 iteration deepens like offset paging and keeps
-    * the MaxPageDepth cap — drop to FLAT for unbounded drains.
+    * everything. IVF_SQ8 partitions drain UNBOUNDED too (no
+    * MaxPageDepth cap, unlike [[search]]'s offset paging): stage 1 pages
+    * on a QUANTIZED keyset cursor ((adist, key) over the SQ8 codes —
+    * every chunk one bounded TakeOrdered at any depth), each chunk is
+    * exactly re-ranked, and rows are emitted only once the quantized
+    * frontier has passed their exact distance by the quantization error
+    * bound ε = √d·max(qmax)/254 (|exact − adist| ≤ ‖v − ṽ‖ ≤ ε), so the
+    * emission order EQUALS the exact-distance order — a full SQ8 drain
+    * yields the same rows in the same order as a FLAT drain, with
+    * stage-1 I/O still on the 1/4-size codes. Held-back rows are the
+    * ones within ε of the moving frontier — driver memory is
+    * O(chunk + ε-band occupancy), not O(depth).
     *
     * Consistency: the iterator pins each partition's snapshot version at
     * creation and CHECKS it before every page — a commit landing
@@ -2262,28 +2271,22 @@ class GraftClient(spark: SparkSession, root: String) {
     val gates: Seq[Option[DataFrame]] =
       parts.map(p => textMatchGateAll(partMeta(m, p), matchTerms, matchMode,
         matchGates).map(_.localCheckpoint()))
+    // SQ8 partitions with a LIVE index page their stage 1 on a quantized
+    // keyset (see the scaladoc); everything else keeps the one-frame
+    // (distance, key) keyset path below. Dispatch is per iterator, bound
+    // at creation like the gates.
+    if (parts.exists(p => { val pm = partMeta(m, p)
+          sq8Indexed(pm) && liveIndex(pm, collection(pm)).isDefined }))
+      mergedDrainIterator(m, parts, gates, qvec, fOpt, nprobe, refine,
+        batchSize, allowDrift)
+    else {
     var cursor: Option[(Double, String)] = None
-    var page = 0
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
-      // depth only bounds the SQ8 stage-1 pool; FLAT/exact paths
-      // ignore it and stay O(batch) per page at ANY depth
-      val depth = (page.toLong + 1) * batchSize
-      if (parts.exists(p => sq8Indexed(partMeta(m, p)))) {
-        if (depth > GraftClient.MaxPageDepth)
-          throw new IllegalStateException(
-            s"SQ8 iterator depth $depth exceeds ${GraftClient.MaxPageDepth} — " +
-              "SQ8 stage-1 deepens like offset paging (candidates ∝ pages·batch); " +
-              "use a FLAT/IVF_FLAT collection for unbounded drains")
-        // same Long-checked guard as search(): depth·refine feeds an Int
-        // limit inside the SQ8 stage-1 plan and must never wrap negative
-        require(depth * refine <= Int.MaxValue,
-          s"depth * refine overflows Int (got ${depth * refine}) — lower refine")
-      }
       val scored = parts.zip(gates)
         .map { case (p, gate) =>
           val pm = partMeta(m, p)
           scoredCandidates(pm, qvec, fOpt, nprobe,
-            refine, depth.min(Int.MaxValue.toLong).toInt,
+            refine, batchSize,
             cursorDist = cursor.map(_._1), // deep pages skip cells the
                                            // cursor has fully passed
             gate = gate) // drain-start-pinned TEXT_MATCH key set (above)
@@ -2295,9 +2298,168 @@ class GraftClient(spark: SparkSession, root: String) {
       }
       val rows = after.orderBy(col("distance"), col("vector_key"))
         .limit(batchSize).collect().toSeq
-      page += 1
       rows.lastOption.foreach(r => cursor = Some((r.getDouble(1), r.getString(0))))
       rows
+    }
+    }
+  }
+
+  /** The unbounded-drain engine behind [[searchIterator]] when an
+    * IVF_SQ8 partition is in scope: one exact-ordered candidate STREAM
+    * per partition, merged driver-side by (distance, key) into pages.
+    *
+    *   - Non-SQ8 partitions stream by the plain (distance, key) keyset —
+    *     each chunk one bounded TakeOrderedAndProject, exactly the
+    *     single-frame path's per-page job.
+    *   - SQ8 partitions stream in two stages: stage 1 pages the
+    *     QUANTIZED codes by an (adist, key) keyset (bounded TakeOrdered
+    *     over the 1/4-size codes at any depth — never the offset-style
+    *     deepening pool search() uses); each chunk's keys are exactly
+    *     re-ranked against the primary store (broadcast join, the
+    *     [[sq8Scored]] fetch shape). A re-ranked row is HELD until the
+    *     stage-1 frontier A (max adist consumed) proves no unseen row
+    *     can precede it: unseen rows have adist ≥ A, and
+    *     |exact − adist| ≤ ‖v − ṽ‖ ≤ √d·qmax/254 = ε (per-component
+    *     quantization error qmax/254, Cauchy-Schwarz; a hair of float
+    *     headroom added), so exact ≥ A − ε — held rows with exact
+    *     distance strictly below A − ε are safe to emit. Emission order
+    *     therefore EQUALS the exact-distance order over the probed
+    *     cells: zero lost rows, identical tie-breaks, FLAT-drain parity.
+    *     Cosine works in the normalized assign space (chord =
+    *     √(2 + 2·distance) is monotone in the returned −sim, so holding
+    *     by chord and merging by −sim agree). */
+  private def mergedDrainIterator(m: CollectionMeta, parts: Seq[String],
+      gates: Seq[Option[DataFrame]], qvec: Array[Float], filter: Option[Column],
+      nprobe: Int, refine: Int, batchSize: Int,
+      allowDrift: Boolean): Iterator[Seq[Row]] = {
+    require(batchSize.toLong * refine <= Int.MaxValue,
+      s"batchSize * refine overflows Int (got ${batchSize.toLong * refine}) — lower refine")
+    val chunk = batchSize * refine
+    // emission element: (sort key = (distance, key), the emitted Row)
+    abstract class Stream {
+      protected val buf = scala.collection.mutable.Queue.empty[((Double, String), Row)]
+      protected var srcDone = false
+      protected def refill(): Unit
+      def peek(): Option[((Double, String), Row)] = {
+        while (buf.isEmpty && !srcDone) refill()
+        buf.headOption
+      }
+      def pop(): ((Double, String), Row) = { peek(); buf.dequeue() }
+    }
+    class ExactStream(pm: CollectionMeta, gate: Option[DataFrame]) extends Stream {
+      private var cursor: Option[(Double, String)] = None
+      override protected def refill(): Unit = {
+        val scored = scoredCandidates(pm, qvec, filter, nprobe, refine, chunk,
+          cursorDist = cursor.map(_._1), gate = gate)
+        val after = cursor.fold(scored) { case (d, k0) =>
+          scored.filter(col("distance") > d ||
+            (col("distance") === d && col("vector_key") > k0))
+        }
+        val rows = after.orderBy(col("distance"), col("vector_key"))
+          .limit(chunk).collect()
+        if (rows.length < chunk) srcDone = true
+        rows.lastOption.foreach(r =>
+          cursor = Some((r.getDouble(1), r.getString(0))))
+        rows.foreach(r => buf.enqueue(((r.getDouble(1), r.getString(0)), r)))
+      }
+    }
+    class Sq8Stream(pm: CollectionMeta, gate: Option[DataFrame]) extends Stream {
+      private val coll = collection(pm)
+      private val idx = liveIndex(pm, coll).getOrElse(
+        throw new IllegalStateException(s"${pm.name}: SQ8 index went stale " +
+          "between dispatch and stream creation — restart the iterator"))
+      private val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+      private val q1 = typedLit(qa)
+      private val cells = idx.probe.probes(qa, nprobe)
+      private def codes = Sq8Index
+        .loadQuantized(spark, sq8CellsPath(pm), Some(sq8CellsSchema))
+        .filter(col("centroidId").isin(cells: _*))
+      private def s1Frame: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
+          .select(col("key"),
+            graft.functions.VectorFunctions
+              .sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
+      }
+      // global quantization-error bound over the probed cells — one tiny
+      // aggregate at stream creation (max over a pruned columnar scan)
+      private val eps: Double = {
+        val mx = codes.agg(max(col("qmax"))).head()
+        if (mx.isNullAt(0)) 0.0
+        else mx.getDouble(0) * math.sqrt(pm.dim.toDouble) / 254.0 *
+          (1.0 + 1e-6) + 1e-9 // float headroom: normalization rounding
+                              // (cosine) and the double decode both live
+                              // far below this; a wider ε only DELAYS
+                              // emission, never reorders it
+      }
+      private var aCursor: Option[(Double, String)] = None
+      private var s1Done = false
+      // min-heap on (margin distance, key): margin = assign-space exact
+      // distance (chord for cosine) — the space ε lives in; its order
+      // equals the returned-distance order
+      private val held = scala.collection.mutable.PriorityQueue
+        .empty[(Double, String, Row)](
+          Ordering.by[(Double, String, Row), (Double, String)](t => (t._1, t._2))
+            .reverse)
+      override protected def refill(): Unit = {
+        if (!s1Done) {
+          val base = s1Frame
+          val after = aCursor.fold(base) { case (d, k0) =>
+            base.filter(col("adist") > d ||
+              (col("adist") === d && col("key") > k0))
+          }
+          val batch = after.orderBy(col("adist"), col("key")).limit(chunk).collect()
+          if (batch.length < chunk) s1Done = true
+          batch.lastOption.foreach(r =>
+            aCursor = Some((r.getDouble(1), r.getString(0))))
+          if (batch.nonEmpty) {
+            val keysDf = spark.createDataset(batch.map(_.getString(0)).toSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("key")
+            val qx = typedLit(qvec)
+            val score = pm.metric match {
+              case "cosine" => (lit(0d) - graft.functions.VectorFunctions
+                .cosine_similarity(col("vec"), qx)).as("distance")
+              case _ => graft.functions.VectorFunctions
+                .l2_distance(col("vec"), qx).as("distance")
+            }
+            val margin = pm.metric match {
+              case "cosine" =>
+                sqrt(greatest(lit(0.0), lit(2.0) + lit(2.0) * col("distance")))
+              case _ => col("distance")
+            }
+            coll.read(spark).join(broadcast(keysDf), Seq("key"))
+              .select(col("key").as("vector_key"), score, col("meta").as("metadata"))
+              .withColumn("__m", margin)
+              .collect()
+              .foreach(r => held.enqueue((r.getDouble(3), r.getString(0),
+                Row(r.get(0), r.get(1), r.get(2)))))
+          }
+        }
+        val threshold =
+          if (s1Done) Double.PositiveInfinity
+          else aCursor.map(_._1 - eps).getOrElse(Double.NegativeInfinity)
+        while (held.nonEmpty && held.head._1 < threshold) {
+          val (_, _, row) = held.dequeue()
+          buf.enqueue(((row.getDouble(1), row.getString(0)), row))
+        }
+        if (s1Done && held.isEmpty) srcDone = true
+      }
+    }
+    val streams: Seq[Stream] = parts.zip(gates).map { case (p, gate) =>
+      val pm = partMeta(m, p)
+      if (sq8Indexed(pm) && liveIndex(pm, collection(pm)).isDefined)
+        new Sq8Stream(pm, gate)
+      else new ExactStream(pm, gate)
+    }
+    pagedIterator(m, parts, allowDrift, batchSize) { () =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var more = true
+      while (out.length < batchSize && more) {
+        val live = streams.filter(_.peek().isDefined)
+        if (live.isEmpty) more = false
+        else out += live.minBy(_.peek().get._1).pop()._2
+      }
+      out.toSeq
     }
   }
 

@@ -177,7 +177,7 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "nothing is prunable before the cursor has advanced")
   }
 
-  test("searchIterator on SQ8: pages equal the offset-paged search; depth cap enforced") {
+  test("searchIterator on SQ8: margin drain tiles the TRUE exact ranking") {
     import spark.implicits._
     val client = newClient()
     client.createCollection("sq8i", dim = 2, indexType = "IVF_SQ8", nlist = 4)
@@ -187,31 +187,42 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.upsert("sq8i", rows.toDF("key", "vec", "meta"))
     client.buildIndex("sq8i", nlist = 4)
     val q = Array(40.0f, 2.0f)
-    val it = client.searchIterator("sq8i", q, batchSize = 20, nprobe = 4)
-    for (pageIdx <- 0 until 3) {
-      val page = it.next().map(r => (r.getString(0), r.getDouble(1)))
-      val viaOffset = client.search("sq8i", q, k = 20, nprobe = 4,
-        offset = pageIdx * 20).collect().map(r => (r.getString(0), r.getDouble(1)))
-      assert(page == viaOffset.toSeq,
-        s"SQ8 iterator page $pageIdx must tile exactly like offset paging")
-    }
+    // the quantized-keyset drain emits in EXACT distance order — the
+    // truth is the brute-force ranking over the fixture (nprobe = nlist
+    // covers every cell), not search()'s depth-bounded stage-1 pool
+    val truth = rows.map { case (k, v, _) =>
+      (k, math.sqrt(math.pow(v(0) - 40.0, 2) + math.pow(v(1) - 2.0, 2)))
+    }.sortBy { case (k, d) => (d, k) }
+    val pages = client.searchIterator("sq8i", q, batchSize = 20, nprobe = 4).toSeq
+    assert(pages.map(_.length) == Seq(20, 20, 20, 20, 10))
+    val tiled = pages.flatten.map(r => (r.getString(0), r.getDouble(1)))
+    assert(tiled.map(_._1) == truth.map(_._1),
+      "SQ8 drain must equal the exact ranking, key for key")
+    tiled.zip(truth).foreach { case ((_, d), (_, t)) =>
+      assert(math.abs(d - t) < 1e-6, s"distance $d != exact $t") }
   }
 
-  test("searchIterator on SQ8 refuses to deepen past the page-depth cap") {
+  test("searchIterator on SQ8 drains past the old depth cap, FLAT-parity") {
     import spark.implicits._
     val client = newClient()
-    client.createCollection("sq8cap", dim = 2, indexType = "IVF_SQ8", nlist = 2)
-    val n = 10020 // > one 10000-row page, so page 2's depth check fires
+    val n = 10020 // > the former 10000-per-page depth ceiling
     val df = spark.range(n)
       .selectExpr("lpad(cast(id as string), 8, '0') AS key",
         "array(cast(id as float), cast(id % 11 as float)) AS vec",
         "map() AS meta")
+    client.createCollection("sq8cap", dim = 2, indexType = "IVF_SQ8", nlist = 2)
     client.upsert("sq8cap", df)
     client.buildIndex("sq8cap", nlist = 2)
-    val it = client.searchIterator("sq8cap", Array(0.0f, 0.0f), batchSize = 10000)
-    assert(it.next().length == 10000)
-    val e = intercept[IllegalStateException](it.next())
-    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    client.createCollection("flatcap", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("flatcap", df)
+    client.buildIndex("flatcap", nlist = 2)
+    def drain(name: String): Seq[String] =
+      client.searchIterator(name, Array(0.0f, 0.0f), batchSize = 4000,
+        nprobe = 2).flatten.map(_.getString(0)).toSeq
+    val sq8 = drain("sq8cap")
+    assert(sq8.length == n, s"unbounded SQ8 drain must cover all $n rows, got ${sq8.length}")
+    assert(sq8 == drain("flatcap"),
+      "SQ8 drain must equal the FLAT drain — same rows, same order, zero lost")
   }
 
   test("boundary validation") {
