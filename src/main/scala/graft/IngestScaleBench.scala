@@ -123,8 +123,12 @@ object IngestScaleBench {
     private val open = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val agg = new java.util.concurrent.ConcurrentHashMap[String, (Double, Int)]()
     override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      val site = Option(j.properties)
-        .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("unknown")
+      val p = Option(j.properties)
+      // prefer the phase label (describedJobs) — a streaming batch's
+      // call site is uniformly the query-start line, useless here
+      val site = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+        .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+        .getOrElse("unknown")
       open.put(j.jobId, (site, j.time))
     }
     override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

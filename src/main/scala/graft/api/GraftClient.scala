@@ -617,6 +617,17 @@ class GraftClient(spark: SparkSession, root: String) {
     out.get
   }
 
+  /** Tag the Spark jobs `f` launches with a phase label — Spark UI
+    * legibility plus the attribution IngestScaleBench's profiler groups
+    * by (a streaming micro-batch's jobs otherwise all inherit the
+    * query-start call site, making the per-batch floor unreadable). */
+  private def describedJobs[T](label: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+
   private def mergeCommitOnce(m: CollectionMeta, puts: Option[DataFrame],
                               delKeys: Option[DataFrame]): Option[Long] = {
     val coll = collection(m)
@@ -701,7 +712,8 @@ class GraftClient(spark: SparkSession, root: String) {
         .reduceOption(_ union _)
       touchKeys.flatMap { tk =>
         val preVersion = baseVersion
-        val touched = touchedBuckets(coll, tk)
+        val touched = describedJobs("graft: resolve batch + touched buckets") {
+          touchedBuckets(coll, tk) }
         // An effectively-empty batch (no put survived the object join, no
         // delete matched) commits NOTHING: no version bump, no needless
         // invalidation work — and a fresh IVF index stays fresh. This is
@@ -719,16 +731,19 @@ class GraftClient(spark: SparkSession, root: String) {
           // live maximum — puts all deleted within the batch — is
           // harmless: allocation only needs monotonicity).
           val newMaxSeq = if (decorated.isDefined) maxSeq + 1 else maxSeq
-          val newVersion = coll.commitBuckets(touched, remaining, newMaxSeq,
-            expectedBase = Some(baseVersion.getOrElse(-1L)))
+          val newVersion = describedJobs("graft: store commit (merge + write)") {
+            coll.commitBuckets(touched, remaining, newMaxSeq,
+              expectedBase = Some(baseVersion.getOrElse(-1L))) }
           // keep a fresh IVF index fresh across the commit — `current` (the
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
-          refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated)
+          describedJobs("graft: ivf refresh") {
+            refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated) }
           // scalar indexes roll forward by appending the BATCH's own
           // (value, bucket) pairs — batch-bounded, one pass for all
-          // indexed fields; pure deletes just re-stamp
-          refreshScalarIndexes(m, coll, preVersion, newVersion, decorated)
+          // indexed fields; pure deletes tick the compaction clock
+          describedJobs("graft: scalar refresh") {
+            refreshScalarIndexes(m, coll, preVersion, newVersion, decorated) }
           Some(newVersion)
         }
       }
@@ -1456,7 +1471,15 @@ class GraftClient(spark: SparkSession, root: String) {
     * a stale index and skip this). */
   private def refreshIndexIncremental(m: CollectionMeta, preVersion: Option[Long],
       newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
-      puts: Option[DataFrame]): Unit =
+      puts: Option[DataFrame]): Unit = {
+    // fast path: no index DIR means no build has ever STARTED (a build's
+    // withCommitLock creates the dir before it pins its snapshot) —
+    // taking the lock here would create the dir for every never-indexed
+    // collection and pay a flock per commit for nothing. Raceless: a
+    // build starting after this check pins CURRENT, which our caller
+    // already advanced, so it covers this commit by construction.
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(ivfDir(m))))
+      return
     // serialized with buildIndexFor on the index dir's lock; the stamp is
     // re-read INSIDE the lock (loadIndex), so a build that just finished
     // is seen — if it stamped the version this commit replaced, the
@@ -1548,6 +1571,7 @@ class GraftClient(spark: SparkSession, root: String) {
       } finally keys.unpersist()
     case _ => () // no index, already stale, or pre-probe-table format —
                  // search falls back to the exact scan as before
+    }
     }
   }
 
@@ -2154,6 +2178,37 @@ class GraftClient(spark: SparkSession, root: String) {
     val all = (if (terms.isEmpty) Nil else Seq((terms, mode))) ++ gates
     all.flatMap { case (t, md) => textMatchGate(pm, t, md) }
       .reduceOption((a, b) => a.join(b, Seq("key"), "left_semi"))
+  }
+
+  /** One-call Milvus parity: `client.search(..., filter="…")` with the
+    * FULL filter-string grammar (TEXT_MATCH / PHRASE_MATCH conjuncts
+    * included) — [[milvusFilterWithMatches]] splits the string, this
+    * forwards the pieces. All other knobs as [[search]]. */
+  def searchMilvus(name: String, qvec: Array[Float], k: Int, filter: String,
+                   nprobe: Int = 4, refine: Int = 4, offset: Int = 0,
+                   partitions: Seq[String] = Nil): DataFrame = {
+    val (pred, gates) = MilvusFilter.parseWithMatches(filter)
+    search(name, qvec, k, filter = pred, nprobe = nprobe, refine = refine,
+      offset = offset, partitions = partitions, matchGates = gates)
+  }
+
+  /** One-call Milvus `client.query(filter="…", limit=…)` with the full
+    * grammar — the string counterpart of [[queryWhere]]. */
+  def queryMilvus(name: String, filter: String, limit: Option[Int] = None,
+                  partitions: Seq[String] = Nil): DataFrame = {
+    val (pred, gates) = MilvusFilter.parseWithMatches(filter)
+    queryWhere(name, pred.getOrElse(lit(true)), limit, partitions,
+      matchGates = gates)
+  }
+
+  /** One-call Milvus `client.delete(filter="…")` with the full grammar —
+    * the string counterpart of [[deleteWhere]]. Returns the live row
+    * count after the delete, like the other write surfaces. */
+  def deleteMilvus(name: String, filter: String,
+                   partitions: Seq[String] = Nil): Long = {
+    val (pred, gates) = MilvusFilter.parseWithMatches(filter)
+    deleteWhere(name, pred.getOrElse(lit(true)), partitions,
+      matchGates = gates)
   }
 
   /** Scalar query — Milvus `client.query(filter=..., limit=...)`: the

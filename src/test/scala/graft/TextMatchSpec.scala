@@ -142,6 +142,15 @@ class TextMatchSpec extends AnyFunSuite {
       "TEXT_MATCH(text, 'parquet planner') and PHRASE_MATCH(text, 'hash join')")
     assert(pred2.isEmpty && gates2.size == 2)
     assert(keysOf(c.queryWhere("col", lit(true), matchGates = gates2)) == Set("d1"))
+    // …and the one-call string surfaces carry the whole grammar
+    assert(keysOf(c.queryMilvus("col",
+      """PHRASE_MATCH(text, 'hash join') and src == "s"""")) == Set("d1"))
+    assert(c.searchMilvus("col", q, k = 10,
+        filter = "PHRASE_MATCH(text, 'hash join')")
+      .collect().map(_.getString(0)).toSeq == Seq("d1"))
+    c.deleteMilvus("col", "PHRASE_MATCH(text, 'merge join')")
+    assert(c.get("col", "d2").isEmpty, "deleteMilvus must honor the phrase gate")
+    assert(c.get("col", "d1").isDefined)
   }
 
   test("matchTerms + allowDrift survives a mid-drain commit that stales the index") {
