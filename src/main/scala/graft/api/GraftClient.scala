@@ -3240,31 +3240,62 @@ class GraftClient(spark: SparkSession, root: String) {
           f -> i.hset.toSeq.filter(_ != null).map(_.toString).sorted)
       case _ => None
     }
-    val ranges = cs.flatMap {
-      case GreaterThan(l, r) => zone("gt", l, r)
-      case GreaterThanOrEqual(l, r) => zone("ge", l, r)
-      case LessThan(l, r) => zone("lt", l, r)
-      case LessThanOrEqual(l, r) => zone("le", l, r)
+    // a LIKE 'prefix%' conjunct (no other wildcards, no escapes) implies
+    // the lexical band [prefix, successor(prefix)) — the reference's own
+    // url-prefix filters get a zone prune this way. successor = the
+    // prefix with its last non-￿ char incremented (trailing ￿
+    // chars truncated); an all-￿ prefix keeps only the lower bound.
+    def prefixSucc(prefix: String): Option[String] = {
+      val t = prefix.reverse.dropWhile(_ == Character.MAX_VALUE).reverse
+      if (t.isEmpty) None else Some(t.init + (t.last + 1).toChar)
+    }
+    def likePrefix(field: Expression, pat: Expression)
+        : Seq[(String, ScalarIndex.ZoneCon)] =
+      (for {
+        f <- metaField(field)
+        p <- litString(pat)
+        if p.endsWith("%") && p.length > 1
+        prefix = p.dropRight(1)
+        if !prefix.exists(c => c == '%' || c == '_' || c == '\\')
+      } yield {
+        Seq(f -> (ScalarIndex.StrCmp("ge", prefix): ScalarIndex.ZoneCon)) ++
+          prefixSucc(prefix).map(s =>
+            f -> (ScalarIndex.StrCmp("lt", s): ScalarIndex.ZoneCon))
+      }).getOrElse(Nil)
+    val ranges: Seq[(String, ScalarIndex.ZoneCon)] = cs.flatMap {
+      case GreaterThan(l, r) => zone("gt", l, r).toSeq
+      case GreaterThanOrEqual(l, r) => zone("ge", l, r).toSeq
+      case LessThan(l, r) => zone("lt", l, r).toSeq
+      case LessThanOrEqual(l, r) => zone("le", l, r).toSeq
       // numeric equality/IN never reach the posting lists (the cast is
       // not their GetMapValue shape) — the zone span check is what makes
       // a numeric point filter prune at all
       case EqualTo(l, r) =>
-        zone("eq", l, r).filter(_._2.isInstanceOf[ScalarIndex.NumCmp])
+        zone("eq", l, r).filter(_._2.isInstanceOf[ScalarIndex.NumCmp]).toSeq
       case In(v, list) =>
         metaFieldNum(v).flatMap { f =>
           val vs = list.map(litNum)
           if (vs.nonEmpty && vs.forall(_.isDefined))
             Some(f -> (ScalarIndex.NumIn(vs.flatten): ScalarIndex.ZoneCon))
           else None
-        }
+        }.toSeq
       case i: InSet => // the optimizer's large-list In rewrite
         metaFieldNum(i.child).map { f =>
           f -> (ScalarIndex.NumIn(i.hset.toSeq.filter(_ != null).map {
             case d: org.apache.spark.sql.types.Decimal => d.toDouble
             case n: java.lang.Number => n.doubleValue
           }): ScalarIndex.ZoneCon)
-        }
-      case _ => None
+        }.toSeq
+      case lk: Like if lk.escapeChar == '\\' =>
+        likePrefix(lk.left, lk.right)
+      case s: StartsWith => // the optimized Like form, if a caller hands
+                            // us an already-optimized predicate tree
+        likePrefix(s.left, s.right match {
+          case Literal(v, StringType) if v != null =>
+            Literal(v.toString + "%")
+          case o => o
+        })
+      case _ => Nil
     }
     // multiple conjuncts on the SAME field intersect (a row must satisfy
     // all of them) — the tightest value set wins; zone constraints just

@@ -114,10 +114,48 @@ object CoverageQueries {
       .orderBy(col("pos"))
   }
 
+  /** B8 (r10): the Milvus filter-STRING grammar with TYPED numeric
+    * semantics over string metadata — ranges, numeric IN, and a LIKE
+    * prefix, all through [[graft.api.MilvusFilter.parse]] exactly as a
+    * migrating `client.query(filter=...)` caller hands them. The meta
+    * map stores every value as a STRING (the engine's storage model);
+    * the grammar's DOUBLE casts must make `price > 905.5` compare
+    * numerically, bit-equal to the oracle's native-typed comparison
+    * (string→double round-trips are exact for Spark-rendered doubles). */
+  def milvusFilterTypedRange(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        map(lit("price"), col("p_retailprice").cast("string"),
+          lit("size"), col("p_size").cast("string"),
+          lit("brand"), col("p_brand")).as("meta"))
+      .filter(graft.api.MilvusFilter.parse(
+        """price > 905.5 && size <= 20 && size in [2, 5, 8, 10, 20] && brand like "Brand#1%""""))
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+
+  /** B8 (r10): the Milvus `json_contains` family through the same string
+    * grammar — the reference's own `tags` field is JSON
+    * (`milvus-app/pythonvectordbceph_milvus.py:96`). String membership
+    * via `json_contains_any(tags, [...])` and NUMERIC membership via
+    * `json_contains(sizes, 8)` (try-cast comparison, so the JSON number
+    * 8 matches the literal 8). */
+  def milvusJsonContains(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .select(col("p_partkey"),
+        map(lit("tags"), to_json(array(col("p_brand"), col("p_type"))),
+          lit("sizes"), to_json(array(col("p_size"), col("p_size") + 1000)))
+          .as("meta"))
+      .filter(graft.api.MilvusFilter.parse(
+        """json_contains_any(tags, ["Brand#13", "Brand#7"]) && json_contains(sizes, 8)"""))
+      .select(col("p_partkey"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nulls_ordering" -> nullsOrdering _,
     "float32_cast" -> float32Cast _,
     "knn_filtered_grammar" -> knnFilteredGrammar _,
+    "milvus_filter_typed_range" -> milvusFilterTypedRange _,
+    "milvus_json_contains" -> milvusJsonContains _,
     "join_right_outer" -> joinRightOuter _,
     "grouping_sets" -> groupingSets _,
     "array_set_funcs" -> arraySetFuncs _,
@@ -146,6 +184,15 @@ object CoverageQueries {
                 AND NOT (e.vec_id % 10 = 0))
             OR (e.label = 9 AND e.vec_id <> 0)
          ORDER BY dist, vec_id LIMIT 15""",
+    "milvus_filter_typed_range" ->
+      """SELECT p_partkey FROM part
+         WHERE p_retailprice > 905.5 AND p_size <= 20
+           AND p_size IN (2, 5, 8, 10, 20) AND p_brand LIKE 'Brand#1%'
+         ORDER BY p_partkey""",
+    "milvus_json_contains" ->
+      """SELECT p_partkey FROM part
+         WHERE p_brand IN ('Brand#13', 'Brand#7') AND p_size = 8
+         ORDER BY p_partkey""",
     "join_right_outer" ->
       """SELECT c_mktsegment, count(*) AS n_orders
          FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9500) c

@@ -325,6 +325,16 @@ class ScalarIndexSpec extends AnyFunSuite {
     assert(z.select("key").collect().map(_.getString(0)).toSet == Set("k99"))
     assert(bucketDirsRead(z).size <= 1)
 
+    // LIKE 'prefix%' implies the lexical band [prefix, successor) —
+    // the reference's url-prefix filter shape rides the zones too
+    val pfx = c.queryWhere("col", c.milvusFilter("""tag like "zz%""""))
+    assert(pfx.select("key").collect().map(_.getString(0)).toSet == Set("k99"))
+    assert(bucketDirsRead(pfx).size <= 1,
+      s"prefix LIKE must zone-prune, read ${bucketDirsRead(pfx)}")
+    // a % anywhere else must NOT prune (and must stay correct)
+    assert(c.queryWhere("col", c.milvusFilter("""tag like "%z-top""""))
+      .select("key").collect().map(_.getString(0)).toSet == Set("k99"))
+
     // an empty range proves emptiness with zero I/O
     val none = c.queryWhere("col", c.milvusFilter("price > 99999"))
     assert(none.count() == 0 && none.inputFiles.isEmpty)
