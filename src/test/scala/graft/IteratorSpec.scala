@@ -225,6 +225,25 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SQ8 drain must equal the FLAT drain — same rows, same order, zero lost")
   }
 
+  test("SQ8 margin drain composes with a metadata filter") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("sq8f", dim = 2, indexType = "IVF_SQ8", nlist = 4)
+    client.upsert("sq8f", (0 until 120).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 7).toFloat), Map("grp" -> (i % 3).toString))
+    }.toDF("key", "vec", "meta"))
+    client.buildIndex("sq8f", nlist = 4)
+    val pred = element_at(col("meta"), "grp") === "1"
+    val drained = client.searchIterator("sq8f", Array(5f, 1f), batchSize = 7,
+      filter = Some(pred), nprobe = 4).flatten.map(_.getString(0)).toSeq
+    assert(drained.length == 40, s"i % 3 == 1 for 0 until 120, got ${drained.length}")
+    // the filter binds stage 1 (gated-out rows consume no candidate
+    // slots) and the emitted order equals the filtered exact ranking
+    val whole = client.search("sq8f", Array(5f, 1f), k = 120,
+      filter = Some(pred), nprobe = 4).collect().map(_.getString(0)).toSeq
+    assert(drained.take(whole.length) == whole.take(drained.length))
+  }
+
   test("boundary validation") {
     val client = newClient()
     seed(client, "sv", 5)
