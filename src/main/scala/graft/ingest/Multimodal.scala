@@ -10,8 +10,13 @@ import org.apache.spark.sql.functions._
   * parses the container and hands the feature step actual pixels — the
   * reference's image arm reads real pixels the same way (PIL + timm
   * preprocessing, `s3vectors-app/pythonvectordbceph.py:164-169`).
-  * AUDIO/VIDEO decode is a clearly-marked deterministic STUB — this
-  * container has no wav/mp4 codecs (cf. §7.0 offline constraint).
+  * AUDIO decodes for real too (r10): `javax.sound.sampled` (JDK built-in)
+  * parses WAV/AIFF/AU PCM containers and the feature step sees actual
+  * SAMPLES — mono-mixed 16-bit — so two containers carrying the same PCM
+  * embed identically, exactly the image arm's decoded-pixels contract.
+  * VIDEO decode remains a clearly-marked deterministic STUB — this
+  * container has no mp4 codec (cf. §7.0 offline constraint; compressed
+  * audio like mp3 likewise stubs — the JDK SPI only ships PCM).
   * Everything around it is the real Spark plumbing: schema, typed Dataset
   * transform, per-partition amortized setup, batch shape. The `decoded`
   * flag separates codec-parsed rows from stubbed/corrupt ones, so a
@@ -31,7 +36,15 @@ object Multimodal {
 
   /** Decoded frame/sample features — fixed shape, schema-stable.
     * `decoded` = a real codec parsed the payload (vs stub dims for
-    * audio/video and corrupt images). */
+    * video/compressed-audio and corrupt images). Field mapping by
+    * modality (one schema for the whole media frame — downstream
+    * operators union modalities without a per-type struct):
+    *   - image: (width, height) = pixels, nFrames = 1;
+    *   - audio: width = SAMPLE RATE (Hz), height = CHANNELS in the
+    *     source container, nFrames = PCM sample frames (so
+    *     nFrames/width = duration in seconds and [[sampleFrameIndexes]]
+    *     strides over samples);
+    *   - video (stub): deterministic stand-in dims + frame count. */
   case class MediaFeatures(
       key: String,
       mediaType: String,
@@ -96,10 +109,89 @@ object Multimodal {
     }
   }
 
-  /** STUB decode for audio/video (and the corrupt-image fallback): a real
-    * implementation would parse the WAV/MP4 container here. The
-    * deterministic fake derives "dimensions" and a frame count from the
-    * payload bytes so tests are stable, and is loudly not a codec. */
+  /** Byte budget [[decodeAudio]] accepts before allocating — the audio
+    * twin of [[MaxPixels]]: a crafted header claiming hours of PCM is
+    * rejected for the cost of a header read (64 MB ≈ 6 min of 44.1 kHz
+    * stereo 16-bit — far above any embedding input). */
+  private[ingest] val MaxAudioBytes: Long = 64L * 1024 * 1024
+
+  /** Real audio decode via the JDK's sampled-sound SPI (WAV/AIFF/AU, PCM
+    * 8/16-bit): (sampleRate, channels, sampleFrames, mono 16-bit LE
+    * samples). Channels mix to mono by averaging BEFORE embedding, so
+    * the features depend on the recorded signal, not the channel layout
+    * — and two containers carrying the same PCM embed identically (the
+    * image arm's decoded-pixels contract). None = not a decodable PCM
+    * container (compressed audio, corrupt bytes, or a header past the
+    * byte budget) — callers quarantine via decoded=false, exactly like
+    * corrupt images. */
+  private[ingest] def decodeAudio(content: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        val ch = fmt.getChannels
+        val frames = in.getFrameLength
+        val frameSize = fmt.getFrameSize
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+            ch <= 0 || frames <= 0 || frameSize <= 0 ||
+            frames * frameSize.toLong > MaxAudioBytes ||
+            fmt.getSampleRate <= 0f) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = math.min(frames, bytes.length.toLong / frameSize).toInt
+          if (n <= 0) None
+          else {
+            val bps = bits / 8
+            val big = fmt.isBigEndian
+            val mono = new Array[Byte](n * 2)
+            var f = 0
+            while (f < n) {
+              var acc = 0
+              var c = 0
+              while (c < ch) {
+                val off = f * frameSize + c * bps
+                val s =
+                  if (bps == 1)
+                    (if (unsigned) (bytes(off) & 0xff) - 128
+                     else bytes(off).toInt) << 8 // widen 8-bit to 16-bit scale
+                  else {
+                    val raw =
+                      if (big) (bytes(off) << 8) | (bytes(off + 1) & 0xff)
+                      else (bytes(off + 1) << 8) | (bytes(off) & 0xff)
+                    if (unsigned) ((raw & 0xffff) - 32768) else raw
+                  }
+                acc += s
+                c += 1
+              }
+              val m = acc / ch
+              mono(2 * f) = (m & 0xff).toByte
+              mono(2 * f + 1) = ((m >> 8) & 0xff).toByte
+              f += 1
+            }
+            Some((fmt.getSampleRate.toInt, ch, n, mono))
+          }
+        }
+      } finally in.close()
+    } catch {
+      // the SPI throws UnsupportedAudioFileException on non-audio bytes
+      // and assorted RuntimeExceptions on crafted headers — any failure
+      // means quarantine, never an aborted ingest job
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** STUB decode for video/compressed audio (and the corrupt-media
+    * fallback): a real implementation would parse the MP4/MP3 container
+    * here. The deterministic fake derives "dimensions" and a frame count
+    * from the payload bytes so tests are stable, and is loudly not a
+    * codec. */
   private[ingest] def decodeStub(m: MediaObject): (Int, Int, Int) = {
     val n = m.content.length
     val w = 16 + math.floorMod(if (n > 0) m.content(0).toInt else 0, 16)
@@ -186,16 +278,23 @@ object Multimodal {
       // in-memory payloads on executors
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val real = if (m.mediaType == "image") decodeImage(m.content) else None
-        real match {
-          case Some((w0, h0, px0)) =>
+        val image = if (m.mediaType == "image") decodeImage(m.content) else None
+        val audio = if (m.mediaType == "audio") decodeAudio(m.content) else None
+        (image, audio) match {
+          case (Some((w0, h0, px0)), _) =>
             val (w, h, px) = resizeTo match {
               case Some((mw, mh)) => resamplePixels(w0, h0, px0, mw, mh)
               case None => (w0, h0, px0)
             }
             MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
               nFrames = 1, decoded = true, embedder.embedBytes(px))
-          case None =>
+          case (_, Some((rate, ch, n, mono))) =>
+            // resizeTo is a PIXEL box — no audio meaning, ignored here
+            // (width/height carry sampleRate/channels, see MediaFeatures)
+            MediaFeatures(m.key, m.mediaType, m.content.length.toLong,
+              width = rate, height = ch, nFrames = n, decoded = true,
+              embedder.embedBytes(mono))
+          case _ =>
             val (w0, h0, frames) = decodeStub(m)
             val (w, h) = resizeTo match {
               case Some((mw, mh)) => fitBox(w0, h0, mw, mh)
@@ -238,8 +337,13 @@ object Multimodal {
     require(maxW > 0 && maxH > 0)
     ds.mapPartitions { it =>
       it.map { f =>
-        val (w, h) = fitBox(f.width, f.height, maxW, maxH)
-        f.copy(width = w, height = h)
+        // audio rows carry (sampleRate, channels) in (width, height) —
+        // a pixel box has no meaning there; pass them through unchanged
+        if (f.mediaType == "audio") f
+        else {
+          val (w, h) = fitBox(f.width, f.height, maxW, maxH)
+          f.copy(width = w, height = h)
+        }
       }
     }
   }

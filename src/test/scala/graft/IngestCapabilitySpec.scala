@@ -114,9 +114,17 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(img.decoded, "a valid PNG must decode for real, not via the stub")
     assert(img.width == 24 && img.height == 16,
       s"img1.png is 24×16; decode reported ${img.width}×${img.height}")
-    // audio/video stay on the loudly-marked stub (no codecs in this image)
+    // the audio arm is a REAL decode too (r10): javax.sound.sampled
+    // parses the WAV and the features see the true PCM geometry —
+    // width carries the sample rate, height the channels, nFrames the
+    // sample count (MediaFeatures' documented modality mapping)
+    val wav = feats.find(_.key.endsWith("clip1.wav")).get
+    assert(wav.decoded, "a valid PCM WAV must decode for real, not via the stub")
+    assert(wav.width == 8000 && wav.height == 1 && wav.nFrames == 400,
+      s"clip1.wav is 8 kHz mono × 400 samples; got ${wav.width}/${wav.height}/${wav.nFrames}")
+    // video stays on the loudly-marked stub (no mp4 codec in this image)
     val vid = feats.find(_.key.endsWith("vid1.mp4")).get
-    assert(!vid.decoded && !feats.find(_.key.endsWith("clip1.wav")).get.decoded)
+    assert(!vid.decoded)
     assert(vid.nFrames == 1 + 3000 / 1024)
     // deterministic: same input → same features
     val again = Multimodal.extractFeatures(media).collect()
@@ -170,10 +178,15 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"sampled_frames").head().getSeq[Int](0)
     assert(sampled == Seq(0, 2))
     // resize: aspect ratio preserved, never upscales, bounded by the box
+    // (audio rows pass through — their width/height carry sample rate
+    // and channels, not pixels)
     val resized = Multimodal.resize(Multimodal.extractFeatures(media), 8, 8).collect()
-    assert(resized.forall(f => f.width <= 8 && f.height <= 8))
+    assert(resized.filter(_.mediaType != "audio")
+      .forall(f => f.width <= 8 && f.height <= 8))
+    assert(resized.find(_.mediaType == "audio").get.width == 8000,
+      "resize must not touch audio geometry")
     val orig = feats.map(f => f.key -> (f.width, f.height)).toMap
-    resized.foreach { f =>
+    resized.filter(_.mediaType != "audio").foreach { f =>
       val (w0, h0) = orig(f.key)
       val ratio0 = w0.toDouble / h0
       val ratio1 = f.width.toDouble / f.height
@@ -206,6 +219,58 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "downscaled solid image must embed identically to the natively-sized one")
     assert(resampled("small.png").width == 10 && resampled("small.png").height == 10,
       "resample never upscales")
+  }
+
+  test("audio decode: container-invariant features, channel mix, corrupt fallback") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // same 16-bit PCM rendered into different containers/endiannesses
+    def enc(samples: Array[Short], big: Boolean): Array[Byte] = {
+      val b = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val lo = (samples(i) & 0xff).toByte
+        val hi = ((samples(i) >> 8) & 0xff).toByte
+        if (big) { b(2 * i) = hi; b(2 * i + 1) = lo }
+        else { b(2 * i) = lo; b(2 * i + 1) = hi }
+        i += 1
+      }
+      b
+    }
+    def fileBytes(samples: Array[Short], channels: Int,
+        tpe: AudioFileFormat.Type, big: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, channels, true, big)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(enc(samples, big)), fmt,
+        samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, out)
+      out.toByteArray
+    }
+    val sig = Array.tabulate(200)(i => (8000 * math.sin(i * 0.2)).toShort)
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("a.wav", "audio",
+        fileBytes(sig, 1, AudioFileFormat.Type.WAVE, big = false)),
+      // the identical PCM in a big-endian AU container
+      Multimodal.MediaObject("a.au", "audio",
+        fileBytes(sig, 1, AudioFileFormat.Type.AU, big = true)),
+      // stereo with L = R = the mono signal: the mono mix is exact
+      Multimodal.MediaObject("st.wav", "audio",
+        fileBytes(sig.flatMap(s => Array(s, s)), 2,
+          AudioFileFormat.Type.WAVE, big = false)),
+      // compressed/garbage audio cannot parse → loud stub, quarantined
+      Multimodal.MediaObject("bad.mp3", "audio", Array.fill(100)(7.toByte))
+    ).toDS()).collect().map(f => f.key -> f).toMap
+    val wav = feats("a.wav")
+    assert(wav.decoded && wav.width == 8000 && wav.height == 1 && wav.nFrames == 200)
+    assert(wav.features.toSeq == feats("a.au").features.toSeq,
+      "two containers of the same PCM must produce identical features")
+    val st = feats("st.wav")
+    assert(st.decoded && st.height == 2 && st.nFrames == 200)
+    assert(st.features.toSeq == wav.features.toSeq,
+      "stereo with identical channels must mono-mix to the same features")
+    assert(!feats("bad.mp3").decoded,
+      "undecodable audio must be flagged, never fabricated as decoded")
   }
 
   // ---- Catalog (A16/A17) ----
