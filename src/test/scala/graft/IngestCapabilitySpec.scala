@@ -273,6 +273,53 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "undecodable audio must be flagged, never fabricated as decoded")
   }
 
+  test("video container metadata: real tkhd geometry + stts frame count; crafted sizes stay safe") {
+    import spark.implicits._
+    // a minimal valid ISO-BMFF tree: ftyp + moov(trak(tkhd,
+    // mdia(minf(stbl(stts))))) — 640×360, 300 samples
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(tpe.getBytes("ISO-8859-1"))
+      b.put(payload)
+      b.array()
+    }
+    val tkhd = {
+      val p = java.nio.ByteBuffer.allocate(84) // v0 payload
+      p.position(76)
+      p.putInt(640 << 16).putInt(360 << 16) // 16.16 fixed dims
+      box("tkhd", p.array())
+    }
+    val stts = {
+      val p = java.nio.ByteBuffer.allocate(16)
+      p.putInt(0).putInt(1).putInt(300).putInt(1) // 1 entry: 300 samples
+      box("stts", p.array())
+    }
+    val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("real.mp4", "video", mp4),
+      // a crafted box size pointing past the buffer: the walk must stop
+      // cleanly and fall back to the stub, never read out of bounds
+      Multimodal.MediaObject("crafted.mp4", "video",
+        mp4.take(20) ++ java.nio.ByteBuffer.allocate(8)
+          .putInt(Int.MaxValue).put("moov".getBytes("ISO-8859-1")).array()),
+      Multimodal.MediaObject("junk.mp4", "video", Array.fill(64)(9.toByte))
+    ).toDS()).collect().map(f => f.key -> f).toMap
+    val real = feats("real.mp4")
+    assert(real.width == 640 && real.height == 360 && real.nFrames == 300,
+      s"container metadata must be real: ${real.width}×${real.height}/${real.nFrames}")
+    // pixel decode is still the documented boundary: features hash the
+    // container, so decoded stays false and quarantines still catch it
+    assert(!real.decoded)
+    assert(!feats("crafted.mp4").decoded && !feats("junk.mp4").decoded)
+    // resizeTo applies the metadata letterbox arithmetic to real dims
+    val boxed = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("real.mp4", "video", mp4)).toDS(),
+      resizeTo = Some((320, 320))).collect().head
+    assert(boxed.width == 320 && boxed.height == 180)
+  }
+
   // ---- Catalog (A16/A17) ----
 
   test("catalog: idempotent create, describe, list, drop") {
