@@ -401,9 +401,9 @@ object Multimodal {
     graft.sources.ObjectSources.binaryObjects(spark, pathGlob)
       .select(
         col("path").as("key"),
-        when(col("path").rlike("(?i)\\.(png|jpg|jpeg)$"), "image")
-          .when(col("path").rlike("(?i)\\.(wav|mp3)$"), "audio")
-          .when(col("path").rlike("(?i)\\.(mp4|mkv)$"), "video")
+        when(col("path").rlike("(?i)\\.(png|jpg|jpeg|gif|bmp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|aiff?|au|mp3)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|m4v|mov|mkv)$"), "video")
           .otherwise("binary").as("mediaType"),
         col("content"))
       .as[MediaObject]
