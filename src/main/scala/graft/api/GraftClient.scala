@@ -3596,7 +3596,8 @@ class GraftClient(spark: SparkSession, root: String) {
                    nprobe: Int = 4, textCol: String = "text",
                    useIndex: Boolean = true,
                    fusion: String = "rrf",
-                   wVec: Double = 0.7, wLex: Double = 0.3): DataFrame = {
+                   wVec: Double = 0.7, wLex: Double = 0.3,
+                   matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(fusion == "rrf" || fusion == "weighted",
       s"fusion must be 'rrf' or 'weighted' (got '$fusion')")
@@ -3619,10 +3620,19 @@ class GraftClient(spark: SparkSession, root: String) {
     // stay fixed, so the filtered arm rides the postings index too.
     // all-partition gate (a doc living in a non-default partition must
     // still pass), each partition's scan riding the scalar bucket prune
-    val passing = filter.map(f => filterPassingKeys(metaOrThrow(name), f))
+    // match gates (TEXT_MATCH/PHRASE_MATCH conjuncts) restrict both arms
+    // the same way the filter does: the vector arm gates inside search(),
+    // the lexical arm intersects its restrictTo key set
+    val gateKeys = matchGateKeys(metaOrThrow(name), matchGates)
+    val passing0 = filter.map(f => filterPassingKeys(metaOrThrow(name), f))
+    val passing = (passing0, gateKeys) match {
+      case (Some(a), Some(b)) => Some(a.join(b, Seq("key"), "left_semi"))
+      case (a, b) => a.orElse(b)
+    }
     val lexTop = searchLexical(name, docs, terms, k = armK, textCol = textCol,
       useIndex = useIndex, restrictTo = passing) // (key, bm25)
-    val vecTop = search(name, qvec, armK, filter, nprobe)
+    val vecTop = search(name, qvec, armK, filter, nprobe,
+      matchGates = matchGates)
     fusion match {
       case "rrf" =>
         val lex = lexTop.select(col("key"),
@@ -3687,6 +3697,18 @@ class GraftClient(spark: SparkSession, root: String) {
       }
       .reduce(_ unionByName _)
 
+  // all-partition union of the conjoined match gates' key sets — the
+  // hybrid surfaces' counterpart of filterPassingKeys (per-partition
+  // freshness resolved like textMatchKeys; a partition without a fresh
+  // text index raises, the TEXT_MATCH precondition)
+  private def matchGateKeys(m: CollectionMeta,
+      gates: Seq[(Seq[String], String)]): Option[DataFrame] =
+    if (gates.isEmpty) None
+    else Some(listedPartitions(m)
+      .map(p => textMatchGateAll(partMeta(m, p), Nil, "any", gates).get)
+      .reduce(_ unionByName _)
+      .distinct())
+
   /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per
     * vector FIELD fused by a ranker: the DENSE arm is [[search]] over
     * the collection's float vectors (IVF/SQ8-pruned when fresh, same
@@ -3712,7 +3734,8 @@ class GraftClient(spark: SparkSession, root: String) {
                         rrfK: Int = 60, filter: Option[Column] = None,
                         nprobe: Int = 4, sparseMetric: String = "dot",
                         fusion: String = "rrf",
-                        wVec: Double = 0.7, wSparse: Double = 0.3): DataFrame = {
+                        wVec: Double = 0.7, wSparse: Double = 0.3,
+                        matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(armK >= 1, s"armK must be >= 1 (got $armK)")
@@ -3726,24 +3749,30 @@ class GraftClient(spark: SparkSession, root: String) {
       require(wVec + wSparse > 0.0, "wVec and wSparse must not both be 0")
     }
     val m = metaOrThrow(name)
+    val gateKeys = matchGateKeys(m, matchGates)
+    val gated = filter.nonEmpty || gateKeys.nonEmpty
     val sparseHits = SparseIndex.topK(spark, sparseDir, sparseQuery,
-      // over-fetch when filtering: the semi-join below drops non-passing
-      // hits AFTER the sparse top-k (the index knows nothing of meta),
-      // so a filtered arm fetches a deeper pool to keep armK survivors
-      // likely. Absolute per-doc scores make the gate order-preserving.
-      if (filter.isEmpty) armK
+      // over-fetch when filtering/gating: the semi-joins below drop
+      // non-passing hits AFTER the sparse top-k (the index knows nothing
+      // of meta or text), so a gated arm fetches a deeper pool to keep
+      // armK survivors likely. Absolute per-doc scores make the gate
+      // order-preserving.
+      if (!gated) armK
       else math.min(armK.toLong * 4, GraftClient.MaxPageDepth).toInt,
       sparseMetric)
     val sparseKeyed = sparseHits.columns.head match {
       case "key" => sparseHits
       case other => sparseHits.withColumnRenamed(other, "key")
     }
-    val sparseTop = filter
-      .map(f => sparseKeyed.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
-      .getOrElse(sparseKeyed)
+    val sparseGated = gateKeys.foldLeft(
+        filter.map(f => sparseKeyed.join(filterPassingKeys(m, f),
+          Seq("key"), "left_semi")).getOrElse(sparseKeyed))(
+      (df, g) => df.join(g, Seq("key"), "left_semi"))
+    val sparseTop = sparseGated
       .orderBy(desc("score"), col("key"))
       .limit(armK)
-    val vecTop = search(name, qvec, armK, filter, nprobe)
+    val vecTop = search(name, qvec, armK, filter, nprobe,
+      matchGates = matchGates)
     fusion match {
       case "rrf" =>
         val sp = sparseTop.select(col("key"),

@@ -258,8 +258,11 @@ object MilvusFilter {
         Literal(a.nameParts.head))
   }
 
-  private val JsonFns =
-    Set("json_contains", "json_contains_any", "json_contains_all")
+  // Milvus 2.4+ spells the same operators both ways — `array_contains`
+  // is the documented alias of `json_contains` (and _any/_all likewise)
+  private val JsonFns = Set(
+    "json_contains", "json_contains_any", "json_contains_all",
+    "array_contains", "array_contains_any", "array_contains_all")
 
   /** Milvus `json_contains(field, v)` / `_any` / `_all(field, [v…])`
     * over a JSON-valued meta string (the reference's own `tags` field is
@@ -311,9 +314,9 @@ object MilvusFilter {
         s"$fn value must be a literal or a list of literals — got " +
           s"${other.sql}; if it is an unquoted string, quote it")
     }
-    GraftShim.expression(fn match {
-      case "json_contains" => member(args(1))
-      case _ =>
+    GraftShim.expression(fn.stripPrefix("json_").stripPrefix("array_") match {
+      case "contains" => member(args(1))
+      case suffix =>
         val elems = args(1) match {
           case a: UnresolvedFunction
               if a.nameParts.last.equalsIgnoreCase("array") => a.arguments
@@ -322,7 +325,7 @@ object MilvusFilter {
         }
         require(elems.nonEmpty, s"$fn needs a non-empty candidate list")
         val ms = elems.map(member)
-        if (fn == "json_contains_any") ms.reduce(_ || _) else ms.reduce(_ && _)
+        if (suffix == "contains_any") ms.reduce(_ || _) else ms.reduce(_ && _)
     })
   }
 

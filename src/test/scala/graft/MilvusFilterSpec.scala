@@ -137,6 +137,10 @@ class MilvusFilterSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       c.milvusFilter("""json_contains(tags, [python])"""))
     assert(e.getMessage.contains("quote"))
+    // Milvus 2.4+ spells the same operators array_contains* — aliases
+    assert(ks("""array_contains(tags, "python")""") == Set("k1"))
+    assert(ks("""array_contains_any(tags, ["python", "rust"])""") == Set("k1", "k2"))
+    assert(ks("""array_contains_all(tags, ["python", "ml"])""") == Set("k1"))
   }
 
   test("parseWithMatches splits match conjuncts; slop and non-top-level reject") {

@@ -145,6 +145,13 @@ class TextMatchSpec extends AnyFunSuite {
     // …and the one-call string surfaces carry the whole grammar
     assert(keysOf(c.queryMilvus("col",
       """PHRASE_MATCH(text, 'hash join') and src == "s"""")) == Set("d1"))
+    // hybrid retrieval gates BOTH arms on the match conjuncts: only
+    // phrase-matching docs may occupy fused slots
+    val hyb = c.hybridSearch("col", docsDf, Seq("join"), q, k = 5,
+      matchGates = Seq((Seq("hash", "join"), "phrase")))
+      .collect().map(_.getString(0)).toSet
+    assert(hyb == Set("d1"),
+      s"hybrid arms must both honor the phrase gate, got $hyb")
     assert(c.searchMilvus("col", q, k = 10,
         filter = "PHRASE_MATCH(text, 'hash join')")
       .collect().map(_.getString(0)).toSeq == Seq("d1"))
