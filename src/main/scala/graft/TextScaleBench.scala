@@ -148,6 +148,26 @@ object TextScaleBench {
     val phraseParity = mPhrase == mPhraseRaw && mPhrase == nDocs / 100 &&
       mPhraseRev == 0L
 
+    // PHRASE_MATCH slop (r11): "scan needle hash" is planted in that
+    // order on exactly the id % 200 docs, so ("scan","hash") is one
+    // position move away (matches at slop 1, not 0) and the REVERSED
+    // ("hash","scan") is three (adjusted positions land 3 apart —
+    // matches at slop 3, not 2): the whole slop ladder is exact by
+    // construction, no raw twin needed
+    val (mSlop1, tSlop1) = timed {
+      graft.index.TextIndex.matchingDocs(
+        spark, idxPath, Seq("scan", "hash"), "phrase:1").count() }
+    meter.mark()
+    val mSlop0 = graft.index.TextIndex.matchingDocs(
+      spark, idxPath, Seq("scan", "hash"), "phrase").count()
+    val mRev2 = graft.index.TextIndex.matchingDocs(
+      spark, idxPath, Seq("hash", "scan"), "phrase:2").count()
+    val mRev3 = graft.index.TextIndex.matchingDocs(
+      spark, idxPath, Seq("hash", "scan"), "phrase:3").count()
+    meter.mark()
+    val slopParity = mSlop1 == nDocs / 200 && mSlop0 == 0L &&
+      mRev2 == 0L && mRev3 == nDocs / 200
+
     // Incremental maintenance at 1% churn: 5k new docs + 3k rewrites +
     // 2k deletes appended as ONE delta segment — the per-commit cost a
     // streaming corpus pays, vs the full rebuild measured above. Then
@@ -192,12 +212,15 @@ object TextScaleBench {
       s""""phrase_sec":${f"$tPhrase%.2f"},"phrase_docs":$mPhrase,""" +
       s""""phrase_shuffle_mb":${shPhrase >> 20},""" +
       s""""phrase_raw_sec":${f"$tPhraseRaw%.2f"},""" +
+      s""""phrase_slop1_sec":${f"$tSlop1%.2f"},"phrase_slop1_docs":$mSlop1,""" +
       s""""parity":$parity,"filter_holds":$filterHolds,""" +
-      s""""match_parity":$matchParity,"phrase_parity":$phraseParity}""")
+      s""""match_parity":$matchParity,"phrase_parity":$phraseParity,""" +
+      s""""slop_parity":$slopParity}""")
     require(parity, "raw and postings paths diverged — hash-stability contract broken")
     require(filterHolds, "restrictTo leaked a filtered-out doc")
     require(matchParity, "TEXT_MATCH set diverged from the raw tokenize twin")
     require(phraseParity, "PHRASE_MATCH diverged from the planted adjacency")
+    require(slopParity, "PHRASE_MATCH slop ladder diverged from the planted geometry")
     require(compactStable, "compaction changed query results")
     docs.unpersist()
     graft.streaming.BucketedKeyedCollection.deleteTree(

@@ -1721,12 +1721,25 @@ class GraftClient(spark: SparkSession, root: String) {
   private def scoredCandidates(pm: CollectionMeta, qvec: Array[Float],
       filter: Option[Column], nprobe: Int, refine: Int,
       depth: Int, cursorDist: Option[Double] = None,
-      gate: Option[DataFrame] = None): DataFrame = {
+      gate: Option[DataFrame] = None,
+      allowSq8: Boolean = true): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
     liveIdx match {
       case Some(idx) if sq8Indexed(pm) =>
+        // The iterator surfaces pin the SQ8-vs-exact dispatch at
+        // CREATION and pass allowSq8 = false on the exact path: an index
+        // build completing mid-drain is invisible to the snapshot pin
+        // (builds bump no store version), and silently flipping later
+        // pages into the depth-bounded sq8Scored pool would starve past
+        // the cursor and TRUNCATE the drain. Loud beats truncated —
+        // mirrors Sq8Stream's stale check in the other direction.
+        if (!allowSq8)
+          throw new IllegalStateException(s"${pm.name}: an IVF_SQ8 index " +
+            "went live mid-drain (index builds are invisible to the " +
+            "snapshot pin) — restart the iterator to drain through the " +
+            "SQ8 path")
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
         // cursor prune stays on the FLAT/exact paths
         sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth, gate)
@@ -2285,8 +2298,12 @@ class GraftClient(spark: SparkSession, root: String) {
     * emission order EQUALS the exact-distance order — a full SQ8 drain
     * yields the same rows in the same order as a FLAT drain, with
     * stage-1 I/O still on the 1/4-size codes. Held-back rows are the
-    * ones within ε of the moving frontier — driver memory is
-    * O(chunk + ε-band occupancy), not O(depth).
+    * ones within ε of the moving frontier — normally a thin annulus, and
+    * HARD-CAPPED at max(8·chunk, 4096): a distance plateau (mass-
+    * duplicated vectors) that overflows the cap flips the stream to an
+    * exact re-rank drain over the probed cells (FLAT-drain cost,
+    * identical emission order), so driver memory is O(chunk + cap),
+    * never O(depth) or O(plateau).
     *
     * Consistency: the iterator pins each partition's snapshot version at
     * creation and CHECKS it before every page — a commit landing
@@ -2344,7 +2361,10 @@ class GraftClient(spark: SparkSession, root: String) {
             refine, batchSize,
             cursorDist = cursor.map(_._1), // deep pages skip cells the
                                            // cursor has fully passed
-            gate = gate) // drain-start-pinned TEXT_MATCH key set (above)
+            gate = gate, // drain-start-pinned TEXT_MATCH key set (above)
+            allowSq8 = false) // dispatch pinned at creation: an SQ8
+                              // index going live mid-drain throws
+                              // instead of silently truncating
         }
         .reduce(_ unionByName _)
       val after = cursor.fold(scored) { case (d, k0) =>
@@ -2405,7 +2425,9 @@ class GraftClient(spark: SparkSession, root: String) {
       private var cursor: Option[(Double, String)] = None
       override protected def refill(): Unit = {
         val scored = scoredCandidates(pm, qvec, filter, nprobe, refine, chunk,
-          cursorDist = cursor.map(_._1), gate = gate)
+          cursorDist = cursor.map(_._1), gate = gate,
+          allowSq8 = false) // this stream was dispatched exact at
+                            // creation — a mid-drain SQ8 flip throws
         val after = cursor.fold(scored) { case (d, k0) =>
           scored.filter(col("distance") > d ||
             (col("distance") === d && col("vector_key") > k0))
@@ -2456,7 +2478,58 @@ class GraftClient(spark: SparkSession, root: String) {
         .empty[(Double, String, Row)](
           Ordering.by[(Double, String, Row), (Double, String)](t => (t._1, t._2))
             .reverse)
+      // Driver-memory contract for the hold-back heap: held size is
+      // normally the thin ε-annulus around the moving frontier, but a
+      // distance PLATEAU (mass-duplicated vectors, all-zero embeddings)
+      // keeps everything within ε until s1Done and would accumulate the
+      // plateau on the driver. Past the cap the stream DEGRADES to an
+      // exact re-rank drain over the probed cells' keys: stage 1's
+      // quantized paging is abandoned and each further page is one
+      // bounded TakeOrdered over codes-keys ⨝ store by exact (margin,
+      // key) — FLAT-drain cost, identical emission order (the cursor
+      // picks up at the last emitted row), driver memory O(chunk).
+      private val maxHeld = math.max(8 * chunk, 4096)
+      private var degraded = false
+      // last (margin, key) moved into `buf` — the exact-order high-water
+      // mark the degraded path resumes strictly after
+      private var lastOut: Option[(Double, String)] = None
+      private def exactRanked: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        val keys = gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
+          .select("key")
+        val qx = typedLit(qvec)
+        val score = pm.metric match {
+          case "cosine" => (lit(0d) - graft.functions.VectorFunctions
+            .cosine_similarity(col("vec"), qx)).as("distance")
+          case _ => graft.functions.VectorFunctions
+            .l2_distance(col("vec"), qx).as("distance")
+        }
+        val margin = pm.metric match {
+          case "cosine" =>
+            sqrt(greatest(lit(0.0), lit(2.0) + lit(2.0) * col("distance")))
+          case _ => col("distance")
+        }
+        // keys is Σ probed-cells rows — a distributed equi-join against
+        // the keyed store, never a broadcast assumption or a driver set
+        coll.read(spark).join(keys, Seq("key"))
+          .select(col("key").as("vector_key"), score, col("meta").as("metadata"))
+          .withColumn("__m", margin)
+      }
+      private def degradedRefill(): Unit = {
+        val base = exactRanked
+        val after = lastOut.fold(base) { case (m0, k0) =>
+          base.filter(col("__m") > m0 ||
+            (col("__m") === m0 && col("vector_key") > k0))
+        }
+        val rows = after.orderBy(col("__m"), col("vector_key"))
+          .limit(chunk).collect()
+        if (rows.length < chunk) srcDone = true
+        rows.lastOption.foreach(r => lastOut = Some((r.getDouble(3), r.getString(0))))
+        rows.foreach(r => buf.enqueue(((r.getDouble(1), r.getString(0)),
+          Row(r.get(0), r.get(1), r.get(2)))))
+      }
       override protected def refill(): Unit = {
+        if (degraded) { degradedRefill(); return }
         if (!s1Done) {
           val base = s1Frame
           val after = aCursor.fold(base) { case (d, k0) =>
@@ -2494,8 +2567,19 @@ class GraftClient(spark: SparkSession, root: String) {
           if (s1Done) Double.PositiveInfinity
           else aCursor.map(_._1 - eps).getOrElse(Double.NegativeInfinity)
         while (held.nonEmpty && held.head._1 < threshold) {
-          val (_, _, row) = held.dequeue()
+          val (mg, ky, row) = held.dequeue()
+          lastOut = Some((mg, ky))
           buf.enqueue(((row.getDouble(1), row.getString(0)), row))
+        }
+        GraftClient.noteDrainHeld(held.size)
+        if (held.size > maxHeld) {
+          // distance-plateau geometry: every emitted row has margin <
+          // threshold ≤ every held/unseen row's margin, so resuming the
+          // exact-ranked drain strictly after lastOut loses nothing and
+          // repeats nothing — order parity holds through the switch
+          degraded = true
+          held.clear()
+          return
         }
         if (s1Done && held.isEmpty) srcDone = true
       }
@@ -3025,6 +3109,25 @@ class GraftClient(spark: SparkSession, root: String) {
     require(ScalarIndex.exists(dir),
       s"'$name' has no scalar index on '$field' — createScalarIndex first")
     ScalarIndex.stats(spark, dir, topN)
+  }
+
+  /** Zone-map staleness for the default partition's `field` index: one
+    * row per bucket with `zone_rows` (zone segments — appends accumulate
+    * one per commit, compaction folds back to 1) and the effective
+    * numeric/string span the range prune uses. Spans never tighten
+    * between compactions (a deleted extreme keeps its wide span —
+    * over-scan, never a wrong prune), so a high `zone_rows` tells the
+    * operator the spans may be stale-wide and a compaction
+    * ([[createScalarIndex]] re-run, or the automatic `scalarCompactAt`
+    * trigger) will re-derive tight ones. Empty for layouts that predate
+    * zone maps (range prune is off entirely there). */
+  def scalarIndexZoneStats(name: String, field: String): DataFrame = {
+    val m = metaOrThrow(name)
+    requireScalarField(field)
+    val dir = scalarFieldDir(m, field)
+    require(ScalarIndex.exists(dir),
+      s"'$name' has no scalar index on '$field' — createScalarIndex first")
+    ScalarIndex.zoneStats(spark, dir)
   }
 
   private def scalarIndexedFields(m: CollectionMeta): Seq[String] = {
@@ -3935,4 +4038,16 @@ object GraftClient {
   private[api] case object AllCells extends CellChoice
   private[api] final case class KeepCells(cells: Seq[Int]) extends CellChoice
   private[api] final case class DropCells(cells: Seq[Int]) extends CellChoice
+
+  // ---- SQ8-drain hold-back observability (test hook) ----
+  // Peak size of the margin-drain hold-back heap since the last reset —
+  // lets a spec ASSERT the driver-memory cap (held ≤ max(8·chunk, 4096)
+  // before the degrade-to-exact switch) instead of trusting it. Process-
+  // wide: concurrent drains fold into one max, which is still an upper
+  // bound for each.
+  private val drainHeldPeak = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def noteDrainHeld(n: Int): Unit =
+    drainHeldPeak.getAndAccumulate(n, math.max(_, _))
+  private[graft] def drainHeldPeakValue: Int = drainHeldPeak.get()
+  private[graft] def resetDrainHeldPeak(): Unit = drainHeldPeak.set(0)
 }

@@ -80,8 +80,10 @@ object MilvusFilter {
     * Returns (row predicate if any non-match conjunct remains, gates).
     * A match call anywhere ELSE (under OR/NOT) is rejected: a gate is a
     * candidate restriction, and only a top-level conjunct is implied by
-    * the whole filter. PHRASE_MATCH's optional slop argument must be 0
-    * (the default): the positional index evaluates exact adjacency. */
+    * the whole filter. PHRASE_MATCH's optional slop argument (≥ 0)
+    * becomes mode "phrase" (0, exact adjacency — Milvus's default) or
+    * "phrase:N" (Lucene sloppy-phrase window, which Milvus's slop
+    * mirrors), both evaluated on the positional index. */
   def parseWithMatches(filter: String): (Option[Column], Seq[(Seq[String], String)]) = {
     require(filter != null && filter.trim.nonEmpty,
       "empty filter — Milvus filter=\"\" means no predicate: pass None / lit(true)")
@@ -140,10 +142,13 @@ object MilvusFilter {
         case other => throw new IllegalArgumentException(
           s"PHRASE_MATCH slop must be an integer literal, got $other")
       }
-      require(slop == 0L,
-        s"PHRASE_MATCH slop $slop is not supported — the positional index " +
-          "evaluates exact adjacency (slop 0, Milvus's default)")
-      (terms, "phrase")
+      require(slop >= 0L && slop <= Int.MaxValue,
+        s"PHRASE_MATCH slop must be a non-negative int (got $slop)")
+      // slop rides the mode string ("phrase" = exact adjacency, the
+      // Milvus default; "phrase:N" = Lucene sloppy-phrase window N) —
+      // TextIndex.matchingDocs parses it back out, so the (terms, mode)
+      // gate tuple every search surface threads stays shape-stable
+      (terms, if (slop == 0L) "phrase" else s"phrase:$slop")
     }
   }
 

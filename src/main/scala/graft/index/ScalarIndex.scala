@@ -132,13 +132,23 @@ object ScalarIndex {
   def appendPairs(entries: DataFrame, dir: String): Unit = {
     val pairs = entries.select(col("value").cast("string"),
       col("bucket").cast("int"))
-    // zones FIRST: a reader between the two appends then sees zones
-    // covering values not yet listed (over-wide spans over-scan — sound)
-    // instead of values outside every zone (a span that could wrongly
-    // prune the new value's bucket). Both frames are batch-bounded; the
-    // callers hand in a checkpointed batch, so the double consumption is
-    // two cheap local scans, not two lineage replays.
-    zoneRows(pairs).write.mode("append").parquet(zonesPath(dir))
+    // Zones append ONLY onto an existing zones dir. Only [[write]] (the
+    // full build/compaction) may CREATE one: a pre-zone-map layout has
+    // no zones dir, and an append that created it would publish spans
+    // covering just this batch — bucketsForRange keys completeness off
+    // the dir's existence, so it would then PRUNE every bucket absent
+    // from the batch and silently drop matching rows until the next
+    // compaction. Skipping keeps such layouts on the no-range-prune path
+    // (bucketsForRange → None, sound) until compaction builds full zones.
+    // Zones (when present) go FIRST: a reader between the two appends
+    // then sees zones covering values not yet listed (over-wide spans
+    // over-scan — sound) instead of values outside every zone (a span
+    // that could wrongly prune the new value's bucket). Both frames are
+    // batch-bounded; the callers hand in a checkpointed batch, so the
+    // double consumption is two cheap local scans, not two lineage
+    // replays.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(zonesPath(dir))))
+      zoneRows(pairs).write.mode("append").parquet(zonesPath(dir))
     pairs.distinct()
       .repartition(col("bucket")) // ≤ one file per bucket per append —
                                   // see the write() comment
@@ -234,4 +244,30 @@ object ScalarIndex {
       .groupBy(col("value")).agg(count_distinct(col("bucket")).as("n_buckets"))
       .orderBy(desc("n_buckets"), col("value"))
       .limit(topN)
+
+  /** Zone-map staleness observability: one row per bucket with
+    * `zone_rows` (zone segments covering the bucket — appends accumulate
+    * one per batch, compaction folds them back to 1) and the EFFECTIVE
+    * span [[bucketsForRange]] prunes with (min/max across all of the
+    * bucket's zone rows). Spans never TIGHTEN between compactions — a
+    * bucket whose extreme value was deleted keeps its wide span (sound:
+    * over-scan only) — so `zone_rows` is the drift gauge: high counts
+    * mean the spans may be far wider than the live data and the next
+    * compaction will both fold the rows and re-derive tight spans.
+    * Empty result when the layout predates zone maps (range prune is
+    * off entirely there — see [[bucketsForRange]]). */
+  def zoneStats(spark: SparkSession, dir: String): DataFrame = {
+    val zones =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(zonesPath(dir))))
+        spark.read.schema(zonesSchema).parquet(zonesPath(dir))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(zonesSchema))
+    zones
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("zone_rows"),
+        min(col("nmin")).as("nmin"), max(col("nmax")).as("nmax"),
+        min(col("smin")).as("smin"), max(col("smax")).as("smax"))
+      .orderBy(col("bucket"))
+  }
 }

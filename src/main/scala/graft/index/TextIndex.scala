@@ -424,8 +424,18 @@ object TextIndex {
     *     PHRASE_MATCH at slop 0): doc matches iff some token offset p
     *     has terms(i) at p+i for every i — evaluated on the postings'
     *     per-(term, doc) position lists, duplicated phrase terms
-    *     included ("a b a" needs the SAME term at p and p+2).
-    * All three ride the same bucket partition prune + pushed `term IN`
+    *     included ("a b a" needs the SAME term at p and p+2);
+    *   - mode "phrase:N" = PHRASE_MATCH with slop N > 0: Lucene's
+    *     sloppy-phrase semantics (which Milvus's slop argument mirrors —
+    *     slop is "how far the terms may move"): a doc matches iff one
+    *     doc position per phrase occurrence can be chosen (same-term
+    *     occurrences at DISTINCT positions) whose ADJUSTED positions
+    *     (doc position − phrase index) all fit in a window of width N;
+    *     max(adjusted) − min(adjusted) is exactly Lucene's matchLength,
+    *     so slop 2 accepts the classic transposition ("learning
+    *     machine" for query "machine learning") and slop 0 degenerates
+    *     to the adjacency check above.
+    * All ride the same bucket partition prune + pushed `term IN`
     * as [[bm25]], with later-segment tombstones masked: I/O ∝
     * Σ df(term), never corpus — phrase adds one per-doc position
     * intersection over only the docs containing every term. Terms must
@@ -435,12 +445,21 @@ object TextIndex {
   def matchingDocs(spark: SparkSession, path: String, terms: Seq[String],
                    mode: String = "any"): DataFrame = {
     require(terms.nonEmpty, "text match needs at least one term")
-    require(mode == "any" || mode == "all" || mode == "phrase",
-      s"mode must be 'any', 'all' or 'phrase' (got '$mode')")
+    val slop: Option[Int] = mode match {
+      case "any" | "all" => None
+      case "phrase" => Some(0)
+      case s if s.startsWith("phrase:") =>
+        val n = s.drop("phrase:".length)
+        require(n.nonEmpty && n.forall(_.isDigit),
+          s"phrase slop must be a non-negative integer (got '$mode')")
+        Some(n.toInt)
+      case other => throw new IllegalArgumentException(
+        s"mode must be 'any', 'all', 'phrase' or 'phrase:<slop>' (got '$other')")
+    }
     require(exists(path), s"no text index at $path — run build first")
     val (buckets, schema, gens) = readMeta(path)
     val idCol = schema.fields.head.name
-    require(mode != "phrase" || schema.fieldNames.contains("pos"),
+    require(slop.isEmpty || schema.fieldNames.contains("pos"),
       s"$path was built before positional postings — rebuild it once " +
         "(TextIndex.build / GraftClient.buildTextIndex) to enable PHRASE_MATCH")
     val distinctTerms = terms.distinct
@@ -459,23 +478,79 @@ object TextIndex {
     else {
       // phrase: fold each candidate doc's (term → positions) rows into
       // one map (group sized |distinct terms| — bounded by the phrase,
-      // not the doc), require every term present, then check adjacency:
-      // ∃ p ∈ pos(terms(0)) with terms(i) ∋ p+i ∀ i — array_contains
-      // over the SORTED position lists
-      val grouped = matching
+      // not the doc), require every term present, then check the
+      // position constraint. Pre-fold per (id, term) FIRST: live
+      // postings are unique per (id, term), but the 'all' branch
+      // deliberately tolerates that invariant loosening (count_distinct)
+      // and map_from_entries would instead THROW DUPLICATED_MAP_KEY
+      // under the default mapKeyDedupPolicy=EXCEPTION — merging the
+      // position lists degrades the same graceful direction.
+      val perTerm = matching
+        .groupBy(col(idCol), col("term"))
+        .agg(sort_array(flatten(collect_list(col("pos")))).as("pos"))
+      val grouped = perTerm
         .groupBy(col(idCol))
         .agg(map_from_entries(collect_list(struct(col("term"), col("pos"))))
           .as("__pm"))
         .filter(size(col("__pm")) === distinctTerms.size)
       val pm = col("__pm")
-      // functions.exists qualified: the object's own exists(path) member
-      // shadows the imported higher-order function by name
-      grouped.filter(org.apache.spark.sql.functions.exists(
-          element_at(pm, lit(terms.head)), p =>
-            terms.zipWithIndex.drop(1)
-              .map { case (t, i) => array_contains(element_at(pm, lit(t)), p + i) }
-              .reduceOption(_ && _).getOrElse(lit(true))))
-        .select(col(idCol))
+      if (slop.contains(0))
+        // slop 0 stays on the codegen expression path: ∃ p ∈
+        // pos(terms(0)) with terms(i) ∋ p+i ∀ i — array_contains over
+        // the SORTED position lists. (functions.exists qualified: the
+        // object's own exists(path) member shadows the import by name.)
+        grouped.filter(org.apache.spark.sql.functions.exists(
+            element_at(pm, lit(terms.head)), p =>
+              terms.zipWithIndex.drop(1)
+                .map { case (t, i) => array_contains(element_at(pm, lit(t)), p + i) }
+                .reduceOption(_ && _).getOrElse(lit(true))))
+          .select(col(idCol))
+      else {
+        // slop > 0: the windowed selection check needs injectivity over
+        // same-term occurrences — a Scala UDF over the per-doc map, but
+        // only on candidate docs already known to contain EVERY term
+        // (Σ df-bounded, position lists bounded by doc length), so the
+        // non-codegen hop never touches the corpus-sized path.
+        val s = slop.get
+        val qTerms = terms
+        val check = udf((m: Map[String, Seq[Int]]) =>
+          sloppyPhraseMatch(qTerms, m, s))
+        grouped.filter(check(pm)).select(col(idCol))
+      }
+    }
+  }
+
+  /** Exact sloppy-phrase decision (Lucene matchLength semantics, see
+    * [[matchingDocs]]): ∃ one doc position per phrase occurrence —
+    * same-term occurrences at DISTINCT positions — whose adjusted
+    * positions (q − i) all lie within a width-`slop` window. Candidate
+    * window starts are the adjusted positions themselves (the selection
+    * minimum is one of them); per window, same-term occurrences greedily
+    * take the smallest unused in-window position — the occurrence
+    * windows [b+i, b+i+slop] are equal-length and ordered by phrase
+    * index, so greedy assignment is exact (interval-scheduling
+    * argument). Cost: O(|adjusted| · phrase² · positions) on docs
+    * already containing every term — phrase-bounded, never doc-bounded
+    * beyond the position lists. */
+  private[graft] def sloppyPhraseMatch(terms: Seq[String],
+      pm: Map[String, Seq[Int]], slop: Int): Boolean = {
+    val occs = terms.zipWithIndex
+    val byTerm = occs.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toMap
+    val bases = occs.flatMap { case (t, i) =>
+      pm.getOrElse(t, Nil).map(_ - i)
+    }.distinct
+    bases.exists { b =>
+      byTerm.forall { case (t, idxs) =>
+        // defensively re-sorted: greedy-smallest needs ascending order
+        // and callers outside the index path may pass unsorted lists
+        val positions = pm.getOrElse(t, Nil).sorted
+        val used = scala.collection.mutable.HashSet.empty[Int]
+        idxs.forall { i =>
+          positions.find(q => q >= b + i && q <= b + i + slop && !used(q))
+            .exists { q => used += q; true }
+        }
+      }
     }
   }
 

@@ -244,6 +244,64 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drained.take(whole.length) == whole.take(drained.length))
   }
 
+  test("SQ8 index going LIVE mid-drain throws loudly instead of truncating") {
+    import spark.implicits._
+    val client = newClient()
+    // SQ8-typed collection with NO index yet: the iterator dispatches
+    // onto the exact keyset path at creation
+    client.createCollection("sq8flip", dim = 2, indexType = "IVF_SQ8", nlist = 2)
+    client.upsert("sq8flip", (0 until 60).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 7).toFloat), Map.empty[String, String])
+    }.toDF("key", "vec", "meta"))
+    val it = client.searchIterator("sq8flip", Array(0f, 0f), batchSize = 5)
+    assert(it.next().nonEmpty)
+    // a build completing mid-drain is INVISIBLE to the snapshot pin
+    // (builds bump no store version) — silently flipping later pages
+    // into the depth-bounded sq8Scored pool would truncate the drain;
+    // the pinned dispatch throws instead
+    client.buildIndex("sq8flip", nlist = 2)
+    val ex = intercept[IllegalStateException] {
+      while (it.hasNext) it.next()
+    }
+    assert(ex.getMessage.contains("SQ8"), s"got: ${ex.getMessage}")
+  }
+
+  test("SQ8 drain on a distance PLATEAU: hold-back heap stays capped, order parity holds") {
+    import spark.implicits._
+    val client = newClient()
+    // 6000 IDENTICAL vectors — every exact distance equal, every row
+    // within ε of the quantized frontier until stage 1 drains: the
+    // adversarial geometry that kept the old hold-back heap unbounded
+    val n = 6000
+    val df = spark.range(n)
+      .selectExpr("lpad(cast(id as string), 8, '0') AS key",
+        "array(1.0f, 1.0f) AS vec", "map() AS meta")
+    client.createCollection("sq8dup", dim = 2, indexType = "IVF_SQ8", nlist = 2)
+    client.upsert("sq8dup", df)
+    client.buildIndex("sq8dup", nlist = 2)
+    client.createCollection("flatdup", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("flatdup", df)
+    client.buildIndex("flatdup", nlist = 2)
+    val batch = 128 // chunk = 512, cap = max(8*512, 4096) = 4096 < n
+    GraftClient.resetDrainHeldPeak()
+    def drain(name: String): Seq[String] =
+      client.searchIterator(name, Array(0.0f, 0.0f), batchSize = batch,
+        nprobe = 2).flatten.map(_.getString(0)).toSeq
+    val sq8 = drain("sq8dup")
+    // driver memory contract: the heap never exceeds cap + one chunk
+    // (the overflow batch that trips the degrade switch)
+    val cap = 4096 + batch * 4
+    assert(GraftClient.drainHeldPeakValue <= cap,
+      s"hold-back heap peaked at ${GraftClient.drainHeldPeakValue} > $cap — " +
+        "the plateau accumulated on the driver")
+    assert(GraftClient.drainHeldPeakValue > 0, "drain must have exercised the heap")
+    assert(sq8.length == n, s"plateau drain must cover all $n rows, got ${sq8.length}")
+    // emission order parity through the degrade switch: all distances
+    // tie, so the exact order is pure key order — and must equal FLAT's
+    assert(sq8 == drain("flatdup"),
+      "degraded SQ8 drain must equal the FLAT drain — same rows, same order")
+  }
+
   test("boundary validation") {
     val client = newClient()
     seed(client, "sv", 5)

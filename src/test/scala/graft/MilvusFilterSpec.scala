@@ -154,8 +154,12 @@ class MilvusFilterSpec extends AnyFunSuite {
     val (p3, g3) = MilvusFilter.parseWithMatches(
       "PHRASE_MATCH(text, 'a b', 0) and TEXT_MATCH(text, 'c')")
     assert(g3 == Seq((Seq("a", "b"), "phrase"), (Seq("c"), "any")) && p3.isEmpty)
+    // slop > 0 is supported since r11: it rides the mode string —
+    // TextMatchSpec pins the sloppy-match semantics end to end
+    val (p4, g4) = MilvusFilter.parseWithMatches("PHRASE_MATCH(text, 'a b', 2)")
+    assert(g4 == Seq((Seq("a", "b"), "phrase:2")) && p4.isEmpty)
     val slop = intercept[IllegalArgumentException](
-      MilvusFilter.parseWithMatches("PHRASE_MATCH(text, 'a b', 2)"))
+      MilvusFilter.parseWithMatches("PHRASE_MATCH(text, 'a b', -3)"))
     assert(slop.getMessage.contains("slop"))
     val orPos = intercept[IllegalArgumentException](
       MilvusFilter.parseWithMatches(

@@ -285,4 +285,76 @@ class TextMatchSpec extends AnyFunSuite {
       matchTerms = Seq("join"))
     assert(keysOf(all, "vector_key") == Set("d1", "d2", "d4"))
   }
+
+  /** Independent sloppy-phrase oracle: enumerate EVERY selection of one
+    * doc position per phrase occurrence (distinct positions) and accept
+    * iff some selection's adjusted positions (q − i) span ≤ slop — the
+    * Lucene matchLength definition, brute-forced with no greedy, no
+    * window enumeration, so it shares nothing with the index's
+    * algorithm. */
+  private def bruteSloppy(text: String, phrase: Seq[String], slop: Int): Boolean = {
+    val toks = text.split(" ").toIndexedSeq
+    def rec(i: Int, chosen: List[Int]): Boolean =
+      if (i == phrase.length) {
+        val adj = chosen.reverse.zipWithIndex.map { case (q, idx) => q - idx }
+        adj.max - adj.min <= slop
+      } else toks.indices.exists(q =>
+        toks(q) == phrase(i) && !chosen.contains(q) && rec(i + 1, q :: chosen))
+    rec(0, Nil)
+  }
+
+  test("PHRASE_MATCH slop > 0: Lucene sloppy-phrase semantics vs a brute-force twin") {
+    import spark.implicits._
+    val c = mk()
+    val slopCorpus = Seq(
+      ("s1", "machine learning rocks"),      // exact phrase: slop 0
+      ("s2", "learning machine rocks"),      // transposition: slop 2 (Milvus's doc example)
+      ("s3", "machine deep learning"),       // one gap: slop 1
+      ("s4", "machine very deep learning"),  // two gaps: slop 2
+      ("s5", "a b a"),                       // repeated-term phrase, exact
+      ("s6", "a a b c"),                     // repeated terms, displaced
+      ("s7", "learning about the machine"),  // reversed with gaps
+      ("s8", "machine machine learning"))    // duplicate first term
+    c.createCollection("slopcol", dim = 384)
+    c.upsertTexts("slopcol",
+      slopCorpus.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndex("slopcol",
+      slopCorpus.map { case (k, t) => (k, t) }.toDF("key", "text"))
+    // exhaustive cross-check: every (phrase, slop) pair against the twin
+    val phrases = Seq(Seq("machine", "learning"), Seq("learning", "machine"),
+      Seq("a", "b", "a"), Seq("a", "a"), Seq("machine", "rocks"))
+    for (p <- phrases; s <- 0 to 4) {
+      val mode = if (s == 0) "phrase" else s"phrase:$s"
+      val idx = keysOf(c.textMatchKeys("slopcol", p, mode = mode))
+      val twin = slopCorpus.filter { case (_, t) => bruteSloppy(t, p, s) }
+        .map(_._1).toSet
+      assert(idx == twin,
+        s"phrase=${p.mkString(" ")} slop=$s: index=$idx twin=$twin")
+    }
+    // the canonical ladder, pinned explicitly for readability
+    assert(keysOf(c.textMatchKeys("slopcol", Seq("machine", "learning"),
+      mode = "phrase")) == Set("s1", "s8"))
+    assert(keysOf(c.textMatchKeys("slopcol", Seq("machine", "learning"),
+      mode = "phrase:1")) == Set("s1", "s3", "s8"))
+    assert(keysOf(c.textMatchKeys("slopcol", Seq("machine", "learning"),
+      mode = "phrase:2")) == Set("s1", "s2", "s3", "s4", "s8"),
+      "slop 2 admits the transposition — Milvus's documented example")
+    // the full Milvus filter string carries the slop argument through
+    val (_, gates) = c.milvusFilterWithMatches(
+      "PHRASE_MATCH(text, 'machine learning', 2)")
+    assert(gates == Seq((Seq("machine", "learning"), "phrase:2")))
+    assert(keysOf(c.queryWhere("slopcol", lit(true), matchGates = gates)) ==
+      Set("s1", "s2", "s3", "s4", "s8"))
+    assert(keysOf(c.queryMilvus("slopcol",
+      "PHRASE_MATCH(text, 'machine learning', 1)")) == Set("s1", "s3", "s8"))
+    // negative slop / non-literal slop are parse errors, like Milvus
+    intercept[IllegalArgumentException](
+      c.milvusFilterWithMatches("PHRASE_MATCH(text, 'machine learning', -1)"))
+    intercept[IllegalArgumentException](
+      c.milvusFilterWithMatches("PHRASE_MATCH(text, 'machine learning', 'two')"))
+    // malformed slop-mode strings fail loudly at the index surface
+    intercept[IllegalArgumentException](
+      c.textMatchKeys("slopcol", Seq("machine"), mode = "phrase:x"))
+  }
 }
