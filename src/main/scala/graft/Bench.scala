@@ -51,9 +51,17 @@ object Bench {
       try Some(IngestScaleBench.run(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming ingest failed: ${e.getMessage}"); None }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failed + (if (ingest.isEmpty) 1 else 0)}""" +
-      ingest.fold("")("," + _.json) + s""","sf":${JsonStr.q(sfDir)}}""")
+      ingest.fold("")("," + _.json) + s""","sf":${JsonStr.q(sfDir)}}"""
+    println(line)
+    // the same JSON to a file: the driver's stdout capture truncates the
+    // per-query map (BENCH_r9/r10 both shipped "parsed": null), which
+    // blinds round-over-round comparison — the file copy survives intact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH.local.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH.local.json write failed: ${e.getMessage}") }
     spark.stop()
     if (failed > 0 || ingest.isEmpty) sys.exit(1)
   }

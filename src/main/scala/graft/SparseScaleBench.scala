@@ -163,6 +163,47 @@ object SparseScaleBench {
 
     require(top1.length == 10 && topCos.length == 10 && batch.length == 64 * 10,
       s"unexpected result sizes: ${top1.length}/${topCos.length}/${batch.length}")
+
+    // Incremental maintenance at ~1% churn (r11): 5k new docs + 3k
+    // rewrites + 2k deletes appended as ONE delta segment — the
+    // per-refresh cost a live hybrid dense+sparse collection pays, vs
+    // the full rebuild (index_build_sec) it paid before segments. Then
+    // the query tax of the extra segment, parity against a raw twin over
+    // the merged corpus, and compaction to fold it back.
+    val newIds = spark.range(n, n + 5000).toDF("id")
+    val rewriteIds = spark.range(0, 3000L * 211, 211).toDF("id")
+    val deleteIds = spark.range(1, 2000L * 499, 499)
+      .filter(col("id") % 211 =!= 0).limit(2000).toDF("id")
+    // rewritten/new docs: 2 dims each, deterministic
+    val deltaDocs = newIds.union(rewriteIds)
+      .select(col("id"), explode(array(
+        (col("id") % vocab).as("a"),
+        (col("id") * 31 % vocab).as("b"))).as("dim"),
+        lit(2.0).as("w"))
+      .groupBy(col("id"), col("dim")).agg(sum(col("w")).as("w"))
+    val (_, appendSec) = timed {
+      graft.index.SparseIndex.append(deltaDocs, s"$dir/idx",
+        deletedIds = Some(deleteIds))
+    }
+    meter.mark()
+    val touched = rewriteIds.union(deleteIds)
+    val mergedRaw = postings.join(touched, Seq("id"), "left_anti")
+      .unionByName(deltaDocs)
+    val (topSeg, segSec, _) = measure(
+      graft.index.SparseIndex.topK(spark, s"$dir/idx", query, k = 10).collect())
+    val topSegRaw = SparseSearch.topK(mergedRaw, query, k = 10).collect()
+    require(topSeg.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      topSegRaw.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "2-segment index topK must equal the raw merged-corpus topK exactly")
+    val (_, compactSec) = timed(
+      graft.index.SparseIndex.compact(spark, s"$dir/idx"))
+    meter.mark()
+    val (topC, compactedSec, _) = measure(
+      graft.index.SparseIndex.topK(spark, s"$dir/idx", query, k = 10).collect())
+    require(topC.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      topSeg.map(r => (r.getLong(0), r.getDouble(1))).toSeq,
+      "compaction changed query results")
+
     println(s"""{"bench":"sparse_scale","n":$n,"postings":$nPost,""" +
       s""""matched_postings":$matched,"build_sec":$buildSec,""" +
       s""""single_sec":$singleSec,"single_shuffle_bytes":$singleShuffle,""" +
@@ -171,7 +212,9 @@ object SparseScaleBench {
       s""""index_single_sec":$idxSec,"corpus_parquet_bytes":$corpusBytes,""" +
       s""""index_read_bytes":$idxReadBytes,""" +
       s""""narrow_raw_sec":$narrowRawSec,"narrow_index_sec":$narrowIdxSec,""" +
-      s""""narrow_index_read_bytes":$narrowIdxReadBytes}""")
+      s""""narrow_index_read_bytes":$narrowIdxReadBytes,""" +
+      s""""append_1pct_sec":$appendSec,"postings_2seg_sec":$segSec,""" +
+      s""""compact_sec":$compactSec,"postings_compacted_sec":$compactedSec}""")
     spark.stop()
   }
 }

@@ -491,16 +491,7 @@ class GraftClient(spark: SparkSession, root: String) {
     * applied, never a torn single-partition commit (and Milvus promises
     * nothing stronger across partitions either). */
   private def upsertRouted(m: CollectionMeta, df: DataFrame): Long = {
-    val n = m.numPartitions
-    val pk = element_at(col("meta"), lit(m.partitionKey))
-    val routed = df.select(col("key"), col("vec"), col("meta"),
-        when(pk.isNull, raise_error(lit(
-          s"row missing partition key meta['${m.partitionKey}'] — " +
-            "partition-key collections require it on every row, like " +
-            "Milvus's partition key field")))
-          .otherwise(pmod(xxhash64(pk), lit(n.toLong)).cast("int"))
-          .as("__route"))
-      .persist()
+    val routed = routeByPk(m, df).persist()
     try {
       val touched = routed.select("__route").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ numPartitions ints
@@ -511,6 +502,82 @@ class GraftClient(spark: SparkSession, root: String) {
       }
     } finally routed.unpersist()
     countParts(m, Nil)
+  }
+
+  // the one routing expression every writer of a partition-key
+  // collection uses: `__route = pmod(xxhash64(meta[pk]), numPartitions)`
+  // with a loud per-row rejection of rows missing the key (Milvus's
+  // partition key field is mandatory on every row the same way)
+  private def routeByPk(m: CollectionMeta, df: DataFrame): DataFrame = {
+    val pk = element_at(col("meta"), lit(m.partitionKey))
+    df.select(col("key"), col("vec"), col("meta"),
+      when(pk.isNull, raise_error(lit(
+        s"row missing partition key meta['${m.partitionKey}'] — " +
+          "partition-key collections require it on every row, like " +
+          "Milvus's partition key field")))
+        .otherwise(pmod(xxhash64(pk), lit(m.numPartitions.toLong)).cast("int"))
+        .as("__route"))
+  }
+
+  /** One streaming micro-batch applied to a PARTITION-KEY collection:
+    * puts route through the same `pmod(xxhash64(meta[pk]))` router as
+    * batch upserts ([[routeByPk]] — write router and read scoping share
+    * the hash, so partition-scoped search sees streamed rows); deletes
+    * fan out to every `_pk_` partition, because a delete event carries
+    * only the key and the row's home depends on a pk value the event
+    * does not know — [[deleteByKeysDf]]'s unscoped stance, with the
+    * ghost pre-resolve making untouched partitions commit NOTHING. Each
+    * partition's puts and deletes apply as ONE snapshot version;
+    * atomicity is per partition, exactly the batch router's contract
+    * (Milvus promises nothing stronger across partitions either). CAS
+    * races with concurrent writers retry bounded per partition — the
+    * same stance as the default-store streaming loop, and partition
+    * stores make contention rarer, not commoner (writers to DIFFERENT
+    * partitions never contend). */
+  private def ingestRoutedBatch(m: CollectionMeta, embedded: DataFrame,
+                                dels: DataFrame): Unit = {
+    // streaming stance on a put missing the partition key: DROP the
+    // event, don't poison the stream — batch upsert()'s raise_error
+    // would terminate the query AND every checkpoint replay of this
+    // batch (the malformed-delete precedent above); the reference 400s
+    // the single event and moves on
+    val pk = element_at(col("meta"), lit(m.partitionKey))
+    val routed = embedded.filter(pk.isNotNull)
+      .select(col("key"), col("vec"), col("meta"),
+        pmod(xxhash64(pk), lit(m.numPartitions.toLong)).cast("int")
+          .as("__route"))
+      .persist()
+    val delsP = dels.persist()
+    try {
+      val touched = routed.select("__route").distinct()
+        .collect().map(_.getInt(0)).toSet // ≤ numPartitions ints
+      // ONE tiny existence probe gates the delete fan-out: without it a
+      // delete-free batch (the common case) would pay numPartitions
+      // ghost-resolve jobs per micro-batch
+      val hasDels = delsP.limit(1).count() > 0
+      val targets: Seq[Int] =
+        if (hasDels) 0 until m.numPartitions else touched.toSeq.sorted
+      targets.foreach { i =>
+        val putsI =
+          if (touched.contains(i))
+            Some(routed.filter(col("__route") === i)
+              .select(col("key"), col("vec"), col("meta")))
+          else None
+        var attempts = 0
+        var done = false
+        while (!done) {
+          try {
+            mergeCommit(partMeta(m, s"_pk_$i"), putsI,
+              if (hasDels) Some(delsP) else None)
+            done = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              attempts += 1
+              if (attempts >= 5) throw e
+          }
+        }
+      }
+    } finally { routed.unpersist(); delsP.unpersist() }
   }
 
   /** Expose the engine through `spark.sql` (A16/A17 from pure SQL): each
@@ -1063,6 +1130,13 @@ class GraftClient(spark: SparkSession, root: String) {
     * `s3vectors-app/pythonvectordbceph.py:158-173`), rows with neither
     * are rejected like the reference's 400 arm. `ObjectRemoved:Delete`
     * events delete — per micro-batch, exactly the batch operators.
+    * Partition-key collections are first-class (the reference's
+    * event-driven shape over Milvus partition-key collections): each
+    * micro-batch routes through the pk router — puts to their hash
+    * partitions, deletes fanned to all — with per-partition atomicity,
+    * the batch router's own contract ([[ingestRoutedBatch]]); only
+    * `maintainTextIndex` stays refused there (one index stamp cannot
+    * cover many partitions' snapshot clocks).
     * `Trigger.AvailableNow` drains everything pending and stops (A20
     * strong read); pass `continuous = true` to keep running.
     * `maxFilesPerTrigger` bounds a micro-batch (admission control under
@@ -1085,13 +1159,15 @@ class GraftClient(spark: SparkSession, root: String) {
     import graft.streaming.StreamingIngest
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
-    // the streaming loop commits straight to the default store — on a
-    // partition-key collection that would bypass the router and hide
-    // rows from partition-scoped reads
-    require(metaOrThrow(name).partitionKey.isEmpty,
-      s"'$name' is a partition-key collection — streaming ingest commits " +
-        "to the default partition and would bypass the router; ingest " +
-        "via batch upsert, or use a plain collection")
+    // partition-key collections route each micro-batch through the pk
+    // router (ingestRoutedBatch); what they CANNOT have is text-index
+    // auto-maintenance — one index stamp rides one store's snapshot
+    // version and cannot cover many partitions' independent clocks
+    // (the upsertTexts contract)
+    require(metaOrThrow(name).partitionKey.isEmpty || !maintainTextIndex,
+      s"'$name' is a partition-key collection — maintainTextIndex rides " +
+        "one store's snapshot version and cannot cover routed commits; " +
+        "buildTextIndex per partition explicitly instead")
     val objects = Seq("text" -> "string", "bytes" -> "binary")
       .foldLeft(objectsDf) { case (df, (c, tpe)) =>
         if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(tpe))
@@ -1142,6 +1218,13 @@ class GraftClient(spark: SparkSession, root: String) {
           val dels = latest.filter(StreamingIngest.isDelete(col("event_name")))
             .filter(col("key").isNotNull)
             .select("key")
+          val m0 = metaOrThrow(name)
+          if (m0.partitionKey.nonEmpty) {
+            // routed collections: per-batch fan-out through the pk
+            // router — puts to their hash partitions, deletes to all;
+            // per-partition atomicity and CAS retry inside
+            ingestRoutedBatch(m0, embedded, dels)
+          } else {
           // the whole micro-batch applies as ONE snapshot version — no
           // intermediate state where puts are visible but deletes aren't.
           // No isEmpty pre-checks: mergeCommit's single touched-bucket
@@ -1191,6 +1274,7 @@ class GraftClient(spark: SparkSession, root: String) {
               Some(dels.union(nonTextKeys)),
               stampAt = Some(v))
           }
+          } // end non-routed (default-store) arm
         } finally latest.unpersist()
         ()
       }

@@ -6,34 +6,48 @@ import org.apache.spark.sql.functions._
 import graft.operators.SparseSearch
 
 /** At-rest layout for sparse-vector postings — the sparse twin of
-  * [[TextIndex]]'s treatment of BM25 postings (same bucket idea, simpler
-  * contract): `SparseSearch` over a raw postings frame scans the whole
-  * frame per query; at 100 TB the postings must live partitioned by
-  * dimension so a query's I/O is bounded by Σ df(query dim), not the
-  * corpus.
+  * [[TextIndex]]'s treatment of BM25 postings (same bucket idea, same
+  * segment-manifest maintenance contract): `SparseSearch` over a raw
+  * postings frame scans the whole frame per query; at 100 TB the
+  * postings must live partitioned by dimension so a query's I/O is
+  * bounded by Σ df(query dim), not the corpus.
   *
-  * Layout under `path/`:
-  *   - `postings/bucket=N/` — parquet (id, dim, w) partitioned by
+  * Layout under `path/` — a SEGMENT LIST (Lucene's design, re-expressed
+  * as parquet + an atomic manifest), so incremental corpus changes
+  * append a delta segment instead of rebuilding the whole postings set:
+  *   - `postings-<g>/bucket=N/` — parquet (id, dim, w) partitioned by
   *     `bucket = pmod(xxhash64(dim), buckets)`. A query computes its
   *     dims' buckets driver-side ([[dimBucket]] reuses Catalyst's own
-  *     XxHash64 so the two sides cannot drift), so the scan is a parquet
-  *     PARTITION prune to ≤|query dims| buckets plus a pushed
+  *     XxHash64 so the two sides cannot drift), so each segment scan is
+  *     a parquet PARTITION prune to ≤|query dims| buckets plus a pushed
   *     `dim IN (...)` filter within them.
-  *   - `norms/` — (id, nrm): per-vector L2 norms, materialized at build
-  *     because cosine needs ALL of a vector's dims — computing norms
-  *     from a dim-pruned scan would silently under-count. Dot queries
-  *     never read it.
-  *   - `META` — bucket count + id column name, read driver-side.
+  *   - `norms-<g>/` — (id, nrm): per-vector L2 norms of the docs this
+  *     segment wrote. Cosine needs ALL of a vector's dims — computing
+  *     norms from a dim-pruned scan would silently under-count — and
+  *     the table doubles as the segment's DOC MANIFEST: appends
+  *     tombstone superseded docs through it without touching postings
+  *     (which scatter a doc over every dim bucket). Dot queries never
+  *     read it.
+  *   - `tombstones-<g>/` — (id) of docs SUPERSEDED by this segment
+  *     (re-upserted or deleted). A row in segment i is live iff its id
+  *     is in no tombstone of a LATER segment j > i — the exact
+  *     [[TextIndex]] masking rule.
+  *   - `META` — bucket count, id column name, and the live segment list
+  *     in commit order; swapped atomically (temp file + ATOMIC_MOVE), so
+  *     readers only ever see complete segments. Pre-segment 2-line
+  *     METAs (`buckets\nidCol`) still read — their single unsuffixed
+  *     `postings/` + `norms/` layout serves queries unchanged — but
+  *     [[append]] on one fails loudly naming the rebuild recovery.
   *
   * Score parity: the scoring path is [[SparseSearch]]'s own dot kernel
-  * over the pruned frame — the prune is LOSSLESS for both metrics (a
-  * posting outside the query's dims contributes zero to every dot), so
-  * riding the index never changes a result, only the bytes read.
-  *
-  * This is a full-rebuild layout (build once, query many). Incremental
-  * corpus changes would reuse [[TextIndex]]'s segment-manifest design
-  * (delta segments + tombstones + atomic META swap) — the contract is
-  * identical; it is not duplicated here until a caller needs it.
+  * over the pruned live postings — the dim prune is LOSSLESS for both
+  * metrics (a posting outside the query's dims contributes zero to
+  * every dot) and the tombstone mask only removes superseded rows, so
+  * riding the index (segmented or not) never changes a result, only the
+  * bytes read. Query cost per live segment is one pruned scan plus a
+  * churn-sized anti-join; [[append]] auto-compacts past its thresholds
+  * (an index-sized parquet merge — postings are the source of truth, so
+  * compaction never needs the original vectors).
   */
 object SparseIndex {
 
@@ -46,49 +60,242 @@ object SparseIndex {
 
   private def metaPath(path: String) = java.nio.file.Paths.get(path, "META")
 
-  /** Write the bucketed layout. `postings` needs (idCol, dim, w). */
+  /** Write the bucketed layout as one fresh segment. `postings` needs
+    * (idCol, dim, w) — the COMPLETE posting set, one row per nonzero
+    * (doc, dim). Serialized on the path's commit lock like every other
+    * writer; the atomic META swap means a crash mid-build strands an
+    * unreferenced segment (swept by the next publish) and leaves any
+    * previous index serving. */
   def build(postings: DataFrame, path: String, buckets: Int = 64,
             idCol: String = "id"): Unit = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      writeSegment(postings, path, gen, buckets, idCol)
+      publishMeta(path, buckets, idCol, Seq(gen))
+    }
+  }
+
+  // One segment's postings + norms. The caller's frame is consumed
+  // twice (postings write + norms aggregate) — appends hand in a
+  // delta-sized batch, builds a one-time corpus pass, same stance as
+  // TextIndex.build's persist-free stats pass would cost more than the
+  // double scan for the usual parquet-backed input.
+  private def writeSegment(postings: DataFrame, path: String, gen: String,
+                           buckets: Int, idCol: String): Unit = {
     postings
       .select(col(idCol), col("dim").cast("long").as("dim"),
         col("w").cast("double").as("w"))
-      .withColumn("bucket", pmod(xxhash64(col("dim")), lit(buckets.toLong)).cast("int"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("dim")), lit(buckets.toLong)).cast("int"))
+      // cluster by the partition column — the ScalarIndex.write rationale:
+      // unclustered, every shuffle partition writes a sliver per bucket
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings-$gen")
     postings.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      .write.mode("overwrite").parquet(s"$path/norms")
-    // META last: a reader that sees META sees complete data
-    java.nio.file.Files.writeString(metaPath(path), s"$buckets\n$idCol\n")
+      .write.mode("overwrite").parquet(s"$path/norms-$gen")
   }
 
-  private def readMeta(path: String): (Int, String) = {
+  // Atomically publish META naming `gens` live, then sweep everything
+  // the list no longer references — superseded/crash-stranded segment
+  // dirs, .meta- temps, and the pre-segment `postings/`/`norms/` dirs a
+  // rebuild supersedes. Callers hold the commit lock.
+  private def publishMeta(path: String, buckets: Int, idCol: String,
+                          gens: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
+    java.nio.file.Files.write(tmp,
+      s"$buckets\n$idCol\n${gens.mkString(",")}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, metaPath(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val live = gens.toSet
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter { n =>
+          val seg = Seq("postings-", "norms-", "tombstones-")
+            .find(n.startsWith).map(p => n.drop(p.length))
+          seg.exists(!live.contains(_)) || n.startsWith(".meta-") ||
+            n == "postings" || n == "norms" // pre-segment layout, superseded
+        }
+        .toSeq
+        .foreach(n => graft.streaming.BucketedKeyedCollection.deleteTree(
+          dir.resolve(n)))
+    } finally listing.close()
+  }
+
+  // (buckets, idCol, live segment list) — gens None for a pre-segment
+  // layout (single unsuffixed postings/ + norms/ dirs).
+  private def readMeta(path: String): (Int, String, Option[Seq[String]]) = {
     require(java.nio.file.Files.exists(metaPath(path)),
       s"no sparse index at $path — build first")
     val lines = java.nio.file.Files.readString(metaPath(path)).split("\n")
-    (lines(0).trim.toInt, lines(1).trim)
+    val gens =
+      if (lines.length >= 3 && lines(2).trim.nonEmpty)
+        Some(lines(2).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      else None
+    (lines(0).trim.toInt, lines(1).trim, gens)
   }
 
-  /** The dim-pruned postings scan shared by [[topK]] and [[topKBatch]]:
-    * partition prune to the dims' buckets + pushed `dim IN` filter. */
-  private def prunedPostings(spark: SparkSession, path: String,
-      dims: Seq[Long], buckets: Int, idCol: String): DataFrame = {
-    val qBuckets = dims.map(dimBucket(_, buckets)).distinct
-    spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(qBuckets: _*) && col("dim").isin(dims: _*))
-      .select(col(idCol), col("dim"), col("w"))
+  /** Number of live segments — the auto-compaction trigger [[append]]
+    * checks (1 for a fresh build or a pre-segment layout). */
+  def segmentCount(path: String): Int = readMeta(path)._3.fold(1)(_.size)
+
+  /** Fraction of physically-stored doc rows that are DEAD (tombstoned
+    * prior versions) — [[append]]'s second compaction trigger, for
+    * re-upsert/delete-heavy churn that keeps the segment count small
+    * while per-query dead weight grows. Footer-only parquet counts. */
+  def tombstoneRatio(spark: SparkSession, path: String): Double = {
+    val (_, _, gensOpt) = readMeta(path)
+    gensOpt.fold(0.0) { gens =>
+      def rows(prefix: String): Long = gens.map { g =>
+        val p = java.nio.file.Paths.get(path, s"$prefix-$g")
+        if (java.nio.file.Files.exists(p))
+          spark.read.parquet(p.toString).count()
+        else 0L
+      }.sum
+      val total = rows("norms")
+      if (total == 0L) 0.0 else rows("tombstones").toDouble / total
+    }
   }
+
+  /** Append a DELTA segment: `postingsDelta` carries the COMPLETE
+    * posting set of each new or re-upserted doc (idCol, dim, w — a
+    * partial posting set would leave the doc's old dims serving beside
+    * the new ones); `deletedIds` (1-column frame, disjoint from the
+    * delta's ids) are removals. Cost scales with the DELTA plus one
+    * narrow id join against the per-segment norms tables — never a
+    * postings rebuild; the exact [[TextIndex.append]] contract.
+    *
+    * Auto-compacts when the live segment list exceeds `compactAt` or
+    * the dead-row fraction exceeds `tombstoneRatioAt` — each segment
+    * taxes every query with a pruned scan + anti-join, and churn
+    * accumulates dead postings the prune re-reads forever otherwise. */
+  def append(postingsDelta: DataFrame, path: String,
+             deletedIds: Option[DataFrame] = None,
+             compactAt: Int = 8, tombstoneRatioAt: Double = 0.5): Unit = {
+    require(compactAt >= 1, s"compactAt must be >= 1 (got $compactAt)")
+    require(tombstoneRatioAt > 0.0 && tombstoneRatioAt <= 1.0,
+      s"tombstoneRatioAt must be in (0, 1] (got $tombstoneRatioAt)")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
+      val spark = postingsDelta.sparkSession
+      val (buckets, idCol, gensOpt) = readMeta(path)
+      val gens = gensOpt.getOrElse(throw new IllegalStateException(
+        s"$path was built before segment support — rebuild it once " +
+          "(SparseIndex.build) to enable appends"))
+      val gen = java.util.UUID.randomUUID.toString.take(8)
+      // prior LIVE versions of every id this delta touches, via the
+      // norms doc manifests — a narrow (id) join, no postings scan
+      val touched = deletedIds.foldLeft(
+        postingsDelta.select(col(idCol)).distinct())(
+        (t, d) => t.union(d.toDF(idCol)).distinct())
+      val prior = liveNorms(spark, path, gens, idCol)
+        .select(col(idCol))
+        .join(touched, Seq(idCol), "left_semi")
+      writeSegment(postingsDelta, path, gen, buckets, idCol)
+      prior.write.mode("overwrite").parquet(s"$path/tombstones-$gen")
+      publishMeta(path, buckets, idCol, gens :+ gen)
+      if (segmentCount(path) > compactAt ||
+          tombstoneRatio(spark, path) > tombstoneRatioAt)
+        compact(spark, path)
+    }
+  }
+
+  /** Merge all live segments into ONE — from the postings themselves
+    * (mask + union + rewrite): index-sized parquet I/O, never a corpus
+    * re-derivation. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(path)) {
+      val (buckets, idCol, gensOpt) = readMeta(path)
+      gensOpt.filter(_.size > 1).foreach { gens =>
+        val gen = java.util.UUID.randomUUID.toString.take(8)
+        livePostings(spark, path, gens, idCol, None)
+          // drop the old segment's physical bucket column before the
+          // rewrite re-derives it (dim hashing is stable, but deriving
+          // fresh keeps one code path for both write sites)
+          .select(col(idCol), col("dim"), col("w"))
+          .withColumn("bucket",
+            pmod(xxhash64(col("dim")), lit(buckets.toLong)).cast("int"))
+          .repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/postings-$gen")
+        liveNorms(spark, path, gens, idCol).write.mode("overwrite")
+          .parquet(s"$path/norms-$gen")
+        publishMeta(path, buckets, idCol, Seq(gen))
+      }
+    }
+  }
+
+  // The segment-masking core (TextIndex.maskedUnion's rule): a row of
+  // segment i is live iff its id is in no tombstone of a later segment.
+  private def maskedUnion(spark: SparkSession, path: String,
+                          gens: Seq[String], idCol: String,
+                          read: String => DataFrame): DataFrame = {
+    val tombs = gens.map(g =>
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(path, s"tombstones-$g")))
+        Some(spark.read.parquet(s"$path/tombstones-$g").select(col(idCol)))
+      else None)
+    gens.indices.map { i =>
+      val later = tombs.drop(i + 1).flatten
+      val seg = read(gens(i))
+      if (later.isEmpty) seg
+      else seg.join(later.reduce(_ union _), Seq(idCol), "left_anti")
+    }.reduce(_ unionByName _)
+  }
+
+  private def livePostings(spark: SparkSession, path: String,
+                           gens: Seq[String], idCol: String,
+                           prune: Option[org.apache.spark.sql.Column]): DataFrame =
+    maskedUnion(spark, path, gens, idCol, { g =>
+      val seg = spark.read.parquet(s"$path/postings-$g")
+      prune.fold(seg)(seg.filter)
+    })
+
+  private def liveNorms(spark: SparkSession, path: String,
+                        gens: Seq[String], idCol: String): DataFrame =
+    maskedUnion(spark, path, gens, idCol,
+      g => spark.read.parquet(s"$path/norms-$g"))
+
+  /** The dim-pruned LIVE postings scan shared by [[topK]] and
+    * [[topKBatch]]: per segment, partition prune to the dims' buckets +
+    * pushed `dim IN` filter, then the tombstone mask. */
+  private def prunedPostings(spark: SparkSession, path: String,
+      dims: Seq[Long], buckets: Int, idCol: String,
+      gensOpt: Option[Seq[String]]): DataFrame = {
+    val qBuckets = dims.map(dimBucket(_, buckets)).distinct
+    val prune = col("bucket").isin(qBuckets: _*) && col("dim").isin(dims: _*)
+    gensOpt.fold(
+      spark.read.parquet(s"$path/postings").filter(prune)
+        .select(col(idCol), col("dim"), col("w")))(gens =>
+      livePostings(spark, path, gens, idCol, Some(prune))
+        .select(col(idCol), col("dim"), col("w")))
+  }
+
+  // cosine's norm side table: live across segments, or the legacy dir
+  private def normsFrame(spark: SparkSession, path: String, idCol: String,
+                         gensOpt: Option[Seq[String]]): DataFrame =
+    gensOpt.fold(spark.read.parquet(s"$path/norms"))(gens =>
+      liveNorms(spark, path, gens, idCol))
 
   /** Top-k against one query through the pruned layout. Same results as
-    * `SparseSearch.topK` over the full postings (prune is lossless);
-    * I/O is the queried buckets only. */
+    * `SparseSearch.topK` over the full live postings (prune is
+    * lossless); I/O is the queried buckets only. */
   def topK(spark: SparkSession, path: String, query: Seq[(Long, Double)],
            k: Int, metric: String = "dot"): DataFrame = {
-    val (buckets, idCol) = readMeta(path)
+    val (buckets, idCol, gensOpt) = readMeta(path)
     require(query.nonEmpty, "query sparse vector has no nonzero dimensions")
     val live = query.filter(_._2 != 0.0)
-    val pruned = prunedPostings(spark, path, live.map(_._1), buckets, idCol)
+    val pruned = prunedPostings(spark, path, live.map(_._1), buckets, idCol,
+      gensOpt)
     metric match {
       case "dot" => SparseSearch.topK(pruned, live, k, "dot", idCol)
       case "cosine" =>
@@ -97,7 +304,7 @@ object SparseIndex {
         val qn = math.sqrt(live.map(t => t._2 * t._2).sum)
         require(qn > 0.0, "query vector has zero norm")
         val dots = SparseSearch.dotScores(pruned, live, idCol)
-        val norms = spark.read.parquet(s"$path/norms")
+        val norms = normsFrame(spark, path, idCol, gensOpt)
         dots.join(norms, Seq(idCol))
           .select(col(idCol), (col("__dot") / (col("nrm") * lit(qn))).as("score"))
           .orderBy(desc("score"), col(idCol))
@@ -112,11 +319,11 @@ object SparseIndex {
     * definition, so the union is query-batch-sized, not corpus-sized). */
   def topKBatch(spark: SparkSession, path: String, queryPostings: DataFrame,
                 k: Int, metric: String = "dot"): DataFrame = {
-    val (buckets, idCol) = readMeta(path)
+    val (buckets, idCol, gensOpt) = readMeta(path)
     val dims = queryPostings.select(col("dim").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     require(dims.nonEmpty, "query batch has no nonzero dimensions")
-    val pruned = prunedPostings(spark, path, dims, buckets, idCol)
+    val pruned = prunedPostings(spark, path, dims, buckets, idCol, gensOpt)
     metric match {
       case "dot" => SparseSearch.topKBatch(pruned, queryPostings, k, "dot", idCol)
       case "cosine" =>
@@ -124,7 +331,7 @@ object SparseIndex {
         // norms; the bounded heap still caps rows per (partition, qid).
         // Zero-weight query postings dropped like SparseSearch.topKBatch:
         // an all-zero qid must match nothing, not emit NaN scores.
-        val norms = spark.read.parquet(s"$path/norms")
+        val norms = normsFrame(spark, path, idCol, gensOpt)
         val liveQ = queryPostings.filter(col("w") =!= 0.0)
         val q0 = liveQ.select(col("qid"), col("dim"), col("w").as("__qw"))
         val qnorms = liveQ.groupBy(col("qid"))

@@ -232,4 +232,77 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.nio.file.Files.exists(partsPath),
       "drop must destroy partition storage — a re-created name must not resurrect it")
   }
+
+  test("streaming ingest routes micro-batches through the pk router; deletes fan out") {
+    import spark.implicits._
+    val (client, root) = newClient()
+    val emb = graft.ingest.HashingEmbedder(8)
+    client.createCollection("pkstream", dim = 8, partitionKey = "tenant",
+      numPartitions = 4)
+    val objects = (0 until 13).map(i => (s"doc$i.txt", s"document number $i"))
+      .toDF("key", "text")
+    def notifT(eventName: String, key: String, tenant: Option[String]): String = {
+      val tags = tenant.fold("{}")(t => s"""{"tenant":"$t"}""")
+      s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3",""" +
+        s""""eventName":"$eventName","s3":{"bucket":{"name":"bkt"},""" +
+        s""""object":{"key":"$key","size":1,"tags":$tags}}}]}"""
+    }
+    def writeLanding(name: String, lines: Seq[String], mtimeMs: Long): Unit = {
+      val p = java.nio.file.Paths.get(s"$root/landing", name)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val now = System.currentTimeMillis()
+    writeLanding("f1.json", (0 until 12).map(i =>
+      notifT("ObjectCreated:Put", s"doc$i.txt", Some(s"t${i % 3}"))), now - 10000)
+    client.startIngest("pkstream", s"$root/landing", objects, embedder = emb)
+      .awaitTermination(120000)
+    assert(client.count("pkstream") == 12)
+    // value-scoped search sees exactly the streamed tenant's rows, and
+    // the plan touches ONE physical partition — the write router and the
+    // read scoping share the hash
+    val t1 = client.search("pkstream", Array.fill(8)(0f), k = 20,
+      partitionKeyValues = Seq("t1"))
+    assert(t1.collect().map(_.getAs[String]("vector_key")).toSet ==
+      (0 until 12).filter(_ % 3 == 1).map(i => s"doc$i.txt").toSet)
+    // match "_pk_N/" not "_pk_N/store": the plan renderer truncates the
+    // location path list, which can cut mid-"store"
+    val plan = t1.queryExecution.executedPlan.toString
+    assert((0 until 4).count(i => plan.contains(s"_pk_$i/")) == 1,
+      s"one tenant must hash to ONE physical partition\n${plan.take(4000)}")
+    // physical placement: every doc sits in the partition its tenant
+    // hashes to (the same Catalyst xxhash64 kernel, driver-side)
+    def home(tenant: String): Int = graft.core.CatalystHash.pmodXxhash64(
+      tenant, org.apache.spark.sql.types.StringType, 4)
+    (0 until 4).foreach { p =>
+      val inPart = client.search("pkstream", Array.fill(8)(0f), k = 20,
+          partitions = Seq(s"_pk_$p"))
+        .collect().map(_.getAs[String]("vector_key")).toSet
+      val expect = (0 until 12).filter(i => home(s"t${i % 3}") == p)
+        .map(i => s"doc$i.txt").toSet
+      assert(inPart == expect, s"partition _pk_$p holds $inPart, expected $expect")
+    }
+    // second drain: a DELETE (keyed event, no tenant tag — it must fan
+    // out and find the row's home), one new put, and a malformed put
+    // with NO tenant tag (dropped like the 400 arm, not a poison pill)
+    writeLanding("f2.json", Seq(
+      notifT("ObjectRemoved:Delete", "doc1.txt", None),
+      notifT("ObjectCreated:Put", "doc12.txt", Some("t0")),
+      notifT("ObjectCreated:Put", "doc0.txt", None)), now)
+    client.startIngest("pkstream", s"$root/landing", objects, embedder = emb)
+      .awaitTermination(120000)
+    val after = client.queryWhere("pkstream", lit(true)).collect()
+      .map(_.getAs[String]("key")).toSet
+    assert(!after.contains("doc1.txt"), "fanned-out delete must find the routed row")
+    assert(after.contains("doc12.txt"), "new put must land in its hash partition")
+    assert(after.contains("doc0.txt"),
+      "the malformed re-put is dropped; the original row must survive")
+    assert(client.count("pkstream") == 12) // 12 - 1 delete + 1 put
+    assert(client.search("pkstream", Array.fill(8)(0f), k = 20,
+        partitionKeyValues = Seq("t0")).collect()
+      .map(_.getAs[String]("vector_key")).toSet.contains("doc12.txt"),
+      "partition-scoped search must see streamed rows")
+  }
 }

@@ -97,4 +97,97 @@ class SparseIndexSpec extends AnyFunSuite {
       SparseIndex.topK(spark, "/tmp/definitely-not-an-index", query, 3))
     assert(e.getMessage.contains("build first"))
   }
+
+  private def toPostings(m: Map[Long, Map[Long, Double]]) =
+    m.toSeq.flatMap { case (id, v) => v.map { case (d, w) => (id, d, w) } }
+      .toDF("id", "dim", "w")
+
+  test("append ≡ rebuild: new docs, re-upserts, deletes; compaction stable") {
+    val dir = java.nio.file.Files.createTempDirectory("sparse-seg").toString
+    val base = vecs.filter(_._1 < 60L)
+    SparseIndex.build(toPostings(base), dir, buckets = 16)
+    // delta: 20 new docs, one RE-UPSERT (id 5 gets a completely new
+    // posting set — its old dims must stop serving), two deletes
+    val newDocs = vecs.filter(_._1 >= 60L)
+    val re5: Map[Long, Double] = Map(2L -> 9.0, 31L -> 1.5, 44L -> 2.0)
+    SparseIndex.append(toPostings(newDocs + (5L -> re5)), dir,
+      deletedIds = Some(Seq(7L, 9L).toDF("id")))
+    assert(SparseIndex.segmentCount(dir) == 2)
+    // dead rows: the prior versions of 5, 7, 9 over 81 stored docs
+    assert(math.abs(SparseIndex.tombstoneRatio(spark, dir) - 3.0 / 81) < 1e-12)
+    val merged = (base - 5L - 7L - 9L) ++ newDocs + (5L -> re5)
+    def check(): Unit = for (metric <- Seq("dot", "cosine")) {
+      val viaIndex = SparseIndex.topK(spark, dir, query, k = 80, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val viaRaw = SparseSearch.topK(toPostings(merged), query, k = 80, metric)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(viaIndex.map(_._1).toSeq == viaRaw.map(_._1).toSeq,
+        s"$metric ids diverged after append")
+      viaIndex.zip(viaRaw).foreach { case ((_, a), (_, b)) =>
+        assert(math.abs(a - b) < 1e-12, s"$metric scores diverged: $a vs $b") }
+      val qp = Seq((1L, 2L, 1.0), (1L, 9L, 2.0), (2L, 31L, 0.5))
+        .toDF("qid", "dim", "w")
+      val bIdx = SparseIndex.topKBatch(spark, dir, qp, k = 6, metric)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      val bRaw = SparseSearch.topKBatch(toPostings(merged), qp, k = 6, metric)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+      assert(bIdx == bRaw, s"$metric batch rankings diverged after append")
+    }
+    check()
+    // deleted docs must be GONE, not just down-ranked: a query hitting
+    // only doc 7's dims finds nothing of it
+    val all = SparseIndex.topK(spark, dir, query, k = 80).collect()
+      .map(_.getLong(0)).toSet
+    assert(!all.contains(7L) && !all.contains(9L))
+    // compaction folds to one segment without changing any result
+    SparseIndex.compact(spark, dir)
+    assert(SparseIndex.segmentCount(dir) == 1)
+    assert(SparseIndex.tombstoneRatio(spark, dir) == 0.0)
+    check()
+  }
+
+  test("append auto-compacts past compactAt") {
+    val dir = java.nio.file.Files.createTempDirectory("sparse-ac").toString
+    SparseIndex.build(toPostings(vecs.filter(_._1 < 40L)), dir, buckets = 8)
+    SparseIndex.append(toPostings(vecs.filter(k => k._1 >= 40L && k._1 < 60L)),
+      dir, compactAt = 1)
+    assert(SparseIndex.segmentCount(dir) == 1,
+      "compactAt = 1 must fold the appended segment immediately")
+    val got = SparseIndex.topK(spark, dir, query, k = 80)
+      .collect().map(_.getLong(0)).toSet
+    val raw = SparseSearch.topK(toPostings(vecs.filter(_._1 < 60L)), query, k = 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == raw)
+  }
+
+  test("pre-segment layouts: queries serve unchanged, append names the rebuild recovery") {
+    // simulate an index written before segment support: unsuffixed
+    // postings/ + norms/ dirs and a 2-line META
+    val dir = java.nio.file.Files.createTempDirectory("sparse-legacy").toString
+    SparseIndex.build(postingsDf, dir, buckets = 16)
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "META")).split("\n")
+    val gen = meta(2).trim
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, s"postings-$gen"),
+      java.nio.file.Paths.get(dir, "postings"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir, s"norms-$gen"),
+      java.nio.file.Paths.get(dir, "norms"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "META"),
+      s"${meta(0)}\n${meta(1)}\n")
+    val got = SparseIndex.topK(spark, dir, query, k = 12)
+      .collect().map(_.getLong(0)).toSeq
+    val raw = SparseSearch.topK(postingsDf, query, k = 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == raw, "legacy layout must keep serving")
+    val e = intercept[IllegalStateException](
+      SparseIndex.append(postingsDf.limit(1), dir))
+    assert(e.getMessage.contains("rebuild"),
+      s"append on a legacy layout must name the recovery, got: ${e.getMessage}")
+    // and a rebuild upgrades in place (sweeping the legacy dirs)
+    SparseIndex.build(postingsDf, dir, buckets = 16)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "postings")))
+    SparseIndex.append(toPostings(Map(999L -> Map(2L -> 5.0))), dir)
+    assert(SparseIndex.topK(spark, dir, query, k = 81)
+      .collect().map(_.getLong(0)).contains(999L))
+  }
 }
