@@ -416,6 +416,34 @@ object TextQueries {
       .limit(10)
   }
 
+  /** B8/C14 — Milvus `PHRASE_MATCH` with slop: the verbatim filter
+    * string `PHRASE_MATCH(text, 'hash join', 1)` a migrating caller
+    * passes, parsed by [[graft.api.MilvusFilter.parseWithMatches]] into
+    * the (terms, "phrase:1") gate and evaluated on the POSITIONAL
+    * postings index (Lucene sloppy-phrase semantics: one doc position
+    * per phrase occurrence with adjusted-position span ≤ slop — slop 1
+    * admits exactly one displacement, so "hash X join" matches and the
+    * reversed "join hash" does not). KNN-ranked like [[phraseMatchKnn]].
+    * The oracle derives token positions and checks
+    * |pos(join) − pos(hash) − 1| ≤ 1 — the 2-distinct-term closed form
+    * of the adjusted-position window. */
+  def phraseMatchSlopKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val (pred, gates) = graft.api.MilvusFilter.parseWithMatches(
+      "PHRASE_MATCH(text, 'hash join', 1)")
+    require(pred.isEmpty && gates.size == 1)
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, postingsFor(spark, dir), gates.head._1, gates.head._2)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
   /** LLM-pipeline: token counting, whitespace vs regex tokenizer. */
   def tokenizeCompare(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -462,6 +490,7 @@ object TextQueries {
     "bm25_scores" -> bm25Scores _,
     "text_match_knn" -> textMatchKnn _,
     "phrase_match_knn" -> phraseMatchKnn _,
+    "phrase_match_slop_knn" -> phraseMatchSlopKnn _,
     "hybrid_rrf" -> hybridRrf _,
     "hybrid_weighted" -> hybridWeighted _,
     "pii_redact" -> piiRedact _
@@ -589,6 +618,19 @@ object TextQueries {
     "phrase_match_knn" ->
       """WITH m AS (SELECT doc_id FROM documents
                  WHERE ' ' || text || ' ' LIKE '% hash join %'),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
+    "phrase_match_slop_knn" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+                   generate_subscripts(str_split(text, ' '), 1) AS pos
+                 FROM documents),
+           m AS (SELECT DISTINCT a.doc_id
+                 FROM toks a JOIN toks b USING (doc_id)
+                 WHERE a.w = 'hash' AND b.w = 'join'
+                   AND abs(b.pos - a.pos - 1) <= 1),
            q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS doc_id,
             list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
