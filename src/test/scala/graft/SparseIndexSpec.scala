@@ -160,6 +160,44 @@ class SparseIndexSpec extends AnyFunSuite {
     assert(got == raw)
   }
 
+  test("concurrent append vs compact: serialized on the commit lock, never a torn layout") {
+    val dir = java.nio.file.Files.createTempDirectory("sparse-race").toString
+    def docs(ids: Range) = ids.map(i =>
+      (i.toLong, 7L, 1.0 + (i % 13) * 0.01)).toDF("id", "dim", "w")
+    SparseIndex.build(docs(0 until 40), dir, buckets = 8)
+    // two writers racing on one layout: an appender streaming delta
+    // segments, a compactor folding in a loop — the commit lock must
+    // serialize them (an unserialized pair could sweep each other's
+    // in-flight segments and wedge META on a deleted dir)
+    @volatile var failure: Option[Throwable] = None
+    def guarded(body: => Unit): Runnable = () =>
+      try body catch { case t: Throwable => failure = failure.orElse(Some(t)) }
+    val appender = new Thread(guarded {
+      (0 until 5).foreach(b => SparseIndex.append(
+        docs(100 + 8 * b until 108 + 8 * b), dir, compactAt = 100))
+    })
+    val compactor = new Thread(guarded {
+      (0 until 5).foreach(_ => SparseIndex.compact(spark, dir))
+    })
+    appender.start(); compactor.start(); appender.join(); compactor.join()
+    failure.foreach(t => fail(s"concurrent writer threw: $t", t))
+    // whatever interleaving happened: every doc ever appended is live,
+    // and META references only dirs that exist (no torn sweep)
+    val expect = ((0 until 40) ++ (100 until 140)).map(_.toLong).toSet
+    def ids(): Set[Long] = SparseIndex.topK(spark, dir, Seq((7L, 1.0)), k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == expect, "a racing compact must not lose an appended segment")
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "META")).split("\n")
+    meta(2).trim.split(",").filter(_.nonEmpty).foreach { g =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"postings-$g")),
+        s"META names segment $g whose postings dir is missing — torn sweep")
+    }
+    SparseIndex.compact(spark, dir)
+    assert(SparseIndex.segmentCount(dir) == 1 && ids() == expect)
+  }
+
   test("pre-segment layouts: queries serve unchanged, append names the rebuild recovery") {
     // simulate an index written before segment support: unsuffixed
     // postings/ + norms/ dirs and a 2-line META
