@@ -530,23 +530,21 @@ class GraftClient(spark: SparkSession, root: String) {
     * partition's puts and deletes apply as ONE snapshot version;
     * atomicity is per partition, exactly the batch router's contract
     * (Milvus promises nothing stronger across partitions either). CAS
-    * races with concurrent writers retry bounded per partition — the
-    * same stance as the default-store streaming loop, and partition
-    * stores make contention rarer, not commoner (writers to DIFFERENT
-    * partitions never contend). */
+    * races with concurrent writers are absorbed by [[mergeCommit]]'s
+    * own bounded rebase-retry, and partition stores make contention
+    * rarer, not commoner (writers to DIFFERENT partitions never
+    * contend). */
   private def ingestRoutedBatch(m: CollectionMeta, embedded: DataFrame,
                                 dels: DataFrame): Unit = {
     // streaming stance on a put missing the partition key: DROP the
     // event, don't poison the stream — batch upsert()'s raise_error
-    // would terminate the query AND every checkpoint replay of this
-    // batch (the malformed-delete precedent above); the reference 400s
-    // the single event and moves on
+    // arm would terminate the query AND every checkpoint replay of
+    // this batch (the malformed-delete precedent above); the reference
+    // 400s the single event and moves on. The null filter makes
+    // routeByPk's raise arm unreachable, so both writers share ONE
+    // routing expression and can never hash differently.
     val pk = element_at(col("meta"), lit(m.partitionKey))
-    val routed = embedded.filter(pk.isNotNull)
-      .select(col("key"), col("vec"), col("meta"),
-        pmod(xxhash64(pk), lit(m.numPartitions.toLong)).cast("int")
-          .as("__route"))
-      .persist()
+    val routed = routeByPk(m, embedded.filter(pk.isNotNull)).persist()
     val delsP = dels.persist()
     try {
       val touched = routed.select("__route").distinct()
@@ -557,25 +555,17 @@ class GraftClient(spark: SparkSession, root: String) {
       val hasDels = delsP.limit(1).count() > 0
       val targets: Seq[Int] =
         if (hasDels) 0 until m.numPartitions else touched.toSeq.sorted
+      // CAS races with concurrent writers are absorbed by mergeCommit's
+      // own bounded rebase-retry (MaxCommitRetries, recomputed against
+      // the then-current snapshot); past that bound the exception
+      // terminates the query — a sustained storm should surface, not loop
       targets.foreach { i =>
-        val putsI =
+        mergeCommit(partMeta(m, s"_pk_$i"),
           if (touched.contains(i))
             Some(routed.filter(col("__route") === i)
               .select(col("key"), col("vec"), col("meta")))
-          else None
-        var attempts = 0
-        var done = false
-        while (!done) {
-          try {
-            mergeCommit(partMeta(m, s"_pk_$i"), putsI,
-              if (hasDels) Some(delsP) else None)
-            done = true
-          } catch {
-            case e: java.util.ConcurrentModificationException =>
-              attempts += 1
-              if (attempts >= 5) throw e
-          }
-        }
+          else None,
+          if (hasDels) Some(delsP) else None)
       }
     } finally { routed.unpersist(); delsP.unpersist() }
   }
@@ -1231,31 +1221,19 @@ class GraftClient(spark: SparkSession, root: String) {
           // collect doubles as the emptiness guard (an effectively-empty
           // batch commits nothing), so the batch pays no extra jobs.
           // CAS failures (a concurrent client committed mid-merge) are
-          // RETRIED here — mergeCommit recomputes everything from the
-          // fresh snapshot per call — because an exception escaping
-          // foreachBatch terminates the whole StreamingQuery: the
-          // multi-writer contract would otherwise turn a supported
-          // two-writer configuration into an ingest outage. Bounded so a
-          // pathological commit storm still surfaces instead of looping.
+          // absorbed by mergeCommit's own bounded rebase-retry
+          // (recomputed against the then-current snapshot per attempt) —
+          // an exception escaping foreachBatch terminates the whole
+          // StreamingQuery, so the multi-writer contract needs the
+          // retry, and the bound keeps a pathological commit storm
+          // surfacing instead of looping.
           // text-index auto-maintenance captures the index's
           // fresh-stamped version BEFORE the commit: appending to an
           // already-stale index would stamp it fresh while missing the
           // writes that staled it
           val freshAt =
             if (maintainTextIndex) textIndexFreshAt(metaOrThrow(name)) else None
-          var attempts = 0
-          var committed: Option[Long] = None
-          var done = false
-          while (!done) {
-            try {
-              committed = mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
-              done = true
-            } catch {
-              case e: java.util.ConcurrentModificationException =>
-                attempts += 1
-                if (attempts >= 5) throw e
-            }
-          }
+          val committed = mergeCommit(metaOrThrow(name), Some(embedded), Some(dels))
           // append ONLY if our commit is v0+1 (versions are monotonic
           // +1): a foreign commit interleaving anywhere between the
           // freshness check and our commit — including one absorbed by
@@ -1806,24 +1784,32 @@ class GraftClient(spark: SparkSession, root: String) {
       filter: Option[Column], nprobe: Int, refine: Int,
       depth: Int, cursorDist: Option[Double] = None,
       gate: Option[DataFrame] = None,
-      allowSq8: Boolean = true): DataFrame = {
+      pinnedNoIndex: Boolean = false): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
+    // The iterator surfaces pin the per-partition dispatch class at
+    // CREATION and pass pinnedNoIndex = true when the partition had no
+    // live index then: an index BUILD completing mid-drain is invisible
+    // to the snapshot pin (builds bump no store version), and silently
+    // flipping later pages would corrupt the drain either way — the SQ8
+    // arm's depth-bounded pool starves past the cursor (truncation),
+    // and the FLAT arm's nprobe cell prune drops every unprobed cell's
+    // remaining rows (the same truncation, quieter). Loud beats
+    // truncated — mirrors Sq8Stream's stale check in the other
+    // direction. (The reverse flip — live index STALING mid-drain — is
+    // the snapshot pin's job: it throws unless the caller consented via
+    // allowDrift, and drift consent covers the exact-scan fallback. A
+    // REBUILD of an already-live index at an unchanged store version is
+    // stamp-identical and not detected; it serves the same corpus.)
+    if (pinnedNoIndex && liveIdx.isDefined)
+      throw new IllegalStateException(s"${pm.name}: an index " +
+        (if (sq8Indexed(pm)) "(IVF_SQ8) " else "") +
+        "went live mid-drain (index builds are invisible to the " +
+        "snapshot pin) — the iterator was dispatched on the exact scan " +
+        "and its coverage contract would change; restart the iterator")
     liveIdx match {
       case Some(idx) if sq8Indexed(pm) =>
-        // The iterator surfaces pin the SQ8-vs-exact dispatch at
-        // CREATION and pass allowSq8 = false on the exact path: an index
-        // build completing mid-drain is invisible to the snapshot pin
-        // (builds bump no store version), and silently flipping later
-        // pages into the depth-bounded sq8Scored pool would starve past
-        // the cursor and TRUNCATE the drain. Loud beats truncated —
-        // mirrors Sq8Stream's stale check in the other direction.
-        if (!allowSq8)
-          throw new IllegalStateException(s"${pm.name}: an IVF_SQ8 index " +
-            "went live mid-drain (index builds are invisible to the " +
-            "snapshot pin) — restart the iterator to drain through the " +
-            "SQ8 path")
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
         // cursor prune stays on the FLAT/exact paths
         sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth, gate)
@@ -2436,6 +2422,13 @@ class GraftClient(spark: SparkSession, root: String) {
       mergedDrainIterator(m, parts, gates, qvec, fOpt, nprobe, refine,
         batchSize, allowDrift)
     else {
+    // per-partition dispatch class pinned at creation: a partition with
+    // no live index NOW must stay on the exact scan for the whole drain
+    // (an index going live mid-drain throws — see scoredCandidates)
+    val liveAt: Map[String, Boolean] = parts.map(p => p -> {
+      val pm = partMeta(m, p)
+      liveIndex(pm, collection(pm)).isDefined
+    }).toMap
     var cursor: Option[(Double, String)] = None
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
       val scored = parts.zip(gates)
@@ -2446,9 +2439,7 @@ class GraftClient(spark: SparkSession, root: String) {
             cursorDist = cursor.map(_._1), // deep pages skip cells the
                                            // cursor has fully passed
             gate = gate, // drain-start-pinned TEXT_MATCH key set (above)
-            allowSq8 = false) // dispatch pinned at creation: an SQ8
-                              // index going live mid-drain throws
-                              // instead of silently truncating
+            pinnedNoIndex = !liveAt(p))
         }
         .reduce(_ unionByName _)
       val after = cursor.fold(scored) { case (d, k0) =>
@@ -2507,11 +2498,12 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     class ExactStream(pm: CollectionMeta, gate: Option[DataFrame]) extends Stream {
       private var cursor: Option[(Double, String)] = None
+      // dispatch class pinned at stream creation (see scoredCandidates)
+      private val hadLiveIndex = liveIndex(pm, collection(pm)).isDefined
       override protected def refill(): Unit = {
         val scored = scoredCandidates(pm, qvec, filter, nprobe, refine, chunk,
           cursorDist = cursor.map(_._1), gate = gate,
-          allowSq8 = false) // this stream was dispatched exact at
-                            // creation — a mid-drain SQ8 flip throws
+          pinnedNoIndex = !hadLiveIndex)
         val after = cursor.fold(scored) { case (d, k0) =>
           scored.filter(col("distance") > d ||
             (col("distance") === d && col("vector_key") > k0))
@@ -2577,10 +2569,12 @@ class GraftClient(spark: SparkSession, root: String) {
       // last (margin, key) moved into `buf` — the exact-order high-water
       // mark the degraded path resumes strictly after
       private var lastOut: Option[(Double, String)] = None
-      private def exactRanked: DataFrame = {
-        val mf = filter.fold(codes)(codes.filter)
-        val keys = gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
-          .select("key")
+      // The ONE exact-rank projection both the stage-2 re-rank and the
+      // degraded drain share: (vector_key, distance, metadata, __m).
+      // Shared because the degrade switch's order-parity guarantee
+      // depends on both sites computing bit-identical doubles — two
+      // copies could silently diverge under a later edit.
+      private def rankExact(keys: DataFrame, bcast: Boolean): DataFrame = {
         val qx = typedLit(qvec)
         val score = pm.metric match {
           case "cosine" => (lit(0d) - graft.functions.VectorFunctions
@@ -2593,11 +2587,16 @@ class GraftClient(spark: SparkSession, root: String) {
             sqrt(greatest(lit(0.0), lit(2.0) + lit(2.0) * col("distance")))
           case _ => col("distance")
         }
-        // keys is Σ probed-cells rows — a distributed equi-join against
-        // the keyed store, never a broadcast assumption or a driver set
-        coll.read(spark).join(keys, Seq("key"))
+        coll.read(spark).join(if (bcast) broadcast(keys) else keys, Seq("key"))
           .select(col("key").as("vector_key"), score, col("meta").as("metadata"))
           .withColumn("__m", margin)
+      }
+      private def exactRanked: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        // keys is Σ probed-cells rows — a distributed equi-join against
+        // the keyed store, never a broadcast assumption or a driver set
+        rankExact(gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
+          .select("key"), bcast = false)
       }
       private def degradedRefill(): Unit = {
         val base = exactRanked
@@ -2627,21 +2626,7 @@ class GraftClient(spark: SparkSession, root: String) {
           if (batch.nonEmpty) {
             val keysDf = spark.createDataset(batch.map(_.getString(0)).toSeq)(
               org.apache.spark.sql.Encoders.STRING).toDF("key")
-            val qx = typedLit(qvec)
-            val score = pm.metric match {
-              case "cosine" => (lit(0d) - graft.functions.VectorFunctions
-                .cosine_similarity(col("vec"), qx)).as("distance")
-              case _ => graft.functions.VectorFunctions
-                .l2_distance(col("vec"), qx).as("distance")
-            }
-            val margin = pm.metric match {
-              case "cosine" =>
-                sqrt(greatest(lit(0.0), lit(2.0) + lit(2.0) * col("distance")))
-              case _ => col("distance")
-            }
-            coll.read(spark).join(broadcast(keysDf), Seq("key"))
-              .select(col("key").as("vector_key"), score, col("meta").as("metadata"))
-              .withColumn("__m", margin)
+            rankExact(keysDf, bcast = true)
               .collect()
               .foreach(r => held.enqueue((r.getDouble(3), r.getString(0),
                 Row(r.get(0), r.get(1), r.get(2)))))

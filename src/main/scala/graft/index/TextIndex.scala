@@ -534,17 +534,19 @@ object TextIndex {
     * beyond the position lists. */
   private[graft] def sloppyPhraseMatch(terms: Seq[String],
       pm: Map[String, Seq[Int]], slop: Int): Boolean = {
+    // defensively re-sorted ONCE per call (not per candidate window):
+    // greedy-smallest needs ascending order and callers outside the
+    // index path may pass unsorted lists
+    val sortedPm = pm.map { case (t, ps) => t -> ps.sorted }
     val occs = terms.zipWithIndex
     val byTerm = occs.groupBy(_._1).view
       .mapValues(_.map(_._2).sorted).toMap
     val bases = occs.flatMap { case (t, i) =>
-      pm.getOrElse(t, Nil).map(_ - i)
+      sortedPm.getOrElse(t, Nil).map(_ - i)
     }.distinct
     bases.exists { b =>
       byTerm.forall { case (t, idxs) =>
-        // defensively re-sorted: greedy-smallest needs ascending order
-        // and callers outside the index path may pass unsorted lists
-        val positions = pm.getOrElse(t, Nil).sorted
+        val positions = sortedPm.getOrElse(t, Nil)
         val used = scala.collection.mutable.HashSet.empty[Int]
         idxs.forall { i =>
           positions.find(q => q >= b + i && q <= b + i + slop && !used(q))

@@ -266,6 +266,27 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("SQ8"), s"got: ${ex.getMessage}")
   }
 
+  test("IVF_FLAT index going LIVE mid-drain throws too — the quiet truncation arm") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("flatflip", dim = 2, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("flatflip", (0 until 60).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 7).toFloat), Map.empty[String, String])
+    }.toDF("key", "vec", "meta"))
+    // dispatched on the exact scan (no index yet) — a FLAT index going
+    // live mid-drain would silently prune later pages to the nprobe
+    // probed cells, dropping every unprobed cell's remaining rows: the
+    // same truncation as the SQ8 flip, quieter. Must throw instead.
+    val it = client.searchIterator("flatflip", Array(0f, 0f), batchSize = 5,
+      nprobe = 1)
+    assert(it.next().nonEmpty)
+    client.buildIndex("flatflip", nlist = 2)
+    val ex = intercept[IllegalStateException] {
+      while (it.hasNext) it.next()
+    }
+    assert(ex.getMessage.contains("went live mid-drain"), s"got: ${ex.getMessage}")
+  }
+
   test("SQ8 drain on a distance PLATEAU: hold-back heap stays capped, order parity holds") {
     import spark.implicits._
     val client = newClient()
