@@ -215,7 +215,7 @@ class GraftClient(spark: SparkSession, root: String) {
             "this name) — pick another name")
       }
       deleteDir(ivfDir(meta)); deleteDir(textDir(meta))
-      deleteDir(scalarRoot(meta))
+      deleteDir(sparseIdxDir(meta)); deleteDir(scalarRoot(meta))
       deleteDir(partsDir(meta)); deleteDir(meta.dataPath)
       if (meta.partitionKey.nonEmpty)
         (0 until meta.numPartitions).foreach(i =>
@@ -262,7 +262,7 @@ class GraftClient(spark: SparkSession, root: String) {
         // same-named re-create would silently RESURRECT under a possibly
         // different dim (createCollection also clears defensively)
         deleteDir(ivfDir(m)); deleteDir(textDir(m))
-        deleteDir(scalarRoot(m))
+        deleteDir(sparseIdxDir(m)); deleteDir(scalarRoot(m))
         deleteDir(partsDir(m)); deleteDir(m.dataPath)
         catalog.dropCollection(name)
     }
@@ -961,6 +961,7 @@ class GraftClient(spark: SparkSession, root: String) {
       // is re-run)
       deleteDir(ivfDir(m))
       deleteDir(textDir(m))
+      deleteDir(sparseIdxDir(m))
       deleteDir(scalarRoot(m))
       deleteDir(m.dataPath)
       u
@@ -2812,9 +2813,12 @@ class GraftClient(spark: SparkSession, root: String) {
     val text =
       if (!TextIndex.exists(textDir(m))) Nil
       else Seq(row("TEXT", "text", textDir(m)))
+    val sparse =
+      if (!SparseIndex.exists(sparseIdxDir(m))) Nil
+      else Seq(row("SPARSE", "sparse", sparseIdxDir(m)))
     val scalars = scalarIndexedFields(m).map(f =>
       row("SCALAR", f, scalarFieldDir(m, f)))
-    (ivf ++ text ++ scalars)
+    (ivf ++ text ++ sparse ++ scalars)
       .toDF("kind", "field", "fresh", "stamped_version", "current_version")
   }
 
@@ -3881,28 +3885,100 @@ class GraftClient(spark: SparkSession, root: String) {
       .reduce(_ unionByName _)
       .distinct())
 
+  // ---- Attached sparse-vector index (the collection's OWN sparse
+  // field, lifecycle-managed like the text index) ----
+
+  private def sparseIdxDir(m: CollectionMeta) = s"${m.dataPath}-sparse"
+
+  /** Attach (or rebuild) the collection's OWN sparse-vector index — the
+    * SPLADE/lexical second vector field a Milvus collection carries
+    * next to its dense one. `postings` needs (key, dim, w): the
+    * COMPLETE posting set, keyed by collection key (the store holds
+    * only (key, vec, meta), so sparse vectors come from the caller,
+    * exactly as text does for [[buildTextIndex]]). Stamped at the
+    * store's current snapshot version LAST — a crash mid-build leaves
+    * the stamp stale and [[hybridDenseSparse]]'s attached mode refuses
+    * it loudly (there are no sparse vectors to fall back to, the
+    * TEXT_MATCH stance, not the bm25 one). Single-store collections
+    * only: the stamp rides ONE snapshot clock — partitioned /
+    * partition-key collections manage per-partition
+    * [[graft.index.SparseIndex]] layouts explicitly and pass
+    * `sparseDir`. */
+  def buildSparseIndex(name: String, postings: DataFrame,
+                       buckets: Int = 64): Unit = {
+    val m = metaOrThrow(name)
+    require(m.partitionKey.isEmpty && listedPartitions(m).size == 1,
+      s"'$name' has partitions — the attached sparse index stamps one " +
+        "store's snapshot clock; manage per-partition SparseIndex " +
+        "layouts explicitly and pass sparseDir")
+    val version = collection(m).currentVersion.getOrElse(
+      throw new IllegalStateException(s"${m.name} is empty — nothing to index"))
+    SparseIndex.build(postings.select(col("key"), col("dim"), col("w")),
+      sparseIdxDir(m), buckets, idCol = "key")
+    stampVersionFile(sparseIdxDir(m), version)
+  }
+
+  /** Incrementally maintain the attached sparse index after writes —
+    * [[appendTextIndexDf]]'s exact contract: `postingsDelta` carries the
+    * COMPLETE posting sets of the keys just upserted, `deletedKeys` (one
+    * `key` column) the removals; appends a delta segment (cost ∝ delta)
+    * and re-stamps at the store's current snapshot version (`stampAt`
+    * overrides for callers that know which commit their delta covers).
+    * Auto-compacts through [[graft.index.SparseIndex.append]]'s
+    * thresholds. A delta that misses writes makes the stamp a lie the
+    * engine cannot detect — the recovery from doubt is a
+    * [[buildSparseIndex]] rerun. */
+  def appendSparseIndex(name: String, postingsDelta: DataFrame,
+                        deletedKeys: Option[DataFrame] = None,
+                        compactAt: Int = 8,
+                        stampAt: Option[Long] = None): Unit = {
+    val m = metaOrThrow(name)
+    require(SparseIndex.exists(sparseIdxDir(m)),
+      s"'$name' has no attached sparse index — buildSparseIndex first")
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(sparseIdxDir(m))) {
+      val version = stampAt.orElse(collection(m).currentVersion).getOrElse(
+        throw new IllegalStateException(s"collection $name is empty"))
+      SparseIndex.append(postingsDelta.select(col("key"), col("dim"), col("w")),
+        sparseIdxDir(m), deletedKeys.map(_.select(col("key"))), compactAt)
+      stampVersionFile(sparseIdxDir(m), version)
+    }
+  }
+
+  private def sparseIndexFresh(m: CollectionMeta): Boolean =
+    SparseIndex.exists(sparseIdxDir(m)) &&
+      readVersionFile(sparseIdxDir(m)).exists(v =>
+        collection(m).currentVersion.contains(v))
+
   /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per
     * vector FIELD fused by a ranker: the DENSE arm is [[search]] over
     * the collection's float vectors (IVF/SQ8-pruned when fresh, same
     * filter semantics), the SPARSE arm is
     * [[graft.index.SparseIndex.topK]] over an at-rest sparse layout
     * holding the SAME keys (the SPLADE/lexical second vector a modern
-    * RAG corpus carries — build it with `SparseIndex.build` over
-    * postings whose id column is the collection key). Fusion mirrors
-    * [[hybridSearch]] exactly: "rrf" (`Σ 1/(rrfK + rank)`) emitting
-    * (key, sp_rank, vec_rank, rrf), or "weighted" min-max (Milvus
-    * WeightedRanker — each arm normalized within its top-armK, absent
-    * arm contributes 0, degenerate arm maps to 1.0) emitting
-    * (key, sp_norm, vec_norm, wscore). Top `k` by fused score.
+    * RAG corpus carries). Leave `sparseDir` empty to use the
+    * collection's ATTACHED index ([[buildSparseIndex]] /
+    * [[appendSparseIndex]]) — that mode requires the index FRESH at the
+    * store's current snapshot: a stale sparse arm could resurrect
+    * deleted keys or miss new ones in the fused ranking, and the store
+    * keeps no sparse vectors to fall back to (the TEXT_MATCH stance).
+    * An explicit `sparseDir` is the caller-managed escape hatch
+    * (per-partition layouts, external corpora) with no freshness tie.
+    * Fusion mirrors [[hybridSearch]] exactly: "rrf" (`Σ 1/(rrfK +
+    * rank)`) emitting (key, sp_rank, vec_rank, rrf), or "weighted"
+    * min-max (Milvus WeightedRanker — each arm normalized within its
+    * top-armK, absent arm contributes 0, degenerate arm maps to 1.0)
+    * emitting (key, sp_norm, vec_norm, wscore). Top `k` by fused score.
     *
     * `filter` binds BOTH arms: the dense arm pre-filters inside
     * [[search]]; the sparse arm semi-joins its ≤armK hits against the
     * filter-passing keys (which ride the scalar-index bucket prune) —
     * sparse scores are per-doc absolute (not corpus-statistical like
     * BM25), so gating after scoring changes nothing but membership. */
-  def hybridDenseSparse(name: String, sparseDir: String,
+  def hybridDenseSparse(name: String, sparseDir: String = "",
                         sparseQuery: Seq[(Long, Double)],
-                        qvec: Array[Float], k: Int = 10, armK: Int = 15,
+                        qvec: Array[Float],
+                        k: Int = 10, armK: Int = 15,
                         rrfK: Int = 60, filter: Option[Column] = None,
                         nprobe: Int = 4, sparseMetric: String = "dot",
                         fusion: String = "rrf",
@@ -3921,9 +3997,21 @@ class GraftClient(spark: SparkSession, root: String) {
       require(wVec + wSparse > 0.0, "wVec and wSparse must not both be 0")
     }
     val m = metaOrThrow(name)
+    val dir =
+      if (sparseDir.nonEmpty) sparseDir
+      else {
+        require(SparseIndex.exists(sparseIdxDir(m)),
+          s"'$name' has no attached sparse index — buildSparseIndex " +
+            "first (or pass sparseDir for a caller-managed layout)")
+        require(sparseIndexFresh(m),
+          s"'$name''s attached sparse index is STALE — appendSparseIndex " +
+            "after writes (or rebuild); the store keeps no sparse " +
+            "vectors, so there is nothing to fall back to")
+        sparseIdxDir(m)
+      }
     val gateKeys = matchGateKeys(m, matchGates)
     val gated = filter.nonEmpty || gateKeys.nonEmpty
-    val sparseHits = SparseIndex.topK(spark, sparseDir, sparseQuery,
+    val sparseHits = SparseIndex.topK(spark, dir, sparseQuery,
       // over-fetch when filtering/gating: the semi-joins below drop
       // non-passing hits AFTER the sparse top-k (the index knows nothing
       // of meta or text), so a gated arm fetches a deeper pool to keep

@@ -72,8 +72,8 @@ object SparseIndex {
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
       val gen = java.util.UUID.randomUUID.toString.take(8)
-      writeSegment(postings, path, gen, buckets, idCol)
-      publishMeta(path, buckets, idCol, Seq(gen))
+      val ddl = writeSegment(postings, path, gen, buckets, idCol)
+      publishMeta(path, buckets, idCol, Seq(gen), ddl)
     }
   }
 
@@ -83,12 +83,13 @@ object SparseIndex {
   // TextIndex.build's persist-free stats pass would cost more than the
   // double scan for the usual parquet-backed input.
   private def writeSegment(postings: DataFrame, path: String, gen: String,
-                           buckets: Int, idCol: String): Unit = {
-    postings
+                           buckets: Int, idCol: String): String = {
+    val proj = postings
       .select(col(idCol), col("dim").cast("long").as("dim"),
         col("w").cast("double").as("w"))
       .withColumn("bucket",
         pmod(xxhash64(col("dim")), lit(buckets.toLong)).cast("int"))
+    proj
       // cluster by the partition column — the ScalarIndex.write rationale:
       // unclustered, every shuffle partition writes a sliver per bucket
       .repartition(col("bucket"))
@@ -97,6 +98,7 @@ object SparseIndex {
     postings.groupBy(col(idCol))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .write.mode("overwrite").parquet(s"$path/norms-$gen")
+    proj.schema.toDDL
   }
 
   // Atomically publish META naming `gens` live, then sweep everything
@@ -104,12 +106,12 @@ object SparseIndex {
   // dirs, .meta- temps, and the pre-segment `postings/`/`norms/` dirs a
   // rebuild supersedes. Callers hold the commit lock.
   private def publishMeta(path: String, buckets: Int, idCol: String,
-                          gens: Seq[String]): Unit = {
+                          gens: Seq[String], schemaDdl: String): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
     java.nio.file.Files.write(tmp,
-      s"$buckets\n$idCol\n${gens.mkString(",")}".getBytes("UTF-8"))
+      s"$buckets\n$idCol\n${gens.mkString(",")}\n$schemaDdl".getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, metaPath(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -130,9 +132,15 @@ object SparseIndex {
     } finally listing.close()
   }
 
-  // (buckets, idCol, live segment list) — gens None for a pre-segment
-  // layout (single unsuffixed postings/ + norms/ dirs).
-  private def readMeta(path: String): (Int, String, Option[Seq[String]]) = {
+  // (buckets, idCol, live segment list, stored postings schema) — gens
+  // None for a pre-segment layout (single unsuffixed postings/ + norms/
+  // dirs); schema None for METAs written before it was recorded (reads
+  // fall back to footer inference there). The explicit schema is what
+  // keeps an EMPTY segment readable: a pure-delete append's partitioned
+  // postings write emits no part files, so inference has no footer.
+  private def readMeta(path: String)
+      : (Int, String, Option[Seq[String]],
+         Option[org.apache.spark.sql.types.StructType]) = {
     require(java.nio.file.Files.exists(metaPath(path)),
       s"no sparse index at $path — build first")
     val lines = java.nio.file.Files.readString(metaPath(path)).split("\n")
@@ -140,8 +148,26 @@ object SparseIndex {
       if (lines.length >= 3 && lines(2).trim.nonEmpty)
         Some(lines(2).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       else None
-    (lines(0).trim.toInt, lines(1).trim, gens)
+    val schema =
+      if (lines.length >= 4 && lines(3).trim.nonEmpty)
+        Some(org.apache.spark.sql.types.StructType.fromDDL(lines(3).trim))
+      else None
+    (lines(0).trim.toInt, lines(1).trim, gens, schema)
   }
+
+  // the norms/tombstones side-table schemas derive from the postings
+  // schema's id field — nothing here may hardcode the id type
+  private def normsSchema(ps: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(Seq(ps.fields.head,
+      org.apache.spark.sql.types.StructField("nrm",
+        org.apache.spark.sql.types.DoubleType)))
+  private def idSchema(ps: org.apache.spark.sql.types.StructType) =
+    org.apache.spark.sql.types.StructType(Seq(ps.fields.head))
+
+  /** Whether a sparse-index layout exists at `path` (version stamping
+    * is the CLIENT's concern, exactly like [[TextIndex.exists]]). */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(metaPath(path))
 
   /** Number of live segments — the auto-compaction trigger [[append]]
     * checks (1 for a fresh build or a pre-segment layout). */
@@ -152,7 +178,7 @@ object SparseIndex {
     * re-upsert/delete-heavy churn that keeps the segment count small
     * while per-query dead weight grows. Footer-only parquet counts. */
   def tombstoneRatio(spark: SparkSession, path: String): Double = {
-    val (_, _, gensOpt) = readMeta(path)
+    val (_, _, gensOpt, _) = readMeta(path)
     gensOpt.fold(0.0) { gens =>
       def rows(prefix: String): Long = gens.map { g =>
         val p = java.nio.file.Paths.get(path, s"$prefix-$g")
@@ -186,7 +212,7 @@ object SparseIndex {
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
       val spark = postingsDelta.sparkSession
-      val (buckets, idCol, gensOpt) = readMeta(path)
+      val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
       val gens = gensOpt.getOrElse(throw new IllegalStateException(
         s"$path was built before segment support — rebuild it once " +
           "(SparseIndex.build) to enable appends"))
@@ -196,12 +222,15 @@ object SparseIndex {
       val touched = deletedIds.foldLeft(
         postingsDelta.select(col(idCol)).distinct())(
         (t, d) => t.union(d.toDF(idCol)).distinct())
-      val prior = liveNorms(spark, path, gens, idCol)
+      val prior = liveNorms(spark, path, gens, idCol, schemaOpt)
         .select(col(idCol))
         .join(touched, Seq(idCol), "left_semi")
-      writeSegment(postingsDelta, path, gen, buckets, idCol)
+      val ddl = writeSegment(postingsDelta, path, gen, buckets, idCol)
       prior.write.mode("overwrite").parquet(s"$path/tombstones-$gen")
-      publishMeta(path, buckets, idCol, gens :+ gen)
+      // keep the FIRST recorded schema: the id type is the index's
+      // contract and a delta must conform to it, not redefine it
+      publishMeta(path, buckets, idCol, gens :+ gen,
+        schemaOpt.fold(ddl)(_.toDDL))
       if (segmentCount(path) > compactAt ||
           tombstoneRatio(spark, path) > tombstoneRatioAt)
         compact(spark, path)
@@ -214,10 +243,10 @@ object SparseIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
-      val (buckets, idCol, gensOpt) = readMeta(path)
+      val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
       gensOpt.filter(_.size > 1).foreach { gens =>
         val gen = java.util.UUID.randomUUID.toString.take(8)
-        livePostings(spark, path, gens, idCol, None)
+        livePostings(spark, path, gens, idCol, None, schemaOpt)
           // drop the old segment's physical bucket column before the
           // rewrite re-derives it (dim hashing is stable, but deriving
           // fresh keeps one code path for both write sites)
@@ -227,9 +256,11 @@ object SparseIndex {
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/postings-$gen")
-        liveNorms(spark, path, gens, idCol).write.mode("overwrite")
+        liveNorms(spark, path, gens, idCol, schemaOpt).write.mode("overwrite")
           .parquet(s"$path/norms-$gen")
-        publishMeta(path, buckets, idCol, Seq(gen))
+        publishMeta(path, buckets, idCol, Seq(gen),
+          schemaOpt.fold(
+            spark.read.parquet(s"$path/postings-$gen").schema.toDDL)(_.toDDL))
       }
     }
   }
@@ -238,11 +269,14 @@ object SparseIndex {
   // segment i is live iff its id is in no tombstone of a later segment.
   private def maskedUnion(spark: SparkSession, path: String,
                           gens: Seq[String], idCol: String,
+                          postingsSchema: Option[org.apache.spark.sql.types.StructType],
                           read: String => DataFrame): DataFrame = {
     val tombs = gens.map(g =>
       if (java.nio.file.Files.exists(
           java.nio.file.Paths.get(path, s"tombstones-$g")))
-        Some(spark.read.parquet(s"$path/tombstones-$g").select(col(idCol)))
+        Some(postingsSchema.fold(spark.read)(ps =>
+            spark.read.schema(idSchema(ps)))
+          .parquet(s"$path/tombstones-$g").select(col(idCol)))
       else None)
     gens.indices.map { i =>
       val later = tombs.drop(i + 1).flatten
@@ -254,48 +288,54 @@ object SparseIndex {
 
   private def livePostings(spark: SparkSession, path: String,
                            gens: Seq[String], idCol: String,
-                           prune: Option[org.apache.spark.sql.Column]): DataFrame =
-    maskedUnion(spark, path, gens, idCol, { g =>
-      val seg = spark.read.parquet(s"$path/postings-$g")
+                           prune: Option[org.apache.spark.sql.Column],
+                           schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    maskedUnion(spark, path, gens, idCol, schema, { g =>
+      val seg = schema.fold(spark.read)(spark.read.schema)
+        .parquet(s"$path/postings-$g")
       prune.fold(seg)(seg.filter)
     })
 
   private def liveNorms(spark: SparkSession, path: String,
-                        gens: Seq[String], idCol: String): DataFrame =
-    maskedUnion(spark, path, gens, idCol,
-      g => spark.read.parquet(s"$path/norms-$g"))
+                        gens: Seq[String], idCol: String,
+                        schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    maskedUnion(spark, path, gens, idCol, schema,
+      g => schema.fold(spark.read)(ps => spark.read.schema(normsSchema(ps)))
+        .parquet(s"$path/norms-$g"))
 
   /** The dim-pruned LIVE postings scan shared by [[topK]] and
     * [[topKBatch]]: per segment, partition prune to the dims' buckets +
     * pushed `dim IN` filter, then the tombstone mask. */
   private def prunedPostings(spark: SparkSession, path: String,
       dims: Seq[Long], buckets: Int, idCol: String,
-      gensOpt: Option[Seq[String]]): DataFrame = {
+      gensOpt: Option[Seq[String]],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val qBuckets = dims.map(dimBucket(_, buckets)).distinct
     val prune = col("bucket").isin(qBuckets: _*) && col("dim").isin(dims: _*)
     gensOpt.fold(
       spark.read.parquet(s"$path/postings").filter(prune)
         .select(col(idCol), col("dim"), col("w")))(gens =>
-      livePostings(spark, path, gens, idCol, Some(prune))
+      livePostings(spark, path, gens, idCol, Some(prune), schema)
         .select(col(idCol), col("dim"), col("w")))
   }
 
   // cosine's norm side table: live across segments, or the legacy dir
   private def normsFrame(spark: SparkSession, path: String, idCol: String,
-                         gensOpt: Option[Seq[String]]): DataFrame =
+                         gensOpt: Option[Seq[String]],
+                         schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     gensOpt.fold(spark.read.parquet(s"$path/norms"))(gens =>
-      liveNorms(spark, path, gens, idCol))
+      liveNorms(spark, path, gens, idCol, schema))
 
   /** Top-k against one query through the pruned layout. Same results as
     * `SparseSearch.topK` over the full live postings (prune is
     * lossless); I/O is the queried buckets only. */
   def topK(spark: SparkSession, path: String, query: Seq[(Long, Double)],
            k: Int, metric: String = "dot"): DataFrame = {
-    val (buckets, idCol, gensOpt) = readMeta(path)
+    val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
     require(query.nonEmpty, "query sparse vector has no nonzero dimensions")
     val live = query.filter(_._2 != 0.0)
     val pruned = prunedPostings(spark, path, live.map(_._1), buckets, idCol,
-      gensOpt)
+      gensOpt, schemaOpt)
     metric match {
       case "dot" => SparseSearch.topK(pruned, live, k, "dot", idCol)
       case "cosine" =>
@@ -304,7 +344,7 @@ object SparseIndex {
         val qn = math.sqrt(live.map(t => t._2 * t._2).sum)
         require(qn > 0.0, "query vector has zero norm")
         val dots = SparseSearch.dotScores(pruned, live, idCol)
-        val norms = normsFrame(spark, path, idCol, gensOpt)
+        val norms = normsFrame(spark, path, idCol, gensOpt, schemaOpt)
         dots.join(norms, Seq(idCol))
           .select(col(idCol), (col("__dot") / (col("nrm") * lit(qn))).as("score"))
           .orderBy(desc("score"), col(idCol))
@@ -319,11 +359,12 @@ object SparseIndex {
     * definition, so the union is query-batch-sized, not corpus-sized). */
   def topKBatch(spark: SparkSession, path: String, queryPostings: DataFrame,
                 k: Int, metric: String = "dot"): DataFrame = {
-    val (buckets, idCol, gensOpt) = readMeta(path)
+    val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
     val dims = queryPostings.select(col("dim").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
     require(dims.nonEmpty, "query batch has no nonzero dimensions")
-    val pruned = prunedPostings(spark, path, dims, buckets, idCol, gensOpt)
+    val pruned = prunedPostings(spark, path, dims, buckets, idCol, gensOpt,
+      schemaOpt)
     metric match {
       case "dot" => SparseSearch.topKBatch(pruned, queryPostings, k, "dot", idCol)
       case "cosine" =>
@@ -331,7 +372,7 @@ object SparseIndex {
         // norms; the bounded heap still caps rows per (partition, qid).
         // Zero-weight query postings dropped like SparseSearch.topKBatch:
         // an all-zero qid must match nothing, not emit NaN scores.
-        val norms = normsFrame(spark, path, idCol, gensOpt)
+        val norms = normsFrame(spark, path, idCol, gensOpt, schemaOpt)
         val liveQ = queryPostings.filter(col("w") =!= 0.0)
         val q0 = liveQ.select(col("qid"), col("dim"), col("w").as("__qw"))
         val qnorms = liveQ.groupBy(col("qid"))

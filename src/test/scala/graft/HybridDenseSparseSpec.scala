@@ -94,4 +94,60 @@ class HybridDenseSparseSpec extends AnyFunSuite {
       c.hybridDenseSparse("hc", sdir, sq, q, fusion = "weighted",
         wVec = 0.0, wSparse = 0.0))
   }
+
+  test("attached sparse index: lifecycle, freshness gate, delete cannot resurrect") {
+    import spark.implicits._
+    val (c, _) = fixture()
+    // no attached index yet → loud, names the build call
+    val none = intercept[IllegalArgumentException](
+      c.hybridDenseSparse("hc", sparseQuery = sq, qvec = q, k = 6))
+    assert(none.getMessage.contains("buildSparseIndex"))
+    c.buildSparseIndex("hc", (0 until 6).map(i =>
+      (s"k$i", 1L, (i + 1).toDouble)).toDF("key", "dim", "w"), buckets = 4)
+    assert(c.listIndexes("hc").collect().exists(r =>
+      r.getString(0) == "SPARSE" && r.getBoolean(2)))
+    // attached mode == the caller-managed mode on the same postings
+    val out = c.hybridDenseSparse("hc", sparseQuery = sq, qvec = q, k = 6)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("k0", "k5", "k1", "k4", "k2", "k3"))
+    // a commit stales it: hard error (no sparse vectors to fall back to)
+    c.upsert("hc", Seq(("k6", Seq(9f, 0f), Map("grp" -> "a")))
+      .toDF("key", "vec", "meta"))
+    val stale = intercept[IllegalArgumentException](
+      c.hybridDenseSparse("hc", sparseQuery = sq, qvec = q, k = 6))
+    assert(stale.getMessage.contains("STALE"))
+    assert(c.listIndexes("hc").collect().exists(r =>
+      r.getString(0) == "SPARSE" && !r.getBoolean(2)))
+    // delta append covers the commit → fresh again, new key ranks
+    c.appendSparseIndex("hc", Seq(("k6", 1L, 9.0)).toDF("key", "dim", "w"))
+    val withNew = c.hybridDenseSparse("hc", sparseQuery = sq, qvec = q, k = 7)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(withNew.contains("k6"))
+    // delete + append(deletedKeys): the dead key must vanish from the
+    // sparse arm too — a stale arm would resurrect it in the fusion
+    c.deleteByKeys("hc", Seq("k5"))
+    c.appendSparseIndex("hc", spark.emptyDataFrame
+        .select(lit("").as("key"), lit(0L).as("dim"), lit(0.0).as("w"))
+        .limit(0),
+      deletedKeys = Some(Seq("k5").toDF("key")))
+    val afterDel = c.hybridDenseSparse("hc", sparseQuery = sq, qvec = q, k = 7)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(!afterDel.contains("k5"),
+      s"deleted key resurrected through the sparse arm: $afterDel")
+    // drop destroys the attached layout with the collection
+    val dir = c.describe("hc").dataPath + "-sparse"
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    c.drop("hc")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("attached sparse index refuses partitioned collections") {
+    import spark.implicits._
+    val c = new GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-hds-pk").toString)
+    c.createCollection("pkc", dim = 2, partitionKey = "t", numPartitions = 2)
+    val e = intercept[IllegalArgumentException](
+      c.buildSparseIndex("pkc", Seq(("k0", 1L, 1.0)).toDF("key", "dim", "w")))
+    assert(e.getMessage.contains("sparseDir"))
+  }
 }
