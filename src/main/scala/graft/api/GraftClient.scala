@@ -3950,6 +3950,35 @@ class GraftClient(spark: SparkSession, root: String) {
       readVersionFile(sparseIdxDir(m)).exists(v =>
         collection(m).currentVersion.contains(v))
 
+  /** Milvus single-field sparse search (`anns_field` = the sparse
+    * vector, no dense arm): top-`k` against the collection's ATTACHED
+    * sparse index by dot or cosine, freshness-gated exactly like
+    * [[hybridDenseSparse]]'s attached mode. A metadata `filter` gates
+    * candidates through the filter-passing keys (scalar-index
+    * bucket-pruned) with the hybrid arm's over-fetch — sparse scores
+    * are per-doc absolute, so the gate is order-preserving. Emits
+    * (key, score), best first. */
+  def searchSparse(name: String, query: Seq[(Long, Double)], k: Int = 10,
+                   metric: String = "dot",
+                   filter: Option[Column] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val m = metaOrThrow(name)
+    require(SparseIndex.exists(sparseIdxDir(m)),
+      s"'$name' has no attached sparse index — buildSparseIndex first")
+    require(sparseIndexFresh(m),
+      s"'$name''s attached sparse index is STALE — appendSparseIndex " +
+        "after writes (or rebuild); the store keeps no sparse vectors, " +
+        "so there is nothing to fall back to")
+    val hits = SparseIndex.topK(spark, sparseIdxDir(m), query,
+      if (filter.isEmpty) k
+      else math.min(k.toLong * 4, GraftClient.MaxPageDepth).toInt, metric)
+    val keyed = hits.withColumnRenamed(hits.columns.head, "key")
+    filter.fold(keyed)(f =>
+        keyed.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
+      .orderBy(desc("score"), col("key"))
+      .limit(k)
+  }
+
   /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per
     * vector FIELD fused by a ranker: the DENSE arm is [[search]] over
     * the collection's float vectors (IVF/SQ8-pruned when fresh, same

@@ -86,6 +86,55 @@ object SparseBinaryQueries {
       .limit(10)
   }
 
+  // Shared (doc_id, dim, w) sparse postings for the at-rest index query:
+  // dims = xxhash64(word) — score-neutral as long as the hash is
+  // injective on the corpus vocabulary (64-bit hash over ~10^4 words;
+  // the fixed test corpus makes the check deterministic: a collision
+  // would fail the oracle hash compare loudly, not silently).
+  private def hashedPostings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), xxhash64(col("word")).as("dim"),
+        col("tf").cast("double").as("w"))
+
+  // Build ONCE per (dir, process) — the postingsFor pattern. The layout
+  // is deliberately built in two SEGMENTS with a correction: the base
+  // build doubles doc 0's weights (a wrong first version), then a delta
+  // append re-upserts the correct doc 0 — so the tombstone MASKING is
+  // load-bearing for the oracle hash: if a superseded row leaked, doc
+  // 0's dot would double-count and diverge.
+  private val sparseIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sparseIdxFor(spark: SparkSession, dir: String): String =
+    sparseIdxCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-sparseidx").toString
+      val tf = hashedPostings(spark, d)
+      graft.index.SparseIndex.build(
+        tf.withColumn("w",
+          when(col("doc_id") === 0L, col("w") * 2).otherwise(col("w"))),
+        p, buckets = 32, idCol = "doc_id")
+      graft.index.SparseIndex.append(tf.filter(col("doc_id") === 0L), p)
+      p
+    })
+
+  /** B7 — the AT-REST segmented sparse index on the ORACLE path: the
+    * same corpus/query as `sparse_dot_topk`, but scored through
+    * [[graft.index.SparseIndex.topK]] over the two-segment layout built
+    * above (bucket partition prune + pushed `dim IN`, later-segment
+    * tombstones masked). Emits (doc_id, dot), top-10 — hash-equal to
+    * the raw DuckDB brute force only if the prune is lossless AND the
+    * re-upsert masking holds. */
+  def sparseIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = sparseIdxFor(spark, dir)
+    val q = hashedPostings(spark, dir).filter(col("doc_id") === 0L)
+      .select(col("dim"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq // one doc's vocab
+    graft.index.SparseIndex.topK(spark, idx, q, k = 10, "dot")
+      .select(col("doc_id"), col("score").cast("long").as("dot"))
+  }
+
   /** Milvus multi-vector `hybrid_search` (two AnnSearchRequests fused by
     * RRFRanker): a DENSE arm (exact L2 over the embedding field) and a
     * SPARSE arm (term-tf dot product over the lexical field — the
@@ -133,6 +182,7 @@ object SparseBinaryQueries {
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
     "sparse_dot_topk" -> sparseDotTopK _,
+    "sparse_index_topk" -> sparseIndexTopK _,
     "hybrid_dense_sparse" -> hybridDenseSparse _
   )
 
@@ -170,6 +220,13 @@ object SparseBinaryQueries {
          SELECT d.doc_id, d.dot, round(d.dot::DOUBLE / (n.nrm * qn.qnrm), 6) AS cosine
          FROM dt d JOIN nrm n USING (doc_id), (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 0) qn
          ORDER BY d.dot DESC, d.doc_id LIMIT 10""",
+    "sparse_index_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0)
+         SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+         FROM tf t JOIN q USING (word) GROUP BY 1
+         ORDER BY dot DESC, doc_id LIMIT 10""",
     "hybrid_dense_sparse" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

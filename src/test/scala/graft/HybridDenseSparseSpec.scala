@@ -141,6 +141,30 @@ class HybridDenseSparseSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
   }
 
+  test("searchSparse: single-field sparse search with filter gate and freshness") {
+    import spark.implicits._
+    val (c, _) = fixture()
+    c.buildSparseIndex("hc", (0 until 6).map(i =>
+      (s"k$i", 1L, (i + 1).toDouble)).toDF("key", "dim", "w"), buckets = 4)
+    // scores 1..6 ⇒ k5 best; pure sparse ranking, no dense arm
+    val top = c.searchSparse("hc", sq, k = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(top == Seq(("k5", 6.0), ("k4", 5.0), ("k3", 4.0)))
+    // filter gates candidates: grp=b keeps only k5... so exclude it
+    val gated = c.searchSparse("hc", sq, k = 3,
+      filter = Some(element_at(col("meta"), lit("grp")) === "a"))
+      .collect().map(_.getString(0)).toSeq
+    assert(gated == Seq("k4", "k3", "k2"))
+    // staleness is a hard error, recovery re-opens the surface
+    c.deleteByKeys("hc", Seq("k5"))
+    intercept[IllegalArgumentException](c.searchSparse("hc", sq, k = 3))
+    c.appendSparseIndex("hc",
+      Seq.empty[(String, Long, Double)].toDF("key", "dim", "w"),
+      deletedKeys = Some(Seq("k5").toDF("key")))
+    assert(c.searchSparse("hc", sq, k = 3).collect().map(_.getString(0)).toSeq ==
+      Seq("k4", "k3", "k2"))
+  }
+
   test("attached sparse index refuses partitioned collections") {
     import spark.implicits._
     val c = new GraftClient(spark,
