@@ -51,9 +51,28 @@ object Bench {
       try Some(IngestScaleBench.run(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming ingest failed: ${e.getMessage}"); None }
+    // the routed twin: same landing files into a partition-key
+    // collection (r11) — reported beside the default-store run, with a
+    // live-key cross-check (tenant is stable per key, so the two runs
+    // must converge to the SAME live set)
+    val routed =
+      try Some(IngestScaleBench.run(spark, sfDir,
+        partitionKey = "tenant", numPartitions = 8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] routed ingest failed: ${e.getMessage}"); None }
+    val routedMismatch = (for (a <- ingest; b <- routed) yield {
+      val bad = a.liveKeys != b.liveKeys
+      if (bad) System.err.println(s"[bench] routed live-key mismatch: " +
+        s"default=${a.liveKeys} routed=${b.liveKeys}")
+      bad
+    }).getOrElse(false)
+    val extraFailed = (if (ingest.isEmpty) 1 else 0) +
+      (if (routed.isEmpty || routedMismatch) 1 else 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed + (if (ingest.isEmpty) 1 else 0)}""" +
-      ingest.fold("")("," + _.json) + s""","sf":${JsonStr.q(sfDir)}}"""
+      s""""failed":${failed + extraFailed}""" +
+      ingest.fold("")("," + _.json) +
+      routed.fold("")("," + _.jsonPrefixed("ingest_routed")) +
+      s""","sf":${JsonStr.q(sfDir)}}"""
     println(line)
     // the same JSON to a file: the driver's stdout capture truncates the
     // per-query map (BENCH_r9/r10 both shipped "parsed": null), which
@@ -63,6 +82,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH.local.json write failed: ${e.getMessage}") }
     spark.stop()
-    if (failed > 0 || ingest.isEmpty) sys.exit(1)
+    if (failed > 0 || ingest.isEmpty || routed.isEmpty || routedMismatch)
+      sys.exit(1)
   }
 }

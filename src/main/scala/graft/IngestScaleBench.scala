@@ -36,14 +36,23 @@ object IngestScaleBench {
     // archive can't parse (build.sbt pins no -Duser.language)
     private def s2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    def json: String =
-      s""""streaming_ingest_sec":${s2(wallSec)},""" +
-        s""""ingest_events_per_sec":$eventsPerSec,""" +
-        s""""ingest_batch_sec":[${batchSec.map(s2).mkString(",")}],""" +
-        s""""ingest_live_keys":$liveKeys"""
+    def json: String = jsonPrefixed("ingest")
+    /** Same fields under another key prefix — the routed arm reports as
+      * `streaming_ingest_routed_sec` etc. beside the default-store run. */
+    def jsonPrefixed(p: String): String =
+      s""""streaming_${p}_sec":${s2(wallSec)},""" +
+        s""""${p}_events_per_sec":$eventsPerSec,""" +
+        s""""${p}_batch_sec":[${batchSec.map(s2).mkString(",")}],""" +
+        s""""${p}_live_keys":$liveKeys"""
   }
 
-  def run(spark: SparkSession, sfDir: String): Result = {
+  /** With a `partitionKey`, the SAME landing files drain into a
+    * partition-key collection instead — each micro-batch fans through
+    * the pk router (puts to their hash partitions, deletes to all).
+    * The routing tag (`tenant`) is STABLE per key, so the live key set
+    * must equal the default-store run's — the cross-check Bench makes. */
+  def run(spark: SparkSession, sfDir: String, partitionKey: String = "",
+          numPartitions: Int = 0): Result = {
     val root = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
     val landing = s"$root/landing"
 
@@ -58,7 +67,13 @@ object IngestScaleBench {
       struct(
         concat(lit("obj-"), pmod(col("event_id"), lit(nKeys))).as("key"),
         col("event_id").as("size"),
-        map(lit("category"), col("event_type")).as("tags")).as("object"))
+        // tenant is a STABLE function of the KEY (not of the event):
+        // the routed arm must never move a key between partitions, the
+        // Milvus don't-change-the-partition-key contract
+        map(lit("category"), col("event_type"),
+          lit("tenant"),
+          pmod(pmod(col("event_id"), lit(nKeys)), lit(8L)).cast("string"))
+          .as("tags")).as("object"))
     val record = struct(
       lit("2.2").as("eventVersion"),
       lit("ceph:s3").as("eventSource"),
@@ -93,7 +108,11 @@ object IngestScaleBench {
       .drop("doc_id")
 
     val client = new GraftClient(spark, s"$root/store")
-    client.createCollection("bench", dim = 384, buckets = 64)
+    if (partitionKey.isEmpty)
+      client.createCollection("bench", dim = 384, buckets = 64)
+    else
+      client.createCollection("bench", dim = 384, buckets = 64,
+        partitionKey = partitionKey, numPartitions = numPartitions)
 
     val t0 = System.nanoTime()
     val q = client.startIngest("bench", landing, objects, maxFilesPerTrigger = Some(4))
@@ -156,7 +175,10 @@ object IngestScaleBench {
     val prof = if (profile) {
       val p = new JobProfiler; spark.sparkContext.addSparkListener(p); Some(p)
     } else None
-    val r = run(spark, sfDir)
+    val r =
+      if (args.contains("routed"))
+        run(spark, sfDir, partitionKey = "tenant", numPartitions = 8)
+      else run(spark, sfDir)
     println(s"""{"metric":"ingest_events_per_sec","value":${r.eventsPerSec},""" +
       s""""unit":"events/sec",${r.json},"sf":"$sfDir"}""")
     prof.foreach { p =>

@@ -781,7 +781,7 @@ class GraftClient(spark: SparkSession, root: String) {
           val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
             current.unionByName(b), col("key"), col("seq"), col("seq")))
           val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
-            .select(rowSchema.fieldNames.map(col): _*)
+            .select(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
           // The seq watermark needs no aggregation job: batch rows all
           // carry maxSeq + 1 and current rows are ≤ maxSeq, so the new
           // high-water mark is known statically (a watermark above the
@@ -944,7 +944,7 @@ class GraftClient(spark: SparkSession, root: String) {
         throw new java.util.ConcurrentModificationException(
           s"$name: collection changed while waiting to rebucket " +
             "(concurrent rebucket or drop) — re-describe and retry")
-      val rows = coll.read(spark).select(rowSchema.fieldNames.map(col): _*)
+      val rows = coll.read(spark).select(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
       val newPath = s"${m.dataPath}.rb$newBuckets"
       deleteDir(newPath) // a prior failed rebucket's partial target is dead
       val fresh = new graft.streaming.BucketedKeyedCollection(

@@ -78,7 +78,7 @@ class KeyedCollection(root: String, schema: StructType, retain: Int = 2) {
     * current snapshot and commit. Pass to `writeStream.foreachBatch`. */
   def upsertBatch(spark: SparkSession)(batch: DataFrame, batchId: Long): Unit = {
     val merged = StreamingIngest.mergeBatch(read(spark), batch)
-    commit(merged.select(schema.fieldNames.map(
+    commit(merged.select(schema.fieldNames.toIndexedSeq.map(
       n => org.apache.spark.sql.functions.col(n)): _*))
   }
 }
