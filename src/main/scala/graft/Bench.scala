@@ -61,9 +61,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] routed ingest failed: ${e.getMessage}"); None }
     val routedMismatch = (for (a <- ingest; b <- routed) yield {
-      val bad = a.liveKeys != b.liveKeys
-      if (bad) System.err.println(s"[bench] routed live-key mismatch: " +
-        s"default=${a.liveKeys} routed=${b.liveKeys}")
+      val bad = !a.sameLiveSet(b) // SET fingerprint, not just the count
+      if (bad) System.err.println(s"[bench] routed live-set mismatch: " +
+        s"default=${a.liveKeys}/${a.liveKeysHash} " +
+        s"routed=${b.liveKeys}/${b.liveKeysHash}")
       bad
     }).getOrElse(false)
     val extraFailed = (if (ingest.isEmpty) 1 else 0) +

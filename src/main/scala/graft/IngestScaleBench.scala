@@ -29,7 +29,8 @@ object IngestScaleBench {
 
   /** One measured ingest of the sf `events` fixture. Returns
     * (wall seconds, events, per-batch trigger seconds, live keys). */
-  case class Result(wallSec: Double, events: Long, batchSec: Seq[Double], liveKeys: Long) {
+  case class Result(wallSec: Double, events: Long, batchSec: Seq[Double],
+                    liveKeys: Long, liveKeysHash: Long) {
     def eventsPerSec: Long = (events / wallSec).round
     // Locale.ROOT: the f interpolator uses the JVM default locale, and a
     // comma-decimal locale would print 12,34 — malformed JSON the driver
@@ -44,6 +45,12 @@ object IngestScaleBench {
         s""""${p}_events_per_sec":$eventsPerSec,""" +
         s""""${p}_batch_sec":[${batchSec.map(s2).mkString(",")}],""" +
         s""""${p}_live_keys":$liveKeys"""
+    /** Order-free fingerprint of the live KEY SET (sum of per-key
+      * xxhash64, wrapping) — what the routed cross-check compares: a
+      * count alone would pass when errors offset (one key doubled, one
+      * lost). */
+    def sameLiveSet(o: Result): Boolean =
+      liveKeys == o.liveKeys && liveKeysHash == o.liveKeysHash
   }
 
   /** With a `partitionKey`, the SAME landing files drain into a
@@ -122,13 +129,16 @@ object IngestScaleBench {
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     val perBatchSec = batches.map(_.durationMs.get("triggerExecution").toDouble / 1e3).toSeq
     client.registerSqlViews()
-    val live = spark.sql("SELECT count(*) FROM bench").head().getLong(0)
+    val liveRow = spark.sql(
+      "SELECT count(*), coalesce(sum(xxhash64(key)), 0) FROM bench").head()
+    val live = liveRow.getLong(0)
+    val liveHash = liveRow.getLong(1)
     // scratch store + landing files are per-run throwaways — on a shared
     // box, per-round leftovers would accumulate until /tmp pressure
     // fails later Spark writes
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(root))
-    Result(wallSec, nEvents, perBatchSec, live)
+    Result(wallSec, nEvents, perBatchSec, live, liveHash)
   }
 
   /** Per-call-site Spark-job wall-time profiler — attribution for the
@@ -179,8 +189,10 @@ object IngestScaleBench {
       if (args.contains("routed"))
         run(spark, sfDir, partitionKey = "tenant", numPartitions = 8)
       else run(spark, sfDir)
+    val body = if (args.contains("routed")) r.jsonPrefixed("ingest_routed")
+               else r.json
     println(s"""{"metric":"ingest_events_per_sec","value":${r.eventsPerSec},""" +
-      s""""unit":"events/sec",${r.json},"sf":"$sfDir"}""")
+      s""""unit":"events/sec",$body,"sf":"$sfDir"}""")
     prof.foreach { p =>
       org.apache.spark.sql.GraftShim.drainListenerBus(spark)
       val rows = p.report()

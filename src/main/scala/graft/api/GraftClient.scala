@@ -2414,22 +2414,26 @@ class GraftClient(spark: SparkSession, root: String) {
     val gates: Seq[Option[DataFrame]] =
       parts.map(p => textMatchGateAll(partMeta(m, p), matchTerms, matchMode,
         matchGates).map(_.localCheckpoint()))
-    // SQ8 partitions with a LIVE index page their stage 1 on a quantized
-    // keyset (see the scaladoc); everything else keeps the one-frame
-    // (distance, key) keyset path below. Dispatch is per iterator, bound
-    // at creation like the gates.
-    if (parts.exists(p => { val pm = partMeta(m, p)
-          sq8Indexed(pm) && liveIndex(pm, collection(pm)).isDefined }))
-      mergedDrainIterator(m, parts, gates, qvec, fOpt, nprobe, refine,
-        batchSize, allowDrift)
-    else {
-    // per-partition dispatch class pinned at creation: a partition with
-    // no live index NOW must stay on the exact scan for the whole drain
-    // (an index going live mid-drain throws — see scoredCandidates)
+    // Per-partition index live-ness, evaluated EXACTLY ONCE: the
+    // dispatch branch below, the per-page pinnedNoIndex pins, and the
+    // merged path's stream selection all derive from this ONE map — a
+    // re-evaluation anywhere would reopen the TOCTOU the pin closes (an
+    // index going live between two reads would dispatch exact but pin
+    // "live", silently flipping later pages into the depth-bounded
+    // pool). liveIndex is cached per (collection, version), so this is
+    // also the cheaper shape.
     val liveAt: Map[String, Boolean] = parts.map(p => p -> {
       val pm = partMeta(m, p)
       liveIndex(pm, collection(pm)).isDefined
     }).toMap
+    // SQ8 partitions with a LIVE index page their stage 1 on a quantized
+    // keyset (see the scaladoc); everything else keeps the one-frame
+    // (distance, key) keyset path below. Dispatch is per iterator, bound
+    // at creation like the gates.
+    if (parts.exists(p => sq8Indexed(partMeta(m, p)) && liveAt(p)))
+      mergedDrainIterator(m, parts, gates, qvec, fOpt, nprobe, refine,
+        batchSize, allowDrift, liveAt)
+    else {
     var cursor: Option[(Double, String)] = None
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
       val scored = parts.zip(gates)
@@ -2482,7 +2486,8 @@ class GraftClient(spark: SparkSession, root: String) {
   private def mergedDrainIterator(m: CollectionMeta, parts: Seq[String],
       gates: Seq[Option[DataFrame]], qvec: Array[Float], filter: Option[Column],
       nprobe: Int, refine: Int, batchSize: Int,
-      allowDrift: Boolean): Iterator[Seq[Row]] = {
+      allowDrift: Boolean,
+      liveAt: Map[String, Boolean]): Iterator[Seq[Row]] = {
     require(batchSize.toLong * refine <= Int.MaxValue,
       s"batchSize * refine overflows Int (got ${batchSize.toLong * refine}) — lower refine")
     val chunk = batchSize * refine
@@ -2497,10 +2502,12 @@ class GraftClient(spark: SparkSession, root: String) {
       }
       def pop(): ((Double, String), Row) = { peek(); buf.dequeue() }
     }
-    class ExactStream(pm: CollectionMeta, gate: Option[DataFrame]) extends Stream {
+    class ExactStream(pm: CollectionMeta, gate: Option[DataFrame],
+                      hadLiveIndex: Boolean) extends Stream {
+      // hadLiveIndex comes from the creation-time liveAt map — the ONE
+      // evaluation the dispatch also used (see searchIterator); a fresh
+      // liveIndex call here would reopen the dispatch-vs-pin race
       private var cursor: Option[(Double, String)] = None
-      // dispatch class pinned at stream creation (see scoredCandidates)
-      private val hadLiveIndex = liveIndex(pm, collection(pm)).isDefined
       override protected def refill(): Unit = {
         val scored = scoredCandidates(pm, qvec, filter, nprobe, refine, chunk,
           cursorDist = cursor.map(_._1), gate = gate,
@@ -2656,9 +2663,9 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     val streams: Seq[Stream] = parts.zip(gates).map { case (p, gate) =>
       val pm = partMeta(m, p)
-      if (sq8Indexed(pm) && liveIndex(pm, collection(pm)).isDefined)
+      if (sq8Indexed(pm) && liveAt(p))
         new Sq8Stream(pm, gate)
-      else new ExactStream(pm, gate)
+      else new ExactStream(pm, gate, hadLiveIndex = liveAt(p))
     }
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -3950,33 +3957,78 @@ class GraftClient(spark: SparkSession, root: String) {
       readVersionFile(sparseIdxDir(m)).exists(v =>
         collection(m).currentVersion.contains(v))
 
+  // The ONE attached-mode gate both [[searchSparse]] and
+  // [[hybridDenseSparse]] apply (a second copy could silently diverge):
+  // layout exists, SINGLE-STORE invariant still holds — a partition
+  // created AFTER buildSparseIndex has its own snapshot clock the
+  // default store's stamp cannot see, so rows landing there would pass
+  // a "fresh" check the index never covered — and the stamp matches the
+  // store's current snapshot.
+  private def attachedSparseDirOrThrow(m: CollectionMeta): String = {
+    require(SparseIndex.exists(sparseIdxDir(m)),
+      s"'${m.name}' has no attached sparse index — buildSparseIndex " +
+        "first (or pass sparseDir for a caller-managed layout)")
+    require(listedPartitions(m).size == 1,
+      s"'${m.name}' gained partitions after buildSparseIndex — the " +
+        "attached stamp rides the default store's snapshot clock and " +
+        "cannot cover other partitions' writes; manage per-partition " +
+        "SparseIndex layouts explicitly and pass sparseDir")
+    require(sparseIndexFresh(m),
+      s"'${m.name}''s attached sparse index is STALE — appendSparseIndex " +
+        "after writes (or rebuild); the store keeps no sparse vectors, " +
+        "so there is nothing to fall back to")
+    sparseIdxDir(m)
+  }
+
+  // hits frames key by the index's id column — normalize to "key"
+  private def sparseHitsKeyed(hits: DataFrame): DataFrame =
+    hits.columns.head match {
+      case "key" => hits
+      case other => hits.withColumnRenamed(other, "key")
+    }
+
   /** Milvus single-field sparse search (`anns_field` = the sparse
     * vector, no dense arm): top-`k` against the collection's ATTACHED
     * sparse index by dot or cosine, freshness-gated exactly like
     * [[hybridDenseSparse]]'s attached mode. A metadata `filter` gates
     * candidates through the filter-passing keys (scalar-index
-    * bucket-pruned) with the hybrid arm's over-fetch — sparse scores
-    * are per-doc absolute, so the gate is order-preserving. Emits
-    * (key, score), best first. */
+    * bucket-pruned); sparse scores are per-doc absolute, so the gate is
+    * order-preserving, and the fetch DEEPENS (4×k, then ×4 per round up
+    * to [[GraftClient.MaxPageDepth]]) until k survivors exist or the
+    * index has no more hits — a selective filter cannot silently
+    * short-return while matches remain. Past the depth cap the result
+    * may hold fewer than k rows, Milvus's own offset+limit ceiling.
+    * Emits (key, score), best first. */
   def searchSparse(name: String, query: Seq[(Long, Double)], k: Int = 10,
                    metric: String = "dot",
                    filter: Option[Column] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val m = metaOrThrow(name)
-    require(SparseIndex.exists(sparseIdxDir(m)),
-      s"'$name' has no attached sparse index — buildSparseIndex first")
-    require(sparseIndexFresh(m),
-      s"'$name''s attached sparse index is STALE — appendSparseIndex " +
-        "after writes (or rebuild); the store keeps no sparse vectors, " +
-        "so there is nothing to fall back to")
-    val hits = SparseIndex.topK(spark, sparseIdxDir(m), query,
-      if (filter.isEmpty) k
-      else math.min(k.toLong * 4, GraftClient.MaxPageDepth).toInt, metric)
-    val keyed = hits.withColumnRenamed(hits.columns.head, "key")
-    filter.fold(keyed)(f =>
-        keyed.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
-      .orderBy(desc("score"), col("key"))
-      .limit(k)
+    val dir = attachedSparseDirOrThrow(m)
+    def fetch(pool: Int): DataFrame =
+      sparseHitsKeyed(SparseIndex.topK(spark, dir, query, pool, metric))
+    filter match {
+      case None => fetch(k)
+      case Some(f) =>
+        val passing = filterPassingKeys(m, f)
+        var pool = math.min(k.toLong * 4, GraftClient.MaxPageDepth).toInt
+        while (true) {
+          val hits = fetch(pool).persist()
+          try {
+            val gated = hits.join(passing, Seq("key"), "left_semi")
+              .orderBy(desc("score"), col("key"))
+              .limit(k)
+            val survivors = gated.count()
+            // done when k survivors exist, the index is exhausted (the
+            // pool came back short), or the depth cap is reached
+            if (survivors >= k || hits.count() < pool ||
+                pool >= GraftClient.MaxPageDepth)
+              return gated.localCheckpoint() // detach from the persist
+            pool = math.min(pool.toLong * 4, GraftClient.MaxPageDepth).toInt
+          } finally hits.unpersist()
+        }
+        throw new IllegalStateException("unreachable")
+    }
   }
 
   /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per
@@ -4028,16 +4080,7 @@ class GraftClient(spark: SparkSession, root: String) {
     val m = metaOrThrow(name)
     val dir =
       if (sparseDir.nonEmpty) sparseDir
-      else {
-        require(SparseIndex.exists(sparseIdxDir(m)),
-          s"'$name' has no attached sparse index — buildSparseIndex " +
-            "first (or pass sparseDir for a caller-managed layout)")
-        require(sparseIndexFresh(m),
-          s"'$name''s attached sparse index is STALE — appendSparseIndex " +
-            "after writes (or rebuild); the store keeps no sparse " +
-            "vectors, so there is nothing to fall back to")
-        sparseIdxDir(m)
-      }
+      else attachedSparseDirOrThrow(m)
     val gateKeys = matchGateKeys(m, matchGates)
     val gated = filter.nonEmpty || gateKeys.nonEmpty
     val sparseHits = SparseIndex.topK(spark, dir, sparseQuery,
@@ -4049,10 +4092,7 @@ class GraftClient(spark: SparkSession, root: String) {
       if (!gated) armK
       else math.min(armK.toLong * 4, GraftClient.MaxPageDepth).toInt,
       sparseMetric)
-    val sparseKeyed = sparseHits.columns.head match {
-      case "key" => sparseHits
-      case other => sparseHits.withColumnRenamed(other, "key")
-    }
+    val sparseKeyed = sparseHitsKeyed(sparseHits)
     val sparseGated = gateKeys.foldLeft(
         filter.map(f => sparseKeyed.join(filterPassingKeys(m, f),
           Seq("key"), "left_semi")).getOrElse(sparseKeyed))(

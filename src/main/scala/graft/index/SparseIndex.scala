@@ -246,21 +246,24 @@ object SparseIndex {
       val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
       gensOpt.filter(_.size > 1).foreach { gens =>
         val gen = java.util.UUID.randomUUID.toString.take(8)
-        livePostings(spark, path, gens, idCol, None, schemaOpt)
+        val compacted = livePostings(spark, path, gens, idCol, None, schemaOpt)
           // drop the old segment's physical bucket column before the
           // rewrite re-derives it (dim hashing is stable, but deriving
           // fresh keeps one code path for both write sites)
           .select(col(idCol), col("dim"), col("w"))
           .withColumn("bucket",
             pmod(xxhash64(col("dim")), lit(buckets.toLong)).cast("int"))
+        compacted
           .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/postings-$gen")
         liveNorms(spark, path, gens, idCol, schemaOpt).write.mode("overwrite")
           .parquet(s"$path/norms-$gen")
+        // fallback schema from the PLAN, never a re-read: an all-dead
+        // compaction writes an EMPTY partitioned dir (no footers), the
+        // exact case the stored schema exists for
         publishMeta(path, buckets, idCol, Seq(gen),
-          schemaOpt.fold(
-            spark.read.parquet(s"$path/postings-$gen").schema.toDDL)(_.toDDL))
+          schemaOpt.fold(compacted.schema.toDDL)(_.toDDL))
       }
     }
   }

@@ -155,6 +155,14 @@ class HybridDenseSparseSpec extends AnyFunSuite {
       filter = Some(element_at(col("meta"), lit("grp")) === "a"))
       .collect().map(_.getString(0)).toSeq
     assert(gated == Seq("k4", "k3", "k2"))
+    // a SELECTIVE filter must deepen, not short-return: k0 is the
+    // WORST sparse hit (rank 6), outside the first k*4 = 4 pool — the
+    // fetch must widen until the survivor surfaces
+    val deep = c.searchSparse("hc", sq, k = 1,
+      filter = Some(col("key") === "k0"))
+      .collect().map(_.getString(0)).toSeq
+    assert(deep == Seq("k0"),
+      s"selective filter must deepen past the first pool, got $deep")
     // staleness is a hard error, recovery re-opens the surface
     c.deleteByKeys("hc", Seq("k5"))
     intercept[IllegalArgumentException](c.searchSparse("hc", sq, k = 3))
@@ -173,5 +181,28 @@ class HybridDenseSparseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       c.buildSparseIndex("pkc", Seq(("k0", 1L, 1.0)).toDF("key", "dim", "w")))
     assert(e.getMessage.contains("sparseDir"))
+  }
+
+  test("a partition created AFTER buildSparseIndex closes the attached surface") {
+    import spark.implicits._
+    val c = new GraftClient(spark,
+      java.nio.file.Files.createTempDirectory("graft-hds-late").toString)
+    c.createCollection("lp", dim = 2)
+    c.upsert("lp", Seq(("k0", Seq(1f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    c.buildSparseIndex("lp", Seq(("k0", 1L, 1.0)).toDF("key", "dim", "w"))
+    assert(c.searchSparse("lp", Seq((1L, 1.0)), k = 1).count() == 1)
+    // the new partition has its OWN snapshot clock — rows landing there
+    // would pass a default-store-only freshness check the index never
+    // covered, so the gate must close, naming the escape hatch
+    c.createPartition("lp", "p2")
+    c.upsert("lp", Seq(("z", Seq(2f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"), partition = "p2")
+    val e = intercept[IllegalArgumentException](
+      c.searchSparse("lp", Seq((1L, 1.0)), k = 1))
+    assert(e.getMessage.contains("sparseDir"), s"got: ${e.getMessage}")
+    intercept[IllegalArgumentException](
+      c.hybridDenseSparse("lp", sparseQuery = Seq((1L, 1.0)),
+        qvec = Array(0f, 0f), k = 1))
   }
 }
