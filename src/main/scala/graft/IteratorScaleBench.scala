@@ -110,13 +110,50 @@ object IteratorScaleBench {
       s"SQ8 drain lost rows: ${sq8Keys.length} of $n")
     require(sq8Parity, "SQ8 drain order diverged from the FLAT drain")
 
+    // SQ8 distance-PLATEAU drain (r11): n/4 IDENTICAL vectors — the
+    // adversarial geometry for the margin drain's hold-back heap. The
+    // capped heap must flip the stream to the exact re-rank path and
+    // still drain everything in exact (key) order with bounded driver
+    // memory; the peak held size is counter-asserted against the cap.
+    val nDup = n / 4
+    client.createCollection("itdup", dim = dim, metric = "l2",
+      indexType = "IVF_SQ8")
+    client.upsert("itdup", spark.range(nDup)
+      .selectExpr("lpad(cast(id as string), 8, '0') AS key",
+        s"array_repeat(1.0f, $dim) AS vec", "map() AS meta"))
+    client.buildIndex("itdup", nlist = 2)
+    graft.api.GraftClient.resetDrainHeldPeak()
+    val dupBatch = 512 // chunk 2048, cap max(8*2048, 4096) = 16384 < nDup
+    var dupCount = 0L
+    var dupOrdered = true
+    var prevKey = ""
+    val dit = client.searchIterator("itdup", q, batchSize = dupBatch, nprobe = 2)
+    val tP = System.nanoTime()
+    while (dit.hasNext) dit.next().foreach { r =>
+      val k = r.getString(0)
+      if (k <= prevKey && dupCount > 0) dupOrdered = false
+      prevKey = k; dupCount += 1
+    }
+    val plateauSec = (System.nanoTime() - tP) / 1e9
+    val heldPeak = graft.api.GraftClient.drainHeldPeakValue
+    val heldCap = 8 * dupBatch * 4 + dupBatch * 4
+    require(dupCount == nDup,
+      s"plateau drain lost rows: $dupCount of $nDup")
+    require(dupOrdered, "plateau drain emitted out of key order — " +
+      "tie-break parity broken through the degrade switch")
+    require(heldPeak <= heldCap,
+      s"hold-back heap peaked at $heldPeak > $heldCap — plateau " +
+        "accumulated on the driver")
+
     println(s"""{"bench":"iterator_scale","n":$n,"clusters":$clusters,""" +
       s""""setup_sec":$setupSec,"drain_sec":$drainSec,"pages":${pageSec.length},""" +
       s""""early_page_sec":$early,"late_page_sec":$late,""" +
       s""""late_cursor_pruned_cells":$prunedCells,""" +
       s""""query_drain_rows":$qRows,"query_drain_sec":$querySec,""" +
       s""""sq8_drain_sec":$sq8Sec,"sq8_drained":${sq8Keys.length},""" +
-      s""""sq8_parity":$sq8Parity}""")
+      s""""sq8_parity":$sq8Parity,""" +
+      s""""plateau_n":$nDup,"plateau_drain_sec":$plateauSec,""" +
+      s""""plateau_held_peak":$heldPeak,"plateau_held_cap":$heldCap}""")
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(root))
     spark.stop()
