@@ -494,12 +494,26 @@ class GraftClient(spark: SparkSession, root: String) {
     val routed = routeByPk(m, df).persist()
     try {
       val touched = routed.select("__route").distinct()
-        .collect().map(_.getInt(0)).sorted // ≤ numPartitions ints
-      touched.foreach { i =>
-        mergeCommit(partMeta(m, s"_pk_$i"),
-          Some(routed.filter(col("__route") === i)
-            .select(col("key"), col("vec"), col("meta"))), None)
-      }
+        .collect().map(_.getInt(0)).toSet // ≤ numPartitions ints
+      if (touched.nonEmpty)
+        // EVERY partition commits: Milvus upsert is delete-by-PK +
+        // insert, so a key whose pk VALUE changed must MOVE — its new
+        // copy lands in the routed partition while the same commit
+        // clears it from every other one (otherwise the stale copy
+        // stays live there: unioned reads return both rows, counts
+        // inflate, and a pk-scoped read of the OLD value serves deleted
+        // data). Partitions holding none of the batch's keys resolve
+        // and commit NOTHING (the ghost pre-resolve), so the steady
+        // state costs one keys'-buckets resolve scan per partition.
+        (0 until m.numPartitions).foreach { i =>
+          val putsI =
+            if (touched.contains(i))
+              Some(routed.filter(col("__route") === i)
+                .select(col("key"), col("vec"), col("meta")))
+            else None
+          val movedAway = routed.filter(col("__route") =!= i).select("key")
+          mergeCommit(partMeta(m, s"_pk_$i"), putsI, Some(movedAway))
+        }
     } finally routed.unpersist()
     countParts(m, Nil)
   }
@@ -526,7 +540,10 @@ class GraftClient(spark: SparkSession, root: String) {
     * fan out to every `_pk_` partition, because a delete event carries
     * only the key and the row's home depends on a pk value the event
     * does not know — [[deleteByKeysDf]]'s unscoped stance, with the
-    * ghost pre-resolve making untouched partitions commit NOTHING. Each
+    * ghost pre-resolve making untouched partitions commit NOTHING —
+    * and each put's key fans as a delete to every NON-target partition,
+    * so a re-put with a CHANGED pk value moves the row (Milvus's
+    * delete-by-PK + insert, the [[upsertRouted]] contract). Each
     * partition's puts and deletes apply as ONE snapshot version;
     * atomicity is per partition, exactly the batch router's contract
     * (Milvus promises nothing stronger across partitions either). CAS
@@ -549,23 +566,29 @@ class GraftClient(spark: SparkSession, root: String) {
     try {
       val touched = routed.select("__route").distinct()
         .collect().map(_.getInt(0)).toSet // ≤ numPartitions ints
-      // ONE tiny existence probe gates the delete fan-out: without it a
-      // delete-free batch (the common case) would pay numPartitions
-      // ghost-resolve jobs per micro-batch
       val hasDels = delsP.limit(1).count() > 0
+      // every partition commits whenever the batch carries ANYTHING:
+      // explicit deletes fan out (a delete event knows only the key),
+      // and puts fan their keys as deletes to every NON-target
+      // partition — Milvus upsert is delete-by-PK + insert, so a
+      // streamed re-put whose pk value changed MOVES the row instead of
+      // leaving a stale copy in its old partition (the batch router's
+      // upsertRouted contract). Untouched partitions ghost-resolve and
+      // commit nothing; a fully empty batch commits nowhere.
       val targets: Seq[Int] =
-        if (hasDels) 0 until m.numPartitions else touched.toSeq.sorted
+        if (touched.nonEmpty || hasDels) 0 until m.numPartitions else Nil
       // CAS races with concurrent writers are absorbed by mergeCommit's
       // own bounded rebase-retry (MaxCommitRetries, recomputed against
       // the then-current snapshot); past that bound the exception
       // terminates the query — a sustained storm should surface, not loop
       targets.foreach { i =>
+        val movedAway = routed.filter(col("__route") =!= i).select("key")
         mergeCommit(partMeta(m, s"_pk_$i"),
           if (touched.contains(i))
             Some(routed.filter(col("__route") === i)
               .select(col("key"), col("vec"), col("meta")))
           else None,
-          if (hasDels) Some(delsP) else None)
+          Some(if (hasDels) delsP.union(movedAway) else movedAway))
       }
     } finally { routed.unpersist(); delsP.unpersist() }
   }
@@ -976,7 +999,11 @@ class GraftClient(spark: SparkSession, root: String) {
     * batch resolve to a deterministic content-chosen winner (a DataFrame
     * is a bag — it has no "last" row; callers needing ordered semantics
     * resolve per key first, as the streaming loop does by arrival order).
-    * Dimension enforced at the boundary like the reference backends. */
+    * Dimension enforced at the boundary like the reference backends.
+    * On a partition-key collection, upsert is Milvus's
+    * delete-by-PK-then-insert: a row whose pk VALUE changed MOVES to its
+    * new hash partition and the same batch clears the old copy — never
+    * two live copies of one key (see [[upsertRouted]]). */
   def upsert(name: String, df: DataFrame,
              partition: String = GraftClient.DefaultPartition): Long = {
     val m = metaOrThrow(name)

@@ -233,6 +233,51 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "drop must destroy partition storage — a re-created name must not resurrect it")
   }
 
+  test("a re-upsert with a CHANGED partition-key value MOVES the row — batch and streaming") {
+    import spark.implicits._
+    val (client, root) = newClient()
+    client.createCollection("mv", dim = 2, partitionKey = "tenant",
+      numPartitions = 4)
+    def home(tenant: String): Int = graft.core.CatalystHash.pmodXxhash64(
+      tenant, org.apache.spark.sql.types.StringType, 4)
+    // two tenants proven to hash to DIFFERENT physical partitions
+    val Seq(tA, tB) = (0 until 32).map(i => s"t$i")
+      .groupBy(home).values.take(2).map(_.head).toSeq
+    assert(home(tA) != home(tB))
+    client.upsert("mv", Seq(("k1", Seq(1f, 0f), Map("tenant" -> tA)))
+      .toDF("key", "vec", "meta"))
+    // batch move: Milvus upsert = delete-by-PK + insert — the old copy
+    // must NOT stay live in tA's partition
+    client.upsert("mv", Seq(("k1", Seq(2f, 0f), Map("tenant" -> tB)))
+      .toDF("key", "vec", "meta"))
+    assert(client.count("mv") == 1, "a moved key must never have two live copies")
+    assert(client.search("mv", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(tA)).count() == 0,
+      "the OLD partition must not serve the moved key")
+    assert(client.search("mv", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(tB)).collect()
+      .map(_.getString(0)).toSeq == Seq("k1"))
+    // streaming move: a re-put event with a changed tenant tag
+    val objects = Seq(("k1", "doc one")).toDF("key", "text")
+    val notif =
+      s"""{"Records":[{"eventVersion":"2.2","eventSource":"ceph:s3",""" +
+        s""""eventName":"ObjectCreated:Put","s3":{"bucket":{"name":"b"},""" +
+        s""""object":{"key":"k1","size":1,"tags":{"tenant":"$tA"}}}}]}"""
+    val lp = java.nio.file.Paths.get(s"$root/landing", "f1.json")
+    java.nio.file.Files.createDirectories(lp.getParent)
+    java.nio.file.Files.write(lp, notif.getBytes)
+    client.startIngest("mv", s"$root/landing", objects,
+      embedder = graft.ingest.HashingEmbedder(2))
+      .awaitTermination(120000)
+    assert(client.count("mv") == 1, "streamed move must not duplicate either")
+    assert(client.search("mv", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(tB)).count() == 0,
+      "the streamed re-put moved k1 back to tA — tB must not serve it")
+    assert(client.search("mv", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(tA)).collect()
+      .map(_.getString(0)).toSeq == Seq("k1"))
+  }
+
   test("streaming ingest routes micro-batches through the pk router; deletes fan out") {
     import spark.implicits._
     val (client, root) = newClient()
