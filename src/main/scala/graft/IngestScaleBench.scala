@@ -45,10 +45,16 @@ object IngestScaleBench {
         s""""${p}_events_per_sec":$eventsPerSec,""" +
         s""""${p}_batch_sec":[${batchSec.map(s2).mkString(",")}],""" +
         s""""${p}_live_keys":$liveKeys"""
-    /** Order-free fingerprint of the live KEY SET (sum of per-key
-      * xxhash64, wrapping) — what the routed cross-check compares: a
-      * count alone would pass when errors offset (one key doubled, one
-      * lost). */
+    /** Order-free fingerprint of the live KEY SET (bit_xor of per-key
+      * xxhash64) — what the routed cross-check compares: a count alone
+      * would pass when errors offset (one key doubled, one lost); the
+      * xor differs by h(doubled)⊕h(lost) ≠ 0. XOR, not SUM: a long sum
+      * of ~16k uniform hashes overflows almost surely and ANSI mode
+      * (Spark 4's default) THROWS on long overflow rather than
+      * wrapping — the sum form crashed the whole bench at sf0.1. XOR's
+      * own blind spot (a key live an even number of times cancels) is
+      * unreachable here: each store resolves a key to one live row, so
+      * the realistic failure is one extra/missing partition copy. */
     def sameLiveSet(o: Result): Boolean =
       liveKeys == o.liveKeys && liveKeysHash == o.liveKeysHash
   }
@@ -130,7 +136,7 @@ object IngestScaleBench {
     val perBatchSec = batches.map(_.durationMs.get("triggerExecution").toDouble / 1e3).toSeq
     client.registerSqlViews()
     val liveRow = spark.sql(
-      "SELECT count(*), coalesce(sum(xxhash64(key)), 0) FROM bench").head()
+      "SELECT count(*), coalesce(bit_xor(xxhash64(key)), 0) FROM bench").head()
     val live = liveRow.getLong(0)
     val liveHash = liveRow.getLong(1)
     // scratch store + landing files are per-run throwaways — on a shared

@@ -848,6 +848,46 @@ class GraftClient(spark: SparkSession, root: String) {
   def count(name: String, partitions: Seq[String] = Nil): Long =
     countParts(metaOrThrow(name), partitions)
 
+  /** Milvus `load_collection` (`partitions` nonempty = `load_partitions`):
+    * pin the named partitions' CURRENT snapshots in executor memory —
+    * each write-once bucket-version dir becomes one persisted columnar
+    * frame, so repeated searches scan RAM instead of re-reading parquet.
+    * Returns the rows materialized (Milvus's load also waits for full
+    * load). Unlike Milvus, loading is OPTIONAL — an unloaded collection
+    * still searches straight from parquet; load is the hot-collection
+    * lever, the moral twin of Milvus's mandatory in-memory segments.
+    *
+    * Read-your-writes survives loading: a commit publishes NEW
+    * bucket-version dirs (write-once layout), so post-commit reads miss
+    * the cache, see the new data immediately, and re-warm lazily; the
+    * vacuumed dirs' entries are evicted with their files. [[drop]],
+    * [[rebucket]], and [[dropPartition]] destroy layouts through the
+    * same eviction choke point, so no stale frame outlives its files. */
+  def loadCollection(name: String, partitions: Seq[String] = Nil): Long = {
+    val m = metaOrThrow(name)
+    resolveParts(m, partitions)
+      .map(p => collection(partMeta(m, p)).load(spark)).sum
+  }
+
+  /** Milvus `release_collection`: unpin every partition's cached frames
+    * and free their executor memory. Idempotent; searches keep working
+    * (straight from parquet). */
+  def releaseCollection(name: String): Unit = {
+    val m = metaOrThrow(name)
+    listedPartitions(m).foreach(p => collection(partMeta(m, p)).release())
+  }
+
+  /** Milvus `get_load_state`: Loaded / PartiallyLoaded (some partitions
+    * pinned — e.g. `loadCollection(name, partitions = ...)`) /
+    * NotLoaded. */
+  def loadState(name: String): String = {
+    val m = metaOrThrow(name)
+    val states = listedPartitions(m).map(p => collection(partMeta(m, p)).isLoaded)
+    if (states.forall(identity)) "Loaded"
+    else if (states.exists(identity)) "PartiallyLoaded"
+    else "NotLoaded"
+  }
+
   /** Per-bucket statistics of the current snapshot — the operational view
     * that tells you when [[rebucket]] is due (bucket sizes drifting past
     * target) and whether keys skew (xxhash64 should spread them; a hot

@@ -130,8 +130,40 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   private def emptyDf(spark: SparkSession): DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  private def rootKey: String = dir.toAbsolutePath.normalize.toString
+
+  /** True when [[load]] pinned this store and [[release]] hasn't run. */
+  def isLoaded: Boolean = BucketedKeyedCollection.rootLoaded(rootKey)
+
+  /** Milvus `load_collection` for this store: mark it loaded and
+    * materialize the CURRENT snapshot's bucket dirs into the executor
+    * block cache (one persisted DataFrame per write-once bucket-version
+    * dir — see the companion's invalidation argument). Returns the rows
+    * materialized, like Milvus's load waiting for full load. Stays
+    * loaded across later commits: their new bucket dirs cache lazily on
+    * first read, so the first post-commit search pays one scan and the
+    * steady state is memory-resident again. */
+  def load(spark: SparkSession): Long = {
+    BucketedKeyedCollection.markLoaded(rootKey)
+    current.map(_.buckets.values.toSeq).getOrElse(Nil)
+      .map(cachedDir(spark, _).count()).sum
+  }
+
+  /** Milvus `release_collection`: unpin and free every cached entry. */
+  def release(): Unit = BucketedKeyedCollection.evictUnder(rootKey)
+
+  private def cachedDir(spark: SparkSession, rel: String): DataFrame =
+    BucketedKeyedCollection.cachedDirDf(
+      dir.resolve(rel).toAbsolutePath.normalize.toString,
+      spark.read.schema(schema).parquet(dir.resolve(rel).toString))
+
   private def readPaths(spark: SparkSession, rels: Seq[String]): DataFrame =
     if (rels.isEmpty) emptyDf(spark)
+    // loaded: assemble from per-dir cached frames (same schema by
+    // construction, so positional union). Bucket pruning is preserved —
+    // callers pass the pruned `rels`, and each arm is its own
+    // InMemoryTableScan, so unread buckets cost nothing.
+    else if (isLoaded) rels.map(cachedDir(spark, _)).reduce(_ union _)
     else spark.read.schema(schema).parquet(rels.map(dir.resolve(_).toString): _*)
 
   /** Latest full snapshot. */
@@ -278,7 +310,12 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
     val referenced = keepManifests.flatMap(v => readManifest(v).buckets.values).toSet
     val entries = listDir()
     entries.filter(n => bucketDirVersion(n).isDefined && !referenced(n))
-      .foreach(n => deleteRecursively(dir.resolve(n)))
+      .foreach { n =>
+        // deleteRecursively → deleteTree evicts the dir's cached frame
+        // before its files go, so a loaded store never caches more than
+        // `retain` versions per bucket
+        deleteRecursively(dir.resolve(n))
+      }
     entries.filter(_.matches("manifest-\\d{8,}"))
       .filter(_.stripPrefix("manifest-").toLong <= latest - retain)
       .foreach(n => Files.deleteIfExists(dir.resolve(n)))
@@ -303,11 +340,65 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
 object BucketedKeyedCollection {
   /** Recursive delete shared by the store's vacuum and the client's
     * layout destructors (drop/rebucket) — one walk-reverse-delete to
-    * maintain instead of two. */
+    * maintain instead of two. Evicts any loaded-cache entries under the
+    * deleted tree FIRST: a cached block whose backing files vanished
+    * would serve stale data until executor eviction, then fail on
+    * recompute. */
   private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    evictUnder(p.toAbsolutePath.normalize.toString)
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
+  }
+
+  // ---- load/release cache (Milvus load_collection, A20-compatible) ----
+  //
+  // Store roots (canonical paths) whose reads should be served from
+  // persisted per-bucket-dir DataFrames. Keyed JVM-globally, not per
+  // instance: GraftClient constructs a fresh BucketedKeyedCollection per
+  // call, so the loaded state must outlive any one instance.
+  //
+  // Why this is invalidation-free: bucket-version dirs (`bNNNNN-vNNNNNNNN`)
+  // are WRITE-ONCE — commitBuckets moves a staged dir into place exactly
+  // once and never mutates a published one, and the crash-retry sweep only
+  // deletes dirs a retried commit is about to re-stage (>= next, i.e.
+  // never referenced by any published manifest). So a cached DataFrame
+  // over one dir can never be stale; a commit publishes NEW dir names,
+  // post-commit reads miss the cache and read fresh, and superseded
+  // entries are evicted when prune vacuums their dirs (bounding the cache
+  // at `retain` versions per bucket) or when deleteTree destroys the
+  // layout. Cache entries hold MEMORY_AND_DISK persisted plans — an
+  // oversized load spills instead of OOMing, Spark's own contract.
+  private val loadedRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val bucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[streaming] def rootLoaded(rootKey: String): Boolean =
+    loadedRoots.contains(rootKey)
+
+  private[streaming] def markLoaded(rootKey: String): Unit =
+    loadedRoots.add(rootKey)
+
+  private[streaming] def cachedDirDf(abs: String,
+                                     mk: => DataFrame): DataFrame =
+    bucketCache.computeIfAbsent(abs, _ =>
+      mk.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the loaded flag and every cached entry at or under `prefix`
+    * (a store root, a partition tree, or one bucket dir). */
+  private[streaming] def evictUnder(prefix: String): Unit = {
+    val slash = prefix + java.io.File.separator
+    loadedRoots.removeIf(r => r == prefix || r.startsWith(slash))
+    val it = bucketCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey == prefix || e.getKey.startsWith(slash)) {
+        try e.getValue.unpersist(blocking = false)
+        catch { case _: Throwable => () } // a stopped session can't unpersist
+        it.remove()
+      }
+    }
   }
 
   // Per-collection commit mutexes, keyed by canonical root. The JVM-level
