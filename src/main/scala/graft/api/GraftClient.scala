@@ -865,17 +865,54 @@ class GraftClient(spark: SparkSession, root: String) {
     * same eviction choke point, so no stale frame outlives its files. */
   def loadCollection(name: String, partitions: Seq[String] = Nil): Long = {
     val m = metaOrThrow(name)
-    resolveParts(m, partitions)
-      .map(p => collection(partMeta(m, p)).load(spark)).sum
+    resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val n = coll.load(spark)
+      // Milvus's load waits for the INDEX segments too: materialize the
+      // live index layout frames now so the first search after load is
+      // already memory-resident (indexed searches read the cells/codes
+      // layouts, not the keyed store — pinning only the store would give
+      // them nothing). SQ8 warms BOTH layouts: stage 1 reads the codes,
+      // range search reads the float cells.
+      liveIndex(pm, coll).foreach { idx =>
+        if (sq8Indexed(pm))
+          loadedIndexFrame(coll, sq8CellsPath(pm), idx.version,
+            () => Sq8Index.loadQuantized(spark, sq8CellsPath(pm),
+              Some(sq8CellsSchema))).count()
+        loadedIndexFrame(coll, cellsPath(pm), idx.version,
+          () => IvfIndex.loadIndexed(spark, cellsPath(pm),
+            Some(cellsSchema))).count()
+      }
+      n
+    }.sum
   }
 
   /** Milvus `release_collection`: unpin every partition's cached frames
-    * and free their executor memory. Idempotent; searches keep working
-    * (straight from parquet). */
+    * (store snapshot + index layouts) and free their executor memory.
+    * Idempotent; searches keep working (straight from parquet). */
   def releaseCollection(name: String): Unit = {
     val m = metaOrThrow(name)
-    listedPartitions(m).foreach(p => collection(partMeta(m, p)).release())
+    listedPartitions(m).foreach { p =>
+      val pm = partMeta(m, p)
+      collection(pm).release()
+      graft.streaming.BucketedKeyedCollection.evictUnder(canonical(ivfDir(pm)))
+    }
   }
+
+  private def canonical(path: String): String =
+    java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+
+  /** An index-layout read that rides the load cache when the collection
+    * is loaded (version-stamp-keyed — see
+    * [[graft.streaming.BucketedKeyedCollection.indexFrame]]), and reads
+    * parquet directly otherwise. */
+  private def loadedIndexFrame(coll: graft.streaming.BucketedKeyedCollection,
+      path: String, version: Long, mk: () => DataFrame): DataFrame =
+    if (coll.isLoaded)
+      graft.streaming.BucketedKeyedCollection.indexFrame(
+        canonical(path), version, mk)
+    else mk()
 
   /** Milvus `get_load_state`: Loaded / PartiallyLoaded (some partitions
     * pinned — e.g. `loadCollection(name, partitions = ...)`) /
@@ -1530,6 +1567,9 @@ class GraftClient(spark: SparkSession, root: String) {
     // quantizers over the new cells. Invalidate under the RESOLVED name:
     // cache entries are keyed by m.name, and `name` may be an alias.
     invalidateIndexCaches(m.name)
+    // the LOADED index frames are version-keyed too, and writeIndexed's
+    // overwrite bypasses deleteTree's eviction hook — evict by path
+    graft.streaming.BucketedKeyedCollection.evictUnder(canonical(ivfDir(m)))
     }
 
   /** Drop every version-keyed cache entry for `name` — required whenever
@@ -1969,7 +2009,8 @@ class GraftClient(spark: SparkSession, root: String) {
       choose: LoadedIndex => GraftClient.CellChoice): DataFrame =
     liveIdx match {
       case Some(idx) if indexableMetric(m.metric) =>
-        val cellsDf = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+        val cellsDf = loadedIndexFrame(coll, cellsPath(m), idx.version,
+          () => IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema)))
         choose(idx) match {
           case GraftClient.KeepCells(cs) if cs.isEmpty => cellsDf.filter(lit(false))
           case GraftClient.KeepCells(cs) => cellsDf.filter(col("centroidId").isin(cs: _*))
@@ -2043,7 +2084,8 @@ class GraftClient(spark: SparkSession, root: String) {
     val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
     val q1 = typedLit(qa)
     val cells = idx.probe.probes(qa, nprobe)
-    val sq8 = Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema))
+    val sq8 = loadedIndexFrame(coll, sq8CellsPath(m), idx.version,
+        () => Sq8Index.loadQuantized(spark, sq8CellsPath(m), Some(sq8CellsSchema)))
       .filter(col("centroidId").isin(cells: _*))
     val metaFiltered = filter.fold(sq8)(sq8.filter)
     // the TEXT_MATCH gate applies BEFORE the stage-1 depth bound, like

@@ -219,6 +219,54 @@ object VectorQueries {
       .agg(round(avg(col("x").cast("double")), 6).as("c"))
       .orderBy(col("label"), col("dim"))
 
+  // One loaded client collection per (dir, process) — the sparseIdxFor
+  // pattern: the embeddings table upserted through the FULL client write
+  // path (bucket router, merge-commit, manifest swap), then pinned in
+  // executor memory via loadCollection. Keys are zero-padded so the
+  // client's (distance, vector_key-STRING) tie-break equals the oracle's
+  // numeric (dist, vec_id) ordering.
+  private val loadedCollCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.api.GraftClient]()
+  private def loadedClientFor(spark: SparkSession, dir: String): graft.api.GraftClient =
+    loadedCollCache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft-loaded").toString
+      val c = new graft.api.GraftClient(spark, root)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("emb", dim = dim, buckets = 16)
+      c.upsert("emb", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      c.loadCollection("emb")
+      // the declared query is only honest if the search actually rides
+      // the load cache — a silent fall-through to parquet would return
+      // identical values and the oracle could never see the regression
+      val plan = c.search("emb", Array.fill(dim)(0f), k = 1)
+        .queryExecution.executedPlan.toString
+      require(plan.contains("InMemoryTableScan"),
+        "knn_loaded_topk: loaded search did not ride the in-memory cache")
+      c
+    })
+
+  /** A20/B6 + the load surface (Milvus `load_collection`) on the ORACLE
+    * path: the embeddings corpus written through the client's full
+    * upsert/commit pipeline, LOADED (every bucket dir pinned as a
+    * persisted columnar frame — plan-asserted above), then searched
+    * top-10 L2. Hash-equal to the brute-force DuckDB twin only if the
+    * store round-trip (float32 at rest, bucket routing, manifest read)
+    * and the loaded read path are all value-exact. */
+  def knnLoaded(spark: SparkSession, dir: String): DataFrame = {
+    val client = loadedClientFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    client.search("emb", q, k = 10)
+      .select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -235,6 +283,7 @@ object VectorQueries {
     "knn_range_search" -> knnRangeSearch _,
     "knn_grouped" -> knnGrouped _,
     "knn_paged" -> knnPaged _,
+    "knn_loaded_topk" -> knnLoaded _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
@@ -287,6 +336,9 @@ object VectorQueries {
     "knn_paged" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
+    "knn_loaded_topk" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
     "knn_batched" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,

@@ -127,6 +127,61 @@ class LoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.loadState("pp") == "NotLoaded")
   }
 
+  test("loading an IVF_FLAT collection pins the INDEX layout: pruned search rides the cache") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("ivf", dim = 2, indexType = "IVF_FLAT", nlist = 4, buckets = 8)
+    // seeded vecs all sit >= (1,1), so a later row near the origin can
+    // provably win the k=1 probe below
+    client.upsert("ivf", (0 until 80)
+      .map(i => (f"k$i%03d", Seq((i % 4 + 1).toFloat, (i / 4 + 1).toFloat), Map("i" -> i.toString)))
+      .toDF("key", "vec", "meta"))
+    client.buildIndex("ivf", nlist = 4)
+    val q = Array(0f, 0f)
+    val before = client.search("ivf", q, k = 5).collect().map(_.getString(0)).toSeq
+    client.loadCollection("ivf")
+    val plan = client.search("ivf", q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"indexed loaded search must scan the cached cells frame, plan was:\n${plan.take(1500)}")
+    assert(client.search("ivf", q, k = 5).collect().map(_.getString(0)).toSeq == before,
+      "loading must never change indexed results")
+    // a post-load commit refreshes the index (new stamp) — the frame must
+    // swap, not serve the pre-commit cells
+    client.upsert("ivf", Seq(("fresh", Seq(0.001f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.search("ivf", q, k = 1).collect().head.getString(0) == "fresh",
+      "the refreshed index frame must serve post-commit rows")
+    // a REBUILD at an unchanged store version must evict the frame too
+    client.buildIndex("ivf", nlist = 2)
+    assert(client.search("ivf", q, k = 1).collect().head.getString(0) == "fresh")
+    client.releaseCollection("ivf")
+    assert(!client.search("ivf", q, k = 5)
+      .queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "release must unpin the index frame")
+  }
+
+  test("loading an IVF_SQ8 collection pins codes + cells + store: both stages ride the cache") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("sq8", dim = 2, indexType = "IVF_SQ8", nlist = 2, buckets = 8)
+    client.upsert("sq8", (0 until 60)
+      .map(i => (f"k$i%03d", Seq((i % 3).toFloat, (i / 3).toFloat), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    client.buildIndex("sq8", nlist = 2)
+    val q = Array(0f, 0f)
+    val before = client.search("sq8", q, k = 5).collect().map(_.getString(0)).toSeq
+    client.loadCollection("sq8")
+    val plan = client.search("sq8", q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"SQ8 loaded search must ride cached frames, plan was:\n${plan.take(1500)}")
+    assert(client.search("sq8", q, k = 5).collect().map(_.getString(0)).toSeq == before,
+      "loading must never change SQ8 results")
+    client.releaseCollection("sq8")
+    assert(client.search("sq8", q, k = 5).collect().map(_.getString(0)).toSeq == before)
+  }
+
   test("a loaded partition-key collection routes and moves exactly like an unloaded one") {
     import spark.implicits._
     val client = newClient()
