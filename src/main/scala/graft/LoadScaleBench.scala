@@ -85,12 +85,33 @@ object LoadScaleBench {
     val (_, steadyAfterSec) = timed(search())
     client.releaseCollection("hot")
 
+    // IVF arm: load pins the INDEX layout (the cells read is what an
+    // indexed search pays per query — nprobe-pruned, so the win is the
+    // listing+decode of the probed cells, smaller than the FLAT gap but
+    // the common production shape)
+    client.createCollection("hoti", dim = dim, buckets = 64,
+      indexType = "IVF_FLAT", nlist = 64)
+    client.upsert("hoti", rows)
+    client.buildIndex("hoti", nlist = 64)
+    def searchIvf(): Seq[String] =
+      client.search("hoti", q, k = 10, nprobe = 8).collect()
+        .map(_.getString(0)).toSeq
+    searchIvf()
+    val ivfCold = (1 to iters).map(_ => timed(searchIvf())._2)
+    val (_, ivfLoadSec) = timed(client.loadCollection("hoti"))
+    val ivf0 = searchIvf()
+    val ivfWarm = (1 to iters).map(_ => timed(searchIvf())._2)
+    assert(searchIvf() == ivf0, "loaded IVF search must be stable")
+    client.releaseCollection("hoti")
+
     def med(ts: Seq[Double]) = ts.sorted.apply(ts.size / 2)
     println(s"""{"metric":"load_speedup","value":${s2(med(coldTimes) / med(warmTimes))},""" +
       s""""unit":"x","n":$n,"dim":$dim,"loaded_rows":$loadedRows,""" +
       s""""cold_search_sec":${s2(med(coldTimes))},"loaded_search_sec":${s2(med(warmTimes))},""" +
       s""""load_sec":${s2(loadSec)},"first_search_after_commit_sec":${s2(firstAfterSec)},""" +
-      s""""steady_search_after_commit_sec":${s2(steadyAfterSec)}}""")
+      s""""steady_search_after_commit_sec":${s2(steadyAfterSec)},""" +
+      s""""ivf_cold_search_sec":${s2(med(ivfCold))},"ivf_loaded_search_sec":${s2(med(ivfWarm))},""" +
+      s""""ivf_load_sec":${s2(ivfLoadSec)}}""")
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(root))
     spark.stop()
