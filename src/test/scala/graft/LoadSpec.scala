@@ -182,6 +182,35 @@ class LoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.search("sq8", q, k = 5).collect().map(_.getString(0)).toSeq == before)
   }
 
+  test("streaming ingest into a LOADED collection: every drained batch swaps the frame") {
+    import spark.implicits._
+    import graft.ingest.Embedder
+    val root = java.nio.file.Files.createTempDirectory("graft-load-stream").toString
+    val client = new graft.api.GraftClient(spark, root)
+    client.createCollection("live", dim = Embedder.TextDim)
+    // load FIRST — the micro-batch commits must stay visible through the
+    // loaded read path (each commit publishes a new dir set; the next
+    // read swaps the snapshot frame)
+    client.loadCollection("live")
+    assert(client.loadState("live") == "Loaded")
+    val objects = graft.sources.ObjectSources.withObjectKey(
+      graft.sources.ObjectSources.textObjects(
+        spark, "src/test/resources/objects/text/doc*.txt"), "objects/text")
+      .select(col("key"), col("text"))
+    spark.read.text("src/test/resources/events/ingest_log.jsonl")
+      .coalesce(1).write.mode("overwrite").text(s"$root/landing")
+    client.startIngest("live", s"$root/landing", objects).awaitTermination(120000)
+    assert(client.loadState("live") == "Loaded", "ingest must not unload")
+    val hit = client.search("live",
+      Embedder.text.embedText("the quick brown fox jumps"), 1).head()
+    assert(hit.getAs[String]("vector_key") == "doc1.txt")
+    val plan = client.search("live", Embedder.text.embedText("fox"), 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      "post-ingest loaded search must ride the re-warmed frame")
+    client.releaseCollection("live")
+  }
+
   test("a loaded partition-key collection routes and moves exactly like an unloaded one") {
     import spark.implicits._
     val client = newClient()
