@@ -850,12 +850,19 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** Milvus `load_collection` (`partitions` nonempty = `load_partitions`):
     * pin the named partitions' CURRENT snapshots in executor memory —
-    * each write-once bucket-version dir becomes one persisted columnar
-    * frame, so repeated searches scan RAM instead of re-reading parquet.
-    * Returns the rows materialized (Milvus's load also waits for full
-    * load). Unlike Milvus, loading is OPTIONAL — an unloaded collection
-    * still searches straight from parquet; load is the hot-collection
-    * lever, the moral twin of Milvus's mandatory in-memory segments.
+    * one persisted columnar frame per partition store, plus the live
+    * vector-index layouts (IVF cells, SQ8 codes) — so repeated searches
+    * scan RAM instead of re-reading parquet. Returns the rows
+    * materialized (Milvus's load also waits for full load). Unlike
+    * Milvus, loading is OPTIONAL — an unloaded collection still searches
+    * straight from parquet; load is the hot-collection lever, the moral
+    * twin of Milvus's mandatory in-memory segments.
+    *
+    * Deliberately NOT loaded: text/sparse postings indexes. Their reads
+    * are term-pruned already (Σ df(term)-sized pushed `IN` scans), so
+    * the per-query win is small, while pinning them would hold
+    * index-sized bytes (≈ the corpus's token count) — the bucketed
+    * parquet read IS their scale path.
     *
     * Read-your-writes survives loading: a commit publishes NEW
     * bucket-version dirs (write-once layout), so post-commit reads miss
