@@ -70,11 +70,10 @@ object LoadScaleBench {
       (first, ts)
     }
     val (loadedRows, loadSec) = timed(client.loadCollection("hot"))
-    val (warm0, warmTimes) = {
+    val warmTimes = {
       val first = search()
       assert(first == cold0, "loaded search must match cold search key-for-key")
-      val ts = (1 to iters).map(_ => timed(search())._2)
-      (first, ts)
+      (1 to iters).map(_ => timed(search())._2)
     }
     // post-load commit: visible immediately, steady state re-warms
     client.upsert("hot", Seq(("fresh", Seq.fill(dim)(0.5f), Map.empty[String, String]))

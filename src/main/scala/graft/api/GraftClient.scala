@@ -903,22 +903,21 @@ class GraftClient(spark: SparkSession, root: String) {
     listedPartitions(m).foreach { p =>
       val pm = partMeta(m, p)
       collection(pm).release()
-      graft.streaming.BucketedKeyedCollection.evictUnder(canonical(ivfDir(pm)))
+      graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(pm))
     }
   }
-
-  private def canonical(path: String): String =
-    java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
 
   /** An index-layout read that rides the load cache when the collection
     * is loaded (version-stamp-keyed — see
     * [[graft.streaming.BucketedKeyedCollection.indexFrame]]), and reads
-    * parquet directly otherwise. */
+    * parquet directly otherwise (including when a concurrent release
+    * raced the frame build away). */
   private def loadedIndexFrame(coll: graft.streaming.BucketedKeyedCollection,
       path: String, version: Long, mk: () => DataFrame): DataFrame =
     if (coll.isLoaded)
-      graft.streaming.BucketedKeyedCollection.indexFrame(
-        canonical(path), version, mk)
+      graft.streaming.BucketedKeyedCollection
+        .indexFrame(path, version, mk, () => coll.isLoaded)
+        .getOrElse(mk())
     else mk()
 
   /** Milvus `get_load_state`: Loaded / PartiallyLoaded (some partitions
@@ -1576,7 +1575,7 @@ class GraftClient(spark: SparkSession, root: String) {
     invalidateIndexCaches(m.name)
     // the LOADED index frames are version-keyed too, and writeIndexed's
     // overwrite bypasses deleteTree's eviction hook — evict by path
-    graft.streaming.BucketedKeyedCollection.evictUnder(canonical(ivfDir(m)))
+    graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
     }
 
   /** Drop every version-keyed cache entry for `name` — required whenever

@@ -225,12 +225,18 @@ object VectorQueries {
   // executor memory via loadCollection. Keys are zero-padded so the
   // client's (distance, vector_key-STRING) tie-break equals the oracle's
   // numeric (dist, vec_id) ordering.
-  private val loadedCollCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.api.GraftClient]()
-  private def loadedClientFor(spark: SparkSession, dir: String): graft.api.GraftClient =
-    loadedCollCache.computeIfAbsent(dir, { d =>
-      val root = java.nio.file.Files.createTempDirectory("graft-loaded").toString
-      val c = new graft.api.GraftClient(spark, root)
+  // cache only the ROOT PATH (the postingsFor/sparseIdxFor convention),
+  // never the client: a client captures its SparkSession, and a later
+  // session in the same JVM would inherit a stopped one. The loaded flag
+  // and frame cache are JVM-global and path-keyed, so a per-call client
+  // over the cached root serves from the same loaded state (a frame
+  // bound to a stopped session is treated as a miss and rebuilt).
+  private val loadedRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def loadedClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = loadedRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-loaded").toString
+      val c = new graft.api.GraftClient(spark, r)
       val emb = t(spark, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       c.createCollection("emb", dim = dim, buckets = 16)
@@ -246,8 +252,10 @@ object VectorQueries {
         .queryExecution.executedPlan.toString
       require(plan.contains("InMemoryTableScan"),
         "knn_loaded_topk: loaded search did not ride the in-memory cache")
-      c
+      r
     })
+    new graft.api.GraftClient(spark, root)
+  }
 
   /** A20/B6 + the load surface (Milvus `load_collection`) on the ORACLE
     * path: the embeddings corpus written through the client's full

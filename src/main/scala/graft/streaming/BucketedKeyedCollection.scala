@@ -164,10 +164,10 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   private def snapshotEntryFor(spark: SparkSession, rels: Seq[String])
       : Option[BucketedKeyedCollection.SnapshotCache] =
     if (rels.isEmpty) None
-    else Some(BucketedKeyedCollection.snapshotCacheFor(rootKey, rels, () =>
+    else BucketedKeyedCollection.snapshotCacheFor(rootKey, rels, () =>
       spark.read.schema(schema)
         .parquet(rels.map(dir.resolve(_).toString): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private def readPaths(spark: SparkSession, rels: Seq[String]): DataFrame =
     if (rels.isEmpty) emptyDf(spark)
@@ -183,7 +183,7 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
       // and caching subsets would duplicate the snapshot's rows.
       val want = rels.toSet
       BucketedKeyedCollection.snapshotEntry(rootKey)
-        .filter(_.rels == want)
+        .filter(e => e.rels == want && BucketedKeyedCollection.sessionAlive(e.df))
         .orElse {
           val cur = current.map(_.buckets.values.toSeq.distinct).getOrElse(Nil)
           if (cur.toSet == want) snapshotEntryFor(spark, cur) else None
@@ -374,7 +374,13 @@ object BucketedKeyedCollection {
     * would serve stale data until executor eviction, then fail on
     * recompute. */
   private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    evictUnder(p.toAbsolutePath.normalize.toString)
+    // internal temp names (".stage-", ".ptr-", ".meta-", ".ver-") are
+    // deleted on EVERY commit and never cached — evicting on them would
+    // needlessly drop a loaded root's snapshot frame mid-commit (the
+    // superseding swap is the version change, which the next read's
+    // set-equality check already handles)
+    if (!p.getFileName.toString.startsWith("."))
+      evictUnder(p.toAbsolutePath.normalize.toString)
     val walk = Files.walk(p)
     try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally walk.close()
@@ -426,6 +432,18 @@ object BucketedKeyedCollection {
   private[streaming] def snapshotEntry(rootKey: String): Option[SnapshotCache] =
     Option(snapshotCache.get(rootKey))
 
+  /** A cached frame is servable only while its owning session lives — the
+    * caches are JVM-global, so they outlive any one SparkSession, and a
+    * frame bound to a stopped session would fail every read of a root
+    * that stays flagged loaded across a session restart. A dead entry is
+    * treated as a miss and rebuilt under the calling session. */
+  private[streaming] def sessionAlive(df: DataFrame): Boolean =
+    !df.sparkSession.sparkContext.isStopped
+
+  private def quietUnpersist(df: DataFrame): Unit =
+    try df.unpersist(blocking = false)
+    catch { case _: Throwable => () } // a stopped session can't unpersist
+
   private[graft] final case class VersionedFrame(version: Long, df: DataFrame)
 
   // Loaded frames for INDEX layouts (IVF cells / SQ8 codes), keyed by
@@ -438,45 +456,78 @@ object BucketedKeyedCollection {
   private val indexFrameCache =
     new java.util.concurrent.ConcurrentHashMap[String, VersionedFrame]()
 
-  /** The persisted frame for index layout `pathKey` at `version`,
-    * building (and unpersisting the superseded frame) when the stamp
-    * moved. `mk` only constructs the lazy frame — materialization
-    * happens in the caller's jobs. */
-  private[graft] def indexFrame(pathKey: String, version: Long,
-      mk: () => DataFrame): DataFrame =
-    indexFrameCache.compute(pathKey, (_, old) => {
-      if (old != null && old.version == version) old
-      else {
-        if (old != null)
-          try old.df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
-        VersionedFrame(version,
-          mk().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  /** The persisted frame for index layout `path` at `version`, building
+    * (and unpersisting the superseded frame) when the stamp moved or the
+    * cached frame's session stopped. `mk` runs OUTSIDE the map bin lock —
+    * constructing a parquet relation over a many-dir layout launches a
+    * parallel file-listing job past
+    * spark.sql.sources.parallelPartitionDiscovery.threshold, and a Spark
+    * job must never run under a lock that eviction sweeps also take; a
+    * build that loses the insert race is unpersisted unmaterialized
+    * (cheap). `stillLoaded` is re-checked under the lock so a release
+    * racing the build cannot resurrect a pinned frame
+    * (loadState=NotLoaded with corpus-sized memory held). */
+  private[graft] def indexFrame(path: String, version: Long,
+      mk: () => DataFrame, stillLoaded: () => Boolean): Option[DataFrame] = {
+    val pathKey = Paths.get(path).toAbsolutePath.normalize.toString
+    val hit = Option(indexFrameCache.get(pathKey))
+      .filter(v => v.version == version && sessionAlive(v.df))
+    if (hit.isDefined) return hit.map(_.df)
+    val fresh = VersionedFrame(version,
+      mk().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Option(indexFrameCache.compute(pathKey, (_, old) => {
+      if (!stillLoaded()) {
+        if (old != null) quietUnpersist(old.df)
+        quietUnpersist(fresh.df)
+        null
+      } else if (old != null && old.version == version && sessionAlive(old.df)) {
+        quietUnpersist(fresh.df) // lost the build race
+        old
+      } else {
+        if (old != null) quietUnpersist(old.df)
+        fresh
       }
-    }).df
+    })).map(_.df)
+  }
 
   /** The root's snapshot entry for exactly `rels`, building (and
-    * unpersisting the superseded frame) when the cached dir set differs.
-    * `mk` only CONSTRUCTS the persisted lazy frame (no job), so holding
-    * the map bin lock across it is cheap; materialization happens in the
-    * caller's own jobs. */
+    * unpersisting the superseded frame) when the cached dir set differs
+    * or the cached frame's session stopped. `mk` runs OUTSIDE the map
+    * bin lock (multi-path parquet construction launches a parallel
+    * listing job past the discovery threshold — see [[indexFrame]]);
+    * the loaded flag is re-checked under the lock so a
+    * [[evictUnder]]-racing build cannot re-pin a released root. None ⇔
+    * the root is no longer loaded — the caller reads parquet. */
   private[streaming] def snapshotCacheFor(rootKey: String, rels: Seq[String],
-      mk: () => DataFrame): SnapshotCache =
-    snapshotCache.compute(rootKey, (_, old) => {
-      if (old != null && old.rels == rels.toSet) old
-      else {
-        if (old != null)
-          try old.df.unpersist(blocking = false)
-          catch { case _: Throwable => () }
-        SnapshotCache(rels.toSet, mk())
+      mk: () => DataFrame): Option[SnapshotCache] = {
+    val want = rels.toSet
+    val hit = Option(snapshotCache.get(rootKey))
+      .filter(e => e.rels == want && sessionAlive(e.df))
+    if (hit.isDefined) return hit
+    val fresh = SnapshotCache(want, mk())
+    Option(snapshotCache.compute(rootKey, (_, old) => {
+      if (!rootLoaded(rootKey)) {
+        if (old != null) quietUnpersist(old.df)
+        quietUnpersist(fresh.df)
+        null
+      } else if (old != null && old.rels == want && sessionAlive(old.df)) {
+        quietUnpersist(fresh.df) // lost the build race
+        old
+      } else {
+        if (old != null) quietUnpersist(old.df)
+        fresh
       }
-    })
+    }))
+  }
 
   /** Drop the loaded flag of roots at/under `prefix`, and every cached
     * frame it could affect: frames under a destroyed tree (drop/rebucket)
     * AND the frame above a vacuumed/deleted subdirectory (its content may
     * reference the dir; over-evicting just re-warms on the next read). */
-  private[graft] def evictUnder(prefix: String): Unit = {
+  private[graft] def evictUnder(rawPrefix: String): Unit = {
+    // normalize HERE, not at call sites — a duplicate un-normalized key
+    // would otherwise survive every eviction and pin its frame forever
+    val prefix = Paths.get(rawPrefix).toAbsolutePath.normalize.toString
     val slash = prefix + java.io.File.separator
     loadedRoots.removeIf(r => r == prefix || r.startsWith(slash))
     def sweep[V](m: java.util.concurrent.ConcurrentHashMap[String, V],
@@ -487,8 +538,7 @@ object BucketedKeyedCollection {
         val k = e.getKey
         if (k == prefix || k.startsWith(slash) ||
             prefix.startsWith(k + java.io.File.separator)) {
-          try dfOf(e.getValue).unpersist(blocking = false)
-          catch { case _: Throwable => () } // a stopped session can't unpersist
+          quietUnpersist(dfOf(e.getValue))
           it.remove()
         }
       }
