@@ -931,6 +931,73 @@ class GraftClient(spark: SparkSession, root: String) {
     else "NotLoaded"
   }
 
+  /** Milvus `flush`: make every write durable and visible. A parity
+    * shim, deliberately — Milvus buffers inserts in growing segments and
+    * flush seals them, while every write surface here COMMITS
+    * synchronously (atomic manifest pointer swap before the call
+    * returns), so there is never anything to flush. Returns each
+    * partition's current snapshot version (-1 for a partition with no
+    * commits yet — versions start at 0) — the value a caller would pin
+    * for [[readVersion]] time travel or record as an export watermark. */
+  def flush(name: String): Map[String, Long] = {
+    val m = metaOrThrow(name)
+    listedPartitions(m).map { p =>
+      p -> collection(partMeta(m, p)).currentVersion.getOrElse(-1L)
+    }.toMap
+  }
+
+  /** Milvus `compact` (synchronous — `get_compaction_state` would read
+    * Completed on return): fold every at-rest index artifact's
+    * accumulated segments across the named collection's partitions.
+    *   - scalar indexes: full posting rebuild from the current snapshot
+    *     (folds dead pairs and per-append files, re-derives tight zone
+    *     spans) — the same operation the `scalarCompactAt` clock
+    *     auto-triggers, here on demand;
+    *   - text postings: [[graft.index.TextIndex.compact]] (segments →
+    *     one generation; index-sized I/O, never a corpus re-tokenize);
+    *   - sparse postings: [[graft.index.SparseIndex.compact]] (same).
+    * The STORE itself needs no compaction: merge-commits rewrite whole
+    * buckets, so deletes fold at write time — the compaction Milvus
+    * runs after the fact is built into the commit here. IVF/SQ8 cells
+    * are maintained exactly per-commit; [[buildIndex]] is the explicit
+    * rebuild knob. Returns one (partition, artifact, detail) row per
+    * compacted artifact. */
+  def compact(name: String): Seq[(String, String, String)] = {
+    val m = metaOrThrow(name)
+    listedPartitions(m).flatMap { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val scalars = scalarIndexedFields(pm).map { f =>
+        val fieldDir = scalarFieldDir(pm, f)
+        graft.streaming.BucketedKeyedCollection.withCommitLock(
+            java.nio.file.Paths.get(fieldDir)) {
+          // read the version INSIDE the lock: a commit landing after it
+          // would queue its maintenance roll behind us and re-stamp
+          val v = coll.currentVersion.getOrElse(0L)
+          ScalarIndex.write(
+            coll.readBucketsAt(spark, v, 0 until pm.buckets)
+              .select(element_at(col("meta"), lit(f)).as("value"),
+                coll.bucketExpr.as("bucket"))
+              .filter(col("value").isNotNull),
+            fieldDir)
+          stampVersionFile(fieldDir, v)
+        }
+        (p, "scalar", f)
+      }
+      val text =
+        if (TextIndex.exists(textDir(pm))) {
+          TextIndex.compact(spark, textDir(pm))
+          Seq((p, "text", "-"))
+        } else Nil
+      val sparse =
+        if (graft.index.SparseIndex.exists(sparseIdxDir(pm))) {
+          graft.index.SparseIndex.compact(spark, sparseIdxDir(pm))
+          Seq((p, "sparse", "-"))
+        } else Nil
+      scalars ++ text ++ sparse
+    }
+  }
+
   /** Per-bucket statistics of the current snapshot — the operational view
     * that tells you when [[rebucket]] is due (bucket sizes drifting past
     * target) and whether keys skew (xxhash64 should spread them; a hot
