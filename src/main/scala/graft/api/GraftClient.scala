@@ -1901,7 +1901,8 @@ class GraftClient(spark: SparkSession, root: String) {
              partitionKeyValues: Seq[String] = Nil,
              matchTerms: Seq[String] = Nil,
              matchMode: String = "any",
-             matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
+             matchGates: Seq[(Seq[String], String)] = Nil,
+             outputFields: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -1952,8 +1953,29 @@ class GraftClient(spark: SparkSession, root: String) {
           gate = textMatchGateAll(pm, matchTerms, matchMode, matchGates))
       }
       .reduce(_ unionByName _)
-    paged(scored, offset, k)
+    projectOutputFields(paged(scored, offset, k), outputFields)
   }
+
+  /** Milvus `output_fields` over a (vector_key, distance, metadata)
+    * result: `vector_key` and `distance` always ship (Milvus always
+    * returns id + distance); each requested field projects out of the
+    * metadata map as its own column (the reference passes
+    * `output_fields=["url"]` at `milvus-app/search.py:16`), `"metadata"`
+    * passes the whole map, `"*"` (or none) keeps the full envelope. The
+    * vector itself is not a search output field here — [[fetch]] the
+    * hit keys for vectors, the same two-step Milvus clients use when a
+    * search must not drag vector payloads through the ranker. */
+  private def projectOutputFields(result: DataFrame,
+      outputFields: Seq[String]): DataFrame =
+    if (outputFields.isEmpty || outputFields.contains("*")) result
+    else result.select(col("vector_key") +: col("distance") +:
+      outputFields.filterNot(Set("vector_key", "distance")).distinct.map {
+        case "metadata" => col("metadata")
+        case "vec" => throw new IllegalArgumentException(
+          "output field 'vec' is not carried by search results — fetch " +
+            "the hit keys for vectors")
+        case f => element_at(col("metadata"), lit(f)).as(f)
+      }: _*)
 
   /** One partition's scored candidate stream for [[search]]:
     * (vector_key, distance, metadata), NOT yet paged — the caller pages
@@ -2452,19 +2474,22 @@ class GraftClient(spark: SparkSession, root: String) {
     * forwards the pieces. All other knobs as [[search]]. */
   def searchMilvus(name: String, qvec: Array[Float], k: Int, filter: String,
                    nprobe: Int = 4, refine: Int = 4, offset: Int = 0,
-                   partitions: Seq[String] = Nil): DataFrame = {
+                   partitions: Seq[String] = Nil,
+                   outputFields: Seq[String] = Nil): DataFrame = {
     val (pred, gates) = MilvusFilter.parseWithMatches(filter)
     search(name, qvec, k, filter = pred, nprobe = nprobe, refine = refine,
-      offset = offset, partitions = partitions, matchGates = gates)
+      offset = offset, partitions = partitions, matchGates = gates,
+      outputFields = outputFields)
   }
 
   /** One-call Milvus `client.query(filter="…", limit=…)` with the full
     * grammar — the string counterpart of [[queryWhere]]. */
   def queryMilvus(name: String, filter: String, limit: Option[Int] = None,
-                  partitions: Seq[String] = Nil): DataFrame = {
+                  partitions: Seq[String] = Nil,
+                  outputFields: Seq[String] = Nil): DataFrame = {
     val (pred, gates) = MilvusFilter.parseWithMatches(filter)
     queryWhere(name, pred.getOrElse(lit(true)), limit, partitions,
-      matchGates = gates)
+      matchGates = gates, outputFields = outputFields)
   }
 
   /** One-call Milvus `client.delete(filter="…")` with the full grammar —
@@ -2489,7 +2514,8 @@ class GraftClient(spark: SparkSession, root: String) {
                  partitions: Seq[String] = Nil,
                  matchTerms: Seq[String] = Nil,
                  matchMode: String = "any",
-                 matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
+                 matchGates: Seq[(Seq[String], String)] = Nil,
+                 outputFields: Seq[String] = Nil): DataFrame = {
     limit.foreach(l => require(l >= 0,
       s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
                                        // from inside plan analysis
@@ -2520,7 +2546,18 @@ class GraftClient(spark: SparkSession, root: String) {
       .filter(filter)
       .select(col("key"), col("vec"), col("meta"))
       .orderBy(col("key"))
-    limit.fold(out)(out.limit)
+    // Milvus `output_fields` on query: the primary key always ships;
+    // "vec"/"meta" are schema fields, anything else projects out of the
+    // meta map as its own column ("*"/none = the full row, today's shape)
+    val projected =
+      if (outputFields.isEmpty || outputFields.contains("*")) out
+      else out.select(col("key") +:
+        outputFields.filterNot(_ == "key").distinct.map {
+          case "vec" => col("vec")
+          case "meta" => col("meta")
+          case f => element_at(col("meta"), lit(f)).as(f)
+        }: _*)
+    limit.fold(projected)(projected.limit)
   }
 
   /** Milvus `search_iterator`: distance-ordered batched iteration WITHOUT
