@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, KeyBloom, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -98,6 +98,13 @@ class GraftClient(spark: SparkSession, root: String) {
                              df: DataFrame): Seq[Int] =
     df.select(coll.bucketExpr.as("__b")).distinct()
       .collect().map(_.getInt(0)).toSeq
+
+  /** Whether `m` is a PARTITION's store (named or `_pk_` hashed — their
+    * metas carry the `parent#partition` name). Partition stores maintain
+    * the [[graft.index.KeyBloom]] delete-filtering sidecar: they are the
+    * stores the unscoped delete/pk-move fan-outs visit, and the "#"
+    * separator is unreachable from user collection names. */
+  private def partitionStore(m: CollectionMeta): Boolean = m.name.contains("#")
 
   /** Resolve `name` — a collection, or an alias to one (Milvus aliasing:
     * every data-path call accepts either; aliases re-point atomically via
@@ -777,7 +784,22 @@ class GraftClient(spark: SparkSession, root: String) {
       // like deleting any other ghost key. Raising here would make
       // delete-everything-matching loops brittle for no safety gain.
       // GraftClientSpec pins the no-op.
-      val k = d.select(requireKey(col("key"), capped = false).as("key"))
+      val k0 = d.select(requireKey(col("key"), capped = false).as("key"))
+      // Partition stores narrow the delete side through the store's
+      // live-key Bloom sidecar FIRST (graft.index.KeyBloom): the routed
+      // fan-out hands every partition the whole batch's keys as deletes
+      // (pk-move + delete-event contracts), and without the summary each
+      // foreign partition pays a keys'-buckets resolve scan — and each
+      // put-side partition rewrites ghost buckets byte-identically — per
+      // batch, just to discover "not here". Dropping a key the Bloom
+      // rules out is sound (superset invariant ⇒ proven absent ⇒ the
+      // delete is a no-op by definition), and the read is race-free with
+      // this commit's CAS: the Bloom is consulted AFTER baseVersion is
+      // captured and writers merge their keys BEFORE their pointer swap,
+      // so the file covers every commit ≤ baseVersion — a later commit
+      // fails our CAS and the retry re-narrows against the fresh file.
+      val k =
+        if (partitionStore(m)) KeyBloom.narrow(spark, m.dataPath, k0) else k0
       val resolved =
         if (puts.nonEmpty) k
         else {
@@ -811,6 +833,22 @@ class GraftClient(spark: SparkSession, root: String) {
           // live maximum — puts all deleted within the batch — is
           // harmless: allocation only needs monotonicity).
           val newMaxSeq = if (decorated.isDefined) maxSeq + 1 else maxSeq
+          // Partition stores merge the batch's put keys into the live-key
+          // Bloom BEFORE the pointer swap (crash between the two leaves a
+          // superset — safe; the reverse order would publish rows the
+          // Bloom cannot see, i.e. lost deletes on later fan-outs). The
+          // sidecar's read-merge-write runs under the store's own commit
+          // lock so concurrent writers cannot drop each other's keys; a
+          // CAS retry re-adds the same keys, which merge idempotently.
+          decorated.filter(_ => partitionStore(m)).foreach { b =>
+            graft.streaming.BucketedKeyedCollection.withCommitLock(
+                java.nio.file.Paths.get(m.dataPath)) {
+              describedJobs("graft: key-bloom merge") {
+                KeyBloom.addKeys(m.dataPath, b.select("key"),
+                  () => coll.read(spark).select("key"))
+              }
+            }
+          }
           val newVersion = describedJobs("graft: store commit (merge + write)") {
             coll.commitBuckets(touched, remaining, newMaxSeq,
               expectedBase = Some(baseVersion.getOrElse(-1L))) }

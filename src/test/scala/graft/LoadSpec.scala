@@ -211,6 +211,22 @@ class LoadSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.releaseCollection("live")
   }
 
+  test("time travel under load: readVersion serves the PINNED snapshot, not the cached current one") {
+    import spark.implicits._
+    val client = newClient()
+    seed(client, "tt", n = 10)
+    val v0 = client.versions("tt").last
+    client.loadCollection("tt")
+    client.upsert("tt", Seq(("extra", Seq(9f, 0f, 0f, 0f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.count("tt") == 11, "current read sees the commit")
+    // the pinned version's dir set differs from the cached snapshot's —
+    // the loaded path must fall back to parquet, not serve 11 rows
+    assert(client.readVersion("tt", v0).count() == 10,
+      "a pinned old version must not be served from the current frame")
+    client.releaseCollection("tt")
+  }
+
   test("a loaded partition-key collection routes and moves exactly like an unloaded one") {
     import spark.implicits._
     val client = newClient()
