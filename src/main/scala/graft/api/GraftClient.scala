@@ -498,32 +498,55 @@ class GraftClient(spark: SparkSession, root: String) {
     * applied, never a torn single-partition commit (and Milvus promises
     * nothing stronger across partitions either). */
   private def upsertRouted(m: CollectionMeta, df: DataFrame): Long = {
-    val routed = routeByPk(m, df).persist()
+    // Resolve within-batch duplicate keys to the SAME content-chosen
+    // winner mergeCommit would pick (max xxhash64 of the row's content,
+    // see its seq-assignment comment) BEFORE routing — and therefore
+    // before the fan-out. Without this, a batch carrying one key twice
+    // under DIFFERENT pk values routes a copy to each partition, and
+    // each copy's partition sees the OTHER copy in its moved-away delete
+    // set: deletes apply after puts inside a commit, so the key would be
+    // put-then-deleted in BOTH partitions and vanish from the collection
+    // (PartitionSpec pins the survivor). After the resolve every key has
+    // exactly one row and one route, which routedFanout requires.
+    val routed = IngestOps.upsertLatest(routeByPk(m, df), col("key"),
+        xxhash64(col("key"), col("vec"), to_json(coalesce(col("meta"), map()))),
+        lit(0))
+      .persist()
     try {
       val touched = routed.select("__route").distinct()
         .collect().map(_.getInt(0)).toSet // ≤ numPartitions ints
-      if (touched.nonEmpty)
-        // EVERY partition commits: Milvus upsert is delete-by-PK +
-        // insert, so a key whose pk VALUE changed must MOVE — its new
-        // copy lands in the routed partition while the same commit
-        // clears it from every other one (otherwise the stale copy
-        // stays live there: unioned reads return both rows, counts
-        // inflate, and a pk-scoped read of the OLD value serves deleted
-        // data). Partitions holding none of the batch's keys resolve
-        // and commit NOTHING (the ghost pre-resolve), so the steady
-        // state costs one keys'-buckets resolve scan per partition.
-        (0 until m.numPartitions).foreach { i =>
-          val putsI =
-            if (touched.contains(i))
-              Some(routed.filter(col("__route") === i)
-                .select(col("key"), col("vec"), col("meta")))
-            else None
-          val movedAway = routed.filter(col("__route") =!= i).select("key")
-          mergeCommit(partMeta(m, s"_pk_$i"), putsI, Some(movedAway))
-        }
+      if (touched.nonEmpty) routedFanout(m, routed, touched, None)
     } finally routed.unpersist()
     countParts(m, Nil)
   }
+
+  /** The pk-move fan-out both routed writers share — EVERY partition
+    * commits: Milvus upsert is delete-by-PK + insert, so a key whose pk
+    * VALUE changed must MOVE — its new copy lands in the routed
+    * partition while the same commit clears it from every other one
+    * (otherwise the stale copy stays live there: unioned reads return
+    * both rows, counts inflate, and a pk-scoped read of the OLD value
+    * serves deleted data). Partitions holding none of the batch's keys
+    * resolve and commit NOTHING (the ghost pre-resolve + KeyBloom
+    * narrowing), so the steady state costs one narrowed resolve per
+    * partition. PRECONDITION: `routed` holds at most ONE row per key
+    * (upsertRouted's content-hash resolve / the streaming loop's
+    * arrival-order resolve) — a duplicate key routed two ways would
+    * appear in its own partition's moved-away delete set and be
+    * put-then-deleted everywhere. `extraDels` (the streaming loop's
+    * explicit delete events) fan to every partition unconditionally. */
+  private def routedFanout(m: CollectionMeta, routed: DataFrame,
+                           touched: Set[Int], extraDels: Option[DataFrame]): Unit =
+    (0 until m.numPartitions).foreach { i =>
+      val putsI =
+        if (touched.contains(i))
+          Some(routed.filter(col("__route") === i)
+            .select(col("key"), col("vec"), col("meta")))
+        else None
+      val movedAway = routed.filter(col("__route") =!= i).select("key")
+      mergeCommit(partMeta(m, s"_pk_$i"), putsI,
+        Some(extraDels.fold(movedAway)(_.select("key").union(movedAway))))
+    }
 
   // the one routing expression every writer of a partition-key
   // collection uses: `__route = pmod(xxhash64(meta[pk]), numPartitions)`
@@ -582,21 +605,13 @@ class GraftClient(spark: SparkSession, root: String) {
       // leaving a stale copy in its old partition (the batch router's
       // upsertRouted contract). Untouched partitions ghost-resolve and
       // commit nothing; a fully empty batch commits nowhere.
-      val targets: Seq[Int] =
-        if (touched.nonEmpty || hasDels) 0 until m.numPartitions else Nil
       // CAS races with concurrent writers are absorbed by mergeCommit's
       // own bounded rebase-retry (MaxCommitRetries, recomputed against
       // the then-current snapshot); past that bound the exception
       // terminates the query — a sustained storm should surface, not loop
-      targets.foreach { i =>
-        val movedAway = routed.filter(col("__route") =!= i).select("key")
-        mergeCommit(partMeta(m, s"_pk_$i"),
-          if (touched.contains(i))
-            Some(routed.filter(col("__route") === i)
-              .select(col("key"), col("vec"), col("meta")))
-          else None,
-          Some(if (hasDels) delsP.union(movedAway) else movedAway))
-      }
+      if (touched.nonEmpty || hasDels)
+        routedFanout(m, routed, touched,
+          if (hasDels) Some(delsP) else None)
     } finally { routed.unpersist(); delsP.unpersist() }
   }
 

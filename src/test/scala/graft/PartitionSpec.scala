@@ -278,6 +278,42 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getString(0)).toSeq == Seq("k1"))
   }
 
+  test("one batch, one key, TWO pk values: the content-chosen winner survives in its partition") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("dup", dim = 2, partitionKey = "tenant",
+      numPartitions = 4)
+    def home(tenant: String): Int = graft.core.CatalystHash.pmodXxhash64(
+      tenant, org.apache.spark.sql.types.StringType, 4)
+    val Seq(tA, tB) = (0 until 32).map(i => s"t$i")
+      .groupBy(home).values.take(2).map(_.head).toSeq
+    assert(home(tA) != home(tB))
+    // the batch router resolves within-batch duplicates to mergeCommit's
+    // content-hash winner BEFORE fanning out; without that, each copy's
+    // partition would see the other copy in its moved-away delete set and
+    // the key would be put-then-deleted EVERYWHERE (the r11 review bug)
+    val batch = Seq(
+      ("k", Seq(1f, 0f), Map("tenant" -> tA)),
+      ("k", Seq(2f, 0f), Map("tenant" -> tB))).toDF("key", "vec", "meta")
+    client.upsert("dup", batch)
+    assert(client.count("dup") == 1,
+      "a duplicated key must survive as exactly one copy, not vanish")
+    // which copy wins is mergeCommit's rule — max content hash — so pin
+    // the survivor against that rule computed on the same batch
+    val winner = batch
+      .withColumn("__h", xxhash64(col("key"), col("vec"), to_json(col("meta"))))
+      .orderBy(col("__h").desc).select("meta").head()
+      .getMap[String, String](0)("tenant")
+    val loser = if (winner == tA) tB else tA
+    assert(client.search("dup", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(winner)).collect()
+      .map(_.getString(0)).toSeq == Seq("k"),
+      "the winner's partition serves the surviving copy")
+    assert(client.search("dup", Array(0f, 0f), k = 5,
+        partitionKeyValues = Seq(loser)).count() == 0,
+      "the losing copy's partition holds nothing")
+  }
+
   test("streaming ingest routes micro-batches through the pk router; deletes fan out") {
     import spark.implicits._
     val (client, root) = newClient()
