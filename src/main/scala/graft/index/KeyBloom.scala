@@ -51,8 +51,20 @@ import org.apache.spark.util.sketch.BloomFilter
   * 3.5 MB), read per put-commit and broadcast per version change — I/O
   * ∝ live keys / 8, never the corpus. */
 object KeyBloom {
-  val DefaultCapacity = 1L << 22 // 4M keys ≈ 3.5 MB at fpp 0.03
+  // Capacity is ADAPTIVE: files start small (64k keys ≈ 56 KB at fpp
+  // 0.03 — a per-batch read+rewrite+re-broadcast that costs nothing) and
+  // double from the live-key count on overflow, so a store only ever
+  // pays for the bloom its cardinality needs. The r11 first cut started
+  // every file at 4M capacity (3.5 MB); with 8 partition stores that put
+  // ~56 MB of sidecar I/O plus a 4M-sized distributed bloom build on
+  // EVERY routed micro-batch and cut routed ingest throughput by a
+  // third — measured, which is why this is a constant worth a comment.
+  val DefaultCapacity = 1L << 16 // 64k keys ≈ 56 KB at fpp 0.03
   val Fpp = 0.03
+  // batches up to this many keys merge driver-side (putString into the
+  // already-loaded filter — zero Spark jobs); bigger batches take the
+  // distributed treeAggregate path. 256k keys × ~24 B ≈ 6 MB transient.
+  val DriverMergeMax = 1L << 18
 
   private def bloomPath(storeDir: String): Path =
     Paths.get(storeDir, "KEYBLOOM")
@@ -105,11 +117,16 @@ object KeyBloom {
   def addKeys(storeDir: String, keys: DataFrame,
               live: () => DataFrame,
               defaultCapacity: Long = DefaultCapacity): Unit = {
-    val n = keys.count() // callers pass a persisted batch — footer-cheap
     val p = bloomPath(storeDir)
     if (!Files.exists(p)) {
-      val cap = math.max(defaultCapacity, 2 * n)
-      val b = bloomOf(live().select(col("key")).unionByName(keys.select(col("key"))), cap)
+      // size the first file for the keys it must actually hold — the
+      // store's LIVE set plus this batch, not just the batch (a bloom
+      // built over 1M live keys at a batch-sized capacity would be all
+      // ones: sound, but it prunes nothing)
+      val all = live().select(col("key")).unionByName(keys.select(col("key")))
+      val allN = all.count()
+      val cap = math.max(defaultCapacity, 2 * allN)
+      val b = bloomOf(all, cap)
       // The initial version is a random epoch, NOT 1: a dropped-and-
       // recreated store reuses its directory path, and a fresh file
       // restarting at 1 would alias the reader cache's entry for the old
@@ -120,19 +137,33 @@ object KeyBloom {
       // land on the same value, which we accept.
       val epoch = java.util.concurrent.ThreadLocalRandom.current()
         .nextLong(1L, Long.MaxValue / 2)
-      writeFile(storeDir, Loaded(epoch, n, cap, b))
+      writeFile(storeDir, Loaded(epoch, allN, cap, b))
     } else {
+      val n = keys.count() // callers pass a persisted batch — footer-cheap
       val cur = readFile(p)
       if (cur.count + n > cur.capacity) {
         // overflow → rebuild from LIVE keys only (folds deleted keys'
-        // bits back out) at enough capacity for them plus headroom
+        // bits back out) sized to the live set, NOT doubled from the old
+        // capacity: `count` accrues per put (re-upserts included), so a
+        // stable key set under churn overflows periodically, and doubling
+        // from capacity would grow the file with CUMULATIVE writes
+        // forever — the rebuild must re-tighten to live cardinality, at
+        // 2× headroom so the next overflow is a live-set away
         val liveKeys = live().select(col("key")).unionByName(keys.select(col("key")))
         val liveN = liveKeys.count()
-        val cap = 2 * math.max(cur.capacity, liveN)
+        val cap = math.max(defaultCapacity, 2 * liveN)
         writeFile(storeDir,
           Loaded(cur.version + 1, liveN, cap, bloomOf(liveKeys, cap)))
       } else {
-        cur.bloom.mergeInPlace(bloomOf(keys.select(col("key")), cur.capacity))
+        // the common per-commit path: batch-bounded key sets fold into
+        // the already-deserialized filter on the driver (no Spark job,
+        // no capacity-sized per-task blooms shuffled back); only a
+        // genuinely large batch pays the distributed treeAggregate
+        if (n <= DriverMergeMax)
+          keys.select(col("key")).collect()
+            .foreach(r => if (!r.isNullAt(0)) cur.bloom.putString(r.getString(0)))
+        else
+          cur.bloom.mergeInPlace(bloomOf(keys.select(col("key")), cur.capacity))
         writeFile(storeDir,
           Loaded(cur.version + 1, cur.count + n, cur.capacity, cur.bloom))
       }
