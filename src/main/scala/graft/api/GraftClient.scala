@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, KeyBloom, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
+import graft.index.{Catalog, CollectionMeta, IvfIndex, KeyBloom, PqIndex, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -159,16 +159,25 @@ class GraftClient(spark: SparkSession, root: String) {
                        indexType: String = "FLAT", nlist: Int = 0,
                        buckets: Int = 16, retain: Int = 2,
                        partitionKey: String = "",
-                       numPartitions: Int = 16): Boolean = {
+                       numPartitions: Int = 16,
+                       pqM: Int = 0): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
     require(Set("l2", "cosine", "dot").contains(metric),
       s"metric must be one of l2, cosine, dot (got '$metric')")
-    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8").contains(indexType),
-      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8 (got '$indexType')")
+    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ").contains(indexType),
+      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ (got '$indexType')")
     require(nlist >= 0, s"nlist must be >= 0 (got $nlist)")
+    // Milvus IVF_PQ takes `m` (subquantizers) with dim % m == 0; 0 =
+    // auto-pick (largest m ≤ 16 dividing dim). Frozen at create like
+    // the bucket count: the at-rest code layout cannot change width.
+    require(pqM == 0 || indexType == "IVF_PQ",
+      "pqM only applies with indexType = IVF_PQ")
+    if (indexType == "IVF_PQ")
+      require(pqM == 0 || (pqM >= 1 && dim % pqM == 0),
+        s"pqM must divide dim ($dim) — got $pqM")
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     // retain >= 2 is load-bearing, not a taste floor: incremental index
     // maintenance reads the PRE-image snapshot after the store commit's
@@ -199,7 +208,9 @@ class GraftClient(spark: SparkSession, root: String) {
         s"numPartitions must be in [1, 4096] (got $numPartitions)")
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
-      retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0)
+      retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
+      if (indexType == "IVF_PQ") (if (pqM > 0) pqM else PqIndex.defaultM(dim))
+      else 0)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -940,6 +951,10 @@ class GraftClient(spark: SparkSession, root: String) {
           loadedIndexFrame(coll, sq8CellsPath(pm), idx.version,
             () => Sq8Index.loadQuantized(spark, sq8CellsPath(pm),
               Some(sq8CellsSchema))).count()
+        if (pqIndexed(pm)) // PQ warms its codes like SQ8 does
+          loadedIndexFrame(coll, pqCellsPath(pm), idx.version,
+            () => PqIndex.loadEncoded(spark, pqCellsPath(pm),
+              Some(pqCellsSchema))).count()
         loadedIndexFrame(coll, cellsPath(pm), idx.version,
           () => IvfIndex.loadIndexed(spark, cellsPath(pm),
             Some(cellsSchema))).count()
@@ -1497,6 +1512,8 @@ class GraftClient(spark: SparkSession, root: String) {
   private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"
   private def cellsPath(m: CollectionMeta) = s"${ivfDir(m)}/cells"
   private def sq8CellsPath(m: CollectionMeta) = s"${ivfDir(m)}/sq8cells"
+  private def pqCellsPath(m: CollectionMeta) = s"${ivfDir(m)}/pqcells"
+  private def pqCodebooksPath(m: CollectionMeta) = s"${ivfDir(m)}/pq_codebooks"
 
   // Known at-rest schemas for the index layouts: passing them to the
   // loaders skips parquet footer inference — a Spark job of pure latency
@@ -1509,6 +1526,11 @@ class GraftClient(spark: SparkSession, root: String) {
       .add("qvec", BinaryType).add("qmax", DoubleType)
       .add("centroidId", IntegerType)
   }
+  private lazy val pqCellsSchema = {
+    import org.apache.spark.sql.types._
+    StructType(rowSchema.fields.filterNot(_.name == "vec"))
+      .add("pqcode", BinaryType).add("centroidId", IntegerType)
+  }
 
   /** Whether the collection's index carries SQ8 quantized cells — the
     * `index_type` the reference's backend takes as config
@@ -1517,6 +1539,12 @@ class GraftClient(spark: SparkSession, root: String) {
   private def sq8Indexed(m: CollectionMeta): Boolean =
     m.indexType == "IVF_SQ8" &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sq8CellsPath(m)))
+
+  /** Whether the collection's index carries PQ-encoded cells — the
+    * IVF_PQ sibling of [[sq8Indexed]]. */
+  private def pqIndexed(m: CollectionMeta): Boolean =
+    m.indexType == "IVF_PQ" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(pqCellsPath(m)))
 
   /** Metrics the IVF prune can serve. Cosine rides the L2 prune in
     * unit-normalized space (for unit vectors, cosine order ≡ L2 order);
@@ -1675,6 +1703,24 @@ class GraftClient(spark: SparkSession, root: String) {
             .withColumn("__v", assignSpace(m)(col("vec"))).drop("vec"),
           "__v"),
         sq8CellsPath(m))
+    // IVF_PQ: train per-subspace codebooks on the residuals (assign
+    // space, frozen coarse centers), persist them beside the centroid
+    // tables, and write the m-bytes-per-vector encoded cells. Codebooks
+    // freeze at build exactly like the assignment centers — incremental
+    // maintenance re-encodes touched cells bit-for-bit against them.
+    if (m.indexType == "IVF_PQ") {
+      val pqm = if (m.pqM > 0) m.pqM else PqIndex.defaultM(m.dim)
+      val assignedCells = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
+        .withColumn("__v", assignSpace(m)(col("vec")))
+      val pq = PqIndex.train(assignedCells, "__v", quant.centers, pqm,
+        sampleFraction = sampleFraction)
+      PqIndex.writeCodebooks(pq, pqCodebooksPath(m))
+      PqIndex.writeEncoded(
+        PqIndex.encode(assignedCells.drop("vec"), "__v",
+          spark.sparkContext.broadcast(quant.centers),
+          spark.sparkContext.broadcast(pq.codebooks)),
+        pqCellsPath(m))
+    }
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
     // per-cell radii for range search's lossless prune — computed against
@@ -1718,7 +1764,8 @@ class GraftClient(spark: SparkSession, root: String) {
   private case class LoadedIndex(assign: IvfIndex.CoarseQuantizer,
                                  probe: IvfIndex.CoarseQuantizer,
                                  version: Long, maintainable: Boolean,
-                                 radii: Option[Map[Int, Double]])
+                                 radii: Option[Map[Int, Double]],
+                                 pq: Option[PqIndex.ProductQuantizer] = None)
 
   /** Per-(collection, version) LoadedIndex cache: the VERSION file is
     * re-read on every call (staleness must always be detected), but the
@@ -1740,8 +1787,13 @@ class GraftClient(spark: SparkSession, root: String) {
         val assign = readCentroids(s"${ivfDir(m)}/centroids")
         val probePath = s"${ivfDir(m)}/probe_centroids"
         val hasProbe = java.nio.file.Files.exists(java.nio.file.Paths.get(probePath))
+        val pq =
+          if (pqIndexed(m) && java.nio.file.Files.exists(
+              java.nio.file.Paths.get(pqCodebooksPath(m))))
+            Some(PqIndex.readCodebooks(spark, pqCodebooksPath(m)))
+          else None
         LoadedIndex(assign, if (hasProbe) readCentroids(probePath) else assign,
-          v, hasProbe, readCellRadii(m))
+          v, hasProbe, readCellRadii(m), pq)
       })
     }
 
@@ -1839,6 +1891,23 @@ class GraftClient(spark: SparkSession, root: String) {
               .partitionBy("centroidId").parquet(sq8CellsPath(m))
             (touchedCells.toSet -- writtenCells).foreach { cell =>
               deleteDir(s"${sq8CellsPath(m)}/centroidId=$cell")
+            }
+          }
+          // PQ cells mirror the float cells the same way: re-encode ONLY
+          // the touched cells' new contents against the FROZEN codebooks
+          // (PqEncode recomputes any row's codes bit-for-bit from vec +
+          // cell — same recompute contract the assignment centers hold)
+          if (pqIndexed(m)) idx.pq.foreach { pq =>
+            PqIndex.encode(
+                contents.withColumn("__v", assignSpace(m)(col("vec"))).drop("vec"),
+                "__v",
+                cachedBroadcast(m.name, "assign", idx.version)(idx.assign.centers),
+                cachedBroadcast(m.name, "pqbooks", idx.version)(pq.codebooks))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("centroidId").parquet(pqCellsPath(m))
+            (touchedCells.toSet -- writtenCells).foreach { cell =>
+              deleteDir(s"${pqCellsPath(m)}/centroidId=$cell")
             }
           }
           // probe centers of the touched cells move to the new cell means;
@@ -2040,7 +2109,8 @@ class GraftClient(spark: SparkSession, root: String) {
       filter: Option[Column], nprobe: Int, refine: Int,
       depth: Int, cursorDist: Option[Double] = None,
       gate: Option[DataFrame] = None,
-      pinnedNoIndex: Boolean = false): DataFrame = {
+      pinnedNoIndex: Boolean = false,
+      forceCellScan: Boolean = false): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
@@ -2065,10 +2135,17 @@ class GraftClient(spark: SparkSession, root: String) {
         "snapshot pin) — the iterator was dispatched on the exact scan " +
         "and its coverage contract would change; restart the iterator")
     liveIdx match {
-      case Some(idx) if sq8Indexed(pm) =>
+      case Some(idx) if sq8Indexed(pm) && !forceCellScan =>
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
         // cursor prune stays on the FLAT/exact paths
         sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth, gate)
+      case Some(idx) if !forceCellScan && pqIndexed(pm) && idx.pq.isDefined =>
+        // PQ stage 1 is depth-bounded the same way; iterators pass
+        // forceCellScan and drain the FLOAT cells instead (the layout
+        // every IVF type keeps), because the ADC pool has no unbounded
+        // keyset drain — see searchIterator
+        pqScored(pm, coll, idx, idx.pq.get, qvec, filter, nprobe, refine,
+          depth, gate)
       case _ =>
         val base = prunedCellsOrScan(pm, coll, liveIdx,
             scalarPrunedRead(pm, coll, filter)) { idx =>
@@ -2246,6 +2323,50 @@ class GraftClient(spark: SparkSession, root: String) {
       .limit(depth * refine)
       .select(col("key"))
     // exact re-rank in the collection's metric over the ORIGINAL vectors
+    val qx = typedLit(qvec)
+    val score = m.metric match {
+      case "cosine" => -cosine_similarity(col("vec"), qx)
+      case _ => l2_distance(col("vec"), qx)
+    }
+    coll.read(spark).join(broadcast(cand), Seq("key"))
+      .select(col("key").as("vector_key"), score.as("distance"),
+        col("meta").as("metadata"))
+  }
+
+  /** The IVF_PQ two-stage search — [[sq8Scored]]'s shape with ADC as
+    * stage 1: the driver precomputes one `m·ksub` lookup table per
+    * probed cell from the query's residual against the FROZEN assign
+    * center (the space the codes encode — probe centers only CHOOSE
+    * cells), and the stage-1 scan is `m` byte-indexed adds per row over
+    * the `m`-bytes-per-vector layout. PQ's approximation is coarser
+    * than SQ8's, so stage 2's exact re-rank carries more of the recall:
+    * the same `k·refine` candidate fetch, but `refine` is doing real
+    * work here rather than insurance. Cosine rides the normalized
+    * assign space exactly like SQ8; tie-breaks on key in both stages. */
+  private def pqScored(m: CollectionMeta, coll: BucketedKeyedCollection,
+      idx: LoadedIndex, pq: PqIndex.ProductQuantizer, qvec: Array[Float],
+      filter: Option[Column], nprobe: Int, refine: Int, depth: Int,
+      gate: Option[DataFrame] = None): DataFrame = {
+    val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+    val cells = idx.probe.probes(qa, nprobe)
+    // per-cell ADC tables, indexed by centroidId (null ⇔ unprobed — the
+    // isin filter below guarantees the kernel never reads one); ~nprobe
+    // · m·ksub doubles, broadcast per query and reclaimed by the
+    // ContextCleaner like any expired plan broadcast
+    val luts = Array.fill[Array[Double]](idx.assign.nlist)(null)
+    cells.foreach(c => luts(c) = pq.lutFor(qa, idx.assign.centers(c)))
+    val lutsBc = spark.sparkContext.broadcast(luts)
+    val codes = loadedIndexFrame(coll, pqCellsPath(m), idx.version,
+        () => PqIndex.loadEncoded(spark, pqCellsPath(m), Some(pqCellsSchema)))
+      .filter(col("centroidId").isin(cells: _*))
+    val metaFiltered = filter.fold(codes)(codes.filter)
+    val cand = gate.fold(metaFiltered)(g =>
+        metaFiltered.join(g, Seq("key"), "left_semi"))
+      .select(col("key"), graft.functions.PqFunctions.pq_adc_distance(
+        col("pqcode"), col("centroidId"), lutsBc, pq.ksub).as("adist"))
+      .orderBy(col("adist"), col("key"))
+      .limit(depth * refine)
+      .select(col("key"))
     val qx = typedLit(qvec)
     val score = m.metric match {
       case "cosine" => -cosine_similarity(col("vec"), qx)
@@ -2716,7 +2837,11 @@ class GraftClient(spark: SparkSession, root: String) {
             cursorDist = cursor.map(_._1), // deep pages skip cells the
                                            // cursor has fully passed
             gate = gate, // drain-start-pinned TEXT_MATCH key set (above)
-            pinnedNoIndex = !liveAt(p))
+            pinnedNoIndex = !liveAt(p),
+            // IVF_PQ partitions drain the FLOAT cells (every IVF type
+            // keeps them): the ADC pool is depth-bounded with no keyset
+            // drain, and indexType is immutable — no TOCTOU to pin
+            forceCellScan = pm.indexType == "IVF_PQ")
         }
         .reduce(_ unionByName _)
       val after = cursor.fold(scored) { case (d, k0) =>
@@ -2783,7 +2908,8 @@ class GraftClient(spark: SparkSession, root: String) {
       override protected def refill(): Unit = {
         val scored = scoredCandidates(pm, qvec, filter, nprobe, refine, chunk,
           cursorDist = cursor.map(_._1), gate = gate,
-          pinnedNoIndex = !hadLiveIndex)
+          pinnedNoIndex = !hadLiveIndex,
+          forceCellScan = pm.indexType == "IVF_PQ") // see searchIterator
         val after = cursor.fold(scored) { case (d, k0) =>
           scored.filter(col("distance") > d ||
             (col("distance") === d && col("vector_key") > k0))
@@ -3088,7 +3214,10 @@ class GraftClient(spark: SparkSession, root: String) {
     }
     val ivf =
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
-      else Seq(row(if (sq8Indexed(m)) "IVF_SQ8" else "IVF_FLAT", "vec", ivfDir(m)))
+      else Seq(row(
+        if (sq8Indexed(m)) "IVF_SQ8"
+        else if (pqIndexed(m)) "IVF_PQ"
+        else "IVF_FLAT", "vec", ivfDir(m)))
     val text =
       if (!TextIndex.exists(textDir(m))) Nil
       else Seq(row("TEXT", "text", textDir(m)))

@@ -27,9 +27,11 @@ case class CollectionMeta(
                                 // metadata field whose HASH routes each
                                 // row to one of numPartitions physical
                                 // partitions ("" = plain collection)
-    numPartitions: Int = 0)     // partition count for partition-key
+    numPartitions: Int = 0,     // partition count for partition-key
                                 // routing — immutable (the route is
                                 // pmod(xxhash64(value), numPartitions))
+    pqM: Int = 0)               // IVF_PQ subquantizer count (Milvus index
+                                // param `m`); 0 on every other index type
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -62,7 +64,7 @@ class Catalog(root: String) {
       s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
       s""""buckets":${m.buckets},"retain":${m.retain},""" +
       s""""partitionKey":"${esc(m.partitionKey)}","numPartitions":${m.numPartitions},""" +
-      s""""dataPath":"${esc(m.dataPath)}"}"""
+      s""""pqM":${m.pqM},"dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
     val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -89,7 +91,8 @@ class Catalog(root: String) {
       intFieldOr(json, "buckets", 16), intFieldOr(json, "retain", 2),
       // absent in pre-partition catalogs — parse stays backward compatible
       strFieldOr(json, "partitionKey", ""),
-      intFieldOr(json, "numPartitions", 0))
+      intFieldOr(json, "numPartitions", 0),
+      intFieldOr(json, "pqM", 0))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+import graft.index.{IvfIndex, PqIndex}
+import graft.functions.{PqFunctions, PqKernels}
+
+/** IVF_PQ product-quantized cells: the encode kernel must equal a Scala
+  * recomputation (frozen float32/lowest-id contract), ADC must equal the
+  * LUT sum it abbreviates, refined search must recover the exact top-k,
+  * maintenance must keep the codes fresh across upserts/deletes, and the
+  * iterator must drain PQ collections completely via the float cells. */
+class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("pq-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def vec(seed: Int, dim: Int = 8): Seq[Float] =
+    (1 to dim).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+
+  private def newClient(): GraftClient = {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    new GraftClient(spark, root)
+  }
+
+  // ---- kernel-level ----
+
+  test("pq_encode equals a Scala recomputation; ADC equals its LUT sum") {
+    import spark.implicits._
+    val dim = 8; val m = 4; val dsub = dim / m
+    val rows = (0 until 120).map(i => (i.toLong, vec(i, dim)))
+    val df = rows.toDF("id", "v")
+    val (indexed, quant) = IvfIndex.build(df, "v", nlist = 3)
+    // small ksub so real quantization distortion is exercised
+    val pq = PqIndex.train(indexed, "v", quant.centers, m, ksub = 8)
+    assert(pq.m == m && pq.dsub == dsub && pq.ksub == 8)
+    val centersBc = spark.sparkContext.broadcast(quant.centers)
+    val booksBc = spark.sparkContext.broadcast(pq.codebooks)
+    val encoded = PqIndex.encode(indexed, "v", centersBc, booksBc)
+      .select("id", "centroidId", "pqcode").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2))).toList
+
+    // Scala twin of the encode kernel: float32 reads, ties to lowest id
+    def encodeScala(v: Seq[Float], cell: Int): Array[Byte] = {
+      val ctr = quant.centers(cell)
+      (0 until m).map { j =>
+        val best = (0 until pq.ksub).minBy { c =>
+          val w = pq.codebooks(j)(c)
+          ((0 until dsub).map { t =>
+            val i = j * dsub + t
+            val d = v(i).toDouble - ctr(i) - w(t); d * d
+          }.sum, c)
+        }
+        best.toByte
+      }.toArray
+    }
+    val byId = rows.toMap
+    encoded.foreach { case (id, cell, code) =>
+      assert(code.sameElements(encodeScala(byId(id), cell)),
+        s"row $id: kernel codes differ from the Scala twin")
+    }
+
+    // ADC: kernel result == sqrt of the LUT entries its codes select,
+    // and approximates the exact residual-space distance
+    val q = vec(7, dim).toArray
+    val luts = Array.fill[Array[Double]](quant.nlist)(null)
+    (0 until quant.nlist).foreach(c => luts(c) = pq.lutFor(q, quant.centers(c)))
+    val lutsBc = spark.sparkContext.broadcast(luts)
+    val adc = PqIndex.encode(indexed, "v", centersBc, booksBc)
+      .select(col("id"), PqFunctions.pq_adc_distance(
+        col("pqcode"), col("centroidId"), lutsBc, pq.ksub).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    encoded.foreach { case (id, cell, code) =>
+      val s = code.indices.map(j => luts(cell)(j * pq.ksub + (code(j) & 0xFF))).sum
+      assert(math.abs(adc(id) - math.sqrt(s)) < 1e-12,
+        s"row $id: ADC kernel != its own LUT sum")
+    }
+    // sanity: ADC correlates with exact L2 (same nearest row at least)
+    val exactNearest = rows.minBy { case (_, v) =>
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    }._1
+    val adcNearest = adc.minBy { case (id, d) => (d, id) }._1
+    assert(adcNearest == exactNearest,
+      "ADC must rank the clearly-nearest row first on this corpus")
+  }
+
+  test("train clamps ksub to the row count and pads to uniform width") {
+    import spark.implicits._
+    val df = (0 until 5).map(i => (i.toLong, vec(i))).toDF("id", "v")
+    val (indexed, quant) = IvfIndex.build(df, "v", nlist = 2)
+    val pq = PqIndex.train(indexed, "v", quant.centers, m = 2, ksub = 256)
+    assert(pq.ksub == 5, "ksub must clamp to the training row count")
+    assert(pq.codebooks.forall(_.length == pq.ksub), "uniform codebook width")
+  }
+
+  // ---- client-level ----
+
+  test("IVF_PQ through the client: ADC stage-1, exact re-rank, fresh across upserts") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pq", dim = 8, metric = "l2",
+      indexType = "IVF_PQ", nlist = 4)
+    assert(client.describe("pq").pqM == 4,
+      "auto-picked m: largest ≤ 16 dividing dim 8 with dsub ≥ 2")
+    val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("pq", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pq", nlist = 4)
+
+    val dp = client.describe("pq").dataPath
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dp-ivf/pqcells")),
+      "IVF_PQ build must persist the encoded cells")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dp-ivf/pq_codebooks")),
+      "IVF_PQ build must persist the codebooks")
+    assert(client.listIndexes("pq").collect()
+      .exists(r => r.getString(0) == "IVF_PQ" && r.getBoolean(2)),
+      "listIndexes must report a fresh IVF_PQ index")
+
+    // stage 1 scans the byte codes with the cell prune as a PARTITION
+    // filter; stage 2 is a broadcast re-rank against the keyed store
+    val probed = client.search("pq", vec(17).toArray, k = 5, nprobe = 2)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("pqcode"), "stage 1 must scan the PQ codes")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("centroidId")),
+      s"the cell prune must be a PARTITION filter on the codes scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the exact re-rank fetch must be a broadcast join, not a shuffle")
+    assert(probed.collect().head.getAs[String]("vector_key") == "k17")
+
+    def l2(v: Seq[Float], q: Array[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    def exactTop(live: Map[String, Seq[Float]], q: Array[Float], k: Int): Seq[String] =
+      live.toSeq.map { case (key, v) => (key, l2(v, q)) }
+        .sortBy { case (key, d) => (d, key) }.take(k).map(_._1)
+
+    val live0 = rows.map { case (k, v, _) => k -> v }.toMap
+    for (qSeed <- Seq(3, 17, 42, 101)) {
+      val q = vec(qSeed).toArray
+      val got = client.search("pq", q, k = 10, nprobe = 4, refine = 8)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live0, q, 10),
+        s"refined PQ at full probe must equal the exact answer (q=vec($qSeed))")
+    }
+
+    // metadata filter composes on the codes scan (pqcells keep meta)
+    val evenFilter = element_at(col("meta"), "i").cast("int") % 2 === 0
+    val filtered = client.search("pq", vec(17).toArray, k = 5,
+      filter = Some(evenFilter), nprobe = 4, refine = 8)
+    assert(filtered.collect().map(_.getAs[String]("vector_key")).toSeq
+      .forall(k => k.drop(1).toInt % 2 == 0))
+
+    // maintenance: moves, fresh inserts, deletes re-encode only touched
+    // cells — the PQ path keeps serving, codes never go stale
+    client.upsert("pq", Seq(
+      ("fresh", vec(500), Map("i" -> "500")),
+      ("k30", vec(170), Map("i" -> "30"))
+    ).toDF("key", "vec", "meta"))
+    client.deleteByKeys("pq", Seq("k17"))
+    val live = live0 ++ Map("fresh" -> vec(500), "k30" -> vec(170)) - "k17"
+    for (qSeed <- Seq(17, 170, 500)) {
+      val q = vec(qSeed).toArray
+      val df = client.search("pq", q, k = 8, nprobe = 4, refine = 8)
+      assert(df.queryExecution.executedPlan.toString.contains("pqcode"),
+        "maintenance commits must keep the PQ stage-1 path")
+      val got = df.collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(got == exactTop(live, q, 8), s"q=vec($qSeed): $got")
+    }
+    val pqOnDisk = spark.read.parquet(s"$dp-ivf/pqcells")
+    assert(pqOnDisk.filter(col("key") === "k17").count() == 0,
+      "deleted key lingers in the PQ cells")
+    assert(pqOnDisk.filter(col("key") === "k30").count() == 1,
+      "moved key must exist exactly once in the PQ cells")
+    assert(pqOnDisk.filter(col("key") === "fresh").count() == 1)
+
+    // recall estimator runs (batch path rides the FLAT cell prune)
+    assert(client.estimateRecall("pq", k = 5, nprobe = 4) >= 0.99)
+  }
+
+  test("cosine IVF_PQ: normalized-space codes, exact cosine re-rank") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqc", dim = 8, metric = "cosine",
+      indexType = "IVF_PQ", nlist = 4)
+    val rows = (0 until 150).map(i => (s"c$i", vec(i), Map.empty[String, String]))
+    client.upsert("pqc", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pqc", nlist = 4)
+    def cos(a: Seq[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    for (qSeed <- Seq(5, 77)) {
+      val q = vec(qSeed).toArray
+      val got = client.search("pqc", q, k = 10, nprobe = 4, refine = 8)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      val want = rows.map { case (k, v, _) => (k, -cos(v, q)) }
+        .sortBy { case (k, d) => (d, k) }.take(10).map(_._1)
+      assert(got == want, s"cosine PQ q=vec($qSeed)")
+    }
+  }
+
+  test("iterator drains an IVF_PQ collection completely via the float cells") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqi", dim = 8, indexType = "IVF_PQ", nlist = 4)
+    val rows = (0 until 300).map(i => (s"i$i", vec(i), Map.empty[String, String]))
+    client.upsert("pqi", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pqi", nlist = 4)
+    val q = vec(9).toArray
+    val drained = client.searchIterator("pqi", q, batchSize = 40)
+      .flatMap(_.map(_.getAs[String]("vector_key"))).toSeq
+    assert(drained.size == 300, s"PQ drain must cover every row (got ${drained.size})")
+    assert(drained.distinct.size == 300, "no duplicates across pages")
+    // order parity with the exact ranking
+    def l2d(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val want = rows.map { case (k, v, _) => (k, math.sqrt(l2d(v))) }
+      .sortBy { case (k, d) => (d, k) }.map(_._1)
+    assert(drained == want, "drain order must equal the exact-distance order")
+  }
+
+  test("create-boundary validation: pqM must divide dim; pqM only with IVF_PQ") {
+    val client = newClient()
+    intercept[IllegalArgumentException](
+      client.createCollection("bad1", dim = 10, indexType = "IVF_PQ", pqM = 3))
+    intercept[IllegalArgumentException](
+      client.createCollection("bad2", dim = 8, indexType = "FLAT", pqM = 2))
+    assert(client.createCollection("ok", dim = 10, indexType = "IVF_PQ", pqM = 5))
+    assert(client.describe("ok").pqM == 5)
+  }
+}
