@@ -275,6 +275,55 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  // One IVF_PQ collection per (dir, process) — the loadedRootCache
+  // pattern (root path cached, never the client): the embeddings corpus
+  // through the full write path, then an IVF_PQ build (coarse k-means +
+  // per-subspace codebook training + m-bytes-per-vector encoded cells).
+  private val pqRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = pqRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-pqq").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embpq", dim = dim, indexType = "IVF_PQ", buckets = 16)
+      c.upsert("embpq", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      c.buildIndex("embpq", nlist = 8)
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B5 (Milvus `IVF_PQ`) on the ORACLE path: top-10 L2 through the
+    * client's PQ search — per-cell ADC lookup tables over the
+    * m-bytes-per-vector codes rank stage 1, exact re-rank scores stage 2.
+    * The refine pool is sized to COVER the corpus (`k·refine ≥ N`), so
+    * the result is exactly brute force and hash-comparable: what the
+    * oracle pins is the whole pipeline being value-exact — codebook
+    * train/persist/reload, every row carrying decodable codes, the ADC
+    * kernel scoring them without a dispatch hole, the re-rank join-back
+    * and tie-break. Recall at production-sized refine (where ADC actually
+    * prunes) is PqIndexSpec's domain — approximation quality has no
+    * hash-equality oracle by construction. */
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val client = pqClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count() // parquet-footer count — no scan
+    val k = 10
+    client.search("embpq", q, k = k, nprobe = 8,
+        refine = ((n + k - 1) / k).toInt)
+      .select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -292,6 +341,7 @@ object VectorQueries {
     "knn_grouped" -> knnGrouped _,
     "knn_paged" -> knnPaged _,
     "knn_loaded_topk" -> knnLoaded _,
+    "knn_pq_topk" -> knnPq _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
@@ -345,6 +395,9 @@ object VectorQueries {
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
     "knn_loaded_topk" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_pq_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
     "knn_batched" ->
