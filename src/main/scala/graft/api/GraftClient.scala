@@ -160,7 +160,8 @@ class GraftClient(spark: SparkSession, root: String) {
                        buckets: Int = 16, retain: Int = 2,
                        partitionKey: String = "",
                        numPartitions: Int = 16,
-                       pqM: Int = 0): Boolean = {
+                       pqM: Int = 0,
+                       pqNbits: Int = 8): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
@@ -178,6 +179,15 @@ class GraftClient(spark: SparkSession, root: String) {
     if (indexType == "IVF_PQ")
       require(pqM == 0 || (pqM >= 1 && dim % pqM == 0),
         s"pqM must divide dim ($dim) — got $pqM")
+    // Milvus IVF_PQ `nbits` (codebook size = 2^nbits, default 8). Capped
+    // at 8 because codes are ONE BYTE per subvector at rest — supporting
+    // 9..16 would need a 2-byte code layout; refused loudly rather than
+    // silently clamped. Frozen at create like pqM.
+    require(pqNbits == 8 || indexType == "IVF_PQ",
+      "pqNbits only applies with indexType = IVF_PQ")
+    require(pqNbits >= 1 && pqNbits <= 8,
+      s"pqNbits must be in [1, 8] (got $pqNbits) — codes are one byte " +
+        "per subvector at rest")
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     // retain >= 2 is load-bearing, not a taste floor: incremental index
     // maintenance reads the PRE-image snapshot after the store commit's
@@ -210,7 +220,8 @@ class GraftClient(spark: SparkSession, root: String) {
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
       if (indexType == "IVF_PQ") (if (pqM > 0) pqM else PqIndex.defaultM(dim))
-      else 0)
+      else 0,
+      if (indexType == "IVF_PQ") pqNbits else 8)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -1751,7 +1762,7 @@ class GraftClient(spark: SparkSession, root: String) {
       val assignedCells = IvfIndex.loadIndexed(spark, cellsPath(m), Some(cellsSchema))
         .withColumn("__v", assignSpace(m)(col("vec")))
       val pq = PqIndex.train(assignedCells, "__v", quant.centers, pqm,
-        sampleFraction = sampleFraction)
+        ksub = 1 << m.pqNbits, sampleFraction = sampleFraction)
       PqIndex.writeCodebooks(pq, pqCodebooksPath(m))
       PqIndex.writeEncoded(
         PqIndex.encode(assignedCells.drop("vec"), "__v",

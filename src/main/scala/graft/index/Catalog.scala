@@ -30,8 +30,12 @@ case class CollectionMeta(
     numPartitions: Int = 0,     // partition count for partition-key
                                 // routing — immutable (the route is
                                 // pmod(xxhash64(value), numPartitions))
-    pqM: Int = 0)               // IVF_PQ subquantizer count (Milvus index
+    pqM: Int = 0,               // IVF_PQ subquantizer count (Milvus index
                                 // param `m`); 0 on every other index type
+    pqNbits: Int = 8)           // IVF_PQ bits per code (Milvus `nbits`):
+                                // codebooks hold 2^nbits codewords.
+                                // Capped at 8 — codes are one byte per
+                                // subvector at rest by layout
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -64,7 +68,8 @@ class Catalog(root: String) {
       s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
       s""""buckets":${m.buckets},"retain":${m.retain},""" +
       s""""partitionKey":"${esc(m.partitionKey)}","numPartitions":${m.numPartitions},""" +
-      s""""pqM":${m.pqM},"dataPath":"${esc(m.dataPath)}"}"""
+      s""""pqM":${m.pqM},"pqNbits":${m.pqNbits},""" +
+      s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
     val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -92,7 +97,8 @@ class Catalog(root: String) {
       // absent in pre-partition catalogs — parse stays backward compatible
       strFieldOr(json, "partitionKey", ""),
       intFieldOr(json, "numPartitions", 0),
-      intFieldOr(json, "pqM", 0))
+      intFieldOr(json, "pqM", 0),
+      intFieldOr(json, "pqNbits", 8))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -238,5 +238,40 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.createCollection("bad2", dim = 8, indexType = "FLAT", pqM = 2))
     assert(client.createCollection("ok", dim = 10, indexType = "IVF_PQ", pqM = 5))
     assert(client.describe("ok").pqM == 5)
+    // Milvus `nbits`: [1, 8] with IVF_PQ only — 9+ would need a 2-byte
+    // code layout and is refused, not clamped
+    intercept[IllegalArgumentException](
+      client.createCollection("bad3", dim = 8, indexType = "IVF_PQ", pqNbits = 9))
+    intercept[IllegalArgumentException](
+      client.createCollection("bad4", dim = 8, indexType = "IVF_PQ", pqNbits = 0))
+    intercept[IllegalArgumentException](
+      client.createCollection("bad5", dim = 8, indexType = "FLAT", pqNbits = 4))
+    assert(client.createCollection("ok4", dim = 8, indexType = "IVF_PQ", pqNbits = 4))
+    assert(client.describe("ok4").pqNbits == 4)
+  }
+
+  test("nbits = 4 builds 16-codeword books and still recovers exact top-k refined") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pq4", dim = 8, indexType = "IVF_PQ",
+      nlist = 2, pqNbits = 4)
+    val rows = (0 until 160).map(i => (s"n$i", vec(i), Map.empty[String, String]))
+    client.upsert("pq4", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pq4", nlist = 2)
+    val dp = client.describe("pq4").dataPath
+    val books = spark.read.parquet(s"$dp-ivf/pq_codebooks")
+    assert(books.groupBy("subspace").count().collect()
+      .forall(_.getLong(1) == 16L), "nbits=4 ⇒ 2^4 codewords per subspace")
+    def l2(v: Seq[Float], q: Array[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    for (qSeed <- Seq(11, 93)) {
+      val q = vec(qSeed).toArray
+      // coarser books need a deeper refine pool — that is nbits' trade
+      val got = client.search("pq4", q, k = 10, nprobe = 2, refine = 16)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      val want = rows.map { case (k, v, _) => (k, l2(v, q)) }
+        .sortBy { case (k, d) => (d, k) }.take(10).map(_._1)
+      assert(got == want, s"nbits=4 refined PQ at full probe, q=vec($qSeed)")
+    }
   }
 }
