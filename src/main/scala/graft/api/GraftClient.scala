@@ -30,8 +30,113 @@ import graft.streaming.BucketedKeyedCollection
   * snapshot swap — batch reads are strongly consistent, A20), metadata in
   * the JSON catalog. All operations are set-at-a-time Spark plans; the
   * upsert batches any number of rows into one merge. */
-class GraftClient(spark: SparkSession, root: String) {
+class GraftClient(spark: SparkSession, root: String,
+                  boundedStalenessMs: Long = GraftClient.BoundedStalenessMs) {
   private val catalog = new Catalog(s"$root/catalog")
+
+  // ---- Milvus consistency levels (per-CLIENT state by definition:
+  // Session means "covers THIS client's writes", and the Bounded/
+  // Eventually staleness window is the caller's read-your-own-cache
+  // tolerance, not a store property) ----
+  private case class ResolvedAt(version: Long, atMs: Long)
+  // last snapshot version this client RESOLVED per store dir — what
+  // Bounded/Eventually reads serve instead of re-reading CURRENT
+  private val resolvedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ResolvedAt]()
+  // highest version this client COMMITTED per store dir — the Session
+  // floor: a Session read of a store that reports less has observably
+  // lost this client's acknowledged write (rolled-back/restored dir)
+  private val sessionFloor =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def recordResolved(dataPath: String, v: Long): Unit =
+    resolvedCache.put(dataPath, ResolvedAt(v, System.currentTimeMillis()))
+
+  private def recordCommitted(dataPath: String, v: Long): Unit = {
+    recordResolved(dataPath, v)
+    sessionFloor.merge(dataPath, Long.box(v),
+      (a, b) => if (a >= b) a else b)
+  }
+
+  /** The snapshot version a read at `level` runs against: `None` = the
+    * live CURRENT frame (resolve now), `Some(v)` = the pinned retained
+    * snapshot `v` served from this client's resolution cache without
+    * touching the CURRENT pointer — at object-store scale that pointer
+    * read is a round trip on every query, which is exactly the sync the
+    * Bounded/Eventually levels exist to skip. A cache miss resolves
+    * strong and populates the cache; the caller handles a vacuumed
+    * pinned version by falling back to strong ([[readStoreAt]]). */
+  private def pinForRead(pm: CollectionMeta, coll: BucketedKeyedCollection,
+                         level: String): Option[Long] = {
+    def strongResolve(): Option[Long] = {
+      coll.currentVersion.foreach(recordResolved(pm.dataPath, _))
+      None
+    }
+    level match {
+      case "Strong" => strongResolve()
+      case "Session" =>
+        // Session still resolves CURRENT (our commits are synchronous —
+        // there is no async apply-lag to wait out); its guarantee is the
+        // floor assertion: the store must cover this client's own
+        // acknowledged writes, which a rolled-back/restored store dir
+        // silently wouldn't
+        val cur = coll.currentVersion
+        Option(sessionFloor.get(pm.dataPath)).map(_.longValue).foreach { f =>
+          require(cur.exists(_ >= f),
+            s"${pm.name}: Session consistency violated — this client " +
+              s"committed version $f but the store now reports " +
+              s"${cur.getOrElse("none")}; the store directory was rolled " +
+              "back or replaced out from under the client")
+        }
+        cur.foreach(recordResolved(pm.dataPath, _))
+        None
+      case "Bounded" | "Eventually" =>
+        Option(resolvedCache.get(pm.dataPath))
+          .filter(r => level == "Eventually" ||
+            System.currentTimeMillis() - r.atMs <= boundedStalenessMs)
+          .map(_.version)
+          .orElse(strongResolve())
+      case other => throw new IllegalArgumentException(
+        s"unknown consistency level '$other' — use Strong, Session, " +
+          "Bounded or Eventually")
+    }
+  }
+
+  /** The collection default, or the per-call override when given. */
+  private def effectiveLevel(m: CollectionMeta, overrideLevel: String): String =
+    if (overrideLevel.nonEmpty) {
+      require(GraftClient.ConsistencyLevels.contains(overrideLevel),
+        s"unknown consistency level '$overrideLevel' — use " +
+          GraftClient.ConsistencyLevels.mkString(", "))
+      overrideLevel
+    } else m.consistency
+
+  /** Full-store read at the pinned version, falling back to a STRONG
+    * read (and re-priming the cache) when the pinned snapshot has been
+    * vacuumed past the retain window — a Bounded/Eventually read
+    * upgrades rather than fails on staleness. */
+  private def readStoreAt(pm: CollectionMeta, coll: BucketedKeyedCollection,
+                          pin: Option[Long]): DataFrame =
+    pin.fold(coll.read(spark)) { v =>
+      try coll.readVersion(spark, v)
+      catch { case _: IllegalArgumentException =>
+        resolvedCache.remove(pm.dataPath)
+        coll.currentVersion.foreach(recordResolved(pm.dataPath, _))
+        coll.read(spark)
+      }
+    }
+
+  /** [[readStoreAt]] for a bucket-restricted read (get/fetch). */
+  private def readBucketsAtPin(pm: CollectionMeta, coll: BucketedKeyedCollection,
+                               pin: Option[Long], buckets: Seq[Int]): DataFrame =
+    pin.fold(coll.readBuckets(spark, buckets)) { v =>
+      try coll.readBucketsAt(spark, v, buckets)
+      catch { case _: IllegalStateException | _: IllegalArgumentException =>
+        resolvedCache.remove(pm.dataPath)
+        coll.currentVersion.foreach(recordResolved(pm.dataPath, _))
+        coll.readBuckets(spark, buckets)
+      }
+    }
 
   /** Per-(collection, kind, index-version) broadcast cache. The probe
     * quantizer and assignment centers are re-read by every `loadIndex`,
@@ -161,7 +266,8 @@ class GraftClient(spark: SparkSession, root: String) {
                        partitionKey: String = "",
                        numPartitions: Int = 16,
                        pqM: Int = 0,
-                       pqNbits: Int = 8): Boolean = {
+                       pqNbits: Int = 8,
+                       consistencyLevel: String = "Strong"): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
@@ -188,6 +294,11 @@ class GraftClient(spark: SparkSession, root: String) {
     require(pqNbits >= 1 && pqNbits <= 8,
       s"pqNbits must be in [1, 8] (got $pqNbits) — codes are one byte " +
         "per subvector at rest")
+    // Milvus `consistency_level` — the collection's default read level
+    // (see GraftClient.ConsistencyLevels for the engine mapping)
+    require(GraftClient.ConsistencyLevels.contains(consistencyLevel),
+      s"unknown consistencyLevel '$consistencyLevel' — use " +
+        GraftClient.ConsistencyLevels.mkString(", "))
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     // retain >= 2 is load-bearing, not a taste floor: incremental index
     // maintenance reads the PRE-image snapshot after the store commit's
@@ -221,7 +332,8 @@ class GraftClient(spark: SparkSession, root: String) {
       retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
       if (indexType == "IVF_PQ") (if (pqM > 0) pqM else PqIndex.defaultM(dim))
       else 0,
-      if (indexType == "IVF_PQ") pqNbits else 8)
+      if (indexType == "IVF_PQ") pqNbits else 8,
+      consistencyLevel)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -927,6 +1039,9 @@ class GraftClient(spark: SparkSession, root: String) {
           val newVersion = describedJobs("graft: store commit (merge + write)") {
             coll.commitBuckets(touched, remaining, newMaxSeq,
               expectedBase = Some(baseVersion.getOrElse(-1L))) }
+          // Session floor + Bounded/Eventually cache: this client's own
+          // acknowledged write IS a resolution of the new snapshot
+          recordCommitted(m.dataPath, newVersion)
           // keep a fresh IVF index fresh across the commit — `current` (the
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
@@ -1176,12 +1291,14 @@ class GraftClient(spark: SparkSession, root: String) {
     * reads 1/buckets of the collection regardless of corpus size (plus
     * Parquet min/max pruning inside the bucket) — never a full scan.
     * Returns (vec, meta) or None. */
-  def get(name: String, key: String): Option[(Seq[Float], Map[String, String])] = {
+  def get(name: String, key: String,
+          consistencyLevel: String = ""): Option[(Seq[Float], Map[String, String])] = {
     import spark.implicits._
     val m = metaOrThrow(name)
     val coll = collection(m)
     val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
-    coll.readBuckets(spark, Seq(bucket))
+    readBucketsAtPin(m, coll,
+        pinForRead(m, coll, effectiveLevel(m, consistencyLevel)), Seq(bucket))
       .filter(col("key") === key)
       .select(col("vec"), col("meta"))
       .collect().headOption
@@ -2615,7 +2732,8 @@ class GraftClient(spark: SparkSession, root: String) {
     * the key side when small (the point-lookup case), and a corpus-sized
     * key frame degrades gracefully to a shuffle join. */
   def fetchDf(name: String, keys: DataFrame,
-              partitions: Seq[String] = Nil): DataFrame = {
+              partitions: Seq[String] = Nil,
+              consistencyLevel: String = ""): DataFrame = {
     val m = metaOrThrow(name)
     // get semantics: a null key matches nothing — filtered, not raised
     // (this is a read path; the write boundary's raise stays where the
@@ -2640,10 +2758,12 @@ class GraftClient(spark: SparkSession, root: String) {
     val parts = resolveParts(m, partitions)
     val touched = touchedBuckets(collection(partMeta(m, parts.head)), keyed)
     parts.map { p =>
-      val coll = collection(partMeta(m, p))
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
       if (touched.isEmpty) coll.read(spark).filter(lit(false))
         .select("key", "vec", "meta")
-      else coll.readBuckets(spark, touched)
+      else readBucketsAtPin(pm, coll,
+          pinForRead(pm, coll, effectiveLevel(m, consistencyLevel)), touched)
         .join(keyed, Seq("key"), "left_semi")
         .select("key", "vec", "meta")
     }.reduce(_ unionByName _)
@@ -2651,9 +2771,10 @@ class GraftClient(spark: SparkSession, root: String) {
 
   /** Driver-side sugar over [[fetchDf]]. */
   def fetch(name: String, keys: Seq[String],
-            partitions: Seq[String] = Nil): DataFrame = {
+            partitions: Seq[String] = Nil,
+            consistencyLevel: String = ""): DataFrame = {
     import spark.implicits._
-    fetchDf(name, keys.toDF("key"), partitions)
+    fetchDf(name, keys.toDF("key"), partitions, consistencyLevel)
   }
 
   /** Milvus filter-STRING entry point — the exact argument a migrating
@@ -2709,10 +2830,12 @@ class GraftClient(spark: SparkSession, root: String) {
     * grammar — the string counterpart of [[queryWhere]]. */
   def queryMilvus(name: String, filter: String, limit: Option[Int] = None,
                   partitions: Seq[String] = Nil,
-                  outputFields: Seq[String] = Nil): DataFrame = {
+                  outputFields: Seq[String] = Nil,
+                  consistencyLevel: String = ""): DataFrame = {
     val (pred, gates) = MilvusFilter.parseWithMatches(filter)
     queryWhere(name, pred.getOrElse(lit(true)), limit, partitions,
-      matchGates = gates, outputFields = outputFields)
+      matchGates = gates, outputFields = outputFields,
+      consistencyLevel = consistencyLevel)
   }
 
   /** One-call Milvus `client.delete(filter="…")` with the full grammar —
@@ -2738,11 +2861,19 @@ class GraftClient(spark: SparkSession, root: String) {
                  matchTerms: Seq[String] = Nil,
                  matchMode: String = "any",
                  matchGates: Seq[(Seq[String], String)] = Nil,
-                 outputFields: Seq[String] = Nil): DataFrame = {
+                 outputFields: Seq[String] = Nil,
+                 consistencyLevel: String = ""): DataFrame = {
     limit.foreach(l => require(l >= 0,
       s"limit must be >= 0 (got $l)")) // fail at the API boundary, not
                                        // from inside plan analysis
     val m = metaOrThrow(name)
+    // TEXT_MATCH gates resolve against the text index, whose freshness
+    // contract is bound to the LATEST snapshot — a gated read upgrades
+    // to Strong rather than mixing a stale store frame with fresh
+    // postings (documented on GraftClient.ConsistencyLevels)
+    val level =
+      if (matchTerms.nonEmpty || matchGates.nonEmpty) "Strong"
+      else effectiveLevel(m, consistencyLevel)
     // NO coalesce wrapper here: a positive Filter already treats a
     // null-evaluating predicate as false (null-matches-nothing is the
     // documented semantics), and wrapping the conjunct in Coalesce would
@@ -2759,7 +2890,9 @@ class GraftClient(spark: SparkSession, root: String) {
     val out = resolveParts(m, partitions)
       .map { p =>
         val pm = partMeta(m, p)
-        val base = scalarPrunedRead(pm, collection(pm), Some(filter))
+        val coll = collection(pm)
+        val base = scalarPrunedRead(pm, coll, Some(filter),
+          pinForRead(pm, coll, level))
         // Milvus TEXT_MATCH/PHRASE_MATCH in query filters: per-partition
         // semi-join against that partition's postings-index matches
         textMatchGateAll(pm, matchTerms, matchMode, matchGates)
@@ -3949,8 +4082,14 @@ class GraftClient(spark: SparkSession, root: String) {
     * the result is always a consistent snapshot, exactly like the plain
     * read. */
   private def scalarPrunedRead(pm: CollectionMeta,
-      coll: BucketedKeyedCollection, filter: Option[Column]): DataFrame = {
-    val full = coll.read(spark)
+      coll: BucketedKeyedCollection, filter: Option[Column],
+      pin: Option[Long] = None): DataFrame = {
+    // a consistency-level pin reads the retained snapshot `pin` (strong
+    // fallback if vacuumed) and the prune below only engages when the
+    // scalar postings' stamp equals the SAME version — artifacts are
+    // maintained at the latest version only, so a stale pinned read
+    // scans its pinned frame unpruned (correct, just unassisted)
+    val full = readStoreAt(pm, coll, pin)
     filter match {
       case None => full
       case Some(f) =>
@@ -3958,7 +4097,7 @@ class GraftClient(spark: SparkSession, root: String) {
         if (fields.isEmpty) full
         else {
           val (implied, ranges) = impliedMetaConstraints(full, f)
-          val pinned = coll.currentVersion
+          val pinned = pin.orElse(coll.currentVersion)
           val usable = fields.filter(fd =>
             (implied.contains(fd) || ranges.contains(fd)) &&
               readVersionFile(scalarFieldDir(pm, fd)).exists(pinned.contains))
@@ -4681,6 +4820,34 @@ object GraftClient {
     * merge against the then-current snapshot, so the bound caps wasted
     * recompute under sustained contention, not correctness. */
   val MaxCommitRetries: Int = 6
+
+  /** Milvus `consistency_level` values accepted at create and as the
+    * per-read override. Mapping to this engine (commits are synchronous
+    * snapshot swaps, so the levels govern how a READ resolves its
+    * snapshot, not an apply-lag wait):
+    *   - Strong: re-resolve CURRENT on every read (the default — every
+    *     acknowledged write visible).
+    *   - Session: resolve CURRENT and assert it covers this client's own
+    *     acknowledged commits (a rolled-back/replaced store dir raises
+    *     instead of silently serving pre-write state).
+    *   - Bounded: serve this client's cached snapshot resolution while
+    *     it is younger than the staleness budget; else re-resolve.
+    *   - Eventually: serve the cached resolution regardless of age
+    *     (own commits refresh it, so a client still reads its own
+    *     writes); vacuumed snapshots upgrade to a strong read.
+    * Scope: the scalar read surface (query/get/fetch). Vector search
+    * stays Strong by construction — the at-rest index layouts exist
+    * only at their LATEST version (maintenance rewrites cells in
+    * place), so a stale-pinned search would have to abandon the index
+    * for an exact scan: a pessimization sold as a consistency level,
+    * refused rather than shipped. */
+  val ConsistencyLevels: Set[String] =
+    Set("Strong", "Session", "Bounded", "Eventually")
+
+  /** Default staleness budget for Bounded reads (overridable per client
+    * via the constructor — tests use 0 and Long.MaxValue). Milvus's own
+    * bounded window is likewise a few seconds. */
+  val BoundedStalenessMs: Long = 5000L
 
   /** Concurrent per-partition commits in a routed fan-out
     * ([[GraftClient]]'s routedFanout). Partition stores are physically

@@ -32,10 +32,14 @@ case class CollectionMeta(
                                 // pmod(xxhash64(value), numPartitions))
     pqM: Int = 0,               // IVF_PQ subquantizer count (Milvus index
                                 // param `m`); 0 on every other index type
-    pqNbits: Int = 8)           // IVF_PQ bits per code (Milvus `nbits`):
+    pqNbits: Int = 8,           // IVF_PQ bits per code (Milvus `nbits`):
                                 // codebooks hold 2^nbits codewords.
                                 // Capped at 8 — codes are one byte per
                                 // subvector at rest by layout
+    consistency: String = "Strong") // Milvus `consistency_level` default
+                                // for reads of this collection: Strong |
+                                // Session | Bounded | Eventually (see
+                                // GraftClient.createCollection)
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -69,6 +73,7 @@ class Catalog(root: String) {
       s""""buckets":${m.buckets},"retain":${m.retain},""" +
       s""""partitionKey":"${esc(m.partitionKey)}","numPartitions":${m.numPartitions},""" +
       s""""pqM":${m.pqM},"pqNbits":${m.pqNbits},""" +
+      s""""consistency":"${esc(m.consistency)}",""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
@@ -98,7 +103,8 @@ class Catalog(root: String) {
       strFieldOr(json, "partitionKey", ""),
       intFieldOr(json, "numPartitions", 0),
       intFieldOr(json, "pqM", 0),
-      intFieldOr(json, "pqNbits", 8))
+      intFieldOr(json, "pqNbits", 8),
+      strFieldOr(json, "consistency", "Strong"))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.
