@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * remains a clearly-marked stub: this container has no H.264/AV1 codec
   * (cf. §7.0 offline constraint; compressed audio like mp3 likewise
   * stubs — the JDK SPI only ships PCM).
+  * ANIMATED GIFs close part of that gap for real (r11): the JDK ships a
+  * full GIF codec, so the multi-frame pipeline — composite delta frames
+  * per the GIF89a disposal spec, sample every Nth frame, embed each,
+  * temporal mean-pool — runs on actual decoded pixels end to end
+  * ([[decodeGifFrames]]); H.264/AV1/MP3 remain the boundary.
   * Everything around it is the real Spark plumbing: schema, typed Dataset
   * transform, per-partition amortized setup, batch shape. The `decoded`
   * flag separates codec-parsed rows from stubbed/corrupt ones, so a
@@ -113,6 +118,124 @@ object Multimodal {
       // decoded=false", never "abort the ingest job over one image"
       case scala.util.control.NonFatal(_) => None
     }
+  }
+
+  /** Frame-count budget for animated decode — with the [[MaxPixels]]
+    * canvas cap this bounds the total composited pixel work per payload;
+    * a GIF claiming more frames is truncated there (the decoded prefix
+    * is still real codec output, and `nFrames` reports what was
+    * composited). */
+  private[ingest] val MaxAnimFrames: Int = 1024
+
+  private def isGif(content: Array[Byte]): Boolean =
+    content.length >= 6 && content(0) == 'G' && content(1) == 'I' &&
+      content(2) == 'F' && content(3) == '8'
+
+  /** Real ANIMATED-GIF decode (r11): the one compressed multi-frame
+    * format the JDK ships a codec for, so the video-shaped pipeline gets
+    * actual per-frame pixels instead of container hashes. Frames are
+    * COMPOSITED per the GIF89a spec — each frame draws at its
+    * ImageDescriptor offset onto the logical-screen canvas and its
+    * GraphicControlExtension disposal applies afterwards
+    * (doNotDispose accumulates, restoreToBackgroundColor clears the
+    * frame's rect, restoreToPrevious reverts the canvas) — because delta
+    * frames are diffs, not images: embedding raw rasters would hash
+    * encoder ephemera. Returns (canvasW, canvasH, framesComposited,
+    * every `stride`-th composited frame as row-major RGB over black).
+    * Same bomb posture as [[decodeImage]]: the canvas dimension check
+    * runs before any allocation, the frame loop is budget-capped, and
+    * any plugin throw quarantines via None. */
+  private[graft] def decodeGifFrames(content: Array[Byte], stride: Int = 1)
+      : Option[(Int, Int, Int, Seq[Array[Byte]])] = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+          reader.setInput(iis)
+          // logical screen from the STREAM metadata; fall back to frame 0
+          def attr(e: org.w3c.dom.Element, tag: String, a: String): Option[Int] = {
+            val ns = e.getElementsByTagName(tag)
+            if (ns.getLength == 0) None
+            else Option(ns.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(a))
+              .filter(_.nonEmpty).flatMap(_.toIntOption)
+          }
+          val streamTree = Option(reader.getStreamMetadata)
+            .map(_.getAsTree("javax_imageio_gif_stream_1.0")
+              .asInstanceOf[org.w3c.dom.Element])
+          val cw = streamTree.flatMap(attr(_, "LogicalScreenDescriptor",
+            "logicalScreenWidth")).getOrElse(reader.getWidth(0))
+          val ch = streamTree.flatMap(attr(_, "LogicalScreenDescriptor",
+            "logicalScreenHeight")).getOrElse(reader.getHeight(0))
+          if (cw <= 0 || ch <= 0 || cw.toLong * ch > MaxPixels) return None
+          val canvas = new java.awt.image.BufferedImage(
+            cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          def sampleCanvas(): Array[Byte] = {
+            // flatten ARGB over black — the deterministic background the
+            // features contract documents (GIF transparency has no
+            // universal background; black matches the RGB feature space)
+            val ints = canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+            val px = new Array[Byte](cw * ch * 3)
+            var i = 0; var p = 0
+            while (p < ints.length) {
+              val v = ints(p)
+              val a = (v >>> 24) & 0xff
+              px(i) = (((v >> 16) & 0xff) * a / 255).toByte
+              px(i + 1) = (((v >> 8) & 0xff) * a / 255).toByte
+              px(i + 2) = ((v & 0xff) * a / 255).toByte
+              i += 3; p += 1
+            }
+            px
+          }
+          var i = 0
+          var done = false
+          while (!done && i < MaxAnimFrames) {
+            val frame =
+              try reader.read(i)
+              catch { case _: IndexOutOfBoundsException => done = true; null }
+            if (!done) {
+              val tree = reader.getImageMetadata(i)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[org.w3c.dom.Element]
+              val x = attr(tree, "ImageDescriptor", "imageLeftPosition").getOrElse(0)
+              val y = attr(tree, "ImageDescriptor", "imageTopPosition").getOrElse(0)
+              val disposal = {
+                val ns = tree.getElementsByTagName("GraphicControlExtension")
+                if (ns.getLength == 0) "none"
+                else ns.item(0).asInstanceOf[org.w3c.dom.Element]
+                  .getAttribute("disposalMethod")
+              }
+              val before =
+                if (disposal == "restoreToPrevious")
+                  Some(canvas.getRGB(0, 0, cw, ch, null, 0, cw))
+                else None
+              val g = canvas.createGraphics()
+              try g.drawImage(frame, x, y, null) finally g.dispose()
+              if (i % stride == 0) out += sampleCanvas()
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  val g2 = canvas.createGraphics()
+                  try {
+                    g2.setComposite(java.awt.AlphaComposite.Clear)
+                    g2.fillRect(x, y, frame.getWidth, frame.getHeight)
+                  } finally g2.dispose()
+                case "restoreToPrevious" =>
+                  before.foreach(canvas.setRGB(0, 0, cw, ch, _, 0, cw))
+                case _ => // none / doNotDispose: accumulate
+              }
+              i += 1
+            }
+          }
+          if (i == 0 || out.isEmpty) None else Some((cw, ch, i, out.toSeq))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Byte budget [[decodeAudio]] accepts before allocating — the audio
@@ -343,19 +466,55 @@ object Multimodal {
     * bounded buffer regardless of source resolution; stub rows get the
     * same dimension arithmetic (no pixels exist to resample). */
   def extractFeatures(ds: Dataset[MediaObject], dim: Int = Embedder.ImageDim,
-      resizeTo: Option[(Int, Int)] = None): Dataset[MediaFeatures] = {
+      resizeTo: Option[(Int, Int)] = None,
+      frameStride: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     resizeTo.foreach { case (mw, mh) => require(mw > 0 && mh > 0) }
+    require(frameStride >= 1, s"frameStride must be >= 1 (got $frameStride)")
     ds.mapPartitions { it =>
       val embedder = HashingEmbedder(dim) // per-partition setup, not per-row
       // ImageIO's default temp-FILE stream cache is pure overhead for
       // in-memory payloads on executors
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        val image = if (m.mediaType == "image") decodeImage(m.content) else None
+        // ANIMATED GIFs take the multi-frame path (r11): real composited
+        // frames, every frameStride-th one embedded, temporal MEAN POOL
+        // re-normalized — the per-frame-model + mean-pool shape a real
+        // video embedder has. Single-frame GIFs fall through to the
+        // still-image path below (identical result, one decode).
+        val anim =
+          if (m.mediaType == "image" && isGif(m.content))
+            decodeGifFrames(m.content, frameStride).filter(_._3 > 1)
+          else None
+        val image =
+          if (anim.isEmpty && m.mediaType == "image") decodeImage(m.content)
+          else None
         val audio = if (m.mediaType == "audio") decodeAudio(m.content) else None
         val video = if (m.mediaType == "video") decodeVideoMeta(m.content) else None
-        (image, audio, video) match {
+        if (anim.isDefined) {
+          val (w0, h0, n, frames) = anim.get
+          val resized = frames.map { px =>
+            resizeTo match {
+              case Some((mw, mh)) => resamplePixels(w0, h0, px, mw, mh)
+              case None => (w0, h0, px)
+            }
+          }
+          val (w, h, _) = resized.head
+          val pooled = new Array[Float](dim)
+          resized.foreach { case (_, _, px) =>
+            val f = embedder.embedBytes(px)
+            var j = 0
+            while (j < dim) { pooled(j) += f(j); j += 1 }
+          }
+          var norm = 0.0
+          var j = 0
+          while (j < dim) { norm += pooled(j).toDouble * pooled(j); j += 1 }
+          val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
+          j = 0
+          while (j < dim) { pooled(j) *= inv; j += 1 }
+          MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
+            nFrames = n, decoded = true, pooled)
+        } else (image, audio, video) match {
           case (Some((w0, h0, px0)), _, _) =>
             val (w, h, px) = resizeTo match {
               case Some((mw, mh)) => resamplePixels(w0, h0, px0, mw, mh)

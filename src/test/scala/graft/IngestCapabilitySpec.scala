@@ -221,6 +221,114 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "resample never upscales")
   }
 
+  test("animated GIF: real composited frames, temporal mean-pool, pixel-not-byte features") {
+    import spark.implicits._
+    def frame(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => bi.setRGB(x, y, rgb)))
+      bi
+    }
+    def animatedGif(frames: Seq[java.awt.image.BufferedImage],
+                    delayTime: String = "10"): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { f =>
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(f), writer.getDefaultWriteParam)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = md.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "doNotDispose")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", delayTime)
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          md.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, md), null)
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
+    // compositing: a half-size delta frame accumulates onto the canvas
+    // (doNotDispose), so sampled frame 1 is green top-left over red —
+    // embedding the raw raster instead would see a 16×8 green image
+    val composite = animatedGif(Seq(frame(32, 16, 0xff0000), frame(16, 8, 0x00ff00)))
+    val Some((cw, ch, n, sampled)) = Multimodal.decodeGifFrames(composite)
+    assert((cw, ch, n) == (32, 16, 2), s"canvas/frames: $cw×$ch×$n")
+    assert(sampled.size == 2)
+    def px(buf: Array[Byte], x: Int, y: Int): (Int, Int, Int) = {
+      val i = (y * cw + x) * 3
+      ((buf(i) & 0xff), (buf(i + 1) & 0xff), (buf(i + 2) & 0xff))
+    }
+    assert(px(sampled(1), 0, 0) == (0, 255, 0), "delta frame drew at its offset")
+    assert(px(sampled(1), 31, 15) == (255, 0, 0),
+      "pixels outside the delta frame keep the accumulated canvas")
+
+    // stride sampling: 4 frames at stride 2 → frames 0 and 2 sampled,
+    // nFrames still reports everything composited
+    val four = animatedGif(Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff)
+      .map(frame(8, 8, _)))
+    val Some((_, _, n4, s4)) = Multimodal.decodeGifFrames(four, stride = 2)
+    assert(n4 == 4 && s4.size == 2)
+
+    // extractFeatures: animated → decoded=true, real frame count, and the
+    // features ride PIXELS — re-encoding with different frame delays
+    // (different bytes, same frames) embeds identically, while changing
+    // one frame's pixels does not. Patterned (not solid) frames: a solid
+    // frame is a 3-byte-cyclic buffer whose 4-byte feature quads are
+    // phase-shifts of each other, so two solid COLORS legitimately hash
+    // to the same quad multiset — patterns carry positional structure.
+    def patterned(seed: Int): java.awt.image.BufferedImage = {
+      val bi = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        bi.setRGB(x, y, (seed * 7777 + x * 31 + y * 131) & 0xffffff)))
+      bi
+    }
+    val redBlue = animatedGif(Seq(patterned(1), patterned(2)))
+    val redBlueSlow = animatedGif(Seq(patterned(1), patterned(2)), delayTime = "200")
+    val redGreen = animatedGif(Seq(patterned(1), patterned(3)))
+    assert(!redBlue.sameElements(redBlueSlow), "the delay change must alter the bytes")
+    val feats = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("rb.gif", "image", redBlue),
+      Multimodal.MediaObject("rbslow.gif", "image", redBlueSlow),
+      Multimodal.MediaObject("rg.gif", "image", redGreen)
+    ).toDS(), frameStride = 1).collect().map(f => f.key -> f).toMap
+    assert(feats("rb.gif").decoded && feats("rb.gif").nFrames == 2)
+    assert(feats("rb.gif").features.toSeq == feats("rbslow.gif").features.toSeq,
+      "same frames, different container bytes → identical features")
+    assert(feats("rb.gif").features.toSeq != feats("rg.gif").features.toSeq,
+      "a changed frame must change the features")
+    // temporal pooling stays unit-norm
+    val norm = math.sqrt(feats("rb.gif").features.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"pooled features must be unit-norm (got $norm)")
+
+    // a single-frame GIF keeps the still-image path: same features as the
+    // equivalent PNG (decoded-pixels contract across containers)
+    val oneGif = animatedGif(Seq(frame(16, 16, 0xc04020)))
+    val onePng = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(frame(16, 16, 0xc04020), "png", out)
+      out.toByteArray
+    }
+    val still = Multimodal.extractFeatures(Seq(
+      Multimodal.MediaObject("one.gif", "image", oneGif),
+      Multimodal.MediaObject("one.png", "image", onePng)
+    ).toDS()).collect().map(f => f.key -> f).toMap
+    assert(still("one.gif").nFrames == 1 && still("one.gif").decoded)
+    assert(still("one.gif").features.toSeq == still("one.png").features.toSeq,
+      "single-frame GIF must embed like any other still container")
+  }
+
   test("audio decode: container-invariant features, channel mix, corrupt fallback") {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
