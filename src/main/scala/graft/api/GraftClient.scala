@@ -2190,8 +2190,22 @@ class GraftClient(spark: SparkSession, root: String,
              matchTerms: Seq[String] = Nil,
              matchMode: String = "any",
              matchGates: Seq[(Seq[String], String)] = Nil,
-             outputFields: Seq[String] = Nil): DataFrame = {
+             outputFields: Seq[String] = Nil,
+             consistencyLevel: String = ""): DataFrame = {
     val m = metaOrThrow(name)
+    // Milvus accepts consistency_level on search too. Vector search
+    // always RESOLVES Strong here (at-rest index layouts exist only at
+    // their latest version — ConsistencyLevels documents the refusal to
+    // trade the index for staleness), which is sound for every level:
+    // serving FRESHER data than requested is within any level's
+    // contract. What the parameter still buys is Session's floor
+    // assertion — a search on a rolled-back store raises instead of
+    // silently serving pre-write state.
+    if (effectiveLevel(m, consistencyLevel) == "Session")
+      resolveParts(m, partitions).foreach { p =>
+        val pm = partMeta(m, p)
+        pinForRead(pm, collection(pm), "Session")
+      }
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(k >= 1, s"k must be >= 1 (got $k)") // Milvus errors on
@@ -2819,11 +2833,12 @@ class GraftClient(spark: SparkSession, root: String,
   def searchMilvus(name: String, qvec: Array[Float], k: Int, filter: String,
                    nprobe: Int = 4, refine: Int = 4, offset: Int = 0,
                    partitions: Seq[String] = Nil,
-                   outputFields: Seq[String] = Nil): DataFrame = {
+                   outputFields: Seq[String] = Nil,
+                   consistencyLevel: String = ""): DataFrame = {
     val (pred, gates) = MilvusFilter.parseWithMatches(filter)
     search(name, qvec, k, filter = pred, nprobe = nprobe, refine = refine,
       offset = offset, partitions = partitions, matchGates = gates,
-      outputFields = outputFields)
+      outputFields = outputFields, consistencyLevel = consistencyLevel)
   }
 
   /** One-call Milvus `client.query(filter="…", limit=…)` with the full
@@ -2902,6 +2917,16 @@ class GraftClient(spark: SparkSession, root: String,
       .filter(filter)
       .select(col("key"), col("vec"), col("meta"))
       .orderBy(col("key"))
+    // Milvus filtered count: `query(filter=…, output_fields=["count(*)"])`
+    // returns one row, one column — and rejects limit, like Milvus does
+    // (a limited count is ambiguous: count of the page or of the match?)
+    if (outputFields == Seq("count(*)")) {
+      require(limit.isEmpty,
+        "count(*) cannot combine with limit — Milvus rejects the " +
+          "combination the same way")
+      return out.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("count(*)"))
+    }
     // Milvus `output_fields` on query: the primary key always ships;
     // "vec"/"meta" are schema fields, anything else projects out of the
     // meta map as its own column ("*"/none = the full row, today's shape)

@@ -133,6 +133,28 @@ class ConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("Session consistency violated"), e.getMessage)
   }
 
+  test("search: Bounded/Eventually soundly resolve Strong; Session floor still raises") {
+    import spark.implicits._
+    val root = newRoot()
+    val c = new GraftClient(spark, root)
+    // an Eventually collection default must not break plain search —
+    // fresher-than-requested is within every level's contract
+    c.createCollection("c", dim = 2, consistencyLevel = "Eventually")
+    c.upsert("c", Seq(row("a", 1f)).toDF("key", "vec", "meta"))
+    assert(c.search("c", Array(0f, 0f), k = 1).count() == 1)
+    assert(c.search("c", Array(0f, 0f), k = 1,
+      consistencyLevel = "Bounded").count() == 1)
+    // Session's floor assertion applies to search too
+    val dataPath = c.describe("c").dataPath
+    val cur = java.nio.file.Paths.get(dataPath, "CURRENT")
+    val v1 = new String(java.nio.file.Files.readAllBytes(cur))
+    c.upsert("c", Seq(row("b", 2f)).toDF("key", "vec", "meta"))
+    java.nio.file.Files.write(cur, v1.getBytes)
+    val e = intercept[IllegalArgumentException](
+      c.search("c", Array(0f, 0f), k = 1, consistencyLevel = "Session").collect())
+    assert(e.getMessage.contains("Session consistency violated"))
+  }
+
   test("TEXT_MATCH-gated queries upgrade to Strong (stale frame + fresh postings never mix)") {
     import spark.implicits._
     val root = newRoot()

@@ -68,4 +68,21 @@ class OutputFieldsSpec extends AnyFunSuite with BeforeAndAfterAll {
         outputFields = Seq("vec"))
       .columns.toSeq == Seq("key", "vec"))
   }
+
+  test("filtered count: query(output_fields=[count(*)]) — one row, limit rejected") {
+    val one = client.queryMilvus("of", """url == "http://rgw/a"""",
+      outputFields = Seq("count(*)"))
+    assert(one.columns.toSeq == Seq("count(*)"))
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(client.queryMilvus("of", """url like "http%"""",
+        outputFields = Seq("count(*)")).head().getLong(0) == 2L)
+    // zero matches still returns exactly one row, count 0 — an agg, not
+    // an empty frame
+    assert(client.queryMilvus("of", """url == "nope"""",
+        outputFields = Seq("count(*)")).head().getLong(0) == 0L)
+    val e = intercept[IllegalArgumentException](
+      client.queryMilvus("of", """url like "http%"""", limit = Some(5),
+        outputFields = Seq("count(*)")).collect())
+    assert(e.getMessage.contains("count(*)"))
+  }
 }
