@@ -1812,6 +1812,36 @@ class GraftClient(spark: SparkSession, root: String,
     * both; the exact re-rank uses the collection's own metric over the
     * original vectors). Dot collections reject any IVF index at build
     * (no Voronoi prune exists for inner product). */
+  /** Milvus `drop_index` for the vector index: destroy the collection's
+    * index layout (coarse cells, SQ8/PQ codes, codebooks, centroid and
+    * radii tables). Search falls back to the exact snapshot scan —
+    * correct, just unpruned, the same stance as every staleness path —
+    * and a later [[buildIndex]] recreates the layout from scratch. A
+    * LOADED collection refuses the drop (release first, as Milvus
+    * requires): loaded searches pin the index frames, and deleting
+    * files under a pinned frame fails mid-job instead of falling back.
+    * Serializes with builders and per-commit refreshes on the index
+    * dir's commit lock; deletion goes through the deleteTree choke
+    * point, which evicts any cached frames under the dir. */
+  def dropIndex(name: String, partitions: Seq[String] = Nil): Unit = {
+    val m = metaOrThrow(name)
+    resolveParts(m, partitions).foreach { p =>
+      val pm = partMeta(m, p)
+      require(!collection(pm).isLoaded,
+        s"${pm.name} is loaded — release_collection before drop_index " +
+          "(Milvus refuses the drop on a loaded collection the same way)")
+      graft.streaming.BucketedKeyedCollection.withCommitLock(
+          java.nio.file.Paths.get(ivfDir(pm))) {
+        deleteDir(ivfDir(pm))
+      }
+    }
+    // cached LoadedIndex entries and quantizer broadcasts for this name
+    // would never be evicted by a later call otherwise (same hook drop()
+    // uses; partition-scoped drops evict collection-wide — coarse but
+    // sound, the caches lazily rebuild from the surviving layouts)
+    invalidateIndexCaches(name)
+  }
+
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0,
                  partitions: Seq[String] = Nil): Unit = {
     val m = metaOrThrow(name)

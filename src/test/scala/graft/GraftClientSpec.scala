@@ -752,6 +752,51 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rebuilt.contains("fresh"))
   }
 
+  test("dropIndex: search falls back to the exact scan; rebuild restores the prune; loaded refuses") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dropidx").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("di", dim = 8, metric = "l2",
+      indexType = "IVF_SQ8", nlist = 4)
+    def vec(seed: Int): Seq[Float] =
+      (1 to 8).map(i => math.sin(seed * 0.7 + i * 1.31).toFloat)
+    val rows = (0 until 150).map(i => (s"k$i", vec(i), Map.empty[String, String]))
+    client.upsert("di", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("di", nlist = 4)
+    val q = vec(23).toArray
+    assert(client.search("di", q, k = 3).queryExecution.executedPlan
+      .toString.contains("qvec"), "precondition: SQ8 stage 1 in the plan")
+    assert(client.listIndexes("di").collect().exists(_.getString(0) == "IVF_SQ8"))
+
+    // Milvus refuses drop_index on a loaded collection — release first
+    client.loadCollection("di")
+    val e = intercept[IllegalArgumentException](client.dropIndex("di"))
+    assert(e.getMessage.contains("release"), e.getMessage)
+    client.releaseCollection("di")
+
+    client.dropIndex("di")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"${client.describe("di").dataPath}-ivf")), "index layout destroyed")
+    assert(!client.listIndexes("di").collect().exists(_.getString(0).startsWith("IVF")))
+    val exactDf = client.search("di", q, k = 3)
+    assert(!exactDf.queryExecution.executedPlan.toString.contains("qvec"),
+      "post-drop search must be the exact scan")
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val exact = rows.map { case (key, v, _) => (key, l2(v)) }
+      .sortBy { case (key, d) => (d, key) }.take(3).map(_._1)
+    assert(exactDf.collect().map(_.getString(0)).toSeq == exact)
+    // upserts keep working indexless (no refresh against a missing layout)
+    client.upsert("di", Seq(("fresh", vec(23), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(client.search("di", q, k = 1).collect().head.getString(0) == "fresh")
+    // rebuild restores the pruned path and sees everything
+    client.buildIndex("di", nlist = 4)
+    val again = client.search("di", q, k = 3)
+    assert(again.queryExecution.executedPlan.toString.contains("qvec"))
+    assert(again.collect().map(_.getString(0)).head == "fresh")
+  }
+
   test("incremental IVF maintenance: upserts/deletes keep the prune exact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ivf-inc").toString

@@ -314,6 +314,39 @@ class PartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the losing copy's partition holds nothing")
   }
 
+  test("concurrent fan-out: one failing partition surfaces; healthy partitions keep serving") {
+    import spark.implicits._
+    val (client, _) = newClient()
+    client.createCollection("ff", dim = 2, partitionKey = "tenant",
+      numPartitions = 4)
+    val seed = (0 until 16).map(i =>
+      (s"k$i", Seq(i.toFloat, 0f), Map("tenant" -> s"t$i")))
+    client.upsert("ff", seed.toDF("key", "vec", "meta"))
+    val before = client.count("ff")
+    assert(before == 16)
+    // corrupt ONE physical partition's CURRENT pointer — its commit (and
+    // even its moved-away resolve) now throws inside the pooled fan-out
+    val cur = java.nio.file.Paths.get(
+      s"${client.describe("ff").dataPath}-parts/_pk_1/store/CURRENT")
+    val saved = java.nio.file.Files.readAllBytes(cur)
+    java.nio.file.Files.write(cur, "not-a-version".getBytes)
+    // every future is awaited and the ORIGINAL failure rethrown — not a
+    // timeout, not a swallowed null, not an abandoned in-flight commit
+    val e = intercept[Throwable](
+      client.upsert("ff", seed.take(8).toDF("key", "vec", "meta")))
+    assert(e.isInstanceOf[NumberFormatException] ||
+        e.getMessage != null && e.getMessage.nonEmpty,
+      s"the partition failure must surface as the original exception: $e")
+    // the poisoned store heals when its pointer is restored, and the
+    // healthy partitions' data was never corrupted by the failed batch
+    java.nio.file.Files.write(cur, saved)
+    assert(client.count("ff") == before,
+      "a failed fan-out batch must not lose pre-existing rows")
+    client.upsert("ff", seed.toDF("key", "vec", "meta"))
+    assert(client.count("ff") == before)
+    assert(client.search("ff", Array(0f, 0f), k = 16).count() == 16)
+  }
+
   test("streaming ingest routes micro-batches through the pk router; deletes fan out") {
     import spark.implicits._
     val (client, root) = newClient()
