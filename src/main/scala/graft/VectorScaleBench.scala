@@ -341,6 +341,48 @@ object VectorScaleBench {
     val cosFullRecall = cosFull.count(cosExact.contains).toDouble / cosExact.size
     val cosPruneRecall = cosIds.count(cosFull.contains).toDouble / cosFull.size
 
+    // IVF_PQ end-to-end THROUGH GraftClient (r11): m-bytes-per-vector
+    // codes (dim 64 / m 16 = 16 B per vector at rest vs 256 B float32,
+    // vs SQ8's 64 B+scale), ADC stage-1 over per-cell lookup tables,
+    // exact re-rank against the keyed store. Same iid dataset and the
+    // same two-way recall decomposition as the SQ8 arm: full-probe vs
+    // exact isolates encode+ADC+refine, nprobe=4 vs full-probe isolates
+    // the prune. PQ's approximation is coarser than SQ8's by
+    // construction — these rows put a measured number on how much of
+    // that coarseness refine=4 absorbs at 1M.
+    val pqRoot = tmpDir("graft-scale-pq")
+    val pqClient = new graft.api.GraftClient(spark, pqRoot)
+    pqClient.createCollection("benchpq", dim = dim, metric = "l2",
+      indexType = "IVF_PQ", nlist = 64, buckets = 16)
+    pqClient.upsert("benchpq", cvecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val pqBuildT0 = System.nanoTime()
+    pqClient.buildIndex("benchpq", nlist = 64, sampleFraction = 0.02)
+    val pqBuildSec = (System.nanoTime() - pqBuildT0) / 1e9
+    // at-rest footprint of the PQ codes vs the float cells the SAME
+    // build wrote (both live under the collection's -ivf dir)
+    val pqBytes = dirBytes(s"$pqRoot/data/benchpq-ivf/pqcells")
+    val pqFloatBytes = dirBytes(s"$pqRoot/data/benchpq-ivf/cells")
+    def pqOnce(np: Int): Seq[String] =
+      pqClient.search("benchpq", cq, k = 10, nprobe = np)
+        .collect().map(_.getString(0)).toSeq
+    pqOnce(4)
+    var pqIds: Seq[String] = Nil
+    val pqSearchSec = math.min(
+      time { pqIds = pqOnce(4) }, time { pqIds = pqOnce(4) })
+    val pqFull = pqOnce(64)
+    val pqFullRecall = pqFull.count(exactStr.contains).toDouble / exactStr.size
+    val pqPruneRecall = pqIds.count(pqFull.contains).toDouble / pqFull.size
+    // one maintenance commit: touched cells re-encode against the FROZEN
+    // codebooks; the next search must still ride ADC (not fall back)
+    val pqMaintT0 = System.nanoTime()
+    pqClient.upsert("benchpq", cvecs.limit(1000)
+      .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
+        col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val pqMaintSec = (System.nanoTime() - pqMaintT0) / 1e9
+    val stillPq = pqClient.search("benchpq", cq, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString.contains("pq_adc_distance")
+
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
     // ~50): the geometry real corpora have (topic clusters), and the one
@@ -453,6 +495,14 @@ object VectorScaleBench {
         s""""client_cos_sq8_search_sec":$cosSearchSec,""" +
         s""""client_cos_sq8_fullprobe_recall_vs_exact":$cosFullRecall,""" +
         s""""client_cos_sq8_prune_recall_vs_fullprobe":$cosPruneRecall,""" +
+        s""""client_pq_build_sec":$pqBuildSec,""" +
+        s""""pq_bytes":$pqBytes,"pq_float_bytes":$pqFloatBytes,""" +
+        s""""pq_bytes_ratio":${pqBytes.toDouble / pqFloatBytes},""" +
+        s""""client_pq_search_sec":$pqSearchSec,""" +
+        s""""client_pq_fullprobe_recall_vs_exact":$pqFullRecall,""" +
+        s""""client_pq_prune_recall_vs_fullprobe":$pqPruneRecall,""" +
+        s""""client_pq_maint_commit_sec":$pqMaintSec,""" +
+        s""""client_pq_fresh_after_maint":$stillPq,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

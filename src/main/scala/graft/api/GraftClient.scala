@@ -58,6 +58,22 @@ class GraftClient(spark: SparkSession, root: String,
       (a, b) => if (a >= b) a else b)
   }
 
+  /** drop()/dropPartition()/rebucket() hook: a destroyed (or re-homed)
+    * store's resolution cache and Session floor must die with it — a
+    * same-client drop-and-recreate would otherwise trip the Session
+    * floor assertion on the FRESH store (versions restart below the old
+    * floor), turning the client's own legitimate drop into a spurious
+    * "rolled back" raise. Prefix-matched like [[KeyBloom.evictUnder]]:
+    * the store itself plus its partition stores, never a sibling
+    * collection whose name merely extends this one. */
+  private def evictConsistencyCaches(dataPath: String): Unit = {
+    def under(k: String): Boolean =
+      k == dataPath || k.startsWith(dataPath + "/") ||
+        k.startsWith(dataPath + "-parts/")
+    resolvedCache.keySet.removeIf(under(_))
+    sessionFloor.keySet.removeIf(under(_))
+  }
+
   /** The snapshot version a read at `level` runs against: `None` = the
     * live CURRENT frame (resolve now), `Some(v)` = the pinned retained
     * snapshot `v` served from this client's resolution cache without
@@ -114,12 +130,18 @@ class GraftClient(spark: SparkSession, root: String,
   /** Full-store read at the pinned version, falling back to a STRONG
     * read (and re-priming the cache) when the pinned snapshot has been
     * vacuumed past the retain window — a Bounded/Eventually read
-    * upgrades rather than fails on staleness. */
+    * upgrades rather than fails on staleness. Both the retention
+    * require (IllegalArgumentException) and the manifest read racing a
+    * vacuum (IllegalStateException) are PLAN-time failures and upgrade
+    * here; a vacuum landing between this plan and the caller's lazy
+    * action is the same bounded exposure every pinned reader has
+    * (retain ≥ 2 keeps one full commit of headroom — readVersion's
+    * documented window), and surfaces as the job failure it is. */
   private def readStoreAt(pm: CollectionMeta, coll: BucketedKeyedCollection,
                           pin: Option[Long]): DataFrame =
     pin.fold(coll.read(spark)) { v =>
       try coll.readVersion(spark, v)
-      catch { case _: IllegalArgumentException =>
+      catch { case _: IllegalStateException | _: IllegalArgumentException =>
         resolvedCache.remove(pm.dataPath)
         coll.currentVersion.foreach(recordResolved(pm.dataPath, _))
         coll.read(spark)
@@ -405,6 +427,10 @@ class GraftClient(spark: SparkSession, root: String,
         deleteDir(ivfDir(m)); deleteDir(textDir(m))
         deleteDir(sparseIdxDir(m)); deleteDir(scalarRoot(m))
         deleteDir(partsDir(m)); deleteDir(m.dataPath)
+        // per-client consistency state and the Bloom reader cache are
+        // keyed by the destroyed dataPaths — nothing evicts them later
+        evictConsistencyCaches(m.dataPath)
+        KeyBloom.evictUnder(m.dataPath)
         catalog.dropCollection(name)
     }
   }
@@ -559,6 +585,8 @@ class GraftClient(spark: SparkSession, root: String,
           // the partition's version-keyed caches die with it — nothing
           // will ever evict them otherwise (same rule as drop())
           invalidateIndexCaches(partMeta(m, partition).name)
+          evictConsistencyCaches(partMeta(m, partition).dataPath)
+          KeyBloom.evictUnder(partMeta(m, partition).dataPath)
           deleteDir(dir.toString)
         }
         true
@@ -685,39 +713,29 @@ class GraftClient(spark: SparkSession, root: String,
     * Milvus promises nothing stronger across partitions either). */
   private def routedFanout(m: CollectionMeta, routed: DataFrame,
                            touched: Set[Int], extraDels: Option[DataFrame]): Unit = {
-    val width = math.min(m.numPartitions, GraftClient.FanoutParallelism)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(width,
-      (r: Runnable) => {
-        val t = new Thread(r, s"graft-fanout-${m.name}")
-        t.setDaemon(true)
-        t
-      })
-    try {
-      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      val fs = (0 until m.numPartitions).map { i =>
-        scala.concurrent.Future {
-          val putsI =
-            if (touched.contains(i))
-              Some(routed.filter(col("__route") === i)
-                .select(col("key"), col("vec"), col("meta")))
-            else None
-          val movedAway = routed.filter(col("__route") =!= i).select("key")
-          mergeCommit(partMeta(m, s"_pk_$i"), putsI,
-            Some(extraDels.fold(movedAway)(_.select("key").union(movedAway))))
-        }(ec)
-      }
-      // surface EVERY partition's outcome before throwing: await each
-      // future to completion (no fail-fast abandonment — an abandoned
-      // in-flight commit could land after the caller saw the failure),
-      // then rethrow the first failure with the rest suppressed
-      val results = fs.map(f => scala.util.Try(
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
-      val failures = results.collect { case scala.util.Failure(e) => e }
-      failures.headOption.foreach { first =>
-        failures.drop(1).foreach(first.addSuppressed)
-        throw first
-      }
-    } finally pool.shutdown()
+    val fs = (0 until m.numPartitions).map { i =>
+      scala.concurrent.Future {
+        val putsI =
+          if (touched.contains(i))
+            Some(routed.filter(col("__route") === i)
+              .select(col("key"), col("vec"), col("meta")))
+          else None
+        val movedAway = routed.filter(col("__route") =!= i).select("key")
+        mergeCommit(partMeta(m, s"_pk_$i"), putsI,
+          Some(extraDels.fold(movedAway)(_.select("key").union(movedAway))))
+      }(GraftClient.fanoutEc)
+    }
+    // surface EVERY partition's outcome before throwing: await each
+    // future to completion (no fail-fast abandonment — an abandoned
+    // in-flight commit could land after the caller saw the failure),
+    // then rethrow the first failure with the rest suppressed
+    val results = fs.map(f => scala.util.Try(
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)))
+    val failures = results.collect { case scala.util.Failure(e) => e }
+    failures.headOption.foreach { first =>
+      failures.drop(1).foreach(first.addSuppressed)
+      throw first
+    }
   }
 
   // the one routing expression every writer of a partition-key
@@ -1375,6 +1393,10 @@ class GraftClient(spark: SparkSession, root: String,
     }
     // caches are keyed by the RESOLVED collection name, not the alias
     invalidateIndexCaches(m.name)
+    // the OLD dataPath's consistency/bloom cache entries are dead (the
+    // collection re-homed); the new path starts clean
+    evictConsistencyCaches(m.dataPath)
+    KeyBloom.evictUnder(m.dataPath)
     liveCount(updated)
   }
 
@@ -1706,6 +1728,24 @@ class GraftClient(spark: SparkSession, root: String,
     m.indexType == "IVF_SQ8" &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(sq8CellsPath(m)))
 
+  /** Whether a metadata filter fails to ANALYZE against the PQ codes
+    * schema — which drops `vec` (m bytes per row is the point), so a
+    * filter referencing the vector must route through the float cells
+    * (see the PQ dispatch in scoredCandidates). Checked by analyzing
+    * the filter over an empty frame of the codes schema (plan-only,
+    * zero Spark jobs): Spark 4's Column wraps a lazy ColumnNode tree
+    * that a catalyst-side attribute walk cannot see into, and the
+    * analysis probe also correctly routes any OTHER codes-unresolvable
+    * shape to the float scan, where it either resolves (vec) or fails
+    * with the same error every index type reports (a typo'd column). */
+  private def filterTouchesVec(filter: Option[Column]): Boolean =
+    filter.exists { f =>
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[Row](), pqCellsSchema)
+      try { probe.filter(f).queryExecution.analyzed; false }
+      catch { case _: org.apache.spark.sql.AnalysisException => true }
+    }
+
   /** Whether the collection's index carries PQ-encoded cells — the
     * IVF_PQ sibling of [[sq8Indexed]]. */
   private def pqIndexed(m: CollectionMeta): Boolean =
@@ -1838,8 +1878,10 @@ class GraftClient(spark: SparkSession, root: String,
     // cached LoadedIndex entries and quantizer broadcasts for this name
     // would never be evicted by a later call otherwise (same hook drop()
     // uses; partition-scoped drops evict collection-wide — coarse but
-    // sound, the caches lazily rebuild from the surviving layouts)
-    invalidateIndexCaches(name)
+    // sound, the caches lazily rebuild from the surviving layouts).
+    // m.name, NOT the caller's `name`: the caches key by the RESOLVED
+    // collection, and dropping through an alias must still evict them
+    invalidateIndexCaches(m.name)
   }
 
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0,
@@ -2349,11 +2391,16 @@ class GraftClient(spark: SparkSession, root: String,
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
         // cursor prune stays on the FLAT/exact paths
         sq8Scored(pm, coll, idx, qvec, filter, nprobe, refine, depth, gate)
-      case Some(idx) if !forceCellScan && pqIndexed(pm) && idx.pq.isDefined =>
+      case Some(idx) if !forceCellScan && pqIndexed(pm) && idx.pq.isDefined &&
+          !filterTouchesVec(filter) =>
         // PQ stage 1 is depth-bounded the same way; iterators pass
         // forceCellScan and drain the FLOAT cells instead (the layout
         // every IVF type keeps), because the ADC pool has no unbounded
-        // keyset drain — see searchIterator
+        // keyset drain — see searchIterator. A filter referencing `vec`
+        // also routes to the float cells: the codes frame DROPS the
+        // vector (m bytes per row is the point), and only this index
+        // type failing to resolve the same filter the FLAT/SQ8 scans
+        // accept would be an index-type-dependent API break.
         pqScored(pm, coll, idx, idx.pq.get, qvec, filter, nprobe, refine,
           depth, gate)
       case _ =>
@@ -2915,10 +2962,13 @@ class GraftClient(spark: SparkSession, root: String,
     // TEXT_MATCH gates resolve against the text index, whose freshness
     // contract is bound to the LATEST snapshot — a gated read upgrades
     // to Strong rather than mixing a stale store frame with fresh
-    // postings (documented on GraftClient.ConsistencyLevels)
+    // postings (documented on GraftClient.ConsistencyLevels). The
+    // override is VALIDATED first regardless: a misspelled level must
+    // raise on gated calls too, not be silently eaten by the upgrade
+    val requested = effectiveLevel(m, consistencyLevel)
     val level =
       if (matchTerms.nonEmpty || matchGates.nonEmpty) "Strong"
-      else effectiveLevel(m, consistencyLevel)
+      else requested
     // NO coalesce wrapper here: a positive Filter already treats a
     // null-evaluating predicate as false (null-matches-nothing is the
     // documented semantics), and wrapping the conjunct in Coalesce would
@@ -4911,6 +4961,25 @@ object GraftClient {
     * numPartitions=8 routed collection fully parallel while a
     * 4096-partition one queues. */
   val FanoutParallelism: Int = 8
+
+  /** One shared daemon pool for every fan-out (a per-invocation pool
+    * would churn 8 threads per streaming micro-batch). Safe to share
+    * across clients/collections: fan-out tasks never submit to or block
+    * on this pool themselves (mergeCommit runs Spark jobs — the nesting
+    * that COULD deadlock a fixed pool doesn't exist here), so the only
+    * sharing effect is throughput division between concurrent routed
+    * writers. Indexed thread names keep jstack/Spark-UI attribution of
+    * a stuck partition commit possible. */
+  private[api] lazy val fanoutEc: scala.concurrent.ExecutionContext = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(FanoutParallelism,
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-fanout-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }))
+  }
 
   /** The implicit partition every collection is born with — Milvus's
     * `_default`. All single-partition APIs read/write it, so a

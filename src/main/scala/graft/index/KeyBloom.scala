@@ -176,6 +176,28 @@ object KeyBloom {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Broadcast[BloomFilter])]()
 
+  /** Evict reader-cache entries for a dropped store (and everything
+    * under it — a collection drop takes its partition stores along).
+    * Without this a long-lived session churning partition-key
+    * collections pins one multi-MB broadcast bloom per DEAD store path
+    * forever: the cache only replaces an entry when the same path's
+    * file version moves, which never happens after a drop. */
+  def evictUnder(pathPrefix: String): Unit = {
+    val p = Paths.get(pathPrefix).toAbsolutePath.normalize.toString
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // exact store, anything nested under it, or its partition stores
+      // ("<dataPath>-parts/..."); a SIBLING collection whose name merely
+      // extends this one ("x" vs "xy") matches neither form
+      if (e.getKey == p || e.getKey.startsWith(p + "/") ||
+          e.getKey.startsWith(p + "-parts/")) {
+        try e.getValue._2.unpersist(false) catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   /** Filter `keys` to those the store's Bloom cannot rule out — the
     * delete-batch narrowing. Identity when no Bloom exists (unknown =
     * must resolve, today's behavior). Sound by the superset invariant:

@@ -477,14 +477,17 @@ object Multimodal {
       // in-memory payloads on executors
       javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
-        // ANIMATED GIFs take the multi-frame path (r11): real composited
-        // frames, every frameStride-th one embedded, temporal MEAN POOL
+        // GIFs take the multi-frame path (r11): real composited frames,
+        // every frameStride-th one embedded, temporal MEAN POOL
         // re-normalized — the per-frame-model + mean-pool shape a real
-        // video embedder has. Single-frame GIFs fall through to the
-        // still-image path below (identical result, one decode).
+        // video embedder has. A single-frame GIF is the n=1 case of the
+        // same path (one decode; a 1-frame "pool" bypasses the mean
+        // arithmetic below so its features stay bit-identical to the
+        // still-image decode of the same pixels); a GIF the codec
+        // rejects falls through to decodeImage and then the stub.
         val anim =
           if (m.mediaType == "image" && isGif(m.content))
-            decodeGifFrames(m.content, frameStride).filter(_._3 > 1)
+            decodeGifFrames(m.content, frameStride)
           else None
         val image =
           if (anim.isEmpty && m.mediaType == "image") decodeImage(m.content)
@@ -500,18 +503,27 @@ object Multimodal {
             }
           }
           val (w, h, _) = resized.head
-          val pooled = new Array[Float](dim)
-          resized.foreach { case (_, _, px) =>
-            val f = embedder.embedBytes(px)
-            var j = 0
-            while (j < dim) { pooled(j) += f(j); j += 1 }
-          }
-          var norm = 0.0
-          var j = 0
-          while (j < dim) { norm += pooled(j).toDouble * pooled(j); j += 1 }
-          val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
-          j = 0
-          while (j < dim) { pooled(j) *= inv; j += 1 }
+          val perFrame = resized.map { case (_, _, px) => embedder.embedBytes(px) }
+          // one sampled frame: its (already unit-norm) embedding verbatim —
+          // the re-normalize below would perturb low bits for nothing, and
+          // a still GIF must embed bit-identically to the same pixels in
+          // any other container
+          val pooled =
+            if (perFrame.size == 1) perFrame.head
+            else {
+              val acc = new Array[Float](dim)
+              perFrame.foreach { f =>
+                var j = 0
+                while (j < dim) { acc(j) += f(j); j += 1 }
+              }
+              var norm = 0.0
+              var j = 0
+              while (j < dim) { norm += acc(j).toDouble * acc(j); j += 1 }
+              val inv = if (norm > 0) (1.0 / math.sqrt(norm)).toFloat else 0f
+              j = 0
+              while (j < dim) { acc(j) *= inv; j += 1 }
+              acc
+            }
           MediaFeatures(m.key, m.mediaType, m.content.length.toLong, w, h,
             nFrames = n, decoded = true, pooled)
         } else (image, audio, video) match {

@@ -133,6 +133,21 @@ class ConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("Session consistency violated"), e.getMessage)
   }
 
+  test("drop-and-recreate clears the Session floor — the client's own drop is not a rollback") {
+    import spark.implicits._
+    val c = new GraftClient(spark, newRoot())
+    c.createCollection("c", dim = 2, consistencyLevel = "Session")
+    c.upsert("c", Seq(row("a", 1f)).toDF("key", "vec", "meta"))
+    c.upsert("c", Seq(row("b", 2f)).toDF("key", "vec", "meta")) // floor ≥ 1
+    c.drop("c")
+    c.createCollection("c", dim = 2, consistencyLevel = "Session")
+    // the fresh store restarts its versions BELOW the old floor — without
+    // the drop-time evict both reads here would raise the rollback error
+    assert(c.queryWhere("c", lit(true)).count() == 0)
+    c.upsert("c", Seq(row("x", 9f)).toDF("key", "vec", "meta"))
+    assert(c.queryWhere("c", lit(true)).count() == 1)
+  }
+
   test("search: Bounded/Eventually soundly resolve Strong; Session floor still raises") {
     import spark.implicits._
     val root = newRoot()

@@ -312,8 +312,9 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val norm = math.sqrt(feats("rb.gif").features.map(x => x.toDouble * x).sum)
     assert(math.abs(norm - 1.0) < 1e-5, s"pooled features must be unit-norm (got $norm)")
 
-    // a single-frame GIF keeps the still-image path: same features as the
-    // equivalent PNG (decoded-pixels contract across containers)
+    // a single-frame GIF is the n=1 case of the multi-frame path (one
+    // decode, no pooling arithmetic) and must still embed bit-identically
+    // to the equivalent PNG — the decoded-pixels contract across containers
     val oneGif = animatedGif(Seq(frame(16, 16, 0xc04020)))
     val onePng = {
       val out = new java.io.ByteArrayOutputStream()

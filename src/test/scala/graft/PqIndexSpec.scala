@@ -250,6 +250,31 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.describe("ok4").pqNbits == 4)
   }
 
+  test("a filter referencing vec routes PQ search through the float cells") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqv", dim = 8, indexType = "IVF_PQ", nlist = 2)
+    val rows = (0 until 120).map(i => (s"v$i", vec(i), Map.empty[String, String]))
+    client.upsert("pqv", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pqv", nlist = 2)
+    val q = vec(7).toArray
+    // the codes frame has no vec column — this filter resolves only on
+    // the float cells, and the same call must behave identically across
+    // index types (it does on FLAT and SQ8)
+    val df = client.search("pqv", q, k = 5, nprobe = 2, refine = 24,
+      filter = Some(size(col("vec")) === 8))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pqcode"),
+      "a vec-referencing filter must route off the codes frame")
+    assert(plan.contains("centroidId"),
+      "...but still ride the float-cell partition prune")
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+    val want = rows.map { case (k, v, _) => (k, l2(v)) }
+      .sortBy { case (k, d) => (d, k) }.take(5).map(_._1)
+    assert(df.collect().map(_.getAs[String]("vector_key")).toSeq == want)
+  }
+
   test("nbits = 4 builds 16-codeword books and still recovers exact top-k refined") {
     import spark.implicits._
     val client = newClient()
