@@ -110,6 +110,24 @@ object IteratorScaleBench {
       s"SQ8 drain lost rows: ${sq8Keys.length} of $n")
     require(sq8Parity, "SQ8 drain order diverged from the FLAT drain")
 
+    // IVF_PQ full drain (r11): the same corpus under IVF_PQ — iterators
+    // force the FLOAT-cell scan on PQ partitions (the ADC pool is
+    // depth-bounded with no unbounded keyset drain), so the drain must
+    // cover everything in exact order at FLAT-drain cost, cursor prune
+    // included. Parity vs the FLAT key sequence is the correctness bar.
+    client.createCollection("itpq", dim = dim, metric = "l2", indexType = "IVF_PQ")
+    client.upsert("itpq", vecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), map(lit("p"), pmod(col("vec_id"), lit(7)).cast("string")).as("meta")))
+    client.buildIndex("itpq", nlist = clusters, sampleFraction = 0.1)
+    val pqKeys = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pit = client.searchIterator("itpq", q, batchSize = batch, nprobe = clusters)
+    val tPq = System.nanoTime()
+    while (pit.hasNext) pit.next().foreach(r => pqKeys += r.getString(0))
+    val pqDrainSec = (System.nanoTime() - tPq) / 1e9
+    val pqParity = pqKeys == flatKeys
+    require(pqKeys.length == n, s"PQ drain lost rows: ${pqKeys.length} of $n")
+    require(pqParity, "PQ drain order diverged from the FLAT drain")
+
     // SQ8 distance-PLATEAU drain (r11): n/4 IDENTICAL vectors — the
     // adversarial geometry for the margin drain's hold-back heap. The
     // capped heap must flip the stream to the exact re-rank path and
@@ -152,6 +170,7 @@ object IteratorScaleBench {
       s""""query_drain_rows":$qRows,"query_drain_sec":$querySec,""" +
       s""""sq8_drain_sec":$sq8Sec,"sq8_drained":${sq8Keys.length},""" +
       s""""sq8_parity":$sq8Parity,""" +
+      s""""pq_drain_sec":$pqDrainSec,"pq_parity":$pqParity,""" +
       s""""plateau_n":$nDup,"plateau_drain_sec":$plateauSec,""" +
       s""""plateau_held_peak":$heldPeak,"plateau_held_cap":$heldCap}""")
     graft.streaming.BucketedKeyedCollection.deleteTree(

@@ -324,6 +324,21 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** B6/B8 (r11): the Milvus filtered count —
+    * `client.query(filter=…, output_fields=["count(*)"])` — on the
+    * ORACLE path, over the same client collection [[knnLoaded]] built
+    * through the full write pipeline. Exercises the one-call envelope
+    * (filter-string grammar → scalar read → count aggregate, limit-free)
+    * against DuckDB's native count; the `count(*)` column re-aliases to
+    * `cnt` only because parquet forbids parens/star in column names —
+    * the envelope itself returns Milvus's exact shape. */
+  def milvusCountFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val client = loadedClientFor(spark, dir)
+    client.queryMilvus("emb", """label in ["1", "3", "5"]""",
+        outputFields = Seq("count(*)"))
+      .select(col("count(*)").as("cnt"))
+  }
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -342,6 +357,7 @@ object VectorQueries {
     "knn_paged" -> knnPaged _,
     "knn_loaded_topk" -> knnLoaded _,
     "knn_pq_topk" -> knnPq _,
+    "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
@@ -400,6 +416,8 @@ object VectorQueries {
     "knn_pq_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "milvus_count_filtered" ->
+      "SELECT count(*) AS cnt FROM embeddings WHERE label IN (1, 3, 5)",
     "knn_batched" ->
       """SELECT qid, vec_id, dist, rn FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
