@@ -230,6 +230,33 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drained == want, "drain order must equal the exact-distance order")
   }
 
+  test("per-partition IVF_PQ: scoped search rides that partition's ADC index") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqp", dim = 8, indexType = "IVF_PQ", nlist = 2)
+    client.createPartition("pqp", "pa")
+    client.createPartition("pqp", "pb")
+    val a = (0 until 80).map(i => (s"a$i", vec(i), Map.empty[String, String]))
+    val b = (0 until 80).map(i => (s"b$i", vec(i + 500), Map.empty[String, String]))
+    client.upsert("pqp", a.toDF("key", "vec", "meta"), partition = "pa")
+    client.upsert("pqp", b.toDF("key", "vec", "meta"), partition = "pb")
+    client.buildIndex("pqp", nlist = 2) // all partitions, like Milvus
+    val q = vec(503).toArray
+    val scoped = client.search("pqp", q, k = 5, nprobe = 2, refine = 16,
+      partitions = Seq("pb"))
+    assert(scoped.queryExecution.executedPlan.toString.contains("pqcode"),
+      "the scoped partition's own PQ index must serve stage 1")
+    def l2(v: Seq[Float]): Double =
+      v.zip(q).map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+    val want = b.map { case (k, v, _) => (k, l2(v)) }
+      .sortBy { case (k, d) => (d, k) }.take(5).map(_._1)
+    assert(scoped.collect().map(_.getAs[String]("vector_key")).toSeq == want,
+      "scoped PQ search == that partition's exact answer at full probe")
+    // the unscoped union sees both partitions' rows through their indexes
+    assert(client.search("pqp", q, k = 160, nprobe = 2, refine = 32)
+      .count() == 160)
+  }
+
   test("create-boundary validation: pqM must divide dim; pqM only with IVF_PQ") {
     val client = newClient()
     intercept[IllegalArgumentException](
