@@ -134,6 +134,42 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Map[String, String]]("metadata")("category") == "bin")
   }
 
+  test("streamed ingest keeps an IVF_PQ collection's ADC path fresh") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pqstream").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(8)
+    client.createCollection("pqs", dim = 8, indexType = "IVF_PQ", nlist = 2)
+    // seed + build: the streamed commits below must MAINTAIN this index
+    // (touched-cell re-encode against the frozen codebooks), not stale it
+    val seed = (0 until 120).map(i => (s"s$i",
+      (1 to 8).map(j => math.sin(i * 0.7 + j * 1.31).toFloat),
+      Map.empty[String, String]))
+    client.upsert("pqs", seed.toDF("key", "vec", "meta"))
+    client.buildIndex("pqs", nlist = 2)
+
+    val objects = Seq(
+      ("doc-a", "alpha content for the pq stream".getBytes("UTF-8")),
+      ("doc-b", "a rather different beta payload".getBytes("UTF-8")))
+      .toDF("key", "bytes")
+    writeLanding(s"$root/landing", "events.json",
+      Seq(notif("ObjectCreated:Put", "doc-a"),
+        notif("ObjectCreated:Put", "doc-b")), System.currentTimeMillis())
+    client.startIngest("pqs", s"$root/landing", objects, embedder = emb)
+      .awaitTermination(120000)
+
+    val q = emb.embedBytes("alpha content for the pq stream".getBytes("UTF-8"))
+    val df = client.search("pqs", q, k = 1, nprobe = 2, refine = 16)
+    assert(df.queryExecution.executedPlan.toString.contains("pq_adc_distance"),
+      "streamed commits must keep the ADC stage-1 path, not stale the index")
+    val hit = df.head()
+    assert(hit.getAs[String]("vector_key") == "doc-a")
+    assert(hit.getAs[Double]("distance") < 1e-6, "self-query must be ~0")
+    // the streamed rows' codes are real: they live in the pq cells
+    val pqCells = spark.read.parquet(s"${client.describe("pqs").dataPath}-ivf/pqcells")
+    assert(pqCells.filter(col("key").isin("doc-a", "doc-b")).count() == 2)
+  }
+
   test("a Copy event's tag mutation lands in meta (RGW metadata rewrite)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-copy").toString
