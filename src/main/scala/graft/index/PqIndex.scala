@@ -11,8 +11,8 @@ import graft.functions.{PqFunctions, PqKernels}
 /** IVF_PQ product-quantized cells — the third member of the reference
   * backend's `index_type` family (IVF_FLAT `milvus-app/
   * pythonvectordbceph_milvus.py:100-102`, IVF_SQ8 its 4× sibling, IVF_PQ
-  * the m-bytes-per-vector one: dim 384 at m 16 is 96× smaller at rest
-  * than float32).
+  * the m-bytes-per-vector one: dim 384 at the default m 64 is 24× smaller
+  * at rest than float32; m 16 buys 96× for callers who spend refine).
   *
   * Construction is FAISS/Milvus's residual form: each row's vector minus
   * its coarse IVF centroid is split into `m` subvectors, and a
@@ -58,9 +58,15 @@ object PqIndex {
 
   /** Largest m ≤ `cap` with dim % m == 0 and dsub ≥ 2 — the auto-pick
     * when the caller gives no `m` (Milvus requires dim % m == 0 the same
-    * way). More subspaces = better recall AND more bytes; 16 on dim 384
-    * (dsub 24) is the FAISS-typical operating point. */
-  def defaultM(dim: Int, cap: Int = 16): Int =
+    * way). More subspaces = finer quantization (better ADC ranking) AND
+    * more bytes; the cap of 64 keeps dsub ≤ 6 at the reference's dim 384
+    * (codes 0.042× of float32). The original cap of 16 put dim 384 at
+    * dsub 24 — measured on adversarial iid-384 data, that coarse default
+    * ranked near-randomly among concentrated distances (recall@10 0.1 at
+    * refine 4 where finer books reach 1.0), so the default moved to the
+    * FAISS-typical dsub 4–8 band; callers wanting maximum compression
+    * pass `m` explicitly and spend `refine` instead. */
+  def defaultM(dim: Int, cap: Int = 64): Int =
     (cap to 1 by -1).find(m => dim % m == 0 && dim / m >= 2).getOrElse(1)
 
   /** Train per-subspace codebooks on the RESIDUALS of `assigned` (frame

@@ -287,7 +287,12 @@ object VectorQueries {
       val c = new graft.api.GraftClient(spark, r)
       val emb = t(spark, d, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      c.createCollection("embpq", dim = dim, indexType = "IVF_PQ", buckets = 16)
+      // pqM pinned (not the auto-pick): exactness never depends on the
+      // codebooks here (the refine pool covers the corpus), and 16
+      // subspaces keep the one-time 16×-k-means build cost flat across
+      // default changes
+      c.createCollection("embpq", dim = dim, indexType = "IVF_PQ",
+        buckets = 16, pqM = 16)
       c.upsert("embpq", emb.select(
         lpad(col("vec_id").cast("string"), 8, "0").as("key"),
         col("embedding").as("vec"),

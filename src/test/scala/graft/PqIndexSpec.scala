@@ -111,7 +111,7 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.createCollection("pq", dim = 8, metric = "l2",
       indexType = "IVF_PQ", nlist = 4)
     assert(client.describe("pq").pqM == 4,
-      "auto-picked m: largest ≤ 16 dividing dim 8 with dsub ≥ 2")
+      "auto-picked m: largest ≤ 64 dividing dim 8 with dsub ≥ 2")
     val rows = (0 until 200).map(i => (s"k$i", vec(i), Map("i" -> i.toString)))
     client.upsert("pq", rows.toDF("key", "vec", "meta"))
     client.buildIndex("pq", nlist = 4)
