@@ -352,8 +352,12 @@ object VectorScaleBench {
     // that coarseness refine=4 absorbs at 1M.
     val pqRoot = tmpDir("graft-scale-pq")
     val pqClient = new graft.api.GraftClient(spark, pqRoot)
+    // pqM pinned at 16 (not the auto-pick, which moved to the FAISS
+    // dsub band in r11): round-over-round rows must measure the same
+    // operating point, and m 16 is the maximum-compression corner these
+    // rows document (dim 64 / m 16 = 16 B/vector)
     pqClient.createCollection("benchpq", dim = dim, metric = "l2",
-      indexType = "IVF_PQ", nlist = 64, buckets = 16)
+      indexType = "IVF_PQ", nlist = 64, buckets = 16, pqM = 16)
     pqClient.upsert("benchpq", cvecs.select(col("vec_id").cast("string").as("key"),
       col("vec"), typedLit(Map.empty[String, String]).as("meta")))
     val pqBuildT0 = System.nanoTime()
