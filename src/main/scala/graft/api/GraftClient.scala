@@ -300,7 +300,9 @@ class GraftClient(spark: SparkSession, root: String,
       s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ (got '$indexType')")
     require(nlist >= 0, s"nlist must be >= 0 (got $nlist)")
     // Milvus IVF_PQ takes `m` (subquantizers) with dim % m == 0; 0 =
-    // auto-pick (largest m ≤ 16 dividing dim). Frozen at create like
+    // auto-pick via PqIndex.defaultM (largest m ≤ 64 dividing dim with
+    // dsub ≥ 2 — the FAISS-typical dsub band; dim 384 picks m = 64, so
+    // size storage from defaultM, not a fixed 16). Frozen at create like
     // the bucket count: the at-rest code layout cannot change width.
     require(pqM == 0 || indexType == "IVF_PQ",
       "pqM only applies with indexType = IVF_PQ")
@@ -2338,7 +2340,16 @@ class GraftClient(spark: SparkSession, root: String,
     * passes the whole map, `"*"` (or none) keeps the full envelope. The
     * vector itself is not a search output field here — [[fetch]] the
     * hit keys for vectors, the same two-step Milvus clients use when a
-    * search must not drag vector payloads through the ranker. */
+    * search must not drag vector payloads through the ranker.
+    *
+    * Unknown-field semantics: metadata is a DYNAMIC map (keys are data,
+    * not schema — different rows may carry different keys), so a
+    * requested field no row carries projects as an all-null column
+    * rather than erroring the way schema-ful Milvus does — there is no
+    * schema to validate a name against, and raising on "absent from the
+    * rows this page happened to return" would make errors depend on the
+    * query's k. Callers migrating from Milvus: a typo'd output field
+    * shows up as nulls, not an exception. */
   private def projectOutputFields(result: DataFrame,
       outputFields: Seq[String]): DataFrame =
     if (outputFields.isEmpty || outputFields.contains("*")) result
@@ -2999,7 +3010,14 @@ class GraftClient(spark: SparkSession, root: String,
       .orderBy(col("key"))
     // Milvus filtered count: `query(filter=…, output_fields=["count(*)"])`
     // returns one row, one column — and rejects limit, like Milvus does
-    // (a limited count is ambiguous: count of the page or of the match?)
+    // (a limited count is ambiguous: count of the page or of the match?).
+    // count(*) mixed with other output fields is rejected the way Milvus
+    // rejects it — the fall-through would otherwise project
+    // element_at(meta, "count(*)"), an all-null column, silently.
+    require(!outputFields.contains("count(*)") ||
+        outputFields == Seq("count(*)"),
+      "count(*) cannot combine with other output fields — Milvus " +
+        "rejects the combination the same way")
     if (outputFields == Seq("count(*)")) {
       require(limit.isEmpty,
         "count(*) cannot combine with limit — Milvus rejects the " +

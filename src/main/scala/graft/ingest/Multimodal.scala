@@ -144,7 +144,17 @@ object Multimodal {
     * every `stride`-th composited frame as row-major RGB over black).
     * Same bomb posture as [[decodeImage]]: the canvas dimension check
     * runs before any allocation, the frame loop is budget-capped, and
-    * any plugin throw quarantines via None. */
+    * any plugin throw quarantines via None.
+    *
+    * Disposal-color choice: `restoreToBackgroundColor` clears the frame
+    * rect to TRANSPARENT (flattened over black by the sampler) rather
+    * than filling with the logical-screen background color index —
+    * the browser-rendering convention (every major browser ignores the
+    * background color index), not strict GIF89a. A GIF that relies on a
+    * non-black background color index therefore embeds as if that
+    * background were black; deterministic either way, but spec-exact
+    * compositing would read the index from the stream metadata's global
+    * color table and fill with it. */
   private[graft] def decodeGifFrames(content: Array[Byte], stride: Int = 1)
       : Option[(Int, Int, Int, Seq[Array[Byte]])] = {
     require(stride >= 1, s"stride must be >= 1 (got $stride)")

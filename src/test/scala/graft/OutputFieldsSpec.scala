@@ -85,4 +85,15 @@ class OutputFieldsSpec extends AnyFunSuite with BeforeAndAfterAll {
         outputFields = Seq("count(*)")).collect())
     assert(e.getMessage.contains("count(*)"))
   }
+
+  test("count(*) mixed with other output fields is rejected, like Milvus") {
+    // the fall-through would project element_at(meta, "count(*)") — an
+    // all-null column — where Milvus errors on the mixed form
+    for (fields <- Seq(Seq("count(*)", "url"), Seq("url", "count(*)"))) {
+      val e = intercept[IllegalArgumentException](
+        client.queryMilvus("of", """url like "http%"""",
+          outputFields = fields).collect())
+      assert(e.getMessage.contains("count(*)"))
+    }
+  }
 }
