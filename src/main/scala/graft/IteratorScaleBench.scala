@@ -110,11 +110,12 @@ object IteratorScaleBench {
       s"SQ8 drain lost rows: ${sq8Keys.length} of $n")
     require(sq8Parity, "SQ8 drain order diverged from the FLAT drain")
 
-    // IVF_PQ full drain (r11): the same corpus under IVF_PQ — iterators
-    // force the FLOAT-cell scan on PQ partitions (the ADC pool is
-    // depth-bounded with no unbounded keyset drain), so the drain must
-    // cover everything in exact order at FLAT-drain cost, cursor prune
-    // included. Parity vs the FLAT key sequence is the correctness bar.
+    // IVF_PQ full drain (r12): the same corpus under IVF_PQ — the drain
+    // now rides the ADC quantized-keyset margin drain (stage 1 pages m
+    // bytes/row through the per-cell LUT kernel, held back by the
+    // MEASURED per-cell reconstruction bound pq_recon maintains), so it
+    // must both beat the r11 float-cell drain cost AND keep exact order.
+    // Parity vs the FLAT key sequence is the correctness bar.
     client.createCollection("itpq", dim = dim, metric = "l2", indexType = "IVF_PQ")
     client.upsert("itpq", vecs.select(col("vec_id").cast("string").as("key"),
       col("vec"), map(lit("p"), pmod(col("vec_id"), lit(7)).cast("string")).as("meta")))

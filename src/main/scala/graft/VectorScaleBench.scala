@@ -387,6 +387,32 @@ object VectorScaleBench {
     val stillPq = pqClient.search("benchpq", cq, k = 10, nprobe = 4)
       .queryExecution.executedPlan.toString.contains("pq_adc_distance")
 
+    // batched 16-query sweep THROUGH the PQ codes (r12): stage 1 reads
+    // m bytes/row and ranks with the asymmetric-ADC kernel executor-side
+    // (PqAsymDistance — no per-query LUT build or shuffle), the bounded
+    // heap keeps k·refine keys per query BEFORE the shuffle, and the
+    // shared exact re-rank tail re-fetches from the keyed store. Parity
+    // vs the single-query path is asserted, not assumed: asym ADC is
+    // bit-identical to the LUT ADC, so batch hits == per-query hits.
+    val pqQueries = cvecs.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    def pqBatchOnce(): Map[Long, Seq[String]] =
+      pqClient.searchBatch("benchpq", pqQueries, k = 10, nprobe = 4)
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getString(1)).toSeq }
+    pqBatchOnce()
+    var pqBatch: Map[Long, Seq[String]] = Map.empty
+    val pqBatchSec = math.min(
+      time { pqBatch = pqBatchOnce() }, time { pqBatch = pqBatchOnce() })
+    val pqBatchAdcPlan = pqClient.searchBatch("benchpq", pqQueries, k = 10,
+        nprobe = 4).queryExecution.executedPlan.toString
+      .contains("pq_asym_distance")
+    val q0 = cvecs.filter(col("vec_id") === 0L).select("vec")
+      .head().getSeq[Float](0).toArray
+    val pqBatchParity = pqBatch(0L) ==
+      pqClient.search("benchpq", q0, k = 10, nprobe = 4)
+        .collect().map(_.getString(0)).toSeq
+
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
     // ~50): the geometry real corpora have (topic clusters), and the one
@@ -507,6 +533,9 @@ object VectorScaleBench {
         s""""client_pq_prune_recall_vs_fullprobe":$pqPruneRecall,""" +
         s""""client_pq_maint_commit_sec":$pqMaintSec,""" +
         s""""client_pq_fresh_after_maint":$stillPq,""" +
+        s""""client_pq_batch16_sec":$pqBatchSec,""" +
+        s""""client_pq_batch_adc_plan":$pqBatchAdcPlan,""" +
+        s""""client_pq_batch_parity":$pqBatchParity,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

@@ -1819,6 +1819,38 @@ class GraftClient(spark: SparkSession, root: String,
       .coalesce(1).write.mode("overwrite").parquet(cellRadiiPath(m))
   }
 
+  private def readPqRecon(m: CollectionMeta): Option[Map[Int, Double]] = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(pqReconPath(m)))) None
+    else Some(spark.read.schema("centroid_id INT, bound DOUBLE")
+      .parquet(pqReconPath(m))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap)
+  }
+
+  private def pqReconPath(m: CollectionMeta) = s"${ivfDir(m)}/pq_recon"
+
+  /** Per-cell MAX PQ reconstruction error `max ‖v − ṽ‖` (assign space,
+    * `ṽ = center + decode(encode(v))`) — the measured ε the PQ margin
+    * drain holds rows back by, exactly as SQ8's drain holds by its
+    * analytic `√d·qmax/254` bound (PQ's error is data-dependent, so it
+    * is measured at build and maintained through every touched-cell
+    * re-encode instead of derived). One fused-kernel pass over the
+    * given cells' float rows; the aggregate result is nlist-row. */
+  private def pqReconBounds(assigned: DataFrame,
+      centersBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      booksBc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : Map[Int, Double] =
+    assigned
+      .groupBy(col("centroidId"))
+      .agg(max(graft.functions.PqFunctions.pq_recon_error(
+        col("__v"), col("centroidId"), centersBc, booksBc)).as("bound"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  private def writePqRecon(bounds: Map[Int, Double], m: CollectionMeta): Unit = {
+    import spark.implicits._
+    bounds.toSeq.toDF("centroid_id", "bound")
+      .coalesce(1).write.mode("overwrite").parquet(pqReconPath(m))
+  }
+
   private def readCellRadii(m: CollectionMeta): Option[Map[Int, Double]] = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellRadiiPath(m)))) None
     else Some(spark.read.schema("centroid_id INT, radius DOUBLE")
@@ -1955,11 +1987,18 @@ class GraftClient(spark: SparkSession, root: String,
       val pq = PqIndex.train(assignedCells, "__v", quant.centers, pqm,
         ksub = 1 << m.pqNbits, sampleFraction = sampleFraction)
       PqIndex.writeCodebooks(pq, pqCodebooksPath(m))
+      val centersBc = spark.sparkContext.broadcast(quant.centers)
+      val booksBc = spark.sparkContext.broadcast(pq.codebooks)
       PqIndex.writeEncoded(
-        PqIndex.encode(assignedCells.drop("vec"), "__v",
-          spark.sparkContext.broadcast(quant.centers),
-          spark.sparkContext.broadcast(pq.codebooks)),
+        PqIndex.encode(assignedCells.drop("vec"), "__v", centersBc, booksBc),
         pqCellsPath(m))
+      // per-cell max reconstruction error — what lets searchIterator
+      // page PQ stage 1 on the (adc, key) keyset with a sound hold-back
+      // margin instead of falling back to the float-cell drain. One more
+      // fused-encode pass over the cells (codebooks are frozen, so the
+      // bound is exact for the codes just written); maintained
+      // touched-cell-exactly at every merge commit like cell_radii.
+      writePqRecon(pqReconBounds(assignedCells, centersBc, booksBc), m)
     }
     writeCentroids(quant, s"${ivfDir(m)}/centroids")
     writeCentroids(quant, s"${ivfDir(m)}/probe_centroids")
@@ -2138,16 +2177,32 @@ class GraftClient(spark: SparkSession, root: String,
           // (PqEncode recomputes any row's codes bit-for-bit from vec +
           // cell — same recompute contract the assignment centers hold)
           if (pqIndexed(m)) idx.pq.foreach { pq =>
+            val centersBc = cachedBroadcast(m.name, "assign", idx.version)(
+              idx.assign.centers)
+            val booksBc = cachedBroadcast(m.name, "pqbooks", idx.version)(
+              pq.codebooks)
             PqIndex.encode(
                 contents.withColumn("__v", assignSpace(m)(col("vec"))).drop("vec"),
-                "__v",
-                cachedBroadcast(m.name, "assign", idx.version)(idx.assign.centers),
-                cachedBroadcast(m.name, "pqbooks", idx.version)(pq.codebooks))
+                "__v", centersBc, booksBc)
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
               .partitionBy("centroidId").parquet(pqCellsPath(m))
             (touchedCells.toSet -- writtenCells).foreach { cell =>
               deleteDir(s"${pqCellsPath(m)}/centroidId=$cell")
+            }
+            // the margin drain's per-cell reconstruction bounds follow
+            // the same touched-cell merge as cell_radii: recompute
+            // EXACTLY from the touched cells' full new contents against
+            // the FROZEN codebooks (same recompute the re-encode above
+            // just ran — the bound stays exact, never a loosening upper
+            // bound), keep untouched cells' values, drop emptied cells.
+            // A pre-bounds legacy index has no file: skip, and the
+            // iterator keeps its float-cell drain (correct, unpruned).
+            readPqRecon(m).foreach { old =>
+              val touched = pqReconBounds(
+                contents.withColumn("__v", assignSpace(m)(col("vec"))),
+                centersBc, booksBc)
+              writePqRecon((old -- touchedCells) ++ touched, m)
             }
           }
           // probe centers of the touched cells move to the new cell means;
@@ -3124,13 +3179,28 @@ class GraftClient(spark: SparkSession, root: String,
       val pm = partMeta(m, p)
       liveIndex(pm, collection(pm)).isDefined
     }).toMap
-    // SQ8 partitions with a LIVE index page their stage 1 on a quantized
-    // keyset (see the scaladoc); everything else keeps the one-frame
-    // (distance, key) keyset path below. Dispatch is per iterator, bound
-    // at creation like the gates.
-    if (parts.exists(p => sq8Indexed(partMeta(m, p)) && liveAt(p)))
+    // Whether the filter resolves against the PQ codes schema — one
+    // plan-only probe, partition-independent, evaluated once like liveAt
+    lazy val fTouchesVec = filterTouchesVec(fOpt)
+    // PQ partitions drain through the quantized-keyset margin path IFF
+    // the measured per-cell reconstruction bounds exist (builds since
+    // pq_recon; legacy indexes keep the float-cell drain), the metric
+    // rides the assign-space L2 order, and the filter resolves against
+    // the codes schema. Evaluated ONCE here, same pin discipline as
+    // liveAt — the stream constructor re-checks liveness loudly.
+    val pqDrainAt: Map[String, Boolean] = parts.map(p => p -> {
+      val pm = partMeta(m, p)
+      liveAt(p) && pqIndexed(pm) && indexableMetric(pm.metric) &&
+        readPqRecon(pm).isDefined && !fTouchesVec
+    }).toMap
+    // SQ8/PQ partitions with a LIVE index page their stage 1 on a
+    // quantized keyset (see the scaladoc); everything else keeps the
+    // one-frame (distance, key) keyset path below. Dispatch is per
+    // iterator, bound at creation like the gates.
+    if (parts.exists(p => (sq8Indexed(partMeta(m, p)) && liveAt(p)) ||
+        pqDrainAt(p)))
       mergedDrainIterator(m, parts, gates, qvec, fOpt, nprobe, refine,
-        batchSize, allowDrift, liveAt)
+        batchSize, allowDrift, liveAt, pqDrainAt)
     else {
     var cursor: Option[(Double, String)] = None
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
@@ -3143,9 +3213,10 @@ class GraftClient(spark: SparkSession, root: String,
                                            // cursor has fully passed
             gate = gate, // drain-start-pinned TEXT_MATCH key set (above)
             pinnedNoIndex = !liveAt(p),
-            // IVF_PQ partitions drain the FLOAT cells (every IVF type
-            // keeps them): the ADC pool is depth-bounded with no keyset
-            // drain, and indexType is immutable — no TOCTOU to pin
+            // an IVF_PQ partition on THIS path is not margin-drainable
+            // (legacy index without pq_recon bounds, vec-referencing
+            // filter, or stale) — it drains the FLOAT cells, the layout
+            // every IVF type keeps; indexType is immutable, no TOCTOU
             forceCellScan = pm.indexType == "IVF_PQ")
         }
         .reduce(_ unionByName _)
@@ -3162,34 +3233,42 @@ class GraftClient(spark: SparkSession, root: String,
   }
 
   /** The unbounded-drain engine behind [[searchIterator]] when an
-    * IVF_SQ8 partition is in scope: one exact-ordered candidate STREAM
-    * per partition, merged driver-side by (distance, key) into pages.
+    * IVF_SQ8 or margin-drainable IVF_PQ partition is in scope: one
+    * exact-ordered candidate STREAM per partition, merged driver-side by
+    * (distance, key) into pages.
     *
-    *   - Non-SQ8 partitions stream by the plain (distance, key) keyset —
-    *     each chunk one bounded TakeOrderedAndProject, exactly the
-    *     single-frame path's per-page job.
-    *   - SQ8 partitions stream in two stages: stage 1 pages the
+    *   - Partitions without a quantized drain stream by the plain
+    *     (distance, key) keyset — each chunk one bounded
+    *     TakeOrderedAndProject, exactly the single-frame path's per-page
+    *     job.
+    *   - SQ8/PQ partitions stream in two stages: stage 1 pages the
     *     QUANTIZED codes by an (adist, key) keyset (bounded TakeOrdered
-    *     over the 1/4-size codes at any depth — never the offset-style
-    *     deepening pool search() uses); each chunk's keys are exactly
-    *     re-ranked against the primary store (broadcast join, the
-    *     [[sq8Scored]] fetch shape). A re-ranked row is HELD until the
-    *     stage-1 frontier A (max adist consumed) proves no unseen row
-    *     can precede it: unseen rows have adist ≥ A, and
-    *     |exact − adist| ≤ ‖v − ṽ‖ ≤ √d·qmax/254 = ε (per-component
-    *     quantization error qmax/254, Cauchy-Schwarz; a hair of float
-    *     headroom added), so exact ≥ A − ε — held rows with exact
-    *     distance strictly below A − ε are safe to emit. Emission order
-    *     therefore EQUALS the exact-distance order over the probed
-    *     cells: zero lost rows, identical tie-breaks, FLAT-drain parity.
-    *     Cosine works in the normalized assign space (chord =
-    *     √(2 + 2·distance) is monotone in the returned −sim, so holding
-    *     by chord and merging by −sim agree). */
+    *     over the compressed layout at any depth — never the
+    *     offset-style deepening pool search() uses); each chunk's keys
+    *     are exactly re-ranked against the primary store (broadcast
+    *     join, the [[sq8Scored]]/[[pqScored]] fetch shape). A re-ranked
+    *     row is HELD until the stage-1 frontier A (max adist consumed)
+    *     proves no unseen row can precede it: unseen rows have adist ≥
+    *     A, and |exact − adist| ≤ ‖v − ṽ‖ ≤ ε, so exact ≥ A − ε — held
+    *     rows with exact distance strictly below A − ε are safe to
+    *     emit. Emission order therefore EQUALS the exact-distance order
+    *     over the probed cells: zero lost rows, identical tie-breaks,
+    *     FLAT-drain parity. The ε differs per family — SQ8 derives the
+    *     analytic √d·qmax/254 (per-component quantization error,
+    *     Cauchy-Schwarz); PQ's error is data-dependent, so it reads the
+    *     MEASURED per-cell max ‖v − decode(code)‖ the build/maintenance
+    *     paths keep exact (pq_recon) — but the hold-back algebra, the
+    *     heap cap, and the degrade-to-exact switch are ONE shared
+    *     engine ([[MarginStream]] below). Cosine works in the
+    *     normalized assign space (chord = √(2 + 2·distance) is monotone
+    *     in the returned −sim, so holding by chord and merging by −sim
+    *     agree). */
   private def mergedDrainIterator(m: CollectionMeta, parts: Seq[String],
       gates: Seq[Option[DataFrame]], qvec: Array[Float], filter: Option[Column],
       nprobe: Int, refine: Int, batchSize: Int,
       allowDrift: Boolean,
-      liveAt: Map[String, Boolean]): Iterator[Seq[Row]] = {
+      liveAt: Map[String, Boolean],
+      pqDrainAt: Map[String, Boolean]): Iterator[Seq[Row]] = {
     require(batchSize.toLong * refine <= Int.MaxValue,
       s"batchSize * refine overflows Int (got ${batchSize.toLong * refine}) — lower refine")
     val chunk = batchSize * refine
@@ -3227,35 +3306,28 @@ class GraftClient(spark: SparkSession, root: String,
         rows.foreach(r => buf.enqueue(((r.getDouble(1), r.getString(0)), r)))
       }
     }
-    class Sq8Stream(pm: CollectionMeta, gate: Option[DataFrame]) extends Stream {
-      private val coll = collection(pm)
-      private val idx = liveIndex(pm, coll).getOrElse(
-        throw new IllegalStateException(s"${pm.name}: SQ8 index went stale " +
-          "between dispatch and stream creation — restart the iterator"))
-      private val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
-      private val q1 = typedLit(qa)
-      private val cells = idx.probe.probes(qa, nprobe)
-      private def codes = Sq8Index
-        .loadQuantized(spark, sq8CellsPath(pm), Some(sq8CellsSchema))
-        .filter(col("centroidId").isin(cells: _*))
-      private def s1Frame: DataFrame = {
-        val mf = filter.fold(codes)(codes.filter)
-        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
-          .select(col("key"),
-            graft.functions.VectorFunctions
-              .sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
-      }
-      // global quantization-error bound over the probed cells — one tiny
-      // aggregate at stream creation (max over a pruned columnar scan)
-      private val eps: Double = {
-        val mx = codes.agg(max(col("qmax"))).head()
-        if (mx.isNullAt(0)) 0.0
-        else mx.getDouble(0) * math.sqrt(pm.dim.toDouble) / 254.0 *
-          (1.0 + 1e-6) + 1e-9 // float headroom: normalization rounding
-                              // (cosine) and the double decode both live
-                              // far below this; a wider ε only DELAYS
-                              // emission, never reorders it
-      }
+    /** The quantized-keyset margin drain, parameterized over the
+      * compressed family: subclasses provide the stage-1 (key, adist)
+      * frame over the probed cells' at-rest codes, the error bound ε
+      * (|exact − adist| over every probed row), and the filtered+gated
+      * key set the degraded exact drain re-ranks. Everything
+      * correctness-critical — the hold-back algebra, the ONE shared
+      * rankExact projection, the heap cap, the degrade switch — lives
+      * HERE once, so SQ8 and PQ cannot silently diverge. */
+    abstract class MarginStream(pm: CollectionMeta, gate: Option[DataFrame])
+        extends Stream {
+      protected val coll = collection(pm)
+      /** (key, adist) over the probed cells' quantized layout, metadata
+        * filter + TEXT_MATCH gate already applied. */
+      protected def s1Frame: DataFrame
+      /** |exact assign-space distance − adist| bound over every probed
+        * cell's rows (with fp headroom — a wider ε only DELAYS emission,
+        * never reorders it). */
+      protected def eps: Double
+      /** The filtered+gated 1-column `key` frame of the probed cells —
+        * what the degraded drain re-ranks exactly. Σ probed-cells rows,
+        * a distributed equi-join input, never a driver set. */
+      protected def exactKeys: DataFrame
       private var aCursor: Option[(Double, String)] = None
       private var s1Done = false
       // min-heap on (margin distance, key): margin = assign-space exact
@@ -3302,15 +3374,31 @@ class GraftClient(spark: SparkSession, root: String,
           .select(col("key").as("vector_key"), score, col("meta").as("metadata"))
           .withColumn("__m", margin)
       }
-      private def exactRanked: DataFrame = {
-        val mf = filter.fold(codes)(codes.filter)
-        // keys is Σ probed-cells rows — a distributed equi-join against
-        // the keyed store, never a broadcast assumption or a driver set
-        rankExact(gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
-          .select("key"), bcast = false)
-      }
+      // Emitted rows drop rankExact's trailing __m but must KEEP the
+      // row schema — the exact path's pages come from DataFrame.collect
+      // (schema-ful), and a by-name read (getAs("vector_key")) working
+      // on one drain path but throwing on another would be an
+      // index-type-dependent API break.
+      private def trimRow(r: Row): Row =
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(r.get(0), r.get(1), r.get(2)),
+          org.apache.spark.sql.types.StructType(r.schema.fields.take(3)))
+      private def exactRanked: DataFrame = rankExact(exactKeys, bcast = false)
+      // Materialized ONCE when the degrade switch fires: each degraded
+      // page is then a bounded TakeOrdered over the checkpointed rows
+      // instead of a full probed-cells re-rank per page (a plateau big
+      // enough to trip the cap used to pay an O(probed-cells) re-scan
+      // per 2k-row page). localCheckpoint stores the ranked rows on the
+      // executors' block store — Σ probed-cells rows, distributed,
+      // never a driver collect — and pins the degrade-time snapshot,
+      // which drift consent already covers.
+      private var degradedBase: DataFrame = null
       private def degradedRefill(): Unit = {
-        val base = exactRanked
+        if (degradedBase == null) {
+          degradedBase = exactRanked.localCheckpoint()
+          GraftClient.noteDegradeCheckpoint(degradedBase)
+        }
+        val base = degradedBase
         val after = lastOut.fold(base) { case (m0, k0) =>
           base.filter(col("__m") > m0 ||
             (col("__m") === m0 && col("vector_key") > k0))
@@ -3320,7 +3408,7 @@ class GraftClient(spark: SparkSession, root: String,
         if (rows.length < chunk) srcDone = true
         rows.lastOption.foreach(r => lastOut = Some((r.getDouble(3), r.getString(0))))
         rows.foreach(r => buf.enqueue(((r.getDouble(1), r.getString(0)),
-          Row(r.get(0), r.get(1), r.get(2)))))
+          trimRow(r))))
       }
       override protected def refill(): Unit = {
         if (degraded) { degradedRefill(); return }
@@ -3340,7 +3428,7 @@ class GraftClient(spark: SparkSession, root: String,
             rankExact(keysDf, bcast = true)
               .collect()
               .foreach(r => held.enqueue((r.getDouble(3), r.getString(0),
-                Row(r.get(0), r.get(1), r.get(2)))))
+                trimRow(r))))
           }
         }
         val threshold =
@@ -3364,10 +3452,102 @@ class GraftClient(spark: SparkSession, root: String,
         if (s1Done && held.isEmpty) srcDone = true
       }
     }
+    class Sq8Stream(pm: CollectionMeta, gate: Option[DataFrame])
+        extends MarginStream(pm, gate) {
+      GraftClient.noteMarginFamily("sq8")
+      private val idx = liveIndex(pm, coll).getOrElse(
+        throw new IllegalStateException(s"${pm.name}: SQ8 index went stale " +
+          "between dispatch and stream creation — restart the iterator"))
+      private val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+      private val q1 = typedLit(qa)
+      private val cells = idx.probe.probes(qa, nprobe)
+      private def codes = Sq8Index
+        .loadQuantized(spark, sq8CellsPath(pm), Some(sq8CellsSchema))
+        .filter(col("centroidId").isin(cells: _*))
+      override protected def s1Frame: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
+          .select(col("key"),
+            graft.functions.VectorFunctions
+              .sq8_l2_distance(col("qvec"), col("qmax"), q1).as("adist"))
+      }
+      // global quantization-error bound over the probed cells — one tiny
+      // aggregate at stream creation (max over a pruned columnar scan):
+      // |exact − adist| ≤ ‖v − ṽ‖ ≤ √d·qmax/254 per component
+      // quantization error, Cauchy-Schwarz
+      override protected val eps: Double = {
+        val mx = codes.agg(max(col("qmax"))).head()
+        if (mx.isNullAt(0)) 0.0
+        else mx.getDouble(0) * math.sqrt(pm.dim.toDouble) / 254.0 *
+          (1.0 + 1e-6) + 1e-9 // float headroom: normalization rounding
+                              // (cosine) and the double decode both live
+                              // far below this
+      }
+      override protected def exactKeys: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi")).select("key")
+      }
+    }
+    class PqStream(pm: CollectionMeta, gate: Option[DataFrame])
+        extends MarginStream(pm, gate) {
+      GraftClient.noteMarginFamily("pq")
+      private val idx = liveIndex(pm, coll).getOrElse(
+        throw new IllegalStateException(s"${pm.name}: PQ index went stale " +
+          "between dispatch and stream creation — restart the iterator"))
+      private val pq = idx.pq.getOrElse(
+        throw new IllegalStateException(s"${pm.name}: PQ codebooks vanished " +
+          "between dispatch and stream creation — rebuild the index"))
+      private val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+      private val cells = idx.probe.probes(qa, nprobe)
+      // per-cell ADC tables from the query's residual against the FROZEN
+      // assign centers — the pqScored stage-1 shape, reused for paging
+      private val luts = Array.fill[Array[Double]](idx.assign.nlist)(null)
+      cells.foreach(c => luts(c) = pq.lutFor(qa, idx.assign.centers(c)))
+      private val lutsBc = spark.sparkContext.broadcast(luts)
+      private def codes = loadedIndexFrame(coll, pqCellsPath(pm), idx.version,
+          () => PqIndex.loadEncoded(spark, pqCellsPath(pm), Some(pqCellsSchema)))
+        .filter(col("centroidId").isin(cells: _*))
+      override protected def s1Frame: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi"))
+          .select(col("key"), graft.functions.PqFunctions.pq_adc_distance(
+            col("pqcode"), col("centroidId"), lutsBc, pq.ksub).as("adist"))
+      }
+      // ε = max measured per-cell reconstruction error over the probed
+      // cells (pq_recon, maintained touched-cell-exactly): adist is the
+      // EXACT distance to the reconstructed point ṽ, so
+      // |exact − adist| ≤ ‖v − ṽ‖ ≤ the cell's bound by the triangle
+      // inequality. Soundness requires every probed NON-EMPTY cell to
+      // carry a bound — the same per-commit invariant that keeps the
+      // codes themselves in sync with the float cells — and that is
+      // VERIFIED here against the pruned layout (≤ nprobe rows), loud
+      // beats silently-truncated.
+      override protected val eps: Double = {
+        val bounds = readPqRecon(pm).getOrElse(
+          throw new IllegalStateException(s"${pm.name}: pq_recon bounds " +
+            "vanished between dispatch and stream creation — rebuild the " +
+            "index or restart the iterator"))
+        val present = codes.select("centroidId").distinct()
+          .collect().map(_.getInt(0))
+        val missing = present.filterNot(bounds.contains)
+        if (missing.nonEmpty)
+          throw new IllegalStateException(s"${pm.name}: probed cells " +
+            s"${missing.mkString(",")} carry rows but no reconstruction " +
+            "bound — the pq_recon sidecar is out of sync with the codes; " +
+            "rebuild the index (buildIndex)")
+        present.map(bounds).foldLeft(0.0)(math.max) * (1.0 + 1e-6) + 1e-9
+      }
+      override protected def exactKeys: DataFrame = {
+        val mf = filter.fold(codes)(codes.filter)
+        gate.fold(mf)(g => mf.join(g, Seq("key"), "left_semi")).select("key")
+      }
+    }
     val streams: Seq[Stream] = parts.zip(gates).map { case (p, gate) =>
       val pm = partMeta(m, p)
       if (sq8Indexed(pm) && liveAt(p))
         new Sq8Stream(pm, gate)
+      else if (pqDrainAt(p))
+        new PqStream(pm, gate)
       else new ExactStream(pm, gate, hadLiveIndex = liveAt(p))
     }
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
@@ -3697,6 +3877,52 @@ class GraftClient(spark: SparkSession, root: String,
           // from the keyed store) — carrying the real meta maps through
           // the heap and its shuffle would move |Q|·k·refine maps just
           // to drop them at the next select
+          .agg(VectorAggregates.topKDocs(k * refine)(
+            col("dist"), col("key"), typedLit(Map.empty[String, String])).as("hits"))
+          .select(col("qid"), explode(col("hits")).as("h"))
+          .select(col("qid"), col("h.key").as("key"))
+        coll.read(spark).join(hintStage1(stage1), Seq("key"))
+          .join(hintQ(q), Seq("qid"))
+      case Some(idx) if pqIndexed(m) && idx.pq.isDefined &&
+          indexableMetric(m.metric) && !filterTouchesVec(filter) =>
+        // IVF_PQ (r12): the batch sweep rides the m-bytes-per-vector
+        // codes — stage 1 ranks the (query × probed code cells) pairs
+        // with the fused ASYMMETRIC-ADC kernel (PqAsymDistance: the
+        // per-query LUT the single-query path builds driver-side would
+        // here mean |Q|·nprobe tables of m·ksub doubles shuffled around,
+        // so the batch arm decodes against the broadcast codebooks
+        // directly — O(dim) flops per pair, same class as a float
+        // distance, while stage-1 I/O stays m bytes/row) and keeps
+        // k·refine KEYS per query through the bounded heap BEFORE any
+        // shuffle; stage 2 re-fetches those keys' exact vectors from the
+        // keyed store into the shared scoring tail. Same broadcast
+        // guards as the SQ8 arm; same assign-space normalization
+        // contract (stage-1 order ≡ metric order for l2/cosine). A
+        // filter referencing `vec` routes to the float-cell arm below —
+        // the codes frame drops the vector.
+        val hintQ: DataFrame => DataFrame =
+          if (nQ <= 100000L) broadcast else identity
+        val hintStage1: DataFrame => DataFrame =
+          if (nQ <= 100000L / math.max(1L, k.toLong * refine)) broadcast
+          else identity
+        val normalize = m.metric == "cosine"
+        val centersBc = cachedBroadcast(m.name, "assign", idx.version)(
+          idx.assign.centers)
+        val booksBc = cachedBroadcast(m.name, "pqbooks", idx.version)(
+          idx.pq.get.codebooks)
+        val probed = q.select(col("qid"),
+            (if (normalize) l2_normalize(col("qvec")) else col("qvec")).as("__qv"))
+          .withColumn("centroidId", explode(
+            probeCellsCol(m, idx, col("__qv"), normalize = false, nprobe)))
+        val scanned = loadedIndexFrame(coll, pqCellsPath(m), idx.version,
+            () => PqIndex.loadEncoded(spark, pqCellsPath(m), Some(pqCellsSchema)))
+          .join(probed, Seq("centroidId"))
+        val stage1 = filter.fold(scanned)(scanned.filter)
+          .select(col("qid"),
+            graft.functions.PqFunctions.pq_asym_distance(col("__qv"),
+              col("pqcode"), col("centroidId"), centersBc, booksBc).as("dist"),
+            col("key"))
+          .groupBy(col("qid"))
           .agg(VectorAggregates.topKDocs(k * refine)(
             col("dist"), col("key"), typedLit(Map.empty[String, String])).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
@@ -4279,9 +4505,20 @@ class GraftClient(spark: SparkSession, root: String,
     * VERSION is stamped LAST — a crash mid-build leaves the stamp stale,
     * so [[searchLexical]] falls back to scoring the caller's frame and a
     * re-run of buildTextIndex is the recovery path, never a stale score. */
+  /** `analyzer`/`stopWords` are Milvus 2.5's `analyzer_params` surface
+    * ("whitespace" — the legacy exact-token default — or "standard":
+    * lowercase + split on non-letter/digit runs, Milvus's standard
+    * tokenizer + lowercase filter; `stopWords` is the `stop` filter).
+    * The analyzer persists in the index META and applies IDENTICALLY at
+    * build, every append, and the query gate (TEXT_MATCH/PHRASE_MATCH/
+    * BM25 analyze their query terms through it) — see
+    * [[graft.index.Analyzer]] for the exact semantics (position gaps on
+    * stop removal, Lucene field length). */
   def buildTextIndex(name: String, docs: DataFrame, textCol: String = "text",
                      buckets: Int = 64,
-                     partition: String = GraftClient.DefaultPartition): Unit = {
+                     partition: String = GraftClient.DefaultPartition,
+                     analyzer: String = "whitespace",
+                     stopWords: Seq[String] = Nil): Unit = {
     // per-partition indexes, like the IVF layout: `docs` must be THAT
     // partition's corpus (each partition is its own store, snapshot
     // version, and staleness clock) — TEXT_MATCH on a partitioned
@@ -4291,7 +4528,7 @@ class GraftClient(spark: SparkSession, root: String,
       throw new IllegalStateException(
         s"${m.name} is empty — nothing to index"))
     TextIndex.build(docs.select(col("key"), col(textCol)), "key", textCol,
-      textDir(m), buckets)
+      textDir(m), buckets, graft.index.Analyzer(analyzer, stopWords))
     stampVersionFile(textDir(m), version)
   }
 
@@ -5043,4 +5280,30 @@ object GraftClient {
     drainHeldPeak.getAndAccumulate(n, math.max(_, _))
   private[graft] def drainHeldPeakValue: Int = drainHeldPeak.get()
   private[graft] def resetDrainHeldPeak(): Unit = drainHeldPeak.set(0)
+
+  // Optimized plan of the LAST degraded drain's checkpointed base — lets
+  // a spec assert (timing-free) that the degrade switch materialized the
+  // exact-ranked frame once (a LogicalRDD scan) instead of re-planning
+  // the probed-cells re-rank per page. Process-wide like drainHeldPeak.
+  private val degradeCheckpointPlan =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private[graft] def noteDegradeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    degradeCheckpointPlan.set(df.queryExecution.optimizedPlan.toString)
+  private[graft] def lastDegradeCheckpointPlan: Option[String] =
+    Option(degradeCheckpointPlan.get())
+  private[graft] def resetDegradeCheckpoint(): Unit =
+    degradeCheckpointPlan.set(null)
+
+  // Which quantized margin families ("sq8", "pq") served a drain since
+  // the last reset — proof a spec's drain actually rode the quantized
+  // keyset rather than silently falling back to the exact path (which
+  // would still pass every parity assertion, hiding a dispatch bug).
+  private val marginFamilies =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def noteMarginFamily(f: String): Unit = marginFamilies.add(f)
+  private[graft] def marginFamiliesSeen: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    marginFamilies.asScala.toSet
+  }
+  private[graft] def resetMarginFamilies(): Unit = marginFamilies.clear()
 }

@@ -4,6 +4,91 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** Text analyzer — the Milvus 2.5 `analyzer_params` surface
+  * (tokenizer + filters), persisted in the index META so build, append,
+  * and the query gate tokenize IDENTICALLY forever (an index whose
+  * query-side analysis diverged from its build-side would silently
+  * mis-match, the exact failure mode a migrating Milvus caller hits if
+  * their collection declared an analyzer this engine ignored).
+  *
+  *   - `whitespace` (the legacy default): the single-space split every
+  *     C14 operator uses — terms must match tokens exactly, bit-for-bit
+  *     the pre-analyzer behavior.
+  *   - `standard`: Unicode-ish tokenization — lowercase, then split on
+  *     non-letter/non-digit runs (`[^\p{L}\p{N}]+`, empty tokens
+  *     dropped) — Milvus's `standard` tokenizer + lowercase filter.
+  *
+  * `stopWords` (Milvus's `stop` filter): stop tokens are dropped from
+  * the POSTINGS (never indexed) but their POSITIONS are preserved as
+  * gaps (Lucene's enablePositionIncrements — "machine the learning"
+  * indexes machine@0, learning@2), so PHRASE_MATCH slop semantics
+  * survive stop removal; `dlen` counts INDEXED tokens only (Lucene's
+  * field length). Query terms pass through the SAME analyzer
+  * driver-side — stop terms are dropped from the query (compacting a
+  * phrase query; the one divergence from Lucene's gapped phrase
+  * queries, chosen because Milvus's observable behavior analyzes the
+  * query string the same way).
+  *
+  * Serialized as META line 4 (`tokenizer` or `tokenizer|stop1,stop2`);
+  * a 3-line legacy META parses as the whitespace analyzer, so existing
+  * indexes read unchanged. */
+case class Analyzer(tokenizer: String = "whitespace",
+                    stopWords: Seq[String] = Nil) {
+  require(Seq("whitespace", "standard").contains(tokenizer),
+    s"analyzer tokenizer must be 'whitespace' or 'standard' (got '$tokenizer')")
+  require(stopWords.forall(w => w.nonEmpty && !w.exists(",|\n".contains(_))),
+    "stop words must be non-empty and free of ',', '|', newline " +
+      "(META serialization delimiters)")
+  private val stopSet = stopWords.toSet
+
+  def serialize: String =
+    tokenizer + (if (stopWords.isEmpty) "" else "|" + stopWords.mkString(","))
+
+  /** Token-array column — the ONE executor-side tokenize build and
+    * append share. Stop tokens are NOT removed here (position gaps need
+    * the pre-removal offsets); [[Analyzer.isStop]] masks them at the
+    * postings explode. */
+  def tokensCol(text: Column): Column = tokenizer match {
+    case "whitespace" => split(text, " ")
+    case _ => org.apache.spark.sql.functions.filter(
+      split(lower(text), Analyzer.TokenSplitRe), t => t =!= lit(""))
+  }
+
+  def hasStops: Boolean = stopWords.nonEmpty
+
+  def isStop(term: Column): Column =
+    if (stopWords.isEmpty) lit(false) else term.isInCollection(stopWords)
+
+  /** Field length = INDEXED tokens (stop-removed) — Lucene's dlen. */
+  def dlenCol(toks: Column): Column =
+    (if (stopWords.isEmpty) size(toks)
+     else size(org.apache.spark.sql.functions.filter(toks,
+       t => !t.isInCollection(stopWords)))).cast("long")
+
+  /** Driver-side query-term analysis — MUST mirror [[tokensCol]] (the
+    * standard arm lowercases via Locale.ROOT and splits on the same
+    * regex; ASCII-identical to Spark's lower(), documented as the
+    * contract). A term analyzing to several tokens expands in place
+    * (phrase order preserved); stop terms drop. */
+  def analyzeTerms(terms: Seq[String]): Seq[String] = (tokenizer match {
+    case "whitespace" => terms
+    case _ => terms.flatMap(_.toLowerCase(java.util.Locale.ROOT)
+      .split(Analyzer.TokenSplitRe)).filter(_.nonEmpty)
+  }).filterNot(stopSet.contains)
+}
+
+object Analyzer {
+  private[index] val TokenSplitRe = "[^\\p{L}\\p{N}]+"
+  val Whitespace = Analyzer()
+
+  def deserialize(s: String): Analyzer = {
+    val parts = s.split("\\|", 2)
+    Analyzer(parts(0),
+      if (parts.length > 1) parts(1).split(",").filter(_.nonEmpty).toSeq
+      else Nil)
+  }
+}
+
 /** At-rest inverted-index (postings) layout for the BM25 lexical arm —
   * the text-side twin of [[IvfIndex]]'s at-rest treatment of the vector
   * arm. The reference ships lexical `search.py` next to vector
@@ -103,16 +188,26 @@ object TextIndex {
 
   // META: line 1 buckets, line 2 postings schema DDL, line 3 the live
   // segment tokens in COMMIT ORDER (comma-separated; a full build is the
-  // one-segment case, so pre-segment single-token METAs parse unchanged)
-  private def readMeta(path: String): (Int, StructType, Seq[String]) = {
+  // one-segment case, so pre-segment single-token METAs parse unchanged),
+  // line 4 (since r12, OPTIONAL) the serialized analyzer — a 3-line
+  // legacy META parses as the whitespace analyzer, bit-identical to the
+  // pre-analyzer behavior
+  private def readMeta(path: String): (Int, StructType, Seq[String], Analyzer) = {
     val lines = new String(java.nio.file.Files.readAllBytes(metaPath(path)),
-      "UTF-8").split("\n", 3)
-    require(lines.length == 3,
+      "UTF-8").split("\n", 4)
+    require(lines.length >= 3,
       s"$path/META is not a generation-format text index — rebuild it " +
         "(TextIndex.build / GraftClient.buildTextIndex)")
     (lines(0).trim.toInt, StructType.fromDDL(lines(1)),
-      lines(2).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      lines(2).trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      if (lines.length >= 4 && lines(3).trim.nonEmpty)
+        Analyzer.deserialize(lines(3).trim)
+      else Analyzer.Whitespace)
   }
+
+  /** The analyzer the index was built with — what a caller must mirror
+    * when scoring raw text for parity checks. */
+  def analyzerOf(path: String): Analyzer = readMeta(path)._4
 
   /** Number of live segments — the client's auto-compaction trigger. */
   def segmentCount(path: String): Int = readMeta(path)._3.size
@@ -125,7 +220,7 @@ object TextIndex {
     * anti-join grows corpus-sized — segment count alone would never
     * fire, and every query would pay the dead weight forever. */
   def tombstoneRatio(spark: SparkSession, path: String): Double = {
-    val (_, schema, gens) = readMeta(path)
+    val (_, schema, gens, _) = readMeta(path)
     val ds = doclenSchema(schema)
     def rows(prefix: String): Long = gens.map { g =>
       val p = java.nio.file.Paths.get(path, s"$prefix-$g")
@@ -147,11 +242,13 @@ object TextIndex {
   // store's vacuum; resolve-then-collect (what bm25's callers do) is
   // unaffected.
   private def publishMeta(path: String, buckets: Int, schemaDdl: String,
-                          gens: Seq[String]): Unit = {
+                          gens: Seq[String],
+                          analyzer: Analyzer = Analyzer.Whitespace): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, ".meta-", "")
     java.nio.file.Files.write(tmp,
-      s"$buckets\n$schemaDdl\n${gens.mkString(",")}".getBytes("UTF-8"))
+      s"$buckets\n$schemaDdl\n${gens.mkString(",")}\n${analyzer.serialize}"
+        .getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, metaPath(path),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -188,7 +285,8 @@ object TextIndex {
     * unreferenced generation dir (swept by the next successful build)
     * and leaves the old index serving. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
-            buckets: Int = 64): Unit = {
+            buckets: Int = 64,
+            analyzer: Analyzer = Analyzer.Whitespace): Unit = {
     require(buckets >= 1, s"buckets must be >= 1 (got $buckets)")
     // n_docs/avgdl clash at QUERY time (the stats crossJoin), __ws at
     // build time — all three would otherwise produce an expensively-built
@@ -214,8 +312,9 @@ object TextIndex {
     // postings: a null-text doc has no postings row but DOES count in
     // n_docs, and the raw-scoring path counts it — parity requires the
     // same source.)
-    val withLen = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
+    val withLen = docs.select(col(idCol),
+        analyzer.tokensCol(col(textCol)).as("__ws"))
+      .select(col(idCol), analyzer.dlenCol(col("__ws")).as("dlen"), col("__ws"))
       .persist()
     try {
       // sum_dlen is the exact integer appends maintain; avgdl derives
@@ -224,13 +323,13 @@ object TextIndex {
       val stats = withLen.agg(count(lit(1)).as("n_docs"),
         avg(col("dlen")).as("avgdl"),
         coalesce(sum(col("dlen")), lit(0L)).as("sum_dlen"))
-      val postings = tokenPostings(withLen, idCol, buckets)
+      val postings = tokenPostings(withLen, idCol, buckets, analyzer)
       postings.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings-$gen")
       withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
         .parquet(s"$path/doclen-$gen")
       stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
-      publishMeta(path, buckets, postings.schema.toDDL, Seq(gen))
+      publishMeta(path, buckets, postings.schema.toDDL, Seq(gen), analyzer)
     } finally withLen.unpersist()
     }
   }
@@ -257,7 +356,10 @@ object TextIndex {
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
       val spark = docsDelta.sparkSession
-      val (buckets, schema, gens) = readMeta(path)
+      // the DELTA tokenizes through the INDEX's analyzer (META), never a
+      // caller-supplied one — mixed-analyzer segments would corrupt
+      // every df/phrase result over the merged corpus
+      val (buckets, schema, gens, analyzer) = readMeta(path)
       require(schema.fields.head.name == idCol,
         s"idCol '$idCol' does not match the index's '${schema.fields.head.name}'")
       // an index built before segment support has no doclen tables —
@@ -268,8 +370,8 @@ object TextIndex {
           "(TextIndex.build / GraftClient.buildTextIndex) to enable appends")
       val gen = java.util.UUID.randomUUID.toString.take(8)
       val withLen = docsDelta
-        .select(col(idCol), split(col(textCol), " ").as("__ws"))
-        .select(col(idCol), size(col("__ws")).cast("long").as("dlen"), col("__ws"))
+        .select(col(idCol), analyzer.tokensCol(col(textCol)).as("__ws"))
+        .select(col(idCol), analyzer.dlenCol(col("__ws")).as("dlen"), col("__ws"))
         .persist()
       try {
         // Prior LIVE version of every id this delta touches: union the
@@ -304,7 +406,7 @@ object TextIndex {
             supersededStats.getLong(1) -
             delStats.map(_.getLong(1)).getOrElse(0L)
 
-          val postings = tokenPostings(withLen, idCol, buckets)
+          val postings = tokenPostings(withLen, idCol, buckets, analyzer)
           postings.write.mode("overwrite").partitionBy("bucket")
             .parquet(s"$path/postings-$gen")
           withLen.select(col(idCol), col("dlen")).write.mode("overwrite")
@@ -315,7 +417,7 @@ object TextIndex {
               (lit(sumDlen).cast("double") / lit(nDocs).cast("double")).as("avgdl"),
               lit(sumDlen).as("sum_dlen"))
             .coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
-          publishMeta(path, buckets, schema.toDDL, gens :+ gen)
+          publishMeta(path, buckets, schema.toDDL, gens :+ gen, analyzer)
         } finally prior.unpersist()
       } finally withLen.unpersist()
     }
@@ -330,7 +432,7 @@ object TextIndex {
     require(exists(path), s"no text index at $path — run build first")
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(path)) {
-      val (buckets, schema, gens) = readMeta(path)
+      val (buckets, schema, gens, analyzer) = readMeta(path)
       if (gens.size > 1) {
         val gen = java.util.UUID.randomUUID.toString.take(8)
         livePostings(spark, path, gens, schema, None)
@@ -341,7 +443,7 @@ object TextIndex {
         // stats are already global-live in the newest segment — copy
         spark.read.schema(statsSchema).parquet(s"$path/stats-${gens.last}")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/stats-$gen")
-        publishMeta(path, buckets, schema.toDDL, Seq(gen))
+        publishMeta(path, buckets, schema.toDDL, Seq(gen), analyzer)
       }
     }
   }
@@ -399,17 +501,22 @@ object TextIndex {
   // document order — what PHRASE_MATCH consumes; Lucene stores the same
   // per-posting positions). tf stays a materialized count, not
   // size(pos): BM25 reads tf without deserializing position arrays.
+  // Stop tokens are masked AFTER posexplode, so surviving tokens keep
+  // their pre-removal offsets — Lucene's position gaps.
   private def tokenPostings(withLen: DataFrame, idCol: String,
-                            buckets: Int): DataFrame =
-    withLen
+                            buckets: Int, analyzer: Analyzer): DataFrame = {
+    val exploded = withLen
       .select(col(idCol), col("dlen"),
         posexplode(col("__ws")).as(Seq("pos", "term")))
+    (if (analyzer.hasStops) exploded.filter(!analyzer.isStop(col("term")))
+     else exploded)
       .groupBy(col(idCol), col("term"))
       // first(dlen) is deterministic: dlen is functionally dependent on id
       .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"),
         sort_array(collect_list(col("pos"))).as("pos"))
       .withColumn("bucket",
         pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+  }
 
   /** Whether a postings layout exists at `path`. */
   def exists(path: String): Boolean = java.nio.file.Files.exists(metaPath(path))
@@ -457,12 +564,21 @@ object TextIndex {
         s"mode must be 'any', 'all', 'phrase' or 'phrase:<slop>' (got '$other')")
     }
     require(exists(path), s"no text index at $path — run build first")
-    val (buckets, schema, gens) = readMeta(path)
+    val (buckets, schema, gens, analyzer) = readMeta(path)
     val idCol = schema.fields.head.name
     require(slop.isEmpty || schema.fieldNames.contains("pos"),
       s"$path was built before positional postings — rebuild it once " +
         "(TextIndex.build / GraftClient.buildTextIndex) to enable PHRASE_MATCH")
-    val distinctTerms = terms.distinct
+    // query terms pass through the INDEX's analyzer (META) — a
+    // standard-analyzer index lowercases/splits the query exactly as it
+    // tokenized the corpus, stop terms drop from the query. A query that
+    // analyzes to NOTHING (all stop words) matches no docs — Lucene's
+    // empty-query semantics, not an error.
+    val analyzed = analyzer.analyzeTerms(terms)
+    if (analyzed.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(schema.fields.head)))
+    val distinctTerms = analyzed.distinct
     val bucketIds = distinctTerms.map(termBucket(_, buckets)).distinct
     val matching = livePostings(spark, path, gens, schema,
       Some(col("bucket").isin(bucketIds: _*) &&
@@ -500,8 +616,8 @@ object TextIndex {
         // the SORTED position lists. (functions.exists qualified: the
         // object's own exists(path) member shadows the import by name.)
         grouped.filter(org.apache.spark.sql.functions.exists(
-            element_at(pm, lit(terms.head)), p =>
-              terms.zipWithIndex.drop(1)
+            element_at(pm, lit(analyzed.head)), p =>
+              analyzed.zipWithIndex.drop(1)
                 .map { case (t, i) => array_contains(element_at(pm, lit(t)), p + i) }
                 .reduceOption(_ && _).getOrElse(lit(true))))
           .select(col(idCol))
@@ -512,7 +628,7 @@ object TextIndex {
         // (Σ df-bounded, position lists bounded by doc length), so the
         // non-codegen hop never touches the corpus-sized path.
         val s = slop.get
-        val qTerms = terms
+        val qTerms = analyzed
         val check = udf((m: Map[String, Seq[Int]]) =>
           sloppyPhraseMatch(qTerms, m, s))
         grouped.filter(check(pm)).select(col(idCol))
@@ -572,14 +688,22 @@ object TextIndex {
            restrictTo: Option[DataFrame] = None): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     require(exists(path), s"no text index at $path — run build first")
-    val (buckets, schema, gens) = readMeta(path)
+    val (buckets, schema, gens, analyzer) = readMeta(path)
     val idCol = schema.fields.head.name
-    val bucketIds = terms.map(termBucket(_, buckets)).distinct
+    // query terms through the index's analyzer, exactly like matchingDocs;
+    // an all-stop query scores nothing (empty frame, not an error)
+    val analyzed = analyzer.analyzeTerms(terms).distinct
+    if (analyzed.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(schema.fields.head,
+          org.apache.spark.sql.types.StructField("bm25",
+            org.apache.spark.sql.types.DoubleType))))
+    val bucketIds = analyzed.map(termBucket(_, buckets)).distinct
     // every segment scan gets the same prune (partition + pushed term
     // filter), THEN later-segment tombstones mask superseded rows —
     // the anti-join right sides are churn-sized, never corpus-sized
     val matching = livePostings(spark, path, gens, schema,
-      Some(col("bucket").isin(bucketIds: _*) && col("term").isin(terms: _*)))
+      Some(col("bucket").isin(bucketIds: _*) && col("term").isin(analyzed: _*)))
     // df over the masked union = live df for the queried terms
     val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // newest segment's stats row is the live global corpus

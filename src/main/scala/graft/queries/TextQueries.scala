@@ -245,6 +245,44 @@ object TextQueries {
       p
     })
 
+  /** Standard-analyzer postings twin of [[postingsFor]] (r12): the same
+    * fixture corpus indexed through Milvus 2.5's `standard` tokenizer +
+    * lowercase + stop filter — what `text_match_std_knn` rides. Cached
+    * per (dir, process) like the whitespace one. */
+  private val stdTextIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stdPostingsFor(spark: SparkSession, dir: String): String =
+    stdTextIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-textidx-std").toString
+      graft.index.TextIndex.build(t(spark, d, "documents"), "doc_id", "text", p,
+        analyzer = graft.index.Analyzer("standard", Seq("the", "a", "of")))
+      p
+    })
+
+  /** B8/C14 — Milvus `TEXT_MATCH` under `analyzer_params` (r12): the
+    * index is built with the `standard` analyzer (lowercase + split on
+    * non-letter/digit runs) and a stop filter, and the QUERY terms pass
+    * through the same analyzer — "JOIN" lowercases to join, the stop
+    * word "the" drops from the query entirely — so a migrating caller's
+    * mixed-case query matches exactly as Milvus's analyzer would. Match
+    * set (all-mode over the analyzed terms) KNN-ranked like
+    * [[textMatchKnn]]; the oracle recomputes the standard tokenization
+    * with the identical regex in DuckDB. */
+  def textMatchStdKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, stdPostingsFor(spark, dir), Seq("JOIN", "the", "Scan"), mode = "all")
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
   /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
     * — the lexical-search twin of the KNN surface (hybrid retrieval runs
     * both); the declared, oracle-pinned instantiation of the BM25 core,
@@ -489,6 +527,7 @@ object TextQueries {
     "train_val_split" -> trainValSplit _,
     "bm25_scores" -> bm25Scores _,
     "text_match_knn" -> textMatchKnn _,
+    "text_match_std_knn" -> textMatchStdKnn _,
     "phrase_match_knn" -> phraseMatchKnn _,
     "phrase_match_slop_knn" -> phraseMatchSlopKnn _,
     "hybrid_rrf" -> hybridRrf _,
@@ -608,6 +647,18 @@ object TextQueries {
          GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""",
     "text_match_knn" ->
       """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           m AS (SELECT doc_id FROM tokens WHERE word IN ('join', 'scan')
+                 GROUP BY doc_id HAVING count(DISTINCT word) = 2),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
+    "text_match_std_knn" ->
+      """WITH tokens AS (SELECT doc_id,
+                 unnest(list_filter(str_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                   x -> x <> '')) AS word
+               FROM documents),
            m AS (SELECT doc_id FROM tokens WHERE word IN ('join', 'scan')
                  GROUP BY doc_id HAVING count(DISTINCT word) = 2),
            q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)

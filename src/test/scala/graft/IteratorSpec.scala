@@ -305,6 +305,7 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.buildIndex("flatdup", nlist = 2)
     val batch = 128 // chunk = 512, cap = max(8*512, 4096) = 4096 < n
     GraftClient.resetDrainHeldPeak()
+    GraftClient.resetDegradeCheckpoint()
     def drain(name: String): Seq[String] =
       client.searchIterator(name, Array(0.0f, 0.0f), batchSize = batch,
         nprobe = 2).flatten.map(_.getString(0)).toSeq
@@ -317,10 +318,91 @@ class IteratorSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the plateau accumulated on the driver")
     assert(GraftClient.drainHeldPeakValue > 0, "drain must have exercised the heap")
     assert(sq8.length == n, s"plateau drain must cover all $n rows, got ${sq8.length}")
+    // the degrade switch must materialize the exact-ranked base ONCE
+    // (checkpointed — a LogicalRDD scan), so each degraded page is a
+    // bounded TakeOrdered over materialized rows instead of a full
+    // probed-cells re-rank per page (timing-free plan check)
+    val ckpt = GraftClient.lastDegradeCheckpointPlan
+    assert(ckpt.isDefined, "the plateau must have tripped the degrade switch")
+    assert(ckpt.get.contains("LogicalRDD"),
+      s"degraded base must be a checkpoint scan, got:\n${ckpt.get}")
     // emission order parity through the degrade switch: all distances
     // tie, so the exact order is pure key order — and must equal FLAT's
     assert(sq8 == drain("flatdup"),
       "degraded SQ8 drain must equal the FLAT drain — same rows, same order")
+  }
+
+  test("PQ drain on a distance PLATEAU: capped heap, degrade parity, checkpointed base") {
+    import spark.implicits._
+    val client = newClient()
+    // the same adversarial geometry as the SQ8 plateau, under IVF_PQ:
+    // identical vectors make every ADC distance tie, so everything sits
+    // within ε of the frontier until stage 1 drains — the hold-back heap
+    // must cap, flip to the degraded exact drain, and keep exact (key)
+    // order through the switch
+    val n = 6000
+    val df = spark.range(n)
+      .selectExpr("lpad(cast(id as string), 8, '0') AS key",
+        "array(1.0f, 1.0f, 1.0f, 1.0f) AS vec", "map() AS meta")
+    client.createCollection("pqdup", dim = 4, indexType = "IVF_PQ", nlist = 2)
+    client.upsert("pqdup", df)
+    client.buildIndex("pqdup", nlist = 2)
+    client.createCollection("flatdup4", dim = 4, indexType = "IVF_FLAT", nlist = 2)
+    client.upsert("flatdup4", df)
+    client.buildIndex("flatdup4", nlist = 2)
+    val batch = 128
+    GraftClient.resetDrainHeldPeak()
+    GraftClient.resetDegradeCheckpoint()
+    GraftClient.resetMarginFamilies()
+    def drain(name: String): Seq[String] =
+      client.searchIterator(name, Array(0.0f, 0.0f, 0.0f, 0.0f),
+        batchSize = batch, nprobe = 2).flatten.map(_.getString(0)).toSeq
+    val pq = drain("pqdup")
+    assert(GraftClient.marginFamiliesSeen.contains("pq"),
+      "the plateau drain must have dispatched the PQ margin stream")
+    val cap = 4096 + batch * 4
+    assert(GraftClient.drainHeldPeakValue <= cap,
+      s"hold-back heap peaked at ${GraftClient.drainHeldPeakValue} > $cap")
+    assert(pq.length == n, s"PQ plateau drain must cover all $n rows, got ${pq.length}")
+    val ckpt = GraftClient.lastDegradeCheckpointPlan
+    assert(ckpt.isDefined && ckpt.get.contains("LogicalRDD"),
+      "the PQ degrade switch must checkpoint the exact-ranked base")
+    assert(pq == drain("flatdup4"),
+      "degraded PQ drain must equal the FLAT drain — same rows, same order")
+  }
+
+  test("PQ margin drain composes with a metadata filter; vec filter falls back exactly") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqfi", dim = 4, indexType = "IVF_PQ", nlist = 4)
+    client.upsert("pqfi", (0 until 120).map { i =>
+      (f"k$i%04d", Seq(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1f),
+        Map("grp" -> (i % 3).toString))
+    }.toDF("key", "vec", "meta"))
+    client.buildIndex("pqfi", nlist = 4)
+    GraftClient.resetMarginFamilies()
+    val pred = element_at(col("meta"), "grp") === "1"
+    val drained = client.searchIterator("pqfi", Array(5f, 1f, 0f, 1f),
+      batchSize = 7, filter = Some(pred), nprobe = 4)
+      .flatten.map(_.getString(0)).toSeq
+    assert(GraftClient.marginFamiliesSeen.contains("pq"),
+      "a meta filter resolves on the codes frame — margin drain serves it")
+    assert(drained.length == 40, s"i % 3 == 1 for 0 until 120, got ${drained.length}")
+    val whole = client.search("pqfi", Array(5f, 1f, 0f, 1f), k = 120,
+      filter = Some(pred), nprobe = 4).collect().map(_.getString(0)).toSeq
+    assert(drained.take(whole.length) == whole.take(drained.length))
+
+    // a filter referencing vec cannot resolve on the codes frame — the
+    // iterator must fall back to the float-cell drain and stay exact
+    GraftClient.resetMarginFamilies()
+    val vecPred = size(col("vec")) === 4 && pred
+    val fallback = client.searchIterator("pqfi", Array(5f, 1f, 0f, 1f),
+      batchSize = 7, filter = Some(vecPred), nprobe = 4)
+      .flatten.map(_.getString(0)).toSeq
+    assert(!GraftClient.marginFamiliesSeen.contains("pq"),
+      "a vec-referencing filter must route off the PQ codes frame")
+    assert(fallback == drained,
+      "the float-cell fallback must produce the identical drain")
   }
 
   test("boundary validation") {

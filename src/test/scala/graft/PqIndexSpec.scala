@@ -13,7 +13,9 @@ import graft.functions.{PqFunctions, PqKernels}
   * recomputation (frozen float32/lowest-id contract), ADC must equal the
   * LUT sum it abbreviates, refined search must recover the exact top-k,
   * maintenance must keep the codes fresh across upserts/deletes, and the
-  * iterator must drain PQ collections completely via the float cells. */
+  * iterator must drain PQ collections completely — in exact order — via
+  * the ADC quantized-keyset margin drain (reconstruction-bound
+  * hold-back), staying exact across maintenance commits. */
 class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -210,24 +212,127 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("iterator drains an IVF_PQ collection completely via the float cells") {
+  test("iterator drains an IVF_PQ collection completely via the ADC margin drain") {
     import spark.implicits._
     val client = newClient()
     client.createCollection("pqi", dim = 8, indexType = "IVF_PQ", nlist = 4)
     val rows = (0 until 300).map(i => (s"i$i", vec(i), Map.empty[String, String]))
     client.upsert("pqi", rows.toDF("key", "vec", "meta"))
     client.buildIndex("pqi", nlist = 4)
+    // the build persists the per-cell reconstruction bounds the margin
+    // drain holds back by
+    val dp = client.describe("pqi").dataPath
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dp-ivf/pq_recon")),
+      "IVF_PQ build must persist the pq_recon bounds")
     val q = vec(9).toArray
+    GraftClient.resetMarginFamilies()
     val drained = client.searchIterator("pqi", q, batchSize = 40)
       .flatMap(_.map(_.getAs[String]("vector_key"))).toSeq
+    assert(GraftClient.marginFamiliesSeen.contains("pq"),
+      "the drain must ride the PQ quantized-keyset margin stream, not " +
+        "silently fall back to the float-cell scan")
     assert(drained.size == 300, s"PQ drain must cover every row (got ${drained.size})")
     assert(drained.distinct.size == 300, "no duplicates across pages")
-    // order parity with the exact ranking
+    // order parity with the exact ranking — the hold-back margin emits
+    // in exact-distance order despite stage 1 ranking by ADC
     def l2d(v: Seq[Float]): Double =
       v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
     val want = rows.map { case (k, v, _) => (k, math.sqrt(l2d(v))) }
       .sortBy { case (k, d) => (d, k) }.map(_._1)
     assert(drained == want, "drain order must equal the exact-distance order")
+  }
+
+  test("pq_recon_error equals the Scala twin; pq_asym_distance == LUT ADC bit-for-bit") {
+    import spark.implicits._
+    val dim = 8; val m = 4; val dsub = dim / m
+    val rows = (0 until 120).map(i => (i.toLong, vec(i, dim)))
+    val df = rows.toDF("id", "v")
+    val (indexed, quant) = IvfIndex.build(df, "v", nlist = 3)
+    val pq = PqIndex.train(indexed, "v", quant.centers, m, ksub = 8)
+    val centersBc = spark.sparkContext.broadcast(quant.centers)
+    val booksBc = spark.sparkContext.broadcast(pq.codebooks)
+
+    // recon error: per subspace the MIN distance² over codewords (what
+    // encode's argmin achieves), summed, sqrt — computed per row
+    def reconScala(v: Seq[Float], cell: Int): Double = {
+      val ctr = quant.centers(cell)
+      math.sqrt((0 until m).map { j =>
+        (0 until pq.ksub).map { c =>
+          val w = pq.codebooks(j)(c)
+          (0 until dsub).map { t =>
+            val i = j * dsub + t
+            val d = v(i).toDouble - ctr(i) - w(t); d * d
+          }.sum
+        }.min
+      }.sum)
+    }
+    val got = indexed.select(col("id"), col("centroidId"),
+        PqFunctions.pq_recon_error(col("v"), col("centroidId"),
+          centersBc, booksBc).as("err"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byId = rows.toMap
+    got.foreach { case (id, cell, err) =>
+      assert(math.abs(err - reconScala(byId(id), cell)) < 1e-12,
+        s"row $id: recon-error kernel differs from the Scala twin")
+      assert(err >= 0.0)
+    }
+
+    // asym distance: bit-identical to the single-query LUT ADC — the
+    // batch arm's stage-1 distances must equal the per-query path's
+    val q = vec(7, dim)
+    val luts = Array.fill[Array[Double]](quant.nlist)(null)
+    (0 until quant.nlist).foreach(c => luts(c) = pq.lutFor(q.toArray, quant.centers(c)))
+    val lutsBc = spark.sparkContext.broadcast(luts)
+    val encoded = PqIndex.encode(indexed, "v", centersBc, booksBc)
+    val pairs = encoded
+      .withColumn("qv", typedLit(q))
+      .select(col("id"),
+        PqFunctions.pq_adc_distance(col("pqcode"), col("centroidId"),
+          lutsBc, pq.ksub).as("lut"),
+        PqFunctions.pq_asym_distance(col("qv"), col("pqcode"),
+          col("centroidId"), centersBc, booksBc).as("asym"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"row ${r.getLong(0)}: asym ${r.getDouble(2)} != LUT ADC ${r.getDouble(1)}")
+    }
+  }
+
+  test("PQ margin drain stays exact across maintenance commits (bound upkeep)") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqm", dim = 8, indexType = "IVF_PQ", nlist = 4)
+    val rows = (0 until 250).map(i => (s"m$i", vec(i), Map.empty[String, String]))
+    client.upsert("pqm", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pqm", nlist = 4)
+    // churn: a move (k30 → far vector), fresh inserts, deletes — the
+    // touched cells re-encode AND their reconstruction bounds recompute;
+    // a stale (too-small) bound would let the drain emit out of order
+    client.upsert("pqm", Seq(
+      ("m30", vec(700), Map.empty[String, String]),
+      ("extra1", vec(800), Map.empty[String, String]),
+      ("extra2", vec(801), Map.empty[String, String])
+    ).toDF("key", "vec", "meta"))
+    client.deleteByKeys("pqm", Seq("m7", "m99"))
+    val live = rows.map { case (k, v, _) => k -> v }.toMap ++
+      Map("m30" -> vec(700), "extra1" -> vec(800), "extra2" -> vec(801)) -
+      "m7" - "m99"
+    val q = vec(13).toArray
+    GraftClient.resetMarginFamilies()
+    val drained = client.searchIterator("pqm", q, batchSize = 30)
+      .flatMap(_.map(r => (r.getString(0), r.getDouble(1)))).toSeq
+    assert(GraftClient.marginFamiliesSeen.contains("pq"),
+      "post-maintenance drain must still ride the PQ margin stream")
+    def l2d(v: Seq[Float]): Double =
+      math.sqrt(v.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum)
+    val want = live.toSeq.map { case (k, v) => (k, l2d(v)) }
+      .sortBy { case (k, d) => (d, k) }
+    assert(drained.map(_._1) == want.map(_._1),
+      "post-maintenance drain must equal the exact ranking, key for key")
+    drained.zip(want).foreach { case ((_, d), (_, t)) =>
+      assert(math.abs(d - t) < 1e-6) }
   }
 
   test("per-partition IVF_PQ: scoped search rides that partition's ADC index") {
@@ -255,6 +360,54 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the unscoped union sees both partitions' rows through their indexes
     assert(client.search("pqp", q, k = 160, nprobe = 2, refine = 32)
       .count() == 160)
+  }
+
+  test("searchBatch rides the PQ ADC codes: batch == per-query, pruned and exact") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqb", dim = 8, indexType = "IVF_PQ", nlist = 4)
+    val rows = (0 until 200).map(i => (s"b$i", vec(i), Map("i" -> i.toString)))
+    client.upsert("pqb", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("pqb", nlist = 4)
+    val qs = Seq((0L, vec(17)), (1L, vec(42)), (2L, vec(101)))
+    val queries = qs.toDF("qid", "qvec")
+    val batchDf = client.searchBatch("pqb", queries, k = 5, nprobe = 4, refine = 8)
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("pq_asym_distance"),
+      "batch stage 1 must rank through the asymmetric-ADC kernel over the codes")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the batch re-rank fetch must broadcast the candidate keys")
+    def byQid(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getAs[String]("vector_key")).toSeq }
+    val batch = byQid(batchDf)
+    for ((qid, qv) <- qs) {
+      val single = client.search("pqb", qv.toArray, k = 5, nprobe = 4, refine = 8)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(batch(qid) == single, s"PQ batch qid=$qid diverges from single-query")
+    }
+    // metadata filter composes on the codes scan in the batch path too
+    val evenFilter = element_at(col("meta"), "i").cast("int") % 2 === 0
+    val fBatch = byQid(client.searchBatch("pqb", queries, k = 5,
+      filter = Some(evenFilter), nprobe = 4, refine = 8))
+    for ((qid, qv) <- qs) {
+      val single = client.search("pqb", qv.toArray, k = 5,
+          filter = Some(evenFilter), nprobe = 4, refine = 8)
+        .collect().map(_.getAs[String]("vector_key")).toSeq
+      assert(fBatch(qid) == single, s"filtered PQ batch qid=$qid diverges")
+      assert(single.forall(k => k.drop(1).toInt % 2 == 0))
+    }
+    // a vec-referencing filter routes the batch off the codes frame —
+    // same fallback contract as single-query search — and forceExact
+    // bypasses the index entirely; both must agree with the ADC arm at
+    // full probe + deep refine
+    val vecBatch = byQid(client.searchBatch("pqb", queries, k = 5,
+      filter = Some(size(col("vec")) === 8 && evenFilter), nprobe = 4, refine = 8))
+    assert(vecBatch == fBatch,
+      "vec-filter fallback must produce identical batch hits")
+    val exact = byQid(client.searchBatch("pqb", queries, k = 5, forceExact = true))
+    assert(exact == batch,
+      "forceExact batch must equal the ADC batch at full probe + deep refine")
   }
 
   test("create-boundary validation: pqM must divide dim; pqM only with IVF_PQ") {

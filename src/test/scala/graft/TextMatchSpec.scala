@@ -357,4 +357,115 @@ class TextMatchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       c.textMatchKeys("slopcol", Seq("machine"), mode = "phrase:x"))
   }
+
+  test("standard analyzer: lowercase + split on non-alphanumerics; query analyzed identically") {
+    import spark.implicits._
+    val c = mk()
+    val mixed = Seq(
+      ("e1", "Hash-Join over Parquet FILES!"),
+      ("e2", "the sort/merge JOIN planner"),
+      ("e3", "full table scan fallback"),
+      ("e4", "hash scan, join: hybrid path"))
+    c.createCollection("std", dim = 384)
+    c.upsertTexts("std",
+      mixed.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndex("std", mixed.map { case (k, t) => (k, t) }.toDF("key", "text"),
+      analyzer = "standard", stopWords = Seq("the", "over"))
+    // mixed-case query lowercases through the index's analyzer
+    assert(keysOf(c.textMatchKeys("std", Seq("JOIN"))) == Set("e1", "e2", "e4"))
+    // punctuation splits on BOTH sides: "Hash-Join" analyzes to two
+    // tokens, expanding in place — all-mode needs both
+    assert(keysOf(c.textMatchKeys("std", Seq("Hash-Join"), mode = "all")) ==
+      Set("e1", "e4"))
+    // stop terms drop from the query — "the scan" behaves as just "scan"
+    assert(keysOf(c.textMatchKeys("std", Seq("the", "scan"))) == Set("e3", "e4"))
+    // an all-stop query matches nothing (Lucene's empty query), loudly
+    // not an error
+    assert(c.textMatchKeys("std", Seq("the", "over")).count() == 0)
+    // brute-force twin over the SAME analysis, every single-term query
+    val stops = Set("the", "over")
+    def analyze(t: String): Seq[String] =
+      t.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
+        .filter(_.nonEmpty).filterNot(stops).toSeq
+    val vocab = mixed.flatMap { case (_, t) => analyze(t) }.distinct
+    for (term <- vocab) {
+      val idx = keysOf(c.textMatchKeys("std", Seq(term)))
+      val twin = mixed.filter { case (_, t) => analyze(t).contains(term) }
+        .map(_._1).toSet
+      assert(idx == twin, s"term '$term': index=$idx twin=$twin")
+    }
+    // the whitespace index over the same corpus keeps the exact-token
+    // contract: "JOIN" matches only e2's literal "JOIN" token (e1's
+    // "Hash-Join" and e4's "join:" are single unsplit tokens there) —
+    // proving the analyzer, not the corpus, changed the semantics
+    val cw = mk()
+    cw.createCollection("ws", dim = 384)
+    cw.upsertTexts("ws",
+      mixed.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    cw.buildTextIndex("ws", mixed.map { case (k, t) => (k, t) }.toDF("key", "text"))
+    assert(keysOf(cw.textMatchKeys("ws", Seq("JOIN"))) == Set("e2"))
+    assert(cw.textMatchKeys("ws", Seq("join")).count() == 0,
+      "lowercase 'join' appears nowhere as a whitespace token")
+  }
+
+  test("stop removal keeps position gaps: phrase slop survives (Lucene increments)") {
+    import spark.implicits._
+    val c = mk()
+    val docs = Seq(
+      ("g1", "machine the learning stack"), // machine@0 learning@2 — gapped
+      ("g2", "machine learning stack"))     // machine@0 learning@1 — adjacent
+    c.createCollection("gap", dim = 384)
+    c.upsertTexts("gap",
+      docs.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndex("gap", docs.map { case (k, t) => (k, t) }.toDF("key", "text"),
+      analyzer = "standard", stopWords = Seq("the"))
+    // slop 0 requires adjacency — the gap where 'the' was keeps g1 out
+    assert(keysOf(c.textMatchKeys("gap", Seq("machine", "learning"),
+      mode = "phrase")) == Set("g2"))
+    // slop 1 absorbs exactly that gap
+    assert(keysOf(c.textMatchKeys("gap", Seq("machine", "learning"),
+      mode = "phrase:1")) == Set("g1", "g2"))
+    // a stop word INSIDE the phrase query drops (query compaction —
+    // documented divergence from Lucene's gapped query): "machine the
+    // learning" analyzes to the same two-term phrase
+    assert(keysOf(c.textMatchKeys("gap", Seq("machine", "the", "learning"),
+      mode = "phrase")) == Set("g2"))
+  }
+
+  test("append inherits the META analyzer; BM25 after append == full rebuild, bit-identical") {
+    import spark.implicits._
+    import graft.index.{Analyzer, TextIndex}
+    val an = Analyzer("standard", Seq("the", "a"))
+    val all = Seq(
+      (1L, "the Quick-Start GUIDE to hash joins"),
+      (2L, "a hash JOIN beats the sort merge join"),
+      (3L, "full scan fallback path"),
+      (4L, "HASH tables and the scan plan"))
+    val full = java.nio.file.Files.createTempDirectory("graft-an-full").toString
+    TextIndex.build(all.toDF("doc_id", "text"), "doc_id", "text", full,
+      analyzer = an)
+    val inc = java.nio.file.Files.createTempDirectory("graft-an-inc").toString
+    TextIndex.build(all.take(3).toDF("doc_id", "text"), "doc_id", "text", inc,
+      analyzer = an)
+    // the delta must tokenize through the INDEX's analyzer (from META),
+    // not a caller default — otherwise df/dlen/positions diverge
+    TextIndex.append(all.drop(3).toDF("doc_id", "text"), "doc_id", "text", inc)
+    assert(TextIndex.analyzerOf(inc) == an, "append must preserve the analyzer")
+    def scores(p: String): Seq[(Long, Double)] =
+      TextIndex.bm25(spark, p, Seq("HASH", "Scan"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (f, i) = (scores(full), scores(inc))
+    assert(f.nonEmpty, "analyzed query must score docs")
+    assert(f == i, s"append-built scores $i != rebuild scores $f")
+    // dlen counts INDEXED tokens (stop-removed): doc 2 has 8 raw tokens,
+    // 2 stops — the doclen table must say 6 (Lucene field length)
+    val dl = spark.read.parquet(
+        java.nio.file.Files.list(java.nio.file.Paths.get(full)).toArray
+          .map(_.toString).filter(_.contains("doclen")).head)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dl(2L) == 6L, s"dlen must count stop-removed tokens, got ${dl(2L)}")
+  }
 }
