@@ -4506,14 +4506,17 @@ class GraftClient(spark: SparkSession, root: String,
     * so [[searchLexical]] falls back to scoring the caller's frame and a
     * re-run of buildTextIndex is the recovery path, never a stale score. */
   /** `analyzer`/`stopWords` are Milvus 2.5's `analyzer_params` surface
-    * ("whitespace" — the legacy exact-token default — or "standard":
+    * ("whitespace" — the legacy exact-token default; "standard":
     * lowercase + split on non-letter/digit runs, Milvus's standard
-    * tokenizer + lowercase filter; `stopWords` is the `stop` filter).
-    * The analyzer persists in the index META and applies IDENTICALLY at
-    * build, every append, and the query gate (TEXT_MATCH/PHRASE_MATCH/
-    * BM25 analyze their query terms through it) — see
-    * [[graft.index.Analyzer]] for the exact semantics (position gaps on
-    * stop removal, Lucene field length). */
+    * tokenizer + lowercase filter; "english": Milvus's built-in preset,
+    * standard + Lucene's English stop set + Porter stemming, with
+    * `stopWords` ADDED to the preset's; `stopWords` alone is the `stop`
+    * filter). The analyzer persists in the index META and applies
+    * IDENTICALLY at build, every append, and the query gate
+    * (TEXT_MATCH/PHRASE_MATCH/BM25 analyze their query terms through
+    * it) — see [[graft.index.Analyzer]] for the exact semantics
+    * (position gaps on stop removal, Lucene field length, stop-then-
+    * stem chain order). */
   def buildTextIndex(name: String, docs: DataFrame, textCol: String = "text",
                      buckets: Int = 64,
                      partition: String = GraftClient.DefaultPartition,
@@ -4527,9 +4530,30 @@ class GraftClient(spark: SparkSession, root: String,
     val version = collection(m).currentVersion.getOrElse(
       throw new IllegalStateException(
         s"${m.name} is empty — nothing to index"))
+    val an = analyzer match {
+      case "english" => graft.index.Analyzer("standard",
+        (graft.index.Analyzer.EnglishStopWords ++ stopWords).distinct,
+        "porter")
+      case t => graft.index.Analyzer(t, stopWords)
+    }
     TextIndex.build(docs.select(col("key"), col(textCol)), "key", textCol,
-      textDir(m), buckets, graft.index.Analyzer(analyzer, stopWords))
+      textDir(m), buckets, an)
     stampVersionFile(textDir(m), version)
+  }
+
+  /** [[buildTextIndex]] taking the VERBATIM Milvus `analyzer_params`
+    * JSON a migrating caller already holds (e.g. `{"tokenizer":
+    * "standard", "filter": ["lowercase", {"type": "stop", "stop_words":
+    * ["the"]}]}`) — parsed by [[graft.index.Analyzer.fromMilvusParams]],
+    * unsupported analyzers refused loudly rather than silently
+    * approximated. */
+  def buildTextIndexMilvus(name: String, docs: DataFrame,
+                           analyzerParams: String,
+                           textCol: String = "text", buckets: Int = 64,
+                           partition: String = GraftClient.DefaultPartition): Unit = {
+    val an = graft.index.Analyzer.fromMilvusParams(analyzerParams)
+    buildTextIndex(name, docs, textCol, buckets, partition,
+      analyzer = an.tokenizer, stopWords = an.stopWords)
   }
 
   /** Incrementally maintain the text index after writes — the lexical

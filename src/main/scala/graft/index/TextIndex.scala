@@ -33,16 +33,26 @@ import org.apache.spark.sql.types.StructType
   * a 3-line legacy META parses as the whitespace analyzer, so existing
   * indexes read unchanged. */
 case class Analyzer(tokenizer: String = "whitespace",
-                    stopWords: Seq[String] = Nil) {
+                    stopWords: Seq[String] = Nil,
+                    stemmer: String = "none") {
   require(Seq("whitespace", "standard").contains(tokenizer),
     s"analyzer tokenizer must be 'whitespace' or 'standard' (got '$tokenizer')")
+  require(Seq("none", "porter").contains(stemmer),
+    s"analyzer stemmer must be 'none' or 'porter' (got '$stemmer')")
+  require(stemmer == "none" || tokenizer == "standard",
+    "the porter stemmer requires the standard tokenizer (stemming " +
+      "case-exact whitespace tokens would silently mis-stem)")
   require(stopWords.forall(w => w.nonEmpty && !w.exists(",|\n".contains(_))),
     "stop words must be non-empty and free of ',', '|', newline " +
       "(META serialization delimiters)")
   private val stopSet = stopWords.toSet
 
-  def serialize: String =
-    tokenizer + (if (stopWords.isEmpty) "" else "|" + stopWords.mkString(","))
+  def serialize: String = {
+    val stops = stopWords.mkString(",")
+    if (stemmer == "none")
+      tokenizer + (if (stopWords.isEmpty) "" else "|" + stops)
+    else s"$tokenizer|$stops|$stemmer"
+  }
 
   /** Token-array column — the ONE executor-side tokenize build and
     * append share. Stop tokens are NOT removed here (position gaps need
@@ -65,27 +75,145 @@ case class Analyzer(tokenizer: String = "whitespace",
      else size(org.apache.spark.sql.functions.filter(toks,
        t => !t.isInCollection(stopWords)))).cast("long")
 
-  /** Driver-side query-term analysis — MUST mirror [[tokensCol]] (the
-    * standard arm lowercases via Locale.ROOT and splits on the same
-    * regex; ASCII-identical to Spark's lower(), documented as the
-    * contract). A term analyzing to several tokens expands in place
-    * (phrase order preserved); stop terms drop. */
-  def analyzeTerms(terms: Seq[String]): Seq[String] = (tokenizer match {
-    case "whitespace" => terms
-    case _ => terms.flatMap(_.toLowerCase(java.util.Locale.ROOT)
-      .split(Analyzer.TokenSplitRe)).filter(_.nonEmpty)
-  }).filterNot(stopSet.contains)
+  /** The per-term transformation applied to EXPLODED postings tokens
+    * after the stop filter — the executor-side stemming hop (a Scala
+    * UDF: Porter is a branchy string algorithm, the legitimate UDF
+    * case, and it runs only on the build/append tokenize pass, never in
+    * a query's hot path — queries stem their handful of terms
+    * driver-side). Identity when no stemmer is configured, so
+    * stemmer-less plans are untouched. Lucene order: stop filtering
+    * happens on UNSTEMMED lowercase tokens, stemming on the
+    * survivors. */
+  def indexTerm(term: Column): Column =
+    if (stemmer == "none") term
+    else udf((t: String) => PorterStemmer.stem(t)).apply(term)
+
+  /** Driver-side query-term analysis — MUST mirror [[tokensCol]] +
+    * [[indexTerm]] (the standard arm lowercases via Locale.ROOT and
+    * splits on the same regex; ASCII-identical to Spark's lower(),
+    * documented as the contract; the stemmer is the same pure
+    * [[PorterStemmer]] both sides call). A term analyzing to several
+    * tokens expands in place (phrase order preserved); stop terms
+    * drop BEFORE stemming, like Lucene's EnglishAnalyzer chain. */
+  def analyzeTerms(terms: Seq[String]): Seq[String] = {
+    val toks = (tokenizer match {
+      case "whitespace" => terms
+      case _ => terms.flatMap(_.toLowerCase(java.util.Locale.ROOT)
+        .split(Analyzer.TokenSplitRe)).filter(_.nonEmpty)
+    }).filterNot(stopSet.contains)
+    if (stemmer == "none") toks else toks.map(PorterStemmer.stem)
+  }
 }
 
 object Analyzer {
   private[index] val TokenSplitRe = "[^\\p{L}\\p{N}]+"
   val Whitespace = Analyzer()
 
+  /** Lucene's classic English stop set (EnglishAnalyzer's default 33) —
+    * what Milvus's built-in `english` analyzer filters. */
+  val EnglishStopWords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  /** Milvus's built-in `english` analyzer: standard tokenize +
+    * lowercase + English stop words + Porter stem. */
+  val English = Analyzer("standard", EnglishStopWords, "porter")
+
   def deserialize(s: String): Analyzer = {
-    val parts = s.split("\\|", 2)
+    val parts = s.split("\\|", 3)
     Analyzer(parts(0),
       if (parts.length > 1) parts(1).split(",").filter(_.nonEmpty).toSeq
-      else Nil)
+      else Nil,
+      if (parts.length > 2 && parts(2).nonEmpty) parts(2) else "none")
+  }
+
+  /** The VERBATIM Milvus `analyzer_params` dict a migrating caller
+    * holds, e.g. `{"tokenizer": "standard", "filter": ["lowercase",
+    * {"type": "stop", "stop_words": ["the", "a"]}]}` — mapped onto
+    * [[Analyzer]]. Supported subset, refused LOUDLY outside it (a
+    * silently-ignored filter would make match semantics diverge from
+    * the caller's Milvus collection — the exact failure analyzers exist
+    * to prevent):
+    *   - `tokenizer`: "standard" (requires the "lowercase" filter —
+    *     this engine's standard arm folds case, matching Milvus's
+    *     near-universal standard+lowercase pairing; a case-SENSITIVE
+    *     standard tokenizer is not implemented) or "whitespace" (no
+    *     lowercase support).
+    *   - `filter`: "lowercase" and `{"type": "stop", "stop_words":
+    *     [...]}` in any order.
+    * An empty/absent dict is Milvus's default analyzer:
+    * standard + lowercase, no stop words. */
+  def fromMilvusParams(json: String): Analyzer = {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"analyzer_params is not valid JSON: ${e.getMessage}") }
+    require(node != null && node.isObject,
+      s"analyzer_params must be a JSON object (got '$json')")
+    // Milvus's built-in-analyzer shorthand: {"type": "english"} /
+    // {"type": "standard"} name a whole preset
+    Option(node.get("type")).map(_.asText).foreach {
+      case "english" => return English
+      case "standard" => return Analyzer("standard", Nil)
+      case other => throw new IllegalArgumentException(
+        s"unsupported built-in analyzer '$other' — supported: " +
+          "standard, english")
+    }
+    val tokenizer = Option(node.get("tokenizer")).map(_.asText)
+      .getOrElse("standard")
+    var lowercase = false
+    var stops = Seq.empty[String]
+    var stem = "none"
+    val f = node.get("filter")
+    if (f != null) {
+      require(f.isArray, "analyzer_params.filter must be an array")
+      (0 until f.size).map(f.get).foreach { e =>
+        if (e.isTextual && e.asText == "lowercase") lowercase = true
+        else if (e.isObject &&
+            Option(e.get("type")).exists(_.asText == "stop")) {
+          val sw = e.get("stop_words")
+          require(sw != null && sw.isArray,
+            "stop filter needs a stop_words array")
+          stops = (0 until sw.size).map(sw.get(_).asText)
+        } else if (e.isObject &&
+            Option(e.get("type")).exists(_.asText == "stemmer")) {
+          val lang = Option(e.get("language")).map(_.asText)
+            .getOrElse("english")
+          require(lang == "english",
+            s"unsupported stemmer language '$lang' — supported: english " +
+              "(Porter)")
+          stem = "porter"
+        } else throw new IllegalArgumentException(
+          s"unsupported analyzer filter '$e' — supported: \"lowercase\", " +
+            """{"type": "stop", "stop_words": [...]}, """ +
+            """{"type": "stemmer", "language": "english"}""")
+      }
+    }
+    tokenizer match {
+      case "standard" =>
+        // Milvus's default analyzer (and every documented standard
+        // preset) pairs standard with lowercase; absent an explicit
+        // filter list we apply the default pairing, but an explicit
+        // filter list WITHOUT lowercase asks for case-sensitive
+        // standard — unimplemented, refused loudly
+        require(lowercase || f == null,
+          "tokenizer 'standard' without the \"lowercase\" filter " +
+            "(case-sensitive standard) is not supported — add " +
+            "\"lowercase\" to the filter list")
+        Analyzer("standard", stops, stem)
+      case "whitespace" =>
+        require(!lowercase,
+          "the \"lowercase\" filter with tokenizer 'whitespace' is not " +
+            "supported — whitespace is the exact-token legacy analyzer")
+        require(stem == "none",
+          "the stemmer filter with tokenizer 'whitespace' is not " +
+            "supported — stemming needs lowercased standard tokens")
+        Analyzer("whitespace", stops)
+      case other => throw new IllegalArgumentException(
+        s"unsupported tokenizer '$other' — supported: standard, whitespace")
+    }
   }
 }
 
@@ -510,6 +638,9 @@ object TextIndex {
         posexplode(col("__ws")).as(Seq("pos", "term")))
     (if (analyzer.hasStops) exploded.filter(!analyzer.isStop(col("term")))
      else exploded)
+      // stemming (if configured) AFTER the stop filter, Lucene's chain
+      // order; tokens stemming to the same term merge their positions
+      .withColumn("term", analyzer.indexTerm(col("term")))
       .groupBy(col(idCol), col("term"))
       // first(dlen) is deterministic: dlen is functionally dependent on id
       .agg(count(lit(1)).as("tf"), first(col("dlen")).as("dlen"),

@@ -435,6 +435,118 @@ class TextMatchSpec extends AnyFunSuite {
       mode = "phrase")) == Set("g2"))
   }
 
+  test("Milvus analyzer_params JSON: verbatim dicts parse; unsupported forms refuse loudly") {
+    import spark.implicits._
+    import graft.index.Analyzer
+    // the documented Milvus forms map exactly
+    assert(Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "stop", "stop_words": ["the", "a"]}]}""") ==
+      Analyzer("standard", Seq("the", "a")))
+    assert(Analyzer.fromMilvusParams("""{"tokenizer": "whitespace"}""") ==
+      Analyzer("whitespace", Nil))
+    // empty dict = Milvus's default analyzer (standard + lowercase)
+    assert(Analyzer.fromMilvusParams("{}") == Analyzer("standard", Nil))
+    // unsupported: silently-approximated analyzers would diverge from
+    // the caller's Milvus collection — refuse instead
+    intercept[IllegalArgumentException](
+      Analyzer.fromMilvusParams("""{"tokenizer": "jieba"}"""))
+    intercept[IllegalArgumentException](Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": [{"type": "stemmer"}]}"""))
+    intercept[IllegalArgumentException](Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": [{"type": "stop", "stop_words": ["x"]}]}"""))
+    intercept[IllegalArgumentException](Analyzer.fromMilvusParams("not json"))
+    // e2e: the JSON surface builds the same index the direct form does
+    val c = mk()
+    val docs = Seq(("m1", "The Quick HASH join"), ("m2", "plain scan path"))
+    c.createCollection("mvp", dim = 384)
+    c.upsertTexts("mvp",
+      docs.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndexMilvus("mvp",
+      docs.toDF("key", "text"),
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "stop", "stop_words": ["the"]}]}""")
+    assert(keysOf(c.textMatchKeys("mvp", Seq("HASH"))) == Set("m1"))
+    assert(c.textMatchKeys("mvp", Seq("the")).count() == 0)
+  }
+
+  test("Porter stemmer: the paper's own rule examples, verified stepwise") {
+    import graft.index.PorterStemmer.stem
+    // each expectation hand-derived through the 1980 paper's rule
+    // tables (1a/1b/1c/2/3/4/5 in order) — not copied from a vector
+    // file, so a rule-transcription bug fails loudly here
+    val expected = Seq(
+      "caresses" -> "caress", // 1a sses→ss
+      "ponies" -> "poni",     // 1a ies→i
+      "caress" -> "caress",   // 1a ss→ss
+      "cats" -> "cat",        // 1a s→
+      "agreed" -> "agre",     // 1b eed→ee (m>0), then 5a e-drop
+                              // (m("agre")=1, not *o) — the canonical
+                              // full-pipeline output, not 1b's "agree"
+      "feed" -> "feed",       // 1b eed: m("f")=0 — unchanged
+      "plastered" -> "plaster", // 1b ed→ (vowel in stem)
+      "motoring" -> "motor",  // 1b ing→
+      "hopping" -> "hop",     // 1b ing→ then double-c → single
+      "falling" -> "fall",    // 1b double-l is NOT undoubled (l excluded)
+      "filing" -> "file",     // 1b ing→ then m=1 ∧ *o → +e
+      "happy" -> "happi",     // 1c y→i (vowel in stem)
+      "sky" -> "sky",         // 1c: no vowel in "sk" — unchanged
+      "relational" -> "relat",  // 2 ational→ate, 5a e-drop
+      "conditional" -> "condit", // 2 tional→tion, 4 ion (*t)
+      "rational" -> "ration")   // 2 longest-match 'ational' FAILS its
+                                // m-condition (stem "r") and blocks the
+                                // step — then 4 al→ (paper's own note)
+    expected.foreach { case (in, want) =>
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+    }
+    // co-stemming: the property retrieval actually uses
+    val joinFamily = Seq("join", "joins", "joined", "joining").map(stem)
+    assert(joinFamily.distinct.size == 1, s"join family diverged: $joinFamily")
+    assert(Seq("run", "runs", "running").map(stem).distinct.size == 1)
+    // short words pass through (the K≥2 cutoff, like Lucene)
+    assert(stem("as") == "as" && stem("is") == "is")
+  }
+
+  test("english analyzer: inflected queries match inflected docs through the stem") {
+    import spark.implicits._
+    val c = mk()
+    val docs = Seq(
+      ("p1", "The planner joins two tables"),
+      ("p2", "a joined result was cached"),
+      ("p3", "JOINING large relations efficiently"),
+      ("p4", "full scans of the heap"))
+    c.createCollection("eng", dim = 384)
+    c.upsertTexts("eng",
+      docs.map { case (k, t) => (k, t, Map("src" -> "s")) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndex("eng", docs.map { case (k, t) => (k, t) }.toDF("key", "text"),
+      analyzer = "english")
+    // every inflection of the query matches every inflection in the
+    // corpus — the point of stemming for retrieval
+    for (q <- Seq("join", "joins", "JOINED", "joining"))
+      assert(keysOf(c.textMatchKeys("eng", Seq(q))) == Set("p1", "p2", "p3"),
+        s"query '$q'")
+    assert(keysOf(c.textMatchKeys("eng", Seq("scanned"))) == Set("p4"),
+      "scanned stems to scan like the corpus's 'scans'")
+    // English preset stop words drop on both sides ('the', 'a', 'was')
+    assert(c.textMatchKeys("eng", Seq("the", "was", "a")).count() == 0)
+    // BM25 rides the same stemmed postings (fresh index path)
+    val hits = c.searchLexical("eng",
+      docs.map { case (k, t) => (k, t) }.toDF("key", "text"),
+      Seq("joining"), k = 5).collect().map(_.getString(0)).toSet
+    assert(hits == Set("p1", "p2", "p3"))
+    // the Milvus built-in shorthand names the same preset
+    assert(graft.index.Analyzer.fromMilvusParams("""{"type": "english"}""") ==
+      graft.index.Analyzer.English)
+    // and the explicit filter-chain spelling composes it piecewise
+    assert(graft.index.Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "stemmer", "language": "english"},
+         {"type": "stop", "stop_words": ["the"]}]}""") ==
+      graft.index.Analyzer("standard", Seq("the"), "porter"))
+  }
+
   test("append inherits the META analyzer; BM25 after append == full rebuild, bit-identical") {
     import spark.implicits._
     import graft.index.{Analyzer, TextIndex}
