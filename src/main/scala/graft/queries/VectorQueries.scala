@@ -329,6 +329,57 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** B5/B6 (r12): the IVF_PQ quantized-keyset MARGIN DRAIN on the
+    * ORACLE path — `searchIterator` over the PQ collection pages stage 1
+    * on the (adc, key) keyset over the m-bytes-per-vector codes and
+    * holds re-ranked rows back by the measured per-cell reconstruction
+    * bound (`pq_recon`), emitting in EXACT distance order. The first
+    * 500 drained rows (5 pages) hash-compare against DuckDB's
+    * brute-force ordering: a lost row, a duplicate, a too-small bound,
+    * or a tie-break slip all shift the sequence and fail the hash. The
+    * dispatch is asserted — a silent float-cell fallback would return
+    * the same values, so value equality alone could never pin the
+    * margin path. */
+  def knnPqIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val client = pqClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.api.GraftClient.resetMarginFamilies()
+    val rows = client.searchIterator("embpq", q, batchSize = 100, nprobe = 8)
+      .take(5).flatten.toSeq
+    require(graft.api.GraftClient.marginFamiliesSeen.contains("pq"),
+      "knn_pq_iter: the drain did not dispatch the PQ margin stream")
+    rows.map(r => (r.getString(0).toLong, r.getDouble(1)))
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** B4×B5 (r12): batched multi-query search THROUGH the PQ codes on
+    * the ORACLE path — stage 1 ranks every (query × probed cell) pair
+    * with the executor-side asymmetric-ADC kernel (bit-identical to the
+    * single-query LUT ADC), the bounded heap keeps k·refine keys per
+    * query, stage 2 re-ranks exactly. The refine pool covers the corpus
+    * so the batch is exactly brute force per query and hash-comparable;
+    * the ADC plan is asserted so a fall-through to the float cells
+    * cannot pass silently. */
+  def knnPqBatched(spark: SparkSession, dir: String): DataFrame = {
+    val client = pqClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = emb.count() // parquet-footer count — no scan
+    val k = 10
+    val df = client.searchBatch("embpq", queries, k = k, nprobe = 8,
+      refine = ((n + k - 1) / k).toInt)
+    require(df.queryExecution.executedPlan.toString.contains("pq_asym_distance"),
+      "knn_pq_batched: batch stage 1 did not ride the ADC codes")
+    df.select(col("qid"), col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"))
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
+
   /** B6/B8 (r11): the Milvus filtered count —
     * `client.query(filter=…, output_fields=["count(*)"])` — on the
     * ORACLE path, over the same client collection [[knnLoaded]] built
@@ -362,6 +413,8 @@ object VectorQueries {
     "knn_paged" -> knnPaged _,
     "knn_loaded_topk" -> knnLoaded _,
     "knn_pq_topk" -> knnPq _,
+    "knn_pq_iter" -> knnPqIter _,
+    "knn_pq_batched" -> knnPqBatched _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
@@ -421,6 +474,17 @@ object VectorQueries {
     "knn_pq_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_pq_iter" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 500""",
+    "knn_pq_batched" ->
+      """SELECT qid, vec_id, dist FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dist,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS rn
+           FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 10 ORDER BY qid, dist, vec_id""",
     "milvus_count_filtered" ->
       "SELECT count(*) AS cnt FROM embeddings WHERE label IN (1, 3, 5)",
     "knn_batched" ->
