@@ -195,6 +195,28 @@ object TextScaleBench {
     meter.mark()
     val compactStable = idxC == idxSeg
 
+    // English analyzer at volume (r12): the SAME corpus through
+    // standard tokenize + lowercase + English stops + Porter stemming —
+    // measures the stemming UDF's build tax (the one non-codegen hop,
+    // paid only at build/append) and proves inflected queries match the
+    // planted terms through the stem. English stop words ("the of and"
+    // lead every doc) are never indexed, so the postings also SHRINK.
+    val engPath =
+      java.nio.file.Files.createTempDirectory("graft-tsb-eng").toString + "/ti"
+    val (_, tBuildEng) = timed {
+      graft.index.TextIndex.build(docs, "key", "text", engPath,
+        analyzer = graft.index.Analyzer.English)
+    }
+    val shBuildEng = meter.mark()
+    val (mEngAny, tEngAny) = timed {
+      graft.index.TextIndex.matchingDocs(spark, engPath,
+        Seq("needles", "hashing", "scanning"), "any").count() }
+    meter.mark()
+    val mEngStop = graft.index.TextIndex.matchingDocs(
+      spark, engPath, Seq("the", "of", "and"), "any").count()
+    meter.mark()
+    val engParity = mEngAny == mAnyRaw && mEngStop == 0L
+
     println(s"""{"bench":"text_scale","n_docs":$nDocs,"k":$k,""" +
       s""""build_sec":${f"$tBuild%.1f"},"build_shuffle_mb":${shBuild >> 20},""" +
       s""""raw_sec":${f"$tRawU%.2f"},"raw_shuffle_mb":${shRawU >> 20},""" +
@@ -215,16 +237,23 @@ object TextScaleBench {
       s""""phrase_slop1_sec":${f"$tSlop1%.2f"},"phrase_slop1_docs":$mSlop1,""" +
       s""""parity":$parity,"filter_holds":$filterHolds,""" +
       s""""match_parity":$matchParity,"phrase_parity":$phraseParity,""" +
-      s""""slop_parity":$slopParity}""")
+      s""""slop_parity":$slopParity,""" +
+      s""""build_english_sec":${f"$tBuildEng%.1f"},""" +
+      s""""build_english_shuffle_mb":${shBuildEng >> 20},""" +
+      s""""english_match_sec":${f"$tEngAny%.2f"},""" +
+      s""""english_match_docs":$mEngAny,"english_parity":$engParity}""")
     require(parity, "raw and postings paths diverged — hash-stability contract broken")
     require(filterHolds, "restrictTo leaked a filtered-out doc")
     require(matchParity, "TEXT_MATCH set diverged from the raw tokenize twin")
     require(phraseParity, "PHRASE_MATCH diverged from the planted adjacency")
     require(slopParity, "PHRASE_MATCH slop ladder diverged from the planted geometry")
     require(compactStable, "compaction changed query results")
+    require(engParity, "english-analyzer match diverged from the planted terms")
     docs.unpersist()
     graft.streaming.BucketedKeyedCollection.deleteTree(
       java.nio.file.Paths.get(idxPath).getParent)
+    graft.streaming.BucketedKeyedCollection.deleteTree(
+      java.nio.file.Paths.get(engPath).getParent)
     spark.stop()
   }
 }

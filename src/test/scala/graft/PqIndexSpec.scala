@@ -362,6 +362,37 @@ class PqIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 160)
   }
 
+  test("partitioned IVF_PQ drain: one margin stream per partition, merged in exact order") {
+    import spark.implicits._
+    val client = newClient()
+    client.createCollection("pqpd", dim = 8, indexType = "IVF_PQ", nlist = 2)
+    client.createPartition("pqpd", "pa")
+    client.createPartition("pqpd", "pb")
+    val a = (0 until 90).map(i => (s"a$i", vec(i), Map.empty[String, String]))
+    val b = (0 until 90).map(i => (s"b$i", vec(i + 500), Map.empty[String, String]))
+    client.upsert("pqpd", a.toDF("key", "vec", "meta"), partition = "pa")
+    client.upsert("pqpd", b.toDF("key", "vec", "meta"), partition = "pb")
+    client.buildIndex("pqpd", nlist = 2)
+    val q = vec(42).toArray
+    GraftClient.resetMarginFamilies()
+    val drained = client.searchIterator("pqpd", q, batchSize = 25, nprobe = 2)
+      .flatten.map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(GraftClient.marginFamiliesSeen.contains("pq"),
+      "both partitions' streams must be PQ margin streams")
+    def l2d(v: Seq[Float]): Double =
+      math.sqrt(v.zip(q).map { case (x, y) => val d = x.toDouble - y; d * d }.sum)
+    val want = (a ++ b).map { case (k, v, _) => (k, l2d(v)) }
+      .sortBy { case (k, d) => (d, k) }
+    assert(drained.length == 180, s"got ${drained.length} of 180")
+    assert(drained.map(_._1) == want.map(_._1),
+      "the driver-side merge of two PQ margin streams must emit the " +
+        "globally exact (distance, key) order")
+    // scoped drain touches only that partition's stream
+    val scoped = client.searchIterator("pqpd", q, batchSize = 25, nprobe = 2,
+      partitions = Seq("pb")).flatten.map(_.getString(0)).toSeq
+    assert(scoped.length == 90 && scoped.forall(_.startsWith("b")))
+  }
+
   test("searchBatch rides the PQ ADC codes: batch == per-query, pruned and exact") {
     import spark.implicits._
     val client = newClient()
