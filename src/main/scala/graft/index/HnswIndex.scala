@@ -1,0 +1,476 @@
+package graft.index
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HNSW graph index — the fourth member of the backend's `index_type`
+  * family (the reference pins IVF_FLAT at
+  * `milvus-app/pythonvectordbceph_milvus.py:101`; Milvus's AUTOINDEX
+  * default resolves to HNSW, so a migrating user declaring no index type
+  * lands here).
+  *
+  * Spark-native formulation of the public hierarchical-NSW algorithm
+  * (Malkov & Yashunin 2016, the construction hnswlib/FAISS/Milvus all
+  * ship): graph search is pointer-chasing — the one access pattern a
+  * columnar scan cannot express — so the corpus is split into SHARDS
+  * (one per store hash bucket, `pmod(xxhash64(key), buckets)` — the
+  * keyed store's own route), each shard's graph is built executor-side
+  * and persisted as ONE parquet row (a serialized blob), and a search is
+  * scatter-gather: every task deserializes whole graphs (parquet rows
+  * never split across tasks), walks each with beam width `ef`, and the
+  * per-shard top candidates merge through one global TakeOrdered. This
+  * is exactly Milvus's own per-SEGMENT HNSW architecture — sublinear
+  * distance evaluations inside each shard, embarrassingly parallel
+  * across shards, zero shuffle at query time. Sizing contract: one
+  * shard's graph must fit a task (the same "one bucket fits an
+  * executor" rule the keyed store's bucket count already carries).
+  *
+  * Determinism (the maintenance contract every index layout here
+  * honors): a node's level is a pure hash of its key, insertion order is
+  * key order, and every heap tie breaks on (distance, node id) — so
+  * rebuilding a shard from the same rows reproduces the same graph
+  * bit-for-bit.
+  *
+  * Exactness escape hatch: layer 0 is made CONNECTED at build (repair
+  * pass below), so a walk with `ef >= n` provably visits every node —
+  * the beam never discards a candidate before the result set holds the
+  * whole shard. `ef >= max shard size` therefore degrades to an exact
+  * (if graph-ordered) scan, the same correctness fallback role
+  * `nprobe = nlist` plays for IVF — and it runs THROUGH the real walk,
+  * which is what lets a DuckDB oracle pin the whole pipeline.
+  */
+object HnswIndex {
+
+  /** In-memory graph of one shard. `vecs` is the flat n×dim float copy
+    * the walk computes distances against (assign space: raw for l2,
+    * unit-normalized for cosine — stage 2 re-ranks in the collection's
+    * own metric against the store). `links(i)(l)` = neighbor node ids of
+    * node `i` at layer `l` (l ≤ levels(i)). */
+  final class Graph(val dim: Int,
+                    val m: Int,
+                    val keys: Array[String],
+                    val vecs: Array[Float],
+                    val levels: Array[Int],
+                    val links: Array[Array[Array[Int]]],
+                    val entry: Int,
+                    val maxLevel: Int) {
+    def n: Int = keys.length
+  }
+
+  /** hnswlib's level-generation constant: mL = 1/ln(M). */
+  private def mL(m: Int): Double = 1.0 / math.log(m.toDouble)
+
+  /** Deterministic node level — a pure function of the KEY (not of
+    * insertion order or an RNG stream), so a shard rebuild after
+    * upserts/deletes reassigns every surviving node its old level. */
+  def levelFor(key: String, m: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c)
+    // map the 31-bit hash into (0, 1) exclusive at both ends
+    val u = ((h & 0x7fffffff).toDouble + 1.0) / (Int.MaxValue.toDouble + 2.0)
+    math.floor(-math.log(u) * mL(m)).toInt
+  }
+
+  private def l2sq(vecs: Array[Float], node: Int, dim: Int, q: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val base = node * dim
+    // double subtraction, double accumulate — the same decomposition the
+    // engine's other driver-side kernels use (IvfIndex.l2sq)
+    while (i < dim) { val d = vecs(base + i).toDouble - q(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** (distance, nodeId) ordered asc by distance then id — the ONE tie
+    * rule every heap below shares (determinism). */
+  private val ndOrd: java.util.Comparator[(Double, Int)] =
+    (a: (Double, Int), b: (Double, Int)) => {
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c else Integer.compare(a._2, b._2)
+    }
+  private val ndOrdRev: java.util.Comparator[(Double, Int)] = ndOrd.reversed()
+
+  /** Beam search within one layer (Algorithm 2 of the paper): best-first
+    * from `eps`, visited-set guarded, result bounded to `ef`. With
+    * `ef >= n` the bound never evicts, the expansion never early-stops,
+    * and every node reachable from `eps` at this layer is visited — the
+    * exactness contract the connectivity repair makes total. */
+  private def searchLayer(g: Graph, q: Array[Float], eps: Seq[Int],
+                          ef: Int, layer: Int): java.util.PriorityQueue[(Double, Int)] = {
+    val visited = new java.util.BitSet(g.n)
+    val cand = new java.util.PriorityQueue[(Double, Int)](ndOrd)    // nearest first
+    val res = new java.util.PriorityQueue[(Double, Int)](ndOrdRev)  // farthest first
+    eps.distinct.foreach { e =>
+      if (!visited.get(e)) {
+        visited.set(e)
+        val d = l2sq(g.vecs, e, g.dim, q)
+        cand.add((d, e)); res.add((d, e))
+      }
+    }
+    while (res.size > ef) res.poll()
+    var done = false
+    while (!done && !cand.isEmpty) {
+      val c = cand.poll()
+      if (res.size >= ef && c._1 > res.peek()._1) done = true
+      else {
+        val nbrs = g.links(c._2)(layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = l2sq(g.vecs, nb, g.dim, q)
+            if (res.size < ef || d < res.peek()._1 ||
+                (d == res.peek()._1 && nb < res.peek()._2)) {
+              cand.add((d, nb)); res.add((d, nb))
+              if (res.size > ef) res.poll()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res
+  }
+
+  /** hnswlib's neighbor-selection heuristic (Algorithm 4): scan
+    * candidates nearest-first, keep one only if it is closer to the
+    * query node than to every already-kept neighbor — the diversity rule
+    * that keeps the graph navigable in clustered data. Deterministic:
+    * input sorted by (dist, id). */
+  private def selectNeighbors(g: Graph, q: Array[Float],
+                              cands: Array[(Double, Int)], m: Int): Array[Int] = {
+    java.util.Arrays.sort(cands, ndOrd)
+    val kept = new scala.collection.mutable.ArrayBuffer[Int](m)
+    var i = 0
+    while (i < cands.length && kept.length < m) {
+      val (dq, c) = cands(i)
+      var ok = true
+      var j = 0
+      while (ok && j < kept.length) {
+        val dck = nodeDistSq(g, c, kept(j))
+        if (dck < dq) ok = false
+        j += 1
+      }
+      if (ok) kept += c
+      i += 1
+    }
+    kept.toArray
+  }
+
+  private def nodeDistSq(g: Graph, a: Int, b: Int): Double = {
+    var s = 0.0
+    var i = 0
+    val ba = a * g.dim; val bb = b * g.dim
+    while (i < g.dim) { val d = g.vecs(ba + i).toDouble - g.vecs(bb + i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Re-run the selection heuristic on an overfull adjacency list —
+    * the shrink step after a bidirectional link pushes a node past its
+    * degree cap (M on upper layers, 2M on layer 0, hnswlib's split). */
+  private def shrink(g: Graph, node: Int, layer: Int, cap: Int): Unit = {
+    val cur = g.links(node)(layer)
+    if (cur.length > cap) {
+      val q = new Array[Float](g.dim)
+      System.arraycopy(g.vecs, node * g.dim, q, 0, g.dim)
+      val cands = cur.map(c => (nodeDistSq(g, node, c), c))
+      g.links(node)(layer) = selectNeighbors(g, q, cands, cap)
+    }
+  }
+
+  /** Build one shard's graph. `keys`/`vecs` must be pre-sorted by key
+    * (the caller's determinism half); levels, insertion order, and every
+    * tie rule supply the rest — same rows in, same graph out. */
+  def build(keys: Array[String], vecs: Array[Float], dim: Int,
+            m: Int, efConstruction: Int): Graph = {
+    val n = keys.length
+    require(n > 0, "cannot build an HNSW graph over zero rows")
+    require(vecs.length == n.toLong * dim, "vecs length != n*dim")
+    val levels = keys.map(k => levelFor(k, m))
+    val links = Array.tabulate(n)(i => Array.fill(levels(i) + 1)(Array.empty[Int]))
+    val g = new Graph(dim, m, keys, vecs, levels, links, 0, levels(0))
+    var entry = 0
+    var maxLevel = levels(0)
+    val maxM0 = 2 * m
+    val q = new Array[Float](dim)
+    var i = 1
+    while (i < n) {
+      System.arraycopy(vecs, i * dim, q, 0, dim)
+      val l = levels(i)
+      var ep = entry
+      // greedy descent through layers above the node's top level
+      var layer = maxLevel
+      while (layer > l) {
+        var improved = true
+        var dEp = l2sq(vecs, ep, dim, q)
+        while (improved) {
+          improved = false
+          val nbrs = g.links(ep)(layer)
+          var j = 0
+          while (j < nbrs.length) {
+            val d = l2sq(vecs, nbrs(j), dim, q)
+            if (d < dEp || (d == dEp && nbrs(j) < ep)) {
+              dEp = d; ep = nbrs(j); improved = true
+            }
+            j += 1
+          }
+        }
+        layer -= 1
+      }
+      // connect on layers min(l, maxLevel) .. 0
+      layer = math.min(l, maxLevel)
+      var eps = Seq(ep)
+      while (layer >= 0) {
+        val res = searchLayer(g, q, eps, efConstruction, layer)
+        val cands = res.toArray(Array.empty[(Double, Int)])
+        val cap = if (layer == 0) maxM0 else m
+        val sel = selectNeighbors(g, q, cands, m)
+        g.links(i)(layer) = sel
+        sel.foreach { nb =>
+          g.links(nb)(layer) = g.links(nb)(layer) :+ i
+          shrink(g, nb, layer, cap)
+        }
+        // next layer starts from this layer's nearest results
+        java.util.Arrays.sort(cands, ndOrd)
+        eps = cands.take(1).map(_._2).toSeq
+        layer -= 1
+      }
+      if (l > maxLevel) { maxLevel = l; entry = i }
+      i += 1
+    }
+    val built = new Graph(dim, m, keys, vecs, levels, links, entry, maxLevel)
+    repairConnectivity(built)
+    built
+  }
+
+  /** Make every layer-0 node reachable FROM THE ENTRY along OUT-edges.
+    * Adjacency here is DIRECTED (bidirectional insertion, but `shrink`
+    * prunes back-edges independently — a node can end up with no
+    * in-edges at all), and the walk follows out-edges, so undirected
+    * connectivity is not the property that matters. One BFS from the
+    * entry, then for each still-unreached node (id order): add
+    * entry→node + node→entry repair edges — appended past the degree
+    * cap, since repair runs after the last shrink — and BFS from it.
+    * Each node/edge is expanded once across all the BFS passes, so the
+    * repair is O(n + E). HNSW's construction leaves the graph navigable
+    * in practice but not by proof; the walk-with-ef≥n exactness
+    * fallback (and the oracle query riding it) needs the guarantee,
+    * not the tendency. */
+  private def repairConnectivity(g: Graph): Unit = {
+    if (g.n <= 1) return
+    val reached = new java.util.BitSet(g.n)
+    def bfs(start: Int): Unit = {
+      var stack = List(start)
+      reached.set(start)
+      while (stack.nonEmpty) {
+        val x = stack.head; stack = stack.tail
+        g.links(x)(0).foreach { nb =>
+          if (!reached.get(nb)) { reached.set(nb); stack = nb :: stack }
+        }
+      }
+    }
+    bfs(g.entry)
+    var u = 0
+    while (u < g.n) {
+      if (!reached.get(u)) {
+        g.links(g.entry)(0) = g.links(g.entry)(0) :+ u
+        g.links(u)(0) = g.links(u)(0) :+ g.entry
+        bfs(u)
+      }
+      u += 1
+    }
+  }
+
+  /** Walk one graph: greedy descent to layer 1, then a beam of width
+    * `max(ef, k)` on layer 0; up to `k` nearest (dist ASC, then key —
+    * the engine's global tie rule) returned as (key, distSq). */
+  def search(g: Graph, q: Array[Float], ef: Int, k: Int): Array[(String, Double)] = {
+    var ep = g.entry
+    var dEp = l2sq(g.vecs, ep, g.dim, q)
+    var layer = g.maxLevel
+    while (layer > 0) {
+      var improved = true
+      while (improved) {
+        improved = false
+        val nbrs = g.links(ep)(layer)
+        var j = 0
+        while (j < nbrs.length) {
+          val d = l2sq(g.vecs, nbrs(j), g.dim, q)
+          if (d < dEp || (d == dEp && nbrs(j) < ep)) {
+            dEp = d; ep = nbrs(j); improved = true
+          }
+          j += 1
+        }
+      }
+      layer -= 1
+    }
+    // seed with the entry too: the repair guarantees every node is
+    // reachable from the ENTRY, not from an arbitrary greedy landing
+    // point — without this seed the ef≥n exactness contract would
+    // depend on the walk happening to pass through the entry's basin
+    val res = searchLayer(g, q, Seq(ep, g.entry), math.max(ef, k), 0)
+    val arr = res.toArray(Array.empty[(Double, Int)])
+    java.util.Arrays.sort(arr, ndOrd)
+    arr.take(k).map { case (d, node) => (g.keys(node), d) }
+  }
+
+  // ---- serialization (one blob per shard; format v1) ----
+
+  private val Magic = 0x484E5357 // "HNSW"
+
+  def serialize(g: Graph): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(g.n * (g.dim * 4 + 64))
+    val out = new DataOutputStream(bos)
+    out.writeInt(Magic); out.writeByte(1)
+    out.writeInt(g.dim); out.writeInt(g.n); out.writeInt(g.m)
+    out.writeInt(g.entry); out.writeInt(g.maxLevel)
+    g.keys.foreach(out.writeUTF)
+    g.levels.foreach(out.writeInt)
+    var i = 0
+    while (i < g.vecs.length) { out.writeFloat(g.vecs(i)); i += 1 }
+    i = 0
+    while (i < g.n) {
+      var l = 0
+      while (l <= g.levels(i)) {
+        val nb = g.links(i)(l)
+        out.writeInt(nb.length)
+        nb.foreach(out.writeInt)
+        l += 1
+      }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Graph = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == Magic, "not an HNSW graph blob")
+    val ver = in.readByte()
+    require(ver == 1, s"unknown HNSW blob version $ver")
+    val dim = in.readInt(); val n = in.readInt(); val m = in.readInt()
+    val entry = in.readInt(); val maxLevel = in.readInt()
+    val keys = Array.fill(n)(in.readUTF())
+    val levels = Array.fill(n)(in.readInt())
+    val vecs = new Array[Float](n * dim)
+    var i = 0
+    while (i < vecs.length) { vecs(i) = in.readFloat(); i += 1 }
+    val links = Array.tabulate(n) { node =>
+      Array.fill(levels(node) + 1) {
+        val c = in.readInt()
+        Array.fill(c)(in.readInt())
+      }
+    }
+    new Graph(dim, m, keys, vecs, levels, links, entry, maxLevel)
+  }
+
+  // ---- Spark-side build / search over the sharded blob layout ----
+
+  /** Build every shard's graph from a (key, assign-space vec) frame and
+    * return (shard, n, blob) — ONE row per shard. The groupByKey is the
+    * build's one shuffle (same budget as the IVF build's clustering
+    * repartition); each group materializes one shard in one task, which
+    * is the store's own "one bucket fits an executor" sizing contract. */
+  def buildShards(df: DataFrame, vecCol: String, buckets: Int,
+                  m: Int, efConstruction: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("key").cast("string"),
+        col(vecCol).cast("array<float>").as("__v"),
+        pmod(xxhash64(col("key")), lit(buckets.toLong)).cast("int").as("shard"))
+      .as[(String, Array[Float], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (shard, it) =>
+        val rows = it.toArray.sortBy(_._1) // key order = insertion order
+        val dim = rows(0)._2.length
+        val keys = rows.map(_._1)
+        val vecs = new Array[Float](rows.length * dim)
+        var i = 0
+        while (i < rows.length) {
+          System.arraycopy(rows(i)._2, 0, vecs, i * dim, dim)
+          i += 1
+        }
+        val g = build(keys, vecs, dim, m, efConstruction)
+        (shard, rows.length, serialize(g))
+      }
+      .toDF("shard", "n", "blob")
+  }
+
+  /** Persist shard graphs partitioned by shard — one directory per
+    * shard so maintenance rewrites touched shards with the same dynamic
+    * partition overwrite the cell layouts use. */
+  def writeShards(shards: DataFrame, path: String): Unit =
+    shards.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  def shardsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL("n INT, blob BINARY, shard INT")
+
+  def loadShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(shardsSchema).parquet(path)
+
+  /** Executor-side deserialized-graph cache: a walk is milliseconds but
+    * deserializing a multi-MB blob is not, and interactive search hits
+    * the same graphs every query. Keyed by (cacheTag, shard) where the
+    * tag carries the index PATH + VERSION — a maintenance commit stamps
+    * a new version, which misses here and lazily re-warms, exactly the
+    * write-once invalidation story the loaded-frame cache uses. Bounded
+    * LRU (access order) so long-lived executors don't accrete graphs of
+    * dropped collections. */
+  private val MaxCachedGraphs = 64
+  private lazy val graphCache =
+    new java.util.LinkedHashMap[(String, Int), Graph](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Graph]): Boolean =
+        size() > MaxCachedGraphs
+    }
+
+  private def cachedGraph(tag: String, shard: Int, blob: Array[Byte]): Graph =
+    if (tag.isEmpty) deserialize(blob)
+    else graphCache.synchronized {
+      val k = (tag, shard)
+      val hit = graphCache.get(k)
+      if (hit != null) hit
+      else { val g = deserialize(blob); graphCache.put(k, g); g }
+    }
+
+  /** Scatter-gather single-query search: each task walks whole graphs
+    * (a parquet row never splits), emits its shards' top candidates;
+    * the caller merges with one global TakeOrdered. `perShard` bounds
+    * the per-shard emission (candidate-pool depth, not recall-critical
+    * past ef). Returns (key, adist) with adist = SQUARED assign-space
+    * L2 — rank-equivalent, and stage 2 re-ranks exactly anyway.
+    * `cacheTag` ("" = uncached) keys the executor graph cache and MUST
+    * change when the layout changes (pass path@version). */
+  def searchShards(shards: DataFrame, q: Array[Float], ef: Int,
+                   perShard: Int, cacheTag: String = ""): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    shards.select(col("shard"), col("blob")).as[(Int, Array[Byte])]
+      .flatMap { case (shard, blob) =>
+        val g = cachedGraph(cacheTag, shard, blob)
+        search(g, q, ef, math.min(perShard, g.n)).iterator
+      }
+      .toDF("key", "adist")
+  }
+
+  /** Batched multi-query twin: every task walks each of its graphs once
+    * PER QUERY — Q·shards walks total, still one pass over the blob
+    * layout. Emits (qid, key, adist). */
+  def searchShardsBatch(shards: DataFrame, queries: Array[(Long, Array[Float])],
+                        ef: Int, perShard: Int, cacheTag: String = ""): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    shards.select(col("shard"), col("blob")).as[(Int, Array[Byte])]
+      .flatMap { case (shard, blob) =>
+        val g = cachedGraph(cacheTag, shard, blob)
+        qBc.value.iterator.flatMap { case (qid, q) =>
+          search(g, q, ef, math.min(perShard, g.n)).iterator
+            .map { case (k, d) => (qid, k, d) }
+        }
+      }
+      .toDF("qid", "key", "adist")
+  }
+}
