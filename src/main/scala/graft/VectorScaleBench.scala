@@ -413,6 +413,44 @@ object VectorScaleBench {
       pqClient.search("benchpq", q0, k = 10, nprobe = 4)
         .collect().map(_.getString(0)).toSeq
 
+    // HNSW end-to-end THROUGH GraftClient (r12): one navigable graph per
+    // store bucket (16 shards of ~n/16 nodes), built executor-side and
+    // persisted as blob rows; search is scatter-gather (each task walks
+    // whole graphs with beam ef, one global merge) + exact re-rank. Same
+    // iid dataset; recall at ef 64 and 256 puts measured numbers on the
+    // beam/recall curve in the honest worst-case (iid) regime. The
+    // maintenance row measures the DESIGNED worst case: a 1000-key batch
+    // touches every shard, so the commit pays ~a full graph rebuild —
+    // HNSW maintenance cost scales with TOUCHED SHARDS, not batch rows
+    // (batch your commits; tiny-batch streaming into HNSW is the
+    // anti-pattern, exactly why Milvus buffers growing segments).
+    val hnswRoot = tmpDir("graft-scale-hnsw")
+    val hnswClient = new graft.api.GraftClient(spark, hnswRoot)
+    hnswClient.createCollection("benchhnsw", dim = dim, metric = "l2",
+      indexType = "HNSW", buckets = 16, efConstruction = 100)
+    hnswClient.upsert("benchhnsw", cvecs.select(col("vec_id").cast("string").as("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val hnswBuildT0 = System.nanoTime()
+    hnswClient.buildIndex("benchhnsw", nlist = 0)
+    val hnswBuildSec = (System.nanoTime() - hnswBuildT0) / 1e9
+    val hnswBytes = dirBytes(s"$hnswRoot/data/benchhnsw-ivf/hnsw_graphs")
+    def hnswOnce(e: Int): Seq[String] =
+      hnswClient.search("benchhnsw", cq, k = 10, ef = e)
+        .collect().map(_.getString(0)).toSeq
+    hnswOnce(64)
+    var hnswIds: Seq[String] = Nil
+    val hnswSearchSec = math.min(
+      time { hnswIds = hnswOnce(64) }, time { hnswIds = hnswOnce(64) })
+    val hnswRecall64 = hnswIds.count(exactStr.contains).toDouble / exactStr.size
+    val hnswRecall256 = hnswOnce(256).count(exactStr.contains).toDouble / exactStr.size
+    val hnswMaintT0 = System.nanoTime()
+    hnswClient.upsert("benchhnsw", cvecs.limit(1000)
+      .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
+        col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val hnswMaintSec = (System.nanoTime() - hnswMaintT0) / 1e9
+    val stillHnsw = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
+      .queryExecution.executedPlan.toString.contains("MapPartitions")
+
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
     // ~50): the geometry real corpora have (topic clusters), and the one
@@ -536,6 +574,13 @@ object VectorScaleBench {
         s""""client_pq_batch16_sec":$pqBatchSec,""" +
         s""""client_pq_batch_adc_plan":$pqBatchAdcPlan,""" +
         s""""client_pq_batch_parity":$pqBatchParity,""" +
+        s""""client_hnsw_build_sec":$hnswBuildSec,""" +
+        s""""hnsw_bytes":$hnswBytes,""" +
+        s""""client_hnsw_search_ef64_sec":$hnswSearchSec,""" +
+        s""""client_hnsw_recall_ef64":$hnswRecall64,""" +
+        s""""client_hnsw_recall_ef256":$hnswRecall256,""" +
+        s""""client_hnsw_maint_commit_sec":$hnswMaintSec,""" +
+        s""""client_hnsw_fresh_after_maint":$stillHnsw,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

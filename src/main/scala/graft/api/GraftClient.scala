@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-import graft.index.{Catalog, CollectionMeta, IvfIndex, KeyBloom, PqIndex, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
+import graft.index.{Catalog, CollectionMeta, HnswIndex, IvfIndex, KeyBloom, PqIndex, ScalarIndex, SparseIndex, Sq8Index, TextIndex}
 import graft.ingest.IngestOps
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product, l2_distance, l2_normalize, assert_dim, sq8_l2_distance, nearest_centroids}
 import graft.streaming.BucketedKeyedCollection
@@ -289,15 +289,17 @@ class GraftClient(spark: SparkSession, root: String,
                        numPartitions: Int = 16,
                        pqM: Int = 0,
                        pqNbits: Int = 8,
-                       consistencyLevel: String = "Strong"): Boolean = {
+                       consistencyLevel: String = "Strong",
+                       hnswM: Int = 0,
+                       efConstruction: Int = 0): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
     require(Set("l2", "cosine", "dot").contains(metric),
       s"metric must be one of l2, cosine, dot (got '$metric')")
-    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ").contains(indexType),
-      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ (got '$indexType')")
+    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW").contains(indexType),
+      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ, HNSW (got '$indexType')")
     require(nlist >= 0, s"nlist must be >= 0 (got $nlist)")
     // Milvus IVF_PQ takes `m` (subquantizers) with dim % m == 0; 0 =
     // auto-pick via PqIndex.defaultM (largest m ≤ 64 dividing dim with
@@ -318,6 +320,23 @@ class GraftClient(spark: SparkSession, root: String,
     require(pqNbits >= 1 && pqNbits <= 8,
       s"pqNbits must be in [1, 8] (got $pqNbits) — codes are one byte " +
         "per subvector at rest")
+    // Milvus HNSW index params: `M` (max degree, Milvus accepts [2, 2048];
+    // capped lower here — past ~256 the graph stops being smaller than
+    // the data) and `efConstruction` (build beam width, must cover M or
+    // the neighbor pool can't fill). 0 = the hnswlib-typical defaults.
+    // Frozen at create like pqM: node levels hash off M, so changing it
+    // would silently re-level every node at the next shard rebuild.
+    require(hnswM == 0 || indexType == "HNSW",
+      "hnswM only applies with indexType = HNSW")
+    require(efConstruction == 0 || indexType == "HNSW",
+      "efConstruction only applies with indexType = HNSW")
+    if (indexType == "HNSW") {
+      require(hnswM == 0 || (hnswM >= 2 && hnswM <= 256),
+        s"hnswM must be in [2, 256] (got $hnswM)")
+      val mEff = if (hnswM > 0) hnswM else GraftClient.DefaultHnswM
+      require(efConstruction == 0 || efConstruction >= mEff,
+        s"efConstruction ($efConstruction) must be >= M ($mEff)")
+    }
     // Milvus `consistency_level` — the collection's default read level
     // (see GraftClient.ConsistencyLevels for the engine mapping)
     require(GraftClient.ConsistencyLevels.contains(consistencyLevel),
@@ -357,7 +376,12 @@ class GraftClient(spark: SparkSession, root: String,
       if (indexType == "IVF_PQ") (if (pqM > 0) pqM else PqIndex.defaultM(dim))
       else 0,
       if (indexType == "IVF_PQ") pqNbits else 8,
-      consistencyLevel)
+      consistencyLevel,
+      if (indexType == "HNSW") (if (hnswM > 0) hnswM else GraftClient.DefaultHnswM)
+      else 0,
+      if (indexType == "HNSW")
+        (if (efConstruction > 0) efConstruction else GraftClient.DefaultHnswEfC)
+      else 0)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -1143,6 +1167,11 @@ class GraftClient(spark: SparkSession, root: String,
           () => IvfIndex.loadIndexed(spark, cellsPath(pm),
             Some(cellsSchema))).count()
       }
+      // HNSW warms its graph blobs (liveIndex is None for graph layouts)
+      liveHnswVersion(pm, coll).foreach { v =>
+        loadedIndexFrame(coll, hnswGraphsPath(pm), v,
+          () => HnswIndex.loadShards(spark, hnswGraphsPath(pm))).count()
+      }
       n
     }.sum
   }
@@ -1704,6 +1733,7 @@ class GraftClient(spark: SparkSession, root: String,
   private def sq8CellsPath(m: CollectionMeta) = s"${ivfDir(m)}/sq8cells"
   private def pqCellsPath(m: CollectionMeta) = s"${ivfDir(m)}/pqcells"
   private def pqCodebooksPath(m: CollectionMeta) = s"${ivfDir(m)}/pq_codebooks"
+  private def hnswGraphsPath(m: CollectionMeta) = s"${ivfDir(m)}/hnsw_graphs"
 
   // Known at-rest schemas for the index layouts: passing them to the
   // loaders skips parquet footer inference — a Spark job of pure latency
@@ -1753,6 +1783,22 @@ class GraftClient(spark: SparkSession, root: String,
   private def pqIndexed(m: CollectionMeta): Boolean =
     m.indexType == "IVF_PQ" &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(pqCellsPath(m)))
+
+  /** Whether the collection's index carries HNSW graph shards. The HNSW
+    * layout has no cells/centroid tables — [[loadIndex]] returns None
+    * for it and the graph surfaces resolve freshness through
+    * [[liveHnswVersion]] against the same VERSION stamp under the same
+    * commit lock. */
+  private def hnswIndexed(m: CollectionMeta): Boolean =
+    m.indexType == "HNSW" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(hnswGraphsPath(m)))
+
+  /** The HNSW layout's stamped version IF it matches the store's current
+    * snapshot — the graph family's [[liveIndex]]. */
+  private def liveHnswVersion(m: CollectionMeta,
+      coll: BucketedKeyedCollection): Option[Long] =
+    if (!hnswIndexed(m)) None
+    else readVersionFile(ivfDir(m)).filter(coll.currentVersion.contains)
 
   /** Metrics the IVF prune can serve. Cosine rides the L2 prune in
     * unit-normalized space (for unit vectors, cosine order ≡ L2 order);
@@ -1922,8 +1968,9 @@ class GraftClient(spark: SparkSession, root: String,
                  partitions: Seq[String] = Nil): Unit = {
     val m = metaOrThrow(name)
     require(indexableMetric(m.metric),
-      s"IVF index supports l2 and cosine (dot has no Voronoi prune — dot " +
-        s"searches stay exact); collection is ${m.metric}")
+      s"vector indexes support l2 and cosine (dot has no Voronoi prune " +
+        s"and no monotone graph distance — dot searches stay exact); " +
+        s"collection is ${m.metric}")
     // per-partition indexes (Milvus builds per segment, clustered by
     // partition): the default all-partition build skips EMPTY partitions
     // (registered but never written) but must still build SOMETHING;
@@ -1942,6 +1989,37 @@ class GraftClient(spark: SparkSession, root: String,
 
   private def buildIndexFor(m: CollectionMeta, nlist: Int,
                             sampleFraction: Double): Unit =
+    if (m.indexType == "HNSW") buildHnswFor(m) // nlist/sampleFraction are
+                                               // IVF knobs — HNSW's were
+                                               // frozen at create (M, efC)
+    else buildIvfFor(m, nlist, sampleFraction)
+
+  /** HNSW build: one graph per store bucket (the shard route IS the
+    * bucket route, so a merge commit's touched buckets name exactly the
+    * shards to rebuild), persisted as blob rows partitioned by shard.
+    * Same serialization (index commit lock), snapshot pinning
+    * (readBucketsAt the stamped version), VERSION-last crash stance, and
+    * cache eviction as the IVF build. */
+  private def buildHnswFor(m: CollectionMeta): Unit =
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(ivfDir(m))) {
+      val coll = collection(m)
+      val version = coll.currentVersion.getOrElse(
+        throw new IllegalStateException(s"collection ${m.name} is empty — nothing to index"))
+      val snapshot = coll.readBucketsAt(spark, version, 0 until m.buckets)
+        .withColumn("__assign", assignSpace(m)(col("vec")))
+        .select(col("key"), col("__assign"))
+      HnswIndex.writeShards(
+        HnswIndex.buildShards(snapshot, "__assign", m.buckets,
+          m.hnswM, m.hnswEfC),
+        hnswGraphsPath(m))
+      stampIndexVersion(m, version)
+      invalidateIndexCaches(m.name)
+      graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
+    }
+
+  private def buildIvfFor(m: CollectionMeta, nlist: Int,
+                          sampleFraction: Double): Unit =
     // EVERY writer of the IVF layout — admin builds here, per-commit
     // incremental refreshes in refreshIndexIncremental — serializes on
     // the index dir's commit lock, the same serialized-writers guarantee
@@ -2056,7 +2134,11 @@ class GraftClient(spark: SparkSession, root: String,
     new java.util.concurrent.ConcurrentHashMap[(String, Long), LoadedIndex]()
 
   private def loadIndex(m: CollectionMeta): Option[LoadedIndex] =
-    readVersionFile(ivfDir(m)).map { v =>
+    // HNSW layouts have no centroid tables to load — their freshness
+    // resolves through liveHnswVersion, and every LoadedIndex consumer
+    // (cell prunes, quantized stages) correctly sees "no IVF index"
+    if (m.indexType == "HNSW") None
+    else readVersionFile(ivfDir(m)).map { v =>
       val it = idxCache.keySet().iterator()
       while (it.hasNext) {
         val k = it.next()
@@ -2115,7 +2197,9 @@ class GraftClient(spark: SparkSession, root: String,
     // (never a ghost-fresh stamp over writes the index missed)
     graft.streaming.BucketedKeyedCollection.withCommitLock(
         java.nio.file.Paths.get(ivfDir(m))) {
-    loadIndex(m) match {
+    if (m.indexType == "HNSW")
+      refreshHnswIncremental(m, preVersion, newVersion, touchKeys, preImage, puts)
+    else loadIndex(m) match {
     case Some(idx) if idx.maintainable && preVersion.contains(idx.version)
         && indexableMetric(m.metric) =>
       val keys = touchKeys.distinct().persist()
@@ -2235,6 +2319,56 @@ class GraftClient(spark: SparkSession, root: String,
     }
   }
 
+  /** HNSW's per-commit maintenance: graph shards ARE store buckets (one
+    * shared hash route), so the commit's touched buckets name exactly
+    * the graphs to rebuild — from the pre-image survivors plus the
+    * batch's puts, the same bounded frames the IVF path merges, never a
+    * corpus rescan. A whole-shard rebuild (not node-level insert/delete)
+    * is the deliberate choice: HNSW deletes need tombstones + periodic
+    * rebuild anyway (hnswlib/Milvus both), levels are key-hashed so a
+    * rebuild reproduces surviving nodes' levels, and shard-sized rebuild
+    * cost is the same bounded class as the cell re-encodes. Runs inside
+    * the caller's index commit lock; VERSION stamps last (crash ⇒ stale
+    * ⇒ exact-scan fallback, buildIndex recovers). */
+  private def refreshHnswIncremental(m: CollectionMeta, preVersion: Option[Long],
+      newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
+      puts: Option[DataFrame]): Unit =
+    readVersionFile(ivfDir(m)) match {
+      case Some(v) if preVersion.contains(v) && indexableMetric(m.metric) =>
+        val keys = touchKeys.distinct().persist()
+        try {
+          val touchedShards = keys
+            .select(pmod(xxhash64(col("key")), lit(m.buckets.toLong))
+              .cast("int").as("__s"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          if (touchedShards.nonEmpty) {
+            val survivors = preImage.join(keys, Seq("key"), "left_anti")
+            val contents = puts.fold(survivors)(p =>
+              survivors.unionByName(p.select(survivors.columns.map(col).toIndexedSeq: _*)))
+            // localCheckpoint: the rebuild is read twice (written-shard
+            // listing + the write) and a graph build is the expensive
+            // part — materialize once, bounded by the touched shards
+            val rebuilt = HnswIndex.buildShards(
+                contents.withColumn("__assign", assignSpace(m)(col("vec")))
+                  .select(col("key"), col("__assign")),
+                "__assign", m.buckets, m.hnswM, m.hnswEfC)
+              .localCheckpoint()
+            val written = rebuilt.select("shard").distinct()
+              .collect().map(_.getInt(0)).toSet
+            rebuilt.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("shard").parquet(hnswGraphsPath(m))
+            // a shard whose every row was deleted writes no graph row —
+            // drop its directory or the dead graph would keep serving
+            (touchedShards -- written).foreach { s =>
+              deleteDir(s"${hnswGraphsPath(m)}/shard=$s")
+            }
+          }
+          stampIndexVersion(m, newVersion)
+        } finally keys.unpersist()
+      case _ => () // never built, or already stale — exact-scan fallback
+    }
+
   /** Distributed per-query cell probe: cells chosen executor-side against
     * the broadcast probe centers — no driver loop over the query set. The
     * kernel is the codegen'd [[graft.functions.NearestCentroids]]
@@ -2320,8 +2454,15 @@ class GraftClient(spark: SparkSession, root: String,
              matchMode: String = "any",
              matchGates: Seq[(Seq[String], String)] = Nil,
              outputFields: Seq[String] = Nil,
-             consistencyLevel: String = ""): DataFrame = {
+             consistencyLevel: String = "",
+             ef: Int = 0): DataFrame = {
     val m = metaOrThrow(name)
+    // Milvus HNSW search param `ef` (beam width): must cover the page,
+    // exactly as Milvus requires ef >= limit. 0 = auto (see hnswScored);
+    // ignored by the other index types like nprobe is by FLAT.
+    require(ef == 0 || ef >= offset + k,
+      s"ef ($ef) must be >= offset + k (${offset + k}) — Milvus requires " +
+        "ef >= limit the same way")
     // Milvus accepts consistency_level on search too. Vector search
     // always RESOLVES Strong here (at-rest index layouts exist only at
     // their latest version — ConsistencyLevels documents the refusal to
@@ -2381,7 +2522,8 @@ class GraftClient(spark: SparkSession, root: String,
       .map { p =>
         val pm = partMeta(m, p)
         scoredCandidates(pm, qvec, conj, nprobe, refine, offset + k,
-          gate = textMatchGateAll(pm, matchTerms, matchMode, matchGates))
+          gate = textMatchGateAll(pm, matchTerms, matchMode, matchGates),
+          ef = ef)
       }
       .reduce(_ unionByName _)
     projectOutputFields(paged(scored, offset, k), outputFields)
@@ -2428,7 +2570,8 @@ class GraftClient(spark: SparkSession, root: String,
       depth: Int, cursorDist: Option[Double] = None,
       gate: Option[DataFrame] = None,
       pinnedNoIndex: Boolean = false,
-      forceCellScan: Boolean = false): DataFrame = {
+      forceCellScan: Boolean = false,
+      ef: Int = 0): DataFrame = {
     val coll = collection(pm)
     // loadIndex collects two small centroid tables — bind it ONCE per call
     val liveIdx = liveIndex(pm, coll)
@@ -2452,6 +2595,19 @@ class GraftClient(spark: SparkSession, root: String,
         "went live mid-drain (index builds are invisible to the " +
         "snapshot pin) — the iterator was dispatched on the exact scan " +
         "and its coverage contract would change; restart the iterator")
+    // HNSW: UNFILTERED, UNGATED top-k rides the graph shards (the walk
+    // cannot pre-filter — Milvus walks with a bitset; here a filter or
+    // TEXT_MATCH gate routes to the exact scan below, which still rides
+    // the scalar-index bucket prune — sound, just graph-less). Iterator
+    // pages never take this branch: they pass pinnedNoIndex (liveAt is
+    // false for HNSW — no LoadedIndex) and cursorDist on deep pages, and
+    // a graph emits only its beam, which has no keyset to resume from.
+    if (filter.isEmpty && gate.isEmpty && cursorDist.isEmpty &&
+        !pinnedNoIndex && !forceCellScan)
+      liveHnswVersion(pm, coll) match {
+        case Some(v) => return hnswScored(pm, coll, v, qvec, depth, refine, ef)
+        case None => ()
+      }
     liveIdx match {
       case Some(idx) if sq8Indexed(pm) && !forceCellScan =>
         // SQ8 stage 1 is depth-bounded (approximate by contract) — the
@@ -2697,6 +2853,41 @@ class GraftClient(spark: SparkSession, root: String,
     }
     coll.read(spark).join(broadcast(cand), Seq("key"))
       .select(col("key").as("vector_key"), score.as("distance"),
+        col("meta").as("metadata"))
+  }
+
+  /** The HNSW scatter-gather search: stage 1 walks every shard's graph
+    * with beam width `ef` (each task deserializes whole graphs — cached
+    * per (path, version) executor-side — and emits its local
+    * candidates), one global TakeOrdered keeps the top `depth·refine`
+    * keys by assign-space distance, and stage 2 re-ranks those exactly
+    * against the keyed store in the collection's own metric (the same
+    * broadcast-fetch tail as [[sq8Scored]]). The graph holds full
+    * float32 copies, so stage 1's distances are already exact in assign
+    * space — `refine` here only widens the candidate pool against
+    * rounding at the cut (and, with `refine` spanning the corpus, makes
+    * the final ranking independent of stage-1 order entirely — the
+    * oracle-pinning trick the PQ path established). Recall is governed
+    * by `ef`: ef >= the largest shard makes the walk provably
+    * exhaustive (layer-0 connectivity is repaired at build), the
+    * exact-search fallback role nprobe = nlist plays for IVF. */
+  private def hnswScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
+      version: Long, qvec: Array[Float], depth: Int, refine: Int,
+      ef: Int): DataFrame = {
+    val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+    val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), version,
+      () => HnswIndex.loadShards(spark, hnswGraphsPath(pm)))
+    val pool = depth * refine
+    val efEff = if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * depth)
+    val cand = HnswIndex.searchShards(shards, qa,
+        math.max(efEff, pool), perShard = pool,
+        cacheTag = s"${hnswGraphsPath(pm)}@$version")
+      .orderBy(col("adist"), col("key"))
+      .limit(pool)
+      .select(col("key"))
+    coll.read(spark).join(broadcast(cand), Seq("key"))
+      .select(col("key").as("vector_key"),
+        distanceCol(pm.metric, qvec).as("distance"),
         col("meta").as("metadata"))
   }
 
@@ -3698,7 +3889,8 @@ class GraftClient(spark: SparkSession, root: String,
         stamped.getOrElse(-1L), current.getOrElse(-1L))
     }
     val ivf =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
+      if (hnswIndexed(m)) Seq(row("HNSW", "vec", ivfDir(m)))
+      else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
       else Seq(row(
         if (sq8Indexed(m)) "IVF_SQ8"
         else if (pqIndexed(m)) "IVF_PQ"
@@ -3779,7 +3971,8 @@ class GraftClient(spark: SparkSession, root: String,
                   filter: Option[Column] = None, nprobe: Int = 4,
                   refine: Int = 4, numQueries: Option[Long] = None,
                   forceExact: Boolean = false,
-                  partitions: Seq[String] = Nil): DataFrame = {
+                  partitions: Seq[String] = Nil,
+                  ef: Int = 0): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -3804,9 +3997,11 @@ class GraftClient(spark: SparkSession, root: String,
     // freshness (one partition can serve SQ8-pruned while another falls
     // back to the exact scan) and emits the same uniform candidate
     // schema, so the union feeds one shared scoring tail.
+    require(ef == 0 || ef >= k,
+      s"ef ($ef) must be >= k ($k) — Milvus requires ef >= limit the same way")
     val candidates = resolveParts(m, partitions).map { part =>
       val pm = partMeta(m, part)
-      batchCandidates(pm, q, nQ, k, filter, nprobe, refine, forceExact)
+      batchCandidates(pm, q, nQ, k, filter, nprobe, refine, forceExact, ef)
     }.reduce(_ unionByName _)
     val scored = m.metric match {
       case "l2" => l2_distance(col("vec"), col("qvec"))
@@ -3829,9 +4024,47 @@ class GraftClient(spark: SparkSession, root: String,
     * fresh, exact otherwise. */
   private def batchCandidates(m: CollectionMeta, q: DataFrame, nQ: => Long,
       k: Int, filter: Option[Column], nprobe: Int, refine: Int,
-      forceExact: Boolean): DataFrame = {
+      forceExact: Boolean, ef: Int = 0): DataFrame = {
     import graft.functions.VectorAggregates
     val coll = collection(m)
+    // HNSW batch arm: queries collect to the driver (bounded by the same
+    // 100k broadcast guard the other arms use — a bigger batch falls
+    // through to the exact product, shuffled not OOMed) and broadcast
+    // into ONE scatter-gather pass: every task walks each of its graphs
+    // once per query, the bounded heap keeps k·refine keys per query
+    // BEFORE the shuffle, and the shared exact tail re-ranks — the same
+    // stage shape as the SQ8/PQ arms. A filter routes to the exact
+    // product (the walk cannot pre-filter; single-query search makes the
+    // same call).
+    val hnswV: Option[Long] =
+      if (forceExact || filter.isDefined || nQ > 100000L) None
+      else liveHnswVersion(m, coll)
+    (hnswV match {
+      case Some(v) =>
+        val queriesArr = q.collect().map { r =>
+          val a = r.getSeq[Float](1).toArray
+          (r.getLong(0), if (m.metric == "cosine") normalizeQuery(a) else a)
+        }
+        val shards = loadedIndexFrame(coll, hnswGraphsPath(m), v,
+          () => HnswIndex.loadShards(spark, hnswGraphsPath(m)))
+        val pool = k * refine
+        val efEff = math.max(
+          if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * k), pool)
+        val hintQ: DataFrame => DataFrame =
+          if (nQ <= 100000L) broadcast else identity
+        val hintStage1: DataFrame => DataFrame =
+          if (nQ <= 100000L / math.max(1L, k.toLong * refine)) broadcast
+          else identity
+        val stage1 = HnswIndex.searchShardsBatch(shards, queriesArr, efEff,
+            perShard = pool, cacheTag = s"${hnswGraphsPath(m)}@$v")
+          .groupBy(col("qid"))
+          .agg(VectorAggregates.topKDocs(pool)(col("adist"), col("key"),
+            typedLit(Map.empty[String, String])).as("hits"))
+          .select(col("qid"), explode(col("hits")).as("h"))
+          .select(col("qid"), col("h.key").as("key"))
+        coll.read(spark).join(hintStage1(stage1), Seq("key"))
+          .join(hintQ(q), Seq("qid"))
+      case None =>
     ((if (forceExact) None else liveIndex(m, coll)) match {
       case Some(idx) if sq8Indexed(m) =>
         // IVF_SQ8 (l2, or cosine over unit-normalized codes): stage 1
@@ -3939,6 +4172,7 @@ class GraftClient(spark: SparkSession, root: String,
         val hint: DataFrame => DataFrame =
           if (nQ <= 100000L) broadcast else identity
         coll.read(spark).crossJoin(hint(q))
+    })
     }).select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
   }
 
@@ -5204,6 +5438,17 @@ object GraftClient {
     * merge against the then-current snapshot, so the bound caps wasted
     * recompute under sustained contention, not correctness. */
   val MaxCommitRetries: Int = 6
+
+  /** HNSW defaults when createCollection gets no explicit params — the
+    * hnswlib-typical band (M 16, efConstruction 200), which is also
+    * where Milvus's AUTOINDEX lands for medium-dim float vectors. */
+  val DefaultHnswM: Int = 16
+  val DefaultHnswEfC: Int = 200
+
+  /** Search-time beam floor when the caller passes no `ef`: HNSW recall
+    * falls off a cliff when ef approaches k, so the auto-pick keeps a
+    * 4·depth margin with a floor of 64 (the hnswlib guidance). */
+  val DefaultHnswEf: Int = 64
 
   /** Milvus `consistency_level` values accepted at create and as the
     * per-read override. Mapping to this engine (commits are synchronous

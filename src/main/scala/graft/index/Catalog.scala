@@ -36,10 +36,14 @@ case class CollectionMeta(
                                 // codebooks hold 2^nbits codewords.
                                 // Capped at 8 — codes are one byte per
                                 // subvector at rest by layout
-    consistency: String = "Strong") // Milvus `consistency_level` default
+    consistency: String = "Strong", // Milvus `consistency_level` default
                                 // for reads of this collection: Strong |
                                 // Session | Bounded | Eventually (see
                                 // GraftClient.createCollection)
+    hnswM: Int = 0,             // HNSW max degree (Milvus index param
+                                // `M`); 0 on every other index type
+    hnswEfC: Int = 0)           // HNSW efConstruction (Milvus param);
+                                // 0 on every other index type
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -74,6 +78,7 @@ class Catalog(root: String) {
       s""""partitionKey":"${esc(m.partitionKey)}","numPartitions":${m.numPartitions},""" +
       s""""pqM":${m.pqM},"pqNbits":${m.pqNbits},""" +
       s""""consistency":"${esc(m.consistency)}",""" +
+      s""""hnswM":${m.hnswM},"hnswEfC":${m.hnswEfC},""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
@@ -104,7 +109,9 @@ class Catalog(root: String) {
       intFieldOr(json, "numPartitions", 0),
       intFieldOr(json, "pqM", 0),
       intFieldOr(json, "pqNbits", 8),
-      strFieldOr(json, "consistency", "Strong"))
+      strFieldOr(json, "consistency", "Strong"),
+      intFieldOr(json, "hnswM", 0),
+      intFieldOr(json, "hnswEfC", 0))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

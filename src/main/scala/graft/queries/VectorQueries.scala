@@ -380,6 +380,61 @@ object VectorQueries {
       .orderBy(col("qid"), col("dist"), col("vec_id"))
   }
 
+  // One HNSW collection per (dir, process) — the pqRootCache pattern:
+  // the embeddings corpus through the full write path, then an HNSW
+  // build (per-shard navigable graphs, one blob row per store bucket).
+  private val hnswRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hnswClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = hnswRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embhnsw", dim = dim, indexType = "HNSW",
+        buckets = 8)
+      c.upsert("embhnsw", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      c.buildIndex("embhnsw", nlist = 0) // HNSW takes no nlist — M and
+                                         // efConstruction froze at create
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B5 (Milvus `HNSW` — what AUTOINDEX resolves to) on the ORACLE
+    * path: top-10 L2 through the client's graph search — every shard's
+    * navigable-graph blob deserialized and walked executor-side
+    * (scatter-gather, plan-asserted below), one global TakeOrdered
+    * merge, exact re-rank tail. `ef ≥ corpus` makes the walk provably
+    * exhaustive (layer-0 connectivity is repaired at build) and the
+    * refine pool covers the corpus, so the result is exactly brute
+    * force and hash-comparable: the oracle pins the whole pipeline —
+    * deterministic graph construction, blob serialization round-trip,
+    * the walk's visit completeness, shard routing, the merge and
+    * tie-breaks. Recall at production ef is HnswIndexSpec's domain. */
+  def knnHnsw(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count() // parquet-footer count — no scan
+    val k = 10
+    val df = client.search("embhnsw", q, k = k, ef = n.toInt,
+      refine = ((n + k - 1) / k).toInt)
+    // dispatch honesty: the graph arm deserializes blobs through a typed
+    // flatMap (MapPartitions); the exact fallback would return identical
+    // values here, so value equality alone could never pin the graph path
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_topk: search did not ride the graph scatter-gather")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** B6/B8 (r11): the Milvus filtered count —
     * `client.query(filter=…, output_fields=["count(*)"])` — on the
     * ORACLE path, over the same client collection [[knnLoaded]] built
@@ -415,6 +470,7 @@ object VectorQueries {
     "knn_pq_topk" -> knnPq _,
     "knn_pq_iter" -> knnPqIter _,
     "knn_pq_batched" -> knnPqBatched _,
+    "knn_hnsw_topk" -> knnHnsw _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
@@ -472,6 +528,9 @@ object VectorQueries {
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
     "knn_pq_topk" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hnsw_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
     "knn_pq_iter" ->

@@ -590,7 +590,7 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         () => client.createCollection("tt-bad", dim = 4, retain = 1),
         () => client.createCollection("tt-bad", dim = 0),
         () => client.createCollection("tt-bad", dim = 4, metric = "ip"),
-        () => client.createCollection("tt-bad", dim = 4, indexType = "HNSW"))) {
+        () => client.createCollection("tt-bad", dim = 4, indexType = "ANNOY"))) {
       intercept[IllegalArgumentException] { bad() }
       assert(!client.list().contains("tt-bad"), "rejected create must not catalog")
     }
@@ -1243,7 +1243,7 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e = intercept[IllegalArgumentException] {
       client.buildIndex("sq8dot", nlist = 4)
     }
-    assert(e.getMessage.contains("IVF index supports l2 and cosine"))
+    assert(e.getMessage.contains("vector indexes support l2 and cosine"))
   }
 
   test("cosine IVF_SQ8: normalized-space quantized stage-1, exact cosine re-rank, fresh across upserts") {

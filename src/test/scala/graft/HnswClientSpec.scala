@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** HNSW through the client envelope: create/build/search lifecycle, the
+  * ef >= corpus exactness contract, incremental maintenance across
+  * upserts/deletes, cosine parity, filtered-search fallback, batch ==
+  * single-query, load pinning, and the create-boundary validation. */
+class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("hnsw-client-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dim = 16
+
+  private def vec(i: Int): Seq[Float] =
+    Seq.tabulate(dim) { j =>
+      (((i * 37 + j * 11) % 97) / 97.0f - 0.5f) + (i % 5) * 2.0f
+    }
+
+  private def rows(is: Range): Seq[(String, Seq[Float], Map[String, String])] =
+    is.map(i => (f"k$i%04d", vec(i), Map("grp" -> s"g${i % 3}")))
+
+  private def mkClient(): (GraftClient, String) = {
+    val root = java.nio.file.Files.createTempDirectory("hnsw-client").toString
+    (new GraftClient(spark, root), root)
+  }
+
+  private def exactKeys(client: GraftClient, name: String, q: Array[Float],
+                        k: Int): Seq[String] = {
+    import spark.implicits._
+    client.searchBatch(name, Seq((0L, q.toSeq)).toDF("qid", "qvec"), k,
+        forceExact = true)
+      .orderBy(col("distance"), col("vector_key"))
+      .collect().map(_.getString(1)).toSeq
+  }
+
+  test("HNSW lifecycle: build, exact-at-full-ef, maintenance, drop") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hn", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hn", rows(0 until 300).toDF("key", "vec", "meta"))
+    val n = 300
+    val q = vec(7).toArray
+
+    // pre-build search is the exact scan — the ground truth
+    val exactPre = client.search("hn", q, k = 10).collect().map(_.getString(0)).toSeq
+
+    client.buildIndex("hn", nlist = 0) // nlist is an IVF knob — ignored
+    val idx = client.listIndexes("hn").collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    assert(idx.contains(("HNSW", true)), s"expected fresh HNSW row, got ${idx.toSeq}")
+
+    // ef >= corpus with a corpus-covering refine pool: the walk is
+    // provably exhaustive and the final ranking is the exact ranking
+    val viaGraphDf = client.search("hn", q, k = 10, ef = n, refine = n / 10)
+    // dispatch honesty: the graph arm deserializes blobs through a typed
+    // flatMap (MapPartitions in the plan); the exact fallback has none —
+    // without this, a silent fall-through would pass every value check
+    assert(viaGraphDf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "search must ride the graph scatter-gather, not the exact scan")
+    val viaGraph = viaGraphDf.collect().map(_.getString(0)).toSeq
+    assert(viaGraph == exactPre, s"graph $viaGraph != exact $exactPre")
+
+    // realistic ef: strong recall on this geometry
+    val viaBeam = client.search("hn", q, k = 10, ef = 64)
+      .collect().map(_.getString(0)).toSet
+    assert(viaBeam.intersect(exactPre.toSet).size >= 8,
+      s"recall@10 at ef=64 below 0.8: ${viaBeam.intersect(exactPre.toSet).size}")
+
+    // maintenance: an upsert (some keys moved to new vectors) + deletes
+    // keep the index FRESH and the full-ef search exact
+    val moved = Seq(("k0007", vec(9999).map(_ + 100f), Map("grp" -> "moved")))
+    client.upsert("hn", (rows(300 until 340) ++ moved).toDF("key", "vec", "meta"))
+    client.deleteByKeys("hn", Seq("k0001", "k0002", "k0303"))
+    val idx2 = client.listIndexes("hn").collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    assert(idx2.contains(("HNSW", true)),
+      s"index must stay fresh across commits, got ${idx2.toSeq}")
+    val n2 = client.count("hn").toInt
+    val exactPost = exactKeys(client, "hn", q, 10)
+    val postGraph = client.search("hn", q, k = 10, ef = n2, refine = n2 / 10 + 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(postGraph == exactPost, s"post-commit $postGraph != exact $exactPost")
+    assert(!postGraph.contains("k0001") && !postGraph.contains("k0002"))
+    // the moved key must not be findable at its OLD location
+    assert(!postGraph.contains("k0007") ||
+      exactPost.contains("k0007"), "k0007 must rank only by its new vector")
+
+    // filtered search falls back to the exact scan — same filter
+    // semantics as a FLAT collection, just graph-less
+    val filtered = client.search("hn", q, k = 5,
+        filter = Some(element_at(col("meta"), "grp") === "g1"))
+      .collect()
+    assert(filtered.nonEmpty &&
+      filtered.forall(_.getAs[Map[String, String]]("metadata")("grp") == "g1"))
+
+    // drop_index: falls back to the exact scan, listIndexes empties
+    client.dropIndex("hn")
+    assert(!client.listIndexes("hn").collect().exists(_.getString(0) == "HNSW"))
+    val afterDrop = client.search("hn", q, k = 10).collect().map(_.getString(0)).toSeq
+    assert(afterDrop == exactPost, "post-drop search must be the exact scan")
+  }
+
+  test("searchBatch rides the graphs and equals per-query search") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hb", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hb", rows(0 until 250).toDF("key", "vec", "meta"))
+    client.buildIndex("hb", nlist = 0)
+    val qs = Seq(3, 77, 212).map(i => vec(i).toArray)
+    val queries = qs.zipWithIndex.map { case (q, i) => (i.toLong, q.toSeq) }
+      .toDF("qid", "qvec")
+    val batchedDf = client.searchBatch("hb", queries, k = 8, ef = 250, refine = 32)
+    // dispatch honesty: the HNSW batch arm walks graphs via a typed
+    // flatMap; the exact fallback is a broadcast nested-loop product
+    val bplan = batchedDf.queryExecution.executedPlan.toString
+    assert(bplan.contains("MapPartitions") && !bplan.contains("NestedLoop"),
+      s"searchBatch must ride the graph arm:\n${bplan.take(1200)}")
+    val batched = batchedDf
+      .collect().groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(r => (r.getDouble(2), r.getString(1))).map(_.getString(1)).toSeq
+      }
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val single = client.search("hb", q, k = 8, ef = 250, refine = 32)
+        .collect().map(_.getString(0)).toSeq
+      assert(batched(i.toLong) == single, s"qid $i batched != single")
+      val exact = exactKeys(client, "hb", q, 8)
+      assert(single == exact, s"qid $i full-ef != exact")
+    }
+    // estimateRecall composes the two searchBatch arms
+    assert(client.estimateRecall("hb", k = 10) >= 0.8)
+  }
+
+  test("cosine HNSW: normalized assign space, exact at full ef") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hc", dim = dim, metric = "cosine",
+      indexType = "HNSW", buckets = 4)
+    // wildly mixed magnitudes: cosine order ≠ l2 order, so this catches
+    // an un-normalized graph space immediately
+    val mixed = (0 until 200).map { i =>
+      val scale = math.pow(10.0, i % 4).toFloat
+      (f"c$i%04d", vec(i).map(_ * scale), Map.empty[String, String])
+    }
+    client.upsert("hc", mixed.toDF("key", "vec", "meta"))
+    client.buildIndex("hc", nlist = 0)
+    val q = vec(42).toArray
+    val got = client.search("hc", q, k = 10, ef = 200, refine = 20)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exactKeys(client, "hc", q, 10))
+  }
+
+  test("loadCollection pins the graph blobs (InMemoryTableScan in the plan)") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hl", dim = dim, indexType = "HNSW", buckets = 2)
+    client.upsert("hl", rows(0 until 100).toDF("key", "vec", "meta"))
+    client.buildIndex("hl", nlist = 0)
+    client.loadCollection("hl")
+    try {
+      val df = client.search("hl", vec(5).toArray, k = 5)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"loaded search must ride the cached frames:\n${plan.take(1200)}")
+      assert(df.collect().length == 5)
+      // Milvus refuses drop_index on a loaded collection
+      val e = intercept[IllegalArgumentException] { client.dropIndex("hl") }
+      assert(e.getMessage.contains("loaded"))
+    } finally client.releaseCollection("hl")
+  }
+
+  test("create-boundary validation") {
+    val (client, _) = mkClient()
+    // HNSW params rejected on other index types
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("bad1", dim = 8, hnswM = 16)
+    }.getMessage.contains("hnswM"))
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("bad2", dim = 8, efConstruction = 100)
+    }.getMessage.contains("efConstruction"))
+    // efConstruction must cover M
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("bad3", dim = 8, indexType = "HNSW",
+        hnswM = 32, efConstruction = 8)
+    }.getMessage.contains("efConstruction"))
+    // M range
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("bad4", dim = 8, indexType = "HNSW", hnswM = 1)
+    }.getMessage.contains("hnswM"))
+    // defaults persist in the catalog
+    client.createCollection("ok", dim = 8, indexType = "HNSW")
+    val m = client.describe("ok")
+    assert(m.hnswM == GraftClient.DefaultHnswM &&
+      m.hnswEfC == GraftClient.DefaultHnswEfC)
+    // ef < k rejected at search
+    assert(intercept[IllegalArgumentException] {
+      client.search("ok", Array.fill(8)(0f), k = 10, ef = 5)
+    }.getMessage.contains("ef"))
+    // dot metric rejects the graph build like every vector index
+    client.createCollection("hd", dim = 8, metric = "dot", indexType = "HNSW")
+    import spark.implicits._
+    client.upsert("hd", Seq(("a", Seq.fill(8)(1f), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    assert(intercept[IllegalArgumentException] {
+      client.buildIndex("hd", nlist = 0)
+    }.getMessage.contains("l2 and cosine"))
+  }
+}
