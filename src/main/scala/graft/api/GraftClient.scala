@@ -4948,6 +4948,66 @@ class GraftClient(spark: SparkSession, root: String,
       restrictTo)
   }
 
+  /** Milvus 2.5 FULL-TEXT SEARCH: `client.search(data=["raw query
+    * text"], anns_field=<BM25 function output field>)` — the caller
+    * passes a STRING, Milvus runs it through the field's analyzer,
+    * sparse-BM25-embeds it, and ranks by BM25 score. Here the attached
+    * text index IS that function field: the query string analyzes
+    * through the index's OWN persisted analyzer (tokenize → stop filter
+    * → stem — exactly what build/append applied to the docs), scoring
+    * rides the at-rest postings (Σ df(term) I/O, bucket-pruned), and
+    * the envelope matches [[search]]'s — (vector_key, distance,
+    * metadata), except `distance` is the BM25 score and ranks
+    * DESCENDING, Milvus's own convention for BM25 "distances".
+    *
+    * REQUIRES a FRESH text index, loudly: Milvus full-text search
+    * requires the BM25 function field the same way, and the store keeps
+    * no text ("without actual storing the data",
+    * `milvus-app/README.md:3`) so there is no raw-text fallback —
+    * [[searchLexical]] is the form that takes a docs frame. A query
+    * that analyzes to NO terms (all stop words) returns an empty
+    * result, as Milvus does. `filter` gates which docs may rank while
+    * corpus stats stay whole (Lucene filtered-query semantics, same as
+    * [[searchLexical]]'s restrictTo). */
+  def fullTextSearch(name: String, query: String, k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     filter: Option[Column] = None,
+                     outputFields: Seq[String] = Nil,
+                     partition: String = GraftClient.DefaultPartition): DataFrame = {
+    val m = partMeta(metaOrThrow(name), partition)
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(TextIndex.exists(textDir(m)),
+      s"${m.name} has no text index — buildTextIndex first (Milvus " +
+        "full-text search requires the BM25 function field's index the " +
+        "same way)")
+    require(textIndexFresh(m),
+      s"${m.name}'s text index is STALE (writes since the last build/" +
+        "append) — appendTextIndex or buildTextIndex first; the store " +
+        "keeps no text, so there is no raw-text fallback here")
+    val analyzer = TextIndex.analyzerOf(textDir(m))
+    val terms = analyzer.analyzeTerms(
+      query.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
+    if (terms.isEmpty) {
+      import org.apache.spark.sql.types._
+      projectOutputFields(spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(
+          StructField("vector_key", StringType),
+          StructField("distance", DoubleType),
+          StructField("metadata", MapType(StringType, StringType))))),
+        outputFields)
+    } else {
+      val passing = filter.map(f => filterPassingKeys(m, f))
+      val scored = TextIndex.bm25(spark, textDir(m), terms, k, k1, b, passing)
+      val out = collection(m).read(spark)
+        .join(broadcast(scored), Seq("key"))
+        .select(col("key").as("vector_key"), col("bm25").as("distance"),
+          col("meta").as("metadata"))
+        .orderBy(desc("distance"), col("vector_key"))
+      projectOutputFields(out, outputFields)
+    }
+  }
+
   /** Unigram-LM perplexity proxy with a USER scoring predicate — the
     * callable form of the declared `perplexity_proxy` query. The unigram
     * model fits on the FULL frame; only rows passing `scoreFilter` are

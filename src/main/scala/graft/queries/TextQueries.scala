@@ -283,6 +283,51 @@ object TextQueries {
       .limit(10)
   }
 
+  /** Per-JVM client collection for the Milvus FULL-TEXT-SEARCH surface
+    * (r12): the docs-with-embeddings subset written through the client's
+    * full upsert pipeline, text index attached with the `standard`
+    * analyzer + a stop filter — the BM25 "function field". Root cached
+    * per (dir, process) like the other client fixtures. */
+  private val ftRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ftClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = ftRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-ft").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("docsft", dim = dim, buckets = 8)
+      c.upsert("docsft", emb.select(
+        col("vec_id").cast("string").as("key"),
+        col("embedding").as("vec"),
+        typedLit(Map.empty[String, String]).as("meta")))
+      val corpus = t(spark, d, "documents")
+        .join(emb.select(col("vec_id")), col("doc_id") === col("vec_id"))
+        .select(col("doc_id").cast("string").as("key"), col("text"))
+      c.buildTextIndex("docsft", corpus, analyzer = "standard",
+        stopWords = Seq("the"))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B8/C14 (r12) — Milvus 2.5 FULL-TEXT SEARCH on the ORACLE path:
+    * `fullTextSearch` takes the RAW query string "Hash JOIN the scan",
+    * runs it through the index's persisted `standard` analyzer ("Hash"
+    * lowercases, the stop word "the" drops), and ranks by BM25 from the
+    * at-rest postings — the engine's analog of searching a Milvus BM25
+    * function field with a text query. The oracle recomputes the
+    * analyzer and the BM25 formula in DuckDB over the same corpus; the
+    * inner top-k cut tie-breaks on the STRING key exactly as the
+    * engine's envelope does. */
+  def fulltextSearchStd(spark: SparkSession, dir: String): DataFrame = {
+    val client = ftClientFor(spark, dir)
+    client.fullTextSearch("docsft", "Hash JOIN the scan", k = 15)
+      .select(col("vector_key").cast("long").as("doc_id"),
+        col("distance").as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+  }
+
   /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
     * — the lexical-search twin of the KNN surface (hybrid retrieval runs
     * both); the declared, oracle-pinned instantiation of the BM25 core,
@@ -528,6 +573,7 @@ object TextQueries {
     "bm25_scores" -> bm25Scores _,
     "text_match_knn" -> textMatchKnn _,
     "text_match_std_knn" -> textMatchStdKnn _,
+    "fulltext_search_std" -> fulltextSearchStd _,
     "phrase_match_knn" -> phraseMatchKnn _,
     "phrase_match_slop_knn" -> phraseMatchSlopKnn _,
     "hybrid_rrf" -> hybridRrf _,
@@ -654,6 +700,28 @@ object TextQueries {
             list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
          FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
          ORDER BY dist, doc_id LIMIT 10""",
+    "fulltext_search_std" ->
+      """WITH corpus AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN embeddings e ON d.doc_id = e.vec_id),
+           tokens AS (SELECT doc_id,
+                 unnest(list_filter(str_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                   x -> x <> '' AND x <> 'the')) AS word
+               FROM corpus),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM corpus),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                  WHERE word IN ('hash','join','scan') GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                  WHERE word IN ('hash','join','scan') GROUP BY 1),
+           scored AS (SELECT tf.doc_id,
+                round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
+              FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
+              GROUP BY 1),
+           cut AS (SELECT * FROM scored
+              ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 15)
+         SELECT doc_id, bm25 FROM cut ORDER BY bm25 DESC, doc_id""",
     "text_match_std_knn" ->
       """WITH tokens AS (SELECT doc_id,
                  unnest(list_filter(str_split_regex(lower(text), '[^\p{L}\p{N}]+'),
