@@ -443,6 +443,13 @@ object VectorScaleBench {
       time { hnswIds = hnswOnce(64) }, time { hnswIds = hnswOnce(64) })
     val hnswRecall64 = hnswIds.count(exactStr.contains).toDouble / exactStr.size
     val hnswRecall256 = hnswOnce(256).count(exactStr.contains).toDouble / exactStr.size
+    // loaded search: blobs pinned as in-memory frames (Milvus's mandatory
+    // load) — the walk itself is milliseconds, so this row isolates the
+    // per-query blob-read tax the unloaded row pays
+    hnswClient.loadCollection("benchhnsw")
+    hnswOnce(64)
+    val hnswLoadedSec = math.min(time(hnswOnce(64)), time(hnswOnce(64)))
+    hnswClient.releaseCollection("benchhnsw")
     val hnswMaintT0 = System.nanoTime()
     hnswClient.upsert("benchhnsw", cvecs.limit(1000)
       .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
@@ -577,6 +584,7 @@ object VectorScaleBench {
         s""""client_hnsw_build_sec":$hnswBuildSec,""" +
         s""""hnsw_bytes":$hnswBytes,""" +
         s""""client_hnsw_search_ef64_sec":$hnswSearchSec,""" +
+        s""""client_hnsw_loaded_search_ef64_sec":$hnswLoadedSec,""" +
         s""""client_hnsw_recall_ef64":$hnswRecall64,""" +
         s""""client_hnsw_recall_ef256":$hnswRecall256,""" +
         s""""client_hnsw_maint_commit_sec":$hnswMaintSec,""" +

@@ -2357,6 +2357,7 @@ class GraftClient(spark: SparkSession, root: String,
               .collect().map(_.getInt(0)).toSet
             rebuilt.write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
+              .option("compression", "uncompressed") // match writeShards
               .partitionBy("shard").parquet(hnswGraphsPath(m))
             // a shard whose every row was deleted writes no graph row —
             // drop its directory or the dead graph would keep serving
@@ -5083,6 +5084,46 @@ class GraftClient(spark: SparkSession, root: String,
       useIndex = useIndex, restrictTo = passing) // (key, bm25)
     val vecTop = search(name, qvec, armK, filter, nprobe,
       matchGates = matchGates)
+    fuseArms(lexTop, vecTop, fusion, k, rrfK, wVec, wLex)
+  }
+
+  /** Milvus `hybrid_search` with a BM25-function request: the lexical
+    * arm is a RAW query string served entirely from the attached text
+    * index ([[fullTextSearch]] — analyzer + postings, NO docs frame),
+    * fused with the dense arm by RRF or WeightedRanker exactly like
+    * [[hybridSearch]]. This is the call shape a Milvus 2.5 user's
+    * `hybrid_search([dense_req, bm25_text_req], RRFRanker())` migrates
+    * to. Requires a FRESH text index (fullTextSearch's contract — there
+    * is no raw-text fallback without a docs frame). `ef` reaches the
+    * dense arm for HNSW collections. */
+  def hybridSearchText(name: String, query: String, qvec: Array[Float],
+                       k: Int = 10, armK: Int = 15, rrfK: Int = 60,
+                       filter: Option[Column] = None, nprobe: Int = 4,
+                       fusion: String = "rrf",
+                       wVec: Double = 0.7, wLex: Double = 0.3,
+                       ef: Int = 0): DataFrame = {
+    require(fusion == "rrf" || fusion == "weighted",
+      s"fusion must be 'rrf' or 'weighted' (got '$fusion')")
+    if (fusion == "weighted") {
+      require(wVec >= 0.0 && wVec <= 1.0 && !wVec.isNaN,
+        s"wVec must be in [0, 1] (got $wVec)")
+      require(wLex >= 0.0 && wLex <= 1.0 && !wLex.isNaN,
+        s"wLex must be in [0, 1] (got $wLex)")
+      require(wVec + wLex > 0.0, "wVec and wLex must not both be 0")
+    }
+    val lexTop = fullTextSearch(name, query, k = armK, filter = filter)
+      .select(col("vector_key").as("key"), col("distance").as("bm25"))
+    val vecTop = search(name, qvec, armK, filter, nprobe, ef = ef)
+    fuseArms(lexTop, vecTop, fusion, k, rrfK, wVec, wLex)
+  }
+
+  /** The ONE fusion tail both hybrid surfaces share — RRF over ranks or
+    * Milvus-WeightedRanker min-max over scores; `lexTop` is (key, bm25),
+    * `vecTop` is search()'s envelope. */
+  private def fuseArms(lexTop: DataFrame, vecTop: DataFrame,
+      fusion: String, k: Int, rrfK: Int,
+      wVec: Double, wLex: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     fusion match {
       case "rrf" =>
         val lex = lexTop.select(col("key"),

@@ -82,48 +82,97 @@ object HnswIndex {
     s
   }
 
-  /** (distance, nodeId) ordered asc by distance then id — the ONE tie
-    * rule every heap below shares (determinism). */
-  private val ndOrd: java.util.Comparator[(Double, Int)] =
-    (a: (Double, Int), b: (Double, Int)) => {
-      val c = java.lang.Double.compare(a._1, b._1)
-      if (c != 0) c else Integer.compare(a._2, b._2)
+  /** Primitive binary heap over (dist, id) pairs in parallel arrays —
+    * the walk/build inner loops run millions of heap ops per shard, and
+    * a boxed `PriorityQueue[(Double, Int)]` measurably dominated the 1M
+    * build (every insert a Tuple2 + Double box). `maxHeap = false`
+    * orders nearest-first, `true` farthest-first; ties break on the id
+    * in the SAME direction as the distance (lexicographic (dist, id)),
+    * the one tie rule the whole module shares (determinism). */
+  private final class NodeHeap(initCap: Int, maxHeap: Boolean) {
+    private var ds = new Array[Double](math.max(4, initCap))
+    private var ids = new Array[Int](ds.length)
+    private var n = 0
+    def size: Int = n
+    def isEmpty: Boolean = n == 0
+    def peekDist: Double = ds(0)
+    def peekId: Int = ids(0)
+    /** (a) strictly precedes (b) in heap order. */
+    private def prec(da: Double, ia: Int, db: Double, ib: Int): Boolean = {
+      val c = java.lang.Double.compare(da, db)
+      val asc = if (c != 0) c < 0 else ia < ib
+      if (maxHeap) !asc && (c != 0 || ia != ib) else asc
     }
-  private val ndOrdRev: java.util.Comparator[(Double, Int)] = ndOrd.reversed()
+    def add(d: Double, id: Int): Unit = {
+      if (n == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, n * 2)
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+      }
+      var i = n; n += 1
+      while (i > 0 && prec(d, id, ds((i - 1) / 2), ids((i - 1) / 2))) {
+        ds(i) = ds((i - 1) / 2); ids(i) = ids((i - 1) / 2)
+        i = (i - 1) / 2
+      }
+      ds(i) = d; ids(i) = id
+    }
+    def poll(): Int = {
+      val top = ids(0)
+      n -= 1
+      if (n > 0) {
+        val d = ds(n); val id = ids(n)
+        var i = 0
+        var done = false
+        while (!done) {
+          var c = 2 * i + 1
+          if (c >= n) done = true
+          else {
+            if (c + 1 < n && prec(ds(c + 1), ids(c + 1), ds(c), ids(c))) c += 1
+            if (prec(ds(c), ids(c), d, id)) {
+              ds(i) = ds(c); ids(i) = ids(c); i = c
+            } else done = true
+          }
+        }
+        ds(i) = d; ids(i) = id
+      }
+      top
+    }
+  }
 
   /** Beam search within one layer (Algorithm 2 of the paper): best-first
     * from `eps`, visited-set guarded, result bounded to `ef`. With
     * `ef >= n` the bound never evicts, the expansion never early-stops,
     * and every node reachable from `eps` at this layer is visited — the
-    * exactness contract the connectivity repair makes total. */
+    * exactness contract the connectivity repair makes total. Returns
+    * the ≤ ef results sorted ASC by (dist, id). */
   private def searchLayer(g: Graph, q: Array[Float], eps: Seq[Int],
-                          ef: Int, layer: Int): java.util.PriorityQueue[(Double, Int)] = {
+                          ef: Int, layer: Int): (Array[Double], Array[Int]) = {
     val visited = new java.util.BitSet(g.n)
-    val cand = new java.util.PriorityQueue[(Double, Int)](ndOrd)    // nearest first
-    val res = new java.util.PriorityQueue[(Double, Int)](ndOrdRev)  // farthest first
+    val cand = new NodeHeap(64, maxHeap = false) // nearest first
+    val res = new NodeHeap(math.min(ef + 1, 1 << 16), maxHeap = true) // farthest first
     eps.distinct.foreach { e =>
       if (!visited.get(e)) {
         visited.set(e)
         val d = l2sq(g.vecs, e, g.dim, q)
-        cand.add((d, e)); res.add((d, e))
+        cand.add(d, e); res.add(d, e)
       }
     }
     while (res.size > ef) res.poll()
     var done = false
     while (!done && !cand.isEmpty) {
-      val c = cand.poll()
-      if (res.size >= ef && c._1 > res.peek()._1) done = true
+      val cd = cand.peekDist
+      val ci = cand.poll()
+      if (res.size >= ef && cd > res.peekDist) done = true
       else {
-        val nbrs = g.links(c._2)(layer)
+        val nbrs = g.links(ci)(layer)
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
           if (!visited.get(nb)) {
             visited.set(nb)
             val d = l2sq(g.vecs, nb, g.dim, q)
-            if (res.size < ef || d < res.peek()._1 ||
-                (d == res.peek()._1 && nb < res.peek()._2)) {
-              cand.add((d, nb)); res.add((d, nb))
+            if (res.size < ef || d < res.peekDist ||
+                (d == res.peekDist && nb < res.peekId)) {
+              cand.add(d, nb); res.add(d, nb)
               if (res.size > ef) res.poll()
             }
           }
@@ -131,7 +180,16 @@ object HnswIndex {
         }
       }
     }
-    res
+    drainAsc(res)
+  }
+
+  /** Drain a max-heap into (dists, ids) sorted ASC by (dist, id). */
+  private def drainAsc(res: NodeHeap): (Array[Double], Array[Int]) = {
+    val outD = new Array[Double](res.size)
+    val outI = new Array[Int](res.size)
+    var i = res.size - 1
+    while (i >= 0) { outD(i) = res.peekDist; outI(i) = res.poll(); i -= 1 }
+    (outD, outI)
   }
 
   /** hnswlib's neighbor-selection heuristic (Algorithm 4): scan
@@ -139,24 +197,23 @@ object HnswIndex {
     * query node than to every already-kept neighbor — the diversity rule
     * that keeps the graph navigable in clustered data. Deterministic:
     * input sorted by (dist, id). */
-  private def selectNeighbors(g: Graph, q: Array[Float],
-                              cands: Array[(Double, Int)], m: Int): Array[Int] = {
-    java.util.Arrays.sort(cands, ndOrd)
-    val kept = new scala.collection.mutable.ArrayBuffer[Int](m)
+  private def selectNeighbors(g: Graph, cd: Array[Double], ci: Array[Int],
+                              m: Int): Array[Int] = {
+    val kept = new Array[Int](math.min(m, ci.length))
+    var nk = 0
     var i = 0
-    while (i < cands.length && kept.length < m) {
-      val (dq, c) = cands(i)
+    while (i < ci.length && nk < m) {
+      val dq = cd(i); val c = ci(i)
       var ok = true
       var j = 0
-      while (ok && j < kept.length) {
-        val dck = nodeDistSq(g, c, kept(j))
-        if (dck < dq) ok = false
+      while (ok && j < nk) {
+        if (nodeDistSq(g, c, kept(j)) < dq) ok = false
         j += 1
       }
-      if (ok) kept += c
+      if (ok) { kept(nk) = c; nk += 1 }
       i += 1
     }
-    kept.toArray
+    if (nk == kept.length) kept else java.util.Arrays.copyOf(kept, nk)
   }
 
   private def nodeDistSq(g: Graph, a: Int, b: Int): Double = {
@@ -173,10 +230,27 @@ object HnswIndex {
   private def shrink(g: Graph, node: Int, layer: Int, cap: Int): Unit = {
     val cur = g.links(node)(layer)
     if (cur.length > cap) {
-      val q = new Array[Float](g.dim)
-      System.arraycopy(g.vecs, node * g.dim, q, 0, g.dim)
-      val cands = cur.map(c => (nodeDistSq(g, node, c), c))
-      g.links(node)(layer) = selectNeighbors(g, q, cands, cap)
+      val cd = new Array[Double](cur.length)
+      val ci = new Array[Int](cur.length)
+      var i = 0
+      while (i < cur.length) { cd(i) = nodeDistSq(g, node, cur(i)); ci(i) = cur(i); i += 1 }
+      sortPairsAsc(cd, ci)
+      g.links(node)(layer) = selectNeighbors(g, cd, ci, cap)
+    }
+  }
+
+  /** In-place insertion sort of parallel (dist, id) arrays by (dist, id)
+    * ASC — inputs here are adjacency-list-sized (≤ 2M+1). */
+  private def sortPairsAsc(cd: Array[Double], ci: Array[Int]): Unit = {
+    var i = 1
+    while (i < cd.length) {
+      val d = cd(i); val id = ci(i)
+      var j = i - 1
+      while (j >= 0 && (cd(j) > d || (cd(j) == d && ci(j) > id))) {
+        cd(j + 1) = cd(j); ci(j + 1) = ci(j); j -= 1
+      }
+      cd(j + 1) = d; ci(j + 1) = id
+      i += 1
     }
   }
 
@@ -223,18 +297,16 @@ object HnswIndex {
       layer = math.min(l, maxLevel)
       var eps = Seq(ep)
       while (layer >= 0) {
-        val res = searchLayer(g, q, eps, efConstruction, layer)
-        val cands = res.toArray(Array.empty[(Double, Int)])
+        val (cd, ci) = searchLayer(g, q, eps, efConstruction, layer)
         val cap = if (layer == 0) maxM0 else m
-        val sel = selectNeighbors(g, q, cands, m)
+        val sel = selectNeighbors(g, cd, ci, m)
         g.links(i)(layer) = sel
         sel.foreach { nb =>
           g.links(nb)(layer) = g.links(nb)(layer) :+ i
           shrink(g, nb, layer, cap)
         }
-        // next layer starts from this layer's nearest results
-        java.util.Arrays.sort(cands, ndOrd)
-        eps = cands.take(1).map(_._2).toSeq
+        // next layer starts from this layer's nearest result
+        if (ci.nonEmpty) eps = Seq(ci(0))
         layer -= 1
       }
       if (l > maxLevel) { maxLevel = l; entry = i }
@@ -310,10 +382,9 @@ object HnswIndex {
     // reachable from the ENTRY, not from an arbitrary greedy landing
     // point — without this seed the ef≥n exactness contract would
     // depend on the walk happening to pass through the entry's basin
-    val res = searchLayer(g, q, Seq(ep, g.entry), math.max(ef, k), 0)
-    val arr = res.toArray(Array.empty[(Double, Int)])
-    java.util.Arrays.sort(arr, ndOrd)
-    arr.take(k).map { case (d, node) => (g.keys(node), d) }
+    val (cd, ci) = searchLayer(g, q, Seq(ep, g.entry), math.max(ef, k), 0)
+    val kk = math.min(k, ci.length)
+    Array.tabulate(kk)(j => (g.keys(ci(j)), cd(j)))
   }
 
   // ---- serialization (one blob per shard; format v1) ----
@@ -400,9 +471,13 @@ object HnswIndex {
 
   /** Persist shard graphs partitioned by shard — one directory per
     * shard so maintenance rewrites touched shards with the same dynamic
-    * partition overwrite the cell layouts use. */
+    * partition overwrite the cell layouts use. UNCOMPRESSED: the blobs
+    * are float-dense (≈ incompressible), and every unloaded search
+    * re-reads them — snappy here bought ~nothing at rest and taxed each
+    * query with a full-layout decompress. */
   def writeShards(shards: DataFrame, path: String): Unit =
-    shards.write.mode("overwrite").partitionBy("shard").parquet(path)
+    shards.write.mode("overwrite").option("compression", "uncompressed")
+      .partitionBy("shard").parquet(path)
 
   def shardsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL("n INT, blob BINARY, shard INT")

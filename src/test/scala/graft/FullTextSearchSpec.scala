@@ -116,6 +116,29 @@ class FullTextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("no text index"))
   }
 
+  test("hybridSearchText == hybridSearch given the analyzed terms (both fusions)") {
+    import spark.implicits._
+    val (client, name) = mkClient()
+    val docsDf = docs.map { case (k, t, _) => (k, t) }.toDF("key", "text")
+    val qvec = Array(0.9f, 0.1f, 0f, 0f)
+    // "JOIN the Hash" analyzes to {join, hash} under the index's analyzer
+    for (fusion <- Seq("rrf", "weighted")) {
+      val viaText = client.hybridSearchText(name, "JOIN the Hash", qvec,
+          k = 5, fusion = fusion)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      val viaTerms = client.hybridSearch(name, docsDf, Seq("join", "hash"),
+          qvec, k = 5, fusion = fusion)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      assert(viaText == viaTerms, s"$fusion: $viaText != $viaTerms")
+    }
+    // the raw-text form needs NO docs frame but DOES need a fresh index
+    client.upsert(name, Seq(("dx", Seq(0f, 0f, 1f, 0f),
+      Map.empty[String, String])).toDF("key", "vec", "meta"))
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchText(name, "hash", qvec, k = 3)
+    }.getMessage.contains("STALE"))
+  }
+
   test("outputFields projects metadata fields; vec rejected toward fetch") {
     val (client, name) = mkClient()
     val out = client.fullTextSearch(name, "scan", k = 3,
