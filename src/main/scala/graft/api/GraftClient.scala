@@ -1167,9 +1167,10 @@ class GraftClient(spark: SparkSession, root: String,
           () => IvfIndex.loadIndexed(spark, cellsPath(pm),
             Some(cellsSchema))).count()
       }
-      // HNSW warms its graph blobs (liveIndex is None for graph layouts)
-      liveHnswVersion(pm, coll).foreach { v =>
-        loadedIndexFrame(coll, hnswGraphsPath(pm), v,
+      // HNSW warms its graph blobs (liveIndex is None for graph layouts;
+      // servable covers the tail era — graphs serve across commits)
+      hnswServable(pm, coll).foreach { case (vB, _) =>
+        loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
           () => HnswIndex.loadShards(spark, hnswGraphsPath(pm))).count()
       }
       n
@@ -1275,7 +1276,20 @@ class GraftClient(spark: SparkSession, root: String,
           graft.index.SparseIndex.compact(spark, sparseIdxDir(pm))
           Seq((p, "sparse", "-"))
         } else Nil
-      scalars ++ text ++ sparse
+      // HNSW growing tail: fold it back into the graphs on demand (the
+      // same operation the tail-ratio clock auto-triggers at commit) —
+      // Milvus's compact seals growing segments the same way. No-op
+      // when the tail is empty.
+      val hnsw =
+        if (hnswIndexed(pm) && readHnswMeta(pm).exists(_.tailEst > 0)) {
+          graft.streaming.BucketedKeyedCollection.withCommitLock(
+              java.nio.file.Paths.get(ivfDir(pm))) {
+            val v = coll.currentVersion.getOrElse(0L)
+            foldHnswTail(pm, v)
+          }
+          Seq((p, "hnsw", "tail folded"))
+        } else Nil
+      scalars ++ text ++ sparse ++ hnsw
     }
   }
 
@@ -1800,6 +1814,62 @@ class GraftClient(spark: SparkSession, root: String,
     if (!hnswIndexed(m)) None
     else readVersionFile(ivfDir(m)).filter(coll.currentVersion.contains)
 
+  /** HNSW growing-tail bookkeeping (`hnsw_meta` beside the VERSION
+    * stamp): `maxSeq` is the seq high-water mark the graphs COVER (S_b —
+    * every live row with seq ≤ S_b is in its shard's graph, the one
+    * invariant the whole design rests on), `graphRows` sizes the fold
+    * threshold, `tailEst` is the running estimate of rows committed
+    * since S_b (per-commit batch counts — an upper bound: re-upserts
+    * count once per commit). */
+  private case class HnswMeta(maxSeq: Long, graphRows: Long, tailEst: Long)
+
+  private def hnswMetaPath(m: CollectionMeta) =
+    java.nio.file.Paths.get(ivfDir(m), "hnsw_meta")
+
+  private def readHnswMeta(m: CollectionMeta): Option[HnswMeta] = {
+    val p = hnswMetaPath(m)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = new String(java.nio.file.Files.readAllBytes(p)).split("\n")
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split(" ", 2); k -> v.trim.toLong
+        }.toMap
+      Some(HnswMeta(kv("maxseq"), kv("graphrows"), kv.getOrElse("tailest", 0L)))
+    }
+  }
+
+  private def writeHnswMeta(m: CollectionMeta, meta: HnswMeta): Unit = {
+    val dir = java.nio.file.Paths.get(ivfDir(m))
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".hm-", "")
+    java.nio.file.Files.write(tmp,
+      s"maxseq ${meta.maxSeq}\ngraphrows ${meta.graphRows}\ntailest ${meta.tailEst}\n".getBytes)
+    java.nio.file.Files.move(tmp, hnswMetaPath(m),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** HNSW servability: graphs + tail bookkeeping present. UNLIKE the
+    * IVF family's stamp-equals-current rule, a tail-era HNSW layout
+    * serves index-backed searches at ANY later snapshot — the graph arm
+    * takes live rows with seq ≤ S_b, the tail arm exact-scans the
+    * churned buckets' rows with seq > S_b, and the two partition the
+    * live set exactly (see [[refreshHnswIncremental]]). Pre-tail
+    * layouts (no hnsw_meta) keep the strict rule. Returns (stamped
+    * build version, meta). */
+  private def hnswServable(m: CollectionMeta,
+      coll: BucketedKeyedCollection): Option[(Long, HnswMeta)] =
+    if (!hnswIndexed(m)) None
+    else readVersionFile(ivfDir(m)).flatMap { vB =>
+      readHnswMeta(m) match {
+        case Some(meta) => Some((vB, meta))
+        case None => // legacy layout: strict freshness, empty tail
+          if (coll.currentVersion.contains(vB))
+            Some((vB, HnswMeta(coll.maxSeq, 0L, 0L)))
+          else None
+      }
+    }
+
   /** Metrics the IVF prune can serve. Cosine rides the L2 prune in
     * unit-normalized space (for unit vectors, cosine order ≡ L2 order);
     * dot has no Voronoi prune (MIPS needs an augmented-dimension
@@ -2014,6 +2084,13 @@ class GraftClient(spark: SparkSession, root: String,
           m.hnswM, m.hnswEfC),
         hnswGraphsPath(m))
       stampIndexVersion(m, version)
+      // growing-tail bookkeeping: S_b = the pinned snapshot's seq
+      // high-water mark (NOT the possibly-newer current one — rows of a
+      // commit racing this build must land in the tail, not be claimed
+      // covered). graphRows off the just-written 1-row-per-shard layout.
+      val graphRows = HnswIndex.loadShards(spark, hnswGraphsPath(m))
+        .agg(sum(col("n"))).head().getLong(0)
+      writeHnswMeta(m, HnswMeta(coll.maxSeqAt(version), graphRows, 0L))
       invalidateIndexCaches(m.name)
       graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
     }
@@ -2319,56 +2396,141 @@ class GraftClient(spark: SparkSession, root: String,
     }
   }
 
-  /** HNSW's per-commit maintenance: graph shards ARE store buckets (one
-    * shared hash route), so the commit's touched buckets name exactly
-    * the graphs to rebuild — from the pre-image survivors plus the
-    * batch's puts, the same bounded frames the IVF path merges, never a
-    * corpus rescan. A whole-shard rebuild (not node-level insert/delete)
-    * is the deliberate choice: HNSW deletes need tombstones + periodic
-    * rebuild anyway (hnswlib/Milvus both), levels are key-hashed so a
-    * rebuild reproduces surviving nodes' levels, and shard-sized rebuild
-    * cost is the same bounded class as the cell re-encodes. Runs inside
-    * the caller's index commit lock; VERSION stamps last (crash ⇒ stale
-    * ⇒ exact-scan fallback, buildIndex recovers). */
+  /** HNSW's per-commit maintenance — the GROWING-TAIL design (Milvus's
+    * own growing/sealed-segment architecture, re-expressed on the keyed
+    * store): a commit does NOT rebuild graphs. It only bumps the tail
+    * estimate (one tiny count of the batch) — searches keep serving
+    * from the index the whole time, because the graph arm takes live
+    * rows with `seq ≤ S_b` and an exact TAIL arm scans the churned
+    * buckets' rows with `seq > S_b`, and those two sets partition the
+    * live snapshot EXACTLY whatever committed since the build:
+    *
+    *   - every live row with seq ≤ S_b is in its shard's graph (the
+    *     build invariant: S_b was the seq high-water mark when the
+    *     graphs last covered the whole store, and a key once deleted
+    *     only returns with a HIGHER seq, so surviving old rows are
+    *     exactly the graph nodes that are still live);
+    *   - every live row with seq > S_b lives in a bucket whose
+    *     write-once dir postdates the build — `bucketsChangedSince`
+    *     bounds the tail scan to those directories;
+    *   - a key overwritten since the build has live seq > S_b: its
+    *     STALE graph copy is dropped by the graph arm's seq filter and
+    *     its live row comes from the tail — counted exactly once;
+    *   - a key deleted since the build simply fails the live-store join.
+    *
+    * When the tail estimate crosses [[GraftClient.HnswTailFoldRatio]] of
+    * the graph rows, the commit FOLDS: rebuilds only the changed
+    * buckets' graphs from current content and advances S_b ([[
+    * foldHnswTail]]) — so maintenance cost scales with CHURN SINCE LAST
+    * FOLD, amortized, never with per-commit touched-shard rebuilds (a
+    * 1-row commit used to pay a shard rebuild; now it pays a count).
+    * Whole-shard rebuild at fold (not node-level insert/delete) stays
+    * the deliberate choice: HNSW deletes need tombstones + periodic
+    * rebuild anyway, and key-hashed levels make rebuilds reproducible.
+    * Crash-safety: a fold that dies mid-overwrite leaves mixed old/new
+    * shard dirs — all readable, all sound under the OLD S_b (rebuilding
+    * from newer content only ADDS coverage), and the stale meta makes
+    * the next commit retry the fold. Pre-tail layouts (no hnsw_meta)
+    * keep the original per-commit touched-shard rebuild. */
   private def refreshHnswIncremental(m: CollectionMeta, preVersion: Option[Long],
       newVersion: Long, touchKeys: DataFrame, preImage: DataFrame,
       puts: Option[DataFrame]): Unit =
     readVersionFile(ivfDir(m)) match {
-      case Some(v) if preVersion.contains(v) && indexableMetric(m.metric) =>
-        val keys = touchKeys.distinct().persist()
-        try {
-          val touchedShards = keys
-            .select(pmod(xxhash64(col("key")), lit(m.buckets.toLong))
-              .cast("int").as("__s"))
-            .distinct().collect().map(_.getInt(0)).toSet
-          if (touchedShards.nonEmpty) {
-            val survivors = preImage.join(keys, Seq("key"), "left_anti")
-            val contents = puts.fold(survivors)(p =>
-              survivors.unionByName(p.select(survivors.columns.map(col).toIndexedSeq: _*)))
-            // localCheckpoint: the rebuild is read twice (written-shard
-            // listing + the write) and a graph build is the expensive
-            // part — materialize once, bounded by the touched shards
-            val rebuilt = HnswIndex.buildShards(
-                contents.withColumn("__assign", assignSpace(m)(col("vec")))
-                  .select(col("key"), col("__assign")),
-                "__assign", m.buckets, m.hnswM, m.hnswEfC)
-              .localCheckpoint()
-            val written = rebuilt.select("shard").distinct()
-              .collect().map(_.getInt(0)).toSet
-            rebuilt.write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .option("compression", "uncompressed") // match writeShards
-              .partitionBy("shard").parquet(hnswGraphsPath(m))
-            // a shard whose every row was deleted writes no graph row —
-            // drop its directory or the dead graph would keep serving
-            (touchedShards -- written).foreach { s =>
-              deleteDir(s"${hnswGraphsPath(m)}/shard=$s")
-            }
-          }
-          stampIndexVersion(m, newVersion)
-        } finally keys.unpersist()
-      case _ => () // never built, or already stale — exact-scan fallback
+      case Some(vB) if indexableMetric(m.metric) =>
+        readHnswMeta(m) match {
+          case Some(meta0) =>
+            val batchRows = touchKeys.count()
+            val meta = meta0.copy(tailEst = meta0.tailEst + batchRows)
+            if (meta.tailEst.toDouble >=
+                GraftClient.HnswTailFoldRatio * math.max(1L, meta.graphRows))
+              foldHnswTail(m, newVersion)
+            else writeHnswMeta(m, meta) // O(1) commit — VERSION stays at
+                                        // the build version; the tail
+                                        // arm covers everything since
+          case None if preVersion.contains(vB) =>
+            legacyHnswRebuild(m, newVersion, touchKeys, preImage, puts)
+          case None => () // legacy layout already stale — exact fallback
+        }
+      case _ => () // never built — nothing to maintain
     }
+
+  /** Fold the growing tail into the graphs: rebuild ONLY the buckets
+    * changed since the last build/fold (their current content — puts,
+    * moves, and deletions all land by construction), advance S_b to the
+    * CURRENT seq high-water mark, reset the tail. Rows of a commit
+    * racing this fold carry seq > the S_b we record (seq allocation is
+    * monotone past it), so they fall into the NEW tail — never claimed
+    * covered. Runs under the index commit lock (callers hold it). */
+  private def foldHnswTail(m: CollectionMeta, stampVersion: Long): Unit = {
+    val coll = collection(m)
+    val sNew = coll.maxSeq
+    val vB = readVersionFile(ivfDir(m)).getOrElse(return)
+    val changed = coll.bucketsChangedSince(vB)
+    if (changed.nonEmpty) {
+      // localCheckpoint: the rebuild is read twice (written-shard
+      // listing + the write) and graph builds are the expensive part
+      val rebuilt = HnswIndex.buildShards(
+          coll.readBuckets(spark, changed)
+            .withColumn("__assign", assignSpace(m)(col("vec")))
+            .select(col("key"), col("__assign")),
+          "__assign", m.buckets, m.hnswM, m.hnswEfC)
+        .localCheckpoint()
+      val written = rebuilt.select("shard").distinct()
+        .collect().map(_.getInt(0)).toSet
+      rebuilt.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "uncompressed") // match writeShards
+        .partitionBy("shard").parquet(hnswGraphsPath(m))
+      // a changed bucket whose every row was deleted writes no graph
+      // row — drop its directory or the dead graph would keep serving
+      // (harmless — the live join drops its hits — but pure waste)
+      (changed.toSet -- written).foreach { s =>
+        deleteDir(s"${hnswGraphsPath(m)}/shard=$s")
+      }
+    }
+    stampIndexVersion(m, stampVersion)
+    val graphRows = HnswIndex.loadShards(spark, hnswGraphsPath(m))
+      .agg(sum(col("n"))).head().getLong(0)
+    // meta LAST: a crash anywhere above leaves the old (smaller) S_b —
+    // a sound, merely wider tail — and the next commit retries the fold
+    writeHnswMeta(m, HnswMeta(sNew, graphRows, 0L))
+    graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
+  }
+
+  /** The pre-tail per-commit rebuild, kept verbatim for layouts built
+    * before hnsw_meta existed (their stamp-equals-current freshness
+    * contract still holds). */
+  private def legacyHnswRebuild(m: CollectionMeta, newVersion: Long,
+      touchKeys: DataFrame, preImage: DataFrame,
+      puts: Option[DataFrame]): Unit = {
+    val keys = touchKeys.distinct().persist()
+    try {
+      val touchedShards = keys
+        .select(pmod(xxhash64(col("key")), lit(m.buckets.toLong))
+          .cast("int").as("__s"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      if (touchedShards.nonEmpty) {
+        val survivors = preImage.join(keys, Seq("key"), "left_anti")
+        val contents = puts.fold(survivors)(p =>
+          survivors.unionByName(p.select(survivors.columns.map(col).toIndexedSeq: _*)))
+        val rebuilt = HnswIndex.buildShards(
+            contents.withColumn("__assign", assignSpace(m)(col("vec")))
+              .select(col("key"), col("__assign")),
+            "__assign", m.buckets, m.hnswM, m.hnswEfC)
+          .localCheckpoint()
+        val written = rebuilt.select("shard").distinct()
+          .collect().map(_.getInt(0)).toSet
+        rebuilt.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .option("compression", "uncompressed")
+          .partitionBy("shard").parquet(hnswGraphsPath(m))
+        (touchedShards -- written).foreach { s =>
+          deleteDir(s"${hnswGraphsPath(m)}/shard=$s")
+        }
+      }
+      stampIndexVersion(m, newVersion)
+    } finally keys.unpersist()
+  }
 
   /** Distributed per-query cell probe: cells chosen executor-side against
     * the broadcast probe centers — no driver loop over the query set. The
@@ -2605,8 +2767,9 @@ class GraftClient(spark: SparkSession, root: String,
     // a graph emits only its beam, which has no keyset to resume from.
     if (filter.isEmpty && gate.isEmpty && cursorDist.isEmpty &&
         !pinnedNoIndex && !forceCellScan)
-      liveHnswVersion(pm, coll) match {
-        case Some(v) => return hnswScored(pm, coll, v, qvec, depth, refine, ef)
+      hnswServable(pm, coll) match {
+        case Some((vB, hm)) =>
+          return hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
         case None => ()
       }
     liveIdx match {
@@ -2871,25 +3034,42 @@ class GraftClient(spark: SparkSession, root: String,
     * oracle-pinning trick the PQ path established). Recall is governed
     * by `ef`: ef >= the largest shard makes the walk provably
     * exhaustive (layer-0 connectivity is repaired at build), the
-    * exact-search fallback role nprobe = nlist plays for IVF. */
+    * exact-search fallback role nprobe = nlist plays for IVF.
+    *
+    * GROWING TAIL (see [[refreshHnswIncremental]]): the graph arm keeps
+    * only candidates whose LIVE row has seq ≤ S_b (a stale graph copy
+    * of an overwritten key must not rank — its live row comes from the
+    * tail), and rows committed since the build are exact-scanned from
+    * the changed buckets' directories. With no commits since the last
+    * build/fold the tail is empty and the plan is the pure graph
+    * scatter-gather. */
   private def hnswScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
-      version: Long, qvec: Array[Float], depth: Int, refine: Int,
+      vB: Long, hm: HnswMeta, qvec: Array[Float], depth: Int, refine: Int,
       ef: Int): DataFrame = {
     val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
-    val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), version,
+    val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
       () => HnswIndex.loadShards(spark, hnswGraphsPath(pm)))
     val pool = depth * refine
     val efEff = if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * depth)
     val cand = HnswIndex.searchShards(shards, qa,
         math.max(efEff, pool), perShard = pool,
-        cacheTag = s"${hnswGraphsPath(pm)}@$version")
+        cacheTag = s"${hnswGraphsPath(pm)}@$vB")
       .orderBy(col("adist"), col("key"))
       .limit(pool)
       .select(col("key"))
-    coll.read(spark).join(broadcast(cand), Seq("key"))
+    val graphArm = coll.read(spark).join(broadcast(cand), Seq("key"))
+      .filter(col("seq") <= hm.maxSeq)
       .select(col("key").as("vector_key"),
         distanceCol(pm.metric, qvec).as("distance"),
         col("meta").as("metadata"))
+    val changed = coll.bucketsChangedSince(vB)
+    if (changed.isEmpty) graphArm
+    else graphArm.unionByName(
+      coll.readBuckets(spark, changed)
+        .filter(col("seq") > hm.maxSeq)
+        .select(col("key").as("vector_key"),
+          distanceCol(pm.metric, qvec).as("distance"),
+          col("meta").as("metadata")))
   }
 
   /** Range search — Milvus `radius`/`range_filter` search params: every
@@ -3890,7 +4070,15 @@ class GraftClient(spark: SparkSession, root: String,
         stamped.getOrElse(-1L), current.getOrElse(-1L))
     }
     val ivf =
-      if (hnswIndexed(m)) Seq(row("HNSW", "vec", ivfDir(m)))
+      if (hnswIndexed(m))
+        // tail-era HNSW serves index-backed searches at ANY snapshot
+        // (graph arm + growing tail) — fresh = servable, not
+        // stamp-equals-current; stamped_version still shows the fold
+        // point for operators watching tail growth
+        Seq((("HNSW", "vec",
+          hnswServable(m, collection(m)).isDefined,
+          readVersionFile(ivfDir(m)).getOrElse(-1L),
+          collection(m).currentVersion.getOrElse(-1L))))
       else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
       else Seq(row(
         if (sq8Indexed(m)) "IVF_SQ8"
@@ -4037,16 +4225,16 @@ class GraftClient(spark: SparkSession, root: String,
     // stage shape as the SQ8/PQ arms. A filter routes to the exact
     // product (the walk cannot pre-filter; single-query search makes the
     // same call).
-    val hnswV: Option[Long] =
+    val hnswV: Option[(Long, HnswMeta)] =
       if (forceExact || filter.isDefined || nQ > 100000L) None
-      else liveHnswVersion(m, coll)
+      else hnswServable(m, coll)
     (hnswV match {
-      case Some(v) =>
+      case Some((vB, hm)) =>
         val queriesArr = q.collect().map { r =>
           val a = r.getSeq[Float](1).toArray
           (r.getLong(0), if (m.metric == "cosine") normalizeQuery(a) else a)
         }
-        val shards = loadedIndexFrame(coll, hnswGraphsPath(m), v,
+        val shards = loadedIndexFrame(coll, hnswGraphsPath(m), vB,
           () => HnswIndex.loadShards(spark, hnswGraphsPath(m)))
         val pool = k * refine
         val efEff = math.max(
@@ -4057,14 +4245,25 @@ class GraftClient(spark: SparkSession, root: String,
           if (nQ <= 100000L / math.max(1L, k.toLong * refine)) broadcast
           else identity
         val stage1 = HnswIndex.searchShardsBatch(shards, queriesArr, efEff,
-            perShard = pool, cacheTag = s"${hnswGraphsPath(m)}@$v")
+            perShard = pool, cacheTag = s"${hnswGraphsPath(m)}@$vB")
           .groupBy(col("qid"))
           .agg(VectorAggregates.topKDocs(pool)(col("adist"), col("key"),
             typedLit(Map.empty[String, String])).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
           .select(col("qid"), col("h.key").as("key"))
-        coll.read(spark).join(hintStage1(stage1), Seq("key"))
+        // graph arm: live rows the graphs cover (seq ≤ S_b); tail arm:
+        // rows committed since, exact candidates for EVERY query — the
+        // same live-set partition the single-query path takes
+        val graphArm = coll.read(spark).join(hintStage1(stage1), Seq("key"))
+          .filter(col("seq") <= hm.maxSeq)
           .join(hintQ(q), Seq("qid"))
+        val changed = coll.bucketsChangedSince(vB)
+        if (changed.isEmpty) graphArm
+        else graphArm.select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+          .unionByName(
+            coll.readBuckets(spark, changed).filter(col("seq") > hm.maxSeq)
+              .crossJoin(hintQ(q))
+              .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta")))
       case None =>
     ((if (forceExact) None else liveIndex(m, coll)) match {
       case Some(idx) if sq8Indexed(m) =>
@@ -5550,6 +5749,13 @@ object GraftClient {
     * falls off a cliff when ef approaches k, so the auto-pick keeps a
     * 4·depth margin with a floor of 64 (the hnswlib guidance). */
   val DefaultHnswEf: Int = 64
+
+  /** Growing-tail fold threshold: a commit folds the HNSW tail back
+    * into the graphs once the estimated tail reaches this fraction of
+    * the graph rows. Below it, commits cost O(1) on the index and
+    * searches pay an exact scan over at most this fraction of the
+    * corpus (bounded to the churned buckets' directories). */
+  val HnswTailFoldRatio: Double = 0.2
 
   /** Milvus `consistency_level` values accepted at create and as the
     * per-read override. Mapping to this engine (commits are synchronous

@@ -127,6 +127,25 @@ class BucketedKeyedCollection(root: String, schema: StructType, keyCol: String,
   /** Seq high-water mark of the latest snapshot — no index scan needed. */
   def maxSeq: Long = current.map(_.maxSeq).getOrElse(0L)
 
+  /** Seq high-water mark of the snapshot at `version` — what an index
+    * build pins so later readers can split rows into "covered by the
+    * build" (seq ≤ this) vs "committed after it" (the growing tail).
+    * Requires the version's manifest to still exist (retained or
+    * current). */
+  def maxSeqAt(version: Long): Long = readManifest(version).maxSeq
+
+  /** Buckets whose CURRENT dir was written by a commit AFTER
+    * `sinceVersion` — parsed off the write-once `b<bucket>-v<version>`
+    * dir names in the CURRENT manifest alone, so the answer needs no
+    * retained history however far back `sinceVersion` is. This bounds
+    * "rows changed since" scans to the churned buckets' directories.
+    * (A bucket EMPTIED since then is absent from the manifest and not
+    * listed — it has no rows to scan.) */
+  def bucketsChangedSince(sinceVersion: Long): Seq[Int] =
+    current.map(_.buckets.collect {
+      case (b, rel) if rel.substring(rel.lastIndexOf("-v") + 2).toLong > sinceVersion => b
+    }.toSeq.sorted).getOrElse(Nil)
+
   private def emptyDf(spark: SparkSession): DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
