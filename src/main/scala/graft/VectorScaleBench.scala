@@ -450,6 +450,12 @@ object VectorScaleBench {
     hnswOnce(64)
     val hnswLoadedSec = math.min(time(hnswOnce(64)), time(hnswOnce(64)))
     hnswClient.releaseCollection("benchhnsw")
+    // r12 growing tail: a 1000-key commit is O(1) on the index (tail
+    // estimate bump — no graph I/O); the search stays graph-served with
+    // the 1000 tail rows exact-scanned. The FOLD row prices the
+    // amortized seal (compact rebuilds only the changed buckets'
+    // graphs) — the cost that under the retired per-commit-rebuild
+    // policy every small commit paid up front.
     val hnswMaintT0 = System.nanoTime()
     hnswClient.upsert("benchhnsw", cvecs.limit(1000)
       .select(concat(lit("m"), col("vec_id").cast("string")).as("key"),
@@ -457,6 +463,15 @@ object VectorScaleBench {
     val hnswMaintSec = (System.nanoTime() - hnswMaintT0) / 1e9
     val stillHnsw = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
       .queryExecution.executedPlan.toString.contains("MapPartitions")
+    val hnswTailIds = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
+      .collect().map(_.getString(0)).toSeq
+    val hnswFoldT0 = System.nanoTime()
+    val hnswFolded = hnswClient.compact("benchhnsw")
+      .exists(a => a._2 == "hnsw")
+    val hnswFoldSec = (System.nanoTime() - hnswFoldT0) / 1e9
+    // the fold must not change what the search returns (same live set)
+    val hnswFoldParity = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
+      .collect().map(_.getString(0)).toSeq == hnswTailIds
 
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
@@ -589,6 +604,9 @@ object VectorScaleBench {
         s""""client_hnsw_recall_ef256":$hnswRecall256,""" +
         s""""client_hnsw_maint_commit_sec":$hnswMaintSec,""" +
         s""""client_hnsw_fresh_after_maint":$stillHnsw,""" +
+        s""""client_hnsw_fold_sec":$hnswFoldSec,""" +
+        s""""client_hnsw_folded":$hnswFolded,""" +
+        s""""client_hnsw_fold_parity":$hnswFoldParity,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +
