@@ -1801,18 +1801,11 @@ class GraftClient(spark: SparkSession, root: String,
   /** Whether the collection's index carries HNSW graph shards. The HNSW
     * layout has no cells/centroid tables — [[loadIndex]] returns None
     * for it and the graph surfaces resolve freshness through
-    * [[liveHnswVersion]] against the same VERSION stamp under the same
+    * [[hnswServable]] against the same VERSION stamp under the same
     * commit lock. */
   private def hnswIndexed(m: CollectionMeta): Boolean =
     m.indexType == "HNSW" &&
       java.nio.file.Files.exists(java.nio.file.Paths.get(hnswGraphsPath(m)))
-
-  /** The HNSW layout's stamped version IF it matches the store's current
-    * snapshot — the graph family's [[liveIndex]]. */
-  private def liveHnswVersion(m: CollectionMeta,
-      coll: BucketedKeyedCollection): Option[Long] =
-    if (!hnswIndexed(m)) None
-    else readVersionFile(ivfDir(m)).filter(coll.currentVersion.contains)
 
   /** HNSW growing-tail bookkeeping (`hnsw_meta` beside the VERSION
     * stamp): `maxSeq` is the seq high-water mark the graphs COVER (S_b —
@@ -2083,14 +2076,15 @@ class GraftClient(spark: SparkSession, root: String,
         HnswIndex.buildShards(snapshot, "__assign", m.buckets,
           m.hnswM, m.hnswEfC),
         hnswGraphsPath(m))
-      stampIndexVersion(m, version)
       // growing-tail bookkeeping: S_b = the pinned snapshot's seq
       // high-water mark (NOT the possibly-newer current one — rows of a
       // commit racing this build must land in the tail, not be claimed
       // covered). graphRows off the just-written 1-row-per-shard layout.
+      // Meta BEFORE the version stamp — see foldHnswTail's ordering note.
       val graphRows = HnswIndex.loadShards(spark, hnswGraphsPath(m))
         .agg(sum(col("n"))).head().getLong(0)
       writeHnswMeta(m, HnswMeta(coll.maxSeqAt(version), graphRows, 0L))
+      stampIndexVersion(m, version)
       invalidateIndexCaches(m.name)
       graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
     }
@@ -2212,7 +2206,7 @@ class GraftClient(spark: SparkSession, root: String,
 
   private def loadIndex(m: CollectionMeta): Option[LoadedIndex] =
     // HNSW layouts have no centroid tables to load — their freshness
-    // resolves through liveHnswVersion, and every LoadedIndex consumer
+    // resolves through hnswServable, and every LoadedIndex consumer
     // (cell prunes, quantized stages) correctly sees "no IVF index"
     if (m.indexType == "HNSW") None
     else readVersionFile(ivfDir(m)).map { v =>
@@ -2488,12 +2482,17 @@ class GraftClient(spark: SparkSession, root: String,
         deleteDir(s"${hnswGraphsPath(m)}/shard=$s")
       }
     }
-    stampIndexVersion(m, stampVersion)
     val graphRows = HnswIndex.loadShards(spark, hnswGraphsPath(m))
       .agg(sum(col("n"))).head().getLong(0)
-    // meta LAST: a crash anywhere above leaves the old (smaller) S_b —
-    // a sound, merely wider tail — and the next commit retries the fold
+    // meta BEFORE the version stamp, and readers resolve VERSION first:
+    // every interleaving then pairs a reader's (vB, S_b) as vB-at-least-
+    // as-old-as-S_b's-fold, whose changed-bucket set is a SUPERSET of
+    // what the tail needs — sound. The reverse order had a window where
+    // a new stamp narrowed the bucket set while the old S_b widened the
+    // seq band, losing the rows in between. Crash between the two
+    // writes: new meta + old stamp = the same sound superset.
     writeHnswMeta(m, HnswMeta(sNew, graphRows, 0L))
+    stampIndexVersion(m, stampVersion)
     graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
   }
 
@@ -3349,11 +3348,13 @@ class GraftClient(spark: SparkSession, root: String,
                    nprobe: Int = 4, refine: Int = 4, offset: Int = 0,
                    partitions: Seq[String] = Nil,
                    outputFields: Seq[String] = Nil,
-                   consistencyLevel: String = ""): DataFrame = {
+                   consistencyLevel: String = "",
+                   ef: Int = 0): DataFrame = {
     val (pred, gates) = MilvusFilter.parseWithMatches(filter)
     search(name, qvec, k, filter = pred, nprobe = nprobe, refine = refine,
       offset = offset, partitions = partitions, matchGates = gates,
-      outputFields = outputFields, consistencyLevel = consistencyLevel)
+      outputFields = outputFields, consistencyLevel = consistencyLevel,
+      ef = ef) // Milvus search_params {"ef": N} — HNSW's beam knob
   }
 
   /** One-call Milvus `client.query(filter="…", limit=…)` with the full
