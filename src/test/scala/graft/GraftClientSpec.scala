@@ -134,6 +134,45 @@ class GraftClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hit.getAs[Map[String, String]]("metadata")("category") == "bin")
   }
 
+  test("streamed ingest into an HNSW collection: index-served via the growing tail") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hnswstream").toString
+    val client = new GraftClient(spark, root)
+    val emb = graft.ingest.HashingEmbedder(8)
+    client.createCollection("hns", dim = 8, indexType = "HNSW", buckets = 4)
+    val seed = (0 until 120).map(i => (s"s$i",
+      (1 to 8).map(j => math.sin(i * 0.7 + j * 1.31).toFloat),
+      Map.empty[String, String]))
+    client.upsert("hns", seed.toDF("key", "vec", "meta"))
+    client.buildIndex("hns", nlist = 0)
+
+    val objects = Seq(
+      ("doc-a", "alpha content for the hnsw stream".getBytes("UTF-8")),
+      ("doc-b", "a rather different beta payload".getBytes("UTF-8")))
+      .toDF("key", "bytes")
+    writeLanding(s"$root/landing", "events.json",
+      Seq(notif("ObjectCreated:Put", "doc-a"),
+        notif("ObjectCreated:Put", "doc-b")), System.currentTimeMillis())
+    client.startIngest("hns", s"$root/landing", objects, embedder = emb)
+      .awaitTermination(120000)
+
+    // the micro-batch commits did NOT rebuild graphs (growing tail: the
+    // stamp lags current) yet the collection stays index-served...
+    val idx = client.listIndexes("hns").filter(col("kind") === "HNSW").head()
+    assert(idx.getBoolean(2), "HNSW must stay servable across streamed commits")
+    assert(idx.getLong(3) < idx.getLong(4),
+      "stamp must lag current — streamed commits must not pay rebuilds")
+    val q = emb.embedBytes("alpha content for the hnsw stream".getBytes("UTF-8"))
+    val df = client.search("hns", q, k = 1, ef = 200, refine = 130)
+    assert(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "search must still ride the graph scatter-gather")
+    // ...and the streamed doc — which NO graph has ever seen — is found
+    // exactly, through the tail arm
+    val hit = df.head()
+    assert(hit.getAs[String]("vector_key") == "doc-a")
+    assert(hit.getAs[Double]("distance") < 1e-6, "self-query must be ~0")
+  }
+
   test("streamed ingest keeps an IVF_PQ collection's ADC path fresh") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-pqstream").toString
