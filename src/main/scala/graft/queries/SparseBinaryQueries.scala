@@ -183,8 +183,46 @@ object SparseBinaryQueries {
     "binary_jaccard" -> binaryJaccard _,
     "sparse_dot_topk" -> sparseDotTopK _,
     "sparse_index_topk" -> sparseIndexTopK _,
-    "hybrid_dense_sparse" -> hybridDenseSparse _
+    "hybrid_dense_sparse" -> hybridDenseSparse _,
+    "knn_hamming_ivf" -> knnHammingIvf _
   )
+
+  /** Per-JVM at-rest BIN_IVF_FLAT layout over the sign-binarized
+    * embeddings (the postingsFor pattern: build once per (dir, process),
+    * every run rides the partitioned layout). */
+  private val binIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.index.BinIvfIndex.BinQuantizer)]()
+
+  private def binIvfFor(spark: SparkSession, dir: String)
+      : (String, graft.index.BinIvfIndex.BinQuantizer) =
+    binIvfCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-binivf").toString
+      val codes = t(spark, d, "embeddings")
+        .select(col("vec_id"), pack_sign_bits(col("embedding")).as("codes"))
+      val (indexed, quant) = graft.index.BinIvfIndex.build(codes, "codes", nlist = 8)
+      graft.index.BinIvfIndex.writeIndexed(indexed, p)
+      (p, quant)
+    })
+
+  /** B7 (r12) — Milvus `BIN_IVF_FLAT` + HAMMING on the ORACLE path: the
+    * sign-binarized corpus at rest in k-majority Hamming cells, searched
+    * through the probe machinery at FULL probe (`nprobe = nlist` — the
+    * exact fallback, so the result is hash-comparable brute force; the
+    * prune's recall behavior is BinIvfSpec's domain). The plan must read
+    * the partitioned cell layout — a fall-through to the raw table would
+    * return identical values here, so the layout is asserted, not
+    * assumed. */
+  def knnHammingIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (path, quant) = binIvfFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
+    val df = graft.index.BinIvfIndex.searchHamming(
+      graft.index.BinIvfIndex.loadIndexed(spark, path), quant,
+      "codes", "vec_id", q, k = 10, nprobe = quant.nlist)
+    require(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "knn_hamming_ivf: search did not read the cell-partitioned layout")
+    df.orderBy(col("dist"), col("vec_id"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Per-position sign disagreement == packed-word Hamming (bijection on
@@ -198,6 +236,14 @@ object SparseBinaryQueries {
              FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
              GROUP BY e.vec_id, e.label)
          SELECT vec_id, dist, label FROM h ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hamming_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id)
+         SELECT vec_id, dist FROM h ORDER BY dist, vec_id LIMIT 10""",
     "binary_jaccard" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            h AS (
