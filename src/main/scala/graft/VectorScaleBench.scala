@@ -473,6 +473,43 @@ object VectorScaleBench {
     val hnswFoldParity = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
       .collect().map(_.getString(0)).toSeq == hnswTailIds
 
+    // BIN_IVF_FLAT (r12): 1M sign-binarized codes (64 dims → ONE long,
+    // 32× smaller than float32 at rest) in k-majority Hamming cells.
+    // iid sign patterns are the adversarial regime for the prune (like
+    // the float iid rows) — the numbers price the fused XOR+popcount
+    // scan and the layout, with recall measured, not assumed.
+    import graft.functions.BinaryVectorFunctions.{pack_sign_bits, hamming_distance}
+    val binCodes = cvecs.select(col("vec_id"),
+      pack_sign_bits(col("vec")).as("codes"))
+    val binDir = tmpDir("graft-scale-bin") + "/idx"
+    val binBuildT0 = System.nanoTime()
+    val (binIndexed, binQuant) = graft.index.BinIvfIndex.build(
+      binCodes, "codes", nlist = 64)
+    graft.index.BinIvfIndex.writeIndexed(binIndexed, binDir)
+    val binBuildSec = (System.nanoTime() - binBuildT0) / 1e9
+    val binAtRest = graft.index.BinIvfIndex.loadIndexed(spark, binDir)
+    val binBytes = dirBytes(binDir)
+    val cqBits = binCodes.filter(col("vec_id") === probeId)
+      .select("codes").head().getSeq[Long](0).toArray
+    def binExactOnce(): Seq[Long] =
+      graft.index.BinIvfIndex.searchHamming(binAtRest, binQuant, "codes",
+        "vec_id", cqBits, k = 10, nprobe = binQuant.nlist)
+        .collect().map(_.getLong(0)).toSeq
+    binExactOnce()
+    var binExactIds: Seq[Long] = Nil
+    val binExactSec = math.min(
+      time { binExactIds = binExactOnce() }, time { binExactIds = binExactOnce() })
+    def binPrunedOnce(): Seq[Long] =
+      graft.index.BinIvfIndex.searchHamming(binAtRest, binQuant, "codes",
+        "vec_id", cqBits, k = 10, nprobe = 4)
+        .collect().map(_.getLong(0)).toSeq
+    binPrunedOnce()
+    var binPrunedIds: Seq[Long] = Nil
+    val binPrunedSec = math.min(
+      time { binPrunedIds = binPrunedOnce() }, time { binPrunedIds = binPrunedOnce() })
+    val binRecall = binPrunedIds.count(binExactIds.contains).toDouble /
+      binExactIds.size
+
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
     // ~50): the geometry real corpora have (topic clusters), and the one
@@ -607,6 +644,11 @@ object VectorScaleBench {
         s""""client_hnsw_fold_sec":$hnswFoldSec,""" +
         s""""client_hnsw_folded":$hnswFolded,""" +
         s""""client_hnsw_fold_parity":$hnswFoldParity,""" +
+        s""""bin_ivf_build_sec":$binBuildSec,"bin_bytes":$binBytes,""" +
+        s""""bin_bytes_vs_float":${binBytes.toDouble / floatBytes},""" +
+        s""""bin_exact_scan_sec":$binExactSec,""" +
+        s""""bin_probe4of64_sec":$binPrunedSec,""" +
+        s""""bin_probe_recall_at10":$binRecall,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

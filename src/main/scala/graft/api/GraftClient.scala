@@ -4065,10 +4065,13 @@ class GraftClient(spark: SparkSession, root: String,
     import spark.implicits._
     val m = partMeta(metaOrThrow(name), partition)
     val current = collection(m).currentVersion
-    def row(kind: String, field: String, dir: String) = {
+    // `params` = the Milvus describe_index param dict for the kind —
+    // the DECLARED (create-time) values, read off the catalog and index
+    // METAs only; this surface stays driver-side with zero Spark jobs
+    def row(kind: String, field: String, dir: String, params: String) = {
       val stamped = readVersionFile(dir)
       (kind, field, stamped.isDefined && stamped == current,
-        stamped.getOrElse(-1L), current.getOrElse(-1L))
+        stamped.getOrElse(-1L), current.getOrElse(-1L), params)
     }
     val ivf =
       if (hnswIndexed(m))
@@ -4079,22 +4082,27 @@ class GraftClient(spark: SparkSession, root: String,
         Seq((("HNSW", "vec",
           hnswServable(m, collection(m)).isDefined,
           readVersionFile(ivfDir(m)).getOrElse(-1L),
-          collection(m).currentVersion.getOrElse(-1L))))
+          collection(m).currentVersion.getOrElse(-1L),
+          s"""{"M":${m.hnswM},"efConstruction":${m.hnswEfC}}""")))
       else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
-      else Seq(row(
-        if (sq8Indexed(m)) "IVF_SQ8"
-        else if (pqIndexed(m)) "IVF_PQ"
-        else "IVF_FLAT", "vec", ivfDir(m)))
+      else if (sq8Indexed(m))
+        Seq(row("IVF_SQ8", "vec", ivfDir(m), s"""{"nlist":${m.nlist}}"""))
+      else if (pqIndexed(m))
+        Seq(row("IVF_PQ", "vec", ivfDir(m),
+          s"""{"nlist":${m.nlist},"m":${m.pqM},"nbits":${m.pqNbits}}"""))
+      else Seq(row("IVF_FLAT", "vec", ivfDir(m), s"""{"nlist":${m.nlist}}"""))
     val text =
       if (!TextIndex.exists(textDir(m))) Nil
-      else Seq(row("TEXT", "text", textDir(m)))
+      else Seq(row("TEXT", "text", textDir(m),
+        s"""{"analyzer":"${TextIndex.analyzerOf(textDir(m)).serialize}"}"""))
     val sparse =
       if (!SparseIndex.exists(sparseIdxDir(m))) Nil
-      else Seq(row("SPARSE", "sparse", sparseIdxDir(m)))
+      else Seq(row("SPARSE", "sparse", sparseIdxDir(m), "{}"))
     val scalars = scalarIndexedFields(m).map(f =>
-      row("SCALAR", f, scalarFieldDir(m, f)))
+      row("SCALAR", f, scalarFieldDir(m, f), "{}"))
     (ivf ++ text ++ sparse ++ scalars)
-      .toDF("kind", "field", "fresh", "stamped_version", "current_version")
+      .toDF("kind", "field", "fresh", "stamped_version", "current_version",
+        "params")
   }
 
   /** Index observability: per-cell occupancy and radius of the CURRENT

@@ -182,6 +182,34 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally client.releaseCollection("hl")
   }
 
+  test("per-partition HNSW: scoped build/search ride that partition's graphs") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hp", dim = dim, indexType = "HNSW", buckets = 2)
+    client.createPartition("hp", "pa")
+    client.upsert("hp", rows(0 until 80).toDF("key", "vec", "meta"))
+    client.upsert("hp", rows(200 until 280).toDF("key", "vec", "meta"),
+      partition = "pa")
+    client.buildIndex("hp", nlist = 0, partitions = Seq("pa")) // only pa
+    val q = vec(222).toArray
+    val scoped = client.search("hp", q, k = 5, partitions = Seq("pa"),
+      ef = 80, refine = 16)
+    assert(scoped.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "the scoped search must ride pa's graphs")
+    val got = scoped.collect().map(_.getString(0)).toSeq
+    val exact = client.searchBatch("hp", Seq((0L, q.toSeq)).toDF("qid", "qvec"),
+        k = 5, forceExact = true, partitions = Seq("pa"))
+      .orderBy(col("distance"), col("vector_key"))
+      .collect().map(_.getString(1)).toSeq
+    assert(got == exact, s"scoped $got != exact $exact")
+    // per-partition index state: pa has the HNSW row with Milvus params,
+    // default has none (never built)
+    val pa = client.listIndexes("hp", partition = "pa").collect()
+    assert(pa.exists(r => r.getString(0) == "HNSW" &&
+      r.getString(5).contains("\"efConstruction\"")))
+    assert(!client.listIndexes("hp").collect().exists(_.getString(0) == "HNSW"))
+  }
+
   test("create-boundary validation") {
     val (client, _) = mkClient()
     // HNSW params rejected on other index types
