@@ -435,6 +435,68 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  // HNSW growing-tail client: built like hnswClientFor, then TWO
+  // post-build commits land (a new key carrying vec_id 1's embedding, a
+  // delete of vec_id 2's key) WITHOUT folding — so searches must serve
+  // graph arm ∪ tail arm to be exact.
+  private val hnswTailRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hnswTailClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = hnswTailRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-hnswtail").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embht", dim = dim, indexType = "HNSW", buckets = 8)
+      c.upsert("embht", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        typedLit(Map.empty[String, String]).as("meta")))
+      c.buildIndex("embht", nlist = 0)
+      // the growing tail: a new key (vec 1's embedding under id
+      // 88888888) and a delete — neither triggers the fold (2 rows vs
+      // ~corpus-size graph rows), so the graphs now MISS a live row and
+      // CARRY a dead one
+      c.upsert("embht", emb.filter(col("vec_id") === 1L).select(
+        lit("88888888").as("key"), col("embedding").as("vec"),
+        typedLit(Map.empty[String, String]).as("meta")))
+      c.deleteByKeys("embht", Seq("00000002"))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B5/C15 (r12): the HNSW GROWING TAIL on the ORACLE path — after the
+    * build, a new row and a delete committed WITHOUT a fold, so the
+    * exact answer is only reachable as graph arm (live rows the build
+    * covered) ∪ tail arm (the churned buckets' newer rows), with the
+    * deleted key dropped by the live join. ef ≥ corpus + a
+    * corpus-covering refine pool make both arms exhaustive, so the
+    * result hash-compares against a DuckDB twin expressing the same
+    * post-commit live set (UNION ALL the moved row, exclude the deleted
+    * id). Dispatch honesty is asserted twice: the plan must carry the
+    * graph scatter-gather, and the index stamp must LAG the store (a
+    * silent fold or rebuild would turn this into a pure-graph query and
+    * the tail arm would go untested). */
+  def knnHnswTail(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswTailClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count().toInt + 1
+    val idx = client.listIndexes("embht").filter(col("kind") === "HNSW").head()
+    require(idx.getBoolean(2) && idx.getLong(3) < idx.getLong(4),
+      "knn_hnsw_tail: the tail must be PENDING (servable, stamp lagging " +
+        "the store) — a fold here would leave the tail arm untested")
+    val df = client.search("embht", q, k = 10, ef = n,
+      refine = (n + 9) / 10)
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_tail: search did not ride the graph scatter-gather")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** B6/B8 (r11): the Milvus filtered count —
     * `client.query(filter=…, output_fields=["count(*)"])` — on the
     * ORACLE path, over the same client collection [[knnLoaded]] built
@@ -471,6 +533,7 @@ object VectorQueries {
     "knn_pq_iter" -> knnPqIter _,
     "knn_pq_batched" -> knnPqBatched _,
     "knn_hnsw_topk" -> knnHnsw _,
+    "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
@@ -533,6 +596,14 @@ object VectorQueries {
     "knn_hnsw_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hnsw_tail" ->
+      s"""WITH live AS (
+            SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
+            UNION ALL
+            SELECT 88888888 AS vec_id, embedding FROM embeddings WHERE vec_id = 1),
+          q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+          SELECT l.vec_id, list_distance(l.embedding::DOUBLE[], q.qvec) AS dist
+          FROM live l, q ORDER BY dist, vec_id LIMIT 10""",
     "knn_pq_iter" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 500""",
