@@ -187,8 +187,32 @@ class GraftClient(spark: SparkSession, root: String,
   private val rowSchema = StructType.fromDDL(
     "key STRING, vec ARRAY<FLOAT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
 
+  /** BINARY_VECTOR collections store packed sign bits — 64 dims per
+    * 64-bit word, the layout [[graft.functions.BinaryVectorFunctions]]'
+    * fused XOR+popcount kernels read — under the same column names, so
+    * every vec-agnostic surface (upsert/delete/get/fetch/queryWhere/
+    * partitions/aliases/consistency) works unchanged on both families. */
+  private val binRowSchema = StructType.fromDDL(
+    "key STRING, vec ARRAY<BIGINT>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
+
+  private def binaryVec(m: CollectionMeta): Boolean =
+    m.vectorType == "BINARY_VECTOR"
+
+  /** Packed 64-bit words per binary vector: Milvus binary `dim` counts
+    * BITS; the at-rest layout packs 64 per word. */
+  private def binWords(dim: Int): Int = (dim + 63) / 64
+
+  /** Guard for the float-vector query surfaces: a binary collection's
+    * vectors are packed words, and silently accepting a float query
+    * would rank garbage — route the caller to [[searchBinary]]. */
+  private def requireFloatVec(m: CollectionMeta, op: String): Unit =
+    require(!binaryVec(m),
+      s"'${m.name}' is a BINARY_VECTOR collection — $op takes float " +
+        "query vectors; use searchBinary (packed 64-bit words) instead")
+
   private def collection(meta: CollectionMeta) = {
-    val c = new BucketedKeyedCollection(meta.dataPath, rowSchema, "key", meta.buckets,
+    val c = new BucketedKeyedCollection(meta.dataPath,
+      if (binaryVec(meta)) binRowSchema else rowSchema, "key", meta.buckets,
       retain = meta.retain)
     // Data written by the pre-bucketed KeyedCollection layout migrates
     // transparently on first open (one all-buckets rewrite) — the catalog
@@ -291,15 +315,39 @@ class GraftClient(spark: SparkSession, root: String,
                        pqNbits: Int = 8,
                        consistencyLevel: String = "Strong",
                        hnswM: Int = 0,
-                       efConstruction: Int = 0): Boolean = {
+                       efConstruction: Int = 0,
+                       vectorType: String = "FLOAT_VECTOR"): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
-    require(Set("l2", "cosine", "dot").contains(metric),
-      s"metric must be one of l2, cosine, dot (got '$metric')")
-    require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW").contains(indexType),
-      s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ, HNSW (got '$indexType')")
+    require(Set("FLOAT_VECTOR", "BINARY_VECTOR").contains(vectorType),
+      s"vectorType must be FLOAT_VECTOR or BINARY_VECTOR (got '$vectorType')")
+    if (vectorType == "BINARY_VECTOR") {
+      // Milvus BINARY_VECTOR: dim is in BITS and must be a multiple of 8
+      // (the engine additionally packs 64/word — a non-multiple-of-64 dim
+      // is fine, the upsert boundary zero-checks the pad bits); metrics
+      // are the binary pair; the only index family is BIN_IVF_FLAT, and
+      // it prunes in HAMMING space (k-majority centers minimize summed
+      // Hamming distance — there is no analogous closed-form Jaccard
+      // center), so jaccard collections stay FLAT/exact by construction.
+      require(dim % 8 == 0,
+        s"BINARY_VECTOR dim counts BITS and must be a multiple of 8 " +
+          s"(got $dim) — Milvus enforces the same")
+      require(Set("hamming", "jaccard").contains(metric),
+        s"BINARY_VECTOR metric must be hamming or jaccard (got '$metric')")
+      require(Set("FLAT", "BIN_IVF_FLAT").contains(indexType),
+        s"BINARY_VECTOR indexType must be FLAT or BIN_IVF_FLAT (got '$indexType')")
+      require(indexType != "BIN_IVF_FLAT" || metric == "hamming",
+        "BIN_IVF_FLAT prunes in Hamming space (k-majority cells) — a " +
+          "jaccard collection stays FLAT (exact scans); create it with " +
+          "indexType = FLAT")
+    } else {
+      require(Set("l2", "cosine", "dot").contains(metric),
+        s"metric must be one of l2, cosine, dot (got '$metric')")
+      require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW").contains(indexType),
+        s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ, HNSW (got '$indexType')")
+    }
     require(nlist >= 0, s"nlist must be >= 0 (got $nlist)")
     // Milvus IVF_PQ takes `m` (subquantizers) with dim % m == 0; 0 =
     // auto-pick via PqIndex.defaultM (largest m ≤ 64 dividing dim with
@@ -381,7 +429,8 @@ class GraftClient(spark: SparkSession, root: String,
       else 0,
       if (indexType == "HNSW")
         (if (efConstruction > 0) efConstruction else GraftClient.DefaultHnswEfC)
-      else 0)
+      else 0,
+      vectorType)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -976,19 +1025,39 @@ class GraftClient(spark: SparkSession, root: String,
     // for the same keys — a literal makes every recomputation bit-identical
     val batchTs = new java.sql.Timestamp(System.currentTimeMillis())
     val decorated = puts.map { df =>
+      // assert_dim is null-PROPAGATING (nullSafeEval never runs on
+      // null), so a null vec — e.g. an embedder returning null for a
+      // null payload — would commit and then rank first in every
+      // search (ASC NULLS FIRST) with a null distance, and NPE the
+      // index maintenance collect. Reject at the boundary like null
+      // keys; callers wanting skip semantics filter first (the
+      // streaming loop does — the reference's 400-per-event arm).
+      val nullChecked = when(col("vec").isNull, raise_error(lit(
+        "null vec in write batch — embedding failed or payload " +
+          "missing; filter null vecs before upserting")))
+      val vecChecked =
+        if (!binaryVec(m)) nullChecked.otherwise(assert_dim(col("vec"), m.dim))
+        else {
+          // binary boundary: exactly ceil(dim/64) packed words, and any
+          // bits past `dim` in the last word must be ZERO — the Hamming/
+          // Jaccard kernels read whole words, so a stray pad bit would
+          // silently shift every distance this row ever scores
+          val words = binWords(m.dim)
+          val sized = nullChecked.when(size(col("vec")) =!= words,
+            raise_error(concat(
+              lit(s"binary vec needs $words packed 64-bit words for " +
+                s"dim ${m.dim} bits, got "), size(col("vec")).cast("string"))))
+          if (m.dim % 64 == 0) sized.otherwise(col("vec"))
+          else sized.when(
+            element_at(col("vec"), lit(words))
+              .bitwiseAND(lit(-1L << (m.dim % 64))) =!= 0L,
+            raise_error(lit(s"bits past dim ${m.dim} must be zero in " +
+              "the last packed word")))
+            .otherwise(col("vec"))
+        }
       val typed = df.select(
         requireKey(col("key")).as("key"),
-        // assert_dim is null-PROPAGATING (nullSafeEval never runs on
-        // null), so a null vec — e.g. an embedder returning null for a
-        // null payload — would commit and then rank first in every
-        // search (ASC NULLS FIRST) with a null distance, and NPE the
-        // index maintenance collect. Reject at the boundary like null
-        // keys; callers wanting skip semantics filter first (the
-        // streaming loop does — the reference's 400-per-event arm).
-        when(col("vec").isNull, raise_error(lit(
-          "null vec in write batch — embedding failed or payload " +
-            "missing; filter null vecs before upserting")))
-          .otherwise(assert_dim(col("vec"), m.dim)).as("vec"),
+        vecChecked.as("vec"),
         coalesce(col("meta"), map()).as("meta"))
       IngestOps.upsertLatest(typed, col("key"),
           xxhash64(col("key"), col("vec"), to_json(col("meta"))), lit(0))
@@ -1173,6 +1242,14 @@ class GraftClient(spark: SparkSession, root: String,
         loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
           () => HnswIndex.loadShards(spark, hnswGraphsPath(pm))).count()
       }
+      // BIN_IVF_FLAT warms its cell layout (liveIndex is None for binary
+      // collections too — freshness resolves through loadBinIndex)
+      loadBinIndex(pm).filter { case (_, v) => coll.currentVersion.contains(v) }
+        .foreach { case (_, v) =>
+          loadedIndexFrame(coll, cellsPath(pm), v,
+            () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
+            .count()
+        }
       n
     }.sum
   }
@@ -1484,6 +1561,7 @@ class GraftClient(spark: SparkSession, root: String,
                   maintainTextIndex: Boolean = false,
                   partition: String = GraftClient.DefaultPartition): Long = {
     val m = metaOrThrow(name)
+    requireFloatVec(m, "upsertTexts (embedders emit float vectors)")
     val embedded = graft.ingest.Embedder.embedDocuments(df, "text", embedder)
       .select(col("key"), col("vec"), col("meta"))
     // partition-key collections route like upsert(); the text index
@@ -1525,10 +1603,12 @@ class GraftClient(spark: SparkSession, root: String,
     * bytes BINARY, meta MAP); the IMAGE arm of the reference's dispatch
     * (`s3vectors-app/pythonvectordbceph.py:165-168`) run distributed. */
   def upsertBytes(name: String, df: DataFrame,
-                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): Long =
+                  embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): Long = {
+    requireFloatVec(metaOrThrow(name), "upsertBytes (embedders emit float vectors)")
     upsert(name, df
       .withColumn("vec", graft.ingest.Embedder.embedBytesCol(embedder)(col("bytes")))
       .select(col("key"), col("vec"), col("meta")))
+  }
 
   /** Set-at-a-time delete: `keys` needs a `key` column. The data path is
     * one anti-join plan over the touched buckets only — no driver
@@ -1765,6 +1845,42 @@ class GraftClient(spark: SparkSession, root: String,
     StructType(rowSchema.fields.filterNot(_.name == "vec"))
       .add("pqcode", BinaryType).add("centroidId", IntegerType)
   }
+  private lazy val binCellsSchema =
+    binRowSchema.add("centroidId", org.apache.spark.sql.types.IntegerType)
+
+  // ---- BIN_IVF_FLAT (BINARY_VECTOR collections' one index family) ----
+
+  private def binCentroidsPath(m: CollectionMeta) = s"${ivfDir(m)}/bin_centroids"
+
+  /** Whether the collection's index carries k-majority Hamming cells —
+    * the BINARY_VECTOR sibling of [[sq8Indexed]]/[[pqIndexed]]. */
+  private def binIndexed(m: CollectionMeta): Boolean =
+    m.indexType == "BIN_IVF_FLAT" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))
+
+  /** Per-(collection, version) trained binary quantizer — the same
+    * collect-once-per-version contract [[idxCache]] keeps for the float
+    * centroid tables (the VERSION file is re-read every call; the
+    * nlist-row centroid collect is not). */
+  private val binIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), graft.index.BinIvfIndex.BinQuantizer]()
+
+  private def loadBinIndex(m: CollectionMeta)
+      : Option[(graft.index.BinIvfIndex.BinQuantizer, Long)] =
+    if (!binIndexed(m)) None
+    else readVersionFile(ivfDir(m)).map { v =>
+      val it = binIdxCache.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1 == m.name && k._2 != v) it.remove()
+      }
+      (binIdxCache.computeIfAbsent((m.name, v), { _ =>
+        graft.index.BinIvfIndex.BinQuantizer(
+          spark.read.schema("centroid_id INT, center ARRAY<BIGINT>")
+            .parquet(binCentroidsPath(m))
+            .collect().sortBy(_.getInt(0)).map(_.getSeq[Long](1).toArray))
+      }), v)
+    }
 
   /** Whether the collection's index carries SQ8 quantized cells — the
     * `index_type` the reference's backend takes as config
@@ -2030,7 +2146,13 @@ class GraftClient(spark: SparkSession, root: String,
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0,
                  partitions: Seq[String] = Nil): Unit = {
     val m = metaOrThrow(name)
-    require(indexableMetric(m.metric),
+    if (binaryVec(m)) {
+      require(m.indexType == "BIN_IVF_FLAT",
+        s"'${m.name}' is a FLAT binary collection — only BIN_IVF_FLAT " +
+          "collections build a vector index (exact Hamming/Jaccard scans " +
+          "need none)")
+      require(nlist >= 1, s"nlist must be >= 1 (got $nlist)")
+    } else require(indexableMetric(m.metric),
       s"vector indexes support l2 and cosine (dot has no Voronoi prune " +
         s"and no monotone graph distance — dot searches stay exact); " +
         s"collection is ${m.metric}")
@@ -2055,7 +2177,37 @@ class GraftClient(spark: SparkSession, root: String,
     if (m.indexType == "HNSW") buildHnswFor(m) // nlist/sampleFraction are
                                                // IVF knobs — HNSW's were
                                                // frozen at create (M, efC)
+    else if (binaryVec(m)) buildBinIvfFor(m, nlist)
     else buildIvfFor(m, nlist, sampleFraction)
+
+  /** BIN_IVF_FLAT build — Milvus's index for BINARY_VECTOR fields: a
+    * k-majority coarse quantizer trained on a bounded driver-side sample
+    * (the PQ-codebook bounded-build pattern), the full corpus assigned
+    * distributed through the fused XOR+popcount kernel, cells persisted
+    * partitioned by `centroidId` (the float family's directory-prune
+    * contract). Same serialization (index commit lock), snapshot pinning
+    * (readBucketsAt the stamped version), VERSION-last crash stance, and
+    * cache eviction as the IVF build. Centers are FROZEN at build like
+    * the float assignment centers — any row's cell is recomputable from
+    * its codes alone, which is what lets incremental maintenance evict a
+    * key's old copy without a key→cell sidecar. */
+  private def buildBinIvfFor(m: CollectionMeta, nlist: Int): Unit =
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(ivfDir(m))) {
+      val coll = collection(m)
+      val version = coll.currentVersion.getOrElse(
+        throw new IllegalStateException(s"collection ${m.name} is empty — nothing to index"))
+      val snapshot = coll.readBucketsAt(spark, version, 0 until m.buckets)
+      val (indexed, quant) = graft.index.BinIvfIndex.build(snapshot, "vec", nlist)
+      graft.index.BinIvfIndex.writeIndexed(indexed, cellsPath(m))
+      import spark.implicits._
+      quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("centroid_id", "center")
+        .coalesce(1).write.mode("overwrite").parquet(binCentroidsPath(m))
+      stampIndexVersion(m, version)
+      invalidateIndexCaches(m.name)
+      graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
+    }
 
   /** HNSW build: one graph per store bucket (the shard route IS the
     * bucket route, so a merge commit's touched buckets name exactly the
@@ -2182,6 +2334,7 @@ class GraftClient(spark: SparkSession, root: String,
     val pfx = name + "#"
     idxCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
     bcCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
+    binIdxCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
   }
 
   /** `maintainable` = the index carries the probe table (new format);
@@ -2207,8 +2360,9 @@ class GraftClient(spark: SparkSession, root: String,
   private def loadIndex(m: CollectionMeta): Option[LoadedIndex] =
     // HNSW layouts have no centroid tables to load — their freshness
     // resolves through hnswServable, and every LoadedIndex consumer
-    // (cell prunes, quantized stages) correctly sees "no IVF index"
-    if (m.indexType == "HNSW") None
+    // (cell prunes, quantized stages) correctly sees "no IVF index".
+    // Binary collections resolve through loadBinIndex the same way.
+    if (m.indexType == "HNSW" || binaryVec(m)) None
     else readVersionFile(ivfDir(m)).map { v =>
       val it = idxCache.keySet().iterator()
       while (it.hasNext) {
@@ -2270,6 +2424,8 @@ class GraftClient(spark: SparkSession, root: String,
         java.nio.file.Paths.get(ivfDir(m))) {
     if (m.indexType == "HNSW")
       refreshHnswIncremental(m, preVersion, newVersion, touchKeys, preImage, puts)
+    else if (binaryVec(m))
+      refreshBinIvfIncremental(m, preVersion, newVersion, touchKeys, preImage, puts)
     else loadIndex(m) match {
     case Some(idx) if idx.maintainable && preVersion.contains(idx.version)
         && indexableMetric(m.metric) =>
@@ -2389,6 +2545,55 @@ class GraftClient(spark: SparkSession, root: String,
     }
     }
   }
+
+  /** BIN_IVF_FLAT's per-commit maintenance — the float family's
+    * touched-cell merge verbatim, minus the refreshed probe table (a
+    * k-majority center has no incremental mean to track; probing always
+    * uses the frozen assignment centers, so probe quality degrades only
+    * with genuine distribution drift — a rebuild's concern). Evict the
+    * touched keys' old copies (their cells are recomputable from codes
+    * against the frozen centers), insert the new rows into their
+    * assigned cells, dynamic-partition-overwrite only those cells, drop
+    * emptied dirs, stamp the new version LAST. A stale stamp (crash
+    * mid-rewrite) makes searchBinary fall back to the exact scan;
+    * buildIndex is the recovery, exactly the float contract. */
+  private def refreshBinIvfIncremental(m: CollectionMeta,
+      preVersion: Option[Long], newVersion: Long, touchKeys: DataFrame,
+      preImage: DataFrame, puts: Option[DataFrame]): Unit =
+    loadBinIndex(m) match {
+      case Some((quant, v)) if preVersion.contains(v) =>
+        val keys = touchKeys.distinct().persist()
+        try {
+          val centersBc = cachedBroadcast(m.name, "bincenters", v)(quant.centers)
+          val evicted = graft.index.BinIvfIndex.assignCells(
+            preImage.join(keys, Seq("key"), "left_semi"), "vec", centersBc)
+          val inserted = puts.map(p =>
+            graft.index.BinIvfIndex.assignCells(p, "vec", centersBc))
+          val oldCells = evicted.select("centroidId").distinct()
+            .collect().map(_.getInt(0))
+          val newCells = inserted.toSeq.flatMap(
+            _.select("centroidId").distinct().collect().map(_.getInt(0)))
+          val touchedCells = (oldCells ++ newCells).distinct.toSeq
+          if (touchedCells.nonEmpty) {
+            val survivors = spark.read.schema(binCellsSchema)
+              .parquet(cellsPath(m))
+              .filter(col("centroidId").isin(touchedCells: _*))
+              .join(keys, Seq("key"), "left_anti")
+            val contents = inserted.fold(survivors)(i =>
+              survivors.unionByName(i)).localCheckpoint()
+            val writtenCells = contents.select("centroidId").distinct()
+              .collect().map(_.getInt(0)).toSet
+            contents.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("centroidId").parquet(cellsPath(m))
+            (touchedCells.toSet -- writtenCells).foreach { cell =>
+              deleteDir(s"${cellsPath(m)}/centroidId=$cell")
+            }
+          }
+          stampIndexVersion(m, newVersion)
+        } finally keys.unpersist()
+      case _ => () // no index or already stale — exact-scan fallback
+    }
 
   /** HNSW's per-commit maintenance — the GROWING-TAIL design (Milvus's
     * own growing/sealed-segment architecture, re-expressed on the keyed
@@ -2619,6 +2824,7 @@ class GraftClient(spark: SparkSession, root: String,
              consistencyLevel: String = "",
              ef: Int = 0): DataFrame = {
     val m = metaOrThrow(name)
+    requireFloatVec(m, "search")
     // Milvus HNSW search param `ef` (beam width): must cover the page,
     // exactly as Milvus requires ef >= limit. 0 = auto (see hnswScored);
     // ignored by the other index types like nprobe is by FLAT.
@@ -2721,6 +2927,81 @@ class GraftClient(spark: SparkSession, root: String,
         case f => element_at(col("metadata"), lit(f)).as(f)
       }: _*)
 
+  /** Top-k search over a BINARY_VECTOR collection — the Milvus `search`
+    * call on a binary field, taking the query as packed 64-bit words
+    * (the layout [[graft.functions.BinaryVectorFunctions.pack_sign_bits]]
+    * emits). Distance is the collection's metric: Hamming (exact small
+    * ints, cast double for the shared result envelope) or Jaccard over
+    * the bit sets. Result shape, pagination, partitions, filters and
+    * `output_fields` all match [[search]] — one envelope, two families.
+    *
+    * With a FRESH BIN_IVF_FLAT index (stamped at the current snapshot —
+    * merge-commits maintain it touched-cell-incrementally), stage 1
+    * reads only the `nprobe` nearest k-majority Hamming cells of the
+    * partitioned at-rest layout (a parquet directory prune; the probe is
+    * O(nlist) tiny driver-side Hamming distances); `nprobe >= nlist` is
+    * the exact fallback, and recall at small nprobe is governed by how
+    * clustered the sign patterns are (BinIvfSpec measures both). Stale
+    * or absent index — or a FLAT/jaccard collection — scans the exact
+    * snapshot, riding the scalar-index bucket prune when the filter's
+    * conjuncts allow. There is no re-rank stage: binary cells carry the
+    * full codes, so stage-1 distances are already exact. */
+  def searchBinary(name: String, q: Array[Long], k: Int,
+                   filter: Option[Column] = None, nprobe: Int = 4,
+                   offset: Int = 0,
+                   partitions: Seq[String] = Nil,
+                   outputFields: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinary " +
+        "serves BINARY_VECTOR; use search for float vectors")
+    require(q.length == binWords(m.dim),
+      s"query needs ${binWords(m.dim)} packed 64-bit words for " +
+        s"dim ${m.dim} bits (got ${q.length})")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    require(offset >= 0, s"offset must be >= 0 (got $offset)")
+    require(offset.toLong + k <= GraftClient.MaxPageDepth,
+      s"offset + k must be <= ${GraftClient.MaxPageDepth} " +
+        s"(got ${offset.toLong + k}) — Milvus caps offset+limit the same way")
+    val scored = resolveParts(m, partitions)
+      .map(p => binScored(partMeta(m, p), q, filter, nprobe))
+      .reduce(_ unionByName _)
+    projectOutputFields(paged(scored, offset, k), outputFields)
+  }
+
+  /** One partition's scored binary candidates — [[scoredCandidates]]'s
+    * role for the packed-words family. */
+  private def binScored(pm: CollectionMeta, q: Array[Long],
+      filter: Option[Column], nprobe: Int): DataFrame = {
+    val coll = collection(pm)
+    // parquet read-back types the words as NULLABLE elements, which the
+    // fused kernels refuse (a null word would silently read as 0) — the
+    // coalesce-transform re-establishes the non-null element type the
+    // write boundary enforced (no row ever carries one)
+    val codes = transform(col("vec"), w => coalesce(w, lit(0L)))
+    val dist = pm.metric match {
+      case "hamming" =>
+        graft.functions.BinaryVectorFunctions
+          .hamming_distance(codes, typedLit(q)).cast("double")
+      case _ =>
+        graft.functions.BinaryVectorFunctions
+          .jaccard_distance(codes, typedLit(q))
+    }
+    val base = loadBinIndex(pm)
+        .filter { case (_, v) => coll.currentVersion.contains(v) } match {
+      case Some((quant, v)) =>
+        val cells = quant.probes(q, nprobe)
+        loadedIndexFrame(coll, cellsPath(pm), v,
+          () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
+          .filter(col("centroidId").isin(cells: _*))
+      case None => scalarPrunedRead(pm, coll, filter)
+    }
+    filter.fold(base)(base.filter)
+      .select(col("key").as("vector_key"), dist.as("distance"),
+        col("meta").as("metadata"))
+  }
+
   /** One partition's scored candidate stream for [[search]]:
     * (vector_key, distance, metadata), NOT yet paged — the caller pages
     * once over the union. SQ8 partitions run their two-stage refine
@@ -2757,18 +3038,24 @@ class GraftClient(spark: SparkSession, root: String,
         "went live mid-drain (index builds are invisible to the " +
         "snapshot pin) — the iterator was dispatched on the exact scan " +
         "and its coverage contract would change; restart the iterator")
-    // HNSW: UNFILTERED, UNGATED top-k rides the graph shards (the walk
-    // cannot pre-filter — Milvus walks with a bitset; here a filter or
-    // TEXT_MATCH gate routes to the exact scan below, which still rides
-    // the scalar-index bucket prune — sound, just graph-less). Iterator
-    // pages never take this branch: they pass pinnedNoIndex (liveAt is
-    // false for HNSW — no LoadedIndex) and cursorDist on deep pages, and
-    // a graph emits only its beam, which has no keyset to resume from.
-    if (filter.isEmpty && gate.isEmpty && cursorDist.isEmpty &&
-        !pinnedNoIndex && !forceCellScan)
+    // HNSW: top-k rides the graph shards. An UNFILTERED search walks
+    // them directly; a filter or TEXT_MATCH gate takes the MASKED walk
+    // (r13 — the Milvus/hnswlib filtered-search approach: resolve the
+    // passing keys off the metadata columns, walk with non-passing
+    // nodes excluded from the RESULT set but still traversed), with an
+    // exact rank of the passing rows below the selectivity floor.
+    // Iterator pages never take this branch: they pass pinnedNoIndex
+    // (liveAt is false for HNSW — no LoadedIndex) and cursorDist on
+    // deep pages, and a graph emits only its beam, which has no keyset
+    // to resume from.
+    if (cursorDist.isEmpty && !pinnedNoIndex && !forceCellScan)
       hnswServable(pm, coll) match {
         case Some((vB, hm)) =>
-          return hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
+          return if (filter.isEmpty && gate.isEmpty)
+            hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
+          else
+            hnswScoredFiltered(pm, coll, vB, hm, qvec, filter, gate,
+              depth, refine, ef)
         case None => ()
       }
     liveIdx match {
@@ -3071,6 +3358,91 @@ class GraftClient(spark: SparkSession, root: String,
           col("meta").as("metadata")))
   }
 
+  /** The FILTERED HNSW search (r13) — the gap VERDICT r12 ranked #2:
+    * filtered searches on HNSW collections used to fall back to the
+    * exact corpus scan; Milvus/hnswlib instead walk with a bitset that
+    * masks non-passing nodes out of the RESULT set while traversing
+    * through them. Staged:
+    *
+    *   1. resolve the passing LIVE keys once off the store's metadata
+    *      columns — the scalar-index bucket prune applies when the
+    *      filter's conjuncts allow, and column pruning keeps the
+    *      vectors unread on this pass (the at-scale win: a selective
+    *      filter no longer drags every corpus vector through a scan);
+    *   2. below [[GraftClient.HnswFilteredExactFloor]] graph-covered
+    *      matches, rank the passing rows exactly — the walk cannot beat
+    *      a direct rank of a handful of rows already in hand;
+    *   3. otherwise walk every shard that holds a passing key with the
+    *      mask ([[HnswIndex.searchShardsFiltered]] — shards with no
+    *      match are never deserialized), `ef` scaled by the measured
+    *      inverse selectivity (a beam past the shard size degrades to
+    *      the exhaustive walk — generous is safe), then the standard
+    *      two-arm tail: candidates join the live store under the
+    *      `seq <= S_b` rule, and churned buckets' newer rows are
+    *      exact-scanned WITH the filter — the graph and tail arms
+    *      partition the passing live set exactly as in the unfiltered
+    *      growing-tail search.
+    *
+    * The mask is built from live rows with `seq <= S_b`, so a key
+    * overwritten since the build (live seq > S_b) is absent from the
+    * mask — its stale graph copy cannot rank — and its new row arrives
+    * through the filtered tail arm. Exactness fallback: `ef >=` the
+    * passing count makes the masked walk provably exhaustive over
+    * passing nodes (never-filling result heap + repaired connectivity),
+    * the same contract the unfiltered `ef >= n` oracle queries pin. */
+  private def hnswScoredFiltered(pm: CollectionMeta,
+      coll: BucketedKeyedCollection, vB: Long, hm: HnswMeta,
+      qvec: Array[Float], filter: Option[Column], gate: Option[DataFrame],
+      depth: Int, refine: Int, ef: Int): DataFrame = {
+    val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
+    val base = scalarPrunedRead(pm, coll, filter)
+    val matched0 = filter.fold(base)(base.filter)
+    val matched = gate.fold(matched0)(g =>
+      matched0.join(g, Seq("key"), "left_semi"))
+    val graphKeys = matched.filter(col("seq") <= hm.maxSeq)
+      .select(coll.bucketExpr.as("shard"), col("key"))
+    val passingCnt = graphKeys.count()
+    if (passingCnt <= GraftClient.HnswFilteredExactFloor)
+      // exact rank of ALL passing live rows (both sides of S_b — the
+      // resolved frame covers the tail too, so no second arm needed)
+      matched.select(col("key").as("vector_key"),
+        distanceCol(pm.metric, qvec).as("distance"),
+        col("meta").as("metadata"))
+    else {
+      val pool = depth * refine
+      val efBase =
+        if (ef > 0) ef.toLong
+        else math.max(GraftClient.DefaultHnswEf, 4 * depth).toLong
+      val scale = math.max(1L, hm.graphRows / math.max(passingCnt, 1L))
+      val efEff = math.min(math.max(efBase * scale, pool.toLong), 1L << 24).toInt
+      val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
+        () => HnswIndex.loadShards(spark, hnswGraphsPath(pm)))
+      val cand = HnswIndex.searchShardsFiltered(shards, qa, efEff,
+          perShard = pool, passing = graphKeys,
+          cacheTag = s"${hnswGraphsPath(pm)}@$vB")
+        .orderBy(col("adist"), col("key"))
+        .limit(pool)
+        .select(col("key"))
+      val graphArm = coll.read(spark).join(broadcast(cand), Seq("key"))
+        .filter(col("seq") <= hm.maxSeq)
+        .select(col("key").as("vector_key"),
+          distanceCol(pm.metric, qvec).as("distance"),
+          col("meta").as("metadata"))
+      val changed = coll.bucketsChangedSince(vB)
+      if (changed.isEmpty) graphArm
+      else {
+        val tail0 = coll.readBuckets(spark, changed)
+          .filter(col("seq") > hm.maxSeq)
+        val tailF = filter.fold(tail0)(tail0.filter)
+        val tail = gate.fold(tailF)(g => tailF.join(g, Seq("key"), "left_semi"))
+        graphArm.unionByName(
+          tail.select(col("key").as("vector_key"),
+            distanceCol(pm.metric, qvec).as("distance"),
+            col("meta").as("metadata")))
+      }
+    }
+  }
+
   /** Range search — Milvus `radius`/`range_filter` search params: every
     * row whose `distance` (the same metric-dependent smaller-is-better
     * column [[search]] returns) satisfies
@@ -3096,6 +3468,7 @@ class GraftClient(spark: SparkSession, root: String,
                   filter: Option[Column] = None,
                   partitions: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
+    requireFloatVec(m, "searchRange")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(rangeFilter < radius,
@@ -3200,6 +3573,7 @@ class GraftClient(spark: SparkSession, root: String,
                     nprobe: Int = 4,
                     partitions: Seq[String] = Nil): DataFrame = {
     val m = metaOrThrow(name)
+    requireFloatVec(m, "searchGrouped")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -3522,6 +3896,7 @@ class GraftClient(spark: SparkSession, root: String,
                      matchMode: String = "any",
                      matchGates: Seq[(Seq[String], String)] = Nil): Iterator[Seq[Row]] = {
     val m = metaOrThrow(name)
+    requireFloatVec(m, "searchIterator")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
@@ -4074,7 +4449,12 @@ class GraftClient(spark: SparkSession, root: String,
         stamped.getOrElse(-1L), current.getOrElse(-1L), params)
     }
     val ivf =
-      if (hnswIndexed(m))
+      if (binaryVec(m)) {
+        if (!binIndexed(m)) Nil
+        else Seq(row("BIN_IVF_FLAT", "vec", ivfDir(m),
+          s"""{"nlist":${m.nlist}}"""))
+      }
+      else if (hnswIndexed(m))
         // tail-era HNSW serves index-backed searches at ANY snapshot
         // (graph arm + growing tail) — fresh = servable, not
         // stamp-equals-current; stamped_version still shows the fold
@@ -4173,6 +4553,7 @@ class GraftClient(spark: SparkSession, root: String,
                   ef: Int = 0): DataFrame = {
     import graft.functions.VectorAggregates
     val m = metaOrThrow(name)
+    requireFloatVec(m, "searchBatch")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val q = queries.select(col("qid").cast("long").as("qid"),
@@ -4407,6 +4788,7 @@ class GraftClient(spark: SparkSession, root: String,
     import spark.implicits._
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
     val m = partMeta(metaOrThrow(name), partition)
+    requireFloatVec(m, "estimateRecall")
     val sample = collection(m).read(spark).select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
@@ -5765,6 +6147,15 @@ object GraftClient {
     * searches pay an exact scan over at most this fraction of the
     * corpus (bounded to the churned buckets' directories). */
   val HnswTailFoldRatio: Double = 0.2
+
+  /** Filtered-HNSW selectivity floor: when a filter admits at most this
+    * many graph-covered rows, the filtered search skips the walk and
+    * ranks the (already-resolved) passing rows exactly — below it the
+    * masked walk cannot beat a direct rank of a handful of rows, and
+    * the passing frame is in hand either way. Above it, the masked walk
+    * serves (hnswlib/Milvus filtered-search behavior) and the corpus's
+    * vectors are never scanned. */
+  val HnswFilteredExactFloor: Long = 64L
 
   /** Milvus `consistency_level` values accepted at create and as the
     * per-read override. Mapping to this engine (commits are synchronous

@@ -42,8 +42,13 @@ case class CollectionMeta(
                                 // GraftClient.createCollection)
     hnswM: Int = 0,             // HNSW max degree (Milvus index param
                                 // `M`); 0 on every other index type
-    hnswEfC: Int = 0)           // HNSW efConstruction (Milvus param);
+    hnswEfC: Int = 0,           // HNSW efConstruction (Milvus param);
                                 // 0 on every other index type
+    vectorType: String = "FLOAT_VECTOR") // Milvus vector field family:
+                                // FLOAT_VECTOR | BINARY_VECTOR (binary
+                                // collections store packed sign bits —
+                                // array<bigint>, 64 dims per word — and
+                                // `dim` counts BITS, Milvus's convention)
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -79,6 +84,7 @@ class Catalog(root: String) {
       s""""pqM":${m.pqM},"pqNbits":${m.pqNbits},""" +
       s""""consistency":"${esc(m.consistency)}",""" +
       s""""hnswM":${m.hnswM},"hnswEfC":${m.hnswEfC},""" +
+      s""""vectorType":"${esc(m.vectorType)}",""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
 
   private def strField(json: String, key: String): String = {
@@ -111,7 +117,9 @@ class Catalog(root: String) {
       intFieldOr(json, "pqNbits", 8),
       strFieldOr(json, "consistency", "Strong"),
       intFieldOr(json, "hnswM", 0),
-      intFieldOr(json, "hnswEfC", 0))
+      intFieldOr(json, "hnswEfC", 0),
+      // absent in pre-binary catalogs — every earlier collection is float
+      strFieldOr(json, "vectorType", "FLOAT_VECTOR"))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -143,9 +143,20 @@ object HnswIndex {
     * `ef >= n` the bound never evicts, the expansion never early-stops,
     * and every node reachable from `eps` at this layer is visited — the
     * exactness contract the connectivity repair makes total. Returns
-    * the ≤ ef results sorted ASC by (dist, id). */
+    * the ≤ ef results sorted ASC by (dist, id).
+    *
+    * `keep` (null = unfiltered) is the FILTERED-walk mask — the
+    * hnswlib/Milvus filtered-search approach: non-passing nodes are
+    * still TRAVERSED (they stay valid beam waypoints — a passing node's
+    * only graph path may run through filtered-out neighbors) but never
+    * enter the RESULT heap, so `ef` bounds PASSING results. The
+    * exactness contract survives filtering: with `ef >=` the number of
+    * passing nodes, the result heap never fills, the early-stop never
+    * fires, and the walk visits every node reachable from `eps` — so
+    * every passing node is found. */
   private def searchLayer(g: Graph, q: Array[Float], eps: Seq[Int],
-                          ef: Int, layer: Int): (Array[Double], Array[Int]) = {
+                          ef: Int, layer: Int,
+                          keep: java.util.BitSet = null): (Array[Double], Array[Int]) = {
     val visited = new java.util.BitSet(g.n)
     val cand = new NodeHeap(64, maxHeap = false) // nearest first
     val res = new NodeHeap(math.min(ef + 1, 1 << 16), maxHeap = true) // farthest first
@@ -153,7 +164,8 @@ object HnswIndex {
       if (!visited.get(e)) {
         visited.set(e)
         val d = l2sq(g.vecs, e, g.dim, q)
-        cand.add(d, e); res.add(d, e)
+        cand.add(d, e)
+        if (keep == null || keep.get(e)) res.add(d, e)
       }
     }
     while (res.size > ef) res.poll()
@@ -172,8 +184,11 @@ object HnswIndex {
             val d = l2sq(g.vecs, nb, g.dim, q)
             if (res.size < ef || d < res.peekDist ||
                 (d == res.peekDist && nb < res.peekId)) {
-              cand.add(d, nb); res.add(d, nb)
-              if (res.size > ef) res.poll()
+              cand.add(d, nb)
+              if (keep == null || keep.get(nb)) {
+                res.add(d, nb)
+                if (res.size > ef) res.poll()
+              }
             }
           }
           i += 1
@@ -357,8 +372,12 @@ object HnswIndex {
 
   /** Walk one graph: greedy descent to layer 1, then a beam of width
     * `max(ef, k)` on layer 0; up to `k` nearest (dist ASC, then key —
-    * the engine's global tie rule) returned as (key, distSq). */
-  def search(g: Graph, q: Array[Float], ef: Int, k: Int): Array[(String, Double)] = {
+    * the engine's global tie rule) returned as (key, distSq).
+    * `keep` (null = all) masks the RESULT set per [[searchLayer]] — the
+    * filtered walk; the greedy descent ignores it (upper layers only
+    * navigate). */
+  def search(g: Graph, q: Array[Float], ef: Int, k: Int,
+             keep: java.util.BitSet = null): Array[(String, Double)] = {
     var ep = g.entry
     var dEp = l2sq(g.vecs, ep, g.dim, q)
     var layer = g.maxLevel
@@ -382,7 +401,7 @@ object HnswIndex {
     // reachable from the ENTRY, not from an arbitrary greedy landing
     // point — without this seed the ef≥n exactness contract would
     // depend on the walk happening to pass through the entry's basin
-    val (cd, ci) = searchLayer(g, q, Seq(ep, g.entry), math.max(ef, k), 0)
+    val (cd, ci) = searchLayer(g, q, Seq(ep, g.entry), math.max(ef, k), 0, keep)
     val kk = math.min(k, ci.length)
     Array.tabulate(kk)(j => (g.keys(ci(j)), cd(j)))
   }
@@ -485,30 +504,82 @@ object HnswIndex {
   def loadShards(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(shardsSchema).parquet(path)
 
+  /** Approximate resident bytes of a deserialized graph: the flat float
+    * copy dominates (n·dim·4); adjacency adds 4 bytes per edge plus an
+    * object header per list; keys cost ~2 bytes/char plus per-node
+    * String/array overhead (the 48 constant). An estimate is the right
+    * tool — the budget guards against order-of-magnitude accretion, not
+    * byte-exact accounting. */
+  private[graft] def approxGraphBytes(g: Graph): Long = {
+    var edges = 0L
+    var arrays = 0L
+    var keyChars = 0L
+    var i = 0
+    while (i < g.n) {
+      val ls = g.links(i)
+      arrays += ls.length
+      var l = 0
+      while (l < ls.length) { edges += ls(l).length; l += 1 }
+      keyChars += g.keys(i).length
+      i += 1
+    }
+    g.vecs.length.toLong * 4 + edges * 4 + arrays * 16 +
+      keyChars * 2 + g.n.toLong * 48
+  }
+
   /** Executor-side deserialized-graph cache: a walk is milliseconds but
     * deserializing a multi-MB blob is not, and interactive search hits
     * the same graphs every query. Keyed by (cacheTag, shard) where the
     * tag carries the index PATH + VERSION — a maintenance commit stamps
     * a new version, which misses here and lazily re-warms, exactly the
-    * write-once invalidation story the loaded-frame cache uses. Bounded
-    * LRU (access order) so long-lived executors don't accrete graphs of
-    * dropped collections. */
-  private val MaxCachedGraphs = 64
+    * write-once invalidation story the loaded-frame cache uses.
+    *
+    * Bounded by APPROXIMATE BYTES, not entry count (r12's 64-graph LRU
+    * could pin ~8 GB of dim-384 shards — an OOM hazard on an executor
+    * serving many loaded HNSW collections): eldest-accessed entries are
+    * evicted until the estimate fits the budget. The budget is a lazy
+    * read of `-Dgraft.hnsw.cacheBytes` (default 2 GiB — a minority
+    * share of a typical executor heap; ops size it with the executor). */
+  private[graft] def cacheBudgetBytes: Long =
+    java.lang.Long.getLong("graft.hnsw.cacheBytes", 2L << 30)
+
   private lazy val graphCache =
-    new java.util.LinkedHashMap[(String, Int), Graph](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), Graph]): Boolean =
-        size() > MaxCachedGraphs
-    }
+    new java.util.LinkedHashMap[(String, Int), Graph](16, 0.75f, true)
+  private var cachedBytesTotal = 0L
 
   private def cachedGraph(tag: String, shard: Int, blob: Array[Byte]): Graph =
     if (tag.isEmpty) deserialize(blob)
     else graphCache.synchronized {
-      val k = (tag, shard)
-      val hit = graphCache.get(k)
+      val hit = graphCache.get((tag, shard))
       if (hit != null) hit
-      else { val g = deserialize(blob); graphCache.put(k, g); g }
+      else {
+        val g = deserialize(blob)
+        graphCache.put((tag, shard), g)
+        cachedBytesTotal += approxGraphBytes(g)
+        val budget = cacheBudgetBytes
+        val it = graphCache.entrySet().iterator()
+        // evict eldest-accessed first, down to budget — but never the
+        // entry just inserted (it is in use by this task; a single
+        // over-budget graph serves once and yields on the next insert)
+        while (cachedBytesTotal > budget && graphCache.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != ((tag, shard))) {
+            cachedBytesTotal -= approxGraphBytes(e.getValue)
+            it.remove()
+          }
+        }
+        g
+      }
     }
+
+  // test/ops observability for the byte budget
+  private[graft] def cachedGraphCount: Int =
+    graphCache.synchronized(graphCache.size())
+  private[graft] def cachedGraphBytes: Long =
+    graphCache.synchronized(cachedBytesTotal)
+  private[graft] def clearGraphCache(): Unit = graphCache.synchronized {
+    graphCache.clear(); cachedBytesTotal = 0L
+  }
 
   /** Scatter-gather single-query search: each task walks whole graphs
     * (a parquet row never splits), emits its shards' top candidates;
@@ -526,6 +597,47 @@ object HnswIndex {
       .flatMap { case (shard, blob) =>
         val g = cachedGraph(cacheTag, shard, blob)
         search(g, q, ef, math.min(perShard, g.n)).iterator
+      }
+      .toDF("key", "adist")
+  }
+
+  /** FILTERED scatter-gather search (the hnswlib/Milvus filtered-HNSW
+    * shape, r13): `passing` is a (shard INT, key STRING) frame naming
+    * the rows the query's predicate admits; each task builds its shard's
+    * node mask (one bitset over the graph's key array) and walks with
+    * the RESULT set restricted to passing nodes while still traversing
+    * through non-passing ones ([[searchLayer]]'s `keep` contract — a
+    * passing node's only graph path may run through filtered-out
+    * neighbors, so masking must never prune the traversal itself).
+    *
+    * The per-shard key lists ride a `collect_list` groupBy — bounded by
+    * shard size, the store's own "one bucket fits an executor" sizing
+    * contract, and the JOIN is inner: a shard with no passing key is
+    * never deserialized at all (the selective-filter win: the walk
+    * reads graph blobs and metadata keys, never the corpus's vectors).
+    * Exactness: with `ef >=` a shard's passing count the masked walk is
+    * provably exhaustive over passing nodes (connectivity repair +
+    * never-filling result heap), so `ef >= n` keeps the same oracle
+    * fallback the unfiltered walk has. */
+  def searchShardsFiltered(shards: DataFrame, q: Array[Float], ef: Int,
+                           perShard: Int, passing: DataFrame,
+                           cacheTag: String = ""): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val grouped = passing
+      .select(col("shard").cast("int").as("shard"),
+        col("key").cast("string").as("key"))
+      .groupBy(col("shard")).agg(collect_list(col("key")).as("__keys"))
+    shards.join(grouped, Seq("shard"))
+      .select(col("shard"), col("blob"), col("__keys"))
+      .as[(Int, Array[Byte], Seq[String])]
+      .flatMap { case (shard, blob, keys) =>
+        val g = cachedGraph(cacheTag, shard, blob)
+        val keySet = keys.toSet
+        val keep = new java.util.BitSet(g.n)
+        var i = 0
+        while (i < g.n) { if (keySet.contains(g.keys(i))) keep.set(i); i += 1 }
+        search(g, q, ef, math.min(perShard, g.n), keep).iterator
       }
       .toDF("key", "adist")
   }

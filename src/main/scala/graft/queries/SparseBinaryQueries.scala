@@ -187,41 +187,60 @@ object SparseBinaryQueries {
     "knn_hamming_ivf" -> knnHammingIvf _
   )
 
-  /** Per-JVM at-rest BIN_IVF_FLAT layout over the sign-binarized
-    * embeddings (the postingsFor pattern: build once per (dir, process),
-    * every run rides the partitioned layout). */
-  private val binIvfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.index.BinIvfIndex.BinQuantizer)]()
+  /** Per-JVM BINARY_VECTOR client collection over the sign-binarized
+    * embeddings — the FULL lifecycle on the oracle path (r13; the r12
+    * version built the module-level layout directly): `createCollection`
+    * with Milvus's `BINARY_VECTOR` field type, the codes through the
+    * keyed store's write path, `buildIndex("BIN_IVF_FLAT")` persisting
+    * the k-majority cell layout with its VERSION stamp (the pqClientFor
+    * pattern: build once per (dir, process)). */
+  private val binIvfRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def binIvfFor(spark: SparkSession, dir: String)
-      : (String, graft.index.BinIvfIndex.BinQuantizer) =
-    binIvfCache.computeIfAbsent(dir, { d =>
-      val p = java.nio.file.Files.createTempDirectory("graft-binivf").toString
-      val codes = t(spark, d, "embeddings")
-        .select(col("vec_id"), pack_sign_bits(col("embedding")).as("codes"))
-      val (indexed, quant) = graft.index.BinIvfIndex.build(codes, "codes", nlist = 8)
-      graft.index.BinIvfIndex.writeIndexed(indexed, p)
-      (p, quant)
+  private def binClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = binIvfRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-binivf").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embbin", dim = dim, metric = "hamming",
+        indexType = "BIN_IVF_FLAT", nlist = 8, buckets = 4,
+        vectorType = "BINARY_VECTOR")
+      c.upsert("embbin", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        pack_sign_bits(col("embedding")).as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      c.buildIndex("embbin", nlist = 8)
+      r
     })
+    new graft.api.GraftClient(spark, root)
+  }
 
-  /** B7 (r12) — Milvus `BIN_IVF_FLAT` + HAMMING on the ORACLE path: the
-    * sign-binarized corpus at rest in k-majority Hamming cells, searched
-    * through the probe machinery at FULL probe (`nprobe = nlist` — the
-    * exact fallback, so the result is hash-comparable brute force; the
-    * prune's recall behavior is BinIvfSpec's domain). The plan must read
-    * the partitioned cell layout — a fall-through to the raw table would
-    * return identical values here, so the layout is asserted, not
-    * assumed. */
+  /** B7 (r12, client-envelope r13) — Milvus `BIN_IVF_FLAT` + HAMMING on
+    * the ORACLE path THROUGH the client collection: the sign-binarized
+    * corpus through the full write path, at rest in k-majority Hamming
+    * cells, searched via `searchBinary` at FULL probe (`nprobe = nlist`
+    * — the exact fallback, so the result is hash-comparable brute force;
+    * the prune's recall behavior is BinIvfSpec's domain). Dispatch
+    * honesty twice over: the index row must read FRESH (a stale stamp
+    * would silently exact-scan) and the plan must read the partitioned
+    * cell layout — a fall-through to the store scan would return
+    * identical values here, so the layout is asserted, not assumed. */
   def knnHammingIvf(spark: SparkSession, dir: String): DataFrame = {
-    val (path, quant) = binIvfFor(spark, dir)
+    val client = binClientFor(spark, dir)
     val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
-    val df = graft.index.BinIvfIndex.searchHamming(
-      graft.index.BinIvfIndex.loadIndexed(spark, path), quant,
-      "codes", "vec_id", q, k = 10, nprobe = quant.nlist)
+    val idx = client.listIndexes("embbin")
+      .filter(col("kind") === "BIN_IVF_FLAT").head()
+    require(idx.getBoolean(2),
+      "knn_hamming_ivf: the BIN_IVF_FLAT index must be FRESH — a stale " +
+        "stamp would route to the exact scan and leave the cells untested")
+    val df = client.searchBinary("embbin", q, k = 10, nprobe = 8)
     require(df.queryExecution.executedPlan.toString.contains("centroidId"),
       "knn_hamming_ivf: search did not read the cell-partitioned layout")
-    df.orderBy(col("dist"), col("vec_id"))
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").cast("long").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -435,6 +435,34 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** B5 (r13): FILTERED HNSW search on the ORACLE path — the masked
+    * walk (Milvus/hnswlib filtered-search semantics: the predicate's
+    * passing keys resolve off the metadata columns, the walk traverses
+    * non-passing nodes but never returns them). `ef ≥ corpus` keeps the
+    * masked walk provably exhaustive over passing nodes and the refine
+    * pool covers the corpus, so the result is exactly the filtered
+    * brute force and hash-comparable. Dispatch honesty: the plan must
+    * carry the graph scatter-gather (the pre-r13 behavior — and the
+    * below-floor path — rank exactly without it, returning identical
+    * values, so the plan assert is what pins the walk). */
+  def knnHnswFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count() // parquet-footer count — no scan
+    val k = 10
+    val df = client.search("embhnsw", q, k = k, ef = n.toInt,
+      refine = ((n + k - 1) / k).toInt,
+      filter = Some(element_at(col("meta"), "label").isin("1", "3", "5")))
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_filtered: search did not ride the masked graph walk")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   // HNSW growing-tail client: built like hnswClientFor, then TWO
   // post-build commits land (a new key carrying vec_id 1's embedding, a
   // delete of vec_id 2's key) WITHOUT folding — so searches must serve
@@ -533,6 +561,7 @@ object VectorQueries {
     "knn_pq_iter" -> knnPqIter _,
     "knn_pq_batched" -> knnPqBatched _,
     "knn_hnsw_topk" -> knnHnsw _,
+    "knn_hnsw_filtered" -> knnHnswFiltered _,
     "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
@@ -596,6 +625,10 @@ object VectorQueries {
     "knn_hnsw_topk" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hnsw_filtered" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q WHERE e.label IN (1, 3, 5)
+          ORDER BY dist, vec_id LIMIT 10""",
     "knn_hnsw_tail" ->
       s"""WITH live AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2

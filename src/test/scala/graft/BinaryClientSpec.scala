@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** BINARY_VECTOR as a first-class client collection family (Milvus
+  * `DataType.BINARY_VECTOR` — the natural pairing of the reference's
+  * Milvus backend with sign-binarized embeddings, SURVEY B7): the full
+  * create → upsert → buildIndex("BIN_IVF_FLAT") → search lifecycle with
+  * versioned touched-cell maintenance, the exact fallback, the jaccard
+  * FLAT family, and the create/write-boundary validation. */
+class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("binary-client-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dim = 128 // bits
+  private val words = 2
+
+  // Four planted Hamming clusters: cluster bases far apart (alternating
+  // word patterns), members = base + a few index-dependent noise bits —
+  // the geometry BIN_IVF_FLAT's k-majority training recovers.
+  private val bases = Array(
+    Array(0x0000000000000000L, 0x0000000000000000L),
+    Array(0xFFFFFFFFFFFFFFFFL, 0x0000000000000000L),
+    Array(0x0000000000000000L, 0xFFFFFFFFFFFFFFFFL),
+    Array(0xFFFFFFFFFFFFFFFFL, 0xFFFFFFFFFFFFFFFFL))
+
+  private def code(i: Int): Array[Long] = {
+    val c = bases(i % 4).clone()
+    // flip 3 deterministic noise bits
+    var j = 0
+    while (j < 3) {
+      val bit = (i * 31 + j * 17) % dim
+      c(bit / 64) ^= (1L << (bit % 64))
+      j += 1
+    }
+    c
+  }
+
+  private def key(i: Int): String = f"k$i%04d"
+
+  private def hamming(a: Array[Long], b: Array[Long]): Int = {
+    var s = 0; var i = 0
+    while (i < a.length) { s += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    s
+  }
+
+  /** Brute-force (hamming, key)-ordered top-k over a driver-side model
+    * of the live set — the spec's ground truth. */
+  private def exactTopK(live: Map[String, Array[Long]], q: Array[Long],
+                        k: Int): Seq[String] =
+    live.toSeq.map { case (kk, c) => (hamming(c, q), kk) }
+      .sortBy(identity).take(k).map(_._2)
+
+  private def mkClient(): GraftClient = {
+    val root = java.nio.file.Files.createTempDirectory("bin-client").toString
+    new GraftClient(spark, root)
+  }
+
+  test("BIN_IVF_FLAT lifecycle: create, upsert, build, search == exact, " +
+       "maintenance keeps it fresh, dropIndex falls back") {
+    import spark.implicits._
+    val client = mkClient()
+    assert(client.createCollection("bc", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR"))
+    assert(client.describe("bc").vectorType == "BINARY_VECTOR")
+
+    var live = (0 until 300).map(i => key(i) -> code(i)).toMap
+    client.upsert("bc",
+      live.toSeq.map { case (k, c) => (k, c.toSeq, Map.empty[String, String]) }
+        .toDF("key", "vec", "meta"))
+    val q = code(1) // a cluster-1 member
+
+    // pre-build: exact scan, already correct
+    val pre = client.searchBinary("bc", q, k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(pre == exactTopK(live, q, 10), s"pre-build mismatch: $pre")
+
+    client.buildIndex("bc", nlist = 4)
+    val idx = client.listIndexes("bc").collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    assert(idx.contains(("BIN_IVF_FLAT", true)),
+      s"expected fresh BIN_IVF_FLAT row, got ${idx.toSeq}")
+
+    // full probe == exact, THROUGH the cell layout (plan-asserted: the
+    // exact fallback reads the keyed store, which has no centroidId)
+    val fullDf = client.searchBinary("bc", q, k = 10, nprobe = 4)
+    assert(fullDf.queryExecution.executedPlan.toString.contains("centroidId"),
+      "searchBinary must read the cell-partitioned layout when fresh")
+    assert(fullDf.collect().map(_.getString(0)).toSeq == exactTopK(live, q, 10))
+
+    // nprobe=1 on planted clusters: the query's own cluster serves top-10
+    val probe1 = client.searchBinary("bc", q, k = 10, nprobe = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(probe1.intersect(exactTopK(live, q, 10).toSet).size >= 8,
+      s"nprobe=1 recall below 0.8 on planted clusters")
+
+    // maintenance: an upsert (5 new + 1 overwrite) and a delete keep the
+    // index FRESH (touched-cell merge), and results track the live set
+    val newRows = (300 until 305).map(i => key(i) -> code(i)) :+
+      (key(1) -> code(77)) // overwrite: k0001 moves clusters
+    client.upsert("bc",
+      newRows.map { case (k, c) => (k, c.toSeq, Map.empty[String, String]) }
+        .toDF("key", "vec", "meta"))
+    live = live ++ newRows.toMap
+    client.deleteByKeys("bc", Seq(key(5), key(9)))
+    live = live - key(5) - key(9)
+
+    val idx2 = client.listIndexes("bc").collect()
+      .map(r => (r.getString(0), r.getBoolean(2)))
+    assert(idx2.contains(("BIN_IVF_FLAT", true)),
+      s"index must stay fresh across the merge commits, got ${idx2.toSeq}")
+    val postDf = client.searchBinary("bc", q, k = 10, nprobe = 4)
+    assert(postDf.queryExecution.executedPlan.toString.contains("centroidId"),
+      "post-maintenance search must still ride the cell layout")
+    assert(postDf.collect().map(_.getString(0)).toSeq == exactTopK(live, q, 10),
+      "post-maintenance results must track the live set exactly")
+
+    // metadata filter composes (exact path through the filter too)
+    client.upsert("bc",
+      Seq((key(999), code(999).toSeq, Map("grp" -> "x")))
+        .toDF("key", "vec", "meta"))
+    live = live + (key(999) -> code(999))
+    val filtered = client.searchBinary("bc", q, k = 5,
+        filter = Some(element_at(col("meta"), "grp") === "x"))
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq(key(999)), s"filter must gate candidates: $filtered")
+
+    // dropIndex: exact fallback, same answers, no cell layout in the plan
+    client.dropIndex("bc")
+    val dropped = client.searchBinary("bc", q, k = 10)
+    assert(!dropped.queryExecution.executedPlan.toString.contains("centroidId"),
+      "after dropIndex the exact scan must serve")
+    assert(dropped.collect().map(_.getString(0)).toSeq == exactTopK(live, q, 10))
+
+    assert(client.count("bc") == live.size)
+    assert(client.drop("bc"))
+  }
+
+  test("stale index (crash-shaped: store moved, stamp behind) falls back " +
+       "to the exact scan") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bs", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 2, buckets = 2,
+      vectorType = "BINARY_VECTOR")
+    client.upsert("bs",
+      (0 until 50).map(i => (key(i), code(i).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    client.buildIndex("bs", nlist = 2)
+    // simulate a crash mid-refresh: delete the VERSION stamp — the index
+    // must read as stale and searches must serve the exact store scan
+    val m = client.describe("bs")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"${m.dataPath}-ivf", "VERSION"))
+    val live = (0 until 50).map(i => key(i) -> code(i)).toMap
+    val q = code(3)
+    val df = client.searchBinary("bs", q, k = 10, nprobe = 2)
+    assert(!df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "a stale stamp must route to the exact scan")
+    assert(df.collect().map(_.getString(0)).toSeq == exactTopK(live, q, 10))
+  }
+
+  test("jaccard FLAT collection: exact search in jaccard order") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bj", dim = dim, metric = "jaccard",
+      buckets = 2, vectorType = "BINARY_VECTOR")
+    val live = (0 until 60).map(i => key(i) -> code(i)).toMap
+    client.upsert("bj",
+      live.toSeq.map { case (k, c) => (k, c.toSeq, Map.empty[String, String]) }
+        .toDF("key", "vec", "meta"))
+    val q = code(2)
+    def jac(a: Array[Long], b: Array[Long]): Double = {
+      var inter = 0; var un = 0; var i = 0
+      while (i < a.length) {
+        inter += java.lang.Long.bitCount(a(i) & b(i))
+        un += java.lang.Long.bitCount(a(i) | b(i))
+        i += 1
+      }
+      if (un == 0) 0.0 else 1.0 - inter.toDouble / un
+    }
+    val expect = live.toSeq.map { case (k, c) => (jac(c, q), k) }
+      .sortBy(identity).take(10).map(_._2)
+    val got = client.searchBinary("bj", q, k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == expect, s"jaccard order mismatch: $got vs $expect")
+  }
+
+  test("create/write/search boundary validation") {
+    import spark.implicits._
+    val client = mkClient()
+    // dim must be a multiple of 8 (Milvus binary contract)
+    intercept[IllegalArgumentException] {
+      client.createCollection("bv1", dim = 100, metric = "hamming",
+        vectorType = "BINARY_VECTOR")
+    }
+    // BIN_IVF_FLAT prunes Hamming space — jaccard collections stay FLAT
+    intercept[IllegalArgumentException] {
+      client.createCollection("bv2", dim = dim, metric = "jaccard",
+        indexType = "BIN_IVF_FLAT", vectorType = "BINARY_VECTOR")
+    }
+    // float metrics/index types refuse on binary, and vice versa
+    intercept[IllegalArgumentException] {
+      client.createCollection("bv3", dim = dim, metric = "l2",
+        vectorType = "BINARY_VECTOR")
+    }
+    intercept[IllegalArgumentException] {
+      client.createCollection("bv4", dim = dim, metric = "hamming",
+        vectorType = "FLOAT_VECTOR")
+    }
+
+    client.createCollection("bv", dim = 72, metric = "hamming",
+      buckets = 2, vectorType = "BINARY_VECTOR") // 72 bits -> 2 words
+    // wrong word count raises at the write boundary
+    intercept[Exception] {
+      client.upsert("bv", Seq(("a", Seq(1L), Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    }
+    // pad bits past dim (72 % 64 = 8 -> bits 8..63 of word 2) must be zero
+    intercept[Exception] {
+      client.upsert("bv",
+        Seq(("a", Seq(0L, 1L << 9), Map.empty[String, String]))
+          .toDF("key", "vec", "meta"))
+    }
+    // a legal row: bit 71 = bit 7 of word 2
+    client.upsert("bv",
+      Seq(("a", Seq(5L, 1L << 7), Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    assert(client.count("bv") == 1)
+
+    // float query surfaces refuse binary collections, by name
+    val e1 = intercept[IllegalArgumentException] {
+      client.search("bv", Array.fill(72)(0.0f), k = 1)
+    }
+    assert(e1.getMessage.contains("searchBinary"))
+    intercept[IllegalArgumentException] {
+      client.searchIterator("bv", Array.fill(72)(0.0f), batchSize = 10)
+    }
+    // searchBinary refuses float collections, and checks word counts
+    client.createCollection("fv", dim = 4, buckets = 2)
+    intercept[IllegalArgumentException] {
+      client.searchBinary("fv", Array(0L), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      client.searchBinary("bv", Array(0L), k = 1) // needs 2 words
+    }
+  }
+}

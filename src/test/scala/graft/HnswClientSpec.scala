@@ -98,8 +98,9 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!postGraph.contains("k0007") ||
       exactPost.contains("k0007"), "k0007 must rank only by its new vector")
 
-    // filtered search falls back to the exact scan — same filter
-    // semantics as a FLAT collection, just graph-less
+    // filtered search (r13): above the selectivity floor it rides the
+    // MASKED walk — same filter semantics as a FLAT collection, now
+    // graph-served (the dedicated filtered-walk test pins exactness)
     val filtered = client.search("hn", q, k = 5,
         filter = Some(element_at(col("meta"), "grp") === "g1"))
       .collect()
@@ -208,6 +209,68 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pa.exists(r => r.getString(0) == "HNSW" &&
       r.getString(5).contains("\"efConstruction\"")))
     assert(!client.listIndexes("hp").collect().exists(_.getString(0) == "HNSW"))
+  }
+
+  test("filtered search rides the MASKED walk and equals filtered-exact " +
+       "(incl. across the growing tail); below the floor it ranks exactly") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hf", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hf", rows(0 until 300).toDF("key", "vec", "meta"))
+    client.buildIndex("hf", nlist = 0)
+    val q = vec(7).toArray
+    val grp1 = (0 until 300).filter(_ % 3 == 1).map(i => f"k$i%04d").toSet
+
+    // ground truth: filtered exact ranking computed driver-side
+    def l2(a: Seq[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    def expectTop(live: Map[String, Seq[Float]], pass: Set[String], k: Int): Seq[String] =
+      live.filter(kv => pass(kv._1)).toSeq
+        .map { case (kk, v) => (l2(v, q), kk) }.sortBy(identity).take(k).map(_._2)
+    var live = (0 until 300).map(i => (f"k$i%04d", vec(i))).toMap
+
+    // 100 passing rows > floor (64): MASKED walk, exact at ef >= n
+    val fdf = client.search("hf", q, k = 10, ef = 300, refine = 2,
+      filter = Some(element_at(col("meta"), "grp") === "g1"))
+    assert(fdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "filtered search above the floor must ride the masked walk")
+    assert(fdf.collect().map(_.getString(0)).toSeq == expectTop(live, grp1, 10))
+
+    // default ef + inverse-selectivity scaling: strong recall
+    val beam = client.search("hf", q, k = 10,
+        filter = Some(element_at(col("meta"), "grp") === "g1"))
+      .collect().map(_.getString(0)).toSet
+    assert(beam.intersect(expectTop(live, grp1, 10).toSet).size >= 8,
+      "scaled-ef filtered recall@10 below 0.8")
+
+    // growing tail: a passing NEW key, an overwrite that moves a passing
+    // key's vector, and a delete of a passing key — no fold; the
+    // filtered two-arm search must track the live set exactly
+    client.upsert("hf", Seq(
+        ("k9001", vec(901), Map("grp" -> "g1")),
+        ("k0001", vec(555), Map("grp" -> "g1"))).toDF("key", "vec", "meta"))
+    client.deleteByKeys("hf", Seq("k0004"))
+    live = live ++ Map("k9001" -> vec(901), "k0001" -> vec(555)) - "k0004"
+    val pass2 = grp1 + "k9001" - "k0004"
+    val idx = client.listIndexes("hf").filter(col("kind") === "HNSW").head()
+    assert(idx.getBoolean(2) && idx.getLong(3) < idx.getLong(4),
+      "tail must be pending (servable, stamp lagging) for this case")
+    val tdf = client.search("hf", q, k = 10, ef = 300, refine = 2,
+      filter = Some(element_at(col("meta"), "grp") === "g1"))
+    assert(tdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "filtered tail-era search must still ride the masked walk")
+    assert(tdf.collect().map(_.getString(0)).toSeq == expectTop(live, pass2, 10),
+      "filtered graph∪tail must equal the filtered live exact answer")
+
+    // below the floor (20 passing < 64): exact rank of the passing rows,
+    // no graph deserialization in the plan
+    val small = client.search("hf", q, k = 5, ef = 300,
+      filter = Some(element_at(col("meta"), "grp") === "g1" &&
+        col("key") < "k0060"))
+    assert(!small.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "below the floor the exact rank must serve")
+    val pass3 = pass2.filter(k => k < "k0060")
+    assert(small.collect().map(_.getString(0)).toSeq == expectTop(live, pass3, 5))
   }
 
   test("create-boundary validation") {

@@ -163,6 +163,62 @@ class HnswIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally TestDirs.deleteRec(java.nio.file.Paths.get(dir))
   }
 
+  test("masked walk (filtered search): exact over passing nodes at ef >= n, " +
+       "traversal unbroken by non-passing waypoints") {
+    val rows = clustered(400, 8, 5)
+    val g = buildFrom(rows)
+    val q = rows(3)._2.map(x => x + 0.005f)
+    // pass only every 7th node BY KEY — scattered across clusters, so
+    // passing nodes' graph paths run through masked-out neighbors
+    val passKeys = rows.map(_._1).filter(_.stripPrefix("k").toInt % 7 == 0).toSet
+    val keep = new java.util.BitSet(g.n)
+    (0 until g.n).foreach(i => if (passKeys(g.keys(i))) keep.set(i))
+    val got = HnswIndex.search(g, q, ef = g.n, k = 10, keep).map(_._1).toSeq
+    val expect = bruteTopK(rows.filter(r => passKeys(r._1)), q, 10)
+    assert(got == expect, s"masked walk $got != filtered brute force $expect")
+    // no passing node: empty result, no crash
+    assert(HnswIndex.search(g, q, ef = g.n, k = 10,
+      new java.util.BitSet(g.n)).isEmpty)
+  }
+
+  test("graph cache is byte-bounded: over-budget graphs evict eldest") {
+    import spark.implicits._
+    val rows = clustered(240, 16, 4)
+    val df = rows.toSeq.map { case (k, v) => (k, v.toSeq) }.toDF("key", "vec")
+    val shards = HnswIndex.buildShards(df, "vec", buckets = 4, m = 8,
+      efConstruction = 64).cache()
+    val blobs = shards.select(col("shard"), col("blob")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(blobs.size == 4)
+    val sizes = blobs.values.map(b =>
+      HnswIndex.approxGraphBytes(HnswIndex.deserialize(b)))
+    val per = sizes.max
+    val prev = System.getProperty("graft.hnsw.cacheBytes")
+    HnswIndex.clearGraphCache()
+    try {
+      // budget fits ~2 of the 4 graphs
+      System.setProperty("graft.hnsw.cacheBytes", (per * 5 / 2).toString)
+      val q = rows(0)._2
+      HnswIndex.searchShards(shards, q, ef = 16, perShard = 8,
+        cacheTag = "budget-test").collect()
+      val n = HnswIndex.cachedGraphCount
+      assert(n >= 1 && n <= 2, s"expected 1..2 cached graphs, got $n")
+      assert(HnswIndex.cachedGraphBytes <= per * 5 / 2,
+        s"cache estimate ${HnswIndex.cachedGraphBytes} over budget ${per * 5 / 2}")
+      // roomy budget: all four stay resident
+      System.setProperty("graft.hnsw.cacheBytes", (per * 100).toString)
+      HnswIndex.clearGraphCache()
+      HnswIndex.searchShards(shards, q, ef = 16, perShard = 8,
+        cacheTag = "budget-test-2").collect()
+      assert(HnswIndex.cachedGraphCount == 4)
+    } finally {
+      if (prev == null) System.clearProperty("graft.hnsw.cacheBytes")
+      else System.setProperty("graft.hnsw.cacheBytes", prev)
+      HnswIndex.clearGraphCache()
+      shards.unpersist()
+    }
+  }
+
   test("single-node and tiny shards build and search") {
     val one = Array(("only", Array(1f, 2f)))
     val g = buildFrom(one, m = 4, efC = 8)
