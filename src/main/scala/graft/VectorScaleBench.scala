@@ -428,8 +428,10 @@ object VectorScaleBench {
     val hnswClient = new graft.api.GraftClient(spark, hnswRoot)
     hnswClient.createCollection("benchhnsw", dim = dim, metric = "l2",
       indexType = "HNSW", buckets = 16, efConstruction = 100)
+    // rows carry a 100-ary group tag so the r13 FILTERED arm below can
+    // measure a 1%-selectivity masked walk on this same collection
     hnswClient.upsert("benchhnsw", cvecs.select(col("vec_id").cast("string").as("key"),
-      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+      col("vec"), map(lit("g"), pmod(col("vec_id"), lit(100L)).cast("string")).as("meta")))
     val hnswBuildT0 = System.nanoTime()
     hnswClient.buildIndex("benchhnsw", nlist = 0)
     val hnswBuildSec = (System.nanoTime() - hnswBuildT0) / 1e9
@@ -473,6 +475,38 @@ object VectorScaleBench {
     val hnswFoldParity = hnswClient.search("benchhnsw", cq, k = 10, ef = 64)
       .collect().map(_.getString(0)).toSeq == hnswTailIds
 
+    // FILTERED HNSW (r13): a 1%-selectivity metadata filter rides the
+    // MASKED walk (passing keys resolve off the metadata columns, the
+    // beam traverses non-passing nodes but never returns them) instead
+    // of the pre-r13 exact corpus scan. The exact twin row prices what
+    // that fallback used to cost on the same collection; recall is
+    // measured against it (ef scales by the measured inverse
+    // selectivity, so the beam covers ~ef·100 nodes here).
+    val hfFilter = element_at(col("meta"), "g") === "7"
+    def hnswFilteredOnce(): Seq[String] =
+      hnswClient.search("benchhnsw", cq, k = 10, ef = 64,
+        filter = Some(hfFilter)).collect().map(_.getString(0)).toSeq
+    hnswFilteredOnce()
+    var hfIds: Seq[String] = Nil
+    val hnswFilteredSec = math.min(
+      time { hfIds = hnswFilteredOnce() }, time { hfIds = hnswFilteredOnce() })
+    val hfGraphPlan = hnswClient.search("benchhnsw", cq, k = 10, ef = 64,
+        filter = Some(hfFilter))
+      .queryExecution.executedPlan.toString.contains("MapPartitions")
+    val hfQueries = cvecs.filter(col("vec_id") === probeId)
+      .select(lit(0L).as("qid"), col("vec").as("qvec"))
+    def hnswFilteredExactOnce(): Seq[String] =
+      hnswClient.searchBatch("benchhnsw", hfQueries, k = 10,
+        filter = Some(hfFilter), forceExact = true)
+        .collect().map(_.getString(1)).toSeq
+    hnswFilteredExactOnce()
+    var hfExactIds: Seq[String] = Nil
+    val hnswFilteredExactSec = math.min(
+      time { hfExactIds = hnswFilteredExactOnce() },
+      time { hfExactIds = hnswFilteredExactOnce() })
+    val hfRecall = hfIds.count(hfExactIds.contains).toDouble /
+      math.max(hfExactIds.size, 1)
+
     // BIN_IVF_FLAT (r12): 1M sign-binarized codes (64 dims → ONE long,
     // 32× smaller than float32 at rest) in k-majority Hamming cells.
     // iid sign patterns are the adversarial regime for the prune (like
@@ -509,6 +543,50 @@ object VectorScaleBench {
       time { binPrunedIds = binPrunedOnce() }, time { binPrunedIds = binPrunedOnce() })
     val binRecall = binPrunedIds.count(binExactIds.contains).toDouble /
       binExactIds.size
+
+    // BINARY_VECTOR client e2e (r13): the same packed codes through the
+    // FULL collection lifecycle — createCollection(vectorType =
+    // BINARY_VECTOR), keyed-store upsert, buildIndex("BIN_IVF_FLAT"),
+    // searchBinary — with the module-level rows above as the parity
+    // reference (full probe must return the identical top-10) and a
+    // 1000-key maintenance commit proving the touched-cell refresh keeps
+    // the index fresh (the search after it must still read the cell
+    // layout). Keys are zero-padded so string tie-breaks equal the
+    // module arm's numeric ones.
+    val binCliRoot = tmpDir("graft-scale-bincli")
+    val binCli = new graft.api.GraftClient(spark, binCliRoot)
+    binCli.createCollection("benchbin", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 64, buckets = 16,
+      vectorType = "BINARY_VECTOR")
+    val binCliUpsertT0 = System.nanoTime()
+    binCli.upsert("benchbin", binCodes.select(
+      lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+      col("codes").as("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val binCliUpsertSec = (System.nanoTime() - binCliUpsertT0) / 1e9
+    val binCliBuildT0 = System.nanoTime()
+    binCli.buildIndex("benchbin", nlist = 64)
+    val binCliBuildSec = (System.nanoTime() - binCliBuildT0) / 1e9
+    def binCliOnce(np: Int): Seq[Long] =
+      binCli.searchBinary("benchbin", cqBits, k = 10, nprobe = np)
+        .collect().map(_.getString(0).toLong).toSeq
+    binCliOnce(64)
+    var binCliExactIds: Seq[Long] = Nil
+    val binCliExactSec = math.min(
+      time { binCliExactIds = binCliOnce(64) },
+      time { binCliExactIds = binCliOnce(64) })
+    val binCliParity = binCliExactIds == binExactIds
+    binCliOnce(4)
+    var binCliPrunedIds: Seq[Long] = Nil
+    val binCliPrunedSec = math.min(
+      time { binCliPrunedIds = binCliOnce(4) },
+      time { binCliPrunedIds = binCliOnce(4) })
+    val binCliMaintT0 = System.nanoTime()
+    binCli.upsert("benchbin", binCodes.limit(1000).select(
+      concat(lit("m"), col("vec_id").cast("string")).as("key"),
+      col("codes").as("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val binCliMaintSec = (System.nanoTime() - binCliMaintT0) / 1e9
+    val stillBin = binCli.searchBinary("benchbin", cqBits, k = 10, nprobe = 4)
+      .queryExecution.executedPlan.toString.contains("centroidId")
 
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
@@ -644,11 +722,25 @@ object VectorScaleBench {
         s""""client_hnsw_fold_sec":$hnswFoldSec,""" +
         s""""client_hnsw_folded":$hnswFolded,""" +
         s""""client_hnsw_fold_parity":$hnswFoldParity,""" +
+        s""""client_hnsw_filtered_sec":$hnswFilteredSec,""" +
+        s""""client_hnsw_filtered_graph_plan":$hfGraphPlan,""" +
+        s""""client_hnsw_filtered_exact_sec":$hnswFilteredExactSec,""" +
+        s""""client_hnsw_filtered_recall_at10":$hfRecall,""" +
         s""""bin_ivf_build_sec":$binBuildSec,"bin_bytes":$binBytes,""" +
         s""""bin_bytes_vs_float":${binBytes.toDouble / floatBytes},""" +
         s""""bin_exact_scan_sec":$binExactSec,""" +
         s""""bin_probe4of64_sec":$binPrunedSec,""" +
         s""""bin_probe_recall_at10":$binRecall,""" +
+        s""""client_bin_upsert_sec":$binCliUpsertSec,""" +
+        s""""client_bin_build_sec":$binCliBuildSec,""" +
+        s""""client_bin_fullprobe_sec":$binCliExactSec,""" +
+        s""""client_bin_fullprobe_parity":$binCliParity,""" +
+        s""""client_bin_probe4of64_sec":$binCliPrunedSec,""" +
+        s""""client_bin_probe_recall_at10":${
+          binCliPrunedIds.count(binCliExactIds.contains).toDouble /
+            math.max(binCliExactIds.size, 1)},""" +
+        s""""client_bin_maint_commit_sec":$binCliMaintSec,""" +
+        s""""client_bin_fresh_after_maint":$stillBin,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

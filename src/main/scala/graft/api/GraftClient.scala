@@ -1706,6 +1706,11 @@ class GraftClient(spark: SparkSession, root: String,
                   checkpointDir: Option[String] = None,
                   maintainTextIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.streaming.StreamingIngest
+    // the ingest loop embeds objects into FLOAT vectors — a binary
+    // collection would reject every batch at the write boundary with a
+    // word-count error far from the cause; refuse here instead
+    requireFloatVec(metaOrThrow(name),
+      "startIngest (the embedders emit float vectors)")
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
     // partition-key collections route each micro-batch through the pk
@@ -3002,6 +3007,96 @@ class GraftClient(spark: SparkSession, root: String,
         col("meta").as("metadata"))
   }
 
+  /** Batched binary top-k — Milvus `search` with a LIST of binary
+    * vectors ([[searchBatch]]'s shape for the packed-words family).
+    * `queries` needs (qid BIGINT, qcodes ARRAY<BIGINT>); output one
+    * (qid, vector_key, distance, metadata) row per hit, per-query
+    * results equal single-query [[searchBinary]] exactly (same kernel,
+    * same (dist, key) tie-breaks).
+    *
+    * Plan shape: with a fresh BIN_IVF_FLAT index each query's `nprobe`
+    * cells come from a probe udf over the broadcast centers + explode
+    * (no driver loop over queries), candidates are the cells ⋈ queries
+    * equi-join on `centroidId` (a row lives in exactly ONE cell, so a
+    * (query, row) pair is produced at most once), the fused
+    * XOR+popcount kernel scores each pair, and the bounded-heap
+    * [[graft.functions.VectorAggregates.topKDocs]] keeps k rows per
+    * (partition, qid) BEFORE the one shuffle. Stale index, FLAT, or
+    * jaccard collections run the same aggregate over the exact
+    * scan × queries product with the queries side broadcast. */
+  def searchBinaryBatch(name: String, queries: DataFrame, k: Int,
+                        filter: Option[Column] = None, nprobe: Int = 4,
+                        partitions: Seq[String] = Nil): DataFrame = {
+    import graft.functions.VectorAggregates
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinaryBatch " +
+        "serves BINARY_VECTOR; use searchBatch for float vectors")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val words = binWords(m.dim)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      when(size(col("qcodes")) =!= words, raise_error(concat(
+        lit(s"binary query needs $words packed 64-bit words for " +
+          s"dim ${m.dim} bits, got "), size(col("qcodes")).cast("string"))))
+        .otherwise(col("qcodes").cast("array<bigint>")).as("qcodes"))
+    val candidates = resolveParts(m, partitions).map { part =>
+      val pm = partMeta(m, part)
+      val coll = collection(pm)
+      loadBinIndex(pm)
+          .filter { case (_, v) => coll.currentVersion.contains(v) } match {
+        case Some((quant, v)) if pm.metric == "hamming" =>
+          val centersBc =
+            cachedBroadcast(pm.name, "bincenters", v)(quant.centers)
+          val np = nprobe
+          // executor-side probe: the same (hamming, id) ordering
+          // BinQuantizer.probes uses, over the broadcast centers
+          val probeCells = udf { codes: Seq[Long] =>
+            val cs = centersBc.value
+            val qa = codes.toArray
+            cs.indices.sortBy { i =>
+              var d = 0; var w = 0
+              while (w < qa.length) {
+                d += java.lang.Long.bitCount(cs(i)(w) ^ qa(w)); w += 1
+              }
+              (d, i)
+            }.take(math.min(np, cs.length))
+          }
+          val qCells = q.withColumn("centroidId",
+            explode(probeCells(col("qcodes"))))
+          loadedIndexFrame(coll, cellsPath(pm), v,
+            () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
+            .join(broadcast(qCells), Seq("centroidId"))
+            .select(col("qid"), col("qcodes"), col("key"), col("vec"),
+              col("meta"))
+        case _ =>
+          scalarPrunedRead(pm, coll, filter).crossJoin(broadcast(q))
+            .select(col("qid"), col("qcodes"), col("key"), col("vec"),
+              col("meta"))
+      }
+    }.reduce(_ unionByName _)
+    // both sides re-establish non-null word types for the fused kernels
+    // (parquet read-back and caller frames may carry nullable elements)
+    val codes = transform(col("vec"), w => coalesce(w, lit(0L)))
+    val qc = transform(col("qcodes"), w => coalesce(w, lit(0L)))
+    val dist = m.metric match {
+      case "hamming" =>
+        graft.functions.BinaryVectorFunctions
+          .hamming_distance(codes, qc).cast("double")
+      case _ =>
+        graft.functions.BinaryVectorFunctions.jaccard_distance(codes, qc)
+    }
+    filter.fold(candidates)(candidates.filter)
+      .select(col("qid"), dist.as("dist"), col("key"), col("meta"))
+      .groupBy(col("qid"))
+      .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta"))
+        .as("hits"))
+      .select(col("qid"), explode(col("hits")).as("h"))
+      .select(col("qid"), col("h.key").as("vector_key"),
+        col("h.dist").as("distance"), col("h.meta").as("metadata"))
+      .orderBy(col("qid"), col("distance"), col("vector_key"))
+  }
+
   /** One partition's scored candidate stream for [[search]]:
     * (vector_key, distance, metadata), NOT yet paged — the caller pages
     * once over the union. SQ8 partitions run their two-stage refine
@@ -3461,7 +3556,19 @@ class GraftClient(spark: SparkSession, root: String,
     * index → exact scan, same answer. SQ8 collections prune identically
     * but read the FLOAT cells: a range predicate is a hard boundary, and
     * keeping it exact over quantized codes would need per-cell error
-    * bounds. */
+    * bounds.
+    *
+    * HNSW collections exact-scan BY DESIGN, not as a gap (r13 decision):
+    * graph shards are KEY-HASH routed, so every shard spans the whole
+    * vector space — per-shard radius metadata can never exclude a shard
+    * (the cell_radii prune works for IVF precisely because cells are
+    * GEOMETRIC). And a radius-bounded walk cannot meet this surface's
+    * exact contract: a within-range node whose only graph paths run
+    * through out-of-range nodes is missed by any traversal that stops at
+    * the radius (Milvus's own graph range search is recall-bounded for
+    * the same reason). Exact-or-nothing keeps the oracle-pinned
+    * semantics; IVF_FLAT/SQ8 are the index types to pick when range
+    * queries dominate. */
   def searchRange(name: String, qvec: Array[Float], radius: Double,
                   rangeFilter: Double = Double.NegativeInfinity,
                   limit: Option[Int] = None,
@@ -4613,8 +4720,11 @@ class GraftClient(spark: SparkSession, root: String,
     // once per query, the bounded heap keeps k·refine keys per query
     // BEFORE the shuffle, and the shared exact tail re-ranks — the same
     // stage shape as the SQ8/PQ arms. A filter routes to the exact
-    // product (the walk cannot pre-filter; single-query search makes the
-    // same call).
+    // product: the single-query path rides the r13 MASKED walk for
+    // filters, but the batch walk has no masked variant yet — correct
+    // (the exact product honors the filter), just graph-less; extend
+    // searchShardsBatch with the per-shard mask if filtered batches
+    // become a hot path.
     val hnswV: Option[(Long, HnswMeta)] =
       if (forceExact || filter.isDefined || nQ > 100000L) None
       else hnswServable(m, coll)

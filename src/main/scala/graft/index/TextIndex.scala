@@ -34,46 +34,70 @@ import org.apache.spark.sql.types.StructType
   * indexes read unchanged. */
 case class Analyzer(tokenizer: String = "whitespace",
                     stopWords: Seq[String] = Nil,
-                    stemmer: String = "none") {
-  require(Seq("whitespace", "standard").contains(tokenizer),
-    s"analyzer tokenizer must be 'whitespace' or 'standard' (got '$tokenizer')")
+                    stemmer: String = "none",
+                    maxTokenLen: Int = 0) {
+  require(Seq("whitespace", "standard", "cjk").contains(tokenizer),
+    s"analyzer tokenizer must be 'whitespace', 'standard' or 'cjk' " +
+      s"(got '$tokenizer')")
   require(Seq("none", "porter").contains(stemmer),
     s"analyzer stemmer must be 'none' or 'porter' (got '$stemmer')")
   require(stemmer == "none" || tokenizer == "standard",
     "the porter stemmer requires the standard tokenizer (stemming " +
-      "case-exact whitespace tokens would silently mis-stem)")
+      "case-exact whitespace tokens would silently mis-stem, and CJK " +
+      "bigrams have no stems)")
   require(stopWords.forall(w => w.nonEmpty && !w.exists(",|\n".contains(_))),
     "stop words must be non-empty and free of ',', '|', newline " +
       "(META serialization delimiters)")
+  require(maxTokenLen >= 0,
+    s"maxTokenLen must be >= 0 (0 = unlimited; got $maxTokenLen)")
   private val stopSet = stopWords.toSet
 
   def serialize: String = {
     val stops = stopWords.mkString(",")
-    if (stemmer == "none")
+    if (maxTokenLen > 0) s"$tokenizer|$stops|$stemmer|$maxTokenLen"
+    else if (stemmer == "none")
       tokenizer + (if (stopWords.isEmpty) "" else "|" + stops)
     else s"$tokenizer|$stops|$stemmer"
   }
 
   /** Token-array column — the ONE executor-side tokenize build and
-    * append share. Stop tokens are NOT removed here (position gaps need
-    * the pre-removal offsets); [[Analyzer.isStop]] masks them at the
-    * postings explode. */
+    * append share. Dropped tokens (stops, over-length) are NOT removed
+    * here (position gaps need the pre-removal offsets);
+    * [[Analyzer.isDropped]] masks them at the postings explode. The cjk
+    * arm is a Scala UDF over [[Analyzer.cjkTokens]] — branchy codepoint
+    * iteration, build/append-path only (the PorterStemmer trade):
+    * queries tokenize their one string driver-side. */
   def tokensCol(text: Column): Column = tokenizer match {
     case "whitespace" => split(text, " ")
+    case "cjk" => udf((s: String) =>
+      if (s == null) Seq.empty[String] else Analyzer.cjkTokens(s)).apply(text)
     case _ => org.apache.spark.sql.functions.filter(
       split(lower(text), Analyzer.TokenSplitRe), t => t =!= lit(""))
   }
 
   def hasStops: Boolean = stopWords.nonEmpty
 
+  /** Whether any token-DROP rule is configured (stop words, length cap)
+    * — gates the postings-explode mask. */
+  def hasDrops: Boolean = stopWords.nonEmpty || maxTokenLen > 0
+
   def isStop(term: Column): Column =
     if (stopWords.isEmpty) lit(false) else term.isInCollection(stopWords)
 
-  /** Field length = INDEXED tokens (stop-removed) — Lucene's dlen. */
+  /** The full drop mask (stop OR over-length — Milvus/Lucene's `length`
+    * filter removes tokens past `max`), applied AFTER posexplode so
+    * surviving tokens keep their pre-removal offsets (position gaps). */
+  def isDropped(term: Column): Column = {
+    val lenDrop =
+      if (maxTokenLen == 0) lit(false) else length(term) > maxTokenLen
+    isStop(term) || lenDrop
+  }
+
+  /** Field length = INDEXED tokens (drop rules applied) — Lucene's dlen. */
   def dlenCol(toks: Column): Column =
-    (if (stopWords.isEmpty) size(toks)
+    (if (!hasDrops) size(toks)
      else size(org.apache.spark.sql.functions.filter(toks,
-       t => !t.isInCollection(stopWords)))).cast("long")
+       t => !isDropped(t)))).cast("long")
 
   /** The per-term transformation applied to EXPLODED postings tokens
     * after the stop filter — the executor-side stemming hop (a Scala
@@ -96,11 +120,14 @@ case class Analyzer(tokenizer: String = "whitespace",
     * tokens expands in place (phrase order preserved); stop terms
     * drop BEFORE stemming, like Lucene's EnglishAnalyzer chain. */
   def analyzeTerms(terms: Seq[String]): Seq[String] = {
-    val toks = (tokenizer match {
+    val raw = tokenizer match {
       case "whitespace" => terms
+      case "cjk" => terms.flatMap(Analyzer.cjkTokens)
       case _ => terms.flatMap(_.toLowerCase(java.util.Locale.ROOT)
         .split(Analyzer.TokenSplitRe)).filter(_.nonEmpty)
-    }).filterNot(stopSet.contains)
+    }
+    val toks = raw.filterNot(stopSet.contains)
+      .filter(t => maxTokenLen == 0 || t.length <= maxTokenLen)
     if (stemmer == "none") toks else toks.map(PorterStemmer.stem)
   }
 }
@@ -121,12 +148,76 @@ object Analyzer {
     * lowercase + English stop words + Porter stem. */
   val English = Analyzer("standard", EnglishStopWords, "porter")
 
+  /** CJK bigram tokenization (Lucene's CJKAnalyzer approach — the
+    * engine's dictionary-free CJK arm; jieba-style dictionary
+    * segmentation needs shipped dictionaries this sandbox cannot hold,
+    * and is refused loudly in [[fromMilvusParams]]): lowercase, then
+    * contiguous runs of Han/Hiragana/Katakana/Hangul codepoints emit
+    * OVERLAPPING BIGRAMS (a length-1 run emits its single char), and
+    * non-CJK letter/digit runs emit one lowercased token each — so
+    * mixed CJK/Latin corpora tokenize sensibly in one chain. Pure
+    * function of the string: the build-path UDF and the driver-side
+    * query analysis call the SAME code, the bit-identical-analysis
+    * contract every analyzer here keeps. */
+  def cjkTokens(s: String): Seq[String] = {
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def isCjkCp(cp: Int): Boolean = {
+      val sc = Character.UnicodeScript.of(cp)
+      sc == Character.UnicodeScript.HAN ||
+        sc == Character.UnicodeScript.HIRAGANA ||
+        sc == Character.UnicodeScript.KATAKANA ||
+        sc == Character.UnicodeScript.HANGUL
+    }
+    val n = lower.length
+    var i = 0
+    while (i < n) {
+      val cp = lower.codePointAt(i)
+      if (!Character.isLetterOrDigit(cp)) i += Character.charCount(cp)
+      else if (isCjkCp(cp)) {
+        val run = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var j = i
+        var cont = true
+        while (cont && j < n) {
+          val c = lower.codePointAt(j)
+          if (Character.isLetterOrDigit(c) && isCjkCp(c)) {
+            run += c; j += Character.charCount(c)
+          } else cont = false
+        }
+        if (run.length == 1) out += new String(Character.toChars(run(0)))
+        else {
+          var k = 0
+          while (k < run.length - 1) {
+            out += (new String(Character.toChars(run(k))) +
+              new String(Character.toChars(run(k + 1))))
+            k += 1
+          }
+        }
+        i = j
+      } else {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        var cont = true
+        while (cont && j < n) {
+          val c = lower.codePointAt(j)
+          if (Character.isLetterOrDigit(c) && !isCjkCp(c)) {
+            sb.appendCodePoint(c); j += Character.charCount(c)
+          } else cont = false
+        }
+        out += sb.toString
+        i = j
+      }
+    }
+    out.toSeq
+  }
+
   def deserialize(s: String): Analyzer = {
-    val parts = s.split("\\|", 3)
+    val parts = s.split("\\|", 4)
     Analyzer(parts(0),
       if (parts.length > 1) parts(1).split(",").filter(_.nonEmpty).toSeq
       else Nil,
-      if (parts.length > 2 && parts(2).nonEmpty) parts(2) else "none")
+      if (parts.length > 2 && parts(2).nonEmpty) parts(2) else "none",
+      if (parts.length > 3) parts(3).toInt else 0)
   }
 
   /** The VERBATIM Milvus `analyzer_params` dict a migrating caller
@@ -153,19 +244,28 @@ object Analyzer {
     require(node != null && node.isObject,
       s"analyzer_params must be a JSON object (got '$json')")
     // Milvus's built-in-analyzer shorthand: {"type": "english"} /
-    // {"type": "standard"} name a whole preset
+    // {"type": "standard"} name a whole preset. {"type": "chinese"}
+    // is jieba DICTIONARY segmentation — the dictionaries cannot ship
+    // in this offline engine, so the refusal names the supported CJK
+    // arm instead of silently mis-tokenizing a migrating user's corpus.
     Option(node.get("type")).map(_.asText).foreach {
       case "english" => return English
       case "standard" => return Analyzer("standard", Nil)
+      case "chinese" => throw new IllegalArgumentException(
+        "built-in analyzer 'chinese' is jieba dictionary segmentation, " +
+          "which this engine cannot ship offline — use {\"tokenizer\": " +
+          "\"cjk\"} for Lucene-style CJK bigram tokenization (optionally " +
+          "with a stop filter for CJK function words)")
       case other => throw new IllegalArgumentException(
         s"unsupported built-in analyzer '$other' — supported: " +
-          "standard, english")
+          "standard, english (cjk available as a tokenizer)")
     }
     val tokenizer = Option(node.get("tokenizer")).map(_.asText)
       .getOrElse("standard")
     var lowercase = false
     var stops = Seq.empty[String]
     var stem = "none"
+    var maxLen = 0
     val f = node.get("filter")
     if (f != null) {
       require(f.isArray, "analyzer_params.filter must be an array")
@@ -176,7 +276,12 @@ object Analyzer {
           val sw = e.get("stop_words")
           require(sw != null && sw.isArray,
             "stop filter needs a stop_words array")
-          stops = (0 until sw.size).map(sw.get(_).asText)
+          // Milvus/tantivy's "_english_" magic entry names the built-in
+          // English list — expand it in place, keeping user entries
+          stops = (0 until sw.size).map(sw.get(_).asText).flatMap {
+            case "_english_" => EnglishStopWords
+            case w => Seq(w)
+          }.distinct
         } else if (e.isObject &&
             Option(e.get("type")).exists(_.asText == "stemmer")) {
           val lang = Option(e.get("language")).map(_.asText)
@@ -185,10 +290,18 @@ object Analyzer {
             s"unsupported stemmer language '$lang' — supported: english " +
               "(Porter)")
           stem = "porter"
+        } else if (e.isObject &&
+            Option(e.get("type")).exists(_.asText == "length")) {
+          // Milvus/Lucene length filter: drop tokens LONGER than max
+          val mx = e.get("max")
+          require(mx != null && mx.isInt && mx.asInt >= 1,
+            "length filter needs an integer max >= 1")
+          maxLen = mx.asInt
         } else throw new IllegalArgumentException(
           s"unsupported analyzer filter '$e' — supported: \"lowercase\", " +
-            """{"type": "stop", "stop_words": [...]}, """ +
-            """{"type": "stemmer", "language": "english"}""")
+            """{"type": "stop", "stop_words": [...]} ("_english_" """ +
+            """expands the built-in list), {"type": "stemmer", """ +
+            """"language": "english"}, {"type": "length", "max": N}""")
       }
     }
     tokenizer match {
@@ -202,7 +315,7 @@ object Analyzer {
           "tokenizer 'standard' without the \"lowercase\" filter " +
             "(case-sensitive standard) is not supported — add " +
             "\"lowercase\" to the filter list")
-        Analyzer("standard", stops, stem)
+        Analyzer("standard", stops, stem, maxLen)
       case "whitespace" =>
         require(!lowercase,
           "the \"lowercase\" filter with tokenizer 'whitespace' is not " +
@@ -210,9 +323,23 @@ object Analyzer {
         require(stem == "none",
           "the stemmer filter with tokenizer 'whitespace' is not " +
             "supported — stemming needs lowercased standard tokens")
-        Analyzer("whitespace", stops)
+        Analyzer("whitespace", stops, "none", maxLen)
+      case "cjk" =>
+        // the engine's CJK arm (see [[cjkTokens]]): bigrams over CJK
+        // runs, lowercased tokens over non-CJK runs — lowercase is
+        // inherent, so the filter is accepted as a no-op; stemming CJK
+        // bigrams is meaningless and refused by the Analyzer require
+        require(stem == "none",
+          "the stemmer filter with tokenizer 'cjk' is not supported — " +
+            "CJK bigrams have no stems")
+        Analyzer("cjk", stops, "none", maxLen)
+      case "jieba" => throw new IllegalArgumentException(
+        "tokenizer 'jieba' is dictionary segmentation, which this " +
+          "engine cannot ship offline — use \"cjk\" for Lucene-style " +
+          "CJK bigram tokenization")
       case other => throw new IllegalArgumentException(
-        s"unsupported tokenizer '$other' — supported: standard, whitespace")
+        s"unsupported tokenizer '$other' — supported: standard, " +
+          "whitespace, cjk")
     }
   }
 }
@@ -636,7 +763,7 @@ object TextIndex {
     val exploded = withLen
       .select(col(idCol), col("dlen"),
         posexplode(col("__ws")).as(Seq("pos", "term")))
-    (if (analyzer.hasStops) exploded.filter(!analyzer.isStop(col("term")))
+    (if (analyzer.hasDrops) exploded.filter(!analyzer.isDropped(col("term")))
      else exploded)
       // stemming (if configured) AFTER the stop filter, Lucene's chain
       // order; tokens stemming to the same term merge their positions

@@ -283,6 +283,99 @@ object TextQueries {
       .limit(10)
   }
 
+  /** Custom-chain postings (r13): the verbatim Milvus `analyzer_params`
+    * dict with the `_english_` stop expansion AND the `length` filter —
+    * standard tokenize + lowercase + (built-in English stops ∪ "scan")
+    * + drop tokens longer than 6. Cached per (dir, process). */
+  private val customTextIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def customPostingsFor(spark: SparkSession, dir: String): String =
+    customTextIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-textidx-cst").toString
+      graft.index.TextIndex.build(t(spark, d, "documents"), "doc_id", "text", p,
+        analyzer = graft.index.Analyzer.fromMilvusParams(
+          """{"tokenizer": "standard", "filter": ["lowercase",
+             {"type": "stop", "stop_words": ["_english_", "scan"]},
+             {"type": "length", "max": 6}]}"""))
+      p
+    })
+
+  /** B8/C14 (r13) — Milvus custom analyzer CHAIN on the ORACLE path:
+    * `_english_` stop expansion + user stop word + `length` filter, the
+    * query analyzed through the SAME chain. Every dropped query term is
+    * LOAD-BEARING for the hash under mode "all": "Customer" (8 chars >
+    * max 6) must drop through the length filter (join∧customer = 329
+    * docs ≠ join = 394 — keeping it would shrink the match set), "the"
+    * must drop through the expanded built-in stop list (join∧the =
+    * 317), "scan" through the user entry — only an engine applying the
+    * whole chain, index- AND query-side, reproduces docs-with-join. */
+  def textMatchCustomKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, customPostingsFor(spark, dir),
+      Seq("Customer", "the", "JOIN", "scan"), mode = "all")
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
+  // CJK-bigram postings (r13): the fixture corpus deterministically
+  // TRANSLATED into CJK codepoints (char-wise bijection on a–z; digits
+  // and punctuation become separators) so the cjk tokenizer's bigram
+  // arm is exercised on real CJK runs — a transformation of the driver
+  // table, not synthesized data. The bijection means bigram containment
+  // in the translated space equals bigram containment in the original
+  // lowercase-letter space, which is what the DuckDB oracle checks
+  // without needing the mapping at all.
+  private val CjkAbc = "一二三四五六七八九十百千万上下左右中大小天地人日月水"
+  private val cjkTextIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cjkPostingsFor(spark: SparkSession, dir: String): String =
+    cjkTextIndexCache.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-textidx-cjk").toString
+      val corpus = t(spark, d, "documents").select(col("doc_id"),
+        translate(regexp_replace(lower(col("text")), "[^a-z ]", " "),
+          "abcdefghijklmnopqrstuvwxyz", CjkAbc).as("text"))
+      graft.index.TextIndex.build(corpus, "doc_id", "text", p,
+        analyzer = graft.index.Analyzer.fromMilvusParams(
+          """{"tokenizer": "cjk"}"""))
+      p
+    })
+
+  /** B8/C14 (r13) — the CJK BIGRAM tokenizer on the ORACLE path (the
+    * engine's dictionary-free CJK arm behind `analyzer_params`; jieba
+    * refuses loudly): the corpus translated into CJK runs, indexed
+    * through `{"tokenizer": "cjk"}`, and the query — the translation of
+    * "join" — expands driver-side into its three overlapping bigrams,
+    * matched mode-"all" from the postings. The oracle replays bigram
+    * semantics in the ORIGINAL letter space (the translation is a
+    * bijection, so the match sets are equal by construction): a doc
+    * matches iff its per-word bigram set covers {jo, oi, in}. Pins run
+    * detection, bigram emission order-independence, query expansion,
+    * and build/query analysis identity. */
+  def textMatchCjkKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2_distance
+    val mapping = "abcdefghijklmnopqrstuvwxyz".zip(CjkAbc).toMap
+    val qTerm = "join".map(mapping).mkString
+    val matches = graft.index.TextIndex.matchingDocs(
+      spark, cjkPostingsFor(spark, dir), Seq(qTerm), mode = "all")
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qvec"))
+    emb.join(matches, emb("vec_id") === matches("doc_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        l2_distance(col("embedding"), col("qvec")).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(10)
+  }
+
   /** Per-JVM client collection for the Milvus FULL-TEXT-SEARCH surface
     * (r12): the docs-with-embeddings subset written through the client's
     * full upsert pipeline, text index attached with the `standard`
@@ -573,6 +666,8 @@ object TextQueries {
     "bm25_scores" -> bm25Scores _,
     "text_match_knn" -> textMatchKnn _,
     "text_match_std_knn" -> textMatchStdKnn _,
+    "text_match_custom_knn" -> textMatchCustomKnn _,
+    "text_match_cjk_knn" -> textMatchCjkKnn _,
     "fulltext_search_std" -> fulltextSearchStd _,
     "phrase_match_knn" -> phraseMatchKnn _,
     "phrase_match_slop_knn" -> phraseMatchSlopKnn _,
@@ -729,6 +824,33 @@ object TextQueries {
                FROM documents),
            m AS (SELECT doc_id FROM tokens WHERE word IN ('join', 'scan')
                  GROUP BY doc_id HAVING count(DISTINCT word) = 2),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
+    "text_match_custom_knn" ->
+      """WITH tokens AS (SELECT doc_id,
+                 unnest(list_filter(str_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                   x -> x <> '')) AS word
+               FROM documents),
+           m AS (SELECT DISTINCT doc_id FROM tokens WHERE word = 'join'),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+         SELECT e.vec_id AS doc_id,
+            list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+         FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
+         ORDER BY dist, doc_id LIMIT 10""",
+    "text_match_cjk_knn" ->
+      """WITH words AS (SELECT doc_id,
+                 unnest(list_filter(str_split_regex(
+                   regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' +'),
+                   x -> x <> '')) AS w
+               FROM documents),
+           bigs AS (SELECT DISTINCT doc_id,
+                 CASE WHEN len(w) = 1 THEN w ELSE substr(w, i, 2) END AS bg
+               FROM words, LATERAL unnest(generate_series(1, greatest(len(w) - 1, 1))) AS t(i)),
+           m AS (SELECT doc_id FROM bigs WHERE bg IN ('jo', 'oi', 'in')
+                 GROUP BY doc_id HAVING count(DISTINCT bg) = 3),
            q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
          SELECT e.vec_id AS doc_id,
             list_distance(e.embedding::DOUBLE[], q.qvec) AS dist

@@ -199,6 +199,41 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"jaccard order mismatch: $got vs $expect")
   }
 
+  test("searchBinaryBatch == per-query searchBinary on both the cell " +
+       "layout and the exact fallback") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bb", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    client.upsert("bb",
+      (0 until 200).map(i => (key(i), code(i).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    client.buildIndex("bb", nlist = 4)
+    val qs = Seq(1, 2, 3).map(i => (i.toLong, code(i).toSeq))
+    def batchHits(np: Int): Map[Long, Seq[String]] =
+      client.searchBinaryBatch("bb", qs.toDF("qid", "qcodes"), k = 8,
+          nprobe = np)
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getString(1)).toSeq }
+    def singleHits(np: Int): Map[Long, Seq[String]] =
+      qs.map { case (qid, c) =>
+        qid -> client.searchBinary("bb", c.toArray, k = 8, nprobe = np)
+          .collect().map(_.getString(0)).toSeq
+      }.toMap
+    // fresh index, pruned probe: batch == per-query at the same nprobe
+    assert(batchHits(1) == singleHits(1))
+    assert(batchHits(4) == singleHits(4))
+    // exact fallback (index dropped): same parity through the product arm
+    client.dropIndex("bb")
+    assert(batchHits(4) == singleHits(4))
+    // wrong query word count raises
+    intercept[Exception] {
+      client.searchBinaryBatch("bb",
+        Seq((0L, Seq(1L))).toDF("qid", "qcodes"), k = 2).collect()
+    }
+  }
+
   test("create/write/search boundary validation") {
     import spark.implicits._
     val client = mkClient()

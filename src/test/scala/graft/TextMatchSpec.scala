@@ -471,6 +471,93 @@ class TextMatchSpec extends AnyFunSuite {
     assert(c.textMatchKeys("mvp", Seq("the")).count() == 0)
   }
 
+  test("custom analyzer chains (r13): _english_ stop expansion, length " +
+       "filter, cjk bigram tokenizer — verbatim dicts, parity e2e") {
+    import spark.implicits._
+    import graft.index.Analyzer
+    // _english_ expands to the built-in list, merged with user entries
+    val a1 = Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "stop", "stop_words": ["_english_", "scan"]}]}""")
+    assert(a1.stopWords.contains("the") && a1.stopWords.contains("scan"))
+    // length filter parses; max must be >= 1
+    assert(Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "length", "max": 6}]}""") ==
+      Analyzer("standard", Nil, "none", 6))
+    intercept[IllegalArgumentException](Analyzer.fromMilvusParams(
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "length", "max": 0}]}"""))
+    // cjk tokenizer: jieba/chinese refuse loudly POINTING AT cjk
+    val e1 = intercept[IllegalArgumentException](
+      Analyzer.fromMilvusParams("""{"tokenizer": "jieba"}"""))
+    assert(e1.getMessage.contains("cjk"))
+    val e2 = intercept[IllegalArgumentException](
+      Analyzer.fromMilvusParams("""{"type": "chinese"}"""))
+    assert(e2.getMessage.contains("cjk"))
+    assert(Analyzer.fromMilvusParams("""{"tokenizer": "cjk"}""") ==
+      Analyzer("cjk", Nil))
+
+    // cjkTokens: bigrams over CJK runs, lowercased tokens over non-CJK
+    // runs, singletons for length-1 runs, separators dropped
+    assert(Analyzer.cjkTokens("机器学习") == Seq("机器", "器学", "学习"))
+    assert(Analyzer.cjkTokens("Deep 学习 models") ==
+      Seq("deep", "学习", "models"))
+    assert(Analyzer.cjkTokens("猫, and 犬!") == Seq("猫", "and", "犬"))
+    assert(Analyzer.cjkTokens("ひらがなとカタカナ") ==
+      Seq("ひら", "らが", "がな", "なと", "とカ", "カタ", "タカ", "カナ"))
+
+    // serialization round-trips the new fields (build/append/query must
+    // tokenize identically forever)
+    val a2 = Analyzer("cjk", Seq("的"), "none", 5)
+    assert(Analyzer.deserialize(a2.serialize) == a2)
+    val a3 = Analyzer("standard", Nil, "none", 4)
+    assert(Analyzer.deserialize(a3.serialize) == a3)
+
+    // e2e CJK: index CJK docs, match via bigram expansion of the query
+    val c = mk()
+    c.createCollection("cjk1", dim = 384)
+    val docs = Seq(
+      ("d1", "机器学习 is great"), ("d2", "深度学习 models"), ("d3", "plain text"))
+    c.upsertTexts("cjk1",
+      docs.map { case (k, t) => (k, t, Map.empty[String, String]) }
+        .toDF("key", "text", "meta"))
+    c.buildTextIndexMilvus("cjk1", docs.toDF("key", "text"),
+      """{"tokenizer": "cjk"}""")
+    // query "学习" = one bigram; both CJK docs contain it
+    assert(keysOf(c.textMatchKeys("cjk1", Seq("学习"))) == Set("d1", "d2"))
+    // "机器学习" expands to 3 bigrams; mode all = only d1
+    assert(keysOf(c.textMatchKeys("cjk1", Seq("机器学习"), mode = "all")) ==
+      Set("d1"))
+    // PHRASE over bigrams: consecutive positions hold within a run
+    assert(keysOf(c.textMatchKeys("cjk1", Seq("机器学习"), mode = "phrase")) ==
+      Set("d1"))
+    // non-CJK tokens still match through the same chain
+    assert(keysOf(c.textMatchKeys("cjk1", Seq("MODELS"))) == Set("d2"))
+
+    // e2e length filter: over-length tokens drop from index AND query
+    val c2 = mk()
+    c2.createCollection("len1", dim = 384)
+    val ldocs = Seq(("l1", "the predicate pushdown wins"), ("l2", "a scan loses"))
+    c2.upsertTexts("len1",
+      ldocs.map { case (k, t) => (k, t, Map.empty[String, String]) }
+        .toDF("key", "text", "meta"))
+    c2.buildTextIndexMilvus("len1", ldocs.toDF("key", "text"),
+      """{"tokenizer": "standard", "filter": ["lowercase",
+         {"type": "stop", "stop_words": ["_english_"]},
+         {"type": "length", "max": 6}]}""")
+    // "predicate" (9 chars) was never indexed; it also drops from the
+    // query, so mode=all over ["predicate", "wins"] matches l1 (an
+    // engine that kept it query-side would match NOTHING)
+    assert(keysOf(c2.textMatchKeys("len1", Seq("predicate", "wins"),
+      mode = "all")) == Set("l1"))
+    // stop word "the" (_english_) drops the same way
+    assert(keysOf(c2.textMatchKeys("len1", Seq("the", "wins"),
+      mode = "all")) == Set("l1"))
+    // a term that survives the chain still gates exactly
+    assert(keysOf(c2.textMatchKeys("len1", Seq("scan"))) == Set("l2"))
+  }
+
   test("Porter stemmer: the paper's own rule examples, verified stepwise") {
     import graft.index.PorterStemmer.stem
     // each expectation hand-derived through the 1980 paper's rule
