@@ -506,6 +506,20 @@ object VectorScaleBench {
       time { hfExactIds = hnswFilteredExactOnce() })
     val hfRecall = hfIds.count(hfExactIds.contains).toDouble /
       math.max(hfExactIds.size, 1)
+    // the LOADED filtered walk — Milvus's actual operating mode (its
+    // load is mandatory): blobs pinned as in-memory frames, isolating
+    // the walk + passing-resolve cost from the per-query blob-read tax
+    // the unloaded row pays (the blobs are 1.4× the data — at dim 64,
+    // reading them per query can exceed the exact scan's column reads)
+    hnswClient.loadCollection("benchhnsw")
+    hnswFilteredOnce()
+    var hfLoadedIds: Seq[String] = Nil
+    val hnswFilteredLoadedSec = math.min(
+      time { hfLoadedIds = hnswFilteredOnce() },
+      time { hfLoadedIds = hnswFilteredOnce() })
+    val hfLoadedRecall = hfLoadedIds.count(hfExactIds.contains).toDouble /
+      math.max(hfExactIds.size, 1)
+    hnswClient.releaseCollection("benchhnsw")
 
     // BIN_IVF_FLAT (r12): 1M sign-binarized codes (64 dims → ONE long,
     // 32× smaller than float32 at rest) in k-majority Hamming cells.
@@ -726,6 +740,8 @@ object VectorScaleBench {
         s""""client_hnsw_filtered_graph_plan":$hfGraphPlan,""" +
         s""""client_hnsw_filtered_exact_sec":$hnswFilteredExactSec,""" +
         s""""client_hnsw_filtered_recall_at10":$hfRecall,""" +
+        s""""client_hnsw_filtered_loaded_sec":$hnswFilteredLoadedSec,""" +
+        s""""client_hnsw_filtered_loaded_recall_at10":$hfLoadedRecall,""" +
         s""""bin_ivf_build_sec":$binBuildSec,"bin_bytes":$binBytes,""" +
         s""""bin_bytes_vs_float":${binBytes.toDouble / floatBytes},""" +
         s""""bin_exact_scan_sec":$binExactSec,""" +

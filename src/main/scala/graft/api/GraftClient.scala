@@ -2209,10 +2209,49 @@ class GraftClient(spark: SparkSession, root: String,
       quant.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("centroid_id", "center")
         .coalesce(1).write.mode("overwrite").parquet(binCentroidsPath(m))
+      // per-cell max Hamming radius to the FROZEN center — searchBinaryRange's
+      // lossless triangle-inequality prune (Hamming is a true metric, and
+      // the distances are exact small ints, so unlike the float family's
+      // cell_radii no fp slack term is ever needed); read the just-written
+      // cells back (partition-local) like the float build does
+      writeBinRadii(binCellRadii(
+        spark.read.schema(binCellsSchema).parquet(cellsPath(m)),
+        quant.centers), m)
       stampIndexVersion(m, version)
       invalidateIndexCaches(m.name)
       graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
     }
+
+  private def binRadiiPath(m: CollectionMeta) = s"${ivfDir(m)}/bin_radii"
+
+  /** Per-cell MAX Hamming distance to the frozen k-majority center —
+    * one fused-kernel pass over the given cells' rows; nlist-row
+    * result. */
+  private def binCellRadii(cells: DataFrame,
+      centers: Array[Array[Long]]): Map[Int, Int] = {
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("centroidId", "__center")
+    cells.join(broadcast(centersDf), Seq("centroidId"))
+      .groupBy(col("centroidId"))
+      .agg(max(graft.functions.BinaryVectorFunctions.hamming_distance(
+        transform(col("vec"), w => coalesce(w, lit(0L))),
+        transform(col("__center"), w => coalesce(w, lit(0L))))).as("radius"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+  }
+
+  private def writeBinRadii(radii: Map[Int, Int], m: CollectionMeta): Unit = {
+    import spark.implicits._
+    radii.toSeq.toDF("centroid_id", "radius")
+      .coalesce(1).write.mode("overwrite").parquet(binRadiiPath(m))
+  }
+
+  private def readBinRadii(m: CollectionMeta): Option[Map[Int, Int]] =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(binRadiiPath(m)))) None
+    else Some(spark.read.schema("centroid_id INT, radius INT")
+      .parquet(binRadiiPath(m))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
 
   /** HNSW build: one graph per store bucket (the shard route IS the
     * bucket route, so a merge commit's touched buckets name exactly the
@@ -2593,6 +2632,17 @@ class GraftClient(spark: SparkSession, root: String,
               .partitionBy("centroidId").parquet(cellsPath(m))
             (touchedCells.toSet -- writtenCells).foreach { cell =>
               deleteDir(s"${cellsPath(m)}/centroidId=$cell")
+            }
+            // the range prune's per-cell Hamming radii follow the same
+            // touched-cell merge as the float family's cell_radii:
+            // recompute EXACTLY from the touched cells' full new
+            // contents against the FROZEN centers, keep untouched
+            // cells' values, drop emptied cells (a pre-radii legacy
+            // layout has no file: skip — searchBinaryRange scans the
+            // whole cell layout, still exact)
+            readBinRadii(m).foreach { old =>
+              val touched = binCellRadii(contents, quant.centers)
+              writeBinRadii((old -- touchedCells) ++ touched, m)
             }
           }
           stampIndexVersion(m, newVersion)
@@ -3005,6 +3055,80 @@ class GraftClient(spark: SparkSession, root: String,
     filter.fold(base)(base.filter)
       .select(col("key").as("vector_key"), dist.as("distance"),
         col("meta").as("metadata"))
+  }
+
+  /** Binary range search — Milvus `radius`/`range_filter` params on a
+    * BINARY_VECTOR field: every row whose distance satisfies
+    * `rangeFilter <= distance < radius`, nearest-first, optionally
+    * capped at `limit`. Like the float [[searchRange]] there is NO
+    * recall knob: with a fresh BIN_IVF_FLAT index the candidate cells
+    * come from a LOSSLESS triangle-inequality prune over the per-cell
+    * max Hamming radii persisted with the index (Hamming is a true
+    * metric, so a cell whose center sits farther than `radius - 1 +
+    * radiusᵢ` from the query cannot contain a row with distance <
+    * radius) — and because the distances are exact small INTEGERS, no
+    * floating-point slack term exists anywhere, unlike the float
+    * family's RangePruneEps. Exclusion list semantics: only cells
+    * PROVEN out are skipped, so a layout cell the radii map does not
+    * know is scanned by construction. Stale index, jaccard metric, or
+    * FLAT collections exact-scan — identical answers. */
+  def searchBinaryRange(name: String, q: Array[Long], radius: Double,
+                        rangeFilter: Double = Double.NegativeInfinity,
+                        limit: Option[Int] = None,
+                        filter: Option[Column] = None,
+                        partitions: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinaryRange " +
+        "serves BINARY_VECTOR; use searchRange for float vectors")
+    require(q.length == binWords(m.dim),
+      s"query needs ${binWords(m.dim)} packed 64-bit words for " +
+        s"dim ${m.dim} bits (got ${q.length})")
+    require(rangeFilter < radius,
+      s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
+        "the band is [rangeFilter, radius)")
+    limit.foreach(l => require(l >= 0, s"limit must be >= 0 (got $l)"))
+    val banded = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val base = loadBinIndex(pm)
+          .filter { case (_, v) => coll.currentVersion.contains(v) } match {
+        case Some((quant, v)) if pm.metric == "hamming" =>
+          val cellsDf = loadedIndexFrame(coll, cellsPath(pm), v,
+            () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
+          readBinRadii(pm) match {
+            case Some(rad) =>
+              // a cell is droppable iff its MIN possible distance
+              // (d(q, cᵢ) − radiusᵢ, triangle inequality) is >= radius —
+              // every row it holds would fail `dist < radius`
+              val dropped = rad.collect {
+                case (cell, rc)
+                  if quant.hamming(quant.centers(cell), q) - rc >=
+                    math.ceil(radius) => cell
+              }.toSeq
+              if (dropped.isEmpty) cellsDf
+              else cellsDf.filter(!col("centroidId").isin(dropped: _*))
+            case None => cellsDf // pre-radii layout: whole layout, exact
+          }
+        case _ => scalarPrunedRead(pm, coll, filter)
+      }
+      val codes = transform(col("vec"), w => coalesce(w, lit(0L)))
+      val dist = pm.metric match {
+        case "hamming" =>
+          graft.functions.BinaryVectorFunctions
+            .hamming_distance(codes, typedLit(q)).cast("double")
+        case _ =>
+          graft.functions.BinaryVectorFunctions
+            .jaccard_distance(codes, typedLit(q))
+      }
+      filter.fold(base)(base.filter)
+        .select(col("key").as("vector_key"), dist.as("distance"),
+          col("meta").as("metadata"))
+        .filter(col("distance") < radius &&
+          col("distance") >= rangeFilter)
+    }.reduce(_ unionByName _)
+    val ordered = banded.orderBy(col("distance"), col("vector_key"))
+    limit.fold(ordered)(ordered.limit)
   }
 
   /** Batched binary top-k — Milvus `search` with a LIST of binary
@@ -3508,7 +3632,16 @@ class GraftClient(spark: SparkSession, root: String,
       val efBase =
         if (ef > 0) ef.toLong
         else math.max(GraftClient.DefaultHnswEf, 4 * depth).toLong
-      val scale = math.max(1L, hm.graphRows / math.max(passingCnt, 1L))
+      // inverse-selectivity over-fetch, CAPPED: past the cap the scaled
+      // beam exceeds the per-shard passing count and the masked walk
+      // silently degenerates to an exhaustive scan of every shard (ef
+      // counts PASSING results — measured at 1M/1% selectivity, the
+      // uncapped ×100 walk cost 2× the exact twin for identical
+      // results). Callers needing more recall on ultra-selective
+      // filters pass ef explicitly; ef ≥ n stays the exactness path.
+      val scale = math.min(
+        math.max(1L, hm.graphRows / math.max(passingCnt, 1L)),
+        GraftClient.HnswFilteredEfScaleCap)
       val efEff = math.min(math.max(efBase * scale, pool.toLong), 1L << 24).toInt
       val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
         () => HnswIndex.loadShards(spark, hnswGraphsPath(pm)))
@@ -4719,14 +4852,13 @@ class GraftClient(spark: SparkSession, root: String,
     // into ONE scatter-gather pass: every task walks each of its graphs
     // once per query, the bounded heap keeps k·refine keys per query
     // BEFORE the shuffle, and the shared exact tail re-ranks — the same
-    // stage shape as the SQ8/PQ arms. A filter routes to the exact
-    // product: the single-query path rides the r13 MASKED walk for
-    // filters, but the batch walk has no masked variant yet — correct
-    // (the exact product honors the filter), just graph-less; extend
-    // searchShardsBatch with the per-shard mask if filtered batches
-    // become a hot path.
+    // stage shape as the SQ8/PQ arms. A filter rides the r13 MASKED
+    // batch walk: the predicate's passing keys resolve ONCE (one mask
+    // shared by every query in the batch — Milvus evaluates the filter
+    // bitset once per segment the same way), with the same selectivity
+    // floor and filtered tail arm as the single-query path.
     val hnswV: Option[(Long, HnswMeta)] =
-      if (forceExact || filter.isDefined || nQ > 100000L) None
+      if (forceExact || nQ > 100000L) None
       else hnswServable(m, coll)
     (hnswV match {
       case Some((vB, hm)) =>
@@ -4737,33 +4869,67 @@ class GraftClient(spark: SparkSession, root: String,
         val shards = loadedIndexFrame(coll, hnswGraphsPath(m), vB,
           () => HnswIndex.loadShards(spark, hnswGraphsPath(m)))
         val pool = k * refine
-        val efEff = math.max(
+        val efBase = math.max(
           if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * k), pool)
         val hintQ: DataFrame => DataFrame =
           if (nQ <= 100000L) broadcast else identity
         val hintStage1: DataFrame => DataFrame =
           if (nQ <= 100000L / math.max(1L, k.toLong * refine)) broadcast
           else identity
-        val stage1 = HnswIndex.searchShardsBatch(shards, queriesArr, efEff,
-            perShard = pool, cacheTag = s"${hnswGraphsPath(m)}@$vB")
+        // filtered batches resolve the passing live set once (the
+        // single-query path's staged contract, verbatim); passingCnt is
+        // only computed when a filter exists
+        val matched = filter.map { f =>
+          scalarPrunedRead(m, coll, filter).filter(f)
+        }
+        val graphKeys = matched.map(_.filter(col("seq") <= hm.maxSeq)
+          .select(coll.bucketExpr.as("shard"), col("key")))
+        val passingCnt = graphKeys.map(_.count())
+        if (passingCnt.exists(_ <= GraftClient.HnswFilteredExactFloor))
+          // below the floor: every query ranks the passing rows exactly
+          matched.get.crossJoin(hintQ(q))
+            .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+        else {
+        val efEff = passingCnt match {
+          case Some(cnt) =>
+            // capped like the single-query path — see hnswScoredFiltered
+            val scale = math.min(
+              math.max(1L, hm.graphRows / math.max(cnt, 1L)),
+              GraftClient.HnswFilteredEfScaleCap)
+            math.min(efBase.toLong * scale, 1L << 24).toInt
+          case None => efBase
+        }
+        val stage1 = (graphKeys match {
+          case Some(gk) => HnswIndex.searchShardsBatchFiltered(shards,
+            queriesArr, efEff, perShard = pool, passing = gk,
+            cacheTag = s"${hnswGraphsPath(m)}@$vB")
+          case None => HnswIndex.searchShardsBatch(shards, queriesArr,
+            efEff, perShard = pool, cacheTag = s"${hnswGraphsPath(m)}@$vB")
+        })
           .groupBy(col("qid"))
           .agg(VectorAggregates.topKDocs(pool)(col("adist"), col("key"),
             typedLit(Map.empty[String, String])).as("hits"))
           .select(col("qid"), explode(col("hits")).as("h"))
           .select(col("qid"), col("h.key").as("key"))
         // graph arm: live rows the graphs cover (seq ≤ S_b); tail arm:
-        // rows committed since, exact candidates for EVERY query — the
-        // same live-set partition the single-query path takes
+        // rows committed since — filtered identically when a filter
+        // exists — exact candidates for EVERY query; the same live-set
+        // partition the single-query path takes
         val graphArm = coll.read(spark).join(hintStage1(stage1), Seq("key"))
           .filter(col("seq") <= hm.maxSeq)
           .join(hintQ(q), Seq("qid"))
         val changed = coll.bucketsChangedSince(vB)
         if (changed.isEmpty) graphArm
-        else graphArm.select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
-          .unionByName(
-            coll.readBuckets(spark, changed).filter(col("seq") > hm.maxSeq)
-              .crossJoin(hintQ(q))
-              .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta")))
+        else {
+          val tail0 = coll.readBuckets(spark, changed)
+            .filter(col("seq") > hm.maxSeq)
+          graphArm.select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+            .unionByName(
+              filter.fold(tail0)(tail0.filter)
+                .crossJoin(hintQ(q))
+                .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta")))
+        }
+        }
       case None =>
     ((if (forceExact) None else liveIndex(m, coll)) match {
       case Some(idx) if sq8Indexed(m) =>
@@ -6266,6 +6432,16 @@ object GraftClient {
     * serves (hnswlib/Milvus filtered-search behavior) and the corpus's
     * vectors are never scanned. */
   val HnswFilteredExactFloor: Long = 64L
+
+  /** Cap on the filtered walk's inverse-selectivity ef multiplier.
+    * Unbounded scaling self-defeats: once the scaled beam exceeds a
+    * shard's PASSING count the result heap can never fill, the
+    * early-stop never fires, and the "scaled" walk is an exhaustive
+    * scan of every shard (measured: ×100 scaling at 1M rows / 1%
+    * selectivity cost 2× the exact filtered twin for identical
+    * results). 8× covers moderate selectivity; beyond it, recall is the
+    * caller's explicit `ef` decision. */
+  val HnswFilteredEfScaleCap: Long = 8L
 
   /** Milvus `consistency_level` values accepted at create and as the
     * per-read override. Mapping to this engine (commits are synchronous

@@ -660,4 +660,38 @@ object HnswIndex {
       }
       .toDF("qid", "key", "adist")
   }
+
+  /** FILTERED batched walk — [[searchShardsFiltered]]'s mask contract
+    * (one predicate's passing keys, shared by every query in the batch)
+    * composed with [[searchShardsBatch]]'s one-pass shape: each task
+    * builds its shard's node mask ONCE and walks it per query. Shards
+    * with no passing key are never deserialized (inner join). Emits
+    * (qid, key, adist). */
+  def searchShardsBatchFiltered(shards: DataFrame,
+                                queries: Array[(Long, Array[Float])],
+                                ef: Int, perShard: Int, passing: DataFrame,
+                                cacheTag: String = ""): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val qBc = spark.sparkContext.broadcast(queries)
+    val grouped = passing
+      .select(col("shard").cast("int").as("shard"),
+        col("key").cast("string").as("key"))
+      .groupBy(col("shard")).agg(collect_list(col("key")).as("__keys"))
+    shards.join(grouped, Seq("shard"))
+      .select(col("shard"), col("blob"), col("__keys"))
+      .as[(Int, Array[Byte], Seq[String])]
+      .flatMap { case (shard, blob, keys) =>
+        val g = cachedGraph(cacheTag, shard, blob)
+        val keySet = keys.toSet
+        val keep = new java.util.BitSet(g.n)
+        var i = 0
+        while (i < g.n) { if (keySet.contains(g.keys(i))) keep.set(i); i += 1 }
+        qBc.value.iterator.flatMap { case (qid, q) =>
+          search(g, q, ef, math.min(perShard, g.n), keep).iterator
+            .map { case (k, d) => (qid, k, d) }
+        }
+      }
+      .toDF("qid", "key", "adist")
+  }
 }

@@ -184,8 +184,56 @@ object SparseBinaryQueries {
     "sparse_dot_topk" -> sparseDotTopK _,
     "sparse_index_topk" -> sparseIndexTopK _,
     "hybrid_dense_sparse" -> hybridDenseSparse _,
-    "knn_hamming_ivf" -> knnHammingIvf _
+    "knn_hamming_ivf" -> knnHammingIvf _,
+    "knn_hamming_batched" -> knnHammingBatched _,
+    "knn_hamming_range" -> knnHammingRange _
   )
+
+  /** B6×B7 (r13) — Milvus range search on a BINARY_VECTOR field, on the
+    * ORACLE path: `searchBinaryRange` over the client collection, band
+    * `dist < (the 20th-nearest distance)` — data-derived, integer-exact
+    * on both engines, so the band edge cannot flap. With the fresh
+    * BIN_IVF_FLAT index the candidate cells pass a LOSSLESS Hamming
+    * triangle-inequality prune over per-cell radii (integers — no fp
+    * slack term exists); the hash match against DuckDB's brute-force
+    * band is what proves losslessness (a dropped in-band row would
+    * shrink the result; the cell layout is also plan-asserted). */
+  def knnHammingRange(spark: SparkSession, dir: String): DataFrame = {
+    val client = binClientFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
+    val r20 = client.searchBinary("embbin", q, k = 20, nprobe = 8)
+      .collect().last.getDouble(1)
+    val df = client.searchBinaryRange("embbin", q, radius = r20)
+    require(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "knn_hamming_range: range search did not read the cell layout")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").cast("long").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** B4×B7 (r13) — BATCHED binary search through the client collection
+    * on the ORACLE path: `searchBinaryBatch` probes each query's cells
+    * executor-side (udf over the broadcast k-majority centers), joins
+    * queries to cells on `centroidId`, and ranks every (query, row)
+    * pair with the fused XOR+popcount kernel under the bounded
+    * per-query heap. Full probe ⇒ each query's hits are exactly brute
+    * force and hash-comparable; the cell layout is plan-asserted (the
+    * exact-product fallback returns identical values here). Store keys
+    * are zero-padded, so the engine's (dist, key) string tie-break
+    * equals the oracle's (dist, vec_id) numeric one. */
+  def knnHammingBatched(spark: SparkSession, dir: String): DataFrame = {
+    val client = binClientFor(spark, dir)
+    val queries = t(spark, dir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"),
+        pack_sign_bits(col("embedding")).as("qcodes"))
+    val df = client.searchBinaryBatch("embbin", queries, k = 10, nprobe = 8)
+    require(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "knn_hamming_batched: batch stage did not read the cell layout")
+    df.select(col("qid"), col("vector_key").cast("long").as("vec_id"),
+        col("distance").cast("long").as("dist"))
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
 
   /** Per-JVM BINARY_VECTOR client collection over the sign-binarized
     * embeddings — the FULL lifecycle on the oracle path (r13; the r12
@@ -263,6 +311,28 @@ object SparseBinaryQueries {
              FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
              GROUP BY e.vec_id)
          SELECT vec_id, dist FROM h ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hamming_range" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id),
+           r AS (SELECT dist AS r20 FROM h ORDER BY dist, vec_id LIMIT 1 OFFSET 19)
+         SELECT h.vec_id, h.dist FROM h, r WHERE h.dist < r.r20
+         ORDER BY h.dist, h.vec_id""",
+    "knn_hamming_batched" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+           h AS (
+             SELECT q.qid, e.vec_id,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY q.qid, e.vec_id),
+           r AS (SELECT qid, vec_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+                 FROM h)
+         SELECT qid, vec_id, dist FROM r WHERE rn <= 10
+         ORDER BY qid, dist, vec_id""",
     "binary_jaccard" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            h AS (

@@ -199,6 +199,69 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expect, s"jaccard order mismatch: $got vs $expect")
   }
 
+  test("searchBinaryRange: lossless Hamming cell prune — indexed band == " +
+       "exact band, maintained radii stay exact") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("br", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    var live = (0 until 240).map(i => key(i) -> code(i)).toMap
+    client.upsert("br",
+      live.toSeq.map { case (k, c) => (k, c.toSeq, Map.empty[String, String]) }
+        .toDF("key", "vec", "meta"))
+    val q = bases(1) // cluster-1 center: members sit within ~3 bits
+    def exactBand(r: Double): Seq[(String, Double)] =
+      live.toSeq.map { case (kk, c) => (kk, hamming(c, q).toDouble) }
+        .filter(_._2 < r).sortBy(p => (p._2, p._1))
+    def got(r: Double): Seq[(String, Double)] =
+      client.searchBinaryRange("br", q, radius = r)
+        .collect().map(rr => (rr.getString(0), rr.getDouble(1))).toSeq
+    // pre-index: exact scan band
+    assert(got(5.0) == exactBand(5.0))
+    client.buildIndex("br", nlist = 4)
+    // indexed: the prune is LOSSLESS — identical band, served off the
+    // cell layout (clusters sit ~64+ bits apart, so a 5-bit band around
+    // cluster 1 proves the far cells prune without losing a row)
+    val df = client.searchBinaryRange("br", q, radius = 5.0)
+    assert(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "indexed range search must read the cell layout")
+    assert(got(5.0) == exactBand(5.0))
+    assert(got(5.0).nonEmpty, "the band should hold cluster-1 members")
+    // annulus form + limit
+    val annulus = client.searchBinaryRange("br", q, radius = 5.0,
+      rangeFilter = 1.0, limit = Some(7))
+      .collect().map(rr => (rr.getString(0), rr.getDouble(1))).toSeq
+    assert(annulus == exactBand(5.0).filter(_._2 >= 1.0).take(7))
+    // maintenance keeps the radii exact: move a key INTO the band (its
+    // old cell's radius must not leak; its new cell's must cover it)
+    client.upsert("br",
+      Seq((key(3), bases(1).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta")) // key 3 (cluster 3) becomes exactly q
+    live = live + (key(3) -> bases(1))
+    assert(got(5.0) == exactBand(5.0),
+      "post-maintenance band must include the moved key at dist 0")
+    // jaccard FLAT collections band exactly too (no index ever)
+    client.createCollection("brj", dim = dim, metric = "jaccard",
+      buckets = 2, vectorType = "BINARY_VECTOR")
+    client.upsert("brj",
+      (0 until 40).map(i => (key(i), code(i).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    val jgot = client.searchBinaryRange("brj", q, radius = 0.2)
+      .collect().map(_.getString(0)).toSeq
+    def jac(a: Array[Long], b: Array[Long]): Double = {
+      var inter = 0; var un = 0; var i = 0
+      while (i < a.length) {
+        inter += java.lang.Long.bitCount(a(i) & b(i))
+        un += java.lang.Long.bitCount(a(i) | b(i)); i += 1
+      }
+      if (un == 0) 0.0 else 1.0 - inter.toDouble / un
+    }
+    val jexp = (0 until 40).map(i => (key(i), jac(code(i), q)))
+      .filter(_._2 < 0.2).sortBy(p => (p._2, p._1)).map(_._1)
+    assert(jgot == jexp)
+  }
+
   test("searchBinaryBatch == per-query searchBinary on both the cell " +
        "layout and the exact fallback") {
     import spark.implicits._
@@ -292,5 +355,14 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       client.searchBinary("bv", Array(0L), k = 1) // needs 2 words
     }
+    // startIngest refuses binary collections up front (embedders emit
+    // float vectors — failing at the write boundary would be far from
+    // the cause)
+    val e2 = intercept[IllegalArgumentException] {
+      client.startIngest("bv",
+        java.nio.file.Files.createTempDirectory("bv-landing").toString,
+        Seq(("k", "t")).toDF("key", "text"))
+    }
+    assert(e2.getMessage.contains("startIngest"))
   }
 }

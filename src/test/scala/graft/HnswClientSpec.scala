@@ -211,6 +211,39 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!client.listIndexes("hp").collect().exists(_.getString(0) == "HNSW"))
   }
 
+  test("filtered searchBatch rides the masked batch walk and equals " +
+       "per-query filtered search on both sides of the floor") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hbf", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hbf", rows(0 until 300).toDF("key", "vec", "meta"))
+    client.buildIndex("hbf", nlist = 0)
+    val f = element_at(col("meta"), "grp") === "g1" // 100 passing > floor 64
+    val qs = Seq(3, 77, 212)
+    val queries = qs.zipWithIndex
+      .map { case (i, j) => (j.toLong, vec(i)) }.toDF("qid", "qvec")
+    def batchHits(flt: org.apache.spark.sql.Column) =
+      client.searchBatch("hbf", queries, k = 8, ef = 300, refine = 2,
+          filter = Some(flt))
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getString(1)).toSeq }
+    def singleHits(flt: org.apache.spark.sql.Column) =
+      qs.zipWithIndex.map { case (i, j) =>
+        j.toLong -> client.search("hbf", vec(i).toArray, k = 8, ef = 300,
+          refine = 2, filter = Some(flt))
+          .collect().map(_.getString(0)).toSeq
+      }.toMap
+    val bdf = client.searchBatch("hbf", queries, k = 8, ef = 300,
+      refine = 2, filter = Some(f))
+    assert(bdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "filtered batch above the floor must ride the masked batch walk")
+    assert(batchHits(f) == singleHits(f),
+      "filtered batch must equal per-query filtered search")
+    // below the floor: exact product over the passing rows, same parity
+    val small = f && col("key") < "k0060"
+    assert(batchHits(small) == singleHits(small))
+  }
+
   test("filtered search rides the MASKED walk and equals filtered-exact " +
        "(incl. across the growing tail); below the floor it ranks exactly") {
     import spark.implicits._
