@@ -3005,11 +3005,21 @@ class GraftClient(spark: SparkSession, root: String,
                    filter: Option[Column] = None, nprobe: Int = 4,
                    offset: Int = 0,
                    partitions: Seq[String] = Nil,
-                   outputFields: Seq[String] = Nil): DataFrame = {
+                   outputFields: Seq[String] = Nil,
+                   consistencyLevel: String = ""): DataFrame = {
     val m = metaOrThrow(name)
     require(binaryVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — searchBinary " +
         "serves BINARY_VECTOR; use search for float vectors")
+    // same contract as the float search(): vector search always RESOLVES
+    // Strong (at-rest index layouts exist only at their latest version),
+    // which is within every level's contract; the parameter still buys
+    // Session's covers-own-writes floor assertion
+    if (effectiveLevel(m, consistencyLevel) == "Session")
+      resolveParts(m, partitions).foreach { p =>
+        val pm = partMeta(m, p)
+        pinForRead(pm, collection(pm), "Session")
+      }
     require(q.length == binWords(m.dim),
       s"query needs ${binWords(m.dim)} packed 64-bit words for " +
         s"dim ${m.dim} bits (got ${q.length})")
@@ -5080,6 +5090,48 @@ class GraftClient(spark: SparkSession, root: String,
       refine = refine, forceExact = true, partitions = Seq(partition)))
     val approx = hits(searchBatch(name, queries, k, nprobe = nprobe,
       refine = refine, partitions = Seq(partition)))
+    val recalls = exact.map { case (q, truth) =>
+      (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  /** [[estimateRecall]] for BINARY_VECTOR collections: pruned-vs-full-
+    * probe recall@k on a deterministic sample of the collection's own
+    * codes — how a user places THEIR sign patterns on the nprobe
+    * recall/latency curve (iid signs sit low, clustered corpora near
+    * 1.0 — BinIvfSpec's measured spread). Ground truth is the FULL
+    * probe (`nprobe = nlist` is exact by the layout contract). */
+  def estimateRecallBinary(name: String, k: Int = 10, nprobe: Int = 4,
+      sampleQueries: Int = 32,
+      partition: String = GraftClient.DefaultPartition): Double = {
+    import spark.implicits._
+    require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
+    val m = partMeta(metaOrThrow(name), partition)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — estimateRecallBinary " +
+        "serves BINARY_VECTOR; use estimateRecall for float vectors")
+    val nlist = loadBinIndex(m)
+      .filter { case (_, v) => collection(m).currentVersion.contains(v) }
+      .map(_._1.nlist)
+      .getOrElse(throw new IllegalStateException(
+        s"${m.name} has no FRESH BIN_IVF_FLAT index — buildIndex first " +
+          "(without one, pruned and exact are the same scan)"))
+    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+      .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
+      .collect()
+    require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
+    val queries = sample.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+      .toDF("qid", "qcodes")
+    def hits(df: DataFrame): Map[Long, Set[String]] =
+      df.select(col("qid"), col("vector_key")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val exact = hits(searchBinaryBatch(name, queries, k, nprobe = nlist,
+      partitions = Seq(partition)))
+    val approx = hits(searchBinaryBatch(name, queries, k, nprobe = nprobe,
+      partitions = Seq(partition)))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
     }

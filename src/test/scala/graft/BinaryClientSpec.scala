@@ -364,5 +364,41 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(("k", "t")).toDF("key", "text"))
     }
     assert(e2.getMessage.contains("startIngest"))
+    // consistency levels ride searchBinary like the float search:
+    // Session's covers-own-writes assertion applies, unknown levels refuse
+    client.searchBinary("bv", Array(5L, 1L << 7), k = 1,
+      consistencyLevel = "Session").collect()
+    intercept[IllegalArgumentException] {
+      client.searchBinary("bv", Array(5L, 1L << 7), k = 1,
+        consistencyLevel = "Sloppy")
+    }
+  }
+
+  test("estimateRecallBinary: full probe is ground truth; pruned recall " +
+       "1.0 on planted clusters at nprobe=1") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("er", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    client.upsert("er",
+      (0 until 200).map(i => (key(i), code(i).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    // no fresh index yet: refused loudly (pruned == exact would be vacuous)
+    intercept[IllegalStateException] {
+      client.estimateRecallBinary("er", k = 5, nprobe = 1)
+    }
+    client.buildIndex("er", nlist = 4)
+    // 4 planted clusters, 4 cells: nprobe=1 recall is HIGH but not
+    // necessarily 1.0 — k-majority seeding (first 4 distinct patterns
+    // in hash order) can split one cluster across two cells, and a
+    // 1-cell probe then sees half of the query's cluster (deterministic
+    // here: 0.85). Full probe is ground truth, so nprobe = nlist must
+    // be exactly 1.0 by construction.
+    val r1 = client.estimateRecallBinary("er", k = 5, nprobe = 1,
+      sampleQueries = 8)
+    assert(r1 >= 0.8, s"nprobe=1 recall on planted clusters: $r1")
+    assert(client.estimateRecallBinary("er", k = 5, nprobe = 4,
+      sampleQueries = 8) == 1.0)
   }
 }

@@ -211,6 +211,30 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!client.listIndexes("hp").collect().exists(_.getString(0) == "HNSW"))
   }
 
+  test("TEXT_MATCH gate rides the masked walk on HNSW collections") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hg", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hg", rows(0 until 300).toDF("key", "vec", "meta"))
+    // text per key: half the corpus carries the gated term
+    val docs = (0 until 300)
+      .map(i => (f"k$i%04d", s"alpha ${if (i % 2 == 0) "even" else "odd"} beta"))
+      .toDF("key", "text")
+    client.buildTextIndex("hg", docs)
+    client.buildIndex("hg", nlist = 0)
+    val q = vec(7).toArray
+    val gdf = client.search("hg", q, k = 8, ef = 300, refine = 2,
+      matchTerms = Seq("even"))
+    assert(gdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "a TEXT_MATCH-gated HNSW search must ride the masked walk")
+    def l2(a: Seq[Float]): Double =
+      math.sqrt(a.zip(q).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    val expect = (0 until 300).filter(_ % 2 == 0)
+      .map(i => (l2(vec(i)), f"k$i%04d")).sorted.take(8).map(_._2)
+    assert(gdf.collect().map(_.getString(0)).toSeq == expect,
+      "gated masked walk must equal the gated exact ranking")
+  }
+
   test("filtered searchBatch rides the masked batch walk and equals " +
        "per-query filtered search on both sides of the floor") {
     import spark.implicits._
