@@ -3141,6 +3141,131 @@ class GraftClient(spark: SparkSession, root: String,
     limit.fold(ordered)(ordered.limit)
   }
 
+  /** Binary search iterator — Milvus `search_iterator` on a
+    * BINARY_VECTOR field: batched unbounded iteration in EXACT distance
+    * order via a strict (distance, key) keyset cursor. Integer Hamming
+    * distances make the cursor exact with NO hold-back machinery — the
+    * float families' margin streams exist because quantized stage-1
+    * distances can drift past re-ranked exact ones, and nothing here
+    * can drift (Jaccard rows are exact too: the ratio of two small ints
+    * is the same double everywhere). Every page is ONE bounded
+    * TakeOrderedAndProject job at ANY depth.
+    *
+    * Snapshot contract (the float iterator's, verbatim): coverage is
+    * PINNED to the snapshot at creation. A commit landing mid-drain
+    * raises on the next page unless the caller consented via
+    * `allowDrift` — in which case pages keep reading the pinned
+    * snapshot while the retain window holds it (a vacuumed pin then
+    * fails the page job loudly; restart the iterator).
+    *
+    * Deep-page prune: while the BIN_IVF_FLAT index is stamped AT the
+    * pinned snapshot, pages read the cell layout and LOSSLESSLY skip
+    * cells whose MAX possible distance (d(q,cᵢ) + radiusᵢ, triangle
+    * inequality over exact integers) sorts strictly below the cursor —
+    * a drain gets cheaper as the cursor passes each cluster, the
+    * integer-exact twin of the float iterator's cursorDroppable. The
+    * moment the stamp moves (maintenance commit with drift consent),
+    * pages fall back to the pinned snapshot scan — exact, unpruned. */
+  def searchBinaryIterator(name: String, q: Array[Long], batchSize: Int,
+                           filter: Option[Column] = None,
+                           partitions: Seq[String] = Nil,
+                           allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinaryIterator " +
+        "serves BINARY_VECTOR; use searchIterator for float vectors")
+    require(q.length == binWords(m.dim),
+      s"query needs ${binWords(m.dim)} packed 64-bit words for " +
+        s"dim ${m.dim} bits (got ${q.length})")
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val parts = resolveParts(m, partitions).map(p => partMeta(m, p))
+    // creation-time pins: snapshot version + (if fresh) quantizer/radii
+    val pins = parts.map { pm =>
+      val coll = collection(pm)
+      val pin = coll.currentVersion
+      val idx = loadBinIndex(pm)
+        .filter { case (_, v) => pin.contains(v) && pm.metric == "hamming" }
+        .map { case (quant, v) => (quant, v, readBinRadii(pm)) }
+      (pm, pin, idx)
+    }
+    def page(cursor: Option[(Double, String)]): Seq[Row] = {
+      val arms = pins.map { case (pm, pin, idx) =>
+        val coll = collection(pm)
+        val cur = coll.currentVersion
+        if (cur != pin && !allowDrift)
+          throw new IllegalStateException(s"${pm.name}: a commit landed " +
+            "mid-iteration (snapshot pinned at creation) — restart the " +
+            "iterator, or pass allowDrift = true to keep draining the " +
+            "pinned snapshot while the retain window holds it")
+        // the cell layout serves only while its stamp (== pin at
+        // creation) is still CURRENT — maintenance rewrites cells in
+        // place, so a moved stamp means the cells no longer equal the
+        // pinned snapshot
+        val base = idx match {
+          case Some((quant, v, radii)) if cur.contains(v) =>
+            val cellsDf = loadedIndexFrame(coll, cellsPath(pm), v,
+              () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
+            (cursor, radii) match {
+              case (Some((d0, _)), Some(rad)) =>
+                val dropped = rad.collect {
+                  case (cell, rc)
+                    if quant.hamming(quant.centers(cell), q) + rc < d0 => cell
+                }.toSeq
+                if (dropped.isEmpty) cellsDf
+                else cellsDf.filter(!col("centroidId").isin(dropped: _*))
+              case _ => cellsDf
+            }
+          case _ => pin.fold(coll.read(spark))(v =>
+            try coll.readVersion(spark, v)
+            catch { case e: Exception => throw new IllegalStateException(
+              s"${pm.name}: the pinned snapshot was vacuumed mid-drain — " +
+                s"restart the iterator (${e.getMessage})") })
+        }
+        val codes = transform(col("vec"), w => coalesce(w, lit(0L)))
+        val dist = pm.metric match {
+          case "hamming" =>
+            graft.functions.BinaryVectorFunctions
+              .hamming_distance(codes, typedLit(q)).cast("double")
+          case _ =>
+            graft.functions.BinaryVectorFunctions
+              .jaccard_distance(codes, typedLit(q))
+        }
+        val scored = filter.fold(base)(base.filter)
+          .select(col("key").as("vector_key"), dist.as("distance"),
+            col("meta").as("metadata"))
+        cursor.fold(scored) { case (d0, k0) =>
+          scored.filter(col("distance") > d0 ||
+            (col("distance") === d0 && col("vector_key") > k0))
+        }
+      }
+      arms.reduce(_ unionByName _)
+        .orderBy(col("distance"), col("vector_key"))
+        .limit(batchSize)
+        .collect().toSeq
+    }
+    new Iterator[Seq[Row]] {
+      private var cursor: Option[(Double, String)] = None
+      private var nextPage: Option[Seq[Row]] = None
+      private var exhausted = false
+      private def advance(): Unit =
+        if (!exhausted && nextPage.isEmpty) {
+          val rows = page(cursor)
+          if (rows.isEmpty) exhausted = true
+          else {
+            cursor = Some((rows.last.getDouble(1), rows.last.getString(0)))
+            nextPage = Some(rows)
+          }
+        }
+      override def hasNext: Boolean = { advance(); nextPage.isDefined }
+      override def next(): Seq[Row] = {
+        advance()
+        val out = nextPage.getOrElse(throw new NoSuchElementException)
+        nextPage = None
+        out
+      }
+    }
+  }
+
   /** Batched binary top-k — Milvus `search` with a LIST of binary
     * vectors ([[searchBatch]]'s shape for the packed-words family).
     * `queries` needs (qid BIGINT, qcodes ARRAY<BIGINT>); output one

@@ -186,8 +186,29 @@ object SparseBinaryQueries {
     "hybrid_dense_sparse" -> hybridDenseSparse _,
     "knn_hamming_ivf" -> knnHammingIvf _,
     "knn_hamming_batched" -> knnHammingBatched _,
-    "knn_hamming_range" -> knnHammingRange _
+    "knn_hamming_range" -> knnHammingRange _,
+    "knn_hamming_iter" -> knnHammingIter _
   )
+
+  /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
+    * on the ORACLE path: the first 100 drained rows (two 50-row pages —
+    * the second page continues from the first's strict (distance, key)
+    * keyset cursor, so page boundaries cannot duplicate or drop a row)
+    * hash-compare against DuckDB's brute-force total ordering. Integer
+    * distances need no hold-back margin — the binary drain's whole
+    * correctness rests on the cursor algebra and the lossless deep-page
+    * cell skip, both of which a single shifted row would expose. */
+  def knnHammingIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val client = binClientFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
+    val rows = client.searchBinaryIterator("embbin", q, batchSize = 50)
+      .take(2).flatten.toSeq
+    rows.map(r => (r.getString(0).toLong, r.getDouble(1).toLong))
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+  }
 
   /** B6×B7 (r13) — Milvus range search on a BINARY_VECTOR field, on the
     * ORACLE path: `searchBinaryRange` over the client collection, band
@@ -311,6 +332,14 @@ object SparseBinaryQueries {
              FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
              GROUP BY e.vec_id)
          SELECT vec_id, dist FROM h ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hamming_iter" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id)
+         SELECT vec_id, dist FROM h ORDER BY dist, vec_id LIMIT 100""",
     "knn_hamming_range" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            h AS (

@@ -374,6 +374,50 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("searchBinaryIterator: exact-order unbounded drain (key for key), " +
+       "pinned-snapshot drift contract") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bi", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    var live = (0 until 240).map(i => key(i) -> code(i)).toMap
+    client.upsert("bi",
+      live.toSeq.map { case (k, c) => (k, c.toSeq, Map.empty[String, String]) }
+        .toDF("key", "vec", "meta"))
+    client.buildIndex("bi", nlist = 4)
+    val q = bases(0)
+    def expectOrder(l: Map[String, Array[Long]]): Seq[(Double, String)] =
+      l.toSeq.map { case (k, c) => (hamming(c, q).toDouble, k) }.sorted
+    // the FULL drain must equal the brute-force total ordering key for
+    // key — pages cross cluster boundaries, so the deep-page cell skip
+    // (cells whose max distance sort below the cursor) is exercised and
+    // must lose nothing
+    val drained = client.searchBinaryIterator("bi", q, batchSize = 37)
+      .flatMap(_.map(r => (r.getDouble(1), r.getString(0)))).toSeq
+    assert(drained == expectOrder(live),
+      s"drain diverged at ${drained.zip(expectOrder(live)).indexWhere(p => p._1 != p._2)}")
+    // mid-drain commit: next page raises without drift consent
+    val it = client.searchBinaryIterator("bi", q, batchSize = 20)
+    it.next()
+    client.upsert("bi",
+      Seq((key(900), code(900).toSeq, Map.empty[String, String]))
+        .toDF("key", "vec", "meta"))
+    live = live + (key(900) -> code(900))
+    intercept[IllegalStateException] { it.next() }
+    // a fresh iterator covers the new snapshot; with drift consent it
+    // keeps covering ITS pinned snapshot across a later commit
+    val it2 = client.searchBinaryIterator("bi", q, batchSize = 64,
+      allowDrift = true)
+    val preCommitLive = live
+    val first = it2.next().map(r => (r.getDouble(1), r.getString(0)))
+    client.deleteByKeys("bi", Seq(key(0)))
+    live = live - key(0)
+    val rest = it2.flatMap(_.map(r => (r.getDouble(1), r.getString(0)))).toSeq
+    assert((first ++ rest) == expectOrder(preCommitLive),
+      "drift-consented drain must cover the PINNED snapshot exactly")
+  }
+
   test("estimateRecallBinary: full probe is ground truth; pruned recall " +
        "1.0 on planted clusters at nprobe=1") {
     import spark.implicits._
