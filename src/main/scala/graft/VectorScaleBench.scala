@@ -602,6 +602,65 @@ object VectorScaleBench {
     val stillBin = binCli.searchBinary("benchbin", cqBits, k = 10, nprobe = 4)
       .queryExecution.executedPlan.toString.contains("centroidId")
 
+    // SPARSE_FLOAT_VECTOR client e2e (r13): n docs × 32 nonzero dims
+    // drawn from a 50k vocab with a squared-uniform skew (low dims hot —
+    // the Zipf-ish df a lexical corpus has) through the FULL lifecycle:
+    // createCollection(SPARSE_FLOAT_VECTOR), (dim → w) maps through the
+    // keyed store, the exact map-probe scan BEFORE any index exists (the
+    // family's staleness fallback, measured at volume), then
+    // buildIndex("SPARSE_INVERTED_INDEX") and the dim-bucket-pruned
+    // search — LOSSLESS, so parity with the exact arm is asserted, not a
+    // recall column — and a 1000-doc maintenance commit whose auto-append
+    // must leave the index FRESH.
+    val sparseNnz = 32
+    val sparseVocab = 50000L
+    def genSparse(rows: Long, tag: String): DataFrame =
+      spark.range(rows).mapPartitions { it =>
+        it.map { id =>
+          val m = scala.collection.mutable.Map.empty[Long, Double]
+          var j = 0
+          while (m.size < sparseNnz) {
+            val h = mix(id * 131 + j * 7919 + 17)
+            val u = (h & Long.MaxValue).toDouble / Long.MaxValue
+            m.getOrElseUpdate((u * u * sparseVocab).toLong,
+              1.0 + ((h >>> 17) % 5).toDouble)
+            j += 1
+          }
+          (tag + f"$id%09d", m.toMap)
+        }
+      }.toDF("key", "vec")
+    val spCliRoot = tmpDir("graft-scale-sparsecli")
+    val spCli = new graft.api.GraftClient(spark, spCliRoot)
+    spCli.createCollection("benchsparse", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 16,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val spCliUpsertT0 = System.nanoTime()
+    spCli.upsert("benchsparse", genSparse(n, "s").select(col("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val spCliUpsertSec = (System.nanoTime() - spCliUpsertT0) / 1e9
+    val spq = spCli.getSparse("benchsparse", "s" + f"$probeId%09d").get._1
+    def spCliOnce(): Seq[String] =
+      spCli.searchSparse("benchsparse", spq, k = 10)
+        .collect().map(_.getString(0)).toSeq
+    spCliOnce()
+    var spExactIds: Seq[String] = Nil
+    val spCliExactSec = math.min(
+      time { spExactIds = spCliOnce() }, time { spExactIds = spCliOnce() })
+    val spCliBuildT0 = System.nanoTime()
+    spCli.buildIndex("benchsparse", nlist = 64)
+    val spCliBuildSec = (System.nanoTime() - spCliBuildT0) / 1e9
+    spCliOnce()
+    var spIdxIds: Seq[String] = Nil
+    val spCliIdxSec = math.min(
+      time { spIdxIds = spCliOnce() }, time { spIdxIds = spCliOnce() })
+    val spCliParity = spIdxIds == spExactIds
+    val spCliMaintT0 = System.nanoTime()
+    spCli.upsert("benchsparse", genSparse(1000, "m").select(col("key"),
+      col("vec"), typedLit(Map.empty[String, String]).as("meta")))
+    val spCliMaintSec = (System.nanoTime() - spCliMaintT0) / 1e9
+    val stillSparse = spCli.listIndexes("benchsparse")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").head().getBoolean(2)
+
     // Range search on CLUSTERED data (r8) — 64 well-separated blobs
     // (coordinate spread ±8, blob radius ~0.9, inter-center distance
     // ~50): the geometry real corpora have (topic clusters), and the one
@@ -757,6 +816,13 @@ object VectorScaleBench {
             math.max(binCliExactIds.size, 1)},""" +
         s""""client_bin_maint_commit_sec":$binCliMaintSec,""" +
         s""""client_bin_fresh_after_maint":$stillBin,""" +
+        s""""client_sparse_upsert_sec":$spCliUpsertSec,""" +
+        s""""client_sparse_exactscan_sec":$spCliExactSec,""" +
+        s""""client_sparse_build_sec":$spCliBuildSec,""" +
+        s""""client_sparse_idx_sec":$spCliIdxSec,""" +
+        s""""client_sparse_idx_parity":$spCliParity,""" +
+        s""""client_sparse_maint_commit_sec":$spCliMaintSec,""" +
+        s""""client_sparse_fresh_after_maint":$stillSparse,""" +
         s""""range_iid_radius":$iidBandRadius,"range_iid_hits":${iidRangeIds.size},""" +
         s""""range_iid_pruned_sec":$iidRangeSec,"range_iid_exact_sec":$iidRangeExactSec,""" +
         s""""range_iid_match":$iidRangeMatch,""" +

@@ -198,21 +198,44 @@ class GraftClient(spark: SparkSession, root: String,
   private def binaryVec(m: CollectionMeta): Boolean =
     m.vectorType == "BINARY_VECTOR"
 
+  /** SPARSE_FLOAT_VECTOR collections store the sparse vector itself —
+    * a (dim → weight) map, Milvus's sparse field representation (pymilvus
+    * takes `{dim: weight}` dicts) — under the same column names, so every
+    * vec-agnostic surface (upsert/delete/fetch/queryWhere/partitions/
+    * aliases/consistency) works unchanged on all three families. Unlike
+    * the ATTACHED sparse index (a dense collection's second field, where
+    * the store keeps no sparse vectors and staleness has nothing to fall
+    * back to), a sparse COLLECTION owns its vectors: the inverted index
+    * is derived from the store, auto-maintained per merge commit, and a
+    * stale stamp falls back to an exact map-lookup scan. */
+  private val sparseRowSchema = StructType.fromDDL(
+    "key STRING, vec MAP<BIGINT,DOUBLE>, meta MAP<STRING,STRING>, ingest_ts TIMESTAMP, seq BIGINT")
+
+  private def sparseVec(m: CollectionMeta): Boolean =
+    m.vectorType == "SPARSE_FLOAT_VECTOR"
+
   /** Packed 64-bit words per binary vector: Milvus binary `dim` counts
     * BITS; the at-rest layout packs 64 per word. */
   private def binWords(dim: Int): Int = (dim + 63) / 64
 
   /** Guard for the float-vector query surfaces: a binary collection's
-    * vectors are packed words, and silently accepting a float query
-    * would rank garbage — route the caller to [[searchBinary]]. */
-  private def requireFloatVec(m: CollectionMeta, op: String): Unit =
+    * vectors are packed words and a sparse collection's are (dim → w)
+    * maps — silently accepting a float query would rank garbage. Route
+    * the caller to the family's own surface. */
+  private def requireFloatVec(m: CollectionMeta, op: String): Unit = {
     require(!binaryVec(m),
       s"'${m.name}' is a BINARY_VECTOR collection — $op takes float " +
         "query vectors; use searchBinary (packed 64-bit words) instead")
+    require(!sparseVec(m),
+      s"'${m.name}' is a SPARSE_FLOAT_VECTOR collection — $op takes " +
+        "float query vectors; use searchSparse ((dim, weight) pairs) instead")
+  }
 
   private def collection(meta: CollectionMeta) = {
     val c = new BucketedKeyedCollection(meta.dataPath,
-      if (binaryVec(meta)) binRowSchema else rowSchema, "key", meta.buckets,
+      if (binaryVec(meta)) binRowSchema
+      else if (sparseVec(meta)) sparseRowSchema
+      else rowSchema, "key", meta.buckets,
       retain = meta.retain)
     // Data written by the pre-bucketed KeyedCollection layout migrates
     // transparently on first open (one all-buckets rewrite) — the catalog
@@ -320,9 +343,31 @@ class GraftClient(spark: SparkSession, root: String,
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
-    require(dim >= 1, s"dim must be >= 1 (got $dim)")
-    require(Set("FLOAT_VECTOR", "BINARY_VECTOR").contains(vectorType),
-      s"vectorType must be FLOAT_VECTOR or BINARY_VECTOR (got '$vectorType')")
+    require(Set("FLOAT_VECTOR", "BINARY_VECTOR", "SPARSE_FLOAT_VECTOR")
+        .contains(vectorType),
+      s"vectorType must be FLOAT_VECTOR, BINARY_VECTOR or " +
+        s"SPARSE_FLOAT_VECTOR (got '$vectorType')")
+    if (vectorType == "SPARSE_FLOAT_VECTOR") {
+      // Milvus SPARSE_FLOAT_VECTOR fields take NO dim (the dimension
+      // space is the whole uint32/int64 range, occupied sparsely) — an
+      // accidental dense dim here is a confused caller, refuse it
+      require(dim == 0,
+        s"SPARSE_FLOAT_VECTOR fields have no fixed dim — pass dim = 0 " +
+          s"(got $dim); Milvus's sparse field type takes none either")
+      // Milvus sparse metrics are IP (dot); cosine rides the same
+      // postings layout via the norms side table, so it ships too. l2
+      // over sparse maps has no inverted-index prune and no Milvus
+      // precedent — refused.
+      require(Set("dot", "cosine").contains(metric),
+        s"SPARSE_FLOAT_VECTOR metric must be dot or cosine (got '$metric')")
+      // SPARSE_INVERTED_INDEX is Milvus's (only) sparse index; WAND is a
+      // query-evaluation strategy over the same layout that Milvus 2.5
+      // folded into it — name the layout, not the strategy
+      require(Set("FLAT", "SPARSE_INVERTED_INDEX").contains(indexType),
+        s"SPARSE_FLOAT_VECTOR indexType must be FLAT or " +
+          s"SPARSE_INVERTED_INDEX (got '$indexType'; SPARSE_WAND is " +
+          "Milvus's deprecated alias for the same inverted layout)")
+    } else require(dim >= 1, s"dim must be >= 1 (got $dim)")
     if (vectorType == "BINARY_VECTOR") {
       // Milvus BINARY_VECTOR: dim is in BITS and must be a multiple of 8
       // (the engine additionally packs 64/word — a non-multiple-of-64 dim
@@ -342,7 +387,7 @@ class GraftClient(spark: SparkSession, root: String,
         "BIN_IVF_FLAT prunes in Hamming space (k-majority cells) — a " +
           "jaccard collection stays FLAT (exact scans); create it with " +
           "indexType = FLAT")
-    } else {
+    } else if (vectorType == "FLOAT_VECTOR") {
       require(Set("l2", "cosine", "dot").contains(metric),
         s"metric must be one of l2, cosine, dot (got '$metric')")
       require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW").contains(indexType),
@@ -1036,7 +1081,27 @@ class GraftClient(spark: SparkSession, root: String,
         "null vec in write batch — embedding failed or payload " +
           "missing; filter null vecs before upserting")))
       val vecChecked =
-        if (!binaryVec(m)) nullChecked.otherwise(assert_dim(col("vec"), m.dim))
+        if (sparseVec(m)) {
+          // sparse boundary: at least one entry; weights non-null,
+          // finite and nonzero — a zero weight is a dead posting every
+          // later dot pays to read, a NaN/Inf would poison every score
+          // it touches, and a null would vanish inside sum() silently.
+          // Dims are ANY 64-bit id (Milvus's uint32 range embeds;
+          // hashed vocabularies — xxhash64(term) — land negative and
+          // are first-class, the attached family's own convention)
+          nullChecked
+            .when(size(col("vec")) < 1, raise_error(lit(
+              "empty sparse vec in write batch — a sparse vector needs " +
+                "at least one (dim, weight) entry")))
+            .when(!forall(map_values(col("vec")), w =>
+                w.isNotNull && !isnan(w) &&
+                  abs(w) < lit(Double.PositiveInfinity) && w =!= 0.0),
+              raise_error(lit("sparse vec weights must be finite and " +
+                "nonzero (null/NaN/Inf/0 found) — drop zero entries " +
+                "before upserting")))
+            .otherwise(col("vec"))
+        }
+        else if (!binaryVec(m)) nullChecked.otherwise(assert_dim(col("vec"), m.dim))
         else {
           // binary boundary: exactly ceil(dim/64) packed words, and any
           // bits past `dim` in the last word must be ZERO — the Hamming/
@@ -1059,8 +1124,14 @@ class GraftClient(spark: SparkSession, root: String,
         requireKey(col("key")).as("key"),
         vecChecked.as("vec"),
         coalesce(col("meta"), map()).as("meta"))
+      // sparse vecs are maps, which Spark's hash expressions refuse
+      // (order-dependent layout) — hash their canonical JSON instead;
+      // determinism-per-written-content is all the within-batch
+      // duplicate-winner rule needs
+      val hashableVec =
+        if (sparseVec(m)) to_json(col("vec")) else col("vec")
       IngestOps.upsertLatest(typed, col("key"),
-          xxhash64(col("key"), col("vec"), to_json(col("meta"))), lit(0))
+          xxhash64(col("key"), hashableVec, to_json(col("meta"))), lit(0))
         .select(col("key"), col("vec"), col("meta"),
           lit(batchTs).as("ingest_ts"),
           lit(maxSeq + 1).as("seq"))
@@ -1435,6 +1506,9 @@ class GraftClient(spark: SparkSession, root: String,
           consistencyLevel: String = ""): Option[(Seq[Float], Map[String, String])] = {
     import spark.implicits._
     val m = metaOrThrow(name)
+    require(!sparseVec(m),
+      s"'${m.name}' is a SPARSE_FLOAT_VECTOR collection — its vectors " +
+        "are (dim → weight) maps, not float arrays; use getSparse")
     val coll = collection(m)
     val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
     readBucketsAtPin(m, coll,
@@ -1443,6 +1517,26 @@ class GraftClient(spark: SparkSession, root: String,
       .select(col("vec"), col("meta"))
       .collect().headOption
       .map(r => (r.getSeq[Float](0), r.getAs[Map[String, String]](1)))
+  }
+
+  /** [[get]] for SPARSE_FLOAT_VECTOR collections — the stored sparse
+    * vector as sorted (dim, weight) pairs plus the metadata map. */
+  def getSparse(name: String, key: String, consistencyLevel: String = "")
+      : Option[(Seq[(Long, Double)], Map[String, String])] = {
+    import spark.implicits._
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — getSparse serves " +
+        "SPARSE_FLOAT_VECTOR; use get")
+    val coll = collection(m)
+    val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
+    readBucketsAtPin(m, coll,
+        pinForRead(m, coll, effectiveLevel(m, consistencyLevel)), Seq(bucket))
+      .filter(col("key") === key)
+      .select(col("vec"), col("meta"))
+      .collect().headOption
+      .map(r => (r.getMap[Long, Double](0).toSeq.sortBy(_._1),
+        r.getAs[Map[String, String]](1)))
   }
 
   /** Change a collection's hash-bucket count — the one layout parameter
@@ -2157,6 +2251,14 @@ class GraftClient(spark: SparkSession, root: String,
           "collections build a vector index (exact Hamming/Jaccard scans " +
           "need none)")
       require(nlist >= 1, s"nlist must be >= 1 (got $nlist)")
+    } else if (sparseVec(m)) {
+      require(m.indexType == "SPARSE_INVERTED_INDEX",
+        s"'${m.name}' is a FLAT sparse collection — only " +
+          "SPARSE_INVERTED_INDEX collections build a vector index " +
+          "(exact sparse-dot scans need none)")
+      // nlist plays the postings layout's dim-hash BUCKET role here
+      // (the directory-prune granularity), not a Voronoi cell count
+      require(nlist >= 1, s"nlist must be >= 1 (got $nlist)")
     } else require(indexableMetric(m.metric),
       s"vector indexes support l2 and cosine (dot has no Voronoi prune " +
         s"and no monotone graph distance — dot searches stay exact); " +
@@ -2183,7 +2285,46 @@ class GraftClient(spark: SparkSession, root: String,
                                                // IVF knobs — HNSW's were
                                                // frozen at create (M, efC)
     else if (binaryVec(m)) buildBinIvfFor(m, nlist)
+    else if (sparseVec(m)) buildSparseInvFor(m, nlist)
     else buildIvfFor(m, nlist, sampleFraction)
+
+  /** Where a sparse COLLECTION's own inverted index lives — inside the
+    * index dir (so the per-commit refresh's exists-fast-path and the
+    * VERSION stamp work unchanged), distinct from [[sparseIdxDir]] (the
+    * ATTACHED second-field index of a dense collection). */
+  private def sparsePostingsPath(m: CollectionMeta) =
+    s"${ivfDir(m)}/sparse_postings"
+
+  /** SPARSE_INVERTED_INDEX build — Milvus's (only) index for
+    * SPARSE_FLOAT_VECTOR fields: the store's (key, dim, w) postings at
+    * rest partitioned by `pmod(xxhash64(dim), nlist)` with the norms
+    * side table cosine needs ([[graft.index.SparseIndex]] — the same
+    * layout the attached family uses, but DERIVED FROM THE STORE, which
+    * is what makes auto-maintenance and an exact fallback possible).
+    * Same serialization (index commit lock), snapshot pinning
+    * (readBucketsAt the stamped version), and VERSION-last crash stance
+    * as every other family. The prune is LOSSLESS by construction (a
+    * posting's bucket is a pure function of its dim), so unlike
+    * IVF/HNSW there is no recall knob to estimate — a fresh index
+    * answers exactly. */
+  private def buildSparseInvFor(m: CollectionMeta, nlist: Int): Unit =
+    graft.streaming.BucketedKeyedCollection.withCommitLock(
+        java.nio.file.Paths.get(ivfDir(m))) {
+      val coll = collection(m)
+      val version = coll.currentVersion.getOrElse(
+        throw new IllegalStateException(s"collection ${m.name} is empty — nothing to index"))
+      val snapshot = coll.readBucketsAt(spark, version, 0 until m.buckets)
+      SparseIndex.build(storePostings(snapshot), sparsePostingsPath(m),
+        buckets = nlist, idCol = "key")
+      stampIndexVersion(m, version)
+      invalidateIndexCaches(m.name)
+      graft.streaming.BucketedKeyedCollection.evictUnder(ivfDir(m))
+    }
+
+  /** Store rows → the (key, dim, w) posting set the sparse layouts
+    * take — one explode of the stored maps. */
+  private def storePostings(rows: DataFrame): DataFrame =
+    rows.select(col("key"), explode(col("vec")).as(Seq("dim", "w")))
 
   /** BIN_IVF_FLAT build — Milvus's index for BINARY_VECTOR fields: a
     * k-majority coarse quantizer trained on a bounded driver-side sample
@@ -2470,6 +2611,8 @@ class GraftClient(spark: SparkSession, root: String,
       refreshHnswIncremental(m, preVersion, newVersion, touchKeys, preImage, puts)
     else if (binaryVec(m))
       refreshBinIvfIncremental(m, preVersion, newVersion, touchKeys, preImage, puts)
+    else if (sparseVec(m))
+      refreshSparseInvIncremental(m, preVersion, newVersion, touchKeys, puts)
     else loadIndex(m) match {
     case Some(idx) if idx.maintainable && preVersion.contains(idx.version)
         && indexableMetric(m.metric) =>
@@ -2588,6 +2731,40 @@ class GraftClient(spark: SparkSession, root: String,
                  // search falls back to the exact scan as before
     }
     }
+  }
+
+  /** SPARSE_INVERTED_INDEX's per-commit maintenance — the
+    * [[appendSparseIndex]] contract made AUTOMATIC, which only a sparse
+    * COLLECTION can have: the store owns the sparse vectors, so the
+    * commit's put batch IS the complete posting sets of the upserted
+    * keys (the attached family must trust a caller-supplied delta).
+    * Appends one segment (cost ∝ the batch's postings), tombstones the
+    * deleted keys' prior postings through the norms manifests, lets
+    * [[graft.index.SparseIndex.append]]'s thresholds auto-compact, and
+    * stamps the new version LAST. Stale stamp (crash mid-append, or a
+    * build overtaken by a racing commit) → [[searchSparse]] falls back
+    * to the exact map-lookup scan; buildIndex is the recovery — the
+    * float contract exactly. */
+  private def refreshSparseInvIncremental(m: CollectionMeta,
+      preVersion: Option[Long], newVersion: Long, touchKeys: DataFrame,
+      puts: Option[DataFrame]): Unit = {
+    if (!SparseIndex.exists(sparsePostingsPath(m))) return
+    // only roll forward an index that covered the PRE-image — stamping
+    // over writes it never saw would be ghost-fresh (the loadIndex
+    // maintainable-check of the float family, done on the stamp file)
+    if (!readVersionFile(ivfDir(m)).exists(v => preVersion.contains(v)))
+      return
+    val delta = puts.map(storePostings).getOrElse(
+      touchKeys.limit(0).select(col("key"),
+        lit(0L).as("dim"), lit(0.0).as("w")))
+    // keys touched but not re-put are the batch's deletes; append()
+    // requires the two id sets disjoint, which the anti-join guarantees
+    val deleted = puts match {
+      case Some(p) => touchKeys.join(p.select("key"), Seq("key"), "left_anti")
+      case None => touchKeys
+    }
+    SparseIndex.append(delta, sparsePostingsPath(m), Some(deleted))
+    stampIndexVersion(m, newVersion)
   }
 
   /** BIN_IVF_FLAT's per-commit maintenance — the float family's
@@ -2971,10 +3148,10 @@ class GraftClient(spark: SparkSession, root: String,
     * query's k. Callers migrating from Milvus: a typo'd output field
     * shows up as nulls, not an exception. */
   private def projectOutputFields(result: DataFrame,
-      outputFields: Seq[String]): DataFrame =
+      outputFields: Seq[String], rankCol: String = "distance"): DataFrame =
     if (outputFields.isEmpty || outputFields.contains("*")) result
-    else result.select(col("vector_key") +: col("distance") +:
-      outputFields.filterNot(Set("vector_key", "distance")).distinct.map {
+    else result.select(col("vector_key") +: col(rankCol) +:
+      outputFields.filterNot(Set("vector_key", rankCol)).distinct.map {
         case "metadata" => col("metadata")
         case "vec" => throw new IllegalArgumentException(
           "output field 'vec' is not carried by search results — fetch " +
@@ -4829,6 +5006,11 @@ class GraftClient(spark: SparkSession, root: String,
         else Seq(row("BIN_IVF_FLAT", "vec", ivfDir(m),
           s"""{"nlist":${m.nlist}}"""))
       }
+      else if (sparseVec(m)) {
+        if (!SparseIndex.exists(sparsePostingsPath(m))) Nil
+        else Seq(row("SPARSE_INVERTED_INDEX", "vec", ivfDir(m),
+          s"""{"metric":"${m.metric}"}"""))
+      }
       else if (hnswIndexed(m))
         // tail-era HNSW serves index-backed searches at ANY snapshot
         // (graph arm + growing tail) — fresh = servable, not
@@ -6265,6 +6447,10 @@ class GraftClient(spark: SparkSession, root: String,
   def buildSparseIndex(name: String, postings: DataFrame,
                        buckets: Int = 64): Unit = {
     val m = metaOrThrow(name)
+    require(!sparseVec(m),
+      s"'${m.name}' is a SPARSE_FLOAT_VECTOR collection — its OWN " +
+        "inverted index derives from the store: buildIndex (the attached " +
+        "form exists for a dense collection's second sparse field)")
     require(m.partitionKey.isEmpty && listedPartitions(m).size == 1,
       s"'$name' has partitions — the attached sparse index stamps one " +
         "store's snapshot clock; manage per-partition SparseIndex " +
@@ -6352,9 +6538,27 @@ class GraftClient(spark: SparkSession, root: String,
     * Emits (key, score), best first. */
   def searchSparse(name: String, query: Seq[(Long, Double)], k: Int = 10,
                    metric: String = "dot",
-                   filter: Option[Column] = None): DataFrame = {
+                   filter: Option[Column] = None,
+                   offset: Int = 0,
+                   outputFields: Seq[String] = Nil,
+                   partitions: Seq[String] = Nil,
+                   consistencyLevel: String = "",
+                   dropRatioSearch: Double = 0.0): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val m = metaOrThrow(name)
+    if (sparseVec(m))
+      return searchSparseCollection(m, query, k, metric, filter, offset,
+        outputFields, partitions, consistencyLevel, dropRatioSearch)
+    // ---- attached-index arm (a dense collection's second sparse
+    // field): the store keeps no sparse vectors, so the result is the
+    // index's (key, score) — the full search envelope rides the
+    // SPARSE_FLOAT_VECTOR collection family
+    require(offset == 0 && outputFields.isEmpty && partitions.isEmpty &&
+        consistencyLevel.isEmpty && dropRatioSearch == 0.0,
+      s"'${m.name}' is a ${m.vectorType} collection with an ATTACHED " +
+        "sparse index — offset/outputFields/partitions/consistencyLevel/" +
+        "dropRatioSearch ride SPARSE_FLOAT_VECTOR collections, whose " +
+        "store owns the sparse vectors; the attached arm serves (key, score)")
     val dir = attachedSparseDirOrThrow(m)
     def fetch(pool: Int): DataFrame =
       sparseHitsKeyed(SparseIndex.topK(spark, dir, query, pool, metric))
@@ -6380,6 +6584,314 @@ class GraftClient(spark: SparkSession, root: String,
         }
         throw new IllegalStateException("unreachable")
     }
+  }
+
+  /** The SPARSE_FLOAT_VECTOR collection search — Milvus `search` on a
+    * sparse field, with the float/binary families' full envelope:
+    * metadata `filter` (scalar-index bucket-pruned), `offset`
+    * pagination, `partitions`, `output_fields`, per-read
+    * `consistency_level`, and Milvus's `drop_ratio_search` (drop that
+    * fraction of the query's smallest-|w| terms before searching — the
+    * documented approximation knob; 0.0 = exact). Emits
+    * (vector_key, score, metadata), best (highest) score first, key
+    * tie-break.
+    *
+    * Candidates are docs sharing AT LEAST ONE query dim — the inverted
+    * index's result set by construction, and the exact arm applies the
+    * same membership rule so a stale-index fallback is hash-identical
+    * (a doc with no shared term has nothing to rank on; Milvus's
+    * inverted index never sees it either). With a FRESH
+    * SPARSE_INVERTED_INDEX (auto-maintained per merge commit) stage 1
+    * reads Σ df(query dim) postings via the dim-bucket directory prune
+    * — LOSSLESS, so unlike IVF there is no recall knob; the per-doc
+    * work and shuffle never touch non-overlapping rows. Stale or FLAT
+    * → exact map-lookup scan over the store (|q| element_at probes per
+    * row, whole-stage codegen), riding the scalar bucket prune when
+    * the filter allows. */
+  private def searchSparseCollection(m: CollectionMeta,
+      query: Seq[(Long, Double)], k: Int, metric: String,
+      filter: Option[Column], offset: Int, outputFields: Seq[String],
+      partitions: Seq[String], consistencyLevel: String,
+      dropRatioSearch: Double): DataFrame = {
+    require(metric == m.metric,
+      s"'${m.name}' is a ${m.metric} collection — the sparse metric was " +
+        s"fixed at create (got '$metric')")
+    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
+    require(query.map(_._1).distinct.size == query.size,
+      "sparse query carries duplicate dims — merge their weights first")
+    require(dropRatioSearch >= 0.0 && dropRatioSearch < 1.0,
+      s"dropRatioSearch must be in [0, 1) (got $dropRatioSearch)")
+    require(offset >= 0, s"offset must be >= 0 (got $offset)")
+    require(offset.toLong + k <= GraftClient.MaxPageDepth,
+      s"offset + k must be <= ${GraftClient.MaxPageDepth} " +
+        s"(got ${offset.toLong + k}) — Milvus caps offset+limit the same way")
+    // Milvus drop_ratio_search: the smallest-|weight| fraction of the
+    // QUERY's entries is dropped before the search (never the corpus
+    // side) — at least one term always survives
+    val q =
+      if (dropRatioSearch == 0.0) query
+      else query.sortBy { case (d, w) => (-math.abs(w), d) }
+        .take(math.max(1, query.size - (query.size * dropRatioSearch).toInt))
+    if (effectiveLevel(m, consistencyLevel) == "Session")
+      resolveParts(m, partitions).foreach { p =>
+        val pm = partMeta(m, p)
+        pinForRead(pm, collection(pm), "Session")
+      }
+    val scored = resolveParts(m, partitions)
+      .map(p => sparseScored(partMeta(m, p), q, filter, offset + k))
+      .reduce(_ unionByName _)
+    projectOutputFields(pagedByScore(scored, offset, k), outputFields,
+      rankCol = "score")
+  }
+
+  /** Whether this partition's collection-owned sparse inverted index is
+    * servable: layout exists AND the stamp matches the store's current
+    * snapshot — the one staleness rule, shared by every sparse surface. */
+  private def sparseIndexServable(pm: CollectionMeta,
+      coll: BucketedKeyedCollection): Boolean =
+    SparseIndex.exists(sparsePostingsPath(pm)) &&
+      readVersionFile(ivfDir(pm)).exists(v => coll.currentVersion.contains(v))
+
+  /** The sparse family's EXACT arm, shared by search/range/batch
+    * fallbacks: every overlapping doc of this partition scored straight
+    * off the stored maps — membership = shares ≥ 1 query dim (the
+    * inverted index's own result set, so index and exact answers are
+    * identical), score = Σ over the query's entries of
+    * element_at(vec, dim) · w — |q| map probes per row, all whole-stage
+    * codegen, no explode and no shuffle before whatever bound the
+    * caller applies. */
+  private def sparseExactScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
+      q: Seq[(Long, Double)], filter: Option[Column]): DataFrame = {
+    val overlaps = q.map { case (d, _) =>
+      element_at(col("vec"), lit(d)).isNotNull }.reduce(_ || _)
+    val dot = q.map { case (d, w) =>
+      coalesce(element_at(col("vec"), lit(d)), lit(0.0)) * lit(w)
+    }.reduce(_ + _)
+    val score = pm.metric match {
+      case "dot" => dot
+      case _ => // cosine: full-vector norms, the norms-table algebra
+        val qn = math.sqrt(q.map { case (_, w) => w * w }.sum)
+        dot / (sqrt(aggregate(map_values(col("vec")), lit(0.0),
+          (acc, x) => acc + x * x)) * lit(qn))
+    }
+    val base = scalarPrunedRead(pm, coll, filter)
+    filter.fold(base)(base.filter).filter(overlaps)
+      .select(col("key").as("vector_key"), score.as("score"),
+        col("meta").as("metadata"))
+  }
+
+  /** One partition's scored sparse candidates — [[binScored]]'s role for
+    * the (dim → weight) family: (vector_key, score, metadata), ≥ `depth`
+    * rows when that many overlapping docs pass the filter. */
+  private def sparseScored(pm: CollectionMeta, q: Seq[(Long, Double)],
+      filter: Option[Column], depth: Int): DataFrame = {
+    val coll = collection(pm)
+    if (!sparseIndexServable(pm, coll))
+      return sparseExactScored(pm, coll, q, filter)
+    // index arm: dim-bucket-pruned postings topK; a metadata filter
+    // gates the (key, score) hits through the filter-passing keys and
+    // DEEPENS like the attached arm (per-doc-absolute scores make the
+    // gate order-preserving), then the ≤pool survivors broadcast-join
+    // the store for metadata
+    def hits(pool: Int): DataFrame = sparseHitsKeyed(
+      SparseIndex.topK(spark, sparsePostingsPath(pm), q, pool, pm.metric))
+    val gated: DataFrame = filter match {
+      case None => hits(depth)
+      case Some(f) =>
+        // THIS partition's filter-passing keys (scalar-index
+        // bucket-pruned) — not the all-partition filterPassingKeys union
+        val passing =
+          scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key")
+        var pool = math.min(depth.toLong * 4, GraftClient.MaxPageDepth).toInt
+        var out: Option[DataFrame] = None
+        while (out.isEmpty) {
+          val h = hits(pool).persist()
+          try {
+            val g = h.join(passing, Seq("key"), "left_semi")
+              .orderBy(desc("score"), col("key")).limit(depth)
+            if (g.count() >= depth || h.count() < pool ||
+                pool >= GraftClient.MaxPageDepth)
+              out = Some(g.localCheckpoint()) // detach from the persist
+            else pool = math.min(pool.toLong * 4,
+              GraftClient.MaxPageDepth).toInt
+          } finally h.unpersist()
+        }
+        out.get
+    }
+    coll.read(spark).join(broadcast(gated), Seq("key"))
+      .select(col("key").as("vector_key"), col("score"),
+        col("meta").as("metadata"))
+  }
+
+  /** [[paged]] for similarity-scored families (higher = better): same
+    * pushed top-(offset+k) + row-number page drop, ordered by
+    * (score DESC, key). */
+  private def pagedByScore(scored: DataFrame, offset: Int, k: Int): DataFrame = {
+    val ordered = scored.orderBy(desc("score"), col("vector_key"))
+    if (offset <= 0) ordered.limit(k)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      ordered.limit(offset + k)
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(desc("score"), col("vector_key"))))
+        .filter(col("__rn") > offset).drop("__rn")
+        .orderBy(desc("score"), col("vector_key"))
+    }
+  }
+
+  /** Sparse range search — Milvus `radius`/`range_filter` on a
+    * SPARSE_FLOAT_VECTOR field, with the SIMILARITY convention Milvus
+    * uses for IP/cosine: every overlapping doc with
+    * `radius < score <= rangeFilter`, best (highest) first, optionally
+    * capped at `limit`. Membership is the inverted index's: a doc
+    * sharing no query dim scores identically 0 and is never returned,
+    * whatever the band says — Milvus's sparse index behaves the same.
+    * No recall knob exists on EITHER arm: a fresh index's candidate set
+    * (Σ df(query dim) postings, dim-bucket directory prune) is the
+    * complete overlap set by construction — lossless, like the float
+    * family's triangle-inequality prune but needing no radii metadata —
+    * and the stale/FLAT fallback scans the stored maps with the same
+    * membership rule. Identical answers, always. */
+  def searchSparseRange(name: String, query: Seq[(Long, Double)],
+                        radius: Double,
+                        rangeFilter: Double = Double.PositiveInfinity,
+                        limit: Option[Int] = None,
+                        filter: Option[Column] = None,
+                        partitions: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchSparseRange " +
+        "serves SPARSE_FLOAT_VECTOR; use searchRange/searchBinaryRange")
+    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
+    require(query.map(_._1).distinct.size == query.size,
+      "sparse query carries duplicate dims — merge their weights first")
+    require(rangeFilter > radius,
+      s"rangeFilter ($rangeFilter) must be > radius ($radius) — Milvus's " +
+        "similarity-metric band is radius < score <= range_filter")
+    limit.foreach(l => require(l >= 1, s"limit must be >= 1 (got $l)"))
+    val band = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val scored =
+        if (!sparseIndexServable(pm, coll))
+          sparseExactScored(pm, coll, query, filter)
+        else {
+          val hits = sparseHitsKeyed(SparseIndex.scores(
+            spark, sparsePostingsPath(pm), query, pm.metric))
+          val gated = filter match {
+            case None => hits
+            case Some(f) => hits.join(
+              scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key"),
+              Seq("key"), "left_semi")
+          }
+          // band BEFORE the metadata join, so the join is band-sized;
+          // no broadcast hint — a wide band can be large, AQE decides
+          coll.read(spark)
+            .join(gated.filter(col("score") > radius &&
+              col("score") <= rangeFilter), Seq("key"))
+            .select(col("key").as("vector_key"), col("score"),
+              col("meta").as("metadata"))
+        }
+      scored.filter(col("score") > radius && col("score") <= rangeFilter)
+    }.reduce(_ unionByName _)
+    val ordered = band.orderBy(desc("score"), col("vector_key"))
+    limit.fold(ordered)(ordered.limit)
+  }
+
+  /** Batched sparse search — Milvus `search` with MANY sparse query
+    * vectors on a SPARSE_FLOAT_VECTOR collection. `queries` needs
+    * (qid LONG, dims ARRAY<BIGINT>, ws ARRAY<DOUBLE>) — parallel
+    * arrays, unique dims, nonzero weights (the write boundary's rules,
+    * enforced per row). Emits (qid, vector_key, score, metadata), top-k
+    * per qid, (score DESC, key) within each.
+    *
+    * With a FRESH index and NO filter, the whole batch rides ONE
+    * postings scan pruned to the union of all queries' dims
+    * ([[graft.index.SparseIndex.topKBatch]] — per-(qid, doc) partial
+    * sums under a bounded per-(partition, qid) heap before the one
+    * shuffle). A metadata `filter` — or a stale/FLAT collection —
+    * routes to the store-derived postings join instead: the filter
+    * gates ROWS before their maps explode, so scoring work is
+    * ∝ passing rows' postings and the gate can never truncate a
+    * query's top-k (the exact arm has no pool to deepen). Both arms
+    * share the ≥1-shared-dim membership rule — identical answers. */
+  def searchSparseBatch(name: String, queries: DataFrame, k: Int,
+                        filter: Option[Column] = None,
+                        partitions: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchSparseBatch " +
+        "serves SPARSE_FLOAT_VECTOR; use searchBatch/searchBinaryBatch")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // posting form, boundary-checked row-wise; localCheckpoint pins ONE
+    // evaluation of the caller's plan (it is read once per partition arm
+    // plus the norms aggregate — the fetchDf recompute stance)
+    val qp = queries.select(col("qid").cast("long").as("qid"),
+        when(size(col("dims")) < 1 ||
+            size(col("dims")) =!= size(col("ws")) ||
+            size(array_distinct(col("dims"))) =!= size(col("dims")),
+          raise_error(lit("each sparse batch query needs parallel " +
+            "non-empty dims/ws arrays with unique dims")))
+          .otherwise(col("dims").cast("array<bigint>")).as("__dims"),
+        col("ws").cast("array<double>").as("__ws"))
+      .select(col("qid"), posexplode(col("__dims")).as(Seq("__i", "dim")),
+        col("__ws"))
+      .select(col("qid"), col("dim"),
+        when(element_at(col("__ws"), col("__i") + 1).isNull ||
+            isnan(element_at(col("__ws"), col("__i") + 1)) ||
+            element_at(col("__ws"), col("__i") + 1) === 0.0,
+          raise_error(lit("sparse batch query weights must be finite " +
+            "and nonzero")))
+          .otherwise(element_at(col("__ws"), col("__i") + 1)).as("w"))
+      .localCheckpoint()
+    val parts = resolveParts(m, partitions)
+    val perPart = parts.map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      if (sparseIndexServable(pm, coll) && filter.isEmpty)
+        SparseIndex.topKBatch(spark, sparsePostingsPath(pm), qp, k, pm.metric)
+          .select(col("qid"), col("key"), col("score"))
+      else {
+        // store-derived postings join (exact): gate rows, then explode
+        val base = scalarPrunedRead(pm, coll, filter)
+        val rows = filter.fold(base)(base.filter)
+        val postings = storePostings(rows)
+        val qw = qp.select(col("qid"), col("dim"), col("w").as("__qw"))
+        val scored = pm.metric match {
+          case "dot" =>
+            postings.join(broadcast(qw), Seq("dim"))
+              .groupBy(col("qid"), col("key"))
+              .agg(sum(col("w") * col("__qw")).as("score"))
+          case _ =>
+            val qnorms = qp.groupBy(col("qid"))
+              .agg(sqrt(sum(col("w") * col("w"))).as("__qnrm"))
+            val norms = rows.select(col("key"),
+              sqrt(aggregate(map_values(col("vec")), lit(0.0),
+                (a, x) => a + x * x)).as("__nrm"))
+            postings.join(broadcast(qw), Seq("dim"))
+              .groupBy(col("qid"), col("key"))
+              .agg(sum(col("w") * col("__qw")).as("__dot"))
+              .join(norms, Seq("key")).join(broadcast(qnorms), Seq("qid"))
+              .select(col("qid"), col("key"),
+                (col("__dot") / (col("__nrm") * col("__qnrm"))).as("score"))
+        }
+        graft.operators.SparseSearch.rankPerQuery(scored, k, "key")
+          .select(col("qid"), col("key"), col("score"))
+      }
+    }
+    // cross-partition re-rank (each arm is top-k per qid PER PARTITION)
+    val ranked =
+      if (perPart.size == 1) perPart.head
+      else graft.operators.SparseSearch.rankPerQuery(
+        perPart.reduce(_ unionByName _), k, "key")
+        .select(col("qid"), col("key"), col("score"))
+    // metadata: ≤ k·|queries| hit rows broadcast against the live stores
+    val stores = parts.map(p => collection(partMeta(m, p)).read(spark))
+      .reduce(_ unionByName _)
+    stores.join(broadcast(ranked), Seq("key"))
+      .select(col("qid"), col("key").as("vector_key"), col("score"),
+        col("meta").as("metadata"))
+      .orderBy(col("qid"), desc("score"), col("vector_key"))
   }
 
   /** Milvus multi-vector `hybrid_search` — one AnnSearchRequest per

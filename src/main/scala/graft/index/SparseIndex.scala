@@ -357,6 +357,32 @@ object SparseIndex {
     }
   }
 
+  /** EVERY overlapping doc's score, unordered and uncapped — the range
+    * search's candidate set ([[topK]]'s bounded heap would cap it; a
+    * band filter belongs BEFORE any ordering). Work is still
+    * Σ df(query dim): a doc sharing no dim never appears (its score is
+    * identically 0 — the inverted index's membership rule). */
+  def scores(spark: SparkSession, path: String, query: Seq[(Long, Double)],
+             metric: String = "dot"): DataFrame = {
+    val (buckets, idCol, gensOpt, schemaOpt) = readMeta(path)
+    require(query.nonEmpty, "query sparse vector has no nonzero dimensions")
+    val live = query.filter(_._2 != 0.0)
+    val pruned = prunedPostings(spark, path, live.map(_._1), buckets, idCol,
+      gensOpt, schemaOpt)
+    val dots = SparseSearch.dotScores(pruned, live, idCol)
+    metric match {
+      case "dot" => dots.select(col(idCol), col("__dot").as("score"))
+      case "cosine" =>
+        val qn = math.sqrt(live.map(t => t._2 * t._2).sum)
+        require(qn > 0.0, "query vector has zero norm")
+        val norms = normsFrame(spark, path, idCol, gensOpt, schemaOpt)
+        dots.join(norms, Seq(idCol))
+          .select(col(idCol), (col("__dot") / (col("nrm") * lit(qn))).as("score"))
+      case other =>
+        throw new IllegalArgumentException(s"metric must be dot or cosine (got '$other')")
+    }
+  }
+
   /** Batched top-k through the pruned layout: the scan covers the UNION
     * of all queries' dims (collected driver-side — queries are sparse by
     * definition, so the union is query-batch-sized, not corpus-sized). */

@@ -178,6 +178,154 @@ object SparseBinaryQueries {
       .limit(10)
   }
 
+  /** Per-JVM SPARSE_FLOAT_VECTOR client collection over the documents'
+    * hashed tf postings — the FULL lifecycle on the oracle path (r13):
+    * `createCollection(vectorType = "SPARSE_FLOAT_VECTOR")` (Milvus's
+    * sparse field type: (dim → weight) maps, no fixed dim), the maps
+    * through the keyed store's write path,
+    * `buildIndex("SPARSE_INVERTED_INDEX")` persisting the dim-bucketed
+    * postings layout VERSION-stamped — deliberately over a WRONG base
+    * (doc 0's weights doubled), corrected by a re-upsert and poisoned
+    * by an upsert-then-delete decoy that would rank #1 if a tombstone
+    * leaked: the AUTO-maintenance both merge commits run (the sparse
+    * collection's store owns its vectors, so deltas are self-derived)
+    * is load-bearing for the oracle hash, not just the freshness bit. */
+  private val sparseClientRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sparseClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = sparseClientRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-sparsecli").toString
+      val c = new graft.api.GraftClient(spark, r)
+      c.createCollection("docsparse", dim = 0, metric = "dot",
+        indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+        vectorType = "SPARSE_FLOAT_VECTOR")
+      val tf = hashedPostings(spark, d)
+      def rows(p: DataFrame) = p.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("w"))))
+          .as("vec"))
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          col("vec"),
+          map(lit("band"), (col("doc_id") % 2).cast("string")).as("meta"))
+      c.upsert("docsparse", rows(tf.withColumn("w",
+        when(col("doc_id") === 0L, col("w") * 2).otherwise(col("w")))))
+      c.buildIndex("docsparse", nlist = 8)
+      // corrective re-upsert: tombstones doc 0's doubled base postings
+      c.upsert("docsparse", rows(tf.filter(col("doc_id") === 0L)))
+      // decoy sharing a query dim at weight 1000 — top hit if the
+      // delete's tombstone failed to mask it
+      val qd = tf.filter(col("doc_id") === 0L).select("dim").head().getLong(0)
+      import spark.implicits._
+      c.upsert("docsparse", Seq(
+        ("99999999", Map(qd -> 1000.0), Map("band" -> "1")))
+        .toDF("key", "vec", "meta"))
+      c.deleteByKeys("docsparse", Seq("99999999"))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  private def sparseClientQuery(spark: SparkSession, dir: String): Seq[(Long, Double)] =
+    hashedPostings(spark, dir).filter(col("doc_id") === 0L)
+      .select(col("dim"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  /** B7 (r13) — Milvus SPARSE_FLOAT_VECTOR search THROUGH the client
+    * collection on the ORACLE path: top-10 by sparse dot against doc
+    * 0's own tf vector, served from the auto-maintained
+    * SPARSE_INVERTED_INDEX (freshness asserted — a stale stamp would
+    * silently exact-scan; the postings layout is plan-asserted — the
+    * exact arm returns identical values here by design, so dispatch is
+    * proven, not assumed). Hash-equal to DuckDB's brute force only if
+    * the dim-bucket prune is lossless AND the wrong-base correction and
+    * decoy delete were masked by the per-commit appends. */
+  def sparseClientTopK(spark: SparkSession, dir: String): DataFrame = {
+    val client = sparseClientFor(spark, dir)
+    val idx = client.listIndexes("docsparse")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").head()
+    require(idx.getBoolean(2),
+      "sparse_client_topk: the SPARSE_INVERTED_INDEX must be FRESH — " +
+        "per-commit auto-maintenance failed")
+    val df = client.searchSparse("docsparse", sparseClientQuery(spark, dir), k = 10)
+    require(df.queryExecution.executedPlan.toString.contains("In(dim"),
+      "sparse_client_topk: search did not read the postings layout")
+    df.select(col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(desc("dot"), col("doc_id"))
+  }
+
+  /** B2×B7 (r13) — the sparse family's FILTERED search on the oracle
+    * path: the metadata gate (band = even doc_ids) rides the
+    * index-arm's deepening fetch (per-doc-absolute scores make gating
+    * after scoring order-preserving), so a selective filter cannot
+    * short-return while matches remain — the oracle's WHERE replays
+    * it. */
+  def sparseClientFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val client = sparseClientFor(spark, dir)
+    require(client.listIndexes("docsparse")
+        .filter(col("kind") === "SPARSE_INVERTED_INDEX").head().getBoolean(2),
+      "sparse_client_filtered: the index must be FRESH — a stale stamp " +
+        "would route to the exact scan")
+    val df = client.searchSparse("docsparse", sparseClientQuery(spark, dir),
+      k = 10, filter = Some(element_at(col("meta"), "band") === "0"))
+    // the filtered index arm's gated deepening ends in a localCheckpoint
+    // (detaching from its persist), so the postings scan is no longer in
+    // the final plan — the checkpointed candidate RDD is, and only the
+    // index arm produces one (the exact arm is a single parquet plan)
+    require(df.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+      "sparse_client_filtered: search did not take the gated index arm")
+    df.select(col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(desc("dot"), col("doc_id"))
+  }
+
+  /** B4×B7 (r13) — BATCHED sparse search through the client collection
+    * on the ORACLE path: docs 0–2's own tf vectors as one batch through
+    * `searchSparseBatch` — ONE postings scan pruned to the union of the
+    * queries' dims, per-(qid, doc) partial sums under the bounded
+    * per-(partition, qid) heap. The postings dispatch is plan-asserted
+    * (the store-join fallback returns identical values here, so it is
+    * proven, not assumed); DuckDB replays each query's brute-force
+    * ranking. */
+  def sparseClientBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val client = sparseClientFor(spark, dir)
+    val qdf = hashedPostings(spark, dir).filter(col("doc_id") < 3)
+      .collect().groupBy(_.getLong(0)).toSeq
+      .map { case (qid, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+          .sortBy(_._1)
+        (qid, sorted.map(_._1), sorted.map(_._2))
+      }.toDF("qid", "dims", "ws")
+    val df = client.searchSparseBatch("docsparse", qdf, k = 10)
+    require(df.queryExecution.executedPlan.toString.contains("In(dim"),
+      "sparse_client_batched: batch did not read the postings layout")
+    df.select(col("qid"), col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(col("qid"), desc("dot"), col("doc_id"))
+  }
+
+  /** B6×B7 (r13) — Milvus range search on a SPARSE_FLOAT_VECTOR field,
+    * on the ORACLE path: `searchSparseRange` with the similarity-band
+    * convention (radius < score), band edge = the 10th-best dot —
+    * data-derived and integer-exact on both engines. The index arm's
+    * candidate set is the COMPLETE overlap set (Σ df postings, dim
+    * directory prune) — lossless by construction, and the hash match
+    * against DuckDB's brute-force band is what proves it (a dropped
+    * in-band doc would shrink the result; dispatch plan-asserted). */
+  def sparseClientRange(spark: SparkSession, dir: String): DataFrame = {
+    val client = sparseClientFor(spark, dir)
+    val q = sparseClientQuery(spark, dir)
+    val r10 = client.searchSparse("docsparse", q, k = 10)
+      .collect().last.getDouble(1)
+    val df = client.searchSparseRange("docsparse", q, radius = r10)
+    require(df.queryExecution.executedPlan.toString.contains("In(dim"),
+      "sparse_client_range: range search did not read the postings layout")
+    df.select(col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(desc("dot"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -187,7 +335,11 @@ object SparseBinaryQueries {
     "knn_hamming_ivf" -> knnHammingIvf _,
     "knn_hamming_batched" -> knnHammingBatched _,
     "knn_hamming_range" -> knnHammingRange _,
-    "knn_hamming_iter" -> knnHammingIter _
+    "knn_hamming_iter" -> knnHammingIter _,
+    "sparse_client_topk" -> sparseClientTopK _,
+    "sparse_client_filtered" -> sparseClientFiltered _,
+    "sparse_client_batched" -> sparseClientBatched _,
+    "sparse_client_range" -> sparseClientRange _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -384,6 +536,42 @@ object SparseBinaryQueries {
          SELECT d.doc_id, d.dot, round(d.dot::DOUBLE / (n.nrm * qn.qnrm), 6) AS cosine
          FROM dt d JOIN nrm n USING (doc_id), (SELECT nrm AS qnrm FROM nrm WHERE doc_id = 0) qn
          ORDER BY d.dot DESC, d.doc_id LIMIT 10""",
+    "sparse_client_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0)
+         SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+         FROM tf t JOIN q USING (word) GROUP BY 1
+         ORDER BY dot DESC, doc_id LIMIT 10""",
+    "sparse_client_filtered" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0)
+         SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+         FROM tf t JOIN q USING (word)
+         WHERE t.doc_id % 2 = 0
+         GROUP BY 1
+         ORDER BY dot DESC, doc_id LIMIT 10""",
+    "sparse_client_batched" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT doc_id AS qid, word, tf AS qtf FROM tf WHERE doc_id < 3),
+           d AS (SELECT q.qid, t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+                 FROM tf t JOIN q USING (word) GROUP BY 1, 2),
+           r AS (SELECT qid, doc_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, doc_id) AS rn
+                 FROM d)
+         SELECT qid, doc_id, dot FROM r WHERE rn <= 10
+         ORDER BY qid, dot DESC, doc_id""",
+    "sparse_client_range" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           d AS (SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+                 FROM tf t JOIN q USING (word) GROUP BY 1),
+           r AS (SELECT dot AS r10 FROM d ORDER BY dot DESC, doc_id LIMIT 1 OFFSET 9)
+         SELECT d.doc_id, d.dot FROM d, r WHERE d.dot > r.r10
+         ORDER BY d.dot DESC, d.doc_id""",
     "sparse_index_topk" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -1,0 +1,388 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** SPARSE_FLOAT_VECTOR as a first-class client collection family (Milvus
+  * `DataType.SPARSE_FLOAT_VECTOR` — the SPLADE/lexical vector type,
+  * SURVEY B7): the full create → upsert (maps through the keyed store) →
+  * buildIndex("SPARSE_INVERTED_INDEX") → searchSparse lifecycle with
+  * AUTO-maintained postings (the store owns the vectors, so merge
+  * commits derive their own deltas — the attached family can't), the
+  * exact map-lookup fallback, cosine, the search envelope
+  * (filter/offset/output_fields/drop_ratio_search), and the create/write
+  * boundary validation. */
+class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("sparse-client-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // Deterministic sparse vectors over four disjoint dim bands (so a
+  // doc's map never self-collides): shared head dims the query overlaps,
+  // plus one unique tail dim per doc.
+  private def svec(i: Int): Map[Long, Double] = Map(
+    (i % 7).toLong -> (1.0 + (i % 5)),
+    (10 + i % 11).toLong -> (0.5 + (i % 3)),
+    (30 + i % 13).toLong -> 2.0,
+    (100 + i).toLong -> 1.5)
+
+  private def key(i: Int): String = f"s$i%04d"
+
+  private val q: Seq[(Long, Double)] =
+    Seq(0L -> 2.0, 3L -> 1.0, 12L -> 3.0, 31L -> 0.5, 999L -> 4.0)
+
+  private def dot(v: Map[Long, Double], qq: Seq[(Long, Double)]): Double =
+    qq.map { case (d, w) => v.getOrElse(d, 0.0) * w }.sum
+
+  private def norm(v: Iterable[Double]): Double =
+    math.sqrt(v.map(x => x * x).sum)
+
+  /** Driver-side ground truth: docs sharing ≥1 query dim, scored by the
+    * collection metric, ordered (score DESC, key). */
+  private def exactTop(live: Map[String, Map[Long, Double]],
+                       qq: Seq[(Long, Double)], k: Int,
+                       metric: String = "dot"): Seq[(String, Double)] =
+    live.toSeq
+      .filter { case (_, v) => qq.exists { case (d, _) => v.contains(d) } }
+      .map { case (kk, v) =>
+        val s = metric match {
+          case "dot" => dot(v, qq)
+          case _ => dot(v, qq) / (norm(v.values) * norm(qq.map(_._2)))
+        }
+        (kk, s)
+      }
+      .sortBy { case (kk, s) => (-s, kk) }
+      .take(k)
+
+  private def mkClient(): (GraftClient, String) = {
+    val root = java.nio.file.Files.createTempDirectory("sparse-client").toString
+    (new GraftClient(spark, root), root)
+  }
+
+  private def upsertRows(client: GraftClient, name: String,
+                         rows: Seq[(String, Map[Long, Double])]): Unit = {
+    import spark.implicits._
+    client.upsert(name, rows.map { case (k, v) =>
+      (k, v, Map("band" -> (if (k.drop(1).toInt % 2 == 0) "even" else "odd")))
+    }.toDF("key", "vec", "meta"))
+  }
+
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+    df.collect().map(r => (r.getString(0),
+      math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+
+  private def expect(model: Seq[(String, Double)]): Seq[(String, Double)] =
+    model.map { case (k, s) => (k, math.rint(s * 1e9) / 1e9) }
+
+  test("SPARSE_INVERTED_INDEX lifecycle: exact before build, index-served " +
+       "after, auto-maintained across upsert+delete, dropIndex falls back") {
+    val (client, root) = mkClient()
+    assert(client.createCollection("sc", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR"))
+    assert(client.describe("sc").vectorType == "SPARSE_FLOAT_VECTOR")
+
+    var live = (0 until 200).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "sc", live.toSeq)
+
+    // no index yet: exact map-lookup scan, and listIndexes shows none
+    assert(client.listIndexes("sc")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").count() == 0)
+    assert(hits(client.searchSparse("sc", q, k = 10)) ==
+      expect(exactTop(live, q, 10)))
+
+    client.buildIndex("sc", nlist = 8)
+    val idx = client.listIndexes("sc")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").collect()
+    assert(idx.length == 1 && idx.head.getBoolean(2), "index must be FRESH")
+    val served = client.searchSparse("sc", q, k = 10)
+    assert(served.queryExecution.executedPlan.toString.contains("In(dim"),
+      "fresh-index search must read the postings layout")
+    assert(hits(served) == expect(exactTop(live, q, 10)))
+
+    // merge commits auto-maintain: new docs, changed weights, deletes
+    val changed = (0 until 5).map(i => key(i) -> svec(i + 1000))
+    val added = (200 until 230).map(i => key(i) -> svec(i))
+    upsertRows(client, "sc", changed ++ added)
+    live = live ++ changed ++ added
+    client.deleteByKeys("sc", (50 until 60).map(key))
+    live = live -- (50 until 60).map(key)
+    val idx2 = client.listIndexes("sc")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").collect()
+    assert(idx2.head.getBoolean(2),
+      "auto-maintenance must keep the index FRESH across upsert+delete")
+    val served2 = client.searchSparse("sc", q, k = 12)
+    assert(served2.queryExecution.executedPlan.toString.contains("In(dim"))
+    assert(hits(served2) == expect(exactTop(live, q, 12)),
+      "index-served results must track the churned live set exactly")
+
+    // dropIndex: back to the exact scan, same answers
+    client.dropIndex("sc")
+    val after = client.searchSparse("sc", q, k = 12)
+    assert(!after.queryExecution.executedPlan.toString.contains("In(dim"))
+    assert(hits(after) == expect(exactTop(live, q, 12)))
+  }
+
+  test("cosine collection: exact and index-served rankings match the model") {
+    val (client, _) = mkClient()
+    client.createCollection("cc", dim = 0, metric = "cosine",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 120).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "cc", live.toSeq)
+    val model = expect(exactTop(live, q, 8, "cosine"))
+    assert(hits(client.searchSparse("cc", q, k = 8, metric = "cosine")) == model)
+    client.buildIndex("cc", nlist = 4)
+    assert(hits(client.searchSparse("cc", q, k = 8, metric = "cosine")) == model)
+    // the create-time metric is the contract — a mismatched param refuses
+    val e = intercept[IllegalArgumentException] {
+      client.searchSparse("cc", q, k = 8, metric = "dot") }
+    assert(e.getMessage.contains("fixed at create"))
+  }
+
+  test("search envelope: filter gates both arms, offset pages exactly, " +
+       "output_fields projects metadata") {
+    val (client, _) = mkClient()
+    client.createCollection("se", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 150).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "se", live.toSeq)
+    val evens = live.filter { case (k, _) => k.drop(1).toInt % 2 == 0 }
+    val f = Some(element_at(col("meta"), "band") === "even")
+    // exact arm
+    assert(hits(client.searchSparse("se", q, k = 7, filter = f)) ==
+      expect(exactTop(evens, q, 7)))
+    client.buildIndex("se", nlist = 8)
+    // index arm: gate + deepen
+    assert(hits(client.searchSparse("se", q, k = 7, filter = f)) ==
+      expect(exactTop(evens, q, 7)))
+    // offset: page 2 of the unfiltered ranking
+    val page2 = expect(exactTop(live, q, 20)).slice(10, 20)
+    assert(hits(client.searchSparse("se", q, k = 10, offset = 10)) == page2)
+    // output_fields: (vector_key, score, band)
+    val of = client.searchSparse("se", q, k = 3, outputFields = Seq("band"))
+    assert(of.columns.toSeq == Seq("vector_key", "score", "band"))
+    assert(of.collect().forall(r => Set("even", "odd")(r.getString(2))))
+  }
+
+  test("drop_ratio_search drops the smallest-|w| query terms only") {
+    val (client, _) = mkClient()
+    client.createCollection("dr", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 100).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "dr", live.toSeq)
+    client.buildIndex("dr", nlist = 4)
+    // q sorted by |w| desc: 999→4.0, 12→3.0, 0→2.0, 3→1.0, 31→0.5;
+    // ratio 0.4 drops floor(5*0.4)=2 smallest → keep (999,12,0)
+    val kept = q.sortBy { case (d, w) => (-math.abs(w), d) }.take(3)
+    assert(hits(client.searchSparse("dr", q, k = 10, dropRatioSearch = 0.4)) ==
+      expect(exactTop(live, kept, 10)))
+  }
+
+  test("crash-shaped staleness: a stale stamp falls back to the exact scan") {
+    val (client, root) = mkClient()
+    client.createCollection("st", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 80).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "st", live.toSeq)
+    client.buildIndex("st", nlist = 4)
+    // simulate a crash that left the stamp behind the store (torn
+    // maintenance): force the VERSION file to a never-current value
+    val ver = java.nio.file.Paths.get(s"$root/data/st-ivf", "VERSION")
+    java.nio.file.Files.write(ver, "-42".getBytes)
+    val idx = client.listIndexes("st")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").collect()
+    assert(!idx.head.getBoolean(2), "stamp mismatch must read STALE")
+    val df = client.searchSparse("st", q, k = 9)
+    assert(!df.queryExecution.executedPlan.toString.contains("In(dim"),
+      "stale index must not serve the search")
+    assert(hits(df) == expect(exactTop(live, q, 9)))
+    // and a stale index is NOT rolled forward by later commits (the
+    // stamp no longer matches the pre-image) — it stays stale until
+    // buildIndex reruns
+    upsertRows(client, "st", Seq(key(900) -> svec(900)))
+    assert(!client.listIndexes("st")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX")
+      .head().getBoolean(2))
+    client.buildIndex("st", nlist = 4)
+    assert(client.listIndexes("st")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX")
+      .head().getBoolean(2))
+  }
+
+  test("searchSparseBatch: one pruned pass per batch == per-query results, " +
+       "on both arms; filter gates rows before scoring") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("sb", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 140).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "sb", live.toSeq)
+    val qs: Seq[(Long, Seq[(Long, Double)])] =
+      (0L until 3L).map(i => i -> svec(i.toInt).toSeq.sortBy(_._1))
+    val qdf = qs.map { case (qid, v) =>
+      (qid, v.map(_._1), v.map(_._2)) }.toDF("qid", "dims", "ws")
+    def model(ls: Map[String, Map[Long, Double]], k: Int) = qs.flatMap {
+      case (qid, v) => expect(exactTop(ls, v, k)).map {
+        case (kk, s) => (qid, kk, s) }
+    }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    // exact arm (no index yet)
+    assert(got(client.searchSparseBatch("sb", qdf, k = 6)) == model(live, 6))
+    client.buildIndex("sb", nlist = 8)
+    // index arm: the one-pass batched ride
+    assert(got(client.searchSparseBatch("sb", qdf, k = 6)) == model(live, 6))
+    // filtered batch: gates rows before scoring (routes to the exact join)
+    val evens = live.filter { case (k, _) => k.drop(1).toInt % 2 == 0 }
+    assert(got(client.searchSparseBatch("sb", qdf, k = 6,
+      filter = Some(element_at(col("meta"), "band") === "even"))) ==
+      model(evens, 6))
+    // batch boundary: ragged arrays refuse
+    val err = intercept[Exception] {
+      client.searchSparseBatch("sb",
+        Seq((0L, Seq(1L, 2L), Seq(1.0))).toDF("qid", "dims", "ws"), k = 1)
+        .collect()
+    }
+    assert(err.toString.contains("parallel") ||
+      Option(err.getCause).exists(_.toString.contains("parallel")))
+  }
+
+  test("searchSparseRange: radius < score <= rangeFilter band, identical " +
+       "on both arms, overlap-membership only") {
+    val (client, _) = mkClient()
+    client.createCollection("sr", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 160).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "sr", live.toSeq)
+    val all = exactTop(live, q, live.size) // every overlapping doc, ranked
+    val radius = all(11)._2 // 12th score: band = strictly above it
+    val upper = all(2)._2   // and at most the 3rd
+    def model(lo: Double, hi: Double) =
+      expect(all.filter { case (_, s) => s > lo && s <= hi })
+    def got(df: org.apache.spark.sql.DataFrame) = hits(df)
+    // exact arm
+    assert(got(client.searchSparseRange("sr", q, radius)) ==
+      model(radius, Double.PositiveInfinity))
+    assert(got(client.searchSparseRange("sr", q, radius, rangeFilter = upper)) ==
+      model(radius, upper))
+    client.buildIndex("sr", nlist = 8)
+    // index arm: the complete overlap set is the candidate set — lossless
+    assert(got(client.searchSparseRange("sr", q, radius)) ==
+      model(radius, Double.PositiveInfinity))
+    assert(got(client.searchSparseRange("sr", q, radius, rangeFilter = upper)) ==
+      model(radius, upper))
+    // limit caps best-first
+    assert(got(client.searchSparseRange("sr", q, radius, limit = Some(3))) ==
+      model(radius, Double.PositiveInfinity).take(3))
+    // a doc sharing NO query dim is never returned even in an
+    // everything-band (score 0 is non-membership, not a hit)
+    val none = client.searchSparseRange("sr", Seq(777777L -> 1.0),
+      radius = -1e18)
+    assert(none.count() == 0)
+  }
+
+  test("getSparse round-trips the stored map; get refuses the family") {
+    val (client, _) = mkClient()
+    client.createCollection("gs", dim = 0, metric = "dot",
+      buckets = 2, vectorType = "SPARSE_FLOAT_VECTOR")
+    upsertRows(client, "gs", Seq(key(7) -> svec(7)))
+    val got = client.getSparse("gs", key(7)).get
+    assert(got._1 == svec(7).toSeq.sortBy(_._1))
+    assert(got._2("band") == "odd")
+    assert(client.getSparse("gs", "nope").isEmpty)
+    val e = intercept[IllegalArgumentException] { client.get("gs", key(7)) }
+    assert(e.getMessage.contains("getSparse"))
+  }
+
+  test("create/write boundary validation and cross-family refusals") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    // create-time
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("x", dim = 384, metric = "dot",
+        vectorType = "SPARSE_FLOAT_VECTOR")
+    }.getMessage.contains("dim = 0"))
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("x", dim = 0, metric = "l2",
+        vectorType = "SPARSE_FLOAT_VECTOR")
+    }.getMessage.contains("dot or cosine"))
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("x", dim = 0, metric = "dot",
+        indexType = "SPARSE_WAND", vectorType = "SPARSE_FLOAT_VECTOR")
+    }.getMessage.contains("SPARSE_INVERTED_INDEX"))
+    client.createCollection("v", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    // FLAT sparse collections refuse buildIndex
+    client.createCollection("vf", dim = 0, metric = "dot",
+      indexType = "FLAT", buckets = 2, vectorType = "SPARSE_FLOAT_VECTOR")
+    upsertRows(client, "vf", Seq(key(1) -> svec(1)))
+    assert(intercept[IllegalArgumentException] {
+      client.buildIndex("vf", nlist = 4)
+    }.getMessage.contains("FLAT sparse"))
+    // write boundary: empty map, zero weight, NaN, Inf
+    def bad(vec: Map[Long, Double]): Unit = {
+      val e = intercept[Exception] {
+        client.upsert("v", Seq(("k", vec, Map.empty[String, String]))
+          .toDF("key", "vec", "meta"))
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("sparse vec")),
+        s"expected a sparse boundary refusal, got: $e")
+    }
+    bad(Map.empty)
+    bad(Map(1L -> 0.0))
+    bad(Map(1L -> Double.NaN))
+    bad(Map(1L -> Double.PositiveInfinity))
+    // hashed-vocabulary dims land NEGATIVE and are first-class
+    upsertRows(client, "v", Seq(key(2) -> Map(-3L -> 1.0, 5L -> 2.0)))
+    assert(client.getSparse("v", key(2)).get._1 == Seq(-3L -> 1.0, 5L -> 2.0))
+    // cross-family: float surfaces refuse sparse collections…
+    upsertRows(client, "v", Seq(key(1) -> svec(1)))
+    assert(intercept[IllegalArgumentException] {
+      client.search("v", Array.fill(4)(0.1f), k = 1)
+    }.getMessage.contains("searchSparse"))
+    assert(intercept[IllegalArgumentException] {
+      client.searchBinary("v", Array(0L), k = 1)
+    }.getMessage.contains("searchBinary serves BINARY_VECTOR"))
+    assert(intercept[IllegalArgumentException] {
+      client.upsertTexts("v", Seq(("k", "t", Map.empty[String, String]))
+        .toDF("key", "text", "meta"))
+    }.getMessage.contains("float"))
+    // …the attached sparse-index lifecycle refuses the sparse family
+    // (its index derives from the store via buildIndex)…
+    assert(intercept[IllegalArgumentException] {
+      client.buildSparseIndex("v",
+        Seq(("k", 1L, 1.0)).toDF("key", "dim", "w"))
+    }.getMessage.contains("buildIndex"))
+    // …and a dense collection refuses the sparse query surface's
+    // envelope params while serving its attached arm
+    client.createCollection("dense", dim = 4)
+    assert(intercept[IllegalArgumentException] {
+      client.searchSparse("dense", q, k = 1, offset = 5)
+    }.getMessage.contains("ATTACHED"))
+    // duplicate query dims refuse up front
+    assert(intercept[IllegalArgumentException] {
+      client.searchSparse("v", Seq(1L -> 1.0, 1L -> 2.0), k = 1)
+    }.getMessage.contains("duplicate"))
+  }
+}
