@@ -6660,8 +6660,17 @@ class GraftClient(spark: SparkSession, root: String,
     * element_at(vec, dim) · w — |q| map probes per row, all whole-stage
     * codegen, no explode and no shuffle before whatever bound the
     * caller applies. */
-  private def sparseExactScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
-      q: Seq[(Long, Double)], filter: Option[Column]): DataFrame = {
+  /** The exact arm's (membership, score) column pair: membership =
+    * shares ≥ 1 query dim; score = a LITERAL left-to-right fold of the
+    * query's ≤|q| element_at probes. The fold shape matters beyond
+    * codegen: each row's score is a pure function of that row alone —
+    * no distributed sum whose combine order could wobble an ulp between
+    * evaluations — which is what lets [[searchSparseIterator]] run a
+    * strict keyset cursor over float scores with NO hold-back margins
+    * (the float families' MarginStream exists precisely because their
+    * staged scores lack this property). */
+  private def sparseScoreExpr(pm: CollectionMeta,
+      q: Seq[(Long, Double)]): (Column, Column) = {
     val overlaps = q.map { case (d, _) =>
       element_at(col("vec"), lit(d)).isNotNull }.reduce(_ || _)
     val dot = q.map { case (d, w) =>
@@ -6674,6 +6683,12 @@ class GraftClient(spark: SparkSession, root: String,
         dot / (sqrt(aggregate(map_values(col("vec")), lit(0.0),
           (acc, x) => acc + x * x)) * lit(qn))
     }
+    (overlaps, score)
+  }
+
+  private def sparseExactScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
+      q: Seq[(Long, Double)], filter: Option[Column]): DataFrame = {
+    val (overlaps, score) = sparseScoreExpr(pm, q)
     val base = scalarPrunedRead(pm, coll, filter)
     filter.fold(base)(base.filter).filter(overlaps)
       .select(col("key").as("vector_key"), score.as("score"),
@@ -6796,6 +6811,92 @@ class GraftClient(spark: SparkSession, root: String,
     }.reduce(_ unionByName _)
     val ordered = band.orderBy(desc("score"), col("vector_key"))
     limit.fold(ordered)(ordered.limit)
+  }
+
+  /** Milvus `search_iterator` on a SPARSE_FLOAT_VECTOR field: an
+    * exact-order, unbounded drain in (score DESC, key) order — each
+    * `next()` one bounded Spark job of `batchSize` rows continuing from
+    * a STRICT keyset cursor, so page boundaries can neither duplicate
+    * nor drop a row at any depth. The snapshot is PINNED at creation
+    * ([[searchIterator]]'s drift contract: a mid-drain commit raises
+    * unless `allowDrift`, which keeps draining the pinned version while
+    * the retain window holds it).
+    *
+    * The drain is served by the EXACT map-probe arm regardless of index
+    * freshness — deliberately. A keyset cursor over float scores is
+    * only sound if a row's score is BIT-IDENTICAL on every evaluation;
+    * the exact arm's literal fold has that property (per-row, no
+    * distributed sum), while the postings join's per-doc sums may
+    * combine in different orders across pages — the ulp wobble the
+    * float families needed MarginStream's hold-back algebra to absorb.
+    * Sparse scores come |q|-probes-cheap per row, so correctness is
+    * bought with the FLAT drain's scan shape, not a margin machine.
+    * Membership is the family's ≥1-shared-dim rule. */
+  def searchSparseIterator(name: String, query: Seq[(Long, Double)],
+                           batchSize: Int,
+                           filter: Option[Column] = None,
+                           partitions: Seq[String] = Nil,
+                           allowDrift: Boolean = false): Iterator[Seq[Row]] = {
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchSparseIterator " +
+        "serves SPARSE_FLOAT_VECTOR; use searchIterator/searchBinaryIterator")
+    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
+    require(query.map(_._1).distinct.size == query.size,
+      "sparse query carries duplicate dims — merge their weights first")
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val pins = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      (pm, collection(pm).currentVersion)
+    }
+    def page(cursor: Option[(Double, String)]): Seq[Row] = {
+      val arms = pins.map { case (pm, pin) =>
+        val coll = collection(pm)
+        if (coll.currentVersion != pin && !allowDrift)
+          throw new IllegalStateException(s"${pm.name}: a commit landed " +
+            "mid-iteration (snapshot pinned at creation) — restart the " +
+            "iterator, or pass allowDrift = true to keep draining the " +
+            "pinned snapshot while the retain window holds it")
+        val base = pin.fold(coll.read(spark))(v =>
+          try coll.readVersion(spark, v)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"${pm.name}: the pinned snapshot was vacuumed mid-drain — " +
+              s"restart the iterator (${e.getMessage})") })
+        val (overlaps, score) = sparseScoreExpr(pm, query)
+        val scored = filter.fold(base)(base.filter).filter(overlaps)
+          .select(col("key").as("vector_key"), score.as("score"),
+            col("meta").as("metadata"))
+        cursor.fold(scored) { case (s0, k0) =>
+          scored.filter(col("score") < s0 ||
+            (col("score") === s0 && col("vector_key") > k0))
+        }
+      }
+      arms.reduce(_ unionByName _)
+        .orderBy(desc("score"), col("vector_key"))
+        .limit(batchSize)
+        .collect().toSeq
+    }
+    new Iterator[Seq[Row]] {
+      private var cursor: Option[(Double, String)] = None
+      private var nextPage: Option[Seq[Row]] = None
+      private var exhausted = false
+      private def advance(): Unit =
+        if (!exhausted && nextPage.isEmpty) {
+          val rows = page(cursor)
+          if (rows.isEmpty) exhausted = true
+          else {
+            cursor = Some((rows.last.getDouble(1), rows.last.getString(0)))
+            nextPage = Some(rows)
+          }
+        }
+      override def hasNext: Boolean = { advance(); nextPage.isDefined }
+      override def next(): Seq[Row] = {
+        advance()
+        val out = nextPage.getOrElse(throw new NoSuchElementException)
+        nextPage = None
+        out
+      }
+    }
   }
 
   /** Batched sparse search — Milvus `search` with MANY sparse query

@@ -326,6 +326,25 @@ object SparseBinaryQueries {
       .orderBy(desc("dot"), col("doc_id"))
   }
 
+  /** B6×B7 (r13) — Milvus `search_iterator` on a SPARSE_FLOAT_VECTOR
+    * field, on the ORACLE path: the first 100 drained rows (two 50-row
+    * pages — the second continues from the first's strict (score, key)
+    * keyset cursor, so a boundary cannot duplicate or drop a row)
+    * hash-compare against DuckDB's brute-force total ordering. The
+    * sparse drain rides the exact map-probe arm whose per-row literal
+    * fold makes float scores bit-stable across evaluations — the whole
+    * correctness rests on that and the cursor algebra, both of which a
+    * single shifted row would expose. */
+  def sparseClientIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val client = sparseClientFor(spark, dir)
+    val rows = client.searchSparseIterator("docsparse",
+      sparseClientQuery(spark, dir), batchSize = 50).take(2).flatten.toSeq
+    rows.map(r => (r.getString(0).toLong, r.getDouble(1).toLong))
+      .toDF("doc_id", "dot")
+      .orderBy(desc("dot"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -339,7 +358,8 @@ object SparseBinaryQueries {
     "sparse_client_topk" -> sparseClientTopK _,
     "sparse_client_filtered" -> sparseClientFiltered _,
     "sparse_client_batched" -> sparseClientBatched _,
-    "sparse_client_range" -> sparseClientRange _
+    "sparse_client_range" -> sparseClientRange _,
+    "sparse_client_iter" -> sparseClientIter _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -563,6 +583,13 @@ object SparseBinaryQueries {
                  FROM d)
          SELECT qid, doc_id, dot FROM r WHERE rn <= 10
          ORDER BY qid, dot DESC, doc_id""",
+    "sparse_client_iter" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0)
+         SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+         FROM tf t JOIN q USING (word) GROUP BY 1
+         ORDER BY dot DESC, doc_id LIMIT 100""",
     "sparse_client_range" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

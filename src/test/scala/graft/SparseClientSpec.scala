@@ -298,6 +298,41 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.count() == 0)
   }
 
+  test("searchSparseIterator: strict keyset pages equal the total " +
+       "ordering; mid-drain commits refuse unless allowDrift pins") {
+    val (client, _) = mkClient()
+    client.createCollection("si", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 130).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "si", live.toSeq)
+    val all = expect(exactTop(live, q, live.size)) // every overlapping doc
+    // page size 7 does not divide the score-tie runs — boundaries land
+    // mid-tie, which is exactly what the strict cursor must survive
+    val drained = client.searchSparseIterator("si", q, batchSize = 7)
+      .take(6).flatten.toSeq
+      .map(r => (r.getString(0), math.rint(r.getDouble(1) * 1e9) / 1e9))
+    assert(drained == all.take(42))
+    // a full drain terminates and equals the whole ordering
+    val full = client.searchSparseIterator("si", q, batchSize = 31)
+      .flatMap(_.map(r => r.getString(0))).toSeq
+    assert(full == all.map(_._1))
+    // mid-drain commit: refuse by default…
+    val it2 = client.searchSparseIterator("si", q, batchSize = 5)
+    it2.next()
+    // …but an allowDrift iterator created BEFORE the commit keeps
+    // draining its pinned snapshot (the interloper must not appear)
+    val it3 = client.searchSparseIterator("si", q, batchSize = 5,
+      allowDrift = true)
+    val p1 = it3.next().map(_.getString(0))
+    upsertRows(client, "si", Seq(key(998) -> Map(0L -> 1e6)))
+    val e = intercept[IllegalStateException] { it2.next() }
+    assert(e.getMessage.contains("pinned at creation"))
+    val p2 = it3.next().map(_.getString(0))
+    assert((p1 ++ p2) == all.map(_._1).take(10),
+      "the pinned drain must serve the pre-commit snapshot exactly")
+  }
+
   test("getSparse round-trips the stored map; get refuses the family") {
     val (client, _) = mkClient()
     client.createCollection("gs", dim = 0, metric = "dot",
