@@ -6813,6 +6813,83 @@ class GraftClient(spark: SparkSession, root: String,
     limit.fold(ordered)(ordered.limit)
   }
 
+  /** Milvus grouping search on a SPARSE_FLOAT_VECTOR field —
+    * `group_by_field`/`group_size` with [[searchGrouped]]'s exact
+    * semantics: the top-`k` DISTINCT groups ranked by their best hit
+    * (ties on group value), then up to `groupSize` best hits per
+    * winning group. Emits (group_value, grp_rank, rn, vector_key,
+    * score, metadata).
+    *
+    * Candidates are the COMPLETE overlap set — a group's best hit can
+    * hide anywhere in it, so no top-pool shortcut is sound. With a
+    * fresh index that set comes from the Σ df(query dim) postings scan
+    * joined to the filtered store rows for metadata (join sized by the
+    * overlap set, AQE decides the strategy); stale/FLAT scans the maps
+    * exactly. Pass 1 collects k (best, group) pairs driver-side; pass 2
+    * broadcasts the k winners UNDER the per-group bounded heap, so
+    * losing groups drop map-side. */
+  def searchSparseGrouped(name: String, query: Seq[(Long, Double)], k: Int,
+                          groupByKey: String, groupSize: Int = 1,
+                          filter: Option[Column] = None,
+                          partitions: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchSparseGrouped " +
+        "serves SPARSE_FLOAT_VECTOR; use searchGrouped for float vectors")
+    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
+    require(query.map(_._1).distinct.size == query.size,
+      "sparse query carries duplicate dims — merge their weights first")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    val cand = resolveParts(m, partitions).map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      val scored =
+        if (!sparseIndexServable(pm, coll))
+          sparseExactScored(pm, coll, query, filter)
+            .select(col("vector_key").as("key"), col("score"),
+              col("metadata").as("meta"))
+        else {
+          val hits = sparseHitsKeyed(SparseIndex.scores(
+            spark, sparsePostingsPath(pm), query, pm.metric))
+          val rows = scalarPrunedRead(pm, coll, filter)
+          filter.fold(rows)(rows.filter)
+            .join(hits, Seq("key"))
+            .select(col("key"), col("score"), col("meta"))
+        }
+      scored
+    }.reduce(_ unionByName _)
+      .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
+      .filter(col("__grp").isNotNull)
+      .select(col("__grp").as("group_value"), col("score"), col("key"),
+        col("meta"))
+    // pass 1 — top-k groups by best (highest) score; (best, group_value)
+    // is unique per group, so the k-row TakeOrdered + driver index
+    // assignment is a deterministic dense ranking
+    val bests = cand.groupBy(col("group_value"))
+      .agg(max(col("score")).as("__best"))
+      .orderBy(desc("__best"), col("group_value"))
+      .limit(k)
+      .collect()
+    import spark.implicits._
+    val ranks = bests.zipWithIndex.toSeq
+      .map { case (r, i) => (r.getString(0), (i + 1).toLong) }
+      .toDF("group_value", "grp_rank")
+    // pass 2 — winners broadcast UNDER the per-group bounded heap
+    // ("smaller is better" heap rides the negated score)
+    val topk = graft.functions.VectorAggregates.topKDocs(groupSize)
+    cand.join(broadcast(ranks), Seq("group_value"))
+      .groupBy(col("group_value"), col("grp_rank"))
+      .agg(topk(-col("score"), col("key"), col("meta")).as("tops"))
+      .select(col("group_value"), col("grp_rank"),
+        posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("group_value"), col("grp_rank"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("hit.key").as("vector_key"), (-col("hit.dist")).as("score"),
+        col("hit.meta").as("metadata"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   /** Milvus `search_iterator` on a SPARSE_FLOAT_VECTOR field: an
     * exact-order, unbounded drain in (score DESC, key) order — each
     * `next()` one bounded Spark job of `batchSize` rows continuing from

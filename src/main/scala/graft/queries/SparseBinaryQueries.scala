@@ -345,6 +345,22 @@ object SparseBinaryQueries {
       .orderBy(desc("dot"), col("doc_id"))
   }
 
+  /** B6×B7 (r13) — Milvus grouping search on a SPARSE_FLOAT_VECTOR
+    * field, on the ORACLE path: top-2 bands (doc_id parity, from the
+    * metadata map) ranked by their best dot, 3 best hits each, through
+    * the client collection's two-pass grouped plan (k winners collected
+    * driver-side, then broadcast UNDER the per-group bounded heap).
+    * DuckDB replays it with two window ranks. */
+  def sparseClientGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val client = sparseClientFor(spark, dir)
+    client.searchSparseGrouped("docsparse", sparseClientQuery(spark, dir),
+        k = 2, groupByKey = "band", groupSize = 3)
+      .select(col("group_value"), col("grp_rank"), col("rn"),
+        col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -359,7 +375,8 @@ object SparseBinaryQueries {
     "sparse_client_filtered" -> sparseClientFiltered _,
     "sparse_client_batched" -> sparseClientBatched _,
     "sparse_client_range" -> sparseClientRange _,
-    "sparse_client_iter" -> sparseClientIter _
+    "sparse_client_iter" -> sparseClientIter _,
+    "sparse_client_grouped" -> sparseClientGrouped _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -583,6 +600,24 @@ object SparseBinaryQueries {
                  FROM d)
          SELECT qid, doc_id, dot FROM r WHERE rn <= 10
          ORDER BY qid, dot DESC, doc_id""",
+    "sparse_client_grouped" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           d AS (SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+                 FROM tf t JOIN q USING (word) GROUP BY 1),
+           g AS (SELECT doc_id, dot, CAST(doc_id % 2 AS VARCHAR) AS group_value FROM d),
+           b AS (SELECT group_value, max(dot) AS best FROM g GROUP BY 1),
+           rk AS (SELECT group_value,
+                    ROW_NUMBER() OVER (ORDER BY best DESC, group_value) AS grp_rank
+                  FROM b),
+           h AS (SELECT g.group_value, rk.grp_rank, g.doc_id, g.dot,
+                   ROW_NUMBER() OVER (PARTITION BY g.group_value
+                     ORDER BY g.dot DESC, g.doc_id) AS rn
+                 FROM g JOIN rk USING (group_value))
+         SELECT group_value, grp_rank, rn, doc_id, dot FROM h
+         WHERE rn <= 3 AND grp_rank <= 2
+         ORDER BY grp_rank, rn""",
     "sparse_client_iter" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

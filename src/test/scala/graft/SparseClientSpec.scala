@@ -298,6 +298,36 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(none.count() == 0)
   }
 
+  test("searchSparseGrouped: top-k groups by best hit, groupSize hits " +
+       "per group, identical on both arms") {
+    val (client, _) = mkClient()
+    client.createCollection("sg", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 120).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "sg", live.toSeq)
+    def band(k: String) = if (k.drop(1).toInt % 2 == 0) "even" else "odd"
+    val model: Seq[(String, Long, Long, String, Double)] = live
+      .groupBy { case (k, _) => band(k) }.toSeq
+      .map { case (g, docs) => (g, expect(exactTop(docs, q, 3))) }
+      .sortBy { case (g, hs) => (-hs.head._2, g) }
+      .zipWithIndex.flatMap { case ((g, hs), gi) =>
+        hs.zipWithIndex.map { case ((kk, s), ri) =>
+          (g, (gi + 1).toLong, (ri + 1).toLong, kk, s) }
+      }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), math.rint(r.getDouble(4) * 1e9) / 1e9)).toSeq
+    assert(got(client.searchSparseGrouped("sg", q, k = 2,
+      groupByKey = "band", groupSize = 3)) == model)
+    client.buildIndex("sg", nlist = 8)
+    assert(got(client.searchSparseGrouped("sg", q, k = 2,
+      groupByKey = "band", groupSize = 3)) == model)
+    // k = 1 keeps only the best group
+    assert(got(client.searchSparseGrouped("sg", q, k = 1,
+      groupByKey = "band", groupSize = 3)) == model.take(3))
+  }
+
   test("searchSparseIterator: strict keyset pages equal the total " +
        "ordering; mid-drain commits refuse unless allowDrift pins") {
     val (client, _) = mkClient()
