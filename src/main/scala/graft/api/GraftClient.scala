@@ -2546,8 +2546,10 @@ class GraftClient(spark: SparkSession, root: String,
     // HNSW layouts have no centroid tables to load — their freshness
     // resolves through hnswServable, and every LoadedIndex consumer
     // (cell prunes, quantized stages) correctly sees "no IVF index".
-    // Binary collections resolve through loadBinIndex the same way.
-    if (m.indexType == "HNSW" || binaryVec(m)) None
+    // Binary collections resolve through loadBinIndex the same way, and
+    // sparse collections through sparseIndexServable (their ivfDir holds
+    // a postings layout + stamp, no centroids to read).
+    if (m.indexType == "HNSW" || binaryVec(m) || sparseVec(m)) None
     else readVersionFile(ivfDir(m)).map { v =>
       val it = idxCache.keySet().iterator()
       while (it.hasNext) {
@@ -7107,6 +7109,9 @@ class GraftClient(spark: SparkSession, root: String,
                         wVec: Double = 0.7, wSparse: Double = 0.3,
                         matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the dense arm ranks the collection's own float vectors — a sparse
+    // collection has none (its single-field search IS searchSparse)
+    requireFloatVec(metaOrThrow(name), "hybridDenseSparse (the dense arm)")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(armK >= 1, s"armK must be >= 1 (got $armK)")
     require(fusion == "rrf" || fusion == "weighted",

@@ -363,6 +363,30 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pinned drain must serve the pre-commit snapshot exactly")
   }
 
+  test("loadCollection pins a sparse store without tripping the IVF " +
+       "loader; searches stay correct loaded and after release") {
+    val (client, _) = mkClient()
+    client.createCollection("ld", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 90).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "ld", live.toSeq)
+    client.buildIndex("ld", nlist = 4)
+    // pre-fix this crashed: loadIndex read the sparse stamp then died on
+    // the missing centroid tables
+    assert(client.loadCollection("ld") == 90L)
+    assert(hits(client.searchSparse("ld", q, k = 6)) ==
+      expect(exactTop(live, q, 6)))
+    client.releaseCollection("ld")
+    assert(hits(client.searchSparse("ld", q, k = 6)) ==
+      expect(exactTop(live, q, 6)))
+    // and hybridDenseSparse names its refusal (the dense arm needs floats)
+    val e = intercept[IllegalArgumentException] {
+      client.hybridDenseSparse("ld", sparseQuery = q,
+        qvec = Array.fill(4)(0.1f)) }
+    assert(e.getMessage.contains("searchSparse"))
+  }
+
   test("getSparse round-trips the stored map; get refuses the family") {
     val (client, _) = mkClient()
     client.createCollection("gs", dim = 0, metric = "dot",
