@@ -363,6 +363,44 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pinned drain must serve the pre-commit snapshot exactly")
   }
 
+  test("named partitions: per-partition indexes, scoped and all-partition " +
+       "searches, cross-partition batch re-rank") {
+    val (client, _) = mkClient()
+    client.createCollection("mp", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    client.createPartition("mp", "hot")
+    val base = (0 until 60).map(i => key(i) -> svec(i)).toMap
+    val hot = (60 until 120).map(i => key(i) -> svec(i)).toMap
+    import spark.implicits._
+    def rows(m: Map[String, Map[Long, Double]]) = m.toSeq.map { case (k, v) =>
+      (k, v, Map("band" -> (if (k.drop(1).toInt % 2 == 0) "even" else "odd")))
+    }.toDF("key", "vec", "meta")
+    client.upsert("mp", rows(base))
+    client.upsert("mp", rows(hot), partition = "hot")
+    client.buildIndex("mp", nlist = 4) // builds BOTH partitions' layouts
+    // scoped search sees only that partition; unscoped merges both
+    assert(hits(client.searchSparse("mp", q, k = 5,
+      partitions = Seq("hot"))) == expect(exactTop(hot, q, 5)))
+    assert(hits(client.searchSparse("mp", q, k = 8)) ==
+      expect(exactTop(base ++ hot, q, 8)))
+    // batch across partitions: each arm is top-k per partition, the
+    // global re-rank must merge them per qid exactly
+    val qs = (0L until 2L).map(i => i -> svec(i.toInt).toSeq.sortBy(_._1))
+    val qdf = qs.map { case (qid, v) =>
+      (qid, v.map(_._1), v.map(_._2)) }.toDF("qid", "dims", "ws")
+    val gotB = client.searchSparseBatch("mp", qdf, k = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    val modelB = qs.flatMap { case (qid, v) =>
+      expect(exactTop(base ++ hot, v, 6)).map { case (kk, s) => (qid, kk, s) } }
+    assert(gotB == modelB)
+    // iterator across partitions honors per-partition pins
+    val drained = client.searchSparseIterator("mp", q, batchSize = 9)
+      .take(2).flatten.map(r => r.getString(0)).toSeq
+    assert(drained == expect(exactTop(base ++ hot, q, 18)).map(_._1))
+  }
+
   test("loadCollection pins a sparse store without tripping the IVF " +
        "loader; searches stay correct loaded and after release") {
     val (client, _) = mkClient()
