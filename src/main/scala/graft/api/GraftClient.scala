@@ -6545,18 +6545,21 @@ class GraftClient(spark: SparkSession, root: String,
                    outputFields: Seq[String] = Nil,
                    partitions: Seq[String] = Nil,
                    consistencyLevel: String = "",
-                   dropRatioSearch: Double = 0.0): DataFrame = {
+                   dropRatioSearch: Double = 0.0,
+                   matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val m = metaOrThrow(name)
     if (sparseVec(m))
       return searchSparseCollection(m, query, k, metric, filter, offset,
-        outputFields, partitions, consistencyLevel, dropRatioSearch)
+        outputFields, partitions, consistencyLevel, dropRatioSearch,
+        matchGates)
     // ---- attached-index arm (a dense collection's second sparse
     // field): the store keeps no sparse vectors, so the result is the
     // index's (key, score) — the full search envelope rides the
     // SPARSE_FLOAT_VECTOR collection family
     require(offset == 0 && outputFields.isEmpty && partitions.isEmpty &&
-        consistencyLevel.isEmpty && dropRatioSearch == 0.0,
+        consistencyLevel.isEmpty && dropRatioSearch == 0.0 &&
+        matchGates.isEmpty,
       s"'${m.name}' is a ${m.vectorType} collection with an ATTACHED " +
         "sparse index — offset/outputFields/partitions/consistencyLevel/" +
         "dropRatioSearch ride SPARSE_FLOAT_VECTOR collections, whose " +
@@ -6614,7 +6617,8 @@ class GraftClient(spark: SparkSession, root: String,
       query: Seq[(Long, Double)], k: Int, metric: String,
       filter: Option[Column], offset: Int, outputFields: Seq[String],
       partitions: Seq[String], consistencyLevel: String,
-      dropRatioSearch: Double): DataFrame = {
+      dropRatioSearch: Double,
+      matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     require(metric == m.metric,
       s"'${m.name}' is a ${m.metric} collection — the sparse metric was " +
         s"fixed at create (got '$metric')")
@@ -6639,11 +6643,37 @@ class GraftClient(spark: SparkSession, root: String,
         val pm = partMeta(m, p)
         pinForRead(pm, collection(pm), "Session")
       }
+    // TEXT_MATCH / PHRASE_MATCH gates resolve once against the attached
+    // text index (fresh required — the TEXT_MATCH precondition), then
+    // semi-join both arms exactly like the float search's matchGates
+    val gate = matchGateKeys(m, matchGates)
     val scored = resolveParts(m, partitions)
-      .map(p => sparseScored(partMeta(m, p), q, filter, offset + k))
+      .map(p => sparseScored(partMeta(m, p), q, filter, offset + k, gate))
       .reduce(_ unionByName _)
     projectOutputFields(pagedByScore(scored, offset, k), outputFields,
       rankCol = "score")
+  }
+
+  /** One-call Milvus `search` on a SPARSE_FLOAT_VECTOR collection with
+    * the filter-STRING grammar — [[searchMilvus]]'s sparse sibling:
+    * TEXT_MATCH/PHRASE_MATCH conjuncts split into match gates, the rest
+    * compiled to a row predicate. */
+  def searchSparseMilvus(name: String, query: Seq[(Long, Double)], k: Int,
+                         filter: String,
+                         offset: Int = 0,
+                         outputFields: Seq[String] = Nil,
+                         partitions: Seq[String] = Nil,
+                         consistencyLevel: String = "",
+                         dropRatioSearch: Double = 0.0): DataFrame = {
+    val m = metaOrThrow(name)
+    require(sparseVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchSparseMilvus " +
+        "serves SPARSE_FLOAT_VECTOR; use searchMilvus for float vectors")
+    val (pred, gates) = MilvusFilter.parseWithMatches(filter)
+    searchSparse(name, query, k, metric = m.metric, filter = pred,
+      offset = offset, outputFields = outputFields, partitions = partitions,
+      consistencyLevel = consistencyLevel, dropRatioSearch = dropRatioSearch,
+      matchGates = gates)
   }
 
   /** Whether this partition's collection-owned sparse inverted index is
@@ -6689,10 +6719,13 @@ class GraftClient(spark: SparkSession, root: String,
   }
 
   private def sparseExactScored(pm: CollectionMeta, coll: BucketedKeyedCollection,
-      q: Seq[(Long, Double)], filter: Option[Column]): DataFrame = {
+      q: Seq[(Long, Double)], filter: Option[Column],
+      gate: Option[DataFrame] = None): DataFrame = {
     val (overlaps, score) = sparseScoreExpr(pm, q)
     val base = scalarPrunedRead(pm, coll, filter)
-    filter.fold(base)(base.filter).filter(overlaps)
+    val gated = gate.foldLeft(filter.fold(base)(base.filter))(
+      (df, g) => df.join(g, Seq("key"), "left_semi"))
+    gated.filter(overlaps)
       .select(col("key").as("vector_key"), score.as("score"),
         col("meta").as("metadata"))
   }
@@ -6701,24 +6734,31 @@ class GraftClient(spark: SparkSession, root: String,
     * the (dim → weight) family: (vector_key, score, metadata), ≥ `depth`
     * rows when that many overlapping docs pass the filter. */
   private def sparseScored(pm: CollectionMeta, q: Seq[(Long, Double)],
-      filter: Option[Column], depth: Int): DataFrame = {
+      filter: Option[Column], depth: Int,
+      gate: Option[DataFrame] = None): DataFrame = {
     val coll = collection(pm)
     if (!sparseIndexServable(pm, coll))
-      return sparseExactScored(pm, coll, q, filter)
+      return sparseExactScored(pm, coll, q, filter, gate)
     // index arm: dim-bucket-pruned postings topK; a metadata filter
-    // gates the (key, score) hits through the filter-passing keys and
-    // DEEPENS like the attached arm (per-doc-absolute scores make the
-    // gate order-preserving), then the ≤pool survivors broadcast-join
-    // the store for metadata
+    // and/or TEXT_MATCH gate bind the (key, score) hits through their
+    // passing keys and DEEPEN like the attached arm (per-doc-absolute
+    // scores make the gate order-preserving), then the ≤pool survivors
+    // broadcast-join the store for metadata
     def hits(pool: Int): DataFrame = sparseHitsKeyed(
       SparseIndex.topK(spark, sparsePostingsPath(pm), q, pool, pm.metric))
-    val gated: DataFrame = filter match {
+    // THIS partition's filter-passing keys (scalar-index bucket-pruned),
+    // intersected with the match-gate key set when both are present
+    val passingOpt: Option[DataFrame] = {
+      val fk = filter.map(f =>
+        scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key"))
+      (fk.toSeq ++ gate.toSeq) match {
+        case Nil => None
+        case ks => Some(ks.reduce((a, b) => a.join(b, Seq("key"), "left_semi")))
+      }
+    }
+    val gated: DataFrame = passingOpt match {
       case None => hits(depth)
-      case Some(f) =>
-        // THIS partition's filter-passing keys (scalar-index
-        // bucket-pruned) — not the all-partition filterPassingKeys union
-        val passing =
-          scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key")
+      case Some(passing) =>
         var pool = math.min(depth.toLong * 4, GraftClient.MaxPageDepth).toInt
         var out: Option[DataFrame] = None
         while (out.isEmpty) {

@@ -220,6 +220,10 @@ object SparseBinaryQueries {
         ("99999999", Map(qd -> 1000.0), Map("band" -> "1")))
         .toDF("key", "vec", "meta"))
       c.deleteByKeys("docsparse", Seq("99999999"))
+      // attach the text index LAST (fresh at the final snapshot) — the
+      // TEXT_MATCH gates of sparse_client_milvus resolve through it
+      c.buildTextIndex("docsparse", t(spark, d, "documents").select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("key"), col("text")))
       r
     })
     new graft.api.GraftClient(spark, root)
@@ -361,6 +365,28 @@ object SparseBinaryQueries {
       .orderBy(col("grp_rank"), col("rn"))
   }
 
+  /** B1/B8×B7 (r13) — the one-call Milvus filter-STRING search on a
+    * SPARSE_FLOAT_VECTOR field, on the ORACLE path: `TEXT_MATCH(text,
+    * term) && band == "0"` through `searchSparseMilvus` — the
+    * TEXT_MATCH conjunct resolves as a gate against the collection's
+    * attached postings index (Σ df(term) I/O), the band predicate
+    * compiles to the scalar-prunable meta shape, and their
+    * intersection drives the index arm's deepening fetch. The gate
+    * term is data-derived (doc 0's alphabetically-first token) so both
+    * engines pick it identically. */
+  def sparseClientMilvus(spark: SparkSession, dir: String): DataFrame = {
+    val client = sparseClientFor(spark, dir)
+    val term = t(spark, dir, "documents").filter(col("doc_id") === 0L)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(min(col("w"))).head().getString(0)
+    val df = client.searchSparseMilvus("docsparse",
+      sparseClientQuery(spark, dir), k = 10,
+      filter = s"""TEXT_MATCH(text, "$term") && band == "0"""")
+    df.select(col("vector_key").cast("long").as("doc_id"),
+        col("score").cast("long").as("dot"))
+      .orderBy(desc("dot"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -376,7 +402,8 @@ object SparseBinaryQueries {
     "sparse_client_batched" -> sparseClientBatched _,
     "sparse_client_range" -> sparseClientRange _,
     "sparse_client_iter" -> sparseClientIter _,
-    "sparse_client_grouped" -> sparseClientGrouped _
+    "sparse_client_grouped" -> sparseClientGrouped _,
+    "sparse_client_milvus" -> sparseClientMilvus _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -600,6 +627,17 @@ object SparseBinaryQueries {
                  FROM d)
          SELECT qid, doc_id, dot FROM r WHERE rn <= 10
          ORDER BY qid, dot DESC, doc_id""",
+    "sparse_client_milvus" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           q AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           gate AS (SELECT DISTINCT doc_id FROM tok
+                    WHERE word = (SELECT min(word) FROM tok WHERE doc_id = 0))
+         SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
+         FROM tf t JOIN q USING (word)
+         WHERE t.doc_id % 2 = 0 AND t.doc_id IN (SELECT doc_id FROM gate)
+         GROUP BY 1
+         ORDER BY dot DESC, doc_id LIMIT 10""",
     "sparse_client_grouped" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

@@ -363,6 +363,30 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pinned drain must serve the pre-commit snapshot exactly")
   }
 
+  test("searchSparseMilvus: filter-string grammar with TEXT_MATCH gates " +
+       "binds both arms through the attached text index") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("sm", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val live = (0 until 120).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "sm", live.toSeq)
+    // deterministic text: token w<i%5> plus a common filler
+    client.buildTextIndex("sm", live.keys.toSeq.sorted.map { k =>
+      (k, s"w${k.drop(1).toInt % 5} common") }.toDF("key", "text"))
+    val want = live.filter { case (k, _) =>
+      k.drop(1).toInt % 5 == 1 && k.drop(1).toInt % 2 == 1 }
+    val f = """TEXT_MATCH(text, "w1") && band == "odd""""
+    // exact arm (no sparse index yet)
+    assert(hits(client.searchSparseMilvus("sm", q, k = 6, filter = f)) ==
+      expect(exactTop(want, q, 6)))
+    client.buildIndex("sm", nlist = 8)
+    // index arm: gate ∩ filter keys drive the deepening fetch
+    assert(hits(client.searchSparseMilvus("sm", q, k = 6, filter = f)) ==
+      expect(exactTop(want, q, 6)))
+  }
+
   test("named partitions: per-partition indexes, scoped and all-partition " +
        "searches, cross-partition batch re-rank") {
     val (client, _) = mkClient()
