@@ -5379,7 +5379,11 @@ class GraftClient(spark: SparkSession, root: String,
     * IS the exact arm then (search's staleness fallback). */
   def estimateRecall(name: String, k: Int = 10, nprobe: Int = 4,
                      sampleQueries: Int = 32, refine: Int = 4,
-                     partition: String = GraftClient.DefaultPartition): Double = {
+                     partition: String = GraftClient.DefaultPartition,
+                     ef: Int = 0): Double = {
+    // `ef` is HNSW's beam knob (searchBatch threads it to the walk) —
+    // nprobe/refine are the IVF family's; each family ignores the
+    // others' knobs, so one estimator serves every float index kind
     import spark.implicits._
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
     val m = partMeta(metaOrThrow(name), partition)
@@ -5398,7 +5402,7 @@ class GraftClient(spark: SparkSession, root: String,
     val exact = hits(searchBatch(name, queries, k, nprobe = nprobe,
       refine = refine, forceExact = true, partitions = Seq(partition)))
     val approx = hits(searchBatch(name, queries, k, nprobe = nprobe,
-      refine = refine, partitions = Seq(partition)))
+      refine = refine, partitions = Seq(partition), ef = ef))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
     }

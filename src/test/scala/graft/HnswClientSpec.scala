@@ -141,8 +141,13 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exact = exactKeys(client, "hb", q, 8)
       assert(single == exact, s"qid $i full-ef != exact")
     }
-    // estimateRecall composes the two searchBatch arms
+    // estimateRecall composes the two searchBatch arms; the ef knob
+    // reaches the walk — an exhaustive beam (ef >= the corpus) must
+    // measure EXACTLY 1.0, the HNSW exactness contract through the
+    // estimator itself
     assert(client.estimateRecall("hb", k = 10) >= 0.8)
+    assert(client.estimateRecall("hb", k = 10, sampleQueries = 8,
+      ef = 250) == 1.0)
   }
 
   test("cosine HNSW: normalized assign space, exact at full ef") {
