@@ -1424,6 +1424,15 @@ class GraftClient(spark: SparkSession, root: String,
           graft.index.SparseIndex.compact(spark, sparseIdxDir(pm))
           Seq((p, "sparse", "-"))
         } else Nil
+      // a sparse COLLECTION's own inverted index accumulates one delta
+      // segment per merge commit (auto-maintenance) — fold on demand,
+      // same as the attached layout above
+      val sparseOwn =
+        if (sparseVec(pm) &&
+            graft.index.SparseIndex.exists(sparsePostingsPath(pm))) {
+          graft.index.SparseIndex.compact(spark, sparsePostingsPath(pm))
+          Seq((p, "sparse_inverted", "-"))
+        } else Nil
       // HNSW growing tail: fold it back into the graphs on demand (the
       // same operation the tail-ratio clock auto-triggers at commit) —
       // Milvus's compact seals growing segments the same way. No-op
@@ -1437,7 +1446,7 @@ class GraftClient(spark: SparkSession, root: String,
           }
           Seq((p, "hnsw", "tail folded"))
         } else Nil
-      scalars ++ text ++ sparse ++ hnsw
+      scalars ++ text ++ sparse ++ sparseOwn ++ hnsw
     }
   }
 

@@ -363,6 +363,39 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pinned drain must serve the pre-commit snapshot exactly")
   }
 
+  test("compact() folds the auto-appended postings segments; searches " +
+       "and freshness survive; concurrent writers stay model-exact") {
+    val (client, root) = mkClient()
+    client.createCollection("cp", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    var live = (0 until 80).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "cp", live.toSeq)
+    client.buildIndex("cp", nlist = 4)
+    // two concurrent writers, disjoint key ranges — CAS retries merge
+    // them, and every commit's auto-append must roll the index forward
+    val ranges = Seq(100 until 115, 200 until 215)
+    val threads = ranges.map { r =>
+      new Thread(() => r.grouped(5).foreach { g =>
+        upsertRows(client, "cp", g.map(i => key(i) -> svec(i))) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    live = live ++ ranges.flatten.map(i => key(i) -> svec(i))
+    assert(client.listIndexes("cp")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").head().getBoolean(2),
+      "every racing commit's refresh must leave the index FRESH")
+    assert(hits(client.searchSparse("cp", q, k = 9)) ==
+      expect(exactTop(live, q, 9)))
+    val postings = s"$root/data/cp-ivf/sparse_postings"
+    assert(graft.index.SparseIndex.segmentCount(postings) > 1,
+      "auto-appends should have accumulated delta segments")
+    client.compact("cp")
+    assert(graft.index.SparseIndex.segmentCount(postings) == 1,
+      "compact() must fold the collection-owned postings segments")
+    assert(hits(client.searchSparse("cp", q, k = 9)) ==
+      expect(exactTop(live, q, 9)))
+  }
+
   test("searchSparseMilvus: filter-string grammar with TEXT_MATCH gates " +
        "binds both arms through the attached text index") {
     import spark.implicits._
