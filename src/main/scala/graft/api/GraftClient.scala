@@ -347,6 +347,21 @@ class GraftClient(spark: SparkSession, root: String,
         .contains(vectorType),
       s"vectorType must be FLOAT_VECTOR, BINARY_VECTOR or " +
         s"SPARSE_FLOAT_VECTOR (got '$vectorType')")
+    // Milvus AUTOINDEX — the managed default a migrating create call
+    // most likely carries — resolves per family to what Milvus itself
+    // resolves it to: the graph index for floats (HNSW), the one binary
+    // index, the one sparse index. Resolved by re-entering with the
+    // concrete type so the catalog stores it (every later surface
+    // dispatches on the stored type, and describe() shows the truth).
+    if (indexType == "AUTOINDEX")
+      return createCollection(name, dim, metric,
+        vectorType match {
+          case "BINARY_VECTOR" => "BIN_IVF_FLAT"
+          case "SPARSE_FLOAT_VECTOR" => "SPARSE_INVERTED_INDEX"
+          case _ => "HNSW"
+        },
+        nlist, buckets, retain, partitionKey, numPartitions, pqM, pqNbits,
+        consistencyLevel, hnswM, efConstruction, vectorType)
     if (vectorType == "SPARSE_FLOAT_VECTOR") {
       // Milvus SPARSE_FLOAT_VECTOR fields take NO dim (the dimension
       // space is the whole uint32/int64 range, occupied sparsely) — an

@@ -568,5 +568,15 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException] {
       client.searchSparse("v", Seq(1L -> 1.0, 1L -> 2.0), k = 1)
     }.getMessage.contains("duplicate"))
+    // Milvus AUTOINDEX resolves per family to the concrete type the
+    // catalog stores (describe shows the truth, not the alias)
+    client.createCollection("ai_s", dim = 0, metric = "dot",
+      indexType = "AUTOINDEX", vectorType = "SPARSE_FLOAT_VECTOR")
+    assert(client.describe("ai_s").indexType == "SPARSE_INVERTED_INDEX")
+    client.createCollection("ai_f", dim = 8, indexType = "AUTOINDEX")
+    assert(client.describe("ai_f").indexType == "HNSW")
+    client.createCollection("ai_b", dim = 64, metric = "hamming",
+      indexType = "AUTOINDEX", vectorType = "BINARY_VECTOR")
+    assert(client.describe("ai_b").indexType == "BIN_IVF_FLAT")
   }
 }
