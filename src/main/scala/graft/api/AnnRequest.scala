@@ -1,0 +1,35 @@
+package graft.api
+
+/** One Milvus `AnnSearchRequest` — an arm of
+  * [[GraftClient.hybridSearchRequests]], Milvus's N-ary `hybrid_search`
+  * (pymilvus takes a LIST of requests plus a ranker; the pairwise
+  * hybrid surfaces are the two-arm special cases). Each arm carries its
+  * own search knobs and, for the WeightedRanker, its weight.
+  *
+  * Reference anchor: the Milvus backend the reference app targets
+  * (`milvus-app/pythonvectordbceph_milvus.py`) exposes `hybrid_search`
+  * on collections with multiple vector fields; here the "fields" are
+  * the collection's float vectors, its attached sparse index, and its
+  * attached text index's BM25 function. */
+sealed trait AnnRequest { def weight: Double }
+
+object AnnRequest {
+  /** The dense arm — [[GraftClient.search]] over the collection's own
+    * float vectors with its knobs (nprobe/refine for IVF families, ef
+    * for HNSW). */
+  case class Dense(qvec: Array[Float], nprobe: Int = 4, refine: Int = 4,
+                   ef: Int = 0, weight: Double = 1.0) extends AnnRequest
+
+  /** A sparse-field arm — the SPLADE/lexical second vector served from
+    * the collection's ATTACHED sparse index ([[GraftClient.buildSparseIndex]];
+    * `sparseDir` overrides with a caller-managed layout, no freshness
+    * tie — [[GraftClient.hybridDenseSparse]]'s exact contract). */
+  case class SparseField(query: Seq[(Long, Double)], sparseDir: String = "",
+                         metric: String = "dot",
+                         weight: Double = 1.0) extends AnnRequest
+
+  /** A Milvus 2.5 BM25 text request — a RAW query string analyzed by
+    * the attached text index's own persisted analyzer and ranked from
+    * its postings alone ([[GraftClient.fullTextSearch]]). */
+  case class Bm25Text(query: String, weight: Double = 1.0) extends AnnRequest
+}

@@ -6429,6 +6429,100 @@ class GraftClient(spark: SparkSession, root: String,
     }
   }
 
+  /** Milvus's N-ary `hybrid_search` — ANY number of AnnSearchRequests
+    * fused by one ranker, the generalization the pairwise surfaces
+    * ([[hybridSearch]], [[hybridDenseSparse]], [[hybridSearchText]])
+    * special-case at two arms. Arms: [[AnnRequest.Dense]] (the
+    * collection's float vectors through [[search]] with its family's
+    * knobs), [[AnnRequest.SparseField]] (the attached — or
+    * caller-managed — sparse index), [[AnnRequest.Bm25Text]] (a raw
+    * string through [[fullTextSearch]]'s persisted analyzer). `filter`
+    * binds EVERY arm: dense pre-filters inside search, sparse semi-joins
+    * its hits against the filter-passing keys (per-doc-absolute scores
+    * make that order-preserving), BM25 gates candidates while corpus
+    * idf stays fixed (Lucene filtered-query semantics).
+    *
+    * Rankers, exactly the pairwise tails' algebra so two-arm calls are
+    * result-identical to the dedicated surfaces: "rrf" emits
+    * (key, rank_0..rank_{n-1}, rrf = Σ 1/(rrfK + rank_i), absent arm
+    * contributes 0); "weighted" (Milvus WeightedRanker) min-max
+    * normalizes each arm within its top-armK (degenerate arm → 1.0,
+    * absent arm → 0) and emits (key, norm_0..norm_{n-1}, wscore =
+    * Σ wᵢ·normᵢ) with per-request weights. Top `k` by fused score, key
+    * tie-break. Every arm is top-armK-pushed before its ≤armK-row rank
+    * or normalization window; the fuse is an n-way ≤armK-row
+    * full-outer. */
+  def hybridSearchRequests(name: String, requests: Seq[AnnRequest],
+      k: Int = 10, armK: Int = 15, ranker: String = "rrf", rrfK: Int = 60,
+      filter: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = metaOrThrow(name)
+    requireFloatVec(m,
+      "hybridSearchRequests (Dense arms rank the collection's float vectors)")
+    require(requests.nonEmpty,
+      "hybrid_search needs at least one AnnSearchRequest")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(armK >= 1, s"armK must be >= 1 (got $armK)")
+    require(ranker == "rrf" || ranker == "weighted",
+      s"ranker must be 'rrf' or 'weighted' (got '$ranker')")
+    if (ranker == "weighted") {
+      requests.foreach(r =>
+        require(r.weight >= 0.0 && r.weight <= 1.0 && !r.weight.isNaN,
+          s"WeightedRanker weights must be in [0, 1] (got ${r.weight})"))
+      require(requests.map(_.weight).sum > 0.0,
+        "WeightedRanker weights must not all be 0")
+    }
+    // each arm → (key, __s) + whether SMALLER __s is better
+    val arms: Seq[(DataFrame, Boolean)] = requests.map {
+      case AnnRequest.Dense(qv, np, rf, ef, _) =>
+        (search(name, qv, armK, filter, nprobe = np, refine = rf, ef = ef)
+          .select(col("vector_key").as("key"), col("distance").as("__s")),
+          true)
+      case AnnRequest.SparseField(q, dir, metric, _) =>
+        val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
+        val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
+        val gated = filter.fold(hits)(f =>
+          hits.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
+        (gated.select(col("key"), col("score").as("__s")), false)
+      case AnnRequest.Bm25Text(raw, _) =>
+        (fullTextSearch(name, raw, k = armK, filter = filter)
+          .select(col("vector_key").as("key"), col("distance").as("__s")),
+          false)
+    }
+    ranker match {
+      case "rrf" =>
+        val ranked = arms.zipWithIndex.map { case ((df, asc), i) =>
+          val ord = if (asc) Window.orderBy(col("__s"), col("key"))
+                    else Window.orderBy(desc("__s"), col("key"))
+          df.select(col("key"),
+            row_number().over(ord).cast("long").as(s"rank_$i"))
+        }
+        val joined = ranked.reduce(_.join(_, Seq("key"), "full_outer"))
+        val rrf = arms.indices.map(i =>
+          coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
+          .reduce(_ + _)
+        joined.select(col("key") +: arms.indices.map(i => col(s"rank_$i")) :+
+            round(rrf, 6).as("rrf"): _*)
+          .orderBy(desc("rrf"), col("key")).limit(k)
+      case _ =>
+        val wAll = Window.partitionBy()
+        val normed = arms.zipWithIndex.map { case ((df, asc), i) =>
+          val mn = min(col("__s")).over(wAll)
+          val mx = max(col("__s")).over(wAll)
+          val nrm = when(mx > mn,
+            if (asc) (mx - col("__s")) / (mx - mn)
+            else (col("__s") - mn) / (mx - mn)).otherwise(lit(1.0))
+          df.select(col("key"), nrm.as(s"norm_$i"))
+        }
+        val joined = normed.reduce(_.join(_, Seq("key"), "full_outer"))
+        val ws = requests.zipWithIndex.map { case (r, i) =>
+          lit(r.weight) * coalesce(col(s"norm_$i"), lit(0.0)) }.reduce(_ + _)
+        joined.select(col("key") +: arms.indices.map(i => col(s"norm_$i")) :+
+            round(ws, 6).as("wscore"): _*)
+          .orderBy(desc("wscore"), col("key")).limit(k)
+    }
+  }
+
   /** The keys passing `f` across EVERY live partition — the candidate
     * gate the hybrid surfaces apply to their non-dense arm (a key
     * failing the filter may appear in neither arm, and a key living in

@@ -387,6 +387,60 @@ object SparseBinaryQueries {
       .orderBy(desc("dot"), col("doc_id"))
   }
 
+  /** Per-JVM float collection carrying all three "vector fields" the
+    * N-ary hybrid fuses: the embeddings as the dense field, the
+    * documents' tf postings as the attached sparse field, and the text
+    * index as the BM25 function field. */
+  private val hybridClientRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hybridClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = hybridClientRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-hybcli").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("dochyb", dim = dim, buckets = 4)
+      c.upsert("dochyb", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      val keyed = t(spark, d, "documents")
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          col("text"))
+      c.buildTextIndex("dochyb", keyed)
+      c.buildSparseIndex("dochyb", keyed
+        .select(col("key"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("key"), col("word")).agg(count(lit(1)).as("tf"))
+        .select(col("key"), xxhash64(col("word")).as("dim"),
+          col("tf").cast("double").as("w")))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B6 (r13) — Milvus's N-ARY `hybrid_search` on the ORACLE path:
+    * THREE AnnSearchRequests (the dense embedding field, the BM25 text
+    * function field, the attached sparse tf field) fused by RRF through
+    * `hybridSearchRequests` — the generalization whose two-arm calls
+    * the pairwise surfaces special-case (parity spec-pinned). DuckDB
+    * replays all three rank windows and the coalesced reciprocal-rank
+    * sum. */
+  def hybridMultiRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.AnnRequest
+    val client = hybridClientFor(spark, dir)
+    val qv = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = client.hybridSearchRequests("dochyb",
+      Seq(AnnRequest.Dense(qv), AnnRequest.Bm25Text("join hash scan"),
+        AnnRequest.SparseField(sparseClientQuery(spark, dir))),
+      k = 10)
+    df.select(col("key").cast("long").as("doc_id"),
+        col("rank_0").as("vec_rank"), col("rank_1").as("lex_rank"),
+        col("rank_2").as("sp_rank"), col("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -403,7 +457,8 @@ object SparseBinaryQueries {
     "sparse_client_range" -> sparseClientRange _,
     "sparse_client_iter" -> sparseClientIter _,
     "sparse_client_grouped" -> sparseClientGrouped _,
-    "sparse_client_milvus" -> sparseClientMilvus _
+    "sparse_client_milvus" -> sparseClientMilvus _,
+    "hybrid_multi_rrf" -> hybridMultiRrf _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -627,6 +682,44 @@ object SparseBinaryQueries {
                  FROM d)
          SELECT qid, doc_id, dot FROM r WHERE rn <= 10
          ORDER BY qid, dot DESC, doc_id""",
+    "hybrid_multi_rrf" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           btf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                   WHERE word IN ('join','hash','scan') GROUP BY 1, 2),
+           bdf AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                   WHERE word IN ('join','hash','scan') GROUP BY 1),
+           bm25 AS (SELECT btf.doc_id,
+               sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ) AS bm25
+             FROM btf JOIN bdf USING (word) JOIN dl USING (doc_id), avgdl, n
+             GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm25),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           knn AS (SELECT e.vec_id AS doc_id,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+             FROM embeddings e, q ORDER BY dist, vec_id LIMIT 15),
+           vec AS (SELECT doc_id,
+               row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM knn),
+           stf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM tokens GROUP BY 1, 2),
+           sq AS (SELECT word, tf AS qtf FROM stf WHERE doc_id = 0),
+           sdot AS (SELECT t.doc_id, CAST(sum(t.tf * sq.qtf) AS BIGINT) AS dot
+                    FROM stf t JOIN sq USING (word) GROUP BY 1
+                    ORDER BY dot DESC, doc_id LIMIT 15),
+           sp AS (SELECT doc_id,
+               row_number() OVER (ORDER BY dot DESC, doc_id) AS sp_rank FROM sdot)
+         SELECT doc_id, vec_rank, lex_rank, sp_rank,
+            round(coalesce(1.0 / (60 + vec_rank), 0)
+              + coalesce(1.0 / (60 + lex_rank), 0)
+              + coalesce(1.0 / (60 + sp_rank), 0), 6) AS rrf
+         FROM vec
+           FULL OUTER JOIN lex USING (doc_id)
+           FULL OUTER JOIN sp USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "sparse_client_milvus" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

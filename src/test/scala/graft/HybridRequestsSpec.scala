@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.{AnnRequest, GraftClient}
+
+/** Milvus's N-ary `hybrid_search` ([[GraftClient.hybridSearchRequests]]):
+  * any number of AnnSearchRequests fused by one ranker. The two-arm
+  * calls must be result-identical to the dedicated pairwise surfaces
+  * (same rank/normalization algebra — a divergence would mean two
+  * fusion tails drifted), three arms must match a driver-side model,
+  * and the filter must bind every arm. */
+class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("hybrid-requests-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val docs = Seq(
+    ("d1", "hash join beats nested loops on big tables", "infra"),
+    ("d2", "the scan reads pages while the hash table builds", "infra"),
+    ("d3", "sort merge join shines when inputs arrive ordered", "algo"),
+    ("d4", "a scan without an index touches every page", "algo"),
+    ("d5", "hash hash hash collision storms hurt the join", "infra"),
+    ("d6", "columnar pages compress runs of sorted values", "algo"))
+
+  private def vec(i: Int) = Seq.tabulate(4)(j => (math.sin(i * 0.9 + j) / 2).toFloat)
+
+  private def mkClient(): GraftClient = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hr-spec").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("hr", dim = 4, buckets = 4)
+    client.upsert("hr", docs.zipWithIndex.map { case ((k, _, g), i) =>
+      (k, vec(i), Map("grp" -> g))
+    }.toDF("key", "vec", "meta"))
+    val docsDf = docs.map { case (k, t, _) => (k, t) }.toDF("key", "text")
+    client.buildTextIndex("hr", docsDf)
+    client.buildSparseIndex("hr", docsDf
+      .select(col("key"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("key"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("key"), xxhash64(col("w")).as("dim"),
+        col("tf").cast("double").as("w")))
+    client
+  }
+
+  private def sq(client: GraftClient, words: String*): Seq[(Long, Double)] = {
+    import spark.implicits._
+    words.toSeq.toDF("w").select(xxhash64(col("w"))).collect()
+      .map(r => (r.getLong(0), 1.0)).toSeq
+  }
+
+  private val qvec = Array(0.2f, -0.1f, 0.3f, 0f)
+
+  test("two-arm [Dense, Bm25Text] equals hybridSearchText, both rankers") {
+    val client = mkClient()
+    for ((ranker, fusion) <- Seq(("rrf", "rrf"), ("weighted", "weighted"))) {
+      val viaN = client.hybridSearchRequests("hr",
+          Seq(AnnRequest.Dense(qvec, weight = 0.7),
+            AnnRequest.Bm25Text("hash join", weight = 0.3)),
+          k = 6, ranker = ranker)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      val via2 = client.hybridSearchText("hr", "hash join", qvec,
+          k = 6, fusion = fusion, wVec = 0.7, wLex = 0.3)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+      assert(viaN == via2, s"$ranker: $viaN != $via2")
+    }
+  }
+
+  test("two-arm [Dense, SparseField] equals hybridDenseSparse (rrf)") {
+    val client = mkClient()
+    val q = sq(client, "hash", "join", "pages")
+    val viaN = client.hybridSearchRequests("hr",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.SparseField(q)), k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val via2 = client.hybridDenseSparse("hr", sparseQuery = q, qvec = qvec,
+        k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(viaN == via2)
+  }
+
+  test("three arms match the driver-side RRF model; filter binds all arms") {
+    val client = mkClient()
+    val q = sq(client, "scan", "pages")
+    def rrfModel(filter: Option[org.apache.spark.sql.Column]): Seq[(String, Double)] = {
+      def rank(rows: Seq[(String, Double)], asc: Boolean): Map[String, Int] =
+        rows.sortBy { case (k, s) => (if (asc) s else -s, k) }
+          .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+      val dense = rank(client.search("hr", qvec, 15, filter)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = true)
+      val bm25 = rank(client.fullTextSearch("hr", "hash join", k = 15,
+        filter = filter)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = false)
+      val spHits = client.searchSparse("hr", q, k = 15)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val spGated = filter match {
+        case None => spHits
+        case Some(_) => // the spec's filter is grp == "algo"
+          val pass = docs.filter(_._3 == "algo").map(_._1).toSet
+          spHits.filter { case (k, _) => pass(k) }
+      }
+      val sparse = rank(spGated, asc = false)
+      (dense.keySet ++ bm25.keySet ++ sparse.keySet).toSeq.map { k =>
+        val s = Seq(dense.get(k), bm25.get(k), sparse.get(k))
+          .flatten.map(r => 1.0 / (60 + r)).sum
+        (k, math.rint(s * 1e6) / 1e6)
+      }.sortBy { case (k, s) => (-s, k) }.take(6)
+    }
+    val reqs = Seq(AnnRequest.Dense(qvec),
+      AnnRequest.Bm25Text("hash join"), AnnRequest.SparseField(q))
+    def got(f: Option[org.apache.spark.sql.Column]) =
+      client.hybridSearchRequests("hr", reqs, k = 6, filter = f)
+        .collect().map(r => (r.getString(0), r.getDouble(4))).toSeq
+    assert(got(None) == rrfModel(None))
+    val f = Some(element_at(col("meta"), "grp") === "algo")
+    assert(got(f) == rrfModel(f))
+  }
+
+  test("validation: rankers, weights, arm preconditions") {
+    val client = mkClient()
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr", Nil, k = 1)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr", Seq(AnnRequest.Dense(qvec)),
+        ranker = "max")
+    }.getMessage.contains("rrf"))
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr",
+        Seq(AnnRequest.Dense(qvec, weight = 1.5)), ranker = "weighted")
+    }.getMessage.contains("[0, 1]"))
+    // a Bm25Text arm on a stale text index raises loudly mid-plan
+    import spark.implicits._
+    client.upsert("hr", Seq(("dx", Seq(0f, 0f, 0f, 1f),
+      Map.empty[String, String])).toDF("key", "vec", "meta"))
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.Bm25Text("hash")))
+    }.getMessage.contains("STALE"))
+  }
+}
