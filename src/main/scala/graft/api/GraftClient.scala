@@ -6454,7 +6454,9 @@ class GraftClient(spark: SparkSession, root: String,
     * full-outer. */
   def hybridSearchRequests(name: String, requests: Seq[AnnRequest],
       k: Int = 10, armK: Int = 15, ranker: String = "rrf", rrfK: Int = 60,
-      filter: Option[Column] = None): DataFrame = {
+      filter: Option[Column] = None,
+      offset: Int = 0,
+      outputFields: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = metaOrThrow(name)
     requireFloatVec(m,
@@ -6463,6 +6465,12 @@ class GraftClient(spark: SparkSession, root: String,
       "hybrid_search needs at least one AnnSearchRequest")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(armK >= 1, s"armK must be >= 1 (got $armK)")
+    require(offset >= 0, s"offset must be >= 0 (got $offset)")
+    // the fused candidate pool is ≤ n·armK rows — an offset past it can
+    // only return empty pages; Milvus caps offset+limit the same way
+    require(offset.toLong + k <= requests.size.toLong * armK,
+      s"offset + k (${offset.toLong + k}) exceeds the fused pool " +
+        s"(${requests.size} arms × armK $armK) — raise armK")
     require(ranker == "rrf" || ranker == "weighted",
       s"ranker must be 'rrf' or 'weighted' (got '$ranker')")
     if (ranker == "weighted") {
@@ -6489,7 +6497,7 @@ class GraftClient(spark: SparkSession, root: String,
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           false)
     }
-    ranker match {
+    val fused = ranker match {
       case "rrf" =>
         val ranked = arms.zipWithIndex.map { case ((df, asc), i) =>
           val ord = if (asc) Window.orderBy(col("__s"), col("key"))
@@ -6502,8 +6510,7 @@ class GraftClient(spark: SparkSession, root: String,
           coalesce(lit(1.0) / (lit(rrfK) + col(s"rank_$i")), lit(0.0)))
           .reduce(_ + _)
         joined.select(col("key") +: arms.indices.map(i => col(s"rank_$i")) :+
-            round(rrf, 6).as("rrf"): _*)
-          .orderBy(desc("rrf"), col("key")).limit(k)
+          round(rrf, 6).as("rrf"): _*)
       case _ =>
         val wAll = Window.partitionBy()
         val normed = arms.zipWithIndex.map { case ((df, asc), i) =>
@@ -6518,8 +6525,38 @@ class GraftClient(spark: SparkSession, root: String,
         val ws = requests.zipWithIndex.map { case (r, i) =>
           lit(r.weight) * coalesce(col(s"norm_$i"), lit(0.0)) }.reduce(_ + _)
         joined.select(col("key") +: arms.indices.map(i => col(s"norm_$i")) :+
-            round(ws, 6).as("wscore"): _*)
-          .orderBy(desc("wscore"), col("key")).limit(k)
+          round(ws, 6).as("wscore"): _*)
+    }
+    val fusedCol = if (ranker == "rrf") "rrf" else "wscore"
+    val ordered = fused.orderBy(desc(fusedCol), col("key"))
+    // Milvus offset paging on the fused ranking (the pool is ≤ n·armK
+    // rows, so the window below is small by construction)
+    val page =
+      if (offset <= 0) ordered.limit(k)
+      else ordered.limit(offset + k)
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(desc(fusedCol), col("key"))))
+        .filter(col("__rn") > offset).drop("__rn")
+        .orderBy(desc(fusedCol), col("key"))
+    // Milvus output_fields: the fused frame carries no metadata — the
+    // ≤k winners broadcast-join the live stores for the requested fields
+    if (outputFields.isEmpty) page
+    else {
+      val stores = listedPartitions(m)
+        .map(p => collection(partMeta(m, p)).read(spark))
+        .reduce(_ unionByName _)
+      val withMeta = stores.select(col("key"), col("meta").as("metadata"))
+        .join(broadcast(page), Seq("key"))
+        .orderBy(desc(fusedCol), col("key"))
+      val keep = page.columns.map(col).toSeq
+      withMeta.select(keep ++
+        outputFields.filterNot(Set("key", fusedCol)).distinct.map {
+          case "metadata" => col("metadata")
+          case "vec" => throw new IllegalArgumentException(
+            "output field 'vec' is not carried by hybrid results — fetch " +
+              "the hit keys for vectors")
+          case f => element_at(col("metadata"), lit(f)).as(f)
+        }: _*)
     }
   }
 

@@ -124,6 +124,23 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(f) == rrfModel(f))
   }
 
+  test("offset pages the fused ranking; output_fields joins metadata") {
+    val client = mkClient()
+    val reqs = Seq(AnnRequest.Dense(qvec), AnnRequest.Bm25Text("hash join"))
+    val all = client.hybridSearchRequests("hr", reqs, k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val p2 = client.hybridSearchRequests("hr", reqs, k = 3, offset = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(p2 == all.drop(3).take(3))
+    val of = client.hybridSearchRequests("hr", reqs, k = 3,
+      outputFields = Seq("grp"))
+    assert(of.columns.toSeq == Seq("key", "rank_0", "rank_1", "rrf", "grp"))
+    assert(of.collect().forall(r => Set("infra", "algo")(r.getString(4))))
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr", reqs, k = 10, offset = 25)
+    }.getMessage.contains("fused pool"))
+  }
+
   test("validation: rankers, weights, arm preconditions") {
     val client = mkClient()
     assert(intercept[IllegalArgumentException] {
