@@ -6781,9 +6781,7 @@ class GraftClient(spark: SparkSession, root: String,
     require(metric == m.metric,
       s"'${m.name}' is a ${m.metric} collection — the sparse metric was " +
         s"fixed at create (got '$metric')")
-    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
-    require(query.map(_._1).distinct.size == query.size,
-      "sparse query carries duplicate dims — merge their weights first")
+    requireSparseQuery(query)
     require(dropRatioSearch >= 0.0 && dropRatioSearch < 1.0,
       s"dropRatioSearch must be in [0, 1) (got $dropRatioSearch)")
     require(offset >= 0, s"offset must be >= 0 (got $offset)")
@@ -6851,6 +6849,23 @@ class GraftClient(spark: SparkSession, root: String,
     * element_at(vec, dim) · w — |q| map probes per row, all whole-stage
     * codegen, no explode and no shuffle before whatever bound the
     * caller applies. */
+  /** The one sparse QUERY boundary every single-query surface shares
+    * (the batch form enforces the same rules row-wise): non-empty,
+    * unique dims, finite NONZERO weights. Zero weights are refused
+    * rather than dropped because the two arms would otherwise diverge:
+    * the postings index never sees a zero-weight dim, while the exact
+    * arm's overlap test would count it for membership — a doc sharing
+    * ONLY that dim would appear in one arm and not the other. */
+  private def requireSparseQuery(query: Seq[(Long, Double)]): Unit = {
+    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
+    require(query.map(_._1).distinct.size == query.size,
+      "sparse query carries duplicate dims — merge their weights first")
+    require(query.forall { case (_, w) =>
+        !w.isNaN && !w.isInfinity && w != 0.0 },
+      "sparse query weights must be finite and nonzero (drop zero " +
+        "entries before searching — the write boundary enforces the same)")
+  }
+
   /** The exact arm's (membership, score) column pair: membership =
     * shares ≥ 1 query dim; score = a LITERAL left-to-right fold of the
     * query's ≤|q| element_at probes. The fold shape matters beyond
@@ -6978,9 +6993,7 @@ class GraftClient(spark: SparkSession, root: String,
     require(sparseVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — searchSparseRange " +
         "serves SPARSE_FLOAT_VECTOR; use searchRange/searchBinaryRange")
-    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
-    require(query.map(_._1).distinct.size == query.size,
-      "sparse query carries duplicate dims — merge their weights first")
+    requireSparseQuery(query)
     require(rangeFilter > radius,
       s"rangeFilter ($rangeFilter) must be > radius ($radius) — Milvus's " +
         "similarity-metric band is radius < score <= range_filter")
@@ -7037,9 +7050,7 @@ class GraftClient(spark: SparkSession, root: String,
     require(sparseVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — searchSparseGrouped " +
         "serves SPARSE_FLOAT_VECTOR; use searchGrouped for float vectors")
-    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
-    require(query.map(_._1).distinct.size == query.size,
-      "sparse query carries duplicate dims — merge their weights first")
+    requireSparseQuery(query)
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
     val cand = resolveParts(m, partitions).map { p =>
@@ -7119,9 +7130,7 @@ class GraftClient(spark: SparkSession, root: String,
     require(sparseVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — searchSparseIterator " +
         "serves SPARSE_FLOAT_VECTOR; use searchIterator/searchBinaryIterator")
-    require(query.nonEmpty, "sparse query needs at least one (dim, weight)")
-    require(query.map(_._1).distinct.size == query.size,
-      "sparse query carries duplicate dims — merge their weights first")
+    requireSparseQuery(query)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val pins = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)

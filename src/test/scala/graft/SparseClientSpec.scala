@@ -568,6 +568,13 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(intercept[IllegalArgumentException] {
       client.searchSparse("v", Seq(1L -> 1.0, 1L -> 2.0), k = 1)
     }.getMessage.contains("duplicate"))
+    // zero / non-finite query weights refuse: the index never sees a
+    // zero-weight dim while the exact arm's overlap test would count
+    // it — accepting one would let the two arms diverge on membership
+    for (w <- Seq(0.0, Double.NaN, Double.PositiveInfinity))
+      assert(intercept[IllegalArgumentException] {
+        client.searchSparse("v", Seq(1L -> w, 5L -> 1.0), k = 1)
+      }.getMessage.contains("finite and nonzero"))
     // Milvus AUTOINDEX resolves per family to the concrete type the
     // catalog stores (describe shows the truth, not the alias)
     client.createCollection("ai_s", dim = 0, metric = "dot",
