@@ -6833,13 +6833,23 @@ class GraftClient(spark: SparkSession, root: String,
       matchGates = gates)
   }
 
-  /** Whether this partition's collection-owned sparse inverted index is
-    * servable: layout exists AND the stamp matches the store's current
-    * snapshot — the one staleness rule, shared by every sparse surface. */
+  /** The snapshot version this partition's collection-owned sparse
+    * inverted index serves, IF servable: layout exists AND the stamp
+    * matches the store's current snapshot — the one staleness rule,
+    * shared by every sparse surface. Callers pin their store-side
+    * metadata joins at THIS version (readVersion), not at CURRENT: a
+    * commit landing between this check and the join would otherwise
+    * tear index-arm scores (computed from the stamped snapshot's
+    * postings) against newer rows' metadata — neither snapshot. */
+  private def sparseServableVersion(pm: CollectionMeta,
+      coll: BucketedKeyedCollection): Option[Long] =
+    readVersionFile(ivfDir(pm)).filter(v =>
+      coll.currentVersion.contains(v) &&
+        SparseIndex.exists(sparsePostingsPath(pm)))
+
   private def sparseIndexServable(pm: CollectionMeta,
       coll: BucketedKeyedCollection): Boolean =
-    SparseIndex.exists(sparsePostingsPath(pm)) &&
-      readVersionFile(ivfDir(pm)).exists(v => coll.currentVersion.contains(v))
+    sparseServableVersion(pm, coll).isDefined
 
   /** The sparse family's EXACT arm, shared by search/range/batch
     * fallbacks: every overlapping doc of this partition scored straight
@@ -6911,7 +6921,8 @@ class GraftClient(spark: SparkSession, root: String,
       filter: Option[Column], depth: Int,
       gate: Option[DataFrame] = None): DataFrame = {
     val coll = collection(pm)
-    if (!sparseIndexServable(pm, coll))
+    val servedAt = sparseServableVersion(pm, coll)
+    if (servedAt.isEmpty)
       return sparseExactScored(pm, coll, q, filter, gate)
     // index arm: dim-bucket-pruned postings topK; a metadata filter
     // and/or TEXT_MATCH gate bind the (key, score) hits through their
@@ -6949,7 +6960,8 @@ class GraftClient(spark: SparkSession, root: String,
         }
         out.get
     }
-    coll.read(spark).join(broadcast(gated), Seq("key"))
+    // metadata pinned at the SERVED snapshot — see sparseServableVersion
+    coll.readVersion(spark, servedAt.get).join(broadcast(gated), Seq("key"))
       .select(col("key").as("vector_key"), col("score"),
         col("meta").as("metadata"))
   }
@@ -7001,10 +7013,9 @@ class GraftClient(spark: SparkSession, root: String,
     val band = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      val scored =
-        if (!sparseIndexServable(pm, coll))
-          sparseExactScored(pm, coll, query, filter)
-        else {
+      val scored = sparseServableVersion(pm, coll) match {
+        case None => sparseExactScored(pm, coll, query, filter)
+        case Some(v) =>
           val hits = sparseHitsKeyed(SparseIndex.scores(
             spark, sparsePostingsPath(pm), query, pm.metric))
           val gated = filter match {
@@ -7013,14 +7024,16 @@ class GraftClient(spark: SparkSession, root: String,
               scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key"),
               Seq("key"), "left_semi")
           }
-          // band BEFORE the metadata join, so the join is band-sized;
-          // no broadcast hint — a wide band can be large, AQE decides
-          coll.read(spark)
+          // band BEFORE the metadata join, so the join is band-sized; no
+          // broadcast hint — a wide band can be large, AQE decides. The
+          // store side is pinned at the SERVED snapshot (see
+          // sparseServableVersion's race note).
+          coll.readVersion(spark, v)
             .join(gated.filter(col("score") > radius &&
               col("score") <= rangeFilter), Seq("key"))
             .select(col("key").as("vector_key"), col("score"),
               col("meta").as("metadata"))
-        }
+      }
       scored.filter(col("score") > radius && col("score") <= rangeFilter)
     }.reduce(_ unionByName _)
     val ordered = band.orderBy(desc("score"), col("vector_key"))
@@ -7056,19 +7069,21 @@ class GraftClient(spark: SparkSession, root: String,
     val cand = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      val scored =
-        if (!sparseIndexServable(pm, coll))
+      val scored = sparseServableVersion(pm, coll) match {
+        case None =>
           sparseExactScored(pm, coll, query, filter)
             .select(col("vector_key").as("key"), col("score"),
               col("metadata").as("meta"))
-        else {
+        case Some(v) =>
           val hits = sparseHitsKeyed(SparseIndex.scores(
             spark, sparsePostingsPath(pm), query, pm.metric))
-          val rows = scalarPrunedRead(pm, coll, filter)
+          // rows pinned at the SERVED snapshot (sparseServableVersion's
+          // race note); the filter applies on the pinned frame
+          val rows = coll.readVersion(spark, v)
           filter.fold(rows)(rows.filter)
             .join(hits, Seq("key"))
             .select(col("key"), col("score"), col("meta"))
-        }
+      }
       scored
     }.reduce(_ unionByName _)
       .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
@@ -7233,10 +7248,17 @@ class GraftClient(spark: SparkSession, root: String,
           .otherwise(element_at(col("__ws"), col("__i") + 1)).as("w"))
       .localCheckpoint()
     val parts = resolveParts(m, partitions)
+    // arm choice resolved ONCE per partition and reused for the
+    // metadata-join pin below — re-checking there could disagree with
+    // the arm a racing commit already flipped
+    val servedAt: Map[String, Option[Long]] = parts.map { p =>
+      val pm = partMeta(m, p)
+      p -> sparseServableVersion(pm, collection(pm)).filter(_ => filter.isEmpty)
+    }.toMap
     val perPart = parts.map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      if (sparseIndexServable(pm, coll) && filter.isEmpty)
+      if (servedAt(p).isDefined)
         SparseIndex.topKBatch(spark, sparsePostingsPath(pm), qp, k, pm.metric)
           .select(col("qid"), col("key"), col("score"))
       else {
@@ -7273,9 +7295,18 @@ class GraftClient(spark: SparkSession, root: String,
       else graft.operators.SparseSearch.rankPerQuery(
         perPart.reduce(_ unionByName _), k, "key")
         .select(col("qid"), col("key"), col("score"))
-    // metadata: ≤ k·|queries| hit rows broadcast against the live stores
-    val stores = parts.map(p => collection(partMeta(m, p)).read(spark))
-      .reduce(_ unionByName _)
+    // metadata: ≤ k·|queries| hit rows broadcast against the stores —
+    // each partition's side pinned at the snapshot its arm served
+    // (index arm: the stamped version; exact arm: the current read it
+    // scanned) so a racing commit cannot tear scores against newer rows
+    val stores = parts.map { p =>
+      val pm = partMeta(m, p)
+      val coll = collection(pm)
+      servedAt(p) match {
+        case Some(v) => coll.readVersion(spark, v)
+        case None => coll.read(spark)
+      }
+    }.reduce(_ unionByName _)
     stores.join(broadcast(ranked), Seq("key"))
       .select(col("qid"), col("key").as("vector_key"), col("score"),
         col("meta").as("metadata"))
