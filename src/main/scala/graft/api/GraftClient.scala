@@ -6931,11 +6931,14 @@ class GraftClient(spark: SparkSession, root: String,
     // broadcast-join the store for metadata
     def hits(pool: Int): DataFrame = sparseHitsKeyed(
       SparseIndex.topK(spark, sparsePostingsPath(pm), q, pool, pm.metric))
-    // THIS partition's filter-passing keys (scalar-index bucket-pruned),
-    // intersected with the match-gate key set when both are present
+    // THIS partition's filter-passing keys (scalar-index bucket-pruned,
+    // PINNED at the served snapshot — the race note on
+    // sparseServableVersion applies to the gate too), intersected with
+    // the match-gate key set when both are present
     val passingOpt: Option[DataFrame] = {
       val fk = filter.map(f =>
-        scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key"))
+        scalarPrunedRead(pm, coll, Some(f), pin = servedAt)
+          .filter(f).select("key"))
       (fk.toSeq ++ gate.toSeq) match {
         case Nil => None
         case ks => Some(ks.reduce((a, b) => a.join(b, Seq("key"), "left_semi")))
@@ -7021,7 +7024,8 @@ class GraftClient(spark: SparkSession, root: String,
           val gated = filter match {
             case None => hits
             case Some(f) => hits.join(
-              scalarPrunedRead(pm, coll, Some(f)).filter(f).select("key"),
+              scalarPrunedRead(pm, coll, Some(f), pin = Some(v))
+                .filter(f).select("key"),
               Seq("key"), "left_semi")
           }
           // band BEFORE the metadata join, so the join is band-sized; no
@@ -7078,8 +7082,9 @@ class GraftClient(spark: SparkSession, root: String,
           val hits = sparseHitsKeyed(SparseIndex.scores(
             spark, sparsePostingsPath(pm), query, pm.metric))
           // rows pinned at the SERVED snapshot (sparseServableVersion's
-          // race note); the filter applies on the pinned frame
-          val rows = coll.readVersion(spark, v)
+          // race note) with the scalar prune still engaged when its
+          // stamps match that version
+          val rows = scalarPrunedRead(pm, coll, filter, pin = Some(v))
           filter.fold(rows)(rows.filter)
             .join(hits, Seq("key"))
             .select(col("key"), col("score"), col("meta"))
