@@ -6729,7 +6729,12 @@ class GraftClient(spark: SparkSession, root: String,
     filter match {
       case None => fetch(k)
       case Some(f) =>
-        val passing = filterPassingKeys(m, f)
+        // filter keys pinned at the index's stamped version (the single
+        // store attachedSparseDirOrThrow guarantees) — a commit racing
+        // this search cannot gate stamped hits through newer rows
+        val passing = scalarPrunedRead(m, collection(m), Some(f),
+            pin = readVersionFile(dir))
+          .filter(f).select("key")
         var pool = math.min(k.toLong * 4, GraftClient.MaxPageDepth).toInt
         while (true) {
           val hits = fetch(pool).persist()
