@@ -3240,6 +3240,59 @@ class GraftClient(spark: SparkSession, root: String,
 
   /** One partition's scored binary candidates — [[scoredCandidates]]'s
     * role for the packed-words family. */
+  /** Milvus grouping search on a BINARY_VECTOR field —
+    * `group_by_field`/`group_size` with [[searchGrouped]]'s exact
+    * semantics and shape: top-`k` DISTINCT groups by their best
+    * (smallest) Hamming/Jaccard distance, then up to `groupSize` best
+    * hits per winning group. Candidates ride the same nprobe cell
+    * prune as [[searchBinary]] (full probe = exact, the float family's
+    * contract); pass 1 collects k (best, group) pairs driver-side,
+    * pass 2 broadcasts the winners UNDER the per-group bounded heap so
+    * losing groups drop map-side. Emits
+    * (group_value, grp_rank, rn, vector_key, distance, metadata). */
+  def searchBinaryGrouped(name: String, q: Array[Long], k: Int,
+                          groupByKey: String, groupSize: Int = 1,
+                          filter: Option[Column] = None, nprobe: Int = 4,
+                          partitions: Seq[String] = Nil): DataFrame = {
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinaryGrouped " +
+        "serves BINARY_VECTOR; use searchGrouped/searchSparseGrouped")
+    require(q.length == binWords(m.dim),
+      s"query needs ${binWords(m.dim)} packed 64-bit words for " +
+        s"dim ${m.dim} bits (got ${q.length})")
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val cand = resolveParts(m, partitions)
+      .map(p => binScored(partMeta(m, p), q, filter, nprobe))
+      .reduce(_ unionByName _)
+      .withColumn("__grp", element_at(col("metadata"), lit(groupByKey)))
+      .filter(col("__grp").isNotNull)
+      .select(col("__grp").as("group_value"), col("distance"),
+        col("vector_key").as("key"), col("metadata").as("meta"))
+    val bests = cand.groupBy(col("group_value"))
+      .agg(min(col("distance")).as("__best"))
+      .orderBy(col("__best"), col("group_value"))
+      .limit(k)
+      .collect()
+    import spark.implicits._
+    val ranks = bests.zipWithIndex.toSeq
+      .map { case (r, i) => (r.getString(0), (i + 1).toLong) }
+      .toDF("group_value", "grp_rank")
+    val topk = graft.functions.VectorAggregates.topKDocs(groupSize)
+    cand.join(broadcast(ranks), Seq("group_value"))
+      .groupBy(col("group_value"), col("grp_rank"))
+      .agg(topk(col("distance"), col("key"), col("meta")).as("tops"))
+      .select(col("group_value"), col("grp_rank"),
+        posexplode(col("tops")).as(Seq("pos", "hit")))
+      .select(col("group_value"), col("grp_rank"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("hit.key").as("vector_key"), col("hit.dist").as("distance"),
+        col("hit.meta").as("metadata"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   private def binScored(pm: CollectionMeta, q: Array[Long],
       filter: Option[Column], nprobe: Int): DataFrame = {
     val coll = collection(pm)

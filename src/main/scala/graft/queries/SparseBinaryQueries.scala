@@ -441,6 +441,23 @@ object SparseBinaryQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  /** B6×B7 (r13) — Milvus grouping search on a BINARY_VECTOR field, on
+    * the ORACLE path: top-3 labels by best Hamming distance, 2 best
+    * hits each, through the client collection at FULL probe (exact by
+    * the layout contract, so DuckDB's two window ranks replay it
+    * hash-identically). */
+  def knnHammingGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val client = binClientFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
+    client.searchBinaryGrouped("embbin", q, k = 3, groupByKey = "label",
+        groupSize = 2, nprobe = 8)
+      .select(col("group_value"), col("grp_rank"), col("rn"),
+        col("vector_key").cast("long").as("vec_id"),
+        col("distance").cast("long").as("dist"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_hamming" -> knnHamming _,
     "binary_jaccard" -> binaryJaccard _,
@@ -451,6 +468,7 @@ object SparseBinaryQueries {
     "knn_hamming_batched" -> knnHammingBatched _,
     "knn_hamming_range" -> knnHammingRange _,
     "knn_hamming_iter" -> knnHammingIter _,
+    "knn_hamming_grouped" -> knnHammingGrouped _,
     "sparse_client_topk" -> sparseClientTopK _,
     "sparse_client_filtered" -> sparseClientFiltered _,
     "sparse_client_batched" -> sparseClientBatched _,
@@ -621,6 +639,24 @@ object SparseBinaryQueries {
            r AS (SELECT dist AS r20 FROM h ORDER BY dist, vec_id LIMIT 1 OFFSET 19)
          SELECT h.vec_id, h.dist FROM h, r WHERE h.dist < r.r20
          ORDER BY h.dist, h.vec_id""",
+    "knn_hamming_grouped" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id, CAST(e.label AS VARCHAR) AS group_value,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id, e.label),
+           b AS (SELECT group_value, min(dist) AS best FROM h GROUP BY 1),
+           rk AS (SELECT group_value,
+                    ROW_NUMBER() OVER (ORDER BY best, group_value) AS grp_rank
+                  FROM b),
+           r AS (SELECT h.group_value, rk.grp_rank, h.vec_id, h.dist,
+                   ROW_NUMBER() OVER (PARTITION BY h.group_value
+                     ORDER BY h.dist, h.vec_id) AS rn
+                 FROM h JOIN rk USING (group_value))
+         SELECT group_value, grp_rank, rn, vec_id, dist FROM r
+         WHERE grp_rank <= 3 AND rn <= 2
+         ORDER BY grp_rank, rn""",
     "knn_hamming_batched" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
            h AS (

@@ -445,4 +445,36 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.estimateRecallBinary("er", k = 5, nprobe = 4,
       sampleQueries = 8) == 1.0)
   }
+
+  test("searchBinaryGrouped: top-k groups by best distance, groupSize " +
+       "hits per group, full probe == driver model") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bg", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    val live = (0 until 200).map(i => key(i) -> code(i)).toMap
+    def band(k: String) = if (k.drop(1).toInt % 3 == 0) "a"
+                          else if (k.drop(1).toInt % 3 == 1) "b" else "c"
+    client.upsert("bg", live.toSeq.map { case (k, c) =>
+      (k, c.toSeq, Map("band" -> band(k))) }.toDF("key", "vec", "meta"))
+    client.buildIndex("bg", nlist = 4)
+    val q = code(1)
+    val model: Seq[(String, Long, Long, String)] = live
+      .groupBy { case (k, _) => band(k) }.toSeq
+      .map { case (g, docs) =>
+        (g, docs.toSeq.map { case (kk, c) => (hamming(c, q), kk) }
+          .sortBy(identity).take(2)) }
+      .sortBy { case (g, hs) => (hs.head._1, g) }
+      .take(2)
+      .zipWithIndex.flatMap { case ((g, hs), gi) =>
+        hs.zipWithIndex.map { case ((_, kk), ri) =>
+          (g, (gi + 1).toLong, (ri + 1).toLong, kk) }
+      }
+    val got = client.searchBinaryGrouped("bg", q, k = 2,
+        groupByKey = "band", groupSize = 2, nprobe = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == model)
+  }
 }
