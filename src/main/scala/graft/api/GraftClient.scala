@@ -3209,7 +3209,8 @@ class GraftClient(spark: SparkSession, root: String,
                    offset: Int = 0,
                    partitions: Seq[String] = Nil,
                    outputFields: Seq[String] = Nil,
-                   consistencyLevel: String = ""): DataFrame = {
+                   consistencyLevel: String = "",
+                   matchGates: Seq[(Seq[String], String)] = Nil): DataFrame = {
     val m = metaOrThrow(name)
     require(binaryVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — searchBinary " +
@@ -3232,10 +3233,39 @@ class GraftClient(spark: SparkSession, root: String,
     require(offset.toLong + k <= GraftClient.MaxPageDepth,
       s"offset + k must be <= ${GraftClient.MaxPageDepth} " +
         s"(got ${offset.toLong + k}) — Milvus caps offset+limit the same way")
+    // TEXT_MATCH / PHRASE_MATCH gates resolve once against the attached
+    // text index (fresh required) and semi-join the candidates — the
+    // float search's matchGates semantics on the packed-words family
+    val gate = matchGateKeys(m, matchGates)
     val scored = resolveParts(m, partitions)
-      .map(p => binScored(partMeta(m, p), q, filter, nprobe))
+      .map { p =>
+        val armed = binScored(partMeta(m, p), q, filter, nprobe)
+        gate.fold(armed)(g =>
+          armed.join(g.withColumnRenamed("key", "vector_key"),
+            Seq("vector_key"), "left_semi"))
+      }
       .reduce(_ unionByName _)
     projectOutputFields(paged(scored, offset, k), outputFields)
+  }
+
+  /** One-call Milvus `search` on a BINARY_VECTOR collection with the
+    * filter-STRING grammar — [[searchMilvus]]'s binary sibling:
+    * TEXT_MATCH/PHRASE_MATCH conjuncts split into match gates, the rest
+    * compiled to a row predicate. */
+  def searchBinaryMilvus(name: String, q: Array[Long], k: Int,
+                         filter: String, nprobe: Int = 4,
+                         offset: Int = 0,
+                         partitions: Seq[String] = Nil,
+                         outputFields: Seq[String] = Nil,
+                         consistencyLevel: String = ""): DataFrame = {
+    val m = metaOrThrow(name)
+    require(binaryVec(m),
+      s"'${m.name}' is a ${m.vectorType} collection — searchBinaryMilvus " +
+        "serves BINARY_VECTOR; use searchMilvus/searchSparseMilvus")
+    val (pred, gates) = MilvusFilter.parseWithMatches(filter)
+    searchBinary(name, q, k, filter = pred, nprobe = nprobe,
+      offset = offset, partitions = partitions, outputFields = outputFields,
+      consistencyLevel = consistencyLevel, matchGates = gates)
   }
 
   /** One partition's scored binary candidates — [[scoredCandidates]]'s

@@ -477,4 +477,28 @@ class BinaryClientSpec extends AnyFunSuite with BeforeAndAfterAll {
         r.getString(3))).toSeq
     assert(got == model)
   }
+
+  test("searchBinaryMilvus: filter-string grammar with TEXT_MATCH gates " +
+       "binds the packed-words family") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("bm", dim = dim, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", nlist = 4, buckets = 4,
+      vectorType = "BINARY_VECTOR")
+    val live = (0 until 150).map(i => key(i) -> code(i)).toMap
+    def band(k: String) = if (k.drop(1).toInt % 2 == 0) "even" else "odd"
+    client.upsert("bm", live.toSeq.map { case (k, c) =>
+      (k, c.toSeq, Map("band" -> band(k))) }.toDF("key", "vec", "meta"))
+    // text: token w<i%5> — TEXT_MATCH(text, 'w1') keeps i%5 == 1
+    client.buildTextIndex("bm", live.keys.toSeq.sorted.map { k =>
+      (k, s"w${k.drop(1).toInt % 5} common") }.toDF("key", "text"))
+    client.buildIndex("bm", nlist = 4)
+    val q = code(1)
+    val want = live.filter { case (k, _) =>
+      k.drop(1).toInt % 5 == 1 && k.drop(1).toInt % 2 == 1 }
+    val got = client.searchBinaryMilvus("bm", q, k = 6,
+        filter = """TEXT_MATCH(text, "w1") && band == "odd"""", nprobe = 4)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == exactTopK(want, q, 6))
+  }
 }
