@@ -6542,8 +6542,17 @@ class GraftClient(spark: SparkSession, root: String,
       outputFields: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = metaOrThrow(name)
-    requireFloatVec(m,
-      "hybridSearchRequests (Dense arms rank the collection's float vectors)")
+    // a Dense arm ranks the collection's own float vectors — but a
+    // hybrid WITHOUT one (sparse field ⊕ BM25 text, the lexical-pair
+    // pattern a sparse-primary Milvus collection runs) is legal on any
+    // family that can serve its requested arms
+    if (requests.exists(_.isInstanceOf[AnnRequest.Dense]))
+      requireFloatVec(m,
+        "hybridSearchRequests with a Dense arm (it ranks the " +
+          "collection's float vectors)")
+    else require(!binaryVec(m),
+      s"'${m.name}' is a BINARY_VECTOR collection — no hybrid arm ranks " +
+        "packed words; use searchBinary")
     require(requests.nonEmpty,
       "hybrid_search needs at least one AnnSearchRequest")
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -6570,11 +6579,23 @@ class GraftClient(spark: SparkSession, root: String,
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
       case AnnRequest.SparseField(q, dir, metric, _) =>
-        val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
-        val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
-        val gated = filter.fold(hits)(f =>
-          hits.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
-        (gated.select(col("key"), col("score").as("__s")), false)
+        // on a SPARSE_FLOAT_VECTOR collection with no explicit dir, the
+        // arm IS the collection's own sparse search (index-served when
+        // fresh, exact otherwise — searchSparse's dispatch, filter
+        // included); dense collections ride the attached/caller layout
+        if (dir.isEmpty && sparseVec(m))
+          // the request's metric is validated against the collection's
+          // create-time metric inside searchSparse — never overridden
+          (searchSparse(name, q, armK, metric = metric, filter = filter)
+            .select(col("vector_key").as("key"), col("score").as("__s")),
+            false)
+        else {
+          val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
+          val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
+          val gated = filter.fold(hits)(f =>
+            hits.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
+          (gated.select(col("key"), col("score").as("__s")), false)
+        }
       case AnnRequest.Bm25Text(raw, _) =>
         (fullTextSearch(name, raw, k = armK, filter = filter)
           .select(col("vector_key").as("key"), col("distance").as("__s")),

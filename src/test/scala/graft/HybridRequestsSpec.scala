@@ -141,6 +141,50 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("fused pool"))
   }
 
+  test("sparse-primary hybrid: [SparseField, Bm25Text] on a sparse " +
+       "collection rides its own index — no Dense arm required") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hr-sp").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("sp", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val docsDf = docs.map { case (k, t, _) => (k, t) }.toDF("key", "text")
+    client.upsert("sp", docsDf
+      .select(col("key"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("key"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("key"))
+      .agg(map_from_entries(collect_list(
+        struct(xxhash64(col("w")), col("tf").cast("double")))).as("vec"))
+      .select(col("key"), col("vec"),
+        typedLit(Map.empty[String, String]).as("meta")))
+    client.buildTextIndex("sp", docsDf)
+    client.buildIndex("sp", nlist = 4)
+    val q = sq(client, "hash", "join", "pages")
+    val viaN = client.hybridSearchRequests("sp",
+        Seq(AnnRequest.SparseField(q), AnnRequest.Bm25Text("hash join")),
+        k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // driver model: rank each arm's own client output, fuse by RRF
+    def rank(rows: Seq[(String, Double)]): Map[String, Int] =
+      rows.sortBy { case (k, s) => (-s, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    val sp = rank(client.searchSparse("sp", q, k = 15)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    val bm = rank(client.fullTextSearch("sp", "hash join", k = 15)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    val model = (sp.keySet ++ bm.keySet).toSeq.map { k =>
+      val s = Seq(sp.get(k), bm.get(k)).flatten.map(r => 1.0 / (60 + r)).sum
+      (k, math.rint(s * 1e6) / 1e6)
+    }.sortBy { case (k, s) => (-s, k) }.take(6)
+    assert(viaN == model)
+    // and a Dense arm on the sparse collection still refuses
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("sp",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.SparseField(q)))
+    }.getMessage.contains("searchSparse"))
+  }
+
   test("validation: rankers, weights, arm preconditions") {
     val client = mkClient()
     assert(intercept[IllegalArgumentException] {
