@@ -405,6 +405,19 @@ class GraftClient(spark: SparkSession, root: String,
     } else if (vectorType == "FLOAT_VECTOR") {
       require(Set("l2", "cosine", "dot").contains(metric),
         s"metric must be one of l2, cosine, dot (got '$metric')")
+      // known Milvus types this engine deliberately does not ship get a
+      // POINTED refusal: DiskANN is SSD-resident Vamana — in this
+      // architecture the per-shard HNSW graphs (parquet blob rows, read
+      // on demand, byte-bounded executor cache) already serve the
+      // larger-than-RAM graph-index role; GPU_* types need hardware the
+      // engine does not schedule
+      require(indexType != "DISKANN",
+        "DISKANN is not shipped — use HNSW: this engine's per-shard " +
+          "graphs are at-rest parquet blobs read on demand (the " +
+          "disk-resident role DiskANN plays in Milvus)")
+      require(!indexType.startsWith("GPU_"),
+        s"GPU index types are not shipped (got '$indexType') — use the " +
+          "CPU sibling (GPU_IVF_FLAT → IVF_FLAT, GPU_IVF_PQ → IVF_PQ)")
       require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW").contains(indexType),
         s"indexType must be one of FLAT, IVF_FLAT, IVF_SQ8, IVF_PQ, HNSW (got '$indexType')")
     }

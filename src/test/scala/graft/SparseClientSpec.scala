@@ -585,5 +585,12 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     client.createCollection("ai_b", dim = 64, metric = "hamming",
       indexType = "AUTOINDEX", vectorType = "BINARY_VECTOR")
     assert(client.describe("ai_b").indexType == "BIN_IVF_FLAT")
+    // known-but-unshipped Milvus index types refuse with a pointer
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("dk", dim = 8, indexType = "DISKANN")
+    }.getMessage.contains("use HNSW"))
+    assert(intercept[IllegalArgumentException] {
+      client.createCollection("gp", dim = 8, indexType = "GPU_IVF_PQ")
+    }.getMessage.contains("IVF_PQ"))
   }
 }
