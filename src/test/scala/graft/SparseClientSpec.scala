@@ -363,6 +363,45 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the pinned drain must serve the pre-commit snapshot exactly")
   }
 
+  test("streamed micro-batch upserts keep the sparse index fresh; " +
+       "streamed docs are index-served") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (client, _) = mkClient()
+    client.createCollection("ss", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    var live = (0 until 100).map(i => key(i) -> svec(i)).toMap
+    upsertRows(client, "ss", live.toSeq)
+    client.buildIndex("ss", nlist = 4)
+    // the reference's event-loop shape without the embedder: each
+    // micro-batch is one merge commit, whose auto-append must roll the
+    // postings forward — no rebuild, no staleness window
+    val stream = MemoryStream[Int]
+    val sq = stream.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.collect().map(_.getInt(0)).toSeq
+        if (ids.nonEmpty) upsertRows(client, "ss", ids.map(i => key(i) -> svec(i)))
+        ()
+      }
+      .start()
+    stream.addData(300 until 310)
+    sq.processAllAvailable()
+    stream.addData(310 until 320)
+    sq.processAllAvailable()
+    sq.stop()
+    live = live ++ (300 until 320).map(i => key(i) -> svec(i))
+    assert(client.listIndexes("ss")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").head().getBoolean(2),
+      "every micro-batch commit must leave the index FRESH")
+    val served = client.searchSparse("ss", q, k = 10)
+    assert(served.queryExecution.executedPlan.toString.contains("In(dim"),
+      "post-stream searches must stay index-served")
+    assert(hits(served) == expect(exactTop(live, q, 10)),
+      "streamed docs must rank exactly through the maintained postings")
+  }
+
   test("compact() folds the auto-appended postings segments; searches " +
        "and freshness survive; concurrent writers stay model-exact") {
     val (client, root) = mkClient()
