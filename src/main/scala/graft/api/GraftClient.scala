@@ -4240,35 +4240,75 @@ class GraftClient(spark: SparkSession, root: String,
     * since exact per-candidate distances are what rank the groups); both
     * passes resolve the SAME snapshot (the cell/bucket file lists bind
     * when the source frame is built). NOTE: pass 1 runs a Spark job at
-    * call time — like [[fetchDf]], this method is not fully lazy. */
+    * call time — like [[fetchDf]], this method is not fully lazy.
+    *
+    * HNSW collections (r14 — VERDICT r13's #2): candidates ride the
+    * graph walk (masked when filtered, [[hnswScoredFiltered]]'s staged
+    * plan including its below-floor exact rank) with GROUP-AWARE
+    * over-fetch — walk depth is `k·groupSize` so the beam can surface
+    * `groupSize` rows for each of `k` winning groups, and `refine`
+    * widens the pool exactly as [[search]]'s. Before r14 the default
+    * index family's grouping search (AUTOINDEX resolves floats to HNSW)
+    * paid the full corpus distance scan this engine exists to avoid.
+    * Recall: a beam biased toward one dense group can under-fill later
+    * groups — governed by `ef`/`refine` exactly as top-k recall is, and
+    * `ef ≥ corpus` with a corpus-covering pool stays the provably
+    * exhaustive fallback (the contract `knn_hnsw_grouped` oracle-pins). */
   def searchGrouped(name: String, qvec: Array[Float], k: Int,
                     groupByKey: String, groupSize: Int = 1,
                     filter: Option[Column] = None,
                     nprobe: Int = 4,
-                    partitions: Seq[String] = Nil): DataFrame = {
+                    partitions: Seq[String] = Nil,
+                    refine: Int = 4,
+                    ef: Int = 0): DataFrame = {
     val m = metaOrThrow(name)
     requireFloatVec(m, "searchGrouped")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
-    // each arm projects to (key, vec, meta) before the union — a
-    // fresh-index arm's cells layout carries centroidId, a stale/empty
-    // arm's store scan does not, and mixed state must union cleanly
+    require(refine >= 1, s"refine must be >= 1 (got $refine)")
+    require(ef == 0 || ef >= k.toLong * groupSize,
+      s"ef ($ef) must be >= k * groupSize (${k.toLong * groupSize}) — " +
+        "the beam must at least cover the requested result size")
+    require(k.toLong * groupSize * refine <= Int.MaxValue,
+      s"k * groupSize * refine overflows Int — lower refine")
+    // each arm projects to (key, distance, meta) before the union: a
+    // fresh-IVF arm's cells layout carries centroidId, a stale/empty
+    // arm's store scan does not, and an HNSW arm's graph walk emits
+    // scored rows directly — mixed per-partition state must union
+    // cleanly. The metadata filter binds inside each arm (the masked
+    // walk resolves it against the store's columns; the cell arms apply
+    // it to the scan), identically to the pre-r14 post-union filter.
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
-          scalarPrunedRead(pm, coll, filter)) { idx =>
-        val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
-        GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
-      }.select(col("key"), col("vec"), col("meta"))
+      hnswServable(pm, coll) match {
+        case Some((vB, hm)) =>
+          val depth = k * groupSize // group-aware over-fetch
+          (if (filter.isEmpty)
+            hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
+          else
+            hnswScoredFiltered(pm, coll, vB, hm, qvec, filter, None,
+              depth, refine, ef))
+            .select(col("vector_key").as("key"), col("distance"),
+              col("metadata").as("meta"))
+        case None =>
+          val arm = prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
+              scalarPrunedRead(pm, coll, filter)) { idx =>
+            val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
+            GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
+          }.select(col("key"), col("vec"), col("meta"))
+          filter.fold(arm)(arm.filter)
+            .select(col("key"), distanceCol(m.metric, qvec).as("distance"),
+              col("meta"))
+      }
     }.reduce(_ unionByName _)
-    val cand = filter.fold(base)(base.filter)
+    val cand = base
       .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
       .filter(col("__grp").isNotNull)
       .select(col("__grp").as("group_value"),
-        distanceCol(m.metric, qvec).as("distance"), col("key"), col("meta"))
+        col("distance"), col("key"), col("meta"))
     // pass 1 — top-k groups by best hit. Deterministic ranking: the
     // ordering key (__best, group_value) is unique per group, so the
     // k-row TakeOrdered + driver-side index assignment reproduces the
@@ -6536,7 +6576,13 @@ class GraftClient(spark: SparkSession, root: String,
     * binds EVERY arm: dense pre-filters inside search, sparse semi-joins
     * its hits against the filter-passing keys (per-doc-absolute scores
     * make that order-preserving), BM25 gates candidates while corpus
-    * idf stays fixed (Lucene filtered-query semantics).
+    * idf stays fixed (Lucene filtered-query semantics). Each request
+    * additionally carries its OWN Milvus filter string
+    * ([[AnnRequest.expr]] — pymilvus `AnnSearchRequest(..., expr=...)`,
+    * r14): it parses through the [[MilvusFilter]] grammar and binds
+    * that arm ONLY, intersected (AND) with the shared `filter` — so a
+    * port with per-arm exprs keeps each arm's own constraint instead of
+    * hand-intersecting them into one over-constraining shared filter.
     *
     * Rankers, exactly the pairwise tails' algebra so two-arm calls are
     * result-identical to the dedicated surfaces: "rrf" emits
@@ -6585,13 +6631,24 @@ class GraftClient(spark: SparkSession, root: String,
       require(requests.map(_.weight).sum > 0.0,
         "WeightedRanker weights must not all be 0")
     }
+    // the filter an arm actually sees: the shared filter AND the arm's
+    // own expr (Milvus AnnSearchRequest.expr — parsed by the same
+    // grammar the string surfaces use, binding this arm only)
+    def armFilter(expr: String): Option[Column] = {
+      val per = if (expr.isEmpty) None else Some(MilvusFilter.parse(expr))
+      (filter, per) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+    }
     // each arm → (key, __s) + whether SMALLER __s is better
     val arms: Seq[(DataFrame, Boolean)] = requests.map {
-      case AnnRequest.Dense(qv, np, rf, ef, _) =>
-        (search(name, qv, armK, filter, nprobe = np, refine = rf, ef = ef)
+      case AnnRequest.Dense(qv, np, rf, ef, _, expr) =>
+        (search(name, qv, armK, armFilter(expr), nprobe = np, refine = rf,
+            ef = ef)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
-      case AnnRequest.SparseField(q, dir, metric, _) =>
+      case AnnRequest.SparseField(q, dir, metric, _, expr) =>
         // on a SPARSE_FLOAT_VECTOR collection with no explicit dir, the
         // arm IS the collection's own sparse search (index-served when
         // fresh, exact otherwise — searchSparse's dispatch, filter
@@ -6599,18 +6656,19 @@ class GraftClient(spark: SparkSession, root: String,
         if (dir.isEmpty && sparseVec(m))
           // the request's metric is validated against the collection's
           // create-time metric inside searchSparse — never overridden
-          (searchSparse(name, q, armK, metric = metric, filter = filter)
+          (searchSparse(name, q, armK, metric = metric,
+              filter = armFilter(expr))
             .select(col("vector_key").as("key"), col("score").as("__s")),
             false)
         else {
           val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
           val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
-          val gated = filter.fold(hits)(f =>
+          val gated = armFilter(expr).fold(hits)(f =>
             hits.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
           (gated.select(col("key"), col("score").as("__s")), false)
         }
-      case AnnRequest.Bm25Text(raw, _) =>
-        (fullTextSearch(name, raw, k = armK, filter = filter)
+      case AnnRequest.Bm25Text(raw, _, expr) =>
+        (fullTextSearch(name, raw, k = armK, filter = armFilter(expr))
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           false)
     }

@@ -463,6 +463,35 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** B5×B6 (r14 — VERDICT r13's #2): Milvus grouping search on an HNSW
+    * collection, on the ORACLE path. Before r14 this surface exact-
+    * scanned the corpus (the plan the engine exists to avoid, on the
+    * family AUTOINDEX picks); it now rides the graph walk with
+    * group-aware over-fetch (walk depth k·groupSize) before the two-pass
+    * winners-broadcast tail. `ef ≥ corpus` + a corpus-covering refine
+    * pool make the walk provably exhaustive, so the result is exactly
+    * the brute-force grouped ranking and DuckDB replays it with two
+    * window ranks. Dispatch honesty: the graph arm's blob walk is a
+    * typed flatMap (MapPartitions) — the exact scan would return
+    * identical values here, so the plan assert is what pins the walk. */
+  def knnHnswGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count().toInt // parquet-footer count — no scan
+    val k = 3; val groupSize = 2
+    val df = client.searchGrouped("embhnsw", q, k = k, groupByKey = "label",
+      groupSize = groupSize, ef = n,
+      refine = (n + k * groupSize - 1) / (k * groupSize))
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_grouped: grouping search did not ride the graph walk")
+    df.select(col("group_value"), col("grp_rank"), col("rn"),
+        col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   // HNSW growing-tail client: built like hnswClientFor, then TWO
   // post-build commits land (a new key carrying vec_id 1's embedding, a
   // delete of vec_id 2's key) WITHOUT folding — so searches must serve
@@ -562,6 +591,7 @@ object VectorQueries {
     "knn_pq_batched" -> knnPqBatched _,
     "knn_hnsw_topk" -> knnHnsw _,
     "knn_hnsw_filtered" -> knnHnswFiltered _,
+    "knn_hnsw_grouped" -> knnHnswGrouped _,
     "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
@@ -629,6 +659,22 @@ object VectorQueries {
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q WHERE e.label IN (1, 3, 5)
           ORDER BY dist, vec_id LIMIT 10""",
+    "knn_hnsw_grouped" ->
+      s"""WITH h AS (
+            SELECT e.vec_id, CAST(e.label AS VARCHAR) AS group_value,
+                   list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+            FROM embeddings e, $qv q),
+          b AS (SELECT group_value, min(dist) AS best FROM h GROUP BY 1),
+          rk AS (SELECT group_value,
+                   ROW_NUMBER() OVER (ORDER BY best, group_value) AS grp_rank
+                 FROM b),
+          r AS (SELECT h.group_value, rk.grp_rank, h.vec_id, h.dist,
+                  ROW_NUMBER() OVER (PARTITION BY h.group_value
+                    ORDER BY h.dist, h.vec_id) AS rn
+                FROM h JOIN rk USING (group_value))
+          SELECT group_value, grp_rank, rn, vec_id, dist FROM r
+          WHERE grp_rank <= 3 AND rn <= 2
+          ORDER BY grp_rank, rn""",
     "knn_hnsw_tail" ->
       s"""WITH live AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2

@@ -335,6 +335,78 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(small.collect().map(_.getString(0)).toSeq == expectTop(live, pass3, 5))
   }
 
+  test("grouped search rides the graph walk (plain, filtered, and the " +
+       "growing tail) and equals the exact grouped model at full ef") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hg", dim = dim, indexType = "HNSW", buckets = 4)
+    client.upsert("hg", rows(0 until 240).toDF("key", "vec", "meta"))
+    client.buildIndex("hg", nlist = 0)
+    val q = vec(5).toArray
+
+    def l2(a: Seq[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum)
+    // the exact grouped model: top-k groups by best distance (ties on
+    // the STRING group value, as the client ranks), groupSize best rows
+    // each — (group, grp_rank, rn, key)
+    def model(live: Seq[(String, Seq[Float], String)], k: Int, gs: Int)
+        : Seq[(String, Long, Long, String)] = {
+      val scored = live.map { case (kk, v, g) => (g, kk, l2(v, q)) }
+      val byGrp = scored.groupBy(_._1)
+      byGrp.map { case (g, rs) => (g, rs.map(_._3).min) }.toSeq
+        .sortBy { case (g, b) => (b, g) }.take(k).zipWithIndex
+        .flatMap { case ((g, _), i) =>
+          byGrp(g).sortBy(r => (r._3, r._2)).take(gs).zipWithIndex
+            .map { case ((_, kk, _), j) => (g, (i + 1).toLong, (j + 1).toLong, kk) }
+        }
+    }
+    def got(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long, String)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    var live = (0 until 240).map(i => (f"k$i%04d", vec(i), s"g${i % 3}"))
+
+    // plain grouped: graph walk (plan-asserted), exact at ef >= n
+    val n = live.size
+    val gdf = client.searchGrouped("hg", q, k = 2, groupByKey = "grp",
+      groupSize = 3, ef = n, refine = (n + 5) / 6)
+    assert(gdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "grouped search on a fresh HNSW collection must ride the graph walk")
+    assert(got(gdf) == model(live, 2, 3))
+
+    // filtered grouped: the masked walk (g0/g2 passing = 160 > floor)
+    val fdf = client.searchGrouped("hg", q, k = 2, groupByKey = "grp",
+      groupSize = 3, ef = n, refine = (n + 5) / 6,
+      filter = Some(element_at(col("meta"), "grp").isin("g0", "g2")))
+    assert(fdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "filtered grouped search must ride the masked walk")
+    assert(got(fdf) == model(live.filter(_._3 != "g1"), 2, 3))
+
+    // growing tail: a new key, an overwrite, a delete — no fold; the
+    // grouped graph∪tail answer must track the live set exactly
+    client.upsert("hg", Seq(
+        ("k9001", vec(901), Map("grp" -> "g1")),
+        ("k0003", vec(777), Map("grp" -> "g0"))).toDF("key", "vec", "meta"))
+    client.deleteByKeys("hg", Seq("k0005"))
+    live = live.filterNot(r => r._1 == "k9001" || r._1 == "k0003" || r._1 == "k0005") ++
+      Seq(("k9001", vec(901), "g1"), ("k0003", vec(777), "g0"))
+    val idx = client.listIndexes("hg").filter(col("kind") === "HNSW").head()
+    assert(idx.getBoolean(2) && idx.getLong(3) < idx.getLong(4),
+      "tail must be pending (servable, stamp lagging) for this case")
+    val n2 = live.size
+    val tdf = client.searchGrouped("hg", q, k = 3, groupByKey = "grp",
+      groupSize = 2, ef = n2, refine = (n2 + 5) / 6)
+    assert(tdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "tail-era grouped search must still ride the graph walk")
+    assert(got(tdf) == model(live, 3, 2),
+      "grouped graph∪tail must equal the exact grouped model")
+
+    // ef must cover k * groupSize
+    assert(intercept[IllegalArgumentException] {
+      client.searchGrouped("hg", q, k = 4, groupByKey = "grp",
+        groupSize = 4, ef = 8)
+    }.getMessage.contains("ef"))
+  }
+
   test("create-boundary validation") {
     val (client, _) = mkClient()
     // HNSW params rejected on other index types

@@ -124,6 +124,49 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(f) == rrfModel(f))
   }
 
+  test("per-arm expr binds only its arm and intersects the shared filter") {
+    val client = mkClient()
+    val q = sq(client, "scan", "pages")
+    def rank(rows: Seq[(String, Double)], asc: Boolean): Map[String, Int] =
+      rows.sortBy { case (k, s) => (if (asc) s else -s, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    // model: dense sees (shared AND grp=="infra"), bm25 sees
+    // (shared AND grp=="algo"), sparse sees only the shared filter
+    def model(shared: Option[org.apache.spark.sql.Column],
+              sharedPass: String => Boolean): Seq[(String, Double)] = {
+      val inf = element_at(col("meta"), "grp") === "infra"
+      val alg = element_at(col("meta"), "grp") === "algo"
+      def andS(c: org.apache.spark.sql.Column) =
+        shared.map(s => s && c).getOrElse(c)
+      val dense = rank(client.search("hr", qvec, 15, Some(andS(inf)))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = true)
+      val bm25 = rank(client.fullTextSearch("hr", "hash join", k = 15,
+          filter = Some(andS(alg)))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = false)
+      val sparse = rank(client.searchSparse("hr", q, k = 15)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .filter { case (k, _) => sharedPass(k) }, asc = false)
+      (dense.keySet ++ bm25.keySet ++ sparse.keySet).toSeq.map { k =>
+        val s = Seq(dense.get(k), bm25.get(k), sparse.get(k))
+          .flatten.map(r => 1.0 / (60 + r)).sum
+        (k, math.rint(s * 1e6) / 1e6)
+      }.sortBy { case (k, s) => (-s, k) }.take(6)
+    }
+    val reqs = Seq(
+      AnnRequest.Dense(qvec, expr = """grp == "infra""""),
+      AnnRequest.Bm25Text("hash join", expr = """grp == "algo""""),
+      AnnRequest.SparseField(q))
+    def got(f: Option[org.apache.spark.sql.Column]) =
+      client.hybridSearchRequests("hr", reqs, k = 6, filter = f)
+        .collect().map(r => (r.getString(0), r.getDouble(4))).toSeq
+    // per-arm exprs alone: each arm constrained independently — the
+    // pre-r14 shared-filter-only surface cannot express this
+    assert(got(None) == model(None, _ => true))
+    // shared AND per-arm: the intersection semantics Milvus applies
+    val shared = Some(col("key") =!= "d4")
+    assert(got(shared) == model(shared, _ != "d4"))
+  }
+
   test("offset pages the fused ranking; output_fields joins metadata") {
     val client = mkClient()
     val reqs = Seq(AnnRequest.Dense(qvec), AnnRequest.Bm25Text("hash join"))
