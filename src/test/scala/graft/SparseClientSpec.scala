@@ -402,6 +402,98 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "streamed docs must rank exactly through the maintained postings")
   }
 
+  test("landing-file ingest into a sparse collection (r14): startIngest " +
+       "featurizes text events, postings stay fresh after every batch, " +
+       "streamed docs are index-served; bytes-only events reject per-row") {
+    import spark.implicits._
+    import graft.ingest.SparseFeaturizer
+    val root = java.nio.file.Files.createTempDirectory("sparse-ingest").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("si", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 4,
+      vectorType = "SPARSE_FLOAT_VECTOR")
+    val fz = SparseFeaturizer.hashingTf
+
+    // dim parity pin: the JVM-side featurizer hash must equal SQL
+    // xxhash64 — the hash every batch postings build uses — or streamed
+    // and batch-built docs would live in disjoint vocabularies
+    val words = Seq("hash", "join", "spark", "the")
+    val sqlHashes = words.toDF("w").select(xxhash64(col("w")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(words.map(SparseFeaturizer.xxhash64) == sqlHashes,
+      "featurizer dims must equal SQL xxhash64 (seed 42)")
+
+    def writeLanding(dir: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, "events.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    }
+    val texts = Map(
+      "doc-a" -> "spark shuffles hash join hash",
+      "doc-b" -> "sort merge join over sorted runs",
+      "doc-c" -> "hash partitioned spark scan",
+      "doc-d" -> "broadcast join avoids the shuffle")
+    val objects = texts.toSeq.toDF("key", "text")
+    val qv: Seq[(Long, Double)] = Seq("hash" -> 2.0, "join" -> 1.0,
+      "spark" -> 1.5).map { case (w, x) => SparseFeaturizer.xxhash64(w) -> x }
+
+    // seed + build, so streamed freshness comes from per-commit
+    // MAINTENANCE (auto-append), never a rebuild
+    client.upsert("si", Seq(("seed-1", fz.featurize("seed spark doc"),
+      Map.empty[String, String])).toDF("key", "vec", "meta"))
+    client.buildIndex("si", nlist = 4)
+
+    def assertServed(live: Map[String, Map[Long, Double]]): Unit = {
+      assert(client.listIndexes("si")
+        .filter(col("kind") === "SPARSE_INVERTED_INDEX").head().getBoolean(2),
+        "every ingest micro-batch must leave the postings FRESH")
+      val served = client.searchSparse("si", qv, k = 10)
+      assert(served.queryExecution.executedPlan.toString.contains("In(dim"),
+        "post-stream searches must ride the postings layout")
+      assert(hits(served) == expect(exactTop(live, qv, 10)),
+        "streamed docs must rank exactly through the maintained postings")
+    }
+
+    // batch 1: two puts
+    writeLanding(s"$root/landing1", Seq(
+      TestDirs.notif("ObjectCreated:Put", "doc-a"),
+      TestDirs.notif("ObjectCreated:Put", "doc-b")))
+    client.startIngest("si", s"$root/landing1", objects)
+      .awaitTermination(120000)
+    val live1 = Map("seed-1" -> fz.featurize("seed spark doc"),
+      "doc-a" -> fz.featurize(texts("doc-a")),
+      "doc-b" -> fz.featurize(texts("doc-b")))
+    assertServed(live1)
+
+    // batch 2: two puts + a delete — deletes must tombstone postings
+    writeLanding(s"$root/landing2", Seq(
+      TestDirs.notif("ObjectCreated:Put", "doc-c"),
+      TestDirs.notif("ObjectCreated:Put", "doc-d"),
+      TestDirs.notif("ObjectRemoved:Delete", "doc-b")))
+    client.startIngest("si", s"$root/landing2", objects)
+      .awaitTermination(120000)
+    assertServed(live1 - "doc-b" +
+      ("doc-c" -> fz.featurize(texts("doc-c"))) +
+      ("doc-d" -> fz.featurize(texts("doc-d"))))
+
+    // bytes-only EVENT rejects per-row (the 400 arm), not per-stream:
+    // the put lands, featurizes to null, and is dropped
+    val mixed = Seq(("doc-bin", null: String, "zz".getBytes("UTF-8")))
+      .toDF("key", "text", "bytes")
+    writeLanding(s"$root/landing3",
+      Seq(TestDirs.notif("ObjectCreated:Put", "doc-bin")))
+    client.startIngest("si", s"$root/landing3", mixed)
+      .awaitTermination(120000)
+    assert(client.count("si") == 4, "a bytes-only event must drop, not land")
+
+    // an objectsDf with no text column at all refuses up front
+    val e = intercept[IllegalArgumentException] {
+      client.startIngest("si", s"$root/landing3",
+        Seq(("doc-bin", "zz".getBytes("UTF-8"))).toDF("key", "bytes"))
+    }
+    assert(e.getMessage.contains("text"))
+  }
+
   test("compact() folds the auto-appended postings segments; searches " +
        "and freshness survive; concurrent writers stay model-exact") {
     val (client, root) = mkClient()
