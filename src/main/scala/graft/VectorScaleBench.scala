@@ -521,6 +521,33 @@ object VectorScaleBench {
       math.max(hfExactIds.size, 1)
     hnswClient.releaseCollection("benchhnsw")
 
+    // GROUPED search on HNSW (r14): the graph walk with group-aware
+    // over-fetch (walk depth k·groupSize) vs forceExact — the full
+    // corpus distance scan this surface ran before the dispatch. Top-10
+    // groups × 2 best each over the 100-value "g" key; recall counts
+    // (group, key) pairs the walk agrees with the exact grouped
+    // ranking on. Both arms pay the two-pass winners-broadcast tail,
+    // so the delta prices candidate generation alone.
+    def hnswGroupedRows(force: Boolean): Seq[(String, String)] =
+      hnswClient.searchGrouped("benchhnsw", cq, k = 10, groupByKey = "g",
+          groupSize = 2, ef = 64, forceExact = force)
+        .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    hnswGroupedRows(force = false)
+    var hgIds: Seq[(String, String)] = Nil
+    val hnswGroupedSec = math.min(
+      time { hgIds = hnswGroupedRows(force = false) },
+      time { hgIds = hnswGroupedRows(force = false) })
+    val hgGraphPlan = hnswClient.searchGrouped("benchhnsw", cq, k = 10,
+        groupByKey = "g", groupSize = 2, ef = 64)
+      .queryExecution.executedPlan.toString.contains("MapPartitions")
+    hnswGroupedRows(force = true)
+    var hgExactIds: Seq[(String, String)] = Nil
+    val hnswGroupedExactSec = math.min(
+      time { hgExactIds = hnswGroupedRows(force = true) },
+      time { hgExactIds = hnswGroupedRows(force = true) })
+    val hgRecall = hgIds.count(hgExactIds.contains).toDouble /
+      math.max(hgExactIds.size, 1)
+
     // BIN_IVF_FLAT (r12): 1M sign-binarized codes (64 dims → ONE long,
     // 32× smaller than float32 at rest) in k-majority Hamming cells.
     // iid sign patterns are the adversarial regime for the prune (like
@@ -801,6 +828,10 @@ object VectorScaleBench {
         s""""client_hnsw_filtered_recall_at10":$hfRecall,""" +
         s""""client_hnsw_filtered_loaded_sec":$hnswFilteredLoadedSec,""" +
         s""""client_hnsw_filtered_loaded_recall_at10":$hfLoadedRecall,""" +
+        s""""client_hnsw_grouped_sec":$hnswGroupedSec,""" +
+        s""""client_hnsw_grouped_graph_plan":$hgGraphPlan,""" +
+        s""""client_hnsw_grouped_exact_sec":$hnswGroupedExactSec,""" +
+        s""""client_hnsw_grouped_recall":$hgRecall,""" +
         s""""bin_ivf_build_sec":$binBuildSec,"bin_bytes":$binBytes,""" +
         s""""bin_bytes_vs_float":${binBytes.toDouble / floatBytes},""" +
         s""""bin_exact_scan_sec":$binExactSec,""" +

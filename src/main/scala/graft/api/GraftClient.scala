@@ -4345,7 +4345,8 @@ class GraftClient(spark: SparkSession, root: String,
                     nprobe: Int = 4,
                     partitions: Seq[String] = Nil,
                     refine: Int = 4,
-                    ef: Int = 0): DataFrame = {
+                    ef: Int = 0,
+                    forceExact: Boolean = false): DataFrame = {
     val m = metaOrThrow(name)
     requireFloatVec(m, "searchGrouped")
     require(qvec.length == m.dim,
@@ -4368,7 +4369,9 @@ class GraftClient(spark: SparkSession, root: String,
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      hnswServable(pm, coll) match {
+      // forceExact bypasses every index layout — the ground-truth arm,
+      // exactly searchBatch's knob (oracle twins and recall rows)
+      (if (forceExact) None else hnswServable(pm, coll)) match {
         case Some((vB, hm)) =>
           val depth = k * groupSize // group-aware over-fetch
           (if (filter.isEmpty)
@@ -4379,7 +4382,8 @@ class GraftClient(spark: SparkSession, root: String,
             .select(col("vector_key").as("key"), col("distance"),
               col("metadata").as("meta"))
         case None =>
-          val arm = prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
+          val arm = prunedCellsOrScan(pm, coll,
+              if (forceExact) None else liveIndex(pm, coll),
               scalarPrunedRead(pm, coll, filter)) { idx =>
             val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
             GraftClient.KeepCells(idx.probe.probes(qa, nprobe))

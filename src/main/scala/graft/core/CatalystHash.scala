@@ -18,4 +18,13 @@ object CatalystHash {
       .asInstanceOf[Long]
     (((h % n) + n) % n).toInt
   }
+
+  /** Raw SQL `xxhash64(string)` (seed 42), allocation-light for
+    * per-token loops — [[graft.ingest.SparseFeaturizer]] hashes every
+    * token of every streamed document to its postings dim, and the dims
+    * must equal what `xxhash64(col("word"))` produced in the batch
+    * postings builds. */
+  def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
 }

@@ -49,12 +49,11 @@ object SparseFeaturizer {
   /** The default stand-in (the config-free path, like `Embedder.text`). */
   val hashingTf: SparseFeaturizer = HashingTfFeaturizer()
 
-  /** Spark SQL `xxhash64(string)` replicated JVM-side (seed 42 — the
-    * literal in Catalyst's XxHash64 expression), so driver/executor
-    * Scala code and SQL postings builds agree on every dim. */
-  def xxhash64(s: String): Long =
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+  /** Spark SQL `xxhash64(string)` replicated JVM-side, so Scala code
+    * and SQL postings builds agree on every dim — delegates to
+    * [[graft.core.CatalystHash]], THE one copy of the
+    * must-match-Catalyst hashing trick. */
+  def xxhash64(s: String): Long = graft.core.CatalystHash.xxhash64String(s)
 
   /** Column-level featurization: STRING → MAP<BIGINT,DOUBLE> (null in,
     * null out; empty feature set → null so the ingest loop's

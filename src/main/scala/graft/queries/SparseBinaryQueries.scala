@@ -441,6 +441,34 @@ object SparseBinaryQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  /** B6 (r14 — VERDICT r13's #3) — per-request `expr` on the N-ary
+    * `hybrid_search`, on the ORACLE path: the dense arm carries its own
+    * Milvus filter string (odd labels), the BM25 arm a DIFFERENT one
+    * (even labels), the sparse arm none — each binding that arm only,
+    * the AnnSearchRequest.expr semantics a port needs (the pre-r14
+    * shared filter could only over-constrain every arm to the
+    * intersection). DuckDB replays each arm's gated rank window (the
+    * dense/BM25 gates apply BEFORE the arm's top-armK; corpus idf
+    * stays fixed — Lucene filtered-query semantics) and the coalesced
+    * reciprocal-rank sum. */
+  def hybridMultiExpr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.AnnRequest
+    val client = hybridClientFor(spark, dir)
+    val qv = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = client.hybridSearchRequests("dochyb",
+      Seq(
+        AnnRequest.Dense(qv, expr = """label in ["1", "3", "5", "7", "9"]"""),
+        AnnRequest.Bm25Text("join hash scan",
+          expr = """label in ["0", "2", "4", "6", "8"]"""),
+        AnnRequest.SparseField(sparseClientQuery(spark, dir))),
+      k = 10)
+    df.select(col("key").cast("long").as("doc_id"),
+        col("rank_0").as("vec_rank"), col("rank_1").as("lex_rank"),
+        col("rank_2").as("sp_rank"), col("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   /** B6×B7 (r13) — Milvus grouping search on a BINARY_VECTOR field, on
     * the ORACLE path: top-3 labels by best Hamming distance, 2 best
     * hits each, through the client collection at FULL probe (exact by
@@ -476,7 +504,8 @@ object SparseBinaryQueries {
     "sparse_client_iter" -> sparseClientIter _,
     "sparse_client_grouped" -> sparseClientGrouped _,
     "sparse_client_milvus" -> sparseClientMilvus _,
-    "hybrid_multi_rrf" -> hybridMultiRrf _
+    "hybrid_multi_rrf" -> hybridMultiRrf _,
+    "hybrid_multi_expr" -> hybridMultiExpr _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -738,6 +767,47 @@ object SparseBinaryQueries {
            knn AS (SELECT e.vec_id AS doc_id,
                list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
              FROM embeddings e, q ORDER BY dist, vec_id LIMIT 15),
+           vec AS (SELECT doc_id,
+               row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM knn),
+           stf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+                   FROM tokens GROUP BY 1, 2),
+           sq AS (SELECT word, tf AS qtf FROM stf WHERE doc_id = 0),
+           sdot AS (SELECT t.doc_id, CAST(sum(t.tf * sq.qtf) AS BIGINT) AS dot
+                    FROM stf t JOIN sq USING (word) GROUP BY 1
+                    ORDER BY dot DESC, doc_id LIMIT 15),
+           sp AS (SELECT doc_id,
+               row_number() OVER (ORDER BY dot DESC, doc_id) AS sp_rank FROM sdot)
+         SELECT doc_id, vec_rank, lex_rank, sp_rank,
+            round(coalesce(1.0 / (60 + vec_rank), 0)
+              + coalesce(1.0 / (60 + lex_rank), 0)
+              + coalesce(1.0 / (60 + sp_rank), 0), 6) AS rrf
+         FROM vec
+           FULL OUTER JOIN lex USING (doc_id)
+           FULL OUTER JOIN sp USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "hybrid_multi_expr" ->
+      """WITH tokens AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM documents),
+           btf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                   WHERE word IN ('join','hash','scan') GROUP BY 1, 2),
+           bdf AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                   WHERE word IN ('join','hash','scan') GROUP BY 1),
+           bm25 AS (SELECT btf.doc_id,
+               sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ) AS bm25
+             FROM btf JOIN bdf USING (word) JOIN dl USING (doc_id), avgdl, n
+             WHERE btf.doc_id IN (SELECT vec_id FROM embeddings
+                                  WHERE label IN (0, 2, 4, 6, 8))
+             GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15),
+           lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm25),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           knn AS (SELECT e.vec_id AS doc_id,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+             FROM embeddings e, q WHERE e.label IN (1, 3, 5, 7, 9)
+             ORDER BY dist, vec_id LIMIT 15),
            vec AS (SELECT doc_id,
                row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM knn),
            stf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

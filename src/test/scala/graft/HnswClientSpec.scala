@@ -400,6 +400,15 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(tdf) == model(live, 3, 2),
       "grouped graph∪tail must equal the exact grouped model")
 
+    // forceExact (the ground-truth arm, searchBatch's knob): bypasses
+    // the graph entirely and must equal both the model and the full-ef
+    // walk
+    val xdf = client.searchGrouped("hg", q, k = 3, groupByKey = "grp",
+      groupSize = 2, forceExact = true)
+    assert(!xdf.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "forceExact grouped search must not touch the graphs")
+    assert(got(xdf) == model(live, 3, 2))
+
     // ef must cover k * groupSize
     assert(intercept[IllegalArgumentException] {
       client.searchGrouped("hg", q, k = 4, groupByKey = "grp",
