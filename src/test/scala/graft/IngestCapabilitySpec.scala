@@ -1126,4 +1126,63 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
           s"per-item RPCs), saw ${served.get()}")
     } finally server.stop(0)
   }
+
+  test("RemoteSparseFeaturizer: batched per-partition calls against a " +
+       "stub SPLADE-shaped service; config gate; null/empty rejection") {
+    import spark.implicits._
+    import graft.ingest.{SparseFeaturizer, RemoteSparseFeaturizer, HashingTfFeaturizer}
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val kernel = HashingTfFeaturizer() // the stub "model"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(0), 0)
+    server.createContext("/featurize", (ex: com.sun.net.httpserver.HttpExchange) => {
+      served.incrementAndGet()
+      val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+      val out = mapper.createObjectNode()
+      val vecs = out.putArray("vectors")
+      val inputs = req.get("inputs")
+      (0 until inputs.size()).foreach { i =>
+        val m = kernel.featurize(inputs.get(i).get("text").asText())
+        val node = vecs.addObject()
+        val idx = node.putArray("indices"); val vals = node.putArray("values")
+        m.toSeq.sortBy(_._1).foreach { case (d, w) => idx.add(d); vals.add(w) }
+      }
+      val bytes = mapper.writeValueAsBytes(out)
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://localhost:${server.getAddress.getPort}/featurize"
+      val remote = RemoteSparseFeaturizer(url, batchSize = 4)
+
+      // the config gate: endpoint set → remote; unset → hashing-TF
+      spark.conf.set("spark.graft.featurizer.endpoint", url)
+      spark.conf.set("spark.graft.featurizer.batchSize", "4")
+      assert(SparseFeaturizer.configured(spark) == RemoteSparseFeaturizer(url, 4))
+      spark.conf.unset("spark.graft.featurizer.endpoint")
+      assert(SparseFeaturizer.configured(spark) == SparseFeaturizer.hashingTf)
+
+      // 10 rows at batchSize 4 in one partition = 3 row-chunks = 3
+      // requests; a null text skips its batch slot entirely, and a
+      // whitespace-only text (empty feature set from the service)
+      // lands a null vec — both feed the ingest rejection arm
+      val docs = (0 until 10).map(i => (s"k$i",
+          if (i == 7) null else if (i == 3) "   " else s"doc number $i"))
+        .toDF("key", "text").repartition(1)
+      val feats = SparseFeaturizer.featurizeDocuments(docs, "text", remote)
+        .collect()
+        .map(r => r.getAs[String]("key") ->
+          Option(r.getAs[Map[Long, Double]]("vec"))).toMap
+      assert(feats("k7").isEmpty, "null text featurizes to null without a call")
+      assert(feats("k3").isEmpty, "an empty feature set maps to null (rejection arm)")
+      (0 until 10).filterNot(Set(3, 7)).foreach { i =>
+        assert(feats(s"k$i").get == kernel.featurize(s"doc number $i"),
+          s"k$i: remote sparse vector must equal the service kernel's output")
+      }
+      assert(served.get() == 3, s"expected 3 batched calls, saw ${served.get()}")
+    } finally server.stop(0)
+  }
 }
