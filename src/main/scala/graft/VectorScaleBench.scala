@@ -547,6 +547,20 @@ object VectorScaleBench {
       time { hgExactIds = hnswGroupedRows(force = true) })
     val hgRecall = hgIds.count(hgExactIds.contains).toDouble /
       math.max(hgExactIds.size, 1)
+    // the AUTO-ef adaptive walk (r14): when fewer than k groups fill,
+    // the walk depth quadruples (≤2 expansions) — prices the default
+    // path a knob-less caller gets, recall against the same exact twin
+    def hnswGroupedAutoRows(): Seq[(String, String)] =
+      hnswClient.searchGrouped("benchhnsw", cq, k = 10, groupByKey = "g",
+          groupSize = 2)
+        .collect().map(r => (r.getString(0), r.getString(3))).toSeq
+    hnswGroupedAutoRows()
+    var hgAutoIds: Seq[(String, String)] = Nil
+    val hnswGroupedAutoSec = math.min(
+      time { hgAutoIds = hnswGroupedAutoRows() },
+      time { hgAutoIds = hnswGroupedAutoRows() })
+    val hgAutoRecall = hgAutoIds.count(hgExactIds.contains).toDouble /
+      math.max(hgExactIds.size, 1)
 
     // BIN_IVF_FLAT (r12): 1M sign-binarized codes (64 dims → ONE long,
     // 32× smaller than float32 at rest) in k-majority Hamming cells.
@@ -832,6 +846,8 @@ object VectorScaleBench {
         s""""client_hnsw_grouped_graph_plan":$hgGraphPlan,""" +
         s""""client_hnsw_grouped_exact_sec":$hnswGroupedExactSec,""" +
         s""""client_hnsw_grouped_recall":$hgRecall,""" +
+        s""""client_hnsw_grouped_auto_sec":$hnswGroupedAutoSec,""" +
+        s""""client_hnsw_grouped_auto_recall":$hgAutoRecall,""" +
         s""""bin_ivf_build_sec":$binBuildSec,"bin_bytes":$binBytes,""" +
         s""""bin_bytes_vs_float":${binBytes.toDouble / floatBytes},""" +
         s""""bin_exact_scan_sec":$binExactSec,""" +

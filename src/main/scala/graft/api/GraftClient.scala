@@ -4338,7 +4338,13 @@ class GraftClient(spark: SparkSession, root: String,
     * Recall: a beam biased toward one dense group can under-fill later
     * groups — governed by `ef`/`refine` exactly as top-k recall is, and
     * `ef ≥ corpus` with a corpus-covering pool stays the provably
-    * exhaustive fallback (the contract `knn_hnsw_grouped` oracle-pins). */
+    * exhaustive fallback (the contract `knn_hnsw_grouped` oracle-pins).
+    * With `ef` at auto (0), the walk EXPANDS iteratively (Milvus's
+    * grouping-search stance): when fewer than `k` groups hold
+    * `groupSize` candidates, the walk depth quadruples (≤2 expansions,
+    * stopping once the pool covers the served rows) — so one dense
+    * near group crowding out the pool cannot silently shrink the
+    * result below `k` groups the corpus actually holds. */
   def searchGrouped(name: String, qvec: Array[Float], k: Int,
                     groupByKey: String, groupSize: Int = 1,
                     filter: Option[Column] = None,
@@ -4373,14 +4379,48 @@ class GraftClient(spark: SparkSession, root: String,
       // exactly searchBatch's knob (oracle twins and recall rows)
       (if (forceExact) None else hnswServable(pm, coll)) match {
         case Some((vB, hm)) =>
-          val depth = k * groupSize // group-aware over-fetch
-          (if (filter.isEmpty)
-            hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
-          else
-            hnswScoredFiltered(pm, coll, vB, hm, qvec, filter, None,
-              depth, refine, ef))
-            .select(col("vector_key").as("key"), col("distance"),
-              col("metadata").as("meta"))
+          def walk(mult: Int): DataFrame = {
+            val depth = k * groupSize * mult // group-aware over-fetch
+            if (filter.isEmpty)
+              hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
+            else
+              hnswScoredFiltered(pm, coll, vB, hm, qvec, filter, None,
+                depth, refine, ef)
+          }
+          // Iterative beam expansion (Milvus's grouping-search stance:
+          // its over-fetched pool grows until groups fill), ONLY when
+          // ef is auto — an explicit ef is the caller's beam, honored
+          // verbatim (the exactness contract: ef >= corpus stays
+          // provably exhaustive at mult 1). A bounded top-k·groupSize
+          // pool can be crowded out entirely by one dense near group,
+          // returning FEWER than k groups while the corpus holds k —
+          // so when fewer than k groups have groupSize candidates,
+          // quadruple the walk depth (pool and auto-beam scale with
+          // it) up to twice, stopping early once the pool covers the
+          // served row count (the walk is exhaustive there — more beam
+          // cannot find more). Each check is one bounded agg over
+          // ≤pool candidate rows; this surface is documented non-lazy
+          // already (pass 1 collects at call time).
+          var mult = 1
+          var arm = walk(mult)
+          if (ef == 0) {
+            val served = hm.graphRows + hm.tailEst
+            var tries = 0
+            while (tries < 2 &&
+                k.toLong * groupSize * mult * refine < served && {
+              val filled = arm
+                .withColumn("__grp",
+                  element_at(col("metadata"), lit(groupByKey)))
+                .filter(col("__grp").isNotNull)
+                .groupBy(col("__grp"))
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+                .filter(col("__n") >= groupSize)
+                .count()
+              filled < k
+            }) { mult *= 4; arm = walk(mult); tries += 1 }
+          }
+          arm.select(col("vector_key").as("key"), col("distance"),
+            col("metadata").as("meta"))
         case None =>
           val arm = prunedCellsOrScan(pm, coll,
               if (forceExact) None else liveIndex(pm, coll),

@@ -416,6 +416,35 @@ class HnswClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("ef"))
   }
 
+  test("auto-ef grouped walks expand until the requested groups fill " +
+       "(one dense near group cannot crowd the pool below k groups)") {
+    import spark.implicits._
+    val (client, _) = mkClient()
+    client.createCollection("hx", dim = dim, indexType = "HNSW", buckets = 4)
+    // adversarial geometry: 200 rows of group a hug the query; groups
+    // b (20 rows) and c (17 rows) sit at ~10 and ~20 away — the initial
+    // k·groupSize·refine pool is pure group a
+    val q = Seq.tabulate(dim)(j => math.sin(j * 0.31).toFloat)
+    def jitter(i: Int, j: Int): Float = (((i * 31 + j * 17) % 13) / 130.0f)
+    val rows =
+      (0 until 200).map(i => (f"a$i%04d",
+        q.zipWithIndex.map { case (x, j) => x + 1f + jitter(i, j) }, Map("grp" -> "a"))) ++
+      (0 until 20).map(i => (f"b$i%04d",
+        q.zipWithIndex.map { case (x, j) => x + 10f + jitter(i, j) }, Map("grp" -> "b"))) ++
+      (0 until 17).map(i => (f"c$i%04d",
+        q.zipWithIndex.map { case (x, j) => x + 20f + jitter(i, j) }, Map("grp" -> "c")))
+    client.upsert("hx", rows.toDF("key", "vec", "meta"))
+    client.buildIndex("hx", nlist = 0)
+
+    val df = client.searchGrouped("hx", q.toArray, k = 3, groupByKey = "grp",
+      groupSize = 2) // ef auto — the expansion path
+    assert(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "the expanded grouped walk must still ride the graph")
+    val groups = df.collect().map(r => (r.getString(0), r.getLong(1))).distinct
+    assert(groups.toSeq.sorted == Seq(("a", 1L), ("b", 2L), ("c", 3L)),
+      s"all three groups must surface in distance order, got ${groups.toSeq}")
+  }
+
   test("create-boundary validation") {
     val (client, _) = mkClient()
     // HNSW params rejected on other index types
