@@ -492,6 +492,54 @@ object VectorQueries {
       .orderBy(col("grp_rank"), col("rn"))
   }
 
+  /** B6 (r14): Milvus offset paging on an HNSW collection, on the
+    * ORACLE path — `search(offset = 10, k = 10)` pages THROUGH the
+    * graph walk (walk depth = offset + k, the pool covers the page, the
+    * global page window ranks it). `ef ≥ corpus` + a corpus-covering
+    * pool make the walk exhaustive, so the second page is exactly
+    * brute-force rows 11–20 and hash-comparable. Plan-asserted: the
+    * exact fallback would return identical values. */
+  def knnHnswPaged(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val n = emb.count().toInt // parquet-footer count — no scan
+    val k = 10; val offset = 10
+    val df = client.search("embhnsw", q, k = k, offset = offset, ef = n,
+      refine = (n + offset + k - 1) / (offset + k))
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_paged: the paged search did not ride the graph walk")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  /** B4×B5 (r14): batched multi-query search THROUGH the HNSW graphs on
+    * the ORACLE path — stage 1 walks every (shard × query) pair with
+    * the batched scatter-gather (each task deserializes its shard once
+    * for the whole query batch), one bounded heap per query, exact
+    * re-rank tail. `ef ≥ corpus` + corpus-covering pools make every
+    * query's walk exhaustive, so the batch is exactly brute force per
+    * query and hash-comparable; the graph plan is asserted so a silent
+    * exact fallback cannot pass. */
+  def knnHnswBatched(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val n = emb.count().toInt // parquet-footer count — no scan
+    val k = 10
+    val df = client.searchBatch("embhnsw", queries, k = k, ef = n,
+      refine = (n + k - 1) / k)
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_batched: batch stage 1 did not ride the graph walk")
+    df.select(col("qid"), col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"))
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
+
   // HNSW growing-tail client: built like hnswClientFor, then TWO
   // post-build commits land (a new key carrying vec_id 1's embedding, a
   // delete of vec_id 2's key) WITHOUT folding — so searches must serve
@@ -592,6 +640,8 @@ object VectorQueries {
     "knn_hnsw_topk" -> knnHnsw _,
     "knn_hnsw_filtered" -> knnHnswFiltered _,
     "knn_hnsw_grouped" -> knnHnswGrouped _,
+    "knn_hnsw_paged" -> knnHnswPaged _,
+    "knn_hnsw_batched" -> knnHnswBatched _,
     "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
@@ -675,6 +725,17 @@ object VectorQueries {
           SELECT group_value, grp_rank, rn, vec_id, dist FROM r
           WHERE grp_rank <= 3 AND rn <= 2
           ORDER BY grp_rank, rn""",
+    "knn_hnsw_paged" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
+    "knn_hnsw_batched" ->
+      """SELECT qid, vec_id, dist FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                  list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dist,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS rn
+           FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
+         WHERE rn <= 10 ORDER BY qid, dist, vec_id""",
     "knn_hnsw_tail" ->
       s"""WITH live AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
