@@ -200,7 +200,8 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(map_from_entries(collect_list(
         struct(xxhash64(col("w")), col("tf").cast("double")))).as("vec"))
       .select(col("key"), col("vec"),
-        typedLit(Map.empty[String, String]).as("meta")))
+        map(lit("par"), when(expr("cast(substring(key, 2) as int) % 2 = 0"),
+          lit("e")).otherwise(lit("o"))).as("meta")))
     client.buildTextIndex("sp", docsDf)
     client.buildIndex("sp", nlist = 4)
     val q = sq(client, "hash", "join", "pages")
@@ -221,6 +222,23 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (k, math.rint(s * 1e6) / 1e6)
     }.sortBy { case (k, s) => (-s, k) }.take(6)
     assert(viaN == model)
+    // per-arm expr on the sparse-primary arm routes through
+    // searchSparse's OWN pre-filter (the collection owns its vectors —
+    // a different path from the attached arm's post-topK gate): the
+    // sparse arm sees only even-keyed docs, BM25 stays unfiltered
+    val viaE = client.hybridSearchRequests("sp",
+        Seq(AnnRequest.SparseField(q, expr = """par == "e""""),
+          AnnRequest.Bm25Text("hash join")), k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val spE = rank(client.searchSparse("sp", q, k = 15,
+        filter = Some(element_at(col("meta"), "par") === "e"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    val modelE = (spE.keySet ++ bm.keySet).toSeq.map { k =>
+      val s = Seq(spE.get(k), bm.get(k)).flatten.map(r => 1.0 / (60 + r)).sum
+      (k, math.rint(s * 1e6) / 1e6)
+    }.sortBy { case (k, s) => (-s, k) }.take(6)
+    assert(viaE == modelE,
+      "the sparse-primary arm must honor its own expr through searchSparse")
     // and a Dense arm on the sparse collection still refuses
     assert(intercept[IllegalArgumentException] {
       client.hybridSearchRequests("sp",
