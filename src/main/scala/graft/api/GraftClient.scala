@@ -6713,6 +6713,13 @@ class GraftClient(spark: SparkSession, root: String,
     * port with per-arm exprs keeps each arm's own constraint instead of
     * hand-intersecting them into one over-constraining shared filter.
     *
+    * `partitions` is Milvus's `partition_names` (r14): dense and
+    * sparse-collection arms scope through their own surfaces
+    * (directory-level prune), the attached-sparse arm gates its hits
+    * to the scoped partitions' keys, and a Bm25Text arm accepts at
+    * most one named partition (per-partition text indexes carry their
+    * own corpus stats — BM25 scores across stat bases don't merge).
+    *
     * Rankers, exactly the pairwise tails' algebra so two-arm calls are
     * result-identical to the dedicated surfaces: "rrf" emits
     * (key, rank_0..rank_{n-1}, rrf = Σ 1/(rrfK + rank_i), absent arm
@@ -6727,9 +6734,26 @@ class GraftClient(spark: SparkSession, root: String,
       k: Int = 10, armK: Int = 15, ranker: String = "rrf", rrfK: Int = 60,
       filter: Option[Column] = None,
       offset: Int = 0,
-      outputFields: Seq[String] = Nil): DataFrame = {
+      outputFields: Seq[String] = Nil,
+      partitions: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = metaOrThrow(name)
+    // Milvus partition_names (r14): every arm scopes to the named
+    // partitions — dense and sparse arms through their own surfaces'
+    // scoping (directory-level prune), the attached-sparse arm through
+    // a scoped-keys gate. A Bm25Text arm allows at most ONE named
+    // partition: each partition's text index carries its own corpus
+    // stats (df/avgdl/N), and BM25 scores from different stat bases do
+    // not merge into one ranking — scoping to one partition keeps the
+    // scores one-corpus-consistent (unscoped keeps today's
+    // default-partition text index).
+    val scope = resolveParts(m, partitions) // loud on a typo'd name
+    require(partitions.size <= 1 ||
+        !requests.exists(_.isInstanceOf[AnnRequest.Bm25Text]),
+      "hybrid_search with a Bm25Text arm accepts at most one partition " +
+        "name — per-partition text indexes carry their own corpus " +
+        "stats, and BM25 scores across stat bases do not merge; scope " +
+        "to a single partition or drop the Bm25Text arm")
     // a Dense arm ranks the collection's own float vectors — but a
     // hybrid WITHOUT one (sparse field ⊕ BM25 text, the lexical-pair
     // pattern a sparse-primary Milvus collection runs) is legal on any
@@ -6770,34 +6794,56 @@ class GraftClient(spark: SparkSession, root: String,
         case (a, b) => a.orElse(b)
       }
     }
+    // the keys living in the scoped partitions that pass `f` (all of
+    // them when f is None) — the attached arm's partition gate; each
+    // partition's scan rides the scalar-index bucket prune
+    def scopedPassingKeys(f: Option[Column]): DataFrame =
+      scope.map { p =>
+        val pm = partMeta(m, p)
+        f match {
+          case Some(ff) =>
+            scalarPrunedRead(pm, collection(pm), Some(ff)).filter(ff)
+              .select("key")
+          case None => collection(pm).read(spark).select("key")
+        }
+      }.reduce(_ unionByName _)
     // each arm → (key, __s) + whether SMALLER __s is better
     val arms: Seq[(DataFrame, Boolean)] = requests.map {
       case AnnRequest.Dense(qv, np, rf, ef, _, expr) =>
         (search(name, qv, armK, armFilter(expr), nprobe = np, refine = rf,
-            ef = ef)
+            ef = ef, partitions = partitions)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
       case AnnRequest.SparseField(q, dir, metric, _, expr) =>
         // on a SPARSE_FLOAT_VECTOR collection with no explicit dir, the
         // arm IS the collection's own sparse search (index-served when
-        // fresh, exact otherwise — searchSparse's dispatch, filter
-        // included); dense collections ride the attached/caller layout
+        // fresh, exact otherwise — searchSparse's dispatch, filter and
+        // partition scope included); dense collections ride the
+        // attached/caller layout
         if (dir.isEmpty && sparseVec(m))
           // the request's metric is validated against the collection's
           // create-time metric inside searchSparse — never overridden
           (searchSparse(name, q, armK, metric = metric,
-              filter = armFilter(expr))
+              filter = armFilter(expr), partitions = partitions)
             .select(col("vector_key").as("key"), col("score").as("__s")),
             false)
         else {
           val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
           val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
-          val gated = armFilter(expr).fold(hits)(f =>
-            hits.join(filterPassingKeys(m, f), Seq("key"), "left_semi"))
+          // the attached layout is collection-wide: a partition scope
+          // (or a filter) gates its hits against the scoped passing
+          // keys — per-doc-absolute scores make the semi-join
+          // order-preserving, exactly the filter gate's argument
+          val af = armFilter(expr)
+          val gated =
+            if (af.isEmpty && partitions.isEmpty) hits
+            else hits.join(scopedPassingKeys(af), Seq("key"), "left_semi")
           (gated.select(col("key"), col("score").as("__s")), false)
         }
       case AnnRequest.Bm25Text(raw, _, expr) =>
-        (fullTextSearch(name, raw, k = armK, filter = armFilter(expr))
+        (fullTextSearch(name, raw, k = armK, filter = armFilter(expr),
+            partition = partitions.headOption
+              .getOrElse(GraftClient.DefaultPartition))
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           false)
     }
@@ -6843,10 +6889,11 @@ class GraftClient(spark: SparkSession, root: String,
         .filter(col("__rn") > offset).drop("__rn")
         .orderBy(desc(fusedCol), col("key"))
     // Milvus output_fields: the fused frame carries no metadata — the
-    // ≤k winners broadcast-join the live stores for the requested fields
+    // ≤k winners broadcast-join the live stores for the requested
+    // fields (the SCOPED stores: every hit lives in a scoped partition)
     if (outputFields.isEmpty) page
     else {
-      val stores = listedPartitions(m)
+      val stores = scope
         .map(p => collection(partMeta(m, p)).read(spark))
         .reduce(_ unionByName _)
       val withMeta = stores.select(col("key"), col("meta").as("metadata"))

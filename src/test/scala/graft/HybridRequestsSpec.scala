@@ -246,6 +246,87 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("searchSparse"))
   }
 
+  test("partition_names scope every arm (Milvus hybrid_search parity); " +
+       "Bm25Text allows at most one named partition") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-hr-parts").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("hp", dim = 4, buckets = 2)
+    client.createPartition("hp", "p1")
+    def rowsOf(ks: Seq[String]) = docs.filter(d => ks.contains(d._1))
+      .map { case (kk, _, g) =>
+        (kk, vec(kk.drop(1).toInt), Map("grp" -> g)) }
+      .toDF("key", "vec", "meta")
+    client.upsert("hp", rowsOf(Seq("d1", "d2", "d3")))
+    client.upsert("hp", rowsOf(Seq("d4", "d5", "d6")), partition = "p1")
+    // per-partition text indexes (each carries its own corpus stats)
+    def textsOf(ks: Seq[String]) = docs.filter(d => ks.contains(d._1))
+      .map { case (kk, t, _) => (kk, t) }.toDF("key", "text")
+    client.buildTextIndex("hp", textsOf(Seq("d1", "d2", "d3")))
+    client.buildTextIndex("hp", textsOf(Seq("d4", "d5", "d6")), partition = "p1")
+    // a partitioned collection refuses the ATTACHED sparse index (one
+    // stamp cannot cover many partitions' snapshot clocks), so the
+    // sparse arm rides a caller-managed sparseDir layout — and the
+    // r14 scope gate must still restrict its hits to the partitions
+    val spDir = s"$root/caller-sparse"
+    graft.index.SparseIndex.build(docs.map { case (kk, t, _) => (kk, t) }
+      .toDF("id", "text")
+      .select(col("id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("id"), xxhash64(col("w")).as("dim"),
+        col("tf").cast("double").as("w")), spDir)
+    val q = sq(client, "hash", "join", "pages")
+    def rank(rows: Seq[(String, Double)], asc: Boolean): Map[String, Int] =
+      rows.sortBy { case (k, s) => (if (asc) s else -s, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    def fuse(armRanks: Seq[Map[String, Int]], k: Int): Seq[(String, Double)] =
+      armRanks.flatMap(_.keySet).distinct.map { kk =>
+        val s = armRanks.flatMap(_.get(kk)).map(r => 1.0 / (60 + r)).sum
+        (kk, math.rint(s * 1e6) / 1e6)
+      }.sortBy { case (kk, s) => (-s, kk) }.take(k)
+
+    // [Dense, SparseField] scoped to p1: both arms see only p1 rows
+    val viaScoped = client.hybridSearchRequests("hp",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.SparseField(q, sparseDir = spDir)),
+        k = 6, partitions = Seq("p1"))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val p1Keys = Set("d4", "d5", "d6")
+    assert(viaScoped.map(_._1).forall(p1Keys),
+      s"scoped hybrid leaked non-p1 keys: $viaScoped")
+    val denseP1 = rank(client.search("hp", qvec, 15, partitions = Seq("p1"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = true)
+    // model the sparse arm directly: attached topK gated to p1 keys
+    val spHits = graft.index.SparseIndex.topK(spark, spDir, q, 15, "dot")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .filter { case (kk, _) => p1Keys(kk) }
+    val spRank = rank(spHits, asc = false)
+    assert(viaScoped == fuse(Seq(denseP1, spRank), 6),
+      "scoped [Dense, Sparse] must equal the per-arm scoped fusion")
+
+    // [Dense, Bm25Text] scoped to p1: BM25 from p1's OWN text index
+    val viaBm = client.hybridSearchRequests("hp",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.Bm25Text("hash join")),
+        k = 6, partitions = Seq("p1"))
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val bmP1 = rank(client.fullTextSearch("hp", "hash join", k = 15,
+        partition = "p1")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = false)
+    assert(viaBm == fuse(Seq(denseP1, bmP1), 6),
+      "scoped [Dense, Bm25Text] must ride p1's own text index")
+
+    // Bm25Text with two named partitions refuses (stat bases don't merge)
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hp",
+        Seq(AnnRequest.Bm25Text("hash join")),
+        partitions = Seq("_default", "p1"))
+    }.getMessage.contains("one partition"))
+    // a typo'd partition refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hp", Seq(AnnRequest.Dense(qvec)),
+        partitions = Seq("nope"))
+    }.getMessage.contains("no partition"))
+  }
+
   test("validation: rankers, weights, arm preconditions") {
     val client = mkClient()
     assert(intercept[IllegalArgumentException] {
