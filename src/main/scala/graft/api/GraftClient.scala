@@ -6785,14 +6785,20 @@ class GraftClient(spark: SparkSession, root: String,
         "WeightedRanker weights must not all be 0")
     }
     // the filter an arm actually sees: the shared filter AND the arm's
-    // own expr (Milvus AnnSearchRequest.expr — parsed by the same
-    // grammar the string surfaces use, binding this arm only)
-    def armFilter(expr: String): Option[Column] = {
-      val per = if (expr.isEmpty) None else Some(MilvusFilter.parse(expr))
-      (filter, per) match {
+    // own expr (Milvus AnnSearchRequest.expr — the FULL grammar the
+    // string surfaces take: TEXT_MATCH/PHRASE_MATCH conjuncts split
+    // into (terms, mode) gates, the rest translated), binding this arm
+    // only
+    def armFilterAndGates(expr: String)
+        : (Option[Column], Seq[(Seq[String], String)]) = {
+      val (per, gates) =
+        if (expr.isEmpty) (None, Seq.empty[(Seq[String], String)])
+        else MilvusFilter.parseWithMatches(expr)
+      val combined = (filter, per) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       }
+      (combined, gates)
     }
     // the keys living in the scoped partitions that pass `f` (all of
     // them when f is None) — the attached arm's partition gate; each
@@ -6810,11 +6816,13 @@ class GraftClient(spark: SparkSession, root: String,
     // each arm → (key, __s) + whether SMALLER __s is better
     val arms: Seq[(DataFrame, Boolean)] = requests.map {
       case AnnRequest.Dense(qv, np, rf, ef, _, expr) =>
-        (search(name, qv, armK, armFilter(expr), nprobe = np, refine = rf,
-            ef = ef, partitions = partitions)
+        val (af, gates) = armFilterAndGates(expr)
+        (search(name, qv, armK, af, nprobe = np, refine = rf,
+            ef = ef, partitions = partitions, matchGates = gates)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
       case AnnRequest.SparseField(q, dir, metric, _, expr) =>
+        val (af, gates) = armFilterAndGates(expr)
         // on a SPARSE_FLOAT_VECTOR collection with no explicit dir, the
         // arm IS the collection's own sparse search (index-served when
         // fresh, exact otherwise — searchSparse's dispatch, filter and
@@ -6824,24 +6832,31 @@ class GraftClient(spark: SparkSession, root: String,
           // the request's metric is validated against the collection's
           // create-time metric inside searchSparse — never overridden
           (searchSparse(name, q, armK, metric = metric,
-              filter = armFilter(expr), partitions = partitions)
+              filter = af, partitions = partitions, matchGates = gates)
             .select(col("vector_key").as("key"), col("score").as("__s")),
             false)
         else {
           val d = if (dir.nonEmpty) dir else attachedSparseDirOrThrow(m)
           val hits = sparseHitsKeyed(SparseIndex.topK(spark, d, q, armK, metric))
-          // the attached layout is collection-wide: a partition scope
-          // (or a filter) gates its hits against the scoped passing
-          // keys — per-doc-absolute scores make the semi-join
+          // the attached layout is collection-wide: a partition scope,
+          // a filter, or a TEXT_MATCH gate restricts its hits via key
+          // semi-joins — per-doc-absolute scores make them
           // order-preserving, exactly the filter gate's argument
-          val af = armFilter(expr)
+          val gated0 = matchGateKeys(m, gates)
+            .fold(hits)(g => hits.join(g, Seq("key"), "left_semi"))
           val gated =
-            if (af.isEmpty && partitions.isEmpty) hits
-            else hits.join(scopedPassingKeys(af), Seq("key"), "left_semi")
+            if (af.isEmpty && partitions.isEmpty) gated0
+            else gated0.join(scopedPassingKeys(af), Seq("key"), "left_semi")
           (gated.select(col("key"), col("score").as("__s")), false)
         }
       case AnnRequest.Bm25Text(raw, _, expr) =>
-        (fullTextSearch(name, raw, k = armK, filter = armFilter(expr),
+        val (af, gates) = armFilterAndGates(expr)
+        require(gates.isEmpty,
+          "TEXT_MATCH/PHRASE_MATCH inside a Bm25Text arm's expr is not " +
+            "supported — the arm IS a text query ranked from the same " +
+            "postings; put the terms in the query string, or gate the " +
+            "other arms' exprs instead")
+        (fullTextSearch(name, raw, k = armK, filter = af,
             partition = partitions.headOption
               .getOrElse(GraftClient.DefaultPartition))
           .select(col("vector_key").as("key"), col("distance").as("__s")),

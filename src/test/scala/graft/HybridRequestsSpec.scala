@@ -167,6 +167,41 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(shared) == model(shared, _ != "d4"))
   }
 
+  test("per-arm expr carries TEXT_MATCH gates (the full Milvus grammar " +
+       "per arm); a Bm25Text arm refuses match conjuncts pointedly") {
+    val client = mkClient()
+    val q = sq(client, "scan", "pages")
+    def rank(rows: Seq[(String, Double)], asc: Boolean): Map[String, Int] =
+      rows.sortBy { case (k, s) => (if (asc) s else -s, k) }
+        .zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    // dense arm gated to docs containing "hash", sparse (attached) arm
+    // gated to docs containing "sorted" — each through its OWN expr
+    val got = client.hybridSearchRequests("hr", Seq(
+        AnnRequest.Dense(qvec, expr = """TEXT_MATCH(text, "hash")"""),
+        AnnRequest.SparseField(q, expr = """TEXT_MATCH(text, "sorted")""")),
+      k = 6)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    // models: the dedicated matchTerms surface for the dense arm; the
+    // sparse hits driver-filtered to the docs that contain "sorted"
+    val dense = rank(client.search("hr", qvec, 15, matchTerms = Seq("hash"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = true)
+    val sortedDocs = docs.filter(_._2.split(" ").contains("sorted")).map(_._1).toSet
+    val sparse = rank(client.searchSparse("hr", q, k = 15)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .filter { case (k, _) => sortedDocs(k) }, asc = false)
+    val model = (dense.keySet ++ sparse.keySet).toSeq.map { k =>
+      val s = Seq(dense.get(k), sparse.get(k)).flatten.map(r => 1.0 / (60 + r)).sum
+      (k, math.rint(s * 1e6) / 1e6)
+    }.sortBy { case (k, s) => (-s, k) }.take(6)
+    assert(got == model,
+      "per-arm TEXT_MATCH gates must bind each arm independently")
+    // a Bm25Text arm IS a text query — match conjuncts in its expr refuse
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr", Seq(
+        AnnRequest.Bm25Text("hash join", expr = """TEXT_MATCH(text, "x")""")))
+    }.getMessage.contains("Bm25Text"))
+  }
+
   test("offset pages the fused ranking; output_fields joins metadata") {
     val client = mkClient()
     val reqs = Seq(AnnRequest.Dense(qvec), AnnRequest.Bm25Text("hash join"))
