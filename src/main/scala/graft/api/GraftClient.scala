@@ -6735,7 +6735,8 @@ class GraftClient(spark: SparkSession, root: String,
       filter: Option[Column] = None,
       offset: Int = 0,
       outputFields: Seq[String] = Nil,
-      partitions: Seq[String] = Nil): DataFrame = {
+      partitions: Seq[String] = Nil,
+      consistencyLevel: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = metaOrThrow(name)
     // Milvus partition_names (r14): every arm scopes to the named
@@ -6747,6 +6748,12 @@ class GraftClient(spark: SparkSession, root: String,
     // not merge into one ranking — scoping to one partition keeps the
     // scores one-corpus-consistent (unscoped keeps today's
     // default-partition text index).
+    // pymilvus hybrid_search takes consistency_level too: validated up
+    // front (a typo must not depend on which arms the mix carries) and
+    // threaded to the arms that resolve reads (dense + sparse-collection;
+    // the index-served BM25/attached arms pin freshness through their own
+    // stamp gates, which is Strong by construction)
+    if (consistencyLevel.nonEmpty) effectiveLevel(m, consistencyLevel)
     val scope = resolveParts(m, partitions) // loud on a typo'd name
     require(partitions.size <= 1 ||
         !requests.exists(_.isInstanceOf[AnnRequest.Bm25Text]),
@@ -6818,7 +6825,8 @@ class GraftClient(spark: SparkSession, root: String,
       case AnnRequest.Dense(qv, np, rf, ef, _, expr) =>
         val (af, gates) = armFilterAndGates(expr)
         (search(name, qv, armK, af, nprobe = np, refine = rf,
-            ef = ef, partitions = partitions, matchGates = gates)
+            ef = ef, partitions = partitions, matchGates = gates,
+            consistencyLevel = consistencyLevel)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
       case AnnRequest.SparseField(q, dir, metric, _, expr) =>
@@ -6832,7 +6840,8 @@ class GraftClient(spark: SparkSession, root: String,
           // the request's metric is validated against the collection's
           // create-time metric inside searchSparse — never overridden
           (searchSparse(name, q, armK, metric = metric,
-              filter = af, partitions = partitions, matchGates = gates)
+              filter = af, partitions = partitions, matchGates = gates,
+              consistencyLevel = consistencyLevel)
             .select(col("vector_key").as("key"), col("score").as("__s")),
             false)
         else {

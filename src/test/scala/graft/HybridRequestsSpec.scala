@@ -375,6 +375,16 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.hybridSearchRequests("hr",
         Seq(AnnRequest.Dense(qvec, weight = 1.5)), ranker = "weighted")
     }.getMessage.contains("[0, 1]"))
+    // consistency_level (pymilvus parity): validated up front regardless
+    // of the arm mix; a valid level threads to the read-resolving arms
+    assert(intercept[IllegalArgumentException] {
+      client.hybridSearchRequests("hr", Seq(AnnRequest.Dense(qvec)),
+        consistencyLevel = "Sorta")
+    }.getMessage.contains("consistency"))
+    assert(client.hybridSearchRequests("hr",
+        Seq(AnnRequest.Dense(qvec), AnnRequest.SparseField(sq(client, "hash"))),
+        k = 3, consistencyLevel = "Session")
+      .count() > 0, "a valid level must pass through both arms")
     // a Bm25Text arm on a stale text index raises loudly mid-plan
     import spark.implicits._
     client.upsert("hr", Seq(("dx", Seq(0f, 0f, 0f, 1f),
