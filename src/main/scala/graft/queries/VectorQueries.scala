@@ -540,6 +540,31 @@ object VectorQueries {
       .orderBy(col("qid"), col("dist"), col("vec_id"))
   }
 
+  /** B6 (r14): range search on an HNSW collection, on the ORACLE path —
+    * the surface is EXACT BY DESIGN there (key-hash graph shards span
+    * the whole space, and a radius-bounded walk misses in-range nodes
+    * whose only paths cross out-of-range ones; see the GraftClient
+    * dispatch table), so the declared query pins the documented
+    * exact-scan contract: the band answer must hash-equal DuckDB's
+    * brute force, and the plan must NOT carry the graph walk — a future
+    * "optimization" sneaking a recall-bounded walk in here would break
+    * the soundness decision this query exists to guard. */
+  def knnHnswRange(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val df = client.searchRange("embhnsw", q, radius = 1.25,
+      rangeFilter = 0.5)
+    require(!df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_range: range search on HNSW must stay the exact scan " +
+        "(a radius-bounded walk cannot meet the exact contract)")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   // HNSW growing-tail client: built like hnswClientFor, then TWO
   // post-build commits land (a new key carrying vec_id 1's embedding, a
   // delete of vec_id 2's key) WITHOUT folding — so searches must serve
@@ -641,6 +666,7 @@ object VectorQueries {
     "knn_hnsw_filtered" -> knnHnswFiltered _,
     "knn_hnsw_grouped" -> knnHnswGrouped _,
     "knn_hnsw_paged" -> knnHnswPaged _,
+    "knn_hnsw_range" -> knnHnswRange _,
     "knn_hnsw_batched" -> knnHnswBatched _,
     "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
@@ -725,9 +751,19 @@ object VectorQueries {
           SELECT group_value, grp_rank, rn, vec_id, dist FROM r
           WHERE grp_rank <= 3 AND rn <= 2
           ORDER BY grp_rank, rn""",
+    "knn_hnsw_range" ->
+      s"""SELECT vec_id, dist, label FROM (
+            SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+            FROM embeddings e, $qv q)
+          WHERE dist >= 0.5 AND dist < 1.25 ORDER BY dist, vec_id""",
     "knn_hnsw_paged" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
+    "knn_hnsw_range" ->
+      s"""SELECT vec_id, dist, label FROM (
+            SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+            FROM embeddings e, $qv q)
+          WHERE dist >= 0.5 AND dist < 1.25 ORDER BY dist, vec_id""",
     "knn_hnsw_batched" ->
       """SELECT qid, vec_id, dist FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
