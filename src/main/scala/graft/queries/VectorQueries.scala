@@ -565,6 +565,31 @@ object VectorQueries {
       .orderBy(col("dist"), col("vec_id"))
   }
 
+  /** B6 (r14): `search_iterator` on an HNSW collection, on the ORACLE
+    * path — the drain is the EXACT keyset scan BY DESIGN (a graph walk
+    * emits only its beam, which has no keyset to resume a deep page
+    * from; see the GraftClient dispatch table): two 50-row pages, the
+    * second continuing from the first's strict (distance, key) cursor,
+    * hash-compared against DuckDB's brute-force total ordering. The
+    * dispatch is pinned: no margin stream may serve (those belong to
+    * the quantized families), so the exact-drain decision cannot
+    * silently flip. */
+  def knnHnswIter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val client = hnswClientFor(spark, dir)
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.api.GraftClient.resetMarginFamilies()
+    val rows = client.searchIterator("embhnsw", q, batchSize = 50)
+      .take(2).flatten.toSeq
+    require(graft.api.GraftClient.marginFamiliesSeen.isEmpty,
+      "knn_hnsw_iter: the HNSW drain must be the exact keyset scan, " +
+        "never a quantized margin stream")
+    rows.map(r => (r.getString(0).toLong, r.getDouble(1)))
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   // HNSW growing-tail client: built like hnswClientFor, then TWO
   // post-build commits land (a new key carrying vec_id 1's embedding, a
   // delete of vec_id 2's key) WITHOUT folding — so searches must serve
@@ -667,6 +692,7 @@ object VectorQueries {
     "knn_hnsw_grouped" -> knnHnswGrouped _,
     "knn_hnsw_paged" -> knnHnswPaged _,
     "knn_hnsw_range" -> knnHnswRange _,
+    "knn_hnsw_iter" -> knnHnswIter _,
     "knn_hnsw_batched" -> knnHnswBatched _,
     "knn_hnsw_tail" -> knnHnswTail _,
     "milvus_count_filtered" -> milvusCountFiltered _,
@@ -751,6 +777,9 @@ object VectorQueries {
           SELECT group_value, grp_rank, rn, vec_id, dist FROM r
           WHERE grp_rank <= 3 AND rn <= 2
           ORDER BY grp_rank, rn""",
+    "knn_hnsw_iter" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 100""",
     "knn_hnsw_range" ->
       s"""SELECT vec_id, dist, label FROM (
             SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
@@ -759,6 +788,9 @@ object VectorQueries {
     "knn_hnsw_paged" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
+    "knn_hnsw_iter" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 100""",
     "knn_hnsw_range" ->
       s"""SELECT vec_id, dist, label FROM (
             SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
