@@ -494,6 +494,58 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("text"))
   }
 
+  test("landing-file ingest into a PARTITION-KEY sparse collection: " +
+       "micro-batches route through the pk router, the live set and " +
+       "exact sparse ranking track puts and deletes") {
+    import spark.implicits._
+    import graft.ingest.SparseFeaturizer
+    val root = java.nio.file.Files.createTempDirectory("sparse-pk-ingest").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("spk", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR",
+      partitionKey = "category", numPartitions = 4)
+    val fz = SparseFeaturizer.hashingTf
+    val texts = Map(
+      "doc-a" -> "spark shuffles hash join hash",
+      "doc-b" -> "sort merge join over sorted runs",
+      "doc-c" -> "hash partitioned spark scan")
+    val objects = texts.toSeq.toDF("key", "text")
+    def landing(dir: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(dir, "events.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    }
+    // two tenants' events — the pk router must hash each put to its
+    // category's partition (tags carry the pk value)
+    landing(s"$root/landing1", Seq(
+      TestDirs.notif("ObjectCreated:Put", "doc-a", category = "t1"),
+      TestDirs.notif("ObjectCreated:Put", "doc-b", category = "t2"),
+      TestDirs.notif("ObjectCreated:Put", "doc-c", category = "t1")))
+    client.startIngest("spk", s"$root/landing1", objects)
+      .awaitTermination(120000)
+    assert(client.count("spk") == 3)
+    val qv: Seq[(Long, Double)] = Seq("hash" -> 2.0, "join" -> 1.0,
+      "spark" -> 1.5).map { case (w, x) => SparseFeaturizer.xxhash64(w) -> x }
+    val live1 = texts.map { case (k, t) => k -> fz.featurize(t) }
+    assert(hits(client.searchSparse("spk", qv, k = 10)) ==
+      expect(exactTop(live1, qv, 10)),
+      "routed streamed docs must rank exactly across the pk partitions")
+    // partition-key scoping sees only the tenant's docs
+    assert(client.searchSparse("spk", qv, k = 10,
+        filter = Some(element_at(col("meta"), "category") === "t1"))
+      .collect().map(_.getString(0)).toSet == Set("doc-a", "doc-c"))
+    // a delete event fans to every partition and lands
+    landing(s"$root/landing2", Seq(
+      TestDirs.notif("ObjectRemoved:Delete", "doc-b")))
+    client.startIngest("spk", s"$root/landing2", objects)
+      .awaitTermination(120000)
+    assert(client.count("spk") == 2)
+    assert(hits(client.searchSparse("spk", qv, k = 10)) ==
+      expect(exactTop(live1 - "doc-b", qv, 10)),
+      "the routed delete must drop the row from the ranking")
+  }
+
   test("compact() folds the auto-appended postings segments; searches " +
        "and freshness survive; concurrent writers stay model-exact") {
     val (client, root) = mkClient()
