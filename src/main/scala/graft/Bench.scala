@@ -74,6 +74,17 @@ object Bench {
     // Phase 1: the iterative dedup family, first and alone in the clean
     // JVM. Phase 2: everything else in the existing sorted order.
     val (dedupNames, restNames) = names.partition(_.startsWith("dedup_"))
+    // Phase-isolation guard (r15): the dedup family's numbers are only
+    // meaningful in a clean JVM — a fixture persisted before phase 1
+    // (eager construction in the queries map, a reordered phase) would
+    // silently reintroduce the r11–r13 drift class this phasing fixed.
+    // getPersistentRDDs sees every cached fixture and localCheckpoint
+    // block holder; fail loudly rather than emit drifted numbers.
+    val preLeak = spark.sparkContext.getPersistentRDDs
+    require(preLeak.isEmpty,
+      s"bench phase protocol violated: ${preLeak.size} RDD(s) already " +
+        "persisted before the dedup phase — a fixture leaked ahead of " +
+        "phase 1; restore the ordering before trusting dedup numbers")
     val dedupResults = runPhase(dedupNames)
     val statsAfterDedup = jvmStats()
     val restResults = runPhase(restNames)

@@ -85,7 +85,14 @@ import graft.streaming.BucketedKeyedCollection
   *   - '''queryWhere/count/deleteWhere''' — scalar-index bucket prune
   *     when the filter's conjuncts allow, else the snapshot scan
   *     (correct by construction: these surfaces RETURN the matching
-  *     rows, so nothing narrower than the matching set can serve). */
+  *     rows, so nothing narrower than the matching set can serve).
+  *   - '''hybridSearchRequests, attached-sparse arm with a partition
+  *     scope and no filter''' — the gate is a key semi-join against
+  *     the scoped partitions' full key column (the attached postings
+  *     layout is collection-wide, so partition membership can only be
+  *     resolved from the stores): a narrow single-column scan per
+  *     scoped hybrid query — see [[hybridSearchRequests]]' caveats for
+  *     the at-scale alternatives. */
 class GraftClient(spark: SparkSession, root: String,
                   boundedStalenessMs: Long = GraftClient.BoundedStalenessMs) {
   private val catalog = new Catalog(s"$root/catalog")
@@ -4073,7 +4080,15 @@ class GraftClient(spark: SparkSession, root: String,
     val qa = if (pm.metric == "cosine") normalizeQuery(qvec) else qvec
     val shards = loadedIndexFrame(coll, hnswGraphsPath(pm), vB,
       () => HnswIndex.loadShards(spark, hnswGraphsPath(pm)))
-    val pool = depth * refine
+    // Long first: searchGrouped's auto-ef expansion multiplies its depth
+    // by up to 16 AFTER its own entry guard, so the product can exceed
+    // what any caller-side require covered — overflow must fail loudly
+    // here, not wrap negative into limit()
+    val poolL = depth.toLong * refine
+    require(poolL <= Int.MaxValue,
+      s"walk pool depth*refine overflows Int ($depth * $refine) — " +
+        "lower k/groupSize/refine")
+    val pool = poolL.toInt
     val efEff = if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * depth)
     val cand = HnswIndex.searchShards(shards, qa,
         math.max(efEff, pool), perShard = pool,
@@ -6719,6 +6734,19 @@ class GraftClient(spark: SparkSession, root: String,
     * to the scoped partitions' keys, and a Bm25Text arm accepts at
     * most one named partition (per-partition text indexes carry their
     * own corpus stats — BM25 scores across stat bases don't merge).
+    * Two attached-sparse caveats a migrating caller should know:
+    * (1) UNDER-FILL — the attached layout is collection-wide, so a
+    * partition scope or per-arm expr gates that arm's hits AFTER
+    * `SparseIndex.topK(armK)`: the arm returns the gate-passing subset
+    * of the GLOBAL top-armK (order-preserving, but possibly fewer than
+    * armK rows), where Milvus scopes before ranking — widen `armK`
+    * when the scope is selective to recover the gated depth. (2) COST —
+    * with a partition scope and no filter, the gate is a semi-join
+    * against the scoped partitions' full key column: a narrow
+    * single-column scan per query, fine at test scale but a per-query
+    * key-column read of the scoped partitions at 100 TB; scope via a
+    * filter (scalar-index pruned) or use a sparse COLLECTION with real
+    * partitions when that scan matters.
     *
     * Rankers, exactly the pairwise tails' algebra so two-arm calls are
     * result-identical to the dedicated surfaces: "rrf" emits

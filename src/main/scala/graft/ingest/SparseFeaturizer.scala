@@ -106,8 +106,9 @@ case class RemoteSparseFeaturizer(endpoint: String, batchSize: Int = 64,
   * batch surface in this engine builds sparse postings as
   * `xxhash64(col("word"))`, so documents streamed through this
   * featurizer and documents batch-upserted from the same text rank
-  * identically under one query vocabulary — [[SparseIngestSpec]] pins
-  * the JVM-side hash against the SQL function. */
+  * identically under one query vocabulary — SparseClientSpec's
+  * landing-file ingest test pins the JVM-side hash against the SQL
+  * function. */
 case class HashingTfFeaturizer() extends SparseFeaturizer {
   override def featurize(text: String): Map[Long, Double] = {
     val m = scala.collection.mutable.HashMap.empty[Long, Double]

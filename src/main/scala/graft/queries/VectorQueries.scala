@@ -788,14 +788,6 @@ object VectorQueries {
     "knn_hnsw_paged" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
-    "knn_hnsw_iter" ->
-      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
-          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 100""",
-    "knn_hnsw_range" ->
-      s"""SELECT vec_id, dist, label FROM (
-            SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
-            FROM embeddings e, $qv q)
-          WHERE dist >= 0.5 AND dist < 1.25 ORDER BY dist, vec_id""",
     "knn_hnsw_batched" ->
       """SELECT qid, vec_id, dist FROM (
            SELECT q.vec_id AS qid, e.vec_id AS vec_id,
