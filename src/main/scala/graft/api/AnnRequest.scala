@@ -25,10 +25,15 @@ sealed trait AnnRequest {
 object AnnRequest {
   /** The dense arm — [[GraftClient.search]] over the collection's own
     * float vectors with its knobs (nprobe/refine for IVF families, ef
-    * for HNSW). */
+    * for HNSW). `field` names a declared EXTRA vector field of a
+    * multi-vector collection (Milvus 2.4 — pymilvus
+    * `AnnSearchRequest(anns_field=...)`): the arm then ranks THAT
+    * field's vectors through its own index/staleness state; "" = the
+    * primary `vec`, so two Dense arms on different fields is exactly
+    * Milvus's cross-field hybrid_search. */
   case class Dense(qvec: Array[Float], nprobe: Int = 4, refine: Int = 4,
                    ef: Int = 0, weight: Double = 1.0,
-                   expr: String = "") extends AnnRequest
+                   expr: String = "", field: String = "") extends AnnRequest
 
   /** A sparse-field arm — the SPLADE/lexical second vector served from
     * the collection's ATTACHED sparse index ([[GraftClient.buildSparseIndex]];

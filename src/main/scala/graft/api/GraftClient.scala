@@ -294,12 +294,61 @@ class GraftClient(spark: SparkSession, root: String,
         "float query vectors; use searchSparse ((dim, weight) pairs) instead")
   }
 
+  /** The collection's FULL at-rest row schema: the family's base columns
+    * plus one ARRAY&lt;FLOAT&gt; column per declared extra vector field
+    * (Milvus 2.4 multi-vector collections — [[graft.index.VecField]]),
+    * inserted between `vec` and `meta` so the vec-agnostic tail
+    * (meta/ingest_ts/seq) keeps its position. */
+  private def storeSchema(m: CollectionMeta): StructType = {
+    val base =
+      if (binaryVec(m)) binRowSchema
+      else if (sparseVec(m)) sparseRowSchema
+      else rowSchema
+    if (m.extraVecFields.isEmpty) base
+    else {
+      val (pre, post) = base.fields.span(_.name != "meta")
+      StructType(pre ++ m.extraVecFields.map(f => org.apache.spark.sql.types
+        .StructField(f.name, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = true)) ++ post)
+    }
+  }
+
+  /** Read-only view of a multi-vector collection's store that surfaces
+    * ONE named extra vector field AS `vec` — what lets every meta-driven
+    * index/search path (IVF builds, HNSW walks, exact scans, staleness
+    * rules) serve an extra field untouched. Reads prune to the canonical
+    * five columns, so a field search never drags the OTHER fields'
+    * vectors through its scan (column pruning reaches the parquet
+    * ReadSchema). Writes are refused: every write goes through the
+    * PRIMARY meta in one commit covering all fields. */
+  private final class FieldViewCollection(root: String, fullSchema: StructType,
+      buckets: Int, retain: Int, field: String)
+    extends BucketedKeyedCollection(root, fullSchema, "key", buckets, retain) {
+    private def viewed(df: DataFrame): DataFrame =
+      df.select(col("key"), col(field).as("vec"), col("meta"),
+        col("ingest_ts"), col("seq"))
+    override def read(spark: SparkSession): DataFrame =
+      viewed(super.read(spark))
+    override def readVersion(spark: SparkSession, version: Long): DataFrame =
+      viewed(super.readVersion(spark, version))
+    override def readBuckets(spark: SparkSession, buckets: Seq[Int]): DataFrame =
+      viewed(super.readBuckets(spark, buckets))
+    override def readBucketsAt(spark: SparkSession, version: Long,
+        buckets: Seq[Int]): DataFrame =
+      viewed(super.readBucketsAt(spark, version, buckets))
+    override def commitBuckets(touched: Seq[Int], rows: DataFrame,
+        newMaxSeq: Long, expectedBase: Option[Long]): Long =
+      throw new UnsupportedOperationException(
+        s"field view '$field' is read-only — write through the collection")
+  }
+
   private def collection(meta: CollectionMeta) = {
-    val c = new BucketedKeyedCollection(meta.dataPath,
-      if (binaryVec(meta)) binRowSchema
-      else if (sparseVec(meta)) sparseRowSchema
-      else rowSchema, "key", meta.buckets,
-      retain = meta.retain)
+    val c =
+      if (meta.fieldView.nonEmpty)
+        new FieldViewCollection(meta.dataPath, storeSchema(meta),
+          meta.buckets, meta.retain, meta.fieldView)
+      else new BucketedKeyedCollection(meta.dataPath, storeSchema(meta),
+        "key", meta.buckets, retain = meta.retain)
     // Data written by the pre-bucketed KeyedCollection layout migrates
     // transparently on first open (one all-buckets rewrite) — the catalog
     // parse is backward compatible, so the data must be too.
@@ -353,7 +402,7 @@ class GraftClient(spark: SparkSession, root: String,
   // bucket dirs as partitions. Enforced at create AND rename; '.rb'
   // rebucket targets can't collide ('.' is not a legal name character).
   private def requireUnreservedName(name: String): Unit =
-    Seq("-ivf", "-text", "-parts", "-scalar").foreach(sfx =>
+    Seq("-ivf", "-text", "-parts", "-scalar", "-fields").foreach(sfx =>
       require(!name.endsWith(sfx),
         s"collection names ending in '$sfx' are reserved (derived index/" +
           "partition storage of the unsuffixed name) — pick another name"))
@@ -391,7 +440,23 @@ class GraftClient(spark: SparkSession, root: String,
     * lifetime — size it so one bucket of the target corpus fits an
     * executor's write comfortably. `retain` is the time-travel window:
     * how many snapshot versions stay readable via [[readVersion]] before
-    * the commit-time vacuum reclaims them. */
+    * the commit-time vacuum reclaims them.
+    *
+    * `vectorFields` declares EXTRA named dense vector fields (Milvus
+    * 2.4 multi-vector collections — the consolidation of the
+    * reference's two single-field deployments,
+    * `s3vectors-app/sample-deployment-text.yaml:63-64` vs
+    * `sample-deployment-image.yaml`). Storage layout: each extra field
+    * is a second ARRAY&lt;FLOAT&gt; COLUMN in the same keyed store row —
+    * NOT a shadow collection — so one upsert/delete commit covers every
+    * field atomically and consistency levels see one snapshot clock.
+    * Each field's INDEX is its own layout under `&lt;dataPath&gt;-fields/
+    * &lt;field&gt;/ivf` with its own VERSION stamp: `buildIndex(field=)`,
+    * `search(field=)`, [[AnnRequest.Dense]]`(field=)` target it, and
+    * rebuilding or staling one field's index never affects another's
+    * ([[fieldMeta]]). Field reads prune to (key, field, meta) at the
+    * parquet scan, so an N-field collection's per-field search reads
+    * one vector column, not N. */
   def createCollection(name: String, dim: Int, metric: String = "l2",
                        indexType: String = "FLAT", nlist: Int = 0,
                        buckets: Int = 16, retain: Int = 2,
@@ -402,7 +467,8 @@ class GraftClient(spark: SparkSession, root: String,
                        consistencyLevel: String = "Strong",
                        hnswM: Int = 0,
                        efConstruction: Int = 0,
-                       vectorType: String = "FLOAT_VECTOR"): Boolean = {
+                       vectorType: String = "FLOAT_VECTOR",
+                       vectorFields: Seq[graft.index.VecField] = Nil): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
@@ -424,7 +490,7 @@ class GraftClient(spark: SparkSession, root: String,
           case _ => "HNSW"
         },
         nlist, buckets, retain, partitionKey, numPartitions, pqM, pqNbits,
-        consistencyLevel, hnswM, efConstruction, vectorType)
+        consistencyLevel, hnswM, efConstruction, vectorType, vectorFields)
     if (vectorType == "SPARSE_FLOAT_VECTOR") {
       // Milvus SPARSE_FLOAT_VECTOR fields take NO dim (the dimension
       // space is the whole uint32/int64 range, occupied sparsely) — an
@@ -554,6 +620,44 @@ class GraftClient(spark: SparkSession, root: String,
     if (partitionKey.nonEmpty)
       require(numPartitions >= 1 && numPartitions <= 4096,
         s"numPartitions must be in [1, 4096] (got $numPartitions)")
+    // Milvus 2.4 multi-vector collections: extra NAMED dense fields,
+    // each a second ARRAY<FLOAT> column in the same keyed store row
+    // (one commit covers every field) with its OWN index lifecycle
+    // (buildIndex(field = ...), independent VERSION stamps). AUTOINDEX
+    // per field resolves like the primary's: HNSW, the float default.
+    val resolvedFields = vectorFields.map(f =>
+      if (f.indexType == "AUTOINDEX") f.copy(indexType = "HNSW") else f)
+    if (resolvedFields.nonEmpty) {
+      require(vectorType == "FLOAT_VECTOR",
+        s"extra vector fields require a FLOAT_VECTOR primary (got " +
+          s"$vectorType) — binary/sparse primaries stay single-field; " +
+          "put the dense field first and attach sparse via " +
+          "buildSparseIndex")
+      require(partitionKey.isEmpty,
+        "extra vector fields on a partition-key collection are not " +
+          "supported — the pk router's fan-out commits are single-field; " +
+          "use named partitions or a plain collection")
+      val names = resolvedFields.map(_.name)
+      require(names.distinct == names,
+        s"duplicate vector field names: ${names.mkString(", ")}")
+      resolvedFields.foreach { f =>
+        // field names become parquet COLUMN names and index DIRECTORY
+        // names — identifier-shaped, and never a store column
+        require(f.name.matches("[A-Za-z0-9_]+"),
+          s"illegal vector field name '${f.name}' — use [A-Za-z0-9_]+")
+        require(!Set("key", "vec", "meta", "ingest_ts", "seq",
+            "centroidId").contains(f.name) && !f.name.startsWith("__"),
+          s"vector field name '${f.name}' collides with a store column")
+        require(f.dim >= 1, s"vector field '${f.name}': dim must be >= 1")
+        require(Set("l2", "cosine", "dot").contains(f.metric),
+          s"vector field '${f.name}': metric must be l2, cosine or dot " +
+            s"(got '${f.metric}')")
+        require(Set("FLAT", "IVF_FLAT", "IVF_SQ8", "IVF_PQ", "HNSW")
+            .contains(f.indexType),
+          s"vector field '${f.name}': indexType must be FLAT, IVF_FLAT, " +
+            s"IVF_SQ8, IVF_PQ or HNSW (got '${f.indexType}')")
+      }
+    }
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
       retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
@@ -566,7 +670,7 @@ class GraftClient(spark: SparkSession, root: String,
       if (indexType == "HNSW")
         (if (efConstruction > 0) efConstruction else GraftClient.DefaultHnswEfC)
       else 0,
-      vectorType)
+      vectorType, resolvedFields)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -590,7 +694,8 @@ class GraftClient(spark: SparkSession, root: String,
       }
       deleteDir(ivfDir(meta)); deleteDir(textDir(meta))
       deleteDir(sparseIdxDir(meta)); deleteDir(scalarRoot(meta))
-      deleteDir(partsDir(meta)); deleteDir(meta.dataPath)
+      deleteDir(partsDir(meta)); deleteDir(fieldsRoot(meta))
+      deleteDir(meta.dataPath)
       if (meta.partitionKey.nonEmpty)
         (0 until meta.numPartitions).foreach(i =>
           java.nio.file.Files.createDirectories(
@@ -637,7 +742,8 @@ class GraftClient(spark: SparkSession, root: String,
         // different dim (createCollection also clears defensively)
         deleteDir(ivfDir(m)); deleteDir(textDir(m))
         deleteDir(sparseIdxDir(m)); deleteDir(scalarRoot(m))
-        deleteDir(partsDir(m)); deleteDir(m.dataPath)
+        deleteDir(partsDir(m)); deleteDir(fieldsRoot(m))
+        deleteDir(m.dataPath)
         // per-client consistency state and the Bloom reader cache are
         // keyed by the destroyed dataPaths — nothing evicts them later
         evictConsistencyCaches(m.dataPath)
@@ -1211,10 +1317,25 @@ class GraftClient(spark: SparkSession, root: String,
               "the last packed word")))
             .otherwise(col("vec"))
         }
+      // multi-vector collections: every declared extra field is
+      // REQUIRED on every row (Milvus requires every vector field on
+      // insert the same way) and dim-checked like the primary — a
+      // missing column fails the select loudly at the write boundary
+      m.extraVecFields.foreach(f => require(df.columns.contains(f.name),
+        s"'${m.name}' declares vector field '${f.name}' — the write " +
+          "batch must carry it as a column (multi-vector collections " +
+          "require every declared vector field on every row)"))
+      val extraChecked = m.extraVecFields.map { f =>
+        when(col(f.name).isNull, raise_error(lit(
+          s"null ${f.name} in write batch — multi-vector collections " +
+            "require every declared vector field on every row")))
+          .otherwise(assert_dim(col(f.name), f.dim)).as(f.name)
+      }
       val typed = df.select(
-        requireKey(col("key")).as("key"),
-        vecChecked.as("vec"),
-        coalesce(col("meta"), map()).as("meta"))
+        requireKey(col("key")).as("key") +:
+          vecChecked.as("vec") +:
+          extraChecked :+
+          coalesce(col("meta"), map()).as("meta"): _*)
       // sparse vecs are maps, which Spark's hash expressions refuse
       // (order-dependent layout) — hash their canonical JSON instead;
       // determinism-per-written-content is all the within-batch
@@ -1222,10 +1343,12 @@ class GraftClient(spark: SparkSession, root: String,
       val hashableVec =
         if (sparseVec(m)) to_json(col("vec")) else col("vec")
       IngestOps.upsertLatest(typed, col("key"),
-          xxhash64(col("key"), hashableVec, to_json(col("meta"))), lit(0))
-        .select(col("key"), col("vec"), col("meta"),
+          xxhash64(col("key") +: hashableVec +:
+            m.extraVecFields.map(f => col(f.name)) :+
+            to_json(col("meta")): _*), lit(0))
+        .select(typed.columns.toIndexedSeq.map(col) ++ Seq(
           lit(batchTs).as("ingest_ts"),
-          lit(maxSeq + 1).as("seq"))
+          lit(maxSeq + 1).as("seq")): _*)
         .persist() // caching across the actions below — no longer correctness
     }
     // PURE-delete batches resolve their keys against the store FIRST (a
@@ -1288,7 +1411,7 @@ class GraftClient(spark: SparkSession, root: String,
           val upserted = decorated.fold(current)(b => IngestOps.upsertLatest(
             current.unionByName(b), col("key"), col("seq"), col("seq")))
           val remaining = keyed.fold(upserted)(k => IngestOps.deleteByKey(upserted, k, "key"))
-            .select(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
+            .select(storeSchema(m).fieldNames.toIndexedSeq.map(col): _*)
           // The seq watermark needs no aggregation job: batch rows all
           // carry maxSeq + 1 and current rows are ≤ maxSeq, so the new
           // high-water mark is known statically (a watermark above the
@@ -1321,7 +1444,28 @@ class GraftClient(spark: SparkSession, root: String,
           // pre-image) stays readable here because the store retains the
           // previous snapshot's directories for one more commit
           describedJobs("graft: ivf refresh") {
-            refreshIndexIncremental(m, preVersion, newVersion, tk, current, decorated) }
+            // the refresh frames must carry EXACTLY the canonical five
+            // columns — a multi-vector batch's extra field columns would
+            // widen the cell-assign output past the cells layout's schema
+            val canon = Seq("key", "vec", "meta", "ingest_ts", "seq").map(col)
+            val (cur, dec) =
+              if (m.extraVecFields.isEmpty) (current, decorated)
+              else (current.select(canon: _*),
+                decorated.map(_.select(canon: _*)))
+            refreshIndexIncremental(m, preVersion, newVersion, tk, cur, dec) }
+          // extra vector fields' indexes roll forward on the SAME commit
+          // through the same machinery, each under its field view (the
+          // field column surfaced AS vec) and its OWN index dir/lock/
+          // stamp — so one field's staleness never depends on another's.
+          // Unindexed fields cost nothing (the no-dir fast path).
+          m.extraVecFields.foreach { f =>
+            val slice = (df: DataFrame) => df.select(col("key"),
+              col(f.name).as("vec"), col("meta"), col("ingest_ts"),
+              col("seq"))
+            describedJobs(s"graft: field ${f.name} ivf refresh") {
+              refreshIndexIncremental(fieldMeta(m, f.name), preVersion,
+                newVersion, tk, slice(current), decorated.map(slice)) }
+          }
           // scalar indexes roll forward by appending the BATCH's own
           // (value, bucket) pairs — batch-bounded, one pass for all
           // indexed fields; pure deletes tick the compaction clock
@@ -1603,9 +1747,12 @@ class GraftClient(spark: SparkSession, root: String,
     * Parquet min/max pruning inside the bucket) — never a full scan.
     * Returns (vec, meta) or None. */
   def get(name: String, key: String,
-          consistencyLevel: String = ""): Option[(Seq[Float], Map[String, String])] = {
+          consistencyLevel: String = "",
+          field: String = ""): Option[(Seq[Float], Map[String, String])] = {
     import spark.implicits._
-    val m = metaOrThrow(name)
+    // `field` returns the named extra vector field's stored array (the
+    // field view renames it to `vec` on read); "" = the primary
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     require(!sparseVec(m),
       s"'${m.name}' is a SPARSE_FLOAT_VECTOR collection — its vectors " +
         "are (dim → weight) maps, not float arrays; use getSparse")
@@ -1685,11 +1832,12 @@ class GraftClient(spark: SparkSession, root: String,
         throw new java.util.ConcurrentModificationException(
           s"$name: collection changed while waiting to rebucket " +
             "(concurrent rebucket or drop) — re-describe and retry")
-      val rows = coll.read(spark).select(rowSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val rows = coll.read(spark)
+        .select(storeSchema(m).fieldNames.toIndexedSeq.map(col): _*)
       val newPath = s"${m.dataPath}.rb$newBuckets"
       deleteDir(newPath) // a prior failed rebucket's partial target is dead
       val fresh = new graft.streaming.BucketedKeyedCollection(
-        newPath, rowSchema, "key", newBuckets, retain = m.retain)
+        newPath, storeSchema(m), "key", newBuckets, retain = m.retain)
       fresh.commitBuckets(0 until newBuckets, rows, coll.maxSeq)
       val u = m.copy(dataPath = newPath, buckets = newBuckets)
       require(catalog.updateCollection(u), s"catalog lost $name mid-rebucket")
@@ -1704,6 +1852,7 @@ class GraftClient(spark: SparkSession, root: String,
       deleteDir(textDir(m))
       deleteDir(sparseIdxDir(m))
       deleteDir(scalarRoot(m))
+      deleteDir(fieldsRoot(m))
       deleteDir(m.dataPath)
       u
     }
@@ -1756,6 +1905,11 @@ class GraftClient(spark: SparkSession, root: String,
                   partition: String = GraftClient.DefaultPartition): Long = {
     val m = metaOrThrow(name)
     requireFloatVec(m, "upsertTexts (embedders emit float vectors)")
+    require(m.extraVecFields.isEmpty,
+      s"'${m.name}' declares extra vector fields (" +
+        m.extraVecFields.map(_.name).mkString(", ") + ") — upsertTexts " +
+        "embeds ONE vector and cannot synthesize the others; embed each " +
+        "field and upsert() the full rows")
     val embedded = graft.ingest.Embedder.embedDocuments(df, "text", embedder)
       .select(col("key"), col("vec"), col("meta"))
     // partition-key collections route like upsert(); the text index
@@ -1798,7 +1952,12 @@ class GraftClient(spark: SparkSession, root: String,
     * (`s3vectors-app/pythonvectordbceph.py:165-168`) run distributed. */
   def upsertBytes(name: String, df: DataFrame,
                   embedder: graft.ingest.Embedder = graft.ingest.Embedder.image): Long = {
-    requireFloatVec(metaOrThrow(name), "upsertBytes (embedders emit float vectors)")
+    val m0 = metaOrThrow(name)
+    requireFloatVec(m0, "upsertBytes (embedders emit float vectors)")
+    require(m0.extraVecFields.isEmpty,
+      s"'${m0.name}' declares extra vector fields — upsertBytes embeds " +
+        "ONE vector and cannot synthesize the others; embed each field " +
+        "and upsert() the full rows")
     upsert(name, df
       .withColumn("vec", graft.ingest.Embedder.embedBytesCol(embedder)(col("bytes")))
       .select(col("key"), col("vec"), col("meta")))
@@ -1922,6 +2081,11 @@ class GraftClient(spark: SparkSession, root: String,
       s"'${m1.name}' is a BINARY_VECTOR collection — startIngest's " +
         "embedders emit float vectors (and sparse featurizers emit " +
         "(dim, weight) maps); pack sign bits offline and batch upsert")
+    require(m1.extraVecFields.isEmpty,
+      s"'${m1.name}' declares extra vector fields — startIngest's " +
+        "embed step produces ONE vector per event and cannot synthesize " +
+        "the others; embed each field upstream and batch upsert() the " +
+        "full rows")
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
     require(!sparseVec(m1) || objectsDf.columns.contains("text"),
@@ -2050,8 +2214,55 @@ class GraftClient(spark: SparkSession, root: String,
 
   // ---- IVF index lifecycle (A16 create_index / B5) ----
 
-  private def ivfDir(m: CollectionMeta) = s"${m.dataPath}-ivf"
+  /** Root of a collection's per-extra-field index layouts (one subdir
+    * per field name, each holding that field's own `ivf` dir + VERSION
+    * stamp). The suffix is in [[requireUnreservedName]]'s reserved set
+    * like the other derived dirs. */
+  private def fieldsRoot(m: CollectionMeta) = s"${m.dataPath}-fields"
+
+  private def ivfDir(m: CollectionMeta) =
+    if (m.fieldView.isEmpty) s"${m.dataPath}-ivf"
+    else s"${fieldsRoot(m)}/${m.fieldView}/ivf"
   private def cellsPath(m: CollectionMeta) = s"${ivfDir(m)}/cells"
+
+  /** The derived meta an extra vector field's search/index state lives
+    * under — the [[partMeta]] pattern one level down: same keyed store
+    * (dataPath unchanged; reads go through [[FieldViewCollection]],
+    * surfacing the field AS `vec`), the FIELD's dim/metric/indexType,
+    * and index dirs under [[fieldsRoot]] so each field's VERSION stamp —
+    * and therefore its staleness — is independent of the primary's and
+    * of every other field's. Frozen knobs (pqM, HNSW M/efC) take the
+    * family defaults, the same resolution create applies when a caller
+    * passes 0. The '@' in the derived name keys every cache distinctly
+    * ('@' is illegal in catalog names, so it cannot clash), and it is
+    * inserted BEFORE any '#<partition>' suffix so partition-then-field
+    * and field-then-partition derivations produce the SAME cache key. */
+  private def fieldMeta(m: CollectionMeta, field: String): CollectionMeta = {
+    require(m.fieldView.isEmpty,
+      s"'${m.name}' is already a field view — fields do not nest")
+    val f = m.extraVecFields.find(_.name == field).getOrElse(
+      throw new IllegalArgumentException(
+        s"'${m.name}' has no vector field '$field' — declared extra " +
+          "vector fields: " + (if (m.extraVecFields.isEmpty) "(none)"
+          else m.extraVecFields.map(_.name).mkString(", "))))
+    val derivedName = m.name.split("#", 2) match {
+      case Array(base, part) => s"$base@$field#$part"
+      case _ => s"${m.name}@$field"
+    }
+    m.copy(name = derivedName,
+      dim = f.dim, metric = f.metric, indexType = f.indexType,
+      pqM = if (f.indexType == "IVF_PQ") PqIndex.defaultM(f.dim) else 0,
+      pqNbits = 8,
+      hnswM = if (f.indexType == "HNSW") GraftClient.DefaultHnswM else 0,
+      hnswEfC = if (f.indexType == "HNSW") GraftClient.DefaultHnswEfC else 0,
+      fieldView = field)
+  }
+
+  /** [[fieldMeta]] when the caller passed a field name, the meta itself
+    * otherwise — the one-line entry dispatch every field-aware surface
+    * shares. */
+  private def fieldMetaOpt(m: CollectionMeta, field: String): CollectionMeta =
+    if (field.isEmpty) m else fieldMeta(m, field)
   private def sq8CellsPath(m: CollectionMeta) = s"${ivfDir(m)}/sq8cells"
   private def pqCellsPath(m: CollectionMeta) = s"${ivfDir(m)}/pqcells"
   private def pqCodebooksPath(m: CollectionMeta) = s"${ivfDir(m)}/pq_codebooks"
@@ -2350,8 +2561,9 @@ class GraftClient(spark: SparkSession, root: String,
     * Serializes with builders and per-commit refreshes on the index
     * dir's commit lock; deletion goes through the deleteTree choke
     * point, which evicts any cached frames under the dir. */
-  def dropIndex(name: String, partitions: Seq[String] = Nil): Unit = {
-    val m = metaOrThrow(name)
+  def dropIndex(name: String, partitions: Seq[String] = Nil,
+                field: String = ""): Unit = {
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     resolveParts(m, partitions).foreach { p =>
       val pm = partMeta(m, p)
       require(!collection(pm).isLoaded,
@@ -2372,8 +2584,13 @@ class GraftClient(spark: SparkSession, root: String,
   }
 
   def buildIndex(name: String, nlist: Int, sampleFraction: Double = 1.0,
-                 partitions: Seq[String] = Nil): Unit = {
-    val m = metaOrThrow(name)
+                 partitions: Seq[String] = Nil,
+                 field: String = ""): Unit = {
+    // Milvus create_index(field_name=...): `field` builds the named
+    // extra vector field's OWN index layout (its create-time indexType,
+    // its own dir + VERSION stamp under fieldsRoot) — rebuilding one
+    // field never stales another's index or the primary's
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     if (binaryVec(m)) {
       require(m.indexType == "BIN_IVF_FLAT",
         s"'${m.name}' is a FLAT binary collection — only BIN_IVF_FLAT " +
@@ -2642,13 +2859,17 @@ class GraftClient(spark: SparkSession, root: String,
     * index artifacts are rewritten WITHOUT a guaranteed version bump
     * (rebuild, rebucket). */
   private def invalidateIndexCaches(name: String): Unit = {
-    // a collection-level invalidation covers its partitions too (their
-    // cache keys are "<name>#<partition>") — drop/rebuild through the
-    // collection name must not leave partition quantizers live
-    val pfx = name + "#"
-    idxCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
-    bcCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
-    binIdxCache.keySet().removeIf(k => k._1 == name || k._1.startsWith(pfx))
+    // a collection-level invalidation covers its partitions AND its
+    // extra vector fields too (their cache keys are "<name>#<partition>"
+    // / "<name>@<field>" / "<name>@<field>#<partition>") — drop/rebuild
+    // through the collection name must not leave derived quantizers live
+    val pfxP = name + "#"
+    val pfxF = name + "@"
+    val dead = (k: String) =>
+      k == name || k.startsWith(pfxP) || k.startsWith(pfxF)
+    idxCache.keySet().removeIf(k => dead(k._1))
+    bcCache.keySet().removeIf(k => dead(k._1))
+    binIdxCache.keySet().removeIf(k => dead(k._1))
   }
 
   /** `maintainable` = the index carries the probe table (new format);
@@ -3185,8 +3406,13 @@ class GraftClient(spark: SparkSession, root: String,
              matchGates: Seq[(Seq[String], String)] = Nil,
              outputFields: Seq[String] = Nil,
              consistencyLevel: String = "",
-             ef: Int = 0): DataFrame = {
-    val m = metaOrThrow(name)
+             ef: Int = 0,
+             field: String = ""): DataFrame = {
+    // `field` (Milvus 2.4 multi-vector: AnnSearchRequest / search on a
+    // named vector field) re-routes the WHOLE search — dim check, index
+    // dispatch, staleness, store reads — through the field's derived
+    // meta; "" = the primary `vec`.
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "search")
     // Milvus HNSW search param `ef` (beam width): must cover the page,
     // exactly as Milvus requires ef >= limit. 0 = auto (see hnswScored);
@@ -4240,8 +4466,9 @@ class GraftClient(spark: SparkSession, root: String,
                   rangeFilter: Double = Double.NegativeInfinity,
                   limit: Option[Int] = None,
                   filter: Option[Column] = None,
-                  partitions: Seq[String] = Nil): DataFrame = {
-    val m = metaOrThrow(name)
+                  partitions: Seq[String] = Nil,
+                  field: String = ""): DataFrame = {
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "searchRange")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -4367,8 +4594,9 @@ class GraftClient(spark: SparkSession, root: String,
                     partitions: Seq[String] = Nil,
                     refine: Int = 4,
                     ef: Int = 0,
-                    forceExact: Boolean = false): DataFrame = {
-    val m = metaOrThrow(name)
+                    forceExact: Boolean = false,
+                    field: String = ""): DataFrame = {
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "searchGrouped")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -4517,15 +4745,18 @@ class GraftClient(spark: SparkSession, root: String,
     // get(ids, partition_names) parity)
     val parts = resolveParts(m, partitions)
     val touched = touchedBuckets(collection(partMeta(m, parts.head)), keyed)
+    // multi-vector collections return EVERY declared vector field —
+    // Milvus get() returns all fields of the hit rows the same way
+    val outCols = ("key" +: "vec" +: m.extraVecFields.map(_.name)) :+ "meta"
     parts.map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
       if (touched.isEmpty) coll.read(spark).filter(lit(false))
-        .select("key", "vec", "meta")
+        .select(outCols.map(col): _*)
       else readBucketsAtPin(pm, coll,
           pinForRead(pm, coll, effectiveLevel(m, consistencyLevel)), touched)
         .join(keyed, Seq("key"), "left_semi")
-        .select("key", "vec", "meta")
+        .select(outCols.map(col): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -4752,8 +4983,9 @@ class GraftClient(spark: SparkSession, root: String,
                      allowDrift: Boolean = false,
                      matchTerms: Seq[String] = Nil,
                      matchMode: String = "any",
-                     matchGates: Seq[(Seq[String], String)] = Nil): Iterator[Seq[Row]] = {
-    val m = metaOrThrow(name)
+                     matchGates: Seq[(Seq[String], String)] = Nil,
+                     field: String = ""): Iterator[Seq[Row]] = {
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "searchIterator")
     require(qvec.length == m.dim,
       s"query dimension ${qvec.length} != collection dimension ${m.dim}")
@@ -5306,15 +5538,15 @@ class GraftClient(spark: SparkSession, root: String,
       (kind, field, stamped.isDefined && stamped == current,
         stamped.getOrElse(-1L), current.getOrElse(-1L), params)
     }
-    val ivf =
+    def ivfRows(m: CollectionMeta, fieldLabel: String) =
       if (binaryVec(m)) {
         if (!binIndexed(m)) Nil
-        else Seq(row("BIN_IVF_FLAT", "vec", ivfDir(m),
+        else Seq(row("BIN_IVF_FLAT", fieldLabel, ivfDir(m),
           s"""{"nlist":${m.nlist}}"""))
       }
       else if (sparseVec(m)) {
         if (!SparseIndex.exists(sparsePostingsPath(m))) Nil
-        else Seq(row("SPARSE_INVERTED_INDEX", "vec", ivfDir(m),
+        else Seq(row("SPARSE_INVERTED_INDEX", fieldLabel, ivfDir(m),
           s"""{"metric":"${m.metric}"}"""))
       }
       else if (hnswIndexed(m))
@@ -5322,18 +5554,22 @@ class GraftClient(spark: SparkSession, root: String,
         // (graph arm + growing tail) — fresh = servable, not
         // stamp-equals-current; stamped_version still shows the fold
         // point for operators watching tail growth
-        Seq((("HNSW", "vec",
+        Seq((("HNSW", fieldLabel,
           hnswServable(m, collection(m)).isDefined,
           readVersionFile(ivfDir(m)).getOrElse(-1L),
           collection(m).currentVersion.getOrElse(-1L),
           s"""{"M":${m.hnswM},"efConstruction":${m.hnswEfC}}""")))
       else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cellsPath(m)))) Nil
       else if (sq8Indexed(m))
-        Seq(row("IVF_SQ8", "vec", ivfDir(m), s"""{"nlist":${m.nlist}}"""))
+        Seq(row("IVF_SQ8", fieldLabel, ivfDir(m), s"""{"nlist":${m.nlist}}"""))
       else if (pqIndexed(m))
-        Seq(row("IVF_PQ", "vec", ivfDir(m),
+        Seq(row("IVF_PQ", fieldLabel, ivfDir(m),
           s"""{"nlist":${m.nlist},"m":${m.pqM},"nbits":${m.pqNbits}}"""))
-      else Seq(row("IVF_FLAT", "vec", ivfDir(m), s"""{"nlist":${m.nlist}}"""))
+      else Seq(row("IVF_FLAT", fieldLabel, ivfDir(m), s"""{"nlist":${m.nlist}}"""))
+    // the primary `vec` plus one row per extra vector field's own index
+    // layout (its freshness is its OWN stamp vs the shared store clock)
+    val ivf = ivfRows(m, "vec") ++
+      m.extraVecFields.flatMap(f => ivfRows(fieldMeta(m, f.name), f.name))
     val text =
       if (!TextIndex.exists(textDir(m))) Nil
       else Seq(row("TEXT", "text", textDir(m),
@@ -5413,9 +5649,10 @@ class GraftClient(spark: SparkSession, root: String,
                   refine: Int = 4, numQueries: Option[Long] = None,
                   forceExact: Boolean = false,
                   partitions: Seq[String] = Nil,
-                  ef: Int = 0): DataFrame = {
+                  ef: Int = 0,
+                  field: String = ""): DataFrame = {
     import graft.functions.VectorAggregates
-    val m = metaOrThrow(name)
+    val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "searchBatch")
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
@@ -6850,11 +7087,11 @@ class GraftClient(spark: SparkSession, root: String,
       }.reduce(_ unionByName _)
     // each arm → (key, __s) + whether SMALLER __s is better
     val arms: Seq[(DataFrame, Boolean)] = requests.map {
-      case AnnRequest.Dense(qv, np, rf, ef, _, expr) =>
+      case AnnRequest.Dense(qv, np, rf, ef, _, expr, fld) =>
         val (af, gates) = armFilterAndGates(expr)
         (search(name, qv, armK, af, nprobe = np, refine = rf,
             ef = ef, partitions = partitions, matchGates = gates,
-            consistencyLevel = consistencyLevel)
+            consistencyLevel = consistencyLevel, field = fld)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           true)
       case AnnRequest.SparseField(q, dir, metric, _, expr) =>

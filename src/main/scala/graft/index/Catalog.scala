@@ -5,6 +5,23 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
+/** One NAMED extra dense vector field of a multi-vector collection —
+  * Milvus 2.4's multiple-vector-fields feature (a collection declaring
+  * e.g. `text_vec` dim 384 + `image_vec` dim 512 on one row, the
+  * consolidation of the reference's two single-field deployments:
+  * `s3vectors-app/sample-deployment-text.yaml:63-64` vs
+  * `sample-deployment-image.yaml`). The field's vector lives as its own
+  * ARRAY&lt;FLOAT&gt; column IN THE SAME keyed store row as the primary
+  * `vec` — not a shadow collection — so upsert/delete/consistency are
+  * one commit covering every field, while each field's INDEX is its own
+  * layout with its own VERSION stamp (independent staleness).
+  *
+  * `indexType` is the field's create-time index family (FLAT = exact
+  * scans, or IVF_FLAT/IVF_SQ8/IVF_PQ/HNSW with the family defaults for
+  * frozen knobs — pqM auto, HNSW M/efC defaults). */
+case class VecField(name: String, dim: Int, metric: String,
+                    indexType: String)
+
 /** Collection metadata — the engine's analog of the reference's collection/
   * vector-bucket descriptors: Milvus `create_collection` + IVF_FLAT index
   * params (`milvus-app/pythonvectordbceph_milvus.py:92-102`) and S3Vectors
@@ -44,11 +61,25 @@ case class CollectionMeta(
                                 // `M`); 0 on every other index type
     hnswEfC: Int = 0,           // HNSW efConstruction (Milvus param);
                                 // 0 on every other index type
-    vectorType: String = "FLOAT_VECTOR") // Milvus vector field family:
+    vectorType: String = "FLOAT_VECTOR", // Milvus vector field family:
                                 // FLOAT_VECTOR | BINARY_VECTOR (binary
                                 // collections store packed sign bits —
                                 // array<bigint>, 64 dims per word — and
                                 // `dim` counts BITS, Milvus's convention)
+    extraVecFields: Seq[VecField] = Nil, // Milvus 2.4 multi-vector
+                                // collections: NAMED extra dense fields
+                                // beyond the primary `vec`, each a
+                                // second ARRAY<FLOAT> column in the same
+                                // keyed store (see [[VecField]]).
+                                // Declared at create, immutable (the
+                                // at-rest row layout carries them)
+    fieldView: String = "")     // DERIVED-ONLY marker, never serialized:
+                                // nonempty on the internal metas that
+                                // route search/index machinery at one
+                                // extra vector field (reads surface that
+                                // field AS `vec`; index dirs suffix by
+                                // it) — the partMeta pattern, one level
+                                // down. A cataloged meta always has ""
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -76,7 +107,24 @@ class Catalog(root: String) {
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
 
-  private def render(m: CollectionMeta): String =
+  // extraVecFields round-trip as one string field: field names are
+  // validated identifier-shaped ([A-Za-z0-9_]+) and the other parts are
+  // enum/int, so ':'/';' separators can never appear in a value
+  private def renderVecFields(fs: Seq[VecField]): String =
+    fs.map(f => s"${f.name}:${f.dim}:${f.metric}:${f.indexType}").mkString(";")
+
+  private def parseVecFields(s: String): Seq[VecField] =
+    if (s.isEmpty) Nil
+    else s.split(";").toSeq.map { part =>
+      part.split(":") match {
+        case Array(n, d, met, it) => VecField(n, d.toInt, met, it)
+        case _ => sys.error(s"corrupt extraVecFields entry: $part")
+      }
+    }
+
+  private def render(m: CollectionMeta): String = {
+    require(m.fieldView.isEmpty,
+      s"attempted to catalog a derived field-view meta: ${m.name}@${m.fieldView}")
     s"""{"name":"${esc(m.name)}","dim":${m.dim},"metric":"${esc(m.metric)}",""" +
       s""""indexType":"${esc(m.indexType)}","nlist":${m.nlist},""" +
       s""""buckets":${m.buckets},"retain":${m.retain},""" +
@@ -85,7 +133,9 @@ class Catalog(root: String) {
       s""""consistency":"${esc(m.consistency)}",""" +
       s""""hnswM":${m.hnswM},"hnswEfC":${m.hnswEfC},""" +
       s""""vectorType":"${esc(m.vectorType)}",""" +
+      s""""extraVecFields":"${esc(renderVecFields(m.extraVecFields))}",""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
+  }
 
   private def strField(json: String, key: String): String = {
     val m = (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -119,7 +169,9 @@ class Catalog(root: String) {
       intFieldOr(json, "hnswM", 0),
       intFieldOr(json, "hnswEfC", 0),
       // absent in pre-binary catalogs — every earlier collection is float
-      strFieldOr(json, "vectorType", "FLOAT_VECTOR"))
+      strFieldOr(json, "vectorType", "FLOAT_VECTOR"),
+      // absent in pre-multi-vector catalogs — single-field collections
+      parseVecFields(strFieldOr(json, "extraVecFields", "")))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

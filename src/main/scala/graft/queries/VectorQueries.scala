@@ -667,6 +667,78 @@ object VectorQueries {
       .select(col("count(*)").as("cnt"))
   }
 
+  /** Per-JVM multi-vector collection (Milvus 2.4 multiple vector fields
+    * — VERDICT r14's #1): the embeddings as the PRIMARY 64-dim field,
+    * their first 32 dims as a second NAMED field `img_vec` (a second
+    * ARRAY&lt;FLOAT&gt; column in the same keyed store row) carrying its
+    * OWN IVF_FLAT index. The field-index MAINTENANCE is load-bearing
+    * for the oracle hash: the first 16 keys are upserted with a WRONG
+    * img_vec, the field index is built over that wrong base, and the
+    * correction re-upsert (plus an upsert-then-delete decoy) must
+    * evict/reinsert the touched cells — a refresh bug serves the stale
+    * wrong vectors and hash-mismatches. */
+  private val multiFieldRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def multiFieldClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = multiFieldRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-multivec").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embmulti", dim = dim, indexType = "FLAT",
+        buckets = 8,
+        vectorFields = Seq(graft.index.VecField("img_vec", 32, "l2", "IVF_FLAT")))
+      def rowsOf(df: DataFrame, img: org.apache.spark.sql.Column) = df.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        img.as("img_vec"),
+        map(lit("label"), col("label").cast("string")).as("meta"))
+      val goodImg = slice(col("embedding"), 1, 32)
+      // wrong base for the first 16 keys: negated field vectors
+      c.upsert("embmulti", rowsOf(emb,
+        when(col("vec_id") < 16, transform(goodImg, x => -x))
+          .otherwise(goodImg)))
+      c.buildIndex("embmulti", nlist = 4, field = "img_vec")
+      // correction + decoy ride the per-commit field-index refresh
+      c.upsert("embmulti", rowsOf(emb.filter(col("vec_id") < 16), goodImg))
+      c.upsert("embmulti", rowsOf(emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(999999L)), goodImg))
+      c.deleteByKeys("embmulti", Seq("00999999"))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B6 × Milvus 2.4 multi-vector (r15 — VERDICT r14's #1) on the
+    * ORACLE path: `hybrid_search` with two DENSE arms on two NAMED
+    * vector fields of ONE collection — the primary 64-dim `vec` (exact
+    * FLAT scan) and the 32-dim `img_vec` served through its own
+    * IVF_FLAT index at FULL probe (nprobe = nlist ⇒ exact through the
+    * index, and fresh only if the per-commit field refresh corrected
+    * the wrong-base build) — fused by RRF. DuckDB replays both arms'
+    * rank windows from the raw parquet (the field vector is a
+    * deterministic slice) and the coalesced reciprocal-rank sum, so
+    * the hash pins the field storage, the field index maintenance,
+    * AnnRequest field targeting, and the fusion algebra at once. */
+  def hybridMultiField(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.AnnRequest
+    val client = multiFieldClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val q1 = emb.filter(col("vec_id") === 1L)
+      .select(col("embedding")).head().getSeq[Float](0).take(32).toArray
+    val df = client.hybridSearchRequests("embmulti",
+      Seq(AnnRequest.Dense(q0),
+        AnnRequest.Dense(q1, field = "img_vec", nprobe = 4)),
+      k = 10, armK = 15)
+    df.select(col("key").cast("long").as("doc_id"),
+        col("rank_0").as("vec_rank"), col("rank_1").as("img_rank"),
+        col("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   /** A7: float32 at rest — dimension + element checks survive the cast. */
   def vectorDims(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
@@ -695,6 +767,7 @@ object VectorQueries {
     "knn_hnsw_iter" -> knnHnswIter _,
     "knn_hnsw_batched" -> knnHnswBatched _,
     "knn_hnsw_tail" -> knnHnswTail _,
+    "hybrid_multi_field" -> hybridMultiField _,
     "milvus_count_filtered" -> milvusCountFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
@@ -796,6 +869,28 @@ object VectorQueries {
                     ORDER BY list_distance(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), e.vec_id) AS rn
            FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 3) q)
          WHERE rn <= 10 ORDER BY qid, dist, vec_id""",
+    // both arms of the multi-field hybrid are exact (FLAT primary scan;
+    // full-probe IVF on the field), so DuckDB replays each arm's rank
+    // window from the raw parquet — the field vector is the
+    // deterministic first-32-dims slice — and the RRF sum
+    "hybrid_multi_field" ->
+      """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+           q1 AS (SELECT (embedding::DOUBLE[])[1:32] AS qv FROM embeddings WHERE vec_id = 1),
+           a0 AS (SELECT e.vec_id AS doc_id,
+                    list_distance(e.embedding::DOUBLE[], q0.qv) AS dist
+                  FROM embeddings e, q0 ORDER BY dist, vec_id LIMIT 15),
+           r0 AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM a0),
+           a1 AS (SELECT e.vec_id AS doc_id,
+                    list_distance((e.embedding::DOUBLE[])[1:32], q1.qv) AS dist
+                  FROM embeddings e, q1 ORDER BY dist, vec_id LIMIT 15),
+           r1 AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dist, doc_id) AS img_rank FROM a1)
+         SELECT doc_id, vec_rank, img_rank,
+            round(coalesce(1.0 / (60 + vec_rank), 0)
+              + coalesce(1.0 / (60 + img_rank), 0), 6) AS rrf
+         FROM r0 FULL OUTER JOIN r1 USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "knn_hnsw_tail" ->
       s"""WITH live AS (
             SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 2
