@@ -6746,18 +6746,33 @@ class GraftClient(spark: SparkSession, root: String,
                      k1: Double = 1.2, b: Double = 0.75,
                      filter: Option[Column] = None,
                      outputFields: Seq[String] = Nil,
-                     partition: String = GraftClient.DefaultPartition): DataFrame = {
-    val m = partMeta(metaOrThrow(name), partition)
+                     partition: String = GraftClient.DefaultPartition,
+                     partitions: Seq[String] = Nil): DataFrame = {
+    // `partitions` (r15 — VERDICT r14's #2) scopes the search to SEVERAL
+    // named partitions at once: each partition's text index contributes
+    // its live postings, and the scores come from the MERGED corpus
+    // stats (Σ n_docs, Σ sum_dlen, df over the union — see
+    // [[TextIndex.bm25Merged]]), so a 2-of-8-partition search ranks
+    // exactly as one index built over those partitions' union corpus.
+    // Freshness is still per partition: EVERY scoped index must be
+    // fresh against its own store clock.
+    require(partition == GraftClient.DefaultPartition || partitions.isEmpty,
+      "pass partition OR partitions, not both")
+    val m0 = metaOrThrow(name)
+    val scope = if (partitions.nonEmpty) partitions.distinct else Seq(partition)
+    val pms = scope.map(partMeta(m0, _))
     require(k >= 1, s"k must be >= 1 (got $k)")
-    require(TextIndex.exists(textDir(m)),
-      s"${m.name} has no text index — buildTextIndex first (Milvus " +
-        "full-text search requires the BM25 function field's index the " +
-        "same way)")
-    require(textIndexFresh(m),
-      s"${m.name}'s text index is STALE (writes since the last build/" +
-        "append) — appendTextIndex or buildTextIndex first; the store " +
-        "keeps no text, so there is no raw-text fallback here")
-    val analyzer = TextIndex.analyzerOf(textDir(m))
+    pms.foreach { m =>
+      require(TextIndex.exists(textDir(m)),
+        s"${m.name} has no text index — buildTextIndex first (Milvus " +
+          "full-text search requires the BM25 function field's index the " +
+          "same way)")
+      require(textIndexFresh(m),
+        s"${m.name}'s text index is STALE (writes since the last build/" +
+          "append) — appendTextIndex or buildTextIndex first; the store " +
+          "keeps no text, so there is no raw-text fallback here")
+    }
+    val analyzer = TextIndex.analyzerOf(textDir(pms.head))
     val terms = analyzer.analyzeTerms(
       query.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
     if (terms.isEmpty) {
@@ -6770,9 +6785,11 @@ class GraftClient(spark: SparkSession, root: String,
           StructField("metadata", MapType(StringType, StringType))))),
         outputFields)
     } else {
-      val passing = filter.map(f => filterPassingKeys(m, f))
-      val scored = TextIndex.bm25(spark, textDir(m), terms, k, k1, b, passing)
-      val out = collection(m).read(spark)
+      val passing = filter.map(f =>
+        pms.map(m => filterPassingKeys(m, f)).reduce(_ unionByName _))
+      val scored = TextIndex.bm25Merged(spark, pms.map(textDir),
+        terms, k, k1, b, passing)
+      val out = pms.map(m => collection(m).read(spark)).reduce(_ unionByName _)
         .join(broadcast(scored), Seq("key"))
         .select(col("key").as("vector_key"), col("bm25").as("distance"),
           col("meta").as("metadata"))
@@ -6968,9 +6985,12 @@ class GraftClient(spark: SparkSession, root: String,
     * `partitions` is Milvus's `partition_names` (r14): dense and
     * sparse-collection arms scope through their own surfaces
     * (directory-level prune), the attached-sparse arm gates its hits
-    * to the scoped partitions' keys, and a Bm25Text arm accepts at
-    * most one named partition (per-partition text indexes carry their
-    * own corpus stats — BM25 scores across stat bases don't merge).
+    * to the scoped partitions' keys, and a Bm25Text arm (r15) scores
+    * the scoped partitions as ONE merged corpus — their text indexes'
+    * exact stats sum (Σ n_docs, Σ sum_dlen; df over the unioned live
+    * postings), so the ranking equals a single index built over the
+    * union ([[TextIndex.bm25Merged]]); each scoped index must be
+    * individually fresh, and all must share one analyzer.
     * Two attached-sparse caveats a migrating caller should know:
     * (1) UNDER-FILL — the attached layout is collection-wide, so a
     * partition scope or per-arm expr gates that arm's hits AFTER
@@ -7007,12 +7027,12 @@ class GraftClient(spark: SparkSession, root: String,
     // Milvus partition_names (r14): every arm scopes to the named
     // partitions — dense and sparse arms through their own surfaces'
     // scoping (directory-level prune), the attached-sparse arm through
-    // a scoped-keys gate. A Bm25Text arm allows at most ONE named
-    // partition: each partition's text index carries its own corpus
-    // stats (df/avgdl/N), and BM25 scores from different stat bases do
-    // not merge into one ranking — scoping to one partition keeps the
-    // scores one-corpus-consistent (unscoped keeps today's
-    // default-partition text index).
+    // a scoped-keys gate, and a Bm25Text arm (r15) through the merged-
+    // corpus-stats scoring of fullTextSearch(partitions = …): the scoped
+    // partitions' text indexes score as ONE union corpus (Σ n_docs,
+    // Σ sum_dlen, df over the unioned live postings), so the old ≤1-
+    // partition refusal is lifted — every scoped index must still be
+    // individually fresh.
     // pymilvus hybrid_search takes consistency_level too: validated up
     // front (a typo must not depend on which arms the mix carries) and
     // threaded to the arms that resolve reads (dense + sparse-collection;
@@ -7020,12 +7040,6 @@ class GraftClient(spark: SparkSession, root: String,
     // stamp gates, which is Strong by construction)
     if (consistencyLevel.nonEmpty) effectiveLevel(m, consistencyLevel)
     val scope = resolveParts(m, partitions) // loud on a typo'd name
-    require(partitions.size <= 1 ||
-        !requests.exists(_.isInstanceOf[AnnRequest.Bm25Text]),
-      "hybrid_search with a Bm25Text arm accepts at most one partition " +
-        "name — per-partition text indexes carry their own corpus " +
-        "stats, and BM25 scores across stat bases do not merge; scope " +
-        "to a single partition or drop the Bm25Text arm")
     // a Dense arm ranks the collection's own float vectors — but a
     // hybrid WITHOUT one (sparse field ⊕ BM25 text, the lexical-pair
     // pattern a sparse-primary Milvus collection runs) is legal on any
@@ -7131,8 +7145,11 @@ class GraftClient(spark: SparkSession, root: String,
             "postings; put the terms in the query string, or gate the " +
             "other arms' exprs instead")
         (fullTextSearch(name, raw, k = armK, filter = af,
-            partition = partitions.headOption
-              .getOrElse(GraftClient.DefaultPartition))
+            partition = partitions match {
+              case Seq(p) => p
+              case _ => GraftClient.DefaultPartition
+            },
+            partitions = if (partitions.size > 1) partitions else Nil)
           .select(col("vector_key").as("key"), col("distance").as("__s")),
           false)
     }

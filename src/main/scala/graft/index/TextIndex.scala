@@ -971,4 +971,76 @@ object TextIndex {
       matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
       idCol, k, k1, b, restrictTo)
   }
+
+  /** BM25 over the UNION live corpus of SEVERAL index layouts — the
+    * multi-partition scoped full-text search (r15, VERDICT r14's #2).
+    * The global-stats contract: scores equal a single index built over
+    * the union corpus, because every input to [[scoreExpr]] merges
+    * EXACTLY —
+    *   - per-(doc, term) tf and dlen come from each layout's own live
+    *     postings (term-bucket-pruned, tombstone-masked — the same
+    *     per-layout scan [[bm25]] runs);
+    *   - df(term) is counted over the unioned live postings (layout
+    *     corpora are disjoint doc sets, so the union's distinct-doc
+    *     count per term IS the row count, like the single-index path);
+    *   - n_docs / avgdl derive from the Σ of each layout's EXACT
+    *     integer stats (Σ n_docs, Σ sum_dlen, one division at the end —
+    *     bit-identical to what one build over the union would compute).
+    *
+    * Every layout must share ONE analyzer (BM25 scores across different
+    * tokenizations do not merge — refused loudly) and one id column.
+    * A doc id living in MORE THAN ONE layout scores as one doc with its
+    * postings summed — keep keys unique across scoped partitions (the
+    * keyed store's upsert contract already does). */
+  def bm25Merged(spark: SparkSession, paths: Seq[String], terms: Seq[String],
+                 k: Int = 15, k1: Double = 1.2, b: Double = 0.75,
+                 restrictTo: Option[DataFrame] = None): DataFrame = {
+    require(paths.nonEmpty, "bm25Merged needs at least one index path")
+    if (paths.size == 1) return bm25(spark, paths.head, terms, k, k1, b, restrictTo)
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    paths.foreach(p => require(exists(p), s"no text index at $p — run build first"))
+    val metas = paths.map(readMeta)
+    val analyzerSers = metas.map(_._4.serialize).distinct
+    require(analyzerSers.size == 1,
+      "the scoped partitions' text indexes were built with DIFFERENT " +
+        s"analyzers (${analyzerSers.mkString(" vs ")}) — BM25 scores " +
+        "across tokenizations do not merge; rebuild them with one analyzer")
+    val idCols = metas.map(_._2.fields.head.name).distinct
+    require(idCols.size == 1,
+      s"the scoped indexes disagree on the id column (${idCols.mkString(", ")})")
+    val idCol = idCols.head
+    val analyzer = metas.head._4
+    val analyzed = analyzer.analyzeTerms(terms).distinct
+    if (analyzed.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(metas.head._2.fields.head,
+          org.apache.spark.sql.types.StructField("bm25",
+            org.apache.spark.sql.types.DoubleType))))
+    // per-layout pruned live postings, normalized to the four score
+    // inputs so layouts with/without position lists union cleanly
+    val matching = paths.zip(metas).map { case (p, (buckets, schema, gens, _)) =>
+      val bucketIds = analyzed.map(termBucket(_, buckets)).distinct
+      livePostings(spark, p, gens, schema,
+          Some(col("bucket").isin(bucketIds: _*) && col("term").isin(analyzed: _*)))
+        .select(col(idCol), col("term"), col("tf"), col("dlen"))
+    }.reduce(_ unionByName _)
+    val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // merged corpus stats: exact integer sums, ONE division — each
+    // layout's newest stats row is a 1-row driver read
+    val statRows = paths.zip(metas).map { case (p, (_, _, gens, _)) =>
+      val r = spark.read.schema(statsSchema).parquet(s"$p/stats-${gens.last}").head()
+      require(!r.isNullAt(2),
+        s"$p was built before exact sum_dlen stats — rebuild it once " +
+          "(TextIndex.build) to enable merged-stats scoring")
+      (r.getLong(0), r.getLong(2))
+    }
+    val nDocs = statRows.map(_._1).sum
+    val sumDlen = statRows.map(_._2).sum
+    require(nDocs > 0, "merged corpus is empty — nothing to score")
+    val stats = spark.range(1).select(lit(nDocs).as("n_docs"),
+      (lit(sumDlen).cast("double") / lit(nDocs).cast("double")).as("avgdl"))
+    scoreTail(
+      matching.join(dfT, Seq("term")).crossJoin(broadcast(stats)),
+      idCol, k, k1, b, restrictTo)
+  }
 }

@@ -149,4 +149,123 @@ class FullTextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.fullTextSearch(name, "scan", k = 3, outputFields = Seq("vec"))
     }.getMessage.contains("vec"))
   }
+
+  // ---- multi-partition BM25 (r15 — VERDICT r14's #2) ----
+
+  private val p1Docs = Seq(
+    ("m1", "hash join beats nested loops on big tables"),
+    ("m2", "the scan reads pages while the hash table builds"),
+    ("m3", "hash hash hash collision storms hurt the join"))
+  private val p2Docs = Seq(
+    ("m4", "sort merge join shines when inputs arrive ordered"),
+    ("m5", "a scan without an index touches every page"),
+    ("m6", "broadcast join skips the shuffle for small tables"))
+  private val defDocs = Seq( // in NO scope — must never leak into p1+p2
+    ("m7", "hash join hash join hash join hash join"),
+    ("m8", "scan scan scan scan scan scan"))
+
+  private def upsertTextRows(client: GraftClient, name: String,
+      docs: Seq[(String, String)], partition: String): Unit = {
+    import spark.implicits._
+    client.upsert(name, docs.map { case (k, _) =>
+      (k, Seq(1f, 0f, 0f, 0f), Map("src" -> partition))
+    }.toDF("key", "vec", "meta"), partition = partition)
+  }
+
+  test("2-partition scope == a single index over the union corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ftmp").toString
+    val client = new GraftClient(spark, root)
+
+    // the SPLIT collection: p1 + p2 + default, one text index each
+    client.createCollection("split", dim = 4, buckets = 4)
+    client.createPartition("split", "p1")
+    client.createPartition("split", "p2")
+    upsertTextRows(client, "split", defDocs, graft.api.GraftClient.DefaultPartition)
+    upsertTextRows(client, "split", p1Docs, "p1")
+    upsertTextRows(client, "split", p2Docs, "p2")
+    client.buildTextIndex("split", defDocs.toDF("key", "text"))
+    client.buildTextIndex("split", p1Docs.toDF("key", "text"), partition = "p1")
+    client.buildTextIndex("split", p2Docs.toDF("key", "text"), partition = "p2")
+
+    // the REFERENCE collection: exactly p1 ∪ p2 as one corpus, one index
+    client.createCollection("union", dim = 4, buckets = 4)
+    upsertTextRows(client, "union", p1Docs ++ p2Docs,
+      graft.api.GraftClient.DefaultPartition)
+    client.buildTextIndex("union", (p1Docs ++ p2Docs).toDF("key", "text"))
+
+    // the global-stats contract: same keys, same SCORES (df/avgdl/N all
+    // from the merged base), same order
+    val q = "hash join scan"
+    val scoped = client.fullTextSearch("split", q, k = 10,
+        partitions = Seq("p1", "p2")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val reference = client.fullTextSearch("union", q, k = 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(scoped == reference)
+    assert(scoped.nonEmpty)
+    // the out-of-scope default docs (BM25-loaded with these exact terms)
+    // must not appear
+    assert(!scoped.exists(h => Set("m7", "m8").contains(h._1)))
+
+    // a filter gates candidates across BOTH partitions while stats stay
+    // merged-corpus (Lucene filtered-query semantics)
+    val filtered = client.fullTextSearch("split", q, k = 10,
+        partitions = Seq("p1", "p2"),
+        filter = Some(org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.col("meta"),
+          org.apache.spark.sql.functions.lit("src")) === "p2")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(filtered.nonEmpty && filtered.forall(h => Set("m4", "m5", "m6")(h._1)))
+    val refFiltered = reference.filter(h => Set("m4", "m5", "m6")(h._1))
+    assert(filtered == refFiltered)
+
+    // the hybrid Bm25Text arm now accepts a multi-partition scope and
+    // ranks from the SAME merged base
+    val qv = Array(1f, 0f, 0f, 0f)
+    val hy = client.hybridSearchRequests("split",
+      Seq(graft.api.AnnRequest.Dense(qv), graft.api.AnnRequest.Bm25Text(q)),
+      k = 6, armK = 10, partitions = Seq("p1", "p2")).collect()
+    assert(hy.nonEmpty)
+    assert(!hy.exists(r => Set("m7", "m8").contains(r.getString(0))))
+    // the BM25 arm's rank order inside the fusion must match the scoped
+    // fullTextSearch ranking
+    val lexRanks = hy.map(r => r.getString(0) -> r.get(2)).filter(_._2 != null)
+      .map { case (k2, v) => k2 -> v.asInstanceOf[Long] }.sortBy(_._2)
+      .map(_._1).toSeq
+    assert(lexRanks == scoped.take(lexRanks.size).map(_._1))
+
+    // per-partition freshness still gates: staling ONE scoped partition
+    // fails the whole scoped search loudly
+    upsertTextRows(client, "split", Seq(("m9", "fresh writes stale indexes")), "p1")
+    assert(intercept[IllegalArgumentException] {
+      client.fullTextSearch("split", q, k = 5, partitions = Seq("p1", "p2"))
+    }.getMessage.contains("STALE"))
+    // ... while the untouched partition alone still serves
+    assert(client.fullTextSearch("split", q, k = 5,
+      partitions = Seq("p2")).collect().nonEmpty)
+  }
+
+  test("analyzer mismatch across scoped partitions is refused loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ftan").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("an", dim = 4, buckets = 4)
+    client.createPartition("an", "p1")
+    upsertTextRows(client, "an", p1Docs, graft.api.GraftClient.DefaultPartition)
+    upsertTextRows(client, "an", p2Docs, "p1")
+    client.buildTextIndex("an", p1Docs.toDF("key", "text"),
+      analyzer = "whitespace")
+    client.buildTextIndex("an", p2Docs.toDF("key", "text"), partition = "p1",
+      analyzer = "standard")
+    val e = intercept[IllegalArgumentException] {
+      client.fullTextSearch("an", "hash join", k = 5,
+        partitions = Seq(graft.api.GraftClient.DefaultPartition, "p1"))
+    }
+    assert(e.getMessage.contains("analyzer"))
+    intercept[IllegalArgumentException] { // partition XOR partitions
+      client.fullTextSearch("an", "hash", k = 5, partition = "p1",
+        partitions = Seq("p1"))
+    }
+  }
 }

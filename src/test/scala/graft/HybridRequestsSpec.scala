@@ -282,7 +282,7 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("partition_names scope every arm (Milvus hybrid_search parity); " +
-       "Bm25Text allows at most one named partition") {
+       "Bm25Text merges multi-partition corpus stats (r15)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-hr-parts").toString
     val client = new GraftClient(spark, root)
@@ -349,12 +349,18 @@ class HybridRequestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaBm == fuse(Seq(denseP1, bmP1), 6),
       "scoped [Dense, Bm25Text] must ride p1's own text index")
 
-    // Bm25Text with two named partitions refuses (stat bases don't merge)
-    assert(intercept[IllegalArgumentException] {
-      client.hybridSearchRequests("hp",
+    // Bm25Text with two named partitions (r15): the arm scores from the
+    // MERGED corpus stats — equal to fullTextSearch's own multi-partition
+    // scope (the global-stats contract is FullTextSearchSpec's pin)
+    val viaBm2 = client.hybridSearchRequests("hp",
         Seq(AnnRequest.Bm25Text("hash join")),
+        k = 6, partitions = Seq("_default", "p1"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val bmBoth = rank(client.fullTextSearch("hp", "hash join", k = 15,
         partitions = Seq("_default", "p1"))
-    }.getMessage.contains("one partition"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq, asc = false)
+    assert(viaBm2 == fuse(Seq(bmBoth), 6),
+      "2-partition Bm25Text arm must rank from the merged stats base")
     // a typo'd partition refuses loudly
     assert(intercept[IllegalArgumentException] {
       client.hybridSearchRequests("hp", Seq(AnnRequest.Dense(qvec)),
