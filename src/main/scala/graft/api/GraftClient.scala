@@ -4595,7 +4595,18 @@ class GraftClient(spark: SparkSession, root: String,
                     refine: Int = 4,
                     ef: Int = 0,
                     forceExact: Boolean = false,
-                    field: String = ""): DataFrame = {
+                    field: String = "",
+                    groupStrictSize: Boolean = false): DataFrame = {
+    // `groupStrictSize` is Milvus's `group_strict_size` (r15 — VERDICT
+    // r14's #4): keep widening the graph walk until the winning k
+    // groups each hold `groupSize` candidates (or the walk covers the
+    // served corpus), EVEN when the caller pinned an explicit `ef` —
+    // the dial for the documented iid-floor geometry, where a fixed
+    // beam surfaces a group's best row but not its 2nd..gth. Bounded
+    // exactly like the auto-ef expansion (≤2 quadruplings); a corpus
+    // that simply lacks groupSize members of a group still returns the
+    // short group, as Milvus does. No-op on exact arms (a scan already
+    // sees every row).
     val m = fieldMetaOpt(metaOrThrow(name), field)
     requireFloatVec(m, "searchGrouped")
     require(qvec.length == m.dim,
@@ -4631,10 +4642,12 @@ class GraftClient(spark: SparkSession, root: String,
                 depth, refine, ef)
           }
           // Iterative beam expansion (Milvus's grouping-search stance:
-          // its over-fetched pool grows until groups fill), ONLY when
-          // ef is auto — an explicit ef is the caller's beam, honored
-          // verbatim (the exactness contract: ef >= corpus stays
-          // provably exhaustive at mult 1). A bounded top-k·groupSize
+          // its over-fetched pool grows until groups fill), when ef is
+          // auto OR the caller asked for group_strict_size — otherwise
+          // an explicit ef is the caller's beam, honored verbatim (the
+          // exactness contract: ef >= corpus stays provably exhaustive
+          // at mult 1, and strict-size cannot shrink an exhaustive
+          // walk's groups). A bounded top-k·groupSize
           // pool can be crowded out entirely by one dense near group,
           // returning FEWER than k groups while the corpus holds k —
           // so when fewer than k groups have groupSize candidates,
@@ -4646,7 +4659,7 @@ class GraftClient(spark: SparkSession, root: String,
           // already (pass 1 collects at call time).
           var mult = 1
           var arm = walk(mult)
-          if (ef == 0) {
+          if (ef == 0 || groupStrictSize) {
             val served = hm.graphRows + hm.tailEst
             var tries = 0
             while (tries < 2 &&
@@ -5946,6 +5959,54 @@ class GraftClient(spark: SparkSession, root: String,
       refine = refine, partitions = Seq(partition), ef = ef))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    recalls.sum / recalls.size
+  }
+
+  /** [[estimateRecall]] for GROUPED search (r15 — VERDICT r14's #4): the
+    * measured (group, key) PAIR recall of [[searchGrouped]]'s dispatched
+    * plan against its own `forceExact` twin, on a deterministic key-hash
+    * sample of the collection's vectors — the dial for the documented
+    * grouped-HNSW floor (BASELINE.md r14: pair recall 0.5 at beam 80 on
+    * 1M iid dim-64). Pair recall at a fixed beam is `ef`-governed
+    * exactly as top-k recall is: a walk surfaces a group's best row
+    * long before its 2nd..gth, so a knob-less caller on iid-like data
+    * should run THIS before trusting a beam — and recover with deeper
+    * `ef`, [[searchGrouped]]'s `groupStrictSize`, or both. 1.0
+    * trivially when no graph/index serves (the exact fallback IS the
+    * twin).
+    *
+    * Cost: `sampleQueries` × two grouped searches (each already two
+    * bounded passes) — an admin-sized estimator run before choosing an
+    * operating point, not a query-path call; the per-query loop is
+    * bounded by `sampleQueries`, never data-sized. */
+  def estimateRecallGrouped(name: String, groupByKey: String, k: Int = 10,
+      groupSize: Int = 1, nprobe: Int = 4, sampleQueries: Int = 8,
+      refine: Int = 4, ef: Int = 0,
+      partition: String = GraftClient.DefaultPartition,
+      field: String = "",
+      groupStrictSize: Boolean = false): Double = {
+    require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
+    val m = partMeta(fieldMetaOpt(metaOrThrow(name), field), partition)
+    requireFloatVec(m, "estimateRecallGrouped")
+    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+      .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
+      .collect()
+    require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
+    val parts =
+      if (partition == GraftClient.DefaultPartition) Nil else Seq(partition)
+    val recalls = sample.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      def pairs(force: Boolean): Set[(String, String)] =
+        searchGrouped(name, q, k, groupByKey, groupSize, nprobe = nprobe,
+            partitions = parts, refine = refine, ef = ef,
+            forceExact = force, field = field,
+            groupStrictSize = groupStrictSize && !force)
+          .select(col("group_value"), col("vector_key")).collect()
+          .map(rr => (rr.getString(0), rr.getString(1))).toSet
+      val truth = pairs(force = true)
+      if (truth.isEmpty) 1.0
+      else (pairs(force = false) & truth).size.toDouble / truth.size
     }
     recalls.sum / recalls.size
   }
