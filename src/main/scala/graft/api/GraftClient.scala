@@ -5934,13 +5934,16 @@ class GraftClient(spark: SparkSession, root: String,
   def estimateRecall(name: String, k: Int = 10, nprobe: Int = 4,
                      sampleQueries: Int = 32, refine: Int = 4,
                      partition: String = GraftClient.DefaultPartition,
-                     ef: Int = 0): Double = {
+                     ef: Int = 0,
+                     field: String = ""): Double = {
     // `ef` is HNSW's beam knob (searchBatch threads it to the walk) —
     // nprobe/refine are the IVF family's; each family ignores the
-    // others' knobs, so one estimator serves every float index kind
+    // others' knobs, so one estimator serves every float index kind.
+    // `field` places a named extra vector field's OWN index on the
+    // curve (its dim/metric/layout — the field view, like search's).
     import spark.implicits._
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
-    val m = partMeta(metaOrThrow(name), partition)
+    val m = partMeta(fieldMetaOpt(metaOrThrow(name), field), partition)
     requireFloatVec(m, "estimateRecall")
     val sample = collection(m).read(spark).select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
@@ -5954,9 +5957,10 @@ class GraftClient(spark: SparkSession, root: String,
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = hits(searchBatch(name, queries, k, nprobe = nprobe,
-      refine = refine, forceExact = true, partitions = Seq(partition)))
+      refine = refine, forceExact = true, partitions = Seq(partition),
+      field = field))
     val approx = hits(searchBatch(name, queries, k, nprobe = nprobe,
-      refine = refine, partitions = Seq(partition), ef = ef))
+      refine = refine, partitions = Seq(partition), ef = ef, field = field))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
     }
