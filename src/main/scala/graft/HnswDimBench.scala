@@ -19,12 +19,18 @@ import graft.functions.VectorFunctions._
   * forceExact twin; GROUPED walk (fixed ef 64 + AUTO adaptive) vs its
   * forceExact twin with (group, key) pair recall.
   *
-  * Run: `sbt "runMain graft.HnswDimBench [nRows] [dim]"` (default 1M ×
-  * 384). Emits one JSON line; numbers recorded in BASELINE.md. */
+  * Run: `sbt "runMain graft.HnswDimBench [nRows] [dim] [geometry]"`
+  * (default 1M × 384 iid; geometry `clustered` plants VectorScaleBench's
+  * 64 well-separated blobs — the topic-cluster shape real corpora have,
+  * and the favorable graph regime the iid control deliberately isn't).
+  * Emits one JSON line; numbers recorded in BASELINE.md. */
 object HnswDimBench {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val dim = args.drop(1).headOption.map(_.toInt).getOrElse(384)
+    val geometry = args.drop(2).headOption.getOrElse("iid")
+    require(geometry == "iid" || geometry == "clustered",
+      s"geometry must be iid or clustered (got '$geometry')")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,6 +60,26 @@ object HnswDimBench {
           (id, v)
         }
       }.toDF("vec_id", "vec")
+    // VectorScaleBench's 64 well-separated blobs (spread ±8, blob radius
+    // ~0.9·√(dim/64)… jitter ±0.2/coord, inter-center ~√dim·4) — the
+    // topic-cluster geometry real embedding corpora have
+    def genBlobs(rows: Long): DataFrame =
+      spark.range(rows).mapPartitions { it =>
+        it.map { id =>
+          val blob = (id % 64).toInt
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            val c = (mix(blob.toLong * dim + i).toDouble / Long.MaxValue) * 8.0
+            val eps = (mix(id * dim + i + 7).toDouble / Long.MaxValue) * 0.2
+            v(i) = (c + eps).toFloat
+            i += 1
+          }
+          (id, v)
+        }
+      }.toDF("vec_id", "vec")
+    def gen(rows: Long): DataFrame =
+      if (geometry == "clustered") genBlobs(rows) else genRandom(rows)
 
     val scratch = scala.collection.mutable.ArrayBuffer.empty[String]
     def tmpDir(prefix: String): String = {
@@ -73,7 +99,7 @@ object HnswDimBench {
 
     val probeId = math.min(12345L, n - 1)
     val dataDir = tmpDir("graft-hnswdim")
-    genRandom(n).write.mode("overwrite").parquet(s"$dataDir/cvecs")
+    gen(n).write.mode("overwrite").parquet(s"$dataDir/cvecs")
     val cvecs = spark.read.parquet(s"$dataDir/cvecs")
     val cq = cvecs.filter(col("vec_id") === probeId).select("vec")
       .head().getSeq[Float](0).toArray
@@ -194,7 +220,7 @@ object HnswDimBench {
       catch { case _: Throwable => "[]" }
 
     println(
-      s"""{"bench":"hnsw_dim","n":$n,"dim":$dim,""" +
+      s"""{"bench":"hnsw_dim","n":$n,"dim":$dim,"geometry":"$geometry",""" +
       s""""exact_scan_sec":$exactSec,""" +
       s""""upsert_sec":$upsertSec,"build_sec":$hnswBuildSec,""" +
       s""""graph_bytes":$hnswBytes,"float_bytes":$floatBytes,""" +

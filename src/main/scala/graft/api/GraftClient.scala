@@ -1681,7 +1681,23 @@ class GraftClient(spark: SparkSession, root: String,
           }
           Seq((p, "hnsw", "tail folded"))
         } else Nil
-      scalars ++ text ++ sparse ++ sparseOwn ++ hnsw
+      // extra vector fields' HNSW layouts grow tails exactly like the
+      // primary's (the per-commit field refresh shares the machinery) —
+      // compact folds each under ITS OWN index dir's lock and stamp
+      val fieldHnsw = pm.extraVecFields
+        .filter(_.indexType == "HNSW")
+        .map(f => (f.name, fieldMeta(pm, f.name)))
+        .filter { case (_, fm) =>
+          hnswIndexed(fm) && readHnswMeta(fm).exists(_.tailEst > 0) }
+        .map { case (fname, fm) =>
+          graft.streaming.BucketedKeyedCollection.withCommitLock(
+              java.nio.file.Paths.get(ivfDir(fm))) {
+            val v = coll.currentVersion.getOrElse(0L)
+            foldHnswTail(fm, v)
+          }
+          (p, "hnsw", s"$fname tail folded")
+        }
+      scalars ++ text ++ sparse ++ sparseOwn ++ hnsw ++ fieldHnsw
     }
   }
 

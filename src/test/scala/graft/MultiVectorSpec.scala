@@ -249,7 +249,9 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got3 == exact2)
   }
 
-  test("HNSW field index: exact at full ef through the graph dispatch") {
+  test("HNSW field index: exact at full ef through the graph dispatch; " +
+       "compact folds the FIELD's growing tail") {
+    import spark.implicits._
     val client = mkClient()
     create(client, "mvh", imgIndex = "HNSW")
     upsertAll(client, "mvh", 0 until 150)
@@ -259,6 +261,21 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = client.search("mvh", qI, k = 10, field = "img_vec", ef = 150)
       .collect().map(_.getString(0)).toSeq
     assert(got == bruteTopK(0 until 150, qI, ivec, 10))
+
+    // a commit grows the FIELD graph's tail; the walk stays exact
+    // (graph ∪ tail), and compact() folds the field tail on demand
+    // with result parity — the r15 per-field fold
+    client.upsert("mvh", rows(150 until 165).toDF("key", "vec", "img_vec", "meta"))
+    val expect2 = bruteTopK(0 until 165, qI, ivec, 10)
+    val got2 = client.search("mvh", qI, k = 10, field = "img_vec", ef = 165)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == expect2)
+    val folded = client.compact("mvh")
+    assert(folded.exists(a => a._2 == "hnsw" && a._3.contains("img_vec")),
+      s"compact must fold the field's tail, got $folded")
+    val got3 = client.search("mvh", qI, k = 10, field = "img_vec", ef = 165)
+      .collect().map(_.getString(0)).toSeq
+    assert(got3 == expect2, "the fold must not change the result")
   }
 
   test("cross-field hybrid: two Dense arms fuse like the RRF algebra") {
