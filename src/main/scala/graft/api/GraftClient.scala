@@ -633,10 +633,6 @@ class GraftClient(spark: SparkSession, root: String,
           s"$vectorType) — binary/sparse primaries stay single-field; " +
           "put the dense field first and attach sparse via " +
           "buildSparseIndex")
-      require(partitionKey.isEmpty,
-        "extra vector fields on a partition-key collection are not " +
-          "supported — the pk router's fan-out commits are single-field; " +
-          "use named partitions or a plain collection")
       val names = resolvedFields.map(_.name)
       require(names.distinct == names,
         s"duplicate vector field names: ${names.mkString(", ")}")
@@ -988,7 +984,9 @@ class GraftClient(spark: SparkSession, root: String,
     // (PartitionSpec pins the survivor). After the resolve every key has
     // exactly one row and one route, which routedFanout requires.
     val routed = IngestOps.upsertLatest(routeByPk(m, df), col("key"),
-        xxhash64(col("key"), col("vec"), to_json(coalesce(col("meta"), map()))),
+        xxhash64(col("key") +: col("vec") +:
+          m.extraVecFields.map(f => col(f.name)) :+
+          to_json(coalesce(col("meta"), map())): _*),
         lit(0))
       .persist()
     try {
@@ -1035,7 +1033,8 @@ class GraftClient(spark: SparkSession, root: String,
         val putsI =
           if (touched.contains(i))
             Some(routed.filter(col("__route") === i)
-              .select(col("key"), col("vec"), col("meta")))
+              .select(col("key") +: col("vec") +:
+                m.extraVecFields.map(f => col(f.name)) :+ col("meta"): _*))
           else None
         val movedAway = routed.filter(col("__route") =!= i).select("key")
         mergeCommit(partMeta(m, s"_pk_$i"), putsI,
@@ -1061,13 +1060,14 @@ class GraftClient(spark: SparkSession, root: String,
   // partition key field is mandatory on every row the same way)
   private def routeByPk(m: CollectionMeta, df: DataFrame): DataFrame = {
     val pk = element_at(col("meta"), lit(m.partitionKey))
-    df.select(col("key"), col("vec"), col("meta"),
+    df.select(col("key") +: col("vec") +:
+      m.extraVecFields.map(f => col(f.name)) :+ col("meta") :+
       when(pk.isNull, raise_error(lit(
         s"row missing partition key meta['${m.partitionKey}'] — " +
           "partition-key collections require it on every row, like " +
           "Milvus's partition key field")))
         .otherwise(pmod(xxhash64(pk), lit(m.numPartitions.toLong)).cast("int"))
-        .as("__route"))
+        .as("__route"): _*)
   }
 
   /** One streaming micro-batch applied to a PARTITION-KEY collection:

@@ -99,10 +99,6 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.createCollection("bad4", dim = 4,
         vectorFields = Seq(VecField("f", 4, "l2", "IVF_WAT")))
     }
-    intercept[IllegalArgumentException] { // pk router is single-field
-      client.createCollection("bad5", dim = 4, partitionKey = "tenant",
-        vectorFields = Seq(VecField("f", 4, "l2", "FLAT")))
-    }
     intercept[IllegalArgumentException] { // non-float primary
       client.createCollection("bad6", dim = 64, metric = "hamming",
         vectorType = "BINARY_VECTOR",
@@ -319,6 +315,42 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     // delete covers every field's row (one store)
     client.deleteByKeys("mvf", Seq("k0003"))
     assert(client.fetch("mvf", Seq("k0003")).count() == 0)
+  }
+
+  test("partition-key collections route multi-field rows; pk moves carry " +
+       "every field (r15)") {
+    import spark.implicits._
+    val client = mkClient()
+    client.createCollection("mvpk", dim = dimText, buckets = 4,
+      partitionKey = "tenant", numPartitions = 4,
+      vectorFields = Seq(VecField("img_vec", dimImg, "l2", "FLAT")))
+    def pkRows(is: Range, tenant: Int => String) =
+      is.map(i => (f"k$i%04d", tvec(i), ivec(i),
+        Map("tenant" -> tenant(i)))).toDF("key", "vec", "img_vec", "meta")
+    client.upsert("mvpk", pkRows(0 until 60, i => s"t${i % 3}"))
+
+    // pk-VALUE scoped field search sees only that tenant's rows, and
+    // both vector fields survived the routed fan-out
+    val qI = ivec(9).toArray
+    val scoped = client.search("mvpk", qI, k = 5, field = "img_vec",
+        partitionKeyValues = Seq("t1")).collect().map(_.getString(0)).toSeq
+    assert(scoped ==
+      (0 until 60).filter(_ % 3 == 1)
+        .map(i => (f"k$i%04d", l2(ivec(i), qI)))
+        .sortBy { case (key, d) => (d, key) }.take(5).map(_._1))
+    val f = client.fetch("mvpk", Seq("k0004")).collect().head
+    assert(f.getSeq[Float](1) == tvec(4) && f.getSeq[Float](2) == ivec(4))
+
+    // a pk-value change MOVES the row (delete-by-PK + insert) with every
+    // field intact — the routed-fan-out contract, now multi-field
+    client.upsert("mvpk", pkRows(4 to 4, _ => "t0"))
+    assert(client.search("mvpk", qI, k = 60, field = "img_vec",
+        partitionKeyValues = Seq("t1")).collect()
+      .forall(_.getString(0) != "k0004"), "the old copy must be gone")
+    val moved = client.search("mvpk", ivec(4).toArray, k = 1,
+      field = "img_vec", partitionKeyValues = Seq("t0")).collect().head
+    assert(moved.getString(0) == "k0004" && moved.getDouble(1) == 0.0)
+    assert(client.fetch("mvpk", Seq("k0004")).count() == 1)
   }
 
   test("named partitions compose with fields; rename keeps field state") {
