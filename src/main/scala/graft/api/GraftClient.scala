@@ -48,9 +48,22 @@ import graft.streaming.BucketedKeyedCollection
   *     HNSW: graph scatter-gather walk; with a filter or TEXT_MATCH
   *     gate, the MASKED walk (below [[GraftClient.HnswFilteredExactFloor]]
   *     passing rows, the exact rank of the rows already in hand — the
-  *     walk cannot beat it). BIN_IVF_FLAT: k-majority Hamming cell
-  *     prune. SPARSE_INVERTED_INDEX: postings union over the query's
-  *     dims (`In(dim …)` pushdown).
+  *     walk cannot beat it). The walk-vs-scan choice is MEASURED at
+  *     the reference's dimension (BASELINE r15, 1M × 384, both
+  *     geometries): raw dimension does NOT favor the walk — iid
+  *     dim-384 recall@ef64 is 0.2 (distance concentration starves the
+  *     beam) while CLUSTERED dim-384 recall is 1.0 across plain/
+  *     filtered/grouped arms, and at 1M rows the exact scan (0.5–0.7 s)
+  *     ties or beats every walk arm (loaded clustered walk reaches
+  *     parity at 0.54 s). The dispatch still walks when a graph is
+  *     servable because scan cost is linear in corpus and the beam's
+  *     is ~O(ef·log n) — the 1M parity point is the crossover, and at
+  *     100× rows only the walk's curve holds; small-corpus iid-like
+  *     deployments should prefer FLAT (or dropIndex), with
+  *     [[estimateRecall]]/[[estimateRecallGrouped]] as the dials that
+  *     say which regime a corpus is in. BIN_IVF_FLAT: k-majority
+  *     Hamming cell prune. SPARSE_INVERTED_INDEX: postings union over
+  *     the query's dims (`In(dim …)` pushdown).
   *   - '''searchRange''' — IVF families: LOSSLESS triangle-inequality
   *     cell exclusion (`cell_radii`; SQ8/PQ read the float cells — a
   *     range bound is a hard boundary, quantized distances would need
