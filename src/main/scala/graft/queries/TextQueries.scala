@@ -421,6 +421,75 @@ object TextQueries {
       .orderBy(desc("bm25"), col("doc_id"))
   }
 
+  /** Per-JVM PARTITIONED client collection for the multi-partition
+    * full-text surface (r15 — VERDICT r14's #2): the docsft corpus
+    * split by doc_id parity into two NAMED partitions, each with its
+    * own text index under the same `standard` analyzer. The odd
+    * partition's index is deliberately built over a PARTIAL corpus and
+    * completed by [[graft.api.GraftClient.appendTextIndex]] — so the
+    * merged-stats query below is exact only if the append maintained
+    * (n_docs, sum_dlen) and the tombstone-masked postings exactly
+    * (maintenance load-bearing for the oracle hash, the house
+    * pattern). */
+  private val ftmpRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ftmpClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = ftmpRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-ftmp").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("docsftmp", dim = dim, buckets = 8)
+      c.createPartition("docsftmp", "even")
+      c.createPartition("docsftmp", "odd")
+      val corpus = t(spark, d, "documents")
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      def rowsOf(pred: org.apache.spark.sql.Column) = corpus.filter(pred)
+        .select(col("doc_id").cast("string").as("key"),
+          col("embedding").as("vec"),
+          typedLit(Map.empty[String, String]).as("meta"))
+      def textsOf(pred: org.apache.spark.sql.Column) = corpus.filter(pred)
+        .select(col("doc_id").cast("string").as("key"), col("text"))
+      val even = col("doc_id") % 2 === 0
+      val oddInit = col("doc_id") % 2 === 1 && col("doc_id") % 4 === 1
+      val oddDelta = col("doc_id") % 2 === 1 && col("doc_id") % 4 === 3
+      c.upsert("docsftmp", rowsOf(even), partition = "even")
+      c.buildTextIndex("docsftmp", textsOf(even), partition = "even",
+        analyzer = "standard", stopWords = Seq("the"))
+      // odd: initial half → build, second half committed AFTER the
+      // build (stales the index), completed by the append — the merged
+      // query refuses unless the append re-freshened, and hash-matches
+      // only if it maintained the stats/postings exactly
+      c.upsert("docsftmp", rowsOf(oddInit), partition = "odd")
+      c.buildTextIndex("docsftmp", textsOf(oddInit), partition = "odd",
+        analyzer = "standard", stopWords = Seq("the"))
+      c.upsert("docsftmp", rowsOf(oddDelta), partition = "odd")
+      c.appendTextIndex("docsftmp", textsOf(oddDelta), partition = "odd")
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B6/C14 (r15 — VERDICT r14's #2) — multi-partition BM25 on the
+    * ORACLE path: `fullTextSearch(partitions = ["even", "odd"])` scores
+    * the two partitions' text indexes as ONE merged corpus
+    * ([[graft.index.TextIndex.bm25Merged]] — df over the unioned live
+    * postings, n_docs/avgdl from the exact integer Σ of the per-index
+    * stats rows). Because even ∪ odd tiles the whole docsft corpus,
+    * DuckDB replays the ranking as plain whole-corpus BM25 — a single
+    * stats-base error (df counted per partition, avgdl from one side,
+    * an append that drifted sum_dlen, a tombstone leak in the odd
+    * index's two-segment layout) breaks the hash. */
+  def fulltextMultiPartition(spark: SparkSession, dir: String): DataFrame = {
+    val client = ftmpClientFor(spark, dir)
+    client.fullTextSearch("docsftmp", "Hash JOIN the scan", k = 15,
+        partitions = Seq("even", "odd"))
+      .select(col("vector_key").cast("long").as("doc_id"),
+        col("distance").as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+  }
+
   /** C14 retrieval: BM25 scoring (k1=1.2, b=0.75) for a fixed 3-term query
     * — the lexical-search twin of the KNN surface (hybrid retrieval runs
     * both); the declared, oracle-pinned instantiation of the BM25 core,
@@ -669,6 +738,7 @@ object TextQueries {
     "text_match_custom_knn" -> textMatchCustomKnn _,
     "text_match_cjk_knn" -> textMatchCjkKnn _,
     "fulltext_search_std" -> fulltextSearchStd _,
+    "fulltext_multi_partition" -> fulltextMultiPartition _,
     "phrase_match_knn" -> phraseMatchKnn _,
     "phrase_match_slop_knn" -> phraseMatchSlopKnn _,
     "hybrid_rrf" -> hybridRrf _,
@@ -795,6 +865,28 @@ object TextQueries {
             list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
          FROM embeddings e JOIN m ON e.vec_id = m.doc_id, q
          ORDER BY dist, doc_id LIMIT 10""",
+    "fulltext_multi_partition" ->
+      """WITH corpus AS (SELECT d.doc_id, d.text FROM documents d
+                 JOIN embeddings e ON d.doc_id = e.vec_id),
+           tokens AS (SELECT doc_id,
+                 unnest(list_filter(str_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+                   x -> x <> '' AND x <> 'the')) AS word
+               FROM corpus),
+           dl AS (SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY 1),
+           avgdl AS (SELECT avg(dlen) AS avgdl FROM dl),
+           n AS (SELECT count(*) AS n_docs FROM corpus),
+           tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+                  WHERE word IN ('hash','join','scan') GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+                  WHERE word IN ('hash','join','scan') GROUP BY 1),
+           scored AS (SELECT tf.doc_id,
+                round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dlen / avgdl)) ), 6) AS bm25
+              FROM tf JOIN df USING (word) JOIN dl USING (doc_id), avgdl, n
+              GROUP BY 1),
+           cut AS (SELECT * FROM scored
+              ORDER BY bm25 DESC, CAST(doc_id AS VARCHAR) LIMIT 15)
+         SELECT doc_id, bm25 FROM cut ORDER BY bm25 DESC, doc_id""",
     "fulltext_search_std" ->
       """WITH corpus AS (SELECT d.doc_id, d.text FROM documents d
                  JOIN embeddings e ON d.doc_id = e.vec_id),
