@@ -492,6 +492,39 @@ object VectorQueries {
       .orderBy(col("grp_rank"), col("rn"))
   }
 
+  /** B5×B6 (r15 — VERDICT r14's #4): Milvus `group_strict_size` on an
+    * HNSW collection, on the ORACLE path. `groupSize` is data-derived
+    * as (min label count) + 1, so ONE group can never fill — the
+    * strict expansion provably fires every round (the fill check
+    * counts groups with ≥ groupSize candidates, and that group never
+    * has them) and runs until the walk pool covers the corpus
+    * (k·gs·mult·refine ≥ served ends the loop with an exhaustive
+    * beam at every scale factor: pool ≥ n ⇒ the walk is provably
+    * exhaustive, the knn_hnsw_topk contract). The result is therefore
+    * exactly the brute-force grouped ranking with SHORT-GROUP
+    * semantics (the never-filling group returns all its members;
+    * larger groups return their gs best) — DuckDB replays it with the
+    * same data-derived gs. Pins the strict dial's expansion machinery
+    * in the correctness gate, not just the spec. */
+  def knnHnswGroupedStrict(spark: SparkSession, dir: String): DataFrame = {
+    val client = hnswClientFor(spark, dir)
+    val emb = t(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val gs = emb.groupBy(col("label")).count()
+      .agg(min(col("count"))).head().getLong(0).toInt + 1
+    val k = 3
+    val df = client.searchGrouped("embhnsw", q, k = k, groupByKey = "label",
+      groupSize = gs, ef = k * gs, refine = 1, groupStrictSize = true)
+    require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
+      "knn_hnsw_grouped_strict: the strict grouped search did not ride " +
+        "the graph walk")
+    df.select(col("group_value"), col("grp_rank"), col("rn"),
+        col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"))
+      .orderBy(col("grp_rank"), col("rn"))
+  }
+
   /** B6 (r14): Milvus offset paging on an HNSW collection, on the
     * ORACLE path — `search(offset = 10, k = 10)` pages THROUGH the
     * graph walk (walk depth = offset + k, the pool covers the page, the
@@ -762,6 +795,7 @@ object VectorQueries {
     "knn_hnsw_topk" -> knnHnsw _,
     "knn_hnsw_filtered" -> knnHnswFiltered _,
     "knn_hnsw_grouped" -> knnHnswGrouped _,
+    "knn_hnsw_grouped_strict" -> knnHnswGroupedStrict _,
     "knn_hnsw_paged" -> knnHnswPaged _,
     "knn_hnsw_range" -> knnHnswRange _,
     "knn_hnsw_iter" -> knnHnswIter _,
@@ -873,6 +907,23 @@ object VectorQueries {
     // full-probe IVF on the field), so DuckDB replays each arm's rank
     // window from the raw parquet — the field vector is the
     // deterministic first-32-dims slice — and the RRF sum
+    "knn_hnsw_grouped_strict" ->
+      s"""WITH gs AS (SELECT min(cnt) + 1 AS g FROM
+              (SELECT count(*) AS cnt FROM embeddings GROUP BY label)),
+          h AS (SELECT CAST(e.label AS VARCHAR) AS group_value, e.vec_id,
+                  list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+                FROM embeddings e, $qv q),
+          b AS (SELECT group_value, min(dist) AS best FROM h GROUP BY 1),
+          rk AS (SELECT group_value,
+                   ROW_NUMBER() OVER (ORDER BY best, group_value) AS grp_rank
+                 FROM b),
+          r AS (SELECT h.group_value, rk.grp_rank, h.vec_id, h.dist,
+                  ROW_NUMBER() OVER (PARTITION BY h.group_value
+                    ORDER BY h.dist, h.vec_id) AS rn
+                FROM h JOIN rk USING (group_value))
+          SELECT group_value, grp_rank, rn, vec_id, dist FROM r, gs
+          WHERE grp_rank <= 3 AND rn <= gs.g
+          ORDER BY grp_rank, rn""",
     "hybrid_multi_field" ->
       """WITH q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
            q1 AS (SELECT (embedding::DOUBLE[])[1:32] AS qv FROM embeddings WHERE vec_id = 1),
