@@ -173,6 +173,24 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered.nonEmpty)
     assert(filtered.forall(_.getAs[Map[String, String]]("metadata")("grp") == "g1"))
 
+    // column-pruning honesty (the createCollection scaladoc's claim):
+    // a field search's STORE scan must read (key, <field>, meta) — the
+    // PRIMARY vec column never leaves the parquet files, so an N-field
+    // collection's per-field search reads one vector column, not N.
+    // (Scans of a field's own index layouts carry the canonical `vec`
+    // column name by the cells contract — only STORE paths are checked.)
+    val storeScans = client.search("mv", qI, k = 3, field = "img_vec")
+      .queryExecution.executedPlan.toString
+      .split("\n").filter(l => l.contains("ReadSchema") &&
+        !l.contains("-fields/") && !l.contains("-ivf")).toSeq
+    assert(storeScans.nonEmpty)
+    // the primary column renders as "<vec:" or ",vec:" in the struct;
+    // a bare contains("vec:") would false-match inside "img_vec:"
+    assert(!storeScans.exists(l => l.contains("<vec:") || l.contains(",vec:")),
+      s"a field search leaked the primary vec into a store scan: ${storeScans.mkString}")
+    assert(storeScans.exists(_.contains("img_vec:")),
+      "no store scan read the field column at all")
+
     // grouped + range + batch ride the same field dispatch
     val grouped = client.searchGrouped("mv", qI, k = 2, groupByKey = "grp",
       field = "img_vec").collect()
@@ -221,6 +239,11 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got2 = client.search("mvi", qI, k = 8, field = "img_vec", nprobe = 4)
       .collect().map(_.getString(0)).toSeq
     assert(got2 == exact2)
+
+    // the estimator rides the field dispatch: full probe (nprobe =
+    // nlist = 4) through the fresh field index is exact by contract
+    assert(client.estimateRecall("mvi", nprobe = 4, sampleQueries = 4,
+      field = "img_vec") == 1.0)
 
     // INDEPENDENCE: rebuilding the FIELD's index must not move the
     // primary's stamp, and dropping the field's index must leave the
