@@ -1072,6 +1072,13 @@ class GraftClient(spark: SparkSession, root: String,
   // with a loud per-row rejection of rows missing the key (Milvus's
   // partition key field is mandatory on every row the same way)
   private def routeByPk(m: CollectionMeta, df: DataFrame): DataFrame = {
+    // the same friendly boundary error the non-routed write path gives:
+    // a missing declared vector field must not surface as a raw
+    // plan-analysis UNRESOLVED_COLUMN from the routing select below
+    m.extraVecFields.foreach(f => require(df.columns.contains(f.name),
+      s"'${m.name}' declares vector field '${f.name}' — the write " +
+        "batch must carry it as a column (multi-vector collections " +
+        "require every declared vector field on every row)"))
     val pk = element_at(col("meta"), lit(m.partitionKey))
     df.select(col("key") +: col("vec") +:
       m.extraVecFields.map(f => col(f.name)) :+ col("meta") :+
@@ -2892,10 +2899,21 @@ class GraftClient(spark: SparkSession, root: String,
     // extra vector fields too (their cache keys are "<name>#<partition>"
     // / "<name>@<field>" / "<name>@<field>#<partition>") — drop/rebuild
     // through the collection name must not leave derived quantizers live
+    // A PARTITION-level invalidation ("base#p" — dropPartition's case)
+    // must ALSO evict that partition's FIELD keys, which carry the '@'
+    // BEFORE the '#' ("base@f#p") — without this arm a dropped-and-
+    // recreated partition whose fresh store reaches the same version
+    // number could serve the dropped partition's cached field index
     val pfxP = name + "#"
     val pfxF = name + "@"
+    val fieldOfPartition: String => Boolean = name.split("#", 2) match {
+      case Array(base, part) =>
+        k => k.startsWith(base + "@") && k.endsWith("#" + part)
+      case _ => _ => false
+    }
     val dead = (k: String) =>
-      k == name || k.startsWith(pfxP) || k.startsWith(pfxF)
+      k == name || k.startsWith(pfxP) || k.startsWith(pfxF) ||
+        fieldOfPartition(k)
     idxCache.keySet().removeIf(k => dead(k._1))
     bcCache.keySet().removeIf(k => dead(k._1))
     binIdxCache.keySet().removeIf(k => dead(k._1))
@@ -3512,7 +3530,8 @@ class GraftClient(spark: SparkSession, root: String,
           ef = ef)
       }
       .reduce(_ unionByName _)
-    projectOutputFields(paged(scored, offset, k), outputFields)
+    projectOutputFields(paged(scored, offset, k), outputFields,
+      vecFields = m.extraVecFields.map(_.name).toSet)
   }
 
   /** Milvus `output_fields` over a (vector_key, distance, metadata)
@@ -3534,7 +3553,8 @@ class GraftClient(spark: SparkSession, root: String,
     * query's k. Callers migrating from Milvus: a typo'd output field
     * shows up as nulls, not an exception. */
   private def projectOutputFields(result: DataFrame,
-      outputFields: Seq[String], rankCol: String = "distance"): DataFrame =
+      outputFields: Seq[String], rankCol: String = "distance",
+      vecFields: Set[String] = Set.empty): DataFrame =
     if (outputFields.isEmpty || outputFields.contains("*")) result
     else result.select(col("vector_key") +: col(rankCol) +:
       outputFields.filterNot(Set("vector_key", rankCol)).distinct.map {
@@ -3542,6 +3562,10 @@ class GraftClient(spark: SparkSession, root: String,
         case "vec" => throw new IllegalArgumentException(
           "output field 'vec' is not carried by search results — fetch " +
             "the hit keys for vectors")
+        case f if vecFields(f) => throw new IllegalArgumentException(
+          s"output field '$f' is a declared vector field, which search " +
+            "results do not carry — fetch the hit keys for vectors " +
+            "(a silent meta lookup here would project all nulls)")
         case f => element_at(col("metadata"), lit(f)).as(f)
       }: _*)
 
@@ -4344,7 +4368,12 @@ class GraftClient(spark: SparkSession, root: String,
       s"walk pool depth*refine overflows Int ($depth * $refine) — " +
         "lower k/groupSize/refine")
     val pool = poolL.toInt
-    val efEff = if (ef > 0) ef else math.max(GraftClient.DefaultHnswEf, 4 * depth)
+    // the auto beam's 4×depth widening computed in Long too — a depth
+    // near Int.MaxValue/4 would otherwise wrap it negative
+    val efEff =
+      if (ef > 0) ef
+      else math.min(math.max(GraftClient.DefaultHnswEf.toLong, 4L * depth),
+        Int.MaxValue.toLong).toInt
     val cand = HnswIndex.searchShards(shards, qa,
         math.max(efEff, pool), perShard = pool,
         cacheTag = s"${hnswGraphsPath(pm)}@$vB")
@@ -4663,7 +4692,16 @@ class GraftClient(spark: SparkSession, root: String,
       (if (forceExact) None else hnswServable(pm, coll)) match {
         case Some((vB, hm)) =>
           def walk(mult: Int): DataFrame = {
-            val depth = k * groupSize * mult // group-aware over-fetch
+            // group-aware over-fetch, computed in LONG and capped at
+            // the served corpus: k·groupSize passes the entry guard,
+            // but the expansion's ×mult could wrap Int BEFORE
+            // hnswScored's own Long pool check sees it — and any depth
+            // past the served row count is already provably exhaustive,
+            // so the cap loses nothing
+            val depth = math.min(
+              math.min(k.toLong * groupSize * mult,
+                math.max(hm.graphRows + hm.tailEst, 1L)),
+              Int.MaxValue.toLong).toInt
             if (filter.isEmpty)
               hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
             else
@@ -4939,7 +4977,11 @@ class GraftClient(spark: SparkSession, root: String,
       }
       .reduce(_ unionByName _)
       .filter(filter)
-      .select(col("key"), col("vec"), col("meta"))
+      // multi-vector collections return EVERY declared vector field —
+      // Milvus query() exposes all schema fields the same way (fetch's
+      // r15 contract)
+      .select(col("key") +: col("vec") +:
+        m.extraVecFields.map(f => col(f.name)) :+ col("meta"): _*)
       .orderBy(col("key"))
     // Milvus filtered count: `query(filter=…, output_fields=["count(*)"])`
     // returns one row, one column — and rejects limit, like Milvus does
@@ -4959,14 +5001,19 @@ class GraftClient(spark: SparkSession, root: String,
         org.apache.spark.sql.functions.count(lit(1)).as("count(*)"))
     }
     // Milvus `output_fields` on query: the primary key always ships;
-    // "vec"/"meta" are schema fields, anything else projects out of the
-    // meta map as its own column ("*"/none = the full row, today's shape)
+    // "vec"/"meta" AND any declared extra vector field are schema
+    // fields, anything else projects out of the meta map as its own
+    // column ("*"/none = the full row, today's shape) — without the
+    // schema-field arm a declared field name would silently project an
+    // all-null meta lookup
+    val schemaVecs = m.extraVecFields.map(_.name).toSet
     val projected =
       if (outputFields.isEmpty || outputFields.contains("*")) out
       else out.select(col("key") +:
         outputFields.filterNot(_ == "key").distinct.map {
           case "vec" => col("vec")
           case "meta" => col("meta")
+          case f if schemaVecs(f) => col(f)
           case f => element_at(col("meta"), lit(f)).as(f)
         }: _*)
     limit.fold(projected)(projected.limit)
@@ -6026,8 +6073,10 @@ class GraftClient(spark: SparkSession, root: String,
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
     require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
-    val parts =
-      if (partition == GraftClient.DefaultPartition) Nil else Seq(partition)
+    // Seq(partition) UNIFORMLY (estimateRecall's convention): Nil would
+    // resolve to ALL partitions while the sample comes from `partition`'s
+    // store — the dial would describe a different corpus than requested
+    val parts = Seq(partition)
     val recalls = sample.map { r =>
       val q = r.getSeq[Float](1).toArray
       def pairs(force: Boolean): Set[(String, String)] =
@@ -6866,6 +6915,16 @@ class GraftClient(spark: SparkSession, root: String,
           "append) — appendTextIndex or buildTextIndex first; the store " +
           "keeps no text, so there is no raw-text fallback here")
     }
+    // analyzer compatibility is checked HERE, before the query is
+    // analyzed: bm25Merged re-checks it, but an all-stopword query
+    // would take the empty-terms early return below first — the
+    // mismatch refusal must not depend on the query text
+    val analyzerSers = pms.map(m => TextIndex.analyzerOf(textDir(m)).serialize)
+    require(analyzerSers.distinct.size == 1,
+      "the scoped partitions' text indexes were built with DIFFERENT " +
+        s"analyzers (${analyzerSers.distinct.mkString(" vs ")}) — BM25 " +
+        "scores across tokenizations do not merge; rebuild them with " +
+        "one analyzer")
     val analyzer = TextIndex.analyzerOf(textDir(pms.head))
     val terms = analyzer.analyzeTerms(
       query.split("\\s+").toSeq.filter(_.nonEmpty)).distinct
@@ -6888,7 +6947,8 @@ class GraftClient(spark: SparkSession, root: String,
         .select(col("key").as("vector_key"), col("bm25").as("distance"),
           col("meta").as("metadata"))
         .orderBy(desc("distance"), col("vector_key"))
-      projectOutputFields(out, outputFields)
+      projectOutputFields(out, outputFields,
+        vecFields = m0.extraVecFields.map(_.name).toSet)
     }
   }
 

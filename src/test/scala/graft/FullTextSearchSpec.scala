@@ -263,6 +263,14 @@ class FullTextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
         partitions = Seq(graft.api.GraftClient.DefaultPartition, "p1"))
     }
     assert(e.getMessage.contains("analyzer"))
+    // the refusal must NOT depend on the query text: an all-stopword
+    // query must refuse the mismatched scope too, not slip through the
+    // empty-terms early return (r15 review finding)
+    val e2 = intercept[IllegalArgumentException] {
+      client.fullTextSearch("an", "the", k = 5,
+        partitions = Seq(graft.api.GraftClient.DefaultPartition, "p1"))
+    }
+    assert(e2.getMessage.contains("analyzer"))
     intercept[IllegalArgumentException] { // partition XOR partitions
       client.fullTextSearch("an", "hash", k = 5, partition = "p1",
         partitions = Seq("p1"))

@@ -376,6 +376,68 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.fetch("mvpk", Seq("k0004")).count() == 1)
   }
 
+  test("review-pass regressions: output_fields vs declared fields, " +
+       "pk missing-column boundary, dropped partition's field cache") {
+    import spark.implicits._
+    val client = mkClient()
+    create(client, "mvr", imgIndex = "IVF_FLAT")
+    upsertAll(client, "mvr", 0 until 30)
+
+    // queryWhere: a declared field name in output_fields is a SCHEMA
+    // column (the real array), never a silent all-null meta lookup
+    val qw = client.queryWhere("mvr", col("key") === "k0003",
+      outputFields = Seq("img_vec")).collect()
+    assert(qw.length == 1 && qw.head.getSeq[Float](1) == ivec(3))
+    // ... and the unprojected row carries every declared field
+    val full = client.queryWhere("mvr", col("key") === "k0003").collect().head
+    assert(full.schema.fieldNames.toSeq == Seq("key", "vec", "img_vec", "meta"))
+
+    // search results do NOT carry vectors: a declared field in
+    // output_fields refuses toward fetch, exactly like 'vec'
+    val e = intercept[IllegalArgumentException] {
+      client.search("mvr", ivec(1).toArray, k = 3, field = "img_vec",
+        outputFields = Seq("img_vec"))
+    }
+    assert(e.getMessage.contains("fetch"))
+
+    // pk-routed writes give the same friendly missing-column error as
+    // the plain path (not a raw plan-analysis failure)
+    client.createCollection("mvrpk", dim = dimText, partitionKey = "t",
+      numPartitions = 2,
+      vectorFields = Seq(VecField("img_vec", dimImg, "l2", "FLAT")))
+    val e2 = intercept[IllegalArgumentException] {
+      client.upsert("mvrpk", Seq(("k1", tvec(1), Map("t" -> "a")))
+        .toDF("key", "vec", "meta"))
+    }
+    assert(e2.getMessage.contains("img_vec") &&
+      e2.getMessage.contains("column"))
+
+    // a dropped-and-recreated partition whose fresh store reaches the
+    // SAME version number must not serve the dropped partition's cached
+    // field index (the '@field#part' cache-eviction arm)
+    client.createPartition("mvr", "p1")
+    client.upsert("mvr", rows(100 until 130).toDF("key", "vec", "img_vec", "meta"),
+      partition = "p1")
+    client.buildIndex("mvr", nlist = 2, field = "img_vec",
+      partitions = Seq("p1"))
+    val qI = ivec(105).toArray
+    assert(client.search("mvr", qI, k = 3, field = "img_vec",
+        partitions = Seq("p1"), nprobe = 2).collect()
+      .head.getString(0) == "k0105")
+    client.dropPartition("mvr", "p1")
+    client.createPartition("mvr", "p1")
+    // DIFFERENT rows, same single commit → same store version number
+    client.upsert("mvr", rows(200 until 230).toDF("key", "vec", "img_vec", "meta"),
+      partition = "p1")
+    client.buildIndex("mvr", nlist = 2, field = "img_vec",
+      partitions = Seq("p1"))
+    val after = client.search("mvr", ivec(205).toArray, k = 3,
+        field = "img_vec", partitions = Seq("p1"), nprobe = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(after.head == "k0205" && after.forall(_.startsWith("k02")),
+      s"served the dropped partition's cached field index: $after")
+  }
+
   test("named partitions compose with fields; rename keeps field state") {
     import spark.implicits._
     val client = mkClient()
