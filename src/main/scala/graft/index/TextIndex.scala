@@ -989,9 +989,13 @@ object TextIndex {
     *
     * Every layout must share ONE analyzer (BM25 scores across different
     * tokenizations do not merge — refused loudly) and one id column.
-    * A doc id living in MORE THAN ONE layout scores as one doc with its
-    * postings summed — keep keys unique across scoped partitions (the
-    * keyed store's upsert contract already does). */
+    * A doc id living in MORE THAN ONE layout is REFUSED loudly (when it
+    * contributes matching postings): named partitions are independent
+    * stores, so nothing upstream enforces cross-partition key
+    * uniqueness, and silently merging such a doc would inflate df and
+    * double its per-term scores — neither one-doc nor two-doc
+    * semantics. The check is one bounded aggregate over the already
+    * term-pruned Σ df(term) rows, never the corpora. */
   def bm25Merged(spark: SparkSession, paths: Seq[String], terms: Seq[String],
                  k: Int = 15, k1: Double = 1.2, b: Double = 0.75,
                  restrictTo: Option[DataFrame] = None): DataFrame = {
@@ -1017,13 +1021,31 @@ object TextIndex {
           org.apache.spark.sql.types.StructField("bm25",
             org.apache.spark.sql.types.DoubleType))))
     // per-layout pruned live postings, normalized to the four score
-    // inputs so layouts with/without position lists union cleanly
-    val matching = paths.zip(metas).map { case (p, (buckets, schema, gens, _)) =>
-      val bucketIds = analyzed.map(termBucket(_, buckets)).distinct
-      livePostings(spark, p, gens, schema,
-          Some(col("bucket").isin(bucketIds: _*) && col("term").isin(analyzed: _*)))
-        .select(col(idCol), col("term"), col("tf"), col("dlen"))
+    // inputs so layouts with/without position lists union cleanly;
+    // layout-tagged for the duplicate-id refusal below
+    val tagged = paths.zip(metas).zipWithIndex.map {
+      case ((p, (buckets, schema, gens, _)), li) =>
+        val bucketIds = analyzed.map(termBucket(_, buckets)).distinct
+        livePostings(spark, p, gens, schema,
+            Some(col("bucket").isin(bucketIds: _*) && col("term").isin(analyzed: _*)))
+          .select(col(idCol), col("term"), col("tf"), col("dlen"),
+            lit(li).as("__layout"))
     }.reduce(_ unionByName _)
+    // a doc id in >1 scoped layout would score as neither one doc nor
+    // two (df counts it per layout; its per-term rows each add a score
+    // term) — refuse loudly rather than assert a uniqueness contract
+    // the independent partition stores do not enforce. Scope: the
+    // matching rows — exactly the rows that could skew this query.
+    val dup = tagged.groupBy(col(idCol))
+      .agg(countDistinct(col("__layout")).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"doc id '${dup.headOption.map(_.get(0)).getOrElse("")}' has " +
+        "postings in more than one scoped partition's text index — " +
+        "BM25 over the merged corpus cannot score a duplicated id " +
+        "(df and per-term scores would silently inflate); keep keys " +
+        "unique across the scoped partitions or scope the search to one")
+    val matching = tagged.drop("__layout")
     val dfT = matching.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // merged corpus stats: exact integer sums, ONE division — each
     // layout's newest stats row is a 1-row driver read

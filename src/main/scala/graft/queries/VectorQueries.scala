@@ -514,6 +514,19 @@ object VectorQueries {
     val gs = emb.groupBy(col("label")).count()
       .agg(min(col("count"))).head().getLong(0).toInt + 1
     val k = 3
+    // the scaladoc's exhaustiveness claim rests on a DATA-SHAPE
+    // invariant: the strict expansion is bounded to 2 quadruplings
+    // (mult ≤ 16), so the walk pool provably covers the corpus only
+    // while k·gs·16·refine ≥ served rows. Assert it HERE — at a larger
+    // scale factor or label distribution where it stops holding, this
+    // query must fail loudly at the invariant, not hash-mismatch the
+    // oracle with a silently non-exhaustive beam.
+    val n = emb.count()
+    require(k.toLong * gs * 16 >= n,
+      s"knn_hnsw_grouped_strict: k*gs*16 (${k.toLong * gs * 16}) no " +
+        s"longer covers the corpus ($n rows) — the bounded strict " +
+        "expansion cannot reach an exhaustive walk at this data shape; " +
+        "raise k/groupSize in the query (and mirror the oracle)")
     val df = client.searchGrouped("embhnsw", q, k = k, groupByKey = "label",
       groupSize = gs, ef = k * gs, refine = 1, groupStrictSize = true)
     require(df.queryExecution.executedPlan.toString.contains("MapPartitions"),
