@@ -35,14 +35,29 @@ object AnnRequest {
                    ef: Int = 0, weight: Double = 1.0,
                    expr: String = "", field: String = "") extends AnnRequest
 
-  /** A sparse-field arm — the SPLADE/lexical second vector served from
-    * the collection's ATTACHED sparse index ([[GraftClient.buildSparseIndex]];
-    * `sparseDir` overrides with a caller-managed layout, no freshness
-    * tie — [[GraftClient.hybridDenseSparse]]'s exact contract). */
+  /** A sparse-field arm — the SPLADE/lexical second vector. Three
+    * layouts serve it, strongest contract first:
+    *
+    *   - `field` nonempty: a declared SPARSE_FLOAT_VECTOR extra field
+    *     of a multi-vector collection (Milvus 2.4's full schema) — the
+    *     arm rides the sparse COLLECTION family through the field view:
+    *     store-owned vectors, auto-maintained index with an exact
+    *     staleness fallback, and partition scope / per-arm expr applied
+    *     BEFORE ranking (exactly as Milvus scopes an anns_field arm).
+    *   - the collection IS sparse (no field, no dir): its own search.
+    *   - otherwise the ATTACHED sparse index
+    *     ([[GraftClient.buildSparseIndex]]; `sparseDir` overrides with
+    *     a caller-managed layout, no freshness tie —
+    *     [[GraftClient.hybridDenseSparse]]'s exact contract). The
+    *     attached layout keeps no vectors in the store, so scope/expr
+    *     gate its hits AFTER ranking (order-preserving, may under-fill
+    *     the arm below armK) — declaring the field retires that
+    *     difference. */
   case class SparseField(query: Seq[(Long, Double)], sparseDir: String = "",
                          metric: String = "dot",
                          weight: Double = 1.0,
-                         expr: String = "") extends AnnRequest
+                         expr: String = "",
+                         field: String = "") extends AnnRequest
 
   /** A Milvus 2.5 BM25 text request — a RAW query string analyzed by
     * the attached text index's own persisted analyzer and ranked from

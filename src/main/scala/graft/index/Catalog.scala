@@ -5,22 +5,39 @@ import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
-/** One NAMED extra dense vector field of a multi-vector collection —
+/** One NAMED extra vector field of a multi-vector collection —
   * Milvus 2.4's multiple-vector-fields feature (a collection declaring
   * e.g. `text_vec` dim 384 + `image_vec` dim 512 on one row, the
   * consolidation of the reference's two single-field deployments:
   * `s3vectors-app/sample-deployment-text.yaml:63-64` vs
   * `sample-deployment-image.yaml`). The field's vector lives as its own
-  * ARRAY&lt;FLOAT&gt; column IN THE SAME keyed store row as the primary
-  * `vec` — not a shadow collection — so upsert/delete/consistency are
-  * one commit covering every field, while each field's INDEX is its own
-  * layout with its own VERSION stamp (independent staleness).
+  * column IN THE SAME keyed store row as the primary `vec` — not a
+  * shadow collection — so upsert/delete/consistency are one commit
+  * covering every field, while each field's INDEX is its own layout
+  * with its own VERSION stamp (independent staleness).
   *
-  * `indexType` is the field's create-time index family (FLAT = exact
-  * scans, or IVF_FLAT/IVF_SQ8/IVF_PQ/HNSW with the family defaults for
-  * frozen knobs — pqM auto, HNSW M/efC defaults). */
+  * `family` is the field's Milvus vector type — Milvus 2.4 admits all
+  * three as named fields of one collection (the dense+SPLADE hybrid
+  * schema): FLOAT_VECTOR (ARRAY&lt;FLOAT&gt; column, `dim` floats),
+  * SPARSE_FLOAT_VECTOR (MAP&lt;BIGINT,DOUBLE&gt; column, dim = 0 — the
+  * dimension space is occupied sparsely), or BINARY_VECTOR
+  * (ARRAY&lt;BIGINT&gt; packed sign bits, `dim` counts BITS).
+  *
+  * `indexType` is the field's create-time index family, validated per
+  * family exactly like a primary of that `vectorType` (FLAT = exact
+  * scans; IVF_FLAT/IVF_SQ8/IVF_PQ/HNSW for dense with the family
+  * defaults for frozen knobs — pqM auto, HNSW M/efC defaults;
+  * SPARSE_INVERTED_INDEX for sparse; BIN_IVF_FLAT for binary).
+  *
+  * `nullable` is Milvus 2.6's `add_collection_field` contract: a field
+  * added AFTER create must be nullable (rows written before it existed
+  * read as null without a rewrite), and a nullable field's reads — the
+  * field view every search/index path goes through — surface only the
+  * rows that HAVE it. */
 case class VecField(name: String, dim: Int, metric: String,
-                    indexType: String)
+                    indexType: String,
+                    family: String = "FLOAT_VECTOR",
+                    nullable: Boolean = false)
 
 /** Collection metadata — the engine's analog of the reference's collection/
   * vector-bucket descriptors: Milvus `create_collection` + IVF_FLAT index
@@ -109,15 +126,21 @@ class Catalog(root: String) {
 
   // extraVecFields round-trip as one string field: field names are
   // validated identifier-shaped ([A-Za-z0-9_]+) and the other parts are
-  // enum/int, so ':'/';' separators can never appear in a value
+  // enum/int/bool, so ':'/';' separators can never appear in a value.
+  // Short forms stay parseable for backward compat: a 4-part entry is a
+  // pre-family (dense, non-nullable) catalog's, a 5-part one pre-nullable
   private def renderVecFields(fs: Seq[VecField]): String =
-    fs.map(f => s"${f.name}:${f.dim}:${f.metric}:${f.indexType}").mkString(";")
+    fs.map(f => s"${f.name}:${f.dim}:${f.metric}:${f.indexType}:" +
+      s"${f.family}:${f.nullable}").mkString(";")
 
   private def parseVecFields(s: String): Seq[VecField] =
     if (s.isEmpty) Nil
     else s.split(";").toSeq.map { part =>
       part.split(":") match {
         case Array(n, d, met, it) => VecField(n, d.toInt, met, it)
+        case Array(n, d, met, it, fam) => VecField(n, d.toInt, met, it, fam)
+        case Array(n, d, met, it, fam, nl) =>
+          VecField(n, d.toInt, met, it, fam, nl.toBoolean)
         case _ => sys.error(s"corrupt extraVecFields entry: $part")
       }
     }

@@ -469,6 +469,96 @@ object SparseBinaryQueries {
       .orderBy(desc("rrf"), col("doc_id"))
   }
 
+  /** Per-JVM MULTI-VECTOR collection (Milvus 2.4's full schema, r16):
+    * the embeddings as the dense PRIMARY and the documents' hashed tf
+    * postings as a NAMED SPARSE_FLOAT_VECTOR field `lex` — the standard
+    * dense+SPLADE hybrid row, one keyed store holding both. The field's
+    * SPARSE_INVERTED_INDEX is built over a WRONG base (doc 0's weights
+    * doubled), corrected by a re-upsert, and poisoned by an
+    * upsert-then-delete decoy that would rank #1 in the sparse arm if a
+    * tombstone leaked — the per-commit FIELD index auto-maintenance is
+    * load-bearing for the oracle hash, the sparseClientFor pattern one
+    * schema level up. */
+  private val fieldClientRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fieldClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = fieldClientRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-fieldcli").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("hybfield", dim = dim, buckets = 4,
+        vectorFields = Seq(graft.index.VecField("lex", 0, "dot",
+          "SPARSE_INVERTED_INDEX", family = "SPARSE_FLOAT_VECTOR")))
+      val tf = hashedPostings(spark, d)
+      def rows(p: DataFrame) = emb
+        .select(col("vec_id").as("doc_id"), col("embedding"), col("label"))
+        .join(p.groupBy(col("doc_id"))
+          .agg(map_from_entries(collect_list(struct(col("dim"), col("w"))))
+            .as("lex")), Seq("doc_id"))
+        .select(lpad(col("doc_id").cast("string"), 8, "0").as("key"),
+          col("embedding").as("vec"), col("lex"),
+          map(lit("label"), col("label").cast("string")).as("meta"))
+      // wrong base (doc 0 doubled) → build → corrective re-upsert →
+      // decoy put+delete: every later sparse-arm hit depends on the
+      // field index rolling forward correctly per commit
+      c.upsert("hybfield", rows(tf.withColumn("w",
+        when(col("doc_id") === 0L, col("w") * 2).otherwise(col("w")))))
+      c.buildIndex("hybfield", nlist = 8, field = "lex")
+      c.upsert("hybfield", rows(tf).filter(col("key") === "00000000"))
+      val qd = tf.filter(col("doc_id") === 0L).select("dim").head().getLong(0)
+      import spark.implicits._
+      c.upsert("hybfield", Seq(
+        ("99999999", Seq.fill(dim)(9.9f), Map(qd -> 1000.0),
+          Map("label" -> "9")))
+        .toDF("key", "vec", "lex", "meta"))
+      c.deleteByKeys("hybfield", Seq("99999999"))
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B6 (r16 — VERDICT r15's #1) — Milvus `hybrid_search` across the
+    * TWO vector fields of ONE multi-vector collection, on the ORACLE
+    * path: a Dense arm on the primary embedding field ⊕ a SparseField
+    * arm on the NAMED sparse field `lex` (dense+SPLADE, the standard
+    * hybrid-retrieval schema), fused by RRF. The sparse arm rides the
+    * sparse COLLECTION family through the field view — store-owned
+    * maps, auto-maintained SPARSE_INVERTED_INDEX (freshness asserted,
+    * postings dispatch plan-asserted on the standalone arm), exact
+    * fallback — so scope/filter would apply BEFORE ranking, unlike the
+    * attached layout it retires. DuckDB replays both rank windows and
+    * the coalesced reciprocal-rank sum; the hash is wrong unless the
+    * wrong-base correction and the decoy's tombstone were both carried
+    * into the FIELD's postings by per-commit maintenance. */
+  def hybridSparseField(spark: SparkSession, dir: String): DataFrame = {
+    import graft.api.AnnRequest
+    val client = fieldClientFor(spark, dir)
+    val idx = client.listIndexes("hybfield")
+      .filter(col("kind") === "SPARSE_INVERTED_INDEX").head()
+    require(idx.getString(1) == "lex" && idx.getBoolean(2),
+      "hybrid_sparse_field: the FIELD's SPARSE_INVERTED_INDEX must be " +
+        "FRESH — per-commit field-index auto-maintenance failed")
+    val q = sparseClientQuery(spark, dir)
+    // dispatch honesty on the arm itself: the fresh field index's
+    // postings layout (dim-bucket prune, pushed IN) must serve it
+    require(client.searchSparse("hybfield", q, k = 10, field = "lex")
+        .queryExecution.executedPlan.toString.contains("In(dim"),
+      "hybrid_sparse_field: the sparse arm did not read the field's " +
+        "postings layout")
+    val qv = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    client.hybridSearchRequests("hybfield",
+        Seq(AnnRequest.Dense(qv),
+          AnnRequest.SparseField(q, field = "lex")),
+        k = 10)
+      .select(col("key").cast("long").as("doc_id"),
+        col("rank_0").as("vec_rank"), col("rank_1").as("sp_rank"),
+        col("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+  }
+
   /** B6×B7 (r13) — Milvus grouping search on a BINARY_VECTOR field, on
     * the ORACLE path: top-3 labels by best Hamming distance, 2 best
     * hits each, through the client collection at FULL probe (exact by
@@ -505,7 +595,8 @@ object SparseBinaryQueries {
     "sparse_client_grouped" -> sparseClientGrouped _,
     "sparse_client_milvus" -> sparseClientMilvus _,
     "hybrid_multi_rrf" -> hybridMultiRrf _,
-    "hybrid_multi_expr" -> hybridMultiExpr _
+    "hybrid_multi_expr" -> hybridMultiExpr _,
+    "hybrid_sparse_field" -> hybridSparseField _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -878,6 +969,26 @@ object SparseBinaryQueries {
          SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
          FROM tf t JOIN q USING (word) GROUP BY 1
          ORDER BY dot DESC, doc_id LIMIT 10""",
+    "hybrid_sparse_field" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+           tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+           qw AS (SELECT word, tf AS qtf FROM tf WHERE doc_id = 0),
+           sp0 AS (SELECT t.doc_id, CAST(sum(t.tf * qw.qtf) AS BIGINT) AS dot
+                   FROM tf t JOIN qw USING (word) GROUP BY 1
+                   ORDER BY dot DESC, doc_id LIMIT 15),
+           sp AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dot DESC, doc_id) AS sp_rank FROM sp0),
+           q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+           dn0 AS (SELECT e.vec_id AS doc_id,
+                     list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+                   FROM embeddings e, q ORDER BY dist, doc_id LIMIT 15),
+           dn AS (SELECT doc_id,
+                    row_number() OVER (ORDER BY dist, doc_id) AS vec_rank FROM dn0)
+         SELECT doc_id, vec_rank, sp_rank,
+            round(coalesce(1.0 / (60 + vec_rank), 0)
+              + coalesce(1.0 / (60 + sp_rank), 0), 6) AS rrf
+         FROM dn FULL OUTER JOIN sp USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     "hybrid_dense_sparse" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
