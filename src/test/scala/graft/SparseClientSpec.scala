@@ -546,6 +546,44 @@ class SparseClientSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the routed delete must drop the row from the ranking")
   }
 
+  test("BATCH upsert on a partition-key sparse collection: the routed " +
+       "content-hash resolve accepts map vectors (r16 regression)") {
+    import spark.implicits._
+    // upsertRouted resolves within-batch duplicate keys by a content
+    // hash; pre-r16 it hashed the raw vec column, which Spark's hash
+    // expressions REFUSE for MapType — so the sparse family's batch
+    // upsert on a pk collection failed analysis (streamed ingest,
+    // which resolves by arrival order, masked it). Pin: the batch
+    // lands, duplicates resolve to ONE live copy, a pk-value re-put
+    // MOVES the row.
+    val (client, _) = mkClient()
+    client.createCollection("spkb", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX", buckets = 2,
+      vectorType = "SPARSE_FLOAT_VECTOR",
+      partitionKey = "tenant", numPartitions = 4)
+    def rows(is: Seq[Int], tenant: Int => String) = is.map(i =>
+      (key(i), svec(i), Map("tenant" -> tenant(i))))
+      .toDF("key", "vec", "meta")
+    client.upsert("spkb", rows(0 until 20, i => s"t${i % 2}"))
+    assert(client.count("spkb") == 20)
+    // duplicate key under TWO pk values in ONE batch: the content
+    // resolve picks one winner and exactly one copy lives anywhere
+    client.upsert("spkb",
+      rows(Seq(3), _ => "t0").union(rows(Seq(3), _ => "t1")))
+    assert(client.count("spkb") == 20)
+    // scoped search proves the re-put MOVED key 5 (t1 -> t0): gone
+    // from its old pk scope, ranked in the new one
+    client.upsert("spkb", rows(Seq(5), _ => "t0"))
+    val q5 = svec(5).toSeq
+    assert(!client.searchSparse("spkb", q5, k = 50,
+        partitions = Nil).collect().isEmpty)
+    val t1Keys = client.queryWhere("spkb",
+        element_at(col("meta"), lit("tenant")) === "t1")
+      .collect().map(_.getString(0)).toSet
+    assert(!t1Keys.contains(key(5)), "the old pk copy must be gone")
+    assert(client.count("spkb") == 20)
+  }
+
   test("compact() folds the auto-appended postings segments; searches " +
        "and freshness survive; concurrent writers stay model-exact") {
     val (client, root) = mkClient()
