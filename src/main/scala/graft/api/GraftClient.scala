@@ -1932,7 +1932,21 @@ class GraftClient(spark: SparkSession, root: String,
           }
           (p, "hnsw", s"$fname tail folded")
         }
-      scalars ++ text ++ sparse ++ sparseOwn ++ hnsw ++ fieldHnsw
+      // NAMED sparse fields' postings accumulate one delta segment per
+      // commit exactly like a sparse collection's own index (the field
+      // refresh shares refreshSparseInvIncremental) — fold each on
+      // demand under its own layout, the sparseOwn arm per field
+      val fieldSparse = pm.extraVecFields
+        .filter(_.family == "SPARSE_FLOAT_VECTOR")
+        .map(f => (f.name, fieldMeta(pm, f.name)))
+        .filter { case (_, fm) =>
+          graft.index.SparseIndex.exists(sparsePostingsPath(fm)) }
+        .map { case (fname, fm) =>
+          graft.index.SparseIndex.compact(spark, sparsePostingsPath(fm))
+          (p, "sparse_inverted", fname)
+        }
+      scalars ++ text ++ sparse ++ sparseOwn ++ hnsw ++ fieldHnsw ++
+        fieldSparse
     }
   }
 
@@ -6544,10 +6558,13 @@ class GraftClient(spark: SparkSession, root: String,
     * probe (`nprobe = nlist` is exact by the layout contract). */
   def estimateRecallBinary(name: String, k: Int = 10, nprobe: Int = 4,
       sampleQueries: Int = 32,
-      partition: String = GraftClient.DefaultPartition): Double = {
+      partition: String = GraftClient.DefaultPartition,
+      field: String = ""): Double = {
     import spark.implicits._
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
-    val m = partMeta(metaOrThrow(name), partition)
+    // `field` places a named BINARY_VECTOR extra field's own BIN_IVF
+    // layout on the curve, like estimateRecall(field=) for dense ones
+    val m = partMeta(fieldMetaOpt(metaOrThrow(name), field), partition)
     require(binaryVec(m),
       s"'${m.name}' is a ${m.vectorType} collection — estimateRecallBinary " +
         "serves BINARY_VECTOR; use estimateRecall for float vectors")
@@ -6569,9 +6586,9 @@ class GraftClient(spark: SparkSession, root: String,
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = hits(searchBinaryBatch(name, queries, k, nprobe = nlist,
-      partitions = Seq(partition)))
+      partitions = Seq(partition), field = field))
     val approx = hits(searchBinaryBatch(name, queries, k, nprobe = nprobe,
-      partitions = Seq(partition)))
+      partitions = Seq(partition), field = field))
     val recalls = exact.map { case (q, truth) =>
       (approx.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
     }

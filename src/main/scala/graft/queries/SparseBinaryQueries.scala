@@ -514,9 +514,77 @@ object SparseBinaryQueries {
           Map("label" -> "9")))
         .toDF("key", "vec", "lex", "meta"))
       c.deleteByKeys("hybfield", Seq("99999999"))
+      // ---- Milvus 2.6 add_collection_field ON THE ORACLE PATH (r16):
+      // a nullable BINARY_VECTOR field added AFTER the collection
+      // carries data, backfilled by re-upsert with doc 0's code WRONG
+      // (complemented), the field's BIN_IVF built over that wrong
+      // base, then corrected by a re-upsert and poisoned by a decoy
+      // put+delete — knn_hamming_field's hash is right only if (a)
+      // old rows gained the column with no rewrite, (b) the backfill
+      // landed every field atomically, (c) the FIELD's cell
+      // maintenance carried the correction and the tombstone.
+      c.addCollectionField("hybfield", graft.index.VecField(
+        "bcode", dim, "hamming", "BIN_IVF_FLAT",
+        family = "BINARY_VECTOR", nullable = true))
+      def rows2(p: DataFrame, complement0: Boolean) = rows(p)
+        .join(emb.select(lpad(col("vec_id").cast("string"), 8, "0")
+          .as("key"), graft.functions.BinaryVectorFunctions
+            .pack_sign_bits(col("embedding")).as("bcode")), Seq("key"))
+        .withColumn("bcode",
+          if (complement0)
+            when(col("key") === "00000000",
+              transform(col("bcode"), w => bitwise_not(w)
+                .bitwiseAND(lit(if (dim % 64 == 0) -1L
+                  else (1L << (dim % 64)) - 1))))
+              .otherwise(col("bcode"))
+          else col("bcode"))
+        .select(col("key"), col("vec"), col("lex"), col("bcode"),
+          col("meta"))
+      c.upsert("hybfield", rows2(tf, complement0 = true)) // wrong base
+      c.buildIndex("hybfield", nlist = 4, field = "bcode")
+      c.upsert("hybfield",
+        rows2(tf, complement0 = false).filter(col("key") === "00000000"))
+      // decoy: doc 0's own (corrected) code under a key that sorts
+      // BEFORE "00000000" ('!' < '0') — a tombstone leak would rank it
+      // #1 at Hamming distance 0 by the (dist, key) tie-break
+      val q0codes = rows2(tf, complement0 = false)
+        .filter(col("key") === "00000000").select("bcode")
+        .head().getSeq[Long](0)
+      c.upsert("hybfield", Seq(
+        ("!decoy", Seq.fill(dim)(8.8f), Map(qd -> 1.0), q0codes,
+          Map("label" -> "9")))
+        .toDF("key", "vec", "lex", "bcode", "meta"))
+      c.deleteByKeys("hybfield", Seq("!decoy"))
       r
     })
     new graft.api.GraftClient(spark, root)
+  }
+
+  /** B7×B6 (r16) — Milvus BINARY_VECTOR as a NAMED FIELD of a
+    * multi-vector collection, declared via `add_collection_field`
+    * (nullable, no rewrite) and BACKFILLED by re-upsert, on the ORACLE
+    * path: `searchBinary(field = "bcode")` at FULL probe through the
+    * field's own BIN_IVF_FLAT layout — built over a WRONG base (doc
+    * 0's code complemented), corrected through per-commit FIELD cell
+    * maintenance, and poisoned by a tombstoned decoy that would rank
+    * ahead of doc 0 by key tie-break if the delete leaked. DuckDB
+    * replays the sign-disagreement brute force. */
+  def knnHammingField(spark: SparkSession, dir: String): DataFrame = {
+    val client = fieldClientFor(spark, dir)
+    val idx = client.listIndexes("hybfield")
+      .filter(col("kind") === "BIN_IVF_FLAT").head()
+    require(idx.getString(1) == "bcode" && idx.getBoolean(2),
+      "knn_hamming_field: the FIELD's BIN_IVF_FLAT must be FRESH — " +
+        "per-commit field cell maintenance failed")
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
+    val df = client.searchBinary("hybfield", q, k = 10, nprobe = 4,
+      field = "bcode")
+    require(df.queryExecution.executedPlan.toString.contains("centroidId"),
+      "knn_hamming_field: search did not read the field's cell layout")
+    df.select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").cast("long").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
   }
 
   /** B6 (r16 — VERDICT r15's #1) — Milvus `hybrid_search` across the
@@ -596,7 +664,8 @@ object SparseBinaryQueries {
     "sparse_client_milvus" -> sparseClientMilvus _,
     "hybrid_multi_rrf" -> hybridMultiRrf _,
     "hybrid_multi_expr" -> hybridMultiExpr _,
-    "hybrid_sparse_field" -> hybridSparseField _
+    "hybrid_sparse_field" -> hybridSparseField _,
+    "knn_hamming_field" -> knnHammingField _
   )
 
   /** B6×B7 (r13) — Milvus `search_iterator` on a BINARY_VECTOR field,
@@ -969,6 +1038,17 @@ object SparseBinaryQueries {
          SELECT t.doc_id, CAST(sum(t.tf * q.qtf) AS BIGINT) AS dot
          FROM tf t JOIN q USING (word) GROUP BY 1
          ORDER BY dot DESC, doc_id LIMIT 10""",
+    // identical brute force to knn_hamming_ivf: the engine-side value
+    // of the FIELD query is the add_collection_field + backfill +
+    // field-maintenance choreography, not a different ranking
+    "knn_hamming_field" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           h AS (
+             SELECT e.vec_id,
+               CAST(SUM(CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             FROM embeddings e, q, LATERAL unnest(generate_series(1, len(e.embedding))) AS t(i)
+             GROUP BY e.vec_id)
+         SELECT vec_id, dist FROM h ORDER BY dist, vec_id LIMIT 10""",
     "hybrid_sparse_field" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
            tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),

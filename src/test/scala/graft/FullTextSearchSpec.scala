@@ -246,6 +246,38 @@ class FullTextSearchSpec extends AnyFunSuite with BeforeAndAfterAll {
       partitions = Seq("p2")).collect().nonEmpty)
   }
 
+  test("a doc id with matching postings in TWO scoped partitions is " +
+       "refused loudly (r16 — duplicate ids merge as neither one doc " +
+       "nor two)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ftdup").toString
+    val client = new GraftClient(spark, root)
+    client.createCollection("dup", dim = 4, buckets = 4)
+    client.createPartition("dup", "p1")
+    client.createPartition("dup", "p2")
+    // the SAME key upserted into two independent partition stores —
+    // nothing upstream prevents this (partitions are disjoint only by
+    // caller discipline)
+    upsertTextRows(client, "dup", Seq(("d1", "hash join scan")), "p1")
+    upsertTextRows(client, "dup",
+      Seq(("d1", "hash join again"), ("d2", "merge sort")), "p2")
+    client.buildTextIndex("dup", Seq(("d1", "hash join scan"))
+      .toDF("key", "text"), partition = "p1")
+    client.buildTextIndex("dup",
+      Seq(("d1", "hash join again"), ("d2", "merge sort"))
+        .toDF("key", "text"), partition = "p2")
+    val e = intercept[IllegalArgumentException] {
+      client.fullTextSearch("dup", "hash join", k = 5,
+        partitions = Seq("p1", "p2"))
+    }
+    assert(e.getMessage.contains("more than one scoped partition"))
+    // a query whose terms the duplicated doc does NOT match merges
+    // fine — the refusal scopes to rows that could skew this query
+    assert(client.fullTextSearch("dup", "merge sort", k = 5,
+        partitions = Seq("p1", "p2")).collect()
+      .map(_.getString(0)).toSeq == Seq("d2"))
+  }
+
   test("analyzer mismatch across scoped partitions is refused loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ftan").toString

@@ -271,6 +271,16 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(1), r.getLong(3))).toSeq
     assert(idx2.collectFirst { case ("vec", v) => v } == primaryStamp)
 
+    // compact() folds the FIELD's auto-appended postings segments
+    // (the commit above appended a delta) with result parity
+    val folded = c.compact("sfi")
+    assert(folded.exists(a => a._2 == "sparse_inverted" && a._3 == "sp"),
+      s"compact must fold the sparse field's postings, got $folded")
+    val gotC = c.searchSparse("sfi", qPairs(q), k = 10, field = "sp")
+    assert(gotC.queryExecution.executedPlan.toString.contains("In(dim"))
+    assert(gotC.collect().map(_.getString(0)).toSeq == expect2,
+      "the fold must not change the result")
+
     // dropIndex(field=) falls back to the exact map scan — same answers
     c.dropIndex("sfi", field = "sp")
     val got3 = c.searchSparse("sfi", qPairs(q), k = 10, field = "sp")
