@@ -330,11 +330,7 @@ class GraftClient(spark: SparkSession, root: String,
     else {
       val (pre, post) = base.fields.span(_.name != "meta")
       StructType(pre ++ m.extraVecFields.map(f =>
-        StructField(f.name, f.family match {
-          case "SPARSE_FLOAT_VECTOR" => MapType(LongType, DoubleType)
-          case "BINARY_VECTOR" => ArrayType(LongType)
-          case _ => ArrayType(FloatType)
-        }, nullable = true)) ++ post)
+        StructField(f.name, fieldDataType(f), nullable = true)) ++ post)
     }
   }
 
@@ -368,41 +364,57 @@ class GraftClient(spark: SparkSession, root: String,
       }
     }
 
-  /** The write-boundary check column for one extra vector field — its
-    * FAMILY's boundary verbatim (dense dim assert, sparse weight rules,
-    * binary word-count + pad-bit zeroing), null-refusing unless the
-    * field is nullable. The family checks are null-PROPAGATING
+  /** THE per-family write-boundary check — ONE copy serving the
+    * primary `vec` and every extra field (a second copy would silently
+    * diverge): dense dim assert, sparse weight rules, binary word-count
+    * + pad-bit zeroing. Null-PROPAGATING by construction
     * (size/forall/element_at of a null map/array give null conditions;
-    * assert_dim's nullSafeEval never runs on null), so a nullable
-    * field's nulls pass through them untouched. */
+    * assert_dim's nullSafeEval never runs on null), so callers own the
+    * null stance: the primary refuses nulls, nullable fields pass them
+    * through. */
+  private def familyBoundaryCheck(c: Column, family: String, dim: Int,
+      label: String): Column = family match {
+    case "SPARSE_FLOAT_VECTOR" =>
+      // at least one entry; weights non-null, finite and nonzero — a
+      // zero weight is a dead posting every later dot pays to read, a
+      // NaN/Inf would poison every score it touches, and a null would
+      // vanish inside sum() silently. Dims are ANY 64-bit id (hashed
+      // vocabularies — xxhash64(term) — land negative, first-class)
+      when(size(c) < 1, raise_error(lit(
+        s"empty sparse $label in write batch — a sparse vector " +
+          "needs at least one (dim, weight) entry")))
+        .when(!forall(map_values(c), w =>
+            w.isNotNull && !isnan(w) &&
+              abs(w) < lit(Double.PositiveInfinity) && w =!= 0.0),
+          raise_error(lit(s"sparse $label weights must be finite " +
+            "and nonzero (null/NaN/Inf/0 found) — drop zero entries " +
+            "before upserting")))
+        .otherwise(c)
+    case "BINARY_VECTOR" =>
+      // exactly ceil(dim/64) packed words, and any bits past `dim` in
+      // the last word must be ZERO — the Hamming/Jaccard kernels read
+      // whole words, so a stray pad bit would silently shift every
+      // distance this row ever scores
+      val words = binWords(dim)
+      val sized = when(size(c) =!= words, raise_error(concat(
+        lit(s"binary $label needs $words packed 64-bit words for " +
+          s"dim $dim bits, got "), size(c).cast("string"))))
+      if (dim % 64 == 0) sized.otherwise(c)
+      else sized.when(
+        element_at(c, lit(words))
+          .bitwiseAND(lit(-1L << (dim % 64))) =!= 0L,
+        raise_error(lit(s"bits past dim $dim must be zero in " +
+          s"the last packed word of $label")))
+        .otherwise(c)
+    case _ => assert_dim(c, dim)
+  }
+
+  /** The write-boundary check column for one extra vector field — its
+    * family's [[familyBoundaryCheck]], null-refusing unless the field
+    * is nullable. */
   private def checkedFieldCol(f: graft.index.VecField): Column = {
     val c = col(f.name)
-    val familyChecked: Column = f.family match {
-      case "SPARSE_FLOAT_VECTOR" =>
-        when(size(c) < 1, raise_error(lit(
-          s"empty sparse ${f.name} in write batch — a sparse vector " +
-            "needs at least one (dim, weight) entry")))
-          .when(!forall(map_values(c), w =>
-              w.isNotNull && !isnan(w) &&
-                abs(w) < lit(Double.PositiveInfinity) && w =!= 0.0),
-            raise_error(lit(s"sparse ${f.name} weights must be finite " +
-              "and nonzero (null/NaN/Inf/0 found) — drop zero entries " +
-              "before upserting")))
-          .otherwise(c)
-      case "BINARY_VECTOR" =>
-        val words = binWords(f.dim)
-        val sized = when(size(c) =!= words, raise_error(concat(
-          lit(s"binary ${f.name} needs $words packed 64-bit words for " +
-            s"dim ${f.dim} bits, got "), size(c).cast("string"))))
-        if (f.dim % 64 == 0) sized.otherwise(c)
-        else sized.when(
-          element_at(c, lit(words))
-            .bitwiseAND(lit(-1L << (f.dim % 64))) =!= 0L,
-          raise_error(lit(s"bits past dim ${f.dim} must be zero in " +
-            s"the last packed word of ${f.name}")))
-          .otherwise(c)
-      case _ => assert_dim(c, f.dim)
-    }
+    val familyChecked = familyBoundaryCheck(c, f.family, f.dim, f.name)
     if (f.nullable) familyChecked
     else when(c.isNull, raise_error(lit(
       s"null ${f.name} in write batch — multi-vector collections " +
@@ -555,11 +567,22 @@ class GraftClient(spark: SparkSession, root: String,
     * binary index. */
   private def resolveVecField(f: graft.index.VecField): graft.index.VecField =
     if (f.indexType != "AUTOINDEX") f
-    else f.copy(indexType = f.family match {
+    else f.copy(indexType = resolveAutoIndex(f.family, f.metric))
+
+  /** What AUTOINDEX (the managed default) resolves to per (family,
+    * metric) — the graph index for dense floats, the one binary index,
+    * the one sparse index, EXCEPT where this engine serves that metric
+    * exactly by design: dot has no monotone graph distance (HNSW would
+    * be declarable but forever unbuildable) and jaccard has no
+    * k-majority center (BIN_IVF_FLAT is refused on it) — those resolve
+    * to FLAT, the exact-serving default, rather than to an index type
+    * the caller never asked for and validation would refuse. */
+  private def resolveAutoIndex(family: String, metric: String): String =
+    family match {
       case "SPARSE_FLOAT_VECTOR" => "SPARSE_INVERTED_INDEX"
-      case "BINARY_VECTOR" => "BIN_IVF_FLAT"
-      case _ => "HNSW"
-    })
+      case "BINARY_VECTOR" => if (metric == "jaccard") "FLAT" else "BIN_IVF_FLAT"
+      case _ => if (metric == "dot") "FLAT" else "HNSW"
+    }
 
   /** The one declaration boundary for a NAMED extra vector field —
     * shared by [[createCollection]] and [[addCollectionField]] so a
@@ -575,6 +598,13 @@ class GraftClient(spark: SparkSession, root: String,
     require(!Set("key", "vec", "meta", "ingest_ts", "seq",
         "centroidId").contains(f.name) && !f.name.startsWith("__"),
       s"vector field name '${f.name}' collides with a store column")
+    // the streaming ingest pipeline's own frame columns: a field named
+    // one of these would be OVERWRITTEN by the per-field embed step
+    // (e.g. a field 'tags' turns the metadata select into an array and
+    // poison-pills every checkpoint replay of the batch)
+    require(!Set("text", "bytes", "tags", "event_name").contains(f.name),
+      s"vector field name '${f.name}' collides with a streaming-ingest " +
+        "event column (text/bytes/tags/event_name) — pick another name")
     f.family match {
       case "FLOAT_VECTOR" =>
         require(f.dim >= 1, s"vector field '${f.name}': dim must be >= 1")
@@ -667,11 +697,7 @@ class GraftClient(spark: SparkSession, root: String,
     // dispatches on the stored type, and describe() shows the truth).
     if (indexType == "AUTOINDEX")
       return createCollection(name, dim, metric,
-        vectorType match {
-          case "BINARY_VECTOR" => "BIN_IVF_FLAT"
-          case "SPARSE_FLOAT_VECTOR" => "SPARSE_INVERTED_INDEX"
-          case _ => "HNSW"
-        },
+        resolveAutoIndex(vectorType, metric),
         nlist, buckets, retain, partitionKey, numPartitions, pqM, pqNbits,
         consistencyLevel, hnswM, efConstruction, vectorType, vectorFields)
     if (vectorType == "SPARSE_FLOAT_VECTOR") {
@@ -919,6 +945,15 @@ class GraftClient(spark: SparkSession, root: String,
             cur.copy(extraVecFields = cur.extraVecFields :+ f))
         }
         require(updated, s"catalog lost ${m.name} mid-update")
+        // a load()-ed collection's pinned snapshot frames were built
+        // with the PRE-add schema (the cache keys by root + file set,
+        // not schema) — serving them would fail every read of the new
+        // column with UNRESOLVED_COLUMN until the next commit. Evict:
+        // the collection un-loads (coarse but sound, dropIndex's
+        // stance); re-load to pin the new schema. Partition stores live
+        // under the sibling -parts dir.
+        graft.streaming.BucketedKeyedCollection.evictUnder(m.dataPath)
+        graft.streaming.BucketedKeyedCollection.evictUnder(partsDir(m))
         true
     }
   }
@@ -1510,46 +1545,10 @@ class GraftClient(spark: SparkSession, root: String,
       val nullChecked = when(col("vec").isNull, raise_error(lit(
         "null vec in write batch — embedding failed or payload " +
           "missing; filter null vecs before upserting")))
-      val vecChecked =
-        if (sparseVec(m)) {
-          // sparse boundary: at least one entry; weights non-null,
-          // finite and nonzero — a zero weight is a dead posting every
-          // later dot pays to read, a NaN/Inf would poison every score
-          // it touches, and a null would vanish inside sum() silently.
-          // Dims are ANY 64-bit id (Milvus's uint32 range embeds;
-          // hashed vocabularies — xxhash64(term) — land negative and
-          // are first-class, the attached family's own convention)
-          nullChecked
-            .when(size(col("vec")) < 1, raise_error(lit(
-              "empty sparse vec in write batch — a sparse vector needs " +
-                "at least one (dim, weight) entry")))
-            .when(!forall(map_values(col("vec")), w =>
-                w.isNotNull && !isnan(w) &&
-                  abs(w) < lit(Double.PositiveInfinity) && w =!= 0.0),
-              raise_error(lit("sparse vec weights must be finite and " +
-                "nonzero (null/NaN/Inf/0 found) — drop zero entries " +
-                "before upserting")))
-            .otherwise(col("vec"))
-        }
-        else if (!binaryVec(m)) nullChecked.otherwise(assert_dim(col("vec"), m.dim))
-        else {
-          // binary boundary: exactly ceil(dim/64) packed words, and any
-          // bits past `dim` in the last word must be ZERO — the Hamming/
-          // Jaccard kernels read whole words, so a stray pad bit would
-          // silently shift every distance this row ever scores
-          val words = binWords(m.dim)
-          val sized = nullChecked.when(size(col("vec")) =!= words,
-            raise_error(concat(
-              lit(s"binary vec needs $words packed 64-bit words for " +
-                s"dim ${m.dim} bits, got "), size(col("vec")).cast("string"))))
-          if (m.dim % 64 == 0) sized.otherwise(col("vec"))
-          else sized.when(
-            element_at(col("vec"), lit(words))
-              .bitwiseAND(lit(-1L << (m.dim % 64))) =!= 0L,
-            raise_error(lit(s"bits past dim ${m.dim} must be zero in " +
-              "the last packed word")))
-            .otherwise(col("vec"))
-        }
+      // the family checks are familyBoundaryCheck's ONE copy — the
+      // same rules every extra field's column passes
+      val vecChecked = nullChecked.otherwise(
+        familyBoundaryCheck(col("vec"), m.vectorType, m.dim, "vec"))
       // multi-vector collections: every declared extra field is
       // REQUIRED on every row (Milvus requires every non-nullable
       // vector field on insert the same way; nullable added fields
@@ -2400,11 +2399,21 @@ class GraftClient(spark: SparkSession, root: String,
           s"'${m1.name}' has no vector field '$n' — declared: " +
             (if (m1.extraVecFields.isEmpty) "(none)"
              else m1.extraVecFields.map(_.name).mkString(", "))))
-      require(if (f.family == "SPARSE_FLOAT_VECTOR")
-          !fieldEmbedders.contains(n) else !fieldFeaturizers.contains(n),
-        s"vector field '$n' is ${f.family} — pass it through " +
-          (if (f.family == "SPARSE_FLOAT_VECTOR") "fieldFeaturizers"
-           else "fieldEmbedders"))
+      f.family match {
+        case "SPARSE_FLOAT_VECTOR" => require(!fieldEmbedders.contains(n),
+          s"vector field '$n' is SPARSE_FLOAT_VECTOR — pass it through " +
+            "fieldFeaturizers, not fieldEmbedders")
+        case "FLOAT_VECTOR" => require(!fieldFeaturizers.contains(n),
+          s"vector field '$n' is FLOAT_VECTOR — pass it through " +
+            "fieldEmbedders, not fieldFeaturizers")
+        case _ => throw new IllegalArgumentException(
+          // a provider here would be SILENTLY ignored (binary fields
+          // stream null) — the exact never-runs outcome this loop
+          // exists to refuse
+          s"vector field '$n' is BINARY_VECTOR — no streaming encoder " +
+            "emits packed sign bits; remove its provider (nullable " +
+            "binary fields stream null; backfill by batch upsert)")
+      }
     }
     require(objectsDf.columns.contains("text") || objectsDf.columns.contains("bytes"),
       "objectsDf needs a `text` and/or `bytes` column")
@@ -2478,22 +2487,37 @@ class GraftClient(spark: SparkSession, root: String,
           // fields featurize text; providerless (nullable) fields
           // stream null. Column-level kernels — one task-shipped
           // closure per field, same rows, no extra pass.
+          // a BULK provider (remote service) batches one call per
+          // chunk through its family's batched path — the primary's
+          // own dispatch; the bulk transforms append a column named
+          // `vec`, so the primary vec steps aside for the call
+          def bulked(df: DataFrame, fname: String,
+              run: DataFrame => DataFrame): DataFrame =
+            run(df.withColumnRenamed("vec", "__pvec"))
+              .withColumnRenamed("vec", fname)
+              .withColumnRenamed("__pvec", "vec")
           val withFields = m1.extraVecFields.foldLeft(vectorized) { (df, f) =>
-            df.withColumn(f.name, f.family match {
-              case "SPARSE_FLOAT_VECTOR" =>
-                fieldFeaturizers.get(f.name)
-                  .map(fz => graft.ingest.SparseFeaturizer
-                    .featurizeCol(fz)(col("text")))
-                  .getOrElse(lit(null).cast(fieldDataType(f)))
-              case "FLOAT_VECTOR" =>
-                fieldEmbedders.get(f.name)
-                  .map(e => when(col("text").isNotNull,
+            (f.family, fieldEmbedders.get(f.name),
+                fieldFeaturizers.get(f.name)) match {
+              case ("SPARSE_FLOAT_VECTOR", _,
+                  Some(b: graft.ingest.BulkSparseFeaturizer)) =>
+                bulked(df, f.name, d => graft.ingest.SparseFeaturizer
+                  .featurizeDocumentsBulk(d, "text", b))
+              case ("SPARSE_FLOAT_VECTOR", _, Some(fz)) =>
+                df.withColumn(f.name, graft.ingest.SparseFeaturizer
+                  .featurizeCol(fz)(col("text")))
+              case ("FLOAT_VECTOR", Some(b: graft.ingest.BulkEmbedder), _) =>
+                bulked(df, f.name, d => graft.ingest.Embedder
+                  .embedObjectsBulk(d, b))
+              case ("FLOAT_VECTOR", Some(e), _) =>
+                df.withColumn(f.name,
+                  when(col("text").isNotNull,
                       graft.ingest.Embedder.embedTextCol(e)(col("text")))
                     .otherwise(graft.ingest.Embedder
                       .embedBytesCol(e)(col("bytes"))))
-                  .getOrElse(lit(null).cast(fieldDataType(f)))
-              case _ => lit(null).cast(fieldDataType(f)) // nullable binary
-            })
+              case _ => // providerless (nullable) field streams null
+                df.withColumn(f.name, lit(null).cast(fieldDataType(f)))
+            }
           }
           // the reference's 400-per-event arm, per FIELD too: an event
           // any NON-NULLABLE field's provider couldn't embed (null

@@ -1031,6 +1031,11 @@ object TextIndex {
           .select(col(idCol), col("term"), col("tf"), col("dlen"),
             lit(li).as("__layout"))
     }.reduce(_ unionByName _)
+      // ONE materialization of the Σ df(term)-bounded pruned union
+      // serves the duplicate-id check, the df aggregate AND the score
+      // join — without it each is its own pruned parquet scan (the
+      // single-path bm25 reads twice; the check would have made three)
+      .localCheckpoint()
     // a doc id in >1 scoped layout would score as neither one doc nor
     // two (df counts it per layout; its per-term rows each add a score
     // term) — refuse loudly rather than assert a uniqueness contract

@@ -18,6 +18,29 @@ import graft.index.VecField
   * arms that scope BEFORE ranking (the attached layout's documented
   * under-fill, retired by declaring the field), and the nullable-field
   * view contract (rows without the field are invisible to it). */
+object MultiVectorFamiliesSpec {
+  val bulkCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bulk embedder that counts embedItems calls in a JVM static —
+    * proves the streaming field path batches instead of one call per
+    * row (local mode shares the JVM, so the static survives the task
+    * closure's serialization round-trip). */
+  class CountingBulk extends graft.ingest.BulkEmbedder {
+    private val inner = graft.ingest.HashingEmbedder(12)
+    def dim: Int = 12
+    def batchSize: Int = 16
+    def embedText(t: String): Array[Float] = inner.embedText(t)
+    def embedBytes(b: Array[Byte]): Array[Float] = inner.embedBytes(b)
+    def embedTexts(ts: Seq[String]): Seq[Array[Float]] =
+      ts.map(inner.embedText)
+    override def embedItems(items: Seq[Either[String, Array[Byte]]])
+        : Seq[Array[Float]] = {
+      bulkCalls.incrementAndGet()
+      super.embedItems(items)
+    }
+  }
+}
+
 class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -559,6 +582,98 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .awaitTermination(120000)
     assert(client.count("smv") == 3,
       "an event a required field cannot embed must drop, not land or kill")
+  }
+
+  test("review-pass regressions (r16): loaded-snapshot eviction on " +
+       "add_collection_field, AUTOINDEX per (family, metric), reserved " +
+       "ingest column names, binary provider refusal, bulk field provider") {
+    import spark.implicits._
+    val c = mkClient()
+
+    // (1) addCollectionField on a LOADED collection: the pinned
+    // snapshot frames were built pre-add — without eviction every read
+    // of the new column dies with UNRESOLVED_COLUMN until the next
+    // commit. The add must evict (collection un-loads; re-load pins
+    // the new schema).
+    c.createCollection("ld", dim = dim, buckets = 4)
+    c.upsert("ld", (0 until 20)
+      .map(i => (f"k$i%04d", dvec(i), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    c.loadCollection("ld")
+    c.addCollectionField("ld", VecField("sp", 0, "dot", "FLAT",
+      family = "SPARSE_FLOAT_VECTOR", nullable = true))
+    assert(c.getSparse("ld", "k0001", field = "sp").isEmpty) // not an error
+    c.upsert("ld", Seq((f"k0100", dvec(100), svec(100),
+      Map.empty[String, String])).toDF("key", "vec", "sp", "meta"))
+    assert(c.searchSparse("ld", qPairs(svec(100)), k = 5, field = "sp")
+      .collect().map(_.getString(0)).toSeq == Seq("k0100"))
+
+    // (2) AUTOINDEX resolves per (family, metric): jaccard binary and
+    // dot dense fields get FLAT (their exact-serving defaults), not an
+    // index type validation would refuse
+    c.createCollection("auto2", dim = dim, vectorFields = Seq(
+      VecField("bj", 64, "jaccard", "AUTOINDEX", family = "BINARY_VECTOR"),
+      VecField("dd", 4, "dot", "AUTOINDEX")))
+    assert(c.describe("auto2").extraVecFields.map(_.indexType) ==
+      Seq("FLAT", "FLAT"))
+    // ... and a dot-metric PRIMARY under AUTOINDEX resolves FLAT too
+    // (HNSW on dot would be declarable but forever unbuildable)
+    c.createCollection("autodot", dim = dim, metric = "dot",
+      indexType = "AUTOINDEX")
+    assert(c.describe("autodot").indexType == "FLAT")
+
+    // (3) a field named like a streaming event column is refused at
+    // declaration (it would be overwritten mid-pipeline and poison
+    // every checkpoint replay)
+    Seq("tags", "text", "bytes", "event_name").foreach { n =>
+      intercept[IllegalArgumentException] {
+        c.createCollection(s"bad_$n", dim = dim,
+          vectorFields = Seq(VecField(n, 4, "l2", "FLAT")))
+      }
+    }
+
+    // (4) a provider for a BINARY field is refused loudly — it would
+    // otherwise be silently ignored (binary fields stream null)
+    c.createCollection("binp", dim = dim, vectorFields = Seq(
+      VecField("bv", 64, "hamming", "FLAT", family = "BINARY_VECTOR",
+        nullable = true)))
+    val eBin = intercept[IllegalArgumentException] {
+      c.startIngest("binp", "/tmp/nope", Seq(("k", "t")).toDF("key", "text"),
+        fieldEmbedders = Map("bv" -> graft.ingest.HashingEmbedder(64)))
+    }
+    assert(eBin.getMessage.contains("BINARY_VECTOR") &&
+      eBin.getMessage.contains("provider"))
+
+    // (5) a BULK field embedder rides the batched path (one call per
+    // chunk, not one per row) and lands the same values as its own
+    // per-item kernel
+    // the call counter is a JVM STATIC (companion object): task
+    // closures serialize even in local mode, so an instance field would
+    // count on the deserialized copy and read 0 here
+    val calls = MultiVectorFamiliesSpec.bulkCalls
+    calls.set(0)
+    val root = java.nio.file.Files.createTempDirectory("mv-bulk").toString
+    val cb = new GraftClient(spark, root)
+    cb.createCollection("blk", dim = 8, buckets = 2, vectorFields = Seq(
+      VecField("img_vec", 12, "l2", "FLAT")))
+    val texts = (0 until 40).map(i => (s"d$i", s"doc number $i words"))
+    val lines = texts.map { case (k, _) =>
+      TestDirs.notif("ObjectCreated:Put", k) }
+    val lp = java.nio.file.Paths.get(root, "landing", "events.json")
+    java.nio.file.Files.createDirectories(lp.getParent)
+    java.nio.file.Files.write(lp, lines.mkString("\n").getBytes)
+    cb.startIngest("blk", s"$root/landing", texts.toDF("key", "text"),
+        embedder = graft.ingest.HashingEmbedder(8),
+        fieldEmbedders = Map("img_vec" ->
+          new MultiVectorFamiliesSpec.CountingBulk))
+      .awaitTermination(120000)
+    assert(cb.count("blk") == 40)
+    val he12 = graft.ingest.HashingEmbedder(12)
+    val got = cb.fetch("blk", Seq("d7")).collect().head
+    assert(got.getSeq[Float](2) == he12.embedText("doc number 7 words").toSeq,
+      "the bulk path must land the same values as the per-item kernel")
+    assert(calls.get() > 0 && calls.get() <= 8,
+      s"40 rows at batchSize 16 must batch (got ${calls.get()} calls)")
   }
 
   test("add_collection_field: nullable evolution without rewrite") {
