@@ -584,6 +584,84 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an event a required field cannot embed must drop, not land or kill")
   }
 
+  test("multi-field crash between merge-commit and checkpoint ack: the " +
+       "replay converges field-for-field and the FIELD index recovers") {
+    import spark.implicits._
+    import graft.ingest.{HashingEmbedder, SparseFeaturizer}
+    val root = java.nio.file.Files.createTempDirectory("mv-crash").toString
+    val c = new GraftClient(spark, root)
+    c.createCollection("smc", dim = 8, buckets = 4, vectorFields = Seq(
+      VecField("img_vec", 12, "l2", "FLAT"),
+      VecField("lex", 0, "dot", "SPARSE_INVERTED_INDEX",
+        family = "SPARSE_FLOAT_VECTOR")))
+    val textE = HashingEmbedder(8)
+    val imgE = HashingEmbedder(12)
+    val fz = SparseFeaturizer.hashingTf
+    c.upsert("smc", Seq(
+      ("k0", textE.embedText("zero doc").toSeq, imgE.embedText("zero doc").toSeq,
+        fz.featurize("zero doc"), Map.empty[String, String]),
+      ("kA", textE.embedText("alpha doc").toSeq, imgE.embedText("alpha doc").toSeq,
+        fz.featurize("alpha doc"), Map.empty[String, String]))
+      .toDF("key", "vec", "img_vec", "lex", "meta"))
+    c.buildIndex("smc", nlist = 4, field = "lex")
+
+    val texts = Map("k1" -> "one doc here", "k2" -> "two doc there")
+    val objects = texts.toSeq.toDF("key", "text")
+    val ckpt = s"$root/checkpoint"
+    val lp = java.nio.file.Paths.get(root, "landing", "f1.json")
+    java.nio.file.Files.createDirectories(lp.getParent)
+    java.nio.file.Files.write(lp, Seq(
+      TestDirs.notif("ObjectCreated:Put", "k1"),
+      TestDirs.notif("ObjectCreated:Put", "k2"),
+      TestDirs.notif("ObjectRemoved:Delete", "k0"))
+      .mkString("\n").getBytes)
+    def ingestOnce() = c.startIngest("smc", s"$root/landing", objects,
+        embedder = textE, fieldEmbedders = Map("img_vec" -> imgE),
+        fieldFeaturizers = Map("lex" -> fz),
+        checkpointDir = Some(ckpt))
+      .awaitTermination(120000)
+    ingestOnce()
+
+    val dataPath = c.describe("smc").dataPath
+    def storeVersion: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dataPath, "CURRENT"))).trim.toLong
+    def fieldIdxVersion: Long = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dataPath-fields/lex/ivf/VERSION"))).trim.toLong
+    def fingerprint: Map[String, (Seq[Float], Seq[Float], Map[Long, Double])] =
+      c.fetch("smc", Seq("k0", "kA", "k1", "k2")).collect()
+        .map(r => r.getString(0) -> (r.getSeq[Float](1), r.getSeq[Float](2),
+          r.getMap[Long, Double](3).toMap)).toMap
+    val fp1 = fingerprint
+    assert(fp1.keySet == Set("kA", "k1", "k2"))
+    assert(fieldIdxVersion == storeVersion,
+      "the FIELD's postings must chain VERSION through the streamed batch")
+    val vAfter = storeVersion
+
+    // CRASH INJECTION: merge-commit landed, checkpoint ack did not —
+    // delete the last commit marker AND its checksum sidecar (a stale
+    // .crc would masquerade as a concurrent-writer error on rewrite)
+    import scala.jdk.CollectionConverters._
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val lastCommit = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d+")).toSeq
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(lastCommit)
+    java.nio.file.Files.deleteIfExists(
+      lastCommit.resolveSibling(s".${lastCommit.getFileName}.crc"))
+
+    ingestOnce() // replay the unacked batch
+    assert(fingerprint == fp1,
+      "replay must converge to the IDENTICAL live set, field for field")
+    assert(storeVersion > vAfter)
+    assert(fieldIdxVersion == storeVersion,
+      "the FIELD index must recover across the replayed commit")
+    val sp = c.searchSparse("smc", fz.featurize(texts("k1")).toSeq,
+      k = 2, field = "lex")
+    assert(sp.queryExecution.executedPlan.toString.contains("In(dim"),
+      "field search must keep the postings ride after the crash-replay")
+    assert(sp.collect().head.getString(0) == "k1")
+  }
+
   test("review-pass regressions (r16): loaded-snapshot eviction on " +
        "add_collection_field, AUTOINDEX per (family, metric), reserved " +
        "ingest column names, binary provider refusal, bulk field provider") {
