@@ -584,6 +584,62 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
       "an event a required field cannot embed must drop, not land or kill")
   }
 
+  test("partition-key routed STREAMING with multi-field rows: puts carry " +
+       "every field through the pk router, deletes fan out") {
+    import spark.implicits._
+    import graft.ingest.{HashingEmbedder, SparseFeaturizer}
+    val root = java.nio.file.Files.createTempDirectory("mv-pk-ingest").toString
+    val c = new GraftClient(spark, root)
+    // the pk is the `category` tag the landing events carry
+    c.createCollection("spkmv", dim = 8, buckets = 2,
+      partitionKey = "category", numPartitions = 4,
+      vectorFields = Seq(
+        VecField("img_vec", 12, "l2", "FLAT"),
+        VecField("lex", 0, "dot", "FLAT", family = "SPARSE_FLOAT_VECTOR")))
+    val textE = HashingEmbedder(8)
+    val imgE = HashingEmbedder(12)
+    val fz = SparseFeaturizer.hashingTf
+    val texts = Map("k1" -> "one doc here", "k2" -> "two doc there",
+      "k3" -> "three docs everywhere")
+    val objects = texts.toSeq.toDF("key", "text")
+    val lp = java.nio.file.Files.createTempDirectory("mv-pk-l1")
+      .resolve("f1.json")
+    java.nio.file.Files.write(lp, Seq(
+      TestDirs.notif("ObjectCreated:Put", "k1", category = "tA"),
+      TestDirs.notif("ObjectCreated:Put", "k2", category = "tB"),
+      TestDirs.notif("ObjectCreated:Put", "k3", category = "tA"))
+      .mkString("\n").getBytes)
+    c.startIngest("spkmv", lp.getParent.toString, objects,
+        embedder = textE, fieldEmbedders = Map("img_vec" -> imgE),
+        fieldFeaturizers = Map("lex" -> fz))
+      .awaitTermination(120000)
+    assert(c.count("spkmv") == 3)
+    // every field landed through the routed fan-out, pk-scoped reads see
+    // only their tenant's rows
+    val f1 = c.fetch("spkmv", Seq("k1")).collect().head
+    assert(f1.getSeq[Float](1) == textE.embedText(texts("k1")).toSeq)
+    assert(f1.getSeq[Float](2) == imgE.embedText(texts("k1")).toSeq)
+    assert(f1.getMap[Long, Double](3).toMap == fz.featurize(texts("k1")))
+    val scoped = c.search("spkmv", imgE.embedText(texts("k1")), k = 3,
+        field = "img_vec", partitionKeyValues = Seq("tA"))
+      .collect().map(_.getString(0)).toSeq
+    assert(scoped.head == "k1" && scoped.toSet == Set("k1", "k3"),
+      s"pk-scoped field search must see tenant tA only: $scoped")
+    // a streamed delete fans to every partition and clears the row
+    val lp2 = java.nio.file.Files.createTempDirectory("mv-pk-l2")
+      .resolve("f2.json")
+    java.nio.file.Files.write(lp2,
+      Seq(TestDirs.notif("ObjectRemoved:Delete", "k1")).mkString("\n").getBytes)
+    c.startIngest("spkmv", lp2.getParent.toString, objects,
+        embedder = textE, fieldEmbedders = Map("img_vec" -> imgE),
+        fieldFeaturizers = Map("lex" -> fz))
+      .awaitTermination(120000)
+    assert(c.count("spkmv") == 2)
+    assert(c.searchSparse("spkmv", fz.featurize(texts("k1")).toSeq, k = 5,
+        field = "lex").collect().forall(_.getString(0) != "k1"),
+      "the fanned delete must clear every field's state")
+  }
+
   test("multi-field crash between merge-commit and checkpoint ack: the " +
        "replay converges field-for-field and the FIELD index recovers") {
     import spark.implicits._
