@@ -105,7 +105,21 @@ import graft.streaming.BucketedKeyedCollection
   *     layout is collection-wide, so partition membership can only be
   *     resolved from the stores): a narrow single-column scan per
   *     scoped hybrid query — see [[hybridSearchRequests]]' caveats for
-  *     the at-scale alternatives. */
+  *     the at-scale alternatives. Declaring the sparse vector as a
+  *     NAMED FIELD instead ([[AnnRequest.SparseField]]`(field=)`)
+  *     retires this row: the arm then scopes at the directory level
+  *     BEFORE ranking like every collection-family surface.
+  *   - '''named extra vector fields (`field =` on any surface)''' —
+  *     NOT a separate plan family: the field's derived meta re-enters
+  *     this same table with the FIELD's (family, indexType, metric),
+  *     reads going through the field view (the store scan renames the
+  *     field column to `vec` and prunes to it — an N-field
+  *     collection's per-field search reads one vector column, not N;
+  *     measured at 1M with zero overhead vs the standalone collection,
+  *     BASELINE r16 / FieldViewBench). Nullable added fields
+  *     ([[addCollectionField]]) additionally filter `IS NOT NULL` at
+  *     the scan: the view's row set is "rows that HAVE the field",
+  *     for searches, index builds and per-commit refreshes alike. */
 class GraftClient(spark: SparkSession, root: String,
                   boundedStalenessMs: Long = GraftClient.BoundedStalenessMs) {
   private val catalog = new Catalog(s"$root/catalog")
