@@ -121,8 +121,78 @@ import graft.streaming.BucketedKeyedCollection
   *     the scan: the view's row set is "rows that HAVE the field",
   *     for searches, index builds and per-commit refreshes alike. */
 class GraftClient(spark: SparkSession, root: String,
-                  boundedStalenessMs: Long = GraftClient.BoundedStalenessMs) {
-  private val catalog = new Catalog(s"$root/catalog")
+                  boundedStalenessMs: Long = GraftClient.BoundedStalenessMs,
+                  database: String = "default") {
+  // ---- Milvus databases (2.3+): namespaces ABOVE collections — the
+  // multi-tenant layer (pymilvus db.create_database / using_database).
+  // The "default" database IS the original layout, so every
+  // pre-database root reads unchanged as database "default"; a named
+  // database's catalog and data live under root/databases/<db>/ —
+  // complete isolation (same collection name in two databases never
+  // collides on catalog entry or storage) by directory construction.
+  require(database == "default" || database.matches("[A-Za-z0-9_\\-]+"),
+    s"illegal database name: '$database'")
+  require(database == "default" || java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "databases", database)),
+    s"database '$database' does not exist — createDatabase first " +
+      "(Milvus raises on using_database of a missing database the same way)")
+  private val dbRoot =
+    if (database == "default") root else s"$root/databases/$database"
+  private val catalog = new Catalog(s"$dbRoot/catalog")
+
+  /** This client's database (Milvus `db_name`). */
+  def databaseName: String = database
+
+  private def databasesDir = s"$root/databases"
+
+  /** Milvus `db.create_database` — idempotent like createCollection
+    * (false if it already exists). */
+  def createDatabase(name: String): Boolean = {
+    require(name.matches("[A-Za-z0-9_\\-]+") && name != "default",
+      s"illegal database name: '$name' ('default' always exists)")
+    val p = java.nio.file.Paths.get(databasesDir, name)
+    if (java.nio.file.Files.isDirectory(p)) false
+    else { java.nio.file.Files.createDirectories(p); true }
+  }
+
+  /** Milvus `db.list_database` — "default" always first. */
+  def listDatabases(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(databasesDir)
+    val named =
+      if (!java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        val st = java.nio.file.Files.list(dir)
+        try st.iterator().asScala.filter(java.nio.file.Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq.sorted
+        finally st.close()
+      }
+    "default" +: named
+  }
+
+  /** Milvus `db.drop_database`: refused while the database still holds
+    * collections (Milvus refuses non-empty drops the same way), and
+    * "default" can never be dropped. */
+  def dropDatabase(name: String): Boolean = {
+    require(name != "default",
+      "the 'default' database cannot be dropped — Milvus refuses the same")
+    val p = java.nio.file.Paths.get(databasesDir, name)
+    if (!java.nio.file.Files.isDirectory(p)) false
+    else {
+      val remaining = usingDatabase(name).list()
+      require(remaining.isEmpty,
+        s"database '$name' still has collections (${remaining.mkString(", ")}) " +
+          "— drop them first; Milvus refuses non-empty database drops")
+      deleteDir(p.toString)
+      true
+    }
+  }
+
+  /** A client bound to `name` — pymilvus `using_database` as the
+    * immutable-client shape (per-client consistency state stays with
+    * its database's stores). */
+  def usingDatabase(name: String): GraftClient =
+    new GraftClient(spark, root, boundedStalenessMs, name)
 
   // ---- Milvus consistency levels (per-CLIENT state by definition:
   // Session means "covers THIS client's writes", and the Bounded/
@@ -861,7 +931,7 @@ class GraftClient(spark: SparkSession, root: String,
       resolvedFields.foreach(validateVecField)
     }
     val meta = CollectionMeta(
-      name, dim, metric, indexType, nlist, s"$root/data/$name", buckets,
+      name, dim, metric, indexType, nlist, s"$dbRoot/data/$name", buckets,
       retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
       if (indexType == "IVF_PQ") (if (pqM > 0) pqM else PqIndex.defaultM(dim))
       else 0,

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.GraftClient
+
+/** Milvus databases (2.3+ — `db.create_database` / `using_database` /
+  * `list_database` / `drop_database`): namespaces above collections,
+  * the multi-tenant layer. Pins: the "default" database IS the
+  * pre-database layout (backward compat), complete cross-database
+  * isolation (same collection name, independent data and catalog),
+  * the non-empty/default drop refusals, and that the whole data path
+  * (upsert/search/index) runs unchanged inside a named database. */
+class DatabaseSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("database-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def vec(i: Int): Seq[Float] =
+    Seq.tabulate(4)(j => ((i * 31 + j * 7) % 101) / 101.0f)
+
+  test("create/list/drop lifecycle; default always exists") {
+    val root = java.nio.file.Files.createTempDirectory("graft-db").toString
+    val c = new GraftClient(spark, root)
+    assert(c.databaseName == "default")
+    assert(c.listDatabases() == Seq("default"))
+    assert(c.createDatabase("tenant_a"))
+    assert(!c.createDatabase("tenant_a")) // idempotent
+    assert(c.createDatabase("tenant_b"))
+    assert(c.listDatabases() == Seq("default", "tenant_a", "tenant_b"))
+
+    // default can never be dropped or re-created
+    intercept[IllegalArgumentException] { c.dropDatabase("default") }
+    intercept[IllegalArgumentException] { c.createDatabase("default") }
+    // using a nonexistent database raises (Milvus does the same)
+    intercept[IllegalArgumentException] { c.usingDatabase("nope") }
+
+    assert(c.dropDatabase("tenant_b"))
+    assert(!c.dropDatabase("tenant_b")) // already gone
+    assert(c.listDatabases() == Seq("default", "tenant_a"))
+  }
+
+  test("cross-database isolation: same collection name, independent " +
+       "catalog, data and indexes; non-empty drop refused") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-db2").toString
+    val admin = new GraftClient(spark, root)
+    admin.createDatabase("ta")
+    admin.createDatabase("tb")
+    val ca = admin.usingDatabase("ta")
+    val cb = admin.usingDatabase("tb")
+    assert(ca.databaseName == "ta")
+
+    // the SAME collection name in three databases — independent rows
+    Seq(admin, ca, cb).zipWithIndex.foreach { case (c, off) =>
+      c.createCollection("docs", dim = 4, buckets = 2)
+      c.upsert("docs", (0 until 5).map(i =>
+        (s"k${off}_$i", vec(i + off * 100), Map("db" -> c.databaseName)))
+        .toDF("key", "vec", "meta"))
+    }
+    assert(admin.list() == Seq("docs") && ca.list() == Seq("docs"))
+    assert(admin.count("docs") == 5 && ca.count("docs") == 5)
+    assert(ca.fetch("docs", Seq("ta_isolated_missing")).count() == 0)
+    // each database's rows carry its own keys — no bleed-through
+    assert(ca.search("docs", vec(101).toArray, k = 1).collect()
+      .head.getString(0).startsWith("k1_"))
+    assert(cb.search("docs", vec(202).toArray, k = 1).collect()
+      .head.getString(0).startsWith("k2_"))
+    assert(admin.search("docs", vec(1).toArray, k = 1).collect()
+      .head.getString(0).startsWith("k0_"))
+
+    // indexes build inside the named database's own storage tree
+    ca.buildIndex("docs", nlist = 2)
+    assert(ca.listIndexes("docs").collect().exists(_.getBoolean(2)))
+    assert(admin.listIndexes("docs").collect().isEmpty,
+      "an index built in ta must not appear in default's docs")
+
+    // a database with collections refuses to drop; empty it and retry
+    val e = intercept[IllegalArgumentException] { admin.dropDatabase("ta") }
+    assert(e.getMessage.contains("docs"))
+    ca.drop("docs")
+    assert(admin.dropDatabase("ta"))
+    // tb untouched throughout
+    assert(cb.count("docs") == 5)
+  }
+
+  test("pre-database roots read unchanged as database 'default'") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-db3").toString
+    // a client created the old way (no databases anywhere on disk)
+    val old = new GraftClient(spark, root)
+    old.createCollection("legacy", dim = 4, buckets = 2)
+    old.upsert("legacy", Seq(("k1", vec(1), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    // a new client sees it in "default" with zero migration
+    val fresh = new GraftClient(spark, root)
+    assert(fresh.listDatabases() == Seq("default"))
+    assert(fresh.list() == Seq("legacy"))
+    assert(fresh.count("legacy") == 1)
+  }
+}
