@@ -1488,6 +1488,13 @@ class GraftClient(spark: SparkSession, root: String,
     * writes to advance them. */
   def registerSqlViews(): Unit = {
     import spark.implicits._
+    // temp views are SESSION-global while catalogs are DATABASE-scoped:
+    // two databases registering the same collection name would silently
+    // shadow each other. Named databases therefore prefix their views
+    // with `<db>_` (the "default" database keeps bare names — the
+    // pre-database SQL surface unchanged); graft_collections likewise
+    val viewPrefix = if (database == "default") "" else s"${database}_"
+    def viewName(n: String): String = viewPrefix + n.replace('-', '_')
     val metas = list().map(metaOrThrow)
     val aliases = listAliases()
     // `-`→`_` sanitization can merge distinct names (`a-b` and `a_b`, or
@@ -1508,7 +1515,7 @@ class GraftClient(spark: SparkSession, root: String,
     metas.foreach(m =>
       // the view shows the WHOLE collection — all partitions unioned —
       // exactly what an unscoped Milvus query sees
-      readParts(m, Nil).createOrReplaceTempView(m.name.replace('-', '_')))
+      readParts(m, Nil).createOrReplaceTempView(viewName(m.name)))
     // alias views resolve THROUGH the alias at registration time — the
     // same snapshot-as-of-registration contract as collection views (an
     // alterAlias afterwards needs a re-register, like any write). A
@@ -1517,8 +1524,8 @@ class GraftClient(spark: SparkSession, root: String,
     // broken indirection must not take down the whole SQL surface.
     aliases.foreach { case (a, t) =>
       catalog.describeCollection(t).foreach(tm =>
-        readParts(tm, Nil).createOrReplaceTempView(a.replace('-', '_'))) }
-    metas.toDF().createOrReplaceTempView("graft_collections")
+        readParts(tm, Nil).createOrReplaceTempView(viewName(a))) }
+    metas.toDF().createOrReplaceTempView(viewPrefix + "graft_collections")
   }
 
   /** One atomic merge-commit of a resolved batch: upsert `puts`

@@ -93,6 +93,40 @@ class DatabaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cb.count("docs") == 5)
   }
 
+  test("aliases and SQL views are database-scoped: no cross-database " +
+       "resolution, named databases prefix their temp views") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-db4").toString
+    val admin = new GraftClient(spark, root)
+    admin.createDatabase("ta")
+    val ca = admin.usingDatabase("ta")
+    admin.createCollection("docs", dim = 4, buckets = 2)
+    admin.upsert("docs", Seq(("d1", vec(1), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    ca.createCollection("docs", dim = 4, buckets = 2)
+    ca.upsert("docs", (0 until 2).map(i =>
+        (s"t$i", vec(i), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+
+    // an alias created in default's catalog does NOT resolve in ta
+    admin.createAlias("d", "docs")
+    assert(ca.listAliases().isEmpty)
+    intercept[IllegalArgumentException] { ca.describe("d") }
+    assert(admin.describe("d").name == "docs")
+
+    // temp views are session-global, catalogs are database-scoped — a
+    // named database's views register under `<db>_` so two databases'
+    // same-named collections never silently shadow each other
+    admin.registerSqlViews()
+    ca.registerSqlViews()
+    assert(spark.table("docs").count() == 1)
+    assert(spark.table("ta_docs").count() == 2)
+    assert(spark.table("ta_graft_collections").select("name")
+      .collect().map(_.getString(0)).toSeq == Seq("docs"))
+    // default's alias must not register under ta's prefix
+    intercept[Exception] { spark.table("ta_d") }
+  }
+
   test("pre-database roots read unchanged as database 'default'") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-db3").toString
