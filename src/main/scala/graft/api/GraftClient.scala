@@ -451,11 +451,12 @@ class GraftClient(spark: SparkSession, root: String,
   /** THE per-family write-boundary check — ONE copy serving the
     * primary `vec` and every extra field (a second copy would silently
     * diverge): dense dim assert, sparse weight rules, binary word-count
-    * + pad-bit zeroing. Null-PROPAGATING by construction
-    * (size/forall/element_at of a null map/array give null conditions;
-    * assert_dim's nullSafeEval never runs on null), so callers own the
-    * null stance: the primary refuses nulls, nullable fields pass them
-    * through. */
+    * + pad-bit zeroing. Null-PROPAGATING by an EXPLICIT leading
+    * `when(isNull, null)` branch — not by relying on size(null)=null,
+    * which is ANSI-mode-dependent (legacy sizeOfNull returns -1, which
+    * would turn every NULL of a nullable field into a raise_error) —
+    * so callers own the null stance: the primary refuses nulls,
+    * nullable fields pass them through. */
   private def familyBoundaryCheck(c: Column, family: String, dim: Int,
       label: String): Column = family match {
     case "SPARSE_FLOAT_VECTOR" =>
@@ -464,7 +465,8 @@ class GraftClient(spark: SparkSession, root: String,
       // NaN/Inf would poison every score it touches, and a null would
       // vanish inside sum() silently. Dims are ANY 64-bit id (hashed
       // vocabularies — xxhash64(term) — land negative, first-class)
-      when(size(c) < 1, raise_error(lit(
+      when(c.isNull, c)
+        .when(size(c) < 1, raise_error(lit(
         s"empty sparse $label in write batch — a sparse vector " +
           "needs at least one (dim, weight) entry")))
         .when(!forall(map_values(c), w =>
@@ -480,7 +482,8 @@ class GraftClient(spark: SparkSession, root: String,
       // whole words, so a stray pad bit would silently shift every
       // distance this row ever scores
       val words = binWords(dim)
-      val sized = when(size(c) =!= words, raise_error(concat(
+      val sized = when(c.isNull, c)
+        .when(size(c) =!= words, raise_error(concat(
         lit(s"binary $label needs $words packed 64-bit words for " +
           s"dim $dim bits, got "), size(c).cast("string"))))
       if (dim % 64 == 0) sized.otherwise(c)
@@ -1492,16 +1495,23 @@ class GraftClient(spark: SparkSession, root: String,
     // two databases registering the same collection name would silently
     // shadow each other. Named databases therefore prefix their views
     // with `<db>_` (the "default" database keeps bare names — the
-    // pre-database SQL surface unchanged); graft_collections likewise
-    val viewPrefix = if (database == "default") "" else s"${database}_"
+    // pre-database SQL surface unchanged); graft_collections likewise.
+    // The prefix gets the same `-`→`_` sanitization as the names it
+    // prefixes — database names admit dashes but SQL identifiers don't,
+    // so a raw dashed prefix would make createOrReplaceTempView throw
+    // ParseException and take down the whole SQL surface for that db.
+    val viewPrefix =
+      if (database == "default") "" else s"${database.replace('-', '_')}_"
     def viewName(n: String): String = viewPrefix + n.replace('-', '_')
     val metas = list().map(metaOrThrow)
     val aliases = listAliases()
     // `-`→`_` sanitization can merge distinct names (`a-b` and `a_b`, or
     // an alias with a collection); registering both would silently shadow
-    // one view — fail loudly. Aliases share the view namespace.
+    // one view — fail loudly. Aliases share the view namespace. The
+    // grouping runs over FINAL (prefixed, sanitized) view names — the
+    // names the session actually sees.
     val sanitized = (metas.map(_.name) ++ aliases.map(_._1))
-      .groupBy(_.replace('-', '_'))
+      .groupBy(viewName)
     val collisions = sanitized.filter(_._2.size > 1)
     require(collisions.isEmpty,
       "names collide after SQL-identifier sanitization ('-'→'_'): " +
@@ -1509,9 +1519,16 @@ class GraftClient(spark: SparkSession, root: String,
           .mkString("; "))
     // the catalog view's name is reserved — registered LAST, it would
     // silently shadow a same-named collection/alias view otherwise
-    require(!sanitized.contains("graft_collections"),
+    require(!sanitized.contains(viewPrefix + "graft_collections"),
       "'graft_collections' is the reserved catalog view name — rename " +
-        s"the colliding entry (${sanitized("graft_collections").mkString(", ")})")
+        s"the colliding entry (${
+          sanitized(viewPrefix + "graft_collections").mkString(", ")})")
+    // cross-DATABASE shadowing is invisible to any one client (a
+    // default-db collection 'ta_docs' and database 'ta' collection
+    // 'docs' both land on view 'ta_docs') — the session-global claim
+    // registry catches it across clients, loudly
+    GraftClient.claimSqlViews(spark, database,
+      sanitized.keys ++ Seq(viewPrefix + "graft_collections"))
     metas.foreach(m =>
       // the view shows the WHOLE collection — all partitions unioned —
       // exactly what an unscoped Milvus query sees
@@ -8920,6 +8937,39 @@ class GraftClient(spark: SparkSession, root: String,
 }
 
 object GraftClient {
+  /** Session-global registry of SQL temp-view names registered by
+    * [[GraftClient.registerSqlViews]]: temp views are SESSION-scoped
+    * while catalogs are DATABASE-scoped, so cross-database shadowing
+    * (a default-database collection `ta_docs` and database `ta`'s
+    * collection `docs` both landing on view `ta_docs`) is invisible to
+    * any single client's collision check. Keyed weakly per
+    * SparkSession (sessions come and go in tests); values map final
+    * view name → owning database. A re-register by the same database
+    * replaces its own claims wholesale (so drop-then-reclaim works:
+    * the owner re-registers, releasing names it no longer serves). */
+  private val sqlViewOwners = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, String]]
+
+  private[api] def claimSqlViews(spark: org.apache.spark.sql.SparkSession,
+      database: String, names: Iterable[String]): Unit =
+    sqlViewOwners.synchronized {
+      val owners = Option(sqlViewOwners.get(spark)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, String]
+        sqlViewOwners.put(spark, m); m
+      }
+      owners.filterInPlace { case (_, db) => db != database }
+      names.foreach { n =>
+        owners.get(n).foreach(other => throw new IllegalArgumentException(
+          s"SQL view '$n' (database '$database') is already registered " +
+            s"by database '$other' in this Spark session — temp views " +
+            "are session-global, so a default-database name matching " +
+            "another database's '<db>_' prefix (or vice versa) would " +
+            "silently shadow it; rename one of the colliding entries"))
+        owners(n) = database
+      }
+    }
+
   /** Primary-key length cap, matching the reference schema's
     * VARCHAR(max_length=2048) (milvus-app/pythonvectordbceph_milvus.py:94).
     * Enforced row-wise at the write boundary alongside the null-key and

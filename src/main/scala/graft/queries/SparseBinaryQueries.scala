@@ -532,10 +532,18 @@ object SparseBinaryQueries {
             .pack_sign_bits(col("embedding")).as("bcode")), Seq("key"))
         .withColumn("bcode",
           if (complement0)
+            // complement every word, then zero the pad bits — the pad
+            // mask applies ONLY to the LAST word (masking every word
+            // with it would zero real bits of non-last words whenever
+            // dim > 64 with dim % 64 != 0, silently changing the
+            // fixture's meaning at larger dims)
             when(col("key") === "00000000",
-              transform(col("bcode"), w => bitwise_not(w)
-                .bitwiseAND(lit(if (dim % 64 == 0) -1L
-                  else (1L << (dim % 64)) - 1))))
+              transform(col("bcode"), (w, i) => bitwise_not(w)
+                .bitwiseAND(
+                  when(i === size(col("bcode")) - 1,
+                    lit(if (dim % 64 == 0) -1L
+                      else (1L << (dim % 64)) - 1))
+                    .otherwise(lit(-1L)))))
               .otherwise(col("bcode"))
           else col("bcode"))
         .select(col("key"), col("vec"), col("lex"), col("bcode"),

@@ -127,6 +127,51 @@ class DatabaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { spark.table("ta_d") }
   }
 
+  test("dashed database names register SQL views (prefix sanitized " +
+       "'-'→'_' like the names it prefixes)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-db5").toString
+    val admin = new GraftClient(spark, root)
+    admin.createDatabase("tenant-a") // dashes are legal database names
+    val ca = admin.usingDatabase("tenant-a")
+    ca.createCollection("docs-x", dim = 4, buckets = 2)
+    ca.upsert("docs-x", Seq(("k1", vec(1), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    // a raw dashed prefix would make createOrReplaceTempView throw
+    // ParseException and take down the whole SQL surface for the db
+    ca.registerSqlViews()
+    assert(spark.table("tenant_a_docs_x").count() == 1)
+    assert(spark.table("tenant_a_graft_collections").count() == 1)
+  }
+
+  test("cross-database view shadowing refused: a default-db name " +
+       "matching another database's '<db>_' prefix fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-db6").toString
+    val admin = new GraftClient(spark, root)
+    admin.createDatabase("tz")
+    val cz = admin.usingDatabase("tz")
+    // default-db collection 'tz_docs' and database 'tz' collection
+    // 'docs' both land on temp view 'tz_docs' — whichever registered
+    // last would silently win without the session-global claim check
+    admin.createCollection("tz_docs", dim = 4, buckets = 2)
+    admin.upsert("tz_docs", Seq(("d1", vec(1), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    cz.createCollection("docs", dim = 4, buckets = 2)
+    cz.upsert("docs", Seq(("z1", vec(2), Map.empty[String, String]))
+      .toDF("key", "vec", "meta"))
+    admin.registerSqlViews()
+    val e = intercept[IllegalArgumentException] { cz.registerSqlViews() }
+    assert(e.getMessage.contains("tz_docs"))
+    // resolve it: the owner re-registers after dropping the colliding
+    // collection — its claims are replaced wholesale, freeing the name
+    admin.drop("tz_docs")
+    admin.registerSqlViews()
+    cz.registerSqlViews()
+    assert(spark.table("tz_docs").count() == 1)
+    assert(spark.table("tz_docs").head.getString(0) == "z1")
+  }
+
   test("pre-database roots read unchanged as database 'default'") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-db3").toString

@@ -196,6 +196,40 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nullable-field nulls pass the write boundary with ANSI OFF — " +
+       "legacy sizeOfNull=-1 must not trip the size/empty checks") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("wbn", dim = dim, buckets = 4, vectorFields = Seq(
+      VecField("sp", 0, "dot", "FLAT", family = "SPARSE_FLOAT_VECTOR",
+        nullable = true),
+      VecField("bv", 64, "hamming", "FLAT", family = "BINARY_VECTOR",
+        nullable = true)))
+    // with spark.sql.ansi.enabled=false (and the default
+    // legacy.sizeOfNull=true) size(null) = -1, not null — the boundary
+    // check's null stance must be its own explicit isNull branch, not
+    // an ANSI-dependent size(null) propagation, or every omitted
+    // nullable field would raise "empty sparse"/"needs N words"
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      c.upsert("wbn", Seq(("k1", dvec(1), null: Map[Long, Double],
+        null: Seq[Long], Map.empty[String, String]))
+        .toDF("key", "vec", "sp", "bv", "meta"))
+      // non-null values still checked under legacy mode
+      intercept[Exception] {
+        c.upsert("wbn", Seq(("k2", dvec(2), Map.empty[Long, Double],
+          null: Seq[Long], Map.empty[String, String]))
+          .toDF("key", "vec", "sp", "bv", "meta"))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None    => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+    assert(c.count("wbn") == 1)
+    assert(c.fetch("wbn", Seq("k1")).count() == 1)
+  }
+
   test("sparse field search == family brute force; filter; getSparse") {
     val c = mkClient()
     createSp(c, "sf")
