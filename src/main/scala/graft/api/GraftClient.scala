@@ -287,6 +287,47 @@ class GraftClient(spark: SparkSession, root: String,
       overrideLevel
     } else m.consistency
 
+  // ---- Collection TTL (Milvus `collection.ttl.seconds`) ----
+  //
+  // Expiry is a READ-TIME mask off insert timestamps — Milvus's own
+  // semantics (expired entities are invisible to search/query/get/count
+  // the moment now − insert_ts > ttl; the bytes linger until compaction
+  // garbage-collects them). Here the mask is `ingest_ts >= now − ttl`:
+  // every at-rest layout carries ingest_ts (the store's canonical row,
+  // and the IVF/SQ8/PQ/BIN cell layouts keep the full row minus at most
+  // `vec`), so on those arms the gate is one more pushed parquet filter;
+  // arms that rank key-only artifacts (HNSW walks, sparse/text postings)
+  // bind it exactly like a metadata filter — resolve the passing keys
+  // off the store once, mask before any ranking bound. BM25/idf corpus
+  // statistics keep counting expired docs until compact() purges them,
+  // as Lucene/Milvus stats do between compactions.
+  //
+  // The cutoff resolves ONCE per read (a driver-side literal, like the
+  // write path's batchTs): one search = one clock, and an ITERATOR is
+  // one read — the cutoff pins at creation with the rest of its filter
+  // state, so a drain's coverage contract cannot shrink mid-drain.
+  // Time-travel (readVersion) and layout-level ops (stats, versions,
+  // rebucket) stay PHYSICAL — readVersion's bit-for-bit reproducibility
+  // contract is the point of that surface, and expiry there would make
+  // an export's content depend on the wall clock it ran at.
+
+  /** The read-time expiry gate: Some(ingest_ts >= now − ttl) when the
+    * collection carries a TTL, None otherwise (zero plan overhead —
+    * the common ttl=0 collection adds no filter anywhere). */
+  private def ttlGate(m: CollectionMeta): Option[Column] =
+    if (m.ttlSeconds <= 0L) None
+    else Some(col("ingest_ts") >= lit(new java.sql.Timestamp(
+      System.currentTimeMillis() - m.ttlSeconds * 1000L)))
+
+  /** The caller's filter AND the TTL gate — what every read arm passes
+    * down in place of the raw filter. Resolved once at the arm's entry. */
+  private def withTtl(m: CollectionMeta,
+                      filter: Option[Column]): Option[Column] =
+    ttlGate(m) match {
+      case None => filter
+      case Some(g) => Some(filter.fold(g)(_ && g))
+    }
+
   /** Full-store read at the pinned version, falling back to a STRONG
     * read (and re-priming the cache) when the pinned snapshot has been
     * vacuumed past the retain window — a Bounded/Eventually read
@@ -768,7 +809,8 @@ class GraftClient(spark: SparkSession, root: String,
                        hnswM: Int = 0,
                        efConstruction: Int = 0,
                        vectorType: String = "FLOAT_VECTOR",
-                       vectorFields: Seq[graft.index.VecField] = Nil): Boolean = {
+                       vectorFields: Seq[graft.index.VecField] = Nil,
+                       ttlSeconds: Long = 0L): Boolean = {
     // validate EVERYTHING at the create boundary: a persisted bad value
     // would wedge every later operation (the failure would fire far from
     // the argument that caused it, on a collection already cataloged)
@@ -786,7 +828,8 @@ class GraftClient(spark: SparkSession, root: String,
       return createCollection(name, dim, metric,
         resolveAutoIndex(vectorType, metric),
         nlist, buckets, retain, partitionKey, numPartitions, pqM, pqNbits,
-        consistencyLevel, hnswM, efConstruction, vectorType, vectorFields)
+        consistencyLevel, hnswM, efConstruction, vectorType, vectorFields,
+        ttlSeconds)
     if (vectorType == "SPARSE_FLOAT_VECTOR") {
       // Milvus SPARSE_FLOAT_VECTOR fields take NO dim (the dimension
       // space is the whole uint32/int64 range, occupied sparsely) — an
@@ -933,6 +976,10 @@ class GraftClient(spark: SparkSession, root: String,
         s"duplicate vector field names: ${names.mkString(", ")}")
       resolvedFields.foreach(validateVecField)
     }
+    // Milvus collection.ttl.seconds: 0 disables; negative is meaningless
+    require(ttlSeconds >= 0L,
+      s"ttlSeconds must be >= 0 (got $ttlSeconds) — 0 disables expiry, " +
+        "Milvus's collection.ttl.seconds convention")
     val meta = CollectionMeta(
       name, dim, metric, indexType, nlist, s"$dbRoot/data/$name", buckets,
       retain, partitionKey, if (partitionKey.nonEmpty) numPartitions else 0,
@@ -945,7 +992,7 @@ class GraftClient(spark: SparkSession, root: String,
       if (indexType == "HNSW")
         (if (efConstruction > 0) efConstruction else GraftClient.DefaultHnswEfC)
       else 0,
-      vectorType, resolvedFields)
+      vectorType, resolvedFields, ttlSeconds = ttlSeconds)
     val created = catalog.createCollection(meta)
     // defensively clear pre-existing storage under this name, but ONLY
     // after WINNING the catalog's exclusive create (hard-link
@@ -1042,6 +1089,25 @@ class GraftClient(spark: SparkSession, root: String,
         graft.streaming.BucketedKeyedCollection.evictUnder(m.dataPath)
         graft.streaming.BucketedKeyedCollection.evictUnder(partsDir(m))
         true
+    }
+  }
+
+  /** Milvus `alter_collection_properties(collection.ttl.seconds)` —
+    * change a collection's TTL in place. Takes effect on the NEXT read
+    * (expiry is a read-time mask; nothing is rewritten): raising the
+    * TTL resurrects not-yet-compacted rows exactly as it does in
+    * Milvus, lowering it hides more. 0 disables expiry. Serialized
+    * against rebucket/rename/addCollectionField through the store's
+    * write lock — all of them swap the catalog record. */
+  def alterCollectionTtl(name: String, ttlSeconds: Long): Boolean = {
+    val m = metaOrThrow(name)
+    require(ttlSeconds >= 0L,
+      s"ttlSeconds must be >= 0 (got $ttlSeconds) — 0 disables expiry")
+    collection(m).withWriteLock {
+      val cur = catalog.describeCollection(m.name).getOrElse(
+        throw new java.util.ConcurrentModificationException(
+          s"${m.name}: collection dropped while altering TTL"))
+      catalog.updateCollection(cur.copy(ttlSeconds = ttlSeconds))
     }
   }
 
@@ -1290,10 +1356,16 @@ class GraftClient(spark: SparkSession, root: String,
   /** Union read of the named partitions' current snapshots (empty =
     * all) — each arm lists only its own partition's bucket dirs, so
     * scoping prunes at the DIRECTORY level before any filter runs. */
-  private def readParts(m: CollectionMeta, partitions: Seq[String]): DataFrame =
-    resolveParts(m, partitions)
+  private def readParts(m: CollectionMeta, partitions: Seq[String]): DataFrame = {
+    // count()/SQL views see LIVE rows only — a TTL collection's
+    // num_entities and query surface agree (Milvus count(*) filters
+    // expired entities the same way). Physical surfaces (readVersion,
+    // stats, rebucket) read the store directly, not through here.
+    val raw = resolveParts(m, partitions)
       .map(p => collection(partMeta(m, p)).read(spark))
       .reduce(_ unionByName _)
+    ttlGate(m).fold(raw)(raw.filter)
+  }
 
   private def countParts(m: CollectionMeta, partitions: Seq[String]): Long =
     // ONE count job over the union (parquet count() is footer-only) —
@@ -1570,8 +1642,9 @@ class GraftClient(spark: SparkSession, root: String,
     * after that commit. Past the bound the exception propagates —
     * sustained contention should surface, not be absorbed silently. */
   private def mergeCommit(m: CollectionMeta, puts: Option[DataFrame],
-                          delKeys: Option[DataFrame]): Option[Long] =
-    mergeCommitRebasing(m, puts, delKeys.map(df => () => df))
+                          delKeys: Option[DataFrame],
+                          ingestAt: Option[java.sql.Timestamp] = None): Option[Long] =
+    mergeCommitRebasing(m, puts, delKeys.map(df => () => df), ingestAt)
 
   /** The rebase-retry loop. `delKeysFn` is RE-INVOKED on every attempt:
     * a snapshot-derived delete set (deleteWhere binds its `matches` to
@@ -1585,11 +1658,12 @@ class GraftClient(spark: SparkSession, root: String,
     * snapshot-independent, so the plain overload wraps them in a
     * constant closure. */
   private def mergeCommitRebasing(m: CollectionMeta, puts: Option[DataFrame],
-                                  delKeysFn: Option[() => DataFrame]): Option[Long] = {
+                                  delKeysFn: Option[() => DataFrame],
+                                  ingestAt: Option[java.sql.Timestamp] = None): Option[Long] = {
     var attempt = 1
     var out: Option[Option[Long]] = None
     while (out.isEmpty) {
-      try out = Some(mergeCommitOnce(m, puts, delKeysFn.map(_.apply())))
+      try out = Some(mergeCommitOnce(m, puts, delKeysFn.map(_.apply()), ingestAt))
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= GraftClient.MaxCommitRetries) throw e
@@ -1614,7 +1688,8 @@ class GraftClient(spark: SparkSession, root: String,
   }
 
   private def mergeCommitOnce(m: CollectionMeta, puts: Option[DataFrame],
-                              delKeys: Option[DataFrame]): Option[Long] = {
+                              delKeys: Option[DataFrame],
+                              ingestAt: Option[java.sql.Timestamp] = None): Option[Long] = {
     val coll = collection(m)
     // the snapshot this merge is computed against, captured BEFORE any
     // other store read: commitBuckets CASes on it, so a concurrent
@@ -1641,7 +1716,8 @@ class GraftClient(spark: SparkSession, root: String,
     // recomputation of `decorated` (the store commit runs one action, the
     // incremental index refresh another) could write diverging ingest_ts
     // for the same keys — a literal makes every recomputation bit-identical
-    val batchTs = new java.sql.Timestamp(System.currentTimeMillis())
+    val batchTs = ingestAt.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
     val decorated = puts.map { df =>
       // assert_dim is null-PROPAGATING (nullSafeEval never runs on
       // null), so a null vec — e.g. an embedder returning null for a
@@ -2052,8 +2128,26 @@ class GraftClient(spark: SparkSession, root: String,
           graft.index.SparseIndex.compact(spark, sparsePostingsPath(fm))
           (p, "sparse_inverted", fname)
         }
+      // TTL garbage collection — Milvus compaction's expired-data sweep:
+      // expiry is a read-time mask everywhere else; HERE the bytes are
+      // physically reclaimed, as one ordinary tombstone merge-commit of
+      // the expired keys (touched buckets rewritten, every index layout
+      // maintained incrementally, pinned time-travel readers keep their
+      // retained versions). The store read is deliberately UNGATED —
+      // this is the one surface that must see expired rows to remove
+      // them. Cutoff resolved once per compact call.
+      val ttl = ttlGate(pm) match {
+        case Some(g) =>
+          val expired = coll.read(spark).filter(!g).select("key")
+          val n = expired.count()
+          if (n > 0) {
+            mergeCommit(pm, None, Some(expired))
+            Seq((p, "ttl", s"$n expired purged"))
+          } else Nil
+        case None => Nil
+      }
       scalars ++ text ++ sparse ++ sparseOwn ++ hnsw ++ fieldHnsw ++
-        fieldSparse
+        fieldSparse ++ ttl
     }
   }
 
@@ -2132,7 +2226,7 @@ class GraftClient(spark: SparkSession, root: String,
     val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
     readBucketsAtPin(m, coll,
         pinForRead(m, coll, effectiveLevel(m, consistencyLevel)), Seq(bucket))
-      .filter(col("key") === key)
+      .filter(withTtl(m, Some(col("key") === key)).get)
       .select(col("vec"), col("meta"))
       .collect().headOption
       .map(r => (r.getSeq[Float](0), r.getAs[Map[String, String]](1)))
@@ -2155,7 +2249,7 @@ class GraftClient(spark: SparkSession, root: String,
     val bucket = Seq(key).toDF("key").select(coll.bucketExpr).head().getInt(0)
     readBucketsAtPin(m, coll,
         pinForRead(m, coll, effectiveLevel(m, consistencyLevel)), Seq(bucket))
-      .filter(col("key") === key)
+      .filter(withTtl(m, Some(col("key") === key)).get)
       .select(col("vec"), col("meta"))
       .collect().headOption
       .map(r => (r.getMap[Long, Double](0).toSeq.sortBy(_._1),
@@ -2270,6 +2364,32 @@ class GraftClient(spark: SparkSession, root: String,
     }
   }
 
+  /** [[upsert]] with an EXPLICIT ingest timestamp — the backfill /
+    * replay write: importing historical rows whose TTL clock must count
+    * from their ORIGINAL event time, not the load time (a bulk import
+    * of last month's corpus into a 90-day-TTL collection should expire
+    * on the original schedule, and a replayed batch should reproduce
+    * the commit it replays). Last-write-wins ordering is untouched —
+    * it rides `seq`, never `ingest_ts` — so a backdated upsert still
+    * overwrites older versions of its keys; the stamp only moves where
+    * the row sits relative to TTL expiry and what `ingest_ts` reports.
+    * Rows stamped PAST their TTL are committed (and immediately
+    * invisible to reads) — compact() reclaims them, the same lifecycle
+    * any row reaches by aging. */
+  def upsertAt(name: String, df: DataFrame, ingestTs: java.sql.Timestamp,
+               partition: String = GraftClient.DefaultPartition): Long = {
+    val m = metaOrThrow(name)
+    require(m.partitionKey.isEmpty,
+      s"'${m.name}' routes rows by partition key '${m.partitionKey}' — " +
+        "backfill partition-key collections via upsert (the router owns " +
+        "placement and stamps per routed commit)")
+    if (partition != GraftClient.DefaultPartition)
+      require(listedPartitions(m).contains(partition),
+        s"collection '${m.name}' has no partition '$partition' — createPartition first")
+    mergeCommit(partMeta(m, partition), Some(df), None, Some(ingestTs))
+    countParts(m, Nil)
+  }
+
   /** Convenience mirroring the reference's ingest transform: embed raw
     * text server-side then upsert — `df` needs (key STRING, text STRING,
     * meta MAP). The reference embeds inside the event handler
@@ -2377,6 +2497,11 @@ class GraftClient(spark: SparkSession, root: String,
                   matchMode: String = "any",
                   matchGates: Seq[(Seq[String], String)] = Nil): Long = {
     val m = metaOrThrow(name)
+    // expired rows are INVISIBLE to predicate deletes (they match no
+    // read), exactly as in Milvus — compact() is their reclaim path.
+    // Cutoff resolved once; rebase attempts reuse it (one delete, one
+    // clock)
+    val tPred = withTtl(m, Some(pred)).get
     // per-partition resolve: each partition's matches come from ITS OWN
     // snapshot and commit into its own store — a partition with no match
     // commits nothing
@@ -2392,10 +2517,10 @@ class GraftClient(spark: SparkSession, root: String,
       // docs STALES the text index like any delete; appendTextIndexDf
       // with deletedKeys (or a rebuild) is the maintenance path.
       mergeCommitRebasing(pm, None, Some(() => {
-        val base = scalarPrunedRead(pm, collection(pm), Some(pred))
+        val base = scalarPrunedRead(pm, collection(pm), Some(tPred))
         textMatchGateAll(pm, matchTerms, matchMode, matchGates)
           .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
-          .filter(coalesce(pred, lit(false))).select("key")
+          .filter(coalesce(tPred, lit(false))).select("key")
       }))
     }
     countParts(m, Nil)
@@ -3979,7 +4104,11 @@ class GraftClient(spark: SparkSession, root: String,
          Some(element_at(col("meta"), lit(m.partitionKey))
            .isin(partitionKeyValues: _*)))
       } else (resolveParts(m, partitions), None)
-    val conj = (filter.toSeq ++ pkFilter.toSeq).reduceOption(_ && _)
+    // the TTL gate rides the conjunct exactly like a caller filter:
+    // cell arms push it into the parquet scan, the HNSW arm takes the
+    // masked walk, resolved ONCE here for all partitions
+    val conj = (withTtl(m, filter).toSeq ++ pkFilter.toSeq)
+      .reduceOption(_ && _)
     // per-partition scored candidates (each partition resolves its OWN
     // index freshness and prune), then ONE global page: the union's
     // top-(offset+k) still plans as per-partition partial top-k + a
@@ -4090,9 +4219,10 @@ class GraftClient(spark: SparkSession, root: String,
     // text index (fresh required) and semi-join the candidates — the
     // float search's matchGates semantics on the packed-words family
     val gate = matchGateKeys(m, matchGates)
+    val tFilter = withTtl(m, filter) // one cutoff across partitions
     val scored = resolveParts(m, partitions)
       .map { p =>
-        val armed = binScored(partMeta(m, p), q, filter, nprobe)
+        val armed = binScored(partMeta(m, p), q, tFilter, nprobe)
         gate.fold(armed)(g =>
           armed.join(g.withColumnRenamed("key", "vector_key"),
             Seq("vector_key"), "left_semi"))
@@ -4150,7 +4280,7 @@ class GraftClient(spark: SparkSession, root: String,
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
     require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
     val cand = resolveParts(m, partitions)
-      .map(p => binScored(partMeta(m, p), q, filter, nprobe))
+      .map(p => binScored(partMeta(m, p), q, withTtl(m, filter), nprobe))
       .reduce(_ unionByName _)
       .withColumn("__grp", element_at(col("metadata"), lit(groupByKey)))
       .filter(col("__grp").isNotNull)
@@ -4240,6 +4370,7 @@ class GraftClient(spark: SparkSession, root: String,
       s"rangeFilter ($rangeFilter) must be < radius ($radius) — " +
         "the band is [rangeFilter, radius)")
     limit.foreach(l => require(l >= 0, s"limit must be >= 0 (got $l)"))
+    val tFilter = withTtl(m, filter)
     val banded = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
@@ -4262,7 +4393,7 @@ class GraftClient(spark: SparkSession, root: String,
               else cellsDf.filter(!col("centroidId").isin(dropped: _*))
             case None => cellsDf // pre-radii layout: whole layout, exact
           }
-        case _ => scalarPrunedRead(pm, coll, filter)
+        case _ => scalarPrunedRead(pm, coll, tFilter)
       }
       val codes = transform(col("vec"), w => coalesce(w, lit(0L)))
       val dist = pm.metric match {
@@ -4273,7 +4404,7 @@ class GraftClient(spark: SparkSession, root: String,
           graft.functions.BinaryVectorFunctions
             .jaccard_distance(codes, typedLit(q))
       }
-      filter.fold(base)(base.filter)
+      tFilter.fold(base)(base.filter)
         .select(col("key").as("vector_key"), dist.as("distance"),
           col("meta").as("metadata"))
         .filter(col("distance") < radius &&
@@ -4322,6 +4453,8 @@ class GraftClient(spark: SparkSession, root: String,
         s"dim ${m.dim} bits (got ${q.length})")
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val parts = resolveParts(m, partitions).map(p => partMeta(m, p))
+    // TTL cutoff pinned at drain start (one read, one clock)
+    val tFilter = withTtl(m, filter)
     // creation-time pins: snapshot version + (if fresh) quantizer/radii
     val pins = parts.map { pm =>
       val coll = collection(pm)
@@ -4373,7 +4506,7 @@ class GraftClient(spark: SparkSession, root: String,
             graft.functions.BinaryVectorFunctions
               .jaccard_distance(codes, typedLit(q))
         }
-        val scored = filter.fold(base)(base.filter)
+        val scored = tFilter.fold(base)(base.filter)
           .select(col("key").as("vector_key"), dist.as("distance"),
             col("meta").as("metadata"))
         cursor.fold(scored) { case (d0, k0) =>
@@ -4443,6 +4576,7 @@ class GraftClient(spark: SparkSession, root: String,
         lit(s"binary query needs $words packed 64-bit words for " +
           s"dim ${m.dim} bits, got "), size(col("qcodes")).cast("string"))))
         .otherwise(col("qcodes").cast("array<bigint>")).as("qcodes"))
+    val tFilter = withTtl(m, filter) // one cutoff across partitions
     val candidates = resolveParts(m, partitions).map { part =>
       val pm = partMeta(m, part)
       val coll = collection(pm)
@@ -4471,11 +4605,11 @@ class GraftClient(spark: SparkSession, root: String,
             () => spark.read.schema(binCellsSchema).parquet(cellsPath(pm)))
             .join(broadcast(qCells), Seq("centroidId"))
             .select(col("qid"), col("qcodes"), col("key"), col("vec"),
-              col("meta"))
+              col("meta"), col("ingest_ts"))
         case _ =>
-          scalarPrunedRead(pm, coll, filter).crossJoin(broadcast(q))
+          scalarPrunedRead(pm, coll, tFilter).crossJoin(broadcast(q))
             .select(col("qid"), col("qcodes"), col("key"), col("vec"),
-              col("meta"))
+              col("meta"), col("ingest_ts"))
       }
     }.reduce(_ unionByName _)
     // both sides re-establish non-null word types for the fused kernels
@@ -4489,7 +4623,7 @@ class GraftClient(spark: SparkSession, root: String,
       case _ =>
         graft.functions.BinaryVectorFunctions.jaccard_distance(codes, qc)
     }
-    filter.fold(candidates)(candidates.filter)
+    tFilter.fold(candidates)(candidates.filter)
       .select(col("qid"), dist.as("dist"), col("key"), col("meta"))
       .groupBy(col("qid"))
       .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta"))
@@ -5042,11 +5176,15 @@ class GraftClient(spark: SparkSession, root: String,
     // union: a fresh-index arm reads the cells layout (which carries
     // centroidId) while a stale/empty arm reads the raw store — mixed
     // per-partition index state must union cleanly, not throw.
+    // filter + TTL gate apply BEFORE the (key, vec, meta) projection —
+    // the gate's ingest_ts column exists on the cells layout and the
+    // store scan but not on the projected shape
+    val tFilter = withTtl(m, filter)
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
-      prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
-          scalarPrunedRead(pm, coll, filter)) { idx =>
+      val src = prunedCellsOrScan(pm, coll, liveIndex(pm, coll),
+          scalarPrunedRead(pm, coll, tFilter)) { idx =>
         (for (rad <- idx.radii; r <- pruneRadius) yield {
           val centerDist = idx.assign.distancesTo(qa)
           GraftClient.DropCells(rad.collect {
@@ -5054,9 +5192,11 @@ class GraftClient(spark: SparkSession, root: String,
               centerDist(cell) > r + rc + GraftClient.RangePruneEps => cell
           }.toSeq): GraftClient.CellChoice
         }).getOrElse(GraftClient.AllCells)
-      }.select(col("key"), col("vec"), col("meta"))
+      }
+      tFilter.fold(src)(src.filter)
+        .select(col("key"), col("vec"), col("meta"))
     }.reduce(_ unionByName _)
-    val out = filter.fold(base)(base.filter)
+    val out = base
       .select(col("key").as("vector_key"),
         distanceCol(m.metric, qvec).as("distance"), col("meta").as("metadata"))
       .filter(col("distance") < radius &&
@@ -5158,6 +5298,7 @@ class GraftClient(spark: SparkSession, root: String,
     // cleanly. The metadata filter binds inside each arm (the masked
     // walk resolves it against the store's columns; the cell arms apply
     // it to the scan), identically to the pre-r14 post-union filter.
+    val tFilter = withTtl(m, filter) // one cutoff for every partition arm
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
@@ -5176,10 +5317,10 @@ class GraftClient(spark: SparkSession, root: String,
               math.min(k.toLong * groupSize * mult,
                 math.max(hm.graphRows + hm.tailEst, 1L)),
               Int.MaxValue.toLong).toInt
-            if (filter.isEmpty)
+            if (tFilter.isEmpty)
               hnswScored(pm, coll, vB, hm, qvec, depth, refine, ef)
             else
-              hnswScoredFiltered(pm, coll, vB, hm, qvec, filter, None,
+              hnswScoredFiltered(pm, coll, vB, hm, qvec, tFilter, None,
                 depth, refine, ef)
           }
           // Iterative beam expansion (Milvus's grouping-search stance:
@@ -5219,13 +5360,15 @@ class GraftClient(spark: SparkSession, root: String,
           arm.select(col("vector_key").as("key"), col("distance"),
             col("metadata").as("meta"))
         case None =>
+          // filter + TTL gate bind BEFORE the projection (the gate's
+          // ingest_ts lives on the cells layout / store scan)
           val arm = prunedCellsOrScan(pm, coll,
               if (forceExact) None else liveIndex(pm, coll),
-              scalarPrunedRead(pm, coll, filter)) { idx =>
+              scalarPrunedRead(pm, coll, tFilter)) { idx =>
             val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
             GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
-          }.select(col("key"), col("vec"), col("meta"))
-          filter.fold(arm)(arm.filter)
+          }
+          tFilter.fold(arm)(arm.filter)
             .select(col("key"), distanceCol(m.metric, qvec).as("distance"),
               col("meta"))
       }
@@ -5307,10 +5450,13 @@ class GraftClient(spark: SparkSession, root: String,
       val coll = collection(pm)
       if (touched.isEmpty) coll.read(spark).filter(lit(false))
         .select(outCols.map(col): _*)
-      else readBucketsAtPin(pm, coll,
-          pinForRead(pm, coll, effectiveLevel(m, consistencyLevel)), touched)
-        .join(keyed, Seq("key"), "left_semi")
-        .select(outCols.map(col): _*)
+      else {
+        val hit = readBucketsAtPin(pm, coll,
+            pinForRead(pm, coll, effectiveLevel(m, consistencyLevel)), touched)
+          .join(keyed, Seq("key"), "left_semi")
+        ttlGate(m).fold(hit)(hit.filter) // expired keys fetch nothing
+          .select(outCols.map(col): _*)
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -5425,6 +5571,8 @@ class GraftClient(spark: SparkSession, root: String,
     val level =
       if (matchTerms.nonEmpty || matchGates.nonEmpty) "Strong"
       else requested
+    // TTL gate conjoined like any predicate — pushed to the scan
+    val tFilter = withTtl(m, Some(filter)).get
     // NO coalesce wrapper here: a positive Filter already treats a
     // null-evaluating predicate as false (null-matches-nothing is the
     // documented semantics), and wrapping the conjunct in Coalesce would
@@ -5442,7 +5590,7 @@ class GraftClient(spark: SparkSession, root: String,
       .map { p =>
         val pm = partMeta(m, p)
         val coll = collection(pm)
-        val base = scalarPrunedRead(pm, coll, Some(filter),
+        val base = scalarPrunedRead(pm, coll, Some(tFilter),
           pinForRead(pm, coll, level))
         // Milvus TEXT_MATCH/PHRASE_MATCH in query filters: per-partition
         // semi-join against that partition's postings-index matches
@@ -5450,7 +5598,7 @@ class GraftClient(spark: SparkSession, root: String,
           .fold(base)(g => base.join(g, Seq("key"), "left_semi"))
       }
       .reduce(_ unionByName _)
-      .filter(filter)
+      .filter(tFilter)
       // multi-vector collections return EVERY declared vector field —
       // Milvus query() exposes all schema fields the same way (fetch's
       // r15 contract)
@@ -5555,7 +5703,10 @@ class GraftClient(spark: SparkSession, root: String,
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     require(refine >= 1, s"refine must be >= 1 (got $refine)")
     val parts = resolveParts(m, partitions)
-    val fOpt = filter // `filter` inside closures shadows Iterator.filter
+    // TTL cutoff PINNED at drain start (withTtl resolves the clock once
+    // here): the iterator is ONE read, so its coverage contract cannot
+    // shrink mid-drain. `filter` inside closures shadows Iterator.filter
+    val fOpt = withTtl(m, filter)
     // TEXT_MATCH key set PINNED at drain start: the gate requires a FRESH
     // text index, and under allowDrift a mid-drain commit stales it — a
     // per-page re-resolve would then throw on the next page, killing
@@ -6023,6 +6174,10 @@ class GraftClient(spark: SparkSession, root: String,
     val m = metaOrThrow(name)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
     val parts = resolveParts(m, partitions)
+    // TTL cutoff pinned at drain start (one read, one clock) — the
+    // per-page frame rebuild below reuses this literal, so a row cannot
+    // expire out of a drain that started while it was live
+    val tFilter = withTtl(m, Some(filter)).get
     // the union frame is rebuilt PER PAGE, not once at creation:
     // collection.read binds the snapshot's bucket dirs at plan time, so
     // a creation-time frame would crash a long allowDrift export with
@@ -6045,12 +6200,12 @@ class GraftClient(spark: SparkSession, root: String,
     def tagged: DataFrame = parts.zip(gates)
       .map { case (p, gate) =>
         val pm = partMeta(m, p)
-        val base = scalarPrunedRead(pm, collection(pm), Some(filter))
+        val base = scalarPrunedRead(pm, collection(pm), Some(tFilter))
         gate.fold(base)(g => base.join(g, Seq("key"), "left_semi"))
+          .filter(tFilter)
           .select(col("key"), col("vec"), col("meta"), lit(p).as("__part"))
       }
       .reduce(_ unionByName _)
-      .filter(filter)
     var cursor: Option[(String, String)] = None // (key, part)
     pagedIterator(m, parts, allowDrift, batchSize) { () =>
       val frame = tagged
@@ -6241,9 +6396,10 @@ class GraftClient(spark: SparkSession, root: String,
     // schema, so the union feeds one shared scoring tail.
     require(ef == 0 || ef >= k,
       s"ef ($ef) must be >= k ($k) — Milvus requires ef >= limit the same way")
+    val tFilter = withTtl(m, filter) // one cutoff across partitions
     val candidates = resolveParts(m, partitions).map { part =>
       val pm = partMeta(m, part)
-      batchCandidates(pm, q, nQ, k, filter, nprobe, refine, forceExact, ef)
+      batchCandidates(pm, q, nQ, k, tFilter, nprobe, refine, forceExact, ef)
     }.reduce(_ unionByName _)
     val scored = m.metric match {
       case "l2" => l2_distance(col("vec"), col("qvec"))
@@ -6251,7 +6407,7 @@ class GraftClient(spark: SparkSession, root: String,
       case "dot" => -dot_product(col("vec"), col("qvec"))
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    filter.fold(candidates)(candidates.filter)
+    tFilter.fold(candidates)(candidates.filter)
       .select(col("qid"), scored.as("dist"), col("key"), col("meta"))
       .groupBy(col("qid"))
       .agg(VectorAggregates.topKDocs(k)(col("dist"), col("key"), col("meta")).as("hits"))
@@ -6311,7 +6467,8 @@ class GraftClient(spark: SparkSession, root: String,
         if (passingCnt.exists(_ <= GraftClient.HnswFilteredExactFloor))
           // below the floor: every query ranks the passing rows exactly
           matched.get.crossJoin(hintQ(q))
-            .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+            .select(col("qid"), col("qvec"), col("key"), col("vec"),
+              col("meta"), col("ingest_ts"))
         else {
         val efEff = passingCnt match {
           case Some(cnt) =>
@@ -6346,11 +6503,13 @@ class GraftClient(spark: SparkSession, root: String,
         else {
           val tail0 = coll.readBuckets(spark, changed)
             .filter(col("seq") > hm.maxSeq)
-          graphArm.select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+          graphArm.select(col("qid"), col("qvec"), col("key"), col("vec"),
+              col("meta"), col("ingest_ts"))
             .unionByName(
               filter.fold(tail0)(tail0.filter)
                 .crossJoin(hintQ(q))
-                .select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta")))
+                .select(col("qid"), col("qvec"), col("key"), col("vec"),
+                  col("meta"), col("ingest_ts")))
         }
         }
       case None =>
@@ -6462,7 +6621,8 @@ class GraftClient(spark: SparkSession, root: String,
           if (nQ <= 100000L) broadcast else identity
         coll.read(spark).crossJoin(hint(q))
     })
-    }).select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"))
+    }).select(col("qid"), col("qvec"), col("key"), col("vec"), col("meta"),
+      col("ingest_ts"))
   }
 
   /** Measured recall@k of the pruned (IVF/IVF_SQ8) search against the
@@ -6495,7 +6655,9 @@ class GraftClient(spark: SparkSession, root: String,
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
     val m = partMeta(fieldMetaOpt(metaOrThrow(name), field), partition)
     requireFloatVec(m, "estimateRecall")
-    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+    val src = collection(m).read(spark)
+    val sample = ttlGate(m).fold(src)(src.filter) // live rows only
+      .select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
     require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
@@ -6543,7 +6705,9 @@ class GraftClient(spark: SparkSession, root: String,
     require(sampleQueries >= 1, s"sampleQueries must be >= 1 (got $sampleQueries)")
     val m = partMeta(fieldMetaOpt(metaOrThrow(name), field), partition)
     requireFloatVec(m, "estimateRecallGrouped")
-    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+    val src = collection(m).read(spark)
+    val sample = ttlGate(m).fold(src)(src.filter) // live rows only
+      .select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
     require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
@@ -6597,7 +6761,9 @@ class GraftClient(spark: SparkSession, root: String,
     requireFloatVec(m, "recommendIndex")
     require(sampleSize >= 8, s"sampleSize must be >= 8 (got $sampleSize)")
     val coll = collection(m)
-    val sample = coll.read(spark).select(col("key"), col("vec"))
+    val sampleSrc = coll.read(spark)
+    val sample = ttlGate(m).fold(sampleSrc)(sampleSrc.filter)
+      .select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.length >= 8,
@@ -6706,7 +6872,9 @@ class GraftClient(spark: SparkSession, root: String,
       .getOrElse(throw new IllegalStateException(
         s"${m.name} has no FRESH BIN_IVF_FLAT index — buildIndex first " +
           "(without one, pruned and exact are the same scan)"))
-    val sample = collection(m).read(spark).select(col("key"), col("vec"))
+    val src = collection(m).read(spark)
+    val sample = ttlGate(m).fold(src)(src.filter) // live rows only
+      .select(col("key"), col("vec"))
       .orderBy(xxhash64(col("key")), col("key")).limit(sampleQueries)
       .collect()
     require(sample.nonEmpty, s"collection $name is empty — nothing to sample")
@@ -7415,10 +7583,14 @@ class GraftClient(spark: SparkSession, root: String,
                     partitions: Seq[String] = Nil): DataFrame = {
     require(terms.nonEmpty, "text match needs at least one term")
     val m = metaOrThrow(name)
-    resolveParts(m, partitions)
+    val matched = resolveParts(m, partitions)
       .map(p => textMatchGate(partMeta(m, p), terms, mode).get)
       .reduce(_ unionByName _)
       .distinct()
+    // postings keep no timestamps — expired docs drop through the store
+    ttlGate(m).fold(matched)(g =>
+      matched.join(readParts(m, partitions).filter(g).select("key"),
+        Seq("key"), "left_semi"))
   }
 
   /** BM25 against a collection: when the text index is FRESH (stamped at
@@ -7450,10 +7622,20 @@ class GraftClient(spark: SparkSession, root: String,
                     useIndex: Boolean = true,
                     restrictTo: Option[DataFrame] = None): DataFrame = {
     val m = metaOrThrow(name)
+    // TTL gates which docs may RANK, restrictTo-style (corpus stats
+    // stay whole until compact() purges — Lucene's between-compactions
+    // stance): intersect any caller restriction with the live key set
+    val rt = ttlGate(m) match {
+      case None => restrictTo
+      case Some(g) =>
+        val live = readParts(m, Nil).filter(g).select("key")
+        Some(restrictTo.fold(live)(r =>
+          r.join(live, Seq("key"), "left_semi")))
+    }
     val fresh = useIndex && textIndexFresh(m)
-    if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b, restrictTo)
+    if (fresh) TextIndex.bm25(spark, textDir(m), terms, k, k1, b, rt)
     else graft.queries.TextQueries.bm25(docs, "key", textCol, terms, k, k1, b,
-      restrictTo)
+      rt)
   }
 
   /** Milvus 2.5 FULL-TEXT SEARCH: `client.search(data=["raw query
@@ -7530,7 +7712,7 @@ class GraftClient(spark: SparkSession, root: String,
           StructField("metadata", MapType(StringType, StringType))))),
         outputFields)
     } else {
-      val passing = filter.map(f =>
+      val passing = withTtl(m0, filter).map(f =>
         pms.map(m => filterPassingKeys(m, f)).reduce(_ unionByName _))
       val scored = TextIndex.bm25Merged(spark, pms.map(textDir),
         terms, k, k1, b, passing)
@@ -8151,7 +8333,9 @@ class GraftClient(spark: SparkSession, root: String,
     val dir = attachedSparseDirOrThrow(m)
     def fetch(pool: Int): DataFrame =
       sparseHitsKeyed(SparseIndex.topK(spark, dir, query, pool, metric))
-    filter match {
+    // the attached index keys into the DENSE collection's rows — its
+    // TTL gates the hits like any filter (expired keys may not rank)
+    withTtl(m, filter) match {
       case None => fetch(k)
       case Some(f) =>
         // filter keys pinned at the index's stamped version (the single
@@ -8225,6 +8409,9 @@ class GraftClient(spark: SparkSession, root: String,
       if (dropRatioSearch == 0.0) query
       else query.sortBy { case (d, w) => (-math.abs(w), d) }
         .take(math.max(1, query.size - (query.size * dropRatioSearch).toInt))
+    // TTL gate rides the passing-keys mask exactly like a metadata
+    // filter (the postings keep no timestamps; the store does)
+    val tFilter = withTtl(m, filter)
     if (effectiveLevel(m, consistencyLevel) == "Session")
       resolveParts(m, partitions).foreach { p =>
         val pm = partMeta(m, p)
@@ -8235,7 +8422,7 @@ class GraftClient(spark: SparkSession, root: String,
     // semi-join both arms exactly like the float search's matchGates
     val gate = matchGateKeys(m, matchGates)
     val scored = resolveParts(m, partitions)
-      .map(p => sparseScored(partMeta(m, p), q, filter, offset + k, gate))
+      .map(p => sparseScored(partMeta(m, p), q, tFilter, offset + k, gate))
       .reduce(_ unionByName _)
     projectOutputFields(pagedByScore(scored, offset, k), outputFields,
       rankCol = "score")
@@ -8445,15 +8632,16 @@ class GraftClient(spark: SparkSession, root: String,
       s"rangeFilter ($rangeFilter) must be > radius ($radius) — Milvus's " +
         "similarity-metric band is radius < score <= range_filter")
     limit.foreach(l => require(l >= 1, s"limit must be >= 1 (got $l)"))
+    val tFilter = withTtl(m, filter)
     val band = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
       val scored = sparseServableVersion(pm, coll) match {
-        case None => sparseExactScored(pm, coll, query, filter)
+        case None => sparseExactScored(pm, coll, query, tFilter)
         case Some(v) =>
           val hits = sparseHitsKeyed(SparseIndex.scores(
             spark, sparsePostingsPath(pm), query, pm.metric))
-          val gated = filter match {
+          val gated = tFilter match {
             case None => hits
             case Some(f) => hits.join(
               scalarPrunedRead(pm, coll, Some(f), pin = Some(v))
@@ -8503,12 +8691,13 @@ class GraftClient(spark: SparkSession, root: String,
     requireSparseQuery(query)
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(groupSize >= 1, s"groupSize must be >= 1 (got $groupSize)")
+    val tFilter = withTtl(m, filter)
     val cand = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
       val scored = sparseServableVersion(pm, coll) match {
         case None =>
-          sparseExactScored(pm, coll, query, filter)
+          sparseExactScored(pm, coll, query, tFilter)
             .select(col("vector_key").as("key"), col("score"),
               col("metadata").as("meta"))
         case Some(v) =>
@@ -8517,8 +8706,8 @@ class GraftClient(spark: SparkSession, root: String,
           // rows pinned at the SERVED snapshot (sparseServableVersion's
           // race note) with the scalar prune still engaged when its
           // stamps match that version
-          val rows = scalarPrunedRead(pm, coll, filter, pin = Some(v))
-          filter.fold(rows)(rows.filter)
+          val rows = scalarPrunedRead(pm, coll, tFilter, pin = Some(v))
+          tFilter.fold(rows)(rows.filter)
             .join(hits, Seq("key"))
             .select(col("key"), col("score"), col("meta"))
       }
@@ -8586,6 +8775,8 @@ class GraftClient(spark: SparkSession, root: String,
         "serves SPARSE_FLOAT_VECTOR; use searchIterator/searchBinaryIterator")
     requireSparseQuery(query)
     require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    // TTL cutoff pinned at drain start (one read, one clock)
+    val tFilter = withTtl(m, filter)
     val pins = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       (pm, collection(pm).currentVersion)
@@ -8604,7 +8795,7 @@ class GraftClient(spark: SparkSession, root: String,
             s"${pm.name}: the pinned snapshot was vacuumed mid-drain — " +
               s"restart the iterator (${e.getMessage})") })
         val (overlaps, score) = sparseScoreExpr(pm, query)
-        val scored = filter.fold(base)(base.filter).filter(overlaps)
+        val scored = tFilter.fold(base)(base.filter).filter(overlaps)
           .select(col("key").as("vector_key"), score.as("score"),
             col("meta").as("metadata"))
         cursor.fold(scored) { case (s0, k0) =>
@@ -8688,12 +8879,16 @@ class GraftClient(spark: SparkSession, root: String,
           .otherwise(element_at(col("__ws"), col("__i") + 1)).as("w"))
       .localCheckpoint()
     val parts = resolveParts(m, partitions)
+    // TTL rides the filter, so a TTL collection's batch takes the exact
+    // arm like any filtered sparse batch (the postings arm serves
+    // unfiltered only); cutoff resolved once across partitions
+    val tFilter = withTtl(m, filter)
     // arm choice resolved ONCE per partition and reused for the
     // metadata-join pin below — re-checking there could disagree with
     // the arm a racing commit already flipped
     val servedAt: Map[String, Option[Long]] = parts.map { p =>
       val pm = partMeta(m, p)
-      p -> sparseServableVersion(pm, collection(pm)).filter(_ => filter.isEmpty)
+      p -> sparseServableVersion(pm, collection(pm)).filter(_ => tFilter.isEmpty)
     }.toMap
     val perPart = parts.map { p =>
       val pm = partMeta(m, p)
@@ -8703,8 +8898,8 @@ class GraftClient(spark: SparkSession, root: String,
           .select(col("qid"), col("key"), col("score"))
       else {
         // store-derived postings join (exact): gate rows, then explode
-        val base = scalarPrunedRead(pm, coll, filter)
-        val rows = filter.fold(base)(base.filter)
+        val base = scalarPrunedRead(pm, coll, tFilter)
+        val rows = tFilter.fold(base)(base.filter)
         val postings = storePostings(rows)
         val qw = qp.select(col("qid"), col("dim"), col("w").as("__qw"))
         val scored = pm.metric match {
@@ -8807,7 +9002,8 @@ class GraftClient(spark: SparkSession, root: String,
       if (sparseDir.nonEmpty) sparseDir
       else attachedSparseDirOrThrow(m)
     val gateKeys = matchGateKeys(m, matchGates)
-    val gated = filter.nonEmpty || gateKeys.nonEmpty
+    val tFilter = withTtl(m, filter) // dense collection's TTL binds BOTH arms
+    val gated = tFilter.nonEmpty || gateKeys.nonEmpty
     val sparseHits = SparseIndex.topK(spark, dir, sparseQuery,
       // over-fetch when filtering/gating: the semi-joins below drop
       // non-passing hits AFTER the sparse top-k (the index knows nothing
@@ -8819,7 +9015,7 @@ class GraftClient(spark: SparkSession, root: String,
       sparseMetric)
     val sparseKeyed = sparseHitsKeyed(sparseHits)
     val sparseGated = gateKeys.foldLeft(
-        filter.map(f => sparseKeyed.join(filterPassingKeys(m, f),
+        tFilter.map(f => sparseKeyed.join(filterPassingKeys(m, f),
           Seq("key"), "left_semi")).getOrElse(sparseKeyed))(
       (df, g) => df.join(g, Seq("key"), "left_semi"))
     val sparseTop = sparseGated

@@ -90,13 +90,21 @@ case class CollectionMeta(
                                 // keyed store (see [[VecField]]).
                                 // Declared at create, immutable (the
                                 // at-rest row layout carries them)
-    fieldView: String = "")     // DERIVED-ONLY marker, never serialized:
+    fieldView: String = "",     // DERIVED-ONLY marker, never serialized:
                                 // nonempty on the internal metas that
                                 // route search/index machinery at one
                                 // extra vector field (reads surface that
                                 // field AS `vec`; index dirs suffix by
                                 // it) — the partMeta pattern, one level
                                 // down. A cataloged meta always has ""
+    ttlSeconds: Long = 0L)      // Milvus `collection.ttl.seconds`: rows
+                                // whose ingest_ts is older than
+                                // now − ttl are EXPIRED — invisible to
+                                // every read surface (filtered at read
+                                // time off insert timestamps, Milvus's
+                                // own semantics) and physically purged
+                                // by compact(). 0 = never expire.
+                                // Alterable (alter_collection_properties)
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics
@@ -157,6 +165,7 @@ class Catalog(root: String) {
       s""""hnswM":${m.hnswM},"hnswEfC":${m.hnswEfC},""" +
       s""""vectorType":"${esc(m.vectorType)}",""" +
       s""""extraVecFields":"${esc(renderVecFields(m.extraVecFields))}",""" +
+      s""""ttlSeconds":${m.ttlSeconds},""" +
       s""""dataPath":"${esc(m.dataPath)}"}"""
   }
 
@@ -173,6 +182,10 @@ class Catalog(root: String) {
   private def intFieldOr(json: String, key: String, default: Int): Int =
     s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(default)
+
+  private def longFieldOr(json: String, key: String, default: Long): Long =
+    s""""$key":(-?\\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(default)
 
   private def strFieldOr(json: String, key: String, default: String): String =
     (s""""$key":"((?:\\\\.|[^"\\\\])*)"""").r.findFirstMatchIn(json)
@@ -194,7 +207,11 @@ class Catalog(root: String) {
       // absent in pre-binary catalogs — every earlier collection is float
       strFieldOr(json, "vectorType", "FLOAT_VECTOR"),
       // absent in pre-multi-vector catalogs — single-field collections
-      parseVecFields(strFieldOr(json, "extraVecFields", "")))
+      parseVecFields(strFieldOr(json, "extraVecFields", "")),
+      // fieldView is derived-only — a cataloged meta always parses ""
+      fieldView = "",
+      // absent in pre-TTL catalogs — every earlier collection never expires
+      ttlSeconds = longFieldOr(json, "ttlSeconds", 0L))
 
   /** Idempotent create: returns false (and leaves metadata untouched) when
     * the collection already exists — `has_collection` gate semantics.

@@ -713,6 +713,65 @@ object VectorQueries {
       .select(col("count(*)").as("cnt"))
   }
 
+  // One collection.ttl.seconds=3600 collection per (dir, process): the
+  // embeddings corpus through the full write path, an IVF_FLAT build,
+  // and TWO EXPIRED decoys (backfilled via upsertAt at now−2h) carrying
+  // the query's EXACT vector — distance 0, keys sorting BEFORE every
+  // live key, so any leak ranks #1 and flips the oracle hash. Decoy
+  // "!ttl0" is IN the build base (the cells layout holds it); "!ttl1"
+  // lands AFTER the build through incremental cell maintenance — the
+  // hash is right only if the read-time TTL mask binds on the INDEXED
+  // arm for both placements.
+  private val ttlRootCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ttlClientFor(spark: SparkSession, dir: String): graft.api.GraftClient = {
+    val root = ttlRootCache.computeIfAbsent(dir, { d =>
+      val r = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+      val c = new graft.api.GraftClient(spark, r)
+      val emb = t(spark, d, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      c.createCollection("embttl", dim = dim, indexType = "IVF_FLAT",
+        buckets = 8, ttlSeconds = 3600L)
+      c.upsert("embttl", emb.select(
+        lpad(col("vec_id").cast("string"), 8, "0").as("key"),
+        col("embedding").as("vec"),
+        map(lit("label"), col("label").cast("string")).as("meta")))
+      val expired = new java.sql.Timestamp(
+        System.currentTimeMillis() - 7200L * 1000L)
+      def decoy(key: String) = emb.filter(col("vec_id") === 0L).select(
+        lit(key).as("key"), col("embedding").as("vec"),
+        map(lit("label"), lit("99")).as("meta"))
+      c.upsertAt("embttl", decoy("!ttl0"), expired) // in the build base
+      c.buildIndex("embttl", nlist = 4)
+      c.upsertAt("embttl", decoy("!ttl1"), expired) // via cell maintenance
+      r
+    })
+    new graft.api.GraftClient(spark, root)
+  }
+
+  /** B6 × Milvus `collection.ttl.seconds` on the ORACLE path: top-10 L2
+    * over a TTL collection whose cells layout physically holds two
+    * expired exact-match decoys (one from the build base, one from
+    * incremental maintenance). nprobe = nlist ⇒ exact through the
+    * index, so the DuckDB twin is the plain brute-force top-10 over the
+    * raw parquet — hash-equal only if the read-time expiry mask binds
+    * on the indexed search arm. The freshness require pins that the
+    * INDEXED arm (not the exact fallback) is what the oracle graded. */
+  def milvusTtlFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val client = ttlClientFor(spark, dir)
+    require(client.listIndexes("embttl").collect().exists(_.getBoolean(2)),
+      "milvus_ttl_filtered: the IVF index must be FRESH — the indexed " +
+        "cells arm (where the expired decoys live) is what's under test")
+    val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    client.search("embttl", q, k = 10, nprobe = 4)
+      .select(col("vector_key").cast("long").as("vec_id"),
+        col("distance").as("dist"),
+        element_at(col("metadata"), "label").cast("int").as("label"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
   /** Per-JVM multi-vector collection (Milvus 2.4 multiple vector fields
     * — VERDICT r14's #1): the embeddings as the PRIMARY 64-dim field,
     * their first 32 dims as a second NAMED field `img_vec` (a second
@@ -816,6 +875,7 @@ object VectorQueries {
     "knn_hnsw_tail" -> knnHnswTail _,
     "hybrid_multi_field" -> hybridMultiField _,
     "milvus_count_filtered" -> milvusCountFiltered _,
+    "milvus_ttl_filtered" -> milvusTtlFiltered _,
     "vector_norm_stats" -> vectorNormStats _,
     "l2_normalize_check" -> l2NormalizeCheck _,
     "vector_scan" -> vectorScan _,
@@ -869,6 +929,12 @@ object VectorQueries {
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10 OFFSET 10""",
     "knn_loaded_topk" ->
+      s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
+          FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
+    // the expired decoys are NOT in the raw parquet — the oracle is the
+    // plain brute force; a TTL-mask leak surfaces a distance-0 row the
+    // oracle never has
+    "milvus_ttl_filtered" ->
       s"""SELECT e.vec_id, list_distance(e.embedding::DOUBLE[], q.qvec) AS dist, e.label
           FROM embeddings e, $qv q ORDER BY dist, vec_id LIMIT 10""",
     "knn_pq_topk" ->
