@@ -443,11 +443,16 @@ class GraftClient(spark: SparkSession, root: String,
     import org.apache.spark.sql.types._
     // a FIELD VIEW's at-rest layout is the PRIMARY's (one store holds
     // every field): the derived meta carries the FIELD's vectorType for
-    // dispatch, but extra fields require a FLOAT primary, so the base
-    // row is always the float one — the view renames the field column
-    // to `vec` AFTER the schema-true read
+    // dispatch and the PRIMARY's family in `primaryFamily` — the base
+    // row is the primary's (any of the three families since r17), and
+    // the view renames the field column to `vec` AFTER the schema-true
+    // read
     val base =
-      if (m.fieldView.nonEmpty) rowSchema
+      if (m.fieldView.nonEmpty) m.primaryFamily match {
+        case "BINARY_VECTOR" => binRowSchema
+        case "SPARSE_FLOAT_VECTOR" => sparseRowSchema
+        case _ => rowSchema
+      }
       else if (binaryVec(m)) binRowSchema
       else if (sparseVec(m)) sparseRowSchema
       else rowSchema
@@ -967,10 +972,11 @@ class GraftClient(spark: SparkSession, root: String,
     // (buildIndex(field = ...), independent VERSION stamps).
     val resolvedFields = vectorFields.map(resolveVecField)
     if (resolvedFields.nonEmpty) {
-      require(vectorType == "FLOAT_VECTOR",
-        s"extra vector fields require a FLOAT_VECTOR primary (got " +
-          s"$vectorType) — a lexical-primary schema puts the dense " +
-          "field first and declares the sparse one as the extra field")
+      // any family may be PRIMARY with extra fields of any family —
+      // Milvus 2.4 admits all orderings (r17; the pre-r17 FLOAT-primary
+      // restriction is lifted: the base row schema dispatches on the
+      // primary's family and the field machinery was family-generic
+      // already)
       val names = resolvedFields.map(_.name)
       require(names.distinct == names,
         s"duplicate vector field names: ${names.mkString(", ")}")
@@ -1047,9 +1053,9 @@ class GraftClient(spark: SparkSession, root: String,
     * stance. */
   def addCollectionField(name: String, field: graft.index.VecField): Boolean = {
     val m = metaOrThrow(name)
-    require(m.vectorType == "FLOAT_VECTOR",
-      s"extra vector fields require a FLOAT_VECTOR primary (got " +
-        s"${m.vectorType}) — same rule as createCollection's")
+    // any primary family admits added fields (r17 — createCollection's
+    // lifted restriction; the store reads with an explicit schema, so
+    // the new column resolves null on old files for every base family)
     val f = resolveVecField(field)
     require(f.nullable,
       s"add_collection_field requires nullable = true (got field " +
@@ -2029,6 +2035,18 @@ class GraftClient(spark: SparkSession, root: String,
     }.toMap
   }
 
+  /** Milvus `flush_all`: [[flush]] over every collection of THIS
+    * client's database (flush_all is db-scoped in Milvus 2.x the same
+    * way). Returns collection → its flush map. */
+  def flushAll(): Map[String, Map[String, Long]] =
+    list().map(n => n -> flush(n)).toMap
+
+  /** Milvus `has_collection` — the one-liner a migrating
+    * `if not client.has_collection(name): create` gate calls. Aliases
+    * do NOT count (Milvus resolves has_collection against real
+    * collections; describe() follows aliases, this does not). */
+  def hasCollection(name: String): Boolean = catalog.hasCollection(name)
+
   /** Milvus `compact` (synchronous — `get_compaction_state` would read
     * Completed on return): fold every at-rest index artifact's
     * accumulated segments across the named collection's partitions.
@@ -2871,7 +2889,11 @@ class GraftClient(spark: SparkSession, root: String,
       pqNbits = 8,
       hnswM = if (f.indexType == "HNSW") GraftClient.DefaultHnswM else 0,
       hnswEfC = if (f.indexType == "HNSW") GraftClient.DefaultHnswEfC else 0,
-      fieldView = field)
+      fieldView = field,
+      // the PRIMARY's family — what the shared at-rest row schema is
+      // based on (storeSchema); the view's own vectorType above is the
+      // FIELD's family, which drives every dispatch
+      primaryFamily = m.vectorType)
   }
 
   /** [[fieldMeta]] when the caller passed a field name, the meta itself

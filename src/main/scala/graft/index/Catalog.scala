@@ -97,7 +97,7 @@ case class CollectionMeta(
                                 // field AS `vec`; index dirs suffix by
                                 // it) — the partMeta pattern, one level
                                 // down. A cataloged meta always has ""
-    ttlSeconds: Long = 0L)      // Milvus `collection.ttl.seconds`: rows
+    ttlSeconds: Long = 0L,      // Milvus `collection.ttl.seconds`: rows
                                 // whose ingest_ts is older than
                                 // now − ttl are EXPIRED — invisible to
                                 // every read surface (filtered at read
@@ -105,6 +105,14 @@ case class CollectionMeta(
                                 // own semantics) and physically purged
                                 // by compact(). 0 = never expire.
                                 // Alterable (alter_collection_properties)
+    primaryFamily: String = "") // DERIVED-ONLY (like fieldView, never
+                                // serialized): on a field-view meta,
+                                // the PRIMARY collection's vectorType —
+                                // what the shared at-rest row schema is
+                                // based on (one store holds every
+                                // field; the view's own vectorType is
+                                // the FIELD's family, for dispatch).
+                                // A cataloged meta always has ""
 
 /** File-backed collection catalog (SURVEY A16/A17): idempotent create,
   * describe, list — `has_collection → create_collection` semantics

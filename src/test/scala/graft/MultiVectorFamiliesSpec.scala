@@ -196,6 +196,89 @@ class MultiVectorFamiliesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SPARSE primary + dense field (r17: the FLOAT-primary " +
+       "restriction lifted): upsert/search/maintenance/fetch") {
+    import spark.implicits._
+    val c = mkClient()
+    // the lexical-primary schema Milvus 2.4 admits: SPLADE-style sparse
+    // as the PRIMARY `vec`, a dense field beside it
+    c.createCollection("spfirst", dim = 0, metric = "dot",
+      indexType = "SPARSE_INVERTED_INDEX",
+      vectorType = "SPARSE_FLOAT_VECTOR", buckets = 4,
+      vectorFields = Seq(VecField("dv", dim, "l2", "IVF_FLAT")))
+    val meta = c.describe("spfirst")
+    assert(meta.vectorType == "SPARSE_FLOAT_VECTOR" &&
+      meta.extraVecFields.map(_.name) == Seq("dv"))
+    c.upsert("spfirst", (0 until 20).map(i =>
+        (f"k$i%04d", svec(i), dvec(i), Map("grp" -> s"g${i % 3}")))
+      .toDF("key", "vec", "dv", "meta"))
+    // PRIMARY sparse search serves as a plain sparse collection
+    val q = qPairs(svec(3))
+    assert(c.searchSparse("spfirst", q, k = 3).count() == 3)
+    // the DENSE FIELD rides the float family's whole envelope through
+    // its view — exact arm first, then the indexed arm + maintenance
+    val qd = dvec(7).toArray
+    val exact = c.search("spfirst", qd, k = 3, field = "dv")
+      .select("vector_key").collect().map(_.getString(0)).toSeq
+    assert(exact.head == "k0007") // self at rank 1 (L2 distance 0)
+    c.buildIndex("spfirst", nlist = 2, field = "dv")
+    assert(c.listIndexes("spfirst").collect()
+      .exists(r => r.getString(1) == "dv" && r.getBoolean(2)))
+    assert(c.search("spfirst", qd, k = 3, field = "dv", nprobe = 2)
+      .select("vector_key").collect().map(_.getString(0)).toSeq == exact)
+    // maintenance: a decoy put+delete through the FIELD's cells
+    c.upsert("spfirst", Seq(("!d", svec(0), dvec(7), Map.empty[String, String]))
+      .toDF("key", "vec", "dv", "meta"))
+    c.deleteByKeys("spfirst", Seq("!d"))
+    assert(c.listIndexes("spfirst").collect()
+      .exists(r => r.getString(1) == "dv" && r.getBoolean(2)))
+    assert(c.search("spfirst", qd, k = 3, field = "dv", nprobe = 2)
+      .select("vector_key").collect().map(_.getString(0)).toSeq == exact)
+    // fetch returns every declared field; get dispatches per family
+    val row = c.fetch("spfirst", Seq("k0007"))
+    assert(row.columns.toSeq == Seq("key", "vec", "dv", "meta"))
+    assert(row.select("dv").head.getSeq[Float](0) == dvec(7))
+    assert(c.getSparse("spfirst", "k0007").isDefined)
+    assert(c.get("spfirst", "k0007", field = "dv").get._1 == dvec(7))
+  }
+
+  test("BINARY primary + sparse field: upsert/search/maintenance/" +
+       "add_collection_field on a non-float base") {
+    import spark.implicits._
+    val c = mkClient()
+    c.createCollection("bnfirst", dim = 64, metric = "hamming",
+      indexType = "BIN_IVF_FLAT", vectorType = "BINARY_VECTOR",
+      buckets = 4,
+      vectorFields = Seq(VecField("sp", 0, "dot",
+        "SPARSE_INVERTED_INDEX", family = "SPARSE_FLOAT_VECTOR")))
+    c.upsert("bnfirst", (0 until 20).map(i =>
+        (f"k$i%04d", bvec(i), svec(i), Map("grp" -> s"g${i % 3}")))
+      .toDF("key", "vec", "sp", "meta"))
+    // primary binary search; sparse FIELD search via its view
+    assert(c.searchBinary("bnfirst", bvec(5).toArray, k = 1)
+      .head.getString(0) == "k0005")
+    val q = qPairs(svec(3))
+    val spHits = c.searchSparse("bnfirst", q, k = 3, field = "sp")
+      .select("vector_key").collect().map(_.getString(0)).toSeq
+    assert(spHits == bruteSparse(0 until 20, svec(3), 3))
+    // field postings build + refresh on a binary base
+    c.buildIndex("bnfirst", nlist = 4, field = "sp")
+    assert(c.searchSparse("bnfirst", q, k = 3, field = "sp")
+      .select("vector_key").collect().map(_.getString(0)).toSeq == spHits)
+    // add_collection_field onto a BINARY primary: nullable dense field
+    assert(c.addCollectionField("bnfirst",
+      VecField("dv", dim, "l2", "FLAT", nullable = true)))
+    c.upsert("bnfirst", Seq(("k0099", bvec(99), svec(99), dvec(99),
+        Map.empty[String, String]))
+      .toDF("key", "vec", "sp", "dv", "meta"))
+    // old rows gained the column with no rewrite; the view sees ONLY
+    // the row that has it
+    assert(c.search("bnfirst", dvec(99).toArray, k = 5, field = "dv")
+      .count() == 1)
+    assert(c.fetch("bnfirst", Seq("k0001")).columns.toSeq ==
+      Seq("key", "vec", "sp", "dv", "meta"))
+  }
+
   test("nullable-field nulls pass the write boundary with ANSI OFF — " +
        "legacy sizeOfNull=-1 must not trip the size/empty checks") {
     import spark.implicits._
