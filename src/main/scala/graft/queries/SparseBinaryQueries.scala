@@ -294,8 +294,15 @@ object SparseBinaryQueries {
   def sparseClientBatched(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val client = sparseClientFor(spark, dir)
-    val qdf = hashedPostings(spark, dir).filter(col("doc_id") < 3)
-      .collect().groupBy(_.getLong(0)).toSeq
+    val qrows = hashedPostings(spark, dir).filter(col("doc_id") < 3)
+      .collect()
+    // loud fixture invariant (r17): the batch is "docs 0, 1, 2 as
+    // queries" — a corpus missing any of them would silently shrink
+    // the sweep to fewer queries than the oracle replays
+    require(qrows.map(_.getLong(0)).distinct.length == 3,
+      s"sparse_client_batched: expected query docs 0..2, got doc_ids " +
+        qrows.map(_.getLong(0)).distinct.sorted.mkString(", "))
+    val qdf = qrows.groupBy(_.getLong(0)).toSeq
       .map { case (qid, rows) =>
         val sorted = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
           .sortBy(_._1)
@@ -320,8 +327,21 @@ object SparseBinaryQueries {
   def sparseClientRange(spark: SparkSession, dir: String): DataFrame = {
     val client = sparseClientFor(spark, dir)
     val q = sparseClientQuery(spark, dir)
-    val r10 = client.searchSparse("docsparse", q, k = 10)
-      .collect().last.getDouble(1)
+    val top = client.searchSparse("docsparse", q, k = 10).collect()
+    // fixture-shape invariants, LOUD (r17 — the knn_hnsw_grouped_strict
+    // stance): the band edge is "the 10th-best dot", which only means
+    // that if 10 overlapping docs exist, and the band radius < score is
+    // only non-vacuous if somebody beats the edge — at a different
+    // scale factor either could silently change the query's semantics
+    // instead of failing
+    require(top.length == 10,
+      s"sparse_client_range: the 10th-best band edge needs >= 10 " +
+        s"overlapping docs (got ${top.length}) — the corpus shape " +
+        "changed under the fixture")
+    require(top.head.getDouble(1) > top.last.getDouble(1),
+      "sparse_client_range: all top-10 scores tie — the similarity " +
+        "band (radius < score) would be empty and the query vacuous")
+    val r10 = top.last.getDouble(1)
     val df = client.searchSparseRange("docsparse", q, radius = r10)
     require(df.queryExecution.executedPlan.toString.contains("In(dim"),
       "sparse_client_range: range search did not read the postings layout")
@@ -709,8 +729,18 @@ object SparseBinaryQueries {
     val client = binClientFor(spark, dir)
     val q = t(spark, dir, "embeddings").filter(col("vec_id") === 0L)
       .select(pack_sign_bits(col("embedding"))).head().getSeq[Long](0).toArray
-    val r20 = client.searchBinary("embbin", q, k = 20, nprobe = 8)
-      .collect().last.getDouble(1)
+    val top20 = client.searchBinary("embbin", q, k = 20, nprobe = 8)
+      .collect()
+    // loud fixture invariants (r17): 20 rows must exist for "the
+    // 20th-nearest" to mean anything, and the edge must sit above the
+    // self-match's 0 or the band dist < r20 is empty
+    require(top20.length == 20,
+      s"knn_hamming_range: the 20th-nearest band edge needs >= 20 rows " +
+        s"(got ${top20.length})")
+    require(top20.last.getDouble(1) > 0.0,
+      "knn_hamming_range: the 20th-nearest distance is 0 — the band " +
+        "dist < r20 would be empty and the query vacuous")
+    val r20 = top20.last.getDouble(1)
     val df = client.searchBinaryRange("embbin", q, radius = r20)
     require(df.queryExecution.executedPlan.toString.contains("centroidId"),
       "knn_hamming_range: range search did not read the cell layout")

@@ -70,6 +70,12 @@ object VectorQueries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // loud fixture invariant (r17): "the first 20 vectors as queries"
+    // needs all 20 present — a smaller corpus would silently shrink
+    // the batch under the oracle's replay
+    require(queries.count() == 20,
+      "knn_batched: expected query vectors vec_id 0..19 — the corpus " +
+        "no longer holds all of them")
     val scored = emb.crossJoin(broadcast(queries))
       .select(col("qid"), col("vec_id"),
         l2_distance(col("embedding"), col("qvec")).as("dist"))
@@ -92,11 +98,19 @@ object VectorQueries {
     * IVF prune, whose triangle-inequality cell bound is lossless. Plans
     * as Project(dist) → Filter → Sort: one scan pass, the filter sits on
     * the projected distance, no shuffle but the output sort. */
-  def knnRangeSearch(spark: SparkSession, dir: String): DataFrame =
-    withQueryVec(spark, dir)
+  def knnRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val banded = withQueryVec(spark, dir)
       .select(col("vec_id"), l2_distance(col("embedding"), col("qvec")).as("dist"), col("label"))
       .filter(col("dist") >= 0.5 && col("dist") < 1.25)
       .orderBy(col("dist"), col("vec_id"))
+    // loud fixture invariant (r17): the [0.5, 1.25) annulus is a FIXED
+    // band — a corpus whose distance distribution drifts off it would
+    // return an empty (vacuously hash-matching) result silently
+    require(banded.limit(1).count() == 1,
+      "knn_range_search: the [0.5, 1.25) distance band is empty on this " +
+        "corpus — the fixture's distance distribution changed")
+    banded
+  }
 
   /** B2+ (Milvus grouping search, `group_by_field`/`group_size`): the
     * top-4 labels ranked by their best hit, keeping the 2 nearest rows
@@ -120,6 +134,12 @@ object VectorQueries {
       .orderBy(col("grp_best"), col("label"))
       .limit(4)
       .collect()
+    // loud fixture invariant (r17): "top-4 labels" is only the declared
+    // semantics if the corpus HAS >= 4 distinct labels — fewer would
+    // silently shrink the grouping instead of failing
+    require(bests.length == 4,
+      s"knn_grouped: the corpus holds only ${bests.length} distinct " +
+        "labels — the top-4-groups semantics needs at least 4")
     import spark.implicits._
     val ranks = bests.zipWithIndex.toSeq
       .map { case (r, i) => (r.getInt(0), (i + 1).toLong) }
@@ -602,6 +622,11 @@ object VectorQueries {
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val df = client.searchRange("embhnsw", q, radius = 1.25,
       rangeFilter = 0.5)
+    // loud fixture invariant (r17): the fixed [0.5, 1.25) band must be
+    // non-empty or the oracle match is vacuous (knn_range_search's note)
+    require(df.limit(1).count() == 1,
+      "knn_hnsw_range: the [0.5, 1.25) distance band is empty on this " +
+        "corpus — the fixture's distance distribution changed")
     require(!df.queryExecution.executedPlan.toString.contains("MapPartitions"),
       "knn_hnsw_range: range search on HNSW must stay the exact scan " +
         "(a radius-bounded walk cannot meet the exact contract)")
