@@ -99,11 +99,15 @@ class MultiVectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       client.createCollection("bad4", dim = 4,
         vectorFields = Seq(VecField("f", 4, "l2", "IVF_WAT")))
     }
-    intercept[IllegalArgumentException] { // non-float primary
-      client.createCollection("bad6", dim = 64, metric = "hamming",
-        vectorType = "BINARY_VECTOR",
-        vectorFields = Seq(VecField("f", 4, "l2", "FLAT")))
-    }
+    // non-float primaries with extra fields are LEGAL since the r17
+    // FLOAT-primary lift (Milvus 2.4 admits any family in any position);
+    // the family matrix is pinned in MultiVectorFamiliesSpec — here just
+    // the create boundary: it round-trips instead of refusing
+    client.createCollection("okbin", dim = 64, metric = "hamming",
+      vectorType = "BINARY_VECTOR",
+      vectorFields = Seq(VecField("f", 4, "l2", "FLAT")))
+    assert(client.describe("okbin").extraVecFields ==
+      Seq(VecField("f", 4, "l2", "FLAT")))
   }
 
   test("write boundary: missing column, wrong dim, null field all loud") {
