@@ -109,6 +109,23 @@ object DedupQueries {
     * that claims to measure it. */
   private def minhashSigsAndCandidates(tokenized: DataFrame, idCol: String,
       dfCap: Option[Int] = None): (DataFrame, DataFrame) = {
+    val (sigs, buckets) = minhashSigsAndBuckets(tokenized, idCol, dfCap)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    (sigs, cand)
+  }
+
+  /** Signatures + per-id band buckets (2 rows per id) — the shared core
+    * below the pair join. [[clusterLabelsOf]] consumes the BUCKETS
+    * directly: two ids are candidate-adjacent iff they share a bucket, so
+    * connected components over the id↔bucket BIPARTITE graph (2·N edges)
+    * equal components over the materialized candidate-pair graph
+    * (Σ_bucket |bucket|² edges) — same closure, quadratically less to
+    * shuffle per round (guide §2.3: propagate over the lightweight proxy). */
+  private def minhashSigsAndBuckets(tokenized: DataFrame, idCol: String,
+      dfCap: Option[Int] = None): (DataFrame, DataFrame) = {
     val exploded = tokenized.select(col(idCol), explode(col("__ws")).as("w"))
     // df-cap (see candidatePairs): one tiny aggregate over the already-
     // exploded tokens, then an equi-join — the kept-vocabulary table is
@@ -124,11 +141,7 @@ object DedupQueries {
         explode(array(
           concat_ws("|", lit("b0"), col("m0"), col("m1"), col("m2"), col("m3")),
           concat_ws("|", lit("b1"), col("m4"), col("m5"), col("m6"), col("m7")))).as("bucket"))
-    val cand = buckets.as("a").join(buckets.as("b"),
-        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    (sigs, cand)
+    (sigs, buckets)
   }
 
   /** Candidate pairs (doc_a < doc_b), un-ordered — shared by the declared
@@ -215,9 +228,19 @@ object DedupQueries {
                       broadcastNodeLimit: Long = 4L << 20,
                       dfCap: Option[Int] = None): DataFrame = {
     require(idCol != "lbl", "idCol 'lbl' collides with the label column")
-    val pairs = candidatePairs(docs, idCol, textCol, dfCap)
-    val sym = pairs.select(col("id_a").as("dst"), col("id_b").as("src"))
-      .union(pairs.select(col("id_b").as("dst"), col("id_a").as("src")))
+    // The candidate graph is DEFINED by bucket sharing, so propagation
+    // runs over the id↔bucket bipartite edges (exactly 2 rows per id —
+    // one per band) instead of the materialized pair set: one bucket
+    // round trip (id → bucket min → id) covers precisely the candidate
+    // one-hop neighborhood, so the round count is unchanged while each
+    // round shuffles O(N) rows instead of O(Σ_bucket |bucket|²) — at
+    // sf0.1's 2000-doc window that is 4k bucket edges vs the 825k-pair /
+    // 1.65M-row symmetric edge list this replaces (r17; components are
+    // identical by construction — shared-bucket closure IS candidate
+    // closure — and the oracle replays the pair-graph definition).
+    val sym = minhashSigsAndBuckets(
+        docs.select(col(idCol).as("__gid"),
+          array_distinct(words(col(textCol))).as("__ws")), "__gid", dfCap)._2
       .persist() // reused every round — without this each round re-runs MinHash
     // localCheckpoint (eager) rather than persist: an iterative DataFrame
     // loop NESTS each round's logical plan inside the next — after ~10
@@ -238,12 +261,18 @@ object DedupQueries {
       df.queryExecution.analyzed.collect {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
+    // LAZY checkpoints (r17): the round's convergence-checksum action is
+    // what materializes the round — eager checkpointing ran the same plan
+    // as its own extra job first, doubling the per-round job count for
+    // loops whose cost is pure scheduling overhead (guide §1.2: the
+    // distributed shape was already minimal; this is per-round dead work)
     def checkpointOwned(df: DataFrame): DataFrame = {
-      val cp = df.localCheckpoint()
+      val cp = df.localCheckpoint(eager = false)
       ownedCheckpoints ++= rddsOf(cp)
       cp
     }
-    var labels = checkpointOwned(docs.select(col(idCol), col(idCol).as("lbl")))
+    var labels = checkpointOwned(
+      docs.select(col(idCol).as("__gid"), col(idCol).as("lbl")))
     // When the node set fits the driver comfortably, broadcasting the label
     // table keeps the edge set from ever shuffling (map-side join + partial
     // aggregation are the only per-round passes over the edges). Past the
@@ -255,7 +284,7 @@ object DedupQueries {
       // xxhash64 checksum over zero rows is null every round) and throw
       // the 32-round cap where an empty frame is the correct answer
       sym.unpersist()
-      return labels
+      return labels.select(col("__gid").as(idCol), col("lbl"))
     }
     val small = nNodes <= broadcastNodeLimit
     val hint: DataFrame => DataFrame = if (small) broadcast else identity
@@ -267,17 +296,21 @@ object DedupQueries {
     var rounds = 0
     try {
     while (!converged && rounds < 32) {
-      val nbrLbl = sym.join(hint(labels.select(col(idCol).as("dst"), col("lbl"))), "dst")
-        .select(col("src").as(idCol), col("lbl"))
-      val oneHop = labels.union(nbrLbl)
-        .groupBy(col(idCol)).agg(min(col("lbl")).as("lbl"))
+      // one candidate-graph hop as a bucket round trip: bucket takes the
+      // min label of its members, members take the min over their buckets
+      val bmin = sym.join(hint(labels), Seq("__gid"))
+        .groupBy(col("bucket")).agg(min(col("lbl")).as("blbl"))
+      val viaBuckets = sym.join(hint(bmin), Seq("bucket"))
+        .select(col("__gid"), col("blbl").as("lbl"))
+      val oneHop = labels.union(viaBuckets)
+        .groupBy(col("__gid")).agg(min(col("lbl")).as("lbl"))
       // pointer jump: a label is itself a node id — adopt that node's
       // (already-minimized) label. Labels only decrease, so least() and
       // the left join's coalesce are pure defensiveness.
       val next = checkpointOwned(shape(oneHop.join(
-          hint(oneHop.select(col(idCol).as("lbl"), col("lbl").as("lbl2"))),
+          hint(oneHop.select(col("__gid").as("lbl"), col("lbl").as("lbl2"))),
           Seq("lbl"), "left")
-        .select(col(idCol),
+        .select(col("__gid"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))))
       // decimal(38,0) sum: full-range 64-bit hashes would overflow a LONG
       // sum under ANSI arithmetic at any node count
@@ -308,7 +341,7 @@ object DedupQueries {
       throw new IllegalStateException(
         "dedupClusters: label propagation hit the 32-round cap without " +
           "converging — output would be partially merged clusters")
-    labels
+    labels.select(col("__gid").as(idCol), col("lbl"))
   }
 
   /** Parameterized cluster summary: one row per duplicate component of
@@ -494,27 +527,37 @@ object DedupQueries {
     * (tunable via bands/bits), never the reported similarity. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val coords = e.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), col("pos").cast("long").as("d"),
-        floor(col("col").cast("double") * 1000).as("q"))
-    val planes = spark.range(16 * 64)
-      .select(expr("id div 64").as("p"), (col("id") % 64).as("d"))
-      .select(col("p"), col("d"),
-        (expr("CAST(conv(substring(md5(concat(p, ':', d)), 1, 4), 16, 10) AS BIGINT)")
-          - lit(32768L)).as("w"))
-    val bits = coords.join(broadcast(planes), "d")
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("q") * col("w")).as("s"))
-      .select(col("vec_id"), col("p"),
-        when(col("s") >= 0, "1").otherwise("0").as("bit"))
-    val sig = bits.groupBy(col("vec_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("bit")))),
-        x => x.getField("bit")), "").as("sig"))
-    val buckets = sig.select(col("vec_id"), explode(array(
-        concat(lit("b0|"), substring(col("sig"), 1, 4)),
-        concat(lit("b1|"), substring(col("sig"), 5, 4)),
-        concat(lit("b2|"), substring(col("sig"), 9, 4)),
-        concat(lit("b3|"), substring(col("sig"), 13, 4)))).as("bucket"))
+    // The 16×64 hyperplane weights are DETERMINISTIC md5-derived
+    // constants (no data dependency), so they fold into literal arrays
+    // computed once here — same values the oracle derives in SQL
+    // (md5 hex of "p:d", first 4 nibbles, minus 32768) — and each
+    // plane's signed sum becomes one zip_with/aggregate over the row's
+    // own quantized coords: a single whole-stage projection replacing
+    // the r16 posexplode → ×16 plane-join blowup (N·1024 joined rows)
+    // → two aggregation shuffles (guide §1.2/§2.4; plan diff: 3
+    // Exchanges and one broadcast removed before the bucket join).
+    // Integer math throughout: |q| ≤ ~10³ scale, |w| < 2¹⁵, 64 terms —
+    // exact and order-independent in both engines, like the original.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, d: Int): Long = {
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) - 32768L
+    }
+    // slice to the 16×64 plane grid exactly as the r16 inner join on d
+    // did (coords beyond d=63 had no plane row and dropped out)
+    val q = transform(slice(col("embedding"), 1, 64),
+      x => floor(x.cast("double") * 1000).cast("long"))
+    val qe = e.select(col("vec_id"), q.as("q"))
+    def bit(p: Int): Column = {
+      val ws = array((0 until 64).map(d => lit(w(p, d))): _*)
+      when(aggregate(zip_with(col("q"), ws, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x) >= 0, "1").otherwise("0")
+    }
+    def band(b: Int): Column =
+      concat(lit(s"b$b|") +: (4 * b until 4 * b + 4).map(bit): _*)
+    val buckets = qe.select(col("vec_id"),
+      explode(array(band(0), band(1), band(2), band(3))).as("bucket"))
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
