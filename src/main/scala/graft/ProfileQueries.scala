@@ -20,13 +20,19 @@ object ProfileQueries {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val planDir = sys.env.get("GRAFT_PLAN_DIR")
     val passes = sys.env.getOrElse("GRAFT_PROFILE_PASSES", "2").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B config probes: GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val jobs = new AtomicInteger(0)

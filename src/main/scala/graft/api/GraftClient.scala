@@ -4308,6 +4308,10 @@ class GraftClient(spark: SparkSession, root: String,
       .filter(col("__grp").isNotNull)
       .select(col("__grp").as("group_value"), col("distance"),
         col("vector_key").as("key"), col("metadata").as("meta"))
+      // both passes consume this frame — lazy checkpoint (pass 1's
+      // collect materializes; pass 2 reads the cache; the fetchDf
+      // lifecycle stance on the blocks)
+      .localCheckpoint(false)
     val bests = cand.groupBy(col("group_value"))
       .agg(min(col("distance")).as("__best"))
       .orderBy(col("__best"), col("group_value"))
@@ -8739,6 +8743,12 @@ class GraftClient(spark: SparkSession, root: String,
       .filter(col("__grp").isNotNull)
       .select(col("__grp").as("group_value"), col("score"), col("key"),
         col("meta"))
+      // BOTH passes consume this frame — checkpoint it (lazily: pass 1's
+      // collect materializes) so pass 2 reads the cached candidates
+      // instead of re-running the postings/store join (r17; the fetchDf
+      // lifecycle stance: blocks live until the caller drops the result,
+      // ContextCleaner reclaims them then)
+      .localCheckpoint(false)
     // pass 1 — top-k groups by best (highest) score; (best, group_value)
     // is unique per group, so the k-row TakeOrdered + driver index
     // assignment is a deterministic dense ranking
