@@ -124,7 +124,16 @@ object IngestScaleBench {
     if (partitionKey.isEmpty)
       client.createCollection("bench", dim = 384, buckets = 64)
     else
-      client.createCollection("bench", dim = 384, buckets = 64,
+      // the same TOTAL bucket budget as the plain arm, split across the
+      // partition stores (r17, guide §6): per-partition buckets=64 gave
+      // the routed collection 8× the plain arm's file count for the same
+      // rows, and every one of the 8 concurrent per-batch commits paid
+      // 64-path listings + up-to-64 sub-batch-sized bucket rewrites —
+      // job attribution put ~85% of routed batch time in those two
+      // phases. Partition count × per-partition buckets is the layout
+      // knob production sizes the same way.
+      client.createCollection("bench", dim = 384,
+        buckets = math.max(64 / math.max(numPartitions, 1), 1),
         partitionKey = partitionKey, numPartitions = numPartitions)
 
     val t0 = System.nanoTime()
