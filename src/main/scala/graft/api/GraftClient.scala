@@ -5325,22 +5325,6 @@ class GraftClient(spark: SparkSession, root: String,
     // walk resolves it against the store's columns; the cell arms apply
     // it to the scan), identically to the pre-r14 post-union filter.
     val tFilter = withTtl(m, filter) // one cutoff for every partition arm
-    // Per-partition GROUP STATS, (group, count, best), one row per group
-    // present in that arm — lazily checkpointed so whichever reads it
-    // first (the strict-size fill check, else pass 1) materializes the
-    // arm exactly once and the other reads the cache (r17: the fill
-    // check, pass 1 and pass 2 each re-executed the walk before; pass 2
-    // still plans against the RAW arm, keeping the graph-dispatch
-    // markers in the result's executedPlan). Blocks follow the fetchDf
-    // lifecycle (ContextCleaner).
-    def statsOf(arm: DataFrame): DataFrame = arm // (key, distance, meta)
-      .withColumn("__grp", element_at(col("meta"), lit(groupByKey)))
-      .filter(col("__grp").isNotNull)
-      .groupBy(col("__grp"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"),
-        min(col("distance")).as("__best"))
-      .localCheckpoint(false)
-    val statsBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val base = resolveParts(m, partitions).map { p =>
       val pm = partMeta(m, p)
       val coll = collection(pm)
@@ -5381,23 +5365,26 @@ class GraftClient(spark: SparkSession, root: String,
           // cannot find more). Each check is one bounded agg over
           // ≤pool candidate rows; this surface is documented non-lazy
           // already (pass 1 collects at call time).
-          def proj(a: DataFrame): DataFrame =
-            a.select(col("vector_key").as("key"), col("distance"),
-              col("metadata").as("meta"))
           var mult = 1
           var arm = walk(mult)
-          var st = statsOf(proj(arm))
           if (ef == 0 || groupStrictSize) {
             val served = hm.graphRows + hm.tailEst
             var tries = 0
             while (tries < 2 &&
-                k.toLong * groupSize * mult * refine < served &&
-                st.filter(col("__n") >= groupSize).count() < k) {
-              mult *= 4; arm = walk(mult); st = statsOf(proj(arm)); tries += 1
-            }
+                k.toLong * groupSize * mult * refine < served && {
+              val filled = arm
+                .withColumn("__grp",
+                  element_at(col("metadata"), lit(groupByKey)))
+                .filter(col("__grp").isNotNull)
+                .groupBy(col("__grp"))
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+                .filter(col("__n") >= groupSize)
+                .count()
+              filled < k
+            }) { mult *= 4; arm = walk(mult); tries += 1 }
           }
-          statsBuf += st
-          proj(arm)
+          arm.select(col("vector_key").as("key"), col("distance"),
+            col("metadata").as("meta"))
         case None =>
           // filter + TTL gate bind BEFORE the projection (the gate's
           // ingest_ts lives on the cells layout / store scan)
@@ -5407,11 +5394,9 @@ class GraftClient(spark: SparkSession, root: String,
             val qa = if (m.metric == "cosine") normalizeQuery(qvec) else qvec
             GraftClient.KeepCells(idx.probe.probes(qa, nprobe))
           }
-          val projected = tFilter.fold(arm)(arm.filter)
+          tFilter.fold(arm)(arm.filter)
             .select(col("key"), distanceCol(m.metric, qvec).as("distance"),
               col("meta"))
-          statsBuf += statsOf(projected)
-          projected
       }
     }.reduce(_ unionByName _)
     val cand = base
@@ -5419,17 +5404,13 @@ class GraftClient(spark: SparkSession, root: String,
       .filter(col("__grp").isNotNull)
       .select(col("__grp").as("group_value"),
         col("distance"), col("key"), col("meta"))
-    // pass 1 — top-k groups by best hit, computed from the per-partition
-    // STATS (a group's best across partitions = min over its per-arm
-    // bests — identical to aggregating the unioned candidates, without
-    // re-executing any arm). Deterministic ranking: the ordering key
-    // (__best, group_value) is unique per group, so the k-row TakeOrdered
-    // + driver-side index assignment reproduces the previous dense_rank
-    // semantics exactly (ties in __best break on group_value, every rank
-    // distinct).
-    val bests = statsBuf.reduce(_ unionByName _)
-      .groupBy(col("__grp").as("group_value"))
-      .agg(min(col("__best")).as("__best"))
+    // pass 1 — top-k groups by best hit. Deterministic ranking: the
+    // ordering key (__best, group_value) is unique per group, so the
+    // k-row TakeOrdered + driver-side index assignment reproduces the
+    // previous dense_rank semantics exactly (ties in __best break on
+    // group_value, every rank distinct).
+    val bests = cand.groupBy(col("group_value"))
+      .agg(min(col("distance")).as("__best"))
       .orderBy(col("__best"), col("group_value"))
       .limit(k)
       .collect()
