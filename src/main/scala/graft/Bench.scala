@@ -147,6 +147,53 @@ object Bench {
       java.nio.file.Paths.get("BENCH.local.json"), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH.local.json write failed: ${e.getMessage}") }
+    // Driver-tail contract repair (r18, additions only — the full line
+    // above is unchanged): the driver archives the LAST 2,000 chars of
+    // stdout and parses a JSON line out of them. At 149 queries the full
+    // line is ~6 KB and the query NAMES alone are ~2.3 KB, so no complete
+    // per-query line can ever fit the window (PERF_r16/r17 both ended up
+    // with parsed:null and an empty per_query table). Re-emit the map in
+    // chunked JSON lines — each far under 2,000 chars, so whole chunks
+    // sit inside any tail window — then END stdout with one compact
+    // summary line (same metric/value/unit/sf keys, plus the slowest
+    // queries that fit) that is always complete inside the tail.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val items = results.map { case (k, v) =>
+      JsonStr.q(k) + ":" + (if (v < 0) "-1" else f3(v))
+    }
+    val chunkBudget = 1200
+    val chunks = items.foldLeft(List(List.empty[String])) { (acc, it) =>
+      val cur = acc.head
+      if (cur.nonEmpty && cur.map(_.length + 1).sum + it.length > chunkBudget)
+        List(it) :: acc
+      else (it :: cur) :: acc.tail
+    }.map(_.reverse).reverse
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"metric":"queries_chunk","part":${i + 1},""" +
+        s""""of":${chunks.size},"unit":"sec","queries":{${c.mkString(",")}}}""")
+    }
+    // Summary: headline totals + as many of the SLOWEST queries as fit a
+    // ~1,700-char line (the ones whose round-over-round drift matters;
+    // the full map is two lines up, in the full line, and in
+    // BENCH.local.json). Adding entries under "queries" is allowed by the
+    // bench contract; nothing is removed from the full line.
+    val summaryBase = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{""" -> (
+      s"""},"failed":${failed + extraFailed}""" +
+        ingest.fold("")(r => s""","streaming_ingest_sec":${f3(r.wallSec)}""" +
+          s""","ingest_events_per_sec":${r.eventsPerSec}""") +
+        routed.fold("")(r => s""","streaming_ingest_routed_sec":${f3(r.wallSec)}""" +
+          s""","ingest_routed_events_per_sec":${r.eventsPerSec}""") +
+        s""","cpus":$cpus,"loadavg":$loadavg,"sf":${JsonStr.q(sfDir)}}""")
+    val fixedLen = summaryBase._1.length + summaryBase._2.length
+    val bySlowest = results.sortBy(-_._2).map { case (k, v) =>
+      JsonStr.q(k) + ":" + (if (v < 0) "-1" else f3(v))
+    }
+    val picked = bySlowest.foldLeft(List.empty[String]) { (acc, it) =>
+      if (fixedLen + acc.map(_.length + 1).sum + it.length <= 1700) it :: acc
+      else acc
+    }.reverse
+    println(summaryBase._1 + picked.mkString(",") + summaryBase._2)
     spark.stop()
     if (failed > 0 || ingest.isEmpty || routed.isEmpty || routedMismatch)
       sys.exit(1)

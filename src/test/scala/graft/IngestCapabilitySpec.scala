@@ -585,9 +585,20 @@ class IngestCapabilitySpec extends AnyFunSuite with BeforeAndAfterAll {
       val rawPath = ex.getRequestURI.getPath
       paths.add(rawPath)
       def send(code: Int, body: Array[Byte]): Unit = {
-        ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
-        if (body.nonEmpty) ex.getResponseBody.write(body)
-        ex.close()
+        // HEAD must never pass a body length through sendResponseHeaders:
+        // the JDK httpserver logs a WARN per call (the r17 driver test run
+        // drowned in hundreds of them via the 503-shed and list paths).
+        // Advertise the length as a header and send no body, like S3 does.
+        if (ex.getRequestMethod == "HEAD") {
+          if (body.nonEmpty)
+            ex.getResponseHeaders.add("Content-Length", body.length.toString)
+          ex.sendResponseHeaders(code, -1)
+          ex.close()
+        } else {
+          ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+          if (body.nonEmpty) ex.getResponseBody.write(body)
+          ex.close()
+        }
       }
       val reqKey = ex.getRequestMethod + " " + rawPath + "?" +
         Option(ex.getRequestURI.getRawQuery).getOrElse("") + "|" +
